@@ -1,0 +1,207 @@
+package graft.queries
+
+import graft.Tables
+import graft.operators.AsOfJoin
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/**
+ * Time-series operator set over the `events` measurement table.
+ *
+ * `ts` is the reference's `time` contract: int64 epoch-nanoseconds
+ * (/root/reference/querier/queryClient.go:32,314 — literals compare
+ * against an int64 column via `epoch_ns(...)`). We read the parquet
+ * NANOS column as LongType (Tables.configure) so all bucket/delta
+ * arithmetic is exact 64-bit integer math — no µs truncation.
+ */
+object TimeSeries {
+  type Q = (SparkSession, String) => DataFrame
+
+  private def T(s: SparkSession, dir: String)(n: String): DataFrame =
+    Tables.load(s, dir, n)
+
+  /**
+   * `events` with `ts` truncated from ns to µs resolution (still int64 ns
+   * units). The engine itself keeps full ns fidelity (see EventsNsSpec);
+   * the truncation here exists because the DuckDB oracle reads parquet
+   * NANOS columns as µs TIMESTAMP, so every oracle-visible derived value
+   * (lag deltas, session bounds, as-of matches) must be computed at µs
+   * resolution on both sides to hash-match. Bucketing at hour/day
+   * granularity is unaffected (1000 divides both).
+   */
+  private def eventsUs(s: SparkSession, dir: String): DataFrame =
+    T(s, dir)("events").withColumn("ts", col("ts") - pmod(col("ts"), lit(1000L)))
+
+  private val HOUR_NS = 3600L * 1000L * 1000L * 1000L
+  private val DAY_NS = 24L * HOUR_NS
+  private val MIN30_NS = 30L * 60L * 1000L * 1000L * 1000L
+
+  /** ns since epoch for an ISO instant — the reference's epoch_ns(). */
+  private def ns(iso: String): Long =
+    java.time.Instant.parse(iso).toEpochMilli * 1000000L
+
+  val queries: Map[String, Q] = Map(
+    // time-range predicate on the int64-ns time column (reference O2 path)
+    "q40_ts_range" -> ((s, dir) => {
+      eventsUs(s, dir)
+        .filter(col("ts") >= ns("2024-01-10T00:00:00Z") &&
+          col("ts") < ns("2024-01-12T00:00:00Z"))
+        .select(col("event_id"), col("ts"), col("event_type"), col("value"))
+        .orderBy(col("event_id"))
+    }),
+
+    // tumbling hour buckets via exact integer arithmetic
+    "q41_ts_bucket" -> ((s, dir) => {
+      val t = T(s, dir) _
+      t("events")
+        .groupBy((col("ts") - pmod(col("ts"), lit(HOUR_NS))).as("bucket_ns"))
+        .agg(count(lit(1)).as("n"), round(avg(col("value")), 6).as("avg_value"))
+        .orderBy(col("bucket_ns"))
+    }),
+
+    // per-user inter-event gap (exact ns delta) + large-gap flag
+    "q42_ts_lag" -> ((s, dir) => {
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      eventsUs(s, dir)
+        .withColumn("prev_ts", lag(col("ts"), 1).over(w))
+        .withColumn("delta_ns", col("ts") - col("prev_ts"))
+        .withColumn("big_gap", (col("delta_ns") > MIN30_NS).cast("int"))
+        .select(col("user_id"), col("event_id"), col("ts"), col("delta_ns"), col("big_gap"))
+        .orderBy(col("user_id"), col("ts"), col("event_id"))
+    }),
+
+    // daily per-type stats
+    "q43_ts_daily" -> ((s, dir) => {
+      val t = T(s, dir) _
+      t("events")
+        .groupBy((col("ts") - pmod(col("ts"), lit(DAY_NS))).as("day_ns"),
+          col("event_type"))
+        .agg(count(lit(1)).as("n"), round(sum(col("value")), 4).as("sum_value"),
+          min(col("value")).as("min_value"), max(col("value")).as("max_value"))
+        .orderBy(col("day_ns"), col("event_type"))
+    }),
+
+    // as-of join: for each 'view', the latest 'click' of the same user at
+    // or before it (oracle: DuckDB's native ASOF LEFT JOIN)
+    "q44_ts_asof" -> ((s, dir) => {
+      val ev = eventsUs(s, dir)
+      val views = ev.filter(col("event_type") === "view")
+        .select(col("user_id"), col("ts"), col("event_id"))
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("user_id"), col("ts"), col("event_id"))
+      AsOfJoin.backward(views, clicks, Seq("user_id"), "ts", "ts",
+          rightPayload = Seq("event_id"))
+        .select(col("event_id"), col("user_id"), col("ts"),
+          col("asof_event_id"), col("asof_ts"))
+        .orderBy(col("event_id"))
+    }),
+
+    // gap-based sessionization (30-min inactivity), pure SQL-expressible
+    "q45_ts_session" -> ((s, dir) => {
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      val ws = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      eventsUs(s, dir)
+        .withColumn("new_session",
+          when(col("ts") - lag(col("ts"), 1).over(w) > MIN30_NS, 1)
+            .when(lag(col("ts"), 1).over(w).isNull, 1).otherwise(0))
+        .withColumn("session_id", sum(col("new_session")).over(ws))
+        .groupBy(col("user_id"), col("session_id"))
+        .agg(count(lit(1)).as("n_events"),
+          min(col("ts")).as("session_start"), max(col("ts")).as("session_end"))
+        .orderBy(col("user_id"), col("session_id"))
+    }),
+
+    // arg-min/arg-max: first/last event payload per user
+    "q46_ts_argminmax" -> ((s, dir) => {
+      eventsUs(s, dir)
+        .groupBy(col("user_id"))
+        .agg(
+          min(col("ts")).as("first_ts"),
+          min_by(col("event_type"), col("ts")).as("first_type"),
+          max(col("ts")).as("last_ts"),
+          max_by(col("event_type"), col("ts")).as("last_type"),
+          count(lit(1)).as("n"))
+        .orderBy(col("user_id"))
+    }),
+
+    // gap fill: dense hourly series with zero-filled missing buckets
+    "q47_ts_gapfill" -> ((s, dir) => {
+      val t = T(s, dir) _
+      val buckets = t("events")
+        .groupBy((col("ts") - pmod(col("ts"), lit(HOUR_NS))).as("bucket_ns"))
+        .agg(count(lit(1)).as("n"))
+      val series = buckets
+        .agg(min(col("bucket_ns")).as("lo"), max(col("bucket_ns")).as("hi"))
+        .select(explode(sequence(col("lo"), col("hi"), lit(HOUR_NS))).as("bucket_ns"))
+      series.join(buckets, Seq("bucket_ns"), "left")
+        .select(col("bucket_ns"), coalesce(col("n"), lit(0L)).as("n"))
+        .orderBy(col("bucket_ns"))
+    })
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    "q40_ts_range" -> """
+      SELECT event_id, epoch_ns(ts) AS ts, event_type, value
+      FROM events
+      WHERE ts >= TIMESTAMP '2024-01-10 00:00:00' AND ts < TIMESTAMP '2024-01-12 00:00:00'
+      ORDER BY event_id""",
+    "q41_ts_bucket" -> """
+      SELECT epoch_ns(ts) - epoch_ns(ts) % 3600000000000 AS bucket_ns,
+             COUNT(*) AS n, ROUND(AVG(value), 6) AS avg_value
+      FROM events GROUP BY 1 ORDER BY 1""",
+    "q42_ts_lag" -> """
+      SELECT user_id, event_id, epoch_ns(ts) AS ts,
+             epoch_ns(ts) - LAG(epoch_ns(ts), 1) OVER w AS delta_ns,
+             CAST(epoch_ns(ts) - LAG(epoch_ns(ts), 1) OVER w > 1800000000000 AS INT) AS big_gap
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+      ORDER BY user_id, ts, event_id""",
+    "q43_ts_daily" -> """
+      SELECT epoch_ns(ts) - epoch_ns(ts) % 86400000000000 AS day_ns, event_type,
+             COUNT(*) AS n, ROUND(SUM(value), 4) AS sum_value,
+             MIN(value) AS min_value, MAX(value) AS max_value
+      FROM events GROUP BY 1, 2 ORDER BY 1, 2""",
+    "q44_ts_asof" -> """
+      SELECT v.event_id, v.user_id, epoch_ns(v.ts) AS ts,
+             c.event_id AS asof_event_id, epoch_ns(c.ts) AS asof_ts
+      FROM (SELECT * FROM events WHERE event_type = 'view') v
+      ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+        ON v.user_id = c.user_id AND v.ts >= c.ts
+      ORDER BY v.event_id""",
+    "q45_ts_session" -> """
+      WITH flagged AS (
+        SELECT user_id, ts, event_id,
+               CASE WHEN LAG(ts, 1) OVER w IS NULL THEN 1
+                    WHEN epoch_ns(ts) - LAG(epoch_ns(ts), 1) OVER w > 1800000000000 THEN 1
+                    ELSE 0 END AS new_session
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+      ), sessions AS (
+        SELECT user_id, ts,
+               SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+        FROM flagged
+      )
+      SELECT user_id, session_id, COUNT(*) AS n_events,
+             epoch_ns(MIN(ts)) AS session_start, epoch_ns(MAX(ts)) AS session_end
+      FROM sessions GROUP BY user_id, session_id
+      ORDER BY user_id, session_id""",
+    "q46_ts_argminmax" -> """
+      SELECT user_id, epoch_ns(MIN(ts)) AS first_ts,
+             MIN_BY(event_type, ts) AS first_type,
+             epoch_ns(MAX(ts)) AS last_ts,
+             MAX_BY(event_type, ts) AS last_type,
+             COUNT(*) AS n
+      FROM events GROUP BY user_id ORDER BY user_id""",
+    "q47_ts_gapfill" -> """
+      WITH b AS (
+        SELECT epoch_ns(ts) - epoch_ns(ts) % 3600000000000 AS bucket_ns, COUNT(*) AS n
+        FROM events GROUP BY 1
+      ), bounds AS (SELECT MIN(bucket_ns) AS lo, MAX(bucket_ns) AS hi FROM b),
+      series AS (SELECT UNNEST(generate_series(lo, hi, 3600000000000)) AS bucket_ns FROM bounds)
+      SELECT s.bucket_ns, COALESCE(b.n, 0) AS n
+      FROM series s LEFT JOIN b USING (bucket_ns)
+      ORDER BY s.bucket_ns"""
+  ).map { case (k, v) => k -> v.trim.replaceAll("\\s+", " ") }
+}
