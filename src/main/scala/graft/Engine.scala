@@ -1,0 +1,102 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.TimeRangeExtract.TimeRange
+
+/**
+ * The query engine: the Spark analog of the reference's
+ * `QueryClient.Query` lifecycle (/root/reference/querier/queryClient.go:713-877):
+ *
+ *   normalize → SHOW intercepts → parse (Catalyst, not regexes) →
+ *   catalog file pruning by extracted time range → register pruned
+ *   scan as temp view → run the user SQL → fallback pass-through for
+ *   table-free SQL.
+ *
+ * Differences from the reference, by design (documented quirk fixes):
+ *  - an empty pruned file set yields an empty DataFrame with the
+ *    table's schema instead of an error (quirk §2.3-6);
+ *  - the plan-based time extraction replaces 16 regexes (O2) and the
+ *    FROM-rewrite string surgery (O8) becomes temp-view registration.
+ */
+class Engine(val spark: SparkSession, val catalog: Catalog,
+             val defaultDb: String = "mydb", val timeCol: String = "time") {
+
+  graft.functions.Compat.register(spark)
+  Tables.configure(spark)
+
+  import TimeRangeExtract._
+
+  def showDatabases(): DataFrame = {
+    import spark.implicits._
+    catalog.databases.toDF("database_name")
+  }
+
+  def showTables(db: String): DataFrame = {
+    import spark.implicits._
+    catalog.tables(db).toDF("table_name")
+  }
+
+  /** Read a table from its (optionally time-pruned) file list. */
+  def readTable(db: String, table: String, range: Option[(Long, Long)]): DataFrame = {
+    val paths = catalog.prunedPaths(db, table, range)
+    if (paths.nonEmpty) {
+      // union_by_name=true analog: schema-evolving multi-file scan
+      spark.read.option("mergeSchema", "true").parquet(paths: _*)
+    } else {
+      val all = catalog.prunedPaths(db, table, None)
+      if (all.isEmpty) spark.emptyDataFrame
+      else { // empty result with the table's real schema (quirk §2.3-6 fix)
+        val schema = spark.read.option("mergeSchema", "true").parquet(all: _*).schema
+        spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+      }
+    }
+  }
+
+  /**
+   * Execute a query against the lake. `db` resolution mirrors the
+   * reference: explicit argument > default "mydb"
+   * (/root/reference/querier/server.go:183-189).
+   */
+  def query(sql0: String, db0: String = ""): DataFrame = {
+    val sql = sql0.trim.replaceAll("\\s+", " ")
+    val db = if (db0.nonEmpty) db0 else defaultDb
+    val upper = sql.toUpperCase.stripSuffix(";").trim
+    if (upper == "SHOW DATABASES") return showDatabases()
+    if (upper == "SHOW TABLES") return showTables(db)
+
+    val planOpt = scala.util.Try(parse(spark, sql)).toOption
+    val relOpt = planOpt.flatMap(findRelation)
+    relOpt match {
+      case Some(parts) =>
+        val (relDb, table) = parts match {
+          case Seq(d, t) => (d, t)
+          case Seq(t) => (db, t)
+          case other => (other.dropRight(1).mkString("."), other.last)
+        }
+        if (!catalog.tableExists(relDb, table))
+          return spark.sql(sql) // not a lake table → raw pass-through (O10)
+        val range: TimeRange = extract(planOpt.get, timeCol)
+        val tableDf = readTable(relDb, table, range.asTuple)
+        tableDf.createOrReplaceTempView(table)
+        // FROM db.table → FROM table (the view); identifier-level rewrite,
+        // the analog of the reference's FROM-clause splice (O8)
+        val rewritten =
+          if (parts.size == 2)
+            sql.replaceAll("(?i)\\b" + java.util.regex.Pattern.quote(relDb) +
+              "\\s*\\.\\s*" + java.util.regex.Pattern.quote(table) + "\\b", table)
+          else sql
+        // O9 analog: if the time column is int64 ns, rewrite time-vs-
+        // string/timestamp literal comparisons to long-literal form
+        val timeIsLong = tableDf.schema.fields
+          .find(_.name.equalsIgnoreCase(timeCol))
+          .exists(_.dataType == org.apache.spark.sql.types.LongType)
+        val plan = parse(spark, rewritten)
+        val finalPlan =
+          if (timeIsLong) rewriteTimeLiterals(plan, timeCol) else plan
+        org.apache.spark.sql.graftbridge.ColumnBridge.ofRows(spark, finalPlan)
+      case None =>
+        spark.sql(sql) // table-free SQL (SELECT 1, version(), …)
+    }
+  }
+}

@@ -5,25 +5,19 @@ import org.apache.spark.sql.SparkSession
 object Scratch {
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder()
-      .master("local[4]")
-      .config("spark.sql.shuffle.partitions", "4")
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    // 1. default read of ns timestamps
-    try {
-      val df = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
-      df.printSchema()
-      df.select("ts").show(3, false)
-    } catch { case e: Throwable => println(s"DEFAULT READ FAILED: ${e.getMessage.take(300)}") }
-    // 2. nanosAsLong
-    try {
-      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      val df = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
-      df.printSchema()
-      df.select("ts").show(3, false)
-    } catch { case e: Throwable => println(s"NANOS-AS-LONG FAILED: ${e.getMessage.take(300)}") }
+    val dir = "/root/testdata/sf0.1"
+    for (q <- Seq("q52_minhash_lsh", "q54_embed_pairs", "q56_ann_lsh", "q55_sim_topk")) {
+      val t0 = System.nanoTime()
+      val n = SparkEntry.queries(q)(spark, dir).count()
+      println(s"TIMING $q rows=$n ${(System.nanoTime() - t0) / 1e9}s")
+    }
+    SparkEntry.queries("q52_minhash_lsh")(spark, dir).show(5, false)
     spark.stop()
   }
 }

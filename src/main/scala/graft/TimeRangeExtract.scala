@@ -1,0 +1,165 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.analysis.{UnresolvedAttribute, UnresolvedFunction, UnresolvedRelation}
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.plans.logical.{Filter, LogicalPlan}
+
+/**
+ * Time-range extraction from a parsed Catalyst plan.
+ *
+ * Replaces the reference's 16 regex patterns
+ * (/root/reference/querier/queryClient.go:185-337): instead of string
+ * surgery we parse the SQL with Spark's ANTLR parser and walk the
+ * Filter expressions for conjunctive comparisons against the time
+ * column. Covers every reference form — bare literal, `cast(… as
+ * timestamp)`, `epoch_ns('…'::TIMESTAMP)`, `epoch_ns(cast(…))`,
+ * equality, BETWEEN — plus anything else that parses to a comparison
+ * with a literal-valued operand.
+ *
+ * Extraction is used ONLY for scan pruning; the original WHERE always
+ * executes afterwards, so a missed pattern costs performance, never
+ * correctness (reference quirk §2.3-7).
+ */
+object TimeRangeExtract {
+
+  /** Inclusive ns bounds; None = unbounded on that side. */
+  case class TimeRange(start: Option[Long], end: Option[Long]) {
+    def isEmpty: Boolean = start.isEmpty && end.isEmpty
+    def asTuple: Option[(Long, Long)] =
+      if (isEmpty) None else Some((start.getOrElse(Long.MinValue), end.getOrElse(Long.MaxValue)))
+  }
+
+  /** The first `db.table` (or bare table) relation referenced by the plan. */
+  def findRelation(plan: LogicalPlan): Option[Seq[String]] = {
+    val rels = plan.collect { case r: UnresolvedRelation => r.multipartIdentifier }
+    rels.headOption
+  }
+
+  def parse(spark: SparkSession, sql: String): LogicalPlan =
+    spark.sessionState.sqlParser.parsePlan(sql)
+
+  /** Extract bounds for `timeCol` from every Filter in the plan. */
+  def extract(plan: LogicalPlan, timeCol: String = "time"): TimeRange = {
+    var lo: Option[Long] = None
+    var hi: Option[Long] = None
+    def tighten(newLo: Option[Long], newHi: Option[Long]): Unit = {
+      newLo.foreach(v => lo = Some(lo.fold(v)(math.max(_, v))))
+      newHi.foreach(v => hi = Some(hi.fold(v)(math.min(_, v))))
+    }
+    def isTime(e: Expression): Boolean = e match {
+      case a: UnresolvedAttribute => a.name.equalsIgnoreCase(timeCol) ||
+        a.nameParts.lastOption.exists(_.equalsIgnoreCase(timeCol))
+      case Cast(c, _, _, _) => isTime(c)
+      case _ => false
+    }
+    def walk(e: Expression): Unit = e match {
+      case And(l, r) => walk(l); walk(r)
+      case GreaterThanOrEqual(a, v) if isTime(a) => tighten(lit(v), None)
+      case GreaterThan(a, v) if isTime(a) => tighten(lit(v).map(_ + 1), None)
+      case LessThanOrEqual(a, v) if isTime(a) => tighten(None, lit(v))
+      case LessThan(a, v) if isTime(a) => tighten(None, lit(v).map(_ - 1))
+      case EqualTo(a, v) if isTime(a) => tighten(lit(v), lit(v))
+      // mirrored operand order: '2023-…' <= time
+      case GreaterThanOrEqual(v, a) if isTime(a) => tighten(None, lit(v))
+      case GreaterThan(v, a) if isTime(a) => tighten(None, lit(v).map(_ - 1))
+      case LessThanOrEqual(v, a) if isTime(a) => tighten(lit(v), None)
+      case LessThan(v, a) if isTime(a) => tighten(lit(v).map(_ + 1), None)
+      case EqualTo(v, a) if isTime(a) => tighten(lit(v), lit(v))
+      case Between(a, lower, upper, _) if isTime(a) =>
+        tighten(lit(lower), lit(upper))
+      case _ => () // OR / NOT / unrelated predicates: no pruning info
+    }
+    plan.foreach {
+      case Filter(cond, _) => walk(cond)
+      case _ => ()
+    }
+    TimeRange(lo, hi)
+  }
+
+  /**
+   * Analog of the reference's timestamp-literal rewrite (O9,
+   * querier/queryClient.go:849-850): on a plan querying an int64-ns
+   * time column, replace string/timestamp literals compared against it
+   * with their epoch-ns long value — so `time >= '2024-01-10'` becomes
+   * a plain long comparison (pushed down to parquet). Done as a
+   * Catalyst plan transform, not string surgery.
+   */
+  def rewriteTimeLiterals(plan: LogicalPlan, timeCol: String): LogicalPlan = {
+    def isTime(e: Expression): Boolean = e match {
+      case a: UnresolvedAttribute => a.nameParts.lastOption.exists(_.equalsIgnoreCase(timeCol))
+      case Cast(c, _, _, _) => isTime(c)
+      case _ => false
+    }
+    def bare(e: Expression): Expression = e match {
+      case a: UnresolvedAttribute => a
+      case Cast(c, _, _, _) => bare(c)
+      case other => other
+    }
+    def asNs(e: Expression): Option[Expression] = e match {
+      case _: Literal | _: Cast | _: UnresolvedFunction =>
+        lit(e).map(ns => Literal(ns))
+      case _ => None
+    }
+    plan transformAllExpressions {
+      case GreaterThanOrEqual(a, v) if isTime(a) && asNs(v).isDefined =>
+        GreaterThanOrEqual(bare(a), asNs(v).get)
+      case GreaterThan(a, v) if isTime(a) && asNs(v).isDefined =>
+        GreaterThan(bare(a), asNs(v).get)
+      case LessThanOrEqual(a, v) if isTime(a) && asNs(v).isDefined =>
+        LessThanOrEqual(bare(a), asNs(v).get)
+      case LessThan(a, v) if isTime(a) && asNs(v).isDefined =>
+        LessThan(bare(a), asNs(v).get)
+      case EqualTo(a, v) if isTime(a) && asNs(v).isDefined =>
+        EqualTo(bare(a), asNs(v).get)
+      case GreaterThanOrEqual(v, a) if isTime(a) && asNs(v).isDefined =>
+        LessThanOrEqual(bare(a), asNs(v).get)
+      case GreaterThan(v, a) if isTime(a) && asNs(v).isDefined =>
+        LessThan(bare(a), asNs(v).get)
+      case LessThanOrEqual(v, a) if isTime(a) && asNs(v).isDefined =>
+        GreaterThanOrEqual(bare(a), asNs(v).get)
+      case LessThan(v, a) if isTime(a) && asNs(v).isDefined =>
+        GreaterThan(bare(a), asNs(v).get)
+      case Between(a, lo, hi, repl) if isTime(a) &&
+          (asNs(lo).isDefined || asNs(hi).isDefined) =>
+        Between(bare(a), asNs(lo).getOrElse(lo), asNs(hi).getOrElse(hi), repl)
+    }
+  }
+
+  /** Literal-ish expression → epoch ns, if statically evaluable. */
+  private def lit(e: Expression): Option[Long] = e match {
+    // TIMESTAMP 'x' literals are already-evaluated epoch-µs longs
+    case Literal(us: Long, t) if t.typeName.startsWith("timestamp") => Some(us * 1000L)
+    case Literal(v: Long, _) => Some(v)
+    case Literal(v: Int, _) => Some(v.toLong)
+    case Literal(s, t) if s != null && t.typeName == "string" =>
+      parseTimeLiteral(s.toString)
+    case Cast(c, _, _, _) => lit(c)
+    case f: UnresolvedFunction
+        if f.nameParts.lastOption.exists(_.equalsIgnoreCase("epoch_ns")) =>
+      f.arguments.headOption.flatMap(lit)
+    case _ => None
+  }
+
+  /**
+   * Accepted time-literal formats (reference
+   * querier/queryClient.go:241-243,269-271,291-293): RFC3339(Nano)
+   * with zone, and naive `2006-01-02T15:04:05[.fff]` (UTC-assumed,
+   * `T` or space). Date-only also accepted.
+   */
+  def parseTimeLiteral(s0: String): Option[Long] = {
+    val s = s0.trim
+    def inst(i: java.time.Instant): Long =
+      i.getEpochSecond * 1000000000L + i.getNano
+    scala.util.Try(inst(java.time.Instant.parse(s))).toOption
+      .orElse(scala.util.Try(inst(java.time.OffsetDateTime.parse(s).toInstant)).toOption)
+      .orElse(scala.util.Try {
+        val norm = if (s.contains(' ')) s.replaceFirst(" ", "T") else s
+        inst(java.time.LocalDateTime.parse(norm).toInstant(java.time.ZoneOffset.UTC))
+      }.toOption)
+      .orElse(scala.util.Try {
+        inst(java.time.LocalDate.parse(s).atStartOfDay.toInstant(java.time.ZoneOffset.UTC))
+      }.toOption)
+      .orElse(scala.util.Try(s.toLong).toOption)
+  }
+}

@@ -1,0 +1,214 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/**
+ * Deduplication operators for large-scale text corpora: exact,
+ * n-gram Jaccard, MinHash+LSH banding, and SimHash.
+ *
+ * All hashing is deterministic column-expression work (xxhash64 +
+ * multiply-shift mixing) — no UDFs, fully codegen'd, no driver-side
+ * loops. The LSH paths follow the standard distributed shape: one
+ * shuffle to build signatures (groupBy doc), one shuffle by band
+ * bucket to find candidates, then pairwise verification only on
+ * candidates — the all-pairs O(n²) never materializes at scale.
+ */
+object Dedup {
+
+  /** Exact dedup: canonical (min-id) representative per distinct key. */
+  def exact(df: DataFrame, idCol: String, keyCols: Seq[String]): DataFrame =
+    df.groupBy(keyCols.map(col): _*)
+      .agg(min(col(idCol)).as(idCol), count(lit(1)).as("n_copies"))
+
+  /** Distinct character n-gram shingles of a string column. */
+  def charShingles(c: Column, n: Int): Column =
+    when(length(c) >= n,
+      array_distinct(transform(sequence(lit(1), length(c) - (n - 1)),
+        i => c.substr(i, lit(n)))))
+      .otherwise(array(c))
+
+  /**
+   * Distinct w-word shingles of a string column (classic w-shingling).
+   * For natural/low-entropy text, word shingles carry far more
+   * entropy per shingle than character n-grams — with char 3-grams
+   * over a small vocabulary nearly every document pair shares most
+   * grams and LSH banding stops discriminating (measured: 61% of all
+   * pairs became candidates on the test corpus; word shingles take
+   * that to ~the true near-dup set).
+   */
+  def wordShingles(c: Column, w: Int): Column = {
+    val toks = split(trim(c), "\\s+")
+    when(size(toks) >= w,
+      array_distinct(transform(sequence(lit(1), size(toks) - (w - 1)),
+        i => concat_ws(" ", slice(toks, i, lit(w))))))
+      .otherwise(array(concat_ws(" ", toks)))
+  }
+
+  // Fixed mixing constants (splitmix64 stream, seed 42) for the k
+  // minhash permutations h_i(x) = a_i*x + b_i (multiply-shift family).
+  // a_i is 30-bit odd, b_i 32-bit, and x is masked to 32 bits, so
+  // a_i*x + b_i < 2^63 — no overflow under ANSI arithmetic.
+  private def mixConstants(k: Int, stream: Int, bits: Int): Seq[Long] = {
+    var x = 42L + stream * 0x9E3779B97F4A7C15L
+    Seq.fill(k) {
+      x += 0x9E3779B97F4A7C15L
+      var z = x
+      z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+      z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+      ((z ^ (z >>> 31)) >>> (64 - bits)) | 1L
+    }
+  }
+
+  /**
+   * MinHash signature (length k) over a shingle-array column.
+   * One xxhash64 per shingle, then k multiply-add permutations —
+   * O(k·|shingles|) arithmetic on already-hashed values.
+   */
+  def minhashSignature(shingles: Column, k: Int): Column =
+    minhashSignatureFromHashes(
+      transform(shingles, s => xxhash64(s).bitwiseAND(0xFFFFFFFFL)), k)
+
+  /** MinHash signature from pre-hashed (32-bit-masked) shingle values. */
+  def minhashSignatureFromHashes(hashes: Column, k: Int): Column = {
+    val a = typedLit(mixConstants(k, 1, 30))
+    val b = typedLit(mixConstants(k, 2, 32))
+    transform(sequence(lit(0), lit(k - 1)),
+      i => array_min(transform(hashes,
+        h => element_at(a, i + 1) * h + element_at(b, i + 1))))
+  }
+
+  /** Estimated Jaccard from two equal-length minhash signatures. */
+  def estJaccard(sigA: Column, sigB: Column, k: Int): Column =
+    size(filter(zip_with(sigA, sigB, (x, y) => x === y), z => z)) / lit(k.toDouble)
+
+  /**
+   * MinHash+LSH near-duplicate detection.
+   * Returns (id_a, id_b, est_jaccard, jaccard) for pairs that (1) share
+   * at least one of `bands` band-buckets, (2) pass the signature-level
+   * estimate `minEstJaccard`, and (3) carry the exact Jaccard of their
+   * hashed-shingle sets for final thresholding. bands·rows must equal k.
+   *
+   * Execution shape (this is the part that must survive 100 TB): the
+   * per-document heavy lifting — tokenize, w-shingle, hash, k minhash
+   * permutations — runs as explode → window-lead → hash-aggregate,
+   * ALL of it whole-stage-codegen'd. No higher-order array lambdas in
+   * the hot path: Spark interprets those per element (a first draft
+   * that nested `split` inside `transform` re-evaluated the split per
+   * shingle and was ~100× slower). Signatures are k codegen'd `min`
+   * aggregates over one hashed-shingle row set; band buckets are plain
+   * column hashes of signature slices; the only interpreted per-pair
+   * work (est/exact Jaccard on arrays) runs after candidates are cut
+   * down by banding + the O(k) estimate filter.
+   *
+   * Documents with fewer than `shingleWords` tokens produce no
+   * shingles and drop out (they cannot near-dup at this granularity).
+   */
+  def minhashCandidates(docs: DataFrame, idCol: String, textCol: String,
+                        shingleWords: Int = 3, k: Int = 64, bands: Int = 16,
+                        minEstJaccard: Double = 0.0): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(k % bands == 0, "bands must divide k")
+    val r = k / bands
+    val a = mixConstants(k, 1, 30)
+    val b = mixConstants(k, 2, 32)
+    // 1. tokenize + w-shingle via window leads (codegen'd, 1 shuffle by id)
+    val toks = docs.select(col(idCol).as("id"),
+      posexplode(split(trim(col(textCol)), "\\s+")).as(Seq("pos", "tok")))
+    val w = Window.partitionBy(col("id")).orderBy(col("pos"))
+    val parts = (0 until shingleWords).map(j =>
+      if (j == 0) col("tok") else lead(col("tok"), j).over(w))
+    val hashed = toks
+      .withColumn("last_tok", parts.last)
+      .filter(col("last_tok").isNotNull) // full-width shingles only
+      .select(col("id"),
+        xxhash64(concat_ws(" ", parts: _*)).bitwiseAND(0xFFFFFFFFL).as("h"))
+      .distinct()
+    // 2. signature = k codegen'd min-aggregates; shingle set kept for verify
+    val aggs = (0 until k).map(i =>
+      min(lit(a(i)) * col("h") + lit(b(i))).as(s"m$i")) :+
+      collect_set(col("h")).as("hs")
+    val base = hashed.groupBy(col("id")).agg(aggs.head, aggs.tail: _*)
+    // 3. band buckets = hashes of signature slices (plain columns)
+    val buckets = (0 until bands).map(j =>
+      hash((j * r until (j + 1) * r).map(i => col(s"m$i")): _*))
+    val banded = base.select(col("id"),
+      posexplode(array(buckets: _*)).as(Seq("band", "bucket")))
+    val cand = banded.as("x").join(banded.as("y"),
+        col("x.band") === col("y.band") && col("x.bucket") === col("y.bucket") &&
+          col("x.id") < col("y.id"))
+      .select(col("x.id").as("id_a"), col("y.id").as("id_b"))
+      .distinct()
+    // 4. estimate filter, then exact verification on candidates only
+    val sigCol = array((0 until k).map(i => col(s"m$i")): _*)
+    val sigs = base.select(col("id"), col("hs"), sigCol.as("sig"))
+    cand
+      .join(sigs.select(col("id").as("id_a"), col("hs").as("hs_a"), col("sig").as("sig_a")), "id_a")
+      .join(sigs.select(col("id").as("id_b"), col("hs").as("hs_b"), col("sig").as("sig_b")), "id_b")
+      .withColumn("est_jaccard", estJaccard(col("sig_a"), col("sig_b"), k))
+      .filter(col("est_jaccard") >= minEstJaccard)
+      .select(col("id_a"), col("id_b"), col("est_jaccard"),
+        (size(array_intersect(col("hs_a"), col("hs_b"))) /
+          size(array_union(col("hs_a"), col("hs_b"))).cast("double")).as("jaccard"))
+  }
+
+  /**
+   * Exact n-gram Jaccard similarity for all pairs above `minJaccard`.
+   * All-pairs via gram-equality join — O(Σ_g m_g²) pairs; intended for
+   * bounded subsets or as the verification stage after LSH. Pure
+   * relational algebra (expressible as ANSI SQL — used as the oracle
+   * path for the LSH variants).
+   */
+  def ngramJaccardPairs(docs: DataFrame, idCol: String, textCol: String,
+                        n: Int, minJaccard: Double): DataFrame = {
+    val grams = docs.select(col(idCol).as("id"),
+        explode(charShingles(col(textCol), n)).as("g"))
+    val sizes = grams.groupBy(col("id")).agg(count(lit(1)).as("n_grams"))
+    val inter = grams.as("a").join(grams.as("b"),
+        col("a.g") === col("b.g") && col("a.id") < col("b.id"))
+      .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .agg(count(lit(1)).as("inter"))
+    inter
+      .join(sizes.select(col("id").as("id_a"), col("n_grams").as("ca")), "id_a")
+      .join(sizes.select(col("id").as("id_b"), col("n_grams").as("cb")), "id_b")
+      .withColumn("jaccard",
+        col("inter") / (col("ca") + col("cb") - col("inter")).cast("double"))
+      .filter(col("jaccard") >= minJaccard)
+      .select(col("id_a"), col("id_b"), col("jaccard"))
+  }
+
+  /**
+   * 64-bit SimHash of a token-array column: per-bit ±1 vote of each
+   * token's xxhash64, sign of the vote sum becomes the bit.
+   * Single shuffle (groupBy id over exploded tokens).
+   */
+  def simhash(docs: DataFrame, idCol: String, tokensCol: Column): DataFrame = {
+    val ex = docs.select(col(idCol).as("id"), explode(tokensCol).as("tok"))
+      .withColumn("h", xxhash64(col("tok")))
+    val votes = (0 until 64).map(b =>
+      sum((shiftright(col("h"), b).bitwiseAND(1) * 2 - 1)).as(s"b$b"))
+    val voted = ex.groupBy(col("id")).agg(votes.head, votes.tail: _*)
+    val sig = (0 until 64).foldLeft(lit(0L)) { (acc, b) =>
+      acc.bitwiseOR(shiftleft(when(col(s"b$b") > 0, 1L).otherwise(0L), b))
+    }
+    voted.select(col("id"), sig.as("simhash"))
+  }
+
+  /**
+   * SimHash candidate pairs within `maxHamming`, via 4×16-bit band
+   * buckets (pigeonhole-complete for hamming ≤ 3).
+   */
+  def simhashPairs(sigs: DataFrame, maxHamming: Int = 3): DataFrame = {
+    val bandArr = array((0 until 4).map(j =>
+      shiftright(col("simhash"), 16 * j).bitwiseAND(0xFFFFL)): _*)
+    val banded = sigs.select(col("id"), col("simhash"),
+      posexplode(bandArr).as(Seq("band", "bucket")))
+    banded.as("x").join(banded.as("y"),
+        col("x.band") === col("y.band") && col("x.bucket") === col("y.bucket") &&
+          col("x.id") < col("y.id"))
+      .select(col("x.id").as("id_a"), col("y.id").as("id_b"),
+        bit_count(col("x.simhash").bitwiseXOR(col("y.simhash"))).as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+  }
+}

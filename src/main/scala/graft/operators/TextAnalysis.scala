@@ -1,0 +1,76 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/**
+ * Text-analysis operators for training-data pipelines: tokenization
+ * stats, quality scoring, language identification, fingerprinting.
+ * All pure column expressions (codegen'd, no UDFs) — each row is
+ * independent, so these scale embarrassingly: no shuffle at all
+ * until an aggregation is asked for.
+ */
+object TextAnalysis {
+
+  /** Whitespace-delimited token array (regex matches non-space runs). */
+  def tokens(text: Column): Column = regexp_extract_all(text, lit("\\S+"), lit(0))
+
+  def tokenCount(text: Column): Column = size(tokens(text))
+
+  private val STOPWORDS = Seq("the", "a", "of", "and", "to", "in", "is", "it")
+
+  /** Fraction of tokens that are stopwords (English marker set). */
+  def stopwordRatio(text: Column): Column = {
+    val stops = typedLit(STOPWORDS)
+    size(filter(tokens(text), t => array_contains(stops, t))) /
+      greatest(size(tokens(text)), lit(1)).cast("double")
+  }
+
+  /** Mean token length in characters. */
+  def avgTokenLen(text: Column): Column =
+    (length(regexp_replace(text, "\\s+", "")) /
+      greatest(tokenCount(text), lit(1)).cast("double"))
+
+  /**
+   * Heuristic quality score in [0,1]: combines length, stopword
+   * presence and token-length sanity — the standard cheap pre-filter
+   * before expensive model-based scoring.
+   */
+  def qualityScore(text: Column): Column = {
+    val lenScore = least(length(text).cast("double") / 400.0, lit(1.0))
+    val stopScore = least(stopwordRatio(text) * 5.0, lit(1.0))
+    val tokLen = avgTokenLen(text)
+    val tokScore = when(tokLen.between(3.0, 10.0), 1.0).otherwise(0.5)
+    round((lenScore * 0.4 + stopScore * 0.3 + tokScore * 0.3), 6)
+  }
+
+  /** Per-language marker words for the n-gram/stopword language-ID
+    * heuristic (top function words of each language). */
+  private val LANG_MARKERS: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "of", "and"),
+    "de" -> Seq("der", "die", "das", "und"),
+    "fr" -> Seq("le", "la", "et", "les"),
+    "es" -> Seq("el", "los", "que", "y"),
+    "zh" -> Seq("的", "是", "了", "在"))
+
+  /** Marker-hit count for one language. */
+  def langScore(text: Column, lang: String): Column = {
+    val markers = LANG_MARKERS.toMap.apply(lang)
+    markers.map(m => size(filter(tokens(text), t => t === m)))
+      .reduce(_ + _).cast("long")
+  }
+
+  /** argmax language by marker score (first language wins ties, in
+    * LANG_MARKERS order — deterministic). */
+  def langId(text: Column): Column = {
+    val scores = LANG_MARKERS.map { case (l, _) => (l, langScore(text, l)) }
+    scores.tail.foldLeft((lit(scores.head._1), scores.head._2)) {
+      case ((bestL, bestS), (l, s)) =>
+        (when(s > bestS, l).otherwise(bestL), greatest(s, bestS))
+    }._1
+  }
+
+  /** Content-addressed fingerprint over whitespace-normalized text. */
+  def fingerprintMd5(text: Column): Column =
+    md5(trim(regexp_replace(lower(text), "\\s+", " ")))
+}

@@ -1,0 +1,212 @@
+package graft.queries
+
+import graft.Tables
+import graft.operators.{Dedup, Multimodal, Similarity, TextAnalysis}
+import graft.functions.RollingMinHash.rolling_min_hash
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/**
+ * Training-data pipeline operators (BASELINE.json north star): dedup
+ * family, similarity search, text analysis, multimodal plumbing —
+ * over the `documents` and `embeddings` tables.
+ */
+object Pipeline {
+  type Q = (SparkSession, String) => DataFrame
+
+  private def T(s: SparkSession, dir: String)(n: String): DataFrame =
+    Tables.load(s, dir, n)
+
+  val queries: Map[String, Q] = Map(
+    // exact dedup (hash groupBy); docs doubled first so there is
+    // something to deduplicate
+    "q50_dedup_exact" -> ((s, dir) => {
+      val d = T(s, dir)("documents")
+      Dedup.exact(d.unionByName(d), "doc_id", Seq("text"))
+        .select(col("doc_id"), col("n_copies"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // exact n-gram Jaccard near-dup pairs (bounded subset — this exact
+    // formulation is the verification stage of the LSH path; the full
+    // corpus goes through q52's MinHash+LSH instead)
+    "q51_ngram_jaccard" -> ((s, dir) => {
+      val d = T(s, dir)("documents").filter(col("doc_id") < 150)
+      Dedup.ngramJaccardPairs(d, "doc_id", "text", n = 3, minJaccard = 0.6)
+        .orderBy(col("jaccard").desc, col("id_a"), col("id_b"))
+    }),
+
+    // MinHash+LSH near-dup detection at corpus scale (hash-specific →
+    // rows-only check; the est/exact agreement is asserted in tests)
+    "q52_minhash_lsh" -> ((s, dir) => {
+      val d = T(s, dir)("documents")
+      Dedup.minhashCandidates(d, "doc_id", "text", shingleWords = 3, k = 64,
+          bands = 16, minEstJaccard = 0.4)
+        .orderBy(col("jaccard").desc, col("id_a"), col("id_b"))
+        .limit(50)
+    }),
+
+    // SimHash near-dup pairs (hash-specific → rows-only)
+    "q53_simhash" -> ((s, dir) => {
+      val d = T(s, dir)("documents")
+      val sigs = Dedup.simhash(d, "doc_id", TextAnalysis.tokens(col("text")))
+      Dedup.simhashPairs(sigs, maxHamming = 63)
+        .orderBy(col("hamming"), col("id_a"), col("id_b"))
+        .limit(50)
+    }),
+
+    // exact top-k most-similar embedding pairs (brute force baseline)
+    "q54_embed_pairs" -> ((s, dir) => {
+      Similarity.allPairsTopK(T(s, dir)("embeddings"), "vec_id", "embedding", 20)
+    }),
+
+    // top-k nearest neighbours of one query vector
+    "q55_sim_topk" -> ((s, dir) => {
+      Similarity.bruteForceTopK(T(s, dir)("embeddings"), "vec_id", "embedding",
+        queryId = 0L, k = 10)
+    }),
+
+    // LSH-bucketed approximate pairs (scale path; bucket-dependent →
+    // rows-only)
+    "q56_ann_lsh" -> ((s, dir) => {
+      Similarity.lshPairs(T(s, dir)("embeddings"), "vec_id", "embedding",
+          bits = 8, dim = 64)
+        .orderBy(col("cos_sim").desc, col("id_a"), col("id_b"))
+        .limit(20)
+    }),
+
+    // tokenization + quality component stats
+    "q57_text_stats" -> ((s, dir) => {
+      T(s, dir)("documents")
+        .select(col("doc_id"),
+          TextAnalysis.tokenCount(col("text")).as("n_tokens"),
+          round(TextAnalysis.avgTokenLen(col("text")), 6).as("avg_token_len"),
+          round(TextAnalysis.stopwordRatio(col("text")), 6).as("stopword_ratio"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // language ID: marker-word scores unpivoted, argmax via window
+    "q58_langid" -> ((s, dir) => {
+      val langs = Seq("en", "de", "fr", "es", "zh")
+      val scored = T(s, dir)("documents").select(col("doc_id"),
+        explode(array(langs.zipWithIndex.map { case (l, i) =>
+          struct(lit(i + 1).as("prio"), lit(l).as("lang"),
+            TextAnalysis.langScore(col("text"), l).as("score"))
+        }: _*)).as("ls"))
+        .select(col("doc_id"), col("ls.prio").as("prio"),
+          col("ls.lang").as("lang"), col("ls.score").as("score"))
+      val w = Window.partitionBy(col("doc_id"))
+        .orderBy(col("score").desc, col("prio"))
+      scored.withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("doc_id"), col("lang").as("pred_lang"), col("score"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // heuristic quality score
+    "q59_quality" -> ((s, dir) => {
+      T(s, dir)("documents")
+        .select(col("doc_id"), TextAnalysis.qualityScore(col("text")).as("quality"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // content fingerprint (md5 over normalized text)
+    "q60_fingerprint_md5" -> ((s, dir) => {
+      T(s, dir)("documents")
+        .select(col("doc_id"), TextAnalysis.fingerprintMd5(col("text")).as("fp"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // winnowing-style rolling-hash fingerprint (custom codegen'd
+    // Catalyst Expression → rows-only)
+    "q61_fingerprint_rolling" -> ((s, dir) => {
+      T(s, dir)("documents")
+        .select(col("doc_id"),
+          rolling_min_hash(col("text"), 16).as("fp"),
+          rolling_min_hash(lower(col("text")), 32).as("fp32"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // multimodal: binary payload column + stubbed decode via
+    // mapPartitions (rows-only)
+    "q62_multimodal_meta" -> ((s, dir) => {
+      Multimodal.documentsAsMedia(s, T(s, dir)("documents"))
+        .toDF()
+        .orderBy(col("doc_id"))
+    })
+  )
+
+  private val STOP_IN = "('the','a','of','and','to','in','is','it')"
+
+  val oracleSql: Map[String, String] = Map(
+    "q50_dedup_exact" -> """
+      WITH dup AS (SELECT * FROM documents UNION ALL SELECT * FROM documents)
+      SELECT MIN(doc_id) AS doc_id, COUNT(*) AS n_copies
+      FROM dup GROUP BY text ORDER BY doc_id""",
+    "q51_ngram_jaccard" -> """
+      WITH d AS (SELECT doc_id, text FROM documents WHERE doc_id < 150),
+      g AS (SELECT DISTINCT doc_id,
+                   unnest(list_transform(range(1, len(text) - 1),
+                                         i -> substr(text, i, 3))) AS g
+            FROM d),
+      sz AS (SELECT doc_id, COUNT(*) AS n FROM g GROUP BY doc_id),
+      inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS inter
+                FROM g a JOIN g b ON a.g = b.g AND a.doc_id < b.doc_id
+                GROUP BY 1, 2)
+      SELECT id_a, id_b,
+             inter / CAST(sa.n + sb.n - inter AS DOUBLE) AS jaccard
+      FROM inter JOIN sz sa ON sa.doc_id = id_a JOIN sz sb ON sb.doc_id = id_b
+      WHERE inter / CAST(sa.n + sb.n - inter AS DOUBLE) >= 0.6
+      ORDER BY jaccard DESC, id_a, id_b""",
+    "q54_embed_pairs" -> """
+      SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+             round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                          CAST(b.embedding AS DOUBLE[])), 4) AS cos_sim
+      FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+      ORDER BY cos_sim DESC, id_a, id_b LIMIT 20""",
+    "q55_sim_topk" -> """
+      WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 0)
+      SELECT vec_id, round(list_cosine_similarity(CAST(embedding AS DOUBLE[]), qv), 4) AS cos_sim
+      FROM embeddings, q WHERE vec_id != 0
+      ORDER BY cos_sim DESC, vec_id LIMIT 10""",
+    "q57_text_stats" -> s"""
+      SELECT doc_id,
+             CAST(len(regexp_extract_all(text, '\\S+')) AS INT) AS n_tokens,
+             round(CAST(length(regexp_replace(text, '\\s+', '', 'g')) AS DOUBLE)
+                   / greatest(len(regexp_extract_all(text, '\\S+')), 1), 6) AS avg_token_len,
+             round(CAST(len(list_filter(regexp_extract_all(text, '\\S+'),
+                                        x -> x IN $STOP_IN)) AS DOUBLE)
+                   / greatest(len(regexp_extract_all(text, '\\S+')), 1), 6) AS stopword_ratio
+      FROM documents ORDER BY doc_id""",
+    "q58_langid" -> """
+      WITH s AS (
+        SELECT doc_id, 1 AS prio, 'en' AS lang, CAST(len(list_filter(regexp_extract_all(text, '\S+'), x -> x IN ('the','a','of','and'))) AS BIGINT) AS score FROM documents
+        UNION ALL
+        SELECT doc_id, 2, 'de', CAST(len(list_filter(regexp_extract_all(text, '\S+'), x -> x IN ('der','die','das','und'))) AS BIGINT) FROM documents
+        UNION ALL
+        SELECT doc_id, 3, 'fr', CAST(len(list_filter(regexp_extract_all(text, '\S+'), x -> x IN ('le','la','et','les'))) AS BIGINT) FROM documents
+        UNION ALL
+        SELECT doc_id, 4, 'es', CAST(len(list_filter(regexp_extract_all(text, '\S+'), x -> x IN ('el','los','que','y'))) AS BIGINT) FROM documents
+        UNION ALL
+        SELECT doc_id, 5, 'zh', CAST(len(list_filter(regexp_extract_all(text, '\S+'), x -> x IN ('的','是','了','在'))) AS BIGINT) FROM documents
+      )
+      SELECT doc_id, lang AS pred_lang, score FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY score DESC, prio) AS rn
+        FROM s) t
+      WHERE rn = 1 ORDER BY doc_id""",
+    "q59_quality" -> s"""
+      SELECT doc_id,
+             round(least(CAST(length(text) AS DOUBLE) / 400.0, 1.0) * 0.4
+               + least(CAST(len(list_filter(regexp_extract_all(text, '\\S+'),
+                       x -> x IN $STOP_IN)) AS DOUBLE)
+                   / greatest(len(regexp_extract_all(text, '\\S+')), 1) * 5.0, 1.0) * 0.3
+               + (CASE WHEN CAST(length(regexp_replace(text, '\\s+', '', 'g')) AS DOUBLE)
+                        / greatest(len(regexp_extract_all(text, '\\S+')), 1)
+                       BETWEEN 3.0 AND 10.0 THEN 1.0 ELSE 0.5 END) * 0.3, 6) AS quality
+      FROM documents ORDER BY doc_id""",
+    "q60_fingerprint_md5" -> """
+      SELECT doc_id, md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp
+      FROM documents ORDER BY doc_id"""
+  ).map { case (k, v) => k -> v.trim.replaceAll("\\s+", " ") }
+}

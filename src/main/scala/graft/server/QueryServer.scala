@@ -1,0 +1,127 @@
+package graft.server
+
+import java.net.InetSocketAddress
+import java.nio.charset.StandardCharsets.UTF_8
+import com.fasterxml.jackson.databind.ObjectMapper
+import com.sun.net.httpserver.{HttpExchange, HttpServer}
+import graft.Engine
+import graft.encoders.ResultEncoder
+
+/**
+ * HTTP query endpoint — the reference's server surface
+ * (/root/reference/querier/server.go:142-230):
+ *
+ *  - `POST /query` body `{"query": "...", "db": "..."}`;
+ *    `?db=` overrides body db, body db overrides default "mydb"
+ *    (server.go:183-189); `?format=json|ndjson` (server.go:159-168);
+ *  - errors as `{"error": "..."}` with appropriate status;
+ *  - CORS headers on all responses;
+ *  - `GET /health` → `{"status":"ok","timestamp":…}`.
+ */
+class QueryServer(engine: Engine, port: Int = 8080) {
+  private val mapper = new ObjectMapper()
+  private var server: HttpServer = _
+
+  private def cors(ex: HttpExchange): Unit = {
+    val h = ex.getResponseHeaders
+    h.add("Access-Control-Allow-Origin", "*")
+    h.add("Access-Control-Allow-Methods", "POST, GET, OPTIONS")
+    h.add("Access-Control-Allow-Headers", "Content-Type")
+  }
+
+  private def respond(ex: HttpExchange, code: Int, body: String,
+                      ctype: String = "application/json"): Unit = {
+    val bytes = body.getBytes(UTF_8)
+    ex.getResponseHeaders.add("Content-Type", ctype)
+    ex.sendResponseHeaders(code, bytes.length)
+    val os = ex.getResponseBody
+    os.write(bytes); os.close()
+  }
+
+  private def queryParams(ex: HttpExchange): Map[String, String] =
+    Option(ex.getRequestURI.getRawQuery).getOrElse("").split("&")
+      .filter(_.contains("=")).map { kv =>
+        val Array(k, v) = kv.split("=", 2)
+        java.net.URLDecoder.decode(k, "UTF-8") -> java.net.URLDecoder.decode(v, "UTF-8")
+      }.toMap
+
+  def start(): Unit = {
+    server = HttpServer.create(new InetSocketAddress(port), 0)
+
+    server.createContext("/query", (ex: HttpExchange) => {
+      cors(ex)
+      try {
+        if (ex.getRequestMethod == "OPTIONS") respond(ex, 204, "")
+        else if (ex.getRequestMethod != "POST")
+          respond(ex, 405, """{"error":"method not allowed"}""")
+        else {
+          val params = queryParams(ex)
+          val body = new String(ex.getRequestBody.readAllBytes(), UTF_8)
+          val node = if (body.nonEmpty) mapper.readTree(body) else mapper.createObjectNode()
+          val q = Option(node.get("query")).map(_.asText()).getOrElse("")
+          if (q.isEmpty) respond(ex, 400, """{"error":"missing query"}""")
+          else {
+            // db precedence: ?db= > body db > default (server.go:183-189)
+            val db = params.getOrElse("db",
+              Option(node.get("db")).map(_.asText()).getOrElse(""))
+            val df = engine.query(q, db)
+            params.getOrElse("format", "json") match {
+              case "ndjson" =>
+                respond(ex, 200, ResultEncoder.toNdjsonString(df), "application/x-ndjson")
+              case _ =>
+                respond(ex, 200, ResultEncoder.toJsonString(df))
+            }
+          }
+        }
+      } catch {
+        case e: Throwable =>
+          val msg = Option(e.getMessage).getOrElse(e.toString)
+          respond(ex, 400, mapper.writeValueAsString(
+            mapper.createObjectNode().put("error", msg)))
+      } finally ex.close()
+    })
+
+    server.createContext("/health", (ex: HttpExchange) => {
+      cors(ex)
+      try respond(ex, 200,
+        s"""{"status":"ok","timestamp":"${java.time.Instant.now()}"}""")
+      finally ex.close()
+    })
+
+    server.setExecutor(java.util.concurrent.Executors.newFixedThreadPool(8))
+    server.start()
+  }
+
+  def stop(): Unit = if (server != null) server.stop(0)
+  def boundPort: Int = server.getAddress.getPort
+}
+
+/** CLI one-shot mode (reference main.go:22-57): --query … --db … */
+object QueryServer {
+  def main(args: Array[String]): Unit = {
+    val argMap = args.sliding(2, 2).collect {
+      case Array(k, v) if k.startsWith("--") => k.drop(2) -> v
+    }.toMap
+    val root = argMap.getOrElse("root", sys.env.getOrElse("DATA_DIR", "/tmp/graft-lake"))
+    val spark = org.apache.spark.sql.SparkSession.builder()
+      .master(sys.env.getOrElse("SPARK_MASTER", "local[*]"))
+      .config("spark.sql.shuffle.partitions",
+        sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val engine = new Engine(spark, new graft.Catalog(root))
+    argMap.get("query") match {
+      case Some(q) => // one-shot CLI mode
+        println(ResultEncoder.toJsonString(
+          engine.query(q, argMap.getOrElse("db", ""))))
+        spark.stop()
+      case None => // server mode
+        val srv = new QueryServer(engine, argMap.get("port").map(_.toInt).getOrElse(8080))
+        srv.start()
+        println(s"graft query server on :${srv.boundPort} (root=$root)")
+        Thread.currentThread().join()
+    }
+  }
+}
