@@ -68,6 +68,11 @@ object TimeRangeExtract {
       case EqualTo(v, a) if isTime(a) => tighten(lit(v), lit(v))
       case Between(a, lower, upper, _) if isTime(a) =>
         tighten(lit(lower), lit(upper))
+      // the parser leaves BETWEEN as an unresolved function call
+      case f: UnresolvedFunction
+          if f.nameParts.lastOption.exists(_.equalsIgnoreCase("between")) &&
+            f.arguments.size == 3 && isTime(f.arguments.head) =>
+        tighten(lit(f.arguments(1)), lit(f.arguments(2)))
       case _ => () // OR / NOT / unrelated predicates: no pruning info
     }
     plan.foreach {
@@ -123,6 +128,13 @@ object TimeRangeExtract {
       case Between(a, lo, hi, repl) if isTime(a) &&
           (asNs(lo).isDefined || asNs(hi).isDefined) =>
         Between(bare(a), asNs(lo).getOrElse(lo), asNs(hi).getOrElse(hi), repl)
+      case f: UnresolvedFunction
+          if f.nameParts.lastOption.exists(_.equalsIgnoreCase("between")) &&
+            f.arguments.size == 3 && isTime(f.arguments.head) &&
+            (asNs(f.arguments(1)).isDefined || asNs(f.arguments(2)).isDefined) =>
+        f.copy(arguments = Seq(bare(f.arguments.head),
+          asNs(f.arguments(1)).getOrElse(f.arguments(1)),
+          asNs(f.arguments(2)).getOrElse(f.arguments(2))))
     }
   }
 

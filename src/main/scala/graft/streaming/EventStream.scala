@@ -1,0 +1,51 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StructType
+
+/**
+ * Structured Streaming over the events lake.
+ *
+ * The reference is strictly batch-at-rest — its "streams" are
+ * append-only hour-partitioned parquet (SURVEY.md §2.2 "Streaming:
+ * absent"). This module is the Spark-native upgrade: the same parquet
+ * directories consumed incrementally with `readStream`, windowed
+ * aggregation with watermarked late-data handling, and gap-based
+ * sessionization via `session_window` — so a lake table doubles as a
+ * stream source with identical semantics to the batch queries
+ * (q41/q45 are the batch twins of these).
+ */
+object EventStream {
+
+  /** Incremental scan of an events directory (schema must be supplied —
+    * streaming reads don't infer). ns-long `ts` is converted to a µs
+    * TimestampType event-time column for watermarking. */
+  def readEvents(spark: SparkSession, dir: String, schema: StructType): DataFrame = {
+    graft.Tables.configure(spark)
+    spark.readStream.schema(schema).parquet(dir)
+      .withColumn("event_time", timestamp_micros(expr("ts div 1000")))
+  }
+
+  /** Tumbling-window per-type counts with late-data watermark —
+    * streaming twin of the batch hour-bucket aggregation (q41). */
+  def windowedCounts(events: DataFrame, window_ : String = "1 hour",
+                     watermark: String = "2 hours"): DataFrame =
+    events
+      .withWatermark("event_time", watermark)
+      .groupBy(window(col("event_time"), window_), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("sum_value"))
+      .select(col("window.start").as("window_start"), col("event_type"),
+        col("n"), col("sum_value"))
+
+  /** Gap-based sessions (streaming twin of q45's 30-min session split). */
+  def sessionCounts(events: DataFrame, gap: String = "30 minutes",
+                    watermark: String = "2 hours"): DataFrame =
+    events
+      .withWatermark("event_time", watermark)
+      .groupBy(session_window(col("event_time"), gap), col("user_id"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("session_window.start").as("session_start"),
+        col("session_window.end").as("session_end"),
+        col("user_id"), col("n_events"))
+}

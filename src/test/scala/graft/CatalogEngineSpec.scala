@@ -1,0 +1,123 @@
+package graft
+
+import java.io.File
+import java.nio.file.Files
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/**
+ * Catalog zone-map pruning (FIXTURES.md A4) + Engine end-to-end on a
+ * fixture lake with an int64-ns `time` column.
+ */
+class CatalogEngineSpec extends AnyFunSuite {
+  private lazy val spark = GraftTestSession.spark
+
+  private val HOUR_NS = 3600L * 1000000000L
+  private val T0 = 1672531200000000000L // 2023-01-01T00:00:00Z
+
+  /** Lake: mydb/meas/date=d/part.parquet + metadata.json, plus tmp/ junk. */
+  private lazy val root: String = {
+    val dir = Files.createTempDirectory(
+      new File("target").toPath.toAbsolutePath, "lake").toFile
+    import spark.implicits._
+    def writeDay(day: Int): Unit = {
+      val d = new File(dir, f"mydb/meas/date=2023-01-${day}%02d")
+      d.mkdirs()
+      val t0 = T0 + (day - 1) * 24 * HOUR_NS
+      val rows = (0 until 24).map(h => (t0 + h * HOUR_NS, s"loc$day", day * 100.0 + h))
+      rows.toDF("time", "location", "temperature").coalesce(1)
+        .write.mode("overwrite").parquet(d.getAbsolutePath)
+      // rename part file + write folder metadata.json
+      val part = d.listFiles().find(_.getName.endsWith(".parquet")).get
+      val tgt = new File(d, "part0.parquet")
+      part.renameTo(tgt)
+      d.listFiles().filter(f => f.getName.startsWith("_") || f.getName.endsWith(".crc"))
+        .foreach(_.delete())
+      val (mn, mx) = (rows.map(_._1).min, rows.map(_._1).max)
+      Files.writeString(new File(d, "metadata.json").toPath,
+        s"""{"type":"parquet","row_count":24,"min_time":$mn,"max_time":$mx,
+           |"files":[{"path":"part0.parquet","row_count":24,"min_time":$mn,"max_time":$mx}]}"""
+          .stripMargin)
+    }
+    (1 to 3).foreach(writeDay)
+    val tmp = new File(dir, "mydb/meas/tmp"); tmp.mkdirs()
+    Files.writeString(new File(tmp, "half.parquet").toPath, "junk")
+    dir.getAbsolutePath
+  }
+
+  private lazy val catalog = new Catalog(root)
+  private lazy val engine = new Engine(spark, catalog)
+
+  test("databases / tables discovery") {
+    assert(catalog.databases == Seq("mydb"))
+    assert(catalog.tables("mydb") == Seq("meas"))
+  }
+
+  test("tmp/ dirs are skipped; all real files listed without range") {
+    val fs = catalog.files("mydb", "meas")
+    assert(fs.size == 3)
+    assert(fs.forall(!_.path.contains("/tmp/")))
+  }
+
+  test("zone-map pruning selects exactly overlapping files") {
+    // range = day 2 only
+    val lo = T0 + 24 * HOUR_NS
+    val hi = T0 + 47 * HOUR_NS
+    val fs = catalog.files("mydb", "meas", Some((lo, hi)))
+    assert(fs.size == 1 && fs.head.path.contains("date=2023-01-02"))
+    // range spanning day 2-3 boundary
+    assert(catalog.files("mydb", "meas", Some((hi, hi + HOUR_NS))).size == 2)
+    // disjoint range
+    assert(catalog.files("mydb", "meas", Some((T0 + 100 * 24 * HOUR_NS, Long.MaxValue))).isEmpty)
+  }
+
+  test("engine: canonical time-range query (bare literal, O9 rewrite)") {
+    val df = engine.query(
+      "SELECT time, location, temperature FROM mydb.meas " +
+        "WHERE time >= '2023-01-02T00:00:00Z' AND time < '2023-01-03T00:00:00Z' " +
+        "ORDER BY time", "")
+    val rows = df.collect()
+    assert(rows.length == 24)
+    assert(rows.forall(_.getString(1) == "loc2"))
+    assert(rows.head.getLong(0) == T0 + 24 * HOUR_NS)
+  }
+
+  test("engine: epoch_ns literal form") {
+    val df = engine.query(
+      "SELECT count(*) AS cnt FROM meas WHERE time >= epoch_ns('2023-01-03T00:00:00'::TIMESTAMP)",
+      "mydb")
+    assert(df.collect().head.getLong(0) == 24L)
+  }
+
+  test("engine: aggregation over full table") {
+    val df = engine.query(
+      "SELECT location, count(*) AS n FROM mydb.meas GROUP BY location ORDER BY location", "")
+    assert(df.collect().map(r => (r.getString(0), r.getLong(1))).toSeq ==
+      Seq(("loc1", 24L), ("loc2", 24L), ("loc3", 24L)))
+  }
+
+  test("engine: empty pruned set → empty DataFrame with schema (quirk §2.3-6 fix)") {
+    val df = engine.query(
+      "SELECT * FROM mydb.meas WHERE time >= '2030-01-01T00:00:00Z'", "")
+    assert(df.schema.fieldNames.contains("temperature"))
+    assert(df.count() == 0)
+  }
+
+  test("engine: SHOW DATABASES / SHOW TABLES") {
+    assert(engine.query("SHOW DATABASES", "").collect().map(_.getString(0)).toSeq == Seq("mydb"))
+    assert(engine.query("show tables", "mydb").collect().map(_.getString(0)).toSeq == Seq("meas"))
+  }
+
+  test("engine: table-free fallback (SELECT 1, version())") {
+    val r = engine.query("SELECT 1 AS one, version() AS v", "").collect().head
+    assert(r.getInt(0) == 1)
+    assert(r.getString(1).startsWith("4."))
+  }
+
+  test("engine: non-lake relation falls through to spark catalog") {
+    import spark.implicits._
+    Seq((1, "x")).toDF("a", "b").createOrReplaceTempView("sidecar_tbl")
+    val r = engine.query("SELECT b FROM sidecar_tbl WHERE a = 1", "").collect()
+    assert(r.head.getString(0) == "x")
+  }
+}

@@ -1,0 +1,61 @@
+package graft
+
+import graft.streaming.EventStream
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Streaming results must agree with their batch twins on a static dir. */
+class StreamingSpec extends AnyFunSuite {
+  private lazy val spark = GraftTestSession.spark
+
+  /** readStream needs a directory — stage the events file into one. */
+  private lazy val streamDir: String = {
+    val d = java.nio.file.Files.createTempDirectory(
+      new java.io.File("target").toPath.toAbsolutePath, "events-stream")
+    java.nio.file.Files.copy(
+      java.nio.file.Path.of("/root/testdata/sf0.001/events.parquet"),
+      d.resolve("part0.parquet"))
+    d.toString
+  }
+
+  test("windowed streaming counts equal batch aggregation") {
+    val dir = "/root/testdata/sf0.001"
+    val batchEvents = Tables.load(spark, dir, "events")
+    val schema = batchEvents.schema
+    val stream = EventStream.readEvents(spark, streamDir, schema)
+    val agg = EventStream.windowedCounts(stream, "1 hour", "2 hours")
+    val q = agg.writeStream.format("memory").queryName("win_counts")
+      .outputMode("complete").start()
+    try {
+      q.processAllAvailable()
+      val streamed = spark.table("win_counts")
+        .agg(sum("n")).head.getLong(0)
+      assert(streamed == batchEvents.count())
+      // spot-check one bucket against the batch twin
+      val batch = batchEvents
+        .groupBy(timestamp_micros(expr("(ts - ts % 3600000000000) div 1000")).as("window_start"),
+          col("event_type"))
+        .agg(count(lit(1)).as("n"))
+      val s1 = spark.table("win_counts")
+        .select("window_start", "event_type", "n")
+        .collect().map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2))).toSet
+      val b1 = batch.collect().map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2))).toSet
+      assert(s1 == b1)
+    } finally q.stop()
+  }
+
+  test("session_window streaming sessionization produces sane sessions") {
+    val dir = "/root/testdata/sf0.001"
+    val schema = Tables.load(spark, dir, "events").schema
+    val stream = EventStream.readEvents(spark, streamDir, schema)
+    val q = EventStream.sessionCounts(stream).writeStream
+      .format("memory").queryName("sessions").outputMode("complete").start()
+    try {
+      q.processAllAvailable()
+      val rows = spark.table("sessions")
+      assert(rows.count() > 0)
+      assert(rows.agg(sum("n_events")).head.getLong(0) ==
+        Tables.load(spark, dir, "events").count())
+    } finally q.stop()
+  }
+}
