@@ -4,12 +4,17 @@ import org.apache.spark.sql.SparkSession
 /** Dev scratchpad — not part of the library. */
 object Scratch {
   def main(args: Array[String]): Unit = {
-    val spark = SparkSession.builder().master("local[2]")
+    val spark = SparkSession.builder().master("local[8]")
+      .config("spark.sql.shuffle.partitions", "8")
+      .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val p = TimeRangeExtract.parse(spark,
-      "SELECT 1 FROM t WHERE time BETWEEN '2023-01-01T00:00:00Z' AND '2023-01-02T00:00:00Z'")
-    println("PLAN " + p.treeString)
+    val dir = "/root/testdata/sf0.1"
+    for (q <- Seq("q40_ts_range")) {
+      println(s"===== $q =====")
+      println(SparkEntry.queries(q)(spark, dir).queryExecution.explainString(
+        org.apache.spark.sql.execution.FormattedMode))
+    }
     spark.stop()
   }
 }

@@ -44,9 +44,13 @@ object TimeSeries {
   val queries: Map[String, Q] = Map(
     // time-range predicate on the int64-ns time column (reference O2 path)
     "q40_ts_range" -> ((s, dir) => {
-      eventsUs(s, dir)
+      // filter on the RAW ns column (bounds are µs-aligned, so pre- vs
+      // post-truncation filtering is equivalent) — this keeps the range
+      // predicate pushed into the parquet scan; truncate only for output
+      T(s, dir)("events")
         .filter(col("ts") >= ns("2024-01-10T00:00:00Z") &&
           col("ts") < ns("2024-01-12T00:00:00Z"))
+        .withColumn("ts", col("ts") - pmod(col("ts"), lit(1000L)))
         .select(col("event_id"), col("ts"), col("event_type"), col("value"))
         .orderBy(col("event_id"))
     }),
