@@ -14,12 +14,12 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     graft.queries.Relational.queries ++ graft.queries.TimeSeries.queries ++
-      graft.queries.Pipeline.queries
+      graft.queries.Pipeline.queries ++ graft.queries.Coverage.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted for non-SQL-expressible ops
     * (approx sketches, hash-specific dedup) → rows-only check. */
   def oracleSql: Map[String, String] =
     graft.queries.Relational.oracleSql ++ graft.queries.TimeSeries.oracleSql ++
-      graft.queries.Pipeline.oracleSql
+      graft.queries.Pipeline.oracleSql ++ graft.queries.Coverage.oracleSql
 }

@@ -1,0 +1,180 @@
+package graft.queries
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/**
+ * Long-tail SQL surface coverage (SURVEY.md §2.2 rows not already
+ * exercised by Relational): multiset set-ops, lateral correlated
+ * subqueries, ordered string aggregation, generators, cast semantics,
+ * regexp extraction, calendar truncation variants, bitwise ops.
+ */
+object Coverage {
+  type Q = (SparkSession, String) => DataFrame
+
+  private def T(s: SparkSession, dir: String)(n: String): DataFrame =
+    Tables.load(s, dir, n)
+
+  private def sql(q: String): Q = (s, dir) => {
+    Tables.registerAll(s, dir)
+    s.sql(q)
+  }
+
+  val queries: Map[String, Q] = Map(
+    "q63_intersect_all" -> ((s, dir) => {
+      val t = T(s, dir) _
+      t("customer").select(col("c_nationkey").as("nationkey"))
+        .intersectAll(t("supplier").select(col("s_nationkey").as("nationkey")))
+        .groupBy(col("nationkey")).agg(count(lit(1)).as("multiplicity"))
+        .orderBy(col("nationkey"))
+    }),
+
+    "q64_except_all" -> ((s, dir) => {
+      val t = T(s, dir) _
+      t("customer").select(col("c_nationkey").as("nationkey"))
+        .exceptAll(t("supplier").select(col("s_nationkey").as("nationkey")))
+        .groupBy(col("nationkey")).agg(count(lit(1)).as("multiplicity"))
+        .orderBy(col("nationkey"))
+    }),
+
+    // correlated LATERAL subquery
+    "q65_lateral" -> sql("""
+      SELECT c.c_custkey, t.maxp
+      FROM customer c,
+      LATERAL (SELECT MAX(o_totalprice) AS maxp FROM orders
+               WHERE o_custkey = c.c_custkey) t
+      WHERE c.c_custkey <= 300
+      ORDER BY c.c_custkey
+    """),
+
+    // ordered string aggregation
+    "q66_string_agg" -> ((s, dir) => {
+      val t = T(s, dir) _
+      t("nation")
+        .groupBy(col("n_regionkey"))
+        .agg(array_join(array_sort(collect_list(col("n_name"))), ",").as("names"))
+        .orderBy(col("n_regionkey"))
+    }),
+
+    // generator / table function: per-row sequence explode
+    "q67_generator" -> ((s, dir) => {
+      val t = T(s, dir) _
+      t("lineitem").filter(col("l_orderkey") <= 100)
+        .select(col("l_orderkey"), col("l_linenumber"),
+          explode(sequence(lit(1), col("l_linenumber"))).as("n"))
+        .orderBy(col("l_orderkey"), col("l_linenumber"), col("n"))
+    }),
+
+    // cast semantics across types (floor first: double→int rounding
+    // differs between engines, truncation made explicit)
+    "q68_casts" -> ((s, dir) => {
+      val t = T(s, dir) _
+      t("orders").filter(col("o_orderkey") <= 1000)
+        .select(
+          col("o_orderkey"),
+          col("o_orderkey").cast("string").as("key_str"),
+          floor(col("o_totalprice")).cast("long").as("price_long"),
+          col("o_orderdate").cast("date").cast("string").as("order_date"),
+          datediff(col("o_orderdate").cast("date"), lit("1995-01-01").cast("date"))
+            .as("days_since"),
+          concat(col("o_orderkey").cast("string"), lit("-"), col("o_orderstatus"))
+            .as("tagged"))
+        .orderBy(col("o_orderkey"))
+    }),
+
+    "q69_regexp" -> ((s, dir) => {
+      val t = T(s, dir) _
+      t("part")
+        .select(
+          col("p_partkey"),
+          regexp_extract(col("p_name"), "([a-z]+) ([a-z]+)", 2).as("second_word"),
+          regexp_extract(col("p_type"), "^(\\w+)", 1).as("first_type_word"),
+          size(regexp_extract_all(col("p_name"), lit("[aeiou]"), lit(0))).as("n_vowels"))
+        .orderBy(col("p_partkey"))
+    }),
+
+    "q70_date_trunc_variants" -> ((s, dir) => {
+      val t = T(s, dir) _
+      t("orders").filter(col("o_orderkey") <= 1000)
+        .select(
+          col("o_orderkey"),
+          date_trunc("week", col("o_orderdate")).as("week_start"),
+          date_trunc("quarter", col("o_orderdate")).as("quarter_start"),
+          date_trunc("year", col("o_orderdate")).as("year_start"),
+          quarter(col("o_orderdate")).as("q"))
+        .orderBy(col("o_orderkey"))
+    }),
+
+    "q71_bitwise" -> ((s, dir) => {
+      val t = T(s, dir) _
+      t("lineitem").filter(col("l_orderkey") <= 200)
+        .select(
+          col("l_orderkey"), col("l_linenumber"),
+          col("l_orderkey").bitwiseAND(255).as("and255"),
+          col("l_orderkey").bitwiseOR(col("l_linenumber")).as("or_ln"),
+          col("l_orderkey").bitwiseXOR(col("l_partkey")).as("xor_pk"),
+          shiftleft(col("l_linenumber"), 3).as("shl3"))
+        .orderBy(col("l_orderkey"), col("l_linenumber"))
+    })
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    "q63_intersect_all" -> """
+      SELECT nationkey, COUNT(*) AS multiplicity FROM (
+        SELECT c_nationkey AS nationkey FROM customer
+        INTERSECT ALL
+        SELECT s_nationkey FROM supplier) t
+      GROUP BY nationkey ORDER BY nationkey""",
+    "q64_except_all" -> """
+      SELECT nationkey, COUNT(*) AS multiplicity FROM (
+        SELECT c_nationkey AS nationkey FROM customer
+        EXCEPT ALL
+        SELECT s_nationkey FROM supplier) t
+      GROUP BY nationkey ORDER BY nationkey""",
+    "q65_lateral" -> """
+      SELECT c.c_custkey, t.maxp
+      FROM customer c,
+      LATERAL (SELECT MAX(o_totalprice) AS maxp FROM orders
+               WHERE o_custkey = c.c_custkey) t
+      WHERE c.c_custkey <= 300
+      ORDER BY c.c_custkey""",
+    "q66_string_agg" -> """
+      SELECT n_regionkey, string_agg(n_name, ',' ORDER BY n_name) AS names
+      FROM nation GROUP BY n_regionkey ORDER BY n_regionkey""",
+    "q67_generator" -> """
+      SELECT l_orderkey, l_linenumber,
+             CAST(unnest(range(1, l_linenumber + 1)) AS INT) AS n
+      FROM lineitem WHERE l_orderkey <= 100
+      ORDER BY l_orderkey, l_linenumber, n""",
+    "q68_casts" -> """
+      SELECT o_orderkey,
+             CAST(o_orderkey AS VARCHAR) AS key_str,
+             CAST(floor(o_totalprice) AS BIGINT) AS price_long,
+             CAST(CAST(o_orderdate AS DATE) AS VARCHAR) AS order_date,
+             CAST(date_diff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE)) AS INT) AS days_since,
+             concat(CAST(o_orderkey AS VARCHAR), '-', o_orderstatus) AS tagged
+      FROM orders WHERE o_orderkey <= 1000 ORDER BY o_orderkey""",
+    "q69_regexp" -> """
+      SELECT p_partkey,
+             regexp_extract(p_name, '([a-z]+) ([a-z]+)', 2) AS second_word,
+             regexp_extract(p_type, '^(\w+)', 1) AS first_type_word,
+             CAST(len(regexp_extract_all(p_name, '[aeiou]')) AS INT) AS n_vowels
+      FROM part ORDER BY p_partkey""",
+    "q70_date_trunc_variants" -> """
+      SELECT o_orderkey,
+             date_trunc('week', o_orderdate) AS week_start,
+             date_trunc('quarter', o_orderdate) AS quarter_start,
+             date_trunc('year', o_orderdate) AS year_start,
+             CAST(quarter(o_orderdate) AS INT) AS q
+      FROM orders WHERE o_orderkey <= 1000 ORDER BY o_orderkey""",
+    "q71_bitwise" -> """
+      SELECT l_orderkey, l_linenumber,
+             l_orderkey & 255 AS and255,
+             l_orderkey | l_linenumber AS or_ln,
+             xor(l_orderkey, l_partkey) AS xor_pk,
+             CAST(l_linenumber AS INT) << 3 AS shl3
+      FROM lineitem WHERE l_orderkey <= 200
+      ORDER BY l_orderkey, l_linenumber""",
+  ).map { case (k, v) => k -> v.trim.replaceAll("\\s+", " ") }
+}

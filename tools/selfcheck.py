@@ -47,7 +47,11 @@ def main(sf_dir, out_dir):
         # normalize timestamps to ns ints for compare
         for c in gc:
             for df in (g, e):
-                if pd.api.types.is_datetime64_any_dtype(df[c]):
+                if df[c].dtype == object and len(df) and isinstance(
+                        df[c].dropna().iloc[0] if df[c].notna().any() else None,
+                        __import__("datetime").date):
+                    df[c] = df[c].map(lambda d: None if d is None else str(d))
+                elif pd.api.types.is_datetime64_any_dtype(df[c]):
                     s = df[c]
                     if getattr(s.dt, "tz", None) is not None:
                         s = s.dt.tz_convert("UTC").dt.tz_localize(None)
