@@ -68,6 +68,14 @@ class QueryServer(engine: Engine, port: Int = 8080) {
             params.getOrElse("format", "json") match {
               case "ndjson" =>
                 respond(ex, 200, ResultEncoder.toNdjsonString(df), "application/x-ndjson")
+              case "arrow" => // Arrow IPC stream (FlightSQL data-plane bytes)
+                val bos = new java.io.ByteArrayOutputStream()
+                graft.encoders.ArrowEncoder.writeStream(df, bos)
+                val bytes = bos.toByteArray
+                ex.getResponseHeaders.add("Content-Type", "application/vnd.apache.arrow.stream")
+                ex.sendResponseHeaders(200, bytes.length)
+                val os = ex.getResponseBody
+                os.write(bytes); os.close()
               case _ =>
                 respond(ex, 200, ResultEncoder.toJsonString(df))
             }
