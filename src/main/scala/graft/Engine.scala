@@ -41,13 +41,14 @@ class Engine(val spark: SparkSession, val catalog: Catalog,
   def readTable(db: String, table: String, range: Option[(Long, Long)]): DataFrame = {
     val paths = catalog.prunedPaths(db, table, range)
     if (paths.nonEmpty) {
-      // union_by_name=true analog: schema-evolving multi-file scan
-      spark.read.option("mergeSchema", "true").parquet(paths: _*)
+      // union_by_name=true analog: schema-evolving multi-file scan with
+      // DuckDB-style type widening (Tables.readEvolving)
+      Tables.readEvolving(spark, paths)
     } else {
       val all = catalog.prunedPaths(db, table, None)
       if (all.isEmpty) spark.emptyDataFrame
       else { // empty result with the table's real schema (quirk §2.3-6 fix)
-        val schema = spark.read.option("mergeSchema", "true").parquet(all: _*).schema
+        val schema = Tables.readEvolving(spark, all).schema
         spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
       }
     }

@@ -1,0 +1,59 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/**
+ * Storage layers: named fs/s3 tiers, the reference's
+ * `GIGAPI_LAYERS_*` mechanism (/root/reference/querier/layerDesc.go:21-67,
+ * README.md:27-31). An s3 layer URL carries credentials and addressing
+ * style: `s3://KEY:SECRET@endpoint/bucket?url_style=path`.
+ *
+ * Where the reference registers a DuckDB `CREATE OR REPLACE SECRET`
+ * per layer (queryClient.go:691-708), the Spark analog is per-bucket
+ * `fs.s3a.bucket.<name>.*` Hadoop configuration — credentials scoped
+ * to the bucket, so different layers can point at different stores in
+ * one session. Paths then resolve to `s3a://bucket/...` URIs that the
+ * parquet reader consumes like any other.
+ */
+object Layers {
+
+  sealed trait Layer { def name: String }
+  case class FsLayer(name: String, root: String) extends Layer
+  case class S3Layer(name: String, endpoint: String, bucket: String,
+                     accessKey: String, secret: String,
+                     pathStyle: Boolean) extends Layer {
+    /** s3a URI for a lake-relative path (queryClient.go:682-689 analog). */
+    def uri(rel: String): String = s"s3a://$bucket/${rel.stripPrefix("/")}"
+  }
+
+  /** Parse `s3://key:secret@endpoint/bucket?url_style=path`
+    * (layerDesc.go:38-67). */
+  def parseS3(name: String, url: String): S3Layer = {
+    val u = new java.net.URI(url)
+    require(u.getScheme == "s3", s"expected s3:// url, got $url")
+    val Array(key, secret) = Option(u.getUserInfo)
+      .map(_.split(":", 2)).getOrElse(Array("", ""))
+    val pathStyle = Option(u.getQuery).exists(_.split("&")
+      .exists(p => p == "url_style=path"))
+    S3Layer(name, u.getHost + (if (u.getPort > 0) s":${u.getPort}" else ""),
+      u.getPath.stripPrefix("/").split("/").head, key, secret, pathStyle)
+  }
+
+  /** Scope credentials to the layer's bucket (CREATE SECRET analog). */
+  def register(spark: SparkSession, layer: S3Layer): Unit = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val p = s"fs.s3a.bucket.${layer.bucket}"
+    conf.set(s"$p.endpoint", layer.endpoint)
+    conf.set(s"$p.access.key", layer.accessKey)
+    conf.set(s"$p.secret.key", layer.secret)
+    conf.set(s"$p.path.style.access", layer.pathStyle.toString)
+  }
+
+  /** Resolve a catalog entry to a concrete scan URI (buildFilesList
+    * analog, queryClient.go:669-690). */
+  def resolve(layer: Layer, db: String, table: String, entryPath: String): String =
+    layer match {
+      case FsLayer(_, root) => s"$root/$db/$table/data/$entryPath"
+      case s: S3Layer => s.uri(s"$db/$table/$entryPath")
+    }
+}

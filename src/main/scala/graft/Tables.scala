@@ -36,4 +36,58 @@ object Tables {
   /** Register every table as a temp view (for the SQL-form queries). */
   def registerAll(spark: SparkSession, dir: String): Unit =
     all.foreach(n => load(spark, dir, n).createOrReplaceTempView(n))
+
+  // ---- schema-evolving reads (union_by_name parity) -------------------
+
+  import org.apache.spark.sql.types._
+  import org.apache.spark.sql.functions.{col, lit}
+
+  /** DuckDB-style widening for union_by_name: integers widen to the
+    * larger integer, any numeric mix involving fractions widens to
+    * double (float only when both are float), anything vs string
+    * degrades to string (the reference's marshaling rule, §1.3). */
+  private val intRank: Map[DataType, Int] =
+    Map(ByteType -> 1, ShortType -> 2, IntegerType -> 3, LongType -> 4)
+  private def numeric(t: DataType): Boolean =
+    intRank.contains(t) || t == FloatType || t == DoubleType
+
+  private[graft] def widen(a: DataType, b: DataType): DataType = (a, b) match {
+    case (x, y) if x == y => x
+    case (x, y) if intRank.contains(x) && intRank.contains(y) =>
+      if (intRank(x) >= intRank(y)) x else y
+    case (x, y) if numeric(x) && numeric(y) => DoubleType
+    case (StringType, _) | (_, StringType) => StringType
+    case (x, y) => throw new IllegalArgumentException(s"cannot widen $x vs $y")
+  }
+
+  /**
+   * `read_parquet([...], union_by_name=true)` parity: Spark's
+   * `mergeSchema` refuses the int32/int64 merges DuckDB widens through
+   * (CANNOT_MERGE_INCOMPATIBLE_DATA_TYPE), so files are grouped by
+   * footer schema, each group is read once, casts are applied to the
+   * widened union schema, and groups union by name with nulls for
+   * missing columns. One driver-side footer pass — the data itself is
+   * still read exactly once, distributed.
+   */
+  def readEvolving(spark: SparkSession, paths: Seq[String]): DataFrame = {
+    configure(spark)
+    val bySchema = paths.map(p => (spark.read.parquet(p).schema, p))
+      .groupBy(_._1).view.mapValues(_.map(_._2)).toSeq
+    if (bySchema.size == 1)
+      return spark.read.parquet(paths: _*)
+    // widened union-by-name schema over all file groups
+    val merged = scala.collection.mutable.LinkedHashMap[String, DataType]()
+    bySchema.foreach { case (schema, _) =>
+      schema.fields.foreach { f =>
+        merged(f.name) = merged.get(f.name).map(widen(_, f.dataType)).getOrElse(f.dataType)
+      }
+    }
+    bySchema.map { case (schema, ps) =>
+      val have = schema.fieldNames.toSet
+      spark.read.parquet(ps: _*).select(merged.toSeq.map { case (name, dt) =>
+        if (have(name)) col(name).cast(dt).as(name)
+        else lit(null).cast(dt).as(name)
+      }: _*)
+    }.reduce(_.unionByName(_))
+  }
 }
