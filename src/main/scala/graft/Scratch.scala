@@ -10,10 +10,11 @@ object Scratch {
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val dir = "/root/testdata/sf0.1"
-    for (q <- Seq("q40_ts_range")) {
+    for (q <- Seq("q72_ivf_search")) {
       println(s"===== $q =====")
-      println(SparkEntry.queries(q)(spark, dir).queryExecution.explainString(
-        org.apache.spark.sql.execution.FormattedMode))
+      try SparkEntry.queries(q)(spark, dir).show(5)
+      catch { case e: Throwable => println("FAILED: " + e); var c = e.getCause
+        while (c != null) { println("CAUSE: " + c.toString.take(400)); c = c.getCause } }
     }
     spark.stop()
   }

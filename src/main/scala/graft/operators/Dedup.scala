@@ -178,6 +178,22 @@ object Dedup {
   }
 
   /**
+   * Corpus canonicalization: drop every document that near-dups a
+   * lower-id document (greedy one-pass representative selection over
+   * the MinHash+LSH pair set — the standard production policy; not a
+   * transitive closure, which would need iterative connected
+   * components).
+   */
+  def dedupCorpus(docs: DataFrame, idCol: String, textCol: String,
+                  minJaccard: Double): DataFrame = {
+    val losers = minhashCandidates(docs, idCol, textCol,
+        minEstJaccard = minJaccard * 0.5)
+      .filter(col("jaccard") >= minJaccard)
+      .select(col("id_b").as(idCol)).distinct()
+    docs.join(losers, Seq(idCol), "left_anti")
+  }
+
+  /**
    * 64-bit SimHash of a token-array column: per-bit ±1 vote of each
    * token's xxhash64, sign of the vote sum becomes the bit.
    * Single shuffle (groupBy id over exploded tokens).

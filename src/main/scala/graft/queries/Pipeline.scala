@@ -134,6 +134,24 @@ object Pipeline {
       Multimodal.documentsAsMedia(s, T(s, dir)("documents"))
         .toDF()
         .orderBy(col("doc_id"))
+    }),
+
+    // IVF ANN: deterministic Lloyd centroids, probe 4/16 cells
+    // (index-dependent recall → rows-only)
+    "q72_ivf_search" -> ((s, dir) => {
+      val emb = T(s, dir)("embeddings")
+      val centroids = graft.operators.IvfIndex.train(emb, "vec_id", "embedding",
+        nlist = 16, iters = 2)
+      graft.operators.IvfIndex.search(emb, "vec_id", "embedding", centroids,
+        queryId = 0L, k = 10, nprobe = 4)
+    }),
+
+    // corpus canonicalization: greedy min-id representative per
+    // near-dup pair (hash-dependent pair set → rows-only)
+    "q73_dedup_corpus" -> ((s, dir) => {
+      Dedup.dedupCorpus(T(s, dir)("documents"), "doc_id", "text", 0.8)
+        .select(col("doc_id"), col("lang"), col("n_chars"))
+        .orderBy(col("doc_id"))
     })
   )
 
