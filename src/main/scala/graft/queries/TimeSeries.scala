@@ -129,6 +129,22 @@ object TimeSeries {
         .orderBy(col("user_id"))
     }),
 
+    // same as-of semantics through the NATIVE custom operator
+    // (LogicalPlan + Strategy + SparkPlan — plans/AsOfJoinNative);
+    // same DuckDB ASOF JOIN oracle as q44
+    "q48_ts_asof_native" -> ((s, dir) => {
+      val ev = eventsUs(s, dir)
+      val views = ev.filter(col("event_type") === "view")
+        .select(col("user_id"), col("ts"), col("event_id"))
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("user_id"), col("ts"), col("event_id"))
+      graft.plans.AsOfJoinNative.backward(views, clicks, Seq("user_id"),
+          "ts", "ts", rightPayload = Seq("event_id"))
+        .select(col("event_id"), col("user_id"), col("ts"),
+          col("asof_event_id"), col("asof_ts"))
+        .orderBy(col("event_id"))
+    }),
+
     // gap fill: dense hourly series with zero-filled missing buckets
     "q47_ts_gapfill" -> ((s, dir) => {
       val t = T(s, dir) _
@@ -167,6 +183,13 @@ object TimeSeries {
              MIN(value) AS min_value, MAX(value) AS max_value
       FROM events GROUP BY 1, 2 ORDER BY 1, 2""",
     "q44_ts_asof" -> """
+      SELECT v.event_id, v.user_id, epoch_ns(v.ts) AS ts,
+             c.event_id AS asof_event_id, epoch_ns(c.ts) AS asof_ts
+      FROM (SELECT * FROM events WHERE event_type = 'view') v
+      ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+        ON v.user_id = c.user_id AND v.ts >= c.ts
+      ORDER BY v.event_id""",
+    "q48_ts_asof_native" -> """
       SELECT v.event_id, v.user_id, epoch_ns(v.ts) AS ts,
              c.event_id AS asof_event_id, epoch_ns(c.ts) AS asof_ts
       FROM (SELECT * FROM events WHERE event_type = 'view') v

@@ -124,6 +124,55 @@ class AsOfJoinSpec extends AnyFunSuite {
   }
 }
 
+class AsOfJoinNativeSpec extends AnyFunSuite {
+  private lazy val spark = GraftTestSession.spark
+  import spark.implicits._
+
+  test("native exec equals crafted expectations incl. null and tie cases") {
+    val trades = Seq(("A", 10L, 1), ("A", 20L, 2), ("A", 30L, 3), ("B", 15L, 4))
+      .toDF("sym", "ts", "qty")
+    val quotes = Seq(("A", 5L, 100.0), ("A", 20L, 105.0), ("A", 25L, 110.0),
+      ("B", 99L, 50.0)).toDF("sym", "ts", "price")
+    val out = graft.plans.AsOfJoinNative.backward(trades, quotes, Seq("sym"),
+        "ts", "ts", rightPayload = Seq("price"))
+      .select("sym", "ts", "qty", "asof_ts", "asof_price")
+      .collect().map(r => (r.getString(0), r.getLong(1),
+        Option(r.get(3)).map(_.asInstanceOf[Long]),
+        Option(r.get(4)).map(_.asInstanceOf[Double]))).toSet
+    assert(out == Set(
+      ("A", 10L, Some(5L), Some(100.0)),
+      ("A", 20L, Some(20L), Some(105.0)),
+      ("A", 30L, Some(25L), Some(110.0)),
+      ("B", 15L, None, None)))
+  }
+
+  test("native exec agrees with the window-composition operator on events") {
+    val ev = Tables.load(spark, "/root/testdata/sf0.001", "events")
+    val views = ev.filter(col("event_type") === "view")
+      .select(col("user_id"), col("ts"), col("event_id"))
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id"), col("ts"), col("event_id"))
+    def norm(df: org.apache.spark.sql.DataFrame) = df
+      .select("event_id", "user_id", "ts", "asof_ts", "asof_event_id")
+      .collect().map(_.toSeq).toSet
+    val composed = norm(AsOfJoin.backward(views, clicks, Seq("user_id"),
+      "ts", "ts", rightPayload = Seq("event_id")))
+    val native = norm(graft.plans.AsOfJoinNative.backward(views, clicks,
+      Seq("user_id"), "ts", "ts", rightPayload = Seq("event_id")))
+    assert(native == composed && native.nonEmpty)
+  }
+
+  test("physical plan is the custom exec with one shuffle per side") {
+    val trades = Seq(("A", 10L, 1)).toDF("sym", "ts", "qty")
+    val quotes = Seq(("A", 5L, 2.0)).toDF("sym", "ts", "price")
+    val df = graft.plans.AsOfJoinNative.backward(trades, quotes, Seq("sym"),
+      "ts", "ts", rightPayload = Seq("price"))
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("AsOfJoin ")) // AsOfJoinExec nodeName
+    assert(plan.split("Exchange hashpartitioning").length == 3) // one shuffle per side
+  }
+}
+
 class FunctionsSpec extends AnyFunSuite {
   private lazy val spark = GraftTestSession.spark
   import spark.implicits._
