@@ -106,6 +106,34 @@ object Coverage {
         .orderBy(col("o_orderkey"))
     }),
 
+    "q74_offset" -> ((s, dir) => {
+      val t = T(s, dir) _
+      t("orders")
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+        .select(col("o_orderkey"), col("o_totalprice"))
+        .offset(10).limit(10)
+    }),
+
+    "q75_try_cast" -> ((s, dir) => {
+      val t = T(s, dir) _
+      t("part")
+        .select(
+          col("p_partkey"),
+          expr("try_cast(p_type AS INT)").as("bad_cast"),
+          expr("try_cast(cast(p_size AS STRING) AS INT)").as("good_cast"),
+          expr("try_cast(substring(p_brand, 1, 2) AS INT)").as("brand_prefix"))
+        .orderBy(col("p_partkey"))
+    }),
+
+    // boolean aggregates + FILTER clause (identical SQL both engines)
+    "q76_bool_agg" -> sql("""
+      SELECT l_returnflag,
+             bool_and(l_quantity >= 1) AS all_qty_ge1,
+             bool_or(l_discount > 0.09) AS any_big_disc,
+             COUNT(*) FILTER (WHERE l_tax > 0.05) AS n_high_tax
+      FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+    """),
+
     "q71_bitwise" -> ((s, dir) => {
       val t = T(s, dir) _
       t("lineitem").filter(col("l_orderkey") <= 200)
@@ -176,5 +204,20 @@ object Coverage {
              CAST(l_linenumber AS INT) << 3 AS shl3
       FROM lineitem WHERE l_orderkey <= 200
       ORDER BY l_orderkey, l_linenumber""",
+    "q74_offset" -> """
+      SELECT o_orderkey, o_totalprice FROM orders
+      ORDER BY o_totalprice DESC, o_orderkey LIMIT 10 OFFSET 10""",
+    "q75_try_cast" -> """
+      SELECT p_partkey,
+             TRY_CAST(p_type AS INT) AS bad_cast,
+             TRY_CAST(CAST(p_size AS VARCHAR) AS INT) AS good_cast,
+             TRY_CAST(substring(p_brand, 1, 2) AS INT) AS brand_prefix
+      FROM part ORDER BY p_partkey""",
+    "q76_bool_agg" -> """
+      SELECT l_returnflag,
+             bool_and(l_quantity >= 1) AS all_qty_ge1,
+             bool_or(l_discount > 0.09) AS any_big_disc,
+             COUNT(*) FILTER (WHERE l_tax > 0.05) AS n_high_tax
+      FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
   ).map { case (k, v) => k -> v.trim.replaceAll("\\s+", " ") }
 }

@@ -145,6 +145,34 @@ object TimeSeries {
         .orderBy(col("event_id"))
     }),
 
+    // LOCF (last observation carried forward): 'error' events have no
+    // usable reading — fill from the user's previous non-error value
+    "q49_ts_locf" -> ((s, dir) => {
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      eventsUs(s, dir)
+        .withColumn("reading",
+          when(col("event_type") =!= "error", col("value")))
+        .withColumn("filled", last(col("reading"), ignoreNulls = true).over(w))
+        .select(col("user_id"), col("event_id"), col("ts"),
+          col("reading"), col("filled"))
+        .orderBy(col("user_id"), col("ts"), col("event_id"))
+    }),
+
+    // time-weighted average value per user (weights = seconds until
+    // the next event; the classic irregular-series aggregate)
+    "q4A_ts_time_weighted" -> ((s, dir) => {
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      eventsUs(s, dir)
+        .withColumn("dt_s",
+          (lead(col("ts"), 1).over(w) - col("ts")).cast("double") / 1e9)
+        .filter(col("dt_s").isNotNull)
+        .groupBy(col("user_id"))
+        .agg(round(sum(col("value") * col("dt_s")) / sum(col("dt_s")), 4)
+          .as("time_weighted_avg"), count(lit(1)).as("n_intervals"))
+        .orderBy(col("user_id"))
+    }),
+
     // gap fill: dense hourly series with zero-filled missing buckets
     "q47_ts_gapfill" -> ((s, dir) => {
       val t = T(s, dir) _
@@ -221,6 +249,26 @@ object TimeSeries {
              MAX_BY(event_type, ts) AS last_type,
              COUNT(*) AS n
       FROM events GROUP BY user_id ORDER BY user_id""",
+    "q49_ts_locf" -> """
+      SELECT user_id, event_id, epoch_ns(ts) AS ts,
+             CASE WHEN event_type != 'error' THEN value END AS reading,
+             last_value(CASE WHEN event_type != 'error' THEN value END IGNORE NULLS)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled
+      FROM events
+      ORDER BY user_id, ts, event_id""",
+    "q4A_ts_time_weighted" -> """
+      WITH d AS (
+        SELECT user_id, value,
+               CAST(LEAD(epoch_ns(ts), 1) OVER w - epoch_ns(ts) AS DOUBLE) / 1e9 AS dt_s
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+      )
+      SELECT user_id,
+             ROUND(SUM(value * dt_s) / SUM(dt_s), 4) AS time_weighted_avg,
+             COUNT(*) AS n_intervals
+      FROM d WHERE dt_s IS NOT NULL
+      GROUP BY user_id ORDER BY user_id""",
     "q47_ts_gapfill" -> """
       WITH b AS (
         SELECT epoch_ns(ts) - epoch_ns(ts) % 3600000000000 AS bucket_ns, COUNT(*) AS n

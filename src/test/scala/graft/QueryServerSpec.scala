@@ -1,0 +1,70 @@
+package graft
+
+import java.io.File
+import java.net.URI
+import java.net.http.{HttpClient, HttpRequest, HttpResponse}
+import java.nio.file.Files
+import graft.server.QueryServer
+import org.scalatest.funsuite.AnyFunSuite
+
+/** End-to-end HTTP protocol surface (reference server.go contract). */
+class QueryServerSpec extends AnyFunSuite {
+  private lazy val spark = GraftTestSession.spark
+
+  private lazy val (server, port) = {
+    import spark.implicits._
+    val dir = Files.createTempDirectory(
+      new File("target").toPath.toAbsolutePath, "srvlake").toFile
+    val d = new File(dir, "mydb/weather"); d.mkdirs()
+    Seq((1672531200000000000L, "sea", 11.5), (1672617600000000000L, "pdx", 7.25))
+      .toDF("time", "location", "temperature")
+      .coalesce(1).write.mode("overwrite").parquet(d.getAbsolutePath)
+    val engine = new Engine(spark, new Catalog(dir.getAbsolutePath))
+    val s = new QueryServer(engine, 0) // ephemeral port
+    s.start()
+    (s, s.boundPort)
+  }
+
+  private val client = HttpClient.newHttpClient()
+  private def post(path: String, body: String): HttpResponse[String] =
+    client.send(HttpRequest.newBuilder(URI.create(s"http://localhost:$port$path"))
+      .POST(HttpRequest.BodyPublishers.ofString(body)).build(),
+      HttpResponse.BodyHandlers.ofString())
+
+  test("health endpoint") {
+    val r = client.send(HttpRequest.newBuilder(
+      URI.create(s"http://localhost:$port/health")).GET().build(),
+      HttpResponse.BodyHandlers.ofString())
+    assert(r.statusCode() == 200 && r.body().contains("\"status\":\"ok\""))
+  }
+
+  test("query with db.table + time filter; int64 rendered as string") {
+    val r = post("/query",
+      """{"query":"SELECT time, location, temperature FROM mydb.weather WHERE time >= '2023-01-02T00:00:00Z' ORDER BY time"}""")
+    assert(r.statusCode() == 200)
+    assert(r.body() == """{"results":[{"time":"1672617600000000000","location":"pdx","temperature":7.25}]}""")
+  }
+
+  test("ndjson format + db param precedence") {
+    val r = post("/query?db=mydb&format=ndjson",
+      """{"query":"SELECT location FROM weather ORDER BY location","db":"ignored"}""")
+    assert(r.statusCode() == 200)
+    assert(r.body().trim.split("\n").toSeq ==
+      Seq("""{"location":"pdx"}""", """{"location":"sea"}"""))
+  }
+
+  test("SHOW DATABASES and fallback SQL") {
+    assert(post("/query", """{"query":"SHOW DATABASES"}""").body()
+      .contains("\"database_name\":\"mydb\""))
+    assert(post("/query", """{"query":"SELECT 1 AS one"}""").body() ==
+      """{"results":[{"one":1}]}""")
+  }
+
+  test("error contract: bad SQL and missing query") {
+    val bad = post("/query", """{"query":"SELEKT"}""")
+    assert(bad.statusCode() == 400 && bad.body().contains("\"error\""))
+    val missing = post("/query", "{}")
+    assert(missing.statusCode() == 400 &&
+      missing.body() == """{"error":"missing query"}""")
+  }
+}
