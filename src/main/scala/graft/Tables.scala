@@ -28,9 +28,16 @@ object Tables {
     spark.conf.set("spark.sql.session.timeZone", "UTC")
   }
 
+  // Memoize per (session, path): a DataFrame is just a plan, but
+  // building it costs a file listing + footer schema read — per-query
+  // that dominates small-query latency when 77 queries share 10 tables.
+  private val cache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
+
   def load(spark: SparkSession, dir: String, name: String): DataFrame = {
     configure(spark)
-    spark.read.parquet(s"$dir/$name.parquet")
+    cache.computeIfAbsent((spark, s"$dir/$name.parquet"),
+      { case (s, p) => s.read.parquet(p) })
   }
 
   /** Register every table as a temp view (for the SQL-form queries). */

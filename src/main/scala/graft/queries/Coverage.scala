@@ -106,6 +106,18 @@ object Coverage {
         .orderBy(col("o_orderkey"))
     }),
 
+    // struct construction + field access (scalar-flattened output)
+    "q77_struct" -> ((s, dir) => {
+      val t = T(s, dir) _
+      t("orders").filter(col("o_orderkey") <= 500)
+        .withColumn("pair",
+          struct(col("o_orderkey").as("k"), col("o_totalprice").as("p")))
+        .select(col("o_orderkey"),
+          col("pair.p").as("price_via_struct"),
+          (col("pair.k") * 2).as("key_doubled"))
+        .orderBy(col("o_orderkey"))
+    }),
+
     "q74_offset" -> ((s, dir) => {
       val t = T(s, dir) _
       t("orders")
@@ -204,6 +216,11 @@ object Coverage {
              CAST(l_linenumber AS INT) << 3 AS shl3
       FROM lineitem WHERE l_orderkey <= 200
       ORDER BY l_orderkey, l_linenumber""",
+    "q77_struct" -> """
+      SELECT o_orderkey,
+             (struct_pack(k := o_orderkey, p := o_totalprice)).p AS price_via_struct,
+             (struct_pack(k := o_orderkey, p := o_totalprice)).k * 2 AS key_doubled
+      FROM orders WHERE o_orderkey <= 500 ORDER BY o_orderkey""",
     "q74_offset" -> """
       SELECT o_orderkey, o_totalprice FROM orders
       ORDER BY o_totalprice DESC, o_orderkey LIMIT 10 OFFSET 10""",
