@@ -1,0 +1,58 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+
+/** Property tests promised in SURVEY.md §5: time-literal parsing is a
+  * left inverse of formatting, and the JSON encoder preserves int64.
+  * (Hand-rolled sampling: the scalatestplus bridge isn't among the
+  * resolvable offline deps; Gen + fixed seeds keep runs deterministic.) */
+class PropertySpecs extends AnyFunSuite {
+
+  private def samples[A](g: Gen[A], n: Int = 200): Seq[A] =
+    (0 until n).flatMap(i => g.apply(Gen.Parameters.default, Seed(42L + i)))
+
+  // epoch-ns values within a sane range (1970..2200, positive)
+  private val nsGen: Gen[Long] = Gen.choose(0L, 7258118400000000000L)
+
+  test("parseTimeLiteral ∘ RFC3339Nano format = identity") {
+    samples(nsGen).foreach { ns =>
+      val inst = java.time.Instant.ofEpochSecond(ns / 1000000000L, ns % 1000000000L)
+      val formatted = java.time.format.DateTimeFormatter.ISO_INSTANT.format(inst)
+      assert(TimeRangeExtract.parseTimeLiteral(formatted).contains(ns),
+        s"failed for $formatted")
+    }
+  }
+
+  test("parseTimeLiteral handles naive (UTC-assumed) second-precision forms") {
+    samples(Gen.choose(0L, 7258118400L)).foreach { s =>
+      val inst = java.time.Instant.ofEpochSecond(s)
+      val naive = java.time.LocalDateTime.ofInstant(inst, java.time.ZoneOffset.UTC)
+        .format(java.time.format.DateTimeFormatter.ofPattern("yyyy-MM-dd'T'HH:mm:ss"))
+      assert(TimeRangeExtract.parseTimeLiteral(naive).contains(s * 1000000000L))
+      assert(TimeRangeExtract.parseTimeLiteral(naive.replace('T', ' '))
+        .contains(s * 1000000000L))
+    }
+  }
+
+  test("JSON encoder renders any int64 as its exact decimal string") {
+    val spark = GraftTestSession.spark
+    import spark.implicits._
+    val xs = samples(Gen.choose(Long.MinValue + 1, Long.MaxValue), 50)
+    val json = encoders.ResultEncoder.toJsonString(xs.toDF("v"))
+    xs.foreach(x => assert(json.contains("\"v\":\"" + x + "\"")))
+  }
+
+  test("widen is commutative and idempotent with absorbing supertypes") {
+    import org.apache.spark.sql.types._
+    val types = Seq(ByteType, ShortType, IntegerType, LongType, FloatType,
+      DoubleType, StringType)
+    for (a <- types; b <- types) {
+      assert(Tables.widen(a, b) == Tables.widen(b, a))
+      assert(Tables.widen(a, a) == a)
+      val w = Tables.widen(a, b)
+      assert(Tables.widen(w, a) == w && Tables.widen(w, b) == w)
+    }
+  }
+}
