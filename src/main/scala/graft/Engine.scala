@@ -67,37 +67,38 @@ class Engine(val spark: SparkSession, val catalog: Catalog,
     if (upper == "SHOW TABLES") return showTables(db)
 
     val planOpt = scala.util.Try(parse(spark, sql)).toOption
-    val relOpt = planOpt.flatMap(findRelation)
-    relOpt match {
-      case Some(parts) =>
-        val (relDb, table) = parts match {
-          case Seq(d, t) => (d, t)
-          case Seq(t) => (db, t)
-          case other => (other.dropRight(1).mkString("."), other.last)
-        }
-        if (!catalog.tableExists(relDb, table))
-          return spark.sql(sql) // not a lake table → raw pass-through (O10)
-        val range: TimeRange = extract(planOpt.get, timeCol)
-        val tableDf = readTable(relDb, table, range.asTuple)
-        tableDf.createOrReplaceTempView(table)
-        // FROM db.table → FROM table (the view); identifier-level rewrite,
-        // the analog of the reference's FROM-clause splice (O8)
-        val rewritten =
-          if (parts.size == 2)
-            sql.replaceAll("(?i)\\b" + java.util.regex.Pattern.quote(relDb) +
-              "\\s*\\.\\s*" + java.util.regex.Pattern.quote(table) + "\\b", table)
-          else sql
-        // O9 analog: if the time column is int64 ns, rewrite time-vs-
-        // string/timestamp literal comparisons to long-literal form
-        val timeIsLong = tableDf.schema.fields
-          .find(_.name.equalsIgnoreCase(timeCol))
-          .exists(_.dataType == org.apache.spark.sql.types.LongType)
-        val plan = parse(spark, rewritten)
-        val finalPlan =
-          if (timeIsLong) rewriteTimeLiterals(plan, timeCol) else plan
-        org.apache.spark.sql.graftbridge.ColumnBridge.ofRows(spark, finalPlan)
-      case None =>
-        spark.sql(sql) // table-free SQL (SELECT 1, version(), …)
+    val rels = planOpt.map(findRelations).getOrElse(Nil)
+      .map {
+        case Seq(d, t) => (d, t)
+        case Seq(t) => (db, t)
+        case other => (other.dropRight(1).mkString("."), other.last)
+      }
+      .filter { case (d, t) => catalog.tableExists(d, t) }
+    if (rels.isEmpty)
+      return spark.sql(sql) // table-free or non-lake SQL → pass-through (O10)
+
+    // register EVERY referenced lake table as a time-pruned temp view
+    // (joins across measurements work like any single-table query)
+    val range: TimeRange = extract(planOpt.get, timeCol)
+    var anyLongTime = false
+    var rewritten = sql
+    rels.foreach { case (relDb, table) =>
+      val tableDf = readTable(relDb, table, range.asTuple)
+      tableDf.createOrReplaceTempView(table)
+      anyLongTime ||= tableDf.schema.fields
+        .find(_.name.equalsIgnoreCase(timeCol))
+        .exists(_.dataType == org.apache.spark.sql.types.LongType)
+      // FROM db.table → FROM table (the view); identifier-level rewrite,
+      // the analog of the reference's FROM-clause splice (O8)
+      rewritten = rewritten.replaceAll(
+        "(?i)\\b" + java.util.regex.Pattern.quote(relDb) +
+          "\\s*\\.\\s*" + java.util.regex.Pattern.quote(table) + "\\b", table)
     }
+    // O9 analog: if any time column is int64 ns, rewrite time-vs-
+    // string/timestamp literal comparisons to long-literal form
+    val plan = parse(spark, rewritten)
+    val finalPlan =
+      if (anyLongTime) rewriteTimeLiterals(plan, timeCol) else plan
+    org.apache.spark.sql.graftbridge.ColumnBridge.ofRows(spark, finalPlan)
   }
 }

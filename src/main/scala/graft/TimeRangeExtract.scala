@@ -30,11 +30,14 @@ object TimeRangeExtract {
       if (isEmpty) None else Some((start.getOrElse(Long.MinValue), end.getOrElse(Long.MaxValue)))
   }
 
-  /** The first `db.table` (or bare table) relation referenced by the plan. */
-  def findRelation(plan: LogicalPlan): Option[Seq[String]] = {
-    val rels = plan.collect { case r: UnresolvedRelation => r.multipartIdentifier }
-    rels.headOption
-  }
+  /** Every `db.table` (or bare table) relation referenced by the plan,
+    * in occurrence order, deduplicated. */
+  def findRelations(plan: LogicalPlan): Seq[Seq[String]] =
+    plan.collect { case r: UnresolvedRelation => r.multipartIdentifier }.distinct
+
+  /** The first relation referenced by the plan. */
+  def findRelation(plan: LogicalPlan): Option[Seq[String]] =
+    findRelations(plan).headOption
 
   def parse(spark: SparkSession, sql: String): LogicalPlan =
     spark.sessionState.sqlParser.parsePlan(sql)

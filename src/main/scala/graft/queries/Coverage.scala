@@ -137,6 +137,29 @@ object Coverage {
         .orderBy(col("p_partkey"))
     }),
 
+    // distribution window functions
+    "q78_window_dist" -> ((s, dir) => {
+      val t = T(s, dir) _
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("o_orderstatus"))
+        .orderBy(col("o_totalprice"), col("o_orderkey"))
+      t("orders").filter(col("o_orderkey") <= 2000)
+        .select(col("o_orderkey"), col("o_orderstatus"),
+          ntile(4).over(w).as("quartile"),
+          round(percent_rank().over(w), 8).as("pct_rank"),
+          round(cume_dist().over(w), 8).as("cume"),
+          nth_value(col("o_orderkey"), 2).over(
+            w.rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+              org.apache.spark.sql.expressions.Window.currentRow)).as("second_key"))
+        .orderBy(col("o_orderkey"))
+    }),
+
+    // GROUP BY ALL (identical dialect extension in both engines)
+    "q79_group_by_all" -> sql("""
+      SELECT l_returnflag, l_linestatus, COUNT(*) AS n, SUM(l_quantity) AS sq
+      FROM lineitem GROUP BY ALL ORDER BY l_returnflag, l_linestatus
+    """),
+
     // boolean aggregates + FILTER clause (identical SQL both engines)
     "q76_bool_agg" -> sql("""
       SELECT l_returnflag,
@@ -230,6 +253,20 @@ object Coverage {
              TRY_CAST(CAST(p_size AS VARCHAR) AS INT) AS good_cast,
              TRY_CAST(substring(p_brand, 1, 2) AS INT) AS brand_prefix
       FROM part ORDER BY p_partkey""",
+    "q78_window_dist" -> """
+      SELECT o_orderkey, o_orderstatus,
+             NTILE(4) OVER w AS quartile,
+             ROUND(PERCENT_RANK() OVER w, 8) AS pct_rank,
+             ROUND(CUME_DIST() OVER w, 8) AS cume,
+             NTH_VALUE(o_orderkey, 2) OVER (PARTITION BY o_orderstatus
+               ORDER BY o_totalprice, o_orderkey
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS second_key
+      FROM orders WHERE o_orderkey <= 2000
+      WINDOW w AS (PARTITION BY o_orderstatus ORDER BY o_totalprice, o_orderkey)
+      ORDER BY o_orderkey""",
+    "q79_group_by_all" -> """
+      SELECT l_returnflag, l_linestatus, COUNT(*) AS n, SUM(l_quantity) AS sq
+      FROM lineitem GROUP BY ALL ORDER BY l_returnflag, l_linestatus""",
     "q76_bool_agg" -> """
       SELECT l_returnflag,
              bool_and(l_quantity >= 1) AS all_qty_ge1,

@@ -114,6 +114,21 @@ class CatalogEngineSpec extends AnyFunSuite {
     assert(r.getString(1).startsWith("4."))
   }
 
+  test("engine: join across two lake tables (all relations registered)") {
+    import spark.implicits._
+    val d = new File(root, "mydb/locdim"); d.mkdirs()
+    Seq(("loc1", "west"), ("loc2", "east"), ("loc3", "north"))
+      .toDF("location", "zone").coalesce(1)
+      .write.mode("overwrite").parquet(d.getAbsolutePath)
+    val df = engine.query(
+      "SELECT l.zone, count(*) AS n FROM mydb.meas m " +
+        "JOIN mydb.locdim l ON m.location = l.location " +
+        "WHERE m.time >= '2023-01-02T00:00:00Z' " +
+        "GROUP BY l.zone ORDER BY l.zone", "")
+    assert(df.collect().map(r => (r.getString(0), r.getLong(1))).toSeq ==
+      Seq(("east", 24L), ("north", 24L)))
+  }
+
   test("engine: non-lake relation falls through to spark catalog") {
     import spark.implicits._
     Seq((1, "x")).toDF("a", "b").createOrReplaceTempView("sidecar_tbl")
