@@ -77,13 +77,19 @@ class Engine(val spark: SparkSession, val catalog: Catalog,
     if (rels.isEmpty)
       return spark.sql(sql) // table-free or non-lake SQL → pass-through (O10)
 
-    // register EVERY referenced lake table as a time-pruned temp view
-    // (joins across measurements work like any single-table query)
+    // register EVERY referenced lake table as a temp view (joins across
+    // measurements work like any single-table query). Zone-map pruning
+    // only applies when exactly ONE lake relation is referenced: with
+    // several, the extracted range can't be attributed to a specific
+    // table's time column (alias resolution happens later), and pruning
+    // an unconstrained table would drop rows — correctness first, the
+    // WHERE clause still filters either way (quirk §2.3-7).
     val range: TimeRange = extract(planOpt.get, timeCol)
+    val pruneRange = if (rels.size == 1) range.asTuple else None
     var anyLongTime = false
     var rewritten = sql
     rels.foreach { case (relDb, table) =>
-      val tableDf = readTable(relDb, table, range.asTuple)
+      val tableDf = readTable(relDb, table, pruneRange)
       tableDf.createOrReplaceTempView(table)
       anyLongTime ||= tableDf.schema.fields
         .find(_.name.equalsIgnoreCase(timeCol))

@@ -137,6 +137,31 @@ object Coverage {
         .orderBy(col("p_partkey"))
     }),
 
+    // second string-function family (split_part/repeat/reverse/left/right)
+    "q80_string_funcs2" -> ((s, dir) => {
+      val t = T(s, dir) _
+      t("part").filter(col("p_partkey") <= 500)
+        .select(
+          col("p_partkey"),
+          expr("split_part(p_name, ' ', 2)").as("word2"),
+          reverse(col("p_brand")).as("rev_brand"),
+          expr("repeat(p_brand, 2)").as("double_brand"),
+          expr("left(p_name, 4)").as("l4"),
+          expr("right(p_name, 3)").as("r3"),
+          expr("contains(p_name, 'old')").as("has_old"),
+          col("p_type").startsWith("ty").as("ty_prefix"))
+        .orderBy(col("p_partkey"))
+    }),
+
+    // implicit type coercion across a union (int ∪ double → double)
+    "q81_union_coercion" -> sql("""
+      SELECT val, src FROM (
+        SELECT CAST(p_size AS INT) AS val, 'int_side' AS src FROM part WHERE p_partkey <= 100
+        UNION ALL
+        SELECT p_retailprice AS val, 'dbl_side' AS src FROM part WHERE p_partkey <= 100) u
+      ORDER BY src, val
+    """),
+
     // distribution window functions
     "q78_window_dist" -> ((s, dir) => {
       val t = T(s, dir) _
@@ -253,6 +278,22 @@ object Coverage {
              TRY_CAST(CAST(p_size AS VARCHAR) AS INT) AS good_cast,
              TRY_CAST(substring(p_brand, 1, 2) AS INT) AS brand_prefix
       FROM part ORDER BY p_partkey""",
+    "q80_string_funcs2" -> """
+      SELECT p_partkey,
+             split_part(p_name, ' ', 2) AS word2,
+             reverse(p_brand) AS rev_brand,
+             repeat(p_brand, 2) AS double_brand,
+             left(p_name, 4) AS l4,
+             right(p_name, 3) AS r3,
+             contains(p_name, 'old') AS has_old,
+             starts_with(p_type, 'ty') AS ty_prefix
+      FROM part WHERE p_partkey <= 500 ORDER BY p_partkey""",
+    "q81_union_coercion" -> """
+      SELECT val, src FROM (
+        SELECT CAST(p_size AS INT) AS val, 'int_side' AS src FROM part WHERE p_partkey <= 100
+        UNION ALL
+        SELECT p_retailprice AS val, 'dbl_side' AS src FROM part WHERE p_partkey <= 100) u
+      ORDER BY src, val""",
     "q78_window_dist" -> """
       SELECT o_orderkey, o_orderstatus,
              NTILE(4) OVER w AS quartile,
