@@ -1,0 +1,54 @@
+package graft
+
+import java.io.File
+import java.nio.file.Files
+import org.apache.spark.sql.{DataFrame, SaveMode}
+import org.apache.spark.sql.functions._
+
+/**
+ * Lake sink: writes a measurement back into the catalogued lake with
+ * the reference's on-disk contract (SURVEY.md §1.1) —
+ * `{root}/{db}/{table}/date=YYYY-MM-DD/` parquet files plus per-folder
+ * `metadata.json` zone maps `{min_time, max_time, row_count,
+ * files:[...]}` (queryClient.go:340-356) — so anything written here is
+ * immediately time-prunable by `Catalog`.
+ *
+ * Scale shape: one distributed write partitioned by the derived date
+ * column (Hive layout → native partition pruning), then one small
+ * aggregate (per-file min/max/count over the written files' stats
+ * query) to emit the zone maps. No data passes through the driver.
+ */
+object LakeWriter {
+
+  /** Write `df` (with an int64-ns time column) as a lake measurement. */
+  def write(root: String, db: String, table: String, df: DataFrame,
+            timeCol: String = "time", mode: SaveMode = SaveMode.Overwrite): Unit = {
+    val spark = df.sparkSession
+    Tables.configure(spark)
+    val tableDir = s"$root/$db/$table"
+    val withDate = df.withColumn("date",
+      date_format(timestamp_micros(expr(s"$timeCol div 1000")), "yyyy-MM-dd"))
+    withDate.write.mode(mode).partitionBy("date").parquet(tableDir)
+    // zone maps: per written folder, min/max time per file
+    val written = spark.read.parquet(tableDir)
+      .select(col(timeCol), input_file_name().as("file"))
+      .groupBy(col("file"))
+      .agg(min(timeCol).as("mn"), max(timeCol).as("mx"), count(lit(1)).as("n"))
+      .collect() // O(#files) rows — metadata, not data
+    written.groupBy(r => new File(new java.net.URI(r.getString(0)).getPath).getParent)
+      .foreach { case (folder, files) =>
+        val entries = files.map { r =>
+          val name = new File(new java.net.URI(r.getString(0)).getPath).getName
+          (name, r.getLong(1), r.getLong(2), r.getLong(3))
+        }
+        val mn = entries.map(_._2).min
+        val mx = entries.map(_._3).max
+        val n = entries.map(_._4).sum
+        val filesJson = entries.map { case (p, fmn, fmx, fn) =>
+          s"""{"path":"$p","row_count":$fn,"min_time":$fmn,"max_time":$fmx}"""
+        }.mkString("[", ",", "]")
+        Files.writeString(new File(folder, "metadata.json").toPath,
+          s"""{"type":"parquet","row_count":$n,"min_time":$mn,"max_time":$mx,"files":$filesJson}""")
+      }
+  }
+}

@@ -89,6 +89,17 @@ class QueryServer(engine: Engine, port: Int = 8080) {
       } finally ex.close()
     })
 
+    // minimal embedded browser UI (reference O20 — served inline
+    // instead of from an embedded zip)
+    server.createContext("/", (ex: HttpExchange) => {
+      cors(ex)
+      try {
+        if (ex.getRequestURI.getPath == "/")
+          respond(ex, 200, QueryServer.UI_HTML, "text/html; charset=utf-8")
+        else respond(ex, 404, """{"error":"not found"}""")
+      } finally ex.close()
+    })
+
     server.createContext("/health", (ex: HttpExchange) => {
       cors(ex)
       try respond(ex, 200,
@@ -106,6 +117,36 @@ class QueryServer(engine: Engine, port: Int = 8080) {
 
 /** CLI one-shot mode (reference main.go:22-57): --query … --db … */
 object QueryServer {
+  private[server] val UI_HTML: String =
+    """<!doctype html><html><head><meta charset="utf-8"><title>graft query</title>
+      |<style>body{font-family:monospace;margin:2rem;max-width:70rem}
+      |textarea{width:100%;height:6rem}table{border-collapse:collapse;margin-top:1rem}
+      |td,th{border:1px solid #999;padding:2px 8px;text-align:left}
+      |.meta{color:#666;margin-top:.5rem}</style></head><body>
+      |<h3>graft query</h3>
+      |<textarea id="q">SELECT 1 AS one, version() AS v</textarea><br>
+      |db: <input id="db" value="mydb"> <button onclick="run()">run</button>
+      |<div class="meta" id="meta"></div><div id="out"></div>
+      |<script>
+      |async function run(){
+      |  const t0=performance.now();
+      |  const r=await fetch('/query',{method:'POST',
+      |    body:JSON.stringify({query:document.getElementById('q').value,
+      |                         db:document.getElementById('db').value})});
+      |  const txt=await r.text();const dt=(performance.now()-t0).toFixed(0);
+      |  document.getElementById('meta').textContent=
+      |    r.status+' · '+dt+' ms · '+txt.length+' bytes';
+      |  let data;try{data=JSON.parse(txt)}catch(e){data={error:txt}}
+      |  const out=document.getElementById('out');out.innerHTML='';
+      |  if(data.error){out.textContent=data.error;return}
+      |  const rows=data.results||[];if(!rows.length){out.textContent='(empty)';return}
+      |  const cols=Object.keys(rows[0]);
+      |  const tb=document.createElement('table');
+      |  tb.innerHTML='<tr>'+cols.map(c=>'<th>'+c+'</th>').join('')+'</tr>'+
+      |    rows.map(r=>'<tr>'+cols.map(c=>'<td>'+r[c]+'</td>').join('')+'</tr>').join('');
+      |  out.appendChild(tb);
+      |}
+      |</script></body></html>""".stripMargin
   def main(args: Array[String]): Unit = {
     val argMap = args.sliding(2, 2).collect {
       case Array(k, v) if k.startsWith("--") => k.drop(2) -> v

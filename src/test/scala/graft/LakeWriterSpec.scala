@@ -1,0 +1,45 @@
+package graft
+
+import java.io.File
+import java.nio.file.Files
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Round-trip: write a measurement through LakeWriter, read it back
+  * through Catalog+Engine with zone-map pruning intact. */
+class LakeWriterSpec extends AnyFunSuite {
+  private lazy val spark = GraftTestSession.spark
+
+  test("write → catalog prune → engine query round-trip") {
+    val root = Files.createTempDirectory(
+      new File("target").toPath.toAbsolutePath, "wlake").toString
+    // events re-keyed to the reference contract (time as int64 ns)
+    val ev = Tables.load(spark, "/root/testdata/sf0.001", "events")
+      .select(col("ts").as("time"), col("event_type").as("location"),
+        col("value").as("temperature"))
+    LakeWriter.write(root, "mydb", "weather", ev)
+
+    val catalog = new Catalog(root)
+    assert(catalog.databases == Seq("mydb"))
+    assert(catalog.tables("mydb") == Seq("weather"))
+    val all = catalog.files("mydb", "weather")
+    assert(all.nonEmpty && all.forall(f => f.minTime.isDefined && f.maxTime.isDefined))
+
+    // zone maps actually prune: one specific day
+    val lo = java.time.Instant.parse("2024-01-15T00:00:00Z")
+    val loNs = lo.getEpochSecond * 1000000000L
+    val hiNs = loNs + 24L * 3600 * 1000000000L
+    val pruned = catalog.files("mydb", "weather", Some((loNs, hiNs - 1)))
+    assert(pruned.size < all.size && pruned.nonEmpty)
+    assert(pruned.forall(_.path.contains("date=2024-01-15")))
+
+    // engine answers with correct counts vs direct source
+    val engine = new Engine(spark, catalog)
+    val n = engine.query(
+      "SELECT count(*) AS cnt FROM mydb.weather " +
+        "WHERE time >= '2024-01-15T00:00:00Z' AND time < '2024-01-16T00:00:00Z'", "")
+      .collect().head.getLong(0)
+    val expected = ev.filter(col("time") >= loNs && col("time") < hiNs).count()
+    assert(n == expected && n > 0)
+  }
+}
