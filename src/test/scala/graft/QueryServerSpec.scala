@@ -60,6 +60,34 @@ class QueryServerSpec extends AnyFunSuite {
       """{"results":[{"one":1}]}""")
   }
 
+  test("arrow format: IPC stream readable, time forced to ns-UTC") {
+    val r = client.send(HttpRequest.newBuilder(
+      URI.create(s"http://localhost:$port/query?format=arrow"))
+      .POST(HttpRequest.BodyPublishers.ofString(
+        """{"query":"SELECT time, location FROM mydb.weather ORDER BY time"}"""))
+      .build(), HttpResponse.BodyHandlers.ofByteArray())
+    assert(r.statusCode() == 200)
+    val alloc = new org.apache.arrow.memory.RootAllocator()
+    val reader = new org.apache.arrow.vector.ipc.ArrowStreamReader(
+      new java.io.ByteArrayInputStream(r.body()), alloc)
+    try {
+      assert(reader.loadNextBatch())
+      val root = reader.getVectorSchemaRoot
+      assert(root.getSchema.getFields.get(0).getName == "time")
+      assert(root.getSchema.getFields.get(0).getType.toString.contains("NANOSECOND"))
+      assert(root.getRowCount == 2)
+      assert(root.getVector("time").asInstanceOf[
+        org.apache.arrow.vector.TimeStampNanoTZVector].get(0) == 1672531200000000000L)
+    } finally { reader.close(); alloc.close() }
+  }
+
+  test("embedded UI served at /") {
+    val r = client.send(HttpRequest.newBuilder(
+      URI.create(s"http://localhost:$port/")).GET().build(),
+      HttpResponse.BodyHandlers.ofString())
+    assert(r.statusCode() == 200 && r.body().contains("<title>graft query</title>"))
+  }
+
   test("error contract: bad SQL and missing query") {
     val bad = post("/query", """{"query":"SELEKT"}""")
     assert(bad.statusCode() == 400 && bad.body().contains("\"error\""))
