@@ -153,6 +153,21 @@ object Coverage {
         .orderBy(col("p_partkey"))
     }),
 
+    // SQL higher-order lambda functions over arrays
+    "q82_lambda_funcs" -> ((s, dir) => {
+      val t = T(s, dir) _
+      t("embeddings").filter(col("vec_id") < 100)
+        .select(
+          col("vec_id"),
+          size(filter(col("embedding"), x => x > 0)).as("n_positive"),
+          round(aggregate(col("embedding"), lit(0.0d),
+            (acc, x) => acc + abs(x.cast("double"))), 6).as("l1_norm"),
+          exists(col("embedding"), x => x > lit(0.3f)).as("has_large"),
+          round(element_at(transform(col("embedding"),
+            x => x.cast("double") * 2), 1), 6).as("first_doubled"))
+        .orderBy(col("vec_id"))
+    }),
+
     // implicit type coercion across a union (int ∪ double → double)
     "q81_union_coercion" -> sql("""
       SELECT val, src FROM (
@@ -288,6 +303,13 @@ object Coverage {
              contains(p_name, 'old') AS has_old,
              starts_with(p_type, 'ty') AS ty_prefix
       FROM part WHERE p_partkey <= 500 ORDER BY p_partkey""",
+    "q82_lambda_funcs" -> """
+      SELECT vec_id,
+             CAST(len(list_filter(embedding, x -> x > 0)) AS INT) AS n_positive,
+             round(list_sum(list_transform(CAST(embedding AS DOUBLE[]), x -> abs(x))), 6) AS l1_norm,
+             len(list_filter(embedding, x -> x > CAST(0.3 AS FLOAT))) > 0 AS has_large,
+             round(list_transform(CAST(embedding AS DOUBLE[]), x -> x * 2)[1], 6) AS first_doubled
+      FROM embeddings WHERE vec_id < 100 ORDER BY vec_id""",
     "q81_union_coercion" -> """
       SELECT val, src FROM (
         SELECT CAST(p_size AS INT) AS val, 'int_side' AS src FROM part WHERE p_partkey <= 100
