@@ -79,16 +79,16 @@ class Engine(val spark: SparkSession, val catalog: Catalog,
 
     // register EVERY referenced lake table as a temp view (joins across
     // measurements work like any single-table query). Zone-map pruning
-    // only applies when exactly ONE lake relation is referenced: with
-    // several, the extracted range can't be attributed to a specific
-    // table's time column (alias resolution happens later), and pruning
-    // an unconstrained table would drop rows — correctness first, the
+    // is alias-aware: `m.time >= …` tightens only the relation aliased
+    // `m`; unqualified `time` predicates attribute only in
+    // single-relation queries. Mis-attribution would drop rows; the
     // WHERE clause still filters either way (quirk §2.3-7).
-    val range: TimeRange = extract(planOpt.get, timeCol)
-    val pruneRange = if (rels.size == 1) range.asTuple else None
+    val perRel: Map[String, TimeRange] =
+      extractPerRelation(planOpt.get, timeCol)
     var anyLongTime = false
     var rewritten = sql
     rels.foreach { case (relDb, table) =>
+      val pruneRange = perRel.get(table.toLowerCase).flatMap(_.asTuple)
       val tableDf = readTable(relDb, table, pruneRange)
       tableDf.createOrReplaceTempView(table)
       anyLongTime ||= tableDf.schema.fields

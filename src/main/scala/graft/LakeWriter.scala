@@ -20,15 +20,22 @@ import org.apache.spark.sql.functions._
  */
 object LakeWriter {
 
-  /** Write `df` (with an int64-ns time column) as a lake measurement. */
+  /** Write `df` (with an int64-ns time column) as a lake measurement.
+    * `hourPartitions=true` adds the reference's `hour=HH` level below
+    * `date=` (queryClient.go:597-607 layout). */
   def write(root: String, db: String, table: String, df: DataFrame,
-            timeCol: String = "time", mode: SaveMode = SaveMode.Overwrite): Unit = {
+            timeCol: String = "time", mode: SaveMode = SaveMode.Overwrite,
+            hourPartitions: Boolean = false): Unit = {
     val spark = df.sparkSession
     Tables.configure(spark)
     val tableDir = s"$root/$db/$table"
-    val withDate = df.withColumn("date",
-      date_format(timestamp_micros(expr(s"$timeCol div 1000")), "yyyy-MM-dd"))
-    withDate.write.mode(mode).partitionBy("date").parquet(tableDir)
+    val ts = timestamp_micros(expr(s"$timeCol div 1000"))
+    val withDate = df.withColumn("date", date_format(ts, "yyyy-MM-dd"))
+    val (partCols, toWrite) =
+      if (hourPartitions)
+        (Seq("date", "hour"), withDate.withColumn("hour", date_format(ts, "HH")))
+      else (Seq("date"), withDate)
+    toWrite.write.mode(mode).partitionBy(partCols: _*).parquet(tableDir)
     // zone maps: per written folder, min/max time per file
     val written = spark.read.parquet(tableDir)
       .select(col(timeCol), input_file_name().as("file"))

@@ -42,8 +42,48 @@ object TimeRangeExtract {
   def parse(spark: SparkSession, sql: String): LogicalPlan =
     spark.sessionState.sqlParser.parsePlan(sql)
 
-  /** Extract bounds for `timeCol` from every Filter in the plan. */
-  def extract(plan: LogicalPlan, timeCol: String = "time"): TimeRange = {
+  /**
+   * Alias-aware extraction for multi-relation plans: returns the time
+   * range per relation name, attributing `alias.time` predicates
+   * through `SubqueryAlias` wrappers (`FROM mydb.meas m ... m.time >= …`
+   * tightens only `meas`). Unqualified `time` predicates are
+   * attributed only when the plan references a single relation —
+   * with several, an unqualified column can't be attributed before
+   * resolution, and mis-attributed pruning would drop rows.
+   */
+  def extractPerRelation(plan: LogicalPlan,
+                         timeCol: String = "time"): Map[String, TimeRange] = {
+    // alias → relation-name map (bare table name aliases itself)
+    val aliasToTable = scala.collection.mutable.Map[String, String]()
+    val tables = scala.collection.mutable.ListBuffer[String]()
+    plan.foreach {
+      case org.apache.spark.sql.catalyst.plans.logical.SubqueryAlias(ident, child) =>
+        child.collectFirst { case r: UnresolvedRelation =>
+          aliasToTable(ident.name.toLowerCase) = r.multipartIdentifier.last.toLowerCase
+        }
+      case r: UnresolvedRelation =>
+        val t = r.multipartIdentifier.last.toLowerCase
+        tables += t
+        aliasToTable.getOrElseUpdate(t, t)
+        // db.table used as qualifier too
+        aliasToTable.getOrElseUpdate(r.multipartIdentifier.mkString(".").toLowerCase, t)
+      case _ => ()
+    }
+    val single = tables.distinct.size == 1
+    tables.distinct.map { t =>
+      t -> extract(plan, timeCol, qualifierFilter = Some { parts =>
+        if (parts.size >= 2)
+          aliasToTable.get(parts.dropRight(1).mkString(".").toLowerCase).contains(t)
+        else single // unqualified: only attributable with one relation
+      })
+    }.toMap
+  }
+
+  /** Extract bounds for `timeCol` from every Filter in the plan.
+    * `qualifierFilter`: when set, only attribute comparisons whose
+    * attribute name-parts pass the predicate (alias attribution). */
+  def extract(plan: LogicalPlan, timeCol: String = "time",
+              qualifierFilter: Option[Seq[String] => Boolean] = None): TimeRange = {
     var lo: Option[Long] = None
     var hi: Option[Long] = None
     def tighten(newLo: Option[Long], newHi: Option[Long]): Unit = {
@@ -51,8 +91,9 @@ object TimeRangeExtract {
       newHi.foreach(v => hi = Some(hi.fold(v)(math.min(_, v))))
     }
     def isTime(e: Expression): Boolean = e match {
-      case a: UnresolvedAttribute => a.name.equalsIgnoreCase(timeCol) ||
-        a.nameParts.lastOption.exists(_.equalsIgnoreCase(timeCol))
+      case a: UnresolvedAttribute =>
+        a.nameParts.lastOption.exists(_.equalsIgnoreCase(timeCol)) &&
+          qualifierFilter.forall(_(a.nameParts))
       case Cast(c, _, _, _) => isTime(c)
       case _ => false
     }

@@ -233,6 +233,27 @@ object Relational {
         .orderBy(col("r_name"), col("n_name"))
     }),
 
+    // TPC-H Q5-shaped 5-way join: local-supplier revenue per nation in
+    // one region/year — exercises join reordering + two broadcast dims
+    "q13b_join_5way" -> ((s, dir) => {
+      val t = T(s, dir) _
+      val li = t("lineitem"); val o = t("orders"); val c = t("customer")
+      val sup = t("supplier"); val n = t("nation"); val r = t("region")
+      li.join(o, li("l_orderkey") === o("o_orderkey"))
+        .join(c, o("o_custkey") === c("c_custkey"))
+        .join(sup, li("l_suppkey") === sup("s_suppkey") &&
+          c("c_nationkey") === sup("s_nationkey"))
+        .join(broadcast(n), sup("s_nationkey") === n("n_nationkey"))
+        .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+        .filter(r("r_name") === "AMERICA" &&
+          o("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+          o("o_orderdate") < lit("1998-01-01").cast("timestamp"))
+        .groupBy(col("n_name"))
+        .agg(round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2)
+          .as("revenue"), count(lit(1)).as("n_items"))
+        .orderBy(col("n_name"))
+    }),
+
     // ---- window functions ----------------------------------------------
     "q21_window_rank" -> ((s, dir) => {
       val t = T(s, dir) _
@@ -522,6 +543,20 @@ object Relational {
       FROM lineitem JOIN orders ON l_orderkey = o_orderkey
                     JOIN customer ON o_custkey = c_custkey
       GROUP BY c_mktsegment ORDER BY c_mktsegment""",
+    "q13b_join_5way" -> """
+      SELECT n_name,
+             ROUND(SUM(l_extendedprice * (1.0 - l_discount)), 2) AS revenue,
+             COUNT(*) AS n_items
+      FROM lineitem
+      JOIN orders ON l_orderkey = o_orderkey
+      JOIN customer ON o_custkey = c_custkey
+      JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+      JOIN nation ON s_nationkey = n_nationkey
+      JOIN region ON n_regionkey = r_regionkey
+      WHERE r_name = 'AMERICA'
+        AND o_orderdate >= TIMESTAMP '1996-01-01'
+        AND o_orderdate < TIMESTAMP '1998-01-01'
+      GROUP BY n_name ORDER BY n_name""",
     "q14_join_left" -> """
       SELECT c_custkey, c_name, COUNT(o_orderkey) AS n_orders,
              ROUND(COALESCE(SUM(o_totalprice), 0.0), 2) AS total_spent

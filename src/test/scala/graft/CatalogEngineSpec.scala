@@ -129,6 +129,26 @@ class CatalogEngineSpec extends AnyFunSuite {
       Seq(("east", 24L), ("north", 24L)))
   }
 
+  test("alias-aware per-relation time extraction") {
+    val plan = TimeRangeExtract.parse(spark,
+      "SELECT * FROM mydb.meas m JOIN mydb.other o ON m.location = o.location " +
+        "WHERE m.time >= '2023-01-02T00:00:00Z' AND o.time >= '2023-01-03T00:00:00Z'")
+    val per = TimeRangeExtract.extractPerRelation(plan, "time")
+    assert(per("meas").start.contains(T0 + 24 * HOUR_NS))
+    assert(per("other").start.contains(T0 + 48 * HOUR_NS))
+    // unqualified time with MULTIPLE relations attributes to neither
+    val plan2 = TimeRangeExtract.parse(spark,
+      "SELECT * FROM mydb.meas m JOIN mydb.other o ON m.location = o.location " +
+        "WHERE time >= '2023-01-02T00:00:00Z'")
+    val per2 = TimeRangeExtract.extractPerRelation(plan2, "time")
+    assert(per2("meas").isEmpty && per2("other").isEmpty)
+    // unqualified with a single relation still attributes
+    val plan3 = TimeRangeExtract.parse(spark,
+      "SELECT * FROM mydb.meas WHERE time >= '2023-01-02T00:00:00Z'")
+    assert(TimeRangeExtract.extractPerRelation(plan3, "time")
+      .apply("meas").start.contains(T0 + 24 * HOUR_NS))
+  }
+
   test("engine: non-lake relation falls through to spark catalog") {
     import spark.implicits._
     Seq((1, "x")).toDF("a", "b").createOrReplaceTempView("sidecar_tbl")

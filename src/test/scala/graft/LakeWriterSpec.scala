@@ -42,4 +42,20 @@ class LakeWriterSpec extends AnyFunSuite {
     val expected = ev.filter(col("time") >= loNs && col("time") < hiNs).count()
     assert(n == expected && n > 0)
   }
+
+  test("hour-level partitioning writes date=/hour= layout") {
+    val root = Files.createTempDirectory(
+      new File("target").toPath.toAbsolutePath, "wlake2").toString
+    val ev = Tables.load(spark, "/root/testdata/sf0.001", "events")
+      .select(col("ts").as("time"), col("value")).limit(100)
+    LakeWriter.write(root, "mydb", "m2", ev, hourPartitions = true)
+    val dateDirs = new File(s"$root/mydb/m2").listFiles()
+      .filter(_.getName.startsWith("date="))
+    assert(dateDirs.nonEmpty)
+    assert(dateDirs.exists(_.listFiles().exists(_.getName.startsWith("hour="))))
+    // still queryable through the catalog with correct totals
+    val engine = new Engine(spark, new Catalog(root))
+    assert(engine.query("SELECT count(*) AS n FROM mydb.m2", "")
+      .collect().head.getLong(0) == 100L)
+  }
 }
