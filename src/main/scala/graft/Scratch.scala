@@ -1,22 +1,18 @@
 package graft
 import org.apache.spark.sql.SparkSession
-import org.apache.spark.sql.functions._
 
 /** Dev scratchpad — not part of the library. */
 object Scratch {
   def main(args: Array[String]): Unit = {
-    val spark = SparkSession.builder().master("local[4]")
-      .config("spark.sql.shuffle.partitions", "4")
+    val spark = SparkSession.builder().master("local[2]")
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val ev = Tables.load(spark, "/root/testdata/sf0.001", "events")
-    val views = ev.filter(col("event_type") === "view")
-      .select(col("user_id"), col("ts"), col("event_id"))
-    val clicks = ev.filter(col("event_type") === "click")
-      .select(col("user_id"), col("ts"), col("event_id"))
-    val df = graft.plans.AsOfJoinNative.backward(views, clicks,
-      Seq("user_id"), "ts", "ts", rightPayload = Seq("event_id"))
-    println(df.queryExecution.executedPlan.treeString.take(2500))
+    try {
+      spark.sql("WITH RECURSIVE t(n) AS (SELECT 1 UNION ALL SELECT n+1 FROM t WHERE n < 10) SELECT sum(n) AS s FROM t").show()
+    } catch { case e: Throwable => println("RECURSIVE FAILED: " + e.getMessage.take(200)) }
+    try {
+      spark.sql("SELECT * FROM VALUES (1,'a'),(2,'b') AS v(id, tag)").show()
+    } catch { case e: Throwable => println("VALUES FAILED: " + e.getMessage.take(150)) }
     spark.stop()
   }
 }

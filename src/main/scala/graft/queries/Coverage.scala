@@ -153,6 +153,25 @@ object Coverage {
         .orderBy(col("p_partkey"))
     }),
 
+    // recursive CTE (day spine + left join = recursion-based gap fill)
+    "q83_recursive_cte" -> sql("""
+      WITH RECURSIVE spine(n) AS (
+        SELECT 1 UNION ALL SELECT n + 1 FROM spine WHERE n < 31
+      )
+      SELECT n, COUNT(o_orderkey) AS n_orders
+      FROM spine LEFT JOIN orders
+        ON day(o_orderdate) = n AND year(o_orderdate) = 1995 AND month(o_orderdate) = 1
+      GROUP BY n ORDER BY n
+    """),
+
+    // inline VALUES relation joined to a table
+    "q84_values_join" -> sql("""
+      SELECT v.tag, COUNT(*) AS n
+      FROM orders JOIN (VALUES ('O', 'open'), ('F', 'filled'), ('P', 'pending'))
+        AS v(status, tag) ON o_orderstatus = v.status
+      GROUP BY v.tag ORDER BY v.tag
+    """),
+
     // SQL higher-order lambda functions over arrays
     "q82_lambda_funcs" -> ((s, dir) => {
       val t = T(s, dir) _
@@ -303,6 +322,19 @@ object Coverage {
              contains(p_name, 'old') AS has_old,
              starts_with(p_type, 'ty') AS ty_prefix
       FROM part WHERE p_partkey <= 500 ORDER BY p_partkey""",
+    "q83_recursive_cte" -> """
+      WITH RECURSIVE spine(n) AS (
+        SELECT 1 UNION ALL SELECT n + 1 FROM spine WHERE n < 31
+      )
+      SELECT n, COUNT(o_orderkey) AS n_orders
+      FROM spine LEFT JOIN orders
+        ON day(o_orderdate) = n AND year(o_orderdate) = 1995 AND month(o_orderdate) = 1
+      GROUP BY n ORDER BY n""",
+    "q84_values_join" -> """
+      SELECT v.tag, COUNT(*) AS n
+      FROM orders JOIN (VALUES ('O', 'open'), ('F', 'filled'), ('P', 'pending'))
+        AS v(status, tag) ON o_orderstatus = v.status
+      GROUP BY v.tag ORDER BY v.tag""",
     "q82_lambda_funcs" -> """
       SELECT vec_id,
              CAST(len(list_filter(embedding, x -> x > 0)) AS INT) AS n_positive,
