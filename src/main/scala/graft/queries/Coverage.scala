@@ -153,6 +153,36 @@ object Coverage {
         .orderBy(col("p_partkey"))
     }),
 
+    // value-bucketed histogram (plain integer arithmetic → oracle-able)
+    "q86_histogram" -> ((s, dir) => {
+      val t = T(s, dir) _
+      t("orders")
+        .groupBy(floor((col("o_totalprice") - 1000) / 50000).cast("int").as("bucket"))
+        .agg(count(lit(1)).as("n"),
+          round(avg(col("o_totalprice")), 2).as("avg_price"))
+        .orderBy(col("bucket"))
+    }),
+
+    // approx-percentile sketch family (implementation-specific → rows-only)
+    "q87_approx_percentile" -> ((s, dir) => {
+      val t = T(s, dir) _
+      t("lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(
+          expr("approx_percentile(l_extendedprice, array(0.5, 0.9, 0.99), 1000)")
+            .as("p50_90_99"),
+          expr("approx_count_distinct(l_orderkey)").as("approx_orders"))
+        .orderBy(col("l_returnflag"))
+    }),
+
+    // seeded deterministic sampling (engine-specific RNG → rows-only)
+    "q88_sample" -> ((s, dir) => {
+      val t = T(s, dir) _
+      t("lineitem").sample(withReplacement = false, fraction = 0.1, seed = 42L)
+        .agg(count(lit(1)).as("n_sampled"),
+          round(avg(col("l_quantity")), 6).as("avg_qty"))
+    }),
+
     // map-type construction and access (no stable DuckDB map-compare
     // path → rows-only)
     "q85_map_funcs" -> ((s, dir) => {
@@ -336,6 +366,10 @@ object Coverage {
              contains(p_name, 'old') AS has_old,
              starts_with(p_type, 'ty') AS ty_prefix
       FROM part WHERE p_partkey <= 500 ORDER BY p_partkey""",
+    "q86_histogram" -> """
+      SELECT CAST(floor((o_totalprice - 1000) / 50000) AS INT) AS bucket,
+             COUNT(*) AS n, ROUND(AVG(o_totalprice), 2) AS avg_price
+      FROM orders GROUP BY 1 ORDER BY 1""",
     "q83_recursive_cte" -> """
       WITH RECURSIVE spine(n) AS (
         SELECT 1 UNION ALL SELECT n + 1 FROM spine WHERE n < 31
