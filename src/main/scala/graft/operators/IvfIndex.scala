@@ -42,19 +42,17 @@ object IvfIndex {
     // seed: the nlist lowest-id vectors (deterministic, no RNG)
     var centroids: Seq[Seq[Double]] = dv.orderBy(col("id")).limit(nlist)
       .collect().map(_.getSeq[Double](1).toSeq).toSeq
+    val dim = centroids.head.size
+    // typed Aggregator: partial/final centroid means, one shuffle of
+    // dim doubles per cell (graft.functions.VectorMean)
+    val vm = org.apache.spark.sql.functions.udaf(
+      new graft.functions.VectorMean(dim),
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[Double]]())
     for (_ <- 0 until iters) {
       val assigned = dv.withColumn("cell", nearestCentroid(col("v"), centroids))
-      val dim = centroids.head.size
-      // mean per cell via posexplode → (cell, pos) aggregate
-      val means = assigned
-        .select(col("cell"), posexplode(col("v")).as(Seq("pos", "x")))
-        .groupBy(col("cell"), col("pos")).agg(avg(col("x")).as("m"))
-        .groupBy(col("cell"))
-        .agg(map_from_arrays(collect_list(col("pos")), collect_list(col("m"))).as("mm"))
-        .collect().map { r =>
-          val mm = r.getMap[Int, Double](1)
-          r.getInt(0) -> (0 until dim).map(mm(_))
-        }.toMap
+      val means = assigned.groupBy(col("cell"))
+        .agg(vm(col("v")).as("centroid"))
+        .collect().map(r => r.getInt(0) -> r.getSeq[Double](1).toSeq).toMap
       centroids = centroids.indices.map(i => means.getOrElse(i, centroids(i)))
     }
     centroids
