@@ -152,6 +152,25 @@ object Pipeline {
       Dedup.dedupCorpus(T(s, dir)("documents"), "doc_id", "text", 0.8)
         .select(col("doc_id"), col("lang"), col("n_chars"))
         .orderBy(col("doc_id"))
+    }),
+
+    // capstone: the full training-data-prep pipeline in one plan —
+    // quality filter → near-dup removal → language ID + fingerprint →
+    // per-language corpus stats (rows-only: dedup is hash-dependent)
+    "q89_pipeline_composite" -> ((s, dir) => {
+      val docs = T(s, dir)("documents")
+        .withColumn("quality", TextAnalysis.qualityScore(col("text")))
+        .filter(col("quality") >= 0.5)
+      val deduped = Dedup.dedupCorpus(docs, "doc_id", "text", 0.8)
+        .withColumn("pred_lang", TextAnalysis.langId(col("text")))
+        .withColumn("fp", TextAnalysis.fingerprintMd5(col("text")))
+        .withColumn("n_tokens", TextAnalysis.tokenCount(col("text")))
+      deduped.groupBy(col("pred_lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          round(avg(col("quality")), 6).as("avg_quality"),
+          sum(col("n_tokens")).cast("long").as("total_tokens"),
+          countDistinct(col("fp")).as("n_unique_fp"))
+        .orderBy(col("pred_lang"))
     })
   )
 
