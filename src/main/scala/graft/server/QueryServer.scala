@@ -65,7 +65,12 @@ class QueryServer(engine: Engine, port: Int = 8080) {
             val db = params.getOrElse("db",
               Option(node.get("db")).map(_.asText()).getOrElse(""))
             val df = engine.query(q, db)
-            params.getOrElse("format", "json") match {
+            if (params.get("explain").exists(v => v == "true" || v == "1")) {
+              val plan = df.queryExecution.explainString(
+                org.apache.spark.sql.execution.FormattedMode)
+              respond(ex, 200, mapper.writeValueAsString(
+                mapper.createObjectNode().put("plan", plan)))
+            } else params.getOrElse("format", "json") match {
               case "ndjson" =>
                 respond(ex, 200, ResultEncoder.toNdjsonString(df), "application/x-ndjson")
               case "arrow" => // Arrow IPC stream (FlightSQL data-plane bytes)

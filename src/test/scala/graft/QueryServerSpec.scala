@@ -81,6 +81,15 @@ class QueryServerSpec extends AnyFunSuite {
     } finally { reader.close(); alloc.close() }
   }
 
+  test("explain mode returns the physical plan, not rows") {
+    val r = post("/query?explain=true",
+      """{"query":"SELECT count(*) AS n FROM mydb.weather WHERE time >= '2023-01-02T00:00:00Z'"}""")
+    assert(r.statusCode() == 200)
+    assert(r.body().contains("\"plan\""))
+    assert(r.body().contains("PushedFilters") || r.body().contains("Scan parquet"))
+    assert(!r.body().contains("\"results\""))
+  }
+
   test("embedded UI served at /") {
     val r = client.send(HttpRequest.newBuilder(
       URI.create(s"http://localhost:$port/")).GET().build(),
