@@ -12,8 +12,11 @@ import org.apache.spark.sql.expressions.Window
  * `ts` is the reference's `time` contract: int64 epoch-nanoseconds
  * (/root/reference/querier/queryClient.go:32,314 — literals compare
  * against an int64 column via `epoch_ns(...)`). We read the parquet
- * NANOS column as LongType (Tables.configure) so all bucket/delta
- * arithmetic is exact 64-bit integer math — no µs truncation.
+ * NANOS column as LongType (Tables.configure), so all bucket/delta
+ * arithmetic is exact 64-bit integer math. Oracle-checked queries
+ * additionally truncate to µs resolution (see `eventsUs`) because the
+ * DuckDB oracle reads NANOS parquet as µs TIMESTAMP; the engine
+ * itself carries full ns (ArrowEncoderSpec pins sub-µs fidelity).
  */
 object TimeSeries {
   type Q = (SparkSession, String) => DataFrame
