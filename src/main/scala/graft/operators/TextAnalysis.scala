@@ -73,4 +73,33 @@ object TextAnalysis {
   /** Content-addressed fingerprint over whitespace-normalized text. */
   def fingerprintMd5(text: Column): Column =
     md5(trim(regexp_replace(lower(text), "\\s+", " ")))
+
+  /**
+   * Top-k TF-IDF terms per document. Classic distributed shape: one
+   * explode + two aggregations (term frequency per doc, document
+   * frequency per term — both partial/final hash aggregates), idf
+   * joined back (term-keyed, naturally broadcastable: vocabulary ≪
+   * corpus), ranking via per-doc window. Ranking compares the ROUNDED
+   * score so cross-engine libm ulp differences cannot reorder ties.
+   */
+  def tfidfTopTerms(docs: org.apache.spark.sql.DataFrame, idCol: String,
+                    textCol: String, k: Int): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val terms = docs.select(col(idCol).as("doc_id"),
+      explode(tokens(col(textCol))).as("term"))
+    val tf = terms.groupBy(col("doc_id"), col("term"))
+      .agg(count(lit(1)).as("n_t"))
+    val n = terms.agg(countDistinct(col("doc_id")).as("nd"))
+    val df_ = terms.groupBy(col("term"))
+      .agg(countDistinct(col("doc_id")).as("dfreq"))
+    val scored = tf.crossJoin(broadcast(n))
+      .join(broadcast(df_), "term")
+      .withColumn("tfidf",
+        round(col("n_t") * log(col("nd").cast("double") / col("dfreq")), 6))
+    val w = Window.partitionBy(col("doc_id"))
+      .orderBy(col("tfidf").desc, col("term"))
+    scored.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .select(col("doc_id"), col("term"), col("tfidf"), col("rn"))
+  }
 }

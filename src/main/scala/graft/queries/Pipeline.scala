@@ -154,6 +154,14 @@ object Pipeline {
         .orderBy(col("doc_id"))
     }),
 
+    // TF-IDF top terms per document (bounded subset; vocabulary-keyed
+    // idf join broadcast)
+    "q90_tfidf" -> ((s, dir) => {
+      TextAnalysis.tfidfTopTerms(
+          T(s, dir)("documents").filter(col("doc_id") < 200), "doc_id", "text", k = 3)
+        .orderBy(col("doc_id"), col("rn"))
+    }),
+
     // capstone: the full training-data-prep pipeline in one plan —
     // quality filter → near-dup removal → language ID + fingerprint →
     // per-language corpus stats (rows-only: dedup is hash-dependent)
@@ -242,6 +250,20 @@ object Pipeline {
                         / greatest(len(regexp_extract_all(text, '\\S+')), 1)
                        BETWEEN 3.0 AND 10.0 THEN 1.0 ELSE 0.5 END) * 0.3, 6) AS quality
       FROM documents ORDER BY doc_id""",
+    "q90_tfidf" -> """
+      WITH d AS (SELECT doc_id, unnest(regexp_extract_all(text, '\S+')) AS term
+                 FROM documents WHERE doc_id < 200),
+      tf AS (SELECT doc_id, term, COUNT(*) AS n_t FROM d GROUP BY 1, 2),
+      n AS (SELECT COUNT(DISTINCT doc_id) AS nd FROM d),
+      idf AS (SELECT term, COUNT(DISTINCT doc_id) AS dfreq FROM d GROUP BY 1)
+      SELECT doc_id, term, tfidf, rn FROM (
+        SELECT tf.doc_id, tf.term,
+               round(tf.n_t * ln(CAST(nd AS DOUBLE) / dfreq), 6) AS tfidf,
+               ROW_NUMBER() OVER (PARTITION BY tf.doc_id
+                 ORDER BY round(tf.n_t * ln(CAST(nd AS DOUBLE) / dfreq), 6) DESC,
+                          tf.term) AS rn
+        FROM tf CROSS JOIN n JOIN idf ON tf.term = idf.term) t
+      WHERE rn <= 3 ORDER BY doc_id, rn""",
     "q60_fingerprint_md5" -> """
       SELECT doc_id, md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp
       FROM documents ORDER BY doc_id"""
