@@ -178,6 +178,48 @@ object Dedup {
   }
 
   /**
+   * EXACT all-pairs Jaccard ≥ t via prefix filtering (the classic
+   * AllPairs/PPJoin pruning from the string-similarity-join
+   * literature): order each document's hashed shingles by a global
+   * canonical order (the hash value), keep only the first
+   * |d| − ⌈t·|d|⌉ + 1 of them, and join on those prefix tokens — any
+   * pair with Jaccard ≥ t MUST collide in the prefixes, so recall is
+   * 100% (unlike MinHash banding), while the join touches a small
+   * prefix instead of every shingle. Verification computes exact
+   * Jaccard on the full shingle sets for candidates only.
+   *
+   * Shape: one explode + window (prefix extraction), one equi-join on
+   * prefix tokens, one distinct — all shuffle-bounded by the prefix
+   * size, which shrinks as t grows.
+   */
+  def prefixFilterJaccardPairs(docs: DataFrame, idCol: String, textCol: String,
+                               shingleWords: Int, minJaccard: Double): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val hs = docs.select(col(idCol).as("id"),
+        explode(wordShingles(col(textCol), shingleWords)).as("sh"))
+      .select(col("id"), xxhash64(col("sh")).as("h"))
+      .distinct()
+    val sized = hs.withColumn("n", count(lit(1)).over(Window.partitionBy(col("id"))))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("id")).orderBy(col("h"))))
+    val prefix = sized.filter(
+      col("rn") <= col("n") - ceil(lit(minJaccard) * col("n")) + 1)
+    val cand = prefix.as("x").join(prefix.as("y"),
+        col("x.h") === col("y.h") && col("x.id") < col("y.id"))
+      .select(col("x.id").as("id_a"), col("y.id").as("id_b"))
+      .distinct()
+    val sets = hs.groupBy(col("id")).agg(collect_set(col("h")).as("hset"))
+    cand
+      .join(sets.select(col("id").as("id_a"), col("hset").as("sa")), "id_a")
+      .join(sets.select(col("id").as("id_b"), col("hset").as("sb")), "id_b")
+      .withColumn("jaccard",
+        size(array_intersect(col("sa"), col("sb"))) /
+          size(array_union(col("sa"), col("sb"))).cast("double"))
+      .filter(col("jaccard") >= minJaccard)
+      .select(col("id_a"), col("id_b"), col("jaccard"))
+  }
+
+  /**
    * Corpus canonicalization: drop every document that near-dups a
    * lower-id document (greedy one-pass representative selection over
    * the MinHash+LSH pair set — the standard production policy; not a

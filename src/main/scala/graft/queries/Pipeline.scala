@@ -154,6 +154,15 @@ object Pipeline {
         .orderBy(col("doc_id"))
     }),
 
+    // EXACT near-dup pairs on the FULL corpus via prefix filtering —
+    // 100% recall (unlike LSH), oracled against DuckDB's brute-force
+    // all-pairs word-shingle Jaccard
+    "q91_prefix_jaccard" -> ((s, dir) => {
+      Dedup.prefixFilterJaccardPairs(T(s, dir)("documents"), "doc_id", "text",
+          shingleWords = 3, minJaccard = 0.6)
+        .orderBy(col("jaccard").desc, col("id_a"), col("id_b"))
+    }),
+
     // TF-IDF top terms per document (bounded subset; vocabulary-keyed
     // idf join broadcast)
     "q90_tfidf" -> ((s, dir) => {
@@ -250,6 +259,20 @@ object Pipeline {
                         / greatest(len(regexp_extract_all(text, '\\S+')), 1)
                        BETWEEN 3.0 AND 10.0 THEN 1.0 ELSE 0.5 END) * 0.3, 6) AS quality
       FROM documents ORDER BY doc_id""",
+    "q91_prefix_jaccard" -> """
+      WITH toks AS (SELECT doc_id, regexp_extract_all(text, '\S+') AS t FROM documents),
+      sh AS (SELECT DISTINCT doc_id,
+                    unnest(list_transform(range(1, len(t) - 1),
+                      i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS s
+             FROM toks WHERE len(t) >= 3),
+      sz AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1),
+      inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS i
+                FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+                GROUP BY 1, 2)
+      SELECT id_a, id_b, i / CAST(sa.n + sb.n - i AS DOUBLE) AS jaccard
+      FROM inter JOIN sz sa ON sa.doc_id = id_a JOIN sz sb ON sb.doc_id = id_b
+      WHERE i / CAST(sa.n + sb.n - i AS DOUBLE) >= 0.6
+      ORDER BY jaccard DESC, id_a, id_b""",
     "q90_tfidf" -> """
       WITH d AS (SELECT doc_id, unnest(regexp_extract_all(text, '\S+')) AS term
                  FROM documents WHERE doc_id < 200),
