@@ -171,6 +171,26 @@ object Pipeline {
         .orderBy(col("doc_id"), col("rn"))
     }),
 
+    // int8 embedding quantization: per-vector affine codes + max
+    // reconstruction error — floor-based (not round) so both engines
+    // produce identical codes bit-for-bit
+    "q92_embed_quantize" -> ((s, dir) => {
+      val e = col("embedding")
+      val vmin = array_min(e).cast("double")
+      val vmax = array_max(e).cast("double")
+      val scale = (vmax - vmin) / 255.0
+      val codes = transform(e, x => floor((x.cast("double") - vmin) / scale).cast("int"))
+      T(s, dir)("embeddings").filter(col("vec_id") < 200)
+        .select(col("vec_id"),
+          round(vmin, 6).as("q_min"),
+          round(scale, 8).as("q_scale"),
+          element_at(codes, 1).as("code0"),
+          aggregate(codes, lit(0L), (acc, c) => acc + c).as("code_sum"),
+          round(array_max(zip_with(e, codes,
+            (x, c) => abs(x.cast("double") - (vmin + c * scale)))), 6).as("max_err"))
+        .orderBy(col("vec_id"))
+    }),
+
     // capstone: the full training-data-prep pipeline in one plan —
     // quality filter → near-dup removal → language ID + fingerprint →
     // per-language corpus stats (rows-only: dedup is hash-dependent)
@@ -259,6 +279,23 @@ object Pipeline {
                         / greatest(len(regexp_extract_all(text, '\\S+')), 1)
                        BETWEEN 3.0 AND 10.0 THEN 1.0 ELSE 0.5 END) * 0.3, 6) AS quality
       FROM documents ORDER BY doc_id""",
+    "q92_embed_quantize" -> """
+      WITH q AS (
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e,
+               CAST(list_min(embedding) AS DOUBLE) AS vmin,
+               (CAST(list_max(embedding) AS DOUBLE) - CAST(list_min(embedding) AS DOUBLE)) / 255.0 AS scale
+        FROM embeddings WHERE vec_id < 200
+      ), c AS (
+        SELECT vec_id, e, vmin, scale,
+               list_transform(e, x -> CAST(floor((x - vmin) / scale) AS INT)) AS codes
+        FROM q
+      )
+      SELECT vec_id, round(vmin, 6) AS q_min, round(scale, 8) AS q_scale,
+             codes[1] AS code0,
+             CAST(list_sum(codes) AS BIGINT) AS code_sum,
+             round(list_max(list_transform(range(1, len(e) + 1),
+               i -> abs(e[i] - (vmin + codes[i] * scale)))), 6) AS max_err
+      FROM c ORDER BY vec_id""",
     "q91_prefix_jaccard" -> """
       WITH toks AS (SELECT doc_id, regexp_extract_all(text, '\S+') AS t FROM documents),
       sh AS (SELECT DISTINCT doc_id,
