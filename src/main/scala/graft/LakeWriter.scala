@@ -25,7 +25,8 @@ object LakeWriter {
     * `date=` (queryClient.go:597-607 layout). */
   def write(root: String, db: String, table: String, df: DataFrame,
             timeCol: String = "time", mode: SaveMode = SaveMode.Overwrite,
-            hourPartitions: Boolean = false): Unit = {
+            hourPartitions: Boolean = false,
+            bloomFilterCols: Seq[String] = Nil): Unit = {
     val spark = df.sparkSession
     Tables.configure(spark)
     val tableDir = s"$root/$db/$table"
@@ -35,7 +36,12 @@ object LakeWriter {
       if (hourPartitions)
         (Seq("date", "hour"), withDate.withColumn("hour", date_format(ts, "HH")))
       else (Seq("date"), withDate)
-    toWrite.write.mode(mode).partitionBy(partCols: _*).parquet(tableDir)
+    // optional parquet bloom filters: point predicates on high-cardinality
+    // columns (ids, session keys) skip row groups the zone maps can't
+    val writer = bloomFilterCols.foldLeft(toWrite.write.mode(mode)) { (w, c) =>
+      w.option(s"parquet.bloom.filter.enabled#$c", "true")
+    }
+    writer.partitionBy(partCols: _*).parquet(tableDir)
     // zone maps: per written folder, min/max time per file
     val written = spark.read.parquet(tableDir)
       .select(col(timeCol), input_file_name().as("file"))

@@ -48,7 +48,8 @@ class LakeWriterSpec extends AnyFunSuite {
       new File("target").toPath.toAbsolutePath, "wlake2").toString
     val ev = Tables.load(spark, "/root/testdata/sf0.001", "events")
       .select(col("ts").as("time"), col("value")).limit(100)
-    LakeWriter.write(root, "mydb", "m2", ev, hourPartitions = true)
+    LakeWriter.write(root, "mydb", "m2", ev, hourPartitions = true,
+      bloomFilterCols = Seq("value"))
     val dateDirs = new File(s"$root/mydb/m2").listFiles()
       .filter(_.getName.startsWith("date="))
     assert(dateDirs.nonEmpty)
