@@ -176,6 +176,30 @@ object TimeSeries {
         .orderBy(col("user_id"))
     }),
 
+    // SCD-style latest record per key (the "current state" view of an
+    // append-only measurement stream)
+    "q4B_ts_latest_per_key" -> ((s, dir) => {
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts").desc, col("event_id").desc)
+      eventsUs(s, dir)
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("user_id"), col("event_id"), col("ts"),
+          col("event_type"), col("value"))
+        .orderBy(col("user_id"))
+    }),
+
+    // centered moving average (rows 2 preceding .. 2 following)
+    "q4C_ts_centered_ma" -> ((s, dir) => {
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+        .rowsBetween(-2, 2)
+      eventsUs(s, dir)
+        .withColumn("centered_ma", round(avg(col("value")).over(w), 6))
+        .select(col("user_id"), col("event_id"), col("ts"), col("value"),
+          col("centered_ma"))
+        .orderBy(col("user_id"), col("ts"), col("event_id"))
+    }),
+
     // gap fill: dense hourly series with zero-filled missing buckets
     "q47_ts_gapfill" -> ((s, dir) => {
       val t = T(s, dir) _
@@ -272,6 +296,17 @@ object TimeSeries {
              COUNT(*) AS n_intervals
       FROM d WHERE dt_s IS NOT NULL
       GROUP BY user_id ORDER BY user_id""",
+    "q4B_ts_latest_per_key" -> """
+      SELECT user_id, event_id, epoch_ns(ts) AS ts, event_type, value FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id
+                    ORDER BY ts DESC, event_id DESC) AS rn
+        FROM events) t
+      WHERE rn = 1 ORDER BY user_id""",
+    "q4C_ts_centered_ma" -> """
+      SELECT user_id, event_id, epoch_ns(ts) AS ts, value,
+             ROUND(AVG(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN 2 PRECEDING AND 2 FOLLOWING), 6) AS centered_ma
+      FROM events ORDER BY user_id, ts, event_id""",
     "q47_ts_gapfill" -> """
       WITH b AS (
         SELECT epoch_ns(ts) - epoch_ns(ts) % 3600000000000 AS bucket_ns, COUNT(*) AS n
