@@ -153,6 +153,31 @@ object Coverage {
         .orderBy(col("p_partkey"))
     }),
 
+    // exact decimal aggregation: DECIMAL sums are order-independent, so
+    // no round() is needed — the final DOUBLE cast of a 2-decimal value
+    // is bit-identical across engines
+    "q93_decimal_exact" -> ((s, dir) => {
+      val t = T(s, dir) _
+      t("lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(
+          sum(col("l_extendedprice").cast("decimal(12,2)")).cast("double")
+            .as("exact_sum"),
+          sum((col("l_extendedprice").cast("decimal(12,2)")) *
+            (lit(1).cast("decimal(3,2)") - col("l_discount").cast("decimal(3,2)")))
+            .cast("double").as("exact_disc_sum"))
+        .orderBy(col("l_returnflag"))
+    }),
+
+    // null-safe equality (<=> / IS NOT DISTINCT FROM)
+    "q94_null_safe_eq" -> sql("""
+      SELECT a.c_custkey, b.c_custkey AS other
+      FROM (SELECT c_custkey, NULLIF(c_mktsegment, 'BUILDING') AS seg FROM customer WHERE c_custkey <= 50) a
+      JOIN (SELECT c_custkey, NULLIF(c_mktsegment, 'BUILDING') AS seg FROM customer WHERE c_custkey <= 50) b
+        ON a.seg IS NOT DISTINCT FROM b.seg AND a.c_custkey < b.c_custkey
+      ORDER BY a.c_custkey, other
+    """),
+
     // value-bucketed histogram (plain integer arithmetic → oracle-able)
     "q86_histogram" -> ((s, dir) => {
       val t = T(s, dir) _
@@ -366,6 +391,19 @@ object Coverage {
              contains(p_name, 'old') AS has_old,
              starts_with(p_type, 'ty') AS ty_prefix
       FROM part WHERE p_partkey <= 500 ORDER BY p_partkey""",
+    "q93_decimal_exact" -> """
+      SELECT l_returnflag,
+             CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS exact_sum,
+             CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) *
+                      (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(3,2)))) AS DOUBLE)
+               AS exact_disc_sum
+      FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
+    "q94_null_safe_eq" -> """
+      SELECT a.c_custkey, b.c_custkey AS other
+      FROM (SELECT c_custkey, NULLIF(c_mktsegment, 'BUILDING') AS seg FROM customer WHERE c_custkey <= 50) a
+      JOIN (SELECT c_custkey, NULLIF(c_mktsegment, 'BUILDING') AS seg FROM customer WHERE c_custkey <= 50) b
+        ON a.seg IS NOT DISTINCT FROM b.seg AND a.c_custkey < b.c_custkey
+      ORDER BY a.c_custkey, other""",
     "q86_histogram" -> """
       SELECT CAST(floor((o_totalprice - 1000) / 50000) AS INT) AS bucket,
              COUNT(*) AS n, ROUND(AVG(o_totalprice), 2) AS avg_price

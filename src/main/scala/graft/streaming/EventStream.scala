@@ -48,4 +48,27 @@ object EventStream {
       .select(col("session_window.start").as("session_start"),
         col("session_window.end").as("session_end"),
         col("user_id"), col("n_events"))
+
+  /**
+   * Stateful streaming exact-dedup: emit each fingerprint's FIRST
+   * occurrence across micro-batches, suppress the rest. State is one
+   * boolean per fingerprint key (flatMapGroupsWithState) — the
+   * streaming face of the dedup north-star: an ingestion pipeline
+   * that never lets a duplicate document downstream.
+   */
+  def dedupByFingerprint(keyed: org.apache.spark.sql.Dataset[(String, Long)])
+      : org.apache.spark.sql.Dataset[(String, Long)] = {
+    import keyed.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    keyed.groupByKey(_._1)
+      .flatMapGroupsWithState[Boolean, (String, Long)](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (key: String, rows: Iterator[(String, Long)], state: GroupState[Boolean]) =>
+          if (state.exists) Iterator.empty // fingerprint already emitted
+          else {
+            state.update(true)
+            rows.take(1) // first occurrence only
+          }
+      }
+  }
 }

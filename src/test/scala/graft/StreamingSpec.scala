@@ -44,6 +44,36 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("stateful streaming dedup emits exactly one row per fingerprint") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // stage the documents file TWICE → every doc is duplicated across files
+    val d = java.nio.file.Files.createTempDirectory(
+      new java.io.File("target").toPath.toAbsolutePath, "docs-stream")
+    java.nio.file.Files.copy(
+      java.nio.file.Path.of("/root/testdata/sf0.001/documents.parquet"),
+      d.resolve("part0.parquet"))
+    java.nio.file.Files.copy(
+      java.nio.file.Path.of("/root/testdata/sf0.001/documents.parquet"),
+      d.resolve("part1.parquet"))
+    val schema = Tables.load(spark, "/root/testdata/sf0.001", "documents").schema
+    val keyed = spark.readStream.schema(schema).parquet(d.toString)
+      .select(graft.operators.TextAnalysis.fingerprintMd5(col("text")).as("fp"),
+        col("doc_id"))
+      .as[(String, Long)]
+    val q = EventStream.dedupByFingerprint(keyed)
+      .toDF("fp", "doc_id")
+      .writeStream.format("memory").queryName("dedup_out")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      val out = spark.table("dedup_out")
+      val nDocs = Tables.load(spark, "/root/testdata/sf0.001", "documents").count()
+      assert(out.count() == nDocs) // 2N input rows → N unique fingerprints
+      assert(out.select("fp").distinct().count() == nDocs)
+    } finally q.stop()
+  }
+
   test("session_window streaming sessionization produces sane sessions") {
     val dir = "/root/testdata/sf0.001"
     val schema = Tables.load(spark, dir, "events").schema
