@@ -171,6 +171,28 @@ object Pipeline {
         .orderBy(col("doc_id"), col("rn"))
     }),
 
+    // two-stage coarse-to-fine retrieval: candidates by cosine on the
+    // first 16 dims (4× cheaper scan), exact re-rank of the top-50 on
+    // all 64 dims — the production trick for cheap first-pass ANN
+    "q95_two_stage_ann" -> ((s, dir) => {
+      val emb = T(s, dir)("embeddings")
+      val coarseDims = 16
+      val q = emb.filter(col("vec_id") === 0)
+        .select(col("embedding").as("qv"),
+          slice(col("embedding"), 1, coarseDims).as("qc"))
+      val stage1 = emb.filter(col("vec_id") =!= 0)
+        .join(broadcast(q))
+        .withColumn("coarse_sim",
+          round(Similarity.cosine(slice(col("embedding"), 1, coarseDims), col("qc")), 4))
+        .orderBy(col("coarse_sim").desc, col("vec_id"))
+        .limit(50)
+      stage1
+        .withColumn("cos_sim", round(Similarity.cosine(col("embedding"), col("qv")), 4))
+        .select(col("vec_id"), col("coarse_sim"), col("cos_sim"))
+        .orderBy(col("cos_sim").desc, col("vec_id"))
+        .limit(10)
+    }),
+
     // int8 embedding quantization: per-vector affine codes + max
     // reconstruction error — floor-based (not round) so both engines
     // produce identical codes bit-for-bit
@@ -279,6 +301,19 @@ object Pipeline {
                         / greatest(len(regexp_extract_all(text, '\\S+')), 1)
                        BETWEEN 3.0 AND 10.0 THEN 1.0 ELSE 0.5 END) * 0.3, 6) AS quality
       FROM documents ORDER BY doc_id""",
+    "q95_two_stage_ann" -> """
+      WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv,
+                        CAST(list_slice(embedding, 1, 16) AS DOUBLE[]) AS qc
+                 FROM embeddings WHERE vec_id = 0),
+      stage1 AS (
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ev,
+               round(list_cosine_similarity(CAST(list_slice(embedding, 1, 16) AS DOUBLE[]), qc), 4) AS coarse_sim
+        FROM embeddings, q WHERE vec_id != 0
+        ORDER BY coarse_sim DESC, vec_id LIMIT 50)
+      SELECT vec_id, coarse_sim,
+             round(list_cosine_similarity(ev, qv), 4) AS cos_sim
+      FROM stage1, q
+      ORDER BY cos_sim DESC, vec_id LIMIT 10""",
     "q92_embed_quantize" -> """
       WITH q AS (
         SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e,
