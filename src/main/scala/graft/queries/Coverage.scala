@@ -153,6 +153,28 @@ object Coverage {
         .orderBy(col("p_partkey"))
     }),
 
+    // referential-integrity audit across the star schema (orphan
+    // detection via anti joins — the standard pre-training data-quality
+    // sweep)
+    "q96_ref_integrity" -> sql("""
+      SELECT 'lineitem_without_order' AS check_name,
+             CAST(COUNT(*) AS BIGINT) AS n_violations
+      FROM lineitem WHERE l_orderkey NOT IN (SELECT o_orderkey FROM orders)
+      UNION ALL
+      SELECT 'order_without_customer',
+             CAST(COUNT(*) AS BIGINT)
+      FROM orders WHERE o_custkey NOT IN (SELECT c_custkey FROM customer)
+      UNION ALL
+      SELECT 'customer_with_bad_nation',
+             CAST(COUNT(*) AS BIGINT)
+      FROM customer WHERE c_nationkey NOT IN (SELECT n_nationkey FROM nation)
+      UNION ALL
+      SELECT 'lineitem_with_bad_part',
+             CAST(COUNT(*) AS BIGINT)
+      FROM lineitem WHERE l_partkey NOT IN (SELECT p_partkey FROM part)
+      ORDER BY check_name
+    """),
+
     // exact decimal aggregation: DECIMAL sums are order-independent, so
     // no round() is needed — the final DOUBLE cast of a 2-decimal value
     // is bit-identical across engines
@@ -391,6 +413,20 @@ object Coverage {
              contains(p_name, 'old') AS has_old,
              starts_with(p_type, 'ty') AS ty_prefix
       FROM part WHERE p_partkey <= 500 ORDER BY p_partkey""",
+    "q96_ref_integrity" -> """
+      SELECT 'lineitem_without_order' AS check_name,
+             CAST(COUNT(*) AS BIGINT) AS n_violations
+      FROM lineitem WHERE l_orderkey NOT IN (SELECT o_orderkey FROM orders)
+      UNION ALL
+      SELECT 'order_without_customer', CAST(COUNT(*) AS BIGINT)
+      FROM orders WHERE o_custkey NOT IN (SELECT c_custkey FROM customer)
+      UNION ALL
+      SELECT 'customer_with_bad_nation', CAST(COUNT(*) AS BIGINT)
+      FROM customer WHERE c_nationkey NOT IN (SELECT n_nationkey FROM nation)
+      UNION ALL
+      SELECT 'lineitem_with_bad_part', CAST(COUNT(*) AS BIGINT)
+      FROM lineitem WHERE l_partkey NOT IN (SELECT p_partkey FROM part)
+      ORDER BY check_name""",
     "q93_decimal_exact" -> """
       SELECT l_returnflag,
              CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS exact_sum,
