@@ -2,7 +2,7 @@ package graft
 
 import java.io.File
 import java.nio.file.Files
-import org.apache.spark.sql.{DataFrame, SaveMode}
+import org.apache.spark.sql.{Column, DataFrame, SaveMode}
 import org.apache.spark.sql.functions._
 
 /**
@@ -20,13 +20,34 @@ import org.apache.spark.sql.functions._
  */
 object LakeWriter {
 
+  /**
+   * 16-bit-per-column Morton (Z-order) code: each column is hashed to
+   * 16 bits and the bits of up to 4 columns are interleaved. Hashing
+   * (rather than ranking) keeps it a pure per-row expression — no
+   * extra pass to compute quantiles — at the cost of clustering by
+   * hash locality instead of value locality, which is the right trade
+   * for point-lookup-style skipping (equality predicates).
+   */
+  def mortonCode(cols: Seq[Column]): Column = {
+    require(cols.nonEmpty && cols.size <= 4, "zorder supports 1-4 columns")
+    val k = cols.size
+    val bits16 = cols.map(c => abs(hash(c)).bitwiseAND(0xFFFF))
+    (0 until 16).foldLeft(lit(0L)) { (acc, bit) =>
+      bits16.zipWithIndex.foldLeft(acc) { case (a, (b, ci)) =>
+        a.bitwiseOR(shiftleft(
+          shiftright(b, bit).bitwiseAND(1).cast("long"), bit * k + ci))
+      }
+    }
+  }
+
   /** Write `df` (with an int64-ns time column) as a lake measurement.
     * `hourPartitions=true` adds the reference's `hour=HH` level below
     * `date=` (queryClient.go:597-607 layout). */
   def write(root: String, db: String, table: String, df: DataFrame,
             timeCol: String = "time", mode: SaveMode = SaveMode.Overwrite,
             hourPartitions: Boolean = false,
-            bloomFilterCols: Seq[String] = Nil): Unit = {
+            bloomFilterCols: Seq[String] = Nil,
+            zorderCols: Seq[String] = Nil): Unit = {
     val spark = df.sparkSession
     Tables.configure(spark)
     val tableDir = s"$root/$db/$table"
@@ -36,9 +57,17 @@ object LakeWriter {
       if (hourPartitions)
         (Seq("date", "hour"), withDate.withColumn("hour", date_format(ts, "HH")))
       else (Seq("date"), withDate)
+    // optional Z-order clustering: rows sorted by interleaved bits of
+    // the given columns, so parquet row-group min/max stats stay tight
+    // on EVERY zorder column at once (multi-dimensional data skipping —
+    // a linear sort only keeps the leading column's stats tight)
+    val clustered =
+      if (zorderCols.nonEmpty)
+        toWrite.sortWithinPartitions(mortonCode(zorderCols.map(col)))
+      else toWrite
     // optional parquet bloom filters: point predicates on high-cardinality
     // columns (ids, session keys) skip row groups the zone maps can't
-    val writer = bloomFilterCols.foldLeft(toWrite.write.mode(mode)) { (w, c) =>
+    val writer = bloomFilterCols.foldLeft(clustered.write.mode(mode)) { (w, c) =>
       w.option(s"parquet.bloom.filter.enabled#$c", "true")
     }
     writer.partitionBy(partCols: _*).parquet(tableDir)

@@ -49,7 +49,7 @@ class LakeWriterSpec extends AnyFunSuite {
     val ev = Tables.load(spark, "/root/testdata/sf0.001", "events")
       .select(col("ts").as("time"), col("value")).limit(100)
     LakeWriter.write(root, "mydb", "m2", ev, hourPartitions = true,
-      bloomFilterCols = Seq("value"))
+      bloomFilterCols = Seq("value"), zorderCols = Seq("value", "time"))
     val dateDirs = new File(s"$root/mydb/m2").listFiles()
       .filter(_.getName.startsWith("date="))
     assert(dateDirs.nonEmpty)
