@@ -26,6 +26,11 @@ object Bench {
     // one untimed warmup pass: JIT + codegen caches + parquet footer reads
     try SparkEntry.queries("q04_agg")(spark, sfDir).count()
     catch { case _: Throwable => () }
+    // Consume the FULL result — a bare .count() lets Catalyst prune every
+    // unreferenced column, under-measuring projection-heavy queries. The
+    // built-in `noop` sink evaluates all output columns and discards rows.
+    def consume(df: org.apache.spark.sql.DataFrame): Unit =
+      df.write.format("noop").mode("overwrite").save()
     val pool = java.util.concurrent.Executors.newFixedThreadPool(
       math.min(8, Runtime.getRuntime.availableProcessors()))
     implicit val ec: scala.concurrent.ExecutionContext =
@@ -34,7 +39,7 @@ object Bench {
     val futures = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       scala.concurrent.Future {
         val q0 = System.nanoTime()
-        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+        try { consume(fn(spark, sfDir)) } catch { case _: Throwable => () }
         name -> (System.nanoTime() - q0) / 1e9
       }
     }

@@ -99,9 +99,9 @@ object Coverage {
       t("orders").filter(col("o_orderkey") <= 1000)
         .select(
           col("o_orderkey"),
-          date_trunc("week", col("o_orderdate")).as("week_start"),
-          date_trunc("quarter", col("o_orderdate")).as("quarter_start"),
-          date_trunc("year", col("o_orderdate")).as("year_start"),
+          date_trunc("week", col("o_orderdate")).cast("date").cast("string").as("week_start"),
+          date_trunc("quarter", col("o_orderdate")).cast("date").cast("string").as("quarter_start"),
+          date_trunc("year", col("o_orderdate")).cast("date").cast("string").as("year_start"),
           quarter(col("o_orderdate")).as("q"))
         .orderBy(col("o_orderkey"))
     }),
@@ -216,8 +216,9 @@ object Coverage {
       t("lineitem")
         .groupBy(col("l_returnflag"))
         .agg(
-          expr("approx_percentile(l_extendedprice, array(0.5, 0.9, 0.99), 1000)")
-            .as("p50_90_99"),
+          expr("approx_percentile(l_extendedprice, 0.5, 1000)").as("p50"),
+          expr("approx_percentile(l_extendedprice, 0.9, 1000)").as("p90"),
+          expr("approx_percentile(l_extendedprice, 0.99, 1000)").as("p99"),
           expr("approx_count_distinct(l_orderkey)").as("approx_orders"))
         .orderBy(col("l_returnflag"))
     }),
@@ -376,9 +377,9 @@ object Coverage {
       FROM part ORDER BY p_partkey""",
     "q70_date_trunc_variants" -> """
       SELECT o_orderkey,
-             date_trunc('week', o_orderdate) AS week_start,
-             date_trunc('quarter', o_orderdate) AS quarter_start,
-             date_trunc('year', o_orderdate) AS year_start,
+             CAST(date_trunc('week', o_orderdate) AS VARCHAR) AS week_start,
+             CAST(date_trunc('quarter', o_orderdate) AS VARCHAR) AS quarter_start,
+             CAST(date_trunc('year', o_orderdate) AS VARCHAR) AS year_start,
              CAST(quarter(o_orderdate) AS INT) AS q
       FROM orders WHERE o_orderkey <= 1000 ORDER BY o_orderkey""",
     "q71_bitwise" -> """

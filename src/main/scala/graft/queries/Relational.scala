@@ -386,8 +386,8 @@ object Relational {
           abs(col("o_totalprice") - 200000).as("abs_diff"),
           ceil(col("o_totalprice")).as("ceil_p"),
           floor(col("o_totalprice")).as("floor_p"),
-          round(sqrt(col("o_totalprice")), 8).as("sqrt_p"),
-          round(log(col("o_totalprice")), 8).as("ln_p"),
+          round(sqrt(col("o_totalprice")), 6).as("sqrt_p"),
+          round(log(col("o_totalprice")), 6).as("ln_p"),
           pmod(col("o_orderkey"), lit(7)).as("mod7"))
         .orderBy(col("o_orderkey"))
     }),
@@ -400,8 +400,8 @@ object Relational {
           year(col("o_orderdate")).as("y"),
           month(col("o_orderdate")).as("m"),
           dayofmonth(col("o_orderdate")).as("d"),
-          date_trunc("month", col("o_orderdate")).as("month_start"),
-          (col("o_orderdate") + expr("INTERVAL 30 DAYS")).as("due_date"))
+          date_trunc("month", col("o_orderdate")).cast("date").cast("string").as("month_start"),
+          date_add(col("o_orderdate"), 30).cast("string").as("due_date"))
         .orderBy(col("o_orderkey"))
     }),
 
@@ -661,17 +661,18 @@ object Relational {
       FROM part WHERE p_name LIKE '%old%' ORDER BY p_partkey""",
     "q32_math_funcs" -> """
       SELECT o_orderkey, abs(o_totalprice - 200000) AS abs_diff,
-             ceil(o_totalprice) AS ceil_p, floor(o_totalprice) AS floor_p,
-             round(sqrt(o_totalprice), 8) AS sqrt_p,
-             round(ln(o_totalprice), 8) AS ln_p,
+             CAST(ceil(o_totalprice) AS BIGINT) AS ceil_p,
+             CAST(floor(o_totalprice) AS BIGINT) AS floor_p,
+             round(sqrt(o_totalprice), 6) AS sqrt_p,
+             round(ln(o_totalprice), 6) AS ln_p,
              o_orderkey % 7 AS mod7
       FROM orders WHERE o_orderkey <= 2000 ORDER BY o_orderkey""",
     "q33_date_funcs" -> """
       SELECT o_orderkey, CAST(year(o_orderdate) AS INT) AS y,
              CAST(month(o_orderdate) AS INT) AS m,
              CAST(day(o_orderdate) AS INT) AS d,
-             date_trunc('month', o_orderdate) AS month_start,
-             o_orderdate + INTERVAL 30 DAY AS due_date
+             CAST(date_trunc('month', o_orderdate) AS VARCHAR) AS month_start,
+             CAST(CAST(o_orderdate + INTERVAL 30 DAY AS DATE) AS VARCHAR) AS due_date
       FROM orders WHERE o_orderkey <= 2000 ORDER BY o_orderkey""",
     "q34_conditional" -> """
       SELECT c_custkey,

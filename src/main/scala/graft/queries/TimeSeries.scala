@@ -261,8 +261,8 @@ object TimeSeries {
         WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
       ), sessions AS (
         SELECT user_id, ts,
-               SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
-                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+               CAST(SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
         FROM flagged
       )
       SELECT user_id, session_id, COUNT(*) AS n_events,

@@ -63,6 +63,13 @@ def main(sf_dir, out_dir):
         bad = []
         for c in gc:
             a, b = g[c], e[c]
+            # int-vs-float dtype split (e.g. DuckDB HUGEINT -> float64 while
+            # Spark emits int64): values may compare equal here but the
+            # driver hashes 2 vs 2.0 differently -> flag it as a failure.
+            if (np.issubdtype(a.dtype, np.integer) and np.issubdtype(b.dtype, np.floating)) or \
+               (np.issubdtype(a.dtype, np.floating) and np.issubdtype(b.dtype, np.integer)):
+                bad.append(f"{c}[DTYPE] {a.dtype} vs {b.dtype} (driver hash would differ)")
+                continue
             if np.issubdtype(a.dtype, np.floating) or np.issubdtype(b.dtype, np.floating):
                 aa = a.astype(float).to_numpy(); bb = b.astype(float).to_numpy()
                 eq = (aa == bb) | (np.isnan(aa) & np.isnan(bb))
