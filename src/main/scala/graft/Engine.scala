@@ -86,7 +86,6 @@ class Engine(val spark: SparkSession, val catalog: Catalog,
     val perRel: Map[String, TimeRange] =
       extractPerRelation(planOpt.get, timeCol)
     var anyLongTime = false
-    var rewritten = sql
     rels.foreach { case (relDb, table) =>
       val pruneRange = perRel.get(table.toLowerCase).flatMap(_.asTuple)
       val tableDf = readTable(relDb, table, pruneRange)
@@ -94,17 +93,25 @@ class Engine(val spark: SparkSession, val catalog: Catalog,
       anyLongTime ||= tableDf.schema.fields
         .find(_.name.equalsIgnoreCase(timeCol))
         .exists(_.dataType == org.apache.spark.sql.types.LongType)
-      // FROM db.table → FROM table (the view); identifier-level rewrite,
-      // the analog of the reference's FROM-clause splice (O8)
-      rewritten = rewritten.replaceAll(
-        "(?i)\\b" + java.util.regex.Pattern.quote(relDb) +
-          "\\s*\\.\\s*" + java.util.regex.Pattern.quote(table) + "\\b", table)
+    }
+    // `db.table` → `table` (the view) on the PARSED PLAN — the analog
+    // of the reference's FROM-clause splice (O8), but done as an
+    // identifier transform instead of regex surgery over the SQL text,
+    // so a 'mydb.meas' string literal or a column named `mydb` is
+    // never corrupted. Subquery plans are rewritten too.
+    val registered = rels.map { case (d, t) => (d.toLowerCase, t.toLowerCase) }.toSet
+    val renamed = planOpt.get.transformDownWithSubqueries {
+      case r: org.apache.spark.sql.catalyst.analysis.UnresolvedRelation
+          if r.multipartIdentifier.size >= 2 && registered.contains(
+            (r.multipartIdentifier.dropRight(1).mkString(".").toLowerCase,
+              r.multipartIdentifier.last.toLowerCase)) =>
+        org.apache.spark.sql.catalyst.analysis.UnresolvedRelation(
+          Seq(r.multipartIdentifier.last))
     }
     // O9 analog: if any time column is int64 ns, rewrite time-vs-
     // string/timestamp literal comparisons to long-literal form
-    val plan = parse(spark, rewritten)
     val finalPlan =
-      if (anyLongTime) rewriteTimeLiterals(plan, timeCol) else plan
+      if (anyLongTime) rewriteTimeLiterals(renamed, timeCol) else renamed
     org.apache.spark.sql.graftbridge.ColumnBridge.ofRows(spark, finalPlan)
   }
 }

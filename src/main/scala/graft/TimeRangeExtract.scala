@@ -30,10 +30,23 @@ object TimeRangeExtract {
       if (isEmpty) None else Some((start.getOrElse(Long.MinValue), end.getOrElse(Long.MaxValue)))
   }
 
-  /** Every `db.table` (or bare table) relation referenced by the plan,
-    * in occurrence order, deduplicated. */
+  /** The plan plus every (nested) subquery plan hanging off its
+    * expressions — `plan.collect` alone never descends into
+    * EXISTS/IN/scalar-subquery plans, so a lake table referenced only
+    * inside a subquery would otherwise be invisible. */
+  def withSubqueryPlans(plan: LogicalPlan): Seq[LogicalPlan] =
+    plan +: plan.collect { case p => p }
+      .flatMap(_.expressions.flatMap(_.collect {
+        case s: org.apache.spark.sql.catalyst.expressions.SubqueryExpression => s.plan
+      }))
+      .flatMap(withSubqueryPlans)
+
+  /** Every `db.table` (or bare table) relation referenced by the plan
+    * (including subqueries), in occurrence order, deduplicated. */
   def findRelations(plan: LogicalPlan): Seq[Seq[String]] =
-    plan.collect { case r: UnresolvedRelation => r.multipartIdentifier }.distinct
+    withSubqueryPlans(plan)
+      .flatMap(_.collect { case r: UnresolvedRelation => r.multipartIdentifier })
+      .distinct
 
   /** The first relation referenced by the plan. */
   def findRelation(plan: LogicalPlan): Option[Seq[String]] =
@@ -50,13 +63,24 @@ object TimeRangeExtract {
    * attributed only when the plan references a single relation —
    * with several, an unqualified column can't be attributed before
    * resolution, and mis-attributed pruning would drop rows.
+   *
+   * A table that occurs MORE THAN ONCE in the plan (UNION ALL branches,
+   * a self-join with per-alias windows, or an outer query plus a
+   * subquery over the same table) gets NO pruning: all occurrences
+   * share one temp view, so the only sound per-view range would be the
+   * UNION of the occurrences' windows — and intersecting them (the
+   * naive fold) silently drops rows for disjoint branches. Filters
+   * inside subquery expressions are never harvested either: a
+   * `NOT EXISTS (… t.time > X)` pruned by `time > X` would invert the
+   * result. Pruning stays a strict optimization (quirk §2.3-7).
    */
   def extractPerRelation(plan: LogicalPlan,
                          timeCol: String = "time"): Map[String, TimeRange] = {
     // alias → relation-name map (bare table name aliases itself)
     val aliasToTable = scala.collection.mutable.Map[String, String]()
     val tables = scala.collection.mutable.ListBuffer[String]()
-    plan.foreach {
+    val allPlans = withSubqueryPlans(plan)
+    allPlans.foreach(_.foreach {
       case org.apache.spark.sql.catalyst.plans.logical.SubqueryAlias(ident, child) =>
         child.collectFirst { case r: UnresolvedRelation =>
           aliasToTable(ident.name.toLowerCase) = r.multipartIdentifier.last.toLowerCase
@@ -68,10 +92,12 @@ object TimeRangeExtract {
         // db.table used as qualifier too
         aliasToTable.getOrElseUpdate(r.multipartIdentifier.mkString(".").toLowerCase, t)
       case _ => ()
-    }
-    val single = tables.distinct.size == 1
+    })
+    val counts = tables.groupBy(identity).view.mapValues(_.size).toMap
+    val single = tables.size == 1
     tables.distinct.map { t =>
-      t -> extract(plan, timeCol, qualifierFilter = Some { parts =>
+      if (counts(t) > 1) t -> TimeRange(None, None) // multi-occurrence: no pruning
+      else t -> extract(plan, timeCol, qualifierFilter = Some { parts =>
         if (parts.size >= 2)
           aliasToTable.get(parts.dropRight(1).mkString(".").toLowerCase).contains(t)
         else single // unqualified: only attributable with one relation
@@ -150,7 +176,7 @@ object TimeRangeExtract {
         lit(e).map(ns => Literal(ns))
       case _ => None
     }
-    plan transformAllExpressions {
+    val rules: PartialFunction[Expression, Expression] = {
       case GreaterThanOrEqual(a, v) if isTime(a) && asNs(v).isDefined =>
         GreaterThanOrEqual(bare(a), asNs(v).get)
       case GreaterThan(a, v) if isTime(a) && asNs(v).isDefined =>
@@ -180,6 +206,9 @@ object TimeRangeExtract {
           asNs(f.arguments(1)).getOrElse(f.arguments(1)),
           asNs(f.arguments(2)).getOrElse(f.arguments(2))))
     }
+    // apply inside subquery plans too — `transformAllExpressions` alone
+    // never reaches a Filter nested in an EXISTS/IN subquery expression
+    plan.transformDownWithSubqueries { case p => p.transformExpressions(rules) }
   }
 
   /** Literal-ish expression → epoch ns, if statically evaluable. */

@@ -155,4 +155,54 @@ class CatalogEngineSpec extends AnyFunSuite {
     val r = engine.query("SELECT b FROM sidecar_tbl WHERE a = 1", "").collect()
     assert(r.head.getString(0) == "x")
   }
+
+  test("engine: UNION ALL branches with disjoint time windows keep all rows") {
+    // the same table occurs twice with disjoint windows — intersecting
+    // them would prune the shared view to nothing and silently return 0
+    val df = engine.query(
+      "SELECT time FROM mydb.meas WHERE time < '2023-01-02T00:00:00Z' " +
+        "UNION ALL " +
+        "SELECT time FROM mydb.meas WHERE time >= '2023-01-03T00:00:00Z'", "")
+    assert(df.count() == 48) // day 1 + day 3
+  }
+
+  test("engine: self-join with per-alias disjoint windows keeps rows") {
+    val df = engine.query(
+      "SELECT a.time, b.time AS tb FROM mydb.meas a JOIN mydb.meas b " +
+        "ON a.location <> b.location " +
+        "WHERE a.time < '2023-01-02T00:00:00Z' AND b.time >= '2023-01-03T00:00:00Z'", "")
+    assert(df.count() == 24L * 24L) // day-1 rows × day-3 rows
+  }
+
+  test("engine: multi-occurrence table disables pruning (extract level)") {
+    val plan = TimeRangeExtract.parse(spark,
+      "SELECT * FROM mydb.meas WHERE time < '2023-01-02T00:00:00Z' " +
+        "UNION ALL SELECT * FROM mydb.meas WHERE time >= '2023-01-03T00:00:00Z'")
+    assert(TimeRangeExtract.extractPerRelation(plan, "time")("meas").isEmpty)
+  }
+
+  test("engine: db.table inside a string literal is not rewritten") {
+    val df = engine.query(
+      "SELECT 'mydb.meas' AS lit_val, count(*) AS n FROM mydb.meas", "")
+    val r = df.collect().head
+    assert(r.getString(0) == "mydb.meas")
+    assert(r.getLong(1) == 72L)
+  }
+
+  test("engine: lake table referenced only inside a subquery is registered") {
+    val df = engine.query(
+      "SELECT count(*) AS n FROM mydb.meas m WHERE m.location IN " +
+        "(SELECT l.location FROM mydb.locdim l WHERE l.zone = 'east')", "")
+    assert(df.collect().head.getLong(0) == 24L)
+  }
+
+  test("engine: outer window does not prune a subquery over the same table") {
+    // outer restricts to day 3; subquery aggregates over ALL days — if the
+    // outer window pruned the shared view, min(time) would be day-3's start
+    val df = engine.query(
+      "SELECT count(*) AS n FROM mydb.meas " +
+        "WHERE time >= '2023-01-03T00:00:00Z' " +
+        "AND time > (SELECT min(time) FROM mydb.meas)", "")
+    assert(df.collect().head.getLong(0) == 24L)
+  }
 }
