@@ -79,18 +79,28 @@ object LakeWriter {
       .collect() // O(#files) rows — metadata, not data
     written.groupBy(r => new File(new java.net.URI(r.getString(0)).getPath).getParent)
       .foreach { case (folder, files) =>
+        // a file whose time values are ALL NULL has null min/max — emit
+        // its entry without stats (Catalog keeps stat-less files
+        // unpruned) instead of NPE-ing after the data is already on disk
         val entries = files.map { r =>
           val name = new File(new java.net.URI(r.getString(0)).getPath).getName
-          (name, r.getLong(1), r.getLong(2), r.getLong(3))
+          val stats = if (r.isNullAt(1) || r.isNullAt(2)) None
+            else Some((r.getLong(1), r.getLong(2)))
+          (name, stats, r.getLong(3))
         }
-        val mn = entries.map(_._2).min
-        val mx = entries.map(_._3).max
-        val n = entries.map(_._4).sum
-        val filesJson = entries.map { case (p, fmn, fmx, fn) =>
-          s"""{"path":"$p","row_count":$fn,"min_time":$fmn,"max_time":$fmx}"""
+        val bounds = entries.flatMap(_._2)
+        val folderStats =
+          if (bounds.isEmpty) ""
+          else s""""min_time":${bounds.map(_._1).min},"max_time":${bounds.map(_._2).max},"""
+        val n = entries.map(_._3).sum
+        val filesJson = entries.map {
+          case (p, Some((fmn, fmx)), fn) =>
+            s"""{"path":"$p","row_count":$fn,"min_time":$fmn,"max_time":$fmx}"""
+          case (p, None, fn) =>
+            s"""{"path":"$p","row_count":$fn}"""
         }.mkString("[", ",", "]")
         Files.writeString(new File(folder, "metadata.json").toPath,
-          s"""{"type":"parquet","row_count":$n,"min_time":$mn,"max_time":$mx,"files":$filesJson}""")
+          s"""{"type":"parquet","row_count":$n,$folderStats"files":$filesJson}""")
       }
   }
 }

@@ -31,8 +31,11 @@ object Layers {
   def parseS3(name: String, url: String): S3Layer = {
     val u = new java.net.URI(url)
     require(u.getScheme == "s3", s"expected s3:// url, got $url")
-    val Array(key, secret) = Option(u.getUserInfo)
-      .map(_.split(":", 2)).getOrElse(Array("", ""))
+    val (key, secret) = Option(u.getUserInfo).map(_.split(":", 2)) match {
+      case Some(Array(k, s)) => (k, s)
+      case Some(Array(k)) => (k, "") // key with no secret part
+      case _ => ("", "")
+    }
     val pathStyle = Option(u.getQuery).exists(_.split("&")
       .exists(p => p == "url_style=path"))
     S3Layer(name, u.getHost + (if (u.getPort > 0) s":${u.getPort}" else ""),

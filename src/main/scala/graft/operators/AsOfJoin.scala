@@ -47,10 +47,22 @@ object AsOfJoin {
     val w = Window.partitionBy(keys.map(col): _*)
       .orderBy(col("__asof_t"), col("__asof_side"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val carried = (rtCol +: payloadOut).foldLeft(combined) { (df, c) =>
-      df.withColumn(c, last(col(c), ignoreNulls = true).over(w))
-    }
-    carried.filter(col("__asof_side") === 1)
-      .drop("__asof_side", "__asof_t")
+    // Carry ONE struct of (time, payload...) with a single
+    // last(ignoreNulls): carrying each payload column independently
+    // would substitute an OLDER row's non-null value when the latest
+    // matching right row has a null payload field — DuckDB ASOF (and
+    // AsOfJoinNative) return the latest row's values as-is, nulls
+    // included. The struct is null for left rows (never a match source).
+    val carryCols = rtCol +: payloadOut
+    val carried = combined
+      .withColumn("__asof_pack",
+        when(col("__asof_side") === 0, struct(carryCols.map(col): _*)))
+      .withColumn("__asof_pack",
+        last(col("__asof_pack"), ignoreNulls = true).over(w))
+    carryCols.foldLeft(carried) { (df, c) =>
+        df.withColumn(c, col("__asof_pack").getField(c))
+      }
+      .filter(col("__asof_side") === 1)
+      .drop("__asof_side", "__asof_t", "__asof_pack")
   }
 }

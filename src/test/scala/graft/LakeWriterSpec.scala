@@ -43,6 +43,22 @@ class LakeWriterSpec extends AnyFunSuite {
     assert(n == expected && n > 0)
   }
 
+  test("all-null time values write without stats instead of failing") {
+    import spark.implicits._
+    val root = Files.createTempDirectory(
+      new File("target").toPath.toAbsolutePath, "wlake3").toString
+    val df = Seq((Some(1705276800000000000L), 1.0),
+      (None: Option[Long], 2.0), (None, 3.0)).toDF("time", "temperature")
+    LakeWriter.write(root, "mydb", "m3", df) // must not NPE on null min/max
+    val catalog = new Catalog(root)
+    val all = catalog.files("mydb", "m3")
+    assert(all.exists(_.minTime.isDefined) && all.exists(_.minTime.isEmpty))
+    // the stat-less file survives ANY range (no stats → no pruning)
+    val pruned = catalog.files("mydb", "m3", Some((0L, 1L)))
+    assert(pruned.exists(_.minTime.isEmpty))
+    assert(!pruned.exists(_.path.contains("date=2024-01-15")))
+  }
+
   test("hour-level partitioning writes date=/hour= layout") {
     val root = Files.createTempDirectory(
       new File("target").toPath.toAbsolutePath, "wlake2").toString

@@ -11,6 +11,12 @@ class LayersSpec extends AnyFunSuite {
     assert(l.uri("db/tbl/x.parquet") == "s3a://lakebucket/db/tbl/x.parquet")
     val v = Layers.parseS3("warm", "s3://K:S@s3.amazonaws.com/b2")
     assert(!v.pathStyle && v.endpoint == "s3.amazonaws.com")
+    // userinfo without a colon: key with empty secret, not a MatchError
+    val noSecret = Layers.parseS3("iam", "s3://ROLEKEY@minio:9000/b3")
+    assert(noSecret.accessKey == "ROLEKEY" && noSecret.secret == "")
+    // no userinfo at all (instance-profile style)
+    val anon = Layers.parseS3("anon", "s3://minio:9000/b4")
+    assert(anon.accessKey == "" && anon.secret == "")
   }
 
   test("per-bucket hadoop config registration") {

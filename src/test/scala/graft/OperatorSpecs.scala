@@ -122,6 +122,25 @@ class AsOfJoinSpec extends AnyFunSuite {
       ("B", 15L, None, None) // no earlier quote → nulls
     ))
   }
+
+  test("null payload on the LATEST matching right row stays null") {
+    // DuckDB ASOF returns the latest row's values AS-IS: a null price at
+    // ts=20 must NOT be papered over by ts=5's non-null price
+    val trades = Seq(("A", 30L, 1)).toDF("sym", "ts", "qty")
+    val quotes = Seq(
+      ("A", 5L, Some(100.0)), ("A", 20L, Option.empty[Double])
+    ).toDF("sym", "ts", "price")
+    val out = AsOfJoin.backward(trades, quotes, Seq("sym"), "ts", "ts",
+        rightPayload = Seq("price"))
+      .select("asof_ts", "asof_price").collect().head
+    assert(out.getLong(0) == 20L)   // matched the latest row...
+    assert(out.isNullAt(1))         // ...and kept its null payload
+    // agreement with the native exec on the same case
+    val native = graft.plans.AsOfJoinNative.backward(trades, quotes,
+        Seq("sym"), "ts", "ts", rightPayload = Seq("price"))
+      .select("asof_ts", "asof_price").collect().head
+    assert(native.getLong(0) == 20L && native.isNullAt(1))
+  }
 }
 
 class AsOfJoinNativeSpec extends AnyFunSuite {
