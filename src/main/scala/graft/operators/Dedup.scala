@@ -236,6 +236,22 @@ object Dedup {
   }
 
   /**
+   * Corpus canonicalization over the EXACT prefix-filtered pair set:
+   * same greedy min-id-wins policy as `dedupCorpus`, but the pair set
+   * is `prefixFilterJaccardPairs` (100% recall, exact Jaccard) instead
+   * of MinHash banding — fully deterministic and SQL-expressible, so
+   * the whole pipeline can be oracle-checked. Same scale shape: the
+   * join is bounded by prefix size.
+   */
+  def dedupCorpusExact(docs: DataFrame, idCol: String, textCol: String,
+                       shingleWords: Int, minJaccard: Double): DataFrame = {
+    val losers = prefixFilterJaccardPairs(docs, idCol, textCol,
+        shingleWords, minJaccard)
+      .select(col("id_b").as(idCol)).distinct()
+    docs.join(losers, Seq(idCol), "left_anti")
+  }
+
+  /**
    * 64-bit SimHash of a token-array column: per-bit ±1 vote of each
    * token's xxhash64, sign of the vote sum becomes the bit.
    * Single shuffle (groupBy id over exploded tokens).

@@ -1,7 +1,7 @@
 package graft.operators
 
 import graft.functions.ArrayDot.array_dot
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /**
@@ -9,13 +9,18 @@ import org.apache.spark.sql.functions._
  * Lloyd-iterated centroids partition the corpus into `nlist` cells;
  * a query probes only the `nprobe` nearest cells.
  *
- * Scale shape: centroids are tiny (nlist × dim doubles) and live on
- * the driver / in broadcasts — the corpus itself is only ever touched
- * by (1) one assign pass per Lloyd iteration (narrow, codegen'd
- * ArrayDot distances against a broadcast literal) and (2) the final
- * bucketed write. Search touches ~nprobe/nlist of the data — the
- * standard recall/cost dial. All seeding is deterministic (lowest-id
- * vectors), no RNG.
+ * Scale shape — an INDEX, not a per-query scan:
+ *  - `train` caches the projected corpus across Lloyd iterations (each
+ *    iteration is one assign pass + one tiny means collect; nothing is
+ *    re-read from parquet);
+ *  - `writeIndex` persists the cell assignment ONCE, Hive-partitioned
+ *    by `ivf_cell` — the expensive nlist-wide distance evaluation
+ *    happens exactly once per corpus, at build time;
+ *  - `searchIndexed` selects the probe cells on the DRIVER (pure local
+ *    math over nlist tiny centroids — no corpus pass at all) and reads
+ *    only those cells: against the written index that is directory-
+ *    level partition pruning, ~nprobe/nlist of the data touched.
+ * All seeding is deterministic (lowest-id vectors), no RNG.
  */
 object IvfIndex {
 
@@ -38,57 +43,85 @@ object IvfIndex {
   /** Deterministic Lloyd iterations; returns the trained centroids. */
   def train(emb: DataFrame, idCol: String, vecCol: String,
             nlist: Int, iters: Int = 3): Seq[Seq[Double]] = {
+    // cache across iterations: every Lloyd pass re-uses this projection
+    // instead of re-scanning the source parquet
     val dv = emb.select(col(idCol).as("id"), col(vecCol).cast("array<double>").as("v"))
-    // seed: the nlist lowest-id vectors (deterministic, no RNG)
-    var centroids: Seq[Seq[Double]] = dv.orderBy(col("id")).limit(nlist)
-      .collect().map(_.getSeq[Double](1).toSeq).toSeq
-    val dim = centroids.head.size
-    // typed Aggregator: partial/final centroid means, one shuffle of
-    // dim doubles per cell (graft.functions.VectorMean)
-    val vm = org.apache.spark.sql.functions.udaf(
-      new graft.functions.VectorMean(dim),
-      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[Double]]())
-    for (_ <- 0 until iters) {
-      val assigned = dv.withColumn("cell", nearestCentroid(col("v"), centroids))
-      val means = assigned.groupBy(col("cell"))
-        .agg(vm(col("v")).as("centroid"))
-        .collect().map(r => r.getInt(0) -> r.getSeq[Double](1).toSeq).toMap
-      centroids = centroids.indices.map(i => means.getOrElse(i, centroids(i)))
-    }
-    centroids
+      .cache()
+    try {
+      // seed: the nlist lowest-id vectors (deterministic, no RNG)
+      var centroids: Seq[Seq[Double]] = dv.orderBy(col("id")).limit(nlist)
+        .collect().map(_.getSeq[Double](1).toSeq).toSeq
+      val dim = centroids.head.size
+      // typed Aggregator: partial/final centroid means, one shuffle of
+      // dim doubles per cell (graft.functions.VectorMean)
+      val vm = org.apache.spark.sql.functions.udaf(
+        new graft.functions.VectorMean(dim),
+        org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[Double]]())
+      for (_ <- 0 until iters) {
+        val assigned = dv.withColumn("cell", nearestCentroid(col("v"), centroids))
+        val means = assigned.groupBy(col("cell"))
+          .agg(vm(col("v")).as("centroid"))
+          .collect().map(r => r.getInt(0) -> r.getSeq[Double](1).toSeq).toMap
+        centroids = centroids.indices.map(i => means.getOrElse(i, centroids(i)))
+      }
+      centroids
+    } finally dv.unpersist()
   }
 
-  /** Corpus with its IVF cell assignment attached. */
+  /** Corpus with its IVF cell assignment attached (the one nlist-wide
+    * distance pass — build-time cost, paid once per corpus). */
   def assign(emb: DataFrame, idCol: String, vecCol: String,
              centroids: Seq[Seq[Double]]): DataFrame =
     emb.withColumn("ivf_cell",
       nearestCentroid(col(vecCol).cast("array<double>"), centroids))
 
+  /** Persist the index: cell assignment written Hive-partitioned by
+    * `ivf_cell`, so a search's cell filter becomes directory-level
+    * partition pruning. */
+  def writeIndex(emb: DataFrame, idCol: String, vecCol: String,
+                 centroids: Seq[Seq[Double]], path: String): Unit =
+    assign(emb, idCol, vecCol, centroids)
+      .write.mode("overwrite").partitionBy("ivf_cell").parquet(path)
+
+  def readIndex(spark: SparkSession, path: String): DataFrame =
+    spark.read.parquet(path)
+
+  /** The `nprobe` cells nearest to the query vector — pure driver-side
+    * math over nlist × dim doubles; the corpus is never touched. */
+  def probeCells(query: Seq[Double], centroids: Seq[Seq[Double]],
+                 nprobe: Int): Seq[Int] = {
+    def sq(a: Seq[Double], b: Seq[Double]): Double = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { val d = a(i) - b(i); s += d * d; i += 1 }
+      s
+    }
+    centroids.zipWithIndex
+      .map { case (c, i) => (sq(query, c), i) }
+      .sortBy(identity).take(nprobe).map(_._2)
+  }
+
   /**
-   * Top-k by cosine among vectors in the `nprobe` cells nearest to the
-   * query vector (queryId's own vector). Probed fraction ≈ nprobe/nlist.
+   * Top-k by cosine over a PRE-ASSIGNED corpus (from `assign` or
+   * `readIndex`): one point lookup for the query vector, driver-side
+   * probe-cell selection, then a cell-pruned cosine top-k. Probed
+   * fraction ≈ nprobe/nlist.
    */
-  def search(emb: DataFrame, idCol: String, vecCol: String,
-             centroids: Seq[Seq[Double]], queryId: Long,
-             k: Int, nprobe: Int): DataFrame = {
-    val indexed = assign(emb, idCol, vecCol, centroids)
-    val q = indexed.filter(col(idCol) === queryId)
-      .select(col(vecCol).as("__qvec"), col("ivf_cell").as("__qcell"))
-    // cells to probe: by distance of the QUERY to each centroid —
-    // computed on the 1-row broadcast side, no corpus pass
-    val withProbe = indexed.join(broadcast(q))
-    val probeCells = centroids.indices
-      .map(i => struct(sqDist(col("__qvec").cast("array<double>"), centroids(i)).as("d"),
-        lit(i).as("cell")))
-    val probed = withProbe.withColumn("__probe",
-        slice(array_sort(array(probeCells: _*)), 1, nprobe))
-      .filter(array_contains(transform(col("__probe"), p => p("cell")), col("ivf_cell")))
-    probed
+  def searchIndexed(indexed: DataFrame, idCol: String, vecCol: String,
+                    centroids: Seq[Seq[Double]], queryId: Long,
+                    k: Int, nprobe: Int): DataFrame = {
+    val qv: Seq[Double] = indexed.filter(col(idCol) === queryId)
+      .select(col(vecCol).cast("array<double>")).head().getSeq[Double](0).toSeq
+    val cells = probeCells(qv, centroids, nprobe)
+    indexed
+      .filter(col("ivf_cell").isin(cells: _*)) // partition-pruned on the index
       .filter(col(idCol) =!= queryId)
       .select(col(idCol),
-        round(Similarity.cosine(col(vecCol), col("__qvec")), 4).as("cos_sim"),
+        round(cosine(col(vecCol).cast("array<double>"), typedLit(qv)), 4).as("cos_sim"),
         col("ivf_cell"))
       .orderBy(col("cos_sim").desc, col(idCol))
       .limit(k)
   }
+
+  private def cosine(a: Column, b: Column): Column =
+    array_dot(a, b) / (sqrt(array_dot(a, a)) * sqrt(array_dot(b, b)))
 }

