@@ -28,7 +28,7 @@ import scala.jdk.CollectionConverters._
  * pruning still gets Catalyst partition pruning + parquet row-group
  * min/max pushdown below it.
  */
-class Catalog(val root: String) {
+class Catalog(val root: String) extends CatalogBackend {
   private val mapper = new ObjectMapper()
 
   case class FileEntry(path: String, minTime: Option[Long], maxTime: Option[Long])

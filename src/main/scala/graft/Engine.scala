@@ -19,7 +19,7 @@ import graft.TimeRangeExtract.TimeRange
  *  - the plan-based time extraction replaces 16 regexes (O2) and the
  *    FROM-rewrite string surgery (O8) becomes temp-view registration.
  */
-class Engine(val spark: SparkSession, val catalog: Catalog,
+class Engine(val spark: SparkSession, val catalog: CatalogBackend,
              val defaultDb: String = "mydb", val timeCol: String = "time") {
 
   graft.functions.Compat.register(spark)

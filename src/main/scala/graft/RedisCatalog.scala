@@ -1,0 +1,179 @@
+package graft
+
+import java.io.{BufferedInputStream, BufferedOutputStream, EOFException}
+import java.net.Socket
+import java.nio.charset.StandardCharsets.UTF_8
+import com.fasterxml.jackson.databind.ObjectMapper
+
+/**
+ * Redis-backed catalog index — the reference's second metadata backend
+ * (`metadata.Type == "redis"` → `NewRedisIndex(url, db, table, layers)`,
+ * /root/reference/querier/queryClient.go:425-431, and
+ * `NewRedisDbIndex(url)` :663-665). The gigapi/metadata module that
+ * implements it is not vendored in the reference checkout, so the wire
+ * SCHEMA below is this library's own; the PROTOCOL (RESP) and the
+ * surface (databases / tables / time-range file query) are the parity
+ * points.
+ *
+ * Schema (all keys under one redis logical db):
+ *   - `graft:dbs`                SET of database names
+ *   - `graft:tables:{db}`       SET of table names
+ *   - `graft:idx:{db}:{table}`  ZSET — member is the JSON index entry
+ *     `{"path":…,"min_time":…,"max_time":…}`, score is `max_time`
+ *     (entries with no stats get score +inf so they are never pruned).
+ *
+ * The score-by-max_time layout makes the time-range lookup a
+ * server-side `ZRANGEBYSCORE key {start} +inf` — files that END before
+ * the query window never cross the wire; the remaining `min_time <=
+ * end` cut happens client-side. At 100 TB the index lookup is
+ * O(|answer|), not O(|files|), and it runs on the driver once per
+ * query — executors never talk to redis.
+ *
+ * The client is a minimal single-connection RESP2 implementation
+ * (arrays of bulk strings out; simple/bulk/int/array replies in) —
+ * deliberately dependency-free, since the image resolves nothing
+ * beyond Spark + scalatest.
+ */
+class RedisCatalog(url: String) extends CatalogBackend with AutoCloseable {
+
+  // redis://[user:password@]host[:port][/dbnum]
+  private val (host, port, password, dbNum) = {
+    val u = new java.net.URI(url)
+    require(u.getScheme == null || u.getScheme == "redis",
+      s"unsupported catalog url scheme: $url")
+    val pw = Option(u.getUserInfo).map { ui =>
+      ui.split(":", 2) match {
+        case Array(_, p) => p
+        case Array(p)    => p // bare userinfo = password (redis AUTH is single-arg)
+      }
+    }
+    val db = Option(u.getPath).map(_.stripPrefix("/")).filter(_.nonEmpty)
+      .map(_.toInt).getOrElse(0)
+    (Option(u.getHost).getOrElse("localhost"),
+      if (u.getPort > 0) u.getPort else 6379, pw, db)
+  }
+
+  private val socket = new Socket(host, port)
+  private val in = new BufferedInputStream(socket.getInputStream)
+  private val out = new BufferedOutputStream(socket.getOutputStream)
+  private val mapper = new ObjectMapper()
+
+  password.foreach(p => command("AUTH", p))
+  if (dbNum != 0) command("SELECT", dbNum.toString)
+
+  // ---- RESP2 wire ----
+
+  /** One request/response round-trip; connection is driver-side only. */
+  private def command(args: String*): Any = synchronized {
+    out.write(s"*${args.size}\r\n".getBytes(UTF_8))
+    args.foreach { a =>
+      val b = a.getBytes(UTF_8)
+      out.write(s"$$${b.length}\r\n".getBytes(UTF_8))
+      out.write(b); out.write('\r'); out.write('\n')
+    }
+    out.flush()
+    readReply()
+  }
+
+  private def readLine(): String = {
+    val sb = new StringBuilder
+    var c = in.read()
+    while (c != '\r') {
+      if (c < 0) throw new EOFException("redis connection closed")
+      sb.append(c.toChar); c = in.read()
+    }
+    in.read() // '\n'
+    sb.toString
+  }
+
+  private def readReply(): Any = in.read() match {
+    case '+' => readLine()
+    case '-' => throw new RuntimeException(s"redis error: ${readLine()}")
+    case ':' => readLine().toLong
+    case '$' =>
+      val n = readLine().toInt
+      if (n < 0) null
+      else {
+        val buf = new Array[Byte](n)
+        var off = 0
+        while (off < n) {
+          val r = in.read(buf, off, n - off)
+          if (r < 0) throw new EOFException("redis connection closed")
+          off += r
+        }
+        in.read(); in.read() // trailing \r\n
+        new String(buf, UTF_8)
+      }
+    case '*' =>
+      val n = readLine().toInt
+      if (n < 0) null else Seq.fill(n)(readReply())
+    case c => throw new RuntimeException(s"unexpected RESP type byte: $c")
+  }
+
+  private def strings(reply: Any): Seq[String] = reply match {
+    case s: Seq[_] => s.collect { case x: String => x }
+    case _         => Nil
+  }
+
+  // ---- CatalogBackend ----
+
+  private def idxKey(db: String, table: String) = s"graft:idx:$db:$table"
+
+  override def databases: Seq[String] =
+    strings(command("SMEMBERS", "graft:dbs")).sorted
+
+  override def tables(db: String): Seq[String] =
+    strings(command("SMEMBERS", s"graft:tables:$db")).sorted
+
+  /**
+   * Redis ZSET scores are IEEE doubles: at epoch-ns magnitude (~2^60)
+   * an ulp is ~256 ns, so the score is a ROUNDED copy of `max_time`.
+   * The server-side bound is therefore widened by 1 ms of slack and
+   * the exact inclusive-overlap test re-runs client-side on the JSON
+   * entry's int64 bounds — score rounding can never prune a needed
+   * boundary file.
+   */
+  override def prunedPaths(db: String, table: String,
+                           range: Option[(Long, Long)]): Seq[String] = {
+    val SLACK_NS = 1000000L
+    val lo = range.map(r => (r._1 - SLACK_NS).toString).getOrElse("-inf")
+    val members = strings(
+      command("ZRANGEBYSCORE", idxKey(db, table), lo, "+inf"))
+    members.flatMap { m =>
+      val node = mapper.readTree(m)
+      val minT = Option(node.get("min_time")).filter(_.isNumber).map(_.asLong())
+      val maxT = Option(node.get("max_time")).filter(_.isNumber).map(_.asLong())
+      val keep = range match {
+        case None => true
+        case Some((start, end)) => // no stats ⇒ keep
+          minT.forall(_ <= end) && maxT.forall(_ >= start)
+      }
+      if (keep) Option(node.get("path")).map(_.asText()) else None
+    }.sorted
+  }
+
+  override def tableExists(db: String, table: String): Boolean =
+    command("SISMEMBER", s"graft:tables:$db", table) == 1L
+
+  // ---- publisher side (what a writer/compactor calls after a commit) ----
+
+  /** Idempotently register a table and its file entries in the index. */
+  def register(db: String, table: String,
+               entries: Seq[(String, Option[Long], Option[Long])]): Unit = {
+    command("SADD", "graft:dbs", db)
+    command("SADD", s"graft:tables:$db", table)
+    entries.foreach { case (path, minT, maxT) =>
+      val json = {
+        val n = mapper.createObjectNode()
+        n.put("path", path)
+        minT.foreach(n.put("min_time", _))
+        maxT.foreach(n.put("max_time", _))
+        mapper.writeValueAsString(n)
+      }
+      val score = maxT.map(_.toString).getOrElse("+inf")
+      command("ZADD", idxKey(db, table), score, json)
+    }
+  }
+
+  override def close(): Unit = socket.close()
+}

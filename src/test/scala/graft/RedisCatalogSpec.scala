@@ -1,0 +1,189 @@
+package graft
+
+import java.io.{BufferedInputStream, BufferedOutputStream, File}
+import java.net.{ServerSocket, Socket}
+import java.nio.charset.StandardCharsets.UTF_8
+import java.nio.file.Files
+import scala.collection.mutable
+import org.scalatest.funsuite.AnyFunSuite
+
+/**
+ * Minimal in-process RESP2 server: enough of the redis protocol
+ * (AUTH/SELECT/PING/SADD/SMEMBERS/SISMEMBER/EXISTS/ZADD/ZRANGEBYSCORE)
+ * to stand in for the redis the container doesn't have. Every command
+ * is appended to `log` so tests can assert WHAT crossed the wire —
+ * i.e. that pruning happened server-side.
+ */
+class FakeRedisServer {
+  val sets = mutable.Map[String, mutable.LinkedHashSet[String]]()
+  val zsets = mutable.Map[String, mutable.LinkedHashMap[String, Double]]()
+  val log = mutable.ArrayBuffer[Seq[String]]()
+
+  private val server = new ServerSocket(0)
+  def port: Int = server.getLocalPort
+
+  private def score(s: String): Double = s match {
+    case "+inf" | "inf" => Double.PositiveInfinity
+    case "-inf"         => Double.NegativeInfinity
+    case n              => n.toDouble
+  }
+
+  private def handle(cmd: Seq[String]): String = {
+    log.synchronized { log += cmd }
+    cmd.head.toUpperCase match {
+      case "AUTH" | "SELECT" | "QUIT" => "+OK\r\n"
+      case "PING" => "+PONG\r\n"
+      case "SADD" =>
+        val s = sets.getOrElseUpdate(cmd(1), mutable.LinkedHashSet())
+        val added = cmd.drop(2).count(s.add)
+        s":$added\r\n"
+      case "SMEMBERS" =>
+        val ms = sets.getOrElse(cmd(1), mutable.LinkedHashSet()).toSeq
+        ms.map(m => s"$$${m.getBytes(UTF_8).length}\r\n$m\r\n")
+          .mkString(s"*${ms.size}\r\n", "", "")
+      case "SISMEMBER" =>
+        val hit = sets.get(cmd(1)).exists(_.contains(cmd(2)))
+        s":${if (hit) 1 else 0}\r\n"
+      case "EXISTS" =>
+        val n = cmd.drop(1).count(k => sets.contains(k) || zsets.contains(k))
+        s":$n\r\n"
+      case "ZADD" =>
+        val z = zsets.getOrElseUpdate(cmd(1), mutable.LinkedHashMap())
+        val added = if (z.contains(cmd(3))) 0 else 1
+        z(cmd(3)) = score(cmd(2))
+        s":$added\r\n"
+      case "ZRANGEBYSCORE" =>
+        val (lo, hi) = (score(cmd(2)), score(cmd(3)))
+        val ms = zsets.getOrElse(cmd(1), mutable.LinkedHashMap()).toSeq
+          .filter { case (_, sc) => sc >= lo && sc <= hi }
+          .sortBy(_._2).map(_._1)
+        ms.map(m => s"$$${m.getBytes(UTF_8).length}\r\n$m\r\n")
+          .mkString(s"*${ms.size}\r\n", "", "")
+      case other => s"-ERR unknown command '$other'\r\n"
+    }
+  }
+
+  private val thread = new Thread(() => {
+    try while (true) {
+      val sock = server.accept()
+      new Thread(() => serve(sock)).start()
+    } catch { case _: Throwable => () }
+  })
+  thread.setDaemon(true)
+  thread.start()
+
+  private def serve(sock: Socket): Unit = {
+    val in = new BufferedInputStream(sock.getInputStream)
+    val out = new BufferedOutputStream(sock.getOutputStream)
+    def line(): String = {
+      val sb = new StringBuilder
+      var c = in.read()
+      while (c != '\r' && c >= 0) { sb.append(c.toChar); c = in.read() }
+      if (c < 0) throw new java.io.EOFException
+      in.read(); sb.toString
+    }
+    try while (true) {
+      val first = line()
+      require(first.startsWith("*"), s"expected array, got $first")
+      val n = first.drop(1).toInt
+      val args = (0 until n).map { _ =>
+        val len = line().drop(1).toInt
+        val buf = new Array[Byte](len)
+        var off = 0
+        while (off < len) {
+          val r = in.read(buf, off, len - off)
+          require(r >= 0); off += r
+        }
+        in.read(); in.read()
+        new String(buf, UTF_8)
+      }
+      out.write(handle(args).getBytes(UTF_8)); out.flush()
+    } catch { case _: Throwable => sock.close() }
+  }
+
+  def stop(): Unit = server.close()
+}
+
+/**
+ * Redis catalog backend (reference parity:
+ * /root/reference/querier/queryClient.go:425-431,663-665 — `redis`
+ * metadata type) against the in-process fake server, including an
+ * end-to-end Engine query whose file list comes from redis.
+ */
+class RedisCatalogSpec extends AnyFunSuite {
+  private lazy val spark = GraftTestSession.spark
+  private val HOUR_NS = 3600L * 1000000000L
+  private val T0 = 1672531200000000000L // 2023-01-01T00:00:00Z
+
+  test("register + discovery + time-pruned lookup over the RESP wire") {
+    val srv = new FakeRedisServer
+    try {
+      val cat = new RedisCatalog(s"redis://:hunter2@localhost:${srv.port}/2")
+      // AUTH + SELECT happened on connect
+      assert(srv.log.take(2).map(_.head.toUpperCase) == Seq("AUTH", "SELECT"))
+      assert(srv.log.head(1) == "hunter2" && srv.log(1)(1) == "2")
+
+      cat.register("mydb", "meas", Seq(
+        ("/lake/d1.parquet", Some(T0), Some(T0 + 23 * HOUR_NS)),
+        ("/lake/d2.parquet", Some(T0 + 24 * HOUR_NS), Some(T0 + 47 * HOUR_NS)),
+        ("/lake/nostats.parquet", None, None)))
+      cat.register("otherdb", "events", Seq(("/lake/e.parquet", None, None)))
+
+      assert(cat.databases == Seq("mydb", "otherdb"))
+      assert(cat.tables("mydb") == Seq("meas"))
+      assert(cat.tableExists("mydb", "meas"))
+      assert(!cat.tableExists("mydb", "nope"))
+
+      // no range: everything
+      assert(cat.prunedPaths("mydb", "meas", None).size == 3)
+      // range in day 2 only: day-1 file pruned SERVER-side (score < start
+      // never crosses the wire); the stat-less file survives (+inf score)
+      srv.log.synchronized(srv.log.clear())
+      val got = cat.prunedPaths("mydb", "meas",
+        Some((T0 + 30 * HOUR_NS, T0 + 40 * HOUR_NS)))
+      assert(got == Seq("/lake/d2.parquet", "/lake/nostats.parquet"))
+      val zq = srv.log.find(_.head.toUpperCase == "ZRANGEBYSCORE").get
+      assert(zq(2) == (T0 + 30 * HOUR_NS - 1000000L).toString && zq(3) == "+inf")
+      // range before day 1: min_time cut is client-side; stat-less kept
+      assert(cat.prunedPaths("mydb", "meas", Some((0L, T0 - 1))) ==
+        Seq("/lake/nostats.parquet"))
+      cat.close()
+    } finally srv.stop()
+  }
+
+  test("Engine end-to-end with a redis-indexed lake") {
+    val srv = new FakeRedisServer
+    try {
+      import spark.implicits._
+      val dir = Files.createTempDirectory(
+        new File("target").toPath.toAbsolutePath, "redislake").toFile
+      def writeDay(day: Int): (String, Long, Long) = {
+        val t0 = T0 + (day - 1) * 24 * HOUR_NS
+        val rows = (0 until 24).map(h => (t0 + h * HOUR_NS, s"loc$day", day * 100.0 + h))
+        val d = new File(dir, s"day$day"); d.mkdirs()
+        rows.toDF("time", "location", "temperature").coalesce(1)
+          .write.mode("overwrite").parquet(d.getAbsolutePath)
+        val part = d.listFiles().find(_.getName.endsWith(".parquet")).get
+        (part.getAbsolutePath, rows.map(_._1).min, rows.map(_._1).max)
+      }
+      val cat = new RedisCatalog(s"redis://localhost:${srv.port}")
+      cat.register("mydb", "meas", (1 to 3).map { day =>
+        val (p, mn, mx) = writeDay(day); (p, Some(mn), Some(mx))
+      })
+      val engine = new Engine(spark, cat)
+      assert(engine.query("SHOW DATABASES").as[String].collect().toSeq == Seq("mydb"))
+      // time predicate on int64-ns column → redis-side pruning to day 2
+      val res = engine.query(
+        "SELECT location, count(*) AS n FROM meas " +
+        "WHERE time >= '2023-01-02T00:00:00' AND time < '2023-01-03T00:00:00' " +
+        "GROUP BY location")
+      assert(res.collect().map(r => (r.getString(0), r.getLong(1))).toSeq ==
+        Seq(("loc2", 24L)))
+      // the ZRANGEBYSCORE bound proves files ending before day 2 were
+      // excluded by the server, not scanned and discarded by Spark
+      val zq = srv.log.filter(_.head.toUpperCase == "ZRANGEBYSCORE")
+      assert(zq.exists(q => q(2).toDouble > (T0 + 23 * HOUR_NS).toDouble))
+      cat.close()
+    } finally srv.stop()
+  }
+}
