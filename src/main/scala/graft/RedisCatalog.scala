@@ -16,11 +16,17 @@ import com.fasterxml.jackson.databind.ObjectMapper
  * points.
  *
  * Schema (all keys under one redis logical db):
- *   - `graft:dbs`                SET of database names
- *   - `graft:tables:{db}`       SET of table names
- *   - `graft:idx:{db}:{table}`  ZSET — member is the JSON index entry
- *     `{"path":…,"min_time":…,"max_time":…}`, score is `max_time`
- *     (entries with no stats get score +inf so they are never pruned).
+ *   - `graft:dbs`                 SET of database names
+ *   - `graft:tables:{db}`        SET of table names
+ *   - `graft:idx:{db}:{table}`   ZSET — member is the file PATH, score
+ *     is `max_time` (entries with no stats get score +inf so they are
+ *     never pruned). The path-as-member makes registration idempotent
+ *     BY PATH: a compactor re-registering a file with new stats
+ *     replaces the score instead of accumulating a second entry (which
+ *     would make the scan read the file twice).
+ *   - `graft:stats:{db}:{table}` HASH path → JSON
+ *     `{"min_time":…,"max_time":…}` — the exact int64 bounds for the
+ *     client-side overlap re-check (ZSET scores are lossy doubles).
  *
  * The score-by-max_time layout makes the time-range lookup a
  * server-side `ZRANGEBYSCORE key {start} +inf` — files that END before
@@ -37,20 +43,23 @@ import com.fasterxml.jackson.databind.ObjectMapper
 class RedisCatalog(url: String) extends CatalogBackend with AutoCloseable {
 
   // redis://[user:password@]host[:port][/dbnum]
-  private val (host, port, password, dbNum) = {
+  private val (host, port, auth, dbNum) = {
     val u = new java.net.URI(url)
     require(u.getScheme == null || u.getScheme == "redis",
       s"unsupported catalog url scheme: $url")
-    val pw = Option(u.getUserInfo).map { ui =>
+    // `user:pass` → two-arg AUTH (redis 6+ ACL user); bare userinfo →
+    // legacy single-arg AUTH with just the password
+    val authArgs = Option(u.getUserInfo).map { ui =>
       ui.split(":", 2) match {
-        case Array(_, p) => p
-        case Array(p)    => p // bare userinfo = password (redis AUTH is single-arg)
+        case Array(user, p) if user.nonEmpty => Seq(user, p)
+        case Array(_, p) => Seq(p)
+        case Array(p)    => Seq(p)
       }
     }
     val db = Option(u.getPath).map(_.stripPrefix("/")).filter(_.nonEmpty)
       .map(_.toInt).getOrElse(0)
     (Option(u.getHost).getOrElse("localhost"),
-      if (u.getPort > 0) u.getPort else 6379, pw, db)
+      if (u.getPort > 0) u.getPort else 6379, authArgs, db)
   }
 
   private val socket = new Socket(host, port)
@@ -58,7 +67,7 @@ class RedisCatalog(url: String) extends CatalogBackend with AutoCloseable {
   private val out = new BufferedOutputStream(socket.getOutputStream)
   private val mapper = new ObjectMapper()
 
-  password.foreach(p => command("AUTH", p))
+  auth.foreach(a => command("AUTH" +: a: _*))
   if (dbNum != 0) command("SELECT", dbNum.toString)
 
   // ---- RESP2 wire ----
@@ -118,6 +127,7 @@ class RedisCatalog(url: String) extends CatalogBackend with AutoCloseable {
   // ---- CatalogBackend ----
 
   private def idxKey(db: String, table: String) = s"graft:idx:$db:$table"
+  private def statsKey(db: String, table: String) = s"graft:stats:$db:$table"
 
   override def databases: Seq[String] =
     strings(command("SMEMBERS", "graft:dbs")).sorted
@@ -136,19 +146,31 @@ class RedisCatalog(url: String) extends CatalogBackend with AutoCloseable {
   override def prunedPaths(db: String, table: String,
                            range: Option[(Long, Long)]): Seq[String] = {
     val SLACK_NS = 1000000L
-    val lo = range.map(r => (r._1 - SLACK_NS).toString).getOrElse("-inf")
-    val members = strings(
+    // saturate: an upper-bound-only range carries start = Long.MinValue
+    // and (start - SLACK) would overflow to +huge, silently pruning
+    // every stat-ful file — use -inf when the slack can't be subtracted
+    val lo = range.map(_._1) match {
+      case Some(start) if start > Long.MinValue + SLACK_NS =>
+        (start - SLACK_NS).toString
+      case _ => "-inf"
+    }
+    val paths = strings(
       command("ZRANGEBYSCORE", idxKey(db, table), lo, "+inf"))
-    members.flatMap { m =>
-      val node = mapper.readTree(m)
-      val minT = Option(node.get("min_time")).filter(_.isNumber).map(_.asLong())
-      val maxT = Option(node.get("max_time")).filter(_.isNumber).map(_.asLong())
-      val keep = range match {
-        case None => true
-        case Some((start, end)) => // no stats ⇒ keep
+    if (paths.isEmpty) return Nil
+    val statsJson = command("HMGET" +: statsKey(db, table) +: paths: _*) match {
+      case s: Seq[_] => s.map(Option(_).collect { case x: String => x })
+      case _         => Seq.fill(paths.size)(None)
+    }
+    paths.zip(statsJson).collect {
+      case (path, json) if range.isEmpty || {
+        val (start, end) = range.get
+        json.forall { j => // no stats ⇒ keep
+          val node = mapper.readTree(j)
+          val minT = Option(node.get("min_time")).filter(_.isNumber).map(_.asLong())
+          val maxT = Option(node.get("max_time")).filter(_.isNumber).map(_.asLong())
           minT.forall(_ <= end) && maxT.forall(_ >= start)
-      }
-      if (keep) Option(node.get("path")).map(_.asText()) else None
+        }
+      } => path
     }.sorted
   }
 
@@ -157,7 +179,13 @@ class RedisCatalog(url: String) extends CatalogBackend with AutoCloseable {
 
   // ---- publisher side (what a writer/compactor calls after a commit) ----
 
-  /** Idempotently register a table and its file entries in the index. */
+  /**
+   * Register a table and its file entries in the index — idempotent BY
+   * PATH: the ZSET member is the path itself, so re-registering a path
+   * with updated stats (a compactor rewriting min/max) replaces its
+   * score and hash entry instead of accumulating a duplicate that
+   * would be scanned twice.
+   */
   def register(db: String, table: String,
                entries: Seq[(String, Option[Long], Option[Long])]): Unit = {
     command("SADD", "graft:dbs", db)
@@ -165,13 +193,13 @@ class RedisCatalog(url: String) extends CatalogBackend with AutoCloseable {
     entries.foreach { case (path, minT, maxT) =>
       val json = {
         val n = mapper.createObjectNode()
-        n.put("path", path)
         minT.foreach(n.put("min_time", _))
         maxT.foreach(n.put("max_time", _))
         mapper.writeValueAsString(n)
       }
       val score = maxT.map(_.toString).getOrElse("+inf")
-      command("ZADD", idxKey(db, table), score, json)
+      command("ZADD", idxKey(db, table), score, path)
+      command("HSET", statsKey(db, table), path, json)
     }
   }
 
