@@ -19,12 +19,25 @@ object TextAnalysis {
 
   private val STOPWORDS = Seq("the", "a", "of", "and", "to", "in", "is", "it")
 
+  /** "Word W occurs as a whole whitespace-delimited token" as a regex:
+    * not preceded and not followed by a non-space char. Counting hits
+    * is then ONE codegen'd `regexp_count` pass over the text — no
+    * token-array materialization and no interpreted higher-order
+    * `filter` lambda (the interpreted-HOF-per-element trap that made
+    * q57/q59 the slowest per-row queries in the round-2 bench). */
+  private def tokenAlternationRe(words: Seq[String]): String =
+    "(?<!\\S)(?:" + words.mkString("|") + ")(?!\\S)"
+
+  private val STOPWORD_RE = tokenAlternationRe(STOPWORDS)
+
+  /** Number of stopword tokens — single regex pass, fully codegen'd. */
+  def stopwordHits(text: Column): Column =
+    regexp_count(text, lit(STOPWORD_RE))
+
   /** Fraction of tokens that are stopwords (English marker set). */
-  def stopwordRatio(text: Column): Column = {
-    val stops = typedLit(STOPWORDS)
-    size(filter(tokens(text), t => array_contains(stops, t))) /
+  def stopwordRatio(text: Column): Column =
+    stopwordHits(text) /
       greatest(size(tokens(text)), lit(1)).cast("double")
-  }
 
   /** Mean token length in characters. */
   def avgTokenLen(text: Column): Column =
@@ -53,12 +66,11 @@ object TextAnalysis {
     "es" -> Seq("el", "los", "que", "y"),
     "zh" -> Seq("的", "是", "了", "在"))
 
-  /** Marker-hit count for one language. */
-  def langScore(text: Column, lang: String): Column = {
-    val markers = LANG_MARKERS.toMap.apply(lang)
-    markers.map(m => size(filter(tokens(text), t => t === m)))
-      .reduce(_ + _).cast("long")
-  }
+  /** Marker-hit count for one language — one regexp_count pass (the
+    * markers are plain words, no regex metacharacters to escape). */
+  def langScore(text: Column, lang: String): Column =
+    regexp_count(text,
+      lit(tokenAlternationRe(LANG_MARKERS.toMap.apply(lang)))).cast("long")
 
   /** argmax language by marker score (first language wins ties, in
     * LANG_MARKERS order — deterministic). */
@@ -102,6 +114,24 @@ object TextAnalysis {
       .select(col("doc_id"),
         coalesce(col("lang"), lit(LANG_MARKERS.head._1)).as("pred_lang"),
         coalesce(col("score"), lit(0L)).as("score"))
+  }
+
+  /**
+   * All per-document token/quality stats in ONE codegen'd projection —
+   * no explode, no join, no shuffle: every stat is a per-row regex
+   * aggregate (token count, non-space char count, stopword hits via
+   * `regexp_count`), so the operator is embarrassingly parallel and
+   * the repeated subexpressions (token count appears in several
+   * ratios) collapse under whole-stage codegen's subexpression
+   * elimination rather than re-scanning the text.
+   */
+  def textStatsTable(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val t = col(textCol)
+    docs.select(col(idCol),
+      tokenCount(t).as("n_tokens"),
+      round(avgTokenLen(t), 6).as("avg_token_len"),
+      round(stopwordRatio(t), 6).as("stopword_ratio"),
+      qualityScore(t).as("quality"))
   }
 
   /** Content-addressed fingerprint over whitespace-normalized text. */
