@@ -67,15 +67,42 @@ class Engine(val spark: SparkSession, val catalog: CatalogBackend,
     if (upper == "SHOW TABLES") return showTables(db)
 
     val planOpt = scala.util.Try(parse(spark, sql)).toOption
+    // CTE names shadow lake tables: `WITH x AS (…) SELECT … FROM x`
+    // must resolve x to the CTE even when a lake table x exists
+    val cteNames: Set[String] = planOpt.toSeq
+      .flatMap(withSubqueryPlans)
+      .flatMap(_.collect {
+        case w: org.apache.spark.sql.catalyst.plans.logical.UnresolvedWith =>
+          w.cteRelations.map(_._1.toLowerCase)
+      }.flatten).toSet
     val rels = planOpt.map(findRelations).getOrElse(Nil)
+      .filterNot(id => id.size == 1 && cteNames.contains(id.head.toLowerCase))
       .map {
         case Seq(d, t) => (d, t)
         case Seq(t) => (db, t)
         case other => (other.dropRight(1).mkString("."), other.last)
       }
+      .distinct
       .filter { case (d, t) => catalog.tableExists(d, t) }
     if (rels.isEmpty)
       return spark.sql(sql) // table-free or non-lake SQL → pass-through (O10)
+
+    // A db in the reference's model is just a directory, so same-named
+    // tables in DIFFERENT dbs are ordinary — the view name must carry
+    // the db or `mydb.events ⋈ otherdb.events` would silently read one
+    // table twice. Sanitized to an identifier; collisions after
+    // sanitizing (distinct raw names mapping to one clean name) get a
+    // deterministic hash suffix.
+    val viewFor: Map[(String, String), String] = {
+      val base = rels.map { case (d, t) =>
+        (d.toLowerCase, t.toLowerCase) ->
+          s"${d}__${t}".toLowerCase.replaceAll("[^a-z0-9_]", "_")
+      }
+      val dup = base.groupBy(_._2).filter(_._2.size > 1).keySet
+      base.map { case (k, v) =>
+        k -> (if (dup(v)) v + "_" + math.abs((k._1 + "." + k._2).hashCode) else v)
+      }.toMap
+    }
 
     // register EVERY referenced lake table as a temp view (joins across
     // measurements work like any single-table query). Zone-map pruning
@@ -85,33 +112,55 @@ class Engine(val spark: SparkSession, val catalog: CatalogBackend,
     // WHERE clause still filters either way (quirk §2.3-7).
     val perRel: Map[String, TimeRange] =
       extractPerRelation(planOpt.get, timeCol)
-    var anyLongTime = false
+    // table (last name, lowercase) → "its time column is int64 ns";
+    // only tables that HAVE a time column appear. Same-name tables in
+    // different dbs share a key — AND'ed, so a mixed pair never gets
+    // the long-side rewrite applied to its timestamp side.
+    val timeIsLong = scala.collection.mutable.Map[String, Boolean]()
     rels.foreach { case (relDb, table) =>
       val pruneRange = perRel.get(table.toLowerCase).flatMap(_.asTuple)
       val tableDf = readTable(relDb, table, pruneRange)
-      tableDf.createOrReplaceTempView(table)
-      anyLongTime ||= tableDf.schema.fields
-        .find(_.name.equalsIgnoreCase(timeCol))
-        .exists(_.dataType == org.apache.spark.sql.types.LongType)
+      tableDf.createOrReplaceTempView(viewFor((relDb.toLowerCase, table.toLowerCase)))
+      tableDf.schema.fields.find(_.name.equalsIgnoreCase(timeCol)).foreach { f =>
+        val isLong = f.dataType == org.apache.spark.sql.types.LongType
+        val key = table.toLowerCase
+        timeIsLong(key) = timeIsLong.getOrElse(key, true) && isLong
+      }
     }
-    // `db.table` → `table` (the view) on the PARSED PLAN — the analog
-    // of the reference's FROM-clause splice (O8), but done as an
-    // identifier transform instead of regex surgery over the SQL text,
-    // so a 'mydb.meas' string literal or a column named `mydb` is
-    // never corrupted. Subquery plans are rewritten too.
-    val registered = rels.map { case (d, t) => (d.toLowerCase, t.toLowerCase) }.toSet
+    val anyLongTime = timeIsLong.values.exists(identity)
+    // `db.table` (or bare `table` in the default db) → the registered
+    // view, on the PARSED PLAN — the analog of the reference's
+    // FROM-clause splice (O8), but done as an identifier transform
+    // instead of regex surgery over the SQL text, so a 'mydb.meas'
+    // string literal or a column named `mydb` is never corrupted.
+    // Subquery plans are rewritten too; CTE references are left alone.
+    def relKey(parts: Seq[String]): (String, String) =
+      if (parts.size == 1) (db.toLowerCase, parts.head.toLowerCase)
+      else (parts.dropRight(1).mkString(".").toLowerCase, parts.last.toLowerCase)
     val renamed = planOpt.get.transformDownWithSubqueries {
       case r: org.apache.spark.sql.catalyst.analysis.UnresolvedRelation
-          if r.multipartIdentifier.size >= 2 && registered.contains(
-            (r.multipartIdentifier.dropRight(1).mkString(".").toLowerCase,
-              r.multipartIdentifier.last.toLowerCase)) =>
+          if !(r.multipartIdentifier.size == 1 &&
+               cteNames.contains(r.multipartIdentifier.head.toLowerCase)) &&
+            viewFor.contains(relKey(r.multipartIdentifier)) =>
         org.apache.spark.sql.catalyst.analysis.UnresolvedRelation(
-          Seq(r.multipartIdentifier.last))
+          Seq(viewFor(relKey(r.multipartIdentifier))))
     }
     // O9 analog: if any time column is int64 ns, rewrite time-vs-
-    // string/timestamp literal comparisons to long-literal form
-    val finalPlan =
-      if (anyLongTime) rewriteTimeLiterals(renamed, timeCol) else renamed
+    // string/timestamp literal comparisons to long-literal form —
+    // alias-scoped so a TimestampType `time` on another relation in
+    // the same plan keeps its native literal semantics
+    val finalPlan = if (anyLongTime) {
+      val aliases = TimeRangeExtract.aliasMap(planOpt.get)
+      // unqualified `time` (or an unresolvable qualifier, e.g. a
+      // multi-table subquery alias): rewrite only when EVERY time-
+      // bearing relation in the plan is long — otherwise ambiguous
+      val allLong = timeIsLong.values.forall(identity)
+      rewriteTimeLiterals(renamed, timeCol, attributable = parts =>
+        if (parts.size >= 2) {
+          val q = parts.dropRight(1).mkString(".").toLowerCase
+          aliases.get(q).flatMap(timeIsLong.get).getOrElse(allLong)
+        } else allLong)
+    } else renamed
     org.apache.spark.sql.graftbridge.ColumnBridge.ofRows(spark, finalPlan)
   }
 }

@@ -74,23 +74,33 @@ object TimeRangeExtract {
    * `NOT EXISTS (… t.time > X)` pruned by `time > X` would invert the
    * result. Pruning stays a strict optimization (quirk §2.3-7).
    */
-  def extractPerRelation(plan: LogicalPlan,
-                         timeCol: String = "time"): Map[String, TimeRange] = {
-    // alias → relation-name map (bare table name aliases itself)
+  /** alias → relation-name map (lowercased; bare table name and
+    * `db.table` both alias the table; a subquery alias maps to the
+    * first relation under it). Shared by per-relation pruning and the
+    * alias-scoped literal rewrite. */
+  def aliasMap(plan: LogicalPlan): Map[String, String] = {
     val aliasToTable = scala.collection.mutable.Map[String, String]()
-    val tables = scala.collection.mutable.ListBuffer[String]()
-    val allPlans = withSubqueryPlans(plan)
-    allPlans.foreach(_.foreach {
+    withSubqueryPlans(plan).foreach(_.foreach {
       case org.apache.spark.sql.catalyst.plans.logical.SubqueryAlias(ident, child) =>
         child.collectFirst { case r: UnresolvedRelation =>
           aliasToTable(ident.name.toLowerCase) = r.multipartIdentifier.last.toLowerCase
         }
       case r: UnresolvedRelation =>
         val t = r.multipartIdentifier.last.toLowerCase
-        tables += t
         aliasToTable.getOrElseUpdate(t, t)
         // db.table used as qualifier too
         aliasToTable.getOrElseUpdate(r.multipartIdentifier.mkString(".").toLowerCase, t)
+      case _ => ()
+    })
+    aliasToTable.toMap
+  }
+
+  def extractPerRelation(plan: LogicalPlan,
+                         timeCol: String = "time"): Map[String, TimeRange] = {
+    val aliasToTable = aliasMap(plan)
+    val tables = scala.collection.mutable.ListBuffer[String]()
+    withSubqueryPlans(plan).foreach(_.foreach {
+      case r: UnresolvedRelation => tables += r.multipartIdentifier.last.toLowerCase
       case _ => ()
     })
     val counts = tables.groupBy(identity).view.mapValues(_.size).toMap
@@ -159,10 +169,19 @@ object TimeRangeExtract {
    * with their epoch-ns long value — so `time >= '2024-01-10'` becomes
    * a plain long comparison (pushed down to parquet). Done as a
    * Catalyst plan transform, not string surgery.
+   *
+   * `attributable` scopes the rewrite to attributes that belong to a
+   * LongType-time relation (alias attribution, same map as pruning):
+   * in a join between an int64-ns lake table and a TimestampType-time
+   * table, the timestamp side's literals must NOT be rewritten to ns
+   * longs — that would be a silently wrong comparison.
    */
-  def rewriteTimeLiterals(plan: LogicalPlan, timeCol: String): LogicalPlan = {
+  def rewriteTimeLiterals(plan: LogicalPlan, timeCol: String,
+                          attributable: Seq[String] => Boolean = _ => true): LogicalPlan = {
     def isTime(e: Expression): Boolean = e match {
-      case a: UnresolvedAttribute => a.nameParts.lastOption.exists(_.equalsIgnoreCase(timeCol))
+      case a: UnresolvedAttribute =>
+        a.nameParts.lastOption.exists(_.equalsIgnoreCase(timeCol)) &&
+          attributable(a.nameParts)
       case Cast(c, _, _, _) => isTime(c)
       case _ => false
     }

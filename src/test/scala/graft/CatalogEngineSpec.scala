@@ -196,6 +196,54 @@ class CatalogEngineSpec extends AnyFunSuite {
     assert(df.collect().head.getLong(0) == 24L)
   }
 
+  test("engine: same-named tables in different dbs read BOTH tables") {
+    import spark.implicits._
+    // a second db holding its own `meas` with different content — the
+    // view name must carry the db or both references silently read one
+    val d = new File(root, "otherdb/meas"); d.mkdirs()
+    Seq((T0, "locX", 999.0), (T0 + HOUR_NS, "locY", 998.0))
+      .toDF("time", "location", "temperature").coalesce(1)
+      .write.mode("overwrite").parquet(d.getAbsolutePath)
+    val counts = engine.query(
+      "SELECT (SELECT count(*) FROM mydb.meas) AS a, " +
+        "(SELECT count(*) FROM otherdb.meas) AS b", "").collect().head
+    assert(counts.getLong(0) == 72L && counts.getLong(1) == 2L)
+    // cross-db join between the same-named tables
+    val j = engine.query(
+      "SELECT count(*) AS n FROM mydb.meas m JOIN otherdb.meas o " +
+        "ON m.location <> o.location", "")
+    assert(j.collect().head.getLong(0) == 72L * 2L)
+    // bare name still resolves through the default db
+    assert(engine.query("SELECT count(*) AS n FROM meas", "otherdb")
+      .collect().head.getLong(0) == 2L)
+  }
+
+  test("engine: literal rewrite is alias-scoped in mixed time-type joins") {
+    import spark.implicits._
+    // a lake table whose `time` is a native TIMESTAMP, not int64 ns —
+    // its literals must NOT be rewritten to epoch-ns longs
+    val d = new File(root, "tsdb/tsev"); d.mkdirs()
+    Seq(("loc2", java.time.Instant.parse("2023-01-01T10:00:00Z")),
+        ("loc2", java.time.Instant.parse("2023-01-01T20:00:00Z")),
+        ("loc3", java.time.Instant.parse("2023-01-01T10:00:00Z")))
+      .toDF("location", "time").coalesce(1)
+      .write.mode("overwrite").parquet(d.getAbsolutePath)
+    val df = engine.query(
+      "SELECT count(*) AS n FROM mydb.meas m JOIN tsdb.tsev e " +
+        "ON m.location = e.location " +
+        "WHERE m.time >= '2023-01-02T00:00:00Z' " +   // long side: ns rewrite
+        "AND e.time < '2023-01-01T12:00:00Z'", "")    // ts side: native semantics
+    // e rows before noon: (loc2,10h),(loc3,10h); m rows from day 2 on:
+    // 24×loc2 (day 2) + 24×loc3 (day 3)
+    assert(df.collect().head.getLong(0) == 48L)
+  }
+
+  test("engine: CTE name shadows a same-named lake table") {
+    val df = engine.query(
+      "WITH meas AS (SELECT 42 AS v) SELECT v FROM meas", "mydb")
+    assert(df.collect().map(_.getInt(0)).toSeq == Seq(42))
+  }
+
   test("engine: outer window does not prune a subquery over the same table") {
     // outer restricts to day 3; subquery aggregates over ALL days — if the
     // outer window pruned the shared view, min(time) would be day-3's start
