@@ -101,15 +101,62 @@ object IvfIndex {
   }
 
   /**
+   * A built, queryable index: trained centroids, the cell-partitioned
+   * corpus, and an id→cell sidecar (2 narrow columns — a point lookup
+   * scans it instead of the 64-float vectors, then reads the one cell
+   * partition that holds the vector). Built once per (corpus, params)
+   * via [[buildCached]]; queries only pay search cost.
+   */
+  case class Index(centroids: Seq[Seq[Double]], data: DataFrame,
+                   idToCell: DataFrame)
+
+  private val cache = new java.util.concurrent.ConcurrentHashMap[String, Index]()
+
+  /**
+   * Memoized build (one per JVM per cache key, like `Tables.load`):
+   * train + persist the cell-partitioned index + sidecar under a
+   * per-run temp directory — unique per JVM, so two processes
+   * benchmarking the same workspace never race on one path. On a real
+   * cluster the path would live on shared storage; the layout
+   * (Hive-partitioned by cell + narrow sidecar) is the part that
+   * carries to 100 TB.
+   */
+  def buildCached(emb: DataFrame, idCol: String, vecCol: String,
+                  nlist: Int, iters: Int, cacheKey: String): Index =
+    cache.computeIfAbsent(s"$cacheKey|$nlist|$iters", _ => {
+      val spark = emb.sparkSession
+      val centroids = train(emb, idCol, vecCol, nlist, iters)
+      val base = java.nio.file.Paths.get("target")
+      java.nio.file.Files.createDirectories(base)
+      val path = java.nio.file.Files
+        .createTempDirectory(base, "ivf_index_").toString
+      writeIndex(emb, idCol, vecCol, centroids, s"$path/cells")
+      val data = readIndex(spark, s"$path/cells")
+      data.select(col(idCol), col("ivf_cell"))
+        .write.mode("overwrite").parquet(s"$path/ids")
+      Index(centroids, data, spark.read.parquet(s"$path/ids"))
+    })
+
+  /**
    * Top-k by cosine over a PRE-ASSIGNED corpus (from `assign` or
    * `readIndex`): one point lookup for the query vector, driver-side
    * probe-cell selection, then a cell-pruned cosine top-k. Probed
-   * fraction ≈ nprobe/nlist.
+   * fraction ≈ nprobe/nlist. With `idToCell` the query-vector lookup
+   * reads the narrow sidecar + one cell partition instead of scanning
+   * every cell's vectors.
    */
   def searchIndexed(indexed: DataFrame, idCol: String, vecCol: String,
                     centroids: Seq[Seq[Double]], queryId: Long,
-                    k: Int, nprobe: Int): DataFrame = {
-    val qv: Seq[Double] = indexed.filter(col(idCol) === queryId)
+                    k: Int, nprobe: Int,
+                    idToCell: Option[DataFrame] = None): DataFrame = {
+    val qRows = idToCell match {
+      case Some(sidecar) =>
+        val qCell = sidecar.filter(col(idCol) === queryId)
+          .select(col("ivf_cell")).head().getInt(0)
+        indexed.filter(col("ivf_cell") === qCell) // partition-pruned point read
+      case None => indexed
+    }
+    val qv: Seq[Double] = qRows.filter(col(idCol) === queryId)
       .select(col(vecCol).cast("array<double>")).head().getSeq[Double](0).toSeq
     val cells = probeCells(qv, centroids, nprobe)
     indexed
