@@ -56,6 +56,24 @@ class ScaleOperatorsSpec extends AnyFunSuite {
     assert(scan.contains("PartitionFilters: [ivf_cell"))
   }
 
+  test("MinHash LSH candidate recall >= 0.9 against the exact pair set") {
+    // ground truth: the prefix-filtered EXACT Jaccard join (100% recall
+    // by construction, DuckDB-oracled as q91); measure what fraction of
+    // true J>=0.8 pairs the banded MinHash candidates recover
+    val docs = Tables.load(spark, "/root/testdata/sf0.001", "documents")
+    val exact = Dedup.prefixFilterJaccardPairs(docs, "doc_id", "text",
+        shingleWords = 3, minJaccard = 0.8)
+      .select("id_a", "id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(exact.size >= 20) // sf0.001 plants ~28 true near-dup pairs
+    val cand = Dedup.minhashCandidates(docs, "doc_id", "text",
+        shingleWords = 3, k = 64, bands = 16, minEstJaccard = 0.0)
+      .select("id_a", "id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = exact.count(cand.contains) / exact.size.toDouble
+    assert(recall >= 0.9, s"LSH recall $recall over ${exact.size} exact pairs")
+  }
+
   test("dedupCorpus drops near-dup higher ids, keeps everything else") {
     val docs = Seq(
       (0L, "alpha beta gamma delta epsilon zeta eta theta"),
