@@ -21,4 +21,17 @@ trait CatalogBackend {
   def prunedPaths(db: String, table: String, range: Option[(Long, Long)]): Seq[String]
 
   def tableExists(db: String, table: String): Boolean
+
+  /**
+   * Writer-side hook: record newly written files `(absolute path,
+   * min_time, max_time)` for `db.table` so the backend can serve them
+   * from `prunedPaths`. Default is a no-op — the json backend
+   * discovers files from the `metadata.json` zone maps the writer
+   * already leaves on disk; index-server backends (redis) override
+   * this to publish entries. `LakeWriter.write(catalog = Some(…))`
+   * calls it after a commit, keeping the backends interchangeable
+   * end-to-end.
+   */
+  def register(db: String, table: String,
+               entries: Seq[(String, Option[Long], Option[Long])]): Unit = ()
 }

@@ -47,7 +47,8 @@ object LakeWriter {
             timeCol: String = "time", mode: SaveMode = SaveMode.Overwrite,
             hourPartitions: Boolean = false,
             bloomFilterCols: Seq[String] = Nil,
-            zorderCols: Seq[String] = Nil): Unit = {
+            zorderCols: Seq[String] = Nil,
+            catalog: Option[CatalogBackend] = None): Unit = {
     val spark = df.sparkSession
     Tables.configure(spark)
     val tableDir = s"$root/$db/$table"
@@ -77,6 +78,16 @@ object LakeWriter {
       .groupBy(col("file"))
       .agg(min(timeCol).as("mn"), max(timeCol).as("mx"), count(lit(1)).as("n"))
       .collect() // O(#files) rows — metadata, not data
+    // publish to the active catalog backend too (absolute paths, same
+    // stats as the zone maps) — a redis-indexed lake sees the new files
+    // without a filesystem walk; the json backend's no-op register is
+    // covered by the metadata.json written below
+    catalog.foreach(_.register(db, table, written.map { r =>
+      val p = new java.net.URI(r.getString(0)).getPath
+      val stats = if (r.isNullAt(1) || r.isNullAt(2)) (None, None)
+        else (Some(r.getLong(1)), Some(r.getLong(2)))
+      (p, stats._1, stats._2)
+    }.toSeq))
     written.groupBy(r => new File(new java.net.URI(r.getString(0)).getPath).getParent)
       .foreach { case (folder, files) =>
         // a file whose time values are ALL NULL has null min/max — emit

@@ -186,7 +186,7 @@ class RedisCatalog(url: String) extends CatalogBackend with AutoCloseable {
    * score and hash entry instead of accumulating a duplicate that
    * would be scanned twice.
    */
-  def register(db: String, table: String,
+  override def register(db: String, table: String,
                entries: Seq[(String, Option[Long], Option[Long])]): Unit = {
     command("SADD", "graft:dbs", db)
     command("SADD", s"graft:tables:$db", table)

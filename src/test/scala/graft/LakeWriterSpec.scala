@@ -43,6 +43,36 @@ class LakeWriterSpec extends AnyFunSuite {
     assert(n == expected && n > 0)
   }
 
+  test("write publishes to a redis backend; engine round-trips through it") {
+    val srv = new FakeRedisServer
+    try {
+      val root = Files.createTempDirectory(
+        new File("target").toPath.toAbsolutePath, "wlake4").toString
+      val cat = new RedisCatalog(s"redis://localhost:${srv.port}")
+      val ev = Tables.load(spark, "/root/testdata/sf0.001", "events")
+        .select(col("ts").as("time"), col("event_type").as("location"),
+          col("value").as("temperature"))
+      LakeWriter.write(root, "mydb", "weather", ev, catalog = Some(cat))
+      // discovery + stats came exclusively over the RESP wire
+      assert(cat.databases == Seq("mydb"))
+      assert(cat.tables("mydb") == Seq("weather"))
+      val engine = new Engine(spark, cat)
+      val loNs = java.time.Instant.parse("2024-01-15T00:00:00Z")
+        .getEpochSecond * 1000000000L
+      val hiNs = loNs + 24L * 3600 * 1000000000L
+      val n = engine.query(
+        "SELECT count(*) AS cnt FROM mydb.weather " +
+          "WHERE time >= '2024-01-15T00:00:00Z' AND time < '2024-01-16T00:00:00Z'", "")
+        .collect().head.getLong(0)
+      assert(n == ev.filter(col("time") >= loNs && col("time") < hiNs).count() && n > 0)
+      // pruning happened server-side: fewer files than the full set
+      val all = cat.prunedPaths("mydb", "weather", None)
+      val pruned = cat.prunedPaths("mydb", "weather", Some((loNs, hiNs - 1)))
+      assert(pruned.nonEmpty && pruned.size < all.size)
+      cat.close()
+    } finally srv.stop()
+  }
+
   test("all-null time values write without stats instead of failing") {
     import spark.implicits._
     val root = Files.createTempDirectory(
