@@ -43,7 +43,12 @@ object Bench {
     try consume(SparkEntry.queries("q72_ivf_search")(spark, sfDir))
     catch { case _: Throwable => () }
 
+    // SPARK_GRAFT_BENCH_ONLY=q91,q89 restricts to a comma-separated
+    // subset (prefix match) — for iterating on one query's plan
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
     val names = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (n, _) => only.forall(_.exists(n.startsWith)) }
     def timed(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
       val q0 = System.nanoTime()
       try { consume(fn(spark, sfDir)) } catch { case _: Throwable => () }

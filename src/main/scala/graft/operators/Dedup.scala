@@ -211,8 +211,13 @@ object Dedup {
         Window.partitionBy(col("id")).orderBy(col("h"))))
     val prefix = sized.filter(
       col("rn") <= col("n") - ceil(lit(minJaccard) * col("n")) + 1)
+    // length filter (the other half of AllPairs/PPJoin pruning):
+    // J(a,b) ≥ t ⟹ t·|b| ≤ |a| ≤ |b|/t, so size-incompatible pairs are
+    // cut inside the join before the expensive set verification
     val cand = prefix.as("x").join(prefix.as("y"),
-        col("x.h") === col("y.h") && col("x.id") < col("y.id"))
+        col("x.h") === col("y.h") && col("x.id") < col("y.id") &&
+          col("x.n") >= ceil(lit(minJaccard) * col("y.n")) &&
+          col("y.n") >= ceil(lit(minJaccard) * col("x.n")))
       .select(col("x.id").as("id_a"), col("y.id").as("id_b"))
       .distinct()
     val sets = hs.groupBy(col("id")).agg(collect_set(col("h")).as("hset"))
