@@ -15,7 +15,9 @@ object TextAnalysis {
   /** Whitespace-delimited token array (regex matches non-space runs). */
   def tokens(text: Column): Column = regexp_extract_all(text, lit("\\S+"), lit(0))
 
-  def tokenCount(text: Column): Column = size(tokens(text))
+  /** Token count WITHOUT materializing the token array — one codegen'd
+    * `regexp_count` pass (same matches as `tokens`, no array alloc). */
+  def tokenCount(text: Column): Column = regexp_count(text, lit("\\S+"))
 
   private val STOPWORDS = Seq("the", "a", "of", "and", "to", "in", "is", "it")
 
@@ -37,7 +39,7 @@ object TextAnalysis {
   /** Fraction of tokens that are stopwords (English marker set). */
   def stopwordRatio(text: Column): Column =
     stopwordHits(text) /
-      greatest(size(tokens(text)), lit(1)).cast("double")
+      greatest(tokenCount(text), lit(1)).cast("double")
 
   /** Mean token length in characters. */
   def avgTokenLen(text: Column): Column =
