@@ -1,0 +1,220 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.codegen.Block._
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression, XXH64}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.graftbridge.ColumnBridge
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/**
+ * Single-pass per-document shingling/signature kernels as native
+ * Catalyst Expressions. These replace the explode → distinct → window
+ * → hash-aggregate pipelines inside the dedup operators: the per-doc
+ * work (tokenize, w-shingle, hash, dedupe, k minhash permutations /
+ * simhash votes) is a tight per-row loop, so expressing it relationally
+ * costs THE defining shuffle of a 100 TB dedup sweep — the exploded
+ * shingle stream is as large as the corpus itself and was shuffled
+ * twice (distinct + groupBy doc). As Expressions the signature build is
+ * map-side only: zero shuffles until the (tiny) band/prefix join.
+ *
+ * Hash parity is load-bearing: tokens are split exactly like Spark's
+ * `split(trim(text), "\\s+")` (trim = 0x20 only, Java regex split with
+ * limit -1) and shingles are hashed with the same XXH64(seed=42) that
+ * the `xxhash64` SQL function uses, so these kernels produce
+ * bit-identical signatures/candidates to the relational pipelines they
+ * replace (pinned by DedupSpec / ScaleOperatorsSpec recall tests).
+ */
+object ShingleExprs {
+
+  private val SPLIT = java.util.regex.Pattern.compile("\\s+")
+
+  /** Spark-parity tokenization: `split(trim(text), "\\s+")`. */
+  private def toks(text: UTF8String): Array[String] = {
+    val t = text.trim().toString // UTF8String.trim trims 0x20, like trim()
+    SPLIT.split(t, -1)
+  }
+
+  /** Sorted DISTINCT xxhash64(seed 42) values of the w-shingles,
+    * optionally masked to 32 bits. `wordShingles` parity: < w tokens
+    * degenerate to ONE shingle = all tokens joined. */
+  def computeHashes(text: UTF8String, w: Int, mask: Boolean): Array[Long] = {
+    val ts = toks(text)
+    val n = if (ts.length >= w) ts.length - w + 1 else 1
+    val hs = new Array[Long](n)
+    val sb = new java.lang.StringBuilder
+    var i = 0
+    while (i < n) {
+      sb.setLength(0)
+      val end = if (ts.length >= w) i + w else ts.length
+      var j = i
+      while (j < end) {
+        if (j > i) sb.append(' ')
+        sb.append(ts(j))
+        j += 1
+      }
+      val h = XXH64.hashUTF8String(UTF8String.fromString(sb.toString), 42L)
+      hs(i) = if (mask) h & 0xFFFFFFFFL else h
+      i += 1
+    }
+    java.util.Arrays.sort(hs)
+    // in-place dedupe of the sorted run
+    var out = 0
+    i = 0
+    while (i < hs.length) {
+      if (out == 0 || hs(i) != hs(out - 1)) { hs(out) = hs(i); out += 1 }
+      i += 1
+    }
+    if (out == hs.length) hs else java.util.Arrays.copyOf(hs, out)
+  }
+
+  /** Full-width w-shingle hashes only (minhashCandidates parity:
+    * documents with < w tokens produce NO shingles and drop out). */
+  private def fullWidthHashes(text: UTF8String, w: Int): Array[Long] = {
+    val ts = toks(text)
+    if (ts.length < w) return Array.emptyLongArray
+    computeHashes(text, w, mask = true)
+  }
+
+  /** struct(sig: array<long>, hs: array<long>) — the k minhash minima
+    * under h_i(x) = (a_i·x + b_i) mod P plus the sorted distinct
+    * 32-bit-masked shingle-hash set, in ONE pass over the document. */
+  def computeSig(text: UTF8String, w: Int, k: Int,
+                 a: Array[Long], b: Array[Long], p: Long): InternalRow = {
+    val hs = fullWidthHashes(text, w)
+    if (hs.isEmpty)
+      return InternalRow(new GenericArrayData(Array.emptyLongArray),
+        new GenericArrayData(Array.emptyLongArray))
+    val sig = new Array[Long](k)
+    java.util.Arrays.fill(sig, Long.MaxValue)
+    var i = 0
+    while (i < hs.length) {
+      val h = hs(i)
+      var j = 0
+      while (j < k) {
+        // a_j is 30-bit, h 32-bit ⇒ a·h + b < 2^63: no overflow
+        val v = (a(j) * h + b(j)) % p
+        if (v < sig(j)) sig(j) = v
+        j += 1
+      }
+      i += 1
+    }
+    InternalRow(new GenericArrayData(sig), new GenericArrayData(hs))
+  }
+
+  /** 64-bit SimHash of a token array: per-bit ±1 votes of each token's
+    * xxhash64(seed 42); sign of the vote becomes the bit. Null for an
+    * empty array (explode-parity: token-less docs drop out). */
+  def computeSim(tokens: ArrayData): Any = {
+    val n = tokens.numElements()
+    if (n == 0) return null
+    val votes = new Array[Int](64)
+    var i = 0
+    while (i < n) {
+      if (!tokens.isNullAt(i)) {
+        val h = XXH64.hashUTF8String(tokens.getUTF8String(i), 42L)
+        var b = 0
+        while (b < 64) {
+          votes(b) += (((h >>> b) & 1L).toInt << 1) - 1
+          b += 1
+        }
+      }
+      i += 1
+    }
+    var sig = 0L
+    var b = 0
+    while (b < 64) {
+      if (votes(b) > 0) sig |= 1L << b
+      b += 1
+    }
+    sig
+  }
+
+  def shingle_minhash(text: Column, w: Int, k: Int,
+                      a: Array[Long], b: Array[Long], p: Long): Column =
+    ColumnBridge.column(ShingleMinHashSig(ColumnBridge.expression(text), w, k, a, b, p))
+
+  def shingle_hashes(text: Column, w: Int, mask: Boolean = false): Column =
+    ColumnBridge.column(ShingleHashSet(ColumnBridge.expression(text), w, mask))
+
+  def simhash64(tokens: Column): Column =
+    ColumnBridge.column(SimHash64(ColumnBridge.expression(tokens)))
+}
+
+/** MinHash signature + distinct shingle-hash set in one codegen'd pass. */
+case class ShingleMinHashSig(child: Expression, w: Int, k: Int,
+                             a: Array[Long], b: Array[Long], p: Long)
+    extends UnaryExpression {
+
+  override def dataType: DataType = StructType(Seq(
+    StructField("sig", ArrayType(LongType, containsNull = false), nullable = false),
+    StructField("hs", ArrayType(LongType, containsNull = false), nullable = false)))
+
+  override def nullSafeEval(v: Any): Any =
+    ShingleExprs.computeSig(v.asInstanceOf[UTF8String], w, k, a, b, p)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val aRef = ctx.addReferenceObj("mhA", a, "long[]")
+    val bRef = ctx.addReferenceObj("mhB", b, "long[]")
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.ShingleExprs.computeSig($c, $w, $k, $aRef, $bRef, ${p}L)")
+  }
+
+  override protected def withNewChildInternal(c: Expression): ShingleMinHashSig =
+    copy(child = c)
+  override def prettyName: String = "shingle_minhash"
+}
+
+/** Sorted distinct w-shingle xxhash64 values (prefix-filter input). */
+case class ShingleHashSet(child: Expression, w: Int, mask: Boolean)
+    extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def nullSafeEval(v: Any): Any =
+    new GenericArrayData(ShingleExprs.computeHashes(v.asInstanceOf[UTF8String], w, mask))
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"new org.apache.spark.sql.catalyst.util.GenericArrayData(" +
+        s"graft.functions.ShingleExprs.computeHashes($c, $w, $mask))")
+
+  override protected def withNewChildInternal(c: Expression): ShingleHashSet =
+    copy(child = c)
+  override def prettyName: String = "shingle_hashes"
+}
+
+/** 64-bit SimHash over a token array; null for empty input. */
+case class SimHash64(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = true
+
+  override def nullSafeEval(v: Any): Any =
+    ShingleExprs.computeSim(v.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val childGen = child.genCode(ctx)
+    val boxed = ctx.freshName("simResult")
+    ev.copy(code =
+      code"""
+        ${childGen.code}
+        boolean ${ev.isNull} = true;
+        long ${ev.value} = 0L;
+        if (!${childGen.isNull}) {
+          Object $boxed = graft.functions.ShingleExprs.computeSim(${childGen.value});
+          if ($boxed != null) {
+            ${ev.isNull} = false;
+            ${ev.value} = ((java.lang.Long) $boxed).longValue();
+          }
+        }
+      """)
+  }
+
+  override protected def withNewChildInternal(c: Expression): SimHash64 =
+    copy(child = c)
+  override def prettyName: String = "simhash64"
+}

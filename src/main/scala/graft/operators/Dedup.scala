@@ -7,12 +7,13 @@ import org.apache.spark.sql.functions._
  * Deduplication operators for large-scale text corpora: exact,
  * n-gram Jaccard, MinHash+LSH banding, and SimHash.
  *
- * All hashing is deterministic column-expression work (xxhash64 +
- * multiply-shift mixing) — no UDFs, fully codegen'd, no driver-side
- * loops. The LSH paths follow the standard distributed shape: one
- * shuffle to build signatures (groupBy doc), one shuffle by band
- * bucket to find candidates, then pairwise verification only on
- * candidates — the all-pairs O(n²) never materializes at scale.
+ * All hashing is deterministic and fully codegen'd — no UDFs, no
+ * driver-side loops. Per-document signature/shingle builds run as
+ * single-pass native Expressions ([[graft.functions.ShingleExprs]]):
+ * map-side only, zero shuffles until the band/prefix candidate join,
+ * whose input is tiny (#docs × bands rows, or the AllPairs prefix).
+ * Pairwise verification touches candidates only — the all-pairs O(n²)
+ * never materializes at scale.
  */
 object Dedup {
 
@@ -54,8 +55,8 @@ object Dedup {
   // "permutations" collapse to one, and LSH banding degenerates to
   // per-pair collision probability J instead of 1-(1-J^r)^b (measured:
   // recall 0.82 at J=0.8 instead of the ~0.9998 banding predicts).
-  private val MINHASH_P = 4294967311L // smallest prime > 2^32
-  private def mixConstants(k: Int, stream: Int, bits: Int): Seq[Long] = {
+  private[graft] val MINHASH_P = 4294967311L // smallest prime > 2^32
+  private[graft] def mixConstants(k: Int, stream: Int, bits: Int): Seq[Long] = {
     var x = 42L + stream * 0x9E3779B97F4A7C15L
     Seq.fill(k) {
       x += 0x9E3779B97F4A7C15L
@@ -98,15 +99,14 @@ object Dedup {
    *
    * Execution shape (this is the part that must survive 100 TB): the
    * per-document heavy lifting — tokenize, w-shingle, hash, k minhash
-   * permutations — runs as explode → window-lead → hash-aggregate,
-   * ALL of it whole-stage-codegen'd. No higher-order array lambdas in
-   * the hot path: Spark interprets those per element (a first draft
-   * that nested `split` inside `transform` re-evaluated the split per
-   * shingle and was ~100× slower). Signatures are k codegen'd `min`
-   * aggregates over one hashed-shingle row set; band buckets are plain
-   * column hashes of signature slices; the only interpreted per-pair
-   * work (est/exact Jaccard on arrays) runs after candidates are cut
-   * down by banding + the O(k) estimate filter.
+   * permutations — is ONE codegen'd per-row kernel
+   * ([[graft.functions.ShingleMinHashSig]]), so the signature build is
+   * map-side only: nothing shuffles until the banded candidate join,
+   * whose input is #docs × bands tiny rows (not the shingle stream).
+   * No higher-order array lambdas in the hot path either — Spark
+   * interprets those per element. The only interpreted per-pair work
+   * (est/exact Jaccard on arrays) runs after candidates are cut down
+   * by banding + the O(k) estimate filter.
    *
    * Documents with fewer than `shingleWords` tokens produce no
    * shingles and drop out (they cannot near-dup at this granularity).
@@ -114,32 +114,27 @@ object Dedup {
   def minhashCandidates(docs: DataFrame, idCol: String, textCol: String,
                         shingleWords: Int = 3, k: Int = 64, bands: Int = 16,
                         minEstJaccard: Double = 0.0): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     require(k % bands == 0, "bands must divide k")
     val r = k / bands
     val a = mixConstants(k, 1, 30)
     val b = mixConstants(k, 2, 32)
-    // 1. tokenize + w-shingle via window leads (codegen'd, 1 shuffle by id)
-    val toks = docs.select(col(idCol).as("id"),
-      posexplode(split(trim(col(textCol)), "\\s+")).as(Seq("pos", "tok")))
-    val w = Window.partitionBy(col("id")).orderBy(col("pos"))
-    val parts = (0 until shingleWords).map(j =>
-      if (j == 0) col("tok") else lead(col("tok"), j).over(w))
-    val hashed = toks
-      .withColumn("last_tok", parts.last)
-      .filter(col("last_tok").isNotNull) // full-width shingles only
-      .select(col("id"),
-        xxhash64(concat_ws(" ", parts: _*)).bitwiseAND(0xFFFFFFFFL).as("h"))
-      .distinct()
-    // 2. signature = k codegen'd min-aggregates; shingle set kept for verify
-    val aggs = (0 until k).map(i =>
-      min(pmod(lit(a(i)) * col("h") + lit(b(i)), lit(MINHASH_P))).as(s"m$i")) :+
-      collect_set(col("h")).as("hs")
-    val base = hashed.groupBy(col("id")).agg(aggs.head, aggs.tail: _*)
+    // 1.+2. signature + distinct shingle-hash set in ONE map-side pass
+    //    (graft.functions.ShingleMinHashSig, codegen'd): tokenizing,
+    //    shingling, hashing and the k permutation minima are per-row
+    //    loops — the old explode → distinct → groupBy pipeline shuffled
+    //    the full shingle stream (≈ corpus size) twice to compute what
+    //    each row already determines locally. Hash values are
+    //    bit-identical to the relational formulation (same XXH64 seed,
+    //    same (a·x+b) mod P family), so candidates are unchanged.
+    val sigs = docs.select(col(idCol).as("id"),
+        graft.functions.ShingleExprs.shingle_minhash(col(textCol),
+          shingleWords, k, a.toArray, b.toArray, MINHASH_P).as("s"))
+      .filter(size(col("s.hs")) > 0) // docs with < w tokens drop out
+      .select(col("id"), col("s.sig").as("sig"), col("s.hs").as("hs"))
     // 3. band buckets = hashes of signature slices (plain columns)
     val buckets = (0 until bands).map(j =>
-      hash((j * r until (j + 1) * r).map(i => col(s"m$i")): _*))
-    val banded = base.select(col("id"),
+      hash((j * r until (j + 1) * r).map(i => element_at(col("sig"), i + 1)): _*))
+    val banded = sigs.select(col("id"),
       posexplode(array(buckets: _*)).as(Seq("band", "bucket")))
     val cand = banded.as("x").join(banded.as("y"),
         col("x.band") === col("y.band") && col("x.bucket") === col("y.bucket") &&
@@ -147,8 +142,6 @@ object Dedup {
       .select(col("x.id").as("id_a"), col("y.id").as("id_b"))
       .distinct()
     // 4. estimate filter, then exact verification on candidates only
-    val sigCol = array((0 until k).map(i => col(s"m$i")): _*)
-    val sigs = base.select(col("id"), col("hs"), sigCol.as("sig"))
     cand
       .join(sigs.select(col("id").as("id_a"), col("hs").as("hs_a"), col("sig").as("sig_a")), "id_a")
       .join(sigs.select(col("id").as("id_b"), col("hs").as("hs_b"), col("sig").as("sig_b")), "id_b")
@@ -201,16 +194,20 @@ object Dedup {
    */
   def prefixFilterJaccardPairs(docs: DataFrame, idCol: String, textCol: String,
                                shingleWords: Int, minJaccard: Double): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val hs = docs.select(col(idCol).as("id"),
-        explode(wordShingles(col(textCol), shingleWords)).as("sh"))
-      .select(col("id"), xxhash64(col("sh")).as("h"))
-      .distinct()
-    val sized = hs.withColumn("n", count(lit(1)).over(Window.partitionBy(col("id"))))
-      .withColumn("rn", row_number().over(
-        Window.partitionBy(col("id")).orderBy(col("h"))))
-    val prefix = sized.filter(
-      col("rn") <= col("n") - ceil(lit(minJaccard) * col("n")) + 1)
+    // sorted distinct shingle hashes per doc in ONE map-side pass
+    // (graft.functions.ShingleHashSet, codegen'd) — replaces
+    // explode → global distinct → two windows (count + row_number),
+    // i.e. three shuffles of the full shingle stream, with zero. The
+    // array arrives SORTED, so the AllPairs canonical order is free:
+    // the prefix is simply the first n − ⌈t·n⌉ + 1 elements.
+    val sized = docs.select(col(idCol).as("id"),
+        graft.functions.ShingleExprs.shingle_hashes(
+          col(textCol), shingleWords).as("arr"))
+      .filter(col("arr").isNotNull)
+      .select(col("id"), col("arr"), size(col("arr")).as("n"))
+    val prefix = sized.select(col("id"), col("n"),
+      explode(slice(col("arr"), lit(1),
+        (col("n") - ceil(lit(minJaccard) * col("n")) + 1).cast("int"))).as("h"))
     // length filter (the other half of AllPairs/PPJoin pruning):
     // J(a,b) ≥ t ⟹ t·|b| ≤ |a| ≤ |b|/t, so size-incompatible pairs are
     // cut inside the join before the expensive set verification
@@ -220,7 +217,7 @@ object Dedup {
           col("y.n") >= ceil(lit(minJaccard) * col("x.n")))
       .select(col("x.id").as("id_a"), col("y.id").as("id_b"))
       .distinct()
-    val sets = hs.groupBy(col("id")).agg(collect_set(col("h")).as("hset"))
+    val sets = sized.select(col("id"), col("arr").as("hset"))
     cand
       .join(sets.select(col("id").as("id_a"), col("hset").as("sa")), "id_a")
       .join(sets.select(col("id").as("id_b"), col("hset").as("sb")), "id_b")
@@ -268,17 +265,14 @@ object Dedup {
    * token's xxhash64, sign of the vote sum becomes the bit.
    * Single shuffle (groupBy id over exploded tokens).
    */
-  def simhash(docs: DataFrame, idCol: String, tokensCol: Column): DataFrame = {
-    val ex = docs.select(col(idCol).as("id"), explode(tokensCol).as("tok"))
-      .withColumn("h", xxhash64(col("tok")))
-    val votes = (0 until 64).map(b =>
-      sum((shiftright(col("h"), b).bitwiseAND(1) * 2 - 1)).as(s"b$b"))
-    val voted = ex.groupBy(col("id")).agg(votes.head, votes.tail: _*)
-    val sig = (0 until 64).foldLeft(lit(0L)) { (acc, b) =>
-      acc.bitwiseOR(shiftleft(when(col(s"b$b") > 0, 1L).otherwise(0L), b))
-    }
-    voted.select(col("id"), sig.as("simhash"))
-  }
+  def simhash(docs: DataFrame, idCol: String, tokensCol: Column): DataFrame =
+    // one codegen'd pass per row (graft.functions.SimHash64) — the 64
+    // per-bit vote sums are a per-document loop, not 64 shuffled
+    // aggregates over an exploded token stream. Token-less docs drop
+    // out (null signature), matching the old explode behavior.
+    docs.select(col(idCol).as("id"),
+        graft.functions.ShingleExprs.simhash64(tokensCol).as("simhash"))
+      .filter(col("simhash").isNotNull)
 
   /**
    * SimHash candidate pairs within `maxHamming`, via 4×16-bit band

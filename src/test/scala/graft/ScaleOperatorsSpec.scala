@@ -86,4 +86,93 @@ class ScaleOperatorsSpec extends AnyFunSuite {
     assert(kept.contains(0L) && kept.contains(2L))
     assert(!kept.contains(1L)) // exact dup of 0
   }
+
+  test("shingle kernels reproduce the relational formulation bit-for-bit") {
+    // The single-pass Expressions (ShingleExprs) claim hash parity with
+    // the explode/window/groupBy pipelines they replaced. Pin it: same
+    // corpus + pathological whitespace, exact equality of per-doc
+    // signatures, hash sets and simhashes against relational twins
+    // built from the documented Spark semantics (trim = 0x20 only,
+    // split "\\s+" limit -1, xxhash64 seed 42).
+    import org.apache.spark.sql.expressions.Window
+    import graft.functions.ShingleExprs
+    val base = Tables.load(spark, "/root/testdata/sf0.001", "documents")
+      .select(col("doc_id"), col("text"))
+    val edge = Seq[(Long, String)](
+      (900001L, "a\tb\nc  d e"), (900002L, ""), (900003L, "   "),
+      (900004L, "x y"), (900005L, null), (900006L, " pad \n mixed\tws ")
+    ).toDF("doc_id", "text")
+    val docs = base.unionByName(edge)
+    val w = 3; val k = 64
+    val a = Dedup.mixConstants(k, 1, 30); val b = Dedup.mixConstants(k, 2, 32)
+
+    // --- minhash signature + distinct hash set: relational twin
+    val toks = docs.select(col("doc_id").as("id"),
+      posexplode(split(trim(col("text")), "\\s+")).as(Seq("pos", "tok")))
+    val win = Window.partitionBy(col("id")).orderBy(col("pos"))
+    val parts = (0 until w).map(j =>
+      if (j == 0) col("tok") else lead(col("tok"), j).over(win))
+    // NB: shingle string and the full-width guard are computed in the
+    // SAME window stage, before filtering — re-evaluating the leads
+    // after the filter (as a pre-kernel version of minhashCandidates
+    // did) silently truncates tail shingles.
+    val hashed = toks
+      .withColumn("sh", concat_ws(" ", parts: _*))
+      .withColumn("last_tok", parts.last)
+      .filter(col("last_tok").isNotNull)
+      .select(col("id"), xxhash64(col("sh")).bitwiseAND(0xFFFFFFFFL).as("h"))
+      .distinct()
+    val aggs = (0 until k).map(i =>
+      min(pmod(lit(a(i)) * col("h") + lit(b(i)), lit(Dedup.MINHASH_P))).as(s"m$i")) :+
+      sort_array(collect_set(col("h"))).as("hs")
+    val relSig = hashed.groupBy(col("id")).agg(aggs.head, aggs.tail: _*)
+      .select(col("id"), array((0 until k).map(i => col(s"m$i")): _*).as("sig"), col("hs"))
+      .collect().map(r => r.getLong(0) ->
+        (r.getSeq[Long](1), r.getSeq[Long](2))).toMap
+    val kerSig = docs.select(col("doc_id"),
+        ShingleExprs.shingle_minhash(col("text"), w, k,
+          a.toArray, b.toArray, Dedup.MINHASH_P).as("s"))
+      .filter(size(col("s.hs")) > 0)
+      .collect().map { r =>
+        val s = r.getStruct(1)
+        r.getLong(0) -> (s.getSeq[Long](0), s.getSeq[Long](1))
+      }.toMap
+    assert(kerSig.keySet == relSig.keySet)
+    assert(relSig.forall { case (id, v) => kerSig(id) == v },
+      "minhash signature/hash-set mismatch vs relational twin")
+
+    // --- prefix-path hash sets: relational twin of wordShingles.
+    // Null-text docs are excluded from the twin: the kernel DROPS them
+    // (a null document cannot near-dup), where the old relational path
+    // accidentally kept them as one empty-string shingle (concat_ws
+    // swallows the null) — conflating NULL with ''.
+    val relArr = docs.filter(col("text").isNotNull).select(col("doc_id"),
+        explode(Dedup.wordShingles(col("text"), w)).as("sh"))
+      .select(col("doc_id"), xxhash64(col("sh")).as("h")).distinct()
+      .groupBy(col("doc_id")).agg(sort_array(collect_set(col("h"))).as("arr"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    val kerArr = docs.select(col("doc_id"),
+        ShingleExprs.shingle_hashes(col("text"), w).as("arr"))
+      .filter(col("arr").isNotNull)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    assert(kerArr.keySet == relArr.keySet)
+    assert(relArr.forall { case (id, v) => kerArr(id) == v },
+      "shingle hash-set mismatch vs relational twin")
+
+    // --- simhash: relational twin of the per-bit vote aggregation
+    val tokenArr = graft.operators.TextAnalysis.tokens(col("text"))
+    val ex = docs.select(col("doc_id").as("id"), explode(tokenArr).as("tok"))
+      .withColumn("h", xxhash64(col("tok")))
+    val votes = (0 until 64).map(bb =>
+      sum(shiftright(col("h"), bb).bitwiseAND(1) * 2 - 1).as(s"b$bb"))
+    val voted = ex.groupBy(col("id")).agg(votes.head, votes.tail: _*)
+    val sigExpr = (0 until 64).foldLeft(lit(0L)) { (acc, bb) =>
+      acc.bitwiseOR(shiftleft(when(col(s"b$bb") > 0, 1L).otherwise(0L), bb))
+    }
+    val relSim = voted.select(col("id"), sigExpr.as("simhash"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val kerSim = Dedup.simhash(docs, "doc_id", tokenArr)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(kerSim == relSim, "simhash mismatch vs relational twin")
+  }
 }
