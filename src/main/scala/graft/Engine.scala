@@ -9,15 +9,19 @@ import graft.TimeRangeExtract.TimeRange
  * `QueryClient.Query` lifecycle (/root/reference/querier/queryClient.go:713-877):
  *
  *   normalize → SHOW intercepts → parse (Catalyst, not regexes) →
- *   catalog file pruning by extracted time range → register pruned
- *   scan as temp view → run the user SQL → fallback pass-through for
- *   table-free SQL.
+ *   catalog file pruning by extracted time range → splice the pruned
+ *   scan's plan into the FROM position → run the user SQL → fallback
+ *   pass-through for table-free SQL.
+ *
+ * `query` holds NO session-global state (no temp views): each request
+ * builds a self-contained plan, so the engine is safe under the HTTP
+ * server's concurrent dispatch.
  *
  * Differences from the reference, by design (documented quirk fixes):
  *  - an empty pruned file set yields an empty DataFrame with the
  *    table's schema instead of an error (quirk §2.3-6);
  *  - the plan-based time extraction replaces 16 regexes (O2) and the
- *    FROM-rewrite string surgery (O8) becomes temp-view registration.
+ *    FROM-rewrite string surgery (O8) becomes a logical-plan splice.
  */
 class Engine(val spark: SparkSession, val catalog: CatalogBackend,
              val defaultDb: String = "mydb", val timeCol: String = "time") {
@@ -87,29 +91,13 @@ class Engine(val spark: SparkSession, val catalog: CatalogBackend,
     if (rels.isEmpty)
       return spark.sql(sql) // table-free or non-lake SQL → pass-through (O10)
 
-    // A db in the reference's model is just a directory, so same-named
-    // tables in DIFFERENT dbs are ordinary — the view name must carry
-    // the db or `mydb.events ⋈ otherdb.events` would silently read one
-    // table twice. Sanitized to an identifier; collisions after
-    // sanitizing (distinct raw names mapping to one clean name) get a
-    // deterministic hash suffix.
-    val viewFor: Map[(String, String), String] = {
-      val base = rels.map { case (d, t) =>
-        (d.toLowerCase, t.toLowerCase) ->
-          s"${d}__${t}".toLowerCase.replaceAll("[^a-z0-9_]", "_")
-      }
-      val dup = base.groupBy(_._2).filter(_._2.size > 1).keySet
-      base.map { case (k, v) =>
-        k -> (if (dup(v)) v + "_" + math.abs((k._1 + "." + k._2).hashCode) else v)
-      }.toMap
-    }
-
-    // register EVERY referenced lake table as a temp view (joins across
-    // measurements work like any single-table query). Zone-map pruning
-    // is alias-aware: `m.time >= …` tightens only the relation aliased
-    // `m`; unqualified `time` predicates attribute only in
-    // single-relation queries. Mis-attribution would drop rows; the
-    // WHERE clause still filters either way (quirk §2.3-7).
+    // Resolve EVERY referenced lake table to its pruned, analyzed scan
+    // plan (joins across measurements work like any single-table
+    // query). Zone-map pruning is alias-aware: `m.time >= …` tightens
+    // only the relation aliased `m`; unqualified `time` predicates
+    // attribute only in single-relation queries. Mis-attribution would
+    // drop rows; the WHERE clause still filters either way (quirk
+    // §2.3-7).
     val perRel: Map[String, TimeRange] =
       extractPerRelation(planOpt.get, timeCol)
     // table (last name, lowercase) → "its time column is int64 ns";
@@ -117,23 +105,34 @@ class Engine(val spark: SparkSession, val catalog: CatalogBackend,
     // different dbs share a key — AND'ed, so a mixed pair never gets
     // the long-side rewrite applied to its timestamp side.
     val timeIsLong = scala.collection.mutable.Map[String, Boolean]()
-    rels.foreach { case (relDb, table) =>
-      val pruneRange = perRel.get(table.toLowerCase).flatMap(_.asTuple)
-      val tableDf = readTable(relDb, table, pruneRange)
-      tableDf.createOrReplaceTempView(viewFor((relDb.toLowerCase, table.toLowerCase)))
-      tableDf.schema.fields.find(_.name.equalsIgnoreCase(timeCol)).foreach { f =>
-        val isLong = f.dataType == org.apache.spark.sql.types.LongType
-        val key = table.toLowerCase
-        timeIsLong(key) = timeIsLong.getOrElse(key, true) && isLong
-      }
-    }
+    // (db, table) → pruned analyzed plan. Kept entirely query-local:
+    // no session-global temp views, so concurrent queries on one table
+    // with different time ranges can never observe each other's pruned
+    // file set (the reference is likewise safe per-request because
+    // DuckDB receives self-contained SQL — server.go:142).
+    val prunedPlans: Map[(String, String),
+                         org.apache.spark.sql.catalyst.plans.logical.LogicalPlan] =
+      rels.map { case (relDb, table) =>
+        val pruneRange = perRel.get(table.toLowerCase).flatMap(_.asTuple)
+        val tableDf = readTable(relDb, table, pruneRange)
+        tableDf.schema.fields.find(_.name.equalsIgnoreCase(timeCol)).foreach { f =>
+          val isLong = f.dataType == org.apache.spark.sql.types.LongType
+          val key = table.toLowerCase
+          timeIsLong(key) = timeIsLong.getOrElse(key, true) && isLong
+        }
+        (relDb.toLowerCase, table.toLowerCase) -> tableDf.queryExecution.analyzed
+      }.toMap
     val anyLongTime = timeIsLong.values.exists(identity)
-    // `db.table` (or bare `table` in the default db) → the registered
-    // view, on the PARSED PLAN — the analog of the reference's
-    // FROM-clause splice (O8), but done as an identifier transform
-    // instead of regex surgery over the SQL text, so a 'mydb.meas'
-    // string literal or a column named `mydb` is never corrupted.
-    // Subquery plans are rewritten too; CTE references are left alone.
+    // Splice each pruned plan directly into its `UnresolvedRelation`
+    // position on the PARSED PLAN — the analog of the reference's
+    // FROM-clause splice (O8), but done as a plan transform instead of
+    // regex surgery over the SQL text, so a 'mydb.meas' string literal
+    // or a column named `mydb` is never corrupted. The splice is
+    // wrapped in SubqueryAlias(table, db) so `events.c` and
+    // `mydb.events.c` qualify naturally. Subquery plans are rewritten
+    // too; CTE references are left alone. A self-join splices the same
+    // analyzed subtree twice — the analyzer's DeduplicateRelations
+    // re-aliases one side, as for `df.join(df)`.
     def relKey(parts: Seq[String]): (String, String) =
       if (parts.size == 1) (db.toLowerCase, parts.head.toLowerCase)
       else (parts.dropRight(1).mkString(".").toLowerCase, parts.last.toLowerCase)
@@ -141,9 +140,11 @@ class Engine(val spark: SparkSession, val catalog: CatalogBackend,
       case r: org.apache.spark.sql.catalyst.analysis.UnresolvedRelation
           if !(r.multipartIdentifier.size == 1 &&
                cteNames.contains(r.multipartIdentifier.head.toLowerCase)) &&
-            viewFor.contains(relKey(r.multipartIdentifier)) =>
-        org.apache.spark.sql.catalyst.analysis.UnresolvedRelation(
-          Seq(viewFor(relKey(r.multipartIdentifier))))
+            prunedPlans.contains(relKey(r.multipartIdentifier)) =>
+        val (d, t) = relKey(r.multipartIdentifier)
+        org.apache.spark.sql.catalyst.plans.logical.SubqueryAlias(
+          org.apache.spark.sql.catalyst.AliasIdentifier(t, Seq(d)),
+          prunedPlans((d, t)))
     }
     // O9 analog: if any time column is int64 ns, rewrite time-vs-
     // string/timestamp literal comparisons to long-literal form —

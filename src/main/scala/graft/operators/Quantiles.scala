@@ -1,0 +1,128 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/**
+ * Exact per-group quantiles by DISTRIBUTED SELECTION — the scale-safe
+ * replacement for `percentile`/`median`'s per-group full-multiset
+ * ObjectHashAggregate buffer (which concentrates each group's entire
+ * column in one aggregation buffer — an OOM/straggler pattern when a
+ * group holds billions of rows).
+ *
+ * Three metadata-sized driver jobs instead of one giant buffer:
+ *   1. per-group (min, max, non-null count) — G rows to the driver;
+ *   2. per-(group, bucket) counts over `nBuckets` equi-width value
+ *      buckets — map-side partial agg, ≤ G×B rows to the driver;
+ *   3. from the bucket histogram the driver computes, for each
+ *      requested quantile q, the type-7 target ranks h=(n−1)q and maps
+ *      floor(h)/ceil(h) to (bucket, index-within-bucket); the final
+ *      pass broadcast-joins those few target buckets, sorts ONLY them
+ *      (a few thousand rows however large the input), and picks the
+ *      endpoint values by row_number.
+ *
+ * Interpolation is lower + frac·(upper − lower), identical to Spark's
+ * `percentile` and DuckDB's `quantile_cont` (type 7), so results are
+ * bit-compatible with the built-ins. Nulls are ignored, as both do.
+ *
+ * Envelope: designed for modest group counts (driver state is
+ * O(G·nBuckets)); the value column must be numeric (DoubleType math).
+ * All-null groups are omitted (the built-ins return NULL there).
+ */
+object Quantiles {
+
+  /**
+   * @param qs (quantile, output column name) pairs, e.g.
+   *           Seq(0.5 -> "med", 0.9 -> "p90")
+   * @return one row per group: (groupCol, qs-names…), values as Double
+   */
+  def exactQuantiles(df: DataFrame, groupCol: String, valueCol: String,
+                     qs: Seq[(Double, String)], nBuckets: Int = 256): DataFrame = {
+    require(qs.nonEmpty && qs.forall { case (q, _) => q >= 0 && q <= 1 })
+    val spark = df.sparkSession
+    val rows = df.select(col(groupCol).as("g"), col(valueCol).cast("double").as("v"))
+      .filter(col("v").isNotNull)
+
+    // pass 1: per-group bounds + count (G rows)
+    val bounds = rows.groupBy("g")
+      .agg(min("v").as("mn"), max("v").as("mx"), count(lit(1)).as("n"))
+      .collect()
+      .map(r => r.get(0) -> (r.getDouble(1), r.getDouble(2), r.getLong(3))).toMap
+    if (bounds.isEmpty)
+      return df.sparkSession.emptyDataFrame
+
+    // equi-width bucket id, monotonic in v (ties always share a bucket)
+    val widths = bounds.map { case (g, (mn, mx, _)) =>
+      g -> math.max((mx - mn) / nBuckets, java.lang.Double.MIN_NORMAL)
+    }
+    import spark.implicits._
+    val paramRows = bounds.toSeq.map { case (g, (mn, _, _)) => (g, mn, widths(g)) }
+    val params = spark.createDataFrame(
+      spark.sparkContext.parallelize(paramRows.map {
+        case (g, mn, w) => org.apache.spark.sql.Row(g, mn, w) }, 1),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("g", rows.schema("g").dataType),
+        org.apache.spark.sql.types.StructField("mn", org.apache.spark.sql.types.DoubleType),
+        org.apache.spark.sql.types.StructField("w", org.apache.spark.sql.types.DoubleType))))
+    def bucketOf: Column = least(
+      floor((col("v") - col("mn")) / col("w")).cast("long"), lit(nBuckets - 1L))
+    val bucketed = rows.join(broadcast(params), "g").withColumn("b", bucketOf)
+
+    // pass 2: bucket histogram (≤ G×B rows)
+    val hist: Map[Any, Seq[(Long, Long)]] = bucketed
+      .groupBy("g", "b").agg(count(lit(1)).as("c")).collect()
+      .groupBy(_.get(0))
+      .map { case (g, rs) =>
+        g -> rs.map(r => (r.getLong(1), r.getLong(2))).sortBy(_._1).toSeq
+      }
+
+    // driver: target ranks → (bucket, local index); carry frac on each
+    // endpoint row. localIdx is the 0-based rank within the bucket.
+    case class Target(b: Long, localIdx: Long, qi: Int, isHi: Boolean, frac: Double)
+    val targets: Seq[(Any, Target)] = bounds.keys.toSeq.flatMap { g =>
+      val n = bounds(g)._3
+      val cum = hist(g).scanLeft((-1L, 0L)) { case ((_, acc), (b, c)) => (b, acc + c) }
+      def locate(k: Long): (Long, Long) = { // global rank → (bucket, local idx)
+        val i = cum.indexWhere(_._2 > k, 1) // first prefix strictly past k
+        val (b, _) = cum(i); val before = cum(i - 1)._2
+        (b, k - before)
+      }
+      qs.zipWithIndex.flatMap { case ((q, _), qi) =>
+        val h = (n - 1) * q
+        val lo = math.floor(h).toLong; val hi = math.ceil(h).toLong
+        val frac = h - math.floor(h)
+        val (bl, il) = locate(lo); val (bh, ih) = locate(hi)
+        Seq(g -> Target(bl, il, qi, isHi = false, frac),
+            g -> Target(bh, ih, qi, isHi = true, frac))
+      }
+    }
+    val targetDf = spark.createDataFrame(
+      spark.sparkContext.parallelize(targets.map { case (g, t) =>
+        org.apache.spark.sql.Row(g, t.b, t.localIdx, t.qi, t.isHi, t.frac) }, 1),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("g", rows.schema("g").dataType),
+        org.apache.spark.sql.types.StructField("b", org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("li", org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("qi", org.apache.spark.sql.types.IntegerType),
+        org.apache.spark.sql.types.StructField("hi", org.apache.spark.sql.types.BooleanType),
+        org.apache.spark.sql.types.StructField("frac", org.apache.spark.sql.types.DoubleType))))
+
+    // pass 3: selection — only target buckets survive the broadcast
+    // semi-join, so the sort/window touches a few thousand rows total
+    val wanted = targetDf.select("g", "b").distinct()
+    val ranked = bucketed
+      .join(broadcast(wanted), Seq("g", "b"), "left_semi")
+      .withColumn("li",
+        row_number().over(Window.partitionBy("g", "b").orderBy("v")) - 1)
+    val picked = ranked.join(broadcast(targetDf), Seq("g", "b", "li"))
+    val aggs = qs.zipWithIndex.map { case ((_, name), qi) =>
+      def side(isHi: Boolean): Column = max(
+        when(col("qi") === qi && col("hi") === isHi, col("v")))
+      val fr = max(when(col("qi") === qi, col("frac")))
+      (side(false) + fr * (side(true) - side(false))).as(name)
+    }
+    picked.groupBy(col("g").as(groupCol))
+      .agg(aggs.head, aggs.tail: _*)
+  }
+}

@@ -448,13 +448,19 @@ object Relational {
         .orderBy(col("event_id"))
     }),
 
+    // Exact median/p90 WITHOUT the per-group full-multiset
+    // ObjectHashAggregate buffer (a few-giant-buffers OOM pattern at
+    // 100 TB): distributed selection — bucket-histogram pass, driver
+    // rank→bucket mapping, then a selection pass that sorts only the
+    // target buckets. See operators.Quantiles.
     "q38_median_percentile" -> ((s, dir) => {
       val t = T(s, dir) _
-      t("lineitem")
-        .groupBy(col("l_returnflag"))
-        .agg(
-          round(median(col("l_extendedprice")), 4).as("med_price"),
-          round(expr("percentile(l_extendedprice, 0.9)"), 4).as("p90_price"))
+      graft.operators.Quantiles
+        .exactQuantiles(t("lineitem"), "l_returnflag", "l_extendedprice",
+          Seq(0.5 -> "med_raw", 0.9 -> "p90_raw"))
+        .select(col("l_returnflag"),
+          round(col("med_raw"), 4).as("med_price"),
+          round(col("p90_raw"), 4).as("p90_price"))
         .orderBy(col("l_returnflag"))
     }),
 

@@ -1,0 +1,80 @@
+package graft
+
+import graft.operators.Quantiles
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Distributed-selection exact quantiles vs Spark's exact `percentile`. */
+class QuantilesSpec extends AnyFunSuite {
+  private lazy val spark = GraftTestSession.spark
+
+  private def check(data: Seq[(String, java.lang.Double)], qs: Seq[Double],
+                    nBuckets: Int = 64): Unit = {
+    import spark.implicits._
+    val df = data.toDF("g", "v")
+    val ours = Quantiles.exactQuantiles(df, "g", "v",
+        qs.zipWithIndex.map { case (q, i) => q -> s"q$i" }, nBuckets)
+      .orderBy("g").collect()
+    val ref = df.groupBy("g")
+      .agg(qs.zipWithIndex.map { case (q, i) =>
+          expr(s"percentile(v, $q)").as(s"q$i") }.head,
+        qs.zipWithIndex.drop(1).map { case (q, i) =>
+          expr(s"percentile(v, $q)").as(s"q$i") }: _*)
+      .filter(col("q0").isNotNull) // all-null groups are omitted by ours
+      .orderBy("g").collect()
+    assert(ours.length == ref.length)
+    ours.zip(ref).foreach { case (a, b) =>
+      assert(a.getString(0) == b.getString(0))
+      qs.indices.foreach { i =>
+        val (x, y) = (a.getDouble(i + 1), b.getDouble(i + 1))
+        assert(math.abs(x - y) <= 1e-9 * math.max(1.0, math.abs(y)),
+          s"group ${a.getString(0)} q=${qs(i)}: $x vs $y")
+      }
+    }
+  }
+
+  test("random data, several groups, interpolated ranks") {
+    val rnd = new scala.util.Random(7)
+    val data = for (_ <- 1 to 5000) yield
+      (s"g${rnd.nextInt(4)}", java.lang.Double.valueOf(rnd.nextGaussian() * 100))
+    check(data.toSeq, Seq(0.0, 0.1, 0.5, 0.9, 0.99, 1.0))
+  }
+
+  test("heavy ties across bucket boundaries") {
+    val rnd = new scala.util.Random(11)
+    val data = for (_ <- 1 to 3000) yield
+      (s"g${rnd.nextInt(2)}", java.lang.Double.valueOf(rnd.nextInt(7).toDouble))
+    check(data.toSeq, Seq(0.25, 0.5, 0.75), nBuckets = 4)
+  }
+
+  test("edge cases: single row, two rows, all-equal, nulls ignored") {
+    check(Seq(("a", java.lang.Double.valueOf(3.5))), Seq(0.5, 0.9))
+    check(Seq(("a", java.lang.Double.valueOf(1.0)),
+              ("a", java.lang.Double.valueOf(2.0))), Seq(0.5, 0.9))
+    check(Seq.fill(100)(("a", java.lang.Double.valueOf(42.0))), Seq(0.1, 0.5))
+    check(Seq(("a", java.lang.Double.valueOf(1.0)), ("a", null),
+              ("a", java.lang.Double.valueOf(5.0)), ("b", null)), Seq(0.5))
+  }
+
+  test("q38-shaped: matches the ObjectHashAggregate formulation on lineitem") {
+    val li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+    val ours = Quantiles.exactQuantiles(li, "l_returnflag", "l_extendedprice",
+        Seq(0.5 -> "med", 0.9 -> "p90"))
+      .select(col("l_returnflag"), round(col("med"), 4).as("med"),
+              round(col("p90"), 4).as("p90"))
+      .orderBy("l_returnflag").collect()
+    val ref = li.groupBy("l_returnflag")
+      .agg(round(median(col("l_extendedprice")), 4).as("med"),
+           round(expr("percentile(l_extendedprice, 0.9)"), 4).as("p90"))
+      .orderBy("l_returnflag").collect()
+    assert(ours.toSeq.map(_.toSeq) == ref.toSeq.map(_.toSeq))
+  }
+
+  test("selection plan: no ObjectHashAggregate, only hash aggregates") {
+    val li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+    val df = Quantiles.exactQuantiles(li, "l_returnflag", "l_extendedprice",
+      Seq(0.5 -> "med"))
+    val physical = df.queryExecution.executedPlan.toString
+    assert(!physical.contains("ObjectHashAggregate"), physical)
+  }
+}
