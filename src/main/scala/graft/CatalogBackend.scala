@@ -34,4 +34,15 @@ trait CatalogBackend {
    */
   def register(db: String, table: String,
                entries: Seq[(String, Option[Long], Option[Long])]): Unit = ()
+
+  /**
+   * Writer-side hook: drop every registered file entry for `db.table`.
+   * Called by `LakeWriter.write` before `register` when the write mode
+   * is Overwrite — the fresh part files have new names, so without a
+   * clear the index would keep stale paths to deleted files and a
+   * subsequent read of `prunedPaths` would fail on them. Default no-op
+   * (the json backend's index IS the on-disk state the overwrite
+   * already replaced).
+   */
+  def clear(db: String, table: String): Unit = ()
 }

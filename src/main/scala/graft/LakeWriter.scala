@@ -71,47 +71,120 @@ object LakeWriter {
     val writer = bloomFilterCols.foldLeft(clustered.write.mode(mode)) { (w, c) =>
       w.option(s"parquet.bloom.filter.enabled#$c", "true")
     }
+    // Append is incremental: snapshot the file set before the write so
+    // the stats/registration pass below covers ONLY the delta — an
+    // O(new files) pass, not an O(table) rescan of all history.
+    val local = isLocalUri(tableDir)
+    val before: Set[String] =
+      if (local && mode == SaveMode.Append) listParquet(new File(tableDir))
+      else Set.empty
     writer.partitionBy(partCols: _*).parquet(tableDir)
-    // zone maps: per written folder, min/max time per file
-    val written = spark.read.parquet(tableDir)
-      .select(col(timeCol), input_file_name().as("file"))
-      .groupBy(col("file"))
-      .agg(min(timeCol).as("mn"), max(timeCol).as("mx"), count(lit(1)).as("n"))
-      .collect() // O(#files) rows — metadata, not data
-    // publish to the active catalog backend too (absolute paths, same
-    // stats as the zone maps) — a redis-indexed lake sees the new files
-    // without a filesystem walk; the json backend's no-op register is
-    // covered by the metadata.json written below
-    catalog.foreach(_.register(db, table, written.map { r =>
-      val p = new java.net.URI(r.getString(0)).getPath
-      val stats = if (r.isNullAt(1) || r.isNullAt(2)) (None, None)
-        else (Some(r.getLong(1)), Some(r.getLong(2)))
-      (p, stats._1, stats._2)
-    }.toSeq))
-    written.groupBy(r => new File(new java.net.URI(r.getString(0)).getPath).getParent)
+    // zone maps: min/max time per newly written file. On a non-local
+    // lake (no walkable listing) fall back to the whole-table scan;
+    // register is idempotent by path, so that stays correct.
+    val statsSource =
+      if (local) {
+        val delta = (listParquet(new File(tableDir)) -- before).toSeq.sorted
+        if (delta.isEmpty) None else Some(spark.read.parquet(delta: _*))
+      } else Some(spark.read.parquet(tableDir))
+    val written = statsSource.map {
+      _.select(col(timeCol), input_file_name().as("file"))
+        .groupBy(col("file"))
+        .agg(min(timeCol).as("mn"), max(timeCol).as("mx"), count(lit(1)).as("n"))
+        .collect() // O(#files) rows — metadata, not data
+    }.getOrElse(Array.empty[org.apache.spark.sql.Row])
+    // publish to the active catalog backend too (same stats as the
+    // zone maps) — a redis-indexed lake sees the new files without a
+    // filesystem walk; the json backend's no-op register is covered by
+    // the metadata.json written below. Overwrite first drops the old
+    // entries: the fresh part files have new names, so stale paths to
+    // deleted files would otherwise survive in the index.
+    catalog.foreach { c =>
+      if (mode == SaveMode.Overwrite) c.clear(db, table)
+      c.register(db, table, written.map { r =>
+        val stats = if (r.isNullAt(1) || r.isNullAt(2)) (None, None)
+          else (Some(r.getLong(1)), Some(r.getLong(2)))
+        (catalogPath(r.getString(0)), stats._1, stats._2)
+      }.toSeq)
+    }
+    if (local) written
+      .groupBy(r => new File(new java.net.URI(r.getString(0)).getPath).getParent)
       .foreach { case (folder, files) =>
         // a file whose time values are ALL NULL has null min/max — emit
         // its entry without stats (Catalog keeps stat-less files
         // unpruned) instead of NPE-ing after the data is already on disk
-        val entries = files.map { r =>
+        val entries = files.toSeq.map { r =>
           val name = new File(new java.net.URI(r.getString(0)).getPath).getName
           val stats = if (r.isNullAt(1) || r.isNullAt(2)) None
             else Some((r.getLong(1), r.getLong(2)))
           (name, stats, r.getLong(3))
         }
-        val bounds = entries.flatMap(_._2)
-        val folderStats =
-          if (bounds.isEmpty) ""
-          else s""""min_time":${bounds.map(_._1).min},"max_time":${bounds.map(_._2).max},"""
-        val n = entries.map(_._3).sum
-        val filesJson = entries.map {
-          case (p, Some((fmn, fmx)), fn) =>
-            s"""{"path":"$p","row_count":$fn,"min_time":$fmn,"max_time":$fmx}"""
-          case (p, None, fn) =>
-            s"""{"path":"$p","row_count":$fn}"""
-        }.mkString("[", ",", "]")
-        Files.writeString(new File(folder, "metadata.json").toPath,
-          s"""{"type":"parquet","row_count":$n,$folderStats"files":$filesJson}""")
+        writeFolderMeta(new File(folder), entries)
       }
+  }
+
+  /** file: (or bare-path) URIs keep their filesystem path; any other
+    * scheme keeps the FULL uri string — `new URI(p).getPath` would drop
+    * scheme+authority and feed the catalog `/key` for `s3a://bucket/key`. */
+  private[graft] def catalogPath(uriStr: String): String = {
+    val u = scala.util.Try(new java.net.URI(uriStr)).toOption
+    u match {
+      case Some(x) if x.getScheme == null || x.getScheme == "file" => x.getPath
+      case _ => uriStr
+    }
+  }
+
+  private def isLocalUri(p: String): Boolean =
+    scala.util.Try(new java.net.URI(p)).toOption
+      .forall(u => u.getScheme == null || u.getScheme == "file")
+
+  private def listParquet(dir: File): Set[String] =
+    if (!dir.isDirectory) Set.empty
+    else Option(dir.listFiles()).map(_.toSeq).getOrElse(Nil).flatMap { f =>
+      if (f.isDirectory) listParquet(f)
+      else if (f.isFile && f.getName.endsWith(".parquet")) Seq(f.getAbsolutePath)
+      else Nil
+    }.toSet
+
+  /**
+   * Write (or incrementally merge) a folder's `metadata.json`: entries
+   * for files re-written in this commit replace their old entry by
+   * name; entries for untouched files survive, so an Append publishes
+   * its delta without losing the folder's history. Folder-level
+   * min/max/row_count are recomputed over the merged set.
+   */
+  private def writeFolderMeta(folder: File,
+      newEntries: Seq[(String, Option[(Long, Long)], Long)]): Unit = {
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val metaFile = new File(folder, "metadata.json")
+    val prior: Seq[(String, Option[(Long, Long)], Long)] =
+      if (!metaFile.isFile) Nil
+      else scala.util.Try {
+        import scala.jdk.CollectionConverters._
+        val root = mapper.readTree(metaFile)
+        Option(root.get("files")).toSeq.flatMap(_.elements().asScala).map { fn =>
+          def l(f: String) = Option(fn.get(f)).filter(_.isNumber).map(_.asLong())
+          val stats = for (mn <- l("min_time"); mx <- l("max_time")) yield (mn, mx)
+          (Option(fn.get("path")).map(_.asText()).getOrElse(""),
+           stats, l("row_count").getOrElse(0L))
+        }
+      }.getOrElse(Nil)
+    val newNames = newEntries.map(_._1).toSet
+    // drop prior entries whose file no longer exists (overwritten dirs)
+    val entries = prior.filterNot(e =>
+      newNames(e._1) || !new File(folder, e._1).isFile) ++ newEntries
+    val bounds = entries.flatMap(_._2)
+    val folderStats =
+      if (bounds.isEmpty) ""
+      else s""""min_time":${bounds.map(_._1).min},"max_time":${bounds.map(_._2).max},"""
+    val n = entries.map(_._3).sum
+    val filesJson = entries.map {
+      case (p, Some((fmn, fmx)), fn) =>
+        s"""{"path":"$p","row_count":$fn,"min_time":$fmn,"max_time":$fmx}"""
+      case (p, None, fn) =>
+        s"""{"path":"$p","row_count":$fn}"""
+    }.mkString("[", ",", "]")
+    Files.writeString(metaFile.toPath,
+      s"""{"type":"parquet","row_count":$n,$folderStats"files":$filesJson}""")
   }
 }

@@ -157,6 +157,13 @@ class RedisCatalog(url: String) extends CatalogBackend with AutoCloseable {
     val paths = strings(
       command("ZRANGEBYSCORE", idxKey(db, table), lo, "+inf"))
     if (paths.isEmpty) return Nil
+    // a pre-path-member index (ZSET member was a JSON entry) would
+    // surface JSON blobs as file paths — fail loudly, don't read junk
+    paths.find(_.startsWith("{")).foreach { m =>
+      throw new IllegalStateException(
+        s"legacy redis index format for $db.$table (JSON member ${m.take(60)}...): " +
+        "clear() and re-register the table to migrate to path members")
+    }
     val statsJson = command("HMGET" +: statsKey(db, table) +: paths: _*) match {
       case s: Seq[_] => s.map(Option(_).collect { case x: String => x })
       case _         => Seq.fill(paths.size)(None)
@@ -201,6 +208,11 @@ class RedisCatalog(url: String) extends CatalogBackend with AutoCloseable {
       command("ZADD", idxKey(db, table), score, path)
       command("HSET", statsKey(db, table), path, json)
     }
+  }
+
+  /** Drop the table's index + stats keys (Overwrite semantics). */
+  override def clear(db: String, table: String): Unit = {
+    command("DEL", idxKey(db, table), statsKey(db, table))
   }
 
   override def close(): Unit = socket.close()

@@ -89,6 +89,76 @@ class LakeWriterSpec extends AnyFunSuite {
     assert(!pruned.exists(_.path.contains("date=2024-01-15")))
   }
 
+  test("catalogPath preserves non-file URI scheme + authority") {
+    assert(LakeWriter.catalogPath("s3a://bucket/db/t/date=2024-01-01/p.parquet")
+      == "s3a://bucket/db/t/date=2024-01-01/p.parquet")
+    assert(LakeWriter.catalogPath("file:///lake/db/t/p.parquet")
+      == "/lake/db/t/p.parquet")
+    assert(LakeWriter.catalogPath("/lake/db/t/p.parquet")
+      == "/lake/db/t/p.parquet")
+  }
+
+  /** Records register/clear calls for delta/overwrite assertions. */
+  private class RecordingCatalog extends CatalogBackend {
+    val registered = scala.collection.mutable.Buffer[Seq[String]]()
+    val cleared = scala.collection.mutable.Buffer[String]()
+    override def databases: Seq[String] = Nil
+    override def tables(db: String): Seq[String] = Nil
+    override def prunedPaths(db: String, table: String,
+                             range: Option[(Long, Long)]): Seq[String] = Nil
+    override def tableExists(db: String, table: String): Boolean = false
+    override def register(db: String, table: String,
+        entries: Seq[(String, Option[Long], Option[Long])]): Unit =
+      registered += entries.map(_._1)
+    override def clear(db: String, table: String): Unit = cleared += s"$db.$table"
+  }
+
+  test("append registers only the delta; overwrite clears first") {
+    import spark.implicits._
+    import org.apache.spark.sql.SaveMode
+    val root = Files.createTempDirectory(
+      new File("target").toPath.toAbsolutePath, "wlake5").toString
+    val cat = new RecordingCatalog
+    val day1 = Seq((1705276800000000000L, 1.0)).toDF("time", "v").coalesce(1)
+    val day2 = Seq((1705363200000000000L, 2.0)).toDF("time", "v").coalesce(1)
+    LakeWriter.write(root, "mydb", "m5", day1, catalog = Some(cat))
+    assert(cat.cleared == Seq("mydb.m5")) // default mode is Overwrite
+    val firstFiles = cat.registered.head.toSet
+    assert(firstFiles.nonEmpty)
+    LakeWriter.write(root, "mydb", "m5", day2, mode = SaveMode.Append,
+      catalog = Some(cat))
+    assert(cat.cleared.size == 1) // append does NOT clear
+    val appended = cat.registered(1).toSet
+    // the append's registration covers ONLY the new files
+    assert(appended.nonEmpty && appended.intersect(firstFiles).isEmpty)
+    // both days remain discoverable through the json catalog zone maps
+    val c = new Catalog(root)
+    assert(c.files("mydb", "m5").size == firstFiles.size + appended.size)
+  }
+
+  test("append into an existing date folder merges metadata.json") {
+    import spark.implicits._
+    import org.apache.spark.sql.SaveMode
+    val root = Files.createTempDirectory(
+      new File("target").toPath.toAbsolutePath, "wlake6").toString
+    val t0 = 1705276800000000000L // both rows in the same date folder
+    LakeWriter.write(root, "mydb", "m6",
+      Seq((t0, 1.0)).toDF("time", "v").coalesce(1))
+    LakeWriter.write(root, "mydb", "m6",
+      Seq((t0 + 3600L * 1000000000L, 2.0)).toDF("time", "v").coalesce(1),
+      mode = SaveMode.Append)
+    val c = new Catalog(root)
+    val files = c.files("mydb", "m6")
+    assert(files.size == 2, files) // merged: first write's entry survived
+    assert(files.forall(f => f.minTime.isDefined && f.maxTime.isDefined))
+    // folder stats recomputed over the merged set: both hours covered
+    val meta = new String(Files.readAllBytes(
+      new File(s"$root/mydb/m6/date=2024-01-15/metadata.json").toPath))
+    assert(meta.contains(s""""min_time":$t0"""))
+    assert(meta.contains(s""""max_time":${t0 + 3600L * 1000000000L}"""))
+    assert(meta.contains(""""row_count":2,"""))
+  }
+
   test("hour-level partitioning writes date=/hour= layout") {
     val root = Files.createTempDirectory(
       new File("target").toPath.toAbsolutePath, "wlake2").toString

@@ -71,6 +71,11 @@ class FakeRedisServer {
           .sortBy(_._2).map(_._1)
         ms.map(m => s"$$${m.getBytes(UTF_8).length}\r\n$m\r\n")
           .mkString(s"*${ms.size}\r\n", "", "")
+      case "DEL" =>
+        val n = cmd.drop(1).count(k =>
+          sets.remove(k).isDefined | zsets.remove(k).isDefined |
+            hashes.remove(k).isDefined)
+        s":$n\r\n"
       case other => s"-ERR unknown command '$other'\r\n"
     }
   }
@@ -178,6 +183,38 @@ class RedisCatalogSpec extends AnyFunSuite {
       assert(cat.prunedPaths("mydb", "meas",
         Some((T0 + 24 * HOUR_NS, T0 + 25 * HOUR_NS))) ==
         Seq("/lake/d1.parquet", "/lake/d2.parquet", "/lake/nostats.parquet"))
+      cat.close()
+    } finally srv.stop()
+  }
+
+  test("clear drops the table's index and stats keys") {
+    val srv = new FakeRedisServer
+    try {
+      val cat = new RedisCatalog(s"redis://localhost:${srv.port}")
+      cat.register("mydb", "meas", Seq(("/lake/old.parquet", Some(T0), Some(T0))))
+      assert(cat.prunedPaths("mydb", "meas", None) == Seq("/lake/old.parquet"))
+      cat.clear("mydb", "meas")
+      assert(cat.prunedPaths("mydb", "meas", None).isEmpty)
+      // table membership survives (clear is about file entries)
+      assert(cat.tableExists("mydb", "meas"))
+      cat.register("mydb", "meas", Seq(("/lake/new.parquet", Some(T0), Some(T0))))
+      assert(cat.prunedPaths("mydb", "meas", None) == Seq("/lake/new.parquet"))
+      cat.close()
+    } finally srv.stop()
+  }
+
+  test("legacy JSON-member index fails loudly instead of returning junk paths") {
+    val srv = new FakeRedisServer
+    try {
+      // simulate a pre-path-member index: the ZSET member is a JSON blob
+      srv.zsets.getOrElseUpdate("graft:idx:mydb:meas",
+        scala.collection.mutable.LinkedHashMap())(
+        s"""{"path":"/lake/d1.parquet","min_time":$T0}""") = T0.toDouble
+      val cat = new RedisCatalog(s"redis://localhost:${srv.port}")
+      val e = intercept[IllegalStateException] {
+        cat.prunedPaths("mydb", "meas", None)
+      }
+      assert(e.getMessage.contains("legacy redis index format"))
       cat.close()
     } finally srv.stop()
   }
