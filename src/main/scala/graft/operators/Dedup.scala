@@ -17,6 +17,47 @@ import org.apache.spark.sql.functions._
  */
 object Dedup {
 
+  private lazy val log = org.slf4j.LoggerFactory.getLogger(getClass)
+
+  /**
+   * Hot-bucket guard for banded LSH self-joins: a pathological corpus
+   * (thousands of near-identical documents — precisely the dedup use
+   * case) can put a huge cohort into one band bucket, and the
+   * equi-join then goes quadratic in that bucket. With `cap` set, any
+   * bucket holding more than `cap` rows is DROPPED before the join —
+   * a documented recall trade (members of a skipped bucket can still
+   * pair through their other bands), never a silent one: every skip
+   * is logged with the bucket count. The bucket census is a partial
+   * hash aggregate (metadata-sized result) and the exclusion is a
+   * broadcast anti-join — no extra shuffle of the banded stream.
+   */
+  private[operators] def capBuckets(banded: DataFrame, keys: Seq[String],
+                                    cap: Option[Int], what: String): DataFrame =
+    cap match {
+      case None => banded
+      case Some(c) =>
+        require(c > 0, "maxBucketSize must be positive")
+        val hot = banded.groupBy(keys.map(col): _*)
+          .agg(count(lit(1)).as("bkt_n")).filter(col("bkt_n") > c)
+          .collect()
+        if (hot.isEmpty) banded
+        else {
+          log.warn(s"$what: skipping ${hot.length} bucket(s) over " +
+            s"maxBucketSize=$c (largest=${hot.map(_.getLong(keys.size)).max} rows); " +
+            "pairs confined to skipped buckets are not emitted")
+          val spark = banded.sparkSession
+          import spark.implicits._
+          val hotKeys = hot.map(r =>
+            keys.indices.map(i => r.get(i).toString).mkString("\u0000")).toSeq
+          val hotDf = hotKeys.toDF("__hotkey")
+          banded
+            .withColumn("__hotkey",
+              concat_ws("\u0000", keys.map(k => col(k).cast("string")): _*))
+            .join(broadcast(hotDf), Seq("__hotkey"), "left_anti")
+            .drop("__hotkey")
+        }
+    }
+
   /** Exact dedup: canonical (min-id) representative per distinct key. */
   def exact(df: DataFrame, idCol: String, keyCols: Seq[String]): DataFrame =
     df.groupBy(keyCols.map(col): _*)
@@ -113,7 +154,8 @@ object Dedup {
    */
   def minhashCandidates(docs: DataFrame, idCol: String, textCol: String,
                         shingleWords: Int = 3, k: Int = 64, bands: Int = 16,
-                        minEstJaccard: Double = 0.0): DataFrame = {
+                        minEstJaccard: Double = 0.0,
+                        maxBucketSize: Option[Int] = None): DataFrame = {
     require(k % bands == 0, "bands must divide k")
     val r = k / bands
     val a = mixConstants(k, 1, 30)
@@ -134,8 +176,9 @@ object Dedup {
     // 3. band buckets = hashes of signature slices (plain columns)
     val buckets = (0 until bands).map(j =>
       hash((j * r until (j + 1) * r).map(i => element_at(col("sig"), i + 1)): _*))
-    val banded = sigs.select(col("id"),
-      posexplode(array(buckets: _*)).as(Seq("band", "bucket")))
+    val banded = capBuckets(
+      sigs.select(col("id"), posexplode(array(buckets: _*)).as(Seq("band", "bucket"))),
+      Seq("band", "bucket"), maxBucketSize, "minhashCandidates")
     val cand = banded.as("x").join(banded.as("y"),
         col("x.band") === col("y.band") && col("x.bucket") === col("y.bucket") &&
           col("x.id") < col("y.id"))
@@ -275,14 +318,33 @@ object Dedup {
       .filter(col("simhash").isNotNull)
 
   /**
-   * SimHash candidate pairs within `maxHamming`, via 4×16-bit band
-   * buckets (pigeonhole-complete for hamming ≤ 3).
+   * ALL SimHash pairs within hamming distance `maxHamming`, by
+   * pigeonhole banding: the 64 signature bits are split into
+   * `maxHamming + 1` contiguous bands, so any pair differing in at
+   * most `maxHamming` bits MUST agree exactly on at least one band —
+   * the banded equi-join is therefore COMPLETE at the requested
+   * radius (not a recall-bounded approximation like MinHash banding).
+   * The flip side: larger radii mean narrower bands, bigger buckets
+   * and a more expensive join — radius 3 (the default, 4×16-bit
+   * bands) is the classic near-dup operating point; cap pathological
+   * buckets with `maxBucketSize` (which trades completeness for a
+   * logged bound) rather than raising the radius.
    */
-  def simhashPairs(sigs: DataFrame, maxHamming: Int = 3): DataFrame = {
-    val bandArr = array((0 until 4).map(j =>
-      shiftright(col("simhash"), 16 * j).bitwiseAND(0xFFFFL)): _*)
-    val banded = sigs.select(col("id"), col("simhash"),
-      posexplode(bandArr).as(Seq("band", "bucket")))
+  def simhashPairs(sigs: DataFrame, maxHamming: Int = 3,
+                   maxBucketSize: Option[Int] = None): DataFrame = {
+    require(maxHamming >= 0 && maxHamming < 64,
+      "maxHamming must be in [0, 63]")
+    val bands = maxHamming + 1
+    val bound = (0 to bands).map(j => j * 64 / bands) // band bit offsets
+    val bandArr = array((0 until bands).map { j =>
+      val w = bound(j + 1) - bound(j)
+      val mask = if (w == 64) -1L else (1L << w) - 1
+      shiftright(col("simhash"), bound(j)).bitwiseAND(mask)
+    }: _*)
+    val banded = capBuckets(
+      sigs.select(col("id"), col("simhash"),
+        posexplode(bandArr).as(Seq("band", "bucket"))),
+      Seq("band", "bucket"), maxBucketSize, "simhashPairs")
     banded.as("x").join(banded.as("y"),
         col("x.band") === col("y.band") && col("x.bucket") === col("y.bucket") &&
           col("x.id") < col("y.id"))

@@ -76,12 +76,16 @@ object Similarity {
    * Approximate near-duplicate pairs: only same-bucket pairs are
    * scored. Returns (id_a, id_b, cos_sim) — a recall-bounded subset
    * of allPairsTopK's candidate space at a fraction of the cost.
+   * `maxBucketSize` drops (and logs) pathologically hot buckets
+   * before the self-join — see [[Dedup.capBuckets]].
    */
   def lshPairs(emb: DataFrame, idCol: String, vecCol: String,
-               bits: Int, dim: Int): DataFrame = {
-    val sig = emb.select(col(idCol).as("id"), col(vecCol).as("v"),
+               bits: Int, dim: Int,
+               maxBucketSize: Option[Int] = None): DataFrame = {
+    val sig0 = emb.select(col(idCol).as("id"), col(vecCol).as("v"),
       norm(col(vecCol)).as("nv"),
       lshSignature(col(vecCol), bits, dim).as("bucket"))
+    val sig = Dedup.capBuckets(sig0, Seq("bucket"), maxBucketSize, "lshPairs")
     sig.as("x").join(sig.as("y"),
         col("x.bucket") === col("y.bucket") && col("x.id") < col("y.id"))
       .select(col("x.id").as("id_a"), col("y.id").as("id_b"),

@@ -47,11 +47,12 @@ object Pipeline {
         .limit(50)
     }),
 
-    // SimHash near-dup pairs (hash-specific → rows-only)
+    // SimHash near-dup pairs at the radius the 4-band pigeonhole
+    // scheme makes COMPLETE (hamming ≤ 3); hash-specific → rows-only
     "q53_simhash" -> ((s, dir) => {
       val d = T(s, dir)("documents")
       val sigs = Dedup.simhash(d, "doc_id", TextAnalysis.tokens(col("text")))
-      Dedup.simhashPairs(sigs, maxHamming = 63)
+      Dedup.simhashPairs(sigs, maxHamming = 3)
         .orderBy(col("hamming"), col("id_a"), col("id_b"))
         .limit(50)
     }),

@@ -52,7 +52,7 @@ class DedupSpec extends AnyFunSuite {
     // near-dup (one token differs) stays far closer than unrelated docs
     assert(java.lang.Long.bitCount(m(0L) ^ m(2L)) <
       java.lang.Long.bitCount(m(0L) ^ m(3L)))
-    val pairs = Dedup.simhashPairs(sigs, maxHamming = 63)
+    val pairs = Dedup.simhashPairs(sigs, maxHamming = 3)
       .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getInt(2))).toMap
     assert(pairs((0L, 1L)) == 0) // identical docs always share every band
   }

@@ -74,6 +74,58 @@ class ScaleOperatorsSpec extends AnyFunSuite {
     assert(recall >= 0.9, s"LSH recall $recall over ${exact.size} exact pairs")
   }
 
+  test("simhashPairs pigeonhole banding is complete at the requested radius") {
+    // brute-force ground truth over random signatures: every pair with
+    // hamming <= r must be found by the (r+1)-band scheme, at r=3 and
+    // a non-dividing r=6 (7 bands over 64 bits, uneven widths)
+    val rnd = new scala.util.Random(13)
+    val base = rnd.nextLong()
+    // cluster signatures around a base so small-hamming pairs exist
+    val sigRows = (0L until 120L).map { i =>
+      var s = base
+      (0 until rnd.nextInt(6)).foreach(_ => s ^= 1L << rnd.nextInt(64))
+      (i, s)
+    }
+    val sigs = sigRows.toDF("id", "simhash")
+    for (r <- Seq(3, 6)) {
+      val truth = (for {
+        (i, a) <- sigRows; (j, b) <- sigRows if i < j
+        if java.lang.Long.bitCount(a ^ b) <= r
+      } yield (i, j)).toSet
+      val found = Dedup.simhashPairs(sigs, maxHamming = r)
+        .select("id_a", "id_b").collect()
+        .map(x => (x.getLong(0), x.getLong(1))).toSet
+      assert(found == truth, s"radius $r: ${truth.size} true, ${found.size} found")
+    }
+  }
+
+  test("hot-bucket guard bounds a degenerate near-identical corpus") {
+    // 2000 near-identical docs: every LSH band has one giant bucket and
+    // the uncapped self-join would generate ~2M candidate pairs
+    val docs = (0L until 2000L).map(i =>
+      (i, s"the quick brown fox jumps over the lazy dog number ${i % 3}"))
+      .toDF("doc_id", "text")
+    val capped = Dedup.minhashCandidates(docs, "doc_id", "text",
+      shingleWords = 3, maxBucketSize = Some(100))
+    assert(capped.count() == 0) // every bucket oversized → all skipped
+    // a mixed corpus: the guard only silences the degenerate cohort;
+    // pairs among normal docs survive
+    val mixed = docs.limit(0).unionByName(
+      ((0L until 500L).map(i => (i, "same same same words all over again yes")) ++
+       Seq((9001L, "rare unique document about spark catalyst internals today"),
+           (9002L, "rare unique document about spark catalyst internals today")))
+        .toDF("doc_id", "text"))
+    val pairs = Dedup.minhashCandidates(mixed, "doc_id", "text",
+        shingleWords = 3, maxBucketSize = Some(100))
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.contains((9001L, 9002L)))
+    assert(pairs.forall { case (a, b) => a >= 9000L && b >= 9000L })
+    // simhash + embedding-LSH guards engage the same way
+    val sigs = Dedup.simhash(docs, "doc_id",
+      graft.operators.TextAnalysis.tokens(col("text")))
+    assert(Dedup.simhashPairs(sigs, 3, Some(100)).count() == 0)
+  }
+
   test("dedupCorpus drops near-dup higher ids, keeps everything else") {
     val docs = Seq(
       (0L, "alpha beta gamma delta epsilon zeta eta theta"),
