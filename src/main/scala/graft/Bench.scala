@@ -57,7 +57,13 @@ object Bench {
     def json(rows: Seq[(String, Double)]): String =
       rows.map { case (k, v) => s"\"" + k + "\":" + v }.mkString("{", ",", "}")
 
-    var wall = 0.0
+    // sequential pass runs FIRST: it's the clean per-query plan signal,
+    // and running it after the concurrent pass let same-JVM ordering/GC
+    // make a query read slower alone than under 8-way contention
+    val seqResults: Seq[(String, Double)] =
+      if (mode != "conc") names.map { case (name, fn) => name -> timed(fn) }
+      else Nil
+    var wall = seqResults.map(_._2).sum // overwritten by the conc wall below
     var concJson = "{}"
     if (mode != "seq") {
       val pool = java.util.concurrent.Executors.newFixedThreadPool(
@@ -75,12 +81,7 @@ object Bench {
       pool.shutdown()
       concJson = json(results)
     }
-    val seqJson =
-      if (mode != "conc") json(names.map { case (name, fn) => name -> timed(fn) })
-      else "{}"
-    if (mode == "seq") // wall of the only pass that ran
-      wall = seqJson.drop(1).dropRight(1).split(",")
-        .filter(_.nonEmpty).map(_.split(":")(1).toDouble).sum
+    val seqJson = if (mode != "conc") json(seqResults) else "{}"
     println(s"""{"metric":"total","value":$wall,"unit":"sec","queries":$concJson,"queries_seq":$seqJson,"sf":"$sfDir"}""")
     spark.stop()
   }

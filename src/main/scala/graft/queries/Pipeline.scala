@@ -69,10 +69,13 @@ object Pipeline {
     }),
 
     // LSH-bucketed approximate pairs (scale path; bucket-dependent →
-    // rows-only)
+    // rows-only). bits=5 × 16 tables is the measured ≥0.9-recall
+    // operating point for THIS corpus's top pairs (cos ≈ 0.45 — no
+    // planted high-cosine dups); a real near-dup corpus (cos ≥ 0.9)
+    // runs cheaper points like 8×8 — see ScaleOperatorsSpec's pins.
     "q56_ann_lsh" -> ((s, dir) => {
       Similarity.lshPairs(T(s, dir)("embeddings"), "vec_id", "embedding",
-          bits = 8, dim = 64)
+          bits = 5, dim = 64, tables = 16)
         .orderBy(col("cos_sim").desc, col("id_a"), col("id_b"))
         .limit(20)
     }),

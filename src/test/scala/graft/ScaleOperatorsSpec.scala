@@ -126,6 +126,54 @@ class ScaleOperatorsSpec extends AnyFunSuite {
     assert(Dedup.simhashPairs(sigs, 3, Some(100)).count() == 0)
   }
 
+  test("embedding LSH recall pinned at the q56 operating point") {
+    // ground truth: exact all-pairs top-20 (q54's DuckDB-oracled path).
+    // This corpus's top pairs sit at cosine ≈ 0.43-0.48 (no planted
+    // high-cosine dups), which is ADVERSARIAL for sign-LSH — the
+    // measured tradeoff curve at sf0.001: 8 bits × 8 tables → recall
+    // 0.30 (3.8% of pairs as candidates); 5 bits × 16 tables → recall
+    // 0.90 (41%). q56 runs the latter; pin both ends so a regression
+    // in signatures or banding shows up as a recall drop.
+    val emb = Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
+    val exact = graft.operators.Similarity
+      .allPairsTopK(emb, "vec_id", "embedding", 20)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    def recallAt(bits: Int, tables: Int): Double = {
+      val lsh = graft.operators.Similarity
+        .lshPairs(emb, "vec_id", "embedding", bits, dim = 64, tables = tables)
+        .select("id_a", "id_b").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      exact.count(lsh.contains).toDouble / exact.size
+    }
+    assert(recallAt(5, 16) >= 0.85)
+    assert(recallAt(8, 8) >= 0.2) // selective point: partial by design
+
+    // the regime the operator is built for — true near-dups (cosine
+    // ≥ 0.9): the CHEAP point must recover them nearly completely (hyperplane
+    // collision prob per bit ≈ 0.9 there)
+    val rnd = new scala.util.Random(5)
+    def unit(): Array[Float] = {
+      val v = Array.fill(64)(rnd.nextGaussian())
+      val n = math.sqrt(v.map(x => x * x).sum)
+      v.map(x => (x / n).toFloat)
+    }
+    val bases = Seq.fill(25)(unit())
+    val rows = bases.zipWithIndex.flatMap { case (b, i) =>
+      val jitter = unit()
+      val dup = b.zip(jitter).map { case (x, j) => (x + 0.08f * j) }
+      Seq((i * 2L, b.toSeq), (i * 2L + 1, dup.toSeq)) // cos(b,dup) ≈ 0.997
+    } ++ (1000L until 1200L).map(i => (i, unit().toSeq))
+    val df = rows.toDF("vec_id", "embedding")
+    val truth = bases.indices.map(i => (i * 2L, i * 2L + 1)).toSet
+    val found = graft.operators.Similarity
+      .lshPairs(df, "vec_id", "embedding", bits = 8, dim = 64, tables = 8)
+      .filter(col("cos_sim") >= 0.9)
+      .select("id_a", "id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = truth.count(found.contains).toDouble / truth.size
+    assert(recall >= 0.9, s"high-cosine recall $recall")
+  }
+
   test("dedupCorpus drops near-dup higher ids, keeps everything else") {
     val docs = Seq(
       (0L, "alpha beta gamma delta epsilon zeta eta theta"),
