@@ -72,15 +72,18 @@ class Engine(val spark: SparkSession, val catalog: CatalogBackend,
 
     val planOpt = scala.util.Try(parse(spark, sql)).toOption
     // CTE names shadow lake tables: `WITH x AS (…) SELECT … FROM x`
-    // must resolve x to the CTE even when a lake table x exists
-    val cteNames: Set[String] = planOpt.toSeq
-      .flatMap(withSubqueryPlans)
-      .flatMap(_.collect {
-        case w: org.apache.spark.sql.catalyst.plans.logical.UnresolvedWith =>
-          w.cteRelations.map(_._1.toLowerCase)
-      }.flatten).toSet
-    val rels = planOpt.map(findRelations).getOrElse(Nil)
-      .filterNot(id => id.size == 1 && cteNames.contains(id.head.toLowerCase))
+    // must resolve x to the CTE even when a lake table x exists. The
+    // shadowing is SCOPED to each UnresolvedWith's own subtree — a CTE
+    // named x inside one subquery must not suppress a lake table x
+    // referenced bare in a different scope of the same statement.
+    val seen = scala.collection.mutable.Buffer[Seq[String]]()
+    planOpt.foreach(Engine.rewriteScoped(_, Set.empty, (r, scope) => {
+      if (!(r.multipartIdentifier.size == 1 &&
+            scope.contains(r.multipartIdentifier.head.toLowerCase)))
+        seen += r.multipartIdentifier
+      None
+    }))
+    val rels = seen.toSeq.distinct
       .map {
         case Seq(d, t) => (d, t)
         case Seq(t) => (db, t)
@@ -136,16 +139,14 @@ class Engine(val spark: SparkSession, val catalog: CatalogBackend,
     def relKey(parts: Seq[String]): (String, String) =
       if (parts.size == 1) (db.toLowerCase, parts.head.toLowerCase)
       else (parts.dropRight(1).mkString(".").toLowerCase, parts.last.toLowerCase)
-    val renamed = planOpt.get.transformDownWithSubqueries {
-      case r: org.apache.spark.sql.catalyst.analysis.UnresolvedRelation
-          if !(r.multipartIdentifier.size == 1 &&
-               cteNames.contains(r.multipartIdentifier.head.toLowerCase)) &&
-            prunedPlans.contains(relKey(r.multipartIdentifier)) =>
+    val renamed = Engine.rewriteScoped(planOpt.get, Set.empty, (r, scope) =>
+      if (r.multipartIdentifier.size == 1 &&
+          scope.contains(r.multipartIdentifier.head.toLowerCase)) None
+      else prunedPlans.get(relKey(r.multipartIdentifier)).map { pruned =>
         val (d, t) = relKey(r.multipartIdentifier)
         org.apache.spark.sql.catalyst.plans.logical.SubqueryAlias(
-          org.apache.spark.sql.catalyst.AliasIdentifier(t, Seq(d)),
-          prunedPlans((d, t)))
-    }
+          org.apache.spark.sql.catalyst.AliasIdentifier(t, Seq(d)), pruned)
+      })
     // O9 analog: if any time column is int64 ns, rewrite time-vs-
     // string/timestamp literal comparisons to long-literal form —
     // alias-scoped so a TimestampType `time` on another relation in
@@ -164,4 +165,38 @@ class Engine(val spark: SparkSession, val catalog: CatalogBackend,
     } else renamed
     org.apache.spark.sql.graftbridge.ColumnBridge.ofRows(spark, finalPlan)
   }
+}
+
+object Engine {
+  import org.apache.spark.sql.catalyst.analysis.UnresolvedRelation
+  import org.apache.spark.sql.catalyst.expressions.SubqueryExpression
+  import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, SubqueryAlias, UnresolvedWith}
+
+  /**
+   * Traverse `plan` (including subquery expressions) with CTE-scope
+   * tracking: `replace` is offered every `UnresolvedRelation` together
+   * with the set of CTE names in scope AT THAT POSITION, and may return
+   * a substitute subtree. A CTE's names are in scope for the
+   * UnresolvedWith's child and for its own definitions (so later/
+   * recursive CTEs can reference earlier ones) — but NOT for sibling
+   * scopes, unlike a statement-global name set.
+   */
+  private[graft] def rewriteScoped(plan: LogicalPlan, scope: Set[String],
+      replace: (UnresolvedRelation, Set[String]) => Option[LogicalPlan]): LogicalPlan =
+    plan match {
+      case w: UnresolvedWith =>
+        val s2 = scope ++ w.cteRelations.map(_._1.toLowerCase)
+        w.copy(
+          child = rewriteScoped(w.child, s2, replace),
+          cteRelations = w.cteRelations.map { case (n, d, m) =>
+            (n, rewriteScoped(d, s2, replace).asInstanceOf[SubqueryAlias], m)
+          })
+      case r: UnresolvedRelation => replace(r, scope).getOrElse(r)
+      case other =>
+        other.mapChildren(rewriteScoped(_, scope, replace))
+          .transformExpressionsDown {
+            case se: SubqueryExpression =>
+              se.withNewPlan(rewriteScoped(se.plan, scope, replace))
+          }
+    }
 }

@@ -244,6 +244,22 @@ class CatalogEngineSpec extends AnyFunSuite {
     assert(df.collect().map(_.getInt(0)).toSeq == Seq(42))
   }
 
+  test("engine: CTE shadowing is scoped — a subquery's CTE does not hide the lake table outside it") {
+    // a CTE named `meas` lives INSIDE a scalar subquery; the outer bare
+    // `meas` must still resolve to the lake table. A statement-global
+    // shadow set would leave the outer reference unregistered and fail.
+    val df = engine.query(
+      "SELECT (SELECT max(v) FROM (WITH meas AS (SELECT 42 AS v) " +
+        "SELECT v FROM meas)) AS cte_v, count(*) AS n FROM meas", "mydb")
+    val row = df.collect().head
+    assert(row.getInt(0) == 42)
+    assert(row.getLong(1) == 72L) // full lake table row count
+    // and the converse still holds: inside the WITH scope the CTE wins
+    val df2 = engine.query(
+      "WITH meas AS (SELECT 42 AS v) SELECT (SELECT count(*) FROM meas) AS n", "mydb")
+    assert(df2.collect().head.getLong(0) == 1L)
+  }
+
   test("engine: outer window does not prune a subquery over the same table") {
     // outer restricts to day 3; subquery aggregates over ALL days — if the
     // outer window pruned the shared view, min(time) would be day-3's start
