@@ -35,20 +35,21 @@ object Bench {
     // built-in `noop` sink evaluates all output columns and discards rows.
     def consume(df: org.apache.spark.sql.DataFrame): Unit =
       df.write.format("noop").mode("overwrite").save()
-    // untimed warmup: JIT + codegen caches + parquet footer reads; q72's
-    // warmup also builds the memoized IVF index — an index is an OFFLINE
-    // artifact, so the timed runs measure search cost, not build cost
-    try SparkEntry.queries("q04_agg")(spark, sfDir).count()
-    catch { case _: Throwable => () }
-    try consume(SparkEntry.queries("q72_ivf_search")(spark, sfDir))
-    catch { case _: Throwable => () }
-
     // SPARK_GRAFT_BENCH_ONLY=q91,q89 restricts to a comma-separated
     // subset (prefix match) — for iterating on one query's plan
     val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
     val names = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => only.forall(_.exists(n.startsWith)) }
+
+    // untimed warmup ITERATION over the whole workload: JIT + codegen
+    // caches + parquet footers, and q72's memoized IVF index build (an
+    // index is an OFFLINE artifact — timed runs measure search, not
+    // build). Without a full pass, whichever timed pass runs first
+    // absorbs per-query codegen compilation and reads artificially slow.
+    names.foreach { case (_, fn) =>
+      try consume(fn(spark, sfDir)) catch { case _: Throwable => () }
+    }
     def timed(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
       val q0 = System.nanoTime()
       try { consume(fn(spark, sfDir)) } catch { case _: Throwable => () }
