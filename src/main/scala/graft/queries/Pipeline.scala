@@ -184,6 +184,23 @@ object Pipeline {
     // two-stage coarse-to-fine retrieval: candidates by cosine on the
     // first 16 dims (4× cheaper scan), exact re-rank of the top-50 on
     // all 64 dims — the production trick for cheap first-pass ANN
+    // Transitive-closure canonicalization: the EXACT prefix-filtered
+    // pair set (deterministic, q91's path) feeds distributed connected
+    // components; every document maps to its cluster's min id. Fully
+    // SQL-expressible (DuckDB recursive CTE) → oracle-checked, unlike
+    // the greedy pairwise q73.
+    "q97_dedup_components" -> ((s, dir) => {
+      val d = T(s, dir)("documents")
+      val pairs = Dedup.prefixFilterJaccardPairs(d, "doc_id", "text",
+        shingleWords = 3, minJaccard = 0.8)
+      val cc = graft.operators.ConnectedComponents.run(pairs, "id_a", "id_b")
+      d.select(col("doc_id"))
+        .join(cc.withColumnRenamed("id", "doc_id"), Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("component"), col("doc_id")).as("component"))
+        .orderBy(col("doc_id"))
+    }),
+
     "q95_two_stage_ann" -> ((s, dir) => {
       val emb = T(s, dir)("embeddings")
       val coarseDims = 16
@@ -403,6 +420,26 @@ object Pipeline {
              COUNT(DISTINCT md5(trim(regexp_replace(lower(k.text), '\\s+', ' ', 'g')))) AS n_unique_fp
       FROM kept k JOIN langed l ON k.doc_id = l.doc_id
       GROUP BY pred_lang ORDER BY pred_lang""",
+    "q97_dedup_components" -> """
+      WITH RECURSIVE toks AS (SELECT doc_id, regexp_extract_all(text, '\S+') AS t FROM documents),
+      sh AS (SELECT DISTINCT doc_id,
+                    unnest(list_transform(range(1, len(t) - 1),
+                      i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS s
+             FROM toks WHERE len(t) >= 3),
+      sz AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1),
+      inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS i
+                FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+                GROUP BY 1, 2),
+      pairs AS (SELECT id_a, id_b
+                FROM inter JOIN sz sa ON sa.doc_id = id_a
+                           JOIN sz sb ON sb.doc_id = id_b
+                WHERE i / CAST(sa.n + sb.n - i AS DOUBLE) >= 0.8),
+      edges AS (SELECT id_a AS a, id_b AS b FROM pairs
+                UNION ALL SELECT id_b, id_a FROM pairs),
+      reach(id, r) AS (SELECT doc_id, doc_id FROM documents
+                       UNION
+                       SELECT e.b, reach.r FROM reach JOIN edges e ON e.a = reach.id)
+      SELECT id AS doc_id, min(r) AS component FROM reach GROUP BY id ORDER BY doc_id""",
     "q91_prefix_jaccard" -> """
       WITH toks AS (SELECT doc_id, regexp_extract_all(text, '\S+') AS t FROM documents),
       sh AS (SELECT DISTINCT doc_id,

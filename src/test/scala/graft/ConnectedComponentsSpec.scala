@@ -1,0 +1,64 @@
+package graft
+
+import graft.operators.ConnectedComponents
+import org.scalatest.funsuite.AnyFunSuite
+
+class ConnectedComponentsSpec extends AnyFunSuite {
+  private lazy val spark = GraftTestSession.spark
+  import spark.implicits._
+
+  /** Driver-side union-find ground truth. */
+  private def unionFind(edges: Seq[(Long, Long)]): Map[Long, Long] = {
+    val parent = scala.collection.mutable.Map[Long, Long]()
+    def find(x: Long): Long = {
+      val p = parent.getOrElseUpdate(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    edges.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    parent.keys.map(k => k -> find(k)).toMap
+  }
+
+  private def check(edges: Seq[(Long, Long)]): Unit = {
+    val got = ConnectedComponents.run(edges.toDF("a", "b"), "a", "b")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val want = unionFind(edges)
+    // representative must be the component MINIMUM, not just consistent
+    val mins = want.groupBy(_._2).map { case (root, m) => root -> m.keys.min }
+    assert(got == want.map { case (k, r) => k -> math.min(mins(r), r) })
+  }
+
+  test("random graph matches union-find ground truth") {
+    val rnd = new scala.util.Random(3)
+    val edges = Seq.fill(300)((rnd.nextInt(120).toLong, rnd.nextInt(120).toLong))
+      .filter { case (a, b) => a != b }
+    check(edges)
+  }
+
+  test("path graph needs diameter rounds and still converges") {
+    check((0L until 25L).map(i => (i, i + 1))) // single 26-node chain
+    // and fails loudly when maxIter is below the diameter
+    val e = intercept[IllegalStateException] {
+      ConnectedComponents.run(
+        (0L until 25L).map(i => (i, i + 1)).toDF("a", "b"), "a", "b", maxIter = 3)
+    }
+    assert(e.getMessage.contains("did not converge"))
+  }
+
+  test("disjoint cliques, self-loops, empty input") {
+    check(Seq((1L, 2L), (2L, 3L), (10L, 11L), (20L, 20L)))
+    assert(ConnectedComponents.run(
+      Seq.empty[(Long, Long)].toDF("a", "b"), "a", "b").isEmpty)
+  }
+
+  test("q97 semantics: clusters canonicalize transitively, greedy does not") {
+    // pairs {1,3},{2,3}: greedy keeps 1 AND 2 (neither pair relates
+    // them); components put all three in component 1
+    val cc = ConnectedComponents.run(
+      Seq((1L, 3L), (2L, 3L)).toDF("id_a", "id_b"), "id_a", "id_b")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(cc == Map(1L -> 1L, 2L -> 1L, 3L -> 1L))
+  }
+}
