@@ -36,6 +36,12 @@ trait CatalogBackend {
                entries: Seq[(String, Option[Long], Option[Long])]): Unit = ()
 
   /**
+   * Writer-side hook: drop specific file entries (a compactor removing
+   * the files it just replaced). Default no-op, like `register`.
+   */
+  def deregister(db: String, table: String, paths: Seq[String]): Unit = ()
+
+  /**
    * Writer-side hook: drop every registered file entry for `db.table`.
    * Called by `LakeWriter.write` before `register` when the write mode
    * is Overwrite — the fresh part files have new names, so without a

@@ -153,7 +153,7 @@ object LakeWriter {
    * its delta without losing the folder's history. Folder-level
    * min/max/row_count are recomputed over the merged set.
    */
-  private def writeFolderMeta(folder: File,
+  private[graft] def writeFolderMeta(folder: File,
       newEntries: Seq[(String, Option[(Long, Long)], Long)]): Unit = {
     val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
     val metaFile = new File(folder, "metadata.json")

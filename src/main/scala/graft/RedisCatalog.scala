@@ -210,6 +210,13 @@ class RedisCatalog(url: String) extends CatalogBackend with AutoCloseable {
     }
   }
 
+  /** Remove specific file entries (compaction replaced them). */
+  override def deregister(db: String, table: String, paths: Seq[String]): Unit =
+    if (paths.nonEmpty) {
+      command("ZREM" +: idxKey(db, table) +: paths: _*)
+      command("HDEL" +: statsKey(db, table) +: paths: _*)
+    }
+
   /** Drop the table's index + stats keys (Overwrite semantics). */
   override def clear(db: String, table: String): Unit = {
     command("DEL", idxKey(db, table), statsKey(db, table))

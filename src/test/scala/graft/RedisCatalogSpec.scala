@@ -76,6 +76,14 @@ class FakeRedisServer {
           sets.remove(k).isDefined | zsets.remove(k).isDefined |
             hashes.remove(k).isDefined)
         s":$n\r\n"
+      case "ZREM" =>
+        val z = zsets.getOrElse(cmd(1), mutable.LinkedHashMap())
+        val n = cmd.drop(2).count(m => z.remove(m).isDefined)
+        s":$n\r\n"
+      case "HDEL" =>
+        val h = hashes.getOrElse(cmd(1), mutable.LinkedHashMap())
+        val n = cmd.drop(2).count(f => h.remove(f).isDefined)
+        s":$n\r\n"
       case other => s"-ERR unknown command '$other'\r\n"
     }
   }
