@@ -1,0 +1,82 @@
+package graft
+
+import java.io.File
+import java.nio.file.Files
+import graft.streaming.LakeIngest
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Stream → lake append → catalog → engine query → compact, end to end. */
+class LakeIngestSpec extends AnyFunSuite {
+  private lazy val spark = GraftTestSession.spark
+
+  private val DAY_NS = 86400000000000L
+  private val T0 = 1705276800000000000L // 2024-01-15T00:00:00Z
+
+  test("micro-batches land catalogued, queryable, prunable; compaction folds them") {
+    import spark.implicits._
+    val stage = Files.createTempDirectory(
+      new File("target").toPath.toAbsolutePath, "ingest-src")
+    val root = Files.createTempDirectory(
+      new File("target").toPath.toAbsolutePath, "ingest-lake").toString
+    val ckpt = Files.createTempDirectory(
+      new File("target").toPath.toAbsolutePath, "ingest-ckpt").toString
+
+    def stageBatch(name: String, dayOffset: Int, n: Int, tag: String): Unit = {
+      val tmp = Files.createTempDirectory(
+        new File("target").toPath.toAbsolutePath, "ingest-tmp")
+      (0 until n).map(j => (T0 + dayOffset * DAY_NS + j * 1000000L, s"$tag$j", j * 1.0))
+        .toDF("time", "k", "v").coalesce(1).write.mode("overwrite")
+        .parquet(tmp.toString)
+      val part = tmp.toFile.listFiles().find(_.getName.endsWith(".parquet")).get
+      Files.move(part.toPath, stage.resolve(name))
+      org.apache.commons.io.FileUtils.deleteDirectory(tmp.toFile)
+    }
+
+    stageBatch("b0.parquet", 0, 30, "a")
+    val srv = new FakeRedisServer
+    try {
+      val cat = new RedisCatalog(s"redis://localhost:${srv.port}")
+      val schema = new org.apache.spark.sql.types.StructType()
+        .add("time", "long").add("k", "string").add("v", "double")
+      val stream = spark.readStream.schema(schema).parquet(stage.toString)
+      val q = LakeIngest.start(stream, root, "mydb", "ing", ckpt,
+        catalog = Some(cat))
+      try {
+        q.processAllAvailable()
+        val engine = new Engine(spark, cat) // reads via the redis index
+        assert(engine.query("SELECT count(*) AS n FROM mydb.ing", "")
+          .collect().head.getLong(0) == 30L)
+
+        stageBatch("b1.parquet", 1, 20, "b") // second batch, next day
+        q.processAllAvailable()
+        assert(engine.query("SELECT count(*) AS n FROM mydb.ing", "")
+          .collect().head.getLong(0) == 50L)
+        // zone maps are live: a day-2 window prunes to day-2 files only
+        val pruned = cat.prunedPaths("mydb", "ing",
+          Some((T0 + DAY_NS, T0 + 2 * DAY_NS - 1)))
+        assert(pruned.nonEmpty &&
+          pruned.forall(_.contains("date=2024-01-16")))
+        // json-backend discovery works from the merged metadata.json too
+        assert(new Engine(spark, new Catalog(root))
+          .query("SELECT count(*) AS n FROM mydb.ing " +
+            "WHERE time >= '2024-01-16T00:00:00Z'", "")
+          .collect().head.getLong(0) == 20L)
+
+        stageBatch("b2.parquet", 0, 10, "c") // third batch back on day 1
+        q.processAllAvailable()
+      } finally q.stop()
+
+      // day-1 folder now holds 2 batch files → compaction folds them
+      val day1 = new File(s"$root/mydb/ing/date=2024-01-15")
+      assert(day1.listFiles().count(_.getName.endsWith(".parquet")) == 2)
+      LakeCompactor.compact(spark, root, "mydb", "ing", catalog = Some(cat))
+      assert(day1.listFiles().count(_.getName.endsWith(".parquet")) == 1)
+      val engine = new Engine(spark, cat)
+      assert(engine.query("SELECT count(*) AS n FROM mydb.ing", "")
+        .collect().head.getLong(0) == 60L)
+      assert(cat.prunedPaths("mydb", "ing", None).forall(p => new File(p).isFile))
+      cat.close()
+    } finally srv.stop()
+  }
+}
