@@ -249,17 +249,35 @@ object Dedup {
       .filter(col("arr").isNotNull)
       .select(col("id"), col("arr"), size(col("arr")).as("n"))
     val prefix = sized.select(col("id"), col("n"),
-      explode(slice(col("arr"), lit(1),
-        (col("n") - ceil(lit(minJaccard) * col("n")) + 1).cast("int"))).as("h"))
+        posexplode(slice(col("arr"), lit(1),
+          (col("n") - ceil(lit(minJaccard) * col("n")) + 1).cast("int")))
+          .as(Seq("p0", "h")))
+      .select(col("id"), col("n"), (col("p0") + 1).as("p"), col("h")) // 1-based pos
     // length filter (the other half of AllPairs/PPJoin pruning):
     // J(a,b) ≥ t ⟹ t·|b| ≤ |a| ≤ |b|/t, so size-incompatible pairs are
     // cut inside the join before the expensive set verification
-    val cand = prefix.as("x").join(prefix.as("y"),
+    val matched = prefix.as("x").join(prefix.as("y"),
         col("x.h") === col("y.h") && col("x.id") < col("y.id") &&
           col("x.n") >= ceil(lit(minJaccard) * col("y.n")) &&
           col("y.n") >= ceil(lit(minJaccard) * col("x.n")))
-      .select(col("x.id").as("id_a"), col("y.id").as("id_b"))
-      .distinct()
+      .select(col("x.id").as("id_a"), col("y.id").as("id_b"), col("x.h"),
+        col("x.p").as("px"), col("y.p").as("py"),
+        col("x.n").as("nx"), col("y.n").as("ny"))
+    // PPJoin positional filter: both arrays are in one global canonical
+    // order (sorted hashes), so for the FIRST (minimum-hash) shared
+    // prefix token at positions (px, py) no shared token precedes it in
+    // either array — an earlier shared token would be in both prefixes
+    // and have matched first. Hence overlap ≤ 1 + min(nx−px, ny−py),
+    // while J ≥ t needs overlap ≥ ⌈t/(1+t)·(nx+ny)⌉ — pairs whose bound
+    // can't reach the requirement never enter the array verification.
+    val cand = matched
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(min_by(col("px"), col("h")).as("px"),
+        min_by(col("py"), col("h")).as("py"),
+        first(col("nx")).as("nx"), first(col("ny")).as("ny"))
+      .filter(lit(1) + least(col("nx") - col("px"), col("ny") - col("py")) >=
+        ceil(lit(minJaccard) / (1 + minJaccard) * (col("nx") + col("ny"))))
+      .select(col("id_a"), col("id_b"))
     val sets = sized.select(col("id"), col("arr").as("hset"))
     cand
       .join(sets.select(col("id").as("id_a"), col("hset").as("sa")), "id_a")
