@@ -200,6 +200,44 @@ object TimeSeries {
         .orderBy(col("user_id"), col("ts"), col("event_id"))
     }),
 
+    // PromQL-style counter increase/rate with RESET handling: a
+    // counter that wraps (here: per-user running total mod 1000 —
+    // deterministic resets) contributes its post-reset value, not a
+    // negative delta. The cumsum is rounded to the 1e-6 grid before
+    // the mod so Spark's sequential window sum and DuckDB's
+    // segment-tree window sum agree bit-for-bit at the reset edges.
+    "q98_ts_counter_rate" -> ((s, dir) => {
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      eventsUs(s, dir)
+        .withColumn("counter",
+          pmod(round(sum(abs(col("value"))).over(w), 6), lit(1000.0)))
+        .withColumn("prev", lag(col("counter"), 1).over(w))
+        .withColumn("inc", when(col("prev").isNull, lit(0.0))
+          .when(col("counter") < col("prev"), col("counter")) // reset
+          .otherwise(col("counter") - col("prev")))
+        .groupBy(col("user_id"),
+          (col("ts") - pmod(col("ts"), lit(DAY_NS))).as("day_ns"))
+        .agg(round(sum(col("inc")), 6).as("increase"),
+          round(sum(col("inc")) / lit(86400.0), 9).as("rate_per_sec"))
+        .orderBy(col("user_id"), col("day_ns"))
+    }),
+
+    // band join: click→purchase pairs within ±500 ms, via the bucketed
+    // band-join operator (bucket equi-join + exact re-check) instead of
+    // the BroadcastNestedLoopJoin a bare |a−b| ≤ tol theta join plans as
+    "q99_ts_band_join" -> ((s, dir) => {
+      val ev = eventsUs(s, dir)
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("event_id").as("click_id"), col("ts").as("click_ts"))
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id").as("purchase_id"), col("ts").as("purchase_ts"))
+      graft.operators.BandJoin
+        .bandJoin(clicks, purchases, "click_ts", "purchase_ts", 500000000L)
+        .select(col("click_id"), col("purchase_id"),
+          (col("purchase_ts") - col("click_ts")).as("dt_ns"))
+        .orderBy(col("click_id"), col("purchase_id"))
+    }),
+
     // gap fill: dense hourly series with zero-filled missing buckets
     "q47_ts_gapfill" -> ((s, dir) => {
       val t = T(s, dir) _
@@ -216,6 +254,34 @@ object TimeSeries {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q98_ts_counter_rate" -> """
+      WITH c AS (
+        SELECT user_id, event_id, epoch_ns(ts) AS tsns,
+               round(SUM(abs(value)) OVER (PARTITION BY user_id
+                 ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 6) % 1000
+                 AS counter
+        FROM events),
+      d AS (
+        SELECT user_id, tsns, counter,
+               LAG(counter, 1) OVER (PARTITION BY user_id
+                 ORDER BY tsns, event_id) AS prev
+        FROM c)
+      SELECT user_id, tsns - tsns % 86400000000000 AS day_ns,
+             round(SUM(CASE WHEN prev IS NULL THEN 0
+                            WHEN counter < prev THEN counter
+                            ELSE counter - prev END), 6) AS increase,
+             round(SUM(CASE WHEN prev IS NULL THEN 0
+                            WHEN counter < prev THEN counter
+                            ELSE counter - prev END) / 86400.0, 9) AS rate_per_sec
+      FROM d GROUP BY 1, 2 ORDER BY 1, 2""",
+    "q99_ts_band_join" -> """
+      SELECT a.event_id AS click_id, b.event_id AS purchase_id,
+             epoch_ns(b.ts) - epoch_ns(a.ts) AS dt_ns
+      FROM events a JOIN events b
+        ON a.event_type = 'click' AND b.event_type = 'purchase'
+       AND abs(epoch_ns(a.ts) - epoch_ns(b.ts)) <= 500000000
+      ORDER BY 1, 2""",
     "q40_ts_range" -> """
       SELECT event_id, epoch_ns(ts) AS ts, event_type, value
       FROM events
