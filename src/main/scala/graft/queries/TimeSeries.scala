@@ -238,6 +238,41 @@ object TimeSeries {
         .orderBy(col("click_id"), col("purchase_id"))
     }),
 
+    // linear-interpolation gap fill (the between-points sibling of
+    // q49's LOCF): a sparse hourly series (users < 5) laid over the
+    // dense bucket grid; missing interior buckets lerp between the
+    // neighbouring known points, edges (no prev or no next) stay null.
+    // Single-series here → one global window; per-key series would
+    // partition the windows by the key.
+    "q4D_ts_interp" -> ((s, dir) => {
+      val t = T(s, dir) _
+      val sparse = t("events").filter(col("user_id") < 5)
+        .groupBy((col("ts") - pmod(col("ts"), lit(HOUR_NS))).as("bucket_ns"))
+        .agg(round(avg(col("value")), 6).as("v"))
+      val series = t("events")
+        .agg(min(col("ts") - pmod(col("ts"), lit(HOUR_NS))).as("lo"),
+          max(col("ts") - pmod(col("ts"), lit(HOUR_NS))).as("hi"))
+        .select(explode(sequence(col("lo"), col("hi"), lit(HOUR_NS))).as("bucket_ns"))
+      val wPrev = Window.orderBy("bucket_ns")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val wNext = Window.orderBy("bucket_ns")
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+      series.join(sparse, Seq("bucket_ns"), "left")
+        .withColumn("pv", last(col("v"), ignoreNulls = true).over(wPrev))
+        .withColumn("pt", last(when(col("v").isNotNull, col("bucket_ns")),
+          ignoreNulls = true).over(wPrev))
+        .withColumn("nv", first(col("v"), ignoreNulls = true).over(wNext))
+        .withColumn("nt", first(when(col("v").isNotNull, col("bucket_ns")),
+          ignoreNulls = true).over(wNext))
+        .withColumn("interp", round(
+          when(col("v").isNotNull, col("v"))
+            .when(col("pv").isNull || col("nv").isNull, lit(null))
+            .otherwise(col("pv") + (col("nv") - col("pv")) *
+              ((col("bucket_ns") - col("pt")) / (col("nt") - col("pt")))), 6))
+        .select(col("bucket_ns"), col("v"), col("interp"))
+        .orderBy(col("bucket_ns"))
+    }),
+
     // gap fill: dense hourly series with zero-filled missing buckets
     "q47_ts_gapfill" -> ((s, dir) => {
       val t = T(s, dir) _
@@ -373,6 +408,32 @@ object TimeSeries {
              ROUND(AVG(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
                ROWS BETWEEN 2 PRECEDING AND 2 FOLLOWING), 6) AS centered_ma
       FROM events ORDER BY user_id, ts, event_id""",
+    "q4D_ts_interp" -> """
+      WITH sp AS (
+        SELECT epoch_ns(ts) - epoch_ns(ts) % 3600000000000 AS bucket_ns,
+               round(avg(value), 6) AS v
+        FROM events WHERE user_id < 5 GROUP BY 1),
+      bounds AS (SELECT MIN(bucket_ns) AS lo, MAX(bucket_ns) AS hi FROM
+        (SELECT epoch_ns(ts) - epoch_ns(ts) % 3600000000000 AS bucket_ns FROM events)),
+      series AS (SELECT UNNEST(generate_series(lo, hi, 3600000000000)) AS bucket_ns FROM bounds),
+      j AS (SELECT s.bucket_ns, sp.v FROM series s LEFT JOIN sp USING (bucket_ns)),
+      f AS (SELECT bucket_ns, v,
+              LAST_VALUE(v IGNORE NULLS) OVER (ORDER BY bucket_ns
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pv,
+              LAST_VALUE(CASE WHEN v IS NOT NULL THEN bucket_ns END IGNORE NULLS)
+                OVER (ORDER BY bucket_ns
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pt,
+              FIRST_VALUE(v IGNORE NULLS) OVER (ORDER BY bucket_ns
+                ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nv,
+              FIRST_VALUE(CASE WHEN v IS NOT NULL THEN bucket_ns END IGNORE NULLS)
+                OVER (ORDER BY bucket_ns
+                ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nt
+            FROM j)
+      SELECT bucket_ns, v,
+             round(CASE WHEN v IS NOT NULL THEN v
+                        WHEN pv IS NULL OR nv IS NULL THEN NULL
+                        ELSE pv + (nv - pv) * ((bucket_ns - pt) / (nt - pt)) END, 6) AS interp
+      FROM f ORDER BY bucket_ns""",
     "q47_ts_gapfill" -> """
       WITH b AS (
         SELECT epoch_ns(ts) - epoch_ns(ts) % 3600000000000 AS bucket_ns, COUNT(*) AS n
