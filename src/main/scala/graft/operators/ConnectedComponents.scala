@@ -62,8 +62,72 @@ object ConnectedComponents {
     if (!converged)
       throw new IllegalStateException(
         s"connected components did not converge in $maxIter rounds — " +
-        "graph diameter exceeds maxIter; raise it or use a " +
-        "pointer-jumping formulation for path-like graphs")
+        "graph diameter exceeds maxIter; raise it or use runStars, " +
+        "which converges in O(log n) rounds on path-like graphs")
     labels
+  }
+
+  /**
+   * Alternating large-star / small-star connected components (the
+   * MapReduce-CC formulation): each round every node links its
+   * neighbourhood to the neighbourhood minimum — large-star moves the
+   * LARGER neighbours, small-star the smaller — which contracts paths
+   * exponentially, reaching the star-graph fixpoint in O(log n)
+   * rounds where min-label propagation ([[run]]) needs O(diameter).
+   * Use for graphs that may contain long chains; `run` round-trips
+   * less state per iteration on dense, small-diameter dup clusters.
+   *
+   * Both emit rules keep (u, m) alongside the moved neighbours, so
+   * every round preserves connectivity; at the fixpoint each
+   * component is a star whose centre is the component minimum, and
+   * the label of a node is min(neighbourhood ∪ self).
+   */
+  def runStars(edges: DataFrame, srcCol: String, dstCol: String,
+               maxIter: Int = 20): DataFrame = {
+    def canon(e: DataFrame): DataFrame =
+      e.select(least(col("a"), col("b")).as("a"),
+          greatest(col("a"), col("b")).as("b"))
+        .filter(col("a") =!= col("b")).distinct()
+    var e = canon(edges.select(col(srcCol).cast("long").as("a"),
+        col(dstCol).cast("long").as("b")))
+      .localCheckpoint(true)
+    val allNodes = edges
+      .select(explode(array(col(srcCol).cast("long"),
+        col(dstCol).cast("long"))).as("id"))
+      .distinct().localCheckpoint(true)
+
+    // one star round: gather each node's neighbourhood minimum m and
+    // re-link the selected neighbours (larger for large-star, smaller
+    // for small-star) plus the node itself to m
+    def star(edgesNow: DataFrame, large: Boolean): DataFrame = {
+      val nbrs = edgesNow.unionByName(
+        edgesNow.select(col("b").as("a"), col("a").as("b")))
+      val mins = nbrs.groupBy(col("a").as("u"))
+        .agg(least(min(col("b")), first(col("a"))).as("m"))
+      val moved = nbrs.join(mins, nbrs("a") === mins("u"))
+        .filter(if (large) col("b") > col("a") else col("b") <= col("a"))
+        .select(col("b").as("a"), col("m").as("b"))
+      val self = mins.select(col("u").as("a"), col("m").as("b"))
+      canon(moved.unionByName(self))
+    }
+
+    var iter = 0
+    var converged = e.isEmpty
+    while (iter < maxIter && !converged) {
+      val next = star(star(e, large = true), large = false)
+        .localCheckpoint(true)
+      converged =
+        next.count() == e.count() && next.exceptAll(e).isEmpty
+      e = next
+      iter += 1
+    }
+    if (!converged)
+      throw new IllegalStateException(
+        s"star rounds did not converge in $maxIter iterations")
+    val labels = e.unionByName(e.select(col("b").as("a"), col("a").as("b")))
+      .groupBy(col("a").as("id"))
+      .agg(least(min(col("b")), first(col("a"))).as("component"))
+    allNodes.join(labels, Seq("id"), "left")
+      .select(col("id"), coalesce(col("component"), col("id")).as("component"))
   }
 }

@@ -22,12 +22,16 @@ class ConnectedComponentsSpec extends AnyFunSuite {
   }
 
   private def check(edges: Seq[(Long, Long)]): Unit = {
-    val got = ConnectedComponents.run(edges.toDF("a", "b"), "a", "b")
-      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     val want = unionFind(edges)
     // representative must be the component MINIMUM, not just consistent
     val mins = want.groupBy(_._2).map { case (root, m) => root -> m.keys.min }
-    assert(got == want.map { case (k, r) => k -> math.min(mins(r), r) })
+    val expect = want.map { case (k, r) => k -> math.min(mins(r), r) }
+    val got = ConnectedComponents.run(edges.toDF("a", "b"), "a", "b")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == expect)
+    val gotStars = ConnectedComponents.runStars(edges.toDF("a", "b"), "a", "b")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(gotStars == expect)
   }
 
   test("random graph matches union-find ground truth") {
@@ -51,6 +55,18 @@ class ConnectedComponentsSpec extends AnyFunSuite {
     check(Seq((1L, 2L), (2L, 3L), (10L, 11L), (20L, 20L)))
     assert(ConnectedComponents.run(
       Seq.empty[(Long, Long)].toDF("a", "b"), "a", "b").isEmpty)
+    assert(ConnectedComponents.runStars(
+      Seq.empty[(Long, Long)].toDF("a", "b"), "a", "b").isEmpty)
+  }
+
+  test("star rounds contract a long chain in O(log n), not O(diameter)") {
+    // 200-node path: label propagation would need 200 rounds; the
+    // alternating star rounds must finish within 12 (~log2 + slack)
+    val chain = (0L until 200L).map(i => (i, i + 1))
+    val got = ConnectedComponents.runStars(chain.toDF("a", "b"), "a", "b",
+        maxIter = 12)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got.size == 201 && got.values.forall(_ == 0L))
   }
 
   test("q97 semantics: clusters canonicalize transitively, greedy does not") {
