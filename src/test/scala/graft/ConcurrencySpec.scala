@@ -72,6 +72,15 @@ class ConcurrencySpec extends AnyFunSuite {
     }
   }
 
+  test("splice path keeps pushdown: time bounds reach the parquet scan") {
+    val engine = new Engine(spark, new Catalog(root))
+    val plan = engine.query(daySql(1), "").queryExecution.explainString(
+      org.apache.spark.sql.execution.FormattedMode)
+    assert(plan.contains("PushedFilters") &&
+      plan.contains(s"GreaterThanOrEqual(time,${day0 + dayNs})"), plan)
+    assert(plan.contains("ReadSchema: struct<time:bigint>"), plan)
+  }
+
   test("direct engine: concurrent disjoint-range queries never cross-read") {
     val engine = new Engine(spark, new Catalog(root))
     val pool = Executors.newFixedThreadPool(nDays * 2)
