@@ -76,21 +76,25 @@ class Engine(val spark: SparkSession, val catalog: CatalogBackend,
     // shadowing is SCOPED to each UnresolvedWith's own subtree — a CTE
     // named x inside one subquery must not suppress a lake table x
     // referenced bare in a different scope of the same statement.
-    val seen = scala.collection.mutable.Buffer[Seq[String]]()
-    planOpt.foreach(Engine.rewriteScoped(_, Set.empty, (r, scope) => {
+    val seen = scala.collection.mutable.Buffer[(Seq[String], Option[String])]()
+    planOpt.foreach(Engine.rewriteScoped(_, Set.empty, (r, scope, alias) => {
       if (!(r.multipartIdentifier.size == 1 &&
             scope.contains(r.multipartIdentifier.head.toLowerCase)))
-        seen += r.multipartIdentifier
+        seen += ((r.multipartIdentifier, alias))
       None
     }))
-    val rels = seen.toSeq.distinct
-      .map {
-        case Seq(d, t) => (d, t)
-        case Seq(t) => (db, t)
-        case other => (other.dropRight(1).mkString("."), other.last)
-      }
+    def toDbTable(parts: Seq[String]): (String, String) = parts match {
+      case Seq(d, t) => (d, t)
+      case Seq(t) => (db, t)
+      case other => (other.dropRight(1).mkString("."), other.last)
+    }
+    // occurrences keep their FROM-clause alias (per-occurrence pruning
+    // for multi-occurrence tables); rels is the distinct table set
+    val occurrences = seen.toSeq
+      .map { case (parts, alias) => (toDbTable(parts), alias) }
       .distinct
-      .filter { case (d, t) => catalog.tableExists(d, t) }
+      .filter { case ((d, t), _) => catalog.tableExists(d, t) }
+    val rels = occurrences.map(_._1).distinct
     if (rels.isEmpty)
       return spark.sql(sql) // table-free or non-lake SQL → pass-through (O10)
 
@@ -103,27 +107,41 @@ class Engine(val spark: SparkSession, val catalog: CatalogBackend,
     // §2.3-7).
     val perRel: Map[String, TimeRange] =
       extractPerRelation(planOpt.get, timeCol)
+    val perAlias: Map[String, TimeRange] =
+      extractPerAlias(planOpt.get, timeCol)
+    val tableOccurrenceCount: Map[(String, String), Int] =
+      occurrences.groupBy { case ((d, t), _) => (d.toLowerCase, t.toLowerCase) }
+        .view.mapValues(_.size).toMap
     // table (last name, lowercase) → "its time column is int64 ns";
     // only tables that HAVE a time column appear. Same-name tables in
     // different dbs share a key — AND'ed, so a mixed pair never gets
     // the long-side rewrite applied to its timestamp side.
     val timeIsLong = scala.collection.mutable.Map[String, Boolean]()
-    // (db, table) → pruned analyzed plan. Kept entirely query-local:
-    // no session-global temp views, so concurrent queries on one table
-    // with different time ranges can never observe each other's pruned
-    // file set (the reference is likewise safe per-request because
-    // DuckDB receives self-contained SQL — server.go:142).
-    val prunedPlans: Map[(String, String),
+    // (db, table, alias) → pruned analyzed plan. Kept entirely
+    // query-local: no session-global temp views, so concurrent queries
+    // on one table with different time ranges can never observe each
+    // other's pruned file set (the reference is likewise safe
+    // per-request because DuckDB gets self-contained SQL —
+    // server.go:142). A single-occurrence table prunes by its
+    // per-table range (incl. unqualified attribution); each occurrence
+    // of a MULTI-occurrence table prunes by its own statement-unique
+    // alias's qualified predicates, or not at all.
+    val prunedPlans: Map[(String, String, Option[String]),
                          org.apache.spark.sql.catalyst.plans.logical.LogicalPlan] =
-      rels.map { case (relDb, table) =>
-        val pruneRange = perRel.get(table.toLowerCase).flatMap(_.asTuple)
+      occurrences.map { case ((relDb, table), alias) =>
+        val key = (relDb.toLowerCase, table.toLowerCase)
+        val pruneRange =
+          if (tableOccurrenceCount(key) == 1)
+            perRel.get(table.toLowerCase).flatMap(_.asTuple)
+          else alias.flatMap(perAlias.get).flatMap(_.asTuple)
         val tableDf = readTable(relDb, table, pruneRange)
         tableDf.schema.fields.find(_.name.equalsIgnoreCase(timeCol)).foreach { f =>
           val isLong = f.dataType == org.apache.spark.sql.types.LongType
-          val key = table.toLowerCase
-          timeIsLong(key) = timeIsLong.getOrElse(key, true) && isLong
+          val k = table.toLowerCase
+          timeIsLong(k) = timeIsLong.getOrElse(k, true) && isLong
         }
-        (relDb.toLowerCase, table.toLowerCase) -> tableDf.queryExecution.analyzed
+        (relDb.toLowerCase, table.toLowerCase, alias) ->
+          tableDf.queryExecution.analyzed
       }.toMap
     val anyLongTime = timeIsLong.values.exists(identity)
     // Splice each pruned plan directly into its `UnresolvedRelation`
@@ -139,13 +157,15 @@ class Engine(val spark: SparkSession, val catalog: CatalogBackend,
     def relKey(parts: Seq[String]): (String, String) =
       if (parts.size == 1) (db.toLowerCase, parts.head.toLowerCase)
       else (parts.dropRight(1).mkString(".").toLowerCase, parts.last.toLowerCase)
-    val renamed = Engine.rewriteScoped(planOpt.get, Set.empty, (r, scope) =>
+    val renamed = Engine.rewriteScoped(planOpt.get, Set.empty, (r, scope, alias) =>
       if (r.multipartIdentifier.size == 1 &&
           scope.contains(r.multipartIdentifier.head.toLowerCase)) None
-      else prunedPlans.get(relKey(r.multipartIdentifier)).map { pruned =>
+      else {
         val (d, t) = relKey(r.multipartIdentifier)
-        org.apache.spark.sql.catalyst.plans.logical.SubqueryAlias(
-          org.apache.spark.sql.catalyst.AliasIdentifier(t, Seq(d)), pruned)
+        prunedPlans.get((d, t, alias)).map { pruned =>
+          org.apache.spark.sql.catalyst.plans.logical.SubqueryAlias(
+            org.apache.spark.sql.catalyst.AliasIdentifier(t, Seq(d)), pruned)
+        }
       })
     // O9 analog: if any time column is int64 ns, rewrite time-vs-
     // string/timestamp literal comparisons to long-literal form —
@@ -175,14 +195,16 @@ object Engine {
   /**
    * Traverse `plan` (including subquery expressions) with CTE-scope
    * tracking: `replace` is offered every `UnresolvedRelation` together
-   * with the set of CTE names in scope AT THAT POSITION, and may return
-   * a substitute subtree. A CTE's names are in scope for the
-   * UnresolvedWith's child and for its own definitions (so later/
-   * recursive CTEs can reference earlier ones) — but NOT for sibling
-   * scopes, unlike a statement-global name set.
+   * with the set of CTE names in scope AT THAT POSITION and the name
+   * of its immediate `SubqueryAlias` parent (if any — the FROM-clause
+   * alias of that occurrence), and may return a substitute subtree. A
+   * CTE's names are in scope for the UnresolvedWith's child and for
+   * its own definitions (so later/recursive CTEs can reference
+   * earlier ones) — but NOT for sibling scopes, unlike a
+   * statement-global name set.
    */
   private[graft] def rewriteScoped(plan: LogicalPlan, scope: Set[String],
-      replace: (UnresolvedRelation, Set[String]) => Option[LogicalPlan]): LogicalPlan =
+      replace: (UnresolvedRelation, Set[String], Option[String]) => Option[LogicalPlan]): LogicalPlan =
     plan match {
       case w: UnresolvedWith =>
         val s2 = scope ++ w.cteRelations.map(_._1.toLowerCase)
@@ -191,7 +213,10 @@ object Engine {
           cteRelations = w.cteRelations.map { case (n, d, m) =>
             (n, rewriteScoped(d, s2, replace).asInstanceOf[SubqueryAlias], m)
           })
-      case r: UnresolvedRelation => replace(r, scope).getOrElse(r)
+      case sa @ SubqueryAlias(ident, r: UnresolvedRelation) =>
+        replace(r, scope, Some(ident.name.toLowerCase))
+          .map(sub => sa.copy(child = sub)).getOrElse(sa)
+      case r: UnresolvedRelation => replace(r, scope, None).getOrElse(r)
       case other =>
         other.mapChildren(rewriteScoped(_, scope, replace))
           .transformExpressionsDown {

@@ -95,6 +95,31 @@ object TimeRangeExtract {
     aliasToTable.toMap
   }
 
+  /**
+   * Per-ALIAS ranges for multi-occurrence tables: when one table is
+   * referenced several times under DISTINCT, statement-unique aliases
+   * (`FROM meas a JOIN meas b`), each alias's QUALIFIED predicates
+   * (`a.time >= …`) can soundly prune that occurrence's scan even
+   * though the per-table attribution (extractPerRelation) must give
+   * up. Aliases whose name appears more than once across the
+   * statement, and unaliased occurrences, are excluded — no range.
+   */
+  def extractPerAlias(plan: LogicalPlan,
+                      timeCol: String = "time"): Map[String, TimeRange] = {
+    val aliasCounts = scala.collection.mutable.Map[String, Int]()
+    withSubqueryPlans(plan).foreach(_.foreach {
+      case org.apache.spark.sql.catalyst.plans.logical.SubqueryAlias(ident, _) =>
+        val a = ident.name.toLowerCase
+        aliasCounts(a) = aliasCounts.getOrElse(a, 0) + 1
+      case _ => ()
+    })
+    aliasCounts.collect { case (a, 1) =>
+      a -> extract(plan, timeCol, qualifierFilter = Some { parts =>
+        parts.size >= 2 && parts.dropRight(1).mkString(".").toLowerCase == a
+      })
+    }.toMap
+  }
+
   def extractPerRelation(plan: LogicalPlan,
                          timeCol: String = "time"): Map[String, TimeRange] = {
     val aliasToTable = aliasMap(plan)

@@ -172,6 +172,35 @@ class CatalogEngineSpec extends AnyFunSuite {
         "ON a.location <> b.location " +
         "WHERE a.time < '2023-01-02T00:00:00Z' AND b.time >= '2023-01-03T00:00:00Z'", "")
     assert(df.count() == 24L * 24L) // day-1 rows × day-3 rows
+    // AND each occurrence's scan is pruned by ITS OWN alias's window:
+    // the a-side reads only day-1's file, the b-side only day-3's
+    val scans = df.queryExecution.analyzed.collect {
+      case l: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+        l.relation.asInstanceOf[
+          org.apache.spark.sql.execution.datasources.HadoopFsRelation]
+          .location.inputFiles.toSeq
+    }
+    assert(scans.size == 2)
+    assert(scans.forall(_.size == 1), scans)
+    assert(scans.flatten.exists(_.contains("date=2023-01-01")))
+    assert(scans.flatten.exists(_.contains("date=2023-01-03")))
+  }
+
+  test("engine: multi-occurrence without usable aliases stays unpruned but correct") {
+    // UNION ALL branches referencing the bare table: no statement-unique
+    // alias to attribute to → both occurrences read all 3 days; WHERE
+    // still filters (pruning is a strict optimization)
+    val df = engine.query(
+      "SELECT time FROM mydb.meas WHERE time < '2023-01-02T00:00:00Z' " +
+        "UNION ALL SELECT time FROM mydb.meas WHERE time >= '2023-01-03T00:00:00Z'", "")
+    assert(df.count() == 48L)
+    val scans = df.queryExecution.analyzed.collect {
+      case l: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+        l.relation.asInstanceOf[
+          org.apache.spark.sql.execution.datasources.HadoopFsRelation]
+          .location.inputFiles.toSeq
+    }
+    assert(scans.forall(_.size == 3), scans) // conservative: unpruned
   }
 
   test("engine: multi-occurrence table disables pruning (extract level)") {
