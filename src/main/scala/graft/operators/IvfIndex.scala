@@ -35,7 +35,7 @@ object IvfIndex {
     * expression tree LINEAR in nlist (a case-when fold would duplicate
     * each distance subtree per step: 2^nlist nodes, which stalls
     * analysis/codegen beyond ~10 centroids). */
-  private def nearestCentroid(v: Column, centroids: Seq[Seq[Double]]): Column = {
+  private[operators] def nearestCentroid(v: Column, centroids: Seq[Seq[Double]]): Column = {
     val dArr = array(centroids.map(sqDist(v, _)): _*)
     (array_position(dArr, array_min(dArr)) - 1).cast("int")
   }

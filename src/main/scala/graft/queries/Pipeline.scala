@@ -201,6 +201,20 @@ object Pipeline {
         .orderBy(col("doc_id"))
     }),
 
+    // IVF-PQ-style compressed-domain ANN: per-subspace k-means codes
+    // (m ints per vector), ADC shortlist via a driver-side lookup
+    // table, exact cosine re-rank of the shortlist only. Codebooks are
+    // k-means-derived → rows-only; recall pinned in
+    // ProductQuantizerSpec against the brute-force oracle path.
+    "q9A_pq_search" -> ((s, dir) => {
+      val emb = T(s, dir)("embeddings")
+      val cb = graft.operators.ProductQuantizer.trainCached(
+        emb, "vec_id", "embedding", m = 16, ksub = 16, cacheKey = dir)
+      val enc = graft.operators.ProductQuantizer.encode(emb, "embedding", cb)
+      graft.operators.ProductQuantizer.searchRerank(
+        enc, "vec_id", "embedding", cb, queryId = 0L, k = 10, shortlist = 50)
+    }),
+
     "q95_two_stage_ann" -> ((s, dir) => {
       val emb = T(s, dir)("embeddings")
       val coarseDims = 16

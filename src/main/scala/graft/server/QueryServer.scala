@@ -74,13 +74,14 @@ class QueryServer(engine: Engine, port: Int = 8080) {
               case "ndjson" =>
                 respond(ex, 200, ResultEncoder.toNdjsonString(df), "application/x-ndjson")
               case "arrow" => // Arrow IPC stream (FlightSQL data-plane bytes)
-                val bos = new java.io.ByteArrayOutputStream()
-                graft.encoders.ArrowEncoder.writeStream(df, bos)
-                val bytes = bos.toByteArray
+                // chunked transfer straight from the encoder's
+                // toLocalIterator — the driver never holds more than
+                // one record batch of a large result
                 ex.getResponseHeaders.add("Content-Type", "application/vnd.apache.arrow.stream")
-                ex.sendResponseHeaders(200, bytes.length)
+                ex.sendResponseHeaders(200, 0L) // 0 ⇒ chunked
                 val os = ex.getResponseBody
-                os.write(bytes); os.close()
+                graft.encoders.ArrowEncoder.writeStream(df, os)
+                os.close()
               case _ =>
                 respond(ex, 200, ResultEncoder.toJsonString(df))
             }

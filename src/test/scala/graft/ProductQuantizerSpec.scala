@@ -1,0 +1,62 @@
+package graft
+
+import graft.operators.{ProductQuantizer, Similarity}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class ProductQuantizerSpec extends AnyFunSuite {
+  private lazy val spark = GraftTestSession.spark
+  private lazy val emb = Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
+
+  private def recallAt(m: Int, ksub: Int, shortlist: Int): Double = {
+    val cb = ProductQuantizer.train(emb, "vec_id", "embedding", m, ksub)
+    val enc = ProductQuantizer.encode(emb, "embedding", cb).cache()
+    try {
+      val rs = (0L until 5L).map { q =>
+        val got = ProductQuantizer
+          .searchRerank(enc, "vec_id", "embedding", cb, q, 10, shortlist)
+          .collect().map(_.getLong(0)).toSet
+        val want = Similarity.bruteForceTopK(emb, "vec_id", "embedding", q, 10)
+          .collect().map(_.getLong(0)).toSet
+        got.intersect(want).size / 10.0
+      }
+      rs.sum / rs.size
+    } finally enc.unpersist()
+  }
+
+  test("codes are m small ints; encoding is deterministic") {
+    val cb = ProductQuantizer.train(emb, "vec_id", "embedding", m = 8, ksub = 16)
+    assert(cb.tables.size == 8 && cb.tables.forall(_.size == 16) &&
+      cb.tables.forall(_.forall(_.size == 8))) // 64 dims / 8 subspaces
+    val enc = ProductQuantizer.encode(emb, "embedding", cb)
+      .select(col("vec_id"), col("pq_codes"))
+    val rows = enc.collect().map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
+    assert(rows.values.forall(c => c.size == 8 && c.forall(x => x >= 0 && x < 16)))
+    val again = ProductQuantizer.encode(emb, "embedding", cb)
+      .select(col("vec_id"), col("pq_codes"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
+    assert(again == rows)
+  }
+
+  test("ADC shortlist + exact re-rank recall, pinned at measured points") {
+    // deterministic pipeline (Lloyd lowest-id seeding, fixed queries) —
+    // these are the measured values on this corpus (true neighbours sit
+    // at cosine ~0.45; a near-dup corpus recalls far higher), asserted
+    // with no slack below the measurement
+    assert(recallAt(m = 16, ksub = 16, shortlist = 50) >= 0.8)
+    assert(recallAt(m = 8, ksub = 16, shortlist = 100) >= 0.9)
+  }
+
+  test("ADC ranking runs as TakeOrderedAndProject over codes") {
+    val cb = ProductQuantizer.train(emb, "vec_id", "embedding", m = 8, ksub = 16)
+    val enc = ProductQuantizer.encode(emb, "embedding", cb)
+    val q = enc.filter(col("vec_id") === 0L)
+      .select(col("embedding").cast("array<double>")).head().getSeq[Double](0).toSeq
+    val plan = enc.filter(col("vec_id") =!= 0L)
+      .select(col("vec_id"), ProductQuantizer.adcDistance(cb, q).as("d"))
+      .orderBy(col("d"), col("vec_id")).limit(50)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"), plan)
+    assert(!plan.toLowerCase.contains("lambdafunction"), plan) // no interpreted HOFs
+  }
+}
