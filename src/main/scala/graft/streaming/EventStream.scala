@@ -50,6 +50,46 @@ object EventStream {
         col("user_id"), col("n_events"))
 
   /**
+   * Stream-stream proximity join — the streaming twin of the batch
+   * band join (q99 / [[graft.operators.BandJoin]]): rows from two
+   * streams pair when their event times are within `tolerance` of
+   * each other. Both sides are watermarked and the join condition is
+   * a time-range predicate, so Spark bounds each side's join state to
+   * watermark + tolerance — state does NOT grow with the streams
+   * (the planner derives the state eviction from the range bound;
+   * an unbounded-condition stream-stream join would be rejected).
+   * Each side needs an `event_time` column (from [[readEvents]]).
+   * Column names of the two sides must be disjoint apart from
+   * `event_time`, which is re-aliased internally.
+   */
+  def proximityJoin(left: DataFrame, right: DataFrame,
+                    tolMs: Long = 500,
+                    watermark: String = "10 minutes"): DataFrame = {
+    // Spark rejects stream-stream joins without an equality predicate —
+    // the band-bucket decomposition (same trick as the batch
+    // BandJoin) provides one: left rows explode to their ⌊t/tol⌋
+    // bucket and both neighbours, the right side carries its single
+    // bucket, and the exact range predicate re-checks on the bucket
+    // matches. The time-range condition additionally lets the planner
+    // bound each side's join state to watermark + tolerance.
+    val tolUs = tolMs * 1000L
+    val l = left.withColumnRenamed("event_time", "l_time")
+      .withWatermark("l_time", watermark)
+      .withColumn("__off", explode(array(lit(-1L), lit(0L), lit(1L))))
+      .withColumn("__band",
+        col("__off") + floor(unix_micros(col("l_time")) / tolUs).cast("long"))
+      .drop("__off")
+    val r = right.withColumnRenamed("event_time", "r_time")
+      .withWatermark("r_time", watermark)
+      .withColumn("__band",
+        floor(unix_micros(col("r_time")) / tolUs).cast("long"))
+    l.join(r, l("__band") === r("__band") &&
+        col("r_time") >= col("l_time") - expr(s"INTERVAL $tolMs MILLISECONDS") &&
+        col("r_time") <= col("l_time") + expr(s"INTERVAL $tolMs MILLISECONDS"))
+      .drop("__band")
+  }
+
+  /**
    * Stateful streaming exact-dedup: emit each fingerprint's FIRST
    * occurrence across micro-batches, suppress the rest. State is one
    * boolean per fingerprint key (flatMapGroupsWithState) — the

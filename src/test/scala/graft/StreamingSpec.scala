@@ -44,6 +44,40 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("stream-stream proximity join equals the batch band join") {
+    val dir = "/root/testdata/sf0.001"
+    val batchEvents = Tables.load(spark, dir, "events")
+    val schema = batchEvents.schema
+    def side(tpe: String, idAs: String, tsAs: String) =
+      EventStream.readEvents(spark, streamDir, schema)
+        .filter(col("event_type") === tpe)
+        .select(col("event_id").as(idAs), col("event_time").as("event_time"))
+        .withColumnRenamed("event_time", "event_time")
+    val clicks = side("click", "click_id", "l")
+    val purchases = side("purchase", "purchase_id", "r")
+    val joined = EventStream.proximityJoin(clicks, purchases, tolMs = 1800000,
+      watermark = "3 hours")
+      .select(col("click_id"), col("purchase_id"))
+    val q = joined.writeStream.format("memory").queryName("prox_join")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      val streamed = spark.table("prox_join").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      // batch twin over the same µs-truncated timestamps (BandJoin, q99's path)
+      val us = batchEvents.withColumn("tsu", col("ts") - pmod(col("ts"), lit(1000L)))
+      val batch = graft.operators.BandJoin.bandJoin(
+          us.filter(col("event_type") === "click")
+            .select(col("event_id").as("click_id"), col("tsu").as("ct")),
+          us.filter(col("event_type") === "purchase")
+            .select(col("event_id").as("purchase_id"), col("tsu").as("pt")),
+          "ct", "pt", 1800000000000L)
+        .select(col("click_id"), col("purchase_id"))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(streamed == batch && batch.nonEmpty)
+    } finally q.stop()
+  }
+
   test("stateful streaming dedup emits exactly one row per fingerprint") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
