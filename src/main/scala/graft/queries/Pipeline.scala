@@ -264,7 +264,12 @@ object Pipeline {
         .filter(col("quality") >= 0.5)
       val kept = Dedup.dedupCorpusExact(docs, "doc_id", "text",
         shingleWords = 3, minJaccard = 0.8)
-      val langs = TextAnalysis.langIdTable(kept, "doc_id", "text")
+      // langid over the PRE-dedup docs: the inner join below drops the
+      // few extra rows, and the plan computes the dedup chain ONCE —
+      // langIdTable(kept) would re-run the whole prefix-join branch a
+      // second time just to feed the language column (measured 1.3s of
+      // pure recompute at sf0.1)
+      val langs = TextAnalysis.langIdTable(docs, "doc_id", "text")
         .select(col("doc_id"), col("pred_lang"))
       kept.join(langs, "doc_id")
         .withColumn("fp", TextAnalysis.fingerprintMd5(col("text")))
