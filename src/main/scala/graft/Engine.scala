@@ -216,6 +216,10 @@ object Engine {
       case sa @ SubqueryAlias(ident, r: UnresolvedRelation) =>
         replace(r, scope, Some(ident.name.toLowerCase))
           .map(sub => sa.copy(child = sub)).getOrElse(sa)
+      // DESCRIBE [QUERY] <query> holds its query outside `children`,
+      // so the generic recursion never reaches the lake relations in it
+      case d: org.apache.spark.sql.execution.command.DescribeQueryCommand =>
+        d.copy(plan = rewriteScoped(d.plan, scope, replace))
       case r: UnresolvedRelation => replace(r, scope, None).getOrElse(r)
       case other =>
         other.mapChildren(rewriteScoped(_, scope, replace))

@@ -267,6 +267,13 @@ class CatalogEngineSpec extends AnyFunSuite {
     assert(df.collect().head.getLong(0) == 48L)
   }
 
+  test("engine: DESCRIBE over a lake table resolves through the splice") {
+    val rows = engine.query("DESCRIBE SELECT * FROM mydb.meas", "")
+      .collect().map(r => (r.getString(0), r.getString(1)))
+    assert(rows.toSeq == Seq(("time", "bigint"), ("location", "string"),
+      ("temperature", "double")))
+  }
+
   test("engine: CTE name shadows a same-named lake table") {
     val df = engine.query(
       "WITH meas AS (SELECT 42 AS v) SELECT v FROM meas", "mydb")
