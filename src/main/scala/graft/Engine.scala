@@ -70,7 +70,21 @@ class Engine(val spark: SparkSession, val catalog: CatalogBackend,
     if (upper == "SHOW DATABASES") return showDatabases()
     if (upper == "SHOW TABLES") return showTables(db)
 
-    val planOpt = scala.util.Try(parse(spark, sql)).toOption
+    val parsed = scala.util.Try(parse(spark, sql)).toOption
+    // EXPLAIN <q> / DESCRIBE [QUERY] <q> hold their query plan outside
+    // `children`: unwrap, run the full pipeline (pruning, splice,
+    // literal rewrite) on the inner query, and re-wrap at the end —
+    // the reference supports both implicitly through DuckDB delegation
+    val (wrap, planOpt): (org.apache.spark.sql.catalyst.plans.logical.LogicalPlan =>
+        org.apache.spark.sql.catalyst.plans.logical.LogicalPlan,
+        Option[org.apache.spark.sql.catalyst.plans.logical.LogicalPlan]) =
+      parsed match {
+        case Some(e: org.apache.spark.sql.execution.command.ExplainCommand) =>
+          (p => e.copy(logicalPlan = p), Some(e.logicalPlan))
+        case Some(d: org.apache.spark.sql.execution.command.DescribeQueryCommand) =>
+          (p => d.copy(plan = p), Some(d.plan))
+        case other => (identity, other)
+      }
     // CTE names shadow lake tables: `WITH x AS (…) SELECT … FROM x`
     // must resolve x to the CTE even when a lake table x exists. The
     // shadowing is SCOPED to each UnresolvedWith's own subtree — a CTE
@@ -183,7 +197,7 @@ class Engine(val spark: SparkSession, val catalog: CatalogBackend,
           aliases.get(q).flatMap(timeIsLong.get).getOrElse(allLong)
         } else allLong)
     } else renamed
-    org.apache.spark.sql.graftbridge.ColumnBridge.ofRows(spark, finalPlan)
+    org.apache.spark.sql.graftbridge.ColumnBridge.ofRows(spark, wrap(finalPlan))
   }
 }
 
@@ -216,10 +230,13 @@ object Engine {
       case sa @ SubqueryAlias(ident, r: UnresolvedRelation) =>
         replace(r, scope, Some(ident.name.toLowerCase))
           .map(sub => sa.copy(child = sub)).getOrElse(sa)
-      // DESCRIBE [QUERY] <query> holds its query outside `children`,
-      // so the generic recursion never reaches the lake relations in it
+      // DESCRIBE [QUERY] <q> / EXPLAIN <q> hold their query outside
+      // `children`, so the generic recursion never reaches the lake
+      // relations in them
       case d: org.apache.spark.sql.execution.command.DescribeQueryCommand =>
         d.copy(plan = rewriteScoped(d.plan, scope, replace))
+      case e: org.apache.spark.sql.execution.command.ExplainCommand =>
+        e.copy(logicalPlan = rewriteScoped(e.logicalPlan, scope, replace))
       case r: UnresolvedRelation => replace(r, scope, None).getOrElse(r)
       case other =>
         other.mapChildren(rewriteScoped(_, scope, replace))

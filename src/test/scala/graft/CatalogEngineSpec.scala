@@ -274,6 +274,14 @@ class CatalogEngineSpec extends AnyFunSuite {
       ("temperature", "double")))
   }
 
+  test("engine: EXPLAIN over a lake table resolves through the splice") {
+    val text = engine.query(
+      "EXPLAIN SELECT count(*) FROM mydb.meas WHERE time >= '2023-01-03T00:00:00Z'", "")
+      .collect().map(_.getString(0)).mkString
+    assert(text.contains("Scan parquet") || text.contains("Relation"), text)
+    assert(!text.toLowerCase.contains("unresolved"), text)
+  }
+
   test("engine: CTE name shadows a same-named lake table") {
     val df = engine.query(
       "WITH meas AS (SELECT 42 AS v) SELECT v FROM meas", "mydb")
