@@ -73,6 +73,45 @@ object Similarity {
   }
 
   /**
+   * Approximate kNN SELF-join: every vector's k nearest neighbours
+   * across the corpus, without the O(n²) all-pairs plan. The corpus is
+   * IVF-assigned once; the driver derives, per cell, its `probeCells`
+   * nearest cells from the nlist×nlist centroid distances (metadata
+   * math), and candidates are only (vector, vector-in-probed-cell)
+   * pairs — corpus × probeCells/nlist rows, LINEAR in the corpus. A
+   * per-query-vector window keeps the top k by cosine.
+   *
+   * Recall is bounded by cell locality (a true neighbour outside the
+   * probed cells is missed) — measured and pinned in SimilaritySpec.
+   */
+  def knnJoin(emb: DataFrame, idCol: String, vecCol: String, k: Int,
+              nlist: Int = 16, probeCells: Int = 4,
+              iters: Int = 2): DataFrame = {
+    val centroids = IvfIndex.train(emb, idCol, vecCol, nlist, iters)
+    val assigned = IvfIndex.assign(emb, idCol, vecCol, centroids)
+      .select(col(idCol).as("id"), col(vecCol).as("v"),
+        norm(col(vecCol)).as("nv"), col("ivf_cell").as("cell"))
+    val spark = emb.sparkSession
+    import spark.implicits._
+    // per cell: its probeCells nearest cells (incl. itself) — driver math
+    val pairs = (0 until nlist).flatMap { a =>
+      IvfIndex.probeCells(centroids(a), centroids, probeCells)
+        .map(b => (a, b))
+    }.toDF("cell_a", "cell_b")
+    val cand = assigned.as("x")
+      .join(broadcast(pairs), col("x.cell") === col("cell_a"))
+      .join(assigned.as("y"),
+        col("cell_b") === col("y.cell") && col("x.id") =!= col("y.id"))
+      .select(col("x.id").as("id"), col("y.id").as("nn_id"),
+        round(dot(col("x.v"), col("y.v")) / (col("x.nv") * col("y.nv")), 4)
+          .as("cos_sim"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("id").orderBy(col("cos_sim").desc, col("nn_id"))
+    cand.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+  }
+
+  /**
    * Approximate near-duplicate pairs: only pairs sharing a bucket in
    * at least one of `tables` independent signature tables are scored.
    * Returns (id_a, id_b, cos_sim) — a recall-bounded subset of

@@ -201,6 +201,15 @@ object Pipeline {
         .orderBy(col("doc_id"))
     }),
 
+    // approximate kNN SELF-join over IVF cells (every vector's top-3
+    // neighbours; candidates linear in the corpus, never O(n²)) —
+    // k-means cells → rows-only; recall pinned in SimilaritySpec
+    "q9B_knn_join" -> ((s, dir) => {
+      Similarity.knnJoin(T(s, dir)("embeddings").filter(col("vec_id") < 100),
+          "vec_id", "embedding", k = 3, nlist = 8, probeCells = 4)
+        .orderBy(col("id"), col("rank"))
+    }),
+
     // IVF-PQ-style compressed-domain ANN: per-subspace k-means codes
     // (m ints per vector), ADC shortlist via a driver-side lookup
     // table, exact cosine re-rank of the shortlist only. Codebooks are

@@ -89,6 +89,31 @@ class SimilaritySpec extends AnyFunSuite {
     assert(top == Seq(1L, 3L))
   }
 
+  test("knnJoin with all cells probed equals exact per-vector top-k") {
+    val emb = Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
+    val knn = graft.operators.Similarity
+      .knnJoin(emb, "vec_id", "embedding", k = 5, nlist = 8, probeCells = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    (0L until 20L).foreach { q =>
+      val want = graft.operators.Similarity
+        .bruteForceTopK(emb, "vec_id", "embedding", q, 5)
+        .collect().map(_.getLong(0)).toSet
+      assert(want.forall(n => knn.contains((q, n))), s"vec $q")
+    }
+    // partial probing trades recall for linear candidates — measured
+    // 0.72 at nlist=8/probe=4 on this corpus (no planted neighbours)
+    val partial = graft.operators.Similarity
+      .knnJoin(emb, "vec_id", "embedding", k = 5, nlist = 8, probeCells = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val rs = (0L until 30L).map { q =>
+      val want = graft.operators.Similarity
+        .bruteForceTopK(emb, "vec_id", "embedding", q, 5)
+        .collect().map(_.getLong(0)).toSet
+      want.count(n => partial.contains((q, n))) / 5.0
+    }
+    assert(rs.sum / rs.size >= 0.7)
+  }
+
   test("lshPairs only scores same-bucket pairs and computes exact cosine") {
     val emb = (0 until 20).map(i =>
       (i.toLong, Array.tabulate(8)(j => math.sin(i * 8 + j).toFloat))).toDF("vec_id", "embedding")
