@@ -111,6 +111,15 @@ object IvfIndex {
                    idToCell: DataFrame)
 
   private val cache = new java.util.concurrent.ConcurrentHashMap[String, Index]()
+  private val centroidCache =
+    new java.util.concurrent.ConcurrentHashMap[String, Seq[Seq[Double]]]()
+
+  /** Memoized centroid training (k-means is an OFFLINE artifact —
+    * queries pay assignment/search cost only, as with [[buildCached]]). */
+  def trainCached(emb: DataFrame, idCol: String, vecCol: String,
+                  nlist: Int, iters: Int, cacheKey: String): Seq[Seq[Double]] =
+    centroidCache.computeIfAbsent(s"$cacheKey|$nlist|$iters",
+      _ => train(emb, idCol, vecCol, nlist, iters))
 
   /**
    * Memoized build (one per JVM per cache key, like `Tables.load`):

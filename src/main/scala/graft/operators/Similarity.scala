@@ -86,8 +86,11 @@ object Similarity {
    */
   def knnJoin(emb: DataFrame, idCol: String, vecCol: String, k: Int,
               nlist: Int = 16, probeCells: Int = 4,
-              iters: Int = 2): DataFrame = {
-    val centroids = IvfIndex.train(emb, idCol, vecCol, nlist, iters)
+              iters: Int = 2, cacheKey: Option[String] = None): DataFrame = {
+    val centroids = cacheKey match {
+      case Some(key) => IvfIndex.trainCached(emb, idCol, vecCol, nlist, iters, key)
+      case None => IvfIndex.train(emb, idCol, vecCol, nlist, iters)
+    }
     val assigned = IvfIndex.assign(emb, idCol, vecCol, centroids)
       .select(col(idCol).as("id"), col(vecCol).as("v"),
         norm(col(vecCol)).as("nv"), col("ivf_cell").as("cell"))

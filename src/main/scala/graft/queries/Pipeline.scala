@@ -206,7 +206,8 @@ object Pipeline {
     // k-means cells → rows-only; recall pinned in SimilaritySpec
     "q9B_knn_join" -> ((s, dir) => {
       Similarity.knnJoin(T(s, dir)("embeddings").filter(col("vec_id") < 100),
-          "vec_id", "embedding", k = 3, nlist = 8, probeCells = 4)
+          "vec_id", "embedding", k = 3, nlist = 8, probeCells = 4,
+          cacheKey = Some(s"$dir|knn100"))
         .orderBy(col("id"), col("rank"))
     }),
 
