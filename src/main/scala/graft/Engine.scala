@@ -221,12 +221,18 @@ object Engine {
       replace: (UnresolvedRelation, Set[String], Option[String]) => Option[LogicalPlan]): LogicalPlan =
     plan match {
       case w: UnresolvedWith =>
-        val s2 = scope ++ w.cteRelations.map(_._1.toLowerCase)
-        w.copy(
-          child = rewriteScoped(w.child, s2, replace),
-          cteRelations = w.cteRelations.map { case (n, d, m) =>
-            (n, rewriteScoped(d, s2, replace).asInstanceOf[SubqueryAlias], m)
-          })
+        // CTE visibility is SEQUENTIAL: a definition sees earlier
+        // definitions (plus itself, for recursion) but NOT later ones —
+        // `WITH a AS (SELECT * FROM x), x AS (...)`: inside a, x is the
+        // lake table, not the sibling CTE. The child sees all of them.
+        val all = scope ++ w.cteRelations.map(_._1.toLowerCase)
+        val newDefs = w.cteRelations.zipWithIndex.map { case ((n, d, m), i) =>
+          val visible = scope ++
+            w.cteRelations.take(i + 1).map(_._1.toLowerCase)
+          (n, rewriteScoped(d, visible, replace).asInstanceOf[SubqueryAlias], m)
+        }
+        w.copy(child = rewriteScoped(w.child, all, replace),
+          cteRelations = newDefs)
       case sa @ SubqueryAlias(ident, r: UnresolvedRelation) =>
         replace(r, scope, Some(ident.name.toLowerCase))
           .map(sub => sa.copy(child = sub)).getOrElse(sa)

@@ -76,7 +76,7 @@ object LakeWriter {
     // O(new files) pass, not an O(table) rescan of all history.
     val local = isLocalUri(tableDir)
     val before: Set[String] =
-      if (local && mode == SaveMode.Append) listParquet(new File(tableDir))
+      if (local && mode == SaveMode.Append) listParquet(localFile(tableDir))
       else Set.empty
     writer.partitionBy(partCols: _*).parquet(tableDir)
     // zone maps: min/max time per newly written file. On a non-local
@@ -84,7 +84,7 @@ object LakeWriter {
     // register is idempotent by path, so that stays correct.
     val statsSource =
       if (local) {
-        val delta = (listParquet(new File(tableDir)) -- before).toSeq.sorted
+        val delta = (listParquet(localFile(tableDir)) -- before).toSeq.sorted
         if (delta.isEmpty) None else Some(spark.read.parquet(delta: _*))
       } else Some(spark.read.parquet(tableDir))
     val written = statsSource.map {
@@ -137,6 +137,17 @@ object LakeWriter {
   private def isLocalUri(p: String): Boolean =
     scala.util.Try(new java.net.URI(p)).toOption
       .forall(u => u.getScheme == null || u.getScheme == "file")
+
+  /** Local filesystem File for a bare path OR a file:// URI — a
+    * file:// root passed to `new File(string)` would resolve nothing
+    * and the delta listing would silently come back empty. */
+  private def localFile(p: String): File = {
+    val u = scala.util.Try(new java.net.URI(p)).toOption
+    u match {
+      case Some(x) if x.getScheme == "file" => new File(x.getPath)
+      case _ => new File(p)
+    }
+  }
 
   private def listParquet(dir: File): Set[String] =
     if (!dir.isDirectory) Set.empty

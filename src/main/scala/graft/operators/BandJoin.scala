@@ -28,11 +28,16 @@ object BandJoin {
     require(tol > 0, "tolerance must be positive")
     require(left.columns.toSet.intersect(right.columns.toSet).isEmpty,
       "left/right column names must be disjoint")
+    // INTEGER division for the bucket: `/` on longs is double division,
+    // and epoch-ns keys (~1.7e18) exceed 2^53 — they round to multiples
+    // of 256 before dividing, which can put an in-tolerance pair more
+    // than one bucket apart and silently drop it
+    def bucket(k: String): Column = expr(s"`$k` div $tol")
     val l = left
       .withColumn("__off", explode(array(lit(-1L), lit(0L), lit(1L)))) // neighbours
-      .withColumn("__band", col("__off") + floor(col(leftKey) / tol).cast("long"))
+      .withColumn("__band", col("__off") + bucket(leftKey))
       .drop("__off")
-    val r = right.withColumn("__band", floor(col(rightKey) / tol).cast("long"))
+    val r = right.withColumn("__band", bucket(rightKey))
     l.join(r, l("__band") === r("__band") &&
         abs(col(leftKey) - col(rightKey)) <= tol && extraCondition)
       .drop("__band")

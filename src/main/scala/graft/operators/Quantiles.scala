@@ -44,13 +44,20 @@ object Quantiles {
     val rows = df.select(col(groupCol).as("g"), col(valueCol).cast("double").as("v"))
       .filter(col("v").isNotNull)
 
-    // pass 1: per-group bounds + count (G rows)
+    // pass 1: per-group bounds + count (G rows); a null group key is a
+    // group like any other (the built-ins emit a row for it too)
     val bounds = rows.groupBy("g")
       .agg(min("v").as("mn"), max("v").as("mx"), count(lit(1)).as("n"))
       .collect()
       .map(r => r.get(0) -> (r.getDouble(1), r.getDouble(2), r.getLong(3))).toMap
-    if (bounds.isEmpty)
-      return df.sparkSession.emptyDataFrame
+    val outSchema = org.apache.spark.sql.types.StructType(
+      org.apache.spark.sql.types.StructField(
+        groupCol, df.schema(groupCol).dataType) +:
+      qs.map { case (_, name) => org.apache.spark.sql.types.StructField(
+        name, org.apache.spark.sql.types.DoubleType) })
+    if (bounds.isEmpty) // empty/all-null input: empty result, REAL schema
+      return spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], outSchema)
 
     // equi-width bucket id, monotonic in v (ties always share a bucket)
     val widths = bounds.map { case (g, (mn, mx, _)) =>
@@ -67,7 +74,10 @@ object Quantiles {
         org.apache.spark.sql.types.StructField("w", org.apache.spark.sql.types.DoubleType))))
     def bucketOf: Column = least(
       floor((col("v") - col("mn")) / col("w")).cast("long"), lit(nBuckets - 1L))
-    val bucketed = rows.join(broadcast(params), "g").withColumn("b", bucketOf)
+    // null-safe join: a null group key is still a group (plain equi-join
+    // would silently drop it and the driver loop would miss its entry)
+    val bucketed = rows.join(broadcast(params), rows("g") <=> params("g"))
+      .drop(params("g")).withColumn("b", bucketOf)
 
     // pass 2: bucket histogram (≤ G×B rows)
     val hist: Map[Any, Seq[(Long, Long)]] = bucketed
@@ -111,11 +121,18 @@ object Quantiles {
     // pass 3: selection — only target buckets survive the broadcast
     // semi-join, so the sort/window touches a few thousand rows total
     val wanted = targetDf.select("g", "b").distinct()
-    val ranked = bucketed
-      .join(broadcast(wanted), Seq("g", "b"), "left_semi")
+    val ranked = bucketed.as("bk")
+      .join(broadcast(wanted.as("w")),
+        col("bk.g") <=> col("w.g") && col("bk.b") === col("w.b"),
+        "left_semi")
       .withColumn("li",
         row_number().over(Window.partitionBy("g", "b").orderBy("v")) - 1)
-    val picked = ranked.join(broadcast(targetDf), Seq("g", "b", "li"))
+    val picked = ranked.as("rk")
+      .join(broadcast(targetDf.as("t")),
+        col("rk.g") <=> col("t.g") && col("rk.b") === col("t.b") &&
+          col("rk.li") === col("t.li"))
+      .select(col("rk.g").as("g"), col("rk.v").as("v"),
+        col("t.qi").as("qi"), col("t.hi").as("hi"), col("t.frac").as("frac"))
     val aggs = qs.zipWithIndex.map { case ((_, name), qi) =>
       def side(isHi: Boolean): Column = max(
         when(col("qi") === qi && col("hi") === isHi, col("v")))

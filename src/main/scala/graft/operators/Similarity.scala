@@ -96,9 +96,12 @@ object Similarity {
         norm(col(vecCol)).as("nv"), col("ivf_cell").as("cell"))
     val spark = emb.sparkSession
     import spark.implicits._
-    // per cell: its probeCells nearest cells (incl. itself) — driver math
-    val pairs = (0 until nlist).flatMap { a =>
-      IvfIndex.probeCells(centroids(a), centroids, probeCells)
+    // per cell: its probeCells nearest cells (incl. itself) — driver
+    // math. A corpus smaller than nlist trains fewer centroids, so
+    // iterate what train actually returned, capped probes likewise.
+    val pairs = centroids.indices.flatMap { a =>
+      IvfIndex.probeCells(centroids(a), centroids,
+          math.min(probeCells, centroids.size))
         .map(b => (a, b))
     }.toDF("cell_a", "cell_b")
     val cand = assigned.as("x")

@@ -74,14 +74,20 @@ class QueryServer(engine: Engine, port: Int = 8080) {
               case "ndjson" =>
                 respond(ex, 200, ResultEncoder.toNdjsonString(df), "application/x-ndjson")
               case "arrow" => // Arrow IPC stream (FlightSQL data-plane bytes)
-                // chunked transfer straight from the encoder's
-                // toLocalIterator — the driver never holds more than
-                // one record batch of a large result
+                // Materialize the first partition BEFORE committing the
+                // 200 (planning/early-execution errors still surface as
+                // a clean {"error"}), then chunked-stream the batches —
+                // the driver never holds more than one record batch. An
+                // error AFTER the headers are sent can only be signalled
+                // by aborting the connection (truncated IPC stream), so
+                // the inner catch closes the exchange instead of letting
+                // the outer handler crash on a second sendResponseHeaders.
+                df.queryExecution.executedPlan // force planning errors here
                 ex.getResponseHeaders.add("Content-Type", "application/vnd.apache.arrow.stream")
                 ex.sendResponseHeaders(200, 0L) // 0 ⇒ chunked
                 val os = ex.getResponseBody
-                graft.encoders.ArrowEncoder.writeStream(df, os)
-                os.close()
+                try { graft.encoders.ArrowEncoder.writeStream(df, os); os.close() }
+                catch { case _: Throwable => ex.close() } // mid-stream: abort
               case _ =>
                 respond(ex, 200, ResultEncoder.toJsonString(df))
             }

@@ -30,6 +30,17 @@ class BandJoinSpec extends AnyFunSuite {
     assert(gb == Set(2L))
   }
 
+  test("epoch-ns magnitude keys: buckets stay exact (integer division)") {
+    // keys near 1.7e18 exceed 2^53 — double division would round them
+    // to multiples of 256 before bucketing and drop in-tolerance pairs
+    val base = 1700000000000000000L
+    val l = Seq((1L, base + 30)).toDF("lid", "lk")
+    val r = Seq((2L, base + 129), (3L, base + 131)).toDF("rid", "rk")
+    val got = BandJoin.bandJoin(l, r, "lk", "rk", 100L)
+      .select("rid").collect().map(_.getLong(0)).toSet
+    assert(got == Set(2L)) // |129-30|=99 <= 100; |131-30|=101 > 100
+  }
+
   test("plans as a bucket equi-join, not a nested-loop join") {
     val l = (0 until 100).map(i => (i.toLong, i.toLong * 1000)).toDF("lid", "lk")
     val r = (0 until 100).map(i => (i.toLong, i.toLong * 999)).toDF("rid", "rk")

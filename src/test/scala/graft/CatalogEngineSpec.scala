@@ -288,6 +288,19 @@ class CatalogEngineSpec extends AnyFunSuite {
     assert(df.collect().map(_.getInt(0)).toSeq == Seq(42))
   }
 
+  test("engine: CTE visibility is sequential — an earlier def sees the lake table, not a later CTE") {
+    // `WITH a AS (... FROM meas), meas AS (...)`: inside a's definition
+    // the LATER sibling CTE `meas` is not yet visible (SQL-standard
+    // sequential scoping), so `meas` must splice to the lake table
+    val df = engine.query(
+      "WITH a AS (SELECT count(*) AS n FROM meas), " +
+        "meas AS (SELECT 1 AS one) " +
+        "SELECT a.n, (SELECT count(*) FROM meas) AS m FROM a", "mydb")
+    val row = df.collect().head
+    assert(row.getLong(0) == 72L) // lake table, all 3 days
+    assert(row.getLong(1) == 1L)  // the child scope sees the CTE
+  }
+
   test("engine: CTE shadowing is scoped — a subquery's CTE does not hide the lake table outside it") {
     // a CTE named `meas` lives INSIDE a scalar subquery; the outer bare
     // `meas` must still resolve to the lake table. A statement-global

@@ -136,6 +136,21 @@ class LakeWriterSpec extends AnyFunSuite {
     assert(c.files("mydb", "m5").size == firstFiles.size + appended.size)
   }
 
+  test("file:// root still produces zone maps and registrations") {
+    import spark.implicits._
+    val bare = Files.createTempDirectory(
+      new File("target").toPath.toAbsolutePath, "wlake7").toString
+    val root = "file://" + bare
+    val cat = new RecordingCatalog
+    LakeWriter.write(root, "mydb", "m7",
+      Seq((1705276800000000000L, 1.0)).toDF("time", "v").coalesce(1),
+      catalog = Some(cat))
+    assert(cat.registered.nonEmpty && cat.registered.head.nonEmpty)
+    val c = new Catalog(bare)
+    val files = c.files("mydb", "m7")
+    assert(files.size == 1 && files.head.minTime.isDefined)
+  }
+
   test("append into an existing date folder merges metadata.json") {
     import spark.implicits._
     import org.apache.spark.sql.SaveMode

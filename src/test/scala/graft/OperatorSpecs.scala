@@ -89,6 +89,15 @@ class SimilaritySpec extends AnyFunSuite {
     assert(top == Seq(1L, 3L))
   }
 
+  test("knnJoin on a corpus smaller than nlist does not crash") {
+    val emb = Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
+      .filter(org.apache.spark.sql.functions.col("vec_id") < 10)
+    val out = graft.operators.Similarity
+      .knnJoin(emb, "vec_id", "embedding", k = 2, nlist = 16, probeCells = 16)
+      .collect()
+    assert(out.length == 10 * 2) // every vector still gets k neighbours
+  }
+
   test("knnJoin with all cells probed equals exact per-vector top-k") {
     val emb = Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
     val knn = graft.operators.Similarity

@@ -56,6 +56,20 @@ class QuantilesSpec extends AnyFunSuite {
               ("a", java.lang.Double.valueOf(5.0)), ("b", null)), Seq(0.5))
   }
 
+  test("null group key is a group; empty input keeps the declared schema") {
+    import spark.implicits._
+    val df = Seq((null.asInstanceOf[String], java.lang.Double.valueOf(1.0)),
+      (null.asInstanceOf[String], java.lang.Double.valueOf(3.0)),
+      ("a", java.lang.Double.valueOf(5.0))).toDF("g", "v")
+    val out = Quantiles.exactQuantiles(df, "g", "v", Seq(0.5 -> "med"))
+      .collect().map(r => Option(r.getString(0)) -> r.getDouble(1)).toMap
+    assert(out == Map(None -> 2.0, Some("a") -> 5.0))
+    val empty = Quantiles.exactQuantiles(
+      Seq.empty[(String, java.lang.Double)].toDF("g", "v"), "g", "v",
+      Seq(0.5 -> "med", 0.9 -> "p90"))
+    assert(empty.columns.toSeq == Seq("g", "med", "p90") && empty.isEmpty)
+  }
+
   test("q38-shaped: matches the ObjectHashAggregate formulation on lineitem") {
     val li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
     val ours = Quantiles.exactQuantiles(li, "l_returnflag", "l_extendedprice",
