@@ -1,0 +1,41 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/**
+ * Deterministic sampling for training-data curation. `TABLESAMPLE` and
+ * `df.sample` draw DIFFERENT rows on every run/partitioning (seeded
+ * RNG over splits), and Spark's `sampleBy` quotas are approximate —
+ * none of which survives a reproducibility requirement ("rebuild the
+ * exact training set from the lake"). Here every row gets a
+ * position-independent rank — md5 of its key and a caller salt — and
+ * a sample is simply the first `n` ranks per stratum: fully
+ * deterministic, re-runnable, engine-independent (md5 hex order is
+ * identical everywhere), and changing the salt yields an independent
+ * resample.
+ *
+ * Shape: one window per stratum (shuffle on the strata columns), top-n
+ * kept — state is O(n) per stratum via the rank filter.
+ */
+object Sampling {
+
+  /** Rank expression: md5 over the key columns + salt. */
+  def rankKey(keyCols: Seq[Column], salt: String): Column =
+    md5(concat_ws(" ", (keyCols :+ lit(salt)).map(_.cast("string")): _*))
+
+  /**
+   * Exactly `n` rows per stratum (fewer when a stratum is smaller),
+   * chosen by deterministic md5 order of `keyCol` + `salt`.
+   */
+  def stratifiedSample(df: DataFrame, strataCols: Seq[String], keyCol: String,
+                       n: Int, salt: String = "s0"): DataFrame = {
+    require(n > 0 && strataCols.nonEmpty)
+    val w = Window.partitionBy(strataCols.map(col): _*)
+      .orderBy(rankKey(Seq(col(keyCol)), salt))
+    df.withColumn("__rk", row_number().over(w))
+      .filter(col("__rk") <= n)
+      .drop("__rk")
+  }
+}

@@ -201,6 +201,17 @@ object Pipeline {
         .orderBy(col("doc_id"))
     }),
 
+    // deterministic stratified sample: exactly 20 docs per language,
+    // chosen by md5(doc_id, salt) order — reproducible across runs AND
+    // engines (md5 hex order is engine-independent), unlike
+    // TABLESAMPLE/sampleBy. Fully oracle-checked.
+    "q9C_stratified_sample" -> ((s, dir) => {
+      graft.operators.Sampling.stratifiedSample(
+          T(s, dir)("documents").select(col("doc_id"), col("lang")),
+          Seq("lang"), "doc_id", n = 20, salt = "s0")
+        .orderBy(col("lang"), col("doc_id"))
+    }),
+
     // approximate kNN SELF-join over IVF cells (every vector's top-3
     // neighbours; candidates linear in the corpus, never O(n²)) —
     // k-means cells → rows-only; recall pinned in SimilaritySpec
@@ -449,6 +460,13 @@ object Pipeline {
              COUNT(DISTINCT md5(trim(regexp_replace(lower(k.text), '\\s+', ' ', 'g')))) AS n_unique_fp
       FROM kept k JOIN langed l ON k.doc_id = l.doc_id
       GROUP BY pred_lang ORDER BY pred_lang""",
+    "q9C_stratified_sample" -> """
+      SELECT doc_id, lang FROM (
+        SELECT doc_id, lang,
+               ROW_NUMBER() OVER (PARTITION BY lang
+                 ORDER BY md5(CAST(doc_id AS VARCHAR) || ' ' || 's0')) AS rk
+        FROM documents) t
+      WHERE rk <= 20 ORDER BY lang, doc_id""",
     "q97_dedup_components" -> """
       WITH RECURSIVE toks AS (SELECT doc_id, regexp_extract_all(text, '\S+') AS t FROM documents),
       sh AS (SELECT DISTINCT doc_id,
