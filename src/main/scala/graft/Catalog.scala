@@ -93,4 +93,38 @@ class Catalog(val root: String) extends CatalogBackend {
 
   def tableExists(db: String, table: String): Boolean =
     new File(new File(root, db), table).isDirectory
+
+  /**
+   * Sum of per-file `row_count` stats — Some only when EVERY parquet
+   * file under the table is covered by a metadata.json entry carrying
+   * row_count (one uncovered file ⇒ the sum proves nothing ⇒ None and
+   * the engine scans instead). `tmp/` dirs are skipped as always.
+   */
+  override def metadataRowCount(db: String, table: String): Option[Long] = {
+    def walk(dir: File): Option[Long] = {
+      if (dir.getName == "tmp") return Some(0L)
+      val counts: Map[String, Long] = parseMeta(dir) match {
+        case Some(m) if m.has("files") =>
+          m.get("files").elements().asScala.flatMap { fn =>
+            for {
+              p <- Option(fn.get("path")).map(_.asText())
+              c <- Option(fn.get("row_count")).filter(_.isNumber).map(_.asLong())
+            } yield new File(p).getName -> c
+          }.toMap
+        case _ => Map.empty
+      }
+      val here = Option(dir.listFiles()).map(_.toSeq).getOrElse(Nil)
+      // metadata is authoritative for the files it lists; the listing
+      // only needs to prove no EXTRA parquet file exists outside it
+      // (an uncovered file holds rows the metadata sum would miss)
+      val uncovered = here.exists(f => f.isFile &&
+        f.getName.endsWith(".parquet") && !counts.contains(f.getName))
+      val own = if (uncovered) None else Some(counts.values.sum)
+      here.filter(_.isDirectory).foldLeft(own) { (acc, d) =>
+        for (a <- acc; c <- walk(d)) yield a + c
+      }
+    }
+    val tableDir = new File(new File(root, db), table)
+    if (!tableDir.isDirectory) None else walk(tableDir)
+  }
 }

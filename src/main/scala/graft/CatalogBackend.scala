@@ -36,6 +36,15 @@ trait CatalogBackend {
                entries: Seq[(String, Option[Long], Option[Long])]): Unit = ()
 
   /**
+   * Exact row count for `db.table` when the backend can PROVE it from
+   * metadata alone — i.e. every file of the table carries a row_count
+   * stat. None ⇒ the caller must scan (a single stat-less file makes
+   * the metadata sum unprovable). Lets the engine answer unfiltered
+   * `count(*)` without touching a byte of parquet.
+   */
+  def metadataRowCount(db: String, table: String): Option[Long] = None
+
+  /**
    * Writer-side hook: drop specific file entries (a compactor removing
    * the files it just replaced). Default no-op, like `register`.
    */

@@ -85,6 +85,27 @@ class Engine(val spark: SparkSession, val catalog: CatalogBackend,
           (p => d.copy(plan = p), Some(d.plan))
         case other => (identity, other)
       }
+    // metadata-only count: an unfiltered `SELECT count(*) FROM t` is
+    // answered from the catalog's per-file row_count stats — zero bytes
+    // of parquet touched — when every file is covered (the reference's
+    // metadata.json carries row_count for exactly this). Command
+    // wrappers (EXPLAIN/DESCRIBE) must show the real plan, so skip.
+    if (parsed == planOpt) // not unwrapped from a command
+      planOpt.flatMap(Engine.countStarTarget).foreach { case (parts, name) =>
+        val (d, t) =
+          if (parts.size == 1) (db, parts.head)
+          else (parts.dropRight(1).mkString("."), parts.last)
+        if (catalog.tableExists(d, t))
+          catalog.metadataRowCount(d, t).foreach { n =>
+            return spark.createDataFrame(
+              java.util.Collections.singletonList(
+                org.apache.spark.sql.Row(n): org.apache.spark.sql.Row),
+              org.apache.spark.sql.types.StructType(Seq(
+                org.apache.spark.sql.types.StructField(
+                  name, org.apache.spark.sql.types.LongType, nullable = false))))
+          }
+      }
+
     // CTE names shadow lake tables: `WITH x AS (…) SELECT … FROM x`
     // must resolve x to the CTE even when a lake table x exists. The
     // shadowing is SCOPED to each UnresolvedWith's own subtree — a CTE
@@ -205,6 +226,49 @@ object Engine {
   import org.apache.spark.sql.catalyst.analysis.UnresolvedRelation
   import org.apache.spark.sql.catalyst.expressions.SubqueryExpression
   import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, SubqueryAlias, UnresolvedWith}
+
+  /**
+   * Matches EXACTLY `SELECT count(*|1) FROM <single relation>` — no
+   * WHERE, no grouping, no other projections, no DISTINCT/FILTER — and
+   * returns the relation's name parts plus the output column name
+   * (explicit alias, or Spark's auto-name `count(1)`).
+   */
+  private[graft] def countStarTarget(plan: LogicalPlan): Option[(Seq[String], String)] = {
+    import org.apache.spark.sql.catalyst.analysis.{UnresolvedAlias, UnresolvedFunction, UnresolvedStar}
+    import org.apache.spark.sql.catalyst.expressions.{Alias, Expression, Literal}
+    import org.apache.spark.sql.catalyst.plans.logical.Aggregate
+    def isCountStar(e: Expression): Boolean = e match {
+      case f: UnresolvedFunction =>
+        f.nameParts.map(_.toLowerCase) == Seq("count") && !f.isDistinct &&
+          f.filter.isEmpty && (f.arguments match {
+            case Seq(_: UnresolvedStar) => true
+            case Seq(Literal(1, _))     => true
+            case _                      => false
+          })
+      case _ => false
+    }
+    // pre-analysis, a global aggregate is still a Project (the parser
+    // leaves GlobalAggregates conversion to the analyzer)
+    val parts = plan match {
+      case org.apache.spark.sql.catalyst.plans.logical.Project(Seq(ne), child) =>
+        Some((ne, child))
+      case Aggregate(Seq(), Seq(ne), child, _) => Some((ne, child))
+      case _ => None
+    }
+    parts.flatMap { case (ne, child) =>
+      val rel = child match {
+        case r: UnresolvedRelation => Some(r.multipartIdentifier)
+        case SubqueryAlias(_, r: UnresolvedRelation) => Some(r.multipartIdentifier)
+        case _ => None
+      }
+      val name = ne match {
+        case Alias(c, n) if isCountStar(c) => Some(n)
+        case ua: UnresolvedAlias if isCountStar(ua.child) => Some("count(1)")
+        case _ => None
+      }
+      for (r <- rel; n <- name) yield (r, n)
+    }
+  }
 
   /**
    * Traverse `plan` (including subquery expressions) with CTE-scope

@@ -267,6 +267,49 @@ class CatalogEngineSpec extends AnyFunSuite {
     assert(df.collect().head.getLong(0) == 48L)
   }
 
+  test("engine: unfiltered count(*) is answered from metadata, zero files read") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory(
+      new File("target").toPath.toAbsolutePath, "metacount").toFile
+    val d = new File(dir, "mydb/mc"); d.mkdirs()
+    Seq((T0, 1.0), (T0 + HOUR_NS, 2.0)).toDF("time", "v").coalesce(1)
+      .write.mode("overwrite").parquet(d.getAbsolutePath)
+    val part = d.listFiles().find(_.getName.endsWith(".parquet")).get
+    val tgt = new File(d, "part0.parquet"); part.renameTo(tgt)
+    Files.writeString(new File(d, "metadata.json").toPath,
+      s"""{"type":"parquet","row_count":2,"min_time":$T0,"max_time":${T0 + HOUR_NS},
+         |"files":[{"path":"part0.parquet","row_count":2,"min_time":$T0,"max_time":${T0 + HOUR_NS}}]}"""
+        .stripMargin)
+    val eng = new Engine(spark, new Catalog(dir.getAbsolutePath))
+    // auto-name must match what a real scan produces
+    assert(spark.range(1).selectExpr("count(*)").columns.head == "count(1)")
+    // DELETE the data file: only a metadata answer can succeed now
+    assert(tgt.delete())
+    val df = eng.query("SELECT count(*) FROM mydb.mc", "")
+    assert(df.columns.toSeq == Seq("count(1)"))
+    assert(df.collect().head.getLong(0) == 2L)
+    assert(eng.query("SELECT count(*) AS n FROM mydb.mc", "")
+      .collect().head.getLong(0) == 2L)
+    // a WHERE clause must NOT take the fast path (would need the file)
+    assertThrows[Exception] {
+      eng.query(s"SELECT count(*) FROM mydb.mc WHERE time > $T0", "").collect()
+    }
+  }
+
+  test("engine: count(*) falls back to a scan when any file lacks row_count") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory(
+      new File("target").toPath.toAbsolutePath, "metacount2").toFile
+    val d = new File(dir, "mydb/mc2"); d.mkdirs()
+    Seq((T0, 1.0), (T0 + HOUR_NS, 2.0), (T0 + 2 * HOUR_NS, 3.0))
+      .toDF("time", "v").coalesce(1)
+      .write.mode("overwrite").parquet(d.getAbsolutePath) // no metadata.json
+    val eng = new Engine(spark, new Catalog(dir.getAbsolutePath))
+    assert(new Catalog(dir.getAbsolutePath).metadataRowCount("mydb", "mc2").isEmpty)
+    assert(eng.query("SELECT count(*) AS n FROM mydb.mc2", "")
+      .collect().head.getLong(0) == 3L) // real scan, correct answer
+  }
+
   test("engine: DESCRIBE over a lake table resolves through the splice") {
     val rows = engine.query("DESCRIBE SELECT * FROM mydb.meas", "")
       .collect().map(r => (r.getString(0), r.getString(1)))
