@@ -127,4 +127,38 @@ class Catalog(val root: String) extends CatalogBackend {
     val tableDir = new File(new File(root, db), table)
     if (!tableDir.isDirectory) None else walk(tableDir)
   }
+
+  /** Zone-map (min_time, max_time) over the metadata entries
+    * (authoritative, like metadataRowCount): None if any entry lacks
+    * stats, any on-disk parquet file is uncovered, or the table is
+    * empty (min/max of no rows is NULL — let a scan produce it). */
+  override def metadataTimeBounds(db: String, table: String): Option[(Long, Long)] = {
+    def walk(dir: File): Option[Seq[(Long, Long)]] = {
+      if (dir.getName == "tmp") return Some(Nil)
+      val stats: Map[String, Option[(Long, Long)]] = parseMeta(dir) match {
+        case Some(m) if m.has("files") =>
+          m.get("files").elements().asScala.flatMap { fn =>
+            Option(fn.get("path")).map(_.asText()).map { p =>
+              new File(p).getName ->
+                (for (mn <- optLong(fn, "min_time"); mx <- optLong(fn, "max_time"))
+                  yield (mn, mx))
+            }
+          }.toMap
+        case _ => Map.empty
+      }
+      if (stats.valuesIterator.contains(None)) return None // stat-less entry
+      val here = Option(dir.listFiles()).map(_.toSeq).getOrElse(Nil)
+      val uncovered = here.exists(f => f.isFile &&
+        f.getName.endsWith(".parquet") && !stats.contains(f.getName))
+      if (uncovered) return None
+      here.filter(_.isDirectory)
+        .foldLeft(Option(stats.values.flatten.toSeq)) { (acc, d) =>
+          for (a <- acc; c <- walk(d)) yield a ++ c
+        }
+    }
+    val tableDir = new File(new File(root, db), table)
+    if (!tableDir.isDirectory) None
+    else walk(tableDir).filter(_.nonEmpty)
+      .map(bs => (bs.map(_._1).min, bs.map(_._2).max))
+  }
 }

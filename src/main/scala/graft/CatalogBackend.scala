@@ -45,6 +45,14 @@ trait CatalogBackend {
   def metadataRowCount(db: String, table: String): Option[Long] = None
 
   /**
+   * Exact (min_time, max_time) over `db.table` when every file carries
+   * time stats — a stat-less file could extend the range, so one makes
+   * the bounds unprovable ⇒ None. Empty table ⇒ None (min/max of no
+   * rows is NULL; let the scan produce it).
+   */
+  def metadataTimeBounds(db: String, table: String): Option[(Long, Long)] = None
+
+  /**
    * Writer-side hook: drop specific file entries (a compactor removing
    * the files it just replaced). Default no-op, like `register`.
    */

@@ -91,18 +91,32 @@ class Engine(val spark: SparkSession, val catalog: CatalogBackend,
     // metadata.json carries row_count for exactly this). Command
     // wrappers (EXPLAIN/DESCRIBE) must show the real plan, so skip.
     if (parsed == planOpt) // not unwrapped from a command
-      planOpt.flatMap(Engine.countStarTarget).foreach { case (parts, name) =>
-        val (d, t) =
-          if (parts.size == 1) (db, parts.head)
-          else (parts.dropRight(1).mkString("."), parts.last)
-        if (catalog.tableExists(d, t))
-          catalog.metadataRowCount(d, t).foreach { n =>
-            return spark.createDataFrame(
-              java.util.Collections.singletonList(
-                org.apache.spark.sql.Row(n): org.apache.spark.sql.Row),
-              org.apache.spark.sql.types.StructType(Seq(
-                org.apache.spark.sql.types.StructField(
-                  name, org.apache.spark.sql.types.LongType, nullable = false))))
+      planOpt.flatMap(Engine.metadataAggTarget(_, timeCol)).foreach {
+        case (parts, specs) =>
+          val (d, t) =
+            if (parts.size == 1) (db, parts.head)
+            else (parts.dropRight(1).mkString("."), parts.last)
+          if (catalog.tableExists(d, t)) {
+            val needCount = specs.exists(_._1 == Engine.MetaCount)
+            val needBounds = specs.exists(s =>
+              s._1 == Engine.MetaMinTime || s._1 == Engine.MetaMaxTime)
+            val cnt = if (needCount) catalog.metadataRowCount(d, t) else Some(0L)
+            val bounds =
+              if (needBounds) catalog.metadataTimeBounds(d, t) else Some((0L, 0L))
+            for (n <- cnt; (mn, mx) <- bounds) {
+              val values = specs.map {
+                case (Engine.MetaCount, _)   => n
+                case (Engine.MetaMinTime, _) => mn
+                case (Engine.MetaMaxTime, _) => mx
+              }
+              return spark.createDataFrame(
+                java.util.Collections.singletonList(
+                  org.apache.spark.sql.Row(values: _*): org.apache.spark.sql.Row),
+                org.apache.spark.sql.types.StructType(specs.map { case (_, nm) =>
+                  org.apache.spark.sql.types.StructField(
+                    nm, org.apache.spark.sql.types.LongType, nullable = false)
+                }))
+            }
           }
       }
 
@@ -227,46 +241,64 @@ object Engine {
   import org.apache.spark.sql.catalyst.expressions.SubqueryExpression
   import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, SubqueryAlias, UnresolvedWith}
 
+  private[graft] sealed trait MetaAgg
+  private[graft] case object MetaCount extends MetaAgg
+  private[graft] case object MetaMinTime extends MetaAgg
+  private[graft] case object MetaMaxTime extends MetaAgg
+
   /**
-   * Matches EXACTLY `SELECT count(*|1) FROM <single relation>` — no
-   * WHERE, no grouping, no other projections, no DISTINCT/FILTER — and
-   * returns the relation's name parts plus the output column name
-   * (explicit alias, or Spark's auto-name `count(1)`).
+   * Matches EXACTLY `SELECT <aggs> FROM <single relation>` — no WHERE,
+   * no grouping, no DISTINCT/FILTER — where every projection is
+   * count(*|1), min(timeCol) or max(timeCol), and returns the
+   * relation's name parts plus (agg kind, output column name) per
+   * projection (explicit alias, or Spark's auto-name). These are the
+   * aggregates the catalog metadata can answer without a scan.
    */
-  private[graft] def countStarTarget(plan: LogicalPlan): Option[(Seq[String], String)] = {
-    import org.apache.spark.sql.catalyst.analysis.{UnresolvedAlias, UnresolvedFunction, UnresolvedStar}
+  private[graft] def metadataAggTarget(plan: LogicalPlan, timeCol: String)
+      : Option[(Seq[String], Seq[(MetaAgg, String)])] = {
+    import org.apache.spark.sql.catalyst.analysis.{UnresolvedAlias, UnresolvedAttribute, UnresolvedFunction, UnresolvedStar}
     import org.apache.spark.sql.catalyst.expressions.{Alias, Expression, Literal}
     import org.apache.spark.sql.catalyst.plans.logical.Aggregate
-    def isCountStar(e: Expression): Boolean = e match {
-      case f: UnresolvedFunction =>
-        f.nameParts.map(_.toLowerCase) == Seq("count") && !f.isDistinct &&
-          f.filter.isEmpty && (f.arguments match {
-            case Seq(_: UnresolvedStar) => true
-            case Seq(Literal(1, _))     => true
-            case _                      => false
-          })
-      case _ => false
+    def kindOf(e: Expression): Option[(MetaAgg, String)] = e match {
+      case f: UnresolvedFunction
+          if !f.isDistinct && f.filter.isEmpty =>
+        (f.nameParts.map(_.toLowerCase), f.arguments) match {
+          case (Seq("count"), Seq(_: UnresolvedStar)) => Some((MetaCount, "count(1)"))
+          case (Seq("count"), Seq(Literal(1, _)))     => Some((MetaCount, "count(1)"))
+          case (Seq("min"), Seq(a: UnresolvedAttribute))
+              if a.nameParts.size == 1 &&
+                a.nameParts.head.equalsIgnoreCase(timeCol) =>
+            Some((MetaMinTime, s"min(${a.nameParts.head})"))
+          case (Seq("max"), Seq(a: UnresolvedAttribute))
+              if a.nameParts.size == 1 &&
+                a.nameParts.head.equalsIgnoreCase(timeCol) =>
+            Some((MetaMaxTime, s"max(${a.nameParts.head})"))
+          case _ => None
+        }
+      case _ => None
+    }
+    def named(ne: Expression): Option[(MetaAgg, String)] = ne match {
+      case Alias(c, n)          => kindOf(c).map { case (k, _) => (k, n) }
+      case ua: UnresolvedAlias  => kindOf(ua.child)
+      case _                    => None
     }
     // pre-analysis, a global aggregate is still a Project (the parser
     // leaves GlobalAggregates conversion to the analyzer)
-    val parts = plan match {
-      case org.apache.spark.sql.catalyst.plans.logical.Project(Seq(ne), child) =>
-        Some((ne, child))
-      case Aggregate(Seq(), Seq(ne), child, _) => Some((ne, child))
+    val shape = plan match {
+      case org.apache.spark.sql.catalyst.plans.logical.Project(nes, child)
+          if nes.nonEmpty => Some((nes, child))
+      case Aggregate(Seq(), nes, child, _) if nes.nonEmpty => Some((nes, child))
       case _ => None
     }
-    parts.flatMap { case (ne, child) =>
+    shape.flatMap { case (nes, child) =>
       val rel = child match {
         case r: UnresolvedRelation => Some(r.multipartIdentifier)
         case SubqueryAlias(_, r: UnresolvedRelation) => Some(r.multipartIdentifier)
         case _ => None
       }
-      val name = ne match {
-        case Alias(c, n) if isCountStar(c) => Some(n)
-        case ua: UnresolvedAlias if isCountStar(ua.child) => Some("count(1)")
-        case _ => None
-      }
-      for (r <- rel; n <- name) yield (r, n)
+      val kinds = nes.map(named)
+      if (kinds.exists(_.isEmpty)) None
+      else rel.map(r => (r, kinds.flatten))
     }
   }
 

@@ -290,9 +290,22 @@ class CatalogEngineSpec extends AnyFunSuite {
     assert(df.collect().head.getLong(0) == 2L)
     assert(eng.query("SELECT count(*) AS n FROM mydb.mc", "")
       .collect().head.getLong(0) == 2L)
+    // min/max(time) come from the zone maps in the same fast path,
+    // mixed with count in one statement
+    val stats = eng.query(
+      "SELECT count(*) AS n, min(time) AS lo, max(time) AS hi FROM mydb.mc", "")
+      .collect().head
+    assert(stats.getLong(0) == 2L && stats.getLong(1) == T0 &&
+      stats.getLong(2) == T0 + HOUR_NS)
+    assert(eng.query("SELECT min(time) FROM mydb.mc", "")
+      .columns.toSeq == Seq("min(time)"))
     // a WHERE clause must NOT take the fast path (would need the file)
     assertThrows[Exception] {
       eng.query(s"SELECT count(*) FROM mydb.mc WHERE time > $T0", "").collect()
+    }
+    // a non-metadata aggregate alongside count must scan (and fail here)
+    assertThrows[Exception] {
+      eng.query("SELECT count(*), avg(v) FROM mydb.mc", "").collect()
     }
   }
 
