@@ -95,70 +95,56 @@ class Catalog(val root: String) extends CatalogBackend {
     new File(new File(root, db), table).isDirectory
 
   /**
-   * Sum of per-file `row_count` stats — Some only when EVERY parquet
-   * file under the table is covered by a metadata.json entry carrying
-   * row_count (one uncovered file ⇒ the sum proves nothing ⇒ None and
-   * the engine scans instead). `tmp/` dirs are skipped as always.
+   * Both metadata aggregates — row count and zone-map time bounds —
+   * from ONE recursive pass over the metadata.json sidecars (they sit
+   * on the request hot path; walking twice would double the listing +
+   * parsing). Metadata is AUTHORITATIVE for the files it lists; the
+   * directory listing only proves no uncovered parquet file exists
+   * (an uncovered file holds rows/times the sums would miss). Each
+   * side is independently provable: an entry with row_count but no
+   * min/max fails only the bounds. Empty table ⇒ count Some(0) but
+   * bounds None (min/max of no rows is NULL — let a scan produce it).
+   * `tmp/` dirs are skipped as always.
    */
-  override def metadataRowCount(db: String, table: String): Option[Long] = {
-    def walk(dir: File): Option[Long] = {
-      if (dir.getName == "tmp") return Some(0L)
-      val counts: Map[String, Long] = parseMeta(dir) match {
-        case Some(m) if m.has("files") =>
-          m.get("files").elements().asScala.flatMap { fn =>
-            for {
-              p <- Option(fn.get("path")).map(_.asText())
-              c <- Option(fn.get("row_count")).filter(_.isNumber).map(_.asLong())
-            } yield new File(p).getName -> c
-          }.toMap
-        case _ => Map.empty
-      }
-      val here = Option(dir.listFiles()).map(_.toSeq).getOrElse(Nil)
-      // metadata is authoritative for the files it lists; the listing
-      // only needs to prove no EXTRA parquet file exists outside it
-      // (an uncovered file holds rows the metadata sum would miss)
-      val uncovered = here.exists(f => f.isFile &&
-        f.getName.endsWith(".parquet") && !counts.contains(f.getName))
-      val own = if (uncovered) None else Some(counts.values.sum)
-      here.filter(_.isDirectory).foldLeft(own) { (acc, d) =>
-        for (a <- acc; c <- walk(d)) yield a + c
-      }
-    }
-    val tableDir = new File(new File(root, db), table)
-    if (!tableDir.isDirectory) None else walk(tableDir)
-  }
-
-  /** Zone-map (min_time, max_time) over the metadata entries
-    * (authoritative, like metadataRowCount): None if any entry lacks
-    * stats, any on-disk parquet file is uncovered, or the table is
-    * empty (min/max of no rows is NULL — let a scan produce it). */
-  override def metadataTimeBounds(db: String, table: String): Option[(Long, Long)] = {
-    def walk(dir: File): Option[Seq[(Long, Long)]] = {
-      if (dir.getName == "tmp") return Some(Nil)
-      val stats: Map[String, Option[(Long, Long)]] = parseMeta(dir) match {
-        case Some(m) if m.has("files") =>
-          m.get("files").elements().asScala.flatMap { fn =>
-            Option(fn.get("path")).map(_.asText()).map { p =>
-              new File(p).getName ->
-                (for (mn <- optLong(fn, "min_time"); mx <- optLong(fn, "max_time"))
-                  yield (mn, mx))
-            }
-          }.toMap
-        case _ => Map.empty
-      }
-      if (stats.valuesIterator.contains(None)) return None // stat-less entry
-      val here = Option(dir.listFiles()).map(_.toSeq).getOrElse(Nil)
-      val uncovered = here.exists(f => f.isFile &&
-        f.getName.endsWith(".parquet") && !stats.contains(f.getName))
-      if (uncovered) return None
-      here.filter(_.isDirectory)
-        .foldLeft(Option(stats.values.flatten.toSeq)) { (acc, d) =>
-          for (a <- acc; c <- walk(d)) yield a ++ c
+  override def metadataStats(db: String, table: String)
+      : (Option[Long], Option[(Long, Long)]) = {
+    def walk(dir: File): (Option[Long], Option[Seq[(Long, Long)]]) = {
+      if (dir.getName == "tmp") return (Some(0L), Some(Nil))
+      val entries: Seq[(String, Option[Long], Option[(Long, Long)])] =
+        parseMeta(dir) match {
+          case Some(m) if m.has("files") =>
+            m.get("files").elements().asScala.flatMap { fn =>
+              Option(fn.get("path")).map(_.asText()).map { p =>
+                (new File(p).getName, optLong(fn, "row_count"),
+                  for (mn <- optLong(fn, "min_time"); mx <- optLong(fn, "max_time"))
+                    yield (mn, mx))
+              }
+            }.toSeq
+          case _ => Nil
         }
+      val names = entries.map(_._1).toSet
+      val here = Option(dir.listFiles()).map(_.toSeq).getOrElse(Nil)
+      val uncovered = here.exists(f => f.isFile &&
+        f.getName.endsWith(".parquet") && !names(f.getName))
+      val ownCount =
+        if (uncovered || entries.exists(_._2.isEmpty)) None
+        else Some(entries.flatMap(_._2).sum)
+      val ownBounds =
+        if (uncovered || entries.exists(_._3.isEmpty)) None
+        else Some(entries.flatMap(_._3))
+      here.filter(_.isDirectory).foldLeft((ownCount, ownBounds)) {
+        case ((ac, ab), d) =>
+          val (c, b) = walk(d)
+          (for (x <- ac; y <- c) yield x + y,
+           for (x <- ab; y <- b) yield x ++ y)
+      }
     }
     val tableDir = new File(new File(root, db), table)
-    if (!tableDir.isDirectory) None
-    else walk(tableDir).filter(_.nonEmpty)
-      .map(bs => (bs.map(_._1).min, bs.map(_._2).max))
+    if (!tableDir.isDirectory) (None, None)
+    else {
+      val (cnt, bs) = walk(tableDir)
+      (cnt, bs.filter(_.nonEmpty)
+        .map(b => (b.map(_._1).min, b.map(_._2).max)))
+    }
   }
 }

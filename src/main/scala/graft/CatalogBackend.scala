@@ -42,7 +42,16 @@ trait CatalogBackend {
    * the metadata sum unprovable). Lets the engine answer unfiltered
    * `count(*)` without touching a byte of parquet.
    */
-  def metadataRowCount(db: String, table: String): Option[Long] = None
+  def metadataRowCount(db: String, table: String): Option[Long] =
+    metadataStats(db, table)._1
+
+  /**
+   * Both metadata aggregates from ONE metadata pass:
+   * (provable row count, provable (min_time, max_time)). Each side is
+   * independently None when unprovable.
+   */
+  def metadataStats(db: String, table: String)
+      : (Option[Long], Option[(Long, Long)]) = (None, None)
 
   /**
    * Exact (min_time, max_time) over `db.table` when every file carries
@@ -50,7 +59,8 @@ trait CatalogBackend {
    * the bounds unprovable ⇒ None. Empty table ⇒ None (min/max of no
    * rows is NULL; let the scan produce it).
    */
-  def metadataTimeBounds(db: String, table: String): Option[(Long, Long)] = None
+  def metadataTimeBounds(db: String, table: String): Option[(Long, Long)] =
+    metadataStats(db, table)._2
 
   /**
    * Writer-side hook: drop specific file entries (a compactor removing

@@ -100,9 +100,22 @@ class Engine(val spark: SparkSession, val catalog: CatalogBackend,
             val needCount = specs.exists(_._1 == Engine.MetaCount)
             val needBounds = specs.exists(s =>
               s._1 == Engine.MetaMinTime || s._1 == Engine.MetaMaxTime)
-            val cnt = if (needCount) catalog.metadataRowCount(d, t) else Some(0L)
+            // zone maps are int64-ns by the lake contract; a table whose
+            // time column is TimestampType would scan to timestamps, so
+            // the LongType answer would be wrong — verify the type from
+            // ONE parquet footer (metadata read, still no data scan)
+            val boundsTypeOk = !needBounds ||
+              catalog.prunedPaths(d, t, None).headOption.forall { p =>
+                scala.util.Try(spark.read.parquet(p).schema).toOption
+                  .flatMap(_.fields.find(_.name.equalsIgnoreCase(timeCol)))
+                  .exists(_.dataType == org.apache.spark.sql.types.LongType)
+              }
+            val (metaCnt, metaBounds) = catalog.metadataStats(d, t)
+            val cnt = if (needCount) metaCnt else Some(0L)
             val bounds =
-              if (needBounds) catalog.metadataTimeBounds(d, t) else Some((0L, 0L))
+              if (!boundsTypeOk) None
+              else if (needBounds) metaBounds
+              else Some((0L, 0L))
             for (n <- cnt; (mn, mx) <- bounds) {
               val values = specs.map {
                 case (Engine.MetaCount, _)   => n
@@ -263,16 +276,21 @@ object Engine {
       case f: UnresolvedFunction
           if !f.isDistinct && f.filter.isEmpty =>
         (f.nameParts.map(_.toLowerCase), f.arguments) match {
-          case (Seq("count"), Seq(_: UnresolvedStar)) => Some((MetaCount, "count(1)"))
+          // count(t.*) is NOT count(*): Spark expands a qualified star
+          // to count(col1, col2, …), which skips rows with any null
+          case (Seq("count"), Seq(s: UnresolvedStar)) if s.target.isEmpty =>
+            Some((MetaCount, "count(1)"))
           case (Seq("count"), Seq(Literal(1, _)))     => Some((MetaCount, "count(1)"))
+          // auto-name uses the SCHEMA's column case (what a real scan's
+          // resolved attribute would yield), not the query's case
           case (Seq("min"), Seq(a: UnresolvedAttribute))
               if a.nameParts.size == 1 &&
                 a.nameParts.head.equalsIgnoreCase(timeCol) =>
-            Some((MetaMinTime, s"min(${a.nameParts.head})"))
+            Some((MetaMinTime, s"min($timeCol)"))
           case (Seq("max"), Seq(a: UnresolvedAttribute))
               if a.nameParts.size == 1 &&
                 a.nameParts.head.equalsIgnoreCase(timeCol) =>
-            Some((MetaMaxTime, s"max(${a.nameParts.head})"))
+            Some((MetaMaxTime, s"max($timeCol)"))
           case _ => None
         }
       case _ => None
@@ -318,13 +336,17 @@ object Engine {
     plan match {
       case w: UnresolvedWith =>
         // CTE visibility is SEQUENTIAL: a definition sees earlier
-        // definitions (plus itself, for recursion) but NOT later ones —
-        // `WITH a AS (SELECT * FROM x), x AS (...)`: inside a, x is the
-        // lake table, not the sibling CTE. The child sees all of them.
+        // definitions but NOT later ones — `WITH a AS (SELECT * FROM
+        // x), x AS (...)`: inside a, x is the lake table, not the
+        // sibling CTE. A definition's OWN name is visible to itself
+        // only under WITH RECURSIVE; a non-recursive `WITH meas AS
+        // (SELECT * FROM meas ...)` reads the lake table, as in
+        // standard SQL. The child sees all of them.
         val all = scope ++ w.cteRelations.map(_._1.toLowerCase)
+        val selfVisible = if (w.allowRecursion) 1 else 0
         val newDefs = w.cteRelations.zipWithIndex.map { case ((n, d, m), i) =>
           val visible = scope ++
-            w.cteRelations.take(i + 1).map(_._1.toLowerCase)
+            w.cteRelations.take(i + selfVisible).map(_._1.toLowerCase)
           (n, rewriteScoped(d, visible, replace).asInstanceOf[SubqueryAlias], m)
         }
         w.copy(child = rewriteScoped(w.child, all, replace),

@@ -141,13 +141,7 @@ object LakeWriter {
   /** Local filesystem File for a bare path OR a file:// URI — a
     * file:// root passed to `new File(string)` would resolve nothing
     * and the delta listing would silently come back empty. */
-  private def localFile(p: String): File = {
-    val u = scala.util.Try(new java.net.URI(p)).toOption
-    u match {
-      case Some(x) if x.getScheme == "file" => new File(x.getPath)
-      case _ => new File(p)
-    }
-  }
+  private def localFile(p: String): File = new File(catalogPath(p))
 
   private def listParquet(dir: File): Set[String] =
     if (!dir.isDirectory) Set.empty

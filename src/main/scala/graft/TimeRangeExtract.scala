@@ -251,8 +251,19 @@ object TimeRangeExtract {
           asNs(f.arguments(2)).getOrElse(f.arguments(2))))
     }
     // apply inside subquery plans too — `transformAllExpressions` alone
-    // never reaches a Filter nested in an EXISTS/IN subquery expression
-    plan.transformDownWithSubqueries { case p => p.transformExpressions(rules) }
+    // never reaches a Filter nested in an EXISTS/IN subquery expression.
+    // CTE definitions live OUTSIDE `children` (UnresolvedWith keeps them
+    // as inner children), so they get their own recursion — without it a
+    // time literal inside `WITH x AS (… WHERE time < '…')` stays a
+    // string and the int64 comparison fails at runtime.
+    plan.transformDownWithSubqueries {
+      case w: org.apache.spark.sql.catalyst.plans.logical.UnresolvedWith =>
+        w.copy(cteRelations = w.cteRelations.map { case (n, d, m) =>
+          (n, rewriteTimeLiterals(d, timeCol, attributable)
+            .asInstanceOf[org.apache.spark.sql.catalyst.plans.logical.SubqueryAlias], m)
+        })
+      case p => p.transformExpressions(rules)
+    }
   }
 
   /** Literal-ish expression → epoch ns, if statically evaluable. */

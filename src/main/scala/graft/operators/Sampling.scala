@@ -21,19 +21,28 @@ import org.apache.spark.sql.functions._
  */
 object Sampling {
 
-  /** Rank expression: md5 over the key columns + salt. */
+  /** Rank expression: md5 over the key columns + salt. Null keys get a
+    * marker so they rank deterministically too (concat_ws would
+    * silently skip them, making every null collide with empty). */
   def rankKey(keyCols: Seq[Column], salt: String): Column =
-    md5(concat_ws(" ", (keyCols :+ lit(salt)).map(_.cast("string")): _*))
+    md5(concat_ws(" ",
+      (keyCols.map(c => coalesce(c.cast("string"), lit("null")))
+        :+ lit(salt)): _*))
 
   /**
    * Exactly `n` rows per stratum (fewer when a stratum is smaller),
    * chosen by deterministic md5 order of `keyCol` + `salt`.
+   *
+   * Determinism contract: `keyCol` must uniquely identify rows within
+   * a stratum. Rows SHARING a key value share a rank, and the
+   * tie-break among them is arbitrary — reproducibility then holds
+   * for the multiset of sampled key values, not the exact rows.
    */
   def stratifiedSample(df: DataFrame, strataCols: Seq[String], keyCol: String,
                        n: Int, salt: String = "s0"): DataFrame = {
     require(n > 0 && strataCols.nonEmpty)
     val w = Window.partitionBy(strataCols.map(col): _*)
-      .orderBy(rankKey(Seq(col(keyCol)), salt))
+      .orderBy(rankKey(Seq(col(keyCol)), salt), col(keyCol))
     df.withColumn("__rk", row_number().over(w))
       .filter(col("__rk") <= n)
       .drop("__rk")

@@ -74,14 +74,15 @@ class QueryServer(engine: Engine, port: Int = 8080) {
               case "ndjson" =>
                 respond(ex, 200, ResultEncoder.toNdjsonString(df), "application/x-ndjson")
               case "arrow" => // Arrow IPC stream (FlightSQL data-plane bytes)
-                // Materialize the first partition BEFORE committing the
-                // 200 (planning/early-execution errors still surface as
-                // a clean {"error"}), then chunked-stream the batches —
-                // the driver never holds more than one record batch. An
-                // error AFTER the headers are sent can only be signalled
-                // by aborting the connection (truncated IPC stream), so
-                // the inner catch closes the exchange instead of letting
-                // the outer handler crash on a second sendResponseHeaders.
+                // Force PLANNING before committing the 200 (analysis/
+                // planning errors still surface as a clean {"error"}),
+                // then chunked-stream the batches — the driver never
+                // holds more than one record batch. Errors during
+                // EXECUTION (after headers) can only be signalled by
+                // aborting the connection — the client sees a truncated
+                // IPC stream — so the inner catch closes the exchange
+                // instead of letting the outer handler crash on a
+                // second sendResponseHeaders.
                 df.queryExecution.executedPlan // force planning errors here
                 ex.getResponseHeaders.add("Content-Type", "application/vnd.apache.arrow.stream")
                 ex.sendResponseHeaders(200, 0L) // 0 ⇒ chunked

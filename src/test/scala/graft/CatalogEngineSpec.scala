@@ -344,6 +344,16 @@ class CatalogEngineSpec extends AnyFunSuite {
     assert(df.collect().map(_.getInt(0)).toSeq == Seq(42))
   }
 
+  test("engine: non-recursive CTE reading its own name sees the LAKE table") {
+    // standard SQL: without RECURSIVE, a definition's own name is not
+    // in scope inside itself — `WITH meas AS (SELECT ... FROM meas)`
+    // reads the base (lake) table
+    val df = engine.query(
+      "WITH meas AS (SELECT time FROM meas WHERE time < '2023-01-02T00:00:00Z') " +
+        "SELECT count(*) AS n FROM meas", "mydb")
+    assert(df.collect().head.getLong(0) == 24L) // day-1 rows of the lake table
+  }
+
   test("engine: CTE visibility is sequential — an earlier def sees the lake table, not a later CTE") {
     // `WITH a AS (... FROM meas), meas AS (...)`: inside a's definition
     // the LATER sibling CTE `meas` is not yet visible (SQL-standard

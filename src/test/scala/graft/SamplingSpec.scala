@@ -26,6 +26,17 @@ class SamplingSpec extends AnyFunSuite {
     }
   }
 
+  test("null keys rank deterministically (marker, not concat_ws skip)") {
+    import spark.implicits._
+    val df = Seq((Some(1L), "a"), (None: Option[Long], "a"), (Some(2L), "a"),
+      (Some(3L), "a")).toDF("k", "g")
+    val out = Sampling.stratifiedSample(df, Seq("g"), "k", 2)
+      .collect().map(r => if (r.isNullAt(0)) None else Some(r.getLong(0))).toSet
+    val again = Sampling.stratifiedSample(df.repartition(7), Seq("g"), "k", 2)
+      .collect().map(r => if (r.isNullAt(0)) None else Some(r.getLong(0))).toSet
+    assert(out == again && out.size == 2)
+  }
+
   test("different salts draw different (but individually stable) samples") {
     def run(salt: String) =
       Sampling.stratifiedSample(docs, Seq("lang"), "doc_id", 10, salt)
