@@ -23,17 +23,17 @@ trait CatalogBackend {
   def tableExists(db: String, table: String): Boolean
 
   /**
-   * Writer-side hook: record newly written files `(absolute path,
-   * min_time, max_time)` for `db.table` so the backend can serve them
-   * from `prunedPaths`. Default is a no-op — the json backend
-   * discovers files from the `metadata.json` zone maps the writer
-   * already leaves on disk; index-server backends (redis) override
-   * this to publish entries. `LakeWriter.write(catalog = Some(…))`
-   * calls it after a commit, keeping the backends interchangeable
-   * end-to-end.
+   * Writer-side hook: record newly written files for `db.table` so
+   * the backend can serve them from `prunedPaths` (and, with row
+   * counts, from `metadataStats`). Default is a no-op — the json
+   * backend discovers files from the `metadata.json` zone maps the
+   * writer already leaves on disk; index-server backends (redis)
+   * override this to publish entries. `LakeWriter.write(catalog =
+   * Some(…))` calls it after a commit, keeping the backends
+   * interchangeable end-to-end.
    */
   def register(db: String, table: String,
-               entries: Seq[(String, Option[Long], Option[Long])]): Unit = ()
+               entries: Seq[CatalogBackend.FileStat]): Unit = ()
 
   /**
    * Exact row count for `db.table` when the backend can PROVE it from
@@ -78,4 +78,10 @@ trait CatalogBackend {
    * already replaced).
    */
   def clear(db: String, table: String): Unit = ()
+}
+
+object CatalogBackend {
+  /** One file's registration payload: path + zone-map stats. */
+  case class FileStat(path: String, minTime: Option[Long],
+                      maxTime: Option[Long], rowCount: Option[Long] = None)
 }

@@ -90,7 +90,8 @@ object LakeCompactor {
           c.register(db, table, stats.toSeq.map { r =>
             val s = if (r.isNullAt(1) || r.isNullAt(2)) (None, None)
               else (Some(r.getLong(1)), Some(r.getLong(2)))
-            (LakeWriter.catalogPath(r.getString(0)), s._1, s._2)
+            CatalogBackend.FileStat(LakeWriter.catalogPath(r.getString(0)),
+              s._1, s._2, Some(r.getLong(3)))
           })
           c.deregister(db, table, old.map(_.getAbsolutePath))
         }

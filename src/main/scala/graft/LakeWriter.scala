@@ -104,7 +104,8 @@ object LakeWriter {
       c.register(db, table, written.map { r =>
         val stats = if (r.isNullAt(1) || r.isNullAt(2)) (None, None)
           else (Some(r.getLong(1)), Some(r.getLong(2)))
-        (catalogPath(r.getString(0)), stats._1, stats._2)
+        CatalogBackend.FileStat(catalogPath(r.getString(0)),
+          stats._1, stats._2, Some(r.getLong(3)))
       }.toSeq)
     }
     if (local) written

@@ -194,20 +194,46 @@ class RedisCatalog(url: String) extends CatalogBackend with AutoCloseable {
    * would be scanned twice.
    */
   override def register(db: String, table: String,
-               entries: Seq[(String, Option[Long], Option[Long])]): Unit = {
+               entries: Seq[CatalogBackend.FileStat]): Unit = {
     command("SADD", "graft:dbs", db)
     command("SADD", s"graft:tables:$db", table)
-    entries.foreach { case (path, minT, maxT) =>
+    entries.foreach { e =>
       val json = {
         val n = mapper.createObjectNode()
-        minT.foreach(n.put("min_time", _))
-        maxT.foreach(n.put("max_time", _))
+        e.minTime.foreach(n.put("min_time", _))
+        e.maxTime.foreach(n.put("max_time", _))
+        e.rowCount.foreach(n.put("row_count", _))
         mapper.writeValueAsString(n)
       }
-      val score = maxT.map(_.toString).getOrElse("+inf")
-      command("ZADD", idxKey(db, table), score, path)
-      command("HSET", statsKey(db, table), path, json)
+      val score = e.maxTime.map(_.toString).getOrElse("+inf")
+      command("ZADD", idxKey(db, table), score, e.path)
+      command("HSET", statsKey(db, table), e.path, json)
     }
+  }
+
+  /**
+   * Metadata aggregates from the stats hash — the index IS the lake's
+   * source of truth here (no filesystem to cross-check), so coverage
+   * means "every registered entry carries the stat". An empty index
+   * answers (None, None): a table might be mid-registration, and a
+   * confidently-wrong 0 is worse than a scan.
+   */
+  override def metadataStats(db: String, table: String)
+      : (Option[Long], Option[(Long, Long)]) = {
+    val kv = command("HGETALL", statsKey(db, table)) match {
+      case s: Seq[_] => s.collect { case x: String => x }.grouped(2)
+        .collect { case Seq(_, v) => mapper.readTree(v) }.toSeq
+      case _ => Nil
+    }
+    if (kv.isEmpty) return (None, None)
+    def l(n: com.fasterxml.jackson.databind.JsonNode, f: String): Option[Long] =
+      Option(n.get(f)).filter(_.isNumber).map(_.asLong())
+    val counts = kv.map(l(_, "row_count"))
+    val bounds = kv.map(n => for (mn <- l(n, "min_time"); mx <- l(n, "max_time"))
+      yield (mn, mx))
+    (if (counts.exists(_.isEmpty)) None else Some(counts.flatten.sum),
+     if (bounds.exists(_.isEmpty)) None
+     else Some((bounds.flatten.map(_._1).min, bounds.flatten.map(_._2).max)))
   }
 
   /** Remove specific file entries (compaction replaced them). */

@@ -108,8 +108,8 @@ class LakeWriterSpec extends AnyFunSuite {
                              range: Option[(Long, Long)]): Seq[String] = Nil
     override def tableExists(db: String, table: String): Boolean = false
     override def register(db: String, table: String,
-        entries: Seq[(String, Option[Long], Option[Long])]): Unit =
-      registered += entries.map(_._1)
+        entries: Seq[CatalogBackend.FileStat]): Unit =
+      registered += entries.map(_.path)
     override def clear(db: String, table: String): Unit = cleared += s"$db.$table"
   }
 

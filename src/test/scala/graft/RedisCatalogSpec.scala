@@ -76,6 +76,11 @@ class FakeRedisServer {
           sets.remove(k).isDefined | zsets.remove(k).isDefined |
             hashes.remove(k).isDefined)
         s":$n\r\n"
+      case "HGETALL" =>
+        val h = hashes.getOrElse(cmd(1), mutable.LinkedHashMap())
+        val parts = h.toSeq.flatMap { case (k, v) => Seq(k, v) }
+        parts.map(m => s"$$${m.getBytes(UTF_8).length}\r\n$m\r\n")
+          .mkString(s"*${parts.size}\r\n", "", "")
       case "ZREM" =>
         val z = zsets.getOrElse(cmd(1), mutable.LinkedHashMap())
         val n = cmd.drop(2).count(m => z.remove(m).isDefined)
@@ -149,10 +154,10 @@ class RedisCatalogSpec extends AnyFunSuite {
       assert(srv.log.head(1) == "hunter2" && srv.log(1)(1) == "2")
 
       cat.register("mydb", "meas", Seq(
-        ("/lake/d1.parquet", Some(T0), Some(T0 + 23 * HOUR_NS)),
-        ("/lake/d2.parquet", Some(T0 + 24 * HOUR_NS), Some(T0 + 47 * HOUR_NS)),
-        ("/lake/nostats.parquet", None, None)))
-      cat.register("otherdb", "events", Seq(("/lake/e.parquet", None, None)))
+        CatalogBackend.FileStat("/lake/d1.parquet", Some(T0), Some(T0 + 23 * HOUR_NS), Some(100L)),
+        CatalogBackend.FileStat("/lake/d2.parquet", Some(T0 + 24 * HOUR_NS), Some(T0 + 47 * HOUR_NS), Some(50L)),
+        CatalogBackend.FileStat("/lake/nostats.parquet", None, None)))
+      cat.register("otherdb", "events", Seq(CatalogBackend.FileStat("/lake/e.parquet", None, None)))
 
       assert(cat.databases == Seq("mydb", "otherdb"))
       assert(cat.tables("mydb") == Seq("meas"))
@@ -186,7 +191,7 @@ class RedisCatalogSpec extends AnyFunSuite {
       // re-registration with UPDATED stats replaces (path is the ZSET
       // member), never accumulates a duplicate that would be read twice
       cat.register("mydb", "meas",
-        Seq(("/lake/d1.parquet", Some(T0), Some(T0 + 25 * HOUR_NS))))
+        Seq(CatalogBackend.FileStat("/lake/d1.parquet", Some(T0), Some(T0 + 25 * HOUR_NS), Some(100L))))
       assert(cat.prunedPaths("mydb", "meas", None).size == 3)
       assert(cat.prunedPaths("mydb", "meas",
         Some((T0 + 24 * HOUR_NS, T0 + 25 * HOUR_NS))) ==
@@ -195,17 +200,40 @@ class RedisCatalogSpec extends AnyFunSuite {
     } finally srv.stop()
   }
 
+  test("metadataStats served from the stats hash; engine count needs no files") {
+    val srv = new FakeRedisServer
+    try {
+      val cat = new RedisCatalog(s"redis://localhost:${srv.port}")
+      cat.register("mydb", "m", Seq(
+        CatalogBackend.FileStat("/gone/a.parquet", Some(T0), Some(T0 + HOUR_NS), Some(10L)),
+        CatalogBackend.FileStat("/gone/b.parquet", Some(T0 + 2 * HOUR_NS),
+          Some(T0 + 3 * HOUR_NS), Some(5L))))
+      assert(cat.metadataStats("mydb", "m") ==
+        ((Some(15L), Some((T0, T0 + 3 * HOUR_NS)))))
+      // the registered paths do not exist on disk — only a metadata
+      // answer can produce this count
+      val engine = new Engine(spark, cat)
+      assert(engine.query("SELECT count(*) AS n FROM mydb.m", "")
+        .collect().head.getLong(0) == 15L)
+      // an entry without row_count makes the count unprovable
+      cat.register("mydb", "m",
+        Seq(CatalogBackend.FileStat("/gone/c.parquet", Some(T0), Some(T0))))
+      assert(cat.metadataStats("mydb", "m")._1.isEmpty)
+      cat.close()
+    } finally srv.stop()
+  }
+
   test("clear drops the table's index and stats keys") {
     val srv = new FakeRedisServer
     try {
       val cat = new RedisCatalog(s"redis://localhost:${srv.port}")
-      cat.register("mydb", "meas", Seq(("/lake/old.parquet", Some(T0), Some(T0))))
+      cat.register("mydb", "meas", Seq(CatalogBackend.FileStat("/lake/old.parquet", Some(T0), Some(T0))))
       assert(cat.prunedPaths("mydb", "meas", None) == Seq("/lake/old.parquet"))
       cat.clear("mydb", "meas")
       assert(cat.prunedPaths("mydb", "meas", None).isEmpty)
       // table membership survives (clear is about file entries)
       assert(cat.tableExists("mydb", "meas"))
-      cat.register("mydb", "meas", Seq(("/lake/new.parquet", Some(T0), Some(T0))))
+      cat.register("mydb", "meas", Seq(CatalogBackend.FileStat("/lake/new.parquet", Some(T0), Some(T0))))
       assert(cat.prunedPaths("mydb", "meas", None) == Seq("/lake/new.parquet"))
       cat.close()
     } finally srv.stop()
@@ -253,7 +281,8 @@ class RedisCatalogSpec extends AnyFunSuite {
       }
       val cat = new RedisCatalog(s"redis://localhost:${srv.port}")
       cat.register("mydb", "meas", (1 to 3).map { day =>
-        val (p, mn, mx) = writeDay(day); (p, Some(mn), Some(mx))
+        val (p, mn, mx) = writeDay(day)
+        CatalogBackend.FileStat(p, Some(mn), Some(mx), Some(24L))
       })
       val engine = new Engine(spark, cat)
       assert(engine.query("SHOW DATABASES").as[String].collect().toSeq == Seq("mydb"))
