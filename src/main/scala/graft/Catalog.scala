@@ -106,10 +106,17 @@ class Catalog(val root: String) extends CatalogBackend {
    * bounds None (min/max of no rows is NULL — let a scan produce it).
    * `tmp/` dirs are skipped as always.
    */
-  override def metadataStats(db: String, table: String)
-      : (Option[Long], Option[(Long, Long)]) = {
-    def walk(dir: File): (Option[Long], Option[Seq[(Long, Long)]]) = {
-      if (dir.getName == "tmp") return (Some(0L), Some(Nil))
+  /**
+   * All metadata entries (row_count, time bounds per file) from ONE
+   * recursive pass over the metadata.json sidecars, or None if any
+   * on-disk parquet file is not covered by an entry (an uncovered
+   * file holds rows/times the sums would miss). Metadata is
+   * AUTHORITATIVE for the files it lists; `tmp/` dirs are skipped.
+   */
+  private def metaEntries(db: String, table: String)
+      : Option[Seq[(Option[Long], Option[(Long, Long)])]] = {
+    def walk(dir: File): Option[Seq[(Option[Long], Option[(Long, Long)])]] = {
+      if (dir.getName == "tmp") return Some(Nil)
       val entries: Seq[(String, Option[Long], Option[(Long, Long)])] =
         parseMeta(dir) match {
           case Some(m) if m.has("files") =>
@@ -126,25 +133,25 @@ class Catalog(val root: String) extends CatalogBackend {
       val here = Option(dir.listFiles()).map(_.toSeq).getOrElse(Nil)
       val uncovered = here.exists(f => f.isFile &&
         f.getName.endsWith(".parquet") && !names(f.getName))
-      val ownCount =
-        if (uncovered || entries.exists(_._2.isEmpty)) None
-        else Some(entries.flatMap(_._2).sum)
-      val ownBounds =
-        if (uncovered || entries.exists(_._3.isEmpty)) None
-        else Some(entries.flatMap(_._3))
-      here.filter(_.isDirectory).foldLeft((ownCount, ownBounds)) {
-        case ((ac, ab), d) =>
-          val (c, b) = walk(d)
-          (for (x <- ac; y <- c) yield x + y,
-           for (x <- ab; y <- b) yield x ++ y)
-      }
+      if (uncovered) None
+      else here.filter(_.isDirectory)
+        .foldLeft(Option(entries.map(e => (e._2, e._3)))) { (acc, d) =>
+          for (a <- acc; c <- walk(d)) yield a ++ c
+        }
     }
     val tableDir = new File(new File(root, db), table)
-    if (!tableDir.isDirectory) (None, None)
-    else {
-      val (cnt, bs) = walk(tableDir)
-      (cnt, bs.filter(_.nonEmpty)
-        .map(b => (b.map(_._1).min, b.map(_._2).max)))
-    }
+    if (!tableDir.isDirectory) None else walk(tableDir)
   }
+
+  override def metadataStats(db: String, table: String)
+      : (Option[Long], Option[(Long, Long)]) =
+    metaEntries(db, table) match {
+      case None => (None, None)
+      case Some(es) => CatalogBackend.statsOf(es)
+    }
+
+  override def metadataRangeCount(db: String, table: String,
+                                  range: (Long, Long)): Option[Long] =
+    metaEntries(db, table)
+      .flatMap(CatalogBackend.rangeCountOf(_, range))
 }

@@ -54,6 +54,17 @@ trait CatalogBackend {
       : (Option[Long], Option[(Long, Long)]) = (None, None)
 
   /**
+   * Exact row count of `db.table` restricted to the INCLUSIVE time
+   * range — provable only when every file is either fully inside the
+   * range (counts whole) or fully outside it (counts zero): one
+   * partially-overlapping or stat-less file ⇒ None ⇒ scan. The
+   * day-aligned lake layout makes day/hour-bucketed counts provable
+   * in the common case.
+   */
+  def metadataRangeCount(db: String, table: String,
+                         range: (Long, Long)): Option[Long] = None
+
+  /**
    * Exact (min_time, max_time) over `db.table` when every file carries
    * time stats — a stat-less file could extend the range, so one makes
    * the bounds unprovable ⇒ None. Empty table ⇒ None (min/max of no
@@ -84,4 +95,33 @@ object CatalogBackend {
   /** One file's registration payload: path + zone-map stats. */
   case class FileStat(path: String, minTime: Option[Long],
                       maxTime: Option[Long], rowCount: Option[Long] = None)
+
+  /** (provable count, provable bounds) over per-file metadata entries
+    * — each side independently None when any entry lacks its stat.
+    * Empty entries ⇒ count 0 but no bounds (min/max of no rows is
+    * NULL; a scan must produce it). */
+  def statsOf(es: Seq[(Option[Long], Option[(Long, Long)])])
+      : (Option[Long], Option[(Long, Long)]) = {
+    val cnt = if (es.exists(_._1.isEmpty)) None else Some(es.flatMap(_._1).sum)
+    val bs = es.map(_._2)
+    val bounds =
+      if (es.isEmpty || bs.exists(_.isEmpty)) None
+      else Some((bs.flatten.map(_._1).min, bs.flatten.map(_._2).max))
+    (cnt, bounds)
+  }
+
+  /** Provable row count within the INCLUSIVE range: files fully
+    * inside count whole, fully outside count zero; a partial overlap
+    * or a stat-less entry makes the count unprovable. */
+  def rangeCountOf(es: Seq[(Option[Long], Option[(Long, Long)])],
+                   range: (Long, Long)): Option[Long] = {
+    val (lo, hi) = range
+    es.foldLeft(Option(0L)) {
+      case (acc, (rc, Some((mn, mx)))) =>
+        if (mx < lo || mn > hi) acc // fully outside
+        else if (mn >= lo && mx <= hi) for (a <- acc; c <- rc) yield a + c
+        else None // partial overlap: the range splits this file
+      case _ => None // no time stats: can't classify the file
+    }
+  }
 }

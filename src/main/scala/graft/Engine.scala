@@ -92,7 +92,7 @@ class Engine(val spark: SparkSession, val catalog: CatalogBackend,
     // wrappers (EXPLAIN/DESCRIBE) must show the real plan, so skip.
     if (parsed == planOpt) // not unwrapped from a command
       planOpt.flatMap(Engine.metadataAggTarget(_, timeCol)).foreach {
-        case (parts, specs) =>
+        case (parts, specs, timeFiltered) =>
           val (d, t) =
             if (parts.size == 1) (db, parts.head)
             else (parts.dropRight(1).mkString("."), parts.last)
@@ -110,7 +110,15 @@ class Engine(val spark: SparkSession, val catalog: CatalogBackend,
                   .flatMap(_.fields.find(_.name.equalsIgnoreCase(timeCol)))
                   .exists(_.dataType == org.apache.spark.sql.types.LongType)
               }
-            val (metaCnt, metaBounds) = catalog.metadataStats(d, t)
+            val (metaCnt, metaBounds) =
+              if (timeFiltered) {
+                // specs are count-only here (matcher guarantees it);
+                // the WHERE is exactly a time range, represented
+                // inclusively by extract's normalization
+                val rangeCnt = extract(planOpt.get, timeCol).asTuple
+                  .flatMap(catalog.metadataRangeCount(d, t, _))
+                (rangeCnt, None)
+              } else catalog.metadataStats(d, t)
             val cnt = if (needCount) metaCnt else Some(0L)
             val bounds =
               if (!boundsTypeOk) None
@@ -268,7 +276,8 @@ object Engine {
    * aggregates the catalog metadata can answer without a scan.
    */
   private[graft] def metadataAggTarget(plan: LogicalPlan, timeCol: String)
-      : Option[(Seq[String], Seq[(MetaAgg, String)])] = {
+      : Option[(Seq[String], Seq[(MetaAgg, String)], Boolean)] = {
+    import graft.TimeRangeExtract.isExactTimeRange
     import org.apache.spark.sql.catalyst.analysis.{UnresolvedAlias, UnresolvedAttribute, UnresolvedFunction, UnresolvedStar}
     import org.apache.spark.sql.catalyst.expressions.{Alias, Expression, Literal}
     import org.apache.spark.sql.catalyst.plans.logical.Aggregate
@@ -308,7 +317,15 @@ object Engine {
       case Aggregate(Seq(), nes, child, _) if nes.nonEmpty => Some((nes, child))
       case _ => None
     }
-    shape.flatMap { case (nes, child) =>
+    shape.flatMap { case (nes, child0) =>
+      // one WHERE layer is allowed IF it is exactly a time range and
+      // the only aggregate is count — then the zone maps can still
+      // answer, via metadataRangeCount
+      val (child, filtered) = child0 match {
+        case org.apache.spark.sql.catalyst.plans.logical.Filter(cond, c)
+            if isExactTimeRange(cond, timeCol) => (c, true)
+        case c => (c, false)
+      }
       val rel = child match {
         case r: UnresolvedRelation => Some(r.multipartIdentifier)
         case SubqueryAlias(_, r: UnresolvedRelation) => Some(r.multipartIdentifier)
@@ -316,7 +333,8 @@ object Engine {
       }
       val kinds = nes.map(named)
       if (kinds.exists(_.isEmpty)) None
-      else rel.map(r => (r, kinds.flatten))
+      else if (filtered && kinds.flatten.exists(_._1 != MetaCount)) None
+      else rel.map(r => (r, kinds.flatten, filtered))
     }
   }
 

@@ -218,22 +218,33 @@ class RedisCatalog(url: String) extends CatalogBackend with AutoCloseable {
    * answers (None, None): a table might be mid-registration, and a
    * confidently-wrong 0 is worse than a scan.
    */
-  override def metadataStats(db: String, table: String)
-      : (Option[Long], Option[(Long, Long)]) = {
+  /** Per-file (row_count, bounds) entries from one HGETALL — the
+    * index IS the lake's source of truth here (no filesystem to
+    * cross-check). An empty index yields no entries: a table might be
+    * mid-registration, and a confidently-wrong 0 is worse than a scan. */
+  private def metaEntries(db: String, table: String)
+      : Seq[(Option[Long], Option[(Long, Long)])] = {
     val kv = command("HGETALL", statsKey(db, table)) match {
       case s: Seq[_] => s.collect { case x: String => x }.grouped(2)
         .collect { case Seq(_, v) => mapper.readTree(v) }.toSeq
       case _ => Nil
     }
-    if (kv.isEmpty) return (None, None)
     def l(n: com.fasterxml.jackson.databind.JsonNode, f: String): Option[Long] =
       Option(n.get(f)).filter(_.isNumber).map(_.asLong())
-    val counts = kv.map(l(_, "row_count"))
-    val bounds = kv.map(n => for (mn <- l(n, "min_time"); mx <- l(n, "max_time"))
-      yield (mn, mx))
-    (if (counts.exists(_.isEmpty)) None else Some(counts.flatten.sum),
-     if (bounds.exists(_.isEmpty)) None
-     else Some((bounds.flatten.map(_._1).min, bounds.flatten.map(_._2).max)))
+    kv.map(n => (l(n, "row_count"),
+      for (mn <- l(n, "min_time"); mx <- l(n, "max_time")) yield (mn, mx)))
+  }
+
+  override def metadataStats(db: String, table: String)
+      : (Option[Long], Option[(Long, Long)]) = {
+    val es = metaEntries(db, table)
+    if (es.isEmpty) (None, None) else CatalogBackend.statsOf(es)
+  }
+
+  override def metadataRangeCount(db: String, table: String,
+                                  range: (Long, Long)): Option[Long] = {
+    val es = metaEntries(db, table)
+    if (es.isEmpty) None else CatalogBackend.rangeCountOf(es, range)
   }
 
   /** Remove specific file entries (compaction replaced them). */

@@ -188,6 +188,45 @@ object TimeRangeExtract {
   }
 
   /**
+   * True iff `cond` is a conjunction of EXACTLY the comparison forms
+   * `extract` tightens — time-vs-evaluable-literal comparisons (all
+   * mirrored variants, equality, BETWEEN) joined by AND — so the
+   * extracted TimeRange REPRESENTS the condition, not merely bounds
+   * it. A single unrecognized or unevaluable conjunct returns false:
+   * callers (the metadata count fast path) must not treat a broader
+   * condition as if it were its time-range projection.
+   */
+  def isExactTimeRange(cond: Expression, timeCol: String): Boolean = {
+    def isTime(e: Expression): Boolean = e match {
+      case a: UnresolvedAttribute =>
+        a.nameParts.lastOption.exists(_.equalsIgnoreCase(timeCol))
+      case Cast(c, _, _, _) => isTime(c)
+      case _ => false
+    }
+    def ok(e: Expression): Boolean = e match {
+      case And(l, r) => ok(l) && ok(r)
+      case GreaterThanOrEqual(a, v) if isTime(a) => lit(v).isDefined
+      case GreaterThan(a, v) if isTime(a) => lit(v).isDefined
+      case LessThanOrEqual(a, v) if isTime(a) => lit(v).isDefined
+      case LessThan(a, v) if isTime(a) => lit(v).isDefined
+      case EqualTo(a, v) if isTime(a) => lit(v).isDefined
+      case GreaterThanOrEqual(v, a) if isTime(a) => lit(v).isDefined
+      case GreaterThan(v, a) if isTime(a) => lit(v).isDefined
+      case LessThanOrEqual(v, a) if isTime(a) => lit(v).isDefined
+      case LessThan(v, a) if isTime(a) => lit(v).isDefined
+      case EqualTo(v, a) if isTime(a) => lit(v).isDefined
+      case Between(a, lower, upper, _) if isTime(a) =>
+        lit(lower).isDefined && lit(upper).isDefined
+      case f: UnresolvedFunction
+          if f.nameParts.lastOption.exists(_.equalsIgnoreCase("between")) &&
+            f.arguments.size == 3 && isTime(f.arguments.head) =>
+        lit(f.arguments(1)).isDefined && lit(f.arguments(2)).isDefined
+      case _ => false
+    }
+    ok(cond)
+  }
+
+  /**
    * Analog of the reference's timestamp-literal rewrite (O9,
    * querier/queryClient.go:849-850): on a plan querying an int64-ns
    * time column, replace string/timestamp literals compared against it

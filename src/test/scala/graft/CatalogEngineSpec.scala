@@ -299,9 +299,21 @@ class CatalogEngineSpec extends AnyFunSuite {
       stats.getLong(2) == T0 + HOUR_NS)
     assert(eng.query("SELECT min(time) FROM mydb.mc", "")
       .columns.toSeq == Seq("min(time)"))
-    // a WHERE clause must NOT take the fast path (would need the file)
+    // a time range that FULLY COVERS the file's zone map is still
+    // provable from metadata (day-bucketed dashboard counts) — the
+    // data file is gone, only metadata can answer
+    assert(eng.query(
+      s"SELECT count(*) AS n FROM mydb.mc WHERE time >= $T0 AND time <= ${T0 + HOUR_NS}", "")
+      .collect().head.getLong(0) == 2L)
+    // a range that SPLITS the file (partial overlap) is unprovable and
+    // must scan — which fails here, proving no metadata guess was made
     assertThrows[Exception] {
       eng.query(s"SELECT count(*) FROM mydb.mc WHERE time > $T0", "").collect()
+    }
+    // a non-time predicate must scan too
+    assertThrows[Exception] {
+      eng.query(s"SELECT count(*) FROM mydb.mc WHERE time >= $T0 AND v > 0", "")
+        .collect()
     }
     // a non-metadata aggregate alongside count must scan (and fail here)
     assertThrows[Exception] {

@@ -56,7 +56,11 @@ class ConcurrencySpec extends AnyFunSuite {
   private def daySql(d: Int): String = {
     val start = day0 + d * dayNs
     val end = start + dayNs - 1
-    s"SELECT count(*) AS n FROM mydb.events WHERE time >= $start AND time <= $end"
+    // the `k IS NOT NULL` conjunct keeps these queries OFF the
+    // metadata-count fast path — this spec exists to race the SCAN
+    // path's pruned-plan splice, so the files must actually be read
+    s"SELECT count(*) AS n FROM mydb.events " +
+      s"WHERE time >= $start AND time <= $end AND k IS NOT NULL"
   }
 
   test("pruning is per-file: each day's query reads exactly one file") {
@@ -78,7 +82,7 @@ class ConcurrencySpec extends AnyFunSuite {
       org.apache.spark.sql.execution.FormattedMode)
     assert(plan.contains("PushedFilters") &&
       plan.contains(s"GreaterThanOrEqual(time,${day0 + dayNs})"), plan)
-    assert(plan.contains("ReadSchema: struct<time:bigint>"), plan)
+    assert(plan.contains("ReadSchema: struct<time:bigint,k:string>"), plan)
   }
 
   test("direct engine: concurrent disjoint-range queries never cross-read") {
