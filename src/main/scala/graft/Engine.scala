@@ -69,6 +69,9 @@ class Engine(val spark: SparkSession, val catalog: CatalogBackend,
     val upper = sql.toUpperCase.stripSuffix(";").trim
     if (upper == "SHOW DATABASES") return showDatabases()
     if (upper == "SHOW TABLES") return showTables(db)
+    // SHOW TABLES FROM|IN <db> — SQL-level alternative to the ?db= param
+    if (upper.startsWith("SHOW TABLES FROM ") || upper.startsWith("SHOW TABLES IN "))
+      return showTables(sql.stripSuffix(";").trim.split("\\s+").last)
 
     val parsed = scala.util.Try(parse(spark, sql)).toOption
     // EXPLAIN <q> / DESCRIBE [QUERY] <q> hold their query plan outside

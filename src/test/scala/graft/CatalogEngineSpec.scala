@@ -106,6 +106,11 @@ class CatalogEngineSpec extends AnyFunSuite {
   test("engine: SHOW DATABASES / SHOW TABLES") {
     assert(engine.query("SHOW DATABASES", "").collect().map(_.getString(0)).toSeq == Seq("mydb"))
     assert(engine.query("show tables", "mydb").collect().map(_.getString(0)).toSeq == Seq("meas"))
+    // SQL-level db selection, both keywords
+    assert(engine.query("SHOW TABLES FROM mydb", "").collect()
+      .map(_.getString(0)).toSeq == Seq("meas"))
+    assert(engine.query("show tables in mydb;", "otherdb").collect()
+      .map(_.getString(0)).toSeq == Seq("meas"))
   }
 
   test("engine: table-free fallback (SELECT 1, version())") {
