@@ -158,18 +158,24 @@ object TimeRangeExtract {
       case Cast(c, _, _, _) => isTime(c)
       case _ => false
     }
+    // strict→inclusive normalization saturates at the Long extremes —
+    // a wrap-around would invert the bound and prune everything
+    def inc(v: Option[Long]): Option[Long] =
+      v.map(x => if (x == Long.MaxValue) x else x + 1)
+    def dec(v: Option[Long]): Option[Long] =
+      v.map(x => if (x == Long.MinValue) x else x - 1)
     def walk(e: Expression): Unit = e match {
       case And(l, r) => walk(l); walk(r)
       case GreaterThanOrEqual(a, v) if isTime(a) => tighten(lit(v), None)
-      case GreaterThan(a, v) if isTime(a) => tighten(lit(v).map(_ + 1), None)
+      case GreaterThan(a, v) if isTime(a) => tighten(inc(lit(v)), None)
       case LessThanOrEqual(a, v) if isTime(a) => tighten(None, lit(v))
-      case LessThan(a, v) if isTime(a) => tighten(None, lit(v).map(_ - 1))
+      case LessThan(a, v) if isTime(a) => tighten(None, dec(lit(v)))
       case EqualTo(a, v) if isTime(a) => tighten(lit(v), lit(v))
       // mirrored operand order: '2023-…' <= time
       case GreaterThanOrEqual(v, a) if isTime(a) => tighten(None, lit(v))
-      case GreaterThan(v, a) if isTime(a) => tighten(None, lit(v).map(_ - 1))
+      case GreaterThan(v, a) if isTime(a) => tighten(None, dec(lit(v)))
       case LessThanOrEqual(v, a) if isTime(a) => tighten(lit(v), None)
-      case LessThan(v, a) if isTime(a) => tighten(lit(v).map(_ + 1), None)
+      case LessThan(v, a) if isTime(a) => tighten(inc(lit(v)), None)
       case EqualTo(v, a) if isTime(a) => tighten(lit(v), lit(v))
       case Between(a, lower, upper, _) if isTime(a) =>
         tighten(lit(lower), lit(upper))
@@ -203,17 +209,22 @@ object TimeRangeExtract {
       case Cast(c, _, _, _) => isTime(c)
       case _ => false
     }
+    // strict comparisons at the Long extremes saturate during
+    // normalization (extract would represent `time > MaxValue` as
+    // `>= MaxValue`) — sound for pruning, NOT an exact representation
+    def strictOk(v: Expression): Boolean =
+      lit(v).exists(x => x != Long.MinValue && x != Long.MaxValue)
     def ok(e: Expression): Boolean = e match {
       case And(l, r) => ok(l) && ok(r)
       case GreaterThanOrEqual(a, v) if isTime(a) => lit(v).isDefined
-      case GreaterThan(a, v) if isTime(a) => lit(v).isDefined
+      case GreaterThan(a, v) if isTime(a) => strictOk(v)
       case LessThanOrEqual(a, v) if isTime(a) => lit(v).isDefined
-      case LessThan(a, v) if isTime(a) => lit(v).isDefined
+      case LessThan(a, v) if isTime(a) => strictOk(v)
       case EqualTo(a, v) if isTime(a) => lit(v).isDefined
       case GreaterThanOrEqual(v, a) if isTime(a) => lit(v).isDefined
-      case GreaterThan(v, a) if isTime(a) => lit(v).isDefined
+      case GreaterThan(v, a) if isTime(a) => strictOk(v)
       case LessThanOrEqual(v, a) if isTime(a) => lit(v).isDefined
-      case LessThan(v, a) if isTime(a) => lit(v).isDefined
+      case LessThan(v, a) if isTime(a) => strictOk(v)
       case EqualTo(v, a) if isTime(a) => lit(v).isDefined
       case Between(a, lower, upper, _) if isTime(a) =>
         lit(lower).isDefined && lit(upper).isDefined
