@@ -1,0 +1,121 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.graftbridge.ColumnBridge
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/**
+ * Per-row text kernels for the training-data pipeline that have no
+ * efficient relational formulation:
+ *
+ *  - [[SortedLongsOverlap]] — "does this document share any shingle
+ *    with the (driver-collected, sorted) eval-set gram table?" as a
+ *    single codegen'd binary-search loop. This is the map-side half of
+ *    test-set decontamination: the corpus side is NEVER exploded or
+ *    shuffled — the flag is computed inside the scan stage.
+ *    (`arrays_overlap` would rebuild a hash set from the constant side
+ *    on every row; this keeps the needle array as one shared
+ *    reference object and binary-searches it.)
+ *
+ *  - [[RepetitionStats]] — Gopher-style repetitiousness counters
+ *    (token count, distinct-token count, max bigram multiplicity) in
+ *    one pass over the document. Expressing this relationally costs an
+ *    explode of every token and bigram (a corpus-sized stream) plus
+ *    two shuffles; as a kernel it is embarrassingly parallel.
+ *
+ * Tokenization parity with [[ShingleExprs]]: split(trim(text), "\\s+").
+ */
+object TextExprs {
+
+  private val SPLIT = java.util.regex.Pattern.compile("\\s+")
+
+  private def toks(text: UTF8String): Array[String] =
+    SPLIT.split(text.trim().toString, -1)
+
+  /** True iff any element of the sorted `haystack` array occurs in the
+    * sorted `needles` array (binary search per element). */
+  def overlaps(haystack: ArrayData, needles: Array[Long]): Boolean = {
+    val n = haystack.numElements()
+    var i = 0
+    while (i < n) {
+      if (java.util.Arrays.binarySearch(needles, haystack.getLong(i)) >= 0)
+        return true
+      i += 1
+    }
+    false
+  }
+
+  /** (n_tokens, n_distinct_tokens, max_bigram_count) over the
+    * whitespace tokens — exact string equality (no hashing), so the
+    * result is oracle-comparable gram-for-gram. */
+  def repetition(text: UTF8String): InternalRow = {
+    val ts = toks(text)
+    val n = ts.length
+    val seen = new java.util.HashSet[String](n * 2)
+    var i = 0
+    while (i < n) { seen.add(ts(i)); i += 1 }
+    var maxBigram = 0
+    if (n >= 2) {
+      val counts = new java.util.HashMap[String, Integer](n * 2)
+      i = 0
+      while (i < n - 1) {
+        val bg = ts(i) + " " + ts(i + 1)
+        val c = counts.merge(bg, 1, (x, y) => x + y)
+        if (c > maxBigram) maxBigram = c
+        i += 1
+      }
+    }
+    InternalRow(n, seen.size(), maxBigram)
+  }
+
+  def sorted_overlap(hashes: Column, needles: Array[Long]): Column =
+    ColumnBridge.column(
+      SortedLongsOverlap(ColumnBridge.expression(hashes), needles))
+
+  def repetition_stats(text: Column): Column =
+    ColumnBridge.column(RepetitionStats(ColumnBridge.expression(text)))
+}
+
+/** Membership test of a sorted long array against a sorted constant
+  * needle set — the zero-shuffle decontamination flag. */
+case class SortedLongsOverlap(child: Expression, needles: Array[Long])
+    extends UnaryExpression {
+
+  override def dataType: DataType = BooleanType
+
+  override def nullSafeEval(v: Any): Any =
+    TextExprs.overlaps(v.asInstanceOf[ArrayData], needles)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("needles", needles, "long[]")
+    defineCodeGen(ctx, ev, c => s"graft.functions.TextExprs.overlaps($c, $ref)")
+  }
+
+  override protected def withNewChildInternal(c: Expression): SortedLongsOverlap =
+    copy(child = c)
+  override def prettyName: String = "sorted_overlap"
+}
+
+/** struct(n_tokens, n_distinct, max_bigram) in one pass over the text. */
+case class RepetitionStats(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = StructType(Seq(
+    StructField("n_tokens", IntegerType, nullable = false),
+    StructField("n_distinct", IntegerType, nullable = false),
+    StructField("max_bigram", IntegerType, nullable = false)))
+
+  override def nullSafeEval(v: Any): Any =
+    TextExprs.repetition(v.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.TextExprs.repetition($c)")
+
+  override protected def withNewChildInternal(c: Expression): RepetitionStats =
+    copy(child = c)
+  override def prettyName: String = "repetition_stats"
+}

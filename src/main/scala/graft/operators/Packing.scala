@@ -1,0 +1,73 @@
+package graft.operators
+
+import org.apache.spark.TaskContext
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/**
+ * Deterministic global shuffle + sequential shard packing — the last
+ * step of a training-data pipeline: documents are laid out in a
+ * reproducible pseudo-random order (md5 of the id — engine- and
+ * partitioning-independent, the same trick as
+ * [[Sampling.stratifiedSample]]) and split into contiguous shards of
+ * ~`budget` total weight (tokens/chars), so each training shard is a
+ * same-sized, unbiased sample of the corpus.
+ *
+ * Shard assignment needs the GLOBAL running weight sum in md5 order. A
+ * window cumsum with no partition key would funnel the whole corpus
+ * through ONE task — the classic global-order scale killer. Instead we
+ * compute a distributed two-phase prefix sum:
+ *
+ *   1. range-partition + sort by the md5 key (the one necessary
+ *      shuffle — same cost class as any global sort),
+ *   2. per-partition weight totals → driver (one long per partition),
+ *      cumulated into per-partition starting offsets,
+ *   3. a second map-side pass adds the offset to the within-partition
+ *      running sum.
+ *
+ * The partitioned/sorted intermediate is persisted between the two
+ * passes — range boundaries are sampled, so recomputing it could
+ * legally repartition differently and corrupt the offsets.
+ */
+object Packing {
+
+  /** @return (idCol, weightCol, cum_before, shard_id) — `shard_id` =
+    *         floor(weight-sum of all PRECEDING docs in md5 order /
+    *         budget): a doc straddling a boundary belongs to the shard
+    *         it starts in. */
+  def packShards(df: DataFrame, idCol: String, weightCol: String,
+                 budget: Long, partitions: Int = 32): DataFrame = {
+    require(budget > 0, "budget must be positive")
+    val spark = df.sparkSession
+    import spark.implicits._
+
+    val keyed = df
+      .select(md5(col(idCol).cast("string")).as("__key"),
+        col(idCol).cast("long").as("__id"),
+        col(weightCol).cast("long").as("__w"))
+      .repartitionByRange(partitions, col("__key"))
+      .sortWithinPartitions("__key")
+      .persist()
+    val ds = keyed.as[(String, Long, Long)]
+
+    val partSums = ds.mapPartitions { it =>
+      var s = 0L
+      it.foreach(s += _._3)
+      Iterator((TaskContext.getPartitionId(), s))
+    }.collect().toMap
+    // offsets(p) = total weight of partitions before p
+    val offsets: Array[Long] = (0 until partitions)
+      .map(p => partSums.getOrElse(p, 0L)).scanLeft(0L)(_ + _).toArray
+    val bOffsets = spark.sparkContext.broadcast(offsets)
+
+    val b = budget
+    ds.mapPartitions { it =>
+      var run = bOffsets.value(TaskContext.getPartitionId())
+      it.map { case (_, id, w) =>
+        val before = run
+        run += w
+        (id, w, before, before / b)
+      }
+    }.toDF(idCol, weightCol, "cum_before", "shard_id")
+  }
+}

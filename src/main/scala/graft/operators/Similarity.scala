@@ -57,6 +57,23 @@ object Similarity {
       .limit(k)
   }
 
+  /** Exact all-pairs with cosine ≥ `minCos` — the edge set of the
+    * embedding near-dup graph. O(n²) verification-scale baseline (the
+    * LSH/IVF paths bound the candidate set at corpus scale); the
+    * threshold cuts on the raw double cosine BEFORE display rounding. */
+  def allPairsAbove(emb: DataFrame, idCol: String, vecCol: String,
+                    minCos: Double): DataFrame = {
+    val a = emb.select(col(idCol).as("id_a"), col(vecCol).as("va"),
+      norm(col(vecCol)).as("na"))
+    val b = emb.select(col(idCol).as("id_b"), col(vecCol).as("vb"),
+      norm(col(vecCol)).as("nb"))
+    a.join(b, col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        (dot(col("va"), col("vb")) / (col("na") * col("nb"))).as("cos_raw"))
+      .filter(col("cos_raw") >= minCos)
+      .select(col("id_a"), col("id_b"), round(col("cos_raw"), 4).as("cos_sim"))
+  }
+
   /** Deterministic random hyperplanes (seed-fixed), one per signature bit. */
   private def hyperplanes(bits: Int, dim: Int, seed: Long = 42L): Seq[Seq[Double]] = {
     val rnd = new scala.util.Random(seed)

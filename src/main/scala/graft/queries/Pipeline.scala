@@ -1,8 +1,9 @@
 package graft.queries
 
 import graft.Tables
-import graft.operators.{Dedup, Multimodal, Similarity, TextAnalysis}
+import graft.operators.{Contamination, Dedup, Multimodal, Packing, Similarity, TextAnalysis}
 import graft.functions.RollingMinHash.rolling_min_hash
+import graft.functions.TextExprs
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
@@ -210,6 +211,81 @@ object Pipeline {
           T(s, dir)("documents").select(col("doc_id"), col("lang")),
           Seq("lang"), "doc_id", n = 20, salt = "s0")
         .orderBy(col("lang"), col("doc_id"))
+    }),
+
+    // test-set decontamination: flag training docs sharing any 5-word
+    // shingle with the (small) eval split. The eval gram table is
+    // driver-collected metadata; the corpus-side flag is a codegen'd
+    // binary-search inside the scan — ZERO shuffles over the corpus.
+    "q9D_decontaminate" -> ((s, dir) => {
+      val d = T(s, dir)("documents")
+      val eval = d.filter(col("doc_id") % 29 === 0)
+      val train = d.filter(col("doc_id") % 29 =!= 0)
+      val needles = Contamination.evalGramHashes(eval, "text", w = 5)
+      Contamination.flagContaminated(train, "text", w = 5, needles)
+        .select(col("doc_id"), col("contaminated"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // Gopher-style repetitiousness stats: token count, distinct-token
+    // count, max bigram multiplicity, duplicate-token ratio — one
+    // codegen'd pass per row (RepetitionStats kernel), no token stream
+    // ever materialized or shuffled.
+    "q9E_repetition" -> ((s, dir) => {
+      T(s, dir)("documents")
+        .select(col("doc_id"), TextExprs.repetition_stats(col("text")).as("r"))
+        .select(col("doc_id"),
+          col("r.n_tokens").as("n_tokens"),
+          col("r.n_distinct").as("n_distinct"),
+          col("r.max_bigram").as("max_bigram"),
+          round(lit(1.0) - col("r.n_distinct") /
+            greatest(col("r.n_tokens"), lit(1)).cast("double"), 6)
+            .as("dup_token_ratio"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // EXACT corpus-minus-reference by content fingerprint, bloom-
+    // prefiltered: a distributed BloomFilterAggregate sketch gates the
+    // anti-join so only might-contain rows shuffle. doc_ids 50-99
+    // overlap the reference split and must drop; the result is exact
+    // (false positives stripped by the verify join).
+    "q9F_bloom_except" -> ((s, dir) => {
+      val d = T(s, dir)("documents")
+      val corpus = d.filter(col("doc_id").between(50, 299))
+      val ref = d.filter(col("doc_id") < 100)
+      Contamination.exceptByKey(corpus, md5(col("text")), ref, md5(col("text")),
+          expectedItems = 10000L, fpp = 0.01)
+        .select(col("doc_id"), col("source"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // embedding-cosine near-dup canonicalization: exact cosine edge
+    // set (≥ 0.40) → distributed connected components → min-id
+    // canonical per cluster. Fully oracle-checked (DuckDB
+    // list_cosine_similarity + recursive reachability CTE); the LSH
+    // (q56) / IVF (q9B) paths bound the edge set at corpus scale.
+    "q9G_embed_dedup" -> ((s, dir) => {
+      val emb = T(s, dir)("embeddings")
+      val pairs = Similarity.allPairsAbove(emb, "vec_id", "embedding", 0.40)
+      val cc = graft.operators.ConnectedComponents.run(pairs, "id_a", "id_b")
+      emb.select(col("vec_id"))
+        .join(cc.withColumnRenamed("id", "vec_id"), Seq("vec_id"), "left")
+        .select(col("vec_id"),
+          coalesce(col("component"), col("vec_id")).as("canonical_id"))
+        .withColumn("is_canonical", col("vec_id") === col("canonical_id"))
+        .orderBy(col("vec_id"))
+    }),
+
+    // deterministic shard packing: md5-ordered global layout, shards of
+    // ~4096 chars via a DISTRIBUTED two-phase prefix sum (per-partition
+    // totals → driver offsets → map-side running sum) — never the
+    // single-task global-window cumsum.
+    "q9H_pack_shards" -> ((s, dir) => {
+      Packing.packShards(
+          T(s, dir)("documents").select(col("doc_id"), col("n_chars")),
+          "doc_id", "n_chars", budget = 4096L)
+        .select(col("doc_id"), col("shard_id"))
+        .orderBy(col("doc_id"))
     }),
 
     // approximate kNN SELF-join over IVF cells (every vector's top-3
@@ -467,6 +543,60 @@ object Pipeline {
                  ORDER BY md5(CAST(doc_id AS VARCHAR) || ' ' || 's0')) AS rk
         FROM documents) t
       WHERE rk <= 20 ORDER BY lang, doc_id""",
+    "q9D_decontaminate" -> """
+      WITH tok AS (SELECT doc_id, regexp_extract_all(text, '\S+') AS toks FROM documents),
+      g AS (SELECT doc_id, unnest(CASE WHEN len(toks) >= 5
+              THEN list_transform(range(1, len(toks) - 3),
+                                  i -> array_to_string(list_slice(toks, i, i + 4), ' '))
+              ELSE [array_to_string(toks, ' ')] END) AS g
+            FROM tok),
+      ev AS (SELECT DISTINCT g FROM g WHERE doc_id % 29 = 0),
+      hits AS (SELECT DISTINCT g.doc_id FROM g JOIN ev USING (g) WHERE g.doc_id % 29 <> 0)
+      SELECT t.doc_id, (h.doc_id IS NOT NULL) AS contaminated
+      FROM (SELECT doc_id FROM documents WHERE doc_id % 29 <> 0) t
+      LEFT JOIN hits h ON t.doc_id = h.doc_id
+      ORDER BY t.doc_id""",
+    "q9E_repetition" -> """
+      WITH t AS (SELECT doc_id, regexp_extract_all(text, '\S+') AS toks FROM documents),
+      dc AS (SELECT doc_id, COUNT(DISTINCT tk) AS nd
+             FROM (SELECT doc_id, unnest(toks) AS tk FROM t) GROUP BY doc_id),
+      bc AS (SELECT doc_id, MAX(c) AS mb FROM (
+               SELECT doc_id, bg, COUNT(*) AS c FROM (
+                 SELECT doc_id, unnest(list_transform(range(1, len(toks)),
+                          i -> toks[i] || ' ' || toks[i + 1])) AS bg
+                 FROM t WHERE len(toks) >= 2) GROUP BY doc_id, bg)
+             GROUP BY doc_id)
+      SELECT t.doc_id, CAST(len(toks) AS INT) AS n_tokens,
+             CAST(dc.nd AS INT) AS n_distinct,
+             CAST(COALESCE(bc.mb, 0) AS INT) AS max_bigram,
+             round(1.0 - dc.nd / CAST(greatest(len(toks), 1) AS DOUBLE), 6) AS dup_token_ratio
+      FROM t JOIN dc USING (doc_id) LEFT JOIN bc USING (doc_id)
+      ORDER BY t.doc_id""",
+    "q9F_bloom_except" -> """
+      SELECT doc_id, source FROM documents
+      WHERE doc_id BETWEEN 50 AND 299
+        AND md5(text) NOT IN (SELECT md5(text) FROM documents WHERE doc_id < 100)
+      ORDER BY doc_id""",
+    "q9G_embed_dedup" -> """
+      WITH RECURSIVE e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      p AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b
+            FROM e a JOIN e b ON a.vec_id < b.vec_id
+            WHERE list_cosine_similarity(a.v, b.v) >= 0.40),
+      edges AS (SELECT id_a AS a, id_b AS b FROM p
+                UNION ALL SELECT id_b, id_a FROM p),
+      reach(id, r) AS (SELECT vec_id, vec_id FROM embeddings
+                       UNION
+                       SELECT e.b, reach.r FROM reach JOIN edges e ON e.a = reach.id)
+      SELECT id AS vec_id, min(r) AS canonical_id,
+             (min(r) = id) AS is_canonical
+      FROM reach GROUP BY id ORDER BY vec_id""",
+    "q9H_pack_shards" -> """
+      WITH o AS (SELECT doc_id, n_chars, md5(CAST(doc_id AS VARCHAR)) AS k FROM documents)
+      SELECT doc_id,
+             CAST((CAST(SUM(n_chars) OVER (ORDER BY k
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+               - n_chars) // 4096 AS BIGINT) AS shard_id
+      FROM o ORDER BY doc_id""",
     "q97_dedup_components" -> """
       WITH RECURSIVE toks AS (SELECT doc_id, regexp_extract_all(text, '\S+') AS t FROM documents),
       sh AS (SELECT DISTINCT doc_id,

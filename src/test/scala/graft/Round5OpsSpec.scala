@@ -1,0 +1,146 @@
+package graft
+
+import graft.functions.TextExprs
+import graft.operators.{Contamination, Packing, Similarity}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Round-5 operator family: decontamination, repetition stats,
+  * bloom-gated except, embedding near-dup edges, shard packing. */
+class Round5OpsSpec extends AnyFunSuite {
+  private lazy val spark = GraftTestSession.spark
+  import spark.implicits._
+
+  private lazy val docs =
+    Tables.load(spark, "/root/testdata/sf0.001", "documents")
+
+  // --- contamination -------------------------------------------------
+
+  test("decontamination kernel flag equals the broadcast-join formulation") {
+    val eval = docs.filter(col("doc_id") % 29 === 0)
+    val train = docs.filter(col("doc_id") % 29 =!= 0)
+    val needles = Contamination.evalGramHashes(eval, "text", w = 5)
+    assert(needles.length > 0)
+    assert(needles.sameElements(needles.sorted))
+    val byKernel = Contamination.flagContaminated(train, "text", 5, needles)
+      .filter(col("contaminated")).select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    val byJoin = Contamination.contaminatedIds(train, eval, "doc_id", "text", 5)
+      .collect().map(_.getLong(0)).toSet
+    assert(byKernel == byJoin)
+    assert(byKernel.nonEmpty, "planted near-dups should leak across the split")
+  }
+
+  test("contamination is exact: a planted overlap is caught, a clean doc is not") {
+    val eval = Seq((1L, "alpha beta gamma delta epsilon zeta")).toDF("doc_id", "text")
+    val train = Seq(
+      (10L, "x y alpha beta gamma delta epsilon tail"), // shares the 5-gram
+      (11L, "alpha beta gamma delta unrelated suffix"), // only 4 shared words
+      (12L, "completely different words here now ok")
+    ).toDF("doc_id", "text")
+    val needles = Contamination.evalGramHashes(eval, "text", w = 5)
+    val flagged = Contamination.flagContaminated(train, "text", 5, needles)
+      .filter(col("contaminated")).select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(flagged == Set(10L))
+  }
+
+  // --- bloom-gated except -------------------------------------------
+
+  test("exceptByKey equals the plain anti-join, even with a high-fpp sketch") {
+    val corpus = docs.filter(col("doc_id").between(50, 299))
+    val ref = docs.filter(col("doc_id") < 100)
+    // fpp 0.5 forces false positives through the verify join
+    val got = Contamination.exceptByKey(corpus, md5(col("text")),
+        ref, md5(col("text")), expectedItems = 1000L, fpp = 0.5)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val expected = corpus.join(
+        ref.select(md5(col("text")).as("__k")).distinct(),
+        md5(col("text")) === col("__k"), "left_anti")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(got == expected)
+    assert(got == (100L to 299L).toSet.intersect(
+      corpus.select("doc_id").collect().map(_.getLong(0)).toSet))
+  }
+
+  test("exceptByKey with an empty reference keeps the whole corpus") {
+    val corpus = docs.limit(20)
+    val ref = docs.filter(lit(false))
+    val got = Contamination.exceptByKey(corpus, md5(col("text")),
+      ref, md5(col("text")), expectedItems = 10L)
+    assert(got.count() == 20)
+  }
+
+  // --- repetition stats ---------------------------------------------
+
+  test("repetition stats match hand counts") {
+    val df = Seq(
+      (1L, "a b a b a"),            // 5 tokens, 2 distinct, "a b" ×2
+      (2L, "x x x x"),              // 4 tokens, 1 distinct, "x x" ×3
+      (3L, "unique words only here"), // all bigrams distinct
+      (4L, "solo")                  // no bigram
+    ).toDF("doc_id", "text")
+    val got = df.select(col("doc_id"), TextExprs.repetition_stats(col("text")).as("r"))
+      .select(col("doc_id"), col("r.n_tokens"), col("r.n_distinct"), col("r.max_bigram"))
+      .collect().map(r => r.getLong(0) -> ((r.getInt(1), r.getInt(2), r.getInt(3))))
+      .toMap
+    assert(got(1L) == ((5, 2, 2)))
+    assert(got(2L) == ((4, 1, 3)))
+    assert(got(3L) == ((4, 4, 1)))
+    assert(got(4L) == ((1, 1, 0)))
+  }
+
+  // --- packing ------------------------------------------------------
+
+  test("packShards equals the single-threaded prefix sum, any partitioning") {
+    val df = docs.select(col("doc_id"), col("n_chars"))
+    val expected = {
+      val rows = df.collect()
+        .map(r => (r.getLong(0), r.getLong(1)))
+        .sortBy { case (id, _) =>
+          java.security.MessageDigest.getInstance("MD5")
+            .digest(id.toString.getBytes("UTF-8"))
+            .map("%02x".format(_)).mkString
+        }
+      var cum = 0L
+      rows.map { case (id, w) =>
+        val shard = cum / 777; cum += w; id -> shard
+      }.toMap
+    }
+    for (parts <- Seq(1, 7)) {
+      val got = Packing.packShards(df.repartition(3), "doc_id", "n_chars",
+          budget = 777L, partitions = parts)
+        .select("doc_id", "shard_id")
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got == expected, s"partitions=$parts")
+    }
+  }
+
+  test("packShards shards are contiguous and budget-bounded from below") {
+    val out = Packing.packShards(
+      docs.select(col("doc_id"), col("n_chars")), "doc_id", "n_chars", 4096L)
+    val perShard = out.groupBy("shard_id")
+      .agg(sum("n_chars").as("w"), min("cum_before").as("lo"))
+      .orderBy("shard_id")
+      .collect()
+    assert(perShard.length > 5)
+    // every shard starts within budget of its nominal boundary
+    perShard.foreach { r =>
+      val (shard, lo) = (r.getLong(0), r.getLong(2))
+      assert(lo / 4096L == shard)
+    }
+  }
+
+  // --- embedding near-dup edges -------------------------------------
+
+  test("allPairsAbove is consistent with allPairsTopK ranking") {
+    val emb = Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
+    val top = Similarity.allPairsTopK(emb, "vec_id", "embedding", 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val minTop = top.map(_._3).min
+    // top's cos is display-rounded; widen the raw threshold accordingly
+    val above = Similarity.allPairsAbove(emb, "vec_id", "embedding", minTop - 0.001)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(top.map(t => (t._1, t._2)).forall(above.contains))
+  }
+}
