@@ -73,12 +73,42 @@ object TextExprs {
     InternalRow(n, seen.size(), maxBigram)
   }
 
+  /** Unicode NFC composition (é as one codepoint, not e+combining
+    * acute) — per-row, allocation only when the string is not already
+    * normalized (the common case for clean corpora is a no-op). */
+  def nfc(text: UTF8String): UTF8String = {
+    val s = text.toString
+    if (java.text.Normalizer.isNormalized(s, java.text.Normalizer.Form.NFC)) text
+    else UTF8String.fromString(
+      java.text.Normalizer.normalize(s, java.text.Normalizer.Form.NFC))
+  }
+
+  def nfc_normalize(text: Column): Column =
+    ColumnBridge.column(NfcNormalize(ColumnBridge.expression(text)))
+
   def sorted_overlap(hashes: Column, needles: Array[Long]): Column =
     ColumnBridge.column(
       SortedLongsOverlap(ColumnBridge.expression(hashes), needles))
 
   def repetition_stats(text: Column): Column =
     ColumnBridge.column(RepetitionStats(ColumnBridge.expression(text)))
+}
+
+/** Unicode NFC normalization (the canonicalization step of text
+  * cleaning; DuckDB-`nfc_normalize` parity). */
+case class NfcNormalize(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = StringType
+
+  override def nullSafeEval(v: Any): Any =
+    TextExprs.nfc(v.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.TextExprs.nfc($c)")
+
+  override protected def withNewChildInternal(c: Expression): NfcNormalize =
+    copy(child = c)
+  override def prettyName: String = "nfc_normalize"
 }
 
 /** Membership test of a sorted long array against a sorted constant

@@ -31,20 +31,33 @@ import org.apache.spark.sql.functions._
  */
 object ConnectedComponents {
 
-  /** @return one row per node appearing in `edges`: (id, component) */
+  /** @return one row per node appearing in `edges`: (id, component)
+    *
+    * The symmetrized edge list is counted first: at or below
+    * `driverEdgeThreshold` edges the components are solved by a driver
+    * union-find over the collected list. A near-dup graph's edge count
+    * is bounded by duplicate density, not corpus size — at the point
+    * CC runs, the heavy joins that PRODUCED the pairs are done, and an
+    * iterative distributed loop over a driver-sized edge list is pure
+    * scheduling overhead (measured: ~3 s of localCheckpoint+converge
+    * jobs for a 920-edge graph). Beyond the threshold the min-label
+    * propagation loop below takes over unchanged. */
   def run(edges: DataFrame, srcCol: String, dstCol: String,
-          maxIter: Int = 30): DataFrame = {
+          maxIter: Int = 30,
+          driverEdgeThreshold: Long = 1_000_000L): DataFrame = {
     val sym = edges.select(col(srcCol).cast("long").as("a"),
         col(dstCol).cast("long").as("b"))
       .union(edges.select(col(dstCol).cast("long").as("a"),
         col(srcCol).cast("long").as("b")))
       .distinct()
       .localCheckpoint(true) // reused every round — cut off the source plan
+    val nEdges = sym.count()
+    if (nEdges <= driverEdgeThreshold) return unionFindLocal(sym)
     var labels = sym.select(col("a").as("id")).distinct()
       .withColumn("component", col("id"))
       .localCheckpoint(true)
     var iter = 0
-    var converged = sym.isEmpty
+    var converged = nEdges == 0L
     while (iter < maxIter && !converged) {
       val viaNeighbour = sym
         .join(labels, sym("a") === labels("id"))
@@ -65,6 +78,31 @@ object ConnectedComponents {
         "graph diameter exceeds maxIter; raise it or use runStars, " +
         "which converges in O(log n) rounds on path-like graphs")
     labels
+  }
+
+  /** Union-find (union-by-min + path compression) over a collected
+    * symmetric edge list; root IS the component minimum because union
+    * always attaches the larger root beneath the smaller. */
+  private def unionFindLocal(sym: DataFrame): DataFrame = {
+    val spark = sym.sparkSession
+    import spark.implicits._
+    val parent = scala.collection.mutable.LongMap.empty[Long]
+    def find(x: Long): Long = {
+      var r = x
+      while (parent.getOrElse(r, r) != r) r = parent.getOrElse(r, r)
+      var c = x
+      while (c != r) { val n = parent.getOrElse(c, c); parent(c) = r; c = n }
+      r
+    }
+    val nodes = scala.collection.mutable.SortedSet.empty[Long]
+    sym.collect().foreach { row =>
+      val (a, b) = (row.getLong(0), row.getLong(1))
+      nodes += a; nodes += b
+      val (ra, rb) = (find(a), find(b))
+      if (ra < rb) parent(rb) = ra
+      else if (rb < ra) parent(ra) = rb
+    }
+    nodes.toSeq.map(id => (id, find(id))).toDF("id", "component")
   }
 
   /**

@@ -12,6 +12,16 @@ import org.apache.spark.sql.functions._
  */
 object TextAnalysis {
 
+  /** Standard text-cleaning pass for ingest: Unicode NFC composition
+    * (native [[graft.functions.NfcNormalize]] kernel), control-char
+    * strip, whitespace collapse, trim — all per-row/codegen'd, zero
+    * shuffle. Idempotent. */
+  def cleanText(text: Column): Column =
+    trim(regexp_replace(
+      regexp_replace(graft.functions.TextExprs.nfc_normalize(text),
+        "[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F\\x7F]", ""),
+      "\\s+", " "))
+
   /** Whitespace-delimited token array (regex matches non-space runs). */
   def tokens(text: Column): Column = regexp_extract_all(text, lit("\\S+"), lit(0))
 

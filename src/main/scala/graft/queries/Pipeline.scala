@@ -288,6 +288,18 @@ object Pipeline {
         .orderBy(col("doc_id"))
     }),
 
+    // ingest text normalization: NFC composition (native kernel) +
+    // control-char strip + whitespace collapse + trim; output proven
+    // byte-identical to DuckDB's nfc_normalize pipeline via md5
+    "q9I_text_clean" -> ((s, dir) => {
+      val cleaned = TextAnalysis.cleanText(col("text"))
+      T(s, dir)("documents")
+        .select(col("doc_id"),
+          length(cleaned).as("clean_len"),
+          md5(cleaned).as("clean_md5"))
+        .orderBy(col("doc_id"))
+    }),
+
     // approximate kNN SELF-join over IVF cells (every vector's top-3
     // neighbours; candidates linear in the corpus, never O(n²)) —
     // k-means cells → rows-only; recall pinned in SimilaritySpec
@@ -543,6 +555,15 @@ object Pipeline {
                  ORDER BY md5(CAST(doc_id AS VARCHAR) || ' ' || 's0')) AS rk
         FROM documents) t
       WHERE rk <= 20 ORDER BY lang, doc_id""",
+    "q9I_text_clean" -> """
+      WITH c AS (SELECT doc_id,
+                   trim(regexp_replace(
+                     regexp_replace(nfc_normalize(text),
+                       '[\x00-\x08\x0B\x0C\x0E-\x1F\x7F]', '', 'g'),
+                     '\s+', ' ', 'g')) AS t
+                 FROM documents)
+      SELECT doc_id, CAST(length(t) AS INT) AS clean_len, md5(t) AS clean_md5
+      FROM c ORDER BY doc_id""",
     "q9D_decontaminate" -> """
       WITH tok AS (SELECT doc_id, regexp_extract_all(text, '\S+') AS toks FROM documents),
       g AS (SELECT doc_id, unnest(CASE WHEN len(toks) >= 5

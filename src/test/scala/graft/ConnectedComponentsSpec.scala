@@ -26,9 +26,15 @@ class ConnectedComponentsSpec extends AnyFunSuite {
     // representative must be the component MINIMUM, not just consistent
     val mins = want.groupBy(_._2).map { case (root, m) => root -> m.keys.min }
     val expect = want.map { case (k, r) => k -> math.min(mins(r), r) }
+    // driver union-find fast path (default threshold)
     val got = ConnectedComponents.run(edges.toDF("a", "b"), "a", "b")
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(got == expect)
+    // distributed min-label loop (threshold 0 disables the fast path)
+    val gotDist = ConnectedComponents.run(edges.toDF("a", "b"), "a", "b",
+        driverEdgeThreshold = 0L)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(gotDist == expect)
     val gotStars = ConnectedComponents.runStars(edges.toDF("a", "b"), "a", "b")
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(gotStars == expect)
@@ -46,7 +52,8 @@ class ConnectedComponentsSpec extends AnyFunSuite {
     // and fails loudly when maxIter is below the diameter
     val e = intercept[IllegalStateException] {
       ConnectedComponents.run(
-        (0L until 25L).map(i => (i, i + 1)).toDF("a", "b"), "a", "b", maxIter = 3)
+        (0L until 25L).map(i => (i, i + 1)).toDF("a", "b"), "a", "b",
+        maxIter = 3, driverEdgeThreshold = 0L)
     }
     assert(e.getMessage.contains("did not converge"))
   }

@@ -90,6 +90,26 @@ class Round5OpsSpec extends AnyFunSuite {
     assert(got(4L) == ((1, 1, 0)))
   }
 
+  // --- text cleaning ------------------------------------------------
+
+  test("cleanText: NFC composition, control strip, whitespace collapse") {
+    import graft.operators.TextAnalysis
+    val decomposed = "Café"          // e + combining acute
+    val composed = "Café"             // é precomposed
+    val messy = "  a\u0000b\tc  d\u0007 " // NUL + BEL controls, tabs, runs
+    val df = Seq((1L, decomposed), (2L, composed), (3L, messy))
+      .toDF("id", "text")
+      .select(col("id"), TextAnalysis.cleanText(col("text")).as("t"))
+    val got = df.collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got(1L) == composed, "NFC must compose the combining sequence")
+    assert(got(1L) == got(2L))
+    assert(got(3L) == "ab c d")
+    // idempotence
+    val again = df.select(col("id"), TextAnalysis.cleanText(col("t")).as("t2"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(again == got)
+  }
+
   // --- packing ------------------------------------------------------
 
   test("packShards equals the single-threaded prefix sum, any partitioning") {
