@@ -8,15 +8,20 @@ import org.scalatest.funsuite.AnyFunSuite
 class StreamingSpec extends AnyFunSuite {
   private lazy val spark = GraftTestSession.spark
 
-  /** readStream needs a directory — stage the events file into one. */
-  private lazy val streamDir: String = {
+  /** readStream needs a directory — stage a testdata file into one,
+    * `copies` times (part0..partN). */
+  private def stage(table: String, copies: Int = 1): String = {
     val d = java.nio.file.Files.createTempDirectory(
-      new java.io.File("target").toPath.toAbsolutePath, "events-stream")
-    java.nio.file.Files.copy(
-      java.nio.file.Path.of("/root/testdata/sf0.001/events.parquet"),
-      d.resolve("part0.parquet"))
+      new java.io.File("target").toPath.toAbsolutePath, s"$table-stream")
+    (0 until copies).foreach { i =>
+      java.nio.file.Files.copy(
+        java.nio.file.Path.of(s"/root/testdata/sf0.001/$table.parquet"),
+        d.resolve(s"part$i.parquet"))
+    }
     d.toString
   }
+
+  private lazy val streamDir: String = stage("events")
 
   test("windowed streaming counts equal batch aggregation") {
     val dir = "/root/testdata/sf0.001"
@@ -41,6 +46,41 @@ class StreamingSpec extends AnyFunSuite {
         .collect().map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2))).toSet
       val b1 = batch.collect().map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2))).toSet
       assert(s1 == b1)
+    } finally q.stop()
+  }
+
+  test("text-pipeline kernels run unchanged in a streaming plan") {
+    // cleanText / RepetitionStats / decontamination flag are stateless
+    // per-row expressions, so a streaming ingest pipeline can run them
+    // map-side with no state store — verify the streamed result equals
+    // the batch twin on a static dir.
+    import graft.operators.{Contamination, TextAnalysis}
+    import graft.functions.TextExprs
+    val d = stage("documents")
+    val batchDocs = Tables.load(spark, "/root/testdata/sf0.001", "documents")
+    val needles = Contamination.evalGramHashes(
+      batchDocs.filter(col("doc_id") % 29 === 0), "text", w = 5)
+    def pipeline(docs: org.apache.spark.sql.DataFrame) =
+      Contamination.flagContaminated(docs, "text", 5, needles)
+        .select(col("doc_id"),
+          md5(TextAnalysis.cleanText(col("text"))).as("clean_md5"),
+          TextExprs.repetition_stats(col("text")).getField("n_distinct")
+            .as("n_distinct"),
+          col("contaminated"))
+    val stream = spark.readStream.schema(batchDocs.schema).parquet(d)
+    val q = pipeline(stream).writeStream.format("memory")
+      .queryName("docs_clean").outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      // row-count equality first: Set comparison alone would mask
+      // duplicate emissions from re-processed micro-batches
+      assert(spark.table("docs_clean").count() == batchDocs.count())
+      val streamed = spark.table("docs_clean").collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getInt(2), r.getBoolean(3))).toSet
+      val batch = pipeline(batchDocs).collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getInt(2), r.getBoolean(3))).toSet
+      assert(streamed == batch)
+      assert(streamed.exists(_._4), "contaminated docs must appear")
     } finally q.stop()
   }
 
@@ -82,16 +122,9 @@ class StreamingSpec extends AnyFunSuite {
     import spark.implicits._
     import org.apache.spark.sql.functions._
     // stage the documents file TWICE → every doc is duplicated across files
-    val d = java.nio.file.Files.createTempDirectory(
-      new java.io.File("target").toPath.toAbsolutePath, "docs-stream")
-    java.nio.file.Files.copy(
-      java.nio.file.Path.of("/root/testdata/sf0.001/documents.parquet"),
-      d.resolve("part0.parquet"))
-    java.nio.file.Files.copy(
-      java.nio.file.Path.of("/root/testdata/sf0.001/documents.parquet"),
-      d.resolve("part1.parquet"))
+    val d = stage("documents", copies = 2)
     val schema = Tables.load(spark, "/root/testdata/sf0.001", "documents").schema
-    val keyed = spark.readStream.schema(schema).parquet(d.toString)
+    val keyed = spark.readStream.schema(schema).parquet(d)
       .select(graft.operators.TextAnalysis.fingerprintMd5(col("text")).as("fp"),
         col("doc_id"))
       .as[(String, Long)]
