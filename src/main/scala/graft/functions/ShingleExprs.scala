@@ -21,21 +21,25 @@ import org.apache.spark.unsafe.types.UTF8String
  * twice (distinct + groupBy doc). As Expressions the signature build is
  * map-side only: zero shuffles until the (tiny) band/prefix join.
  *
- * Hash parity is load-bearing: tokens are split exactly like Spark's
- * `split(trim(text), "\\s+")` (trim = 0x20 only, Java regex split with
- * limit -1) and shingles are hashed with the same XXH64(seed=42) that
- * the `xxhash64` SQL function uses, so these kernels produce
- * bit-identical signatures/candidates to the relational pipelines they
- * replace (pinned by DedupSpec / ScaleOperatorsSpec recall tests).
+ * Hash parity is load-bearing: tokens are the maximal `\S+` runs —
+ * exactly `regexp_extract_all(text, '\S+')`, the tokenization every
+ * DuckDB oracle and `TextAnalysis.tokens` use (never an empty token,
+ * whatever whitespace bounds the text) — and shingles are hashed with
+ * the same XXH64(seed=42) that the `xxhash64` SQL function uses, so
+ * these kernels produce bit-identical signatures/candidates to the
+ * relational pipelines they replace (pinned by DedupSpec /
+ * ScaleOperatorsSpec parity tests).
  */
 object ShingleExprs {
 
-  private val SPLIT = java.util.regex.Pattern.compile("\\s+")
+  private val TOKEN = java.util.regex.Pattern.compile("\\S+")
 
-  /** Spark-parity tokenization: `split(trim(text), "\\s+")`. */
-  private def toks(text: UTF8String): Array[String] = {
-    val t = text.trim().toString // UTF8String.trim trims 0x20, like trim()
-    SPLIT.split(t, -1)
+  /** `regexp_extract_all(text, '\S+')`-parity tokenization. */
+  private[functions] def toks(text: UTF8String): Array[String] = {
+    val m = TOKEN.matcher(text.toString)
+    val out = scala.collection.mutable.ArrayBuffer.empty[String]
+    while (m.find()) out += m.group()
+    out.toArray
   }
 
   /** Sorted DISTINCT xxhash64(seed 42) values of the w-shingles,

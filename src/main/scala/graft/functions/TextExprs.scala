@@ -28,14 +28,13 @@ import org.apache.spark.unsafe.types.UTF8String
  *    explode of every token and bigram (a corpus-sized stream) plus
  *    two shuffles; as a kernel it is embarrassingly parallel.
  *
- * Tokenization parity with [[ShingleExprs]]: split(trim(text), "\\s+").
+ * Tokenization is [[ShingleExprs.toks]] itself (one shared definition —
+ * `\S+` runs, `regexp_extract_all` parity), so decontamination grams
+ * and repetition counters can never desynchronize from dedup grams.
  */
 object TextExprs {
 
-  private val SPLIT = java.util.regex.Pattern.compile("\\s+")
-
-  private def toks(text: UTF8String): Array[String] =
-    SPLIT.split(text.trim().toString, -1)
+  private def toks(text: UTF8String): Array[String] = ShingleExprs.toks(text)
 
   /** True iff any element of the sorted `haystack` array occurs in the
     * sorted `needles` array (binary search per element). */

@@ -49,6 +49,10 @@ object ConnectedComponents {
         col(dstCol).cast("long").as("b"))
       .union(edges.select(col(dstCol).cast("long").as("a"),
         col(srcCol).cast("long").as("b")))
+      // a null endpoint identifies no node — drop the edge explicitly
+      // (the join path ignored them silently; the union-find path
+      // would NPE on getLong)
+      .filter(col("a").isNotNull && col("b").isNotNull)
       .distinct()
       .localCheckpoint(true) // reused every round — cut off the source plan
     val nEdges = sym.count()

@@ -80,7 +80,9 @@ object Dedup {
    * that to ~the true near-dup set).
    */
   def wordShingles(c: Column, w: Int): Column = {
-    val toks = split(trim(c), "\\s+")
+    // `\S+` runs — never an empty token; identical tokenization to
+    // TextAnalysis.tokens, ShingleExprs.toks and the DuckDB oracles
+    val toks = regexp_extract_all(c, lit("\\S+"), lit(0))
     when(size(toks) >= w,
       array_distinct(transform(sequence(lit(1), size(toks) - (w - 1)),
         i => concat_ws(" ", slice(toks, i, lit(w))))))

@@ -38,6 +38,11 @@ object Packing {
   def packShards(df: DataFrame, idCol: String, weightCol: String,
                  budget: Long, partitions: Int = 32): DataFrame = {
     require(budget > 0, "budget must be positive")
+    // ids ride through the typed two-pass pipeline as longs — refuse
+    // non-integral id columns loudly instead of silently nulling them
+    val idType = df.schema(idCol).dataType
+    require(Seq("byte", "short", "integer", "long").contains(idType.typeName),
+      s"packShards needs an integral id column; $idCol is $idType")
     val spark = df.sparkSession
     import spark.implicits._
 
@@ -61,7 +66,7 @@ object Packing {
     val bOffsets = spark.sparkContext.broadcast(offsets)
 
     val b = budget
-    ds.mapPartitions { it =>
+    val out = ds.mapPartitions { it =>
       var run = bOffsets.value(TaskContext.getPartitionId())
       it.map { case (_, id, w) =>
         val before = run
@@ -69,5 +74,12 @@ object Packing {
         (id, w, before, before / b)
       }
     }.toDF(idCol, weightCol, "cum_before", "shard_id")
+      // materialize NOW (eager localCheckpoint): the result is small
+      // (4 scalar columns) and once it exists the big range-partitioned
+      // intermediate can be released instead of leaking in the cache
+      // for the session lifetime
+      .localCheckpoint(true)
+    keyed.unpersist(false)
+    out
   }
 }

@@ -59,8 +59,14 @@ object Similarity {
 
   /** Exact all-pairs with cosine ≥ `minCos` — the edge set of the
     * embedding near-dup graph. O(n²) verification-scale baseline (the
-    * LSH/IVF paths bound the candidate set at corpus scale); the
-    * threshold cuts on the raw double cosine BEFORE display rounding. */
+    * LSH/IVF paths bound the candidate set at corpus scale).
+    *
+    * The threshold cuts on the RAW double cosine, before display
+    * rounding: both engines accumulate float→double products in array
+    * order, so the values agree to ~1 ulp and the raw cut is the
+    * tightest-aligned comparison (a pre-cut rounding would only move
+    * the knife edge, not remove it). Measured margin of the testdata
+    * pair nearest 0.40: ≥ 1e-5 at every SF — 10 orders above ulp. */
   def allPairsAbove(emb: DataFrame, idCol: String, vecCol: String,
                     minCos: Double): DataFrame = {
     val a = emb.select(col(idCol).as("id_a"), col(vecCol).as("va"),

@@ -221,7 +221,8 @@ object Pipeline {
       val d = T(s, dir)("documents")
       val eval = d.filter(col("doc_id") % 29 === 0)
       val train = d.filter(col("doc_id") % 29 =!= 0)
-      val needles = Contamination.evalGramHashes(eval, "text", w = 5)
+      val needles = Contamination.evalGramHashes(eval, "text", w = 5,
+        cacheKey = Some(s"$dir|q9D"))
       Contamination.flagContaminated(train, "text", w = 5, needles)
         .select(col("doc_id"), col("contaminated"))
         .orderBy(col("doc_id"))
@@ -588,10 +589,10 @@ object Pipeline {
                  FROM t WHERE len(toks) >= 2) GROUP BY doc_id, bg)
              GROUP BY doc_id)
       SELECT t.doc_id, CAST(len(toks) AS INT) AS n_tokens,
-             CAST(dc.nd AS INT) AS n_distinct,
+             CAST(COALESCE(dc.nd, 0) AS INT) AS n_distinct,
              CAST(COALESCE(bc.mb, 0) AS INT) AS max_bigram,
-             round(1.0 - dc.nd / CAST(greatest(len(toks), 1) AS DOUBLE), 6) AS dup_token_ratio
-      FROM t JOIN dc USING (doc_id) LEFT JOIN bc USING (doc_id)
+             round(1.0 - COALESCE(dc.nd, 0) / CAST(greatest(len(toks), 1) AS DOUBLE), 6) AS dup_token_ratio
+      FROM t LEFT JOIN dc USING (doc_id) LEFT JOIN bc USING (doc_id)
       ORDER BY t.doc_id""",
     "q9F_bloom_except" -> """
       SELECT doc_id, source FROM documents

@@ -66,6 +66,16 @@ class ConnectedComponentsSpec extends AnyFunSuite {
       Seq.empty[(Long, Long)].toDF("a", "b"), "a", "b").isEmpty)
   }
 
+  test("null edge endpoints are dropped, not propagated or crashed on") {
+    val edges = Seq((Some(1L), Some(2L)), (None, Some(3L)), (Some(4L), None))
+      .toDF("a", "b")
+    for (thr <- Seq(0L, 1000L)) {
+      val got = ConnectedComponents.run(edges, "a", "b", driverEdgeThreshold = thr)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got == Map(1L -> 1L, 2L -> 1L), s"threshold=$thr")
+    }
+  }
+
   test("star rounds contract a long chain in O(log n), not O(diameter)") {
     // 200-node path: label propagation would need 200 rounds; the
     // alternating star rounds must finish within 12 (~log2 + slack)

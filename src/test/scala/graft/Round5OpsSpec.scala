@@ -90,6 +90,34 @@ class Round5OpsSpec extends AnyFunSuite {
     assert(got(4L) == ((1, 1, 0)))
   }
 
+  test("repetition stats + grams use \\S+ tokenization on dirty text") {
+    // leading tab / trailing newline / empty text: no phantom empty
+    // tokens from split(trim) semantics — regexp_extract_all parity
+    val df = Seq(
+      (1L, "\thello world\n"), // bounded by non-0x20 whitespace
+      (2L, ""),                 // empty → zero tokens
+      (3L, "   ")               // all-space → zero tokens
+    ).toDF("doc_id", "text")
+    val got = df.select(col("doc_id"), TextExprs.repetition_stats(col("text")).as("r"))
+      .select(col("doc_id"), col("r.n_tokens"), col("r.n_distinct"), col("r.max_bigram"))
+      .collect().map(r => r.getLong(0) -> ((r.getInt(1), r.getInt(2), r.getInt(3))))
+      .toMap
+    assert(got(1L) == ((2, 2, 1)))
+    assert(got(2L) == ((0, 0, 0)))
+    assert(got(3L) == ((0, 0, 0)))
+    // and the kernel/relational shingle twins agree on the same text
+    import graft.functions.ShingleExprs
+    import graft.operators.Dedup
+    val ker = df.select(col("doc_id"),
+        ShingleExprs.shingle_hashes(col("text"), 2).as("hs"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    val rel = df.select(col("doc_id"),
+        sort_array(array_distinct(transform(
+          Dedup.wordShingles(col("text"), 2), s => xxhash64(s)))).as("hs"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    assert(ker == rel)
+  }
+
   // --- text cleaning ------------------------------------------------
 
   test("cleanText: NFC composition, control strip, whitespace collapse") {
