@@ -118,6 +118,38 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming LSH near-dup candidates equal the batch band collisions") {
+    import graft.operators.Dedup
+    import graft.streaming.StreamingDedup
+    val d = stage("documents")
+    val batchDocs = Tables.load(spark, "/root/testdata/sf0.001", "documents")
+    val stream = spark.readStream.schema(batchDocs.schema).parquet(d)
+    val q = StreamingDedup.nearDupCandidates(stream, "doc_id", "text",
+        shingleWords = 3, k = 64, bands = 16, minEstJaccard = 0.4)
+      .writeStream.format("memory").queryName("stream_neardup")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      val streamed = spark.table("stream_neardup")
+        .select("id_a", "id_b").distinct()
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val batch = Dedup.minhashCandidates(batchDocs, "doc_id", "text",
+          shingleWords = 3, k = 64, bands = 16, minEstJaccard = 0.4)
+        .select("id_a", "id_b")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(streamed == batch)
+      assert(streamed.nonEmpty, "planted near-dups must collide")
+      // re-processing the same docs in a later batch adds NO new pairs
+      java.nio.file.Files.copy(
+        java.nio.file.Path.of("/root/testdata/sf0.001/documents.parquet"),
+        java.nio.file.Path.of(d).resolve("part1.parquet"))
+      q.processAllAvailable()
+      val after = spark.table("stream_neardup")
+        .select("id_a", "id_b").distinct().count()
+      assert(after == streamed.size, "re-delivered docs must not re-pair")
+    } finally q.stop()
+  }
+
   test("stateful streaming dedup emits exactly one row per fingerprint") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
