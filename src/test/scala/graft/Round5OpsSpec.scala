@@ -179,6 +179,63 @@ class Round5OpsSpec extends AnyFunSuite {
     }
   }
 
+  // --- plan shape: the zero-shuffle claims, asserted ----------------
+
+  test("decontamination flag and repetition stats plans contain no Exchange") {
+    val needles = Contamination.evalGramHashes(
+      docs.filter(col("doc_id") % 29 === 0), "text", w = 5,
+      cacheKey = Some("spec|planshape"))
+    val flagPlan = Contamination.flagContaminated(
+        docs.filter(col("doc_id") % 29 =!= 0), "text", 5, needles)
+      .queryExecution.executedPlan.toString
+    assert(!flagPlan.contains("Exchange"),
+      s"decontamination flag must stay inside the scan stage:\n$flagPlan")
+    val repPlan = docs
+      .select(col("doc_id"), TextExprs.repetition_stats(col("text")).as("r"))
+      .queryExecution.executedPlan.toString
+    assert(!repPlan.contains("Exchange"))
+    val cleanPlan = docs
+      .select(graft.operators.TextAnalysis.cleanText(col("text")))
+      .queryExecution.executedPlan.toString
+    assert(!cleanPlan.contains("Exchange"))
+  }
+
+  // --- randomized cross-checks --------------------------------------
+
+  test("packShards invariants hold on randomized weights") {
+    val rnd = new scala.util.Random(7)
+    val rows = (0L until 300L).map(i => (i, 1L + rnd.nextInt(500).toLong))
+    val df = rows.toDF("id", "w")
+    val out = Packing.packShards(df, "id", "w", budget = 1000L, partitions = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    // total weight preserved; cum_before strictly increasing in md5 order
+    assert(out.map(_._2).sum == rows.map(_._2).sum)
+    val byCum = out.sortBy(_._3)
+    byCum.sliding(2).foreach { case Array(p, n) =>
+      assert(p._3 + p._2 == n._3, "prefix sum must be gapless")
+    }
+    // shard of each row is its cum_before / budget, shards contiguous
+    assert(out.forall(t => t._4 == t._3 / 1000L))
+    val shardIds = out.map(_._4).distinct.sorted.toSeq
+    assert(shardIds.head == 0L &&
+      shardIds == (shardIds.head to shardIds.last).toSeq)
+  }
+
+  test("exceptByKey equals anti-join on randomized overlapping key sets") {
+    val rnd = new scala.util.Random(11)
+    val corpus = (0 until 400).map(i => (i.toLong, s"k${rnd.nextInt(120)}"))
+      .toDF("id", "key")
+    val ref = (0 until 100).map(i => (i.toLong, s"k${rnd.nextInt(120)}"))
+      .toDF("id", "key")
+    val got = Contamination.exceptByKey(corpus, col("key"), ref, col("key"),
+        expectedItems = 64L, fpp = 0.3)
+      .collect().map(_.getLong(0)).toSet
+    val want = corpus.join(ref.select(col("key").as("__refkey")).distinct(),
+        col("key") === col("__refkey"), "left_anti")
+      .collect().map(_.getLong(0)).toSet
+    assert(got == want)
+  }
+
   // --- embedding near-dup edges -------------------------------------
 
   test("allPairsAbove is consistent with allPairsTopK ranking") {
