@@ -93,6 +93,23 @@ object Contamination {
       .distinct()
   }
 
+  /** Contamination ATTRIBUTION: which eval document leaked into which
+    * training document, with the shared distinct-gram count — the
+    * audit report behind [[flagContaminated]]'s boolean. Same join
+    * shape as [[contaminatedIds]] (eval side broadcast; the exploded
+    * corpus stream stays map-side through the broadcast hash join;
+    * only matching (train, eval) gram hits shuffle to aggregate). */
+  def contaminationReport(train: DataFrame, eval: DataFrame,
+                          idCol: String, textCol: String, w: Int): DataFrame = {
+    def grams(df: DataFrame, as: String) =
+      df.select(col(idCol).as(as),
+        explode(ShingleExprs.shingle_hashes(col(textCol), w)).as("h"))
+    grams(train, "train_id")
+      .join(broadcast(grams(eval, "eval_id")), "h")
+      .groupBy(col("train_id"), col("eval_id"))
+      .agg(count(lit(1)).as("n_shared_grams"))
+  }
+
   /**
    * EXACT `corpus` minus rows whose `corpusKey` appears as `refKey` in
    * `reference` — bloom-prefiltered so only might-contain rows reach

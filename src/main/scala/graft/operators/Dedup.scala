@@ -89,6 +89,35 @@ object Dedup {
       .otherwise(array(concat_ws(" ", toks)))
   }
 
+  /**
+   * Corpus-overlap diagnostics: pairwise Jaccard of the DISTINCT
+   * w-shingle sets of each group (source/domain/snapshot) — the
+   * "how much does source A repeat source B" matrix that decides
+   * which corpora are worth cross-deduplicating at all. Group
+   * cardinality is small (sources, not documents): the per-group gram
+   * sets aggregate map-side off the shingle kernel, the self-join is
+   * on gram hash, and the output is |groups|² rows of metadata.
+   */
+  def groupJaccard(docs: DataFrame, groupCol: String, textCol: String,
+                   w: Int): DataFrame = {
+    val grams = docs
+      .select(col(groupCol).as("g"),
+        explode(graft.functions.ShingleExprs.shingle_hashes(col(textCol), w))
+          .as("h"))
+      .distinct()
+    val sizes = grams.groupBy(col("g")).agg(count(lit(1)).as("n"))
+    val inter = grams.as("x").join(grams.as("y"),
+        col("x.h") === col("y.h") && col("x.g") < col("y.g"))
+      .groupBy(col("x.g").as("g_a"), col("y.g").as("g_b"))
+      .agg(count(lit(1)).as("i"))
+    inter
+      .join(broadcast(sizes.select(col("g").as("g_a"), col("n").as("na"))), "g_a")
+      .join(broadcast(sizes.select(col("g").as("g_b"), col("n").as("nb"))), "g_b")
+      .select(col("g_a"), col("g_b"),
+        (col("i") / (col("na") + col("nb") - col("i")).cast("double"))
+          .as("jaccard"))
+  }
+
   // Fixed mixing constants (splitmix64 stream, seed 42) for the k
   // minhash permutations h_i(x) = (a_i*x + b_i) mod P (the classic
   // universal-hash family). a_i is 30-bit odd, b_i 32-bit, and x is

@@ -289,6 +289,25 @@ object Pipeline {
         .orderBy(col("doc_id"))
     }),
 
+    // contamination attribution: (train doc, eval doc, shared distinct
+    // 5-gram count) — the audit report behind q9D's boolean flag
+    "q9J_contamination_report" -> ((s, dir) => {
+      val d = T(s, dir)("documents")
+      Contamination.contaminationReport(
+          d.filter(col("doc_id") % 29 =!= 0), d.filter(col("doc_id") % 29 === 0),
+          "doc_id", "text", w = 5)
+        .orderBy(col("train_id"), col("eval_id"))
+    }),
+
+    // corpus-overlap matrix: pairwise Jaccard of each source's distinct
+    // trigram-shingle set — which corpora repeat each other enough to
+    // be worth cross-deduplicating
+    "q9K_source_overlap" -> ((s, dir) => {
+      Dedup.groupJaccard(T(s, dir)("documents"), "source", "text", w = 3)
+        .withColumn("jaccard", round(col("jaccard"), 6))
+        .orderBy(col("g_a"), col("g_b"))
+    }),
+
     // ingest text normalization: NFC composition (native kernel) +
     // control-char strip + whitespace collapse + trim; output proven
     // byte-identical to DuckDB's nfc_normalize pipeline via md5
@@ -556,6 +575,32 @@ object Pipeline {
                  ORDER BY md5(CAST(doc_id AS VARCHAR) || ' ' || 's0')) AS rk
         FROM documents) t
       WHERE rk <= 20 ORDER BY lang, doc_id""",
+    "q9J_contamination_report" -> """
+      WITH tok AS (SELECT doc_id, regexp_extract_all(text, '\S+') AS toks FROM documents),
+      g AS (SELECT DISTINCT doc_id, unnest(CASE WHEN len(toks) >= 5
+              THEN list_transform(range(1, len(toks) - 3),
+                                  i -> array_to_string(list_slice(toks, i, i + 4), ' '))
+              ELSE [array_to_string(toks, ' ')] END) AS g
+            FROM tok)
+      SELECT t.doc_id AS train_id, e.doc_id AS eval_id, COUNT(*) AS n_shared_grams
+      FROM g t JOIN g e ON t.g = e.g
+      WHERE t.doc_id % 29 <> 0 AND e.doc_id % 29 = 0
+      GROUP BY 1, 2 ORDER BY train_id, eval_id""",
+    "q9K_source_overlap" -> """
+      WITH tok AS (SELECT doc_id, source, regexp_extract_all(text, '\S+') AS toks FROM documents),
+      g AS (SELECT DISTINCT source, unnest(CASE WHEN len(toks) >= 3
+              THEN list_transform(range(1, len(toks) - 1),
+                                  i -> array_to_string(list_slice(toks, i, i + 2), ' '))
+              ELSE [array_to_string(toks, ' ')] END) AS g
+            FROM tok),
+      sz AS (SELECT source, COUNT(*) AS n FROM g GROUP BY source),
+      inter AS (SELECT a.source AS g_a, b.source AS g_b, COUNT(*) AS i
+                FROM g a JOIN g b ON a.g = b.g AND a.source < b.source
+                GROUP BY 1, 2)
+      SELECT g_a, g_b,
+             round(i / CAST(sa.n + sb.n - i AS DOUBLE), 6) AS jaccard
+      FROM inter JOIN sz sa ON sa.source = g_a JOIN sz sb ON sb.source = g_b
+      ORDER BY g_a, g_b""",
     "q9I_text_clean" -> """
       WITH c AS (SELECT doc_id,
                    trim(regexp_replace(
