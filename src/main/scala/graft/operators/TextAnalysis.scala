@@ -29,6 +29,19 @@ object TextAnalysis {
     * `regexp_count` pass (same matches as `tokens`, no array alloc). */
   def tokenCount(text: Column): Column = regexp_count(text, lit("\\S+"))
 
+  /** GPT-2-style pre-tokenizer pattern (simplified, lookahead-free so
+    * it is valid in both Java regex and RE2): contraction suffixes,
+    * space-prefixed letter/digit/punctuation runs, whitespace
+    * remainder. Counting matches approximates the BPE token count a
+    * subword tokenizer would produce — the budget unit for context
+    * packing — in ONE codegen'd `regexp_count` pass. */
+  private val BPE_RE =
+    "'(?:s|t|re|ve|m|ll|d)| ?\\p{L}+| ?\\p{N}+| ?[^\\s\\p{L}\\p{N}]+|\\s+"
+
+  /** BPE-ish subword token count (see [[BPE_RE]]); whitespace-token
+    * count is [[tokenCount]]. */
+  def bpeTokenCount(text: Column): Column = regexp_count(text, lit(BPE_RE))
+
   private val STOPWORDS = Seq("the", "a", "of", "and", "to", "in", "is", "it")
 
   /** "Word W occurs as a whole whitespace-delimited token" as a regex:

@@ -289,6 +289,16 @@ object Pipeline {
         .orderBy(col("doc_id"))
     }),
 
+    // whitespace vs BPE-ish subword token counts (the packing budget
+    // unit) — both single regexp_count passes
+    "q9L_bpe_tokens" -> ((s, dir) => {
+      T(s, dir)("documents")
+        .select(col("doc_id"),
+          TextAnalysis.tokenCount(col("text")).as("n_ws_tokens"),
+          TextAnalysis.bpeTokenCount(col("text")).as("n_bpe_tokens"))
+        .orderBy(col("doc_id"))
+    }),
+
     // contamination attribution: (train doc, eval doc, shared distinct
     // 5-gram count) — the audit report behind q9D's boolean flag
     "q9J_contamination_report" -> ((s, dir) => {
@@ -575,6 +585,13 @@ object Pipeline {
                  ORDER BY md5(CAST(doc_id AS VARCHAR) || ' ' || 's0')) AS rk
         FROM documents) t
       WHERE rk <= 20 ORDER BY lang, doc_id""",
+    "q9L_bpe_tokens" -> """
+      SELECT doc_id,
+             CAST(len(regexp_extract_all(text, '\S+')) AS INT) AS n_ws_tokens,
+             CAST(len(regexp_extract_all(text,
+               '''(?:s|t|re|ve|m|ll|d)| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+|\s+'))
+               AS INT) AS n_bpe_tokens
+      FROM documents ORDER BY doc_id""",
     "q9J_contamination_report" -> """
       WITH tok AS (SELECT doc_id, regexp_extract_all(text, '\S+') AS toks FROM documents),
       g AS (SELECT DISTINCT doc_id, unnest(CASE WHEN len(toks) >= 5
