@@ -118,6 +118,38 @@ object Dedup {
           .as("jaccard"))
   }
 
+  /**
+   * [[groupJaccard]]'s scale path: estimate the matrix from MinHash
+   * signatures alone. The signature of a UNION of sets is the
+   * element-wise MIN of the member signatures, so each group's
+   * signature reduces map-side (k `min` aggregates over the per-doc
+   * kernel output) and the pairwise estimates are driver math over
+   * |groups|·k longs of metadata — the corpus-sized gram stream is
+   * never joined against itself. Standard error ~ sqrt(J(1−J)/k).
+   */
+  def groupJaccardApprox(docs: DataFrame, groupCol: String, textCol: String,
+                         w: Int = 3, k: Int = 128): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val sigs = signatures(docs, groupCol, textCol, shingleWords = w, k = k)
+    val mins = (0 until k).map(i =>
+      min(element_at(col("sig"), i + 1)).as(s"m$i"))
+    val grouped = sigs.groupBy(col("id"))
+      .agg(mins.head, mins.tail: _*)
+      .collect()
+      .map(r => r.getString(0) -> (1 to k).map(r.getLong(_)).toArray)
+    val ests = for {
+      (ga, sa) <- grouped.toSeq
+      (gb, sb) <- grouped.toSeq if ga < gb
+    } yield {
+      var agree = 0
+      var i = 0
+      while (i < k) { if (sa(i) == sb(i)) agree += 1; i += 1 }
+      (ga, gb, agree.toDouble / k)
+    }
+    ests.toDF("g_a", "g_b", "est_jaccard")
+  }
+
   // Fixed mixing constants (splitmix64 stream, seed 42) for the k
   // minhash permutations h_i(x) = (a_i*x + b_i) mod P (the classic
   // universal-hash family). a_i is 30-bit odd, b_i 32-bit, and x is
@@ -187,35 +219,55 @@ object Dedup {
                         shingleWords: Int = 3, k: Int = 64, bands: Int = 16,
                         minEstJaccard: Double = 0.0,
                         maxBucketSize: Option[Int] = None): DataFrame = {
-    require(k % bands == 0, "bands must divide k")
-    val r = k / bands
-    val a = mixConstants(k, 1, 30)
-    val b = mixConstants(k, 2, 32)
-    // 1.+2. signature + distinct shingle-hash set in ONE map-side pass
-    //    (graft.functions.ShingleMinHashSig, codegen'd): tokenizing,
-    //    shingling, hashing and the k permutation minima are per-row
-    //    loops — the old explode → distinct → groupBy pipeline shuffled
-    //    the full shingle stream (≈ corpus size) twice to compute what
-    //    each row already determines locally. Hash values are
-    //    bit-identical to the relational formulation (same XXH64 seed,
-    //    same (a·x+b) mod P family), so candidates are unchanged.
-    val sigs = docs.select(col(idCol).as("id"),
-        graft.functions.ShingleExprs.shingle_minhash(col(textCol),
-          shingleWords, k, a.toArray, b.toArray, MINHASH_P).as("s"))
-      .filter(size(col("s.hs")) > 0) // docs with < w tokens drop out
-      .select(col("id"), col("s.sig").as("sig"), col("s.hs").as("hs"))
-    // 3. band buckets = hashes of signature slices (plain columns)
-    val buckets = (0 until bands).map(j =>
-      hash((j * r until (j + 1) * r).map(i => element_at(col("sig"), i + 1)): _*))
-    val banded = capBuckets(
-      sigs.select(col("id"), posexplode(array(buckets: _*)).as(Seq("band", "bucket"))),
+    val sigs = signatures(docs, idCol, textCol, shingleWords, k)
+    val banded = capBuckets(bandBuckets(sigs, k, bands),
       Seq("band", "bucket"), maxBucketSize, "minhashCandidates")
     val cand = banded.as("x").join(banded.as("y"),
         col("x.band") === col("y.band") && col("x.bucket") === col("y.bucket") &&
           col("x.id") < col("y.id"))
       .select(col("x.id").as("id_a"), col("y.id").as("id_b"))
       .distinct()
-    // 4. estimate filter, then exact verification on candidates only
+    verifyCandidates(cand, sigs, k, minEstJaccard)
+  }
+
+  /**
+   * Per-document signature table — the PERSISTABLE artifact of the
+   * dedup family: `(id, sig array<long>, hs array<long>)`, computed in
+   * ONE map-side pass (graft.functions.ShingleMinHashSig, codegen'd:
+   * tokenizing, shingling, hashing and the k permutation minima are
+   * per-row loops; the old explode → distinct → groupBy pipeline
+   * shuffled the corpus-sized shingle stream twice). At ingest scale
+   * this is computed once, written columnar next to the lake, and
+   * every later batch dedups against the STORED signatures without
+   * ever re-reading the historical corpus text
+   * ([[minhashCandidatesIncremental]]). Docs with < w tokens drop out.
+   */
+  def signatures(docs: DataFrame, idCol: String, textCol: String,
+                 shingleWords: Int = 3, k: Int = 64): DataFrame = {
+    val a = mixConstants(k, 1, 30)
+    val b = mixConstants(k, 2, 32)
+    docs.select(col(idCol).as("id"),
+        graft.functions.ShingleExprs.shingle_minhash(col(textCol),
+          shingleWords, k, a.toArray, b.toArray, MINHASH_P).as("s"))
+      .filter(size(col("s.hs")) > 0)
+      .select(col("id"), col("s.sig").as("sig"), col("s.hs").as("hs"))
+  }
+
+  /** Band buckets = hashes of signature slices (plain columns), with
+    * `carry` columns preserved through the posexplode. */
+  private def bandBuckets(sigs: DataFrame, k: Int, bands: Int,
+                          carry: Seq[String] = Nil): DataFrame = {
+    require(k % bands == 0, "bands must divide k")
+    val r = k / bands
+    val buckets = (0 until bands).map(j =>
+      hash((j * r until (j + 1) * r).map(i => element_at(col("sig"), i + 1)): _*))
+    sigs.select(col("id") +: carry.map(col) :+
+      posexplode(array(buckets: _*)).as(Seq("band", "bucket")): _*)
+  }
+
+  /** Estimate filter, then exact set verification on candidates only. */
+  private def verifyCandidates(cand: DataFrame, sigs: DataFrame, k: Int,
+                               minEstJaccard: Double): DataFrame =
     cand
       .join(sigs.select(col("id").as("id_a"), col("hs").as("hs_a"), col("sig").as("sig_a")), "id_a")
       .join(sigs.select(col("id").as("id_b"), col("hs").as("hs_b"), col("sig").as("sig_b")), "id_b")
@@ -224,6 +276,32 @@ object Dedup {
       .select(col("id_a"), col("id_b"), col("est_jaccard"),
         (size(array_intersect(col("hs_a"), col("hs_b"))) /
           size(array_union(col("hs_a"), col("hs_b"))).cast("double")).as("jaccard"))
+
+  /**
+   * Incremental near-dup candidates of a NEW batch against a stored
+   * signature table ([[signatures]] output, typically read back from
+   * parquet): emits (new, stored) and (new, new) pairs — never
+   * (stored, stored), which earlier batches already reported. The
+   * historical corpus text is never touched; only its banded
+   * signatures join the batch. Ids must be disjoint between the two
+   * tables (re-ingested ids would self-pair as est 1.0).
+   */
+  def minhashCandidatesIncremental(newSigs: DataFrame, storedSigs: DataFrame,
+                                   k: Int = 64, bands: Int = 16,
+                                   minEstJaccard: Double = 0.0,
+                                   maxBucketSize: Option[Int] = None): DataFrame = {
+    val all = newSigs.select(col("id"), col("sig"), col("hs"), lit(true).as("is_new"))
+      .unionByName(storedSigs.select(col("id"), col("sig"), col("hs"),
+        lit(false).as("is_new")))
+    val banded = capBuckets(bandBuckets(all, k, bands, carry = Seq("is_new")),
+      Seq("band", "bucket"), maxBucketSize, "minhashCandidatesIncremental")
+    val cand = banded.as("x").join(banded.as("y"),
+        col("x.band") === col("y.band") && col("x.bucket") === col("y.bucket") &&
+          col("x.id") < col("y.id") &&
+          (col("x.is_new") || col("y.is_new")))
+      .select(col("x.id").as("id_a"), col("y.id").as("id_b"))
+      .distinct()
+    verifyCandidates(cand, all.drop("is_new"), k, minEstJaccard)
   }
 
   /**

@@ -289,6 +289,29 @@ object Pipeline {
         .orderBy(col("doc_id"))
     }),
 
+    // minhash-only group-overlap estimate (q9K's scale path: per-group
+    // signature = element-wise min; no gram self-join) — hash-specific
+    // estimates → rows-only; accuracy pinned vs exact in Round5OpsSpec
+    "q9M_source_overlap_minhash" -> ((s, dir) => {
+      Dedup.groupJaccardApprox(T(s, dir)("documents"), "source", "text",
+          w = 3, k = 128)
+        .orderBy(col("g_a"), col("g_b"))
+    }),
+
+    // incremental dedup: new batch (doc_id >= 250) against the STORED
+    // signature table of the historical corpus — (new,new) and
+    // (new,stored) pairs only, stored text never re-read. LSH-bucket-
+    // dependent candidate set → rows-only; the decomposition
+    // (incremental ∪ historical = full batch) is pinned in Round5OpsSpec
+    "q9N_dedup_incremental" -> ((s, dir) => {
+      val d = T(s, dir)("documents")
+      Dedup.minhashCandidatesIncremental(
+          Dedup.signatures(d.filter(col("doc_id") >= 250), "doc_id", "text"),
+          Dedup.signatures(d.filter(col("doc_id") < 250), "doc_id", "text"),
+          minEstJaccard = 0.4)
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+
     // whitespace vs BPE-ish subword token counts (the packing budget
     // unit) — both single regexp_count passes
     "q9L_bpe_tokens" -> ((s, dir) => {

@@ -236,6 +236,44 @@ class Round5OpsSpec extends AnyFunSuite {
     assert(got == want)
   }
 
+  // --- incremental dedup against a stored signature table -----------
+
+  test("incremental candidates over stored signatures decompose the batch run") {
+    import graft.operators.Dedup
+    val old = docs.filter(col("doc_id") < 250)
+    val fresh = docs.filter(col("doc_id") >= 250)
+    // signatures persisted and read back (the ingest-time artifact)
+    val sigDir = java.nio.file.Files.createTempDirectory(
+      new java.io.File("target").toPath.toAbsolutePath, "sigstore").toString
+    Dedup.signatures(old, "doc_id", "text").write.mode("overwrite").parquet(sigDir)
+    val stored = spark.read.parquet(sigDir)
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.select("id_a", "id_b")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val incr = pairs(Dedup.minhashCandidatesIncremental(
+      Dedup.signatures(fresh, "doc_id", "text"), stored, minEstJaccard = 0.4))
+    val full = pairs(Dedup.minhashCandidates(docs, "doc_id", "text",
+      minEstJaccard = 0.4))
+    val oldOnly = pairs(Dedup.minhashCandidates(old, "doc_id", "text",
+      minEstJaccard = 0.4))
+    assert(incr.nonEmpty && (incr intersect oldOnly).isEmpty,
+      "incremental must never re-report stored-stored pairs")
+    assert((incr union oldOnly) == full,
+      "incremental + historical must reconstruct the full batch run")
+  }
+
+  test("group-overlap minhash estimate tracks the exact matrix") {
+    import graft.operators.Dedup
+    val exact = Dedup.groupJaccard(docs, "source", "text", w = 3)
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getDouble(2)).toMap
+    val approx = Dedup.groupJaccardApprox(docs, "source", "text", w = 3, k = 128)
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getDouble(2)).toMap
+    assert(approx.keySet == exact.keySet)
+    // k=128 → stderr ≈ sqrt(J(1-J)/128) ≤ 0.045; allow 3σ
+    val worst = exact.map { case (k0, j) => math.abs(approx(k0) - j) }.max
+    assert(worst <= 0.14, s"worst |approx-exact| = $worst")
+  }
+
   // --- embedding near-dup edges -------------------------------------
 
   test("allPairsAbove is consistent with allPairsTopK ranking") {
