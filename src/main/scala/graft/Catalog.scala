@@ -34,7 +34,8 @@ class Catalog(val root: String) extends CatalogBackend {
   case class FileEntry(path: String, minTime: Option[Long], maxTime: Option[Long])
 
   private def subdirs(f: File): Seq[File] =
-    Option(f.listFiles()).map(_.toSeq.filter(_.isDirectory)).getOrElse(Nil)
+    Option(f.listFiles()).map(_.toSeq.filter(d => d.isDirectory &&
+      !d.getName.startsWith("_") && !d.getName.startsWith("."))).getOrElse(Nil)
 
   def databases: Seq[String] = subdirs(new File(root)).map(_.getName).sorted
 
@@ -61,7 +62,11 @@ class Catalog(val root: String) extends CatalogBackend {
   def files(db: String, table: String,
             range: Option[(Long, Long)] = None): Seq[FileEntry] = {
     def walk(dir: File): Seq[FileEntry] = {
-      if (dir.getName == "tmp") return Nil // half-written data
+      // tmp/ = half-written data (reference convention); _/. prefixes =
+      // hidden sidecars (Hadoop convention — Spark's own FileIndex
+      // ignores them too, e.g. the _signatures dedup store)
+      if (dir.getName == "tmp" || dir.getName.startsWith("_") ||
+          dir.getName.startsWith(".")) return Nil
       val meta = parseMeta(dir)
       // folder-level skip
       if (meta.exists(m => !overlaps(optLong(m, "min_time"), optLong(m, "max_time"), range)))

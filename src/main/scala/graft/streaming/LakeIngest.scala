@@ -26,19 +26,28 @@ import org.apache.spark.sql.streaming.StreamingQuery
  */
 object LakeIngest {
 
+  /** Maintain the [[graft.SignatureStore]] dedup sidecar per batch:
+    * one kernel pass over text already in memory for the lake write. */
+  case class SignatureConfig(idCol: String, textCol: String,
+                             shingleWords: Int = 3, k: Int = 64)
+
   def start(df: DataFrame, root: String, db: String, table: String,
             checkpoint: String, timeCol: String = "time",
             trigger: org.apache.spark.sql.streaming.Trigger =
               org.apache.spark.sql.streaming.Trigger.ProcessingTime(0L),
-            catalog: Option[CatalogBackend] = None): StreamingQuery =
+            catalog: Option[CatalogBackend] = None,
+            signatures: Option[SignatureConfig] = None): StreamingQuery =
     df.writeStream
       .outputMode("append")
       .option("checkpointLocation", checkpoint)
       .trigger(trigger)
       .foreachBatch { (batch: DataFrame, _: Long) =>
-        if (!batch.isEmpty)
+        if (!batch.isEmpty) {
           LakeWriter.write(root, db, table, batch, timeCol,
             mode = SaveMode.Append, catalog = catalog)
+          signatures.foreach(c => graft.SignatureStore.append(
+            root, db, table, batch, c.idCol, c.textCol, c.shingleWords, c.k))
+        }
       }
       .start()
 }

@@ -13,6 +13,63 @@ class LakeIngestSpec extends AnyFunSuite {
   private val DAY_NS = 86400000000000L
   private val T0 = 1705276800000000000L // 2024-01-15T00:00:00Z
 
+  test("signature sidecar: ingest maintains it, catalog hides it, dedup is O(batch)") {
+    import spark.implicits._
+    import graft.operators.Dedup
+    val stage = Files.createTempDirectory(
+      new File("target").toPath.toAbsolutePath, "sig-src")
+    val root = Files.createTempDirectory(
+      new File("target").toPath.toAbsolutePath, "sig-lake").toString
+    val ckpt = Files.createTempDirectory(
+      new File("target").toPath.toAbsolutePath, "sig-ckpt").toString
+    val docs = Tables.load(spark, "/root/testdata/sf0.001", "documents")
+      .withColumn("time", lit(T0) + col("doc_id") * 1000000L)
+      .select("time", "doc_id", "text")
+    val a = docs.filter(col("doc_id") < 250)
+    val b = docs.filter(col("doc_id") >= 250)
+    def stageBatch(name: String, df: org.apache.spark.sql.DataFrame): Unit = {
+      val tmp = Files.createTempDirectory(
+        new File("target").toPath.toAbsolutePath, "sig-tmp")
+      df.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+      val part = tmp.toFile.listFiles().find(_.getName.endsWith(".parquet")).get
+      Files.move(part.toPath, stage.resolve(name))
+      org.apache.commons.io.FileUtils.deleteDirectory(tmp.toFile)
+    }
+    stageBatch("a.parquet", a)
+    val stream = spark.readStream.schema(docs.schema).parquet(stage.toString)
+    val q = LakeIngest.start(stream, root, "mydb", "docs", ckpt,
+      signatures = Some(LakeIngest.SignatureConfig("doc_id", "text")))
+    try {
+      q.processAllAvailable()
+      // eager snapshot: the store mutates when batch b lands below
+      val storedA = SignatureStore.load(spark, root, "mydb", "docs")
+        .localCheckpoint(true)
+      assert(storedA.count() == a.count())
+      stageBatch("b.parquet", b)
+      q.processAllAvailable()
+      assert(SignatureStore.load(spark, root, "mydb", "docs").count() == docs.count())
+      // the sidecar is invisible to the catalog and the engine
+      val cat = new Catalog(root)
+      assert(cat.tables("mydb") == Seq("docs"))
+      assert(cat.files("mydb", "docs").forall(!_.path.contains("_signatures")))
+      val engine = new Engine(spark, cat)
+      assert(engine.query("SELECT count(*) AS n FROM mydb.docs", "")
+        .collect().head.getLong(0) == docs.count())
+      // incremental dedup against the pre-batch store == direct call
+      val viaStore = Dedup.minhashCandidatesIncremental(
+          Dedup.signatures(b, "doc_id", "text"),
+          storedA, minEstJaccard = 0.4)
+        .select("id_a", "id_b")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val direct = Dedup.minhashCandidatesIncremental(
+          Dedup.signatures(b, "doc_id", "text"),
+          Dedup.signatures(a, "doc_id", "text"), minEstJaccard = 0.4)
+        .select("id_a", "id_b")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(viaStore == direct && viaStore.nonEmpty)
+    } finally q.stop()
+  }
+
   test("micro-batches land catalogued, queryable, prunable; compaction folds them") {
     import spark.implicits._
     val stage = Files.createTempDirectory(
