@@ -76,6 +76,79 @@ object Multimodal {
     }
   }
 
+  case class Frame(doc_id: Long, frame_idx: Int, frame: Array[Byte])
+
+  /**
+   * Frame sampling: every `everyN`-th frame of each video payload as
+   * its own row — the row-EXPLODING stage of a video pipeline
+   * (flatMap inside mapPartitions, so output row count is
+   * Σ n_frames/everyN, never a per-row UDF returning arrays that get
+   * re-exploded). Frame extraction itself is the stub (deterministic
+   * payload slices); the fan-out shape, schema and batching are real.
+   */
+  def sampleFrames(media: Dataset[MediaRow], everyN: Int): Dataset[Frame] = {
+    require(everyN > 0, "everyN must be positive")
+    import media.sparkSession.implicits._
+    media.mapPartitions { rows =>
+      rows.flatMap { r =>
+        val (_, _, nFrames, _) = decodeStub(r.payload)
+        (0 until nFrames by everyN).iterator.map { f =>
+          // STUB frame bytes: the f-th of n equal payload slices
+          val n = math.max(1, r.payload.length / math.max(nFrames, 1))
+          val from = math.min(f * n, r.payload.length)
+          val until = math.min(from + n, r.payload.length)
+          Frame(r.doc_id, f, java.util.Arrays.copyOfRange(r.payload, from, until))
+        }
+      }
+    }
+  }
+
+  /** Resize stage: binary in → binary out (STUB: byte decimation to a
+    * target-proportional length; a real deployment decodes, scales,
+    * re-encodes). Kept as its own mapPartitions stage because resize
+    * dominates media-pipeline CPU and must amortize codec init. */
+  def resizeStub(media: Dataset[MediaRow], scaleDiv: Int): Dataset[MediaRow] = {
+    require(scaleDiv > 0, "scaleDiv must be positive")
+    import media.sparkSession.implicits._
+    media.mapPartitions { rows =>
+      rows.map { r =>
+        val out = new Array[Byte]((r.payload.length + scaleDiv - 1) / scaleDiv)
+        var i = 0
+        while (i < out.length) { out(i) = r.payload(i * scaleDiv); i += 1 }
+        MediaRow(r.doc_id, out)
+      }
+    }
+  }
+
+  /**
+   * Feature extraction: payload → dense float vector (STUB: a
+   * deterministic byte-histogram projection; a real deployment runs a
+   * vision/audio encoder per partition-amortized model load). Output
+   * is `Array[Float]` — the SAME embedding shape the similarity/ANN
+   * family consumes, so media plugs straight into
+   * [[Similarity.bruteForceTopK]]/IVF/PQ (pinned in MultimodalSpec).
+   */
+  def featureStub(media: Dataset[MediaRow], dim: Int = 64): DataFrame = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { rows =>
+      rows.map { r =>
+        val v = new Array[Float](dim)
+        var i = 0
+        while (i < r.payload.length) {
+          v(math.floorMod(r.payload(i), dim)) += 1f / (1 + i % 7)
+          i += 1
+        }
+        var norm = 0.0
+        var j = 0
+        while (j < dim) { norm += v(j) * v(j); j += 1 }
+        val inv = if (norm == 0) 0f else (1.0 / math.sqrt(norm)).toFloat
+        j = 0
+        while (j < dim) { v(j) *= inv; j += 1 }
+        (r.doc_id, v.toSeq)
+      }
+    }.toDF("doc_id", "embedding")
+  }
+
   /**
    * Build a synthetic media table from the documents table (text bytes
    * as payload — a deterministic stand-in for real image bytes), then

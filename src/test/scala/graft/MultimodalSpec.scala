@@ -32,4 +32,46 @@ class MultimodalSpec extends AnyFunSuite {
     val again = Multimodal.documentsAsMedia(spark, docs).collect()
     assert(rows.sortBy(_.doc_id).toSeq == again.sortBy(_.doc_id).toSeq)
   }
+
+  private lazy val media = {
+    import spark.implicits._
+    Tables.load(spark, "/root/testdata/sf0.001", "documents")
+      .select(org.apache.spark.sql.functions.col("doc_id"),
+        org.apache.spark.sql.functions.encode(
+          org.apache.spark.sql.functions.col("text"), "UTF-8").as("payload"))
+      .as[Multimodal.MediaRow]
+  }
+
+  test("frame sampling fans out every Nth frame with bounded slices") {
+    val metaFrames = Multimodal.extractMeta(media).collect()
+      .map(m => m.doc_id -> m.n_frames).toMap
+    val frames = Multimodal.sampleFrames(media, everyN = 4).collect()
+    val perDoc = frames.groupBy(_.doc_id)
+    assert(perDoc.keySet == metaFrames.keySet)
+    perDoc.foreach { case (id, fs) =>
+      val expect = (0 until metaFrames(id) by 4).toSeq
+      assert(fs.map(_.frame_idx).sorted.toSeq == expect, s"doc $id")
+    }
+  }
+
+  test("resize shrinks payloads by the scale divisor") {
+    val sizes = media.collect().map(r => r.doc_id -> r.payload.length).toMap
+    Multimodal.resizeStub(media, scaleDiv = 4).collect().foreach { r =>
+      assert(r.payload.length == (sizes(r.doc_id) + 3) / 4)
+    }
+  }
+
+  test("media features feed the similarity family directly") {
+    val feats = Multimodal.featureStub(media, dim = 64)
+    // unit-norm vectors
+    val norms = feats.select(org.apache.spark.sql.functions.sqrt(
+        graft.operators.Similarity.dot(
+          org.apache.spark.sql.functions.col("embedding"),
+          org.apache.spark.sql.functions.col("embedding"))))
+      .collect().map(_.getDouble(0))
+    assert(norms.forall(n => math.abs(n - 1.0) < 1e-5))
+    val top = graft.operators.Similarity.bruteForceTopK(
+      feats, "doc_id", "embedding", queryId = 0L, k = 5)
+    assert(top.count() == 5)
+  }
 }
