@@ -121,7 +121,8 @@ class Catalog(val root: String) extends CatalogBackend {
   private def metaEntries(db: String, table: String)
       : Option[Seq[(Option[Long], Option[(Long, Long)])]] = {
     def walk(dir: File): Option[Seq[(Option[Long], Option[(Long, Long)])]] = {
-      if (dir.getName == "tmp") return Some(Nil)
+      if (dir.getName == "tmp" || dir.getName.startsWith("_") ||
+          dir.getName.startsWith(".")) return Some(Nil)
       val entries: Seq[(String, Option[Long], Option[(Long, Long)])] =
         parseMeta(dir) match {
           case Some(m) if m.has("files") =>

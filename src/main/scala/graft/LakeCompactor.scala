@@ -45,7 +45,8 @@ object LakeCompactor {
       val kids = Option(dir.listFiles()).map(_.toSeq).getOrElse(Nil)
       val here = if (kids.exists(f => f.isFile && f.getName.endsWith(".parquet")))
         Seq(dir) else Nil
-      here ++ kids.filter(d => d.isDirectory && d.getName != "tmp")
+      here ++ kids.filter(d => d.isDirectory && d.getName != "tmp" &&
+          !d.getName.startsWith("_") && !d.getName.startsWith("."))
         .flatMap(partitionFolders)
     }
 

@@ -126,12 +126,21 @@ object Dedup {
    * kernel output) and the pairwise estimates are driver math over
    * |groups|·k longs of metadata — the corpus-sized gram stream is
    * never joined against itself. Standard error ~ sqrt(J(1−J)/k).
+   * Pairs estimating 0 are omitted (an agreeing position implies a
+   * shared shingle, so zero-overlap pairs cannot appear); conversely a
+   * tiny-J pair may estimate 0 and drop — the exact matrix keeps it.
+   * Group keys ride as strings (any input type accepted).
    */
   def groupJaccardApprox(docs: DataFrame, groupCol: String, textCol: String,
                          w: Int = 3, k: Int = 128): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
-    val sigs = signatures(docs, groupCol, textCol, shingleWords = w, k = k)
+    // group key ridden as string (any input type); a minhash position
+    // agrees only when a SHARED shingle minimizes both sides, so
+    // zero-overlap pairs estimate 0 and are dropped below — matching
+    // groupJaccard's shape, which omits pairs with no shared gram
+    val keyed = docs.withColumn("__g", col(groupCol).cast("string"))
+    val sigs = signatures(keyed, "__g", textCol, shingleWords = w, k = k)
     val mins = (0 until k).map(i =>
       min(element_at(col("sig"), i + 1)).as(s"m$i"))
     val grouped = sigs.groupBy(col("id"))
@@ -141,12 +150,14 @@ object Dedup {
     val ests = for {
       (ga, sa) <- grouped.toSeq
       (gb, sb) <- grouped.toSeq if ga < gb
-    } yield {
-      var agree = 0
-      var i = 0
-      while (i < k) { if (sa(i) == sb(i)) agree += 1; i += 1 }
-      (ga, gb, agree.toDouble / k)
-    }
+      est = {
+        var agree = 0
+        var i = 0
+        while (i < k) { if (sa(i) == sb(i)) agree += 1; i += 1 }
+        agree.toDouble / k
+      }
+      if est > 0.0
+    } yield (ga, gb, est)
     ests.toDF("g_a", "g_b", "est_jaccard")
   }
 

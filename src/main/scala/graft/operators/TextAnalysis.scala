@@ -35,8 +35,12 @@ object TextAnalysis {
     * remainder. Counting matches approximates the BPE token count a
     * subword tokenizer would produce — the budget unit for context
     * packing — in ONE codegen'd `regexp_count` pass. */
+  // whitespace spelled as an explicit class: Java's \s and RE2's \s
+  // disagree on vertical tab (U+000B), and this pattern must count
+  // identically in Spark and the DuckDB oracle
   private val BPE_RE =
-    "'(?:s|t|re|ve|m|ll|d)| ?\\p{L}+| ?\\p{N}+| ?[^\\s\\p{L}\\p{N}]+|\\s+"
+    "'(?:s|t|re|ve|m|ll|d)| ?\\p{L}+| ?\\p{N}+|" +
+      " ?[^ \\t\\n\\x0B\\f\\r\\p{L}\\p{N}]+|[ \\t\\n\\x0B\\f\\r]+"
 
   /** BPE-ish subword token count (see [[BPE_RE]]); whitespace-token
     * count is [[tokenCount]]. */

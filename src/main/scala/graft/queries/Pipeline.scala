@@ -612,7 +612,7 @@ object Pipeline {
       SELECT doc_id,
              CAST(len(regexp_extract_all(text, '\S+')) AS INT) AS n_ws_tokens,
              CAST(len(regexp_extract_all(text,
-               '''(?:s|t|re|ve|m|ll|d)| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+|\s+'))
+               '''(?:s|t|re|ve|m|ll|d)| ?\p{L}+| ?\p{N}+| ?[^ \t\n\x0B\f\r\p{L}\p{N}]+|[ \t\n\x0B\f\r]+'))
                AS INT) AS n_bpe_tokens
       FROM documents ORDER BY doc_id""",
     "q9J_contamination_report" -> """

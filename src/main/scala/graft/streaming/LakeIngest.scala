@@ -41,12 +41,15 @@ object LakeIngest {
       .outputMode("append")
       .option("checkpointLocation", checkpoint)
       .trigger(trigger)
-      .foreachBatch { (batch: DataFrame, _: Long) =>
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
         if (!batch.isEmpty) {
           LakeWriter.write(root, db, table, batch, timeCol,
             mode = SaveMode.Append, catalog = catalog)
+          // keyed on batchId → an at-least-once replay OVERWRITES its
+          // own previous attempt instead of double-appending signatures
           signatures.foreach(c => graft.SignatureStore.append(
-            root, db, table, batch, c.idCol, c.textCol, c.shingleWords, c.k))
+            root, db, table, batch, c.idCol, c.textCol, s"b$batchId",
+            c.shingleWords, c.k))
         }
       }
       .start()

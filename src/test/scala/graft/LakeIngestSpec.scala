@@ -43,11 +43,12 @@ class LakeIngestSpec extends AnyFunSuite {
       q.processAllAvailable()
       // eager snapshot: the store mutates when batch b lands below
       val storedA = SignatureStore.load(spark, root, "mydb", "docs")
-        .localCheckpoint(true)
+        .get.localCheckpoint(true)
       assert(storedA.count() == a.count())
       stageBatch("b.parquet", b)
       q.processAllAvailable()
-      assert(SignatureStore.load(spark, root, "mydb", "docs").count() == docs.count())
+      assert(SignatureStore.load(spark, root, "mydb", "docs")
+        .get.count() == docs.count())
       // the sidecar is invisible to the catalog and the engine
       val cat = new Catalog(root)
       assert(cat.tables("mydb") == Seq("docs"))
@@ -67,7 +68,57 @@ class LakeIngestSpec extends AnyFunSuite {
         .select("id_a", "id_b")
         .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
       assert(viaStore == direct && viaStore.nonEmpty)
+      // sidecar must not disable the metadata-only count fast path
+      assert(cat.metadataStats("mydb", "docs")._1.contains(docs.count()),
+        "zone-map row counts must still answer count(*) with the sidecar present")
+      // compactor must leave the sidecar untouched
+      val sigFiles = new File(SignatureStore.dir(root, "mydb", "docs"))
+      def countSigParquets: Int = {
+        def walk(f: File): Int =
+          if (f.isFile) (if (f.getName.endsWith(".parquet")) 1 else 0)
+          else Option(f.listFiles()).map(_.map(walk).sum).getOrElse(0)
+        walk(sigFiles)
+      }
+      val sigsBefore = countSigParquets
+      LakeCompactor.compact(spark, root, "mydb", "docs")
+      assert(countSigParquets == sigsBefore)
+      assert(SignatureStore.load(spark, root, "mydb", "docs")
+        .get.count() == docs.count())
     } finally q.stop()
+  }
+
+  test("dedupThenAppend: per-label idempotence and empty-store bootstrap") {
+    import spark.implicits._
+    import graft.operators.Dedup
+    val root = Files.createTempDirectory(
+      new File("target").toPath.toAbsolutePath, "sig-batch-lake").toString
+    val docs = Tables.load(spark, "/root/testdata/sf0.001", "documents")
+    val a = docs.filter(col("doc_id") < 250)
+    val b = docs.filter(col("doc_id") >= 250)
+    // bootstrap: empty store → within-batch pairs only, store = a's sigs
+    val p0 = SignatureStore.dedupThenAppend(root, "mydb", "t", a,
+        "doc_id", "text", batchLabel = "b0", minEstJaccard = 0.4)
+      .select("id_a", "id_b")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val aOnly = Dedup.minhashCandidates(a, "doc_id", "text", minEstJaccard = 0.4)
+      .select("id_a", "id_b")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(p0 == aOnly)
+    // replay of the SAME label overwrites, not duplicates
+    SignatureStore.dedupThenAppend(root, "mydb", "t", a,
+      "doc_id", "text", batchLabel = "b0", minEstJaccard = 0.4)
+    assert(SignatureStore.load(spark, root, "mydb", "nosuch").isEmpty)
+    assert(SignatureStore.load(spark, root, "mydb", "t").get.count() == a.count())
+    // second batch: (new,new) + (new,stored) only
+    val p1 = SignatureStore.dedupThenAppend(root, "mydb", "t", b,
+        "doc_id", "text", batchLabel = "b1", minEstJaccard = 0.4)
+      .select("id_a", "id_b")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val full = Dedup.minhashCandidates(docs, "doc_id", "text", minEstJaccard = 0.4)
+      .select("id_a", "id_b")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert((p0 union p1) == full)
+    assert(SignatureStore.load(spark, root, "mydb", "t").get.count() == docs.count())
   }
 
   test("micro-batches land catalogued, queryable, prunable; compaction folds them") {

@@ -268,9 +268,15 @@ class Round5OpsSpec extends AnyFunSuite {
       .collect().map(r => (r.getString(0), r.getString(1)) -> r.getDouble(2)).toMap
     val approx = Dedup.groupJaccardApprox(docs, "source", "text", w = 3, k = 128)
       .collect().map(r => (r.getString(0), r.getString(1)) -> r.getDouble(2)).toMap
-    assert(approx.keySet == exact.keySet)
+    // approx never invents overlap: an agreeing minhash position means
+    // a SHARED shingle minimized both sides (collisions are ~2^-32)
+    assert((approx.keySet -- exact.keySet).isEmpty)
+    // exact-only pairs have tiny J (every one of the k positions
+    // disagreed) — treat their estimate as 0 in the error bound.
     // k=128 → stderr ≈ sqrt(J(1-J)/128) ≤ 0.045; allow 3σ
-    val worst = exact.map { case (k0, j) => math.abs(approx(k0) - j) }.max
+    val worst = exact.map { case (k0, j) =>
+      math.abs(approx.getOrElse(k0, 0.0) - j)
+    }.max
     assert(worst <= 0.14, s"worst |approx-exact| = $worst")
   }
 
