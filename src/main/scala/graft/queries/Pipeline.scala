@@ -421,9 +421,16 @@ object Pipeline {
     // so the whole pipeline is deterministic and oracle-checked) →
     // language ID + fingerprint → per-language corpus stats
     "q89_pipeline_composite" -> ((s, dir) => {
+      // quality scoring is several regexp passes per doc and this plan
+      // fans into 5 branches (prefix-join ×2, greedy anti-join, langid,
+      // final agg) that would each recompute it — checkpoint the small
+      // filtered projection once (at cluster scale: cache() or a
+      // staging write, same idea)
       val docs = T(s, dir)("documents")
         .withColumn("quality", TextAnalysis.qualityScore(col("text")))
         .filter(col("quality") >= 0.5)
+        .select(col("doc_id"), col("text"), col("quality"))
+        .localCheckpoint(true)
       val kept = Dedup.dedupCorpusExact(docs, "doc_id", "text",
         shingleWords = 3, minJaccard = 0.8)
       // langid over the PRE-dedup docs: the inner join below drops the
