@@ -49,9 +49,12 @@ object TextExprs {
     false
   }
 
-  /** (n_tokens, n_distinct_tokens, max_bigram_count) over the
-    * whitespace tokens — exact string equality (no hashing), so the
-    * result is oracle-comparable gram-for-gram. */
+  /** (n_tokens, n_distinct_tokens, max_bigram_count, dup_bigram_chars,
+    * total_bigram_chars) over the whitespace tokens — exact string
+    * equality (no hashing), so the result is oracle-comparable
+    * gram-for-gram. The char sums weight each bigram occurrence by its
+    * character length (Gopher-style "fraction of characters in
+    * duplicated n-grams": dup/total, computed by the caller). */
   def repetition(text: UTF8String): InternalRow = {
     val ts = toks(text)
     val n = ts.length
@@ -59,6 +62,8 @@ object TextExprs {
     var i = 0
     while (i < n) { seen.add(ts(i)); i += 1 }
     var maxBigram = 0
+    var dupChars = 0L
+    var totalChars = 0L
     if (n >= 2) {
       val counts = new java.util.HashMap[String, Integer](n * 2)
       i = 0
@@ -68,8 +73,15 @@ object TextExprs {
         if (c > maxBigram) maxBigram = c
         i += 1
       }
+      val it = counts.entrySet().iterator()
+      while (it.hasNext) {
+        val e = it.next()
+        val w = e.getKey.codePointCount(0, e.getKey.length).toLong * e.getValue
+        totalChars += w
+        if (e.getValue >= 2) dupChars += w
+      }
     }
-    InternalRow(n, seen.size(), maxBigram)
+    InternalRow(n, seen.size(), maxBigram, dupChars, totalChars)
   }
 
   /** Unicode NFC composition (é as one codepoint, not e+combining
@@ -136,7 +148,9 @@ case class RepetitionStats(child: Expression) extends UnaryExpression {
   override def dataType: DataType = StructType(Seq(
     StructField("n_tokens", IntegerType, nullable = false),
     StructField("n_distinct", IntegerType, nullable = false),
-    StructField("max_bigram", IntegerType, nullable = false)))
+    StructField("max_bigram", IntegerType, nullable = false),
+    StructField("dup_bigram_chars", LongType, nullable = false),
+    StructField("total_bigram_chars", LongType, nullable = false)))
 
   override def nullSafeEval(v: Any): Any =
     TextExprs.repetition(v.asInstanceOf[UTF8String])

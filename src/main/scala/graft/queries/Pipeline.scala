@@ -241,7 +241,10 @@ object Pipeline {
           col("r.max_bigram").as("max_bigram"),
           round(lit(1.0) - col("r.n_distinct") /
             greatest(col("r.n_tokens"), lit(1)).cast("double"), 6)
-            .as("dup_token_ratio"))
+            .as("dup_token_ratio"),
+          round(col("r.dup_bigram_chars") /
+            greatest(col("r.total_bigram_chars"), lit(1L)).cast("double"), 6)
+            .as("dup_bigram_char_frac"))
         .orderBy(col("doc_id"))
     }),
 
@@ -674,7 +677,10 @@ object Pipeline {
       WITH t AS (SELECT doc_id, regexp_extract_all(text, '\S+') AS toks FROM documents),
       dc AS (SELECT doc_id, COUNT(DISTINCT tk) AS nd
              FROM (SELECT doc_id, unnest(toks) AS tk FROM t) GROUP BY doc_id),
-      bc AS (SELECT doc_id, MAX(c) AS mb FROM (
+      bc AS (SELECT doc_id, MAX(c) AS mb,
+                    SUM(CASE WHEN c >= 2 THEN length(bg) * c ELSE 0 END) AS dup_chars,
+                    SUM(length(bg) * c) AS tot_chars
+             FROM (
                SELECT doc_id, bg, COUNT(*) AS c FROM (
                  SELECT doc_id, unnest(list_transform(range(1, len(toks)),
                           i -> toks[i] || ' ' || toks[i + 1])) AS bg
@@ -683,7 +689,8 @@ object Pipeline {
       SELECT t.doc_id, CAST(len(toks) AS INT) AS n_tokens,
              CAST(COALESCE(dc.nd, 0) AS INT) AS n_distinct,
              CAST(COALESCE(bc.mb, 0) AS INT) AS max_bigram,
-             round(1.0 - COALESCE(dc.nd, 0) / CAST(greatest(len(toks), 1) AS DOUBLE), 6) AS dup_token_ratio
+             round(1.0 - COALESCE(dc.nd, 0) / CAST(greatest(len(toks), 1) AS DOUBLE), 6) AS dup_token_ratio,
+             round(COALESCE(bc.dup_chars, 0) / CAST(greatest(COALESCE(bc.tot_chars, 0), 1) AS DOUBLE), 6) AS dup_bigram_char_frac
       FROM t LEFT JOIN dc USING (doc_id) LEFT JOIN bc USING (doc_id)
       ORDER BY t.doc_id""",
     "q9F_bloom_except" -> """

@@ -81,13 +81,20 @@ class Round5OpsSpec extends AnyFunSuite {
       (4L, "solo")                  // no bigram
     ).toDF("doc_id", "text")
     val got = df.select(col("doc_id"), TextExprs.repetition_stats(col("text")).as("r"))
-      .select(col("doc_id"), col("r.n_tokens"), col("r.n_distinct"), col("r.max_bigram"))
-      .collect().map(r => r.getLong(0) -> ((r.getInt(1), r.getInt(2), r.getInt(3))))
+      .select(col("doc_id"), col("r.n_tokens"), col("r.n_distinct"), col("r.max_bigram"),
+        col("r.dup_bigram_chars"), col("r.total_bigram_chars"))
+      .collect().map(r => r.getLong(0) ->
+        ((r.getInt(1), r.getInt(2), r.getInt(3), r.getLong(4), r.getLong(5))))
       .toMap
-    assert(got(1L) == ((5, 2, 2)))
-    assert(got(2L) == ((4, 1, 3)))
-    assert(got(3L) == ((4, 4, 1)))
-    assert(got(4L) == ((1, 1, 0)))
+    // doc1: bigrams "a b"×2 + "b a"×2, all duplicated → dup = total = 12
+    assert(got(1L) == ((5, 2, 2, 12L, 12L)))
+    // doc2: "x x"×3 → dup = total = 9
+    assert(got(2L) == ((4, 1, 3, 9L, 9L)))
+    // doc3: all bigrams unique → dup 0
+    assert(got(3L)._4 == 0L && got(3L)._5 > 0L)
+    assert((got(3L)._1, got(3L)._2, got(3L)._3) == ((4, 4, 1)))
+    // doc4: no bigram at all
+    assert(got(4L) == ((1, 1, 0, 0L, 0L)))
   }
 
   test("repetition stats + grams use \\S+ tokenization on dirty text") {
