@@ -269,6 +269,33 @@ class Round5OpsSpec extends AnyFunSuite {
       "incremental + historical must reconstruct the full batch run")
   }
 
+  test("incremental decomposition holds for a different batch split") {
+    import graft.operators.Dedup
+    val old = docs.filter(col("doc_id") % 3 =!= 0)
+    val fresh = docs.filter(col("doc_id") % 3 === 0)
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.select("id_a", "id_b")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val incr = pairs(Dedup.minhashCandidatesIncremental(
+      Dedup.signatures(fresh, "doc_id", "text"),
+      Dedup.signatures(old, "doc_id", "text"), minEstJaccard = 0.4))
+    val full = pairs(Dedup.minhashCandidates(docs, "doc_id", "text",
+      minEstJaccard = 0.4))
+    val oldOnly = pairs(Dedup.minhashCandidates(old, "doc_id", "text",
+      minEstJaccard = 0.4))
+    assert((incr union oldOnly) == full && (incr intersect oldOnly).isEmpty)
+  }
+
+  test("groupJaccardApprox accepts non-string group columns") {
+    import graft.operators.Dedup
+    val grouped = docs.withColumn("bucket", (col("doc_id") % 4).cast("int"))
+    val out = Dedup.groupJaccardApprox(grouped, "bucket", "text", w = 3, k = 64)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getDouble(2)))
+    assert(out.nonEmpty)
+    assert(out.forall { case (a, b, e) => a < b && e > 0.0 && e <= 1.0 })
+    assert(out.map(t => (t._1, t._2)).distinct.length == out.length)
+  }
+
   test("group-overlap minhash estimate tracks the exact matrix") {
     import graft.operators.Dedup
     val exact = Dedup.groupJaccard(docs, "source", "text", w = 3)
