@@ -23,8 +23,9 @@ import org.apache.spark.unsafe.types.UTF8String
  *    reference object and binary-searches it.)
  *
  *  - [[RepetitionStats]] — Gopher-style repetitiousness counters
- *    (token count, distinct-token count, max bigram multiplicity) in
- *    one pass over the document. Expressing this relationally costs an
+ *    (token count, distinct-token count, max bigram multiplicity,
+ *    duplicated-bigram / total bigram character sums) in one pass
+ *    over the document. Expressing this relationally costs an
  *    explode of every token and bigram (a corpus-sized stream) plus
  *    two shuffles; as a kernel it is embarrassingly parallel.
  *
@@ -142,7 +143,8 @@ case class SortedLongsOverlap(child: Expression, needles: Array[Long])
   override def prettyName: String = "sorted_overlap"
 }
 
-/** struct(n_tokens, n_distinct, max_bigram) in one pass over the text. */
+/** struct(n_tokens, n_distinct, max_bigram, dup_bigram_chars,
+  * total_bigram_chars) in one pass over the text. */
 case class RepetitionStats(child: Expression) extends UnaryExpression {
 
   override def dataType: DataType = StructType(Seq(

@@ -428,7 +428,9 @@ object Pipeline {
       // fans into 5 branches (prefix-join ×2, greedy anti-join, langid,
       // final agg) that would each recompute it — checkpoint the small
       // filtered projection once (at cluster scale: cache() or a
-      // staging write, same idea)
+      // staging write, same idea). The checkpoint blocks are released
+      // by the ContextCleaner once this frame goes unreachable after
+      // the query is consumed.
       val docs = T(s, dir)("documents")
         .withColumn("quality", TextAnalysis.qualityScore(col("text")))
         .filter(col("quality") >= 0.5)

@@ -245,6 +245,28 @@ class Round5OpsSpec extends AnyFunSuite {
 
   // --- incremental dedup against a stored signature table -----------
 
+  private def candidatePairs(df: org.apache.spark.sql.DataFrame) =
+    df.select("id_a", "id_b")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+
+  /** incremental(fresh vs old) ∪ batch(old) must equal batch(old ∪ fresh),
+    * with no stored-stored pair ever re-reported. */
+  private def checkDecomposition(old: org.apache.spark.sql.DataFrame,
+                                 fresh: org.apache.spark.sql.DataFrame,
+                                 storedSigs: org.apache.spark.sql.DataFrame): Unit = {
+    import graft.operators.Dedup
+    val incr = candidatePairs(Dedup.minhashCandidatesIncremental(
+      Dedup.signatures(fresh, "doc_id", "text"), storedSigs, minEstJaccard = 0.4))
+    val full = candidatePairs(Dedup.minhashCandidates(docs, "doc_id", "text",
+      minEstJaccard = 0.4))
+    val oldOnly = candidatePairs(Dedup.minhashCandidates(old, "doc_id", "text",
+      minEstJaccard = 0.4))
+    assert(incr.nonEmpty && (incr intersect oldOnly).isEmpty,
+      "incremental must never re-report stored-stored pairs")
+    assert((incr union oldOnly) == full,
+      "incremental + historical must reconstruct the full batch run")
+  }
+
   test("incremental candidates over stored signatures decompose the batch run") {
     import graft.operators.Dedup
     val old = docs.filter(col("doc_id") < 250)
@@ -253,37 +275,14 @@ class Round5OpsSpec extends AnyFunSuite {
     val sigDir = java.nio.file.Files.createTempDirectory(
       new java.io.File("target").toPath.toAbsolutePath, "sigstore").toString
     Dedup.signatures(old, "doc_id", "text").write.mode("overwrite").parquet(sigDir)
-    val stored = spark.read.parquet(sigDir)
-    def pairs(df: org.apache.spark.sql.DataFrame) =
-      df.select("id_a", "id_b")
-        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
-    val incr = pairs(Dedup.minhashCandidatesIncremental(
-      Dedup.signatures(fresh, "doc_id", "text"), stored, minEstJaccard = 0.4))
-    val full = pairs(Dedup.minhashCandidates(docs, "doc_id", "text",
-      minEstJaccard = 0.4))
-    val oldOnly = pairs(Dedup.minhashCandidates(old, "doc_id", "text",
-      minEstJaccard = 0.4))
-    assert(incr.nonEmpty && (incr intersect oldOnly).isEmpty,
-      "incremental must never re-report stored-stored pairs")
-    assert((incr union oldOnly) == full,
-      "incremental + historical must reconstruct the full batch run")
+    checkDecomposition(old, fresh, spark.read.parquet(sigDir))
   }
 
   test("incremental decomposition holds for a different batch split") {
     import graft.operators.Dedup
     val old = docs.filter(col("doc_id") % 3 =!= 0)
     val fresh = docs.filter(col("doc_id") % 3 === 0)
-    def pairs(df: org.apache.spark.sql.DataFrame) =
-      df.select("id_a", "id_b")
-        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
-    val incr = pairs(Dedup.minhashCandidatesIncremental(
-      Dedup.signatures(fresh, "doc_id", "text"),
-      Dedup.signatures(old, "doc_id", "text"), minEstJaccard = 0.4))
-    val full = pairs(Dedup.minhashCandidates(docs, "doc_id", "text",
-      minEstJaccard = 0.4))
-    val oldOnly = pairs(Dedup.minhashCandidates(old, "doc_id", "text",
-      minEstJaccard = 0.4))
-    assert((incr union oldOnly) == full && (incr intersect oldOnly).isEmpty)
+    checkDecomposition(old, fresh, Dedup.signatures(old, "doc_id", "text"))
   }
 
   test("groupJaccardApprox accepts non-string group columns") {
