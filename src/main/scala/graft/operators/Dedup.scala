@@ -316,6 +316,34 @@ object Dedup {
   }
 
   /**
+   * CROSS-corpus near-dup candidates: pairs with one side from
+   * `sigsA` and one from `sigsB` only — never within-corpus pairs.
+   * This is FUZZY test-set decontamination (the near-dup complement of
+   * [[Contamination.flagContaminated]]'s exact-gram overlap): sigsA =
+   * training batch, sigsB = eval set, any returned training doc
+   * near-dups an eval doc. Output ids: id_a from A, id_b from B.
+   * Ids must be disjoint across the two tables (a shared id would fan
+   * out the verification join), same contract as
+   * [[minhashCandidatesIncremental]].
+   */
+  def crossCandidates(sigsA: DataFrame, sigsB: DataFrame,
+                      k: Int = 64, bands: Int = 16,
+                      minEstJaccard: Double = 0.0,
+                      maxBucketSize: Option[Int] = None): DataFrame = {
+    val all = sigsA.select(col("id"), col("sig"), col("hs"), lit("a").as("side"))
+      .unionByName(sigsB.select(col("id"), col("sig"), col("hs"),
+        lit("b").as("side")))
+    val banded = capBuckets(bandBuckets(all, k, bands, carry = Seq("side")),
+      Seq("band", "bucket"), maxBucketSize, "crossCandidates")
+    val cand = banded.as("x").join(banded.as("y"),
+        col("x.band") === col("y.band") && col("x.bucket") === col("y.bucket") &&
+          col("x.side") === lit("a") && col("y.side") === lit("b"))
+      .select(col("x.id").as("id_a"), col("y.id").as("id_b"))
+      .distinct()
+    verifyCandidates(cand, all.drop("side"), k, minEstJaccard)
+  }
+
+  /**
    * Exact n-gram Jaccard similarity for all pairs above `minJaccard`.
    * All-pairs via gram-equality join — O(Σ_g m_g²) pairs; intended for
    * bounded subsets or as the verification stage after LSH. Pure

@@ -315,6 +315,19 @@ object Pipeline {
         .orderBy(col("id_a"), col("id_b"))
     }),
 
+    // FUZZY decontamination: training docs that NEAR-dup an eval doc
+    // (cross-corpus-only MinHash candidates; the near-dup complement
+    // of q9D's exact-gram flag). LSH-bucket-dependent → rows-only;
+    // the cross = full − within decomposition is pinned in spec
+    "q9O_fuzzy_decontaminate" -> ((s, dir) => {
+      val d = T(s, dir)("documents")
+      Dedup.crossCandidates(
+          Dedup.signatures(d.filter(col("doc_id") % 29 =!= 0), "doc_id", "text"),
+          Dedup.signatures(d.filter(col("doc_id") % 29 === 0), "doc_id", "text"),
+          minEstJaccard = 0.4)
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+
     // whitespace vs BPE-ish subword token counts (the packing budget
     // unit) — both single regexp_count passes
     "q9L_bpe_tokens" -> ((s, dir) => {

@@ -278,6 +278,25 @@ class Round5OpsSpec extends AnyFunSuite {
     checkDecomposition(old, fresh, spark.read.parquet(sigDir))
   }
 
+  test("crossCandidates = full candidates minus both within-corpus sets") {
+    import graft.operators.Dedup
+    val train = docs.filter(col("doc_id") % 29 =!= 0)
+    val eval = docs.filter(col("doc_id") % 29 === 0)
+    def norm(s: Set[(Long, Long)]) =
+      s.map { case (a, b) => (math.min(a, b), math.max(a, b)) }
+    val cross = norm(candidatePairs(Dedup.crossCandidates(
+      Dedup.signatures(train, "doc_id", "text"),
+      Dedup.signatures(eval, "doc_id", "text"), minEstJaccard = 0.4)))
+    val full = norm(candidatePairs(
+      Dedup.minhashCandidates(docs, "doc_id", "text", minEstJaccard = 0.4)))
+    val withinT = norm(candidatePairs(
+      Dedup.minhashCandidates(train, "doc_id", "text", minEstJaccard = 0.4)))
+    val withinE = norm(candidatePairs(
+      Dedup.minhashCandidates(eval, "doc_id", "text", minEstJaccard = 0.4)))
+    assert(cross == (full -- withinT -- withinE))
+    assert(cross.nonEmpty, "planted near-dups must straddle the split")
+  }
+
   test("incremental decomposition holds for a different batch split") {
     import graft.operators.Dedup
     val old = docs.filter(col("doc_id") % 3 =!= 0)
