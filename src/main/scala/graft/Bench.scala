@@ -55,8 +55,11 @@ object Bench {
       try { consume(fn(spark, sfDir)) } catch { case _: Throwable => () }
       (System.nanoTime() - q0) / 1e9
     }
+    // 3-decimal (ms) resolution keeps the one-line record compact: the
+    // driver stores only the LAST 2000 chars of output, so every byte
+    // of per-query noise crowds the headline numbers out of the record
     def json(rows: Seq[(String, Double)]): String =
-      rows.map { case (k, v) => s"\"" + k + "\":" + v }.mkString("{", ",", "}")
+      rows.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }.mkString("{", ",", "}")
 
     // sequential pass runs FIRST: it's the clean per-query plan signal,
     // and running it after the concurrent pass let same-JVM ordering/GC
@@ -66,6 +69,7 @@ object Bench {
       else Nil
     var wall = seqResults.map(_._2).sum // overwritten by the conc wall below
     var concJson = "{}"
+    var concResults: Seq[(String, Double)] = Nil
     if (mode != "seq") {
       val pool = java.util.concurrent.Executors.newFixedThreadPool(
         math.min(8, Runtime.getRuntime.availableProcessors()))
@@ -80,10 +84,17 @@ object Bench {
         scala.concurrent.duration.Duration.Inf)
       wall = (System.nanoTime() - t0) / 1e9
       pool.shutdown()
+      concResults = results
       concJson = json(results)
     }
     val seqJson = if (mode != "conc") json(seqResults) else "{}"
-    println(s"""{"metric":"total","value":$wall,"unit":"sec","queries":$concJson,"queries_seq":$seqJson,"sf":"$sfDir"}""")
+    // key order matters: the driver records only the TAIL of the output,
+    // so the headline fields (slowest queries, workload wall, sf) go
+    // LAST — they survive truncation; the full per-query maps go first
+    val slowest = json(
+      (if (seqResults.nonEmpty) seqResults else concResults)
+        .sortBy(-_._2).take(12))
+    println(s"""{"metric":"total","unit":"sec","queries":$concJson,"queries_seq":$seqJson,"slowest":$slowest,"value":${f"$wall%.3f"},"sf":"$sfDir"}""")
     spark.stop()
   }
 }

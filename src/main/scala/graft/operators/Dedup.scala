@@ -519,4 +519,67 @@ object Dedup {
       .distinct()
       .filter(col("hamming") <= maxHamming)
   }
+
+  /**
+   * Sub-document (C4/Dolma-style "paragraph") dedup: split every
+   * document into consecutive non-overlapping `w`-token chunks, keep
+   * only the globally FIRST occurrence of each chunk (first = smallest
+   * `(doc id, chunk position)`), and reassemble each document from its
+   * surviving chunks in original order. On prose corpora the chunk
+   * boundary is the paragraph break; the testdata documents are
+   * single-line token streams, so fixed-width token windows stand in.
+   *
+   * Scale shape — two passes over the chunk stream, both
+   * partial-aggregatable, no windows:
+   *   1. `groupBy(chunk)` computing `count` + `min(struct(id, pos))`,
+   *      FILTERED to `count > 1` — only *duplicated* chunks form the
+   *      winners table (corpus-scale input, boilerplate-scale output;
+   *      a min/count hash-agg with map-side combine, so a hot
+   *      boilerplate chunk never concentrates its occurrences in one
+   *      task the way a `row_number` window partition would).
+   *   2. chunks LEFT JOIN winners on chunk (unique chunks pass
+   *      through untouched; AQE broadcasts the winners side when it
+   *      fits), then one `groupBy(doc)` to reassemble.
+   *
+   * Output: `(doc id, n_chunks, n_kept, clean_text)`; token-less
+   * documents survive with `n_chunks = 0` and empty text.
+   */
+  /** The `w`-token non-overlapping chunk array behind [[chunkDedup]]
+    * (exposed so tests/pipelines can chunk the same way). */
+  def chunkDedupChunks(text: Column, w: Int): Column = {
+    require(w >= 1, "chunk width must be >= 1")
+    val arr = TextAnalysis.tokens(text)
+    when(size(arr) === 0, array().cast("array<string>"))
+      .otherwise(transform(
+        sequence(lit(0), (ceil(size(arr) / lit(w.toDouble)) - 1).cast("int")),
+        i => concat_ws(" ", slice(arr, i * w + 1, lit(w)))))
+  }
+
+  def chunkDedup(docs: DataFrame, idCol: String, textCol: String,
+                 w: Int): DataFrame = {
+    val chunks = docs
+      .select(col(idCol).as("doc_id"),
+        posexplode(chunkDedupChunks(col(textCol), w)).as(Seq("pos", "chunk")))
+    val winners = chunks.groupBy(col("chunk"))
+      .agg(count(lit(1)).as("occ"),
+        min(struct(col("doc_id"), col("pos"))).as("first"))
+      .filter(col("occ") > 1)
+      .select(col("chunk"), col("first"))
+    val kept = chunks.join(winners, Seq("chunk"), "left")
+      .withColumn("keep", col("first").isNull ||
+        (col("first.doc_id") === col("doc_id") && col("first.pos") === col("pos")))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_chunks"),
+        count(when(col("keep"), 1)).as("n_kept"),
+        concat_ws(" ", transform(
+          array_sort(collect_list(when(col("keep"),
+            struct(col("pos"), col("chunk"))))),
+          s => s("chunk"))).as("clean_text"))
+    docs.select(col(idCol).as("doc_id"))
+      .join(kept, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_chunks"), lit(0L)).as("n_chunks"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        coalesce(col("clean_text"), lit("")).as("clean_text"))
+  }
 }

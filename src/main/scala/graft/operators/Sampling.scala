@@ -47,4 +47,34 @@ object Sampling {
       .filter(col("__rk") <= n)
       .drop("__rk")
   }
+
+  /**
+   * Leakage-free train/validation split: documents that near-dup each
+   * other (any edge in `pairs`) MUST land on the same side, or the
+   * held-out set leaks into training through paraphrases — the split
+   * unit is therefore the near-dup COMPONENT (distributed connected
+   * components over the pair set), not the document. A component goes
+   * to validation iff the md5 of its id + salt is lexicographically
+   * below `valBound` (a hex prefix: "1a" ≈ (16+10)/256 ≈ 10.2% of the
+   * hash space) — deterministic, engine-independent, re-runnable, and
+   * changing the salt redraws the split. Documents with no near-dup
+   * are their own singleton component.
+   *
+   * Scale shape: the component build is the iterative min-label
+   * propagation of [[ConnectedComponents.run]] (edge-set-sized, never
+   * corpus²); the split itself is one per-row hash — no extra shuffle
+   * beyond the component join.
+   */
+  def leakFreeSplit(docs: DataFrame, idCol: String, pairs: DataFrame,
+                    srcCol: String, dstCol: String,
+                    valBound: String = "1a", salt: String = "s0"): DataFrame = {
+    val cc = ConnectedComponents.run(pairs, srcCol, dstCol)
+    docs.select(col(idCol))
+      .join(cc.withColumnRenamed("id", idCol), Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("component"), col(idCol)).as("component"))
+      .withColumn("split",
+        when(rankKey(Seq(col("component")), salt) < valBound, "val")
+          .otherwise("train"))
+  }
 }

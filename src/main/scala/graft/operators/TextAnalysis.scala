@@ -167,6 +167,30 @@ object TextAnalysis {
   def fingerprintMd5(text: Column): Column =
     md5(trim(regexp_replace(lower(text), "\\s+", " ")))
 
+  /** PII patterns for [[redactPii]] — deliberately lookaround-free so
+    * each is valid and IDENTICAL in Java regex (Spark codegen) and RE2
+    * (the DuckDB oracle). Ordering matters and is fixed: emails first
+    * (their local part may contain digits a later pass would touch),
+    * then dotted-quad IPs, then international-format phone numbers. */
+  val EMAIL_RE = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val IPV4_RE = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+  val PHONE_RE = "\\+\\d{1,2}[ -]\\d{3}[ -]\\d{3,4}[ -]\\d{3,4}"
+
+  /** Redact emails / IPv4s / phone numbers to typed placeholder tokens
+    * — the standard pre-training PII scrub. Three chained
+    * `regexp_replace` passes in ONE codegen'd projection: per-row,
+    * zero shuffle, embarrassingly parallel at any corpus size. */
+  def redactPii(text: Column): Column =
+    regexp_replace(regexp_replace(regexp_replace(text,
+      EMAIL_RE, "<EMAIL>"), IPV4_RE, "<IP>"), PHONE_RE, "<PHONE>")
+
+  /** Per-row PII hit counts (same patterns as [[redactPii]], applied
+    * to the UNredacted text) — the audit metric next to the scrub. */
+  def piiCounts(text: Column): Seq[(String, Column)] = Seq(
+    "n_email" -> regexp_count(text, lit(EMAIL_RE)),
+    "n_ip" -> regexp_count(text, lit(IPV4_RE)),
+    "n_phone" -> regexp_count(text, lit(PHONE_RE)))
+
   /**
    * Top-k TF-IDF terms per document. Classic distributed shape: one
    * explode + two aggregations (term frequency per doc, document

@@ -369,6 +369,46 @@ object Pipeline {
         .orderBy(col("doc_id"))
     }),
 
+    // leakage-free train/val split: near-dup components (exact
+    // prefix-filtered pair set, q97's machinery) are the split unit —
+    // paraphrase pairs can never straddle the held-out boundary;
+    // assignment is deterministic md5-of-component order
+    "q9R_leak_free_split" -> ((s, dir) => {
+      val d = T(s, dir)("documents")
+      val pairs = Dedup.prefixFilterJaccardPairs(d, "doc_id", "text",
+        shingleWords = 3, minJaccard = 0.8)
+      graft.operators.Sampling.leakFreeSplit(d, "doc_id", pairs, "id_a", "id_b")
+        .orderBy(col("doc_id"))
+    }),
+
+    // sub-document (C4/Dolma paragraph-style) dedup: non-overlapping
+    // 3-token chunks, keep-first-occurrence corpus-wide, documents
+    // reassembled from surviving chunks — fully oracle-checked
+    "q9P_chunk_dedup" -> ((s, dir) => {
+      Dedup.chunkDedup(T(s, dir)("documents"), "doc_id", "text", w = 3)
+        .select(col("doc_id"), col("n_chunks"), col("n_kept"),
+          md5(col("clean_text")).as("clean_md5"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // PII scrub + audit counts: the text is first salted with one
+    // synthetic email / IP / phone per row (the corpus itself is
+    // PII-free), then redacted by the chained-regexp_replace kernel —
+    // per-row, zero shuffle; oracle = same patterns in RE2
+    "q9Q_pii_redact" -> ((s, dir) => {
+      val aug = concat(col("text"),
+        lit(" contact user"), col("doc_id").cast("string"),
+        lit("@example.com from 10.0."),
+        (col("doc_id") % 256).cast("string"),
+        lit(".7 tel +1 555 01"),
+        lpad((col("doc_id") % 100).cast("string"), 2, "0"), lit(" 4321"))
+      val counts = TextAnalysis.piiCounts(aug).map { case (n, c) => c.as(n) }
+      T(s, dir)("documents")
+        .select(col("doc_id") +: counts :+
+          md5(TextAnalysis.redactPii(aug)).as("redacted_md5"): _*)
+        .orderBy(col("doc_id"))
+    }),
+
     // approximate kNN SELF-join over IVF cells (every vector's top-3
     // neighbours; candidates linear in the corpus, never O(n²)) —
     // k-means cells → rows-only; recall pinned in SimilaritySpec
@@ -675,6 +715,66 @@ object Pipeline {
                  FROM documents)
       SELECT doc_id, CAST(length(t) AS INT) AS clean_len, md5(t) AS clean_md5
       FROM c ORDER BY doc_id""",
+    "q9R_leak_free_split" -> """
+      WITH RECURSIVE toks AS (SELECT doc_id, regexp_extract_all(text, '\S+') AS t FROM documents),
+      sh AS (SELECT DISTINCT doc_id,
+                    unnest(list_transform(range(1, len(t) - 1),
+                      i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS s
+             FROM toks WHERE len(t) >= 3),
+      sz AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1),
+      inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS i
+                FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+                GROUP BY 1, 2),
+      pairs AS (SELECT id_a, id_b
+                FROM inter JOIN sz sa ON sa.doc_id = id_a
+                           JOIN sz sb ON sb.doc_id = id_b
+                WHERE i / CAST(sa.n + sb.n - i AS DOUBLE) >= 0.8),
+      edges AS (SELECT id_a AS a, id_b AS b FROM pairs
+                UNION ALL SELECT id_b, id_a FROM pairs),
+      reach(id, r) AS (SELECT doc_id, doc_id FROM documents
+                       UNION
+                       SELECT e.b, reach.r FROM reach JOIN edges e ON e.a = reach.id)
+      SELECT id AS doc_id, min(r) AS component,
+             CASE WHEN md5(CAST(min(r) AS VARCHAR) || ' ' || 's0') < '1a'
+                  THEN 'val' ELSE 'train' END AS split
+      FROM reach GROUP BY id ORDER BY doc_id""",
+    "q9P_chunk_dedup" -> """
+      WITH toks AS (SELECT doc_id, regexp_extract_all(text, '\S+') AS t FROM documents),
+      chunks AS (
+        SELECT doc_id, i AS pos,
+               array_to_string(list_slice(t, i*3+1, i*3+3), ' ') AS chunk
+        FROM toks, LATERAL (SELECT unnest(range(CAST(ceil(len(t)/3.0) AS BIGINT))) AS i) u),
+      flagged AS (
+        SELECT doc_id, pos, chunk,
+               ROW_NUMBER() OVER (PARTITION BY chunk ORDER BY doc_id, pos) AS rn
+        FROM chunks),
+      agg AS (
+        SELECT doc_id, COUNT(*) AS n_chunks,
+               COUNT(*) FILTER (rn = 1) AS n_kept,
+               string_agg(chunk, ' ' ORDER BY pos) FILTER (rn = 1) AS clean_text
+        FROM flagged GROUP BY doc_id)
+      SELECT d.doc_id, CAST(COALESCE(a.n_chunks, 0) AS BIGINT) AS n_chunks,
+             CAST(COALESCE(a.n_kept, 0) AS BIGINT) AS n_kept,
+             md5(COALESCE(a.clean_text, '')) AS clean_md5
+      FROM documents d LEFT JOIN agg a USING (doc_id)
+      ORDER BY d.doc_id""",
+    "q9Q_pii_redact" -> """
+      WITH aug AS (
+        SELECT doc_id,
+               text || ' contact user' || CAST(doc_id AS VARCHAR) ||
+               '@example.com from 10.0.' || CAST(doc_id % 256 AS VARCHAR) ||
+               '.7 tel +1 555 01' || lpad(CAST(doc_id % 100 AS VARCHAR), 2, '0') ||
+               ' 4321' AS t
+        FROM documents)
+      SELECT doc_id,
+             CAST(len(regexp_extract_all(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS INT) AS n_email,
+             CAST(len(regexp_extract_all(t, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS INT) AS n_ip,
+             CAST(len(regexp_extract_all(t, '\+\d{1,2}[ -]\d{3}[ -]\d{3,4}[ -]\d{3,4}')) AS INT) AS n_phone,
+             md5(regexp_replace(regexp_replace(regexp_replace(t,
+               '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+               '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g'),
+               '\+\d{1,2}[ -]\d{3}[ -]\d{3,4}[ -]\d{3,4}', '<PHONE>', 'g')) AS redacted_md5
+      FROM aug ORDER BY doc_id""",
     "q9D_decontaminate" -> """
       WITH tok AS (SELECT doc_id, regexp_extract_all(text, '\S+') AS toks FROM documents),
       g AS (SELECT doc_id, unnest(CASE WHEN len(toks) >= 5

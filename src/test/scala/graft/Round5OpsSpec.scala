@@ -344,4 +344,92 @@ class Round5OpsSpec extends AnyFunSuite {
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(top.map(t => (t._1, t._2)).forall(above.contains))
   }
+
+  // --- sub-document (chunk) dedup -----------------------------------
+
+  test("chunkDedup keeps first occurrence, reassembles in order") {
+    import graft.operators.Dedup
+    val corpus = Seq(
+      (1L, "a b c d"),   // chunks "a b", "c d" — both first occurrences
+      (2L, "a b x y"),   // "a b" dups doc1 → dropped; "x y" kept
+      (3L, "c d a b"),   // both chunks dup doc1 → everything dropped
+      (4L, ""),          // token-less: 0 chunks, survives with empty text
+      (5L, "z")          // short tail chunk of width 1
+    ).toDF("doc_id", "text")
+    val got = Dedup.chunkDedup(corpus, "doc_id", "text", w = 2)
+      .orderBy("doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    assert(got === Array(
+      (1L, 2L, 2L, "a b c d"),
+      (2L, 2L, 1L, "x y"),
+      (3L, 2L, 0L, ""),
+      (4L, 0L, 0L, ""),
+      (5L, 1L, 1L, "z")))
+  }
+
+  test("chunkDedup corpus invariant: total kept = distinct chunk count") {
+    import graft.operators.Dedup
+    val out = Dedup.chunkDedup(docs, "doc_id", "text", w = 3)
+    val keptTotal = out.agg(sum("n_kept")).collect()(0).getLong(0)
+    val chunkTotal = out.agg(sum("n_chunks")).collect()(0).getLong(0)
+    // exactly one survivor per distinct chunk value, corpus-wide
+    val distinctChunks = docs
+      .select(posexplode(Dedup.chunkDedupChunks(col("text"), 3)))
+      .select(col("col")).distinct().count()
+    assert(keptTotal === distinctChunks)
+    assert(keptTotal < chunkTotal, "testdata should contain duplicate chunks")
+  }
+
+  // --- leakage-free split --------------------------------------------
+
+  test("leakFreeSplit never separates a near-dup pair; both sides populated") {
+    import graft.operators.{Dedup, Sampling}
+    val pairs = Dedup.prefixFilterJaccardPairs(docs, "doc_id", "text",
+      shingleWords = 3, minJaccard = 0.8).select("id_a", "id_b")
+    // valBound "40" ≈ 25% — wide enough that a tiny corpus still lands
+    // docs on both sides with overwhelming probability
+    val split = Sampling.leakFreeSplit(docs, "doc_id", pairs, "id_a", "id_b",
+      valBound = "40")
+    val side = split.select(col("doc_id"), col("split"))
+    val crossing = pairs
+      .join(side.toDF("id_a", "sa"), "id_a")
+      .join(side.toDF("id_b", "sb"), "id_b")
+      .filter(col("sa") =!= col("sb")).count()
+    assert(crossing === 0L, "a near-dup pair straddles the split boundary")
+    val sides = split.groupBy("split").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(sides.getOrElse("train", 0L) > 0L)
+    assert(sides.getOrElse("val", 0L) > 0L)
+    // deterministic: a second evaluation produces the identical split
+    val again = Sampling.leakFreeSplit(docs, "doc_id", pairs, "id_a", "id_b",
+        valBound = "40")
+      .collect().map(r => (r.getLong(0), r.getString(2))).toMap
+    assert(split.collect().map(r => (r.getLong(0), r.getString(2))).toMap == again)
+  }
+
+  // --- PII redaction -------------------------------------------------
+
+  test("redactPii replaces emails, IPs and phones; counts agree") {
+    import graft.operators.TextAnalysis
+    val rows = Seq(
+      (1L, "mail me at jo.doe+spam@mail.example.org today"),
+      (2L, "server 192.168.0.1 and 10.0.255.7 are up"),
+      (3L, "call +1 555 012 4321 or +44 207 946-0958"),
+      (4L, "nothing sensitive here at all")
+    ).toDF("doc_id", "text")
+    val cols = TextAnalysis.piiCounts(col("text")).map { case (n, c) => c.as(n) }
+    val got = rows.select(col("doc_id") +: cols :+
+        TextAnalysis.redactPii(col("text")).as("red"): _*)
+      .orderBy("doc_id")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getInt(3), r.getString(4)))
+    assert(got(0) === ((1L, 1, 0, 0, "mail me at <EMAIL> today")))
+    assert(got(1) === ((2L, 0, 2, 0, "server <IP> and <IP> are up")))
+    assert(got(2) === ((3L, 0, 0, 2, "call <PHONE> or <PHONE>")))
+    assert(got(3) === ((4L, 0, 0, 0, "nothing sensitive here at all")))
+    // redacted text contains no residual matches (scrub is complete)
+    val residual = rows.select(TextAnalysis.piiCounts(
+        TextAnalysis.redactPii(col("text"))).map(_._2.cast("long")).reduce(_ + _).as("n"))
+      .agg(sum("n")).collect()(0).getLong(0)
+    assert(residual === 0L)
+  }
 }
