@@ -1,5 +1,6 @@
 package graft.operators
 
+import org.apache.spark.TaskContext
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -46,6 +47,142 @@ object Sampling {
     df.withColumn("__rk", row_number().over(w))
       .filter(col("__rk") <= n)
       .drop("__rk")
+  }
+
+  /** 40-bit uniform hash of the key + salt: the first 10 hex chars of
+    * the [[rankKey]] md5, parsed as an integer. 40 bits — not the full
+    * 128 — so every double derived from it (`u/w`, thresholds) stays a
+    * single correctly-rounded IEEE op on exactly-representable
+    * integers, reproducible bit-for-bit in ANY engine, and the hex
+    * prefix is decodable in plain SQL for oracle checks. */
+  def hash40(keyCols: Seq[Column], salt: String): Column =
+    conv(substring(rankKey(keyCols, salt), 1, 10), 16, 10).cast("long")
+
+  /**
+   * Deterministic weighted sample of `k` rows — priority sampling
+   * (Duffield–Lund–Thorup): each row draws a uniform `u` in (0, 2^40]
+   * from [[hash40]] and the k rows with the LARGEST priorities `w/u`
+   * (equivalently the smallest `u/w` keys, the form used here — one
+   * IEEE division of two exact integers, so Spark and any oracle
+   * engine order identically) are kept. Heavier rows are
+   * proportionally more likely to survive, the draw is reproducible
+   * from (id, salt) alone, and a different salt is an independent
+   * resample.
+   *
+   * Shape: a global top-k (`TakeOrderedAndProject`) — per-partition
+   * heaps of k, no sort, no shuffle beyond the k-row gather.
+   */
+  def weightedPrioritySample(df: DataFrame, idCol: String, weightCol: String,
+                             k: Int, salt: String = "s0"): DataFrame = {
+    require(k > 0, "k must be positive")
+    val u = (hash40(Seq(col(idCol)), salt) + lit(1L)).cast("double")
+    df.select(col(idCol), col(weightCol),
+        (u / col(weightCol).cast("double")).as("__key"))
+      .orderBy(col("__key"), col(idCol))
+      .limit(k)
+      .drop("__key")
+  }
+
+  /**
+   * Per-source token-budget selection — the "cap every domain at N
+   * tokens" mixing step: within each source, documents are taken in
+   * deterministic md5 order until the running token sum would exceed
+   * `budget` (a doc is kept iff its INCLUSIVE running sum fits).
+   *
+   * The running sum needs per-source global order. A
+   * `Window.partitionBy(source)` cumsum funnels each source through
+   * ONE task — with a handful of giant domains (the real corpus
+   * shape: one web crawl is half the data) that is a straggler, not a
+   * plan. Instead this reuses [[Packing.packShards]]'s two-phase
+   * prefix sum, generalized per source: range-partition by (source,
+   * key) — sources span partitions contiguously — then per-(partition,
+   * source) totals to the driver (#sources × #partitions longs),
+   * cumulated into starting offsets, added back in a map-side pass.
+   */
+  def tokenBudgetMix(df: DataFrame, idCol: String, srcCol: String,
+                     weightCol: String, budget: Long, salt: String = "s0",
+                     partitions: Int = 32): DataFrame = {
+    require(budget > 0, "budget must be positive")
+    val spark = df.sparkSession
+    import spark.implicits._
+
+    val keyed = df
+      .select(col(srcCol).cast("string").as("__src"),
+        rankKey(Seq(col(idCol)), salt).as("__key"),
+        col(idCol).cast("long").as("__id"),
+        col(weightCol).cast("long").as("__w"))
+      .repartitionByRange(partitions, col("__src"), col("__key"))
+      .sortWithinPartitions("__src", "__key")
+      .persist()
+    val ds = keyed.as[(String, String, Long, Long)]
+
+    val partSums: Map[(Int, String), Long] = ds.mapPartitions { it =>
+      val sums = scala.collection.mutable.LinkedHashMap.empty[String, Long]
+      it.foreach { case (s, _, _, w) => sums(s) = sums.getOrElse(s, 0L) + w }
+      val p = TaskContext.getPartitionId()
+      sums.iterator.map { case (s, w) => (p, s, w) }
+    }.collect().map { case (p, s, w) => (p, s) -> w }.toMap
+    // offset(p, s) = weight of source s in partitions before p
+    val offsets: Map[(Int, String), Long] =
+      partSums.keys.groupBy(_._2).flatMap { case (s, keys) =>
+        var run = 0L
+        keys.map(_._1).toSeq.sorted.map { p =>
+          val o = (p, s) -> run; run += partSums((p, s)); o
+        }
+      }
+    val bOff = spark.sparkContext.broadcast(offsets)
+
+    val bgt = budget
+    val out = ds.mapPartitions { it =>
+      val p = TaskContext.getPartitionId()
+      val run = scala.collection.mutable.HashMap.empty[String, Long]
+      it.flatMap { case (s, _, id, w) =>
+        val cum = run.getOrElse(s, bOff.value.getOrElse((p, s), 0L)) + w
+        run(s) = cum
+        if (cum <= bgt) Some((id, s, w, cum)) else None
+      }
+    }.toDF(idCol, srcCol, weightCol, "cum_" + weightCol)
+      // small result; materialize so the range-partitioned intermediate
+      // can be released (same reasoning as Packing.packShards)
+      .localCheckpoint(true)
+    keyed.unpersist(false)
+    out
+  }
+
+  /**
+   * Deterministic mixture resampling to target proportions (static
+   * domain reweighting): given per-source target weights `f_s`
+   * (`targets`: srcCol + `targetCol`, need not be normalized), find
+   * the largest total `T* = min_s(tokens_s / f_s)` achievable without
+   * upsampling, and keep each document with probability
+   * `rate_s = f_s·T* / tokens_s` — so the kept corpus has token mass
+   * `≈ f_s·T*` per source, i.e. the requested mixture. The "draw" is
+   * `u < rate_s·2^40` with `u` from [[hash40]]: reproducible,
+   * engine-independent (every float op is a correctly-rounded IEEE op
+   * on identical operands), salt-resampleable. Sources absent from
+   * `targets` are dropped.
+   *
+   * Shape: one tiny per-source aggregate, a broadcast join of the
+   * per-source thresholds, and a map-side per-row filter — no shuffle
+   * of the corpus at all.
+   */
+  def mixToTarget(df: DataFrame, idCol: String, srcCol: String,
+                  weightCol: String, targets: DataFrame,
+                  targetCol: String = "target",
+                  salt: String = "s0"): DataFrame = {
+    val tot = df.groupBy(col(srcCol))
+      .agg(sum(col(weightCol)).cast("double").as("__tok"))
+      .join(targets, srcCol)
+    val tstar = tot.agg(min(col("__tok") / col(targetCol)).as("__tstar"))
+    val thresholds = tot.crossJoin(broadcast(tstar))
+      .select(col(srcCol),
+        (col(targetCol) * col("__tstar") / col("__tok") *
+          lit(1099511627776.0 /* 2^40 */)).as("__thr"))
+    df.select(col(idCol), col(srcCol), col(weightCol))
+      .join(broadcast(thresholds), srcCol)
+      .filter((hash40(Seq(col(idCol)), salt) + lit(1L)).cast("double")
+        < col("__thr"))
+      .drop("__thr")
   }
 
   /**

@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.Tables
-import graft.operators.{Contamination, Dedup, Multimodal, Packing, Similarity, TextAnalysis}
+import graft.operators.{Contamination, Dedup, Multimodal, Packing, Sampling, Similarity, TextAnalysis}
 import graft.functions.RollingMinHash.rolling_min_hash
 import graft.functions.TextExprs
 import org.apache.spark.sql.{DataFrame, SparkSession}
@@ -409,6 +409,43 @@ object Pipeline {
         .orderBy(col("doc_id"))
     }),
 
+    // deterministic weighted sample (priority sampling): k docs drawn
+    // ∝ n_chars via md5-derived uniforms — global top-k plan, exact
+    // oracle (one IEEE division of exact integers per row)
+    "q9S_weighted_sample" -> ((s, dir) => {
+      Sampling.weightedPrioritySample(
+          T(s, dir)("documents").select(col("doc_id"), col("n_chars")),
+          "doc_id", "n_chars", k = 100)
+        .orderBy(col("doc_id"))
+    }),
+
+    // per-source token budget ("cap every domain at 500 tokens"):
+    // md5-ordered docs kept while the source's running token sum fits —
+    // computed with the DISTRIBUTED per-source two-phase prefix sum,
+    // never a per-source single-task window
+    "q9T_token_budget_mix" -> ((s, dir) => {
+      val d = T(s, dir)("documents")
+        .select(col("doc_id"), col("source"),
+          TextAnalysis.tokenCount(col("text")).cast("long").as("n_tokens"))
+      Sampling.tokenBudgetMix(d, "doc_id", "source", "n_tokens", budget = 500L)
+        .orderBy(col("doc_id"))
+    }),
+
+    // mixture resampling to target proportions (static domain
+    // reweighting): target weight rises with the source index; kept
+    // token mass per source ≈ target share — tiny agg + broadcast
+    // thresholds + map-side filter, corpus never shuffled
+    "q9U_mix_to_target" -> ((s, dir) => {
+      val d = T(s, dir)("documents")
+        .select(col("doc_id"), col("source"),
+          TextAnalysis.tokenCount(col("text")).cast("long").as("n_tokens"))
+      val targets = d.select(col("source")).distinct()
+        .withColumn("target",
+          expr("cast(substring(source, 4) as double) + 1.0"))
+      Sampling.mixToTarget(d, "doc_id", "source", "n_tokens", targets)
+        .orderBy(col("doc_id"))
+    }),
+
     // approximate kNN SELF-join over IVF cells (every vector's top-3
     // neighbours; candidates linear in the corpus, never O(n²)) —
     // k-means cells → rows-only; recall pinned in SimilaritySpec
@@ -775,6 +812,49 @@ object Pipeline {
                '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g'),
                '\+\d{1,2}[ -]\d{3}[ -]\d{3,4}[ -]\d{3,4}', '<PHONE>', 'g')) AS redacted_md5
       FROM aug ORDER BY doc_id""",
+    "q9S_weighted_sample" -> """
+      WITH h AS (
+        SELECT doc_id, n_chars,
+               CAST(list_reduce(list_transform(
+                 regexp_extract_all(substring(md5(CAST(doc_id AS VARCHAR) || ' s0'), 1, 10), '.'),
+                 c -> CAST(instr('0123456789abcdef', c) - 1 AS BIGINT)),
+                 (a, b) -> a * 16 + b) + 1 AS DOUBLE) AS u
+        FROM documents)
+      SELECT doc_id, n_chars FROM (
+        SELECT doc_id, n_chars FROM h
+        ORDER BY u / CAST(n_chars AS DOUBLE), doc_id LIMIT 100)
+      ORDER BY doc_id""",
+    "q9T_token_budget_mix" -> """
+      WITH t AS (SELECT doc_id, source,
+                   CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT) AS n_tokens,
+                   md5(CAST(doc_id AS VARCHAR) || ' s0') AS k
+                 FROM documents),
+      c AS (SELECT doc_id, source, n_tokens,
+              CAST(SUM(n_tokens) OVER (PARTITION BY source ORDER BY k
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+                AS cum_n_tokens
+            FROM t)
+      SELECT doc_id, source, n_tokens, cum_n_tokens FROM c
+      WHERE cum_n_tokens <= 500 ORDER BY doc_id""",
+    "q9U_mix_to_target" -> """
+      WITH t AS (SELECT doc_id, source,
+                   CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT) AS n_tokens
+                 FROM documents),
+      tot AS (SELECT source, CAST(SUM(n_tokens) AS DOUBLE) AS tok,
+                     CAST(substring(source, 4) AS DOUBLE) + 1.0 AS f
+              FROM t GROUP BY source),
+      ts AS (SELECT MIN(tok / f) AS tstar FROM tot),
+      r AS (SELECT source, f * tstar / tok * 1099511627776.0 AS thr
+            FROM tot, ts),
+      h AS (SELECT doc_id, source, n_tokens,
+              CAST(list_reduce(list_transform(
+                regexp_extract_all(substring(md5(CAST(doc_id AS VARCHAR) || ' s0'), 1, 10), '.'),
+                c -> CAST(instr('0123456789abcdef', c) - 1 AS BIGINT)),
+                (a, b) -> a * 16 + b) + 1 AS DOUBLE) AS u
+            FROM t)
+      SELECT doc_id, source, n_tokens
+      FROM h JOIN r USING (source) WHERE u < thr
+      ORDER BY doc_id""",
     "q9D_decontaminate" -> """
       WITH tok AS (SELECT doc_id, regexp_extract_all(text, '\S+') AS toks FROM documents),
       g AS (SELECT doc_id, unnest(CASE WHEN len(toks) >= 5
