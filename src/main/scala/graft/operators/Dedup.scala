@@ -555,6 +555,67 @@ object Dedup {
         i => concat_ws(" ", slice(arr, i * w + 1, lit(w)))))
   }
 
+  /**
+   * Exact duplicated-SPAN removal — the substring-level dedup of Lee
+   * et al. 2022 ("Deduplicating Training Data Makes Language Models
+   * Better"), token-granular: every occurrence of a duplicated
+   * w-token window EXCEPT the corpus-wide first (min (doc, pos)) has
+   * its w tokens deleted; surviving tokens are reassembled in order.
+   * Unlike [[chunkDedup]]'s non-overlapping chunks, the gram stream
+   * here is OVERLAPPING (one gram per token position), so a repeated
+   * passage is excised wherever it starts — no chunk-alignment luck
+   * required. Deterministic greedy policy: a duplicated gram's first
+   * occurrence keeps its tokens only insofar as no OTHER duplicated
+   * gram's non-first occurrence covers them.
+   *
+   * Scale shape: first-occurrence selection is the same
+   * partial-aggregatable `min(struct)`/`count` hash-agg as
+   * [[chunkDedup]] — a boilerplate gram occurring millions of times
+   * combines map-side, never concentrating in a window task. The
+   * deletion set explodes w positions per DUPLICATED occurrence only
+   * (not per corpus token). Grams are joined as strings for exact
+   * oracle parity; at 100 TB key them by `xxhash64(gram)` instead —
+   * same plan, 8-byte shuffle keys.
+   */
+  def spanDedup(docs: DataFrame, idCol: String, textCol: String,
+                w: Int): DataFrame = {
+    require(w >= 2, "span width must be >= 2")
+    val arr = TextAnalysis.tokens(col(textCol))
+    val toks = docs.select(col(idCol).as("doc_id"),
+      posexplode(arr).as(Seq("pos", "tok")))
+    val grams = docs.select(col(idCol).as("doc_id"),
+      posexplode(when(size(arr) >= w,
+          transform(sequence(lit(0), size(arr) - w),
+            i => concat_ws(" ", slice(arr, i + 1, lit(w)))))
+        .otherwise(array().cast("array<string>"))).as(Seq("pos", "gram")))
+    val winners = grams.groupBy(col("gram"))
+      .agg(count(lit(1)).as("occ"),
+        min(struct(col("doc_id"), col("pos"))).as("first"))
+      .filter(col("occ") > 1)
+      .select(col("gram"), col("first"))
+    val dels = grams.join(winners, Seq("gram"))
+      .filter(!(col("first.doc_id") === col("doc_id") &&
+        col("first.pos") === col("pos")))
+      .select(col("doc_id"),
+        explode(sequence(col("pos"), col("pos") + lit(w - 1))).as("pos"))
+      .distinct()
+    val kept = toks
+      .join(dels.withColumn("del", lit(true)), Seq("doc_id", "pos"), "left")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tokens"),
+        count(col("del")).as("n_removed"),
+        concat_ws(" ", transform(
+          array_sort(collect_list(when(col("del").isNull,
+            struct(col("pos"), col("tok"))))),
+          s => s("tok"))).as("clean_text"))
+    docs.select(col(idCol).as("doc_id"))
+      .join(kept, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
+        coalesce(col("n_removed"), lit(0L)).as("n_removed"),
+        coalesce(col("clean_text"), lit("")).as("clean_text"))
+  }
+
   def chunkDedup(docs: DataFrame, idCol: String, textCol: String,
                  w: Int): DataFrame = {
     val chunks = docs

@@ -223,4 +223,51 @@ object TextAnalysis {
       .filter(col("rn") <= k)
       .select(col("doc_id"), col("term"), col("tfidf"), col("rn"))
   }
+
+  /**
+   * BM25 ranked retrieval (Robertson–Spärck Jones / Okapi BM25): score
+   * every document against a fixed bag of query terms and return the
+   * `topK`. Scores are rounded to 1e-6 BEFORE ordering so cross-engine
+   * last-ulp `ln` differences can't flip ranks (same convention as
+   * [[tfidfTopTerms]]).
+   *
+   * Scale shape: the corpus token stream is prefiltered by a BROADCAST
+   * join against the |q|-row term list before any aggregation — only
+   * matching (doc, term) rows ever shuffle; document frequencies are
+   * |q| rows; the per-doc length join is the one corpus-sized join and
+   * carries two columns. Final ranking is a global top-k
+   * (`TakeOrderedAndProject`), not a sort.
+   */
+  def bm25Rank(docs: org.apache.spark.sql.DataFrame, idCol: String,
+               textCol: String, queryTerms: Seq[String], k1: Double = 1.2,
+               b: Double = 0.75, topK: Int = 10): org.apache.spark.sql.DataFrame = {
+    require(queryTerms.nonEmpty, "query terms must be non-empty")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val terms = docs.select(col(idCol).as("doc_id"),
+      explode(tokens(col(textCol))).as("term"))
+    val lens = docs.select(col(idCol).as("doc_id"),
+      tokenCount(col(textCol)).cast("double").as("len"))
+    val stats = lens.agg(count(lit(1)).cast("double").as("nd"),
+      avg(col("len")).as("avglen"))
+    val qt = queryTerms.toDF("term")
+    val tf = terms.join(broadcast(qt), "term")
+      .groupBy(col("doc_id"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy(col("term"))
+      .agg(countDistinct(col("doc_id")).as("dfreq"))
+    tf.join(broadcast(dfreq), "term")
+      .crossJoin(broadcast(stats))
+      .join(lens, "doc_id")
+      .withColumn("contrib",
+        log(lit(1.0) + (col("nd") - col("dfreq") + lit(0.5)) /
+            (col("dfreq") + lit(0.5))) *
+          (col("tf") * lit(k1 + 1.0)) /
+          (col("tf") + lit(k1) *
+            (lit(1.0) - lit(b) + lit(b) * col("len") / col("avglen"))))
+      .groupBy(col("doc_id"))
+      .agg(round(sum(col("contrib")), 6).as("bm25"))
+      .orderBy(col("bm25").desc, col("doc_id"))
+      .limit(topK)
+  }
 }

@@ -409,6 +409,24 @@ object Pipeline {
         .orderBy(col("doc_id"))
     }),
 
+    // BM25 ranked retrieval over a fixed query-term bag: broadcast
+    // term prefilter → per-doc score → global top-k; scores rounded
+    // to 1e-6 before ordering for cross-engine ln parity
+    "q9W_bm25" -> ((s, dir) => {
+      TextAnalysis.bm25Rank(T(s, dir)("documents"), "doc_id", "text",
+        Seq("hash", "join", "scan"))
+    }),
+
+    // exact duplicated-SPAN removal (Lee et al. substring dedup):
+    // overlapping 4-token grams, every non-first occurrence excised at
+    // token granularity, survivors reassembled — fully oracle-checked
+    "q9V_span_dedup" -> ((s, dir) => {
+      Dedup.spanDedup(T(s, dir)("documents"), "doc_id", "text", w = 4)
+        .select(col("doc_id"), col("n_tokens"), col("n_removed"),
+          md5(col("clean_text")).as("clean_md5"))
+        .orderBy(col("doc_id"))
+    }),
+
     // deterministic weighted sample (priority sampling): k docs drawn
     // ∝ n_chars via md5-derived uniforms — global top-k plan, exact
     // oracle (one IEEE division of exact integers per row)
@@ -812,6 +830,51 @@ object Pipeline {
                '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g'),
                '\+\d{1,2}[ -]\d{3}[ -]\d{3,4}[ -]\d{3,4}', '<PHONE>', 'g')) AS redacted_md5
       FROM aug ORDER BY doc_id""",
+    "q9W_bm25" -> """
+      WITH q AS (SELECT unnest(['hash', 'join', 'scan']) AS term),
+      tok AS (SELECT doc_id, unnest(regexp_extract_all(text, '\S+')) AS term
+              FROM documents),
+      lens AS (SELECT doc_id,
+                 CAST(len(regexp_extract_all(text, '\S+')) AS DOUBLE) AS len
+               FROM documents),
+      stats AS (SELECT CAST(COUNT(*) AS DOUBLE) AS nd, AVG(len) AS avglen
+                FROM lens),
+      tf AS (SELECT doc_id, term, COUNT(*) AS tf
+             FROM tok JOIN q USING (term) GROUP BY 1, 2),
+      dfq AS (SELECT term, COUNT(DISTINCT doc_id) AS dfreq FROM tf GROUP BY 1),
+      sc AS (SELECT doc_id,
+               round(SUM(ln(1.0 + (nd - dfreq + 0.5) / (dfreq + 0.5))
+                 * (tf * 2.2)
+                 / (tf + 1.2 * (1.0 - 0.75 + 0.75 * len / avglen))), 6) AS bm25
+             FROM tf JOIN dfq USING (term) CROSS JOIN stats
+                  JOIN lens USING (doc_id)
+             GROUP BY doc_id)
+      SELECT doc_id, bm25 FROM sc ORDER BY bm25 DESC, doc_id LIMIT 10""",
+    "q9V_span_dedup" -> """
+      WITH toks AS (SELECT doc_id, regexp_extract_all(text, '\S+') AS t FROM documents),
+      tok AS (SELECT doc_id, i - 1 AS pos, t[i] AS tok
+              FROM toks, LATERAL (SELECT unnest(range(1, len(t) + 1)) AS i) u),
+      grams AS (SELECT doc_id, i - 1 AS pos,
+                  array_to_string(list_slice(t, i, i + 3), ' ') AS gram
+                FROM toks, LATERAL (SELECT unnest(range(1, len(t) - 2)) AS i) u
+                WHERE len(t) >= 4),
+      f AS (SELECT doc_id, pos,
+              ROW_NUMBER() OVER (PARTITION BY gram ORDER BY doc_id, pos) AS rn,
+              COUNT(*) OVER (PARTITION BY gram) AS occ
+            FROM grams),
+      dels AS (SELECT DISTINCT doc_id, pos + j AS pos
+               FROM f, LATERAL (SELECT unnest(range(4)) AS j) u
+               WHERE occ > 1 AND rn > 1),
+      agg AS (SELECT t.doc_id, COUNT(*) AS n_tokens, COUNT(d.pos) AS n_removed,
+                string_agg(tok, ' ' ORDER BY t.pos) FILTER (d.pos IS NULL)
+                  AS clean_text
+              FROM tok t LEFT JOIN dels d ON t.doc_id = d.doc_id AND t.pos = d.pos
+              GROUP BY t.doc_id)
+      SELECT d.doc_id, CAST(COALESCE(a.n_tokens, 0) AS BIGINT) AS n_tokens,
+             CAST(COALESCE(a.n_removed, 0) AS BIGINT) AS n_removed,
+             md5(COALESCE(a.clean_text, '')) AS clean_md5
+      FROM documents d LEFT JOIN agg a USING (doc_id)
+      ORDER BY d.doc_id""",
     "q9S_weighted_sample" -> """
       WITH h AS (
         SELECT doc_id, n_chars,

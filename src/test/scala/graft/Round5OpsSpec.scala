@@ -367,6 +367,62 @@ class Round5OpsSpec extends AnyFunSuite {
       (5L, 1L, 1L, "z")))
   }
 
+  test("bm25Rank: term-stuffed doc ranks first, term-free doc is absent") {
+    import graft.operators.TextAnalysis
+    val corpus = Seq(
+      (1L, "hash join scan hash join scan hash"),  // stuffed with query terms
+      (2L, "hash lookup and a scan of the table"), // a couple of hits
+      (3L, "completely unrelated words only here") // no query terms
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.bm25Rank(corpus, "doc_id", "text",
+      Seq("hash", "join", "scan"), topK = 3)
+      .collect().map(r => (r.getLong(0), r.getDouble(1)))
+    assert(got.map(_._1) === Array(1L, 2L), "doc 3 must not appear at all")
+    assert(got(0)._2 > got(1)._2)
+    assert(got.forall(_._2 > 0.0))
+  }
+
+  test("spanDedup excises every non-first duplicated window, token-granular") {
+    import graft.operators.Dedup
+    val corpus = Seq(
+      // within-doc repetition: gram "a b c d" at pos 4 dups pos 0 →
+      // tokens 4..7 removed, first copy survives
+      (1L, "a b c d a b c d"),
+      (2L, "x y z w q r"),       // source passage
+      // doc 3 embeds doc 2's passage: dup grams at pos 2,3,4 cover
+      // tokens 2..7 → only the "p p" prefix survives
+      (3L, "p p x y z w q r"),
+      (4L, "too short"),          // < w tokens: no grams, untouched
+      (5L, "")                    // token-less
+    ).toDF("doc_id", "text")
+    val got = Dedup.spanDedup(corpus, "doc_id", "text", w = 4)
+      .orderBy("doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    assert(got === Array(
+      (1L, 8L, 4L, "a b c d"),
+      (2L, 6L, 0L, "x y z w q r"),
+      (3L, 8L, 6L, "p p"),
+      (4L, 2L, 0L, "too short"),
+      (5L, 0L, 0L, "")))
+  }
+
+  test("spanDedup invariant: surviving corpus has no duplicated w-gram left " +
+    "except spans protected as first occurrences") {
+    import graft.operators.Dedup
+    val out = Dedup.spanDedup(docs, "doc_id", "text", w = 4)
+    assert(out.agg(sum("n_removed")).head.getLong(0) > 0,
+      "testdata should contain duplicated spans")
+    // re-running span dedup on the cleaned corpus must be a no-op for
+    // every span that was fully removed (idempotence on the excised
+    // part): total removals strictly decrease
+    val again = Dedup.spanDedup(
+      out.select(col("doc_id"), col("clean_text").as("text")),
+      "doc_id", "text", w = 4)
+    val first = out.agg(sum("n_removed")).head.getLong(0)
+    val second = again.agg(sum("n_removed")).head.getLong(0)
+    assert(second < first, s"second pass removed $second vs first $first")
+  }
+
   test("chunkDedup corpus invariant: total kept = distinct chunk count") {
     import graft.operators.Dedup
     val out = Dedup.chunkDedup(docs, "doc_id", "text", w = 3)
