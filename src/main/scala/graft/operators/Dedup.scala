@@ -537,23 +537,30 @@ object Dedup {
    *      a min/count hash-agg with map-side combine, so a hot
    *      boilerplate chunk never concentrates its occurrences in one
    *      task the way a `row_number` window partition would).
-   *   2. chunks LEFT JOIN winners on chunk (unique chunks pass
-   *      through untouched; AQE broadcasts the winners side when it
-   *      fits), then one `groupBy(doc)` to reassemble.
+   *   2. chunks JOIN winners on chunk (duplicated chunks only — AQE
+   *      broadcasts the winners side when it fits), losing occurrences
+   *      aggregated to a per-doc dropped-position set; each document
+   *      is then rebuilt from its OWN chunk array map-side, so the
+   *      chunk stream is never re-collected or re-sorted.
    *
    * Output: `(doc id, n_chunks, n_kept, clean_text)`; token-less
    * documents survive with `n_chunks = 0` and empty text.
    */
+  /** Chunk array over an ALREADY-MATERIALIZED token-array column — use
+    * this form inside operators so the tokenizer isn't re-run per
+    * chunk position (see [[spanDedup]]'s projection-barrier note). */
+  def chunksFromTokens(t: Column, w: Int): Column = {
+    require(w >= 1, "chunk width must be >= 1")
+    when(size(t) === 0, array().cast("array<string>"))
+      .otherwise(transform(
+        sequence(lit(0), (ceil(size(t) / lit(w.toDouble)) - 1).cast("int")),
+        i => concat_ws(" ", slice(t, i * w + 1, lit(w)))))
+  }
+
   /** The `w`-token non-overlapping chunk array behind [[chunkDedup]]
     * (exposed so tests/pipelines can chunk the same way). */
-  def chunkDedupChunks(text: Column, w: Int): Column = {
-    require(w >= 1, "chunk width must be >= 1")
-    val arr = TextAnalysis.tokens(text)
-    when(size(arr) === 0, array().cast("array<string>"))
-      .otherwise(transform(
-        sequence(lit(0), (ceil(size(arr) / lit(w.toDouble)) - 1).cast("int")),
-        i => concat_ws(" ", slice(arr, i * w + 1, lit(w)))))
-  }
+  def chunkDedupChunks(text: Column, w: Int): Column =
+    chunksFromTokens(TextAnalysis.tokens(text), w)
 
   /**
    * Exact duplicated-SPAN removal — the substring-level dedup of Lee
@@ -571,23 +578,34 @@ object Dedup {
    * Scale shape: first-occurrence selection is the same
    * partial-aggregatable `min(struct)`/`count` hash-agg as
    * [[chunkDedup]] — a boilerplate gram occurring millions of times
-   * combines map-side, never concentrating in a window task. The
-   * deletion set explodes w positions per DUPLICATED occurrence only
-   * (not per corpus token). Grams are joined as strings for exact
-   * oracle parity; at 100 TB key them by `xxhash64(gram)` instead —
-   * same plan, 8-byte shuffle keys.
+   * combines map-side, never concentrating in a window task. The only
+   * corpus-sized shuffle is the gram hash-agg itself: deletions are
+   * aggregated to a per-doc position SET (sized by the duplicated
+   * occurrences, not the corpus) and joined back doc-keyed (AQE
+   * broadcasts it while small), and documents are reassembled from
+   * their ORIGINAL token array map-side — the token stream is never
+   * exploded, shuffled, or re-collected. Grams are keyed as strings
+   * for exact oracle parity; at 100 TB key them by `xxhash64(gram)`
+   * instead — same plan, 8-byte shuffle keys.
    */
   def spanDedup(docs: DataFrame, idCol: String, textCol: String,
                 w: Int): DataFrame = {
     require(w >= 2, "span width must be >= 2")
-    val arr = TextAnalysis.tokens(col(textCol))
-    val toks = docs.select(col(idCol).as("doc_id"),
-      posexplode(arr).as(Seq("pos", "tok")))
-    val grams = docs.select(col(idCol).as("doc_id"),
-      posexplode(when(size(arr) >= w,
-          transform(sequence(lit(0), size(arr) - w),
-            i => concat_ws(" ", slice(arr, i + 1, lit(w)))))
-        .otherwise(array().cast("array<string>"))).as(Seq("pos", "gram")))
+    val arr = coalesce(TextAnalysis.tokens(col(textCol)),
+      array().cast("array<string>"))
+    // tokenize ONCE into a concrete column before the lambda: `arr`
+    // referenced inside `transform` would re-run the regexp tokenizer
+    // per gram position (O(tokens²) per doc)
+    // posexplode_OUTER + post-filter for the same reason as in
+    // [[chunkDedup]]: keep InferFiltersFromGenerate from re-inlining
+    // the gram expression into a per-row scan Filter
+    val grams = docs.select(col(idCol).as("doc_id"), arr.as("t"))
+      .select(col("doc_id"),
+        posexplode_outer(when(size(col("t")) >= w,
+            transform(sequence(lit(0), size(col("t")) - w),
+              i => concat_ws(" ", slice(col("t"), i + 1, lit(w)))))
+          .otherwise(array().cast("array<string>"))).as(Seq("pos", "gram")))
+      .filter(col("gram").isNotNull)
     val winners = grams.groupBy(col("gram"))
       .agg(count(lit(1)).as("occ"),
         min(struct(col("doc_id"), col("pos"))).as("first"))
@@ -598,49 +616,51 @@ object Dedup {
         col("first.pos") === col("pos")))
       .select(col("doc_id"),
         explode(sequence(col("pos"), col("pos") + lit(w - 1))).as("pos"))
-      .distinct()
-    val kept = toks
-      .join(dels.withColumn("del", lit(true)), Seq("doc_id", "pos"), "left")
       .groupBy(col("doc_id"))
-      .agg(count(lit(1)).as("n_tokens"),
-        count(col("del")).as("n_removed"),
-        concat_ws(" ", transform(
-          array_sort(collect_list(when(col("del").isNull,
-            struct(col("pos"), col("tok"))))),
-          s => s("tok"))).as("clean_text"))
-    docs.select(col(idCol).as("doc_id"))
-      .join(kept, Seq("doc_id"), "left")
+      .agg(collect_set(col("pos")).as("delpos"))
+    docs.select(col(idCol).as("doc_id"), arr.as("toks"))
+      .join(dels, Seq("doc_id"), "left")
       .select(col("doc_id"),
-        coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
-        coalesce(col("n_removed"), lit(0L)).as("n_removed"),
-        coalesce(col("clean_text"), lit("")).as("clean_text"))
+        size(col("toks")).cast("long").as("n_tokens"),
+        coalesce(size(col("delpos")), lit(0)).cast("long").as("n_removed"),
+        concat_ws(" ", filter(col("toks"), (_, i) =>
+          !array_contains(coalesce(col("delpos"), array().cast("array<int>")), i)))
+          .as("clean_text"))
   }
 
   def chunkDedup(docs: DataFrame, idCol: String, textCol: String,
                  w: Int): DataFrame = {
-    val chunks = docs
+    val withCh = docs
       .select(col(idCol).as("doc_id"),
-        posexplode(chunkDedupChunks(col(textCol), w)).as(Seq("pos", "chunk")))
+        TextAnalysis.tokens(col(textCol)).as("t"))
+      .select(col("doc_id"), chunksFromTokens(col("t"), w).as("ch"))
+    // posexplode_OUTER + cheap post-filter: plain posexplode makes
+    // InferFiltersFromGenerate push a `size(ch) > 0` predicate below
+    // the projections, re-inlining the whole chunk expression (with
+    // its per-iteration tokenizer) into a per-row Filter on the scan
+    val chunks = withCh.select(col("doc_id"),
+        posexplode_outer(col("ch")).as(Seq("pos", "chunk")))
+      .filter(col("chunk").isNotNull)
     val winners = chunks.groupBy(col("chunk"))
       .agg(count(lit(1)).as("occ"),
         min(struct(col("doc_id"), col("pos"))).as("first"))
       .filter(col("occ") > 1)
       .select(col("chunk"), col("first"))
-    val kept = chunks.join(winners, Seq("chunk"), "left")
-      .withColumn("keep", col("first").isNull ||
-        (col("first.doc_id") === col("doc_id") && col("first.pos") === col("pos")))
+    // losing occurrences → per-doc dropped-position set (sized by the
+    // duplicated chunks, not the corpus); docs rebuilt from their own
+    // chunk array map-side — the chunk stream is never re-collected
+    val dels = chunks.join(winners, Seq("chunk"))
+      .filter(!(col("first.doc_id") === col("doc_id") &&
+        col("first.pos") === col("pos")))
       .groupBy(col("doc_id"))
-      .agg(count(lit(1)).as("n_chunks"),
-        count(when(col("keep"), 1)).as("n_kept"),
-        concat_ws(" ", transform(
-          array_sort(collect_list(when(col("keep"),
-            struct(col("pos"), col("chunk"))))),
-          s => s("chunk"))).as("clean_text"))
-    docs.select(col(idCol).as("doc_id"))
-      .join(kept, Seq("doc_id"), "left")
+      .agg(collect_set(col("pos")).as("delpos"))
+    withCh.join(dels, Seq("doc_id"), "left")
       .select(col("doc_id"),
-        coalesce(col("n_chunks"), lit(0L)).as("n_chunks"),
-        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
-        coalesce(col("clean_text"), lit("")).as("clean_text"))
+        size(col("ch")).cast("long").as("n_chunks"),
+        (size(col("ch")) - coalesce(size(col("delpos")), lit(0))).cast("long")
+          .as("n_kept"),
+        concat_ws(" ", filter(col("ch"), (_, i) =>
+          !array_contains(coalesce(col("delpos"), array().cast("array<int>")), i)))
+          .as("clean_text"))
   }
 }
