@@ -137,6 +137,38 @@ object ShingleExprs {
     sig
   }
 
+  /** w-token gram STRING array in one pass — `overlapping = true`
+    * yields the stride-1 window stream ([[graft.operators.Dedup.spanDedup]]:
+    * `len − w + 1` grams, none when `len < w`); `false` the
+    * non-overlapping chunking ([[graft.operators.Dedup.chunkDedup]]:
+    * `ceil(len / w)` chunks, short tail kept). Tokenization is the
+    * shared `\S+` contract. Replaces the relational
+    * `transform(sequence, slice)` builders, whose lambda re-evaluated
+    * the tokenizer per gram position. */
+  def computeGrams(text: UTF8String, w: Int, overlapping: Boolean): ArrayData = {
+    val ts = toks(text)
+    val n =
+      if (overlapping) { if (ts.length >= w) ts.length - w + 1 else 0 }
+      else (ts.length + w - 1) / w
+    val out = new Array[Any](n)
+    val sb = new java.lang.StringBuilder
+    var g = 0
+    while (g < n) {
+      val start = if (overlapping) g else g * w
+      val end = math.min(start + w, ts.length)
+      sb.setLength(0)
+      var j = start
+      while (j < end) {
+        if (j > start) sb.append(' ')
+        sb.append(ts(j))
+        j += 1
+      }
+      out(g) = UTF8String.fromString(sb.toString)
+      g += 1
+    }
+    new GenericArrayData(out)
+  }
+
   def shingle_minhash(text: Column, w: Int, k: Int,
                       a: Array[Long], b: Array[Long], p: Long): Column =
     ColumnBridge.column(ShingleMinHashSig(ColumnBridge.expression(text), w, k, a, b, p))
@@ -146,6 +178,9 @@ object ShingleExprs {
 
   def simhash64(tokens: Column): Column =
     ColumnBridge.column(SimHash64(ColumnBridge.expression(tokens)))
+
+  def token_grams(text: Column, w: Int, overlapping: Boolean): Column =
+    ColumnBridge.column(TokenGrams(ColumnBridge.expression(text), w, overlapping))
 }
 
 /** MinHash signature + distinct shingle-hash set in one codegen'd pass. */
@@ -189,6 +224,24 @@ case class ShingleHashSet(child: Expression, w: Int, mask: Boolean)
   override protected def withNewChildInternal(c: Expression): ShingleHashSet =
     copy(child = c)
   override def prettyName: String = "shingle_hashes"
+}
+
+/** One-pass w-token gram array (overlapping windows or chunks). */
+case class TokenGrams(child: Expression, w: Int, overlapping: Boolean)
+    extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+
+  override def nullSafeEval(v: Any): Any =
+    ShingleExprs.computeGrams(v.asInstanceOf[UTF8String], w, overlapping)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.ShingleExprs.computeGrams($c, $w, $overlapping)")
+
+  override protected def withNewChildInternal(c: Expression): TokenGrams =
+    copy(child = c)
+  override def prettyName: String = "token_grams"
 }
 
 /** 64-bit SimHash over a token array; null for empty input. */

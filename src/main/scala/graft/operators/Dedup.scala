@@ -596,15 +596,13 @@ object Dedup {
     // tokenize ONCE into a concrete column before the lambda: `arr`
     // referenced inside `transform` would re-run the regexp tokenizer
     // per gram position (O(tokens²) per doc)
-    // posexplode_OUTER + post-filter for the same reason as in
-    // [[chunkDedup]]: keep InferFiltersFromGenerate from re-inlining
-    // the gram expression into a per-row scan Filter
-    val grams = docs.select(col(idCol).as("doc_id"), arr.as("t"))
-      .select(col("doc_id"),
-        posexplode_outer(when(size(col("t")) >= w,
-            transform(sequence(lit(0), size(col("t")) - w),
-              i => concat_ws(" ", slice(col("t"), i + 1, lit(w)))))
-          .otherwise(array().cast("array<string>"))).as(Seq("pos", "gram")))
+    // native one-pass gram kernel; posexplode_OUTER + post-filter so
+    // InferFiltersFromGenerate has nothing to re-inline into a per-row
+    // scan Filter (see the chunkDedup note)
+    val grams = docs.select(col(idCol).as("doc_id"),
+        posexplode_outer(graft.functions.ShingleExprs
+          .token_grams(col(textCol), w, overlapping = true))
+          .as(Seq("pos", "gram")))
       .filter(col("gram").isNotNull)
     val winners = grams.groupBy(col("gram"))
       .agg(count(lit(1)).as("occ"),
@@ -630,10 +628,9 @@ object Dedup {
 
   def chunkDedup(docs: DataFrame, idCol: String, textCol: String,
                  w: Int): DataFrame = {
-    val withCh = docs
-      .select(col(idCol).as("doc_id"),
-        TextAnalysis.tokens(col(textCol)).as("t"))
-      .select(col("doc_id"), chunksFromTokens(col("t"), w).as("ch"))
+    val withCh = docs.select(col(idCol).as("doc_id"),
+      graft.functions.ShingleExprs.token_grams(col(textCol), w,
+        overlapping = false).as("ch"))
     // posexplode_OUTER + cheap post-filter: plain posexplode makes
     // InferFiltersFromGenerate push a `size(ch) > 0` predicate below
     // the projections, re-inlining the whole chunk expression (with

@@ -64,6 +64,13 @@ class QueryServer(engine: Engine, port: Int = 8080) {
             // db precedence: ?db= > body db > default (server.go:183-189)
             val db = params.getOrElse("db",
               Option(node.get("db")).map(_.asText()).getOrElse(""))
+            // per-request FAIR pool: under FAIR scheduling, jobs in ONE
+            // pool are FIFO — without this a 2-task point query queues
+            // behind a concurrent scan's hundreds of tasks (measured
+            // ~80× latency amplification in the bench harness). With
+            // the default FIFO scheduler the property is inert.
+            engine.spark.sparkContext.setLocalProperty(
+              "spark.scheduler.pool", "req-" + Thread.currentThread().getId)
             val df = engine.query(q, db)
             if (params.get("explain").exists(v => v == "true" || v == "1")) {
               val plan = df.queryExecution.explainString(
@@ -170,6 +177,10 @@ object QueryServer {
       .config("spark.sql.shuffle.partitions",
         sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
       .config("spark.sql.session.timeZone", "UTC")
+      // FAIR + the per-request pools set in the /query handler: without
+      // them concurrent requests run FIFO and point queries starve
+      // behind scans (reference serves concurrently too, server.go:142)
+      .config("spark.scheduler.mode", "FAIR")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

@@ -44,6 +44,48 @@ class PropertySpecs extends AnyFunSuite {
     xs.foreach(x => assert(json.contains("\"v\":\"" + x + "\"")))
   }
 
+  test("spanDedup conserves tokens: n_tokens − n_removed = |tokens(clean)|") {
+    val spark = GraftTestSession.spark
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // random corpora over a 6-word vocabulary: dense duplication, so
+    // overlapping spans, boundary overlaps, and full-doc excision all
+    // occur; the conservation law must hold for every doc regardless
+    val vocab = Vector("a", "b", "c", "d", "e", "f")
+    val docGen = Gen.chooseNum(0, 24).flatMap(n =>
+      Gen.listOfN(n, Gen.oneOf(vocab)).map(_.mkString(" ")))
+    (0 until 5).foreach { round =>
+      val texts = samples(docGen, 40)
+      val corpus = texts.zipWithIndex
+        .map { case (t, i) => (i.toLong + 100L * round, t) }.toDF("doc_id", "text")
+      val out = graft.operators.Dedup.spanDedup(corpus, "doc_id", "text", w = 3)
+        .withColumn("clean_n",
+          when(col("clean_text") === "", lit(0))
+            .otherwise(size(split(col("clean_text"), " "))))
+      val bad = out.filter(col("n_tokens") - col("n_removed") =!= col("clean_n"))
+      assert(bad.count() == 0, bad.collect().take(3).mkString("; "))
+    }
+  }
+
+  test("weightedPrioritySample: k = n returns everything; heavy row dominates") {
+    val spark = GraftTestSession.spark
+    import spark.implicits._
+    import graft.operators.Sampling
+    val rows = (1L to 12L).map(i => (i, if (i == 7L) 100000L else 1L))
+    val df = rows.toDF("id", "w")
+    // k = n: the sample is the whole population, weights notwithstanding
+    val all = Sampling.weightedPrioritySample(df, "id", "w", 12)
+      .collect().map(_.getLong(0)).toSet
+    assert(all == rows.map(_._1).toSet)
+    // a row carrying ~10^5× the weight must appear in (nearly) every
+    // 1-row draw across independent salts
+    val hits = (0 until 25).count { s =>
+      Sampling.weightedPrioritySample(df, "id", "w", 1, salt = s"s$s")
+        .head.getLong(0) == 7L
+    }
+    assert(hits >= 23, s"heavy row drawn $hits/25 times")
+  }
+
   test("widen is commutative and idempotent with absorbing supertypes") {
     import org.apache.spark.sql.types._
     val types = Seq(ByteType, ShortType, IntegerType, LongType, FloatType,

@@ -382,6 +382,27 @@ class Round5OpsSpec extends AnyFunSuite {
     assert(got.forall(_._2 > 0.0))
   }
 
+  test("token_grams kernel ≡ relational gram builders, both modes") {
+    import graft.functions.ShingleExprs
+    import graft.operators.{Dedup, TextAnalysis}
+    val edge = Seq((9001L, ""), (9002L, "one"), (9003L, "a b c d"),
+      (9004L, "  padded   whitespace  x y z  ")).toDF("doc_id", "text")
+    val corpus = docs.select(col("doc_id"), col("text")).unionByName(edge)
+      .select(col("doc_id"), col("text"),
+        TextAnalysis.tokens(col("text")).as("t"))
+    val relSpan = when(size(col("t")) >= 4,
+      transform(sequence(lit(0), size(col("t")) - 4),
+        i => concat_ws(" ", slice(col("t"), i + 1, lit(4)))))
+      .otherwise(array().cast("array<string>"))
+    val bad = corpus.select(
+        ShingleExprs.token_grams(col("text"), 3, overlapping = false).as("k_ch"),
+        Dedup.chunkDedupChunks(col("text"), 3).as("r_ch"),
+        ShingleExprs.token_grams(col("text"), 4, overlapping = true).as("k_sp"),
+        relSpan.as("r_sp"))
+      .filter(col("k_ch") =!= col("r_ch") || col("k_sp") =!= col("r_sp"))
+    assert(bad.count() == 0, bad.collect().take(3).mkString("; "))
+  }
+
   test("spanDedup excises every non-first duplicated window, token-granular") {
     import graft.operators.Dedup
     val corpus = Seq(
