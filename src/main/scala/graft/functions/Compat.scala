@@ -2,7 +2,7 @@ package graft.functions
 
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.expressions.{Cast, Expression, Literal, Multiply, UnixMicros}
-import org.apache.spark.sql.types.{LongType, TimestampType}
+import org.apache.spark.sql.types.{BooleanType, IntegerType, LongType, TimestampType}
 
 /**
  * Reference-dialect compat functions.
@@ -16,6 +16,13 @@ import org.apache.spark.sql.types.{LongType, TimestampType}
  * becomes a plain long comparison with full predicate pushdown.
  *
  * `version()` is Spark's builtin — nothing to add.
+ *
+ * The graft text/dedup kernels are registered as SQL functions too, so
+ * the HTTP `/query` surface (and any plain `spark.sql`) can run the
+ * pipeline primitives without the Scala API:
+ * `token_grams(text, w, overlapping)`, `shingle_hashes(text, w[, mask])`,
+ * `simhash64(tokens_array)`, `nfc_normalize(text)`,
+ * `repetition_stats(text)`.
  */
 object Compat {
   private def epochNs(args: Seq[Expression]): Expression = {
@@ -26,9 +33,39 @@ object Compat {
     Multiply(Cast(UnixMicros(ts), LongType), Literal(1000L))
   }
 
+  private def litInt(e: Expression, fn: String): Int = e match {
+    case Literal(v: Int, IntegerType) => v
+    case Literal(v: Long, LongType) => v.toInt
+    case other => throw new IllegalArgumentException(
+      s"$fn: expected an integer literal, got $other")
+  }
+
+  private def litBool(e: Expression, fn: String): Boolean = e match {
+    case Literal(v: Boolean, BooleanType) => v
+    case other => throw new IllegalArgumentException(
+      s"$fn: expected a boolean literal, got $other")
+  }
+
   /** Register dialect functions on a session (idempotent). */
   def register(spark: SparkSession): Unit = {
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "epoch_ns", epochNs, "built-in")
+    val reg = spark.sessionState.functionRegistry
+    reg.createOrReplaceTempFunction("epoch_ns", epochNs, "built-in")
+    reg.createOrReplaceTempFunction("token_grams", args => {
+      require(args.length == 3, "token_grams(text, w, overlapping)")
+      TokenGrams(args.head, litInt(args(1), "token_grams"),
+        litBool(args(2), "token_grams"))
+    }, "built-in")
+    reg.createOrReplaceTempFunction("shingle_hashes", args => {
+      require(args.length == 2 || args.length == 3,
+        "shingle_hashes(text, w[, mask])")
+      ShingleHashSet(args.head, litInt(args(1), "shingle_hashes"),
+        if (args.length == 3) litBool(args(2), "shingle_hashes") else false)
+    }, "built-in")
+    reg.createOrReplaceTempFunction("simhash64",
+      args => SimHash64(args.head), "built-in")
+    reg.createOrReplaceTempFunction("nfc_normalize",
+      args => NfcNormalize(args.head), "built-in")
+    reg.createOrReplaceTempFunction("repetition_stats",
+      args => RepetitionStats(args.head), "built-in")
   }
 }

@@ -382,6 +382,23 @@ class Round5OpsSpec extends AnyFunSuite {
     assert(got.forall(_._2 > 0.0))
   }
 
+  test("kernel functions are callable from plain SQL (Compat registry)") {
+    graft.functions.Compat.register(spark)
+    val r = spark.sql(
+      "SELECT token_grams('a b c d', 2, true) AS sp, " +
+        "token_grams('a b c d', 2, false) AS ch, " +
+        "shingle_hashes('a b  c', 2) AS hs, " +
+        "simhash64(array('a','b')) AS sh, " +
+        "nfc_normalize('é') AS nfc, " +
+        "repetition_stats('x x y') AS reps").head()
+    assert(r.getSeq[String](r.fieldIndex("sp")) == Seq("a b", "b c", "c d"))
+    assert(r.getSeq[String](r.fieldIndex("ch")) == Seq("a b", "c d"))
+    assert(r.getSeq[Long](r.fieldIndex("hs")).size == 2) // 2 distinct bigrams
+    assert(!r.isNullAt(r.fieldIndex("sh")))
+    assert(r.getAs[String]("nfc") == "\u00e9") // composed single-codepoint form
+    assert(!r.isNullAt(r.fieldIndex("reps")))
+  }
+
   test("token_grams kernel ≡ relational gram builders, both modes") {
     import graft.functions.ShingleExprs
     import graft.operators.{Dedup, TextAnalysis}
