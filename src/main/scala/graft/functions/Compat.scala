@@ -61,11 +61,16 @@ object Compat {
       ShingleHashSet(args.head, litInt(args(1), "shingle_hashes"),
         if (args.length == 3) litBool(args(2), "shingle_hashes") else false)
     }, "built-in")
+    def unary(fn: String, build: Expression => Expression)
+             (args: Seq[Expression]): Expression = {
+      require(args.length == 1, s"$fn expects exactly one argument")
+      build(args.head)
+    }
     reg.createOrReplaceTempFunction("simhash64",
-      args => SimHash64(args.head), "built-in")
+      unary("simhash64", SimHash64), "built-in")
     reg.createOrReplaceTempFunction("nfc_normalize",
-      args => NfcNormalize(args.head), "built-in")
+      unary("nfc_normalize", NfcNormalize), "built-in")
     reg.createOrReplaceTempFunction("repetition_stats",
-      args => RepetitionStats(args.head), "built-in")
+      unary("repetition_stats", RepetitionStats), "built-in")
   }
 }

@@ -181,6 +181,39 @@ object ShingleExprs {
 
   def token_grams(text: Column, w: Int, overlapping: Boolean): Column =
     ColumnBridge.column(TokenGrams(ColumnBridge.expression(text), w, overlapping))
+
+  /** Space-join of `arr`'s elements whose index is NOT in `drop` —
+    * one bitset pass, O(n + d); the `filter(arr, array_contains(...))`
+    * formulation is O(n·d) per row, quadratic for a heavily
+    * duplicated 10k-token document. */
+  def joinDrop(arr: ArrayData, drop: ArrayData): UTF8String = {
+    val n = arr.numElements()
+    val dropped = new java.util.BitSet(n)
+    if (drop != null) {
+      var i = 0
+      while (i < drop.numElements()) {
+        val p = drop.getInt(i)
+        if (p >= 0 && p < n) dropped.set(p)
+        i += 1
+      }
+    }
+    val sb = new java.lang.StringBuilder
+    var i = 0
+    var first = true
+    while (i < n) {
+      if (!dropped.get(i) && !arr.isNullAt(i)) {
+        if (!first) sb.append(' ')
+        sb.append(arr.getUTF8String(i).toString)
+        first = false
+      }
+      i += 1
+    }
+    UTF8String.fromString(sb.toString)
+  }
+
+  def join_except_positions(arr: Column, drop: Column): Column =
+    ColumnBridge.column(JoinExceptPositions(
+      ColumnBridge.expression(arr), ColumnBridge.expression(drop)))
 }
 
 /** MinHash signature + distinct shingle-hash set in one codegen'd pass. */
@@ -226,9 +259,48 @@ case class ShingleHashSet(child: Expression, w: Int, mask: Boolean)
   override def prettyName: String = "shingle_hashes"
 }
 
+/** Space-join of a string array minus a dropped-index set; the drop
+  * side is null-tolerant (null ⇒ drop nothing) so a left join's
+  * missing rows need no coalesce. */
+case class JoinExceptPositions(left: Expression, right: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+
+  override def dataType: DataType = StringType
+  override def nullable: Boolean = left.nullable
+
+  override def eval(input: InternalRow): Any = {
+    val arr = left.eval(input)
+    if (arr == null) null
+    else ShingleExprs.joinDrop(arr.asInstanceOf[ArrayData],
+      right.eval(input).asInstanceOf[ArrayData])
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val l = left.genCode(ctx)
+    val r = right.genCode(ctx)
+    ev.copy(code =
+      code"""
+        ${l.code}
+        ${r.code}
+        boolean ${ev.isNull} = ${l.isNull};
+        UTF8String ${ev.value} = null;
+        if (!${ev.isNull}) {
+          ${ev.value} = graft.functions.ShingleExprs.joinDrop(${l.value},
+            ${r.isNull} ? null : ${r.value});
+        }
+      """)
+  }
+
+  override protected def withNewChildrenInternal(
+      l: Expression, r: Expression): JoinExceptPositions = copy(left = l, right = r)
+  override def prettyName: String = "join_except_positions"
+}
+
 /** One-pass w-token gram array (overlapping windows or chunks). */
 case class TokenGrams(child: Expression, w: Int, overlapping: Boolean)
     extends UnaryExpression {
+
+  require(w >= 1, s"token_grams width must be >= 1, got $w")
 
   override def dataType: DataType = ArrayType(StringType, containsNull = false)
 

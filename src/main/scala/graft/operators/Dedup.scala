@@ -621,16 +621,21 @@ object Dedup {
       .select(col("doc_id"),
         size(col("toks")).cast("long").as("n_tokens"),
         coalesce(size(col("delpos")), lit(0)).cast("long").as("n_removed"),
-        concat_ws(" ", filter(col("toks"), (_, i) =>
-          !array_contains(coalesce(col("delpos"), array().cast("array<int>")), i)))
-          .as("clean_text"))
+        // one-pass bitset join — the filter/array_contains HOF would be
+        // O(tokens × deletions) for a heavily duplicated long document
+        graft.functions.ShingleExprs
+          .join_except_positions(col("toks"), col("delpos")).as("clean_text"))
   }
 
   def chunkDedup(docs: DataFrame, idCol: String, textCol: String,
                  w: Int): DataFrame = {
+    // coalesce: null text must keep the documented n_chunks = 0
+    // contract (the kernel, like any UnaryExpression, is null-in →
+    // null-out)
     val withCh = docs.select(col(idCol).as("doc_id"),
-      graft.functions.ShingleExprs.token_grams(col(textCol), w,
-        overlapping = false).as("ch"))
+      coalesce(graft.functions.ShingleExprs.token_grams(col(textCol), w,
+          overlapping = false),
+        array().cast("array<string>")).as("ch"))
     // posexplode_OUTER + cheap post-filter: plain posexplode makes
     // InferFiltersFromGenerate push a `size(ch) > 0` predicate below
     // the projections, re-inlining the whole chunk expression (with
@@ -656,8 +661,7 @@ object Dedup {
         size(col("ch")).cast("long").as("n_chunks"),
         (size(col("ch")) - coalesce(size(col("delpos")), lit(0))).cast("long")
           .as("n_kept"),
-        concat_ws(" ", filter(col("ch"), (_, i) =>
-          !array_contains(coalesce(col("delpos"), array().cast("array<int>")), i)))
-          .as("clean_text"))
+        graft.functions.ShingleExprs
+          .join_except_positions(col("ch"), col("delpos")).as("clean_text"))
   }
 }

@@ -76,7 +76,12 @@ object Sampling {
                              k: Int, salt: String = "s0"): DataFrame = {
     require(k > 0, "k must be positive")
     val u = (hash40(Seq(col(idCol)), salt) + lit(1L)).cast("double")
-    df.select(col(idCol), col(weightCol),
+    df
+      // weight ≤ 0 means "never sample"; without this guard a NULL
+      // weight's NULL key sorts NULLS-FIRST into the top-k and a
+      // negative weight's negative key always wins
+      .filter(col(weightCol).cast("double") > 0)
+      .select(col(idCol), col(weightCol),
         (u / col(weightCol).cast("double")).as("__key"))
       .orderBy(col("__key"), col(idCol))
       .limit(k)
@@ -103,6 +108,12 @@ object Sampling {
                      weightCol: String, budget: Long, salt: String = "s0",
                      partitions: Int = 32): DataFrame = {
     require(budget > 0, "budget must be positive")
+    // ids ride the typed two-pass pipeline as longs (same contract as
+    // Packing.packShards) — refuse non-integral ids loudly instead of
+    // an ANSI cast error (or silent retyping) at runtime
+    val idType = df.schema(idCol).dataType
+    require(Seq("byte", "short", "integer", "long").contains(idType.typeName),
+      s"tokenBudgetMix needs an integral id column; $idCol is $idType")
     val spark = df.sparkSession
     import spark.implicits._
 
@@ -172,7 +183,11 @@ object Sampling {
                   salt: String = "s0"): DataFrame = {
     val tot = df.groupBy(col(srcCol))
       .agg(sum(col(weightCol)).cast("double").as("__tok"))
-      .join(targets, srcCol)
+      // collapse duplicate target rows (max wins) — a duplicated
+      // source in an un-deduped config table would otherwise double
+      // every kept document of that source through the join
+      .join(targets.groupBy(col(srcCol)).agg(max(col(targetCol)).as(targetCol)),
+        srcCol)
     val tstar = tot.agg(min(col("__tok") / col(targetCol)).as("__tstar"))
     val thresholds = tot.crossJoin(broadcast(tstar))
       .select(col(srcCol),
@@ -180,8 +195,11 @@ object Sampling {
           lit(1099511627776.0 /* 2^40 */)).as("__thr"))
     df.select(col(idCol), col(srcCol), col(weightCol))
       .join(broadcast(thresholds), srcCol)
+      // u ∈ [1, 2^40]; `<=` so keep-rate 1 (thr = 2^40) truly keeps
+      // EVERYTHING — strict `<` would drop the maximal draw, breaking
+      // the argmin-source-kept-in-full guarantee once per ~2^40 docs
       .filter((hash40(Seq(col(idCol)), salt) + lit(1L)).cast("double")
-        < col("__thr"))
+        <= col("__thr"))
       .drop("__thr")
   }
 

@@ -244,13 +244,17 @@ object TextAnalysis {
     require(queryTerms.nonEmpty, "query terms must be non-empty")
     val spark = docs.sparkSession
     import spark.implicits._
+    // SET semantics: a duplicated query term would double-count into
+    // tf through the join, feeding the saturation denominator a value
+    // that matches no BM25 variant
+    val qTerms = queryTerms.distinct
     val terms = docs.select(col(idCol).as("doc_id"),
       explode(tokens(col(textCol))).as("term"))
     val lens = docs.select(col(idCol).as("doc_id"),
       tokenCount(col(textCol)).cast("double").as("len"))
     val stats = lens.agg(count(lit(1)).cast("double").as("nd"),
       avg(col("len")).as("avglen"))
-    val qt = queryTerms.toDF("term")
+    val qt = qTerms.toDF("term")
     val tf = terms.join(broadcast(qt), "term")
       .groupBy(col("doc_id"), col("term"))
       .agg(count(lit(1)).as("tf"))

@@ -916,7 +916,7 @@ object Pipeline {
                 (a, b) -> a * 16 + b) + 1 AS DOUBLE) AS u
             FROM t)
       SELECT doc_id, source, n_tokens
-      FROM h JOIN r USING (source) WHERE u < thr
+      FROM h JOIN r USING (source) WHERE u <= thr
       ORDER BY doc_id""",
     "q9D_decontaminate" -> """
       WITH tok AS (SELECT doc_id, regexp_extract_all(text, '\S+') AS toks FROM documents),
