@@ -173,6 +173,61 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming stratified sample: final state equals the batch sample") {
+    import graft.streaming.StreamingSample
+    import graft.operators.Sampling
+    val d = stage("documents")
+    val batchDocs = Tables.load(spark, "/root/testdata/sf0.001", "documents")
+    // one file per micro-batch so the reservoir evolves across batches
+    val stream = spark.readStream.schema(batchDocs.schema)
+      .option("maxFilesPerTrigger", 1).parquet(d)
+    // capture the LATEST emission per stratum across update-mode batches
+    val latest = new java.util.concurrent.ConcurrentHashMap[String, Seq[String]]()
+    val q = StreamingSample.stratifiedSample(stream, "lang", "doc_id", n = 10)
+      .writeStream.outputMode("update")
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        batch.collect().foreach(r =>
+          latest.put(r.getString(0), r.getSeq[String](1)))
+      }.start()
+    try q.processAllAvailable() finally q.stop()
+    val batchSample = Sampling.stratifiedSample(
+        batchDocs.select(col("doc_id"), col("lang")), Seq("lang"), "doc_id", 10)
+      .collect().map(r => r.getString(1) -> r.getLong(0).toString)
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    import scala.jdk.CollectionConverters._
+    val streamed = latest.asScala.toMap.view.mapValues(_.toSet).toMap
+    assert(streamed == batchSample)
+  }
+
+  test("streaming stratified sample absorbs replays (at-least-once parity)") {
+    import graft.streaming.StreamingSample
+    val d = stage("documents", copies = 2) // every row delivered twice
+    val batchDocs = Tables.load(spark, "/root/testdata/sf0.001", "documents")
+    val stream = spark.readStream.schema(batchDocs.schema)
+      .option("maxFilesPerTrigger", 1).parquet(d)
+    val latest = new java.util.concurrent.ConcurrentHashMap[String, Seq[String]]()
+    val q = StreamingSample.stratifiedSample(stream, "lang", "doc_id", n = 10)
+      .writeStream.outputMode("update")
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        batch.collect().foreach(r =>
+          latest.put(r.getString(0), r.getSeq[String](1)))
+      }.start()
+    try q.processAllAvailable() finally q.stop()
+    // duplicate delivery must not change the draw — and must not let a
+    // key occupy two reservoir slots
+    import scala.jdk.CollectionConverters._
+    latest.asScala.foreach { case (lang, sample) =>
+      assert(sample.distinct == sample, s"$lang sample holds duplicates")
+      assert(sample.size <= 10)
+    }
+    val streamed = latest.asScala.toMap.view.mapValues(_.toSet).toMap
+    val batchSample = graft.operators.Sampling.stratifiedSample(
+        batchDocs.select(col("doc_id"), col("lang")), Seq("lang"), "doc_id", 10)
+      .collect().map(r => r.getString(1) -> r.getLong(0).toString)
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    assert(streamed == batchSample)
+  }
+
   test("session_window streaming sessionization produces sane sessions") {
     val dir = "/root/testdata/sf0.001"
     val schema = Tables.load(spark, dir, "events").schema
