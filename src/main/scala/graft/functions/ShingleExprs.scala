@@ -214,6 +214,31 @@ object ShingleExprs {
   def join_except_positions(arr: Column, drop: Column): Column =
     ColumnBridge.column(JoinExceptPositions(
       ColumnBridge.expression(arr), ColumnBridge.expression(drop)))
+
+  /** |a ∩ b| of two SORTED distinct long arrays — one merge pass, no
+    * allocation. The `array_intersect`/`array_union` formulation
+    * builds two hash sets and materializes both result arrays per
+    * candidate pair; in the exact-verify stage of the similarity
+    * joins that's the per-pair hot loop. */
+  def sortedIntersectCount(a: ArrayData, b: ArrayData): Int = {
+    val n = a.numElements()
+    val m = b.numElements()
+    var i = 0
+    var j = 0
+    var c = 0
+    while (i < n && j < m) {
+      val x = a.getLong(i)
+      val y = b.getLong(j)
+      if (x == y) { c += 1; i += 1; j += 1 }
+      else if (x < y) i += 1
+      else j += 1
+    }
+    c
+  }
+
+  def sorted_intersect_count(a: Column, b: Column): Column =
+    ColumnBridge.column(SortedIntersectCount(
+      ColumnBridge.expression(a), ColumnBridge.expression(b)))
 }
 
 /** MinHash signature + distinct shingle-hash set in one codegen'd pass. */
@@ -294,6 +319,25 @@ case class JoinExceptPositions(left: Expression, right: Expression)
   override protected def withNewChildrenInternal(
       l: Expression, r: Expression): JoinExceptPositions = copy(left = l, right = r)
   override def prettyName: String = "join_except_positions"
+}
+
+/** Merge-count of two sorted distinct long arrays (null-intolerant). */
+case class SortedIntersectCount(left: Expression, right: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+
+  override def dataType: DataType = IntegerType
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    ShingleExprs.sortedIntersectCount(
+      a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) =>
+      s"graft.functions.ShingleExprs.sortedIntersectCount($a, $b)")
+
+  override protected def withNewChildrenInternal(
+      l: Expression, r: Expression): SortedIntersectCount = copy(left = l, right = r)
+  override def prettyName: String = "sorted_intersect_count"
 }
 
 /** One-pass w-token gram array (overlapping windows or chunks). */

@@ -284,9 +284,15 @@ object Dedup {
       .join(sigs.select(col("id").as("id_b"), col("hs").as("hs_b"), col("sig").as("sig_b")), "id_b")
       .withColumn("est_jaccard", estJaccard(col("sig_a"), col("sig_b"), k))
       .filter(col("est_jaccard") >= minEstJaccard)
+      // |a∩b| via one sorted-merge pass (the hash sets arrive sorted
+      // from the kernel); |a∪b| = |a| + |b| − |a∩b| — no per-pair
+      // hash-set builds or result-array allocations
+      .withColumn("__i", graft.functions.ShingleExprs
+        .sorted_intersect_count(col("hs_a"), col("hs_b")))
       .select(col("id_a"), col("id_b"), col("est_jaccard"),
-        (size(array_intersect(col("hs_a"), col("hs_b"))) /
-          size(array_union(col("hs_a"), col("hs_b"))).cast("double")).as("jaccard"))
+        (col("__i") /
+          (size(col("hs_a")) + size(col("hs_b")) - col("__i")).cast("double"))
+          .as("jaccard"))
 
   /**
    * Incremental near-dup candidates of a NEW batch against a stored
@@ -430,9 +436,13 @@ object Dedup {
     cand
       .join(sets.select(col("id").as("id_a"), col("hset").as("sa")), "id_a")
       .join(sets.select(col("id").as("id_b"), col("hset").as("sb")), "id_b")
+      // sorted-merge |a∩b| (arrays sorted by construction); union by
+      // inclusion–exclusion — same rational, no per-pair allocations
+      .withColumn("__i", graft.functions.ShingleExprs
+        .sorted_intersect_count(col("sa"), col("sb")))
       .withColumn("jaccard",
-        size(array_intersect(col("sa"), col("sb"))) /
-          size(array_union(col("sa"), col("sb"))).cast("double"))
+        col("__i") /
+          (size(col("sa")) + size(col("sb")) - col("__i")).cast("double"))
       .filter(col("jaccard") >= minJaccard)
       .select(col("id_a"), col("id_b"), col("jaccard"))
   }
