@@ -22,13 +22,31 @@ object Bench {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val mode = sys.env.getOrElse("SPARK_GRAFT_BENCH_MODE", "both")
-    val spark = SparkSession.builder()
+    // shuffle/spill to tmpfs when available: the bench writes the
+    // shuffle working set of 127 queries × 3 passes, and on a
+    // burst-throttled block device the CONCURRENT pass degrades over
+    // the run (observed: load ~2 on 32 cores — tasks blocked on I/O,
+    // not CPU — and 4–8× wall variance between identical runs)
+    val localDir = sys.env.get("SPARK_LOCAL_DIRS").orElse {
+      val shm = java.nio.file.Paths.get("/dev/shm")
+      if (java.nio.file.Files.isWritable(shm))
+        Some(java.nio.file.Files.createDirectories(
+          shm.resolve("graft-bench-tmp")).toString)
+      else None
+    }
+    val builder = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.scheduler.mode", "FAIR")
+      // static conf, default 100: 127 queries × several codegen units
+      // cycle a 100-entry LRU to a ~0% hit rate, so the concurrent
+      // pass recompiles Janino sources constantly — compilation
+      // serializes and a 0.4 s query reads 80 s (observed; cores idle)
+      .config("spark.sql.codegen.cache.maxEntries", "4096")
       .config("spark.ui.enabled", "false")
-      .getOrCreate()
+    localDir.foreach(builder.config("spark.local.dir", _))
+    val spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // Consume the FULL result — a bare .count() lets Catalyst prune every
     // unreferenced column, under-measuring projection-heavy queries. The

@@ -181,6 +181,10 @@ object QueryServer {
       // them concurrent requests run FIFO and point queries starve
       // behind scans (reference serves concurrently too, server.go:142)
       .config("spark.scheduler.mode", "FAIR")
+      // static conf, default 100 entries: a gateway serving a varied
+      // query mix cycles the codegen LRU to a ~0% hit rate and Janino
+      // recompilation serializes concurrent requests (see Bench)
+      .config("spark.sql.codegen.cache.maxEntries", "4096")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
