@@ -34,20 +34,24 @@ object Bench {
           shm.resolve("graft-bench-tmp")).toString)
       else None
     }
-    val builder = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.scheduler.mode", "FAIR")
-      // static conf, default 100: 127 queries × several codegen units
-      // cycle a 100-entry LRU to a ~0% hit rate, so the concurrent
-      // pass recompiles Janino sources constantly — compilation
-      // serializes and a 0.4 s query reads 80 s (observed; cores idle)
-      .config("spark.sql.codegen.cache.maxEntries", "4096")
-      .config("spark.ui.enabled", "false")
-    localDir.foreach(builder.config("spark.local.dir", _))
-    val spark = builder.getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    def newSession(): SparkSession = {
+      val builder = SparkSession.builder()
+        .master(s"local[$cpus]")
+        .config("spark.sql.shuffle.partitions", cpus)
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.scheduler.mode", "FAIR")
+        // static conf, default 100: 127 queries × several codegen units
+        // cycle a 100-entry LRU to a ~0% hit rate, so the concurrent
+        // pass recompiles Janino sources constantly — compilation
+        // serializes and a 0.4 s query reads 80 s (observed; cores idle)
+        .config("spark.sql.codegen.cache.maxEntries", "4096")
+        .config("spark.ui.enabled", "false")
+      localDir.foreach(builder.config("spark.local.dir", _))
+      val s = builder.getOrCreate()
+      s.sparkContext.setLogLevel("WARN")
+      s
+    }
+    val spark = newSession()
     // Consume the FULL result — a bare .count() lets Catalyst prune every
     // unreferenced column, under-measuring projection-heavy queries. The
     // built-in `noop` sink evaluates all output columns and discards rows.
@@ -89,6 +93,13 @@ object Bench {
     var concJson = "{}"
     var concResults: Seq[(String, Double)] = Nil
     if (mode != "seq") {
+      // NOTE on pass ordering: whichever pass runs LAST in this JVM
+      // pays an aging tax (measured: conc-only in a fresh JVM walls
+      // 36 s; the same conc workload as the third pass walls ~100 s —
+      // and rebuilding the SparkSession between passes does not
+      // recover it, so the accumulation is JVM-level, not session
+      // state). seq runs first because per-query plan numbers are the
+      // signal that must stay clean; the conc wall carries the tax.
       val pool = java.util.concurrent.Executors.newFixedThreadPool(
         math.min(8, Runtime.getRuntime.availableProcessors()))
       implicit val ec: scala.concurrent.ExecutionContext =

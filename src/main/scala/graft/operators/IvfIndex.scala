@@ -110,7 +110,12 @@ object IvfIndex {
   case class Index(centroids: Seq[Seq[Double]], data: DataFrame,
                    idToCell: DataFrame)
 
-  private val cache = new java.util.concurrent.ConcurrentHashMap[String, Index]()
+  // memoizes SESSION-FREE artifacts only (centroids + on-disk path):
+  // caching the DataFrames themselves would pin them to the session
+  // that built the index, and a later session (Bench rebuilds its
+  // session between passes) would read through a stopped context
+  private val cache =
+    new java.util.concurrent.ConcurrentHashMap[String, (Seq[Seq[Double]], String)]()
   private val centroidCache =
     new java.util.concurrent.ConcurrentHashMap[String, Seq[Seq[Double]]]()
 
@@ -131,20 +136,24 @@ object IvfIndex {
    * carries to 100 TB.
    */
   def buildCached(emb: DataFrame, idCol: String, vecCol: String,
-                  nlist: Int, iters: Int, cacheKey: String): Index =
-    cache.computeIfAbsent(s"$cacheKey|$nlist|$iters", _ => {
-      val spark = emb.sparkSession
-      val centroids = train(emb, idCol, vecCol, nlist, iters)
-      val base = java.nio.file.Paths.get("target")
-      java.nio.file.Files.createDirectories(base)
-      val path = java.nio.file.Files
-        .createTempDirectory(base, "ivf_index_").toString
-      writeIndex(emb, idCol, vecCol, centroids, s"$path/cells")
-      val data = readIndex(spark, s"$path/cells")
-      data.select(col(idCol), col("ivf_cell"))
-        .write.mode("overwrite").parquet(s"$path/ids")
-      Index(centroids, data, spark.read.parquet(s"$path/ids"))
-    })
+                  nlist: Int, iters: Int, cacheKey: String): Index = {
+    val (centroids, path) =
+      cache.computeIfAbsent(s"$cacheKey|$nlist|$iters", _ => {
+        val cs = train(emb, idCol, vecCol, nlist, iters)
+        val base = java.nio.file.Paths.get("target")
+        java.nio.file.Files.createDirectories(base)
+        val p = java.nio.file.Files
+          .createTempDirectory(base, "ivf_index_").toString
+        writeIndex(emb, idCol, vecCol, cs, s"$p/cells")
+        readIndex(emb.sparkSession, s"$p/cells")
+          .select(col(idCol), col("ivf_cell"))
+          .write.mode("overwrite").parquet(s"$p/ids")
+        (cs, p)
+      })
+    val spark = emb.sparkSession
+    Index(centroids, readIndex(spark, s"$path/cells"),
+      spark.read.parquet(s"$path/ids"))
+  }
 
   /**
    * Top-k by cosine over a PRE-ASSIGNED corpus (from `assign` or
