@@ -80,6 +80,54 @@ object Similarity {
       .select(col("id_a"), col("id_b"), round(col("cos_raw"), 4).as("cos_sim"))
   }
 
+  /**
+   * SemDeDup-style semantic dedup (Abbas et al. 2023): k-means
+   * (IvfIndex's deterministic Lloyd) partitions the corpus into
+   * `nlist` cells, the quadratic cosine edge search runs only WITHIN
+   * each cell, and near-dup components are canonicalized to min-id —
+   * the embedding-space analogue of [[graft.operators.Dedup.dedupCorpus]].
+   * Returns (id, canonical_id, is_canonical) for every input vector.
+   *
+   * Scale shape: clustering replaces the O(n²) global pair space with
+   * nlist × O((n/nlist)²) — with nlist ∝ √n the candidate stream is
+   * linear in the corpus. One shuffle clusters the cells; the per-cell
+   * self-join is the bounded quadratic. Cell imbalance concentrates
+   * work exactly like a hot LSH bucket — `maxCellSize` applies the
+   * same guard (logged drop, members stay singletons; see
+   * [[Dedup.capBuckets]]).
+   *
+   * Recall: a near-dup pair straddling a cluster boundary is missed —
+   * the standard SemDeDup trade. nlist=1 provably equals the exact
+   * [[allPairsAbove]] + components path (pinned in Round5OpsSpec,
+   * along with measured recall at nlist>1); precision is exact (every
+   * emitted edge is a verified raw-double cosine ≥ `minCos`, same
+   * threshold contract as [[allPairsAbove]]).
+   */
+  def semanticDedup(emb: DataFrame, idCol: String, vecCol: String,
+                    minCos: Double, nlist: Int, iters: Int = 2,
+                    cacheKey: Option[String] = None,
+                    maxCellSize: Option[Int] = None): DataFrame = {
+    val centroids = cacheKey match {
+      case Some(key) => IvfIndex.trainCached(emb, idCol, vecCol, nlist, iters, key)
+      case None => IvfIndex.train(emb, idCol, vecCol, nlist, iters)
+    }
+    val assigned = Dedup.capBuckets(
+      IvfIndex.assign(emb, idCol, vecCol, centroids)
+        .select(col(idCol).as("id"), col(vecCol).as("v"),
+          norm(col(vecCol)).as("nv"), col("ivf_cell").as("cell")),
+      Seq("cell"), maxCellSize, "semanticDedup")
+    val edges = assigned.as("a").join(assigned.as("b"),
+        col("a.cell") === col("b.cell") && col("a.id") < col("b.id"))
+      .filter(dot(col("a.v"), col("b.v")) / (col("a.nv") * col("b.nv")) >= minCos)
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+    val cc = ConnectedComponents.run(edges, "id_a", "id_b")
+    emb.select(col(idCol))
+      .join(cc.withColumnRenamed("id", idCol), Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("component"), col(idCol)).as("canonical_id"))
+      .withColumn("is_canonical", col(idCol) === col("canonical_id"))
+  }
+
   /** Deterministic random hyperplanes (seed-fixed), one per signature bit. */
   private def hyperplanes(bits: Int, dim: Int, seed: Long = 42L): Seq[Seq[Double]] = {
     val rnd = new scala.util.Random(seed)

@@ -238,6 +238,49 @@ object TextAnalysis {
    * carries two columns. Final ranking is a global top-k
    * (`TakeOrderedAndProject`), not a sort.
    */
+  /**
+   * CCNet-style LM quality scoring: a unigram language model with
+   * add-alpha smoothing trained on a reference slice (e.g. the target
+   * language's documents), each document scored by its average
+   * negative log-likelihood under the model — low = fluent/in-domain,
+   * high = out-of-domain or junk. Thresholding/bucketing `avg_nll` is
+   * the classic LM quality-and-language filter (CCNet buckets by
+   * perplexity tertile); perplexity itself is `exp(avg_nll)`.
+   *
+   * Model: p(tok) = (c(tok) + α) / (N + α·(V+1)) with one pooled OOV
+   * bucket — every factor is a deterministic function of the train
+   * slice, no RNG anywhere.
+   *
+   * Scale shape: the LM table is MODEL-sized, not corpus-sized — the
+   * caller bounds it by choosing the train slice (CCNet prunes its
+   * KenLM the same way), so unlike [[tfidfTopTerms]]'s corpus-wide
+   * vocabulary it is safely broadcast. Scoring is then explode →
+   * broadcast hash join → per-doc partial/final aggregate: the only
+   * corpus-sized shuffle carries (doc, partial-sum) rows. Model
+   * constants (N, V) are one tiny collected aggregate. `avg_nll` is
+   * rounded 1e-6 for cross-engine `ln` parity (see [[bm25Rank]]).
+   */
+  def lmScore(docs: org.apache.spark.sql.DataFrame,
+              train: org.apache.spark.sql.DataFrame, idCol: String,
+              textCol: String, alpha: Double = 0.5): org.apache.spark.sql.DataFrame = {
+    val counts = train.select(explode(tokens(col(textCol))).as("tok"))
+      .groupBy(col("tok")).agg(count(lit(1)).as("cnt"))
+    val r = counts.agg(sum(col("cnt")), count(lit(1))).head()
+    val n = if (r.isNullAt(0)) 0L else r.getLong(0)
+    val v = r.getLong(1)
+    // unseen tokens share one OOV bucket: denominator adds α·(V+1).
+    // Long→Double is exact below 2^53 and α·(V+1) is one IEEE multiply,
+    // so any engine computing this formula lands on the same double.
+    val denom = n + alpha * (v + 1)
+    docs.select(col(idCol), explode(tokens(col(textCol))).as("tok"))
+      .join(broadcast(counts), Seq("tok"), "left")
+      .select(col(idCol),
+        (-log((coalesce(col("cnt"), lit(0L)) + lit(alpha)) / lit(denom))).as("nll"))
+      .groupBy(col(idCol))
+      .agg(round(avg(col("nll")), 6).as("avg_nll"),
+        count(lit(1)).as("n_tokens"))
+  }
+
   def bm25Rank(docs: org.apache.spark.sql.DataFrame, idCol: String,
                textCol: String, queryTerms: Seq[String], k1: Double = 1.2,
                b: Double = 0.75, topK: Int = 10): org.apache.spark.sql.DataFrame = {

@@ -417,6 +417,28 @@ object Pipeline {
         Seq("hash", "join", "scan"))
     }),
 
+    // CCNet-style LM quality scoring: unigram LM (add-α smoothing)
+    // trained on the English slice, every doc scored by avg negative
+    // log-likelihood — the classic LM quality/language filter (foreign
+    // and junk docs score high). Broadcast model, one per-doc shuffle;
+    // fully oracle-checked (identical IEEE arithmetic in SQL).
+    "q9Y_lm_score" -> ((s, dir) => {
+      val d = T(s, dir)("documents")
+      TextAnalysis.lmScore(d, d.filter(col("lang") === "en"), "doc_id", "text")
+        .orderBy(col("doc_id"))
+    }),
+
+    // SemDeDup semantic dedup: k-means cells bound the quadratic cosine
+    // edge search (nlist × O((n/nlist)²) candidates, linear with
+    // nlist ∝ √n), components canonicalized to min-id. Rows-only
+    // (k-means isn't SQL-expressible); nlist=1 ≡ the exact q9G path
+    // and recall at nlist=4 are pinned in Round5OpsSpec.
+    "q9X_semantic_dedup" -> ((s, dir) => {
+      Similarity.semanticDedup(T(s, dir)("embeddings"), "vec_id", "embedding",
+          minCos = 0.40, nlist = 4, cacheKey = Some(s"semdedup|$dir"))
+        .orderBy(col("vec_id"))
+    }),
+
     // exact duplicated-SPAN removal (Lee et al. substring dedup):
     // overlapping 4-token grams, every non-first occurrence excised at
     // token granularity, survivors reassembled — fully oracle-checked
@@ -850,6 +872,20 @@ object Pipeline {
                   JOIN lens USING (doc_id)
              GROUP BY doc_id)
       SELECT doc_id, bm25 FROM sc ORDER BY bm25 DESC, doc_id LIMIT 10""",
+    "q9Y_lm_score" -> """
+      WITH tr AS (SELECT unnest(regexp_extract_all(text, '\S+')) AS tok
+                  FROM documents WHERE lang = 'en'),
+      c AS (SELECT tok, COUNT(*) AS cnt FROM tr GROUP BY tok),
+      s AS (SELECT CAST(SUM(cnt) AS DOUBLE) AS n, CAST(COUNT(*) AS DOUBLE) AS v
+            FROM c),
+      dt AS (SELECT doc_id, unnest(regexp_extract_all(text, '\S+')) AS tok
+             FROM documents),
+      j AS (SELECT doc_id,
+              -ln((COALESCE(c.cnt, 0) + 0.5) / (s.n + 0.5 * (s.v + 1))) AS nll
+            FROM dt LEFT JOIN c USING (tok) CROSS JOIN s)
+      SELECT doc_id, round(AVG(nll), 6) AS avg_nll,
+             CAST(COUNT(*) AS BIGINT) AS n_tokens
+      FROM j GROUP BY doc_id ORDER BY doc_id""",
     "q9V_span_dedup" -> """
       WITH toks AS (SELECT doc_id, regexp_extract_all(text, '\S+') AS t FROM documents),
       tok AS (SELECT doc_id, i - 1 AS pos, t[i] AS tok

@@ -526,4 +526,88 @@ class Round5OpsSpec extends AnyFunSuite {
       .agg(sum("n")).collect()(0).getLong(0)
     assert(residual === 0L)
   }
+
+  // --- LM quality scoring -------------------------------------------
+
+  test("lmScore matches the closed-form unigram model on a hand case") {
+    import graft.operators.TextAnalysis
+    val train = Seq((0L, "a a b")).toDF("doc_id", "text")
+    val docs = Seq((1L, "a b"), (2L, "c")).toDF("doc_id", "text")
+    val got = TextAnalysis.lmScore(docs, train, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> ((r.getDouble(1), r.getLong(2)))).toMap
+    // N=3 tokens, V=2 vocab, denom = 3 + 0.5·3
+    val denom = 3 + 0.5 * 3
+    def nll(c: Long) = -math.log((c + 0.5) / denom)
+    assert(got(1L)._2 === 2L && got(2L)._2 === 1L)
+    assert(math.abs(got(1L)._1 - (nll(2) + nll(1)) / 2) < 1e-6)
+    assert(math.abs(got(2L)._1 - nll(0)) < 1e-6) // OOV bucket
+  }
+
+  test("lmScore: OOV junk scores higher than common-token text") {
+    import graft.operators.TextAnalysis
+    val train = docs.filter(col("lang") === "en")
+    // most frequent training tokens vs tokens the model never saw
+    val common = train
+      .select(explode(TextAnalysis.tokens(col("text"))).as("tok"))
+      .groupBy("tok").count().orderBy(col("count").desc, col("tok"))
+      .limit(5).collect().map(_.getString(0))
+    val probe = Seq(
+      (1L, common.mkString(" ")),
+      (2L, "zzqx1 zzqx2 zzqx3 zzqx4 zzqx5")
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.lmScore(probe, train, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(got(1L) < got(2L),
+      s"in-domain text must be cheaper than OOV junk: $got")
+  }
+
+  // --- semantic dedup (SemDeDup) ------------------------------------
+
+  private def canonicalMap(df: org.apache.spark.sql.DataFrame): Map[Long, Long] =
+    df.select("vec_id", "canonical_id")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+  test("semanticDedup at nlist=1 equals the exact all-pairs components path") {
+    import graft.operators.ConnectedComponents
+    val emb = Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
+    val exactEdges = Similarity.allPairsAbove(emb, "vec_id", "embedding", 0.40)
+      .select("id_a", "id_b")
+    val cc = ConnectedComponents.run(exactEdges, "id_a", "id_b")
+    val exact = canonicalMap(emb.select(col("vec_id"))
+      .join(cc.withColumnRenamed("id", "vec_id"), Seq("vec_id"), "left")
+      .select(col("vec_id"),
+        coalesce(col("component"), col("vec_id")).as("canonical_id")))
+    val got = canonicalMap(
+      Similarity.semanticDedup(emb, "vec_id", "embedding", 0.40, nlist = 1))
+    assert(got == exact)
+  }
+
+  test("semanticDedup at nlist>1 refines the exact clustering; recall measured") {
+    val emb = Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
+    val exact = canonicalMap(
+      Similarity.semanticDedup(emb, "vec_id", "embedding", 0.40, nlist = 1))
+    val got = canonicalMap(
+      Similarity.semanticDedup(emb, "vec_id", "embedding", 0.40, nlist = 4))
+    // precision is exact: ids grouped at nlist=4 are grouped exactly too
+    // (every within-cell edge is a verified cosine ≥ threshold)
+    got.groupBy(_._2).values.foreach { grp =>
+      assert(grp.keys.map(exact).toSet.size === 1,
+        s"cluster ${grp.keys.toSeq.sorted} straddles exact components")
+    }
+    // recall: fraction of exact same-component pairs still together
+    def pairs(m: Map[Long, Long]): Set[(Long, Long)] =
+      m.groupBy(_._2).values.flatMap { g =>
+        val ids = g.keys.toSeq.sorted
+        for (i <- ids.indices; j <- i + 1 until ids.size) yield (ids(i), ids(j))
+      }.toSet
+    val exactPairs = pairs(exact)
+    assert(exactPairs.nonEmpty, "fixture should contain near-dup embeddings")
+    // measured 0.4375 on this fixture: a 0.40-cosine threshold admits
+    // genuinely-far "near" pairs, which straddle cell boundaries far
+    // more often than the ~0.9-cosine dups SemDeDup targets. The pin
+    // guards against collapse (e.g. degenerate centroids putting every
+    // pair in different cells); exactness is the nlist=1 test above.
+    val recall = pairs(got).size.toDouble / exactPairs.size
+    assert(recall >= 0.35, s"cluster-boundary recall collapsed: $recall")
+  }
 }
