@@ -11,6 +11,10 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// forked runMain output goes straight to stdout, WITHOUT sbt's
+// "[info] " line prefix — the driver machine-parses Bench's one-line
+// JSON record, and the prefix was defeating its line match every round
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().
