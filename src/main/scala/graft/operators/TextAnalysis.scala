@@ -281,6 +281,41 @@ object TextAnalysis {
         count(lit(1)).as("n_tokens"))
   }
 
+  /**
+   * Feature-hashing ("hashing trick") text embedding: token t adds
+   * sign(t) at index h(t) mod `dim` — the Vowpal Wabbit /
+   * HashingVectorizer construction. No trained vocabulary and fully
+   * deterministic (md5-derived bucket + sign, same convention as
+   * [[graft.operators.Sampling.hash40]]), so any engine reproduces the
+   * vectors bit-for-bit: every entry is a small integer-valued sum of
+   * ±1. Bridges `documents` into the embedding operator family
+   * (bruteForceTopK / semanticDedup / IVF / PQ) when no model
+   * embeddings exist; docs with zero tokens produce no row.
+   *
+   * Scale shape: explode → (doc, bucket) partial/final hash-agg (the
+   * corpus-token shuffle compresses to ≤ dim rows per doc map-side) →
+   * per-doc dense assembly. The `transform` lambda runs ONCE per doc
+   * over dim entries (output assembly), not in a per-pair hot path —
+   * the interpreted-HOF trap doesn't apply.
+   */
+  def hashEmbed(docs: org.apache.spark.sql.DataFrame, idCol: String,
+                textCol: String, dim: Int = 64): org.apache.spark.sql.DataFrame = {
+    require(dim > 0, "dim must be positive")
+    val h = md5(col("tok"))
+    val bucket = (conv(substring(h, 1, 8), 16, 10).cast("long") % dim).cast("int")
+    val sign = when(conv(substring(h, 9, 1), 16, 10).cast("int") % 2 === 0,
+      lit(1.0)).otherwise(lit(-1.0))
+    docs.select(col(idCol), explode(tokens(col(textCol))).as("tok"))
+      .select(col(idCol), bucket.as("bucket"), sign.as("s"))
+      .groupBy(col(idCol), col("bucket"))
+      .agg(sum(col("s")).as("w"))
+      .groupBy(col(idCol))
+      .agg(map_from_entries(collect_list(struct(col("bucket"), col("w")))).as("m"))
+      .select(col(idCol),
+        transform(sequence(lit(0), lit(dim - 1)),
+          i => coalesce(element_at(col("m"), i), lit(0.0))).as("embedding"))
+  }
+
   def bm25Rank(docs: org.apache.spark.sql.DataFrame, idCol: String,
                textCol: String, queryTerms: Seq[String], k1: Double = 1.2,
                b: Double = 0.75, topK: Int = 10): org.apache.spark.sql.DataFrame = {

@@ -428,6 +428,15 @@ object Pipeline {
         .orderBy(col("doc_id"))
     }),
 
+    // feature-hashing (hashing-trick) text embedding: md5 bucket+sign,
+    // entries are exact integer-valued sums — emitted as posexploded
+    // (doc, dim_i, w) rows for the exact oracle compare
+    "q9Z_hash_embed" -> ((s, dir) => {
+      TextAnalysis.hashEmbed(T(s, dir)("documents"), "doc_id", "text", dim = 16)
+        .select(col("doc_id"), posexplode(col("embedding")).as(Seq("dim_i", "w")))
+        .orderBy(col("doc_id"), col("dim_i"))
+    }),
+
     // SemDeDup semantic dedup: k-means cells bound the quadratic cosine
     // edge search (nlist × O((n/nlist)²) candidates, linear with
     // nlist ∝ √n), components canonicalized to min-id. Rows-only
@@ -886,6 +895,23 @@ object Pipeline {
       SELECT doc_id, round(AVG(nll), 6) AS avg_nll,
              CAST(COUNT(*) AS BIGINT) AS n_tokens
       FROM j GROUP BY doc_id ORDER BY doc_id""",
+    "q9Z_hash_embed" -> """
+      WITH tok AS (SELECT doc_id, unnest(regexp_extract_all(text, '\S+')) AS tok
+                   FROM documents),
+      hx AS (SELECT doc_id,
+               CAST(list_reduce(list_transform(
+                 regexp_extract_all(substring(md5(tok), 1, 8), '.'),
+                 c -> CAST(instr('0123456789abcdef', c) - 1 AS BIGINT)),
+                 (a, b) -> a * 16 + b) % 16 AS INT) AS bucket,
+               CASE WHEN (instr('0123456789abcdef', substring(md5(tok), 9, 1)) - 1) % 2 = 0
+                    THEN 1.0 ELSE -1.0 END AS s
+             FROM tok),
+      w AS (SELECT doc_id, bucket, SUM(s) AS w FROM hx GROUP BY 1, 2),
+      d AS (SELECT doc_id, unnest(range(16)) AS dim_i
+            FROM (SELECT DISTINCT doc_id FROM tok))
+      SELECT d.doc_id, CAST(d.dim_i AS INT) AS dim_i, COALESCE(w.w, 0.0) AS w
+      FROM d LEFT JOIN w ON d.doc_id = w.doc_id AND d.dim_i = w.bucket
+      ORDER BY d.doc_id, d.dim_i""",
     "q9V_span_dedup" -> """
       WITH toks AS (SELECT doc_id, regexp_extract_all(text, '\S+') AS t FROM documents),
       tok AS (SELECT doc_id, i - 1 AS pos, t[i] AS tok

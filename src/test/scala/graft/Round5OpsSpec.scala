@@ -561,6 +561,45 @@ class Round5OpsSpec extends AnyFunSuite {
       s"in-domain text must be cheaper than OOV junk: $got")
   }
 
+  // --- feature-hashing embeddings -----------------------------------
+
+  test("hashEmbed: exact bucket/sign construction, hand-verified") {
+    import graft.operators.TextAnalysis
+    val rows = Seq((1L, "alpha beta alpha"), (2L, "")).toDF("doc_id", "text")
+    val got = TextAnalysis.hashEmbed(rows, "doc_id", "text", dim = 8)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    // zero-token doc produces no row
+    assert(got.keySet === Set(1L))
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+    val expected = Array.fill(8)(0.0)
+    for (tok <- Seq("alpha", "beta", "alpha")) {
+      val h = md5hex(tok)
+      val b = (java.lang.Long.parseLong(h.substring(0, 8), 16) % 8).toInt
+      val s = if (Integer.parseInt(h.substring(8, 9), 16) % 2 == 0) 1.0 else -1.0
+      expected(b) += s
+    }
+    assert(got(1L) === expected.toSeq)
+  }
+
+  test("hashEmbed bridges text into the ANN family: dup docs are identical") {
+    import graft.operators.TextAnalysis
+    val d0 = docs.orderBy("doc_id").limit(20).select(col("doc_id"), col("text"))
+    // re-key a copy of the first doc so it embeds as a separate row
+    val dup = d0.orderBy("doc_id").limit(1)
+      .select((col("doc_id") + 1000000L).as("doc_id"), col("text"))
+    val emb = TextAnalysis.hashEmbed(d0.union(dup), "doc_id", "text", dim = 32)
+      .withColumnRenamed("doc_id", "vec_id")
+    val dupId = dup.collect()(0).getLong(0)
+    // exact duplicate text → bit-identical vector → cosine exactly 1
+    val top = Similarity.bruteForceTopK(emb, "vec_id", "embedding",
+      queryId = dupId, k = 1).collect()(0)
+    assert(top.getDouble(1) === 1.0,
+      "the duplicated document must find its twin at cosine 1")
+    assert(top.getLong(0) === dupId - 1000000L)
+  }
+
   // --- semantic dedup (SemDeDup) ------------------------------------
 
   private def canonicalMap(df: org.apache.spark.sql.DataFrame): Map[Long, Long] =
