@@ -102,11 +102,22 @@ object Similarity {
    * along with measured recall at nlist>1); precision is exact (every
    * emitted edge is a verified raw-double cosine ≥ `minCos`, same
    * threshold contract as [[allPairsAbove]]).
+   *
+   * Zero-norm vectors (possible from [[TextAnalysis.hashEmbed]] when
+   * a doc's signs cancel) stay singletons: their cosine is 0/0 = NaN,
+   * and Spark's NaN-is-largest comparison would otherwise glue such a
+   * vector to its ENTIRE cell. Ids must be integral (the
+   * [[ConnectedComponents]] contract — non-numeric ids would silently
+   * cast to null and drop every edge).
    */
   def semanticDedup(emb: DataFrame, idCol: String, vecCol: String,
                     minCos: Double, nlist: Int, iters: Int = 2,
                     cacheKey: Option[String] = None,
                     maxCellSize: Option[Int] = None): DataFrame = {
+    require(Seq("int", "bigint", "smallint", "tinyint")
+        .contains(emb.schema(idCol).dataType.simpleString),
+      s"semanticDedup: $idCol must be an integral id column " +
+        "(ConnectedComponents casts endpoints to long)")
     val centroids = cacheKey match {
       case Some(key) => IvfIndex.trainCached(emb, idCol, vecCol, nlist, iters, key)
       case None => IvfIndex.train(emb, idCol, vecCol, nlist, iters)
@@ -114,7 +125,11 @@ object Similarity {
     val assigned = Dedup.capBuckets(
       IvfIndex.assign(emb, idCol, vecCol, centroids)
         .select(col(idCol).as("id"), col(vecCol).as("v"),
-          norm(col(vecCol)).as("nv"), col("ivf_cell").as("cell")),
+          norm(col(vecCol)).as("nv"), col("ivf_cell").as("cell"))
+        // NaN guard: a zero-norm vector's cosine to anything is NaN,
+        // which Spark orders ABOVE every threshold — keep it out of
+        // the edge search entirely (it stays a singleton downstream)
+        .filter(col("nv") > 0),
       Seq("cell"), maxCellSize, "semanticDedup")
     val edges = assigned.as("a").join(assigned.as("b"),
         col("a.cell") === col("b.cell") && col("a.id") < col("b.id"))

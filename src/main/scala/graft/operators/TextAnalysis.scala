@@ -225,20 +225,6 @@ object TextAnalysis {
   }
 
   /**
-   * BM25 ranked retrieval (Robertson–Spärck Jones / Okapi BM25): score
-   * every document against a fixed bag of query terms and return the
-   * `topK`. Scores are rounded to 1e-6 BEFORE ordering so cross-engine
-   * last-ulp `ln` differences can't flip ranks (same convention as
-   * [[tfidfTopTerms]]).
-   *
-   * Scale shape: the corpus token stream is prefiltered by a BROADCAST
-   * join against the |q|-row term list before any aggregation — only
-   * matching (doc, term) rows ever shuffle; document frequencies are
-   * |q| rows; the per-doc length join is the one corpus-sized join and
-   * carries two columns. Final ranking is a global top-k
-   * (`TakeOrderedAndProject`), not a sort.
-   */
-  /**
    * CCNet-style LM quality scoring: a unigram language model with
    * add-alpha smoothing trained on a reference slice (e.g. the target
    * language's documents), each document scored by its average
@@ -251,27 +237,40 @@ object TextAnalysis {
    * bucket — every factor is a deterministic function of the train
    * slice, no RNG anywhere.
    *
-   * Scale shape: the LM table is MODEL-sized, not corpus-sized — the
-   * caller bounds it by choosing the train slice (CCNet prunes its
-   * KenLM the same way), so unlike [[tfidfTopTerms]]'s corpus-wide
-   * vocabulary it is safely broadcast. Scoring is then explode →
-   * broadcast hash join → per-doc partial/final aggregate: the only
-   * corpus-sized shuffle carries (doc, partial-sum) rows. Model
-   * constants (N, V) are one tiny collected aggregate. `avg_nll` is
-   * rounded 1e-6 for cross-engine `ln` parity (see [[bm25Rank]]).
+   * Scale shape: the LM is a MODEL, not corpus metadata — it is
+   * aggregated once (partial/final hash-agg over the train slice),
+   * pruned by `minCount` (how CCNet keeps its KenLM bounded; a rare
+   * token below the cutoff scores as OOV), collected, and broadcast.
+   * Unlike [[tfidfTopTerms]]'s corpus-wide vocabulary, the broadcast
+   * is bounded by the pruning knob, and the one driver round-trip
+   * also yields the model constants (N over kept tokens, V) without a
+   * second aggregation pass. Scoring is then explode → broadcast hash
+   * join → per-doc partial/final aggregate: the only corpus-sized
+   * shuffle carries (doc, partial-sum) rows. `avg_nll` is rounded
+   * 1e-6 for cross-engine `ln` parity (see [[bm25Rank]]).
    */
   def lmScore(docs: org.apache.spark.sql.DataFrame,
               train: org.apache.spark.sql.DataFrame, idCol: String,
-              textCol: String, alpha: Double = 0.5): org.apache.spark.sql.DataFrame = {
-    val counts = train.select(explode(tokens(col(textCol))).as("tok"))
-      .groupBy(col("tok")).agg(count(lit(1)).as("cnt"))
-    val r = counts.agg(sum(col("cnt")), count(lit(1))).head()
-    val n = if (r.isNullAt(0)) 0L else r.getLong(0)
-    val v = r.getLong(1)
+              textCol: String, alpha: Double = 0.5,
+              minCount: Long = 1L): org.apache.spark.sql.DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val model: Array[(String, Long)] =
+      train.select(explode(tokens(col(textCol))).as("tok"))
+        .groupBy(col("tok")).agg(count(lit(1)).as("cnt"))
+        .filter(col("cnt") >= minCount)
+        .collect().map(r => (r.getString(0), r.getLong(1)))
+    // an empty model scores EVERY token p=1 / nll=0 — junk would read
+    // as maximally fluent, so fail loudly instead
+    require(model.nonEmpty,
+      s"lmScore: train slice has no tokens with count >= $minCount")
+    val n = model.map(_._2).sum
+    val v = model.length.toLong
     // unseen tokens share one OOV bucket: denominator adds α·(V+1).
     // Long→Double is exact below 2^53 and α·(V+1) is one IEEE multiply,
     // so any engine computing this formula lands on the same double.
     val denom = n + alpha * (v + 1)
+    val counts = model.toSeq.toDF("tok", "cnt")
     docs.select(col(idCol), explode(tokens(col(textCol))).as("tok"))
       .join(broadcast(counts), Seq("tok"), "left")
       .select(col(idCol),
@@ -316,6 +315,20 @@ object TextAnalysis {
           i => coalesce(element_at(col("m"), i), lit(0.0))).as("embedding"))
   }
 
+  /**
+   * BM25 ranked retrieval (Robertson–Spärck Jones / Okapi BM25): score
+   * every document against a fixed bag of query terms and return the
+   * `topK`. Scores are rounded to 1e-6 BEFORE ordering so cross-engine
+   * last-ulp `ln` differences can't flip ranks (same convention as
+   * [[tfidfTopTerms]]).
+   *
+   * Scale shape: the corpus token stream is prefiltered by a BROADCAST
+   * join against the |q|-row term list before any aggregation — only
+   * matching (doc, term) rows ever shuffle; document frequencies are
+   * |q| rows; the per-doc length join is the one corpus-sized join and
+   * carries two columns. Final ranking is a global top-k
+   * (`TakeOrderedAndProject`), not a sort.
+   */
   def bm25Rank(docs: org.apache.spark.sql.DataFrame, idCol: String,
                textCol: String, queryTerms: Seq[String], k1: Double = 1.2,
                b: Double = 0.75, topK: Int = 10): org.apache.spark.sql.DataFrame = {

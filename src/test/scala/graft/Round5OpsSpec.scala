@@ -649,4 +649,35 @@ class Round5OpsSpec extends AnyFunSuite {
     val recall = pairs(got).size.toDouble / exactPairs.size
     assert(recall >= 0.35, s"cluster-boundary recall collapsed: $recall")
   }
+
+  test("lmScore fails loudly on an empty train slice") {
+    import graft.operators.TextAnalysis
+    val train = Seq((0L, "")).toDF("doc_id", "text")
+    val probe = Seq((1L, "anything")).toDF("doc_id", "text")
+    val e = intercept[IllegalArgumentException] {
+      TextAnalysis.lmScore(probe, train, "doc_id", "text")
+    }
+    assert(e.getMessage.contains("train slice has no tokens"))
+  }
+
+  test("semanticDedup: zero-norm vectors stay singletons (NaN guard)") {
+    // hashEmbed can emit an all-zero vector (signs cancel); its cosine
+    // to anything is NaN, which Spark orders above every threshold —
+    // without the guard it would edge to the whole cell
+    val emb = Seq((1L, Seq(0.0, 0.0)), (2L, Seq(1.0, 0.0)), (3L, Seq(1.0, 0.0)))
+      .toDF("vec_id", "embedding")
+    val got = canonicalMap(Similarity.semanticDedup(
+      emb, "vec_id", "embedding", minCos = 0.9, nlist = 1))
+    assert(got === Map(1L -> 1L, 2L -> 2L, 3L -> 2L))
+  }
+
+  test("semanticDedup hot-cell guard: a dropped cell leaves its members singletons") {
+    val emb = Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
+    // nlist=1 puts everything in one cell, which the cap then drops:
+    // no pairs survive, every vector canonicalizes to itself
+    val got = canonicalMap(Similarity.semanticDedup(
+      emb, "vec_id", "embedding", 0.40, nlist = 1, maxCellSize = Some(1)))
+    assert(got.forall { case (id, canon) => id == canon })
+    assert(got.nonEmpty)
+  }
 }
