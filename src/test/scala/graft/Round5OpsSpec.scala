@@ -207,6 +207,26 @@ class Round5OpsSpec extends AnyFunSuite {
     assert(!cleanPlan.contains("Exchange"))
   }
 
+  test("lmScore scoring joins the broadcast model, never a shuffled join") {
+    import graft.operators.TextAnalysis
+    val plan = TextAnalysis.lmScore(docs, docs.filter(col("lang") === "en"),
+        "doc_id", "text")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      s"the LM model table must broadcast:\n$plan")
+    assert(!plan.contains("SortMergeJoin"))
+  }
+
+  test("hashEmbed plan: one corpus shuffle pair, no joins") {
+    import graft.operators.TextAnalysis
+    val plan = TextAnalysis.hashEmbed(docs, "doc_id", "text", dim = 16)
+      .queryExecution.executedPlan.toString
+    // (doc,bucket) partial/final + per-doc assembly = 2 Exchanges max;
+    // the dense fill is pure projection — no join anywhere
+    assert("Exchange".r.findAllIn(plan).size <= 2, plan)
+    assert(!plan.contains("Join"), plan)
+  }
+
   // --- randomized cross-checks --------------------------------------
 
   test("packShards invariants hold on randomized weights") {
