@@ -4,7 +4,7 @@ import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.expressions.codegen.Block._
-import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression, XXH64}
+import org.apache.spark.sql.catalyst.expressions.{ExpectsInputTypes, Expression, UnaryExpression, XXH64}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.graftbridge.ColumnBridge
 import org.apache.spark.sql.types._
@@ -244,8 +244,9 @@ object ShingleExprs {
 /** MinHash signature + distinct shingle-hash set in one codegen'd pass. */
 case class ShingleMinHashSig(child: Expression, w: Int, k: Int,
                              a: Array[Long], b: Array[Long], p: Long)
-    extends UnaryExpression {
+    extends UnaryExpression with ExpectsInputTypes {
 
+  override def inputTypes: Seq[ColumnBridge.SqlAbstractDataType] = Seq(StringType)
   override def dataType: DataType = StructType(Seq(
     StructField("sig", ArrayType(LongType, containsNull = false), nullable = false),
     StructField("hs", ArrayType(LongType, containsNull = false), nullable = false)))
@@ -267,8 +268,9 @@ case class ShingleMinHashSig(child: Expression, w: Int, k: Int,
 
 /** Sorted distinct w-shingle xxhash64 values (prefix-filter input). */
 case class ShingleHashSet(child: Expression, w: Int, mask: Boolean)
-    extends UnaryExpression {
+    extends UnaryExpression with ExpectsInputTypes {
 
+  override def inputTypes: Seq[ColumnBridge.SqlAbstractDataType] = Seq(StringType)
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
 
   override def nullSafeEval(v: Any): Any =
@@ -342,8 +344,9 @@ case class SortedIntersectCount(left: Expression, right: Expression)
 
 /** One-pass w-token gram array (overlapping windows or chunks). */
 case class TokenGrams(child: Expression, w: Int, overlapping: Boolean)
-    extends UnaryExpression {
+    extends UnaryExpression with ExpectsInputTypes {
 
+  override def inputTypes: Seq[ColumnBridge.SqlAbstractDataType] = Seq(StringType)
   require(w >= 1, s"token_grams width must be >= 1, got $w")
 
   override def dataType: DataType = ArrayType(StringType, containsNull = false)
@@ -361,8 +364,10 @@ case class TokenGrams(child: Expression, w: Int, overlapping: Boolean)
 }
 
 /** 64-bit SimHash over a token array; null for empty input. */
-case class SimHash64(child: Expression) extends UnaryExpression {
+case class SimHash64(child: Expression)
+    extends UnaryExpression with ExpectsInputTypes {
 
+  override def inputTypes: Seq[ColumnBridge.SqlAbstractDataType] = Seq(ArrayType(StringType))
   override def dataType: DataType = LongType
   override def nullable: Boolean = true
 

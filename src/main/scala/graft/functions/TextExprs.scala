@@ -3,7 +3,7 @@ package graft.functions
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
-import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{ExpectsInputTypes, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.graftbridge.ColumnBridge
 import org.apache.spark.sql.types._
@@ -108,8 +108,10 @@ object TextExprs {
 
 /** Unicode NFC normalization (the canonicalization step of text
   * cleaning; DuckDB-`nfc_normalize` parity). */
-case class NfcNormalize(child: Expression) extends UnaryExpression {
+case class NfcNormalize(child: Expression)
+    extends UnaryExpression with ExpectsInputTypes {
 
+  override def inputTypes: Seq[ColumnBridge.SqlAbstractDataType] = Seq(StringType)
   override def dataType: DataType = StringType
 
   override def nullSafeEval(v: Any): Any =
@@ -126,8 +128,9 @@ case class NfcNormalize(child: Expression) extends UnaryExpression {
 /** Membership test of a sorted long array against a sorted constant
   * needle set — the zero-shuffle decontamination flag. */
 case class SortedLongsOverlap(child: Expression, needles: Array[Long])
-    extends UnaryExpression {
+    extends UnaryExpression with ExpectsInputTypes {
 
+  override def inputTypes: Seq[ColumnBridge.SqlAbstractDataType] = Seq(ArrayType(LongType))
   override def dataType: DataType = BooleanType
 
   override def nullSafeEval(v: Any): Any =
@@ -145,8 +148,10 @@ case class SortedLongsOverlap(child: Expression, needles: Array[Long])
 
 /** struct(n_tokens, n_distinct, max_bigram, dup_bigram_chars,
   * total_bigram_chars) in one pass over the text. */
-case class RepetitionStats(child: Expression) extends UnaryExpression {
+case class RepetitionStats(child: Expression)
+    extends UnaryExpression with ExpectsInputTypes {
 
+  override def inputTypes: Seq[ColumnBridge.SqlAbstractDataType] = Seq(StringType)
   override def dataType: DataType = StructType(Seq(
     StructField("n_tokens", IntegerType, nullable = false),
     StructField("n_distinct", IntegerType, nullable = false),

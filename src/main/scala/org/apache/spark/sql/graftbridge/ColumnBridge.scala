@@ -14,6 +14,12 @@ object ColumnBridge {
   def column(e: Expression): Column = ExpressionUtils.column(e)
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
 
+  /** `AbstractDataType` is `private[sql]` in Spark 4 — re-exported so
+    * graft's native Expressions can declare `inputTypes` (analysis-time
+    * type checks via ExpectsInputTypes instead of executor-side
+    * ClassCastExceptions on mistyped SQL). */
+  type SqlAbstractDataType = org.apache.spark.sql.types.AbstractDataType
+
   /** Run a (possibly hand-transformed) unresolved LogicalPlan. */
   def ofRows(spark: org.apache.spark.sql.SparkSession,
              plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): org.apache.spark.sql.DataFrame =

@@ -60,6 +60,26 @@ class QueryServerSpec extends AnyFunSuite {
       """{"results":[{"one":1}]}""")
   }
 
+  test("pipeline kernels are callable over the HTTP SQL surface") {
+    // the Compat-registered dedup/text kernels work through the same
+    // /query endpoint a reference client uses — over a lake table,
+    // with the int64-as-string JSON contract applying to the hash
+    val r = post("/query",
+      """{"query":"SELECT location, simhash64(token_grams(location, 1, true)) AS sh FROM mydb.weather ORDER BY location LIMIT 1"}""")
+    assert(r.statusCode() == 200, r.body())
+    val expected = spark
+      .sql("SELECT simhash64(token_grams('pdx', 1, true)) AS sh")
+      .collect()(0).getLong(0)
+    assert(r.body() ==
+      s"""{"results":[{"location":"pdx","sh":"$expected"}]}""")
+    // a mistyped call fails at ANALYSIS with the error contract, not
+    // as an executor-side ClassCastException
+    val bad = post("/query",
+      """{"query":"SELECT simhash64(location) FROM mydb.weather"}""")
+    assert(bad.statusCode() == 400)
+    assert(bad.body().contains("DATATYPE_MISMATCH"), bad.body())
+  }
+
   test("arrow format: IPC stream readable, time forced to ns-UTC") {
     val r = client.send(HttpRequest.newBuilder(
       URI.create(s"http://localhost:$port/query?format=arrow"))
