@@ -281,6 +281,73 @@ object TextAnalysis {
   }
 
   /**
+   * Bigram upgrade of [[lmScore]] (CCNet's KenLM is higher-order; the
+   * bigram model is the first step up from the unigram): the first
+   * token scores under the unigram model, every following token under
+   * p(tᵢ | tᵢ₋₁) = (c(tᵢ₋₁ tᵢ) + α) / (c(tᵢ₋₁) + α·(V+1)), both with
+   * add-α smoothing against the pruned vocabulary.
+   *
+   * Scale shape mirrors [[lmScore]]: BOTH model tables (unigram vocab
+   * + surviving bigrams, each pruned by `minCount`) are model-sized
+   * and broadcast; the transition stream comes from the codegen'd
+   * [[graft.functions.TokenGrams]] kernel map-side, takes two
+   * broadcast joins (bigram hit count + prefix unigram count) and one
+   * per-doc partial/final aggregate — still exactly one corpus-sized
+   * shuffle of (doc, partial-sum) rows.
+   */
+  def lmScoreBigram(docs: org.apache.spark.sql.DataFrame,
+                    train: org.apache.spark.sql.DataFrame, idCol: String,
+                    textCol: String, alpha: Double = 0.5,
+                    minCount: Long = 1L): org.apache.spark.sql.DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val grams2 = graft.functions.ShingleExprs.token_grams(
+      col(textCol), 2, overlapping = true)
+    val uniModel: Array[(String, Long)] =
+      train.select(explode(tokens(col(textCol))).as("tok"))
+        .groupBy(col("tok")).agg(count(lit(1)).as("cnt"))
+        .filter(col("cnt") >= minCount)
+        .collect().map(r => (r.getString(0), r.getLong(1)))
+    require(uniModel.nonEmpty,
+      s"lmScoreBigram: train slice has no tokens with count >= $minCount")
+    val bigModel: Array[(String, Long)] =
+      train.select(explode(grams2).as("g"))
+        .groupBy(col("g")).agg(count(lit(1)).as("cnt"))
+        .filter(col("cnt") >= minCount)
+        .collect().map(r => (r.getString(0), r.getLong(1)))
+    val n = uniModel.map(_._2).sum
+    val v = uniModel.length.toLong
+    val denomUni = n + alpha * (v + 1)
+    val ovv = alpha * (v + 1) // smoothing mass added to every prefix count
+    val uni = uniModel.toSeq.toDF("tok", "uc")
+    val big = bigModel.toSeq.toDF("g", "bc")
+    // first token of each doc scores under the unigram model
+    val first = docs
+      .select(col(idCol),
+        // `get` (0-based) is null on an empty array — element_at would
+        // throw under ANSI for a zero-token doc
+        get(tokens(col(textCol)), lit(0)).as("tok"))
+      .filter(col("tok").isNotNull)
+      .join(broadcast(uni), Seq("tok"), "left")
+      .select(col(idCol),
+        (-log((coalesce(col("uc"), lit(0L)) + lit(alpha)) / lit(denomUni)))
+          .as("nll"))
+    // transitions: the map-side TokenGrams stream → two broadcast joins
+    val trans = docs
+      .select(col(idCol), explode(grams2).as("g"))
+      .withColumn("ptok", substring_index(col("g"), " ", 1))
+      .join(broadcast(big), Seq("g"), "left")
+      .join(broadcast(uni.withColumnRenamed("tok", "ptok")), Seq("ptok"), "left")
+      .select(col(idCol),
+        (-log((coalesce(col("bc"), lit(0L)) + lit(alpha)) /
+          (coalesce(col("uc"), lit(0L)) + lit(ovv)))).as("nll"))
+    first.union(trans)
+      .groupBy(col(idCol))
+      .agg(round(avg(col("nll")), 6).as("avg_nll"),
+        count(lit(1)).as("n_tokens"))
+  }
+
+  /**
    * Feature-hashing ("hashing trick") text embedding: token t adds
    * sign(t) at index h(t) mod `dim` — the Vowpal Wabbit /
    * HashingVectorizer construction. No trained vocabulary and fully

@@ -428,6 +428,17 @@ object Pipeline {
         .orderBy(col("doc_id"))
     }),
 
+    // bigram LM scoring: first token under the unigram model, every
+    // transition under p(t_i | t_{i-1}) with add-alpha smoothing —
+    // broadcast models from the TokenGrams kernel stream, one per-doc
+    // shuffle; fully oracle-checked (identical IEEE arithmetic in SQL)
+    "qA0_lm_bigram" -> ((s, dir) => {
+      val d = T(s, dir)("documents")
+      TextAnalysis.lmScoreBigram(d, d.filter(col("lang") === "en"),
+          "doc_id", "text")
+        .orderBy(col("doc_id"))
+    }),
+
     // feature-hashing (hashing-trick) text embedding: md5 bucket+sign,
     // entries are exact integer-valued sums — emitted as posexploded
     // (doc, dim_i, w) rows for the exact oracle compare
@@ -895,6 +906,34 @@ object Pipeline {
       SELECT doc_id, round(AVG(nll), 6) AS avg_nll,
              CAST(COUNT(*) AS BIGINT) AS n_tokens
       FROM j GROUP BY doc_id ORDER BY doc_id""",
+    "qA0_lm_bigram" -> """
+      WITH tr AS (SELECT unnest(regexp_extract_all(text, '\S+')) AS tok
+                  FROM documents WHERE lang = 'en'),
+      uni AS (SELECT tok, COUNT(*) AS uc FROM tr GROUP BY tok),
+      s AS (SELECT CAST(SUM(uc) AS DOUBLE) AS n, CAST(COUNT(*) AS DOUBLE) AS v
+            FROM uni),
+      trt AS (SELECT regexp_extract_all(text, '\S+') AS t
+              FROM documents WHERE lang = 'en'),
+      big AS (SELECT g, COUNT(*) AS bc FROM (
+                SELECT t[i] || ' ' || t[i + 1] AS g
+                FROM trt, LATERAL (SELECT unnest(range(1, len(t))) AS i) u)
+              GROUP BY g),
+      dt AS (SELECT doc_id, regexp_extract_all(text, '\S+') AS t FROM documents),
+      first AS (SELECT doc_id,
+                  -ln((COALESCE(uni.uc, 0) + 0.5) / (s.n + 0.5 * (s.v + 1))) AS nll
+                FROM (SELECT doc_id, t[1] AS tok FROM dt WHERE len(t) >= 1) f
+                LEFT JOIN uni USING (tok) CROSS JOIN s),
+      trans AS (SELECT doc_id,
+                  -ln((COALESCE(big.bc, 0) + 0.5) /
+                      (COALESCE(uni.uc, 0) + 0.5 * (s.v + 1))) AS nll
+                FROM (SELECT doc_id, t[i] AS ptok, t[i] || ' ' || t[i + 1] AS g
+                      FROM dt, LATERAL (SELECT unnest(range(1, len(t))) AS i) u) x
+                LEFT JOIN big USING (g)
+                LEFT JOIN uni ON uni.tok = x.ptok CROSS JOIN s),
+      all_nll AS (SELECT * FROM first UNION ALL SELECT * FROM trans)
+      SELECT doc_id, round(AVG(nll), 6) AS avg_nll,
+             CAST(COUNT(*) AS BIGINT) AS n_tokens
+      FROM all_nll GROUP BY doc_id ORDER BY doc_id""",
     "q9Z_hash_embed" -> """
       WITH tok AS (SELECT doc_id, unnest(regexp_extract_all(text, '\S+')) AS tok
                    FROM documents),

@@ -670,6 +670,26 @@ class Round5OpsSpec extends AnyFunSuite {
     assert(recall >= 0.35, s"cluster-boundary recall collapsed: $recall")
   }
 
+  test("lmScoreBigram matches the closed-form chain on a hand case") {
+    import graft.operators.TextAnalysis
+    val train = Seq((0L, "a b a b")).toDF("doc_id", "text")
+    val docs = Seq((1L, "a b"), (2L, "b a"), (3L, "c c")).toDF("doc_id", "text")
+    val got = TextAnalysis.lmScoreBigram(docs, train, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> ((r.getDouble(1), r.getLong(2)))).toMap
+    // uni: a→2 b→2; n=4 v=2; denomUni=5.5; prefix smoothing mass 1.5
+    // bigrams: "a b"→2, "b a"→1
+    def ln(x: Double) = math.log(x)
+    val e1 = (-ln(2.5 / 5.5) - ln(2.5 / 3.5)) / 2 // first a, trans "a b"
+    val e2 = (-ln(2.5 / 5.5) - ln(1.5 / 3.5)) / 2 // first b, trans "b a"
+    val e3 = (-ln(0.5 / 5.5) - ln(0.5 / 1.5)) / 2 // OOV first + OOV trans
+    assert(got.view.mapValues(_._2).toMap === Map(1L -> 2L, 2L -> 2L, 3L -> 2L))
+    assert(math.abs(got(1L)._1 - e1) < 1e-6)
+    assert(math.abs(got(2L)._1 - e2) < 1e-6)
+    assert(math.abs(got(3L)._1 - e3) < 1e-6)
+    // a fluent bigram sequence is cheaper than a reversed/junk one
+    assert(got(1L)._1 < got(3L)._1)
+  }
+
   test("lmScore fails loudly on an empty train slice") {
     import graft.operators.TextAnalysis
     val train = Seq((0L, "")).toDF("doc_id", "text")
