@@ -319,29 +319,30 @@ object TextAnalysis {
     val v = uniModel.length.toLong
     val denomUni = n + alpha * (v + 1)
     val ovv = alpha * (v + 1) // smoothing mass added to every prefix count
-    val uni = uniModel.toSeq.toDF("tok", "uc")
-    val big = bigModel.toSeq.toDF("g", "bc")
-    // first token of each doc scores under the unigram model
-    val first = docs
+    val uni = uniModel.toSeq.toDF("ptok", "uc")
+    val big = bigModel.toSeq.toDF("term", "bc")
+    // ONE corpus scan scores both term kinds: position 0 is the first
+    // token (unigram formula), positions ≥ 1 are the TokenGrams
+    // transitions (bigram formula). `get` (0-based) is null on an
+    // empty array (element_at would throw under ANSI); the null is
+    // dropped after the explode.
+    docs
+      .select(col(idCol), posexplode(concat(
+          array(get(tokens(col(textCol)), lit(0))), grams2))
+        .as(Seq("pos", "term")))
+      .filter(col("term").isNotNull)
+      // the prefix whose unigram count conditions the term: the first
+      // token itself at pos 0 (tokens never contain spaces), else the
+      // gram's left token
+      .withColumn("ptok", substring_index(col("term"), " ", 1))
+      .join(broadcast(big), Seq("term"), "left")
+      .join(broadcast(uni), Seq("ptok"), "left")
       .select(col(idCol),
-        // `get` (0-based) is null on an empty array — element_at would
-        // throw under ANSI for a zero-token doc
-        get(tokens(col(textCol)), lit(0)).as("tok"))
-      .filter(col("tok").isNotNull)
-      .join(broadcast(uni), Seq("tok"), "left")
-      .select(col(idCol),
-        (-log((coalesce(col("uc"), lit(0L)) + lit(alpha)) / lit(denomUni)))
-          .as("nll"))
-    // transitions: the map-side TokenGrams stream → two broadcast joins
-    val trans = docs
-      .select(col(idCol), explode(grams2).as("g"))
-      .withColumn("ptok", substring_index(col("g"), " ", 1))
-      .join(broadcast(big), Seq("g"), "left")
-      .join(broadcast(uni.withColumnRenamed("tok", "ptok")), Seq("ptok"), "left")
-      .select(col(idCol),
-        (-log((coalesce(col("bc"), lit(0L)) + lit(alpha)) /
-          (coalesce(col("uc"), lit(0L)) + lit(ovv)))).as("nll"))
-    first.union(trans)
+        when(col("pos") === 0,
+          -log((coalesce(col("uc"), lit(0L)) + lit(alpha)) / lit(denomUni)))
+        .otherwise(
+          -log((coalesce(col("bc"), lit(0L)) + lit(alpha)) /
+            (coalesce(col("uc"), lit(0L)) + lit(ovv)))).as("nll"))
       .groupBy(col(idCol))
       .agg(round(avg(col("nll")), 6).as("avg_nll"),
         count(lit(1)).as("n_tokens"))
