@@ -349,6 +349,39 @@ object TextAnalysis {
   }
 
   /**
+   * CCNet's filtering step on top of [[lmScore]]: bucket every document
+   * into per-language perplexity bands (1 = head/most fluent …
+   * `nBuckets` = tail), from which the classic pipeline keeps the
+   * head+middle. Buckets come from per-language type-7 quantile cuts —
+   * computed by [[Quantiles.exactQuantiles]]'s distributed selection,
+   * NOT an `ntile` window, which would funnel each language (half the
+   * corpus is one language in practice) through a single task.
+   *
+   * The scored (id, lang, avg_nll) projection is localCheckpoint'ed
+   * once: the cut computation makes three metadata-sized passes over
+   * it and the final bucket join a fourth — without the barrier each
+   * pass would re-run the corpus-wide scoring plan. Buckets then
+   * attach via a broadcast join of |langs| cut rows + a per-row
+   * compare: the corpus is never shuffled after scoring.
+   */
+  def perplexityBuckets(docs: org.apache.spark.sql.DataFrame,
+                        train: org.apache.spark.sql.DataFrame, idCol: String,
+                        textCol: String, langCol: String,
+                        nBuckets: Int = 3): org.apache.spark.sql.DataFrame = {
+    require(nBuckets >= 2, "nBuckets must be >= 2")
+    val scored = lmScore(docs, train, idCol, textCol)
+      .join(docs.select(col(idCol), col(langCol)), Seq(idCol))
+      .select(col(idCol), col(langCol), col("avg_nll"))
+      .localCheckpoint()
+    val qs = (1 until nBuckets).map(i => i / nBuckets.toDouble -> s"__q$i")
+    val cuts = Quantiles.exactQuantiles(scored, langCol, "avg_nll", qs)
+    scored.join(broadcast(cuts), Seq(langCol))
+      .withColumn("bucket", qs.indices.foldLeft(lit(1)) { (acc, i) =>
+        acc + when(col("avg_nll") > col(s"__q${i + 1}"), 1).otherwise(0) })
+      .select(col(idCol), col(langCol), col("avg_nll"), col("bucket"))
+  }
+
+  /**
    * Feature-hashing ("hashing trick") text embedding: token t adds
    * sign(t) at index h(t) mod `dim` — the Vowpal Wabbit /
    * HashingVectorizer construction. No trained vocabulary and fully

@@ -439,6 +439,19 @@ object Pipeline {
         .orderBy(col("doc_id"))
     }),
 
+    // CCNet perplexity-tertile bucketing: per-language type-7 quantile
+    // cuts via the distributed-selection Quantiles (never an ntile
+    // window — one language would funnel through one task), broadcast
+    // cut rows, map-side bucket compare. Oracle: DuckDB quantile_cont
+    // is the same type-7 interpolation, bit-compatible on the rounded
+    // scores.
+    "qA1_ppl_buckets" -> ((s, dir) => {
+      val d = T(s, dir)("documents")
+      TextAnalysis.perplexityBuckets(d, d.filter(col("lang") === "en"),
+          "doc_id", "text", "lang")
+        .orderBy(col("doc_id"))
+    }),
+
     // feature-hashing (hashing-trick) text embedding: md5 bucket+sign,
     // entries are exact integer-valued sums — emitted as posexploded
     // (doc, dim_i, w) rows for the exact oracle compare
@@ -906,6 +919,27 @@ object Pipeline {
       SELECT doc_id, round(AVG(nll), 6) AS avg_nll,
              CAST(COUNT(*) AS BIGINT) AS n_tokens
       FROM j GROUP BY doc_id ORDER BY doc_id""",
+    "qA1_ppl_buckets" -> """
+      WITH tr AS (SELECT unnest(regexp_extract_all(text, '\S+')) AS tok
+                  FROM documents WHERE lang = 'en'),
+      c AS (SELECT tok, COUNT(*) AS cnt FROM tr GROUP BY tok),
+      s AS (SELECT CAST(SUM(cnt) AS DOUBLE) AS n, CAST(COUNT(*) AS DOUBLE) AS v
+            FROM c),
+      dt AS (SELECT doc_id, unnest(regexp_extract_all(text, '\S+')) AS tok
+             FROM documents),
+      j AS (SELECT doc_id,
+              -ln((COALESCE(c.cnt, 0) + 0.5) / (s.n + 0.5 * (s.v + 1))) AS nll
+            FROM dt LEFT JOIN c USING (tok) CROSS JOIN s),
+      sc AS (SELECT doc_id, round(AVG(nll), 6) AS avg_nll FROM j GROUP BY doc_id),
+      sl AS (SELECT sc.doc_id, d.lang, sc.avg_nll
+             FROM sc JOIN documents d USING (doc_id)),
+      cuts AS (SELECT lang, quantile_cont(avg_nll, 1/3.0) AS q1,
+                      quantile_cont(avg_nll, 2/3.0) AS q2
+               FROM sl GROUP BY lang)
+      SELECT sl.doc_id, sl.lang, sl.avg_nll,
+             1 + CASE WHEN sl.avg_nll > q1 THEN 1 ELSE 0 END
+               + CASE WHEN sl.avg_nll > q2 THEN 1 ELSE 0 END AS bucket
+      FROM sl JOIN cuts USING (lang) ORDER BY sl.doc_id""",
     "qA0_lm_bigram" -> """
       WITH tr AS (SELECT unnest(regexp_extract_all(text, '\S+')) AS tok
                   FROM documents WHERE lang = 'en'),

@@ -690,6 +690,29 @@ class Round5OpsSpec extends AnyFunSuite {
     assert(got(1L)._1 < got(3L)._1)
   }
 
+  test("perplexityBuckets: per-lang tertiles are balanced and monotone in nll") {
+    import graft.operators.TextAnalysis
+    val got = TextAnalysis.perplexityBuckets(docs,
+        docs.filter(col("lang") === "en"), "doc_id", "text", "lang")
+      .collect()
+      .map(r => (r.getString(1), r.getDouble(2), r.getInt(3)))
+    assert(got.length > 0)
+    got.groupBy(_._1).foreach { case (lang, rows) =>
+      // monotone: a doc in a lower bucket never scores above one in a
+      // higher bucket
+      val byBucket = rows.groupBy(_._3).view.mapValues(_.map(_._2)).toMap
+      for (b <- byBucket.keys; b2 <- byBucket.keys; if b < b2)
+        assert(byBucket(b).max <= byBucket(b2).min + 1e-9,
+          s"$lang: bucket $b overlaps bucket $b2")
+      // roughly balanced tertiles (exact thirds up to ties)
+      val sizes = byBucket.view.mapValues(_.size).toMap
+      assert(sizes.keySet.subsetOf(Set(1, 2, 3)), s"$lang: $sizes")
+      assert(sizes.values.sum === rows.length)
+      assert(sizes.values.max - sizes.values.min <= math.max(2, rows.length / 3),
+        s"$lang buckets unbalanced: $sizes")
+    }
+  }
+
   test("lmScore fails loudly on an empty train slice") {
     import graft.operators.TextAnalysis
     val train = Seq((0L, "")).toDF("doc_id", "text")
