@@ -27,6 +27,17 @@ object Similarity {
 
   def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
 
+  /** Positive AND finite norm. Zero-norm vectors (cosine 0/0 = NaN) and
+    * vectors with NaN/Inf components would otherwise poison every
+    * comparison/ranking they touch: Spark orders NaN ABOVE every
+    * threshold, so one such vector out-edges to its whole candidate set
+    * or floods a top-k. Every pair-generating operator here excludes
+    * them up front — they contribute no pairs and stay singletons.
+    * (NaN fails `<= MaxValue` under Spark's NaN-is-largest ordering;
+    * Inf fails it numerically.) */
+  private def finiteNorm(nv: Column): Column =
+    nv > 0 && nv <= lit(Double.MaxValue)
+
   /**
    * Exact top-k nearest neighbours of the vector identified by
    * `queryId`, by cosine. The 1-row query side is broadcast — no
@@ -37,6 +48,7 @@ object Similarity {
     val q = emb.filter(col(idCol) === queryId)
       .select(col(vecCol).as("__qvec"))
     emb.filter(col(idCol) =!= queryId)
+      .filter(finiteNorm(norm(col(vecCol))))
       .join(broadcast(q))
       .select(col(idCol), round(cosine(col(vecCol), col("__qvec")), 4).as("cos_sim"))
       .orderBy(col("cos_sim").desc, col(idCol))
@@ -47,9 +59,9 @@ object Similarity {
     * pairs — the verification-scale baseline the LSH path approximates). */
   def allPairsTopK(emb: DataFrame, idCol: String, vecCol: String, k: Int): DataFrame = {
     val a = emb.select(col(idCol).as("id_a"), col(vecCol).as("va"),
-      norm(col(vecCol)).as("na"))
+      norm(col(vecCol)).as("na")).filter(finiteNorm(col("na")))
     val b = emb.select(col(idCol).as("id_b"), col(vecCol).as("vb"),
-      norm(col(vecCol)).as("nb"))
+      norm(col(vecCol)).as("nb")).filter(finiteNorm(col("nb")))
     a.join(b, col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"),
         round(dot(col("va"), col("vb")) / (col("na") * col("nb")), 4).as("cos_sim"))
@@ -70,9 +82,9 @@ object Similarity {
   def allPairsAbove(emb: DataFrame, idCol: String, vecCol: String,
                     minCos: Double): DataFrame = {
     val a = emb.select(col(idCol).as("id_a"), col(vecCol).as("va"),
-      norm(col(vecCol)).as("na"))
+      norm(col(vecCol)).as("na")).filter(finiteNorm(col("na")))
     val b = emb.select(col(idCol).as("id_b"), col(vecCol).as("vb"),
-      norm(col(vecCol)).as("nb"))
+      norm(col(vecCol)).as("nb")).filter(finiteNorm(col("nb")))
     a.join(b, col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"),
         (dot(col("va"), col("vb")) / (col("na") * col("nb"))).as("cos_raw"))
@@ -126,10 +138,7 @@ object Similarity {
       IvfIndex.assign(emb, idCol, vecCol, centroids)
         .select(col(idCol).as("id"), col(vecCol).as("v"),
           norm(col(vecCol)).as("nv"), col("ivf_cell").as("cell"))
-        // NaN guard: a zero-norm vector's cosine to anything is NaN,
-        // which Spark orders ABOVE every threshold — keep it out of
-        // the edge search entirely (it stays a singleton downstream)
-        .filter(col("nv") > 0),
+        .filter(finiteNorm(col("nv"))), // NaN/Inf/zero-norm → singleton
       Seq("cell"), maxCellSize, "semanticDedup")
     val edges = assigned.as("a").join(assigned.as("b"),
         col("a.cell") === col("b.cell") && col("a.id") < col("b.id"))
@@ -180,6 +189,7 @@ object Similarity {
     val assigned = IvfIndex.assign(emb, idCol, vecCol, centroids)
       .select(col(idCol).as("id"), col(vecCol).as("v"),
         norm(col(vecCol)).as("nv"), col("ivf_cell").as("cell"))
+      .filter(finiteNorm(col("nv")))
     val spark = emb.sparkSession
     import spark.implicits._
     // per cell: its probeCells nearest cells (incl. itself) — driver
@@ -239,7 +249,7 @@ object Similarity {
       .select(col("x.id").as("id_a"), col("y.id").as("id_b"))
       .distinct()
     val vecs = emb.select(col(idCol).as("id"), col(vecCol).as("v"),
-      norm(col(vecCol)).as("nv"))
+      norm(col(vecCol)).as("nv")).filter(finiteNorm(col("nv")))
     cand
       .join(vecs.select(col("id").as("id_a"), col("v").as("va"), col("nv").as("na")), "id_a")
       .join(vecs.select(col("id").as("id_b"), col("v").as("vb"), col("nv").as("nb")), "id_b")

@@ -249,21 +249,42 @@ object TextAnalysis {
    * shuffle carries (doc, partial-sum) rows. `avg_nll` is rounded
    * 1e-6 for cross-engine `ln` parity (see [[bm25Rank]]).
    */
+  /** Shared LM model build: one partial/final hash-agg over the
+    * exploded gram stream, pruned by `minCount`, collected once (the
+    * driver round-trip also yields the model constants downstream).
+    * `maxVocab` bounds the driver-side model — at the default
+    * minCount=1 nothing prunes, and an unbounded vocabulary must fail
+    * loudly, not OOM the driver: the collect itself is capped by the
+    * limit, so the failure costs maxVocab rows, never the full vocab. */
+  private def trainModel(grams: org.apache.spark.sql.DataFrame,
+                         minCount: Long, maxVocab: Int, what: String,
+                         allowEmpty: Boolean = false): Array[(String, Long)] = {
+    val m = grams.toDF("g")
+      .groupBy(col("g")).agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") >= minCount)
+      .limit(maxVocab + 1)
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    require(m.length <= maxVocab,
+      s"$what: model exceeds maxVocab=$maxVocab surviving entries — " +
+        "raise minCount (or maxVocab)")
+    // an empty UNIGRAM model scores EVERY token p=1 / nll=0 — junk
+    // would read as maximally fluent, so fail loudly (an empty bigram
+    // table is legitimate: every transition backs off to OOV)
+    require(allowEmpty || m.nonEmpty,
+      s"$what: train slice has no grams with count >= $minCount")
+    m
+  }
+
   def lmScore(docs: org.apache.spark.sql.DataFrame,
               train: org.apache.spark.sql.DataFrame, idCol: String,
               textCol: String, alpha: Double = 0.5,
-              minCount: Long = 1L): org.apache.spark.sql.DataFrame = {
+              minCount: Long = 1L, carry: Seq[String] = Nil,
+              maxVocab: Int = 10000000): org.apache.spark.sql.DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
-    val model: Array[(String, Long)] =
-      train.select(explode(tokens(col(textCol))).as("tok"))
-        .groupBy(col("tok")).agg(count(lit(1)).as("cnt"))
-        .filter(col("cnt") >= minCount)
-        .collect().map(r => (r.getString(0), r.getLong(1)))
-    // an empty model scores EVERY token p=1 / nll=0 — junk would read
-    // as maximally fluent, so fail loudly instead
-    require(model.nonEmpty,
-      s"lmScore: train slice has no tokens with count >= $minCount")
+    val model = trainModel(
+      train.select(explode(tokens(col(textCol))).as("g")),
+      minCount, maxVocab, "lmScore")
     val n = model.map(_._2).sum
     val v = model.length.toLong
     // unseen tokens share one OOV bucket: denominator adds α·(V+1).
@@ -271,11 +292,15 @@ object TextAnalysis {
     // so any engine computing this formula lands on the same double.
     val denom = n + alpha * (v + 1)
     val counts = model.toSeq.toDF("tok", "cnt")
-    docs.select(col(idCol), explode(tokens(col(textCol))).as("tok"))
+    // `carry`: columns functionally dependent on the id (e.g. lang)
+    // ride the exploded stream and the group keys, so a caller needing
+    // them does not re-join the corpus after scoring
+    val keyCols = col(idCol) +: carry.map(col)
+    docs.select(keyCols :+ explode(tokens(col(textCol))).as("tok"): _*)
       .join(broadcast(counts), Seq("tok"), "left")
-      .select(col(idCol),
-        (-log((coalesce(col("cnt"), lit(0L)) + lit(alpha)) / lit(denom))).as("nll"))
-      .groupBy(col(idCol))
+      .select(keyCols :+
+        (-log((coalesce(col("cnt"), lit(0L)) + lit(alpha)) / lit(denom))).as("nll"): _*)
+      .groupBy(keyCols: _*)
       .agg(round(avg(col("nll")), 6).as("avg_nll"),
         count(lit(1)).as("n_tokens"))
   }
@@ -298,23 +323,19 @@ object TextAnalysis {
   def lmScoreBigram(docs: org.apache.spark.sql.DataFrame,
                     train: org.apache.spark.sql.DataFrame, idCol: String,
                     textCol: String, alpha: Double = 0.5,
-                    minCount: Long = 1L): org.apache.spark.sql.DataFrame = {
+                    minCount: Long = 1L,
+                    maxVocab: Int = 10000000): org.apache.spark.sql.DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
     val grams2 = graft.functions.ShingleExprs.token_grams(
       col(textCol), 2, overlapping = true)
-    val uniModel: Array[(String, Long)] =
-      train.select(explode(tokens(col(textCol))).as("tok"))
-        .groupBy(col("tok")).agg(count(lit(1)).as("cnt"))
-        .filter(col("cnt") >= minCount)
-        .collect().map(r => (r.getString(0), r.getLong(1)))
-    require(uniModel.nonEmpty,
-      s"lmScoreBigram: train slice has no tokens with count >= $minCount")
-    val bigModel: Array[(String, Long)] =
-      train.select(explode(grams2).as("g"))
-        .groupBy(col("g")).agg(count(lit(1)).as("cnt"))
-        .filter(col("cnt") >= minCount)
-        .collect().map(r => (r.getString(0), r.getLong(1)))
+    // two aggregation passes over the train slice (unigrams, bigrams) —
+    // an offline model build, not the scoring hot path
+    val uniModel = trainModel(
+      train.select(explode(tokens(col(textCol))).as("g")),
+      minCount, maxVocab, "lmScoreBigram")
+    val bigModel = trainModel(train.select(explode(grams2).as("g")),
+      minCount, maxVocab, "lmScoreBigram", allowEmpty = true)
     val n = uniModel.map(_._2).sum
     val v = uniModel.length.toLong
     val denomUni = n + alpha * (v + 1)
@@ -323,12 +344,14 @@ object TextAnalysis {
     val big = bigModel.toSeq.toDF("term", "bc")
     // ONE corpus scan scores both term kinds: position 0 is the first
     // token (unigram formula), positions ≥ 1 are the TokenGrams
-    // transitions (bigram formula). `get` (0-based) is null on an
-    // empty array (element_at would throw under ANSI); the null is
-    // dropped after the explode.
+    // transitions (bigram formula). The first token comes from a
+    // single regexp_extract — not a full token-array materialization —
+    // with the no-match "" mapped to null and dropped (a zero-token
+    // doc scores nothing).
     docs
       .select(col(idCol), posexplode(concat(
-          array(get(tokens(col(textCol)), lit(0))), grams2))
+          array(nullif(regexp_extract(col(textCol), "\\S+", 0), lit(""))),
+          grams2))
         .as(Seq("pos", "term")))
       .filter(col("term").isNotNull)
       // the prefix whose unigram count conditions the term: the first
@@ -357,25 +380,30 @@ object TextAnalysis {
    * NOT an `ntile` window, which would funnel each language (half the
    * corpus is one language in practice) through a single task.
    *
-   * The scored (id, lang, avg_nll) projection is localCheckpoint'ed
-   * once: the cut computation makes three metadata-sized passes over
-   * it and the final bucket join a fourth — without the barrier each
-   * pass would re-run the corpus-wide scoring plan. Buckets then
-   * attach via a broadcast join of |langs| cut rows + a per-row
-   * compare: the corpus is never shuffled after scoring.
+   * The language rides the scoring aggregate as a carried group key
+   * (no post-scoring corpus re-join), and the scored (id, lang,
+   * avg_nll) projection is localCheckpoint'ed once: the cut
+   * computation makes three metadata-sized passes over it and the
+   * final bucket join a fourth — without the barrier each pass would
+   * re-run the corpus-wide scoring plan. Buckets then attach via a
+   * null-safe broadcast join of |langs| cut rows (a NULL language is
+   * a band group like any other — a plain equi-join would silently
+   * drop those docs) + a per-row compare.
    */
   def perplexityBuckets(docs: org.apache.spark.sql.DataFrame,
                         train: org.apache.spark.sql.DataFrame, idCol: String,
                         textCol: String, langCol: String,
-                        nBuckets: Int = 3): org.apache.spark.sql.DataFrame = {
+                        nBuckets: Int = 3, alpha: Double = 0.5,
+                        minCount: Long = 1L): org.apache.spark.sql.DataFrame = {
     require(nBuckets >= 2, "nBuckets must be >= 2")
-    val scored = lmScore(docs, train, idCol, textCol)
-      .join(docs.select(col(idCol), col(langCol)), Seq(idCol))
+    val scored = lmScore(docs, train, idCol, textCol, alpha, minCount,
+        carry = Seq(langCol))
       .select(col(idCol), col(langCol), col("avg_nll"))
       .localCheckpoint()
     val qs = (1 until nBuckets).map(i => i / nBuckets.toDouble -> s"__q$i")
     val cuts = Quantiles.exactQuantiles(scored, langCol, "avg_nll", qs)
-    scored.join(broadcast(cuts), Seq(langCol))
+    scored.join(broadcast(cuts), scored(langCol) <=> cuts(langCol))
+      .drop(cuts(langCol))
       .withColumn("bucket", qs.indices.foldLeft(lit(1)) { (acc, i) =>
         acc + when(col("avg_nll") > col(s"__q${i + 1}"), 1).otherwise(0) })
       .select(col(idCol), col(langCol), col("avg_nll"), col("bucket"))

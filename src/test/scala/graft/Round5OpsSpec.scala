@@ -720,7 +720,7 @@ class Round5OpsSpec extends AnyFunSuite {
     val e = intercept[IllegalArgumentException] {
       TextAnalysis.lmScore(probe, train, "doc_id", "text")
     }
-    assert(e.getMessage.contains("train slice has no tokens"))
+    assert(e.getMessage.contains("train slice has no grams"))
   }
 
   test("semanticDedup: zero-norm vectors stay singletons (NaN guard)") {

@@ -25,6 +25,11 @@ class S3LayerEndToEndSpec extends AnyFunSuite {
     val root = java.nio.file.Files.createTempDirectory("fake_s3").toString
     hc.set("graft.fake.s3.root", root)
     hc.set("fs.s3a.impl", classOf[FakeS3AFileSystem].getName)
+    // no FS-cache entry survives this spec, and the impl keys are
+    // restored at the end — a later suite touching s3a:// must fail
+    // fast on the missing hadoop-aws jars, not resolve our double
+    hc.set("fs.s3a.impl.disable.cache", "true")
+    try {
 
     // reference-form layer URL → per-bucket scoped credentials
     val layer = Layers.parseS3("l1",
@@ -76,5 +81,10 @@ class S3LayerEndToEndSpec extends AnyFunSuite {
     val (key, endpoint) = FakeS3AFileSystem.bucketCreds.get("test-bucket")
     assert(key === "TESTKEY")
     assert(endpoint === "localhost:9000")
+    } finally {
+      hc.unset("fs.s3a.impl")
+      hc.unset("fs.s3a.impl.disable.cache")
+      hc.unset("graft.fake.s3.root")
+    }
   }
 }
