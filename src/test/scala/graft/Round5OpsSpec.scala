@@ -734,6 +734,31 @@ class Round5OpsSpec extends AnyFunSuite {
     assert(got === Map(1L -> 1L, 2L -> 2L, 3L -> 2L))
   }
 
+  test("degenerate vectors (zero/NaN/Inf) never reach any pair output") {
+    // one zero vector, one NaN component, one Inf component, two real
+    // near-dup vectors: every operator must pair only the real two
+    val emb = Seq(
+      (1L, Seq(0.0f, 0.0f)), (2L, Seq(Float.NaN, 1.0f)),
+      (3L, Seq(Float.PositiveInfinity, 0.0f)),
+      (4L, Seq(1.0f, 0.1f)), (5L, Seq(1.0f, 0.11f))
+    ).toDF("vec_id", "embedding")
+    val pairs = Similarity.allPairsTopK(emb, "vec_id", "embedding", k = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.toSeq === Seq((4L, 5L)))
+    val above = Similarity.allPairsAbove(emb, "vec_id", "embedding", 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(above.toSeq === Seq((4L, 5L)))
+    val knn = Similarity.knnJoin(emb, "vec_id", "embedding", k = 2, nlist = 1)
+      .select("id", "nn_id").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(knn.toSet === Set((4L, 5L), (5L, 4L)))
+    val lsh = Similarity.lshPairs(emb, "vec_id", "embedding", bits = 2, dim = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(lsh.toSet.subsetOf(Set((4L, 5L))))
+    val top = Similarity.bruteForceTopK(emb, "vec_id", "embedding",
+      queryId = 4L, k = 10).collect().map(_.getLong(0))
+    assert(top.toSeq === Seq(5L))
+  }
+
   test("semanticDedup hot-cell guard: a dropped cell leaves its members singletons") {
     val emb = Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
     // nlist=1 puts everything in one cell, which the cap then drops:
