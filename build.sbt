@@ -15,6 +15,10 @@ run / fork := true
 // "[info] " line prefix — the driver machine-parses Bench's one-line
 // JSON record, and the prefix was defeating its line match every round
 run / outputStrategy := Some(OutputStrategy.StdoutOutput)
+// ... and sbt's closing "[success] Total time: ..." banner printed AFTER
+// the forked process exits was still defeating a tail-line parse of that
+// record. Suppress it so the JSON line is the LAST line of stdout.
+Global / showSuccess := false
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

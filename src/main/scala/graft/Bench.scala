@@ -80,8 +80,12 @@ object Bench {
     // 3-decimal (ms) resolution keeps the one-line record compact: the
     // driver stores only the LAST 2000 chars of output, so every byte
     // of per-query noise crowds the headline numbers out of the record
+    // Locale.ROOT: the f"" interpolator honors the JVM default locale,
+    // and a decimal-comma locale (de_DE) would emit invalid JSON
+    def num(v: Double): String =
+      String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
     def json(rows: Seq[(String, Double)]): String =
-      rows.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }.mkString("{", ",", "}")
+      rows.map { case (k, v) => "\"" + k + "\":" + num(v) }.mkString("{", ",", "}")
 
     // sequential pass runs FIRST: it's the clean per-query plan signal,
     // and running it after the concurrent pass let same-JVM ordering/GC
@@ -138,7 +142,7 @@ object Bench {
     val slowest = json(
       (if (seqResults.nonEmpty) seqResults else concResults)
         .sortBy(-_._2).take(12))
-    println(s"""{"metric":"total","unit":"sec","queries":$concJson,"queries_seq":$seqJson,"slowest":$slowest,"value":${f"$wall%.3f"},"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","unit":"sec","queries":$concJson,"queries_seq":$seqJson,"slowest":$slowest,"value":${num(wall)},"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -34,9 +34,12 @@ object Explain {
     df.explain("formatted")
     df.write.format("noop").mode("overwrite").save()
     val tEnd = System.nanoTime()
-    println(f"[explain] $name build ${(tBuilt - t0) / 1e9}%.2f s " +
-      f"(eager stages run here), write ${(tEnd - tBuilt) / 1e9}%.2f s, " +
-      f"total ${(tEnd - t0) / 1e9}%.2f s")
+    // Locale.ROOT so timings print with decimal points under any locale
+    def sec(nanos: Long): String =
+      String.format(java.util.Locale.ROOT, "%.2f", Double.box(nanos / 1e9))
+    println(s"[explain] $name build ${sec(tBuilt - t0)} s " +
+      s"(eager stages run here), write ${sec(tEnd - tBuilt)} s, " +
+      s"total ${sec(tEnd - t0)} s")
     spark.stop()
   }
 }
