@@ -19,6 +19,9 @@ run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // the forked process exits was still defeating a tail-line parse of that
 // record. Suppress it so the JSON line is the LAST line of stdout.
 Global / showSuccess := false
+// showSuccess is consumed by sbt's command layer, not another task —
+// exclude it from the unused-key lint so batch output stays clean
+Global / excludeLintKeys += showSuccess
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

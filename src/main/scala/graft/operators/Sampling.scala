@@ -171,7 +171,11 @@ object Sampling {
    * `u < rate_s·2^40` with `u` from [[hash40]]: reproducible,
    * engine-independent (every float op is a correctly-rounded IEEE op
    * on identical operands), salt-resampleable. Sources absent from
-   * `targets` are dropped.
+   * `targets` are dropped; so are sources with a non-positive target
+   * (an explicit "0% of the mix") and sources whose total token weight
+   * is non-positive (they have nothing to contribute, and letting one
+   * into the min would pin `T* = 0` and silently drop the ENTIRE
+   * corpus — same guard rationale as [[weightedPrioritySample]]).
    *
    * Shape: one tiny per-source aggregate, a broadcast join of the
    * per-source thresholds, and a map-side per-row filter — no shuffle
@@ -183,10 +187,18 @@ object Sampling {
                   salt: String = "s0"): DataFrame = {
     val tot = df.groupBy(col(srcCol))
       .agg(sum(col(weightCol)).cast("double").as("__tok"))
+      // a zero/negative-weight source would make tstar 0 (or its
+      // ratio negative), corrupting every threshold — exclude it
+      .filter(col("__tok") > 0)
       // collapse duplicate target rows (max wins) — a duplicated
       // source in an un-deduped config table would otherwise double
       // every kept document of that source through the join
-      .join(targets.groupBy(col(srcCol)).agg(max(col(targetCol)).as(targetCol)),
+      .join(targets
+          // target ≤ 0 (or NULL) means "none of this source in the
+          // mix"; letting it through would make __tok/target Inf or
+          // negative and corrupt T*
+          .filter(col(targetCol).cast("double") > 0)
+          .groupBy(col(srcCol)).agg(max(col(targetCol)).as(targetCol)),
         srcCol)
     val tstar = tot.agg(min(col("__tok") / col(targetCol)).as("__tstar"))
     val thresholds = tot.crossJoin(broadcast(tstar))

@@ -45,7 +45,11 @@ object Similarity {
    */
   def bruteForceTopK(emb: DataFrame, idCol: String, vecCol: String,
                      queryId: Long, k: Int): DataFrame = {
+    // the query side is finiteNorm-filtered too: a degenerate query
+    // vector makes every cos_sim NaN, and NaN-is-largest ordering would
+    // return k NaN pairs — a degenerate query yields an EMPTY result
     val q = emb.filter(col(idCol) === queryId)
+      .filter(finiteNorm(norm(col(vecCol))))
       .select(col(vecCol).as("__qvec"))
     emb.filter(col(idCol) =!= queryId)
       .filter(finiteNorm(norm(col(vecCol))))

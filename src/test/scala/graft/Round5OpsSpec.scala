@@ -757,6 +757,12 @@ class Round5OpsSpec extends AnyFunSuite {
     val top = Similarity.bruteForceTopK(emb, "vec_id", "embedding",
       queryId = 4L, k = 10).collect().map(_.getLong(0))
     assert(top.toSeq === Seq(5L))
+    // a DEGENERATE query vector yields an empty result — not k NaN
+    // pairs promoted by NaN-is-largest ordering
+    for (q <- Seq(1L, 2L, 3L)) {
+      assert(Similarity.bruteForceTopK(emb, "vec_id", "embedding",
+        queryId = q, k = 10).count() === 0L, s"query $q")
+    }
   }
 
   test("semanticDedup hot-cell guard: a dropped cell leaves its members singletons") {

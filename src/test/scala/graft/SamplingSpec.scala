@@ -129,4 +129,32 @@ class SamplingSpec extends AnyFunSuite {
       "n_tokens", targets).collect().map(_.getAs[Long]("doc_id")).toSet
     assert(a == b)
   }
+
+  test("mix to target: degenerate sources/targets cannot corrupt T*") {
+    import spark.implicits._
+    val d = Seq(
+      (1L, "web", 100L), (2L, "web", 100L), (3L, "web", 100L),
+      (4L, "books", 100L), (5L, "books", 100L),
+      (6L, "empty", 0L),          // zero-weight source: tokens_s = 0
+      (7L, "neg", -50L)           // negative-weight source
+    ).toDF("doc_id", "source", "n_tokens")
+    val targets = Seq(
+      ("web", 1.0), ("books", 1.0),
+      ("empty", 1.0), ("neg", 1.0),
+      ("zeroed", 0.0),            // explicit 0% target
+      ("negT", -2.0)              // nonsense negative target
+    ).toDF("source", "target")
+    val kept = Sampling.mixToTarget(d, "doc_id", "source", "n_tokens", targets)
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("source"))
+    // without the guards tstar = min(..., 0/1, -50/1) ≤ 0 and EVERY
+    // row would be dropped; with them web+books mix 1:1 ⇒ T* = 200·2,
+    // books (the argmin) kept in full
+    assert(kept.nonEmpty)
+    assert(kept.count(_._2 == "books") === 2)
+    assert(kept.forall { case (_, s) => s == "web" || s == "books" })
+    // a target table that is ALL non-positive keeps nothing (no crash)
+    val none = Sampling.mixToTarget(d, "doc_id", "source", "n_tokens",
+      Seq(("web", 0.0)).toDF("source", "target"))
+    assert(none.count() === 0L)
+  }
 }
