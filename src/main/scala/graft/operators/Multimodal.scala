@@ -7,8 +7,11 @@ import org.apache.spark.sql.functions._
  * Multimodal-column plumbing: media payloads ride as opaque `binary`
  * columns with typed metadata alongside. The Spark-side machinery —
  * schema, batched per-partition processing, partition sizing — is
- * real; only the media *decode* itself is stubbed (image/audio codec
- * libraries are not in this container).
+ * real, and so is the IMAGE kernel: `javax.imageio.ImageIO` ships
+ * with the JDK and decodes JPEG/PNG/GIF/BMP/TIFF, so decode, resize
+ * (`java.awt.Graphics2D`) and pooled-pixel features run on real
+ * pixels. Only audio/video decode (formats ImageIO cannot read —
+ * mp3/wav/mp4/webp) stays a deterministic stub.
  *
  * At 100 TB the shape matters: decode runs as `mapPartitions` over a
  * Dataset so each task amortizes decoder init across its whole
@@ -19,8 +22,16 @@ import org.apache.spark.sql.functions._
 object Multimodal {
 
   case class MediaRow(doc_id: Long, payload: Array[Byte])
+
+  /** `decoded` says which kernel produced the geometry: true → real
+    * ImageIO pixels (width/height/n_frames/mean_luma are ground
+    * truth); false → the deterministic stub (audio/video/unknown).
+    * `mean_byte` is ALWAYS the raw payload byte mean — cheap, format
+    * independent, and what the byte-level oracles check. */
   case class MediaMeta(doc_id: Long, n_bytes: Int, format: String,
-                       width: Int, height: Int, n_frames: Int, mean_byte: Double)
+                       width: Int, height: Int, n_frames: Int,
+                       mean_byte: Double, decoded: Boolean,
+                       mean_luma: Option[Double])
 
   /** Container-format sniffing from magic bytes — real (not stubbed)
     * logic: this is exactly what a 100 TB media pipeline does before
@@ -38,11 +49,81 @@ object Multimodal {
     else "unknown"
   }
 
+  /** Decoded frame-0 geometry + Rec.601 mean luminance of a REAL
+    * image payload. */
+  case class DecodedImage(width: Int, height: Int, nFrames: Int,
+                          meanLuma: Double)
+
+  /** Real image decode via the JDK's `javax.imageio.ImageIO`
+    * (JPEG/PNG/GIF/BMP/TIFF — no external jars). Returns None for
+    * payloads no installed reader accepts (audio/video/corrupt), which
+    * routes them to the deterministic stub. `n_frames` counts the
+    * container's images (animated GIF frames, TIFF pages). */
+  def decodeImage(payload: Array[Byte]): Option[DecodedImage] = {
+    if (payload.isEmpty) return None
+    try {
+      val iis = javax.imageio.ImageIO.createImageInputStream(
+        new java.io.ByteArrayInputStream(payload))
+      try {
+        val readers = javax.imageio.ImageIO.getImageReaders(iis)
+        if (!readers.hasNext) None
+        else {
+          val reader = readers.next()
+          try {
+            reader.setInput(iis, false, true)
+            val img = reader.read(0)
+            val w = img.getWidth
+            val h = img.getHeight
+            // one bulk getRGB, not w×h JNI-ish calls
+            val px = img.getRGB(0, 0, w, h, null, 0, w)
+            var sum = 0.0
+            var i = 0
+            while (i < px.length) {
+              val p = px(i)
+              sum += 0.299 * ((p >> 16) & 0xFF) + 0.587 * ((p >> 8) & 0xFF) +
+                0.114 * (p & 0xFF)
+              i += 1
+            }
+            val n = try math.max(reader.getNumImages(true), 1)
+                    catch { case _: Exception => 1 }
+            Some(DecodedImage(w, h, n, sum / px.length))
+          } finally reader.dispose()
+        }
+      } finally iis.close()
+    } catch { case _: Exception => None }
+  }
+
+  /** Decode to a BufferedImage (resize/feature kernels). */
+  private def readBuffered(payload: Array[Byte]): Option[java.awt.image.BufferedImage] =
+    if (payload.isEmpty) None
+    else try Option(javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload)))
+    catch { case _: Exception => None }
+
+  /** Deterministic PNG: a `width`×`height` solid-gray image (gray ∈
+    * [0,255]) encoded by the JDK PNG writer — the test/oracle fixture
+    * generator (decoding it must round-trip the exact geometry and,
+    * being lossless, the exact gray level). */
+  def syntheticPng(width: Int, height: Int, gray: Int): Array[Byte] = {
+    require(width > 0 && height > 0 && gray >= 0 && gray <= 255)
+    val img = new java.awt.image.BufferedImage(
+      width, height, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val rgb = (gray << 16) | (gray << 8) | gray
+    var y = 0
+    while (y < height) {
+      var x = 0
+      while (x < width) { img.setRGB(x, y, rgb); x += 1 }
+      y += 1
+    }
+    val out = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", out)
+    out.toByteArray
+  }
+
   /**
-   * STUB decoder: a real deployment would decode image/audio here
-   * (e.g. via a JNI codec); this container has no media libraries, so
-   * metadata is derived deterministically from the payload bytes.
-   * The per-partition batching, schema, and pruning behavior are the
+   * STUB decoder for payloads ImageIO cannot read (audio/video — the
+   * container has no media-codec libraries beyond the JDK): metadata
+   * is derived deterministically from the payload bytes. The
+   * per-partition batching, schema, and pruning behavior are the
    * real contract under test.
    */
   private def decodeStub(payload: Array[Byte]): (Int, Int, Int, Double) = {
@@ -59,19 +140,39 @@ object Multimodal {
     (width, height, frames, mean)
   }
 
+  private def byteMean(payload: Array[Byte]): Double = {
+    if (payload.isEmpty) return 0.0
+    var sum = 0L
+    var i = 0
+    while (i < payload.length) { sum += (payload(i) & 0xFF); i += 1 }
+    sum.toDouble / payload.length
+  }
+
   /**
-   * Attach decoded metadata to a binary media column.
-   * mapPartitions (not per-row UDF): decoder state is initialized once
-   * per task, rows stream through without per-row setup cost.
+   * Attach decoded metadata to a binary media column: REAL ImageIO
+   * decode for image payloads (width/height/n_frames/mean_luma are
+   * pixel ground truth), deterministic stub geometry for everything
+   * else. mapPartitions (not per-row UDF): decoder state is
+   * initialized once per task, rows stream through without per-row
+   * setup cost.
    */
   def extractMeta(media: Dataset[MediaRow]): Dataset[MediaMeta] = {
     import media.sparkSession.implicits._
     media.mapPartitions { rows =>
-      // per-partition decoder init would go here
+      // ImageIO's reader registry is JVM-global and initialized once —
+      // the per-partition amortization a codec pipeline needs
       rows.map { r =>
-        val (w, hgt, f, mean) = decodeStub(r.payload)
-        MediaMeta(r.doc_id, r.payload.length, sniffFormat(r.payload),
-          w, hgt, f, mean)
+        val fmt = sniffFormat(r.payload)
+        decodeImage(r.payload) match {
+          case Some(d) =>
+            MediaMeta(r.doc_id, r.payload.length, fmt, d.width, d.height,
+              d.nFrames, byteMean(r.payload), decoded = true,
+              mean_luma = Some(d.meanLuma))
+          case None =>
+            val (w, hgt, f, mean) = decodeStub(r.payload)
+            MediaMeta(r.doc_id, r.payload.length, fmt, w, hgt, f, mean,
+              decoded = false, mean_luma = None)
+        }
       }
     }
   }
@@ -103,10 +204,41 @@ object Multimodal {
     }
   }
 
-  /** Resize stage: binary in → binary out (STUB: byte decimation to a
+  /** REAL image resize: decode → `Graphics2D` bilinear scale to
+    * `targetW`×`targetH` → lossless PNG re-encode. Payloads ImageIO
+    * cannot decode pass through unchanged (a media pipeline routes
+    * them to a different executor stage, it doesn't corrupt them).
+    * Its own mapPartitions stage because resize dominates
+    * media-pipeline CPU and must amortize codec init. */
+  def resizeImages(media: Dataset[MediaRow], targetW: Int, targetH: Int): Dataset[MediaRow] = {
+    require(targetW > 0 && targetH > 0, "target dimensions must be positive")
+    import media.sparkSession.implicits._
+    media.mapPartitions { rows =>
+      rows.map { r =>
+        readBuffered(r.payload) match {
+          case Some(img) =>
+            val out = new java.awt.image.BufferedImage(
+              targetW, targetH, java.awt.image.BufferedImage.TYPE_INT_RGB)
+            val g = out.createGraphics()
+            try {
+              g.setRenderingHint(
+                java.awt.RenderingHints.KEY_INTERPOLATION,
+                java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+              g.drawImage(img, 0, 0, targetW, targetH, null)
+            } finally g.dispose()
+            val bytes = new java.io.ByteArrayOutputStream()
+            javax.imageio.ImageIO.write(out, "png", bytes)
+            MediaRow(r.doc_id, bytes.toByteArray)
+          case None => r
+        }
+      }
+    }
+  }
+
+  /** Resize stage for NON-image payloads (STUB: byte decimation to a
     * target-proportional length; a real deployment decodes, scales,
-    * re-encodes). Kept as its own mapPartitions stage because resize
-    * dominates media-pipeline CPU and must amortize codec init. */
+    * re-encodes via its audio/video codec). Images go through the
+    * real [[resizeImages]]. */
   def resizeStub(media: Dataset[MediaRow], scaleDiv: Int): Dataset[MediaRow] = {
     require(scaleDiv > 0, "scaleDiv must be positive")
     import media.sparkSession.implicits._
@@ -121,12 +253,70 @@ object Multimodal {
   }
 
   /**
-   * Feature extraction: payload → dense float vector (STUB: a
-   * deterministic byte-histogram projection; a real deployment runs a
-   * vision/audio encoder per partition-amortized model load). Output
-   * is `Array[Float]` — the SAME embedding shape the similarity/ANN
-   * family consumes, so media plugs straight into
+   * REAL pooled-pixel image features: decode, average-pool the
+   * luminance plane onto a `grid`×`grid` mesh (Graphics2D bilinear
+   * downscale does the pooling in native code), L2-normalize →
+   * `Array[Float]` of dim grid² — the SAME embedding shape the
+   * similarity/ANN family consumes, so media plugs straight into
    * [[Similarity.bruteForceTopK]]/IVF/PQ (pinned in MultimodalSpec).
+   * Non-image payloads fall back to the byte-histogram projection at
+   * the SAME dimension, so one embedding table can hold both.
+   */
+  def imageFeatures(media: Dataset[MediaRow], grid: Int = 8): DataFrame = {
+    require(grid > 0, "grid must be positive")
+    import media.sparkSession.implicits._
+    val dim = grid * grid
+    media.mapPartitions { rows =>
+      rows.map { r =>
+        val v = readBuffered(r.payload) match {
+          case Some(img) =>
+            val pooled = new java.awt.image.BufferedImage(
+              grid, grid, java.awt.image.BufferedImage.TYPE_INT_RGB)
+            val g = pooled.createGraphics()
+            try {
+              g.setRenderingHint(
+                java.awt.RenderingHints.KEY_INTERPOLATION,
+                java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+              g.drawImage(img, 0, 0, grid, grid, null)
+            } finally g.dispose()
+            val px = pooled.getRGB(0, 0, grid, grid, null, 0, grid)
+            val arr = new Array[Float](dim)
+            var i = 0
+            while (i < dim) {
+              val p = px(i)
+              arr(i) = (0.299 * ((p >> 16) & 0xFF) + 0.587 * ((p >> 8) & 0xFF) +
+                0.114 * (p & 0xFF)).toFloat
+              i += 1
+            }
+            arr
+          case None => byteHistogram(r.payload, dim)
+        }
+        var norm = 0.0
+        var j = 0
+        while (j < dim) { norm += v(j) * v(j); j += 1 }
+        val inv = if (norm == 0) 0f else (1.0 / math.sqrt(norm)).toFloat
+        j = 0
+        while (j < dim) { v(j) *= inv; j += 1 }
+        (r.doc_id, v.toSeq)
+      }
+    }.toDF("doc_id", "embedding")
+  }
+
+  private def byteHistogram(payload: Array[Byte], dim: Int): Array[Float] = {
+    val v = new Array[Float](dim)
+    var i = 0
+    while (i < payload.length) {
+      v(math.floorMod(payload(i), dim)) += 1f / (1 + i % 7)
+      i += 1
+    }
+    v
+  }
+
+  /**
+   * Feature extraction for NON-image payloads (STUB: a deterministic
+   * byte-histogram projection; a real deployment runs an audio/video
+   * encoder per partition-amortized model load). Images go through the
+   * real [[imageFeatures]].
    */
   def featureStub(media: Dataset[MediaRow], dim: Int = 64): DataFrame = {
     import media.sparkSession.implicits._

@@ -144,6 +144,27 @@ object Pipeline {
         .orderBy(col("doc_id"))
     }),
 
+    // REAL image decode end-to-end: a deterministic solid-gray PNG is
+    // generated per doc (width/height/gray are doc_id arithmetic),
+    // then decoded back through the ImageIO kernel — the reported
+    // geometry and Rec.601 mean luminance must round-trip exactly, so
+    // the oracle can verify a REAL pixel decode with plain arithmetic
+    "qA2_image_decode" -> ((s, dir) => {
+      import s.implicits._
+      val media = T(s, dir)("documents").select(col("doc_id")).as[Long]
+        .mapPartitions { ids =>
+          ids.map { id =>
+            Multimodal.MediaRow(id, Multimodal.syntheticPng(
+              16 + (id % 32).toInt, 16 + (id % 17).toInt, (id % 256).toInt))
+          }
+        }
+      Multimodal.extractMeta(media).toDF()
+        .select(col("doc_id"), col("format"), col("width"), col("height"),
+          col("n_frames"), col("decoded"),
+          round(col("mean_luma"), 6).as("mean_luma"))
+        .orderBy(col("doc_id"))
+    }),
+
     // IVF ANN: deterministic Lloyd centroids, probe 4/16 cells
     // (index-dependent recall → rows-only). The index build is
     // memoized per JVM under a run-unique temp dir (an index is an
@@ -718,6 +739,14 @@ object Pipeline {
              round(list_max(list_transform(range(1, len(e) + 1),
                i -> abs(e[i] - (vmin + codes[i] * scale)))), 6) AS max_err
       FROM c ORDER BY vec_id""",
+    "qA2_image_decode" -> """
+      SELECT doc_id, 'png' AS format,
+             CAST(16 + doc_id % 32 AS INT) AS width,
+             CAST(16 + doc_id % 17 AS INT) AS height,
+             CAST(1 AS INT) AS n_frames,
+             TRUE AS decoded,
+             round(CAST(doc_id % 256 AS DOUBLE), 6) AS mean_luma
+      FROM documents ORDER BY doc_id""",
     "q62_multimodal_meta" -> """
       WITH p AS (
         SELECT doc_id,

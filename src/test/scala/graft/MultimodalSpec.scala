@@ -61,6 +61,73 @@ class MultimodalSpec extends AnyFunSuite {
     }
   }
 
+  test("real ImageIO decode round-trips generated PNGs bit-exactly") {
+    // geometry and gray level must survive encode→decode exactly
+    for ((w, h, g) <- Seq((16, 16, 0), (33, 17, 128), (640, 480, 255), (1, 1, 7))) {
+      val png = Multimodal.syntheticPng(w, h, g)
+      assert(Multimodal.sniffFormat(png) == "png")
+      val d = Multimodal.decodeImage(png).get
+      assert(d.width == w && d.height == h && d.nFrames == 1, s"($w,$h,$g)")
+      // constant-gray Rec.601 luma == the gray level (coeffs sum to 1)
+      assert(math.abs(d.meanLuma - g) < 1e-9, s"luma ${d.meanLuma} want $g")
+    }
+    // non-images refuse to decode (stub path), corrupt images too
+    assert(Multimodal.decodeImage("not an image".getBytes).isEmpty)
+    assert(Multimodal.decodeImage(("GIF89a__" + "x" * 50).getBytes).isEmpty)
+    assert(Multimodal.decodeImage(Array.emptyByteArray).isEmpty)
+  }
+
+  test("extractMeta uses real pixels for images, the stub otherwise") {
+    import spark.implicits._
+    val rows = Seq(
+      Multimodal.MediaRow(1L, Multimodal.syntheticPng(40, 25, 200)),
+      Multimodal.MediaRow(2L, "just text bytes, long enough to matter".getBytes)
+    ).toDS()
+    val meta = Multimodal.extractMeta(rows).collect().map(m => m.doc_id -> m).toMap
+    assert(meta(1L).decoded && meta(1L).format == "png")
+    assert(meta(1L).width == 40 && meta(1L).height == 25 && meta(1L).n_frames == 1)
+    assert(math.abs(meta(1L).mean_luma.get - 200.0) < 1e-9)
+    assert(!meta(2L).decoded && meta(2L).mean_luma.isEmpty)
+    // mean_byte stays the raw byte mean on BOTH paths
+    val png = Multimodal.syntheticPng(40, 25, 200)
+    assert(math.abs(meta(1L).mean_byte -
+      png.map(_ & 0xFF).sum.toDouble / png.length) < 1e-9)
+  }
+
+  test("Graphics2D resize produces real target-dimension PNGs") {
+    import spark.implicits._
+    val rows = Seq(
+      Multimodal.MediaRow(1L, Multimodal.syntheticPng(64, 64, 90)),
+      Multimodal.MediaRow(2L, "audio payload stand-in".getBytes)
+    ).toDS()
+    val resized = Multimodal.resizeImages(rows, targetW = 8, targetH = 6)
+      .collect().map(r => r.doc_id -> r.payload).toMap
+    val d = Multimodal.decodeImage(resized(1L)).get
+    assert(d.width == 8 && d.height == 6)
+    // bilinear downscale of a constant image stays constant
+    assert(math.abs(d.meanLuma - 90.0) < 1e-6)
+    // non-images pass through untouched
+    assert(new String(resized(2L)) == "audio payload stand-in")
+  }
+
+  test("pooled-pixel features: real images and byte-histogram fallback share shape") {
+    import spark.implicits._
+    val rows = Seq(
+      Multimodal.MediaRow(1L, Multimodal.syntheticPng(64, 48, 120)),
+      Multimodal.MediaRow(2L, "text payload for the fallback".getBytes)
+    ).toDS()
+    val feats = Multimodal.imageFeatures(rows, grid = 4)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Float](1)).toMap
+    assert(feats(1L).length == 16 && feats(2L).length == 16)
+    // constant image → every pooled cell equal → unit vector = 1/grid
+    feats(1L).foreach(v => assert(math.abs(v - 0.25f) < 1e-6f))
+    // both are unit-norm (or zero) — the similarity-family contract
+    for (v <- feats.values) {
+      val n = math.sqrt(v.map(x => x.toDouble * x).sum)
+      assert(math.abs(n - 1.0) < 1e-5)
+    }
+  }
+
   test("media features feed the similarity family directly") {
     val feats = Multimodal.featureStub(media, dim = 64)
     // unit-norm vectors
