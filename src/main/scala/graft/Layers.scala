@@ -42,6 +42,55 @@ object Layers {
       u.getPath.stripPrefix("/").split("/").head, key, secret, pathStyle)
   }
 
+  /**
+   * Parse `GIGAPI_LAYERS_<i>_{NAME,TYPE,URL,AUTH_KEY,AUTH_SECRET}`
+   * environment entries — the reference's indexed env-config
+   * convention (README.md:27-31: `GIGAPI_LAYERS_0_NAME=default`,
+   * `GIGAPI_LAYERS_0_TYPE=fs`, `GIGAPI_LAYERS_0_URL=file:///data`;
+   * layerDesc.go:21-67). Matching the reference: credentials embedded
+   * in the URL's userinfo take precedence over the AUTH_* entries
+   * (layerDesc.go:55-60), an fs URL drops its `file://` prefix
+   * (layerDesc.go:31-36), and an unsupported TYPE fails loudly
+   * (layerDesc.go:28). Layers come back in index order.
+   */
+  def fromEnv(env: Map[String, String]): Seq[Layer] = {
+    val prefix = "GIGAPI_LAYERS_([0-9]+)_".r
+    val indices = env.keys.flatMap(k =>
+      prefix.findPrefixMatchOf(k).map(_.group(1).toInt)).toSeq.distinct.sorted
+    indices.map { i =>
+      val p = s"GIGAPI_LAYERS_${i}_"
+      val name = env.getOrElse(p + "NAME", s"layer$i")
+      val url = env.getOrElse(p + "URL",
+        throw new IllegalArgumentException(s"${p}URL is required"))
+      env.getOrElse(p + "TYPE", "fs") match {
+        case "fs" => FsLayer(name, url.stripPrefix("file://"))
+        case "s3" =>
+          val parsed = parseS3(name, url)
+          if (parsed.accessKey.nonEmpty) parsed
+          else parsed.copy(
+            accessKey = env.getOrElse(p + "AUTH_KEY", ""),
+            secret = env.getOrElse(p + "AUTH_SECRET", ""))
+        case other =>
+          throw new IllegalArgumentException(s"Unsupported layer type: $other")
+      }
+    }
+  }
+
+  /** Parse layers from the env and register every s3 layer's
+    * per-bucket credentials on the session — the server-startup hook
+    * (the reference runs the same loop in QueryClient.Initialize,
+    * queryClient.go:53-61). Returns the parsed layers so the caller
+    * can derive the lake root from the first fs layer. */
+  def registerFromEnv(spark: SparkSession,
+                      env: Map[String, String] = sys.env): Seq[Layer] = {
+    val layers = fromEnv(env)
+    layers.foreach {
+      case s: S3Layer => register(spark, s)
+      case _: FsLayer => ()
+    }
+    layers
+  }
+
   /** Scope credentials to the layer's bucket (CREATE SECRET analog). */
   def register(spark: SparkSession, layer: S3Layer): Unit = {
     val conf = spark.sparkContext.hadoopConfiguration

@@ -171,7 +171,6 @@ object QueryServer {
     val argMap = args.sliding(2, 2).collect {
       case Array(k, v) if k.startsWith("--") => k.drop(2) -> v
     }.toMap
-    val root = argMap.getOrElse("root", sys.env.getOrElse("DATA_DIR", "/tmp/graft-lake"))
     val spark = org.apache.spark.sql.SparkSession.builder()
       .master(sys.env.getOrElse("SPARK_MASTER", "local[*]"))
       .config("spark.sql.shuffle.partitions",
@@ -188,6 +187,17 @@ object QueryServer {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // GIGAPI_LAYERS_<i>_* env config (reference README.md:27-31,
+    // layerDesc.go): s3 layers register per-bucket fs.s3a.* credentials
+    // on the session; the first fs layer can supply the lake root.
+    // Root precedence: --root arg > DATA_DIR env > first fs layer URL
+    // > default.
+    val layers = graft.Layers.registerFromEnv(spark)
+    val fsRoot = layers.collectFirst { case graft.Layers.FsLayer(_, p) => p }
+    val root = argMap.get("root")
+      .orElse(sys.env.get("DATA_DIR"))
+      .orElse(fsRoot)
+      .getOrElse("/tmp/graft-lake")
     val engine = new Engine(spark, new graft.Catalog(root))
     argMap.get("query") match {
       case Some(q) => // one-shot CLI mode
