@@ -21,6 +21,13 @@ import org.apache.spark.sql.functions._
  */
 object Multimodal {
 
+  // ImageIO defaults to a DISK-backed stream cache — a temp file per
+  // encode/decode, which at corpus scale turns a CPU kernel into
+  // ~20 ms of filesystem traffic per image. All payloads here are
+  // in-memory byte arrays; cache in memory. (Object init runs once
+  // per executor JVM.)
+  javax.imageio.ImageIO.setUseCache(false)
+
   case class MediaRow(doc_id: Long, payload: Array[Byte])
 
   /** `decoded` says which kernel produced the geometry: true → real
@@ -118,6 +125,140 @@ object Multimodal {
     javax.imageio.ImageIO.write(img, "png", out)
     out.toByteArray
   }
+
+  /** Deterministic textured image: a 9×8 gray grid seeded by
+    * splitmix-style hashing of (seed, cell), bilinearly upscaled to
+    * `width`×`height` — the fixture family for perceptual-hash tests
+    * (smooth enough that a downscaled re-encode keeps the same
+    * [[dHash]], textured enough that different seeds do not).
+    * `format`: any ImageIO writer name — "png" (lossless, compact) or
+    * "bmp" (uncompressed: ~5× cheaper encode/decode, the right
+    * fixture for throughput paths). */
+  def syntheticGridImage(seed: Long, width: Int, height: Int,
+                         format: String): Array[Byte] = {
+    require(width >= 9 && height >= 8, "grid fixture needs width≥9, height≥8")
+    val grid = new java.awt.image.BufferedImage(
+      9, 8, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < 8) {
+      var x = 0
+      while (x < 9) {
+        // splitmix64 finalizer over (seed, cell) — stable everywhere
+        var z = seed * 0x9E3779B97F4A7C15L + (y * 9 + x + 1) * 0xBF58476D1CE4E5B9L
+        z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+        z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+        val g = ((z ^ (z >>> 31)) & 0xFF).toInt
+        grid.setRGB(x, y, (g << 16) | (g << 8) | g)
+        x += 1
+      }
+      y += 1
+    }
+    val img = new java.awt.image.BufferedImage(
+      width, height, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val gfx = img.createGraphics()
+    try {
+      gfx.setRenderingHint(java.awt.RenderingHints.KEY_INTERPOLATION,
+        java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+      gfx.drawImage(grid, 0, 0, width, height, null)
+    } finally gfx.dispose()
+    val out = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, format, out)
+    out.toByteArray
+  }
+
+  /** PNG variant of [[syntheticGridImage]] (lossless, sniffable). */
+  def syntheticGridPng(seed: Long, width: Int, height: Int): Array[Byte] =
+    syntheticGridImage(seed, width, height, "png")
+
+  /** Local (driver/executor-side) resize of one image payload —
+    * decode → bilinear scale → re-encode as `format`. None if
+    * undecodable. The Dataset stage [[resizeImages]] wraps this per
+    * partition. */
+  def resizeImage(payload: Array[Byte], targetW: Int, targetH: Int,
+                  format: String): Option[Array[Byte]] = {
+    require(targetW > 0 && targetH > 0)
+    readBuffered(payload).map { img =>
+      val out = new java.awt.image.BufferedImage(
+        targetW, targetH, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      val g = out.createGraphics()
+      try {
+        g.setRenderingHint(java.awt.RenderingHints.KEY_INTERPOLATION,
+          java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+        g.drawImage(img, 0, 0, targetW, targetH, null)
+      } finally g.dispose()
+      val bytes = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(out, format, bytes)
+      bytes.toByteArray
+    }
+  }
+
+  /** PNG variant of [[resizeImage]]. */
+  def resizePng(payload: Array[Byte], targetW: Int, targetH: Int): Option[Array[Byte]] =
+    resizeImage(payload, targetW, targetH, "png")
+
+  /**
+   * 64-bit difference hash (dHash) of an image payload: bilinear
+   * downscale of the luminance plane to 9×8, bit (x,y) = "pixel
+   * brighter than its left neighbour". Stable under rescaling and
+   * re-encoding (the classic perceptual near-dup signature); hamming
+   * distance between hashes measures perceptual difference. None for
+   * payloads ImageIO cannot decode. Featureless (constant) images all
+   * hash to 0 — an inherent dHash property, they form one near-dup
+   * class.
+   */
+  def dHash(payload: Array[Byte]): Option[Long] = readBuffered(payload).map { img =>
+    val pooled = new java.awt.image.BufferedImage(
+      9, 8, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val g = pooled.createGraphics()
+    try {
+      g.setRenderingHint(java.awt.RenderingHints.KEY_INTERPOLATION,
+        java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+      g.drawImage(img, 0, 0, 9, 8, null)
+    } finally g.dispose()
+    val px = pooled.getRGB(0, 0, 9, 8, null, 0, 9)
+    val luma = new Array[Double](72)
+    var i = 0
+    while (i < 72) {
+      val p = px(i)
+      luma(i) = 0.299 * ((p >> 16) & 0xFF) + 0.587 * ((p >> 8) & 0xFF) +
+        0.114 * (p & 0xFF)
+      i += 1
+    }
+    var h = 0L
+    var bit = 0
+    var y = 0
+    while (y < 8) {
+      var x = 0
+      while (x < 8) {
+        if (luma(y * 9 + x + 1) > luma(y * 9 + x)) h |= (1L << bit)
+        bit += 1
+        x += 1
+      }
+      y += 1
+    }
+    h
+  }
+
+  /** Per-image dHash signatures as a DataFrame (id, simhash) — named
+    * to feed [[Dedup.simhashPairs]]'s banded hamming join directly.
+    * Undecodable payloads drop out (no signature, stay singletons). */
+  def dHashes(media: Dataset[MediaRow]): DataFrame = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { rows =>
+      rows.flatMap(r => dHash(r.payload).map(h => (r.doc_id, h)))
+    }.toDF("id", "simhash")
+  }
+
+  /**
+   * Perceptual image near-dup pairs: dHash per image (one decode
+   * pass, map-side), then [[Dedup.simhashPairs]]'s pigeonhole banding
+   * — COMPLETE at the requested hamming radius, one band shuffle,
+   * never an O(n²) image comparison. The multimodal twin of the text
+   * SimHash path; same hot-bucket guard semantics.
+   */
+  def imageNearDupPairs(media: Dataset[MediaRow], maxHamming: Int = 3,
+                        maxBucketSize: Option[Int] = None): DataFrame =
+    Dedup.simhashPairs(dHashes(media), maxHamming, maxBucketSize)
 
   /**
    * STUB decoder for payloads ImageIO cannot read (audio/video — the

@@ -165,6 +165,32 @@ object Pipeline {
         .orderBy(col("doc_id"))
     }),
 
+    // perceptual image near-dup END-TO-END: per doc pair (2s, 2s+1) a
+    // textured PNG and its resized re-encode are generated, dHash'd
+    // (real ImageIO decode), and paired through the pigeonhole banded
+    // hamming join — the planted twins are EXACTLY the consecutive-id
+    // pairs, so the full pair set oracles as doc_id arithmetic.
+    // Radius 8 (vs the operating default 3) gives headroom so the
+    // oracle tests the operator, not the tail of resize noise.
+    // Fixtures are uncompressed BMP — the dHash kernel is format
+    // agnostic and BMP skips the DEFLATE round-trip that would
+    // otherwise dominate the fixture generation, not the operator.
+    "qA3_image_neardup" -> ((s, dir) => {
+      import s.implicits._
+      val media = T(s, dir)("documents").select(col("doc_id")).as[Long]
+        .mapPartitions { ids =>
+          ids.map { id =>
+            val base = Multimodal.syntheticGridImage(id / 2, 45, 40, "bmp")
+            val payload = if (id % 2 == 0) base
+              else Multimodal.resizeImage(base, 27, 24, "bmp").get
+            Multimodal.MediaRow(id, payload)
+          }
+        }
+      Multimodal.imageNearDupPairs(media, maxHamming = 8)
+        .select(col("id_a"), col("id_b"))
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+
     // IVF ANN: deterministic Lloyd centroids, probe 4/16 cells
     // (index-dependent recall → rows-only). The index build is
     // memoized per JVM under a run-unique temp dir (an index is an
@@ -739,6 +765,12 @@ object Pipeline {
              round(list_max(list_transform(range(1, len(e) + 1),
                i -> abs(e[i] - (vmin + codes[i] * scale)))), 6) AS max_err
       FROM c ORDER BY vec_id""",
+    "qA3_image_neardup" -> """
+      SELECT CAST(a.doc_id AS BIGINT) AS id_a,
+             CAST(b.doc_id AS BIGINT) AS id_b
+      FROM documents a JOIN documents b ON b.doc_id = a.doc_id + 1
+      WHERE a.doc_id % 2 = 0
+      ORDER BY id_a, id_b""",
     "qA2_image_decode" -> """
       SELECT doc_id, 'png' AS format,
              CAST(16 + doc_id % 32 AS INT) AS width,

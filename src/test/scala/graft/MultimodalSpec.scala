@@ -128,6 +128,39 @@ class MultimodalSpec extends AnyFunSuite {
     }
   }
 
+  test("dHash: stable under resize/re-encode, discriminative across seeds") {
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    val seeds = (0L until 24L).toSeq
+    val hashes = seeds.map { s =>
+      val base = Multimodal.syntheticGridPng(s, 90, 80)
+      val resized = Multimodal.resizePng(base, 45, 40).get
+      val hb = Multimodal.dHash(base).get
+      val hr = Multimodal.dHash(resized).get
+      // perceptual invariance: a downscaled re-encode stays within
+      // the classic near-dup radius
+      assert(ham(hb, hr) <= 3, s"seed $s hamming ${ham(hb, hr)}")
+      hb
+    }
+    // different seeds are far apart (expected ~32 bits for independent
+    // textures) — far outside the radius-3 pairing
+    for (i <- hashes.indices; j <- i + 1 until hashes.size)
+      assert(ham(hashes(i), hashes(j)) > 3, s"seeds $i/$j too close")
+    // undecodable payloads have no hash
+    assert(Multimodal.dHash("not an image".getBytes).isEmpty)
+  }
+
+  test("imageNearDupPairs recovers exactly the planted resized twins") {
+    import spark.implicits._
+    val rows = (0L until 30L).flatMap { s =>
+      val base = Multimodal.syntheticGridPng(s, 90, 80)
+      Seq(Multimodal.MediaRow(2 * s, base),
+        Multimodal.MediaRow(2 * s + 1, Multimodal.resizePng(base, 45, 40).get))
+    } :+ Multimodal.MediaRow(999L, "undecodable audio bytes".getBytes)
+    val pairs = Multimodal.imageNearDupPairs(rows.toDS(), maxHamming = 3)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs == (0L until 30L).map(s => (2 * s, 2 * s + 1)).toSet)
+  }
+
   test("media features feed the similarity family directly") {
     val feats = Multimodal.featureStub(media, dim = 64)
     // unit-norm vectors
