@@ -49,11 +49,7 @@ object Bench {
       localDir.foreach(builder.config("spark.local.dir", _))
       val s = builder.getOrCreate()
       s.sparkContext.setLogLevel("WARN")
-      // per-query FAIR pools are created on first use by design —
-      // silence the per-pool "has not been configured" WARN noise
-      org.apache.logging.log4j.core.config.Configurator.setLevel(
-        "org.apache.spark.scheduler.FairSchedulableBuilder",
-        org.apache.logging.log4j.Level.ERROR)
+      LogNoise.silenceFairPoolWarnings()
       s
     }
     val spark = newSession()

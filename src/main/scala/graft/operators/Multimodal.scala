@@ -61,12 +61,24 @@ object Multimodal {
   case class DecodedImage(width: Int, height: Int, nFrames: Int,
                           meanLuma: Double)
 
-  /** Real image decode via the JDK's `javax.imageio.ImageIO`
-    * (JPEG/PNG/GIF/BMP/TIFF — no external jars). Returns None for
-    * payloads no installed reader accepts (audio/video/corrupt), which
-    * routes them to the deterministic stub. `n_frames` counts the
-    * container's images (animated GIF frames, TIFF pages). */
-  def decodeImage(payload: Array[Byte]): Option[DecodedImage] = {
+  /** Decompression-bomb guard: a ~300 KB PNG can declare 25000×25000
+    * and allocate gigabytes at read(0) — and the resulting
+    * OutOfMemoryError is NOT an Exception, so it would kill the task
+    * (and its retries) rather than fall back to the stub. The header
+    * carries the dimensions BEFORE any pixel allocation; images over
+    * this pixel count are refused (→ stub path). 64 MP covers every
+    * legitimate photo format. */
+  private val MaxImagePixels = 64L * 1024 * 1024
+
+  /** Rec.601 luminance of a packed ARGB pixel. */
+  private def lumaOf(p: Int): Double =
+    0.299 * ((p >> 16) & 0xFF) + 0.587 * ((p >> 8) & 0xFF) + 0.114 * (p & 0xFF)
+
+  /** Shared reader harness: header-check the dimensions, then hand
+    * the positioned reader to `f`. None when no reader accepts the
+    * payload, the header exceeds [[MaxImagePixels]], or decode throws. */
+  private def withReader[T](payload: Array[Byte])(
+      f: javax.imageio.ImageReader => T): Option[T] = {
     if (payload.isEmpty) return None
     try {
       val iis = javax.imageio.ImageIO.createImageInputStream(
@@ -78,33 +90,123 @@ object Multimodal {
           val reader = readers.next()
           try {
             reader.setInput(iis, false, true)
-            val img = reader.read(0)
-            val w = img.getWidth
-            val h = img.getHeight
-            // one bulk getRGB, not w×h JNI-ish calls
-            val px = img.getRGB(0, 0, w, h, null, 0, w)
-            var sum = 0.0
-            var i = 0
-            while (i < px.length) {
-              val p = px(i)
-              sum += 0.299 * ((p >> 16) & 0xFF) + 0.587 * ((p >> 8) & 0xFF) +
-                0.114 * (p & 0xFF)
-              i += 1
-            }
-            val n = try math.max(reader.getNumImages(true), 1)
-                    catch { case _: Exception => 1 }
-            Some(DecodedImage(w, h, n, sum / px.length))
+            // header-only: no pixel buffers allocated yet
+            val (w, h) = (reader.getWidth(0).toLong, reader.getHeight(0).toLong)
+            if (w <= 0 || h <= 0 || w * h > MaxImagePixels) None
+            else Some(f(reader))
           } finally reader.dispose()
         }
       } finally iis.close()
     } catch { case _: Exception => None }
   }
 
-  /** Decode to a BufferedImage (resize/feature kernels). */
+  /** Real image decode via the JDK's `javax.imageio.ImageIO`
+    * (JPEG/PNG/GIF/BMP/TIFF — no external jars). Returns None for
+    * payloads no installed reader accepts (audio/video/corrupt) or
+    * that fail the [[MaxImagePixels]] guard, which routes them to the
+    * deterministic stub. `n_frames` counts the container's images
+    * (animated GIF frames, TIFF pages). */
+  def decodeImage(payload: Array[Byte]): Option[DecodedImage] =
+    withReader(payload) { reader =>
+      val img = reader.read(0)
+      val w = img.getWidth
+      val h = img.getHeight
+      // one bulk getRGB, not w×h JNI-ish calls
+      val px = img.getRGB(0, 0, w, h, null, 0, w)
+      var sum = 0.0
+      var i = 0
+      while (i < px.length) { sum += lumaOf(px(i)); i += 1 }
+      val n = try math.max(reader.getNumImages(true), 1)
+              catch { case _: Exception => 1 }
+      DecodedImage(w, h, n, sum / px.length)
+    }
+
+  /** Decode to a BufferedImage (resize/feature kernels) — same
+    * reader path and bomb guard as [[decodeImage]]. */
   private def readBuffered(payload: Array[Byte]): Option[java.awt.image.BufferedImage] =
-    if (payload.isEmpty) None
-    else try Option(javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload)))
-    catch { case _: Exception => None }
+    withReader(payload)(_.read(0))
+
+  /**
+   * Scale to exactly `w`×`h` for IMAGE output: progressive 2× halving
+   * while the source is more than 2× the target, then one final
+   * bilinear pass. A SINGLE-step Graphics2D bilinear at large factors
+   * interpolates between ~2×2 source samples — a 3000px photo squeezed
+   * straight to 9px reads a sparse pixel subset. Halving keeps every
+   * step inside bilinear's support (the standard mipmap argument).
+   * The HASH/FEATURE path does not use this — it pools with the exact
+   * [[areaPoolLuma]] box filter, which is what makes [[dHash]] stable
+   * across scales (two Graphics2D halving chains of different depths
+   * accumulate different phase offsets; an exact area integral of the
+   * same underlying field does not).
+   */
+  private def scaleTo(src: java.awt.image.BufferedImage,
+                      w: Int, h: Int): java.awt.image.BufferedImage = {
+    var cur = src
+    while (cur.getWidth >= 2 * w && cur.getHeight >= 2 * h &&
+           (cur.getWidth > 2 * w || cur.getHeight > 2 * h)) {
+      cur = drawScaled(cur, math.max(w, cur.getWidth / 2),
+        math.max(h, cur.getHeight / 2))
+    }
+    if (cur.getWidth == w && cur.getHeight == h) cur else drawScaled(cur, w, h)
+  }
+
+  /**
+   * EXACT fractional box filter of the luminance plane onto a
+   * `tw`×`th` mesh: every target cell is the area-weighted mean of
+   * the source pixels its back-projected rectangle overlaps (edge
+   * pixels weighted by fractional coverage). True area pooling at any
+   * scale factor — no sampling sparsity, no interpolation-kernel or
+   * JVM-graphics dependence — so pooling a photo and pooling its
+   * thumbnail integrate the SAME underlying field and agree up to
+   * resampling error. The deterministic core of [[dHash]] and
+   * [[imageFeatures]].
+   */
+  private def areaPoolLuma(img: java.awt.image.BufferedImage,
+                           tw: Int, th: Int): Array[Double] = {
+    val sw = img.getWidth
+    val sh = img.getHeight
+    val px = img.getRGB(0, 0, sw, sh, null, 0, sw)
+    val out = new Array[Double](tw * th)
+    var ty = 0
+    while (ty < th) {
+      val y0 = ty * sh.toDouble / th
+      val y1 = (ty + 1) * sh.toDouble / th
+      var tx = 0
+      while (tx < tw) {
+        val x0 = tx * sw.toDouble / tw
+        val x1 = (tx + 1) * sw.toDouble / tw
+        var sum = 0.0
+        var y = math.floor(y0).toInt
+        while (y < math.ceil(y1).toInt) {
+          val wy = math.min(y + 1.0, y1) - math.max(y.toDouble, y0)
+          var x = math.floor(x0).toInt
+          while (x < math.ceil(x1).toInt) {
+            val wx = math.min(x + 1.0, x1) - math.max(x.toDouble, x0)
+            sum += wx * wy * lumaOf(px(y * sw + x))
+            x += 1
+          }
+          y += 1
+        }
+        out(ty * tw + tx) = sum / ((x1 - x0) * (y1 - y0))
+        tx += 1
+      }
+      ty += 1
+    }
+    out
+  }
+
+  private def drawScaled(src: java.awt.image.BufferedImage,
+                         w: Int, h: Int): java.awt.image.BufferedImage = {
+    val out = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val g = out.createGraphics()
+    try {
+      g.setRenderingHint(java.awt.RenderingHints.KEY_INTERPOLATION,
+        java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+      g.drawImage(src, 0, 0, w, h, null)
+    } finally g.dispose()
+    out
+  }
 
   /** Deterministic PNG: a `width`×`height` solid-gray image (gray ∈
     * [0,255]) encoded by the JDK PNG writer — the test/oracle fixture
@@ -153,16 +255,8 @@ object Multimodal {
       }
       y += 1
     }
-    val img = new java.awt.image.BufferedImage(
-      width, height, java.awt.image.BufferedImage.TYPE_INT_RGB)
-    val gfx = img.createGraphics()
-    try {
-      gfx.setRenderingHint(java.awt.RenderingHints.KEY_INTERPOLATION,
-        java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
-      gfx.drawImage(grid, 0, 0, width, height, null)
-    } finally gfx.dispose()
     val out = new java.io.ByteArrayOutputStream()
-    javax.imageio.ImageIO.write(img, format, out)
+    javax.imageio.ImageIO.write(drawScaled(grid, width, height), format, out)
     out.toByteArray
   }
 
@@ -178,16 +272,8 @@ object Multimodal {
                   format: String): Option[Array[Byte]] = {
     require(targetW > 0 && targetH > 0)
     readBuffered(payload).map { img =>
-      val out = new java.awt.image.BufferedImage(
-        targetW, targetH, java.awt.image.BufferedImage.TYPE_INT_RGB)
-      val g = out.createGraphics()
-      try {
-        g.setRenderingHint(java.awt.RenderingHints.KEY_INTERPOLATION,
-          java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
-        g.drawImage(img, 0, 0, targetW, targetH, null)
-      } finally g.dispose()
       val bytes = new java.io.ByteArrayOutputStream()
-      javax.imageio.ImageIO.write(out, format, bytes)
+      javax.imageio.ImageIO.write(scaleTo(img, targetW, targetH), format, bytes)
       bytes.toByteArray
     }
   }
@@ -196,9 +282,40 @@ object Multimodal {
   def resizePng(payload: Array[Byte], targetW: Int, targetH: Int): Option[Array[Byte]] =
     resizeImage(payload, targetW, targetH, "png")
 
+  /** Area-filter resize to a grayscale image: each output pixel is
+    * the exact [[areaPoolLuma]] box-filter mean of its source
+    * rectangle. The kernel real thumbnailers use (area/Lanczos), and
+    * the one that composes EXACTLY with [[dHash]]'s own pooling: when
+    * the output grid refines the 9×8 hash grid (e.g. 27×24), pooling
+    * the resized image equals pooling the original (linearity of the
+    * integral over a partition), so the hash is preserved up to 8-bit
+    * rounding. */
+  def areaResizeGray(payload: Array[Byte], targetW: Int, targetH: Int,
+                     format: String): Option[Array[Byte]] = {
+    require(targetW > 0 && targetH > 0)
+    readBuffered(payload).map { img =>
+      val luma = areaPoolLuma(img, targetW, targetH)
+      val out = new java.awt.image.BufferedImage(
+        targetW, targetH, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      var y = 0
+      while (y < targetH) {
+        var x = 0
+        while (x < targetW) {
+          val g = math.max(0, math.min(255, math.round(luma(y * targetW + x)).toInt))
+          out.setRGB(x, y, (g << 16) | (g << 8) | g)
+          x += 1
+        }
+        y += 1
+      }
+      val bytes = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(out, format, bytes)
+      bytes.toByteArray
+    }
+  }
+
   /**
-   * 64-bit difference hash (dHash) of an image payload: bilinear
-   * downscale of the luminance plane to 9×8, bit (x,y) = "pixel
+   * 64-bit difference hash (dHash) of an image payload: exact area
+   * pooling of the luminance plane onto 9×8, bit (x,y) = "pixel
    * brighter than its left neighbour". Stable under rescaling and
    * re-encoding (the classic perceptual near-dup signature); hamming
    * distance between hashes measures perceptual difference. None for
@@ -207,23 +324,10 @@ object Multimodal {
    * class.
    */
   def dHash(payload: Array[Byte]): Option[Long] = readBuffered(payload).map { img =>
-    val pooled = new java.awt.image.BufferedImage(
-      9, 8, java.awt.image.BufferedImage.TYPE_INT_RGB)
-    val g = pooled.createGraphics()
-    try {
-      g.setRenderingHint(java.awt.RenderingHints.KEY_INTERPOLATION,
-        java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
-      g.drawImage(img, 0, 0, 9, 8, null)
-    } finally g.dispose()
-    val px = pooled.getRGB(0, 0, 9, 8, null, 0, 9)
-    val luma = new Array[Double](72)
-    var i = 0
-    while (i < 72) {
-      val p = px(i)
-      luma(i) = 0.299 * ((p >> 16) & 0xFF) + 0.587 * ((p >> 8) & 0xFF) +
-        0.114 * (p & 0xFF)
-      i += 1
-    }
+    // exact area pooling, not Graphics2D resampling: the hash must be
+    // a function of the underlying image field, not of interpolation
+    // phase — see areaPoolLuma's doc
+    val luma = areaPoolLuma(img, 9, 8)
     var h = 0L
     var bit = 0
     var y = 0
@@ -356,22 +460,8 @@ object Multimodal {
     import media.sparkSession.implicits._
     media.mapPartitions { rows =>
       rows.map { r =>
-        readBuffered(r.payload) match {
-          case Some(img) =>
-            val out = new java.awt.image.BufferedImage(
-              targetW, targetH, java.awt.image.BufferedImage.TYPE_INT_RGB)
-            val g = out.createGraphics()
-            try {
-              g.setRenderingHint(
-                java.awt.RenderingHints.KEY_INTERPOLATION,
-                java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
-              g.drawImage(img, 0, 0, targetW, targetH, null)
-            } finally g.dispose()
-            val bytes = new java.io.ByteArrayOutputStream()
-            javax.imageio.ImageIO.write(out, "png", bytes)
-            MediaRow(r.doc_id, bytes.toByteArray)
-          case None => r
-        }
+        resizeImage(r.payload, targetW, targetH, "png")
+          .map(MediaRow(r.doc_id, _)).getOrElse(r)
       }
     }
   }
@@ -395,8 +485,8 @@ object Multimodal {
 
   /**
    * REAL pooled-pixel image features: decode, average-pool the
-   * luminance plane onto a `grid`×`grid` mesh (Graphics2D bilinear
-   * downscale does the pooling in native code), L2-normalize →
+   * luminance plane onto a `grid`×`grid` mesh ([[areaPoolLuma]] —
+   * exact fractional box filter, not sparse sampling), L2-normalize →
    * `Array[Float]` of dim grid² — the SAME embedding shape the
    * similarity/ANN family consumes, so media plugs straight into
    * [[Similarity.bruteForceTopK]]/IVF/PQ (pinned in MultimodalSpec).
@@ -411,34 +501,14 @@ object Multimodal {
       rows.map { r =>
         val v = readBuffered(r.payload) match {
           case Some(img) =>
-            val pooled = new java.awt.image.BufferedImage(
-              grid, grid, java.awt.image.BufferedImage.TYPE_INT_RGB)
-            val g = pooled.createGraphics()
-            try {
-              g.setRenderingHint(
-                java.awt.RenderingHints.KEY_INTERPOLATION,
-                java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
-              g.drawImage(img, 0, 0, grid, grid, null)
-            } finally g.dispose()
-            val px = pooled.getRGB(0, 0, grid, grid, null, 0, grid)
+            val pooled = areaPoolLuma(img, grid, grid)
             val arr = new Array[Float](dim)
             var i = 0
-            while (i < dim) {
-              val p = px(i)
-              arr(i) = (0.299 * ((p >> 16) & 0xFF) + 0.587 * ((p >> 8) & 0xFF) +
-                0.114 * (p & 0xFF)).toFloat
-              i += 1
-            }
+            while (i < dim) { arr(i) = pooled(i).toFloat; i += 1 }
             arr
           case None => byteHistogram(r.payload, dim)
         }
-        var norm = 0.0
-        var j = 0
-        while (j < dim) { norm += v(j) * v(j); j += 1 }
-        val inv = if (norm == 0) 0f else (1.0 / math.sqrt(norm)).toFloat
-        j = 0
-        while (j < dim) { v(j) *= inv; j += 1 }
-        (r.doc_id, v.toSeq)
+        (r.doc_id, l2Normalize(v).toSeq)
       }
     }.toDF("doc_id", "embedding")
   }
@@ -453,6 +523,16 @@ object Multimodal {
     v
   }
 
+  private def l2Normalize(v: Array[Float]): Array[Float] = {
+    var norm = 0.0
+    var j = 0
+    while (j < v.length) { norm += v(j) * v(j); j += 1 }
+    val inv = if (norm == 0) 0f else (1.0 / math.sqrt(norm)).toFloat
+    j = 0
+    while (j < v.length) { v(j) *= inv; j += 1 }
+    v
+  }
+
   /**
    * Feature extraction for NON-image payloads (STUB: a deterministic
    * byte-histogram projection; a real deployment runs an audio/video
@@ -463,19 +543,7 @@ object Multimodal {
     import media.sparkSession.implicits._
     media.mapPartitions { rows =>
       rows.map { r =>
-        val v = new Array[Float](dim)
-        var i = 0
-        while (i < r.payload.length) {
-          v(math.floorMod(r.payload(i), dim)) += 1f / (1 + i % 7)
-          i += 1
-        }
-        var norm = 0.0
-        var j = 0
-        while (j < dim) { norm += v(j) * v(j); j += 1 }
-        val inv = if (norm == 0) 0f else (1.0 / math.sqrt(norm)).toFloat
-        j = 0
-        while (j < dim) { v(j) *= inv; j += 1 }
-        (r.doc_id, v.toSeq)
+        (r.doc_id, l2Normalize(byteHistogram(r.payload, dim)).toSeq)
       }
     }.toDF("doc_id", "embedding")
   }

@@ -166,12 +166,14 @@ object Pipeline {
     }),
 
     // perceptual image near-dup END-TO-END: per doc pair (2s, 2s+1) a
-    // textured PNG and its resized re-encode are generated, dHash'd
+    // textured image and its resized re-encode are generated, dHash'd
     // (real ImageIO decode), and paired through the pigeonhole banded
     // hamming join — the planted twins are EXACTLY the consecutive-id
     // pairs, so the full pair set oracles as doc_id arithmetic.
-    // Radius 8 (vs the operating default 3) gives headroom so the
-    // oracle tests the operator, not the tail of resize noise.
+    // Radius 3 = the scale-sane operating point (4 bands of 16 bits:
+    // candidate stream ~n²/16k on random hashes, vs n²/28 at radius
+    // 8); the twin-hamming≤3 margin across every oracle-gate seed is
+    // pinned in MultimodalSpec's fixture-geometry sweep.
     // Fixtures are uncompressed BMP — the dHash kernel is format
     // agnostic and BMP skips the DEFLATE round-trip that would
     // otherwise dominate the fixture generation, not the operator.
@@ -181,12 +183,14 @@ object Pipeline {
         .mapPartitions { ids =>
           ids.map { id =>
             val base = Multimodal.syntheticGridImage(id / 2, 45, 40, "bmp")
+            // twin = area-kernel thumbnail (27×24 refines the 9×8 hash
+            // grid 3×3, so the dHash survives exactly up to rounding)
             val payload = if (id % 2 == 0) base
-              else Multimodal.resizeImage(base, 27, 24, "bmp").get
+              else Multimodal.areaResizeGray(base, 27, 24, "bmp").get
             Multimodal.MediaRow(id, payload)
           }
         }
-      Multimodal.imageNearDupPairs(media, maxHamming = 8)
+      Multimodal.imageNearDupPairs(media, maxHamming = 3)
         .select(col("id_a"), col("id_b"))
         .orderBy(col("id_a"), col("id_b"))
     }),

@@ -187,12 +187,7 @@ object QueryServer {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    // per-request FAIR pools are created on first use BY DESIGN —
-    // FairSchedulableBuilder's per-request "pool has not been
-    // configured" WARN is pure noise at serving rates
-    org.apache.logging.log4j.core.config.Configurator.setLevel(
-      "org.apache.spark.scheduler.FairSchedulableBuilder",
-      org.apache.logging.log4j.Level.ERROR)
+    graft.LogNoise.silenceFairPoolWarnings()
     // GIGAPI_LAYERS_<i>_* env config (reference README.md:27-31,
     // layerDesc.go): s3 layers register per-bucket fs.s3a.* credentials
     // on the session; the first fs layer can supply the lake root.

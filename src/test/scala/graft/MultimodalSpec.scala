@@ -149,6 +149,46 @@ class MultimodalSpec extends AnyFunSuite {
     assert(Multimodal.dHash("not an image".getBytes).isEmpty)
   }
 
+  test("qA3 fixture geometry: twin hamming ≤ 3 for every oracle-gate seed") {
+    // sweeps the exact (45×40 bmp → 27×24 bmp) fixture family over all
+    // seeds the sf0.01 oracle gate uses (doc_id/2 < 2500) plus margin —
+    // pins that qA3's radius-3 pairing recovers every planted twin
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    val dists = (0L until 2600L).map { s =>
+      val base = Multimodal.syntheticGridImage(s, 45, 40, "bmp")
+      val resized = Multimodal.areaResizeGray(base, 27, 24, "bmp").get
+      ham(Multimodal.dHash(base).get, Multimodal.dHash(resized).get)
+    }
+    assert(dists.max <= 3, s"max twin hamming ${dists.max}")
+  }
+
+  test("oversized image headers are refused, not decoded (bomb guard)") {
+    // a tiny payload declaring enormous dimensions must route to the
+    // stub path instead of allocating gigabytes at read(0): a valid
+    // PNG signature + IHDR declaring 50000×50000 (2.5 GP > 64 MP)
+    val baos = new java.io.ByteArrayOutputStream()
+    val dos = new java.io.DataOutputStream(baos)
+    dos.write(Array(0x89, 'P', 'N', 'G', 0x0D, 0x0A, 0x1A, 0x0A).map(_.toByte))
+    val ihdr = new java.io.ByteArrayOutputStream()
+    val d2 = new java.io.DataOutputStream(ihdr)
+    d2.writeBytes("IHDR"); d2.writeInt(50000); d2.writeInt(50000)
+    d2.write(8); d2.write(2); d2.write(0); d2.write(0); d2.write(0)
+    val chunk = ihdr.toByteArray
+    dos.writeInt(13); dos.write(chunk)
+    val crc = new java.util.zip.CRC32(); crc.update(chunk)
+    dos.writeInt(crc.getValue.toInt)
+    val bomb = baos.toByteArray
+    assert(Multimodal.sniffFormat(bomb) == "png") // it LOOKS like an image
+    assert(Multimodal.decodeImage(bomb).isEmpty)  // ...but is refused
+    assert(Multimodal.dHash(bomb).isEmpty)
+    assert(Multimodal.resizePng(bomb, 8, 8).isEmpty)
+    // extractMeta routes it to the stub, the pipeline keeps moving
+    import spark.implicits._
+    val meta = Multimodal.extractMeta(
+      Seq(Multimodal.MediaRow(7L, bomb)).toDS()).collect()(0)
+    assert(!meta.decoded && meta.format == "png")
+  }
+
   test("imageNearDupPairs recovers exactly the planted resized twins") {
     import spark.implicits._
     val rows = (0L until 30L).flatMap { s =>
