@@ -16,9 +16,12 @@ import graft.encoders.ResultEncoder
  *    (server.go:183-189); `?format=json|ndjson` (server.go:159-168);
  *  - errors as `{"error": "..."}` with appropriate status;
  *  - CORS headers on all responses;
- *  - `GET /health` → `{"status":"ok","timestamp":…}`.
+ *  - `GET /health` → `{"status":"ok","timestamp":…}`;
+ *  - embedded UI at `/` unless `disableUi` (reference `DISABLE_UI`,
+ *    README.md:50).
  */
-class QueryServer(engine: Engine, port: Int = 8080) {
+class QueryServer(engine: Engine, port: Int = 8080,
+                  disableUi: Boolean = false) {
   private val mapper = new ObjectMapper()
   private var server: HttpServer = _
 
@@ -110,11 +113,11 @@ class QueryServer(engine: Engine, port: Int = 8080) {
     })
 
     // minimal embedded browser UI (reference O20 — served inline
-    // instead of from an embedded zip)
+    // instead of from an embedded zip); DISABLE_UI turns it off
     server.createContext("/", (ex: HttpExchange) => {
       cors(ex)
       try {
-        if (ex.getRequestURI.getPath == "/")
+        if (ex.getRequestURI.getPath == "/" && !disableUi)
           respond(ex, 200, QueryServer.UI_HTML, "text/html; charset=utf-8")
         else respond(ex, 404, """{"error":"not found"}""")
       } finally ex.close()
@@ -206,7 +209,12 @@ object QueryServer {
           engine.query(q, argMap.getOrElse("db", ""))))
         spark.stop()
       case None => // server mode
-        val srv = new QueryServer(engine, argMap.get("port").map(_.toInt).getOrElse(8080))
+        // port precedence: --port arg > PORT env > 8080; DISABLE_UI
+        // (any non-empty value) turns off the embedded UI — both from
+        // the reference's configuration surface (README.md:45-50)
+        val srv = new QueryServer(engine,
+          argMap.get("port").orElse(sys.env.get("PORT")).map(_.toInt).getOrElse(8080),
+          disableUi = sys.env.get("DISABLE_UI").exists(_.nonEmpty))
         srv.start()
         println(s"graft query server on :${srv.boundPort} (root=$root)")
         Thread.currentThread().join()

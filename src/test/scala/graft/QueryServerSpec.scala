@@ -117,6 +117,25 @@ class QueryServerSpec extends AnyFunSuite {
     assert(r.statusCode() == 200 && r.body().contains("<title>graft query</title>"))
   }
 
+  test("DISABLE_UI serves 404 at / while /query stays live (README.md:50)") {
+    val engine = new Engine(spark, new Catalog(
+      Files.createTempDirectory(new File("target").toPath.toAbsolutePath,
+        "nouilake").toFile.getAbsolutePath))
+    val s = new QueryServer(engine, 0, disableUi = true)
+    s.start()
+    try {
+      val p = s.boundPort
+      val ui = client.send(HttpRequest.newBuilder(
+        URI.create(s"http://localhost:$p/")).GET().build(),
+        HttpResponse.BodyHandlers.ofString())
+      assert(ui.statusCode() == 404)
+      val r = client.send(HttpRequest.newBuilder(URI.create(s"http://localhost:$p/query"))
+        .POST(HttpRequest.BodyPublishers.ofString("""{"query":"SELECT 1 AS one"}"""))
+        .build(), HttpResponse.BodyHandlers.ofString())
+      assert(r.body() == """{"results":[{"one":1}]}""")
+    } finally s.stop()
+  }
+
   test("error contract: bad SQL and missing query") {
     val bad = post("/query", """{"query":"SELEKT"}""")
     assert(bad.statusCode() == 400 && bad.body().contains("\"error\""))
