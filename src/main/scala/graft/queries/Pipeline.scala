@@ -195,6 +195,45 @@ object Pipeline {
         .orderBy(col("id_a"), col("id_b"))
     }),
 
+    // media → embedding → ANN, END-TO-END: textured twin images (base
+    // at even ids, area-thumbnail at odd) are decoded, area-pooled to
+    // 4×4 luminance features, and every doc's nearest neighbour found
+    // via the IVF kNN self-join. Twin features are near-identical
+    // (cos ≈ 1) and cross-seed cosines are far lower, so rank-1 = the
+    // planted partner — the whole pipeline (generate → decode → pool →
+    // cluster → probe → rank) oracles as doc_id arithmetic.
+    "qA4_image_knn" -> ((s, dir) => {
+      import s.implicits._
+      val media = T(s, dir)("documents").select(col("doc_id")).as[Long]
+        .mapPartitions { ids =>
+          ids.map { id =>
+            // 24/12 both refine the 4×4 feature grid (6- and 3-px
+            // cells), so twin features match up to 8-bit rounding
+            val base = Multimodal.syntheticGridImage(id / 2, 24, 24, "bmp")
+            val payload = if (id % 2 == 0) base
+              else Multimodal.areaResizeGray(base, 12, 12, "bmp").get
+            Multimodal.MediaRow(id, payload)
+          }
+        }
+      // checkpoint the features ONCE: knnJoin scans its input four
+      // times (Lloyd train, assign, both join sides) and re-running
+      // the generate+decode+pool stage per scan would quadruple the
+      // image work (same pattern as q89's post-filter checkpoint)
+      val feats = Multimodal.imageFeatures(media, grid = 4).localCheckpoint(true)
+      // nlist 64 ≈ √n at bench scale: candidate stream = corpus ×
+      // probe/nlist = n²/16 — the knob that keeps the kNN self-join
+      // linear-ish as the corpus grows (twins co-locate regardless).
+      // Centroids memoized per (JVM, sf dir): an IVF index is an
+      // OFFLINE artifact — the query pays search, not train (the q72
+      // precedent; Lloyd's 64-literal-centroid codegen dominates
+      // otherwise)
+      graft.operators.Similarity.knnJoin(feats, "doc_id", "embedding",
+          k = 1, nlist = 64, probeCells = 4, cacheKey = Some(dir + "#qA4"))
+        .filter(col("rank") === 1)
+        .select(col("id"), col("nn_id"))
+        .orderBy(col("id"))
+    }),
+
     // IVF ANN: deterministic Lloyd centroids, probe 4/16 cells
     // (index-dependent recall → rows-only). The index build is
     // memoized per JVM under a run-unique temp dir (an index is an
@@ -769,6 +808,15 @@ object Pipeline {
              round(list_max(list_transform(range(1, len(e) + 1),
                i -> abs(e[i] - (vmin + codes[i] * scale)))), 6) AS max_err
       FROM c ORDER BY vec_id""",
+    "qA4_image_knn" -> """
+      SELECT CAST(a.doc_id AS BIGINT) AS id,
+             CAST(CASE WHEN a.doc_id % 2 = 0 THEN a.doc_id + 1
+                       ELSE a.doc_id - 1 END AS BIGINT) AS nn_id
+      FROM documents a
+      JOIN documents b ON b.doc_id = CASE WHEN a.doc_id % 2 = 0
+                                          THEN a.doc_id + 1
+                                          ELSE a.doc_id - 1 END
+      ORDER BY id""",
     "qA3_image_neardup" -> """
       SELECT CAST(a.doc_id AS BIGINT) AS id_a,
              CAST(b.doc_id AS BIGINT) AS id_b
