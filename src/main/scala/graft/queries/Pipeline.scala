@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.Tables
-import graft.operators.{Contamination, Dedup, Multimodal, Packing, Sampling, Similarity, TextAnalysis}
+import graft.operators.{Audio, Contamination, Dedup, Multimodal, Packing, Sampling, Similarity, TextAnalysis}
 import graft.functions.RollingMinHash.rolling_min_hash
 import graft.functions.TextExprs
 import org.apache.spark.sql.{DataFrame, SparkSession}
@@ -193,6 +193,32 @@ object Pipeline {
       Multimodal.imageNearDupPairs(media, maxHamming = 3)
         .select(col("id_a"), col("id_b"))
         .orderBy(col("id_a"), col("id_b"))
+    }),
+
+    // REAL audio decode end-to-end: a deterministic square-wave PCM
+    // WAV is generated per doc (rate/length/amplitude are doc_id
+    // arithmetic) and decoded back through the JDK AudioSystem kernel
+    // — format fields round-trip exactly and the square wave's RMS is
+    // EXACTLY the amplitude (every |sample| = A), so a real PCM
+    // decode + signal-statistics pass oracles as plain arithmetic
+    "qA5_audio_decode" -> ((s, dir) => {
+      import s.implicits._
+      val media = T(s, dir)("documents").select(col("doc_id")).as[Long]
+        .mapPartitions { ids =>
+          ids.map { id =>
+            Multimodal.MediaRow(id, Audio.syntheticSquareWav(
+              8000 + (id % 4).toInt * 4000,
+              800 + (id % 50).toInt * 16,
+              1000 + (id % 1000).toInt))
+          }
+        }
+      Audio.audioMeta(media).toDF()
+        .select(col("doc_id"), col("sample_rate"), col("channels"),
+          col("bits"), col("n_samples"),
+          round(col("duration_ms"), 6).as("duration_ms"),
+          round(col("rms"), 6).as("rms"),
+          col("zero_crossings"), col("decoded"))
+        .orderBy(col("doc_id"))
     }),
 
     // media → embedding → ANN, END-TO-END: textured twin images (base
@@ -808,6 +834,17 @@ object Pipeline {
              round(list_max(list_transform(range(1, len(e) + 1),
                i -> abs(e[i] - (vmin + codes[i] * scale)))), 6) AS max_err
       FROM c ORDER BY vec_id""",
+    "qA5_audio_decode" -> """
+      SELECT doc_id,
+             CAST(8000 + (doc_id % 4) * 4000 AS INT) AS sample_rate,
+             CAST(1 AS INT) AS channels, CAST(16 AS INT) AS bits,
+             CAST(800 + (doc_id % 50) * 16 AS BIGINT) AS n_samples,
+             round(CAST(800 + (doc_id % 50) * 16 AS BIGINT) * 1000.0
+                   / (8000 + (doc_id % 4) * 4000), 6) AS duration_ms,
+             round(CAST(1000 + doc_id % 1000 AS DOUBLE), 6) AS rms,
+             CAST(800 + (doc_id % 50) * 16 - 1 AS BIGINT) AS zero_crossings,
+             TRUE AS decoded
+      FROM documents ORDER BY doc_id""",
     "qA4_image_knn" -> """
       SELECT CAST(a.doc_id AS BIGINT) AS id,
              CAST(CASE WHEN a.doc_id % 2 = 0 THEN a.doc_id + 1
