@@ -1,0 +1,79 @@
+package graft.streaming
+
+import graft.operators.Multimodal
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/**
+ * Streaming perceptual image near-dup DETECTION — [[Multimodal.dHash]]
+ * + the pigeonhole banding of `Dedup.simhashPairs`, lifted onto
+ * Structured Streaming for media-ingestion pipelines: as images
+ * arrive, each is hashed map-side (one real ImageIO decode per
+ * payload) and checked against everything already seen in its hash
+ * bands; pairs within the hamming radius are emitted immediately.
+ *
+ * Scale shape mirrors the batch operator: the decode+hash runs in the
+ * stateless map stage (payload bytes never reach the state store —
+ * only 64-bit signatures do), state is per-(band, bucket) signature
+ * lists bounded by `maxPerBucket` (a full bucket still matches new
+ * arrivals, it just stops growing — the streaming face of the
+ * hot-bucket guard), and completeness at the radius follows from the
+ * same pigeonhole argument. A pair colliding in several bands is
+ * emitted once per colliding band per batch — dedup downstream, like
+ * the text twin ([[StreamingDedup]]). Pinned streamed ≡ batch in
+ * StreamingSpec.
+ */
+object StreamingImageDedup {
+
+  /** @return streaming (id_a, id_b, hamming) pairs with
+    *         hamming ≤ `maxHamming`, id_a < id_b */
+  def nearDupCandidates(media: Dataset[Multimodal.MediaRow],
+                        maxHamming: Int = 3,
+                        maxPerBucket: Int = 1024): DataFrame = {
+    require(maxHamming >= 0 && maxHamming < 64,
+      "maxHamming must be in [0, 63]")
+    val spark = media.sparkSession
+    import spark.implicits._
+    val bands = maxHamming + 1
+    val bound = (0 to bands).map(j => j * 64 / bands)
+    // stateless stage: decode + hash + band — undecodable payloads
+    // drop out (no signature, stay singletons), and only (id, hash,
+    // band, bucket) longs flow to the state operator
+    val banded = media.mapPartitions { rows =>
+      rows.flatMap { r =>
+        Multimodal.dHash(r.payload).iterator.flatMap { h =>
+          (0 until bands).iterator.map { j =>
+            val w = bound(j + 1) - bound(j)
+            val mask = if (w == 64) -1L else (1L << w) - 1
+            (r.doc_id, h, j, (h >>> bound(j)) & mask)
+          }
+        }
+      }
+    }
+    val radius = maxHamming
+    val cap = maxPerBucket
+    banded.groupByKey(t => (t._3, t._4))
+      .flatMapGroupsWithState[List[(Long, Long)], (Long, Long, Int)](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (_: (Int, Long), rows: Iterator[(Long, Long, Int, Long)],
+         state: GroupState[List[(Long, Long)]]) =>
+          var seen = state.getOption.getOrElse(Nil)
+          val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Int)]
+          rows.foreach { case (id, h, _, _) =>
+            if (!seen.exists(_._1 == id)) { // re-delivered image: no self-pairs
+              seen.foreach { case (oid, oh) =>
+                val ham = java.lang.Long.bitCount(h ^ oh)
+                if (ham <= radius) {
+                  val (x, y) = if (oid < id) (oid, id) else (id, oid)
+                  out += ((x, y, ham))
+                }
+              }
+              if (seen.size < cap) seen = (id, h) :: seen
+            }
+          }
+          state.update(seen)
+          out.iterator
+      }
+      .toDF("id_a", "id_b", "hamming")
+  }
+}

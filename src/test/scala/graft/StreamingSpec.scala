@@ -150,6 +150,45 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming image near-dup pairs equal the batch banded hamming join") {
+    import spark.implicits._
+    import graft.operators.Multimodal
+    import graft.streaming.StreamingImageDedup
+    // a small media table of textured twins + an undecodable payload,
+    // split across TWO files so pairs must form across micro-batch
+    // boundaries through the state store
+    val rows = (0L until 40L).flatMap { s =>
+      val base = Multimodal.syntheticGridImage(s, 45, 40, "bmp")
+      Seq(Multimodal.MediaRow(2 * s, base),
+        Multimodal.MediaRow(2 * s + 1,
+          Multimodal.areaResizeGray(base, 27, 24, "bmp").get))
+    } :+ Multimodal.MediaRow(999L, "not an image".getBytes)
+    val d = java.nio.file.Files.createTempDirectory(
+      new java.io.File("target").toPath.toAbsolutePath, "media-stream")
+    val (first, second) = rows.splitAt(rows.size / 2)
+    first.toDS().write.parquet(d.resolve("batch0").toString)
+    second.toDS().write.parquet(d.resolve("batch1").toString)
+    val batch = rows.toDS()
+    val stream = spark.readStream.schema(batch.schema)
+      .option("maxFilesPerTrigger", 1) // force multi-batch state flow
+      .parquet(d.toString + "/*")
+      .as[Multimodal.MediaRow]
+    val q = StreamingImageDedup.nearDupCandidates(stream, maxHamming = 3)
+      .writeStream.format("memory").queryName("stream_imgdedup")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      val streamed = spark.table("stream_imgdedup")
+        .select("id_a", "id_b").distinct()
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val want = Multimodal.imageNearDupPairs(batch, maxHamming = 3)
+        .select("id_a", "id_b")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(streamed == want)
+      assert(streamed.nonEmpty, "planted twins must pair")
+    } finally q.stop()
+  }
+
   test("stateful streaming dedup emits exactly one row per fingerprint") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
