@@ -85,6 +85,35 @@ object TextExprs {
     InternalRow(n, seen.size(), maxBigram, dupChars, totalChars)
   }
 
+  // one Deflater + scratch buffer per executor thread: Deflater is
+  // native-backed and expensive to construct; reset() between rows is
+  // cheap. Level 6 = zlib default, the level the signal is usually
+  // quoted at.
+  private val deflaterTL = new ThreadLocal[java.util.zip.Deflater] {
+    override def initialValue() = new java.util.zip.Deflater(6, true)
+  }
+  private val deflateBufTL = new ThreadLocal[Array[Byte]] {
+    override def initialValue() = new Array[Byte](16 * 1024)
+  }
+
+  /** (n_bytes, z_bytes): UTF-8 byte length and its raw-deflate
+    * (level 6) compressed size. z/n is the classic entropy proxy for
+    * corpus curation — boilerplate and template spam compress far
+    * below natural prose, random junk compresses above it — and costs
+    * one pass over the bytes with zero allocation beyond the UTF-8
+    * copy (thread-local Deflater + scratch buffer). */
+  def deflateStats(text: UTF8String): InternalRow = {
+    val bytes = text.getBytes
+    val d = deflaterTL.get()
+    d.reset()
+    d.setInput(bytes)
+    d.finish()
+    val buf = deflateBufTL.get()
+    var total = 0L
+    while (!d.finished()) total += d.deflate(buf)
+    InternalRow(bytes.length, total.toInt)
+  }
+
   /** Unicode NFC composition (é as one codepoint, not e+combining
     * acute) — per-row, allocation only when the string is not already
     * normalized (the common case for clean corpora is a no-op). */

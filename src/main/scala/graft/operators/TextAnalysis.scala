@@ -163,6 +163,66 @@ object TextAnalysis {
       qualityScore(t).as("quality"))
   }
 
+  /**
+   * Gopher quality-rule battery (Rae et al. 2021, "Scaling Language
+   * Models", appendix A1.1 — the MassiveText document filter; the
+   * published constants are kept verbatim). Per document:
+   *
+   *   - `f_words`:     50 ≤ word count ≤ 100,000
+   *   - `f_mean_len`:  3 ≤ mean word length ≤ 10 characters
+   *   - `f_symbol`:    symbol-to-word ratio ≤ 0.1 ('#' and '...')
+   *   - `f_alpha`:     ≥ 80% of words contain ≥ 1 alphabetic char
+   *   - `f_stop`:      ≥ 2 hits from the small stopword marker set
+   *   - `keep`:        conjunction of all five
+   *
+   * (Gopher's remaining rules — bullet/ellipsis LINE ratios and the
+   * duplicate-line/top-n-gram repetition rates — are line-shape and
+   * repetition signals; the repetition family is `RepetitionStats`
+   * (q9E) and this corpus is single-line, so they live there.)
+   *
+   * Every rule is a per-row `regexp_count`/`length` aggregate in ONE
+   * codegen'd projection — no token-array materialization, no
+   * explode, no shuffle: embarrassingly parallel at any corpus size,
+   * and the shared token count collapses under whole-stage codegen's
+   * subexpression elimination. Ratios are IEEE divisions of
+   * exactly-representable integers, so any SQL engine computing the
+   * same expression orders and thresholds identically (the DuckDB
+   * oracle for qA6 is bit-compatible).
+   */
+  def gopherRulesTable(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val t = col(textCol)
+    val nw = tokenCount(t)
+    val nwSafe = greatest(nw, lit(1)).cast("double")
+    val mwl = avgTokenLen(t)
+    val symbolRatio =
+      (regexp_count(t, lit("#")) + regexp_count(t, lit("\\.\\.\\.")))
+        .cast("double") / nwSafe
+    // a word "contains an alphabetic char" = from the token boundary,
+    // optional non-letter prefix, then a letter (one non-overlapping
+    // match per qualifying token; \p{L} includes CJK ideographs)
+    val alphaRatio =
+      regexp_count(t, lit("(?<!\\S)[^\\p{L}\\s]*\\p{L}\\S*"))
+        .cast("double") / nwSafe
+    val stopHits = stopwordHits(t)
+    val fWords = nw.between(50, 100000)
+    val fMeanLen = mwl.between(3.0, 10.0)
+    val fSymbol = symbolRatio <= 0.1
+    val fAlpha = alphaRatio >= 0.8
+    val fStop = stopHits >= 2
+    docs.select(col(idCol),
+      nw.as("n_words"),
+      round(mwl, 6).as("mean_word_len"),
+      round(symbolRatio, 6).as("symbol_ratio"),
+      round(alphaRatio, 6).as("alpha_ratio"),
+      stopHits.as("stop_hits"),
+      fWords.as("f_words"),
+      fMeanLen.as("f_mean_len"),
+      fSymbol.as("f_symbol"),
+      fAlpha.as("f_alpha"),
+      fStop.as("f_stop"),
+      (fWords && fMeanLen && fSymbol && fAlpha && fStop).as("keep"))
+  }
+
   /** Content-addressed fingerprint over whitespace-normalized text. */
   def fingerprintMd5(text: Column): Column =
     md5(trim(regexp_replace(lower(text), "\\s+", " ")))

@@ -260,6 +260,15 @@ object Pipeline {
         .orderBy(col("id"))
     }),
 
+    // Gopher quality-rule battery (MassiveText document filter,
+    // published constants): five per-rule flags + the keep decision in
+    // one codegen'd per-row projection — fully SQL-oracle-able (every
+    // ratio is an IEEE division of exact integers)
+    "qA6_gopher_rules" -> ((s, dir) => {
+      TextAnalysis.gopherRulesTable(T(s, dir)("documents"), "doc_id", "text")
+        .orderBy(col("doc_id"))
+    }),
+
     // IVF ANN: deterministic Lloyd centroids, probe 4/16 cells
     // (index-dependent recall → rows-only). The index build is
     // memoized per JVM under a run-unique temp dir (an index is an
@@ -834,6 +843,39 @@ object Pipeline {
              round(list_max(list_transform(range(1, len(e) + 1),
                i -> abs(e[i] - (vmin + codes[i] * scale)))), 6) AS max_err
       FROM c ORDER BY vec_id""",
+    "qA6_gopher_rules" -> s"""
+      WITH t AS (
+        SELECT doc_id,
+               len(regexp_extract_all(text, '\\S+')) AS nw,
+               CAST(length(regexp_replace(text, '\\s+', '', 'g')) AS DOUBLE) AS nc,
+               len(regexp_extract_all(text, '#'))
+                 + len(regexp_extract_all(text, '\\.\\.\\.')) AS sym,
+               len(list_filter(regexp_extract_all(text, '\\S+'),
+                   x -> regexp_matches(x, '\\p{L}'))) AS alpha,
+               len(list_filter(regexp_extract_all(text, '\\S+'),
+                   x -> x IN $STOP_IN)) AS stp
+        FROM documents),
+      r AS (
+        SELECT doc_id, nw,
+               nc / greatest(nw, 1) AS mwl,
+               CAST(sym AS DOUBLE) / greatest(nw, 1) AS symr,
+               CAST(alpha AS DOUBLE) / greatest(nw, 1) AS alphar,
+               stp
+        FROM t)
+      SELECT doc_id,
+             CAST(nw AS INT) AS n_words,
+             round(mwl, 6) AS mean_word_len,
+             round(symr, 6) AS symbol_ratio,
+             round(alphar, 6) AS alpha_ratio,
+             CAST(stp AS INT) AS stop_hits,
+             (nw BETWEEN 50 AND 100000) AS f_words,
+             (mwl BETWEEN 3.0 AND 10.0) AS f_mean_len,
+             (symr <= 0.1) AS f_symbol,
+             (alphar >= 0.8) AS f_alpha,
+             (stp >= 2) AS f_stop,
+             ((nw BETWEEN 50 AND 100000) AND (mwl BETWEEN 3.0 AND 10.0)
+               AND (symr <= 0.1) AND (alphar >= 0.8) AND (stp >= 2)) AS keep
+      FROM r ORDER BY doc_id""",
     "qA5_audio_decode" -> """
       SELECT doc_id,
              CAST(8000 + (doc_id % 4) * 4000 AS INT) AS sample_rate,

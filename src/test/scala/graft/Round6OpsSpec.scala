@@ -1,0 +1,77 @@
+package graft
+
+import graft.operators.TextAnalysis
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Round-6 operator family: the Gopher quality-rule battery. */
+class Round6OpsSpec extends AnyFunSuite {
+  private lazy val spark = GraftTestSession.spark
+  import spark.implicits._
+
+  private def rules(rows: (Long, String)*) = {
+    val df = rows.toDF("doc_id", "text")
+    TextAnalysis.gopherRulesTable(df, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r).toMap
+  }
+
+  test("gopher rules: each rule flags its designed violator") {
+    val passText = (1 to 56).map(i => s"word$i").mkString(" ") +
+      " the of and it" // 60 words, mean len ~5, all alpha, 4 stopwords
+    val shortText = "the of tiny words here" // 5 words
+    val digitText = (1 to 60).map(_ => "12345").mkString(" ") // no letters
+    val symbolText = (1 to 50).map(i => s"term$i").mkString(" ") +
+      " the of " + (1 to 8).map(_ => "#").mkString(" ") // 60 words, 8 '#'
+    val longText = (1 to 60).map(_ => "pneumonoultramicro").mkString(" ") +
+      " the of" // 62 words, mean len ≈ 17.6
+
+    val m = rules(1L -> passText, 2L -> shortText, 3L -> digitText,
+      4L -> symbolText, 5L -> longText)
+
+    def flag(id: Long, name: String): Boolean =
+      m(id).getAs[Boolean](name)
+
+    // 1: passes everything
+    assert(flag(1L, "f_words") && flag(1L, "f_mean_len") &&
+      flag(1L, "f_symbol") && flag(1L, "f_alpha") && flag(1L, "f_stop"))
+    assert(flag(1L, "keep"))
+    // 2: too few words — the word-count rule alone rejects it
+    assert(!flag(2L, "f_words") && !flag(2L, "keep"))
+    // 3: all-digit words — alpha rule rejects (and no stopwords)
+    assert(!flag(3L, "f_alpha") && !flag(3L, "f_stop") && !flag(3L, "keep"))
+    assert(flag(3L, "f_words") && flag(3L, "f_mean_len"))
+    // 4: 8 '#' in 60 words = 0.133 > 0.1 — symbol rule rejects
+    assert(!flag(4L, "f_symbol") && !flag(4L, "keep"))
+    assert(flag(4L, "f_alpha"), "50/60 alpha words is still >= 0.8")
+    // 5: 18-char words — mean-word-length rule rejects
+    assert(!flag(5L, "f_mean_len") && !flag(5L, "keep"))
+  }
+
+  test("gopher rules: CJK ideographs count as alphabetic") {
+    val zh = (1 to 60).map(_ => "的是").mkString(" ") + " 的 在"
+    val m = rules(1L -> zh)
+    assert(m(1L).getAs[Boolean]("f_alpha"))
+    assert(m(1L).getAs[Double]("alpha_ratio") == 1.0)
+  }
+
+  test("gopher rules: empty and whitespace-only text degrade cleanly") {
+    val m = rules(1L -> "", 2L -> "   \t  ")
+    for (id <- Seq(1L, 2L)) {
+      val r = m(id)
+      assert(r.getAs[Int]("n_words") == 0)
+      assert(r.getAs[Double]("mean_word_len") == 0.0) // no NaN/Inf
+      assert(!r.getAs[Boolean]("f_words") && !r.getAs[Boolean]("keep"))
+    }
+  }
+
+  test("gopher rules: discriminative on the synthetic corpus, no nulls") {
+    val docs = Tables.load(spark, "/root/testdata/sf0.001", "documents")
+    val out = TextAnalysis.gopherRulesTable(docs, "doc_id", "text")
+    val n = out.count()
+    assert(n == docs.count())
+    assert(out.filter(out.columns.map(col(_).isNull).reduce(_ || _)).count() == 0)
+    val kept = out.filter(col("keep")).count()
+    assert(kept > 0 && kept < n,
+      s"expected a mix of keep/drop, got $kept of $n")
+  }
+}
