@@ -22,7 +22,7 @@ import org.apache.spark.sql.types.{BooleanType, IntegerType, LongType, Timestamp
  * pipeline primitives without the Scala API:
  * `token_grams(text, w, overlapping)`, `shingle_hashes(text, w[, mask])`,
  * `simhash64(tokens_array)`, `nfc_normalize(text)`,
- * `repetition_stats(text)`.
+ * `repetition_stats(text)`, `deflate_stats(text)`.
  */
 object Compat {
   private def epochNs(args: Seq[Expression]): Expression = {
@@ -72,5 +72,7 @@ object Compat {
       unary("nfc_normalize", NfcNormalize), "built-in")
     reg.createOrReplaceTempFunction("repetition_stats",
       unary("repetition_stats", RepetitionStats), "built-in")
+    reg.createOrReplaceTempFunction("deflate_stats",
+      unary("deflate_stats", DeflateStats), "built-in")
   }
 }

@@ -133,6 +133,9 @@ object TextExprs {
 
   def repetition_stats(text: Column): Column =
     ColumnBridge.column(RepetitionStats(ColumnBridge.expression(text)))
+
+  def deflate_stats(text: Column): Column =
+    ColumnBridge.column(DeflateStats(ColumnBridge.expression(text)))
 }
 
 /** Unicode NFC normalization (the canonicalization step of text
@@ -197,4 +200,28 @@ case class RepetitionStats(child: Expression)
   override protected def withNewChildInternal(c: Expression): RepetitionStats =
     copy(child = c)
   override def prettyName: String = "repetition_stats"
+}
+
+/** struct(n_bytes, z_bytes): UTF-8 length and raw-deflate(level 6)
+  * compressed size — the compression-ratio entropy proxy. No SQL
+  * oracle exists (DuckDB exposes no deflate scalar), so its query is
+  * rows-only; the spec pins exact determinism and the
+  * repetitive < prose < random ratio ordering. */
+case class DeflateStats(child: Expression)
+    extends UnaryExpression with ExpectsInputTypes {
+
+  override def inputTypes: Seq[ColumnBridge.SqlAbstractDataType] = Seq(StringType)
+  override def dataType: DataType = StructType(Seq(
+    StructField("n_bytes", IntegerType, nullable = false),
+    StructField("z_bytes", IntegerType, nullable = false)))
+
+  override def nullSafeEval(v: Any): Any =
+    TextExprs.deflateStats(v.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.TextExprs.deflateStats($c)")
+
+  override protected def withNewChildInternal(c: Expression): DeflateStats =
+    copy(child = c)
+  override def prettyName: String = "deflate_stats"
 }

@@ -269,6 +269,23 @@ object Pipeline {
         .orderBy(col("doc_id"))
     }),
 
+    // compression-ratio entropy proxy (raw deflate, level 6): z/n —
+    // boilerplate/template spam compresses far below natural prose.
+    // Per-row native kernel, zero shuffle; no DuckDB deflate scalar
+    // exists → rows-only (determinism + ordering pinned in
+    // Round6OpsSpec). Ratio is computed from the kernel's two ints in
+    // the projection, so the plan stays one codegen'd stage.
+    "qA7_compress_ratio" -> ((s, dir) => {
+      val z = TextExprs.deflate_stats(col("text"))
+      T(s, dir)("documents")
+        .select(col("doc_id"), z.getField("n_bytes").as("n_bytes"),
+          z.getField("z_bytes").as("z_bytes"))
+        .withColumn("ratio",
+          round(col("z_bytes").cast("double") /
+            greatest(col("n_bytes"), lit(1)).cast("double"), 6))
+        .orderBy(col("doc_id"))
+    }),
+
     // IVF ANN: deterministic Lloyd centroids, probe 4/16 cells
     // (index-dependent recall → rows-only). The index build is
     // memoized per JVM under a run-unique temp dir (an index is an

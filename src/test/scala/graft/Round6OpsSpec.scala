@@ -64,6 +64,41 @@ class Round6OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("deflate kernel: deterministic, and orders repetitive < prose < random") {
+    import graft.functions.TextExprs
+    val repetitive = (1 to 200).map(_ => "the same words again").mkString(" ")
+    val prose = (1 to 100).map(i => s"sentence$i has varied content word$i")
+      .mkString(" ")
+    // hex of a fixed seed stream: incompressible relative to prose
+    val rnd = new scala.util.Random(42)
+    val random = (1 to 100).map(_ => rnd.nextLong().toHexString).mkString(" ")
+
+    def ratio(texts: (Long, String)*): Map[Long, Double] = {
+      val z = TextExprs.deflate_stats(col("text"))
+      texts.toDF("doc_id", "text")
+        .select(col("doc_id"),
+          (z.getField("z_bytes").cast("double") /
+            greatest(z.getField("n_bytes"), lit(1))).as("r"))
+        .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    }
+    val r1 = ratio(1L -> repetitive, 2L -> prose, 3L -> random)
+    val r2 = ratio(1L -> repetitive, 2L -> prose, 3L -> random)
+    assert(r1 == r2, "deflate must be bit-deterministic")
+    assert(r1(1L) < r1(2L) && r1(2L) < r1(3L),
+      s"expected repetitive < prose < random, got $r1")
+    assert(r1.values.forall(v => v > 0.0 && v < 1.5))
+  }
+
+  test("deflate kernel: registered as a SQL function") {
+    graft.functions.Compat.register(spark)
+    Seq((1L, "aaaa bbbb aaaa bbbb")).toDF("doc_id", "text")
+      .createOrReplaceTempView("t_deflate")
+    val row = spark.sql(
+      "SELECT deflate_stats(text).n_bytes AS n, deflate_stats(text).z_bytes AS z FROM t_deflate")
+      .collect().head
+    assert(row.getInt(0) == 19 && row.getInt(1) > 0 && row.getInt(1) <= 19 + 8)
+  }
+
   test("gopher rules: discriminative on the synthetic corpus, no nulls") {
     val docs = Tables.load(spark, "/root/testdata/sf0.001", "documents")
     val out = TextAnalysis.gopherRulesTable(docs, "doc_id", "text")
