@@ -269,6 +269,22 @@ object Pipeline {
         .orderBy(col("doc_id"))
     }),
 
+    // corpus n-gram census: which grams dominate the corpus — the
+    // boilerplate DISCOVERY step that motivates span/chunk dedup.
+    // One kernel pass (TokenGrams) + one partial/final hash aggregate
+    // + global top-k (TakeOrderedAndProject): no sort of the gram
+    // stream, map-side combine eats the duplication before the
+    // shuffle. Deterministic tie-break by gram.
+    "qA8_ngram_topk" -> ((s, dir) => {
+      T(s, dir)("documents")
+        .select(explode(
+          graft.functions.ShingleExprs.token_grams(col("text"), 3, overlapping = true))
+          .as("gram"))
+        .groupBy(col("gram")).agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("gram"))
+        .limit(20)
+    }),
+
     // compression-ratio entropy proxy (raw deflate, level 6): z/n —
     // boilerplate/template spam compresses far below natural prose.
     // Per-row native kernel, zero shuffle; no DuckDB deflate scalar
@@ -860,6 +876,13 @@ object Pipeline {
              round(list_max(list_transform(range(1, len(e) + 1),
                i -> abs(e[i] - (vmin + codes[i] * scale)))), 6) AS max_err
       FROM c ORDER BY vec_id""",
+    "qA8_ngram_topk" -> """
+      WITH toks AS (SELECT regexp_extract_all(text, '\S+') AS t FROM documents),
+      g AS (SELECT unnest(list_transform(range(1, len(t) - 1),
+              i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS gram
+            FROM toks WHERE len(t) >= 3)
+      SELECT gram, count(*) AS n FROM g GROUP BY gram
+      ORDER BY n DESC, gram LIMIT 20""",
     "qA6_gopher_rules" -> s"""
       WITH t AS (
         SELECT doc_id,
