@@ -505,6 +505,56 @@ object TextAnalysis {
   }
 
   /**
+   * DSIR importance weights (Xie et al. 2023, "Data Selection for
+   * Language Models via Importance Resampling"): score every document
+   * by how target-like its hashed unigram distribution is —
+   * `weight(d) = Σ_tok [ ln p_t(b(tok)) − ln p_r(b(tok)) ]` where
+   * `b(tok)` is the md5 feature bucket ([[hashEmbed]]'s hash, so DSIR
+   * features and hashed embeddings can never desynchronize),
+   * `p_c(b) = (count_c(b)+1) / (N_c + buckets)` with add-1 smoothing,
+   * the target model `t` is the `isTarget` slice and the raw model `r`
+   * is the whole input. Resampling keeps the top weights (or draws via
+   * [[Sampling.weightedPrioritySample]] with `exp(weight)` weights).
+   *
+   * Scale shape: the model is ≤ `buckets` rows — ONE corpus token pass
+   * aggregates both counts map-side (partial/final hash-agg), and the
+   * per-bucket log-ratios broadcast back; scoring is the second pass:
+   * broadcast join + one per-doc sum. The corpus-sized shuffle carries
+   * (doc, partial-sum) rows only. Every division has exact
+   * integer-derived operands (one correctly-rounded IEEE op — any
+   * engine lands on the same double); `ln` last-ulp drift is absorbed
+   * by the 1e-6 rounding, the [[lmScore]]/[[bm25Rank]] convention.
+   * Documents with zero tokens have no distribution and drop out.
+   */
+  def dsirWeights(docs: org.apache.spark.sql.DataFrame, idCol: String,
+                  textCol: String, isTarget: Column,
+                  buckets: Int = 64): org.apache.spark.sql.DataFrame = {
+    require(buckets > 0, "buckets must be positive")
+    val toks = docs.select(col(idCol).as("__id"),
+        isTarget.cast("boolean").as("__t"),
+        explode(tokens(col(textCol))).as("tok"))
+      .withColumn("bucket",
+        (conv(substring(md5(col("tok")), 1, 8), 16, 10).cast("long")
+          % buckets).cast("int"))
+    val model = toks.groupBy(col("bucket"))
+      .agg(count(lit(1)).as("c_raw"),
+        sum(when(col("__t"), 1L).otherwise(0L)).as("c_t"))
+    val totals = model.agg(sum(col("c_raw")).as("n_raw"),
+      sum(col("c_t")).as("n_t"))
+    val ratios = model.crossJoin(broadcast(totals))
+      .select(col("bucket"),
+        (log((col("c_t") + lit(1L)).cast("double") /
+            (col("n_t") + lit(buckets.toLong)).cast("double"))
+          - log((col("c_raw") + lit(1L)).cast("double") /
+            (col("n_raw") + lit(buckets.toLong)).cast("double"))).as("lr"))
+    toks.join(broadcast(ratios), Seq("bucket"))
+      .groupBy(col("__id"))
+      .agg(round(sum(col("lr")), 6).as("dsir_weight"),
+        count(lit(1)).as("n_tokens"))
+      .select(col("__id").as(idCol), col("dsir_weight"), col("n_tokens"))
+  }
+
+  /**
    * BM25 ranked retrieval (Robertson–Spärck Jones / Okapi BM25): score
    * every document against a fixed bag of query terms and return the
    * `topK`. Scores are rounded to 1e-6 BEFORE ordering so cross-engine

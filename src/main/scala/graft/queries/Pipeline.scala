@@ -269,6 +269,17 @@ object Pipeline {
         .orderBy(col("doc_id"))
     }),
 
+    // DSIR importance weights: ln-likelihood-ratio of each doc under
+    // hashed-unigram target (lang='en') vs raw models — the importance
+    // resampling score for target-like data selection. Model is
+    // 64 rows, broadcast both ways; two corpus passes, no corpus-sized
+    // shuffle beyond the per-doc partial sums.
+    "qA9_dsir_weights" -> ((s, dir) => {
+      TextAnalysis.dsirWeights(T(s, dir)("documents"), "doc_id", "text",
+          isTarget = col("lang") === "en", buckets = 64)
+        .orderBy(col("doc_id"))
+    }),
+
     // corpus n-gram census: which grams dominate the corpus — the
     // boilerplate DISCOVERY step that motivates span/chunk dedup.
     // One kernel pass (TokenGrams) + one partial/final hash aggregate
@@ -876,6 +887,29 @@ object Pipeline {
              round(list_max(list_transform(range(1, len(e) + 1),
                i -> abs(e[i] - (vmin + codes[i] * scale)))), 6) AS max_err
       FROM c ORDER BY vec_id""",
+    "qA9_dsir_weights" -> """
+      WITH toks AS (
+        SELECT doc_id, lang = 'en' AS is_t,
+               unnest(regexp_extract_all(text, '\S+')) AS tok
+        FROM documents),
+      b AS (SELECT doc_id, is_t,
+              CAST(list_reduce(list_transform(
+                regexp_extract_all(substring(md5(tok), 1, 8), '.'),
+                c -> CAST(instr('0123456789abcdef', c) - 1 AS BIGINT)),
+                (a, b) -> a * 16 + b) % 64 AS INT) AS bucket
+            FROM toks),
+      m AS (SELECT bucket, COUNT(*) AS c_raw,
+              SUM(CASE WHEN is_t THEN 1 ELSE 0 END) AS c_t
+            FROM b GROUP BY bucket),
+      t AS (SELECT SUM(c_raw) AS n_raw, SUM(c_t) AS n_t FROM m),
+      r AS (SELECT bucket,
+              ln((c_t + 1) / CAST(n_t + 64 AS DOUBLE))
+                - ln((c_raw + 1) / CAST(n_raw + 64 AS DOUBLE)) AS lr
+            FROM m, t)
+      SELECT b.doc_id, round(SUM(r.lr), 6) AS dsir_weight,
+             CAST(COUNT(*) AS BIGINT) AS n_tokens
+      FROM b JOIN r USING (bucket)
+      GROUP BY b.doc_id ORDER BY b.doc_id""",
     "qA8_ngram_topk" -> """
       WITH toks AS (SELECT regexp_extract_all(text, '\S+') AS t FROM documents),
       g AS (SELECT unnest(list_transform(range(1, len(t) - 1),

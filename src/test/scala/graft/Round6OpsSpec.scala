@@ -99,6 +99,56 @@ class Round6OpsSpec extends AnyFunSuite {
     assert(row.getInt(0) == 19 && row.getInt(1) > 0 && row.getInt(1) <= 19 + 8)
   }
 
+  test("dsir weights match an independent collections reimplementation") {
+    val rows = Seq((1L, "en", "apple banana apple cherry"),
+      (2L, "zh", "kiwi kiwi mango plum"),
+      (3L, "en", "apple kiwi banana"),
+      (4L, "de", "plum plum plum cherry mango"))
+    val buckets = 16
+
+    // independent model: plain collections + MessageDigest
+    def bucketOf(tok: String): Int = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(tok.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.substring(0, 8)
+      (java.lang.Long.parseLong(hex, 16) % buckets).toInt
+    }
+    val toks = rows.flatMap { case (id, lang, text) =>
+      text.split("\\s+").filter(_.nonEmpty).map(t => (id, lang == "en", bucketOf(t)))
+    }
+    val cRaw = toks.groupBy(_._3).view.mapValues(_.size.toLong).toMap
+    val cT = toks.filter(_._2).groupBy(_._3).view.mapValues(_.size.toLong).toMap
+    val nRaw = toks.size.toLong
+    val nT = toks.count(_._2).toLong
+    def lr(b: Int): Double =
+      math.log((cT.getOrElse(b, 0L) + 1).toDouble / (nT + buckets)) -
+        math.log((cRaw.getOrElse(b, 0L) + 1).toDouble / (nRaw + buckets))
+    val expected = toks.groupBy(_._1).view.mapValues { ts =>
+      BigDecimal(ts.map(t => lr(t._3)).sum)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }.toMap
+
+    val got = TextAnalysis.dsirWeights(
+        rows.toDF("doc_id", "lang", "text"), "doc_id", "text",
+        isTarget = col("lang") === "en", buckets = buckets)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(got.keySet == expected.keySet)
+    for ((id, w) <- expected)
+      assert(math.abs(got(id) - w) < 1e-9, s"doc $id: got ${got(id)}, want $w")
+  }
+
+  test("dsir weights: target-language docs score above the rest") {
+    val docs = Tables.load(spark, "/root/testdata/sf0.001", "documents")
+    val w = TextAnalysis.dsirWeights(docs, "doc_id", "text",
+        isTarget = col("lang") === "en", buckets = 64)
+      .join(docs.select(col("doc_id"), col("lang")), "doc_id")
+    val means = w.groupBy(col("lang") === "en")
+      .agg(avg(col("dsir_weight")).as("m"))
+      .collect().map(r => r.getBoolean(0) -> r.getDouble(1)).toMap
+    assert(means(true) > means(false),
+      s"en mean ${means(true)} should exceed non-en mean ${means(false)}")
+  }
+
   test("gopher rules: discriminative on the synthetic corpus, no nulls") {
     val docs = Tables.load(spark, "/root/testdata/sf0.001", "documents")
     val out = TextAnalysis.gopherRulesTable(docs, "doc_id", "text")
