@@ -74,5 +74,7 @@ object Compat {
       unary("repetition_stats", RepetitionStats), "built-in")
     reg.createOrReplaceTempFunction("deflate_stats",
       unary("deflate_stats", DeflateStats), "built-in")
+    reg.createOrReplaceTempFunction("repetition_ngrams",
+      unary("repetition_ngrams", RepetitionNgrams), "built-in")
   }
 }

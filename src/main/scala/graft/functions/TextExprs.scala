@@ -85,6 +85,55 @@ object TextExprs {
     InternalRow(n, seen.size(), maxBigram, dupChars, totalChars)
   }
 
+  /** Per-n repetition aggregates for n = 2..10, one array entry per n:
+    * (n, top_chars, dup_chars, total_chars) where each OVERLAPPING
+    * n-gram occurrence is weighted by its codepoint length,
+    * `top_chars = max_g count(g)·chars(g)` (the mass of the dominant
+    * gram — deterministic without a tie-break), `dup_chars` sums the
+    * mass of grams occurring ≥ 2 times, `total_chars` all of it. The
+    * callers derive Gopher's repetition rules: fraction of characters
+    * in the MOST COMMON n-gram (n = 2..4) and in DUPLICATED n-grams
+    * (n = 5..10). ns with fewer than n tokens emit (n, 0, 0, 0).
+    * One tokenization + 9 counting passes per document, all inside the
+    * scan stage — the gram streams never materialize into the plan. */
+  def repetitionNgrams(text: UTF8String): ArrayData = {
+    val ts = toks(text)
+    val out = new Array[Any](9)
+    var n = 2
+    while (n <= 10) {
+      var top = 0L
+      var dup = 0L
+      var total = 0L
+      if (ts.length >= n) {
+        val counts = new java.util.HashMap[String, Integer](ts.length * 2)
+        val sb = new java.lang.StringBuilder
+        var i = 0
+        while (i <= ts.length - n) {
+          sb.setLength(0)
+          var j = i
+          while (j < i + n) {
+            if (j > i) sb.append(' ')
+            sb.append(ts(j))
+            j += 1
+          }
+          counts.merge(sb.toString, 1, (a, b) => a + b)
+          i += 1
+        }
+        val it = counts.entrySet().iterator()
+        while (it.hasNext) {
+          val e = it.next()
+          val w = e.getKey.codePointCount(0, e.getKey.length).toLong * e.getValue
+          total += w
+          if (w > top) top = w
+          if (e.getValue >= 2) dup += w
+        }
+      }
+      out(n - 2) = InternalRow(n, top, dup, total)
+      n += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
   // one Deflater + scratch buffer per executor thread: Deflater is
   // native-backed and expensive to construct; reset() between rows is
   // cheap. Level 6 = zlib default, the level the signal is usually
@@ -136,6 +185,9 @@ object TextExprs {
 
   def deflate_stats(text: Column): Column =
     ColumnBridge.column(DeflateStats(ColumnBridge.expression(text)))
+
+  def repetition_ngrams(text: Column): Column =
+    ColumnBridge.column(RepetitionNgrams(ColumnBridge.expression(text)))
 }
 
 /** Unicode NFC normalization (the canonicalization step of text
@@ -200,6 +252,31 @@ case class RepetitionStats(child: Expression)
   override protected def withNewChildInternal(c: Expression): RepetitionStats =
     copy(child = c)
   override def prettyName: String = "repetition_stats"
+}
+
+/** array<struct(n, top_chars, dup_chars, total_chars)> for n = 2..10 —
+  * the full Gopher repetition battery in one pass (bigram-only summary
+  * is [[RepetitionStats]]). */
+case class RepetitionNgrams(child: Expression)
+    extends UnaryExpression with ExpectsInputTypes {
+
+  override def inputTypes: Seq[ColumnBridge.SqlAbstractDataType] = Seq(StringType)
+  override def dataType: DataType = ArrayType(StructType(Seq(
+    StructField("n", IntegerType, nullable = false),
+    StructField("top_chars", LongType, nullable = false),
+    StructField("dup_chars", LongType, nullable = false),
+    StructField("total_chars", LongType, nullable = false))),
+    containsNull = false)
+
+  override def nullSafeEval(v: Any): Any =
+    TextExprs.repetitionNgrams(v.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.TextExprs.repetitionNgrams($c)")
+
+  override protected def withNewChildInternal(c: Expression): RepetitionNgrams =
+    copy(child = c)
+  override def prettyName: String = "repetition_ngrams"
 }
 
 /** struct(n_bytes, z_bytes): UTF-8 length and raw-deflate(level 6)

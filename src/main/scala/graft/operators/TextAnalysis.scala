@@ -177,8 +177,9 @@ object TextAnalysis {
    *
    * (Gopher's remaining rules — bullet/ellipsis LINE ratios and the
    * duplicate-line/top-n-gram repetition rates — are line-shape and
-   * repetition signals; the repetition family is `RepetitionStats`
-   * (q9E) and this corpus is single-line, so they live there.)
+   * repetition signals; the full n = 2..10 repetition battery is
+   * `functions.TextExprs.RepetitionNgrams` (qAA, q9E for the bigram
+   * summary) and this corpus is single-line, so they live there.)
    *
    * Every rule is a per-row `regexp_count`/`length` aggregate in ONE
    * codegen'd projection — no token-array materialization, no

@@ -269,6 +269,32 @@ object Pipeline {
         .orderBy(col("doc_id"))
     }),
 
+    // full Gopher repetition battery (Rae et al. 2021 A1.1): per
+    // (doc, n) the fraction of characters in the most common n-gram
+    // (the n=2..4 rules) and in duplicated n-grams (the n=5..10
+    // rules), plus the per-rule pass flag at the published thresholds.
+    // One kernel pass per doc inside the scan; the gram streams never
+    // enter the plan. Fractions are divisions of exact longs →
+    // bit-compatible oracle.
+    "qAA_repetition_ngrams" -> ((s, dir) => {
+      val thresholds = Map(2 -> 0.20, 3 -> 0.18, 4 -> 0.16, 5 -> 0.15,
+        6 -> 0.14, 7 -> 0.13, 8 -> 0.12, 9 -> 0.11, 10 -> 0.10)
+      val tf = col("r.top_chars").cast("double") / col("r.total_chars")
+      val df_ = col("r.dup_chars").cast("double") / col("r.total_chars")
+      val ok = thresholds.toSeq.sortBy(_._1).foldLeft(lit(true)) {
+        case (acc, (n, thr)) => when(col("r.n") === n,
+          (if (n <= 4) tf else df_) <= thr).otherwise(acc)
+      }
+      T(s, dir)("documents")
+        .select(col("doc_id"),
+          explode(TextExprs.repetition_ngrams(col("text"))).as("r"))
+        .filter(col("r.total_chars") > 0)
+        .select(col("doc_id"), col("r.n").as("n"),
+          round(tf, 6).as("top_frac"), round(df_, 6).as("dup_frac"),
+          ok.as("ok"))
+        .orderBy(col("doc_id"), col("n"))
+    }),
+
     // DSIR importance weights: ln-likelihood-ratio of each doc under
     // hashed-unigram target (lang='en') vs raw models — the importance
     // resampling score for target-like data selection. Model is
@@ -887,6 +913,31 @@ object Pipeline {
              round(list_max(list_transform(range(1, len(e) + 1),
                i -> abs(e[i] - (vmin + codes[i] * scale)))), 6) AS max_err
       FROM c ORDER BY vec_id""",
+    "qAA_repetition_ngrams" -> """
+      WITH toks AS (SELECT doc_id, regexp_extract_all(text, '\S+') AS t
+                    FROM documents),
+      ns AS (SELECT unnest(range(2, 11)) AS n),
+      g AS (SELECT doc_id, n,
+              unnest(list_transform(range(1, len(t) - n + 2),
+                i -> array_to_string(list_slice(t, i, i + n - 1), ' '))) AS gram
+            FROM toks, ns WHERE len(t) >= n),
+      c AS (SELECT doc_id, n, gram, COUNT(*) AS cnt FROM g GROUP BY 1, 2, 3),
+      a AS (SELECT doc_id, n,
+              MAX(cnt * length(gram)) AS top_chars,
+              SUM(CASE WHEN cnt >= 2 THEN cnt * length(gram) ELSE 0 END) AS dup_chars,
+              SUM(cnt * length(gram)) AS total_chars
+            FROM c GROUP BY 1, 2)
+      SELECT doc_id, CAST(n AS INT) AS n,
+             round(top_chars / CAST(total_chars AS DOUBLE), 6) AS top_frac,
+             round(dup_chars / CAST(total_chars AS DOUBLE), 6) AS dup_frac,
+             CASE WHEN n <= 4
+                  THEN (top_chars / CAST(total_chars AS DOUBLE)) <=
+                       CASE n WHEN 2 THEN 0.20 WHEN 3 THEN 0.18 ELSE 0.16 END
+                  ELSE (dup_chars / CAST(total_chars AS DOUBLE)) <=
+                       CASE n WHEN 5 THEN 0.15 WHEN 6 THEN 0.14 WHEN 7 THEN 0.13
+                              WHEN 8 THEN 0.12 WHEN 9 THEN 0.11 ELSE 0.10 END
+             END AS ok
+      FROM a ORDER BY doc_id, n""",
     "qA9_dsir_weights" -> """
       WITH toks AS (
         SELECT doc_id, lang = 'en' AS is_t,

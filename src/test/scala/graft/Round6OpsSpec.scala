@@ -99,6 +99,54 @@ class Round6OpsSpec extends AnyFunSuite {
     assert(row.getInt(0) == 19 && row.getInt(1) > 0 && row.getInt(1) <= 19 + 8)
   }
 
+  test("repetition n-gram battery: hand-computed masses and flags") {
+    import graft.functions.TextExprs
+    val out = Seq((1L, "a b a b a b"), (2L, "x y z"))
+      .toDF("doc_id", "text")
+      .select(col("doc_id"),
+        explode(TextExprs.repetition_ngrams(col("text"))).as("r"))
+      .select(col("doc_id"), col("r.n").as("n"), col("r.top_chars"),
+        col("r.dup_chars"), col("r.total_chars"))
+      .collect().map(r => (r.getLong(0), r.getInt(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+
+    // doc 1, n=2: "a b"×3 (mass 9), "b a"×2 (mass 6) → top 9, dup 15, tot 15
+    assert(out((1L, 2)) == ((9L, 15L, 15L)))
+    // doc 1, n=5: two distinct 9-char grams, each once → no duplication
+    assert(out((1L, 5)) == ((9L, 0L, 18L)))
+    // doc 1, n=6: ONE gram "a b a b a b" (11 chars), once
+    assert(out((1L, 6)) == ((11L, 0L, 11L)))
+    // doc 1, n=7..10: fewer than n tokens → zeros
+    for (n <- 7 to 10) assert(out((1L, n)) == ((0L, 0L, 0L)))
+    // doc 2: 3 tokens, all distinct — n=2: "x y","y z" once each
+    assert(out((2L, 2)) == ((3L, 0L, 6L)))
+    assert(out((2L, 3)) == ((5L, 0L, 5L)))
+    for (n <- 4 to 10) assert(out((2L, n)) == ((0L, 0L, 0L)))
+  }
+
+  test("repetition battery flags: spam fails, varied text passes") {
+    val spam = (1 to 40).map(_ => "buy cheap pills now").mkString(" ")
+    val varied = (1 to 80).map(i => s"unique$i word$i").mkString(" ")
+    import graft.functions.TextExprs
+    val tf = col("r.top_chars").cast("double") / col("r.total_chars")
+    val df_ = col("r.dup_chars").cast("double") / col("r.total_chars")
+    val rows = Seq((1L, spam), (2L, varied)).toDF("doc_id", "text")
+      .select(col("doc_id"),
+        explode(TextExprs.repetition_ngrams(col("text"))).as("r"))
+      .filter(col("r.total_chars") > 0)
+      .select(col("doc_id"), col("r.n").as("n"), tf.as("tf"), df_.as("df"))
+      .collect()
+    // the spam doc is one repeated 4-gram: every duplicated-gram rule
+    // (n=5..10) sees dup_frac ≈ 1 — far above every threshold
+    val spamDup = rows.filter(r => r.getLong(0) == 1L && r.getInt(1) >= 5)
+    assert(spamDup.nonEmpty && spamDup.forall(_.getDouble(3) > 0.9))
+    // the varied doc repeats nothing: dup_frac = 0 everywhere, and the
+    // top n-gram is a vanishing fraction
+    val varRows = rows.filter(_.getLong(0) == 2L)
+    assert(varRows.forall(_.getDouble(3) == 0.0))
+    assert(varRows.filter(_.getInt(1) <= 4).forall(_.getDouble(2) < 0.16))
+  }
+
   test("dsir weights match an independent collections reimplementation") {
     val rows = Seq((1L, "en", "apple banana apple cherry"),
       (2L, "zh", "kiwi kiwi mango plum"),
