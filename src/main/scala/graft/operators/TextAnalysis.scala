@@ -224,6 +224,28 @@ object TextAnalysis {
       (fWords && fMeanLen && fSymbol && fAlpha && fStop).as("keep"))
   }
 
+  /**
+   * HTML → text extraction for web-crawl ingest: drop `<script>` /
+   * `<style>` blocks WITH their contents, strip every remaining tag,
+   * decode the six ubiquitous entities (`&amp;` last, per the
+   * standard unescape order), collapse whitespace. Chained codegen'd
+   * `regexp_replace`/`replace` passes — per-row, zero shuffle,
+   * embarrassingly parallel. Patterns are lazy-quantified but
+   * LOOKAROUND- and BACKREFERENCE-free, so each is valid and
+   * identical in Java regex (Spark codegen) and RE2 (the DuckDB
+   * oracle) — script and style need separate passes because RE2 has
+   * no backreferences.
+   */
+  def stripHtml(html: Column): Column = {
+    val noScript = regexp_replace(html, "(?is)<script\\b[^>]*>.*?</script>", " ")
+    val noStyle = regexp_replace(noScript, "(?is)<style\\b[^>]*>.*?</style>", " ")
+    val noTags = regexp_replace(noStyle, "(?s)<[^>]*>", " ")
+    val decoded = Seq("&lt;" -> "<", "&gt;" -> ">", "&quot;" -> "\"",
+      "&#39;" -> "'", "&nbsp;" -> " ", "&amp;" -> "&")
+      .foldLeft(noTags) { case (c, (e, ch)) => replace(c, lit(e), lit(ch)) }
+    trim(regexp_replace(decoded, "\\s+", " "))
+  }
+
   /** Content-addressed fingerprint over whitespace-normalized text. */
   def fingerprintMd5(text: Column): Column =
     md5(trim(regexp_replace(lower(text), "\\s+", " ")))

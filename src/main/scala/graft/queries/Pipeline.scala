@@ -269,6 +269,27 @@ object Pipeline {
         .orderBy(col("doc_id"))
     }),
 
+    // HTML → text extraction (web-crawl ingest): each doc is wrapped
+    // in a deterministic HTML shell (head/style/script blocks, tags,
+    // entities — the q62 synthetic-payload pattern), then stripped
+    // back through the kernel; the oracle rebuilds the identical
+    // shell and strips with the same RE2-safe passes, so engine
+    // parity of the extraction is checked byte-for-byte (via md5,
+    // plus lengths in the clear).
+    "qAB_html_strip" -> ((s, dir) => {
+      val html = concat(
+        lit("<html><head><title>d</title><style type=\"text/css\">p{color:red}</style></head><body><h1 class=\"t\">Doc "),
+        col("doc_id"),
+        lit("</h1><p>"),
+        regexp_replace(col("text"), " the ", " &amp; "),
+        lit(" rest &lt;tail&gt;</p><script>var x = 1 < 2;</script></body></html>"))
+      T(s, dir)("documents")
+        .select(col("doc_id"), TextAnalysis.stripHtml(html).as("clean"))
+        .select(col("doc_id"), length(col("clean")).as("n_chars"),
+          md5(col("clean")).as("clean_md5"))
+        .orderBy(col("doc_id"))
+    }),
+
     // full Gopher repetition battery (Rae et al. 2021 A1.1): per
     // (doc, n) the fraction of characters in the most common n-gram
     // (the n=2..4 rules) and in duplicated n-grams (the n=5..10
@@ -913,6 +934,32 @@ object Pipeline {
              round(list_max(list_transform(range(1, len(e) + 1),
                i -> abs(e[i] - (vmin + codes[i] * scale)))), 6) AS max_err
       FROM c ORDER BY vec_id""",
+    "qAB_html_strip" -> """
+      WITH h AS (
+        SELECT doc_id,
+               '<html><head><title>d</title><style type="text/css">p{color:red}</style></head><body><h1 class="t">Doc '
+               || doc_id || '</h1><p>'
+               || regexp_replace(text, ' the ', ' &amp; ', 'g')
+               || ' rest &lt;tail&gt;</p><script>var x = 1 < 2;</script></body></html>' AS html
+        FROM documents),
+      s1 AS (SELECT doc_id,
+               regexp_replace(html, '(?is)<script\b[^>]*>.*?</script>', ' ', 'g') AS t
+             FROM h),
+      s2 AS (SELECT doc_id,
+               regexp_replace(t, '(?is)<style\b[^>]*>.*?</style>', ' ', 'g') AS t
+             FROM s1),
+      s3 AS (SELECT doc_id, regexp_replace(t, '(?s)<[^>]*>', ' ', 'g') AS t
+             FROM s2),
+      s4 AS (SELECT doc_id,
+               replace(replace(replace(replace(replace(replace(t,
+                 '&lt;', '<'), '&gt;', '>'), '&quot;', '"'),
+                 '&#39;', ''''), '&nbsp;', ' '), '&amp;', '&') AS t
+             FROM s3),
+      c AS (SELECT doc_id, trim(regexp_replace(t, '\s+', ' ', 'g')) AS clean
+            FROM s4)
+      SELECT doc_id, CAST(length(clean) AS INT) AS n_chars,
+             md5(clean) AS clean_md5
+      FROM c ORDER BY doc_id""",
     "qAA_repetition_ngrams" -> """
       WITH toks AS (SELECT doc_id, regexp_extract_all(text, '\S+') AS t
                     FROM documents),

@@ -99,6 +99,22 @@ class Round6OpsSpec extends AnyFunSuite {
     assert(row.getInt(0) == 19 && row.getInt(1) > 0 && row.getInt(1) <= 19 + 8)
   }
 
+  test("stripHtml: blocks dropped with content, tags stripped, entities decoded") {
+    val html = "<html><head><title>x</title><style>p{color:red}</style></head>" +
+      "<body><h1 class=\"t\">Title</h1><p>a &amp; b &lt;c&gt; &quot;q&quot;" +
+      " &#39;s&#39;</p><script>if (1 < 2) { alert(\"hi\"); }</script>" +
+      " tail</body></html>"
+    def strip(s: String): String =
+      Seq((1L, s)).toDF("doc_id", "h")
+        .select(TextAnalysis.stripHtml(col("h")).as("c"))
+        .collect().head.getString(0)
+    assert(strip(html) == "x Title a & b <c> \"q\" 's' tail")
+    // plain text is a fixed point
+    assert(strip("already clean text") == "already clean text")
+    // entity-decode order: &amp;lt; must yield the literal "&lt;", not "<"
+    assert(strip("<p>&amp;lt;</p>") == "&lt;")
+  }
+
   test("repetition n-gram battery: hand-computed masses and flags") {
     import graft.functions.TextExprs
     val out = Seq((1L, "a b a b a b"), (2L, "x y z"))
