@@ -246,6 +246,33 @@ object TextAnalysis {
     trim(regexp_replace(decoded, "\\s+", " "))
   }
 
+  /**
+   * URL canonicalization — the FIRST dedup key of every web-crawl
+   * pipeline: lowercase scheme+host, strip default :80/:443 ports,
+   * drop the fragment, remove tracking parameters (`utm_*`, `fbclid`,
+   * `gclid`, `ref`), sort the surviving query parameters, normalize
+   * an empty path to `/`. Pure column expressions; the one
+   * higher-order `filter` runs over a handful of query params per
+   * row (not the per-token interpreted-HOF trap). Patterns are
+   * RE2-safe, so the DuckDB oracle runs the identical chain.
+   */
+  def normalizeUrl(url: Column): Column = {
+    val noFrag = regexp_replace(url, "#.*$", "")
+    val scheme = lower(regexp_extract(noFrag, "^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
+    val rest = regexp_replace(noFrag, "^[A-Za-z][A-Za-z0-9+.-]*://", "")
+    val host = lower(regexp_replace(regexp_extract(rest, "^([^/?]+)", 1),
+      ":(80|443)$", ""))
+    val pathq = regexp_replace(rest, "^[^/?]+", "")
+    val path0 = regexp_extract(pathq, "^([^?]*)", 1)
+    val path = when(path0 === "", lit("/")).otherwise(path0)
+    val query = regexp_extract(pathq, "\\?(.*)$", 1)
+    val kept = filter(split(query, "&"), p =>
+      p =!= "" && !p.rlike("^(utm_[^=]*|fbclid|gclid|ref)="))
+    val qs = array_join(array_sort(kept), "&")
+    concat(scheme, lit("://"), host, path,
+      when(qs === "", lit("")).otherwise(concat(lit("?"), qs)))
+  }
+
   /** Content-addressed fingerprint over whitespace-normalized text. */
   def fingerprintMd5(text: Column): Column =
     md5(trim(regexp_replace(lower(text), "\\s+", " ")))

@@ -269,6 +269,28 @@ object Pipeline {
         .orderBy(col("doc_id"))
     }),
 
+    // URL canonicalization (web-crawl dedup key): deterministic messy
+    // URLs (mixed case, default ports, tracking params, fragments —
+    // doc_id arithmetic, the q62 synthetic pattern) normalized through
+    // the kernel; the oracle rebuilds the same URLs and runs the
+    // identical chain, plus the per-canonical-URL dup count the
+    // pipeline actually dedups on
+    "qAC_url_normalize" -> ((s, dir) => {
+      val url = concat(
+        lit("HTTPS://Example"), pmod(col("doc_id"), lit(7)), lit(".COM"),
+        when(pmod(col("doc_id"), lit(3)) === 0, lit(":443")).otherwise(lit("")),
+        lit("/Path/"), pmod(col("doc_id"), lit(50)),
+        when(pmod(col("doc_id"), lit(2)) === 0,
+          lit("?utm_source=x&b=2&a=1")).otherwise(lit("?z=9&utm_campaign=c&fbclid=f")),
+        when(pmod(col("doc_id"), lit(5)) === 0, lit("#frag")).otherwise(lit("")))
+      val norm = T(s, dir)("documents")
+        .select(col("doc_id"), TextAnalysis.normalizeUrl(url).as("url_norm"))
+      norm.join(norm.groupBy(col("url_norm")).agg(count(lit(1)).as("n_dups")),
+          "url_norm")
+        .select(col("doc_id"), col("url_norm"), col("n_dups"))
+        .orderBy(col("doc_id"))
+    }),
+
     // HTML → text extraction (web-crawl ingest): each doc is wrapped
     // in a deterministic HTML shell (head/style/script blocks, tags,
     // entities — the q62 synthetic-payload pattern), then stripped
@@ -934,6 +956,46 @@ object Pipeline {
              round(list_max(list_transform(range(1, len(e) + 1),
                i -> abs(e[i] - (vmin + codes[i] * scale)))), 6) AS max_err
       FROM c ORDER BY vec_id""",
+    "qAC_url_normalize" -> """
+      WITH u AS (
+        SELECT doc_id,
+          'HTTPS://Example' || (doc_id % 7) || '.COM'
+          || CASE WHEN doc_id % 3 = 0 THEN ':443' ELSE '' END
+          || '/Path/' || (doc_id % 50)
+          || CASE WHEN doc_id % 2 = 0 THEN '?utm_source=x&b=2&a=1'
+                  ELSE '?z=9&utm_campaign=c&fbclid=f' END
+          || CASE WHEN doc_id % 5 = 0 THEN '#frag' ELSE '' END AS url
+        FROM documents),
+      p AS (
+        SELECT doc_id,
+          lower(regexp_extract(regexp_replace(url, '#.*$', ''),
+            '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
+          regexp_replace(regexp_replace(url, '#.*$', ''),
+            '^[A-Za-z][A-Za-z0-9+.-]*://', '') AS rest
+        FROM u),
+      q AS (
+        SELECT doc_id, scheme,
+          lower(regexp_replace(regexp_extract(rest, '^([^/?]+)', 1),
+            ':(80|443)$', '')) AS host,
+          regexp_replace(rest, '^[^/?]+', '') AS pathq
+        FROM p),
+      r AS (
+        SELECT doc_id, scheme, host,
+          CASE WHEN regexp_extract(pathq, '^([^?]*)', 1) = '' THEN '/'
+               ELSE regexp_extract(pathq, '^([^?]*)', 1) END AS path,
+          array_to_string(list_sort(list_filter(
+            string_split(regexp_extract(pathq, '\?(.*)$', 1), '&'),
+            x -> x <> '' AND NOT regexp_matches(x,
+              '^(utm_[^=]*|fbclid|gclid|ref)='))), '&') AS qs
+        FROM q),
+      v AS (
+        SELECT doc_id, scheme || '://' || host || path ||
+               CASE WHEN qs = '' THEN '' ELSE '?' || qs END AS url_norm
+        FROM r)
+      SELECT v.doc_id, v.url_norm, d.n_dups
+      FROM v JOIN (SELECT url_norm, COUNT(*) AS n_dups FROM v GROUP BY 1) d
+        USING (url_norm)
+      ORDER BY doc_id""",
     "qAB_html_strip" -> """
       WITH h AS (
         SELECT doc_id,

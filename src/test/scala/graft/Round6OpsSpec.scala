@@ -99,6 +99,25 @@ class Round6OpsSpec extends AnyFunSuite {
     assert(row.getInt(0) == 19 && row.getInt(1) > 0 && row.getInt(1) <= 19 + 8)
   }
 
+  test("normalizeUrl: case, ports, fragments, tracking params, param order") {
+    def norm(u: String): String =
+      Seq((1L, u)).toDF("doc_id", "u")
+        .select(TextAnalysis.normalizeUrl(col("u")).as("n"))
+        .collect().head.getString(0)
+    assert(norm("HTTPS://WWW.Example.COM:443/Path/X?b=2&utm_source=t&a=1#frag")
+      == "https://www.example.com/Path/X?a=1&b=2")
+    assert(norm("http://host.com:80") == "http://host.com/")
+    assert(norm("http://host.com/p?utm_a=1&fbclid=z&gclid=y&ref=r")
+      == "http://host.com/p")
+    // path case is PRESERVED (paths are case-sensitive); 8080 is not a
+    // default port and stays
+    assert(norm("HTTP://H.COM:8080/CaseSensitive")
+      == "http://h.com:8080/CaseSensitive")
+    // idempotent on its own output
+    val once = norm("HTTPS://A.B:443/x?z=1&a=2#f")
+    assert(norm(once) == once)
+  }
+
   test("stripHtml: blocks dropped with content, tags stripped, entities decoded") {
     val html = "<html><head><title>x</title><style>p{color:red}</style></head>" +
       "<body><h1 class=\"t\">Title</h1><p>a &amp; b &lt;c&gt; &quot;q&quot;" +
