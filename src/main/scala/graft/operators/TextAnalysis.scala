@@ -586,17 +586,24 @@ object TextAnalysis {
       .withColumn("bucket",
         (conv(substring(md5(col("tok")), 1, 8), 16, 10).cast("long")
           % buckets).cast("int"))
+    // the model is ≤ buckets rows — collect ONCE (driver metadata, the
+    // lmScore convention) and derive totals + log-ratios locally; an
+    // agg-of-the-agg formulation would re-run the whole model subtree
+    // (and the corpus explode under it) a second time
+    val spark = docs.sparkSession
+    import spark.implicits._
     val model = toks.groupBy(col("bucket"))
       .agg(count(lit(1)).as("c_raw"),
         sum(when(col("__t"), 1L).otherwise(0L)).as("c_t"))
-    val totals = model.agg(sum(col("c_raw")).as("n_raw"),
-      sum(col("c_t")).as("n_t"))
-    val ratios = model.crossJoin(broadcast(totals))
-      .select(col("bucket"),
-        (log((col("c_t") + lit(1L)).cast("double") /
-            (col("n_t") + lit(buckets.toLong)).cast("double"))
-          - log((col("c_raw") + lit(1L)).cast("double") /
-            (col("n_raw") + lit(buckets.toLong)).cast("double"))).as("lr"))
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
+    val nRaw = model.map(_._2).sum
+    val nT = model.map(_._3).sum
+    // same IEEE ops as the SQL oracle: exact-integer-derived divisions,
+    // Math.log (the JVM's ln for Column log() too)
+    val ratios = model.toSeq.map { case (b, cRaw, cT) =>
+      (b, math.log((cT + 1).toDouble / (nT + buckets))
+        - math.log((cRaw + 1).toDouble / (nRaw + buckets)))
+    }.toDF("bucket", "lr")
     toks.join(broadcast(ratios), Seq("bucket"))
       .groupBy(col("__id"))
       .agg(round(sum(col("lr")), 6).as("dsir_weight"),

@@ -232,6 +232,32 @@ class Round6OpsSpec extends AnyFunSuite {
       s"en mean ${means(true)} should exceed non-en mean ${means(false)}")
   }
 
+  test("per-row kernels plan shuffle-free; dsir stays within its budget") {
+    import graft.functions.TextExprs
+    val docs = Tables.load(spark, "/root/testdata/sf0.001", "documents")
+    // gopher battery, deflate, html strip, url normalize: pure per-row
+    // projections — a single Exchange anywhere is a regression
+    val gopher = TextAnalysis.gopherRulesTable(docs, "doc_id", "text")
+      .queryExecution.executedPlan.toString
+    assert(!gopher.contains("Exchange"), gopher)
+    val perRow = docs.select(
+        TextExprs.deflate_stats(col("text")).as("z"),
+        TextAnalysis.stripHtml(col("text")).as("h"),
+        TextAnalysis.normalizeUrl(col("text")).as("u"),
+        TextExprs.repetition_ngrams(col("text")).as("r"))
+      .queryExecution.executedPlan.toString
+    assert(!perRow.contains("Exchange"), perRow)
+    // dsir: exactly the model hash-agg shuffle, the per-doc hash-agg
+    // shuffle, and the broadcast of the ratio table — 3 Exchange
+    // occurrences; more means the corpus (or the model subtree) is
+    // being recomputed or shuffled somewhere it shouldn't be
+    val dsir = TextAnalysis.dsirWeights(docs, "doc_id", "text",
+        isTarget = col("lang") === "en", buckets = 16)
+      .queryExecution.executedPlan.toString
+    assert("Exchange".r.findAllIn(dsir).size <= 3, dsir)
+    assert(dsir.contains("BroadcastExchange"), "ratios must broadcast")
+  }
+
   test("gopher rules: discriminative on the synthetic corpus, no nulls") {
     val docs = Tables.load(spark, "/root/testdata/sf0.001", "documents")
     val out = TextAnalysis.gopherRulesTable(docs, "doc_id", "text")
