@@ -269,6 +269,35 @@ object Pipeline {
         .orderBy(col("doc_id"))
     }),
 
+    // web-ingest capstone: the crawl-side pipeline COMPOSED — synthetic
+    // (url, html) per doc → stripHtml → URL-canonical dedup (keep the
+    // min doc_id per canonical URL) → Gopher keep-filter on the
+    // EXTRACTED text. Every stage is individually byte-oracled
+    // (qAB/qAC/qA6); this pins that they compose. Per-row chains +
+    // one tiny url_norm agg — the corpus shuffles once.
+    "qAD_web_ingest" -> ((s, dir) => {
+      val url = concat(
+        lit("HTTPS://Example"), pmod(col("doc_id"), lit(7)), lit(".COM"),
+        lit("/Path/"), pmod(col("doc_id"), lit(50)),
+        when(pmod(col("doc_id"), lit(2)) === 0,
+          lit("?utm_source=x&b=2&a=1")).otherwise(lit("?z=9&fbclid=f")))
+      val html = concat(
+        lit("<html><body><h1>Doc "), col("doc_id"), lit("</h1><p>"),
+        col("text"), lit("</p><script>var x=1;</script></body></html>"))
+      val cleaned = T(s, dir)("documents")
+        .select(col("doc_id"),
+          TextAnalysis.normalizeUrl(url).as("url_norm"),
+          TextAnalysis.stripHtml(html).as("clean"))
+      val kept = cleaned.join(
+        cleaned.groupBy(col("url_norm")).agg(min(col("doc_id")).as("keep_id")),
+        "url_norm").filter(col("doc_id") === col("keep_id"))
+      TextAnalysis.gopherRulesTable(kept, "doc_id", "clean")
+        .filter(col("keep"))
+        .join(kept.select(col("doc_id"), col("url_norm")), "doc_id")
+        .select(col("doc_id"), col("url_norm"), col("n_words"))
+        .orderBy(col("doc_id"))
+    }),
+
     // URL canonicalization (web-crawl dedup key): deterministic messy
     // URLs (mixed case, default ports, tracking params, fragments —
     // doc_id arithmetic, the q62 synthetic pattern) normalized through
@@ -956,6 +985,37 @@ object Pipeline {
              round(list_max(list_transform(range(1, len(e) + 1),
                i -> abs(e[i] - (vmin + codes[i] * scale)))), 6) AS max_err
       FROM c ORDER BY vec_id""",
+    "qAD_web_ingest" -> s"""
+      WITH c AS (
+        SELECT doc_id,
+          'https://example' || (doc_id % 7) || '.com/Path/' || (doc_id % 50) ||
+            CASE WHEN doc_id % 2 = 0 THEN '?a=1&b=2' ELSE '?z=9' END AS url_norm,
+          trim('Doc ' || doc_id || ' ' ||
+               trim(regexp_replace(text, '\\s+', ' ', 'g'))) AS clean
+        FROM documents),
+      k AS (
+        SELECT c.* FROM c
+        JOIN (SELECT url_norm, MIN(doc_id) AS keep_id FROM c GROUP BY 1) m
+          ON c.url_norm = m.url_norm AND c.doc_id = m.keep_id),
+      t AS (
+        SELECT doc_id, url_norm,
+          len(regexp_extract_all(clean, '\\S+')) AS nw,
+          CAST(length(regexp_replace(clean, '\\s+', '', 'g')) AS DOUBLE) AS nc,
+          len(regexp_extract_all(clean, '#'))
+            + len(regexp_extract_all(clean, '\\.\\.\\.')) AS sym,
+          len(list_filter(regexp_extract_all(clean, '\\S+'),
+              x -> regexp_matches(x, '\\p{L}'))) AS alpha,
+          len(list_filter(regexp_extract_all(clean, '\\S+'),
+              x -> x IN $STOP_IN)) AS stp
+        FROM k)
+      SELECT doc_id, url_norm, CAST(nw AS INT) AS n_words
+      FROM t
+      WHERE (nw BETWEEN 50 AND 100000)
+        AND ((nc / greatest(nw, 1)) BETWEEN 3.0 AND 10.0)
+        AND (CAST(sym AS DOUBLE) / greatest(nw, 1) <= 0.1)
+        AND (CAST(alpha AS DOUBLE) / greatest(nw, 1) >= 0.8)
+        AND (stp >= 2)
+      ORDER BY doc_id""",
     "qAC_url_normalize" -> """
       WITH u AS (
         SELECT doc_id,
