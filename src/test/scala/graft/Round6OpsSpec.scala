@@ -258,6 +258,19 @@ class Round6OpsSpec extends AnyFunSuite {
     assert(dsir.contains("BroadcastExchange"), "ratios must broadcast")
   }
 
+  test("web-ingest capstone: survivors are URL-unique and a strict subset") {
+    val out = graft.queries.Pipeline.queries("qAD_web_ingest")(
+      spark, "/root/testdata/sf0.001")
+    val rows = out.collect()
+    val total = Tables.load(spark, "/root/testdata/sf0.001", "documents").count()
+    assert(rows.nonEmpty && rows.length < total)
+    // URL dedup happened: canonical URLs are unique among survivors
+    val urls = rows.map(_.getString(1))
+    assert(urls.distinct.length == urls.length)
+    // gopher filter happened: every survivor satisfies the word-count rule
+    assert(rows.forall(_.getInt(2) >= 50))
+  }
+
   test("gopher rules: discriminative on the synthetic corpus, no nulls") {
     val docs = Tables.load(spark, "/root/testdata/sf0.001", "documents")
     val out = TextAnalysis.gopherRulesTable(docs, "doc_id", "text")
