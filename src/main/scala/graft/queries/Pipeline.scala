@@ -367,6 +367,24 @@ object Pipeline {
         .orderBy(col("doc_id"), col("n"))
     }),
 
+    // DSIR importance RESAMPLING (the "R" of qA9): deterministic
+    // priority draw with weight exp(dsir_weight), evaluated in the ln
+    // domain — key = ln(u) − w (monotone in u/exp(w), never overflows)
+    // — rounded 1e-6 pre-ordering with id tiebreak so cross-engine
+    // libm last-ulp drift can't flip ranks. Global top-k
+    // (TakeOrderedAndProject), no sort.
+    "qAE_dsir_sample" -> ((s, dir) => {
+      val w = TextAnalysis.dsirWeights(T(s, dir)("documents"), "doc_id",
+        "text", isTarget = col("lang") === "en", buckets = 64)
+      val u = (Sampling.hash40(Seq(col("doc_id")), "s0") + lit(1L))
+        .cast("double")
+      w.select(col("doc_id"), col("dsir_weight"),
+          round(log(u) - col("dsir_weight"), 6).as("draw_key"))
+        .orderBy(col("draw_key"), col("doc_id"))
+        .limit(50)
+        .orderBy(col("doc_id"))
+    }),
+
     // DSIR importance weights: ln-likelihood-ratio of each doc under
     // hashed-unigram target (lang='en') vs raw models — the importance
     // resampling score for target-like data selection. Model is
@@ -1107,6 +1125,42 @@ object Pipeline {
                               WHEN 8 THEN 0.12 WHEN 9 THEN 0.11 ELSE 0.10 END
              END AS ok
       FROM a ORDER BY doc_id, n""",
+    "qAE_dsir_sample" -> """
+      WITH toks AS (
+        SELECT doc_id, lang = 'en' AS is_t,
+               unnest(regexp_extract_all(text, '\S+')) AS tok
+        FROM documents),
+      b AS (SELECT doc_id, is_t,
+              CAST(list_reduce(list_transform(
+                regexp_extract_all(substring(md5(tok), 1, 8), '.'),
+                c -> CAST(instr('0123456789abcdef', c) - 1 AS BIGINT)),
+                (a, b) -> a * 16 + b) % 64 AS INT) AS bucket
+            FROM toks),
+      m AS (SELECT bucket, COUNT(*) AS c_raw,
+              SUM(CASE WHEN is_t THEN 1 ELSE 0 END) AS c_t
+            FROM b GROUP BY bucket),
+      t AS (SELECT SUM(c_raw) AS n_raw, SUM(c_t) AS n_t FROM m),
+      r AS (SELECT bucket,
+              ln((c_t + 1) / CAST(n_t + 64 AS DOUBLE))
+                - ln((c_raw + 1) / CAST(n_raw + 64 AS DOUBLE)) AS lr
+            FROM m, t),
+      wdoc AS (
+        SELECT b.doc_id, round(SUM(r.lr), 6) AS dsir_weight
+        FROM b JOIN r USING (bucket) GROUP BY b.doc_id),
+      h AS (
+        SELECT doc_id,
+               CAST(list_reduce(list_transform(
+                 regexp_extract_all(substring(md5(CAST(doc_id AS VARCHAR) || ' s0'), 1, 10), '.'),
+                 c -> CAST(instr('0123456789abcdef', c) - 1 AS BIGINT)),
+                 (a, b) -> a * 16 + b) + 1 AS DOUBLE) AS u
+        FROM documents),
+      k AS (
+        SELECT w.doc_id, w.dsir_weight,
+               round(ln(h.u) - w.dsir_weight, 6) AS draw_key
+        FROM wdoc w JOIN h USING (doc_id))
+      SELECT doc_id, dsir_weight, draw_key FROM (
+        SELECT * FROM k ORDER BY draw_key, doc_id LIMIT 50)
+      ORDER BY doc_id""",
     "qA9_dsir_weights" -> """
       WITH toks AS (
         SELECT doc_id, lang = 'en' AS is_t,
