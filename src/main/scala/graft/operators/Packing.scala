@@ -82,4 +82,36 @@ object Packing {
     keyed.unpersist(false)
     out
   }
+
+  /**
+   * Fixed-length training-SEQUENCE packing: documents in the same
+   * deterministic md5 order occupy the token interval
+   * `[cum_before, cum_before + w)` of one global stream, which is cut
+   * into sequences of exactly `seqLen` tokens; a document straddling a
+   * boundary is SPLIT (the pretraining convention — sequences are
+   * dense, no padding), so each (doc, sequence) overlap is emitted as
+   * one row with the doc-relative token span `[tok_start, tok_end)`.
+   * Zero-weight docs occupy no tokens and are dropped.
+   *
+   * Scale shape: [[packShards]]'s two-phase distributed prefix sum
+   * (never a single-task global window) + a per-row `sequence` explode
+   * bounded by ceil(w / seqLen) rows per doc. Integer `div` keeps the
+   * boundary math in exact longs — no double rounding at 100 TB token
+   * counts.
+   */
+  def packSequences(df: DataFrame, idCol: String, weightCol: String,
+                    seqLen: Long, partitions: Int = 32): DataFrame = {
+    require(seqLen > 0, "seqLen must be positive")
+    val base = packShards(df, idCol, weightCol, seqLen, partitions)
+    val L = lit(seqLen)
+    val first = expr(s"cum_before div $seqLen")
+    val last = expr(s"(cum_before + `$weightCol` - 1) div $seqLen")
+    base.filter(col(weightCol) > 0)
+      .select(col(idCol), col(weightCol), col("cum_before"),
+        explode(sequence(first, last)).as("seq_id"))
+      .select(col(idCol), col("seq_id"),
+        greatest(lit(0L), col("seq_id") * L - col("cum_before")).as("tok_start"),
+        least(col(weightCol).cast("long"),
+          (col("seq_id") + lit(1L)) * L - col("cum_before")).as("tok_end"))
+  }
 }

@@ -367,6 +367,18 @@ object Pipeline {
         .orderBy(col("doc_id"), col("n"))
     }),
 
+    // fixed-length training-sequence packing: the global md5-ordered
+    // token stream cut into 256-token sequences, docs SPLIT across
+    // boundaries (dense sequences, no padding) — each (doc, seq)
+    // overlap with its doc-relative span. Two-phase prefix sum, never
+    // a single-task global window; exact-long boundary math.
+    "qAF_sequence_pack" -> ((s, dir) => {
+      val docs = T(s, dir)("documents").select(col("doc_id"),
+        TextAnalysis.tokenCount(col("text")).cast("long").as("n_tok"))
+      Packing.packSequences(docs, "doc_id", "n_tok", seqLen = 256L)
+        .orderBy(col("doc_id"), col("seq_id"))
+    }),
+
     // DSIR importance RESAMPLING (the "R" of qA9): deterministic
     // priority draw with weight exp(dsir_weight), evaluated in the ln
     // domain — key = ln(u) − w (monotone in u/exp(w), never overflows)
@@ -1125,6 +1137,26 @@ object Pipeline {
                               WHEN 8 THEN 0.12 WHEN 9 THEN 0.11 ELSE 0.10 END
              END AS ok
       FROM a ORDER BY doc_id, n""",
+    "qAF_sequence_pack" -> """
+      WITH d AS (
+        SELECT doc_id,
+               CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT) AS n_tok,
+               md5(CAST(doc_id AS VARCHAR)) AS k
+        FROM documents),
+      c AS (
+        SELECT doc_id, n_tok,
+               CAST(SUM(n_tok) OVER (ORDER BY k
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+                 - n_tok AS cum
+        FROM d),
+      e AS (
+        SELECT doc_id, n_tok, cum,
+               unnest(range(cum // 256, (cum + n_tok - 1) // 256 + 1)) AS seq_id
+        FROM c WHERE n_tok > 0)
+      SELECT doc_id, seq_id,
+             greatest(0, seq_id * 256 - cum) AS tok_start,
+             least(n_tok, (seq_id + 1) * 256 - cum) AS tok_end
+      FROM e ORDER BY doc_id, seq_id""",
     "qAE_dsir_sample" -> """
       WITH toks AS (
         SELECT doc_id, lang = 'en' AS is_t,

@@ -258,6 +258,31 @@ class Round6OpsSpec extends AnyFunSuite {
     assert(dsir.contains("BroadcastExchange"), "ratios must broadcast")
   }
 
+  test("sequence packing: dense sequences, tokens conserved, spans contiguous") {
+    val docs = Tables.load(spark, "/root/testdata/sf0.001", "documents")
+      .select(col("doc_id"),
+        TextAnalysis.tokenCount(col("text")).cast("long").as("n_tok"))
+    val L = 128L
+    val packed = graft.operators.Packing
+      .packSequences(docs, "doc_id", "n_tok", seqLen = L, partitions = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+
+    // tokens conserved: per-doc span lengths sum to the doc's n_tok
+    val totals = docs.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val perDoc = packed.groupBy(_._1).view
+      .mapValues(_.map(t => t._4 - t._3).sum).toMap
+    assert(perDoc == totals.filter(_._2 > 0))
+    // every sequence except the highest holds exactly L tokens (dense)
+    val perSeq = packed.groupBy(_._2).view
+      .mapValues(_.map(t => t._4 - t._3).sum).toMap
+    val lastSeq = perSeq.keys.max
+    assert(perSeq.filter(_._1 != lastSeq).values.forall(_ == L), perSeq)
+    assert(perSeq(lastSeq) <= L)
+    // spans are sane: 0 <= start < end <= n_tok
+    assert(packed.forall { case (id, _, s, e) =>
+      s >= 0 && s < e && e <= totals(id) })
+  }
+
   test("web-ingest capstone: survivors are URL-unique and a strict subset") {
     val out = graft.queries.Pipeline.queries("qAD_web_ingest")(
       spark, "/root/testdata/sf0.001")
