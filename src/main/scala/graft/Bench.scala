@@ -23,7 +23,7 @@ object Bench {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val mode = sys.env.getOrElse("SPARK_GRAFT_BENCH_MODE", "both")
     // shuffle/spill to tmpfs when available: the bench writes the
-    // shuffle working set of 127 queries × 3 passes, and on a
+    // shuffle working set of ~146 queries × 3 passes, and on a
     // burst-throttled block device the CONCURRENT pass degrades over
     // the run (observed: load ~2 on 32 cores — tasks blocked on I/O,
     // not CPU — and 4–8× wall variance between identical runs)
@@ -40,7 +40,7 @@ object Bench {
         .config("spark.sql.shuffle.partitions", cpus)
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.scheduler.mode", "FAIR")
-        // static conf, default 100: 127 queries × several codegen units
+        // static conf, default 100: ~146 queries × several codegen units
         // cycle a 100-entry LRU to a ~0% hit rate, so the concurrent
         // pass recompiles Janino sources constantly — compilation
         // serializes and a 0.4 s query reads 80 s (observed; cores idle)
