@@ -26,7 +26,8 @@ object Audio {
                        rms: Double, zero_crossings: Long, decoded: Boolean)
 
   case class DecodedWav(sampleRate: Int, channels: Int, bits: Int,
-                        nSamples: Long, rms: Double, zeroCrossings: Long)
+                        nSamples: Long, nFrames: Long,
+                        rms: Double, zeroCrossings: Long)
 
   /** Payloads over this sample count are refused (same
     * decompression-bomb reasoning as [[Multimodal]]'s image guard —
@@ -72,7 +73,8 @@ object Audio {
             i += 1
           }
           Some(DecodedWav(f.getSampleRate.toInt, f.getChannels, 16,
-            n.toLong, math.sqrt(sumSq / n), crossings))
+            n.toLong, n.toLong / f.getChannels,
+            math.sqrt(sumSq / n), crossings))
         }
       } finally in.close()
     } catch { case _: Exception => None }
@@ -117,8 +119,10 @@ object Audio {
       rows.map { r =>
         decodeWav(r.payload) match {
           case Some(d) =>
+            // duration is frames / rate — nSamples counts interleaved
+            // samples, which for stereo is 2× the playback length
             AudioMeta(r.doc_id, d.sampleRate, d.channels, d.bits,
-              d.nSamples, d.nSamples * 1000.0 / d.sampleRate,
+              d.nSamples, d.nFrames * 1000.0 / d.sampleRate,
               d.rms, d.zeroCrossings, decoded = true)
           case None =>
             AudioMeta(r.doc_id, 0, 0, 0, 0L, 0.0, 0.0, 0L, decoded = false)

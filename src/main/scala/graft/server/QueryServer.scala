@@ -212,8 +212,13 @@ object QueryServer {
         // port precedence: --port arg > PORT env > 8080; DISABLE_UI
         // (any non-empty value) turns off the embedded UI — both from
         // the reference's configuration surface (README.md:45-50)
-        val srv = new QueryServer(engine,
-          argMap.get("port").orElse(sys.env.get("PORT")).map(_.toInt).getOrElse(8080),
+        val port = argMap.get("port").orElse(sys.env.get("PORT")) match {
+          case Some(p) => p.trim.toIntOption.filter(v => v > 0 && v <= 65535)
+            .getOrElse(sys.error(
+              s"invalid port '$p' (from --port/PORT): expected 1-65535"))
+          case None => 8080
+        }
+        val srv = new QueryServer(engine, port,
           disableUi = sys.env.get("DISABLE_UI").exists(_.nonEmpty))
         srv.start()
         println(s"graft query server on :${srv.boundPort} (root=$root)")

@@ -16,10 +16,12 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
  * the signature build is the same codegen'd map-side kernel (the
  * corpus-sized shingle stream never shuffles; micro-batches only move
  * #docs × bands tiny rows into the state operator), and state is
- * per-(band, bucket) signature lists — bounded by `maxPerBucket`, the
+ * per-(band, bucket) signature lists — UNCAPPED by default, matching
+ * the batch operator's `maxBucketSize` default so the pinned
+ * streamed ≡ batch parity holds; the opt-in `maxPerBucket` is the
  * streaming face of the hot-bucket guard: a full bucket still MATCHES
  * new arrivals against its stored signatures, it just stops growing
- * (documented recall trade, same as the batch `maxBucketSize`).
+ * (documented + logged recall trade, same as the batch cap).
  *
  * A pair colliding in several bands is emitted once per colliding band
  * per batch — candidates are a stream, exact-verification (set Jaccard
@@ -34,7 +36,7 @@ object StreamingDedup {
   def nearDupCandidates(docs: DataFrame, idCol: String, textCol: String,
                         shingleWords: Int = 3, k: Int = 64, bands: Int = 16,
                         minEstJaccard: Double = 0.0,
-                        maxPerBucket: Int = 1024): DataFrame = {
+                        maxPerBucket: Option[Int] = None): DataFrame = {
     require(k % bands == 0, "bands must divide k")
     val spark = docs.sparkSession
     import spark.implicits._
@@ -54,13 +56,17 @@ object StreamingDedup {
       .as[(Long, Seq[Long], Int, Int)]
     val kk = k
     val minEst = minEstJaccard
-    val cap = maxPerBucket
+    // default UNCAPPED to match the batch operator's maxBucketSize
+    // default — a silent cap made the pinned streamed ≡ batch parity
+    // diverge on hot buckets (two post-cap arrivals could never pair)
+    val cap = maxPerBucket.getOrElse(Int.MaxValue)
     banded.groupByKey(t => (t._3, t._4))
       .flatMapGroupsWithState[List[(Long, Array[Long])], (Long, Long, Double)](
         OutputMode.Append, GroupStateTimeout.NoTimeout) {
         (_: (Int, Int), rows: Iterator[(Long, Seq[Long], Int, Int)],
          state: GroupState[List[(Long, Array[Long])]]) =>
           var seen = state.getOption.getOrElse(Nil)
+          var warned = false
           val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Double)]
           rows.foreach { case (id, sigSeq, _, _) =>
             if (!seen.exists(_._1 == id)) { // re-delivered doc: no self-pairs
@@ -76,6 +82,12 @@ object StreamingDedup {
                 }
               }
               if (seen.size < cap) seen = (id, sig) :: seen
+              else if (!warned) { // opt-in cap hit: coverage loss observable
+                org.slf4j.LoggerFactory.getLogger(StreamingDedup.getClass)
+                  .warn(s"StreamingDedup: band bucket saturated at $cap " +
+                    "signatures; further arrivals match but are not stored")
+                warned = true
+              }
             }
           }
           state.update(seen)

@@ -15,10 +15,12 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
  * Scale shape mirrors the batch operator: the decode+hash runs in the
  * stateless map stage (payload bytes never reach the state store —
  * only 64-bit signatures do), state is per-(band, bucket) signature
- * lists bounded by `maxPerBucket` (a full bucket still matches new
- * arrivals, it just stops growing — the streaming face of the
- * hot-bucket guard), and completeness at the radius follows from the
- * same pigeonhole argument. A pair colliding in several bands is
+ * lists — UNCAPPED by default, matching the batch operator, so the
+ * pinned streamed ≡ batch parity holds; an opt-in `maxPerBucket`
+ * bounds hot-bucket state (a full bucket still matches new arrivals,
+ * it just stops growing, and the saturation is logged) — and
+ * completeness at the radius follows from the same pigeonhole
+ * argument. A pair colliding in several bands is
  * emitted once per colliding band per batch — dedup downstream, like
  * the text twin ([[StreamingDedup]]). Pinned streamed ≡ batch in
  * StreamingSpec.
@@ -29,7 +31,7 @@ object StreamingImageDedup {
     *         hamming ≤ `maxHamming`, id_a < id_b */
   def nearDupCandidates(media: Dataset[Multimodal.MediaRow],
                         maxHamming: Int = 3,
-                        maxPerBucket: Int = 1024): DataFrame = {
+                        maxPerBucket: Option[Int] = None): DataFrame = {
     require(maxHamming >= 0 && maxHamming < 64,
       "maxHamming must be in [0, 63]")
     val spark = media.sparkSession
@@ -51,13 +53,17 @@ object StreamingImageDedup {
       }
     }
     val radius = maxHamming
-    val cap = maxPerBucket
+    // default UNCAPPED to match the batch imageNearDupPairs default —
+    // a silent cap made the pinned streamed ≡ batch parity diverge on
+    // hot buckets (two post-cap arrivals could never pair)
+    val cap = maxPerBucket.getOrElse(Int.MaxValue)
     banded.groupByKey(t => (t._3, t._4))
       .flatMapGroupsWithState[List[(Long, Long)], (Long, Long, Int)](
         OutputMode.Append, GroupStateTimeout.NoTimeout) {
         (_: (Int, Long), rows: Iterator[(Long, Long, Int, Long)],
          state: GroupState[List[(Long, Long)]]) =>
           var seen = state.getOption.getOrElse(Nil)
+          var warned = false
           val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Int)]
           rows.foreach { case (id, h, _, _) =>
             if (!seen.exists(_._1 == id)) { // re-delivered image: no self-pairs
@@ -69,6 +75,12 @@ object StreamingImageDedup {
                 }
               }
               if (seen.size < cap) seen = (id, h) :: seen
+              else if (!warned) { // opt-in cap hit: coverage loss observable
+                org.slf4j.LoggerFactory.getLogger(StreamingImageDedup.getClass)
+                  .warn(s"StreamingImageDedup: band bucket saturated at $cap " +
+                    "signatures; further arrivals match but are not stored")
+                warned = true
+              }
             }
           }
           state.update(seen)
