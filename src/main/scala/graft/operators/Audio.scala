@@ -80,17 +80,11 @@ object Audio {
     } catch { case _: Exception => None }
   }
 
-  /** Deterministic 16-bit mono PCM WAV: a square wave alternating
-    * `+amplitude`/`-amplitude` every sample — every |sample| equals
-    * `amplitude`, so the decoded RMS is EXACTLY `amplitude` (n·A² and
-    * A² are exactly representable, IEEE division and sqrt of a
-    * perfect square are exact) and zero crossings are exactly
-    * `nSamples - 1`: full oracle arithmetic for a real decode. */
-  def syntheticSquareWav(sampleRate: Int, nSamples: Int,
-                         amplitude: Int): Array[Byte] = {
-    require(sampleRate > 0 && nSamples > 0)
-    require(amplitude > 0 && amplitude <= Short.MaxValue)
-    val dataLen = nSamples * 2
+  /** Canonical 44-byte-header 16-bit mono PCM WAV around a sample
+    * array — shared by the synthetic fixture generators. */
+  private def monoWav(sampleRate: Int, samples: Array[Short]): Array[Byte] = {
+    require(sampleRate > 0 && samples.nonEmpty)
+    val dataLen = samples.length * 2
     val buf = java.nio.ByteBuffer.allocate(44 + dataLen)
       .order(java.nio.ByteOrder.LITTLE_ENDIAN)
     buf.put("RIFF".getBytes); buf.putInt(36 + dataLen); buf.put("WAVE".getBytes)
@@ -103,11 +97,145 @@ object Audio {
     buf.putShort(16) // bits
     buf.put("data".getBytes); buf.putInt(dataLen)
     var j = 0
+    while (j < samples.length) { buf.putShort(samples(j)); j += 1 }
+    buf.array()
+  }
+
+  /** Deterministic 16-bit mono PCM WAV: a square wave alternating
+    * `+amplitude`/`-amplitude` every sample — every |sample| equals
+    * `amplitude`, so the decoded RMS is EXACTLY `amplitude` (n·A² and
+    * A² are exactly representable, IEEE division and sqrt of a
+    * perfect square are exact) and zero crossings are exactly
+    * `nSamples - 1`: full oracle arithmetic for a real decode. */
+  def syntheticSquareWav(sampleRate: Int, nSamples: Int,
+                         amplitude: Int): Array[Byte] = {
+    require(nSamples > 0)
+    require(amplitude > 0 && amplitude <= Short.MaxValue)
+    val samples = new Array[Short](nSamples)
+    var j = 0
     while (j < nSamples) {
-      buf.putShort((if (j % 2 == 0) amplitude else -amplitude).toShort)
+      samples(j) = (if (j % 2 == 0) amplitude else -amplitude).toShort
       j += 1
     }
-    buf.array()
+    monoWav(sampleRate, samples)
+  }
+
+  /** Frames behind the 64-bit [[rmsFingerprint]]: 65 RMS frames give
+    * 64 consecutive-frame loudness comparisons, one per bit. */
+  val FingerprintFrames = 65
+
+  /**
+   * 64-bit perceptual audio fingerprint — the audio twin of
+   * [[Multimodal.dHash]]'s sign-of-delta construction: the decoded
+   * mono PCM stream is divided into 65 equal-length frames AT FIXED
+   * POSITION FRACTIONS (boundary k·n/65, the 1-D analog of dHash's
+   * exact area pooling), each frame's RMS computed in one pass, and
+   * bit k set when frame k+1 is louder than frame k.
+   *
+   * Invariance, by construction: a uniform gain change scales every
+   * frame RMS by the same factor, so every delta keeps its sign —
+   * the fingerprint is bit-identical; resampling changes n but not
+   * the position fractions, so frame RMSs track the same envelope
+   * and the fingerprint survives up to envelope-sampling error
+   * (exactly, when frame boundaries align — see
+   * [[syntheticEnvelopeWav]]). None for payloads that are not
+   * decodable 16-bit mono PCM or have fewer samples than frames.
+   */
+  def rmsFingerprint(payload: Array[Byte]): Option[Long] =
+    decodeWav(payload).filter(d => d.channels == 1 &&
+        d.nSamples >= FingerprintFrames).map { _ =>
+      // decodeWav validated the header; re-read the PCM frame stream
+      // through AudioSystem (offset derived, not assumed — the
+      // frameStats precedent)
+      val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(payload))
+      val bytes = try in.readAllBytes() finally in.close()
+      val n = bytes.length / 2
+      val rms = new Array[Double](FingerprintFrames)
+      var k = 0
+      while (k < FingerprintFrames) {
+        val start = (k.toLong * n / FingerprintFrames).toInt
+        val end = ((k + 1).toLong * n / FingerprintFrames).toInt
+        var sumSq = 0.0
+        var j = start
+        while (j < end) {
+          val s = ((bytes(2 * j + 1) << 8) | (bytes(2 * j) & 0xFF)).toShort.toInt
+          sumSq += s.toDouble * s
+          j += 1
+        }
+        rms(k) = math.sqrt(sumSq / (end - start))
+        k += 1
+      }
+      var h = 0L
+      var bit = 0
+      while (bit < 64) {
+        if (rms(bit + 1) > rms(bit)) h |= (1L << bit)
+        bit += 1
+      }
+      h
+    }
+
+  /** Per-payload [[rmsFingerprint]]s as (id, simhash) — named to feed
+    * [[Dedup.simhashPairs]]'s banded hamming join directly;
+    * undecodable payloads drop out (no signature, stay singletons). */
+  def rmsFingerprints(media: Dataset[Multimodal.MediaRow]): DataFrame = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { rows =>
+      rows.flatMap(r => rmsFingerprint(r.payload).map(h => (r.doc_id, h)))
+    }.toDF("id", "simhash")
+  }
+
+  /**
+   * Perceptual audio near-dup pairs: one real PCM decode per payload
+   * (map-side, payloads never shuffle), then [[Dedup.simhashPairs]]'s
+   * pigeonhole banding — COMPLETE at the requested hamming radius,
+   * one band shuffle of 64-bit signatures, never an O(n²) audio
+   * comparison. The audio twin of [[Multimodal.imageNearDupPairs]];
+   * same hot-bucket guard semantics.
+   */
+  def audioNearDupPairs(media: Dataset[Multimodal.MediaRow],
+                        maxHamming: Int = 3,
+                        maxBucketSize: Option[Int] = None): DataFrame =
+    Dedup.simhashPairs(rmsFingerprints(media), maxHamming, maxBucketSize)
+
+  /** Per-segment amplitude for [[syntheticEnvelopeWav]]: a 64-bit mix
+    * of (seed, segment) mapped to an EVEN value in [1000, 28998] —
+    * even so a /2 gain shift stays exact integer arithmetic and every
+    * RMS comparison is preserved strictly. */
+  def segmentAmp(seed: Long, k: Int): Int = {
+    var h = seed * -7046029254386353131L + (k + 1) * -4417276706812531889L
+    h ^= (h >>> 32); h *= -4417276706812531889L; h ^= (h >>> 29)
+    1000 + 2 * math.floorMod(h, 14000L).toInt
+  }
+
+  /**
+   * Deterministic mono WAV with a seed-keyed 65-segment amplitude
+   * ENVELOPE: segment k is `samplesPerSeg` samples of a ±A square
+   * wave with A = [[segmentAmp]](seed, k) / gainDiv. Total length is
+   * 65·samplesPerSeg, so each [[rmsFingerprint]] frame covers EXACTLY
+   * one segment and the frame RMS is EXACTLY A (square wave) — the
+   * fingerprint is a pure function of the seed: a twin generated at a
+   * different sample rate / samplesPerSeg (a resample) and gainDiv
+   * (a gain shift) fingerprints bit-identically, while different
+   * seeds give effectively independent 64-bit fingerprints. The audio
+   * analog of qA3's resized-twin image fixtures.
+   */
+  def syntheticEnvelopeWav(seed: Long, sampleRate: Int,
+                           samplesPerSeg: Int, gainDiv: Int = 1): Array[Byte] = {
+    require(samplesPerSeg > 0 && gainDiv > 0)
+    val samples = new Array[Short](FingerprintFrames * samplesPerSeg)
+    var k = 0
+    while (k < FingerprintFrames) {
+      val amp = segmentAmp(seed, k) / gainDiv
+      var j = 0
+      while (j < samplesPerSeg) {
+        val idx = k * samplesPerSeg + j
+        samples(idx) = (if (idx % 2 == 0) amp else -amp).toShort
+        j += 1
+      }
+      k += 1
+    }
+    monoWav(sampleRate, samples)
   }
 
   /** Dataset stage: real WAV metadata + signal stats per payload;

@@ -221,6 +221,33 @@ object Pipeline {
         .orderBy(col("doc_id"))
     }),
 
+    // perceptual AUDIO near-dup END-TO-END (the audio twin of qA3):
+    // per doc pair (2s, 2s+1) a seed-keyed 65-segment envelope WAV and
+    // its resampled (half rate, half samples) + gain-shifted (/2)
+    // re-render are generated, RMS-fingerprinted through the real PCM
+    // kernel, and paired via the pigeonhole banded hamming join. Each
+    // fingerprint frame covers exactly one envelope segment, so twin
+    // fingerprints are BIT-IDENTICAL (hamming 0) while cross-seed
+    // fingerprints are effectively independent 64-bit values (P[≤3] ≈
+    // 4e4/2^64 per pair) — the planted twins are exactly the
+    // consecutive-id pairs, and the full pair set oracles as doc_id
+    // arithmetic. Radius 3 = the qA3 operating point.
+    "qAG_audio_neardup" -> ((s, dir) => {
+      import s.implicits._
+      val media = T(s, dir)("documents").select(col("doc_id")).as[Long]
+        .mapPartitions { ids =>
+          ids.map { id =>
+            val payload =
+              if (id % 2 == 0) Audio.syntheticEnvelopeWav(id / 2, 8000, 80)
+              else Audio.syntheticEnvelopeWav(id / 2, 4000, 40, gainDiv = 2)
+            Multimodal.MediaRow(id, payload)
+          }
+        }
+      Audio.audioNearDupPairs(media, maxHamming = 3)
+        .select(col("id_a"), col("id_b"))
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+
     // media → embedding → ANN, END-TO-END: textured twin images (base
     // at even ids, area-thumbnail at odd) are decoded, area-pooled to
     // 4×4 luminance features, and every doc's nearest neighbour found
@@ -1277,6 +1304,12 @@ object Pipeline {
                                           ELSE a.doc_id - 1 END
       ORDER BY id""",
     "qA3_image_neardup" -> """
+      SELECT CAST(a.doc_id AS BIGINT) AS id_a,
+             CAST(b.doc_id AS BIGINT) AS id_b
+      FROM documents a JOIN documents b ON b.doc_id = a.doc_id + 1
+      WHERE a.doc_id % 2 = 0
+      ORDER BY id_a, id_b""",
+    "qAG_audio_neardup" -> """
       SELECT CAST(a.doc_id AS BIGINT) AS id_a,
              CAST(b.doc_id AS BIGINT) AS id_b
       FROM documents a JOIN documents b ON b.doc_id = a.doc_id + 1

@@ -1,0 +1,84 @@
+package graft
+
+import graft.operators.{Audio, Multimodal}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Round-7 operator family: perceptual audio near-dup (the audio twin
+  * of the qA3 image pipeline) plus the stereo-duration fix pin. */
+class Round7OpsSpec extends AnyFunSuite {
+  private lazy val spark = GraftTestSession.spark
+  import spark.implicits._
+
+  test("rms fingerprint is invariant to gain shift and aligned resample") {
+    for (seed <- 0L until 25L) {
+      val base = Audio.rmsFingerprint(
+        Audio.syntheticEnvelopeWav(seed, 8000, 80)).get
+      val resampled = Audio.rmsFingerprint(
+        Audio.syntheticEnvelopeWav(seed, 4000, 40)).get
+      val gained = Audio.rmsFingerprint(
+        Audio.syntheticEnvelopeWav(seed, 8000, 80, gainDiv = 2)).get
+      val both = Audio.rmsFingerprint(
+        Audio.syntheticEnvelopeWav(seed, 4000, 40, gainDiv = 2)).get
+      assert(base == resampled, s"resample changed fingerprint (seed $seed)")
+      assert(base == gained, s"gain shift changed fingerprint (seed $seed)")
+      assert(base == both, s"resample+gain changed fingerprint (seed $seed)")
+    }
+  }
+
+  test("rms fingerprints are discriminative across seeds") {
+    // every distinct-seed pair must sit FAR outside the radius-3 gate
+    // the oracle depends on — check all pairs over 200 seeds
+    val fps = (0L until 200L).map(s =>
+      Audio.rmsFingerprint(Audio.syntheticEnvelopeWav(s, 8000, 80)).get)
+    var minHam = 64
+    for (i <- fps.indices; j <- (i + 1) until fps.size) {
+      val h = java.lang.Long.bitCount(fps(i) ^ fps(j))
+      if (h < minHam) minHam = h
+    }
+    assert(minHam > 3, s"cross-seed fingerprints within radius: $minHam")
+  }
+
+  test("audioNearDupPairs recovers exactly the planted resampled twins") {
+    val media = spark.range(100).as[Long].map { id =>
+      val payload =
+        if (id % 2 == 0) Audio.syntheticEnvelopeWav(id / 2, 8000, 80)
+        else Audio.syntheticEnvelopeWav(id / 2, 4000, 40, gainDiv = 2)
+      Multimodal.MediaRow(id, payload)
+    }
+    val pairs = Audio.audioNearDupPairs(media, maxHamming = 3)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val planted = (0L until 100L by 2).map(i => (i, i + 1)).toSet
+    assert(pairs == planted)
+  }
+
+  test("fingerprint refuses stereo, short, and non-audio payloads") {
+    assert(Audio.rmsFingerprint(Array.emptyByteArray).isEmpty)
+    assert(Audio.rmsFingerprint("not a wav".getBytes).isEmpty)
+    // fewer samples than frames
+    assert(Audio.rmsFingerprint(
+      Audio.syntheticSquareWav(8000, 32, 1000)).isEmpty)
+  }
+
+  test("stereo WAV duration uses frames, not interleaved samples") {
+    // hand-built canonical 16-bit stereo WAV: 400 frames at 8 kHz
+    // = 50 ms of audio; the interleaved sample count is 800
+    val frames = 400
+    val dataLen = frames * 4
+    val buf = java.nio.ByteBuffer.allocate(44 + dataLen)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    buf.put("RIFF".getBytes); buf.putInt(36 + dataLen); buf.put("WAVE".getBytes)
+    buf.put("fmt ".getBytes); buf.putInt(16)
+    buf.putShort(1); buf.putShort(2) // PCM, stereo
+    buf.putInt(8000); buf.putInt(8000 * 4)
+    buf.putShort(4); buf.putShort(16)
+    buf.put("data".getBytes); buf.putInt(dataLen)
+    for (_ <- 0 until frames) { buf.putShort(1000); buf.putShort(-1000) }
+    val d = Audio.decodeWav(buf.array()).get
+    assert(d.channels == 2 && d.nSamples == 800 && d.nFrames == 400)
+    val meta = Audio.audioMeta(
+        Seq(Multimodal.MediaRow(1L, buf.array())).toDS()).collect().head
+    assert(meta.duration_ms == 50.0,
+      s"stereo duration should be frames/rate, got ${meta.duration_ms}")
+  }
+}
