@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.Tables
-import graft.operators.{Audio, Contamination, Dedup, Multimodal, Packing, Sampling, Similarity, TextAnalysis}
+import graft.operators.{Audio, Bpe, Contamination, Dedup, Multimodal, Packing, Sampling, Similarity, TextAnalysis}
 import graft.functions.RollingMinHash.rolling_min_hash
 import graft.functions.TextExprs
 import org.apache.spark.sql.{DataFrame, SparkSession}
@@ -220,6 +220,15 @@ object Pipeline {
           col("zero_crossings"), col("decoded"))
         .orderBy(col("doc_id"))
     }),
+
+    // BPE tokenizer TRAINING (Sennrich 2016): 20 top-pair merge
+    // rounds over the corpus vocabulary — one corpus-scale word-count
+    // shuffle, then 20 vocab-scale pair-count rounds with a one-row
+    // deterministic top-1 each. The oracle scripts the same 20 rounds
+    // as chained CTEs with a decorated-string greedy replace.
+    "qAH_bpe_train" -> ((s, dir) =>
+      Bpe.learnMerges(T(s, dir)("documents"), "text", merges = 20)
+        .orderBy(col("rank"))),
 
     // perceptual AUDIO near-dup END-TO-END (the audio twin of qA3):
     // per doc pair (2s, 2s+1) a seed-keyed 65-segment envelope WAV and
@@ -1315,6 +1324,7 @@ object Pipeline {
       FROM documents a JOIN documents b ON b.doc_id = a.doc_id + 1
       WHERE a.doc_id % 2 = 0
       ORDER BY id_a, id_b""",
+    "qAH_bpe_train" -> Bpe.oracleSql(20),
     "qA2_image_decode" -> """
       SELECT doc_id, 'png' AS format,
              CAST(16 + doc_id % 32 AS INT) AS width,

@@ -1,6 +1,6 @@
 package graft
 
-import graft.operators.{Audio, Multimodal}
+import graft.operators.{Audio, Bpe, Multimodal}
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
@@ -58,6 +58,36 @@ class Round7OpsSpec extends AnyFunSuite {
     // fewer samples than frames
     assert(Audio.rmsFingerprint(
       Audio.syntheticSquareWav(8000, 32, 1000)).isEmpty)
+  }
+
+  test("bpe: merges match the hand-computed corpus, ties break lexicographically") {
+    // corpus: aaab ×2, ab ×1 → symbols [a,a,a,b,</w>]×2, [a,b,</w>]×1
+    // round 1: (a,a)=4 (overlapping positions count), (a,b)=3, (b,</w>)=3
+    // round 2: (a,b)=3 TIES (b,</w>)=3 → lexicographic picks (a,b)
+    // round 3: (ab,</w>)=3 beats (aa,ab)=2
+    val docs = Seq("aaab aaab", "ab").toDF("text")
+    val merges = Bpe.learnMerges(docs, "text", merges = 3)
+      .as[(Int, String, String, Long)].collect().sortBy(_._1).toSeq
+    assert(merges == Seq((1, "a", "a", 4L), (2, "a", "b", 3L),
+      (3, "ab", "</w>", 3L)))
+  }
+
+  test("bpe: greedy left-to-right apply and early exhaustion") {
+    // a a a under (a,a) merges the FIRST pair only: aa a
+    assert(Bpe.applyMerge(IndexedSeq("a", "a", "a"), "a", "a") ==
+      IndexedSeq("aa", "a"))
+    assert(Bpe.applyMerge(IndexedSeq("a", "a", "a", "a"), "a", "a") ==
+      IndexedSeq("aa", "aa"))
+    // single word 'ab' exhausts after 2 merges; asking for 5 stops early
+    val out = Bpe.learnMerges(Seq("ab").toDF("text"), "text", merges = 5)
+      .as[(Int, String, String, Long)].collect().sortBy(_._1).toSeq
+    assert(out == Seq((1, "a", "b", 1L), (2, "ab", "</w>", 1L)))
+  }
+
+  test("bpe: symbols are code points, not Java chars") {
+    // U+1F600 is a surrogate pair in UTF-16 but ONE symbol
+    val syms = Bpe.charSymbols("a😀b")
+    assert(syms == IndexedSeq("a", "😀", "b", Bpe.Eow))
   }
 
   test("stereo WAV duration uses frames, not interleaved samples") {
