@@ -273,6 +273,43 @@ object TextAnalysis {
       when(qs === "", lit("")).otherwise(concat(lit("?"), qs)))
   }
 
+  /** Host of a [[normalizeUrl]]-canonical URL. */
+  def urlHost(urlNorm: Column): Column =
+    regexp_extract(urlNorm, "^[a-z][a-z0-9+.-]*://([^/]+)", 1)
+
+  /** Every label-aligned dot-suffix of a host — 'a.b.com' →
+    * [a.b.com, b.com, com]: the bounded fan-out (≤ label count) that
+    * turns subdomain-inclusive blocklist matching into a
+    * broadcastable EQUI-join, and keeps matching label-aligned
+    * ('notexample.com' never matches a blocked 'example.com' the way
+    * a raw endswith would). */
+  def hostSuffixes(host: Column): Column = {
+    val labels = split(host, "\\.")
+    transform(sequence(lit(1), size(labels)), i =>
+      array_join(slice(labels, i, size(labels)), "."))
+  }
+
+  /**
+   * Crawl-hygiene domain filter: drop every document whose canonical
+   * URL host is on the blocklist, INCLUDING subdomains of blocked
+   * domains. Scale shape: each host explodes to its dot-suffixes (a
+   * tiny bounded fan-out), semi-joins the BROADCAST blocklist on
+   * suffix equality — map-side, the corpus never shuffles for the
+   * match — and the resulting blocked-id set (spam-scale, not
+   * corpus-scale) anti-joins back on the id, which AQE broadcasts
+   * when it fits. Never a nested-loop endswith join.
+   */
+  def domainFilter(docs: DataFrame, idCol: String, urlNormCol: String,
+                   blocklist: DataFrame): DataFrame = {
+    val blockedIds = docs
+      .select(col(idCol),
+        explode(hostSuffixes(urlHost(col(urlNormCol)))).as("__suffix"))
+      .join(broadcast(blocklist.select(lower(col("host")).as("__suffix"))),
+        Seq("__suffix"), "left_semi")
+      .select(idCol).distinct()
+    docs.join(blockedIds, Seq(idCol), "left_anti")
+  }
+
   /** Content-addressed fingerprint over whitespace-normalized text. */
   def fingerprintMd5(text: Column): Column =
     md5(trim(regexp_replace(lower(text), "\\s+", " ")))

@@ -221,6 +221,29 @@ object Pipeline {
         .orderBy(col("doc_id"))
     }),
 
+    // domain blocklist filter (crawl hygiene, next to qAC/qAD):
+    // deterministic hosts (sub.example{d%7}.com for odd ids) filtered
+    // against a blocklist that hits exact hosts, subdomains of a
+    // blocked domain, and one blocked subdomain only — the survivor
+    // set is doc_id arithmetic. Matching is label-aligned dot-suffix
+    // equi-join (broadcast), never endswith.
+    "qAI_domain_filter" -> ((s, dir) => {
+      import s.implicits._
+      val url = concat(
+        when(pmod(col("doc_id"), lit(2)) === 1, lit("https://Sub."))
+          .otherwise(lit("https://")),
+        lit("Example"), pmod(col("doc_id"), lit(7)),
+        lit(".COM/p/"), col("doc_id"))
+      val docs = T(s, dir)("documents")
+        .select(col("doc_id"), TextAnalysis.normalizeUrl(url).as("url_norm"))
+      val blocklist = Seq("example1.com", "example4.com", "sub.example2.com")
+        .toDF("host")
+      TextAnalysis.domainFilter(docs, "doc_id", "url_norm", blocklist)
+        .select(col("doc_id"),
+          TextAnalysis.urlHost(col("url_norm")).as("host"))
+        .orderBy(col("doc_id"))
+    }),
+
     // BPE tokenizer TRAINING (Sennrich 2016): 20 top-pair merge
     // rounds over the corpus vocabulary — one corpus-scale word-count
     // shuffle, then 20 vocab-scale pair-count rounds with a one-row
@@ -1325,6 +1348,14 @@ object Pipeline {
       WHERE a.doc_id % 2 = 0
       ORDER BY id_a, id_b""",
     "qAH_bpe_train" -> Bpe.oracleSql(20),
+    "qAI_domain_filter" -> """
+      SELECT doc_id,
+             CASE WHEN doc_id % 2 = 1 THEN 'sub.' ELSE '' END
+               || 'example' || (doc_id % 7) || '.com' AS host
+      FROM documents
+      WHERE NOT (doc_id % 7 IN (1, 4)
+                 OR (doc_id % 7 = 2 AND doc_id % 2 = 1))
+      ORDER BY doc_id""",
     "qA2_image_decode" -> """
       SELECT doc_id, 'png' AS format,
              CAST(16 + doc_id % 32 AS INT) AS width,

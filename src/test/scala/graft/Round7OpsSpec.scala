@@ -1,6 +1,6 @@
 package graft
 
-import graft.operators.{Audio, Bpe, Multimodal}
+import graft.operators.{Audio, Bpe, Multimodal, TextAnalysis}
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
@@ -88,6 +88,28 @@ class Round7OpsSpec extends AnyFunSuite {
     // U+1F600 is a surrogate pair in UTF-16 but ONE symbol
     val syms = Bpe.charSymbols("a😀b")
     assert(syms == IndexedSeq("a", "😀", "b", Bpe.Eow))
+  }
+
+  test("domain filter: blocks exact hosts and subdomains, label-aligned") {
+    val docs = Seq(
+      (1L, "https://example.com/a"),        // blocked: exact
+      (2L, "https://www.example.com/b"),    // blocked: subdomain
+      (3L, "https://notexample.com/c"),     // kept: endswith would block
+      (4L, "https://example.com.evil.io/d"),// kept: blocked name mid-host
+      (5L, "https://safe.org/e"),           // kept
+      (6L, "https://bad.safe.org/f")        // blocked: exact subdomain entry
+    ).toDF("doc_id", "url_norm")
+    val blocklist = Seq("example.com", "bad.safe.org").toDF("host")
+    val kept = TextAnalysis.domainFilter(docs, "doc_id", "url_norm", blocklist)
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept == Set(3L, 4L, 5L))
+  }
+
+  test("host suffixes are label-aligned dot-suffixes") {
+    val out = Seq("a.b.com").toDF("h")
+      .select(TextAnalysis.hostSuffixes(col("h"))).as[Seq[String]]
+      .collect().head
+    assert(out == Seq("a.b.com", "b.com", "com"))
   }
 
   test("stereo WAV duration uses frames, not interleaved samples") {
