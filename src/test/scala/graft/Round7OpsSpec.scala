@@ -112,6 +112,32 @@ class Round7OpsSpec extends AnyFunSuite {
     assert(out == Seq("a.b.com", "b.com", "com"))
   }
 
+  test("qAD plan instantiates the stripHtml chain exactly once") {
+    // qAD builds `cleaned` (= stripHtml + normalizeUrl) and self-joins
+    // it against its own groupBy(url_norm) aggregate: Catalyst must
+    // PRUNE the stripHtml chain off the agg branch (which only needs
+    // url_norm). If an edit to the agg branch ever references `clean`,
+    // the strip work silently doubles at corpus scale — pin the plan
+    // shape via the chain's distinctive script-block pattern.
+    // (expression inlining repeats the chain TEXT across a Project's
+    // columns — that's subexpression-eliminated at codegen; the real
+    // regression is the chain appearing under an Aggregate subtree)
+    val exec = graft.queries.Pipeline
+      .queries("qAD_web_ingest")(spark, "/root/testdata/sf0.001")
+      .queryExecution.executedPlan match {
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+          a.executedPlan
+        case p => p
+      }
+    assert(exec.toString.contains("<script"), "strip chain vanished entirely")
+    val aggs = exec.collect { case a if a.nodeName.contains("Aggregate") => a }
+    assert(aggs.nonEmpty, "expected the url_norm dedup aggregate")
+    aggs.foreach { a =>
+      assert(!a.toString.contains("<script"),
+        s"stripHtml chain leaked into an aggregate branch:\n$a")
+    }
+  }
+
   test("stereo WAV duration uses frames, not interleaved samples") {
     // hand-built canonical 16-bit stereo WAV: 400 frames at 8 kHz
     // = 50 ms of audio; the interleaved sample count is 800
