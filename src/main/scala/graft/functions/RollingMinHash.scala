@@ -65,4 +65,34 @@ object RollingMinHash {
   /** Column-level entry point. */
   def rolling_min_hash(c: Column, window: Int = 16): Column =
     ColumnBridge.column(RollingMinHash(ColumnBridge.expression(c), window))
+
+  /**
+   * DuckDB oracle expression reproducing [[minHash]] EXACTLY: the
+   * window hash Σ c_j·B^(w-1-j) is evaluated in HUGEINT with the
+   * wraparound-power coefficients B^k mod 2^64 embedded as literals
+   * (so 128-bit modular arithmetic reproduces Java's 64-bit long
+   * overflow), reinterpreted as signed, and list_min'd over every
+   * window start — O(n·w) per document instead of the kernel's O(n)
+   * roll, which is fine at oracle scale. Valid for ASCII corpora
+   * (ascii(char) = byte; the testdata is all-ASCII — a non-ASCII
+   * corpus would surface as a verify mismatch, not silent error).
+   *
+   * `codes`/`n`/`w` name columns holding the per-char code list,
+   * text length, and least(window, length).
+   */
+  def oracleExpr(window: Int, codes: String, n: String, w: String): String = {
+    val M = java.math.BigInteger.ONE.shiftLeft(64)
+    val b = java.math.BigInteger.valueOf(1000000007L)
+    val pows = (1 to window)
+      .map(k => b.modPow(java.math.BigInteger.valueOf(window.toLong - k), M))
+    val p = pows.map(_.toString + "::HUGEINT").mkString("[", ",", "]")
+    s"""CASE WHEN $n = 0 THEN 0 ELSE list_min(list_transform(
+       list_transform(range(1, $n - $w + 2), i ->
+         list_sum(list_transform(range(0, $w),
+           j -> $codes[i + j] * ($p)[$window - $w + 1 + j]))
+         % 18446744073709551616::HUGEINT),
+       m -> (CASE WHEN m >= 9223372036854775808::HUGEINT
+                  THEN m - 18446744073709551616::HUGEINT
+                  ELSE m END)::BIGINT)) END"""
+  }
 }

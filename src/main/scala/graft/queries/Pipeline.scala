@@ -2,6 +2,7 @@ package graft.queries
 
 import graft.Tables
 import graft.operators.{Audio, Bpe, Contamination, Dedup, Multimodal, Packing, Sampling, Similarity, TextAnalysis}
+import graft.functions.RollingMinHash
 import graft.functions.RollingMinHash.rolling_min_hash
 import graft.functions.TextExprs
 import org.apache.spark.sql.{DataFrame, SparkSession}
@@ -113,7 +114,8 @@ object Pipeline {
     }),
 
     // winnowing-style rolling-hash fingerprint (custom codegen'd
-    // Catalyst Expression → rows-only)
+    // Catalyst Expression); FULL oracle since round 7 — the DuckDB
+    // side replays the 64-bit wraparound window hash in HUGEINT
     "q61_fingerprint_rolling" -> ((s, dir) => {
       T(s, dir)("documents")
         .select(col("doc_id"),
@@ -1348,6 +1350,20 @@ object Pipeline {
       WHERE a.doc_id % 2 = 0
       ORDER BY id_a, id_b""",
     "qAH_bpe_train" -> Bpe.oracleSql(20),
+    "q61_fingerprint_rolling" -> s"""
+      WITH c AS (
+        SELECT doc_id,
+               list_transform(string_split(text, ''),
+                 x -> ascii(x)::HUGEINT) AS codes,
+               length(text) AS n, least(16, length(text)) AS w,
+               list_transform(string_split(lower(text), ''),
+                 x -> ascii(x)::HUGEINT) AS codes32,
+               least(32, length(text)) AS w32
+        FROM documents)
+      SELECT doc_id,
+             ${RollingMinHash.oracleExpr(16, "codes", "n", "w")} AS fp,
+             ${RollingMinHash.oracleExpr(32, "codes32", "n", "w32")} AS fp32
+      FROM c ORDER BY doc_id""",
     "qAI_domain_filter" -> """
       SELECT doc_id,
              CASE WHEN doc_id % 2 = 1 THEN 'sub.' ELSE '' END
