@@ -12,6 +12,14 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
  * columns outright, so we read nanosecond timestamp columns as raw
  * LongType (`spark.sql.legacy.parquet.nanosAsLong`) — full fidelity,
  * matching the reference's own representation.
+ *
+ * The physical annotation of the lake's `ts` column is NOT under our
+ * control (the test lake has shipped both TIMESTAMP(NANOS) and
+ * timestamp[us] across regenerations), so [[load]] normalizes every
+ * timestamp-typed `ts` to the same int64-ns contract via exact
+ * integer µs→ns math — downstream operators always see LongType ns
+ * regardless of which annotation the files carry (TsEncodingSpec is
+ * the canary that pins this across encodings).
  */
 object Tables {
   val all: Seq[String] = Seq(
@@ -37,7 +45,26 @@ object Tables {
   def load(spark: SparkSession, dir: String, name: String): DataFrame = {
     configure(spark)
     cache.computeIfAbsent((spark, s"$dir/$name.parquet"),
-      { case (s, p) => s.read.parquet(p) })
+      { case (s, p) => normalizeTs(s.read.parquet(p)) })
+  }
+
+  /**
+   * Enforce the int64-ns `ts` contract regardless of the file's
+   * physical timestamp annotation: NANOS-annotated files arrive as
+   * LongType already (nanosAsLong, pass-through); µs-annotated files
+   * arrive as TimestampType (isAdjustedToUTC) or TimestampNTZType
+   * (wall-clock) and are converted with exact integer math —
+   * `unix_micros(ts) * 1000`. The NTZ→LTZ cast is lossless because
+   * the session time zone is pinned to UTC in [[configure]].
+   */
+  private[graft] def normalizeTs(df: DataFrame): DataFrame = {
+    import org.apache.spark.sql.types.{TimestampNTZType, TimestampType}
+    import org.apache.spark.sql.functions.{col, unix_micros}
+    df.schema.fields.find(_.name == "ts").map(_.dataType) match {
+      case Some(TimestampType) | Some(TimestampNTZType) =>
+        df.withColumn("ts", unix_micros(col("ts").cast(TimestampType)) * 1000L)
+      case _ => df
+    }
   }
 
   /** Register every table as a temp view (for the SQL-form queries). */

@@ -20,10 +20,19 @@ object EventStream {
 
   /** Incremental scan of an events directory (schema must be supplied —
     * streaming reads don't infer). ns-long `ts` is converted to a µs
-    * TimestampType event-time column for watermarking. */
+    * TimestampType event-time column for watermarking.
+    *
+    * The supplied schema is the LOGICAL contract (ts: int64 ns, per
+    * Tables.normalizeTs); the files on disk may physically carry a
+    * µs timestamp annotation instead. A one-time batch footer read
+    * resolves the physical schema (stream-source setup cost, not
+    * per-batch), and the same normalization as the batch path brings
+    * `ts` back to the contract — so batch and streaming twins agree
+    * byte-for-byte whatever the lake's current encoding. */
   def readEvents(spark: SparkSession, dir: String, schema: StructType): DataFrame = {
     graft.Tables.configure(spark)
-    spark.readStream.schema(schema).parquet(dir)
+    val physical = scala.util.Try(spark.read.parquet(dir).schema).getOrElse(schema)
+    graft.Tables.normalizeTs(spark.readStream.schema(physical).parquet(dir))
       .withColumn("event_time", timestamp_micros(expr("ts div 1000")))
   }
 

@@ -1,0 +1,128 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/**
+ * Schema-drift canary for the `ts` int64-ns contract.
+ *
+ * The test lake's `events.ts` physical annotation is not under our
+ * control — it has shipped as TIMESTAMP(NANOS) in one regeneration and
+ * plain timestamp[us] in the next, which silently broke every
+ * time-series query once (round 7). This spec writes the SAME events
+ * rows under every physical encoding the lake could plausibly ship:
+ *
+ *   - int64:  plain INT64 ns (what nanosAsLong yields for NANOS files)
+ *   - us_ltz: µs TIMESTAMP, isAdjustedToUTC=true  → TimestampType
+ *   - us_ntz: µs TIMESTAMP, isAdjustedToUTC=false → TimestampNTZType
+ *   - nanos:  INT64 annotated TIMESTAMP(NANOS,true), written through
+ *             parquet-hadoop directly (Spark cannot author this
+ *             annotation itself; the lake's generator can and did)
+ *
+ * and asserts every TimeSeries query ANALYZES and returns identical
+ * rows on all of them. If the driver regenerates testdata under yet
+ * another annotation, this spec — not 16 production queries — fails.
+ */
+class TsEncodingSpec extends AnyFunSuite {
+  private lazy val spark = GraftTestSession.spark
+
+  private def tmp(prefix: String): java.nio.file.Path =
+    java.nio.file.Files.createTempDirectory(
+      new java.io.File("target").toPath.toAbsolutePath, prefix)
+
+  /** Baseline rows: the real lake file, already normalized by Tables. */
+  private lazy val base: DataFrame =
+    Tables.load(spark, "/root/testdata/sf0.001", "events")
+
+  // each encoding lives in its own dir as <dir>/events.parquet so the
+  // unmodified Tables.load path (cache, configure, normalizeTs) is on trial
+  private lazy val dirs: Map[String, String] = {
+    Tables.configure(spark)
+    val int64 = tmp("ts-int64")
+    base.coalesce(1).write.mode("overwrite")
+      .parquet(s"$int64/events.parquet")
+
+    val usLtz = tmp("ts-usltz")
+    base.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      .coalesce(1).write.mode("overwrite")
+      .parquet(s"$usLtz/events.parquet")
+
+    val usNtz = tmp("ts-usntz")
+    base.withColumn("ts",
+        timestamp_micros(expr("ts div 1000")).cast("timestamp_ntz"))
+      .coalesce(1).write.mode("overwrite")
+      .parquet(s"$usNtz/events.parquet")
+
+    val nanos = tmp("ts-nanos")
+    writeNanosAnnotated(s"$nanos/events.parquet")
+
+    Map("int64" -> int64.toString, "us_ltz" -> usLtz.toString,
+      "us_ntz" -> usNtz.toString, "nanos" -> nanos.toString)
+  }
+
+  /** Author a genuine TIMESTAMP(NANOS,true) parquet file — the one
+    * annotation Spark can read (as long, via nanosAsLong) but never
+    * write — so the pre-drift lake layout stays covered forever. */
+  private def writeNanosAnnotated(path: String): Unit = {
+    import org.apache.hadoop.conf.Configuration
+    import org.apache.hadoop.fs.Path
+    import org.apache.parquet.example.data.simple.SimpleGroupFactory
+    import org.apache.parquet.hadoop.example.ExampleParquetWriter
+    import org.apache.parquet.schema.{LogicalTypeAnnotation, Types}
+    import org.apache.parquet.schema.LogicalTypeAnnotation.TimeUnit
+    import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName._
+
+    val schema = Types.buildMessage()
+      .optional(INT64).named("event_id")
+      .optional(INT64).as(LogicalTypeAnnotation.timestampType(true, TimeUnit.NANOS)).named("ts")
+      .optional(INT64).named("user_id")
+      .optional(BINARY).as(LogicalTypeAnnotation.stringType()).named("event_type")
+      .optional(DOUBLE).named("value")
+      .optional(BINARY).as(LogicalTypeAnnotation.stringType()).named("props")
+      .named("events")
+    val factory = new SimpleGroupFactory(schema)
+    val writer = ExampleParquetWriter.builder(new Path(path))
+      .withConf(new Configuration()).withType(schema).build()
+    try {
+      base.collect().foreach { r => // 1000 rows — driver-side by design
+        val g = factory.newGroup()
+        g.append("event_id", r.getLong(0)).append("ts", r.getLong(1))
+          .append("user_id", r.getLong(2)).append("event_type", r.getString(3))
+          .append("value", r.getDouble(4)).append("props", r.getString(5))
+        writer.write(g)
+      }
+    } finally writer.close()
+  }
+
+  test("every physical ts encoding surfaces as the int64-ns contract") {
+    dirs.foreach { case (enc, dir) =>
+      val df = Tables.load(spark, dir, "events")
+      assert(df.schema("ts").dataType ==
+        org.apache.spark.sql.types.LongType, s"encoding $enc")
+      assert(df.count() == 1000, s"encoding $enc")
+    }
+  }
+
+  test("all TimeSeries queries analyze and agree across ts encodings") {
+    def canon(df: DataFrame): Seq[String] =
+      df.collect().map(_.toString).sorted.toSeq
+    val failures = scala.collection.mutable.ListBuffer[String]()
+    graft.queries.TimeSeries.queries.foreach { case (name, fn) =>
+      try {
+        // no nonEmpty assert: q99's 500 ms band legitimately matches no
+        // pairs in the 1000-row fixture — agreement is the contract here
+        val expected = canon(fn(spark, dirs("int64")))
+        Seq("us_ltz", "us_ntz", "nanos").foreach { enc =>
+          val got = canon(fn(spark, dirs(enc)))
+          if (got != expected)
+            failures += s"$name differs on $enc (${got.size} vs ${expected.size} rows)"
+        }
+      } catch {
+        case e: Throwable =>
+          failures += s"$name threw ${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).take(200)}"
+      }
+    }
+    assert(failures.isEmpty, failures.mkString("\n"))
+  }
+}
