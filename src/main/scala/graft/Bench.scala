@@ -65,18 +65,31 @@ object Bench {
     val names = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => only.forall(_.exists(n.startsWith)) }
 
+    // A query that throws must never masquerade as a fast success in the
+    // committed record (round 7: 16 analysis-broken queries printed as
+    // 0.002 s "passes") — every throw lands in `errors` and the query is
+    // EXCLUDED from queries/queries_seq/value.
+    val errors = new java.util.concurrent.ConcurrentHashMap[String, String]()
+    def recordError(name: String, t: Throwable): Unit =
+      errors.put(name, (t.getClass.getSimpleName + ": " +
+        String.valueOf(t.getMessage)).replaceAll("[\"\\\\\\s]+", " ").take(200))
     // untimed warmup ITERATION over the whole workload: JIT + codegen
     // caches + parquet footers, and q72's memoized IVF index build (an
     // index is an OFFLINE artifact — timed runs measure search, not
     // build). Without a full pass, whichever timed pass runs first
     // absorbs per-query codegen compilation and reads artificially slow.
-    names.foreach { case (_, fn) =>
-      try consume(fn(spark, sfDir)) catch { case _: Throwable => () }
+    names.foreach { case (name, fn) =>
+      try consume(fn(spark, sfDir)) catch { case t: Throwable => recordError(name, t) }
     }
-    def timed(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
+    /** Elapsed seconds, or None (+ errors entry) when the query threw. */
+    def timed(name: String,
+              fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Option[Double] = {
       val q0 = System.nanoTime()
-      try { consume(fn(spark, sfDir)) } catch { case _: Throwable => () }
-      (System.nanoTime() - q0) / 1e9
+      try {
+        consume(fn(spark, sfDir))
+        errors.remove(name) // a warmup-only transient doesn't flag the query
+        Some((System.nanoTime() - q0) / 1e9)
+      } catch { case t: Throwable => recordError(name, t); None }
     }
     // 3-decimal (ms) resolution keeps the one-line record compact: the
     // driver stores only the LAST 2000 chars of output, so every byte
@@ -92,7 +105,9 @@ object Bench {
     // and running it after the concurrent pass let same-JVM ordering/GC
     // make a query read slower alone than under 8-way contention
     val seqResults: Seq[(String, Double)] =
-      if (mode != "conc") names.map { case (name, fn) => name -> timed(fn) }
+      if (mode != "conc") names.flatMap { case (name, fn) =>
+        timed(name, fn).map(name -> _)
+      }
       else Nil
     var wall = seqResults.map(_._2).sum // overwritten by the conc wall below
     var concJson = "{}"
@@ -125,12 +140,12 @@ object Bench {
           // amplification). One pool per in-flight query restores the
           // fair share the gateway metric is meant to measure.
           spark.sparkContext.setLocalProperty("spark.scheduler.pool", name)
-          name -> timed(fn)
+          timed(name, fn).map(name -> _)
         }
       }
       val results = scala.concurrent.Await.result(
         scala.concurrent.Future.sequence(futures),
-        scala.concurrent.duration.Duration.Inf)
+        scala.concurrent.duration.Duration.Inf).flatten
       wall = (System.nanoTime() - t0) / 1e9
       pool.shutdown()
       concResults = results
@@ -140,8 +155,13 @@ object Bench {
     val slowestRows = (if (seqResults.nonEmpty) seqResults else concResults)
       .sortBy(-_._2).take(12)
     val slowest = json(slowestRows)
+    // recordError sanitized values (no quotes/backslashes/newlines), so
+    // direct embedding is JSON-safe
+    import scala.jdk.CollectionConverters._
+    val errJson = errors.asScala.toSeq.sortBy(_._1)
+      .map { case (k, v) => "\"" + k + "\":\"" + v + "\"" }.mkString("{", ",", "}")
     val fullRecord =
-      s"""{"metric":"total","unit":"sec","queries":$concJson,"queries_seq":$seqJson,"slowest":$slowest,"value":${num(wall)},"sf":"$sfDir"}"""
+      s"""{"metric":"total","unit":"sec","queries":$concJson,"queries_seq":$seqJson,"slowest":$slowest,"errors":$errJson,"value":${num(wall)},"sf":"$sfDir"}"""
     // The FULL record (146 queries × two per-query maps ≈ 6 KB) exceeds
     // the driver's 2000-char stdout tail, so it goes to a COMMITTED file
     // (repo root — target/ is gitignored) where per-query numbers stay
@@ -159,7 +179,11 @@ object Bench {
     println(fullRecord)
     val slowSeq = json(seqResults.sortBy(-_._2).take(12))
     val slowConc = json(concResults.sortBy(-_._2).take(12))
-    println(s"""{"metric":"total","unit":"sec","queries":$slowConc,"queries_seq":$slowSeq,"slowest":$slowest,"value":${num(wall)},"sf":"$sfDir","full":"$fullPath"}""")
+    // compact line carries only the error NAMES (messages live in the
+    // full record) so a failure is visible even in the 2000-char tail
+    val errNames = errors.asScala.keys.toSeq.sorted
+      .map("\"" + _ + "\"").mkString("[", ",", "]")
+    println(s"""{"metric":"total","unit":"sec","queries":$slowConc,"queries_seq":$slowSeq,"slowest":$slowest,"errors":$errNames,"value":${num(wall)},"sf":"$sfDir","full":"$fullPath"}""")
     spark.stop()
   }
 }
