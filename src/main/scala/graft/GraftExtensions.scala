@@ -12,6 +12,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(e: SparkSessionExtensions): Unit = {
     e.injectPlannerStrategy(_ => graft.plans.AsOfStrategy)
+    e.injectOptimizerRule(_ => graft.plans.NsTimeFilterPushdown)
     // function registration needs a live session; defer via a
     // check-and-register rule that runs once per session
     e.injectResolutionRule { session =>

@@ -34,6 +34,12 @@ object Tables {
     // identical logical values to DuckDB's TIMESTAMP results.
     spark.conf.set("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
     spark.conf.set("spark.sql.session.timeZone", "UTC")
+    // re-derive native timestamp comparisons from int64-ns predicates so
+    // time-range filters keep skipping parquet row groups (the benign
+    // concurrent-registration race is settled by .distinct; the rule is
+    // a no-op when nothing matches)
+    spark.experimental.extraOptimizations =
+      (spark.experimental.extraOptimizations :+ plans.NsTimeFilterPushdown).distinct
   }
 
   // Memoize per (session, path): a DataFrame is just a plan, but
