@@ -651,8 +651,9 @@ object Pipeline {
     }),
 
     // minhash-only group-overlap estimate (q9K's scale path: per-group
-    // signature = element-wise min; no gram self-join) — hash-specific
-    // estimates → rows-only; accuracy pinned vs exact in Round5OpsSpec
+    // signature = element-wise min; no gram self-join). FULL oracle:
+    // the hash-specific estimates are replayed exactly in DuckDB via
+    // the XxhOracle xxhash64 replica + the same splitmix64 constants
     "q9M_source_overlap_minhash" -> ((s, dir) => {
       Dedup.groupJaccardApprox(T(s, dir)("documents"), "source", "text",
           w = 3, k = 128)
@@ -981,6 +982,9 @@ object Pipeline {
   private val STOP_IN = "('the','a','of','and','to','in','is','it')"
 
   val oracleSql: Map[String, String] = Map(
+    // hash-dependent MinHash estimates, replayed exactly in DuckDB via
+    // the XxhOracle xxhash64(seed=42) replica (generated SQL)
+    "q9M_source_overlap_minhash" -> XxhOracle.q9mSql,
     "q50_dedup_exact" -> """
       WITH dup AS (SELECT * FROM documents UNION ALL SELECT * FROM documents)
       SELECT MIN(doc_id) AS doc_id, COUNT(*) AS n_copies

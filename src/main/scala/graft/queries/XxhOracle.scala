@@ -1,0 +1,165 @@
+package graft.queries
+
+import graft.operators.Dedup
+
+/**
+ * DuckDB-SQL replica of Spark's `xxhash64(seed=42)` — the piece that
+ * lets hash-dependent MinHash queries graduate from rows-only to FULL
+ * oracle checks (q61's HUGEINT-wraparound rolling-hash replay is the
+ * precedent; this generalizes it to the real XXH64 algorithm).
+ *
+ * DuckDB has no Spark-compatible hash function, but it has UBIGINT
+ * (64-bit xor / right-shift are native) and HUGEINT (128-bit signed).
+ * Every mod-2⁶⁴ operation is expressed exactly:
+ *
+ *   - add:   both operands to HUGEINT, sum, `% 2⁶⁴`, back to UBIGINT
+ *   - mul:   32×32 schoolbook split — lo·lo + ((lo·hi + hi·lo mod 2³²)
+ *            · 2³²) mod 2⁶⁴ — keeps every intermediate < 3·2⁶⁴, inside
+ *            HUGEINT range (a naive 64×64 HUGEINT product overflows)
+ *   - rotl:  (x·2ʳ mod 2⁶⁴) xor (x >> 64−r) — disjoint bits, so xor
+ *            is the `|` of the reference algorithm
+ *
+ * Sequential state updates run through `list_reduce` (the accumulator
+ * is a VALUE per step) and CTE stages (columns materialize between
+ * projections), never textual nesting — inlining the 4-round XXH64
+ * merge naively multiplies the expression 8× per level.
+ *
+ * Validated against the reference XXH64 vectors and byte-for-byte
+ * against the Scala kernel ([[graft.functions.ShingleExprs]]) across
+ * edge lengths incl. ≥32-byte stripe inputs and multi-byte UTF-8;
+ * the end-to-end check is the selfcheck/driver DuckDB gate itself,
+ * where q9M's result must hash-match this SQL's.
+ */
+private[queries] object XxhOracle {
+
+  private val M = "18446744073709551616" // 2^64 as a HUGEINT literal
+  // XXH64 primes, unsigned decimal (Scala Longs would print signed)
+  private val P1 = BigInt("11400714785074694791")
+  private val P2 = BigInt("14029467366897019727")
+  private val P3 = BigInt("1609587929392839161")
+  private val P4 = BigInt("9650029242287828579")
+  private val P5 = BigInt("2870177450012600261")
+  private val SEED = BigInt(42)
+  private val M64 = (BigInt(1) << 64) - 1
+
+  private def add(a: String, b: String): String =
+    s"((($a)::HUGEINT + ($b)::HUGEINT) % $M)::UBIGINT"
+
+  /** low-64 bits of a·b via 32-bit limb split (see class doc). */
+  private def mul(a: String, b: String): String =
+    s"((((($a) % 4294967296)::HUGEINT * (($b) % 4294967296)::HUGEINT) + " +
+      s"((((($a) % 4294967296)::HUGEINT * (($b) // 4294967296)::HUGEINT + " +
+      s"(($a) // 4294967296)::HUGEINT * (($b) % 4294967296)::HUGEINT) % 4294967296) " +
+      s"* 4294967296)) % $M)::UBIGINT"
+
+  private def rotl(x: String, r: Int): String =
+    s"xor((((($x)::HUGEINT * ${BigInt(1) << r}) % $M)::UBIGINT), (($x) >> ${64 - r}))"
+
+  private def xor(a: String, b: String): String = s"xor(($a), ($b))"
+
+  /** little-endian 8-byte lane at 0-based byte offset `o` of list `bs`. */
+  private def lane8(o: String): String =
+    (0 until 8).map(j => s"bs[($o)+${j + 1}]::HUGEINT * ${BigInt(1) << (8 * j)}")
+      .mkString("(", " + ", ")::UBIGINT")
+
+  private def lane4(o: String): String =
+    (0 until 4).map(j => s"bs[($o)+${j + 1}]::HUGEINT * ${BigInt(1) << (8 * j)}")
+      .mkString("(", " + ", ")::UBIGINT")
+
+  /** round(acc, lane) = rotl31(acc + lane·P2) · P1 */
+  private def rnd(acc: String, lane: String): String =
+    mul(rotl(add(acc, mul(lane, P2.toString)), 31), P1.toString)
+
+  /** round(0, acc) — the merge-step inner round. */
+  private def rnd0(av: String): String =
+    mul(rotl(mul(av, P2.toString), 31), P1.toString)
+
+  /**
+   * CTE chain computing `x` = xxhash64(s, 42) & 0xFFFFFFFF for every
+   * row of a prior CTE `ss(s)`. Final CTE is `hashed(s, x)`.
+   */
+  def xxhash32MaskedCtes: String = {
+    val a1 = (SEED + P1 + P2) & M64
+    val a2 = (SEED + P2) & M64
+    val a3 = SEED
+    val a4 = (SEED - P1) & M64
+    val stripeLambda =
+      s"(acc, ls) -> [${rnd("acc[1]", "ls[1]")}, ${rnd("acc[2]", "ls[2]")}, " +
+        s"${rnd("acc[3]", "ls[3]")}, ${rnd("acc[4]", "ls[4]")}]"
+    val mergeInit = add(add(rotl("accs[1]", 1), rotl("accs[2]", 7)),
+      add(rotl("accs[3]", 12), rotl("accs[4]", 18)))
+    val mergeLambda = s"(acc, av) -> ${add(mul(xor("acc", rnd0("av")), P1.toString), P4.toString)}"
+    val tail8Lambda = s"(acc, l) -> ${add(mul(rotl(xor("acc", rnd0("l")), 27), P1.toString), P4.toString)}"
+    val tail4Lambda = s"(acc, l) -> ${add(mul(rotl(xor("acc", mul("l", P1.toString)), 23), P2.toString), P3.toString)}"
+    val tail1Lambda = s"(acc, l) -> ${mul(rotl(xor("acc", mul("l", P5.toString)), 11), P1.toString)}"
+    s"""
+    hb AS (SELECT s, octet_length(encode(s))::BIGINT AS n,
+             list_transform(range(octet_length(encode(s))::INT),
+               i -> ('0x' || substr(hex(encode(s)), (2*i+1)::INT, 2))::UBIGINT) AS bs
+           FROM ss),
+    hst AS (SELECT s, n, bs,
+             CASE WHEN n >= 32 THEN
+               list_reduce(
+                 list_prepend([$a1,$a2,$a3,$a4]::UBIGINT[],
+                   list_transform(range((n//32)::INT),
+                     j -> [${lane8("32*j")}, ${lane8("32*j+8")}, ${lane8("32*j+16")}, ${lane8("32*j+24")}])),
+                 $stripeLambda)
+             ELSE NULL END AS accs
+            FROM hb),
+    hm AS (SELECT s, n, bs, (n//32)*32 AS t0,
+             CASE WHEN n >= 32 THEN
+               list_reduce(list_prepend($mergeInit, accs), $mergeLambda)
+             ELSE ${(SEED + P5) & M64}::UBIGINT END AS acc0
+           FROM hst),
+    h8 AS (SELECT s, n, bs, t0 + 8*((n-t0)//8) AS t1,
+             list_reduce(list_prepend(${add("acc0", "n::UBIGINT")},
+               list_transform(range(((n-t0)//8)::INT), j -> ${lane8("t0+8*j")})),
+               $tail8Lambda) AS acc8
+           FROM hm),
+    h4 AS (SELECT s, n, bs, t1 + CASE WHEN n-t1 >= 4 THEN 4 ELSE 0 END AS t2,
+             list_reduce(list_prepend(acc8,
+               CASE WHEN n-t1 >= 4 THEN [${lane4("t1")}] ELSE []::UBIGINT[] END),
+               $tail4Lambda) AS acc4
+           FROM h8),
+    h1 AS (SELECT s,
+             list_reduce(list_prepend(acc4,
+               list_transform(range((n-t2)::INT), j -> bs[(t2+j)+1])),
+               $tail1Lambda) AS accT
+           FROM h4),
+    hav1 AS (SELECT s, ${mul(xor("accT", "accT >> 33"), P2.toString)} AS a1 FROM h1),
+    hav2 AS (SELECT s, ${mul(xor("a1", "a1 >> 29"), P3.toString)} AS a2 FROM hav1),
+    hashed AS (SELECT s, (xor(a2, a2 >> 32) & 4294967295)::BIGINT AS x FROM hav2)"""
+  }
+
+  /**
+   * FULL oracle for q9M: per-source element-wise-min MinHash signature
+   * (k=128, same splitmix64 a/b constants and prime modulus as
+   * [[Dedup.groupJaccardApprox]]), pairwise position-agreement
+   * estimate, zero-estimate pairs dropped. Matches the Spark result
+   * byte-for-byte because the shingle hash is the exact xxhash64
+   * replica above.
+   */
+  def q9mSql: String = {
+    val k = 128
+    val a = Dedup.mixConstants(k, 1, 30)
+    val b = Dedup.mixConstants(k, 2, 32)
+    val constRows = (0 until k).map(i => s"(${i + 1},${a(i)},${b(i)})").mkString(",")
+    s"""
+    WITH consts(i, a, b) AS (VALUES $constRows),
+    tk AS (SELECT source::VARCHAR AS g, regexp_extract_all(text, '\\S+') AS ts FROM documents),
+    sh AS (SELECT DISTINCT g,
+             unnest(list_transform(range(1, len(ts)-1),
+               i -> ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2])) AS s
+           FROM tk WHERE len(ts) >= 3),
+    ss AS (SELECT DISTINCT s FROM sh),
+    ${xxhash32MaskedCtes.trim},
+    gh AS (SELECT DISTINCT sh.g, hashed.x FROM sh JOIN hashed USING (s)),
+    sigs AS (SELECT g, i, min((a * x + b) % ${Dedup.MINHASH_P}) AS m
+             FROM gh CROSS JOIN consts GROUP BY g, i),
+    sigl AS (SELECT g, list(m ORDER BY i) AS sig FROM sigs GROUP BY g),
+    pairs AS (SELECT l.g AS g_a, r.g AS g_b,
+                list_sum(list_transform(range(1, ${k + 1}), i -> (l.sig[i] = r.sig[i])::INT)) / $k.0 AS est_jaccard
+              FROM sigl l JOIN sigl r ON l.g < r.g)
+    SELECT g_a, g_b, est_jaccard FROM pairs WHERE est_jaccard > 0 ORDER BY g_a, g_b"""
+  }
+}
