@@ -516,7 +516,8 @@ object Pipeline {
     }),
 
     // corpus canonicalization: greedy min-id representative per
-    // near-dup pair (hash-dependent pair set → rows-only)
+    // near-dup pair. FULL oracle: the hash-dependent LSH pair set is
+    // replayed exactly in DuckDB (XxhOracle xxhash64 + murmur3 bands)
     "q73_dedup_corpus" -> ((s, dir) => {
       Dedup.dedupCorpus(T(s, dir)("documents"), "doc_id", "text", 0.8)
         .select(col("doc_id"), col("lang"), col("n_chars"))
@@ -982,9 +983,10 @@ object Pipeline {
   private val STOP_IN = "('the','a','of','and','to','in','is','it')"
 
   val oracleSql: Map[String, String] = Map(
-    // hash-dependent MinHash estimates, replayed exactly in DuckDB via
-    // the XxhOracle xxhash64(seed=42) replica (generated SQL)
+    // hash-dependent MinHash queries, replayed exactly in DuckDB via
+    // the XxhOracle xxhash64(seed=42) + murmur3 hash() replicas
     "q9M_source_overlap_minhash" -> XxhOracle.q9mSql,
+    "q73_dedup_corpus" -> XxhOracle.q73Sql,
     "q50_dedup_exact" -> """
       WITH dup AS (SELECT * FROM documents UNION ALL SELECT * FROM documents)
       SELECT MIN(doc_id) AS doc_id, COUNT(*) AS n_copies

@@ -131,6 +131,94 @@ private[queries] object XxhOracle {
     hashed AS (SELECT s, (xor(a2, a2 >> 32) & 4294967295)::BIGINT AS x FROM hav2)"""
   }
 
+  // ---- Spark hash() (Murmur3_x86_32, seed 42) over long columns ----
+  // 32-bit arithmetic over BIGINT; multiplications through HUGEINT.
+  // Spark folds hash(c1..cn) as h = hashLong(cN, ... hashLong(c1, 42)),
+  // each hashLong = mixH1(mixH1(seed, mixK1(lo)), mixK1(hi)) then
+  // fmix(·, 8) — validated against `SELECT hash(...)` ground truth.
+
+  private val M32 = "4294967296"
+
+  private def mul32(a: String, b: String): String =
+    s"((($a)::HUGEINT * ($b)::HUGEINT) % $M32)::BIGINT"
+
+  private def rotl32(x: String, r: Int): String =
+    s"xor(${mul32(x, (1L << r).toString)}, (($x) >> ${32 - r}))"
+
+  private def mixK1(k: String): String =
+    mul32(rotl32(mul32(k, "3432918353"), 15), "461845907") // 0xcc9e2d51, 0x1b873593
+
+  private def mixH1(h: String, k: String): String =
+    s"((${mul32(rotl32(s"xor(($h), ($k))", 13), "5")} + 3864292196) % $M32)::BIGINT" // + 0xe6546b64
+
+  private def fmix(acc: String): String = {
+    val s1 = s"xor(($acc), 8)" // len is always 8 bytes per folded long
+    val s2 = s"xor(($s1), ($s1) >> 16)"
+    val s3 = mul32(s2, "2246822507") // 0x85ebca6b
+    val s4 = s"xor(($s3), ($s3) >> 13)"
+    val s5 = mul32(s4, "3266489909") // 0xc2b2ae35
+    s"xor(($s5), ($s5) >> 16)"
+  }
+
+  /** Murmur step lambda: op = −1 marks the per-long fmix boundary,
+    * any other value is a precomputed mixK1 half. */
+  private def murmurLambda: String =
+    s"(acc, op) -> CASE WHEN op = -1 THEN ${fmix("acc")} ELSE ${mixH1("acc", "op")} END"
+
+  /** Per folded long `l`: its two mixK1 halves plus the fmix marker. */
+  private def k1Pair(l: String): String =
+    s"[${mixK1(s"(($l) % $M32)")}, ${mixK1(s"(($l) // $M32)")}, -1]"
+
+  /** `hash(sig[4j+1], …, sig[4j+4])` — Spark's band-bucket value for
+    * 0-based band `j` over a `sig` list column (LSH banding parity). */
+  private def bandBucket: String =
+    "list_reduce(list_prepend(42::BIGINT, flatten(list_transform(" +
+      s"[sig[4*j+1], sig[4*j+2], sig[4*j+3], sig[4*j+4]], l -> ${k1Pair("l")}))), $murmurLambda)"
+
+  /**
+   * FULL oracle for q73: the ENTIRE MinHash+LSH dedup pipeline —
+   * per-doc signatures (k=64), Spark-hash band buckets (16 bands of
+   * 4), bucket-collision candidates, signature-estimate ≥ 0.4 filter,
+   * exact shingle-set Jaccard ≥ 0.8, greedy min-id-wins anti-join.
+   * Every hash (xxhash64 shingles, murmur band buckets) is replayed
+   * exactly, so even 32-bit bucket collisions agree with Spark.
+   */
+  def q73Sql: String = {
+    val k = 64
+    val a = Dedup.mixConstants(k, 1, 30)
+    val b = Dedup.mixConstants(k, 2, 32)
+    val constRows = (0 until k).map(i => s"(${i + 1},${a(i)},${b(i)})").mkString(",")
+    s"""
+    WITH consts(i, a, b) AS (VALUES $constRows),
+    tk AS (SELECT doc_id, regexp_extract_all(text, '\\S+') AS ts FROM documents),
+    sh AS (SELECT DISTINCT doc_id,
+             unnest(list_transform(range(1, len(ts)-1),
+               i -> ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2])) AS s
+           FROM tk WHERE len(ts) >= 3),
+    ss AS (SELECT DISTINCT s FROM sh),
+    ${xxhash32MaskedCtes.trim},
+    dh AS (SELECT DISTINCT sh.doc_id, hashed.x FROM sh JOIN hashed USING (s)),
+    hsl AS (SELECT doc_id, list(DISTINCT x ORDER BY x) AS hs FROM dh GROUP BY doc_id),
+    sigs AS (SELECT doc_id, i, min((a * x + b) % ${Dedup.MINHASH_P}) AS m
+             FROM dh CROSS JOIN consts GROUP BY doc_id, i),
+    sigl AS (SELECT doc_id, list(m ORDER BY i) AS sig FROM sigs GROUP BY doc_id),
+    bb AS (SELECT doc_id, j, $bandBucket AS bucket
+           FROM sigl CROSS JOIN (SELECT unnest(range(16)) AS j)),
+    cand AS (SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b
+             FROM bb x JOIN bb y ON x.j = y.j AND x.bucket = y.bucket AND x.doc_id < y.doc_id),
+    ver AS (SELECT id_a, id_b FROM cand
+              JOIN sigl sa ON sa.doc_id = cand.id_a
+              JOIN sigl sb ON sb.doc_id = cand.id_b
+              JOIN hsl ha ON ha.doc_id = cand.id_a
+              JOIN hsl hb ON hb.doc_id = cand.id_b
+            WHERE list_sum(list_transform(range(1, ${k + 1}), i -> (sa.sig[i] = sb.sig[i])::INT)) / $k.0 >= 0.4::DOUBLE
+              AND len(list_intersect(ha.hs, hb.hs))::DOUBLE /
+                  (len(ha.hs) + len(hb.hs) - len(list_intersect(ha.hs, hb.hs)))::DOUBLE >= 0.8::DOUBLE)
+    SELECT d.doc_id, d.lang, d.n_chars FROM documents d
+    WHERE d.doc_id NOT IN (SELECT id_b FROM ver)
+    ORDER BY d.doc_id"""
+  }
+
   /**
    * FULL oracle for q9M: per-source element-wise-min MinHash signature
    * (k=128, same splitmix64 a/b constants and prime modulus as
