@@ -39,8 +39,9 @@ object Pipeline {
         .orderBy(col("jaccard").desc, col("id_a"), col("id_b"))
     }),
 
-    // MinHash+LSH near-dup detection at corpus scale (hash-specific →
-    // rows-only check; the est/exact agreement is asserted in tests)
+    // MinHash+LSH near-dup detection at corpus scale. FULL oracle:
+    // the hash-specific pair report is replayed exactly in DuckDB
+    // (XxhOracle xxhash64 shingles + murmur3 band buckets)
     "q52_minhash_lsh" -> ((s, dir) => {
       val d = T(s, dir)("documents")
       Dedup.minhashCandidates(d, "doc_id", "text", shingleWords = 3, k = 64,
@@ -50,7 +51,9 @@ object Pipeline {
     }),
 
     // SimHash near-dup pairs at the radius the 4-band pigeonhole
-    // scheme makes COMPLETE (hamming ≤ 3); hash-specific → rows-only
+    // scheme makes COMPLETE (hamming ≤ 3). FULL oracle: completeness
+    // means the pair set is exactly {hamming ≤ 3}, which XxhOracle
+    // replays brute-force from exact xxhash64 token votes
     "q53_simhash" -> ((s, dir) => {
       val d = T(s, dir)("documents")
       val sigs = Dedup.simhash(d, "doc_id", TextAnalysis.tokens(col("text")))
@@ -663,9 +666,10 @@ object Pipeline {
 
     // incremental dedup: new batch (doc_id >= 250) against the STORED
     // signature table of the historical corpus — (new,new) and
-    // (new,stored) pairs only, stored text never re-read. LSH-bucket-
-    // dependent candidate set → rows-only; the decomposition
-    // (incremental ∪ historical = full batch) is pinned in Round5OpsSpec
+    // (new,stored) pairs only, stored text never re-read. FULL oracle:
+    // the LSH-bucket-dependent candidate set is replayed exactly in
+    // DuckDB (XxhOracle); the decomposition invariant additionally
+    // stays pinned in Round5OpsSpec
     "q9N_dedup_incremental" -> ((s, dir) => {
       val d = T(s, dir)("documents")
       Dedup.minhashCandidatesIncremental(
@@ -677,8 +681,9 @@ object Pipeline {
 
     // FUZZY decontamination: training docs that NEAR-dup an eval doc
     // (cross-corpus-only MinHash candidates; the near-dup complement
-    // of q9D's exact-gram flag). LSH-bucket-dependent → rows-only;
-    // the cross = full − within decomposition is pinned in spec
+    // of q9D's exact-gram flag). FULL oracle: cross-side bucket
+    // collisions replayed exactly in DuckDB (XxhOracle); the
+    // cross = full − within decomposition stays pinned in spec
     "q9O_fuzzy_decontaminate" -> ((s, dir) => {
       val d = T(s, dir)("documents")
       Dedup.crossCandidates(
@@ -983,10 +988,14 @@ object Pipeline {
   private val STOP_IN = "('the','a','of','and','to','in','is','it')"
 
   val oracleSql: Map[String, String] = Map(
-    // hash-dependent MinHash queries, replayed exactly in DuckDB via
-    // the XxhOracle xxhash64(seed=42) + murmur3 hash() replicas
+    // hash-dependent MinHash/SimHash queries, replayed exactly in
+    // DuckDB via the XxhOracle xxhash64(seed=42) + murmur3 replicas
     "q9M_source_overlap_minhash" -> XxhOracle.q9mSql,
     "q73_dedup_corpus" -> XxhOracle.q73Sql,
+    "q52_minhash_lsh" -> XxhOracle.q52Sql,
+    "q53_simhash" -> XxhOracle.q53Sql,
+    "q9N_dedup_incremental" -> XxhOracle.q9nSql,
+    "q9O_fuzzy_decontaminate" -> XxhOracle.q9oSql,
     "q50_dedup_exact" -> """
       WITH dup AS (SELECT * FROM documents UNION ALL SELECT * FROM documents)
       SELECT MIN(doc_id) AS doc_id, COUNT(*) AS n_copies

@@ -75,10 +75,11 @@ private[queries] object XxhOracle {
     mul(rotl(mul(av, P2.toString), 31), P1.toString)
 
   /**
-   * CTE chain computing `x` = xxhash64(s, 42) & 0xFFFFFFFF for every
-   * row of a prior CTE `ss(s)`. Final CTE is `hashed(s, x)`.
+   * CTE chain computing xxhash64(s, 42) for every row of a prior CTE
+   * `ss(s)`. Final CTE is `hashed(s, h64)` (full unsigned 64 bits;
+   * consumers mask to 32 where the kernel does).
    */
-  def xxhash32MaskedCtes: String = {
+  def xxhashCtes: String = {
     val a1 = (SEED + P1 + P2) & M64
     val a2 = (SEED + P2) & M64
     val a3 = SEED
@@ -128,7 +129,7 @@ private[queries] object XxhOracle {
            FROM h4),
     hav1 AS (SELECT s, ${mul(xor("accT", "accT >> 33"), P2.toString)} AS a1 FROM h1),
     hav2 AS (SELECT s, ${mul(xor("a1", "a1 >> 29"), P3.toString)} AS a2 FROM hav1),
-    hashed AS (SELECT s, (xor(a2, a2 >> 32) & 4294967295)::BIGINT AS x FROM hav2)"""
+    hashed AS (SELECT s, xor(a2, a2 >> 32) AS h64 FROM hav2)"""
   }
 
   // ---- Spark hash() (Murmur3_x86_32, seed 42) over long columns ----
@@ -176,14 +177,13 @@ private[queries] object XxhOracle {
       s"[sig[4*j+1], sig[4*j+2], sig[4*j+3], sig[4*j+4]], l -> ${k1Pair("l")}))), $murmurLambda)"
 
   /**
-   * FULL oracle for q73: the ENTIRE MinHash+LSH dedup pipeline —
-   * per-doc signatures (k=64), Spark-hash band buckets (16 bands of
-   * 4), bucket-collision candidates, signature-estimate ≥ 0.4 filter,
-   * exact shingle-set Jaccard ≥ 0.8, greedy min-id-wins anti-join.
-   * Every hash (xxhash64 shingles, murmur band buckets) is replayed
-   * exactly, so even 32-bit bucket collisions agree with Spark.
+   * Shared CTE chain for the MinHash+LSH family (k=64, 16 bands of 4,
+   * matching [[Dedup.minhashCandidates]]' defaults): per-doc sorted
+   * shingle-hash sets (`hsl`), signatures (`sigl`), and Spark-hash
+   * band buckets (`bb`). Each consumer appends its own candidate
+   * condition and verification projection.
    */
-  def q73Sql: String = {
+  private def lshCommonCtes: String = {
     val k = 64
     val a = Dedup.mixConstants(k, 1, 30)
     val b = Dedup.mixConstants(k, 2, 32)
@@ -196,28 +196,98 @@ private[queries] object XxhOracle {
                i -> ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2])) AS s
            FROM tk WHERE len(ts) >= 3),
     ss AS (SELECT DISTINCT s FROM sh),
-    ${xxhash32MaskedCtes.trim},
-    dh AS (SELECT DISTINCT sh.doc_id, hashed.x FROM sh JOIN hashed USING (s)),
+    ${xxhashCtes.trim},
+    dh AS (SELECT DISTINCT sh.doc_id, (hashed.h64 & 4294967295)::BIGINT AS x
+           FROM sh JOIN hashed USING (s)),
     hsl AS (SELECT doc_id, list(DISTINCT x ORDER BY x) AS hs FROM dh GROUP BY doc_id),
     sigs AS (SELECT doc_id, i, min((a * x + b) % ${Dedup.MINHASH_P}) AS m
              FROM dh CROSS JOIN consts GROUP BY doc_id, i),
     sigl AS (SELECT doc_id, list(m ORDER BY i) AS sig FROM sigs GROUP BY doc_id),
     bb AS (SELECT doc_id, j, $bandBucket AS bucket
-           FROM sigl CROSS JOIN (SELECT unnest(range(16)) AS j)),
+           FROM sigl CROSS JOIN (SELECT unnest(range(16)) AS j))"""
+  }
+
+  /** Bucket-collision candidates under `candCond`, verified with the
+    * signature estimate and exact shingle-set Jaccard (the
+    * [[Dedup]] `verifyCandidates` replica), then `select` + `tail`. */
+  private def lshQuery(candCond: String, select: String, tail: String): String =
+    lshCommonCtes + s""",
     cand AS (SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b
-             FROM bb x JOIN bb y ON x.j = y.j AND x.bucket = y.bucket AND x.doc_id < y.doc_id),
-    ver AS (SELECT id_a, id_b FROM cand
+             FROM bb x JOIN bb y ON x.j = y.j AND x.bucket = y.bucket AND $candCond),
+    ver AS (SELECT id_a, id_b,
+              (list_sum(list_transform(range(1, 65), i -> (sa.sig[i] = sb.sig[i])::INT)))::DOUBLE / 64.0::DOUBLE AS est_jaccard,
+              len(list_intersect(ha.hs, hb.hs))::DOUBLE /
+                  (len(ha.hs) + len(hb.hs) - len(list_intersect(ha.hs, hb.hs)))::DOUBLE AS jaccard
+            FROM cand
               JOIN sigl sa ON sa.doc_id = cand.id_a
               JOIN sigl sb ON sb.doc_id = cand.id_b
               JOIN hsl ha ON ha.doc_id = cand.id_a
-              JOIN hsl hb ON hb.doc_id = cand.id_b
-            WHERE list_sum(list_transform(range(1, ${k + 1}), i -> (sa.sig[i] = sb.sig[i])::INT)) / $k.0 >= 0.4::DOUBLE
-              AND len(list_intersect(ha.hs, hb.hs))::DOUBLE /
-                  (len(ha.hs) + len(hb.hs) - len(list_intersect(ha.hs, hb.hs)))::DOUBLE >= 0.8::DOUBLE)
-    SELECT d.doc_id, d.lang, d.n_chars FROM documents d
-    WHERE d.doc_id NOT IN (SELECT id_b FROM ver)
-    ORDER BY d.doc_id"""
-  }
+              JOIN hsl hb ON hb.doc_id = cand.id_b)
+    $select
+    $tail"""
+
+  /**
+   * FULL oracle for q73: the ENTIRE MinHash+LSH dedup pipeline —
+   * bucket-collision candidates, signature-estimate ≥ 0.4 filter,
+   * exact shingle-set Jaccard ≥ 0.8, greedy min-id-wins anti-join.
+   * Every hash (xxhash64 shingles, murmur band buckets) is replayed
+   * exactly, so even 32-bit bucket collisions agree with Spark.
+   */
+  def q73Sql: String = lshQuery(
+    "x.doc_id < y.doc_id",
+    """SELECT d.doc_id, d.lang, d.n_chars FROM documents d
+       WHERE d.doc_id NOT IN (SELECT id_b FROM ver
+         WHERE est_jaccard >= 0.4::DOUBLE AND jaccard >= 0.8::DOUBLE)""",
+    "ORDER BY d.doc_id")
+
+  /** FULL oracle for q52: the near-dup pair report itself — top-50 by
+    * exact Jaccard over the estimate-filtered LSH candidates. */
+  def q52Sql: String = lshQuery(
+    "x.doc_id < y.doc_id",
+    "SELECT id_a, id_b, est_jaccard, jaccard FROM ver WHERE est_jaccard >= 0.4::DOUBLE",
+    "ORDER BY jaccard DESC, id_a, id_b LIMIT 50")
+
+  /** FULL oracle for q9N: incremental dedup — only pairs touching the
+    * new batch (doc_id ≥ 250), exactly
+    * [[Dedup.minhashCandidatesIncremental]]'s (new,new) ∪ (new,stored)
+    * candidate surface. */
+  def q9nSql: String = lshQuery(
+    "x.doc_id < y.doc_id AND (x.doc_id >= 250 OR y.doc_id >= 250)",
+    "SELECT id_a, id_b, est_jaccard, jaccard FROM ver WHERE est_jaccard >= 0.4::DOUBLE",
+    "ORDER BY id_a, id_b")
+
+  /** FULL oracle for q9O: fuzzy decontamination — cross-corpus pairs
+    * only (train side doc_id % 29 ≠ 0 × eval side doc_id % 29 = 0, no
+    * id ordering), exactly [[Dedup.crossCandidates]]' surface. */
+  def q9oSql: String = lshQuery(
+    "x.doc_id % 29 != 0 AND y.doc_id % 29 = 0",
+    "SELECT id_a, id_b, est_jaccard, jaccard FROM ver WHERE est_jaccard >= 0.4::DOUBLE",
+    "ORDER BY id_a, id_b")
+
+  /**
+   * FULL oracle for q53: SimHash near-dup pairs. Per-doc signature =
+   * sign of per-bit ±1 votes of every token occurrence's xxhash64
+   * (strictly-positive vote ⇒ bit set, the kernel's rule). The 4-band
+   * pigeonhole banding is COMPLETE at hamming ≤ 3, so the final pair
+   * set is exactly all pairs at hamming ≤ 3 — brute-force here (the
+   * oracle corpus is small), banded in the engine.
+   */
+  def q53Sql: String = s"""
+    WITH tok AS (SELECT doc_id, unnest(regexp_extract_all(text, '\\S+')) AS s FROM documents),
+    dtok AS (SELECT doc_id, s, count(*) AS cnt FROM tok GROUP BY doc_id, s),
+    ss AS (SELECT DISTINCT s FROM dtok),
+    ${xxhashCtes.trim},
+    votes AS (SELECT doc_id, b, sum(cnt * ((((h64 >> b) & 1)::BIGINT)*2 - 1)) AS v
+              FROM dtok JOIN hashed USING (s)
+              CROSS JOIN (SELECT unnest(range(64)) AS b)
+              GROUP BY doc_id, b),
+    bits AS (SELECT doc_id, list(CASE WHEN v > 0 THEN 1 ELSE 0 END ORDER BY b) AS bv
+             FROM votes GROUP BY doc_id),
+    pairs AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                list_sum(list_transform(range(1, 65), i -> (a.bv[i] != b.bv[i])::INT))::BIGINT AS hamming
+              FROM bits a JOIN bits b ON a.doc_id < b.doc_id)
+    SELECT id_a, id_b, hamming FROM pairs WHERE hamming <= 3
+    ORDER BY hamming, id_a, id_b LIMIT 50"""
 
   /**
    * FULL oracle for q9M: per-source element-wise-min MinHash signature
@@ -240,8 +310,9 @@ private[queries] object XxhOracle {
                i -> ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2])) AS s
            FROM tk WHERE len(ts) >= 3),
     ss AS (SELECT DISTINCT s FROM sh),
-    ${xxhash32MaskedCtes.trim},
-    gh AS (SELECT DISTINCT sh.g, hashed.x FROM sh JOIN hashed USING (s)),
+    ${xxhashCtes.trim},
+    gh AS (SELECT DISTINCT sh.g, (hashed.h64 & 4294967295)::BIGINT AS x
+           FROM sh JOIN hashed USING (s)),
     sigs AS (SELECT g, i, min((a * x + b) % ${Dedup.MINHASH_P}) AS m
              FROM gh CROSS JOIN consts GROUP BY g, i),
     sigl AS (SELECT g, list(m ORDER BY i) AS sig FROM sigs GROUP BY g),
