@@ -364,6 +364,101 @@ object Multimodal {
                         maxBucketSize: Option[Int] = None): DataFrame =
     Dedup.simhashPairs(dHashes(media), maxHamming, maxBucketSize)
 
+  /** Frame-id packing for [[frameFingerprints]]: `simhashPairs` needs
+    * ONE orderable id column, so (video, frame) packs into a long with
+    * the video id in the high bits — all frames of a lower video id
+    * order before any frame of a higher one, which [[videoNearDupPairs]]
+    * relies on to orient its pairs. */
+  private[operators] val FRAME_BITS = 20
+
+  /**
+   * 64-bit gradient-sign fingerprint of one frame's byte signal: the
+   * frame is mean-pooled into 65 equal segments and bit b is the sign
+   * of the (b+1 vs b) segment-mean delta — dHash's gradient idea on a
+   * 1-D signal (the same scheme `Audio.rmsFingerprints` uses on RMS
+   * envelopes). Invariant under any monotone per-byte gain change
+   * that preserves segment-mean ordering, e.g. the `gain ÷ n`
+   * re-encode of a stub transcode.
+   *
+   * Frames shorter than `buckets` bytes drop out (and stay near-dup
+   * singletons): with fewer bytes than buckets the segment means
+   * repeat single bytes, the gradient degenerates to a handful of
+   * set bits, and degenerate fingerprints of UNRELATED frames land
+   * within any hamming radius of each other (measured: 21-byte frames
+   * collapse a corpus to cross-video false pairs).
+   */
+  def frameFingerprints(frames: Dataset[Frame], buckets: Int = 65): DataFrame = {
+    require(buckets >= 2 && buckets <= 65, "need 2..65 buckets (≤ 64 bits)")
+    import frames.sparkSession.implicits._
+    frames.mapPartitions { rows =>
+      rows.flatMap { fr =>
+        val n = fr.frame.length
+        if (n < buckets || fr.frame_idx >= (1 << FRAME_BITS)) None
+        else {
+          val means = new Array[Double](buckets)
+          var b = 0
+          while (b < buckets) {
+            val from = (n.toLong * b / buckets).toInt
+            val until = math.max((n.toLong * (b + 1) / buckets).toInt, from + 1)
+            var sum = 0L
+            var i = from
+            while (i < math.min(until, n)) { sum += (fr.frame(i) & 0xFF); i += 1 }
+            means(b) = sum.toDouble / math.max(math.min(until, n) - from, 1)
+            b += 1
+          }
+          var h = 0L
+          var bit = 0
+          while (bit < buckets - 1) {
+            if (means(bit + 1) > means(bit)) h |= (1L << bit)
+            bit += 1
+          }
+          Some(((fr.doc_id << FRAME_BITS) | fr.frame_idx.toLong, h))
+        }
+      }
+    }.toDF("id", "simhash")
+  }
+
+  /**
+   * Video near-dup pairs on the SAME banded-hamming spine as text
+   * SimHash, image dHash and audio RMS fingerprints — not a fourth
+   * copy of the join. Keyframes (from [[sampleFrames]] or any frame
+   * source) fingerprint map-side; [[Dedup.simhashPairs]] pairs
+   * individual frames with ONE band shuffle (linear in total frames,
+   * never O(videos²) and never comparing payloads); frame pairs then
+   * aggregate per video pair and a pair survives when BOTH videos
+   * have ≥ `minFrameMatchFrac` of their sampled frames matched —
+   * the conservative two-sided coverage rule.
+   *
+   * Output: (id_a, id_b, frame_match_frac) with id_a < id_b
+   * (guaranteed by the high-bits frame-id packing).
+   */
+  def videoNearDupPairs(frames: Dataset[Frame], maxHamming: Int = 3,
+                        minFrameMatchFrac: Double = 0.5,
+                        maxBucketSize: Option[Int] = None): DataFrame = {
+    require(minFrameMatchFrac > 0.0 && minFrameMatchFrac <= 1.0,
+      "minFrameMatchFrac must be in (0, 1]")
+    val fps = frameFingerprints(frames)
+    // shiftright, not `/`: long division in Spark SQL is double division
+    val nFrames = fps.groupBy(shiftright(col("id"), FRAME_BITS).as("vid"))
+      .agg(count(lit(1)).as("n_frames"))
+    val framePairs = Dedup.simhashPairs(fps, maxHamming, maxBucketSize)
+      .select(shiftright(col("id_a"), FRAME_BITS).as("vid_a"),
+        shiftright(col("id_b"), FRAME_BITS).as("vid_b"),
+        col("id_a").as("fid_a"), col("id_b").as("fid_b"))
+      .filter(col("vid_a") =!= col("vid_b"))
+    framePairs
+      .groupBy(col("vid_a"), col("vid_b"))
+      .agg(countDistinct(col("fid_a")).as("m_a"),
+        countDistinct(col("fid_b")).as("m_b"))
+      .join(nFrames.select(col("vid").as("vid_a"), col("n_frames").as("n_a")), "vid_a")
+      .join(nFrames.select(col("vid").as("vid_b"), col("n_frames").as("n_b")), "vid_b")
+      .withColumn("frame_match_frac",
+        least(col("m_a") / col("n_a"), col("m_b") / col("n_b")))
+      .filter(col("frame_match_frac") >= minFrameMatchFrac)
+      .select(col("vid_a").as("id_a"), col("vid_b").as("id_b"),
+        col("frame_match_frac"))
+  }
+
   /**
    * STUB decoder for payloads ImageIO cannot read (audio/video — the
    * container has no media-codec libraries beyond the JDK): metadata

@@ -285,6 +285,54 @@ object Pipeline {
         .orderBy(col("id_a"), col("id_b"))
     }),
 
+    // VIDEO near-dup on the same banded-hamming spine: per-keyframe
+    // gradient-sign fingerprints → frame-level banded pairs (ONE
+    // shuffle, linear in total frames) → two-sided per-video coverage.
+    // Each video v = id/2 gets 8..12 synthetic keyframes of 65
+    // hash-patterned segments (200 vs 40 byte plateaus); the odd-id
+    // twin is the SAME video "re-encoded" at half gain (every byte
+    // ÷2), which preserves every segment-mean ordering exactly, so
+    // twin fingerprints are bit-identical and every frame matches
+    // (frac 1 ≥ 0.9) while cross-seed frames are independent 64-bit
+    // patterns — the pair set oracles as doc_id arithmetic, like qA3.
+    "qAJ_video_neardup" -> ((s, dir) => {
+      import s.implicits._
+      val frames = T(s, dir)("documents").select(col("doc_id")).as[Long]
+        .mapPartitions { ids =>
+          ids.flatMap { id =>
+            val v = id / 2
+            val nF = 8 + (v % 5).toInt
+            (0 until nF).iterator.map { f =>
+              val bytes = new Array[Byte](650)
+              var seg = 0
+              while (seg < 65) {
+                // full splitmix64 finalizer — a single xor-mul round
+                // leaves the low bit nearly periodic in (v+f+seg) and
+                // collapses 2500 frames onto 65 fingerprints (measured)
+                val mix = v * 1000003L + f * 7919L + seg * 104729L
+                var z = (mix ^ (mix >>> 30)) * 0xBF58476D1CE4E5B9L
+                z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+                z ^= z >>> 31
+                val value: Byte = if ((z & 1L) == 0L) 200.toByte else 40.toByte
+                java.util.Arrays.fill(bytes, seg * 10, seg * 10 + 10, value)
+                seg += 1
+              }
+              if (id % 2 == 1) {
+                var i = 0
+                while (i < bytes.length) {
+                  bytes(i) = ((bytes(i) & 0xFF) / 2).toByte; i += 1
+                }
+              }
+              Multimodal.Frame(id, f, bytes)
+            }
+          }
+        }
+      Multimodal.videoNearDupPairs(frames, maxHamming = 3,
+          minFrameMatchFrac = 0.9)
+        .select(col("id_a"), col("id_b"))
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+
     // media → embedding → ANN, END-TO-END: textured twin images (base
     // at even ids, area-thumbnail at odd) are decoded, area-pooled to
     // 4×4 luminance features, and every doc's nearest neighbour found
@@ -1353,6 +1401,12 @@ object Pipeline {
                                           ELSE a.doc_id - 1 END
       ORDER BY id""",
     "qA3_image_neardup" -> """
+      SELECT CAST(a.doc_id AS BIGINT) AS id_a,
+             CAST(b.doc_id AS BIGINT) AS id_b
+      FROM documents a JOIN documents b ON b.doc_id = a.doc_id + 1
+      WHERE a.doc_id % 2 = 0
+      ORDER BY id_a, id_b""",
+    "qAJ_video_neardup" -> """
       SELECT CAST(a.doc_id AS BIGINT) AS id_a,
              CAST(b.doc_id AS BIGINT) AS id_b
       FROM documents a JOIN documents b ON b.doc_id = a.doc_id + 1
