@@ -32,24 +32,54 @@ object StreamingImageDedup {
   def nearDupCandidates(media: Dataset[Multimodal.MediaRow],
                         maxHamming: Int = 3,
                         maxPerBucket: Option[Int] = None): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    // stateless stage: decode + hash — undecodable payloads drop out
+    // (no signature, stay singletons); only (id, hash) longs flow on
+    candidatesFromSignatures(media.mapPartitions { rows =>
+      rows.flatMap(r => Multimodal.dHash(r.payload).iterator.map((r.doc_id, _)))
+    }, maxHamming, maxPerBucket)
+  }
+
+  /**
+   * Streaming VIDEO keyframe candidates on the same spine: frames
+   * fingerprint statelessly ([[Multimodal.frameFingerprints]], frame
+   * bytes never reach the state store), then the shared banded state
+   * join pairs individual frames. Ids are the composite
+   * (video << FRAME_BITS | frame) packing, so the per-video
+   * aggregation of [[Multimodal.videoNearDupPairs]] applies downstream
+   * unchanged.
+   */
+  def videoFrameCandidates(frames: Dataset[Multimodal.Frame],
+                           maxHamming: Int = 3,
+                           maxPerBucket: Option[Int] = None): DataFrame = {
+    val spark = frames.sparkSession
+    import spark.implicits._
+    candidatesFromSignatures(
+      Multimodal.frameFingerprints(frames).as[(Long, Long)],
+      maxHamming, maxPerBucket)
+  }
+
+  /**
+   * The shared machinery: banded-hamming candidate detection over ANY
+   * streaming (id, 64-bit signature) dataset — the streaming face of
+   * `Dedup.simhashPairs`' pigeonhole banding, one state operator,
+   * state = signatures only.
+   */
+  def candidatesFromSignatures(sigs: Dataset[(Long, Long)],
+                               maxHamming: Int = 3,
+                               maxPerBucket: Option[Int] = None): DataFrame = {
     require(maxHamming >= 0 && maxHamming < 64,
       "maxHamming must be in [0, 63]")
-    val spark = media.sparkSession
+    val spark = sigs.sparkSession
     import spark.implicits._
     val bands = maxHamming + 1
     val bound = (0 to bands).map(j => j * 64 / bands)
-    // stateless stage: decode + hash + band — undecodable payloads
-    // drop out (no signature, stay singletons), and only (id, hash,
-    // band, bucket) longs flow to the state operator
-    val banded = media.mapPartitions { rows =>
-      rows.flatMap { r =>
-        Multimodal.dHash(r.payload).iterator.flatMap { h =>
-          (0 until bands).iterator.map { j =>
-            val w = bound(j + 1) - bound(j)
-            val mask = if (w == 64) -1L else (1L << w) - 1
-            (r.doc_id, h, j, (h >>> bound(j)) & mask)
-          }
-        }
+    val banded = sigs.flatMap { case (id, h) =>
+      (0 until bands).iterator.map { j =>
+        val w = bound(j + 1) - bound(j)
+        val mask = if (w == 64) -1L else (1L << w) - 1
+        (id, h, j, (h >>> bound(j)) & mask)
       }
     }
     val radius = maxHamming

@@ -189,6 +189,54 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming video frame candidates equal the batch banded join") {
+    import spark.implicits._
+    import graft.operators.{Dedup, Multimodal}
+    import graft.streaming.StreamingImageDedup
+    // twin videos (even id = base, odd id = half-gain re-encode) as
+    // explicit frames, split across two files so pairs must form
+    // across micro-batch boundaries through the state store
+    def frame(v: Long, f: Int, gainDiv: Int): Multimodal.Frame = {
+      val b = new Array[Byte](650)
+      var i = 0
+      while (i < b.length) {
+        val mix = v * 1000003L + f * 7919L + i * 104729L
+        var z = (mix ^ (mix >>> 30)) * 0xBF58476D1CE4E5B9L
+        z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+        b(i) = ((if (((z ^ (z >>> 31)) & 1L) == 0L) 200 else 40) / gainDiv).toByte
+        i += 1
+      }
+      Multimodal.Frame(if (gainDiv == 1) 2 * v else 2 * v + 1, f, b)
+    }
+    val rows = (0L until 20L).flatMap(v =>
+      (0 until 6).flatMap(f => Seq(frame(v, f, 1), frame(v, f, 2))))
+    val d = java.nio.file.Files.createTempDirectory(
+      new java.io.File("target").toPath.toAbsolutePath, "video-stream")
+    val (first, second) = rows.splitAt(rows.size / 2)
+    first.toDS().write.parquet(d.resolve("batch0").toString)
+    second.toDS().write.parquet(d.resolve("batch1").toString)
+    val batch = rows.toDS()
+    val stream = spark.readStream.schema(batch.schema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(d.toString + "/*")
+      .as[Multimodal.Frame]
+    val q = StreamingImageDedup.videoFrameCandidates(stream, maxHamming = 3)
+      .writeStream.format("memory").queryName("stream_videodedup")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      val streamed = spark.table("stream_videodedup")
+        .select("id_a", "id_b").distinct()
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val want = Dedup.simhashPairs(
+          Multimodal.frameFingerprints(batch), maxHamming = 3)
+        .select("id_a", "id_b")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(streamed == want)
+      assert(streamed.nonEmpty, "planted twin frames must pair")
+    } finally q.stop()
+  }
+
   test("stateful streaming dedup emits exactly one row per fingerprint") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
