@@ -68,18 +68,24 @@ object Bench {
     // A query that throws must never masquerade as a fast success in the
     // committed record (round 7: 16 analysis-broken queries printed as
     // 0.002 s "passes") — every throw lands in `errors` and the query is
-    // EXCLUDED from queries/queries_seq/value.
-    val errors = new java.util.concurrent.ConcurrentHashMap[String, String]()
-    def recordError(name: String, t: Throwable): Unit =
-      errors.put(name, (t.getClass.getSimpleName + ": " +
-        String.valueOf(t.getMessage)).replaceAll("[\"\\\\\\s]+", " ").take(200))
+    // EXCLUDED from queries/queries_seq/value. Warmup failures are kept
+    // SEPARATE: a later timed success clears only the warmup entry, never
+    // a failure from another timed pass (a seq-pass throw stays visible
+    // even if the conc pass then succeeds — that's a flake worth seeing).
+    val warmupErrors = new java.util.concurrent.ConcurrentHashMap[String, String]()
+    val timedErrors = new java.util.concurrent.ConcurrentHashMap[String, String]()
+    def errMsg(t: Throwable): String =
+      (t.getClass.getSimpleName + ": " +
+        String.valueOf(t.getMessage)).replaceAll("[\"\\\\\\s]+", " ").take(200)
     // untimed warmup ITERATION over the whole workload: JIT + codegen
     // caches + parquet footers, and q72's memoized IVF index build (an
     // index is an OFFLINE artifact — timed runs measure search, not
     // build). Without a full pass, whichever timed pass runs first
     // absorbs per-query codegen compilation and reads artificially slow.
     names.foreach { case (name, fn) =>
-      try consume(fn(spark, sfDir)) catch { case t: Throwable => recordError(name, t) }
+      try consume(fn(spark, sfDir)) catch {
+        case t: Throwable => warmupErrors.put(name, errMsg(t))
+      }
     }
     /** Elapsed seconds, or None (+ errors entry) when the query threw. */
     def timed(name: String,
@@ -87,9 +93,9 @@ object Bench {
       val q0 = System.nanoTime()
       try {
         consume(fn(spark, sfDir))
-        errors.remove(name) // a warmup-only transient doesn't flag the query
+        warmupErrors.remove(name) // warmup-only transient: unflag
         Some((System.nanoTime() - q0) / 1e9)
-      } catch { case t: Throwable => recordError(name, t); None }
+      } catch { case t: Throwable => timedErrors.put(name, errMsg(t)); None }
     }
     // 3-decimal (ms) resolution keeps the one-line record compact: the
     // driver stores only the LAST 2000 chars of output, so every byte
@@ -155,10 +161,11 @@ object Bench {
     val slowestRows = (if (seqResults.nonEmpty) seqResults else concResults)
       .sortBy(-_._2).take(12)
     val slowest = json(slowestRows)
-    // recordError sanitized values (no quotes/backslashes/newlines), so
-    // direct embedding is JSON-safe
+    // errMsg sanitized values (no quotes/backslashes/newlines), so
+    // direct embedding is JSON-safe; timed failures win over warmup ones
     import scala.jdk.CollectionConverters._
-    val errJson = errors.asScala.toSeq.sortBy(_._1)
+    val errors = warmupErrors.asScala.toMap ++ timedErrors.asScala.toMap
+    val errJson = errors.toSeq.sortBy(_._1)
       .map { case (k, v) => "\"" + k + "\":\"" + v + "\"" }.mkString("{", ",", "}")
     val fullRecord =
       s"""{"metric":"total","unit":"sec","queries":$concJson,"queries_seq":$seqJson,"slowest":$slowest,"errors":$errJson,"value":${num(wall)},"sf":"$sfDir"}"""
@@ -181,7 +188,7 @@ object Bench {
     val slowConc = json(concResults.sortBy(-_._2).take(12))
     // compact line carries only the error NAMES (messages live in the
     // full record) so a failure is visible even in the 2000-char tail
-    val errNames = errors.asScala.keys.toSeq.sorted
+    val errNames = errors.keys.toSeq.sorted
       .map("\"" + _ + "\"").mkString("[", ",", "]")
     println(s"""{"metric":"total","unit":"sec","queries":$slowConc,"queries_seq":$slowSeq,"slowest":$slowest,"errors":$errNames,"value":${num(wall)},"sf":"$sfDir","full":"$fullPath"}""")
     spark.stop()

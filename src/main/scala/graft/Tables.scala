@@ -37,7 +37,11 @@ object Tables {
     // re-derive native timestamp comparisons from int64-ns predicates so
     // time-range filters keep skipping parquet row groups (the benign
     // concurrent-registration race is settled by .distinct; the rule is
-    // a no-op when nothing matches)
+    // a no-op when nothing matches). A GraftExtensions session also
+    // injects the rule into the main optimizer batch — there the second
+    // (extraOptimizations) run finds every pattern already rewritten and
+    // traverses once for nothing; accepted, because neither registration
+    // point can see the other and missing BOTH would cost full scans.
     spark.experimental.extraOptimizations =
       (spark.experimental.extraOptimizations :+ plans.NsTimeFilterPushdown).distinct
   }
@@ -62,6 +66,12 @@ object Tables {
    * (wall-clock) and are converted with exact integer math —
    * `unix_micros(ts) * 1000`. The NTZ→LTZ cast is lossless because
    * the session time zone is pinned to UTC in [[configure]].
+   *
+   * Range note: int64 ns spans 1677–2262 — the reference engine's own
+   * contract limit (its `time` column is int64 epoch-ns). A µs file
+   * can physically carry timestamps beyond that; they would wrap in
+   * the conversion, exactly as they would overflow the reference.
+   * Lake data is in-range by contract; no guard is added.
    */
   private[graft] def normalizeTs(df: DataFrame): DataFrame = {
     import org.apache.spark.sql.types.{TimestampNTZType, TimestampType}

@@ -171,14 +171,22 @@ object Dedup {
   // per-pair collision probability J instead of 1-(1-J^r)^b (measured:
   // recall 0.82 at J=0.8 instead of the ~0.9998 banding predicts).
   private[graft] val MINHASH_P = 4294967311L // smallest prime > 2^32
+  /** The splitmix64 finalizer — the ONE shared bit-mixer behind the
+    * minhash constants and every planted-fixture pattern (qAJ video
+    * frames, spec fixtures). A single xor-mul round is NOT enough: its
+    * low bit stays nearly periodic in the input (measured: collapsed
+    * 2500 video frames onto 65 fingerprints). */
+  private[graft] def splitmix64(x: Long): Long = {
+    var z = (x ^ (x >>> 30)) * 0xBF58476D1CE4E5B9L
+    z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+    z ^ (z >>> 31)
+  }
+
   private[graft] def mixConstants(k: Int, stream: Int, bits: Int): Seq[Long] = {
     var x = 42L + stream * 0x9E3779B97F4A7C15L
     Seq.fill(k) {
       x += 0x9E3779B97F4A7C15L
-      var z = x
-      z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
-      z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
-      ((z ^ (z >>> 31)) >>> (64 - bits)) | 1L
+      (splitmix64(x) >>> (64 - bits)) | 1L
     }
   }
 

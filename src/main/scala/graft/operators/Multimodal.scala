@@ -438,9 +438,12 @@ object Multimodal {
     require(minFrameMatchFrac > 0.0 && minFrameMatchFrac <= 1.0,
       "minFrameMatchFrac must be in (0, 1]")
     val fps = frameFingerprints(frames)
-    // shiftright, not `/`: long division in Spark SQL is double division
-    val nFrames = fps.groupBy(shiftright(col("id"), FRAME_BITS).as("vid"))
-      .agg(count(lit(1)).as("n_frames"))
+    // coverage denominators count SAMPLED frames, not
+    // fingerprint-surviving ones — otherwise a video whose frames
+    // mostly drop (sub-bucket stubs) could pair on a 1-of-1 surviving
+    // fraction, violating the documented "of their sampled frames"
+    val nFrames = frames.toDF()
+      .groupBy(col("doc_id").as("vid")).agg(count(lit(1)).as("n_frames"))
     val framePairs = Dedup.simhashPairs(fps, maxHamming, maxBucketSize)
       .select(shiftright(col("id_a"), FRAME_BITS).as("vid_a"),
         shiftright(col("id_b"), FRAME_BITS).as("vid_b"),

@@ -90,9 +90,13 @@ object NsTimeFilterPushdown extends Rule[LogicalPlan] {
       LessThan(usLit(a, floorUs(l)), a)
     case LessThanOrEqual(Literal(l: Long, LongType), NsOfTs(a)) =>
       LessThanOrEqual(usLit(a, ceilUs(l)), a)
-    case EqualTo(NsOfTs(a), Literal(l: Long, LongType)) =>
-      if (l % 1000L == 0L) EqualTo(a, usLit(a, l / 1000L)) else Literal.FalseLiteral
-    case EqualTo(Literal(l: Long, LongType), NsOfTs(a)) =>
-      if (l % 1000L == 0L) EqualTo(usLit(a, l / 1000L), a) else Literal.FalseLiteral
+    // equality only when the bound is µs-representable; a non-aligned
+    // bound is NOT rewritten to `false` — that would flip NULL inputs
+    // from NULL to false (visible under negation or in projections).
+    // The unrewritten expression stays correct, it just doesn't push.
+    case EqualTo(NsOfTs(a), Literal(l: Long, LongType)) if l % 1000L == 0L =>
+      EqualTo(a, usLit(a, l / 1000L))
+    case EqualTo(Literal(l: Long, LongType), NsOfTs(a)) if l % 1000L == 0L =>
+      EqualTo(usLit(a, l / 1000L), a)
   }
 }

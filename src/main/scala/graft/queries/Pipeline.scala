@@ -306,13 +306,10 @@ object Pipeline {
               val bytes = new Array[Byte](650)
               var seg = 0
               while (seg < 65) {
-                // full splitmix64 finalizer — a single xor-mul round
-                // leaves the low bit nearly periodic in (v+f+seg) and
-                // collapses 2500 frames onto 65 fingerprints (measured)
-                val mix = v * 1000003L + f * 7919L + seg * 104729L
-                var z = (mix ^ (mix >>> 30)) * 0xBF58476D1CE4E5B9L
-                z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
-                z ^= z >>> 31
+                // full splitmix64 finalizer (shared helper) — a single
+                // xor-mul round leaves the low bit nearly periodic in
+                // (v+f+seg) and collapses the fixture's fingerprints
+                val z = Dedup.splitmix64(v * 1000003L + f * 7919L + seg * 104729L)
                 val value: Byte = if ((z & 1L) == 0L) 200.toByte else 40.toByte
                 java.util.Arrays.fill(bytes, seg * 10, seg * 10 + 10, value)
                 seg += 1

@@ -31,7 +31,20 @@ object EventStream {
     * byte-for-byte whatever the lake's current encoding. */
   def readEvents(spark: SparkSession, dir: String, schema: StructType): DataFrame = {
     graft.Tables.configure(spark)
-    val physical = scala.util.Try(spark.read.parquet(dir).schema).getOrElse(schema)
+    // `schema` is the LOGICAL contract (full events schema, ts int64
+    // ns), used only when the directory has no files yet to probe —
+    // it is NOT a projection hook (prune downstream instead). If µs
+    // files later land in a dir that probed empty, the stream reads
+    // them through the logical schema and fails loudly per batch; the
+    // warn below makes the why findable.
+    val physical = scala.util.Try(spark.read.parquet(dir).schema).getOrElse {
+      org.slf4j.LoggerFactory.getLogger(EventStream.getClass).warn(
+        s"readEvents: no readable files under $dir at stream start; " +
+          "falling back to the supplied logical schema — if files with a " +
+          "timestamp-annotated ts arrive later, restart the stream so the " +
+          "physical schema can be probed")
+      schema
+    }
     graft.Tables.normalizeTs(spark.readStream.schema(physical).parquet(dir))
       .withColumn("event_time", timestamp_micros(expr("ts div 1000")))
   }

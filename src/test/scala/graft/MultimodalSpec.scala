@@ -214,11 +214,8 @@ class MultimodalSpec extends AnyFunSuite {
       val b = new Array[Byte](100000)
       var i = 0
       while (i < b.length) {
-        val mix = seed * 1000003L + i * 104729L
-        var z = (mix ^ (mix >>> 30)) * 0xBF58476D1CE4E5B9L
-        z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
-        val v = if (((z ^ (z >>> 31)) & 1L) == 0L) 200 else 40
-        b(i) = (v / gainDiv).toByte
+        val z = graft.operators.Dedup.splitmix64(seed * 1000003L + i * 104729L)
+        b(i) = ((if ((z & 1L) == 0L) 200 else 40) / gainDiv).toByte
         i += 1
       }
       b

@@ -200,10 +200,8 @@ class StreamingSpec extends AnyFunSuite {
       val b = new Array[Byte](650)
       var i = 0
       while (i < b.length) {
-        val mix = v * 1000003L + f * 7919L + i * 104729L
-        var z = (mix ^ (mix >>> 30)) * 0xBF58476D1CE4E5B9L
-        z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
-        b(i) = ((if (((z ^ (z >>> 31)) & 1L) == 0L) 200 else 40) / gainDiv).toByte
+        val z = Dedup.splitmix64(v * 1000003L + f * 7919L + i * 104729L)
+        b(i) = ((if ((z & 1L) == 0L) 200 else 40) / gainDiv).toByte
         i += 1
       }
       Multimodal.Frame(if (gainDiv == 1) 2 * v else 2 * v + 1, f, b)

@@ -31,9 +31,13 @@ class TsEncodingSpec extends AnyFunSuite {
     java.nio.file.Files.createTempDirectory(
       new java.io.File("target").toPath.toAbsolutePath, prefix)
 
-  /** Baseline rows: the real lake file, already normalized by Tables. */
+  /** Baseline rows: the real lake file, normalized by Tables, then
+    * truncated to µs-aligned ns ONCE — the µs encodings cannot carry
+    * sub-µs digits, and the canary tests ENCODING equivalence, not
+    * resolution (a future sub-µs lake must not false-alarm here). */
   private lazy val base: DataFrame =
     Tables.load(spark, "/root/testdata/sf0.001", "events")
+      .withColumn("ts", expr("ts - pmod(ts, 1000L)"))
 
   // each encoding lives in its own dir as <dir>/events.parquet so the
   // unmodified Tables.load path (cache, configure, normalizeTs) is on trial

@@ -44,6 +44,20 @@ class TsPushdownSpec extends AnyFunSuite {
     }
   }
 
+  test("non-aligned equality keeps NULL semantics (never rewritten to false)") {
+    import spark.implicits._
+    // a NULL ts must stay NULL through `ts === <non-µs-aligned ns>`:
+    // a false-literal rewrite would flip NOT(NULL)=NULL (row excluded)
+    // into NOT(false)=true (row wrongly returned)
+    val df = Tables.normalizeTs(Seq(
+      Some(java.sql.Timestamp.from(java.time.Instant.ofEpochSecond(1704844800L))),
+      None).toDF("ts"))
+    val nonAligned = baseNs + 1 // not µs-representable
+    assert(df.filter(!(col("ts") === nonAligned)).count() == 1)
+    val flags = df.select((col("ts") === nonAligned).as("f")).collect()
+    assert(flags.count(_.isNullAt(0)) == 1, "NULL input must yield NULL, not false")
+  }
+
   test("rewrite preserves exact ns semantics at non-aligned bounds") {
     // oracle: the same predicate evaluated on the raw ns longs
     def expected(p: Long => Boolean): Set[Long] = tsNs.filter(p).toSet
