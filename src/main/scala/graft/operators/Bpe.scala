@@ -119,6 +119,61 @@ object Bpe {
       .toDF("rank", "lft", "rgt", "pair_count")
   }
 
+  // Trained merge lists memoized per (cacheKey, merges) — a tokenizer
+  // is an OFFLINE artifact (the IvfIndex.buildCached precedent): encode
+  // queries pay encode cost, not training cost. qAH measures training
+  // itself and deliberately bypasses this cache.
+  private val mergeCache =
+    new java.util.concurrent.ConcurrentHashMap[(String, Int), Seq[(String, String)]]()
+
+  /** [[learnMerges]] collected to its rank-ordered (lft, rgt) list,
+    * memoized per JVM under `cacheKey` (use the lake dir). */
+  def learnMergesCached(docs: DataFrame, textCol: String, merges: Int,
+                        cacheKey: String): Seq[(String, String)] =
+    mergeCache.computeIfAbsent((cacheKey, merges), { _ =>
+      learnMerges(docs, textCol, merges).orderBy("rank")
+        .collect().map(r => (r.getString(1), r.getString(2))).toSeq
+    })
+
+  /**
+   * Tokenizer APPLICATION — encode the corpus with a trained merge
+   * list and count BPE tokens per document (the budget unit of the
+   * packing operators; [[TextAnalysis.bpeTokenCount]] is the regex
+   * heuristic, this is the real trained tokenizer).
+   *
+   * Encode semantics match training exactly: per word, start from
+   * [[charSymbols]] and apply every merge in RANK order with the
+   * same greedy left-to-right [[applyMerge]] — so a word's encoding
+   * equals its end-of-training vocabulary state.
+   *
+   * Scale shape: the corpus reduces to (doc, word, n_occ) with one
+   * hash-agg shuffle; the VOCABULARY (distinct words) is encoded once
+   * map-side with the merge list riding the closure (vocab-scale
+   * work, O(merges · |word|) per distinct word — the classic rank-
+   * scan; a priority-queue encoder is the constant-factor upgrade
+   * when merges reach real-tokenizer size); per-doc counts come from
+   * a broadcast-able vocab join + weighted sum. The corpus text is
+   * read exactly once.
+   */
+  def encodeTokenCounts(docs: DataFrame, idCol: String, textCol: String,
+                        merges: Seq[(String, String)]): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val perWord = docs
+      .select(col(idCol).as("id"), explode(split(col(textCol), "\\s+")).as("w"))
+      .filter(length(col("w")) > 0)
+      .groupBy("id", "w").agg(count(lit(1)).as("n_occ"))
+    val wordToks = perWord.select("w").distinct().as[String]
+      .map { w =>
+        var syms = charSymbols(w)
+        merges.foreach { case (l, r) => syms = applyMerge(syms, l, r) }
+        (w, syms.length.toLong)
+      }.toDF("w", "n_toks")
+    perWord.join(wordToks, "w")
+      .groupBy(col("id").as(idCol))
+      .agg(sum(col("n_occ") * col("n_toks")).as("n_bpe_tokens"))
+  }
+
   /** SQL oracle text for [[learnMerges]] — `merges` scripted rounds
     * of (pair-count, top-1, greedy apply) as chained CTEs over the
     * `documents` view. The word state is a DECORATED symbol string
@@ -131,7 +186,29 @@ object Bpe {
     * referenced twice (next round's pair count + next round's apply),
     * and inlining would double the `documents` scan per round —
     * 2^merges scans by the last round. */
-  def oracleSql(merges: Int): String = {
+  def oracleSql(merges: Int): String =
+    mergeChainCtes(merges) +
+      (1 to merges).map(i => s"SELECT * FROM b$i")
+        .mkString("\n      ", "\n      UNION ALL ", "\n      ORDER BY rank")
+
+  /** Encode oracle: the SAME scripted merge chain, then the final
+    * per-word states (`w<merges>`) become the word→token-count table
+    * — the original word is recovered by stripping the decoration
+    * spaces and the [[Eow]] suffix — and per-doc counts are the
+    * occurrence-weighted sum, mirroring [[encodeTokenCounts]]. */
+  def encodeOracleSql(merges: Int): String =
+    mergeChainCtes(merges) + s""",
+      docw AS (SELECT doc_id, unnest(regexp_extract_all(text, '\\S+')) AS w
+               FROM documents),
+      wtok AS (SELECT left(replace(state, ' ', ''),
+                          len(replace(state, ' ', '')) - ${Eow.length}) AS w,
+                      len(string_split(trim(state), '  '))::BIGINT AS n_toks
+               FROM w$merges)
+      SELECT d.doc_id, sum(n_toks)::BIGINT AS n_bpe_tokens
+      FROM docw d JOIN wtok USING (w)
+      GROUP BY 1 ORDER BY 1"""
+
+  private def mergeChainCtes(merges: Int): String = {
     val sb = new StringBuilder
     sb ++= s"""
       WITH w0 AS MATERIALIZED (
@@ -157,8 +234,6 @@ object Bpe {
                        ' ' || b.lft || b.rgt || ' ') AS state, cnt
         FROM w${i - 1}, b$i b)"""
     }
-    sb ++= (1 to merges).map(i => s"SELECT * FROM b$i")
-      .mkString("\n      ", "\n      UNION ALL ", "\n      ORDER BY rank")
     sb.result()
   }
 }

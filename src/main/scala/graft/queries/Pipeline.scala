@@ -258,6 +258,18 @@ object Pipeline {
       Bpe.learnMerges(T(s, dir)("documents"), "text", merges = 20)
         .orderBy(col("rank"))),
 
+    // BPE tokenizer APPLICATION: encode the corpus with the trained
+    // 20-merge vocabulary (memoized per lake — a tokenizer is an
+    // offline artifact; qAH measures training itself) and count real
+    // BPE tokens per doc. The oracle reuses the scripted merge-chain
+    // CTEs and reads token counts off the final per-word states.
+    "qAK_bpe_encode" -> ((s, dir) => {
+      val d = T(s, dir)("documents")
+      Bpe.encodeTokenCounts(d, "doc_id", "text",
+          Bpe.learnMergesCached(d, "text", merges = 20, cacheKey = dir))
+        .orderBy(col("doc_id"))
+    }),
+
     // perceptual AUDIO near-dup END-TO-END (the audio twin of qA3):
     // per doc pair (2s, 2s+1) a seed-keyed 65-segment envelope WAV and
     // its resampled (half rate, half samples) + gain-shifted (/2)
@@ -1416,6 +1428,7 @@ object Pipeline {
       WHERE a.doc_id % 2 = 0
       ORDER BY id_a, id_b""",
     "qAH_bpe_train" -> Bpe.oracleSql(20),
+    "qAK_bpe_encode" -> Bpe.encodeOracleSql(20),
     "q61_fingerprint_rolling" -> s"""
       WITH c AS (
         SELECT doc_id,

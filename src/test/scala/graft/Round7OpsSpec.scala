@@ -84,6 +84,29 @@ class Round7OpsSpec extends AnyFunSuite {
     assert(out == Seq((1, "a", "b", 1L), (2, "ab", "</w>", 1L)))
   }
 
+  test("bpe encode: rank-ordered apply matches hand-computed token counts") {
+    // same corpus as the training test; after merges (a,a), (a,b),
+    // (ab,</w>):
+    //   aaab: [a,a,a,b,</w>] → (a,a): [aa,a,b,</w>]
+    //         → (a,b): [aa,ab,</w>] → (ab,</w>): [aa,ab</w>] = 2 tokens
+    //   ab:   [a,b,</w>] → (a,b): [ab,</w>] → (ab,</w>): [ab</w>] = 1
+    // doc "aaab aaab" = 4 tokens, doc "ab" = 1
+    val docs = Seq((0L, "aaab aaab"), (1L, "ab")).toDF("doc_id", "text")
+    val merges = Seq(("a", "a"), ("a", "b"), ("ab", Bpe.Eow))
+    val counts = Bpe.encodeTokenCounts(docs, "doc_id", "text", merges)
+      .as[(Long, Long)].collect().sortBy(_._1).toSeq
+    assert(counts == Seq((0L, 4L), (1L, 1L)))
+    // rank ORDER matters: "aab" = [a,a,b,</w>] under (a,a) then (aa,b)
+    // merges twice → [aab,</w>] = 2 tokens; under (aa,b) then (a,a)
+    // the (aa,b) pass sees no "aa" symbol yet → only (a,a) applies,
+    // [aa,b,</w>] = 3 tokens
+    val w = Seq((0L, "aab")).toDF("doc_id", "text")
+    assert(Bpe.encodeTokenCounts(w, "doc_id", "text",
+      Seq(("a", "a"), ("aa", "b"))).as[(Long, Long)].head()._2 == 2L)
+    assert(Bpe.encodeTokenCounts(w, "doc_id", "text",
+      Seq(("aa", "b"), ("a", "a"))).as[(Long, Long)].head()._2 == 3L)
+  }
+
   test("bpe: symbols are code points, not Java chars") {
     // U+1F600 is a surrogate pair in UTF-16 but ONE symbol
     val syms = Bpe.charSymbols("a😀b")
