@@ -46,13 +46,19 @@ class Engine(val spark: SparkSession, val catalog: CatalogBackend,
     val paths = catalog.prunedPaths(db, table, range)
     if (paths.nonEmpty) {
       // union_by_name=true analog: schema-evolving multi-file scan with
-      // DuckDB-style type widening (Tables.readEvolving)
-      Tables.readEvolving(spark, paths)
+      // DuckDB-style type widening (Tables.readEvolving). A FOREIGN
+      // table whose `time` column is physically timestamp-annotated is
+      // normalized to the int64-ns contract here (same conversion as
+      // the events `ts` drift fix) so the rewritten epoch-ns
+      // comparisons analyze; NsTimeFilterPushdown then restores the
+      // parquet pushdown for the range predicate.
+      Tables.normalizeTs(Tables.readEvolving(spark, paths), timeCol)
     } else {
       val all = catalog.prunedPaths(db, table, None)
       if (all.isEmpty) spark.emptyDataFrame
       else { // empty result with the table's real schema (quirk §2.3-6 fix)
-        val schema = Tables.readEvolving(spark, all).schema
+        val schema = Tables.normalizeTs(
+          Tables.readEvolving(spark, all), timeCol).schema
         spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
       }
     }

@@ -73,12 +73,12 @@ object Tables {
    * the conversion, exactly as they would overflow the reference.
    * Lake data is in-range by contract; no guard is added.
    */
-  private[graft] def normalizeTs(df: DataFrame): DataFrame = {
+  private[graft] def normalizeTs(df: DataFrame, colName: String = "ts"): DataFrame = {
     import org.apache.spark.sql.types.{TimestampNTZType, TimestampType}
     import org.apache.spark.sql.functions.{col, unix_micros}
-    df.schema.fields.find(_.name == "ts").map(_.dataType) match {
-      case Some(TimestampType) | Some(TimestampNTZType) =>
-        df.withColumn("ts", unix_micros(col("ts").cast(TimestampType)) * 1000L)
+    df.schema.fields.find(_.name.equalsIgnoreCase(colName)) match {
+      case Some(f) if f.dataType == TimestampType || f.dataType == TimestampNTZType =>
+        df.withColumn(f.name, unix_micros(col(f.name).cast(TimestampType)) * 1000L)
       case _ => df
     }
   }

@@ -43,6 +43,35 @@ class LakeWriterSpec extends AnyFunSuite {
     assert(n == expected && n > 0)
   }
 
+  test("foreign table with timestamp-annotated time column still queries") {
+    // a lake directory NOT written by LakeWriter: someone else's
+    // parquet with `time` as a µs TIMESTAMP (the events-ts drift
+    // scenario, but on the engine's own lake contract). readTable
+    // normalizes it to int64 ns, so the epoch-ns literal rewrite
+    // analyzes and returns the right rows.
+    val root = Files.createTempDirectory(
+      new File("target").toPath.toAbsolutePath, "flake").toString
+    val ev = Tables.load(spark, "/root/testdata/sf0.001", "events")
+      .select(col("ts").as("time"), col("event_type").as("kind"), col("value"))
+    Tables.configure(spark)
+    ev.withColumn("time", timestamp_micros(expr("time div 1000")))
+      .coalesce(1).write.parquet(s"$root/extdb/readings")
+    val engine = new Engine(spark, new Catalog(root))
+    val lo = "2024-01-10T00:00:00Z"
+    val hi = "2024-01-12T00:00:00Z"
+    val n = engine.query(
+      s"SELECT count(*) AS cnt FROM extdb.readings " +
+        s"WHERE time >= '$lo' AND time < '$hi'", "")
+      .collect().head.getLong(0)
+    def ns(iso: String) = java.time.Instant.parse(iso).toEpochMilli * 1000000L
+    val expected = ev.filter(col("time") >= ns(lo) && col("time") < ns(hi)).count()
+    assert(n == expected && n > 0)
+    // full projection carries the normalized int64-ns time column
+    val row = engine.query(
+      s"SELECT time FROM extdb.readings WHERE time >= '$lo' AND time < '$hi'", "")
+    assert(row.schema("time").dataType == org.apache.spark.sql.types.LongType)
+  }
+
   test("write publishes to a redis backend; engine round-trips through it") {
     val srv = new FakeRedisServer
     try {
