@@ -52,13 +52,13 @@ class Engine(val spark: SparkSession, val catalog: CatalogBackend,
       // the events `ts` drift fix) so the rewritten epoch-ns
       // comparisons analyze; NsTimeFilterPushdown then restores the
       // parquet pushdown for the range predicate.
-      Tables.normalizeTs(Tables.readEvolving(spark, paths), timeCol)
+      Tables.readEvolving(spark, paths, Seq("ts", "time", timeCol).distinct)
     } else {
       val all = catalog.prunedPaths(db, table, None)
       if (all.isEmpty) spark.emptyDataFrame
       else { // empty result with the table's real schema (quirk §2.3-6 fix)
-        val schema = Tables.normalizeTs(
-          Tables.readEvolving(spark, all), timeCol).schema
+        val schema = Tables.readEvolving(
+          spark, all, Seq("ts", "time", timeCol).distinct).schema
         spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
       }
     }

@@ -119,22 +119,36 @@ object Tables {
    * missing columns. One driver-side footer pass — the data itself is
    * still read exactly once, distributed.
    */
-  def readEvolving(spark: SparkSession, paths: Seq[String]): DataFrame = {
+  def readEvolving(spark: SparkSession, paths: Seq[String],
+                   timeCols: Seq[String] = Seq("ts", "time")): DataFrame = {
     configure(spark)
+    // The int64-ns normalization must happen PER RAW-SCHEMA GROUP,
+    // before widening: a table holding both a NANOS-annotated file
+    // (LongType via nanosAsLong) and a µs-timestamp file would
+    // otherwise hit widen(LongType, TimestampType) — unwidenable —
+    // exactly when the annotation drift lands mid-table. Groups stay
+    // keyed by the RAW footer schema (mixed-annotation files must not
+    // share one parquet scan), while the widened union runs over the
+    // POST-normalization types.
+    def norm(df: DataFrame): DataFrame = timeCols.foldLeft(df)(normalizeTs)
+    def normType(f: StructField): DataType =
+      if (timeCols.exists(_.equalsIgnoreCase(f.name)) &&
+        (f.dataType == TimestampType || f.dataType == TimestampNTZType)) LongType
+      else f.dataType
     val bySchema = paths.map(p => (spark.read.parquet(p).schema, p))
       .groupBy(_._1).view.mapValues(_.map(_._2)).toSeq
     if (bySchema.size == 1)
-      return spark.read.parquet(paths: _*)
+      return norm(spark.read.parquet(paths: _*))
     // widened union-by-name schema over all file groups
     val merged = scala.collection.mutable.LinkedHashMap[String, DataType]()
     bySchema.foreach { case (schema, _) =>
       schema.fields.foreach { f =>
-        merged(f.name) = merged.get(f.name).map(widen(_, f.dataType)).getOrElse(f.dataType)
+        merged(f.name) = merged.get(f.name).map(widen(_, normType(f))).getOrElse(normType(f))
       }
     }
     bySchema.map { case (schema, ps) =>
       val have = schema.fieldNames.toSet
-      spark.read.parquet(ps: _*).select(merged.toSeq.map { case (name, dt) =>
+      norm(spark.read.parquet(ps: _*)).select(merged.toSeq.map { case (name, dt) =>
         if (have(name)) col(name).cast(dt).as(name)
         else lit(null).cast(dt).as(name)
       }: _*)

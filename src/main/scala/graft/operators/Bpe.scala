@@ -127,13 +127,17 @@ object Bpe {
     new java.util.concurrent.ConcurrentHashMap[(String, Int), Seq[(String, String)]]()
 
   /** [[learnMerges]] collected to its rank-ordered (lft, rgt) list,
-    * memoized per JVM under `cacheKey` (use the lake dir). */
+    * memoized per JVM. The key folds in the analyzed plan's semantic
+    * hash and the text column, so two corpora sharing a `cacheKey`
+    * (e.g. different tables of one lake dir) never share merges. */
   def learnMergesCached(docs: DataFrame, textCol: String, merges: Int,
-                        cacheKey: String): Seq[(String, String)] =
-    mergeCache.computeIfAbsent((cacheKey, merges), { _ =>
+                        cacheKey: String): Seq[(String, String)] = {
+    val key = s"$cacheKey|$textCol|${docs.queryExecution.analyzed.semanticHash()}"
+    mergeCache.computeIfAbsent((key, merges), { _ =>
       learnMerges(docs, textCol, merges).orderBy("rank")
         .collect().map(r => (r.getString(1), r.getString(2))).toSeq
     })
+  }
 
   /**
    * Tokenizer APPLICATION — encode the corpus with a trained merge
@@ -208,6 +212,11 @@ object Bpe {
       FROM docw d JOIN wtok USING (w)
       GROUP BY 1 ORDER BY 1"""
 
+  /** The w-chain survives EARLY EXHAUSTION: when round i has no pairs
+    * left, b$i is empty and the LEFT JOIN + coalesce pass w${"$"}{i-1}
+    * through unchanged — a CROSS JOIN would empty every later w-CTE
+    * and make the encode oracle emit zero rows on a small corpus
+    * (training's b-union was already exhaustion-safe). */
   private def mergeChainCtes(merges: Int): String = {
     val sb = new StringBuilder
     sb ++= s"""
@@ -230,9 +239,9 @@ object Bpe {
         SELECT CAST($i AS INT) AS rank, lft, rgt, pair_count
         FROM p$i ORDER BY pair_count DESC, lft, rgt LIMIT 1),
       w$i AS MATERIALIZED (
-        SELECT replace(state, ' ' || b.lft || '  ' || b.rgt || ' ',
-                       ' ' || b.lft || b.rgt || ' ') AS state, cnt
-        FROM w${i - 1}, b$i b)"""
+        SELECT coalesce(replace(state, ' ' || b.lft || '  ' || b.rgt || ' ',
+                       ' ' || b.lft || b.rgt || ' '), state) AS state, cnt
+        FROM w${i - 1} LEFT JOIN b$i b ON TRUE)"""
     }
     sb.result()
   }

@@ -108,6 +108,30 @@ class TsEncodingSpec extends AnyFunSuite {
     }
   }
 
+  test("mixed annotations WITHIN one table read as the unified ns contract") {
+    // the drift landing mid-table: one plain-int64 file + one µs file
+    // in the same directory. readEvolving must normalize per schema
+    // group BEFORE widening (widen(Long, Timestamp) is unwidenable)
+    // and return the full union on the int64-ns contract.
+    val d = tmp("ts-mixed")
+    base.filter(col("event_id") % 2 === 0).coalesce(1)
+      .write.parquet(s"$d/part-int64")
+    base.filter(col("event_id") % 2 === 1)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      .coalesce(1).write.parquet(s"$d/part-us")
+    val paths = Seq(s"$d/part-int64", s"$d/part-us").flatMap { p =>
+      new java.io.File(p).listFiles().filter(_.getName.endsWith(".parquet"))
+        .map(_.getAbsolutePath)
+    }
+    val df = Tables.readEvolving(spark, paths)
+    assert(df.schema("ts").dataType == org.apache.spark.sql.types.LongType)
+    assert(df.count() == 1000)
+    val expected = base.select("event_id", "ts").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(df.select("event_id", "ts").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet == expected)
+  }
+
   test("all TimeSeries queries analyze and agree across ts encodings") {
     def canon(df: DataFrame): Seq[String] =
       df.collect().map(_.toString).sorted.toSeq
