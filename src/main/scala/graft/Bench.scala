@@ -126,8 +126,13 @@ object Bench {
       // recover it, so the accumulation is JVM-level, not session
       // state). seq runs first because per-query plan numbers are the
       // signal that must stay clean; the conc wall carries the tax.
-      val pool = java.util.concurrent.Executors.newFixedThreadPool(
-        math.min(8, Runtime.getRuntime.availableProcessors()))
+      // admission width: how many queries run at once. 8 on 32 cores
+      // leaves each query ~4 cores; SPARK_GRAFT_BENCH_POOL overrides
+      // for makespan experiments (the gateway analog is the admission
+      // limit a real deployment tunes per workload mix)
+      val poolSize = sys.env.get("SPARK_GRAFT_BENCH_POOL").map(_.toInt)
+        .getOrElse(math.min(8, Runtime.getRuntime.availableProcessors()))
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(poolSize)
       implicit val ec: scala.concurrent.ExecutionContext =
         scala.concurrent.ExecutionContext.fromExecutor(pool)
       val t0 = System.nanoTime()

@@ -1,7 +1,9 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
+
+import scala.collection.mutable
 
 /**
  * BPE vocabulary induction (tokenizer TRAINING) — the iterative
@@ -16,28 +18,32 @@ import org.apache.spark.sql.functions._
  * operators.
  *
  * Scale shape: ONE corpus-scale shuffle (word → count hash-agg with
- * map-side combine) reduces the corpus to its VOCABULARY; every merge
- * round after that is vocabulary-scale — a partial-aggregated
- * pair-count hash-agg feeding a single-row deterministic top-1
- * (TakeOrderedAndProject, never a global sort) collected to the
- * driver, then a map-side merge application with the winning pair
- * riding the task closure (the broadcast-merge-table analog for a
- * one-row table). k merges = k tiny vocab-scale jobs; the corpus is
- * never touched again. Lineage over the rounds is truncated by
- * localCheckpoint every [[CheckpointEvery]] merges so round k never
- * replays k map stages.
+ * map-side combine) reduces the corpus to its VOCABULARY, which is
+ * collected once; every merge round after that is pure in-memory
+ * INCREMENTAL maintenance — a pair→containing-words index plus a
+ * lazy max-heap, so round k touches only the words containing the
+ * winning pair, never the whole vocabulary (the fastBPE / HF-
+ * tokenizers training shape). Training runs exactly ONE Spark job
+ * regardless of merge count (BpeScaleSpec pins this), where the
+ * previous round-per-merge design ran k vocabulary-scale jobs —
+ * 30k merges meant 30k job round-trips. At open-web corpus scale the
+ * distinct-word table is itself unbounded (URLs, typos), so
+ * [[learnMerges]] takes a `maxVocab` cap — keep the top-N words by
+ * (count, word) — the standard trainer mitigation (SentencePiece /
+ * HF both prune rare words before merge induction); uncapped by
+ * default, exact on the test lakes.
  *
  * Determinism: ties on pair count break lexicographically by (left,
- * right) symbol — binary string order, identical in Spark and the
- * SQL oracle.
+ * right) symbol in UTF-8 BINARY order — [[utf8Less]] reproduces
+ * Spark's `asc` over strings (UTF8String binary comparison) so the
+ * in-memory trainer ranks ties exactly as the previous
+ * `orderBy(desc(count), asc(lft), asc(rgt))` plan and the SQL oracle.
  */
 object Bpe {
 
   /** End-of-word symbol appended to every word's character sequence
     * (Sennrich §3.2) — lets learned subwords distinguish suffixes. */
   val Eow = "</w>"
-
-  private val CheckpointEvery = 8
 
   /** Word → symbol list: one symbol per Unicode CODE POINT (a
     * non-BMP character is one symbol, never a surrogate pair split —
@@ -71,6 +77,20 @@ object Bpe {
     out.result()
   }
 
+  /** Unsigned UTF-8 byte-order comparison — Spark's string `asc`. */
+  private[graft] def utf8Less(a: String, b: String): Boolean = {
+    val x = a.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val y = b.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val n = math.min(x.length, y.length)
+    var i = 0
+    while (i < n) {
+      val c = (x(i) & 0xff) - (y(i) & 0xff)
+      if (c != 0) return c < 0
+      i += 1
+    }
+    x.length < y.length
+  }
+
   /**
    * Learn the first `merges` BPE merges from a whitespace-tokenized
    * text column. Returns (rank, lft, rgt, pair_count) — merge order,
@@ -78,45 +98,123 @@ object Bpe {
    * all adjacent positions) pair count that won the round. Stops
    * early if the vocabulary runs out of pairs (every word fully
    * merged into a single symbol).
+   *
+   * `maxVocab` bounds the driver-side vocabulary: the top-N distinct
+   * words by (count DESC, word ASC) are kept — a distributed
+   * TakeOrdered, collected small. Uncapped by default (exact); at
+   * open-web scale set it to the memory budget (rare-word pruning is
+   * how every production BPE trainer bounds this same table).
    */
-  def learnMerges(docs: DataFrame, textCol: String,
-                  merges: Int): DataFrame = {
+  def learnMerges(docs: DataFrame, textCol: String, merges: Int,
+                  maxVocab: Int = Int.MaxValue): DataFrame = {
     require(merges > 0, "merges must be positive")
     val spark = docs.sparkSession
     import spark.implicits._
-    var vocab: Dataset[(IndexedSeq[String], Long)] = docs
+    val counts = docs
       .select(explode(split(col(textCol), "\\s+")).as("w"))
       .filter(length(col("w")) > 0)
       .groupBy("w").agg(count(lit(1)).as("cnt"))
-      .as[(String, Long)]
-      .map { case (w, c) => (charSymbols(w), c) }
-      // eager: the rounds re-scan the vocab k times; without the
-      // checkpoint each round would re-run the corpus shuffle
-      .localCheckpoint(true)
+    val capped =
+      if (maxVocab == Int.MaxValue) counts
+      // TakeOrderedAndProject — never a global sort
+      else counts.orderBy(desc("cnt"), asc("w")).limit(maxVocab)
+    val vocab = capped.as[(String, Long)].collect()
+    spark.createDataset(trainInMemory(vocab, merges))
+      .toDF("rank", "lft", "rgt", "pair_count")
+  }
+
+  /**
+   * The incremental trainer over a collected (word, count) vocabulary.
+   *
+   * State: per-pair corpus counts, a pair→word-indices occurrence
+   * index, and a LAZY max-heap of (count, lft, rgt) — entries are
+   * pushed on every count change and validated against the live count
+   * map on pop (stale entries are discarded), the classic
+   * priority-queue-with-decrease-key workaround. Each round re-counts
+   * ONLY the words that contain the winning pair; every other word's
+   * pairs are untouched. Complexity: O(Σ|word|) init plus, per merge,
+   * O(affected words × their length) + O(log P) heap ops — at a real
+   * 30k-merge vocabulary this is the published trainer shape (total
+   * work ≈ corpus vocab size × average merges touching a word), vs
+   * the naive k full vocabulary re-scans.
+   */
+  private[graft] def trainInMemory(vocab: Array[(String, Long)],
+                                   merges: Int): Seq[(Int, String, String, Long)] = {
+    val words: Array[IndexedSeq[String]] = vocab.map(v => charSymbols(v._1))
+    val wcnt: Array[Long] = vocab.map(_._2)
+    val pairCount = mutable.HashMap.empty[(String, String), Long]
+    // append-only occurrence lists (deduped per word at append time);
+    // entries go stale when a later merge removes the pair from the
+    // word — each round re-checks membership during its re-count
+    val pairWords = mutable.HashMap.empty[(String, String), mutable.ArrayBuffer[Int]]
+    // max-heap: count DESC, then lft, rgt ASC in utf8 order — the
+    // exact previous orderBy(desc, asc, asc). PriorityQueue pops the
+    // Ordering-greatest element, so lt() returns "a ranks below b".
+    val heap = mutable.PriorityQueue.empty[(Long, String, String)](
+      new Ordering[(Long, String, String)] {
+        def compare(a: (Long, String, String), b: (Long, String, String)): Int =
+          if (a._1 != b._1) java.lang.Long.compare(a._1, b._1)
+          else if (a._2 != b._2) { if (utf8Less(a._2, b._2)) 1 else -1 }
+          else if (a._3 != b._3) { if (utf8Less(a._3, b._3)) 1 else -1 }
+          else 0
+      })
+    val touched = mutable.HashSet.empty[(String, String)]
+    def countPairs(wi: Int, sign: Long, index: Boolean): Unit = {
+      val syms = words(wi)
+      val seen = if (index) mutable.HashSet.empty[(String, String)] else null
+      var i = 0
+      while (i < syms.length - 1) {
+        val p = (syms(i), syms(i + 1))
+        val c = pairCount.getOrElse(p, 0L) + sign * wcnt(wi)
+        if (c == 0L) pairCount.remove(p) else pairCount.update(p, c)
+        touched += p
+        if (index && seen.add(p))
+          pairWords.getOrElseUpdate(p, mutable.ArrayBuffer.empty) += wi
+        i += 1
+      }
+    }
+    words.indices.foreach(countPairs(_, 1L, index = true))
+    touched.foreach(p => heap.enqueue((pairCount.getOrElse(p, 0L), p._1, p._2)))
+    touched.clear()
     val learned = Seq.newBuilder[(Int, String, String, Long)]
     var rank = 1
     var exhausted = false
     while (rank <= merges && !exhausted) {
-      val top = vocab
-        .flatMap { case (syms, c) =>
-          (0 until syms.length - 1).iterator.map(i => (syms(i), syms(i + 1), c))
-        }
-        .toDF("lft", "rgt", "c")
-        .groupBy("lft", "rgt").agg(sum("c").as("pair_count"))
-        .orderBy(desc("pair_count"), asc("lft"), asc("rgt"))
-        .limit(1).collect()
-      if (top.isEmpty) exhausted = true
-      else {
-        val l = top.head.getString(0)
-        val r = top.head.getString(1)
-        learned += ((rank, l, r, top.head.getLong(2)))
-        vocab = vocab.map { case (syms, c) => (applyMerge(syms, l, r), c) }
-        if (rank % CheckpointEvery == 0) vocab = vocab.localCheckpoint(true)
-        rank += 1
+      // pop to the first LIVE entry (count matches the current map)
+      var top: Option[(Long, String, String)] = None
+      while (top.isEmpty && heap.nonEmpty) {
+        val e = heap.dequeue()
+        if (e._1 > 0L && pairCount.getOrElse((e._2, e._3), 0L) == e._1) top = Some(e)
+      }
+      top match {
+        case None => exhausted = true
+        case Some((cnt, l, r)) =>
+          learned += ((rank, l, r, cnt))
+          val p = (l, r)
+          val affected = pairWords.remove(p).getOrElse(mutable.ArrayBuffer.empty)
+          val done = mutable.HashSet.empty[Int] // occurrence lists may repeat a word across rounds
+          affected.foreach { wi =>
+            if (done.add(wi) && hasPair(words(wi), l, r)) {
+              countPairs(wi, -1L, index = false)
+              words(wi) = applyMerge(words(wi), l, r)
+              countPairs(wi, 1L, index = true)
+            }
+          }
+          touched.foreach(q => heap.enqueue((pairCount.getOrElse(q, 0L), q._1, q._2)))
+          touched.clear()
+          rank += 1
       }
     }
-    spark.createDataset(learned.result())
-      .toDF("rank", "lft", "rgt", "pair_count")
+    learned.result()
+  }
+
+  private def hasPair(syms: IndexedSeq[String], l: String, r: String): Boolean = {
+    var i = 0
+    while (i < syms.length - 1) {
+      if (syms(i) == l && syms(i + 1) == r) return true
+      i += 1
+    }
+    false
   }
 
   // Trained merge lists memoized per (cacheKey, merges) — a tokenizer
@@ -125,14 +223,41 @@ object Bpe {
   // itself and deliberately bypasses this cache.
   private val mergeCache =
     new java.util.concurrent.ConcurrentHashMap[(String, Int), Seq[(String, String)]]()
+  private val MergeCacheMax = 64
+
+  /** Fingerprint of the DataFrame's backing files (path, size, mtime)
+    * — regenerating a lake in place within one JVM must not serve the
+    * previous corpus's merges (the plan's semanticHash alone
+    * fingerprints the PATHS, not the data). Non-file-backed plans
+    * (in-memory test frames) fingerprint empty and fall back to the
+    * semantic hash alone. */
+  private def dataFingerprint(docs: DataFrame): String = {
+    val files = docs.inputFiles
+    if (files.isEmpty) ""
+    else {
+      val conf = docs.sparkSession.sparkContext.hadoopConfiguration
+      val h = java.security.MessageDigest.getInstance("MD5")
+      files.sorted.foreach { f =>
+        val p = new org.apache.hadoop.fs.Path(f)
+        val st = p.getFileSystem(conf).getFileStatus(p)
+        h.update(s"$f|${st.getLen}|${st.getModificationTime};".getBytes("UTF-8"))
+      }
+      h.digest().map("%02x".format(_)).mkString
+    }
+  }
 
   /** [[learnMerges]] collected to its rank-ordered (lft, rgt) list,
     * memoized per JVM. The key folds in the analyzed plan's semantic
-    * hash and the text column, so two corpora sharing a `cacheKey`
-    * (e.g. different tables of one lake dir) never share merges. */
+    * hash, the text column, AND the backing files' (size, mtime)
+    * fingerprint — so neither two corpora sharing a `cacheKey` nor an
+    * in-place regenerated lake can be served stale merges. The cache
+    * is crudely bounded: past [[MergeCacheMax]] entries it clears
+    * (offline artifacts re-train; a server never grows unbounded). */
   def learnMergesCached(docs: DataFrame, textCol: String, merges: Int,
                         cacheKey: String): Seq[(String, String)] = {
-    val key = s"$cacheKey|$textCol|${docs.queryExecution.analyzed.semanticHash()}"
+    val key = s"$cacheKey|$textCol|${docs.queryExecution.analyzed.semanticHash()}" +
+      s"|${dataFingerprint(docs)}"
+    if (mergeCache.size > MergeCacheMax) mergeCache.clear()
     mergeCache.computeIfAbsent((key, merges), { _ =>
       learnMerges(docs, textCol, merges).orderBy("rank")
         .collect().map(r => (r.getString(1), r.getString(2))).toSeq
@@ -152,30 +277,113 @@ object Bpe {
    *
    * Scale shape: the corpus reduces to (doc, word, n_occ) with one
    * hash-agg shuffle; the VOCABULARY (distinct words) is encoded once
-   * map-side with the merge list riding the closure (vocab-scale
-   * work, O(merges · |word|) per distinct word — the classic rank-
-   * scan; a priority-queue encoder is the constant-factor upgrade
-   * when merges reach real-tokenizer size); per-doc counts come from
-   * a broadcast-able vocab join + weighted sum. The corpus text is
-   * read exactly once.
+   * map-side with the merge list riding the closure; per-doc counts
+   * come from a broadcast-able vocab join + weighted sum. The corpus
+   * text is read exactly once. When the merge list is CREATION-
+   * ORDERED (every operand is a base symbol or the product of an
+   * earlier rule — true of every list [[learnMerges]] emits), each
+   * word is encoded with a PRIORITY-QUEUE merge over a linked symbol
+   * list: O(|word| + applied·log|word|), independent of total merge
+   * count — at a 30k-rule tokenizer the rank-order scan costs
+   * O(30k·|word|) per word while the queue touches only the rules
+   * that fire. An arbitrary (hand-built, non-creation-ordered) list
+   * falls back to the rank-order scan, which is the DEFINITION of
+   * the semantics (PropertySpecs pins PQ ≡ sequential on trained
+   * lists; Round7OpsSpec pins the sequential semantics of adversarial
+   * lists like `(aa,b) before (a,a)`).
    */
   def encodeTokenCounts(docs: DataFrame, idCol: String, textCol: String,
                         merges: Seq[(String, String)]): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
+    val orderly = isCreationOrdered(merges)
     val perWord = docs
       .select(col(idCol).as("id"), explode(split(col(textCol), "\\s+")).as("w"))
       .filter(length(col("w")) > 0)
       .groupBy("id", "w").agg(count(lit(1)).as("n_occ"))
     val wordToks = perWord.select("w").distinct().as[String]
-      .map { w =>
-        var syms = charSymbols(w)
-        merges.foreach { case (l, r) => syms = applyMerge(syms, l, r) }
-        (w, syms.length.toLong)
+      .mapPartitions { it =>
+        // rank table built once per task, first rule wins duplicates
+        val ranks = new java.util.HashMap[(String, String), Integer]()
+        merges.zipWithIndex.foreach { case (p, i) => ranks.putIfAbsent(p, i) }
+        it.map { w =>
+          val n =
+            if (orderly) encodeWordPQ(charSymbols(w), ranks)
+            else {
+              var syms = charSymbols(w)
+              merges.foreach { case (l, r) => syms = applyMerge(syms, l, r) }
+              syms.length
+            }
+          (w, n.toLong)
+        }
       }.toDF("w", "n_toks")
     perWord.join(wordToks, "w")
       .groupBy(col("id").as(idCol))
       .agg(sum(col("n_occ") * col("n_toks")).as("n_bpe_tokens"))
+  }
+
+  /** A merge list is creation-ordered when every rule's operands are
+    * base symbols (one code point, or [[Eow]]) or the concatenation
+    * produced by a STRICTLY EARLIER rule. Trained lists always are —
+    * a pair can only win a round once both its symbols exist. Under
+    * this invariant, "repeatedly merge the present pair of lowest
+    * rank" is equivalent to "apply every rule in rank order": rule
+    * k's operands cannot be produced by any rule > k, so no later
+    * rule can create an occurrence an earlier pass should have
+    * consumed. */
+  private[graft] def isCreationOrdered(merges: Seq[(String, String)]): Boolean = {
+    val created = mutable.HashSet.empty[String]
+    def base(s: String): Boolean =
+      s == Eow || (s.nonEmpty && s.codePointCount(0, s.length) == 1)
+    merges.forall { case (l, r) =>
+      val ok = (base(l) || created(l)) && (base(r) || created(r))
+      created += (l + r)
+      ok
+    }
+  }
+
+  /** Priority-queue encode of one word: symbols as a doubly-linked
+    * array list, candidate pairs heaped by (rank, left position) —
+    * leftmost-first on rank ties reproduces the greedy left-to-right
+    * scan. Entries are validated on pop (the pair at that position
+    * must still match the popped rank); symbol growth makes stale
+    * entries self-invalidating. Returns the final token count. */
+  private[graft] def encodeWordPQ(syms: IndexedSeq[String],
+                                  ranks: java.util.HashMap[(String, String), Integer]): Int = {
+    val n = syms.length
+    if (n <= 1) return n
+    val sym = syms.toArray
+    val nxt = Array.tabulate(n)(_ + 1)
+    val prv = Array.tabulate(n)(_ - 1)
+    val alive = Array.fill(n)(true)
+    // min-heap on (rank, position): PriorityQueue pops the greatest,
+    // so the ordering is reversed
+    val pq = mutable.PriorityQueue.empty[(Int, Int)](
+      Ordering.Tuple2(Ordering.Int.reverse, Ordering.Int.reverse))
+    def push(i: Int): Unit =
+      if (i >= 0 && nxt(i) < n) {
+        val r = ranks.get((sym(i), sym(nxt(i))))
+        if (r != null) pq.enqueue((r.intValue(), i))
+      }
+    (0 until n - 1).foreach(push)
+    var tokens = n
+    while (pq.nonEmpty) {
+      val (r, i) = pq.dequeue()
+      if (alive(i) && nxt(i) < n) {
+        val j = nxt(i)
+        val live = ranks.get((sym(i), sym(j)))
+        if (live != null && live.intValue() == r) {
+          sym(i) = sym(i) + sym(j)
+          alive(j) = false
+          nxt(i) = nxt(j)
+          if (nxt(j) < n) prv(nxt(j)) = i
+          tokens -= 1
+          push(prv(i))
+          push(i)
+        }
+      }
+    }
+    tokens
   }
 
   /** SQL oracle text for [[learnMerges]] — `merges` scripted rounds
