@@ -35,28 +35,75 @@ object Tables {
     spark.conf.set("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     // re-derive native timestamp comparisons from int64-ns predicates so
-    // time-range filters keep skipping parquet row groups (the benign
-    // concurrent-registration race is settled by .distinct; the rule is
-    // a no-op when nothing matches). A GraftExtensions session also
-    // injects the rule into the main optimizer batch — there the second
-    // (extraOptimizations) run finds every pattern already rewritten and
-    // traverses once for nothing; accepted, because neither registration
-    // point can see the other and missing BOTH would cost full scans.
-    spark.experimental.extraOptimizations =
-      (spark.experimental.extraOptimizations :+ plans.NsTimeFilterPushdown).distinct
+    // time-range filters keep skipping parquet row groups. Registered in
+    // extraOptimizations ONLY when the session doesn't already carry the
+    // rule — a GraftExtensions session injects it into the main optimizer
+    // batch, and registering it twice would pay a redundant (if no-op)
+    // tree traversal per query. The injected-rule probe walks the
+    // optimizer's batch list once per session and is memoized (weakly,
+    // so stopped sessions don't pin).
+    if (!spark.experimental.extraOptimizations.exists(_ eq plans.NsTimeFilterPushdown)
+        && !extensionInjected(spark))
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ plans.NsTimeFilterPushdown
   }
 
-  // Memoize per (session, path): a DataFrame is just a plan, but
-  // building it costs a file listing + footer schema read — per-query
-  // that dominates small-query latency when 77 queries share 10 tables.
+  private val extensionChecked = java.util.Collections.synchronizedMap(
+    new java.util.WeakHashMap[SparkSession, java.lang.Boolean]())
+  private def extensionInjected(spark: SparkSession): Boolean =
+    extensionChecked.computeIfAbsent(spark, s =>
+      s.sessionState.optimizer.batches
+        .exists(_.rules.exists(_ eq plans.NsTimeFilterPushdown)))
+
+  // Memoize per (session, path, file fingerprint): a DataFrame is just a
+  // plan, but building it costs a file listing + footer schema read —
+  // per-query that dominates small-query latency when ~150 queries share
+  // 10 tables. The fingerprint (mtime+length of the path) keys out
+  // in-place regenerations, the LRU bound ages out dropped lakes, and a
+  // per-load sweep drops every entry belonging to a stopped session — a
+  // long-lived QueryServer must not pin stale plans or dead sessions.
+  private val MaxCached = 128
+  private[graft] def maxCachedForTest: Int = MaxCached
   private val cache =
-    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
+    new java.util.LinkedHashMap[(SparkSession, String, Long), DataFrame](64, 0.75f, true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[(SparkSession, String, Long), DataFrame]): Boolean =
+        size() > MaxCached
+    }
+
+  /** mtime+length stat of the table path — one driver-side FS call,
+    * strictly cheaper than the footer read it guards. 0 when the path
+    * is not yet statable (the read itself will surface the error). */
+  private def fingerprint(spark: SparkSession, path: String): Long =
+    try {
+      val p = new org.apache.hadoop.fs.Path(path)
+      val st = p.getFileSystem(spark.sparkContext.hadoopConfiguration).getFileStatus(p)
+      st.getModificationTime * 31L + st.getLen
+    } catch { case _: Exception => 0L }
 
   def load(spark: SparkSession, dir: String, name: String): DataFrame = {
     configure(spark)
-    cache.computeIfAbsent((spark, s"$dir/$name.parquet"),
-      { case (s, p) => normalizeTs(s.read.parquet(p)) })
+    val path = s"$dir/$name.parquet"
+    val key = (spark, path, fingerprint(spark, path))
+    cache.synchronized {
+      val it = cache.keySet().iterator()
+      while (it.hasNext) if (it.next()._1.sparkContext.isStopped) it.remove()
+      val hit = cache.get(key)
+      if (hit != null) hit
+      else {
+        val df = normalizeTs(spark.read.parquet(path))
+        cache.put(key, df)
+        df
+      }
+    }
   }
+
+  /** Test hook: current cache keys (session identity, path, fingerprint). */
+  private[graft] def cachedKeys: Seq[(SparkSession, String, Long)] =
+    cache.synchronized {
+      import scala.jdk.CollectionConverters._
+      cache.keySet().asScala.toSeq
+    }
 
   /**
    * Enforce the int64-ns `ts` contract regardless of the file's

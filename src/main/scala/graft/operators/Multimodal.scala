@@ -386,6 +386,12 @@ object Multimodal {
    * set bits, and degenerate fingerprints of UNRELATED frames land
    * within any hamming radius of each other (measured: 21-byte frames
    * collapse a corpus to cross-video false pairs).
+   *
+   * A `frame_idx` at or beyond the 2^FRAME_BITS packing cap FAILS the
+   * job rather than dropping the frame: [[videoNearDupPairs]]'s
+   * denominators count every sampled frame, so a silent drop would
+   * deflate `frame_match_frac` and mask true duplicates of very long
+   * videos. Sample more coarsely (larger `everyN`) instead.
    */
   def frameFingerprints(frames: Dataset[Frame], buckets: Int = 65): DataFrame = {
     require(buckets >= 2 && buckets <= 65, "need 2..65 buckets (≤ 64 bits)")
@@ -393,7 +399,11 @@ object Multimodal {
     frames.mapPartitions { rows =>
       rows.flatMap { fr =>
         val n = fr.frame.length
-        if (n < buckets || fr.frame_idx >= (1 << FRAME_BITS)) None
+        require(fr.frame_idx < (1 << FRAME_BITS) && fr.frame_idx >= 0,
+          s"frame_idx ${fr.frame_idx} of video ${fr.doc_id} exceeds the " +
+            s"2^$FRAME_BITS id-packing cap — sample frames more coarsely " +
+            "(silently dropping would deflate videoNearDupPairs coverage)")
+        if (n < buckets) None
         else {
           val means = new Array[Double](buckets)
           var b = 0

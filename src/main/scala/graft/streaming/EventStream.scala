@@ -36,17 +36,66 @@ object EventStream {
     // it is NOT a projection hook (prune downstream instead). If µs
     // files later land in a dir that probed empty, the stream reads
     // them through the logical schema and fails loudly per batch; the
-    // warn below makes the why findable.
+    // warn below makes the why findable at setup time, and the
+    // diagnostics listener re-explains it AT FAILURE TIME (the batch
+    // failure is a generic parquet conversion error that doesn't name
+    // this fallback as the cause).
     val physical = scala.util.Try(spark.read.parquet(dir).schema).getOrElse {
-      org.slf4j.LoggerFactory.getLogger(EventStream.getClass).warn(
+      log.warn(
         s"readEvents: no readable files under $dir at stream start; " +
           "falling back to the supplied logical schema — if files with a " +
           "timestamp-annotated ts arrive later, restart the stream so the " +
           "physical schema can be probed")
+      installFallbackDiagnostics(spark, dir)
       schema
     }
     graft.Tables.normalizeTs(spark.readStream.schema(physical).parquet(dir))
       .withColumn("event_time", timestamp_micros(expr("ts div 1000")))
+  }
+
+  private def log = org.slf4j.LoggerFactory.getLogger(EventStream.getClass)
+
+  /** Dirs that fell back to the logical schema, per session — consulted
+    * when a streaming query later dies on a parquet conversion error. */
+  private val fallbackDirs = java.util.Collections.synchronizedMap(
+    new java.util.WeakHashMap[SparkSession, java.util.Set[String]]())
+
+  /** The remediation message for a terminal streaming error caused by
+    * reading annotation-drifted files through the empty-probe logical
+    * schema; None when the error is something else. Factored out so the
+    * detection is unit-testable without driving a failing stream. */
+  private[streaming] def fallbackDiagnosis(err: String,
+                                           dirs: Iterable[String]): Option[String] =
+    if (dirs.nonEmpty &&
+        (err.contains("Parquet column cannot be converted") ||
+          err.contains("SchemaColumnConvertNotSupportedException") ||
+          err.contains("PARQUET_CONVERSION_FAILURE")))
+      Some("streaming batch failed converting a parquet column; source dirs " +
+        dirs.mkString("[", ", ", "]") + " probed EMPTY at stream start and " +
+        "fell back to the supplied logical schema (ts: int64 ns) — if " +
+        "timestamp-annotated files have since arrived there, restart the " +
+        "stream so readEvents can probe the physical schema and normalize it")
+    else None
+
+  /** One listener per session: when any streaming query terminates with
+    * a parquet conversion error and at least one readEvents source fell
+    * back to its logical schema, log the likely cause + fix. */
+  private def installFallbackDiagnostics(spark: SparkSession, dir: String): Unit = {
+    val dirs = fallbackDirs.computeIfAbsent(spark,
+      _ => java.util.concurrent.ConcurrentHashMap.newKeySet[String]())
+    val first = dirs.isEmpty
+    dirs.add(dir)
+    if (first) spark.streams.addListener(
+      new org.apache.spark.sql.streaming.StreamingQueryListener {
+        import org.apache.spark.sql.streaming.StreamingQueryListener._
+        override def onQueryStarted(e: QueryStartedEvent): Unit = ()
+        override def onQueryProgress(e: QueryProgressEvent): Unit = ()
+        override def onQueryTerminated(e: QueryTerminatedEvent): Unit =
+          e.exception.foreach { msg =>
+            import scala.jdk.CollectionConverters._
+            fallbackDiagnosis(msg, dirs.asScala.toSeq).foreach(log.error)
+          }
+      })
   }
 
   /** Tumbling-window per-type counts with late-data watermark —

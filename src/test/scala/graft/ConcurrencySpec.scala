@@ -137,4 +137,54 @@ class ConcurrencySpec extends AnyFunSuite {
       pool.shutdown()
     } finally srv.stop()
   }
+
+  test("Tables cache: regenerated files re-key, dropped lakes age out") {
+    val dir = Files.createTempDirectory(
+      new File("target").toPath.toAbsolutePath, "tabcache").toFile
+    import spark.implicits._
+    def writeTable(rows: Seq[(Long, String)]): Unit = {
+      val tmp = new File(dir, "stage")
+      rows.toDF("id", "v").coalesce(1).write.mode("overwrite")
+        .parquet(tmp.getAbsolutePath)
+      val part = tmp.listFiles().find(_.getName.endsWith(".parquet")).get
+      val dst = new File(dir, "t.parquet")
+      Files.move(part.toPath, dst.toPath,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      // a same-millisecond in-place rewrite is indistinguishable by
+      // mtime alone; the fingerprint also folds in the length, but make
+      // the mtime move deterministically so the test never races it
+      dst.setLastModified(dst.lastModified() + 2000)
+      org.apache.commons.io.FileUtils.deleteDirectory(tmp)
+    }
+    writeTable(Seq((1L, "a"), (2L, "b")))
+    assert(Tables.load(spark, dir.getAbsolutePath, "t").count() == 2)
+
+    // in-place regeneration: a fresh load must see the NEW file set, not
+    // the memoized plan over the old listing
+    writeTable(Seq((1L, "a"), (2L, "b"), (3L, "c")))
+    assert(Tables.load(spark, dir.getAbsolutePath, "t").count() == 3)
+
+    // dropped lakes age out: the cache is LRU-bounded, so loading many
+    // distinct paths evicts the oldest entries instead of pinning every
+    // lake a long-lived server ever touched. (The stopped-session sweep
+    // is not in-JVM-testable — stopping any session kills the one shared
+    // SparkContext — but the same bound caps dead sessions' entries too.)
+    val before = Tables.cachedKeys.count(_._2.endsWith("/t.parquet"))
+    assert(before > 0)
+    val manyDir = new File(dir, "many"); manyDir.mkdirs()
+    Seq((1L, "x")).toDF("id", "v").coalesce(1).write.mode("overwrite")
+      .parquet(new File(manyDir, "one.parquet").getAbsolutePath)
+    val limit = Tables.maxCachedForTest
+    (0 until limit + 8).foreach { i =>
+      // same physical files under fresh symlinked names → distinct keys
+      val link = new File(manyDir, s"alias$i.parquet")
+      Files.createSymbolicLink(link.toPath,
+        new File(manyDir, "one.parquet").toPath)
+      Tables.load(spark, manyDir.getAbsolutePath, s"alias$i")
+    }
+    assert(Tables.cachedKeys.size <= limit,
+      s"cache must stay bounded, got ${Tables.cachedKeys.size}")
+    assert(!Tables.cachedKeys.exists(_._2.endsWith("/t.parquet")),
+      "least-recently-used entries (the dropped lake) must age out")
+  }
 }
