@@ -132,6 +132,77 @@ class TsEncodingSpec extends AnyFunSuite {
       .map(r => (r.getLong(0), r.getLong(1))).toSet == expected)
   }
 
+  /** Author a TIMESTAMP(NANOS,true) readings file on the engine's own
+    * lake schema (time, kind, value) — the foreign-table face of the
+    * same drift. */
+  private def writeNanosReadings(path: String): Unit = {
+    import org.apache.hadoop.conf.Configuration
+    import org.apache.hadoop.fs.Path
+    import org.apache.parquet.example.data.simple.SimpleGroupFactory
+    import org.apache.parquet.hadoop.example.ExampleParquetWriter
+    import org.apache.parquet.schema.{LogicalTypeAnnotation, Types}
+    import org.apache.parquet.schema.LogicalTypeAnnotation.TimeUnit
+    import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName._
+
+    val schema = Types.buildMessage()
+      .optional(INT64).as(LogicalTypeAnnotation.timestampType(true, TimeUnit.NANOS)).named("time")
+      .optional(BINARY).as(LogicalTypeAnnotation.stringType()).named("kind")
+      .optional(DOUBLE).named("value")
+      .named("readings")
+    val factory = new SimpleGroupFactory(schema)
+    val writer = ExampleParquetWriter.builder(new Path(path))
+      .withConf(new Configuration()).withType(schema).build()
+    try {
+      base.select("ts", "event_type", "value").collect().foreach { r =>
+        val g = factory.newGroup()
+        g.append("time", r.getLong(0)).append("kind", r.getString(1))
+          .append("value", r.getDouble(2))
+        writer.write(g)
+      }
+    } finally writer.close()
+  }
+
+  test("engine foreign-table time column agrees across physical encodings") {
+    // the SAME canary on the engine's own lake contract: a foreign
+    // table (not written by LakeWriter) whose `time` column ships under
+    // any of the four plausible physical encodings must answer an
+    // Engine time-range query with identical rows and the int64-ns
+    // schema — this is where the next annotation flip of an
+    // Engine-registered lake gets caught by a unit test.
+    val readings = base.select(col("ts").as("time"),
+      col("event_type").as("kind"), col("value"))
+    def mkLake(enc: String): String = {
+      val root = tmp(s"lake-$enc").toString
+      val dst = s"$root/extdb/readings"
+      enc match {
+        case "int64" => readings.coalesce(1).write.parquet(dst)
+        case "us_ltz" => readings
+          .withColumn("time", timestamp_micros(expr("time div 1000")))
+          .coalesce(1).write.parquet(dst)
+        case "us_ntz" => readings
+          .withColumn("time",
+            timestamp_micros(expr("time div 1000")).cast("timestamp_ntz"))
+          .coalesce(1).write.parquet(dst)
+        case "nanos" => writeNanosReadings(s"$dst/part0.parquet")
+      }
+      root
+    }
+    val sql = "SELECT time, kind, value FROM extdb.readings " +
+      "WHERE time >= '2024-01-10T00:00:00Z' AND time < '2024-01-12T00:00:00Z'"
+    val results = Seq("int64", "us_ltz", "us_ntz", "nanos").map { enc =>
+      val engine = new Engine(spark, new Catalog(mkLake(enc)))
+      val df = engine.query(sql, "")
+      assert(df.schema("time").dataType ==
+        org.apache.spark.sql.types.LongType, s"encoding $enc")
+      enc -> df.collect().map(_.toString).sorted.toSeq
+    }.toMap
+    assert(results("int64").nonEmpty, "fixture range must match rows")
+    Seq("us_ltz", "us_ntz", "nanos").foreach { enc =>
+      assert(results(enc) == results("int64"),
+        s"engine rows differ on $enc (${results(enc).size} vs ${results("int64").size})")
+    }
+  }
+
   test("all TimeSeries queries analyze and agree across ts encodings") {
     def canon(df: DataFrame): Seq[String] =
       df.collect().map(_.toString).sorted.toSeq
