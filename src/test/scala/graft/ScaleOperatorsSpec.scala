@@ -275,4 +275,108 @@ class ScaleOperatorsSpec extends AnyFunSuite {
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(kerSim == relSim, "simhash mismatch vs relational twin")
   }
+
+  /** Capture WARN+ log events emitted anywhere in the JVM while `body`
+    * runs — the hot-bucket guards promise a LOGGED drop, and that
+    * promise is part of the contract under test (a silent drop at
+    * 100 TB is a wrong-results incident, a logged one is a tuning
+    * decision). */
+  private def captureWarns[A](body: => A): (A, Seq[String]) = {
+    import org.apache.logging.log4j.{Level, LogManager}
+    import org.apache.logging.log4j.core.{LogEvent, LoggerContext}
+    import org.apache.logging.log4j.core.appender.AbstractAppender
+    import org.apache.logging.log4j.core.config.Property
+    val ctx = LogManager.getContext(false).asInstanceOf[LoggerContext]
+    val msgs = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    val app = new AbstractAppender(
+        "graft-warn-capture", null, null, true, Property.EMPTY_ARRAY) {
+      override def append(e: LogEvent): Unit =
+        msgs.add(e.getMessage.getFormattedMessage)
+    }
+    app.start()
+    val rootCfg = ctx.getConfiguration.getRootLogger
+    rootCfg.addAppender(app, Level.WARN, null)
+    ctx.updateLoggers()
+    try {
+      val a = body
+      import scala.jdk.CollectionConverters._
+      (a, msgs.asScala.toSeq)
+    } finally {
+      rootCfg.removeAppender("graft-warn-capture")
+      ctx.updateLoggers()
+      app.stop()
+    }
+  }
+
+  test("semanticDedup maxCellSize keeps a degenerate cell from going quadratic") {
+    // adversarial skew: 1200 IDENTICAL embeddings collapse into one
+    // k-means cell — uncapped, the within-cell self-join is 1200²/2
+    // cosine evaluations on ONE task (the hot-cell analogue of a hot
+    // LSH bucket). With maxCellSize the cohort is dropped (members
+    // stay singletons, logged), while near-dups in healthy cells still
+    // canonicalize.
+    import graft.operators.Similarity
+    def unit(x: Double, y: Double, z: Double): Seq[Float] = {
+      val n = math.sqrt(x * x + y * y + z * z)
+      Seq((x / n).toFloat, (y / n).toFloat, (z / n).toFloat)
+    }
+    val hot = (0L until 1200L).map(i => (i, unit(1, 0, 0)))
+    val twins = Seq((5001L, unit(0, 1, 0)), (5002L, unit(0.02, 1, 0)))
+    val lone = Seq((6001L, unit(0, 0, 1)))
+    val emb = (hot ++ twins ++ lone).toDF("id", "embedding")
+    val (rows, logs) = captureWarns {
+      Similarity.semanticDedup(emb, "id", "embedding",
+          minCos = 0.9, nlist = 2, iters = 4, maxCellSize = Some(100))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
+    }
+    // every member of the dropped cohort stays a singleton — capped
+    // means NO pair work, not wrong merges
+    val hotRows = rows.filter(_._1 < 1200L)
+    assert(hotRows.length == 1200 && hotRows.forall(_._3),
+      "capped cell members must stay canonical singletons")
+    // healthy cells are untouched by the guard: the twins still glue
+    val t = rows.find(_._1 == 5002L).get
+    assert(t._2 == 5001L && !t._3, s"twin must canonicalize, got $t")
+    assert(rows.find(_._1 == 6001L).get._3)
+    assert(logs.exists(m => m.contains("semanticDedup") && m.contains("skipping")),
+      s"drop must be logged; captured: ${logs.take(5).mkString(" | ")}")
+  }
+
+  test("streaming dedup maxPerBucket bounds state and candidates on a hot bucket") {
+    // 150 identical docs arrive as a stream: every band bucket is the
+    // SAME hot bucket, and uncapped state would pair quadratically
+    // (16 bands × n²/2). maxPerBucket stores only the first 20
+    // signatures per bucket — candidates stay ≤ Σ min(i,cap) per band,
+    // the saturation is logged, and the pipeline keeps running.
+    import graft.streaming.StreamingDedup
+    val n = 150
+    val cap = 20
+    val dir = java.nio.file.Files.createTempDirectory(
+      new java.io.File("target").toPath.toAbsolutePath, "satdedup").toString
+    (0L until n.toLong).map(i =>
+        (i, "the same exact document text repeated over and over again verbatim"))
+      .toDF("doc_id", "text").coalesce(1).write.mode("overwrite").parquet(dir)
+    val stream = spark.readStream
+      .schema("doc_id LONG, text STRING").parquet(dir)
+    val q = StreamingDedup.nearDupCandidates(stream, "doc_id", "text",
+        shingleWords = 3, k = 64, bands = 16, maxPerBucket = Some(cap))
+      .writeStream.format("memory").queryName("satdedup")
+      .outputMode("append").start()
+    val (_, logs) = captureWarns {
+      try q.processAllAvailable() finally q.stop()
+    }
+    val emitted = spark.table("satdedup")
+    val distinctPairs = emitted.select("id_a", "id_b").distinct().count()
+    // per band an arrival pairs with ≤ cap stored signatures; identical
+    // docs share identical buckets across bands, so the distinct pair
+    // set is Σ_{i<n} min(i, cap) — far below the n(n-1)/2 quadratic
+    val bound = (0 until n).map(i => math.min(i, cap)).sum.toLong
+    assert(distinctPairs <= bound,
+      s"capped candidates must stay ≤ $bound, got $distinctPairs")
+    assert(distinctPairs > 0, "pre-cap arrivals must still pair")
+    assert(distinctPairs < n.toLong * (n - 1) / 2,
+      "cap must prevent the quadratic pair set")
+    assert(logs.exists(_.contains("saturated")),
+      s"saturation must be logged; captured: ${logs.take(5).mkString(" | ")}")
+  }
 }
