@@ -260,4 +260,49 @@ object Similarity {
       .select(col("id_a"), col("id_b"),
         round(dot(col("va"), col("vb")) / (col("na") * col("nb")), 4).as("cos_sim"))
   }
+
+  /**
+   * Hard-negative mining for contrastive/retrieval training: for each
+   * query vector, the k most-cosine-similar corpus vectors carrying a
+   * DIFFERENT label (the "hard" negatives — close in embedding space,
+   * wrong by supervision).
+   *
+   * Scale shape: the query batch (a training batch — small by
+   * construction) is broadcast against ONE scan of the corpus; the
+   * per-query top-k is a typed bounded-heap aggregate
+   * ([[graft.functions.TopKByScore]]), so Spark plans a partial/final
+   * hash aggregate — each map task reduces its corpus slice to ≤ k
+   * candidates per query and only those shuffle. The window-function
+   * formulation (`row_number over partition by query`) would shuffle
+   * the ENTIRE |queries| × |corpus| scored stream; this moves
+   * O(queries × k × tasks).
+   *
+   * cos_sim is rounded to 4 decimals BEFORE ranking so the ordering
+   * (cos desc, id asc) is reproducible against a SQL oracle computing
+   * the same rounded score. Degenerate (zero/NaN/Inf-norm) vectors are
+   * excluded on both sides, as everywhere in this module.
+   *
+   * @return (q_id, rank, n_id, n_label, cos_sim), rank 1..k per query
+   */
+  def hardNegatives(emb: DataFrame, idCol: String, vecCol: String,
+                    labelCol: String, queryPred: Column, k: Int): DataFrame = {
+    require(k > 0, "k must be positive")
+    val clean = emb.filter(finiteNorm(norm(col(vecCol))))
+    val q = clean.filter(queryPred).select(
+      col(idCol).as("q_id"), col(vecCol).as("__qv"), col(labelCol).as("__ql"))
+    val topk = org.apache.spark.sql.functions.udaf(
+      new graft.functions.TopKByScore(k))
+    val scored = clean
+      .join(broadcast(q), col(labelCol) =!= col("__ql"))
+      .select(col("q_id"),
+        round(cosine(col(vecCol), col("__qv")), 4).as("__score"),
+        col(idCol).cast("long").as("__id"),
+        col(labelCol).cast("long").as("__tag"))
+    scored.groupBy(col("q_id"))
+      .agg(topk(col("__score"), col("__id"), col("__tag")).as("top"))
+      .select(col("q_id"), posexplode(col("top")).as(Seq("__pos", "n")))
+      .select(col("q_id"), (col("__pos") + 1).cast("int").as("rank"),
+        col("n.id").as("n_id"), col("n.tag").cast("int").as("n_label"),
+        col("n.score").as("cos_sim"))
+  }
 }

@@ -270,6 +270,15 @@ object Pipeline {
         .orderBy(col("doc_id"))
     }),
 
+    // hard-negative mining for contrastive training: per query vector
+    // the 5 most-similar OTHER-label vectors, via the bounded-heap
+    // partial-agg top-k (no window shuffle of the scored stream)
+    "qAM_hard_negatives" -> ((s, dir) => {
+      Similarity.hardNegatives(T(s, dir)("embeddings"), "vec_id",
+          "embedding", "label", col("vec_id") < 20, k = 5)
+        .orderBy(col("q_id"), col("rank"))
+    }),
+
     // perceptual AUDIO near-dup END-TO-END (the audio twin of qA3):
     // per doc pair (2s, 2s+1) a seed-keyed 65-segment envelope WAV and
     // its resampled (half rate, half samples) + gain-shifted (/2)
@@ -1429,6 +1438,20 @@ object Pipeline {
       ORDER BY id_a, id_b""",
     "qAH_bpe_train" -> Bpe.oracleSql(20),
     "qAK_bpe_encode" -> Bpe.encodeOracleSql(20),
+    "qAM_hard_negatives" -> """
+      WITH q AS (SELECT vec_id AS q_id, CAST(embedding AS DOUBLE[]) AS qv,
+                        label AS q_label
+                 FROM embeddings WHERE vec_id < 20),
+           scored AS (
+             SELECT q.q_id, e.vec_id AS n_id, e.label AS n_label,
+                    round(list_cosine_similarity(
+                      CAST(e.embedding AS DOUBLE[]), q.qv), 4) AS cos_sim
+             FROM embeddings e JOIN q ON e.label != q.q_label)
+      SELECT q_id, CAST(rnk AS INT) AS rank, n_id, n_label, cos_sim
+      FROM (SELECT *, row_number() OVER
+              (PARTITION BY q_id ORDER BY cos_sim DESC, n_id) AS rnk
+            FROM scored)
+      WHERE rnk <= 5 ORDER BY q_id, rank""",
     "q61_fingerprint_rolling" -> s"""
       WITH c AS (
         SELECT doc_id,
