@@ -83,4 +83,20 @@ class Round9OpsSpec extends AnyFunSuite {
     val g0 = got.filter(_._1 == 0L).sortBy(_._2)
     assert(g0.length == 10 && g0.forall(!_._3.isNaN))
   }
+
+  test("hardNegatives plans as a partial/final aggregate (map-side combine)") {
+    // the operator's scale claim is that each map task reduces its
+    // corpus slice to <= k candidates per query BEFORE the shuffle —
+    // i.e. the physical plan carries a partial-mode TopKByScore below
+    // the exchange and a final above it, exactly like a sum. Pin it so
+    // a refactor to a window (full scored-stream shuffle) fails here.
+    val emb = Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
+    val plan = Similarity.hardNegatives(emb, "vec_id", "embedding", "label",
+        col("vec_id") < 20, k = 5)
+      .queryExecution.executedPlan.toString
+    assert(plan.toLowerCase.contains("partial_topkbyscore"),
+      s"expected a partial-mode TopKByScore below the exchange:\n$plan")
+    assert(!plan.contains("Window"),
+      "hardNegatives must not degrade to a window over the scored stream")
+  }
 }
