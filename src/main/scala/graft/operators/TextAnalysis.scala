@@ -698,4 +698,76 @@ object TextAnalysis {
       .orderBy(col("bm25").desc, col("doc_id"))
       .limit(topK)
   }
+
+  /**
+   * Corpus-drift report: pairwise KL divergence KL(P_a ‖ P_b) between
+   * the add-one-smoothed unigram token distributions of every source
+   * pair — the mixture-monitoring signal ("has source X's language
+   * shifted away from source Y / from last week's snapshot").
+   * Smoothing is over the union vocabulary V of ALL sources:
+   * p_s(t) = (c_s(t)+1) / (N_s+|V|), so every KL term is finite and
+   * Σ_t p_s(t) = 1 exactly.
+   *
+   * Scale shape: the naive formulation full-outer-joins the two count
+   * vectors PER PAIR — S² joins over token tables. Algebraically,
+   * every cross-support term telescopes through per-source totals:
+   * with T1=Σp·ln p, T2=Σp, T3=Σln p over each source's own support
+   * and J*=the same sums restricted to the pair's SHARED tokens,
+   *
+   *   KL(a‖b) = J1 + (T1a−J2) − ln(p_b0)(T2a−J3)
+   *           + p_a0[(|B|−|A∩B|)·ln(p_a0) − (T3b−J4)]
+   *           + (|V|−|A|−|B|+|A∩B|)·p_a0·(ln p_a0 − ln p_b0)
+   *
+   * so ONE equi-join of the token-count table with itself (shuffled by
+   * token, never by pair) plus metadata-sized per-source aggregates
+   * covers all S² pairs. |V| is a single driver scalar (the same
+   * census-collect envelope as capBuckets).
+   *
+   * @return (src_a, src_b, kl_div) for every ordered pair, kl rounded
+   *         to 4 decimals (the cross-engine float-sum envelope)
+   */
+  def klDriftMatrix(docs: DataFrame, srcCol: String, textCol: String): DataFrame = {
+    val counts = docs
+      .select(col(srcCol).as("src"), explode(tokens(col(textCol))).as("t"))
+      .groupBy("src", "t").agg(count(lit(1)).cast("double").as("c"))
+    val v = counts.select("t").distinct().count().toDouble
+    val tot = counts.groupBy("src")
+      .agg(sum("c").as("n"), count(lit(1)).cast("double").as("supp"))
+    val p = counts.join(broadcast(tot.select("src", "n")), "src")
+      .select(col("src"), col("t"),
+        ((col("c") + 1.0) / (col("n") + lit(v))).as("p"))
+      .withColumn("lp", log(col("p")))
+    val per = p.groupBy("src")
+      .agg(sum(col("p") * col("lp")).as("t1"), sum("p").as("t2"),
+        sum("lp").as("t3"), count(lit(1)).cast("double").as("supp"))
+      .join(tot.select("src", "n"), "src")
+      .withColumn("p0", lit(1.0) / (col("n") + lit(v)))
+      .withColumn("lp0", log(col("p0")))
+    val pairj = p.as("a").join(p.as("b"),
+        col("a.t") === col("b.t") && col("a.src") =!= col("b.src"))
+      .groupBy(col("a.src").as("sa"), col("b.src").as("sb"))
+      .agg(sum(col("a.p") * (col("a.lp") - col("b.lp"))).as("j1"),
+        sum(col("a.p") * col("a.lp")).as("j2"),
+        sum(col("a.p")).as("j3"),
+        sum(col("b.lp")).as("j4"),
+        count(lit(1)).cast("double").as("ji"))
+    val pa = per.select(col("src").as("sa"), col("t1").as("t1a"),
+      col("t2").as("t2a"), col("supp").as("suppa"),
+      col("p0").as("pa0"), col("lp0").as("lpa0"))
+    val pb = per.select(col("src").as("sb"), col("t3").as("t3b"),
+      col("supp").as("suppb"), col("lp0").as("lpb0"))
+    pa.crossJoin(pb).filter(col("sa") =!= col("sb"))
+      .join(pairj, Seq("sa", "sb"), "left")
+      .na.fill(0.0, Seq("j1", "j2", "j3", "j4", "ji"))
+      .select(col("sa").as("src_a"), col("sb").as("src_b"),
+        round(col("j1")
+          + (col("t1a") - col("j2"))
+          - col("lpb0") * (col("t2a") - col("j3"))
+          + col("pa0") * ((col("suppb") - col("ji")) * col("lpa0")
+            - (col("t3b") - col("j4")))
+          + (lit(v) - col("suppa") - col("suppb") + col("ji"))
+            * col("pa0") * (col("lpa0") - col("lpb0")), 4)
+          .as("kl_div"))
+      .orderBy("src_a", "src_b")
+  }
 }

@@ -279,6 +279,12 @@ object Pipeline {
         .orderBy(col("q_id"), col("rank"))
     }),
 
+    // corpus-drift monitoring: pairwise smoothed unigram KL between
+    // sources — ONE token-level self-join covers all S² pairs via the
+    // telescoped decomposition (TextAnalysis.klDriftMatrix scaladoc)
+    "qAN_kl_drift" -> ((s, dir) =>
+      TextAnalysis.klDriftMatrix(T(s, dir)("documents"), "source", "text")),
+
     // perceptual AUDIO near-dup END-TO-END (the audio twin of qA3):
     // per doc pair (2s, 2s+1) a seed-keyed 65-segment envelope WAV and
     // its resampled (half rate, half samples) + gain-shifted (/2)
@@ -1452,6 +1458,48 @@ object Pipeline {
               (PARTITION BY q_id ORDER BY cos_sim DESC, n_id) AS rnk
             FROM scored)
       WHERE rnk <= 5 ORDER BY q_id, rank""",
+    // the SAME telescoped decomposition as the Spark side — identical
+    // term grouping keeps the float sums inside the round(4) envelope
+    "qAN_kl_drift" -> """
+      WITH counts AS (
+        SELECT src, t, CAST(count(*) AS DOUBLE) AS c
+        FROM (SELECT source AS src, unnest(regexp_extract_all(text, '\S+')) AS t
+              FROM documents)
+        GROUP BY 1, 2),
+      vocab AS (SELECT CAST(count(DISTINCT t) AS DOUBLE) AS v FROM counts),
+      tot AS (SELECT src, sum(c) AS n, CAST(count(*) AS DOUBLE) AS supp
+              FROM counts GROUP BY 1),
+      p AS (SELECT c.src, c.t,
+                   (c.c + 1) / (tot.n + vocab.v) AS p,
+                   ln((c.c + 1) / (tot.n + vocab.v)) AS lp
+            FROM counts c, tot, vocab WHERE c.src = tot.src),
+      per AS (SELECT src, sum(p * lp) AS t1, sum(p) AS t2, sum(lp) AS t3,
+                     CAST(count(*) AS DOUBLE) AS supp
+              FROM p GROUP BY 1),
+      per2 AS (SELECT per.src, t1, t2, t3, per.supp,
+                      1.0 / (tot.n + vocab.v) AS p0,
+                      ln(1.0 / (tot.n + vocab.v)) AS lp0
+               FROM per, tot, vocab WHERE per.src = tot.src),
+      pairj AS (SELECT a.src AS sa, b.src AS sb,
+                       sum(a.p * (a.lp - b.lp)) AS j1,
+                       sum(a.p * a.lp) AS j2,
+                       sum(a.p) AS j3,
+                       sum(b.lp) AS j4,
+                       CAST(count(*) AS DOUBLE) AS ji
+                FROM p a JOIN p b ON a.t = b.t AND a.src != b.src
+                GROUP BY 1, 2)
+      SELECT pa.src AS src_a, pb.src AS src_b,
+             round(coalesce(j1, 0) + (pa.t1 - coalesce(j2, 0))
+                   - pb.lp0 * (pa.t2 - coalesce(j3, 0))
+                   + pa.p0 * ((pb.supp - coalesce(ji, 0)) * pa.lp0
+                              - (pb.t3 - coalesce(j4, 0)))
+                   + (vocab.v - pa.supp - pb.supp + coalesce(ji, 0))
+                     * pa.p0 * (pa.lp0 - pb.lp0), 4) AS kl_div
+      FROM per2 pa
+      JOIN per2 pb ON pa.src != pb.src
+      CROSS JOIN vocab
+      LEFT JOIN pairj ON pairj.sa = pa.src AND pairj.sb = pb.src
+      ORDER BY 1, 2""",
     "q61_fingerprint_rolling" -> s"""
       WITH c AS (
         SELECT doc_id,

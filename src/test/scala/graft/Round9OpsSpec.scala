@@ -99,4 +99,49 @@ class Round9OpsSpec extends AnyFunSuite {
     assert(!plan.contains("Window"),
       "hardNegatives must not degrade to a window over the scored stream")
   }
+
+  test("klDriftMatrix equals the definitional full-vocabulary KL") {
+    // the operator computes KL through the telescoped per-source /
+    // shared-token decomposition (one join for all pairs); pin it
+    // against the definition — an explicit sum over the ENTIRE union
+    // vocabulary per pair — on a corpus with every support pattern:
+    // shared tokens, a-only, b-only, and neither-side tokens
+    import graft.operators.TextAnalysis
+    val docs = Seq(
+      (1L, "a", "the cat sat on the mat"),
+      (2L, "a", "the dog ate the bone"),
+      (3L, "b", "quantum flux capacitor engaged"),
+      (4L, "b", "the flux of the capacitor"),
+      (5L, "c", "the cat sat on the mat")).toDF("doc_id", "source", "text")
+    val got = TextAnalysis.klDriftMatrix(docs, "source", "text").collect()
+      .map(r => ((r.getString(0), r.getString(1)), r.getDouble(2))).toMap
+
+    val bySrc: Map[String, Map[String, Long]] = Seq(
+      "a" -> "the cat sat on the mat the dog ate the bone",
+      "b" -> "quantum flux capacitor engaged the flux of the capacitor",
+      "c" -> "the cat sat on the mat").toMap
+      .view.mapValues(_.split("\\s+").groupBy(identity)
+        .view.mapValues(_.length.toLong).toMap).toMap
+    val vocab = bySrc.values.flatMap(_.keys).toSet
+    val v = vocab.size.toDouble
+    def p(src: String, t: String): Double = {
+      val cs = bySrc(src)
+      (cs.getOrElse(t, 0L) + 1.0) / (cs.values.sum + v)
+    }
+    val want = (for {
+      a <- bySrc.keys; b <- bySrc.keys if a != b
+    } yield (a, b) -> vocab.toSeq.map { t =>
+      p(a, t) * math.log(p(a, t) / p(b, t))
+    }.sum).toMap
+
+    assert(got.keySet == want.keySet && got.nonEmpty)
+    got.foreach { case (k, kl) =>
+      assert(math.abs(kl - want(k)) <= 1.1e-4, s"$k: got $kl want ${want(k)}")
+      assert(kl >= 0.0, s"KL must be non-negative, got $kl for $k")
+    }
+    // drift is asymmetric and discriminative: the near-identical pair
+    // (c is a subset of a's language) diverges far less than the
+    // disjoint-topic pair
+    assert(got(("c", "a")) < got(("b", "a")))
+  }
 }
