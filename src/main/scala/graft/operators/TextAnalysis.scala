@@ -727,9 +727,15 @@ object TextAnalysis {
    *         to 4 decimals (the cross-engine float-sum envelope)
    */
   def klDriftMatrix(docs: DataFrame, srcCol: String, textCol: String): DataFrame = {
+    // checkpoint the token-count table: FIVE consumers (|V| census, the
+    // per-source totals, per-source sums, and both sides of the pair
+    // join) would otherwise each re-run the corpus tokenize + count
+    // shuffle — the q89 recompute lesson (blocks freed by the
+    // ContextCleaner once the frame is unreachable)
     val counts = docs
       .select(col(srcCol).as("src"), explode(tokens(col(textCol))).as("t"))
       .groupBy("src", "t").agg(count(lit(1)).cast("double").as("c"))
+      .localCheckpoint(true)
     val v = counts.select("t").distinct().count().toDouble
     val tot = counts.groupBy("src")
       .agg(sum("c").as("n"), count(lit(1)).cast("double").as("supp"))
