@@ -87,6 +87,16 @@ object Bench {
         case t: Throwable => warmupErrors.put(name, errMsg(t))
       }
     }
+    // settle the JVM between passes: the warmup leaves ~150 queries of
+    // soft debris (unreachable localCheckpoint blocks pending the
+    // ContextCleaner, promotion-heavy young gen), and whichever queries
+    // run FIRST in the next pass otherwise absorb the collection pauses
+    // (observed: q37–q45 at 5–10× their isolated times right after
+    // warmup, normal when re-run alone). An explicit full GC drains the
+    // reference queue so the cleaner can drop the blocks, then a short
+    // pause lets it run — measurement hygiene, not a speedup.
+    def settle(): Unit = { System.gc(); Thread.sleep(1000); System.gc() }
+    settle()
     /** Elapsed seconds, or None (+ errors entry) when the query threw. */
     def timed(name: String,
               fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Option[Double] = {
@@ -118,6 +128,7 @@ object Bench {
     var wall = seqResults.map(_._2).sum // overwritten by the conc wall below
     var concJson = "{}"
     var concResults: Seq[(String, Double)] = Nil
+    if (mode == "both") settle() // seq debris must not bill the conc wall
     if (mode != "seq") {
       // NOTE on pass ordering: whichever pass runs LAST in this JVM
       // pays an aging tax (measured: conc-only in a fresh JVM walls

@@ -97,4 +97,41 @@ class PropertySpecs extends AnyFunSuite {
       assert(Tables.widen(w, a) == w && Tables.widen(w, b) == w)
     }
   }
+
+  test("TopKByScore: any reduce/merge interleaving equals global sort-take") {
+    // the aggregator's distributed contract: whatever order rows arrive
+    // and however partial buffers merge, the result is the k best by
+    // (score desc, id asc). Random inputs (duplicate scores AND ids,
+    // k larger/smaller than the input) exercised through random
+    // partition splits + pairwise buffer merges, against sort-take.
+    val agg = new graft.functions.TopKByScore(8)
+    import graft.functions.TopKByScore.In
+    val rowGen = for {
+      score <- Gen.oneOf(Gen.choose(-5, 5).map(_.toDouble),
+        Gen.const(Double.NaN))
+      id <- Gen.choose(0L, 30L)
+    } yield In(score, id, 0L)
+    val caseGen = for {
+      n <- Gen.choose(0, 60)
+      rows <- Gen.listOfN(n, rowGen)
+      nSplits <- Gen.choose(1, 6)
+    } yield (rows, nSplits)
+    samples(caseGen, 300).foreach { case (rows, nSplits) =>
+      val parts = rows.grouped(math.max(1, rows.size / nSplits)).toSeq
+      val merged = parts
+        .map(p => p.foldLeft(agg.zero)(agg.reduce))
+        .foldLeft(agg.zero)(agg.merge)
+      val want = rows.sortWith { (a, b) =>
+        if (a.score.isNaN && b.score.isNaN) a.id < b.id
+        else if (a.score.isNaN) false
+        else if (b.score.isNaN) true
+        else if (a.score != b.score) a.score > b.score
+        else a.id < b.id
+      }.take(8)
+      // NaN != NaN breaks == on In; compare via bit patterns
+      def key(in: In) = (java.lang.Double.doubleToLongBits(in.score), in.id)
+      assert(agg.finish(merged).map(key) == want.map(key),
+        s"rows=$rows splits=$nSplits")
+    }
+  }
 }
