@@ -776,4 +776,76 @@ object TextAnalysis {
           .as("kl_div"))
       .orderBy("src_a", "src_b")
   }
+
+  /**
+   * Multinomial Naive Bayes text classifier — the classic "quality
+   * filter trained on seed labels" pipeline stage (the role a
+   * fastText/LR classifier plays in GPT-3/CCNet-style curation), in
+   * its DETERMINISTIC closed form: add-one smoothing over the seed's
+   * union vocabulary V gives exact per-token log-odds, so training is
+   * two hash aggregates (no float iterations) and the whole stage
+   * carries a full SQL oracle — unlike an SGD classifier, which would
+   * be rows-only.
+   *
+   *   logit(d) = Σ_t c_d(t)·[ln p(t|+) − ln p(t|−)] + ln(D+) − ln(D−)
+   *   p(t|c)   = (n_c(t)+1) / (N_c+|V|)
+   *
+   * Out-of-vocabulary tokens contribute the constant smoothed weight
+   * ln(1/(N_+ +|V|)) − ln(1/(N_− +|V|)) — handled by a `coalesce`
+   * after the model join, never by dropping them (dropping biases
+   * long unseen-heavy documents toward the prior).
+   *
+   * Scale shape: training reduces the seed to a (token → weight)
+   * model in one shuffle; scoring joins doc token counts with the
+   * model BY TOKEN (broadcast when small, shuffled equi-join at
+   * vocab scale) and sums per doc — partial aggregation end to end,
+   * corpus text shuffled only as (doc, token, count) rows.
+   *
+   * @param seed  labeled training rows (idCol, textCol, labelCol);
+   *              labelCol must be boolean-castable with both classes
+   *              present
+   * @param corpus rows to score (idCol, textCol) — zero-token docs
+   *               score at the prior
+   * @return (idCol, logit rounded to 4, pred = logit > 0)
+   */
+  def nbClassifier(seed: DataFrame, corpus: DataFrame, idCol: String,
+                   textCol: String, labelCol: String): DataFrame = {
+    val st = seed.select(col(labelCol).cast("boolean").as("y"),
+      explode(tokens(col(textCol))).as("t"))
+    val counts = st.groupBy("y", "t")
+      .agg(count(lit(1)).cast("double").as("c")).localCheckpoint(true)
+    val v = counts.select("t").distinct().count().toDouble
+    val tot = counts.groupBy("y").agg(sum("c").as("n")).collect()
+      .map(r => r.getBoolean(0) -> r.getDouble(1)).toMap
+    val docsPerClass = seed
+      .groupBy(col(labelCol).cast("boolean").as("y"))
+      .agg(count(lit(1)).cast("double").as("nd")).collect()
+      .map(r => r.getBoolean(0) -> r.getDouble(1)).toMap
+    require(docsPerClass.keySet == Set(true, false),
+      s"nbClassifier: seed must contain both classes, got ${docsPerClass.keySet}")
+    val nPos = tot.getOrElse(true, 0.0)
+    val nNeg = tot.getOrElse(false, 0.0)
+    // identical float-op FORMS to the SQL oracle (a·b/c reassociation
+    // would move the 4th decimal on knife-edge sums)
+    val oovW = math.log(1.0 / (nPos + v)) - math.log(1.0 / (nNeg + v))
+    val priorDelta =
+      math.log(docsPerClass(true)) - math.log(docsPerClass(false))
+    val model = counts.groupBy("t")
+      .agg(sum(when(col("y"), col("c")).otherwise(0.0)).as("cp"),
+        sum(when(!col("y"), col("c")).otherwise(0.0)).as("cn"))
+      .select(col("t"),
+        (log((col("cp") + 1.0) / lit(nPos + v))
+          - log((col("cn") + 1.0) / lit(nNeg + v))).as("w"))
+    val docToks = corpus
+      .select(col(idCol), explode(tokens(col(textCol))).as("t"))
+      .groupBy(idCol, "t").agg(count(lit(1)).cast("double").as("c"))
+    val scored = docToks.join(model, Seq("t"), "left")
+      .groupBy(idCol)
+      .agg(sum(col("c") * coalesce(col("w"), lit(oovW))).as("s"))
+    corpus.select(col(idCol)).join(scored, Seq(idCol), "left")
+      .select(col(idCol),
+        round(coalesce(col("s"), lit(0.0)) + lit(priorDelta), 4).as("logit"))
+      .withColumn("pred", col("logit") > 0.0)
+      .orderBy(idCol)
+  }
 }

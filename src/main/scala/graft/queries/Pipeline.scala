@@ -285,6 +285,17 @@ object Pipeline {
     "qAN_kl_drift" -> ((s, dir) =>
       TextAnalysis.klDriftMatrix(T(s, dir)("documents"), "source", "text")),
 
+    // seed-trained quality classifier (closed-form Naive Bayes — the
+    // deterministic stand-in for the fastText/LR curation classifier):
+    // train on the doc_id % 5 != 0 split with lang='en' as the label,
+    // score the WHOLE corpus including the held-out fifth
+    "qAO_nb_classifier" -> ((s, dir) => {
+      val d = T(s, dir)("documents")
+      TextAnalysis.nbClassifier(
+        d.filter(col("doc_id") % 5 =!= 0).withColumn("y", col("lang") === "en"),
+        d, "doc_id", "text", "y")
+    }),
+
     // perceptual AUDIO near-dup END-TO-END (the audio twin of qA3):
     // per doc pair (2s, 2s+1) a seed-keyed 65-segment envelope WAV and
     // its resampled (half rate, half samples) + gain-shifted (/2)
@@ -1500,6 +1511,44 @@ object Pipeline {
       CROSS JOIN vocab
       LEFT JOIN pairj ON pairj.sa = pa.src AND pairj.sb = pb.src
       ORDER BY 1, 2""",
+    // identical float-op forms to the Spark side (see nbClassifier)
+    "qAO_nb_classifier" -> """
+      WITH seed AS (SELECT doc_id, text, lang = 'en' AS y
+                    FROM documents WHERE doc_id % 5 != 0),
+      st AS (SELECT y, unnest(regexp_extract_all(text, '\S+')) AS t FROM seed),
+      counts AS (SELECT y, t, CAST(count(*) AS DOUBLE) AS c
+                 FROM st GROUP BY 1, 2),
+      vocab AS (SELECT CAST(count(DISTINCT t) AS DOUBLE) AS v FROM counts),
+      tot AS (SELECT sum(CASE WHEN y THEN c ELSE 0 END) AS npos,
+                     sum(CASE WHEN NOT y THEN c ELSE 0 END) AS nneg
+              FROM counts),
+      prior AS (SELECT CAST(sum(CASE WHEN y THEN 1 ELSE 0 END) AS DOUBLE) AS dp,
+                       CAST(sum(CASE WHEN NOT y THEN 1 ELSE 0 END) AS DOUBLE) AS dn
+                FROM seed),
+      m AS (SELECT t,
+              ln((sum(CASE WHEN y THEN c ELSE 0 END) + 1)
+                 / ((SELECT npos FROM tot) + (SELECT v FROM vocab)))
+            - ln((sum(CASE WHEN NOT y THEN c ELSE 0 END) + 1)
+                 / ((SELECT nneg FROM tot) + (SELECT v FROM vocab))) AS w
+            FROM counts GROUP BY t),
+      dt AS (SELECT doc_id, t, CAST(count(*) AS DOUBLE) AS c
+             FROM (SELECT doc_id, unnest(regexp_extract_all(text, '\S+')) AS t
+                   FROM documents)
+             GROUP BY 1, 2),
+      sc AS (SELECT dt.doc_id,
+               sum(dt.c * coalesce(m.w,
+                 ln(1 / ((SELECT npos FROM tot) + (SELECT v FROM vocab)))
+               - ln(1 / ((SELECT nneg FROM tot) + (SELECT v FROM vocab))))) AS s
+             FROM dt LEFT JOIN m ON dt.t = m.t GROUP BY 1)
+      SELECT d.doc_id,
+             round(coalesce(sc.s, 0)
+                   + (ln((SELECT dp FROM prior)) - ln((SELECT dn FROM prior))), 4)
+               AS logit,
+             round(coalesce(sc.s, 0)
+                   + (ln((SELECT dp FROM prior)) - ln((SELECT dn FROM prior))), 4)
+               > 0 AS pred
+      FROM documents d LEFT JOIN sc ON d.doc_id = sc.doc_id
+      ORDER BY d.doc_id""",
     "q61_fingerprint_rolling" -> s"""
       WITH c AS (
         SELECT doc_id,
