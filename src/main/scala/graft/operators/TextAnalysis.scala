@@ -848,4 +848,77 @@ object TextAnalysis {
       .withColumn("pred", col("logit") > 0.0)
       .orderBy(idCol)
   }
+
+  /** A trained NB model in broadcastable form: per-token log-odds,
+    * the constant out-of-vocabulary weight, and the log-prior delta.
+    * This is the DEPLOYED face of [[nbClassifier]] — the vocabulary
+    * must fit on an executor (standard for a shipped classifier);
+    * corpora whose model can't, score through nbClassifier's token
+    * join instead. */
+  case class NbModel(weights: Map[String, Double], oovW: Double,
+                     priorDelta: Double)
+
+  /** Train [[nbClassifier]]'s closed form and collect it as an
+    * [[NbModel]] (one driver collect of the vocab-sized weight table). */
+  def nbTrain(seed: DataFrame, textCol: String, labelCol: String): NbModel = {
+    val st = seed.select(col(labelCol).cast("boolean").as("y"),
+      explode(tokens(col(textCol))).as("t"))
+    val counts = st.groupBy("y", "t")
+      .agg(count(lit(1)).cast("double").as("c")).localCheckpoint(true)
+    val v = counts.select("t").distinct().count().toDouble
+    val tot = counts.groupBy("y").agg(sum("c").as("n")).collect()
+      .map(r => r.getBoolean(0) -> r.getDouble(1)).toMap
+    val docsPerClass = seed
+      .groupBy(col(labelCol).cast("boolean").as("y"))
+      .agg(count(lit(1)).cast("double").as("nd")).collect()
+      .map(r => r.getBoolean(0) -> r.getDouble(1)).toMap
+    require(docsPerClass.keySet == Set(true, false),
+      s"nbTrain: seed must contain both classes, got ${docsPerClass.keySet}")
+    val nPos = tot.getOrElse(true, 0.0)
+    val nNeg = tot.getOrElse(false, 0.0)
+    val weights = counts.groupBy("t")
+      .agg(sum(when(col("y"), col("c")).otherwise(0.0)).as("cp"),
+        sum(when(!col("y"), col("c")).otherwise(0.0)).as("cn"))
+      .select(col("t"),
+        (log((col("cp") + 1.0) / lit(nPos + v))
+          - log((col("cn") + 1.0) / lit(nNeg + v))).as("w"))
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    NbModel(weights,
+      math.log(1.0 / (nPos + v)) - math.log(1.0 / (nNeg + v)),
+      math.log(docsPerClass(true)) - math.log(docsPerClass(false)))
+  }
+
+  /**
+   * Score documents with a broadcast [[NbModel]] — STATELESS per row,
+   * so the same function works on a batch frame and on a streaming
+   * frame unchanged (the "filter the ingest stream with the offline-
+   * trained quality model" deployment shape; StreamingSpec pins
+   * streamed ≡ batch). mapPartitions, not a per-row UDF: the model
+   * map is resolved once per task from the broadcast.
+   *
+   * Float parity with [[nbClassifier]]: per-token weights are summed
+   * in ONE pass over the token sequence (c·w accumulation grouped per
+   * distinct token first, matching the count-then-sum order), then
+   * rounded identically.
+   */
+  def nbScore(docs: DataFrame, idCol: String, textCol: String,
+              model: NbModel): DataFrame = {
+    val spark = docs.sparkSession
+    val bc = spark.sparkContext.broadcast(model)
+    import spark.implicits._
+    docs.select(col(idCol).cast("long"), col(textCol))
+      .map { r =>
+        val m = bc.value
+        val text = if (r.isNullAt(1)) "" else r.getString(1)
+        val toks = "\\S+".r.findAllIn(text).toSeq
+        // per-distinct-token accumulation, like the batch join's
+        // (doc, token, count) shape; HALF_UP matches Spark's round()
+        val s = toks.groupBy(identity).foldLeft(0.0) { case (acc, (t, occ)) =>
+          acc + occ.size.toDouble * m.weights.getOrElse(t, m.oovW)
+        }
+        val logit = BigDecimal(s + m.priorDelta)
+          .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+        (r.getLong(0), logit, logit > 0.0)
+      }.toDF(idCol, "logit", "pred")
+  }
 }

@@ -327,4 +327,40 @@ class StreamingSpec extends AnyFunSuite {
         Tables.load(spark, dir, "events").count())
     } finally q.stop()
   }
+
+  test("streaming NB quality scoring equals the batch classifier") {
+    // the deployed quality-filter loop: train offline (nbTrain), score
+    // the INGEST STREAM with the broadcast model (nbScore is stateless
+    // per row, so the same function runs on batch and stream frames).
+    // Logits agree with the batch token-join path within the round-4
+    // float envelope; predictions agree away from the knife edge.
+    import graft.operators.TextAnalysis
+    val d = Tables.load(spark, "/root/testdata/sf0.001", "documents")
+    val seed = d.filter(col("doc_id") % 5 =!= 0)
+      .withColumn("y", col("lang") === "en")
+    val model = TextAnalysis.nbTrain(seed, "text", "y")
+    val batch = TextAnalysis
+      .nbClassifier(seed, d, "doc_id", "text", "y")
+      .collect().map(r => r.getLong(0) -> (r.getDouble(1), r.getBoolean(2)))
+      .toMap
+
+    val stream = spark.readStream.schema(d.schema).parquet(stage("documents"))
+    val q = TextAnalysis.nbScore(stream, "doc_id", "text", model)
+      .writeStream.format("memory").queryName("nb_stream")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      val streamed = spark.table("nb_stream")
+        .collect().map(r => r.getLong(0) -> (r.getDouble(1), r.getBoolean(2)))
+        .toMap
+      assert(streamed.keySet == batch.keySet && streamed.nonEmpty)
+      streamed.foreach { case (id, (logit, pred)) =>
+        val (bLogit, bPred) = batch(id)
+        assert(math.abs(logit - bLogit) <= 1.1e-4,
+          s"doc $id: streamed $logit vs batch $bLogit")
+        if (math.abs(bLogit) > 1e-3)
+          assert(pred == bPred, s"doc $id: pred $pred vs $bPred at $bLogit")
+      }
+    } finally q.stop()
+  }
 }
