@@ -64,7 +64,7 @@ object EventStream {
     * reading annotation-drifted files through the empty-probe logical
     * schema; None when the error is something else. Factored out so the
     * detection is unit-testable without driving a failing stream. */
-  private[streaming] def fallbackDiagnosis(err: String,
+  private[graft] def fallbackDiagnosis(err: String,
                                            dirs: Iterable[String]): Option[String] =
     if (dirs.nonEmpty &&
         (err.contains("Parquet column cannot be converted") ||

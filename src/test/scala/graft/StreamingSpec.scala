@@ -328,6 +328,26 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("fallback diagnosis recognizes annotation-drift conversion failures") {
+    // the empty-probe logical-schema fallback's failure-time listener:
+    // a parquet conversion error with fallback dirs on record maps to
+    // the restart remediation; unrelated errors and no-fallback
+    // sessions stay silent
+    val dirs = Seq("/lake/a", "/lake/b")
+    val hit = EventStream.fallbackDiagnosis(
+      "Job aborted: SchemaColumnConvertNotSupportedException: column " +
+        "[ts] expected INT64, found TIMESTAMP(MICROS)", dirs)
+    assert(hit.exists(m => m.contains("/lake/a") && m.contains("restart")))
+    assert(EventStream.fallbackDiagnosis(
+      "Parquet column cannot be converted in file part0.parquet", dirs).isDefined)
+    assert(EventStream.fallbackDiagnosis(
+      "FileNotFoundException: part0.parquet", dirs).isEmpty,
+      "unrelated failures must not claim the drift diagnosis")
+    assert(EventStream.fallbackDiagnosis(
+      "Parquet column cannot be converted", Nil).isEmpty,
+      "no fallback on record → no diagnosis")
+  }
+
   test("streaming NB quality scoring equals the batch classifier") {
     // the deployed quality-filter loop: train offline (nbTrain), score
     // the INGEST STREAM with the broadcast model (nbScore is stateless
