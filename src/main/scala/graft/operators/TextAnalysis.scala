@@ -743,10 +743,31 @@ object TextAnalysis {
       .select(col("src"), col("t"),
         ((col("c") + 1.0) / (col("n") + lit(v))).as("p"))
       .withColumn("lp", log(col("p")))
-    val per = p.groupBy("src")
-      .agg(sum(col("p") * col("lp")).as("t1"), sum("p").as("t2"),
-        sum("lp").as("t3"), count(lit(1)).cast("double").as("supp"))
-      .join(tot.select("src", "n"), "src")
+    // every source present in the INPUT gets a matrix row — a source
+    // whose documents are all token-less still has a well-defined
+    // smoothed distribution (pure add-one over V: p = 1/(0+|V|) for
+    // every token), and silently dropping it would hide a degenerate
+    // ingest partner from the drift report (caught by the randomized
+    // PropertySpecs parity). All-empty-vocabulary input (V = 0) has no
+    // distribution at all → empty result with the output schema.
+    if (v == 0)
+      return docs.sparkSession.createDataFrame(
+        docs.sparkSession.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("src_a",
+            org.apache.spark.sql.types.StringType),
+          org.apache.spark.sql.types.StructField("src_b",
+            org.apache.spark.sql.types.StringType),
+          org.apache.spark.sql.types.StructField("kl_div",
+            org.apache.spark.sql.types.DoubleType))))
+    val srcs = docs.select(col(srcCol).cast("string").as("src")).distinct()
+    val per = srcs
+      .join(p.groupBy("src")
+        .agg(sum(col("p") * col("lp")).as("t1"), sum("p").as("t2"),
+          sum("lp").as("t3"), count(lit(1)).cast("double").as("supp")),
+        Seq("src"), "left")
+      .join(tot.select("src", "n"), Seq("src"), "left")
+      .na.fill(0.0, Seq("t1", "t2", "t3", "supp", "n"))
       .withColumn("p0", lit(1.0) / (col("n") + lit(v)))
       .withColumn("lp0", log(col("p0")))
     val pairj = p.as("a").join(p.as("b"),

@@ -1484,13 +1484,18 @@ object Pipeline {
                    (c.c + 1) / (tot.n + vocab.v) AS p,
                    ln((c.c + 1) / (tot.n + vocab.v)) AS lp
             FROM counts c, tot, vocab WHERE c.src = tot.src),
+      srcs AS (SELECT DISTINCT source AS src FROM documents),
       per AS (SELECT src, sum(p * lp) AS t1, sum(p) AS t2, sum(lp) AS t3,
                      CAST(count(*) AS DOUBLE) AS supp
               FROM p GROUP BY 1),
-      per2 AS (SELECT per.src, t1, t2, t3, per.supp,
-                      1.0 / (tot.n + vocab.v) AS p0,
-                      ln(1.0 / (tot.n + vocab.v)) AS lp0
-               FROM per, tot, vocab WHERE per.src = tot.src),
+      per2 AS (SELECT srcs.src, coalesce(t1, 0) AS t1, coalesce(t2, 0) AS t2,
+                      coalesce(t3, 0) AS t3, coalesce(per.supp, 0) AS supp,
+                      1.0 / (coalesce(tot.n, 0) + vocab.v) AS p0,
+                      ln(1.0 / (coalesce(tot.n, 0) + vocab.v)) AS lp0
+               FROM srcs
+               LEFT JOIN per ON per.src = srcs.src
+               LEFT JOIN tot ON tot.src = srcs.src
+               CROSS JOIN vocab),
       pairj AS (SELECT a.src AS sa, b.src AS sb,
                        sum(a.p * (a.lp - b.lp)) AS j1,
                        sum(a.p * a.lp) AS j2,

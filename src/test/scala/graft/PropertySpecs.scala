@@ -134,4 +134,91 @@ class PropertySpecs extends AnyFunSuite {
         s"rows=$rows splits=$nSplits")
     }
   }
+
+  test("klDriftMatrix telescoping holds on random corpora") {
+    // the operator's one-join decomposition must equal the definitional
+    // full-vocabulary sum for ANY support pattern — random corpora
+    // manufacture disjoint, nested and partially-overlapping supports,
+    // plus empty docs and single-source degeneracies
+    val spark = GraftTestSession.spark
+    import spark.implicits._
+    import graft.operators.TextAnalysis
+    val vocabPool = Vector("aa", "bb", "cc", "dd", "ee", "ff", "gg", "hh")
+    val docGen = for {
+      src <- Gen.oneOf("s1", "s2", "s3")
+      n <- Gen.choose(0, 12)
+      toks <- Gen.listOfN(n, Gen.oneOf(vocabPool))
+    } yield (src, toks.mkString(" "))
+    val corpusGen = Gen.choose(4, 14).flatMap(Gen.listOfN(_, docGen))
+    samples(corpusGen, 25).foreach { corpus =>
+      val df = corpus.zipWithIndex
+        .map { case ((s, t), i) => (i.toLong, s, t) }
+        .toDF("doc_id", "source", "text")
+      val counts: Map[String, Map[String, Long]] = corpus
+        .groupBy(_._1).view.mapValues(_.flatMap(_._2.split("\\s+"))
+          .filter(_.nonEmpty).groupBy(identity)
+          .view.mapValues(_.length.toLong).toMap).toMap
+      val vocab = counts.values.flatMap(_.keys).toSet
+      if (vocab.nonEmpty && counts.size >= 2) {
+        val got = TextAnalysis.klDriftMatrix(df, "source", "text").collect()
+          .map(r => ((r.getString(0), r.getString(1)), r.getDouble(2))).toMap
+        def p(s: String, t: String) =
+          (counts(s).getOrElse(t, 0L) + 1.0) / (counts(s).values.sum + vocab.size)
+        val srcs = counts.keys.toSeq
+        for (a <- srcs; b <- srcs if a != b) {
+          val want = vocab.toSeq.map(t => p(a, t) * math.log(p(a, t) / p(b, t))).sum
+          assert(math.abs(got((a, b)) - want) <= 1.1e-4,
+            s"($a,$b): got ${got((a, b))} want $want in $corpus")
+        }
+      }
+    }
+  }
+
+  test("nbClassifier equals the definitional closed form on random corpora") {
+    val spark = GraftTestSession.spark
+    import spark.implicits._
+    import graft.operators.TextAnalysis
+    val vocabPool = Vector("p1", "p2", "p3", "n1", "n2", "n3", "x1", "x2")
+    val docGen = for {
+      y <- Gen.oneOf(true, false)
+      n <- Gen.choose(0, 10)
+      toks <- Gen.listOfN(n, Gen.oneOf(vocabPool))
+    } yield (y, toks.mkString(" "))
+    val caseGen = for {
+      seedDocs <- Gen.choose(4, 10).flatMap(Gen.listOfN(_, docGen))
+      scoreDocs <- Gen.choose(1, 8).flatMap(Gen.listOfN(_, docGen))
+    } yield (seedDocs, scoreDocs)
+    samples(caseGen, 25).foreach { case (seedDocs, scoreDocs) =>
+      val classes = seedDocs.map(_._1).toSet
+      val seedTokens = seedDocs.flatMap(_._2.split("\\s+")).filter(_.nonEmpty)
+      if (classes == Set(true, false) && seedTokens.nonEmpty) {
+        val seed = seedDocs.zipWithIndex
+          .map { case ((y, t), i) => (i.toLong, t, y) }.toDF("doc_id", "text", "y")
+        val corpus = scoreDocs.zipWithIndex
+          .map { case ((_, t), i) => (1000L + i, t) }.toDF("doc_id", "text")
+        val got = TextAnalysis.nbClassifier(seed, corpus, "doc_id", "text", "y")
+          .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+
+        val byClass = seedDocs.groupBy(_._1).view.mapValues(
+          _.flatMap(_._2.split("\\s+")).filter(_.nonEmpty)
+            .groupBy(identity).view.mapValues(_.length.toLong).toMap).toMap
+        val pos = byClass.getOrElse(true, Map.empty)
+        val neg = byClass.getOrElse(false, Map.empty)
+        val v = (pos.keySet ++ neg.keySet).size.toDouble
+        val (np, nn) = (pos.values.sum.toDouble, neg.values.sum.toDouble)
+        def w(t: String) =
+          math.log((pos.getOrElse(t, 0L) + 1.0) / (np + v)) -
+            math.log((neg.getOrElse(t, 0L) + 1.0) / (nn + v))
+        val prior =
+          math.log(seedDocs.count(_._1).toDouble) -
+            math.log(seedDocs.count(!_._1).toDouble)
+        scoreDocs.zipWithIndex.foreach { case ((_, text), i) =>
+          val want = text.split("\\s+").filter(_.nonEmpty)
+            .map(w).sum + prior
+          assert(math.abs(got(1000L + i) - want) <= 1.1e-4,
+            s"doc $i '$text': got ${got(1000L + i)} want $want")
+        }
+      }
+    }
+  }
 }
