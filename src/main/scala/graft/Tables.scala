@@ -42,11 +42,17 @@ object Tables {
     // tree traversal per query. The injected-rule probe walks the
     // optimizer's batch list once per session and is memoized (weakly,
     // so stopped sessions don't pin).
-    if (!spark.experimental.extraOptimizations.exists(_ eq plans.NsTimeFilterPushdown)
-        && !extensionInjected(spark))
-      spark.experimental.extraOptimizations =
-        spark.experimental.extraOptimizations :+ plans.NsTimeFilterPushdown
+    if (!spark.experimental.extraOptimizations.exists(_ eq plans.NsTimeFilterPushdown))
+      regLock.synchronized { // settle the concurrent-first-query race:
+        // an unsynchronized check-then-append could register twice
+        if (!spark.experimental.extraOptimizations.exists(_ eq plans.NsTimeFilterPushdown)
+            && !extensionInjected(spark))
+          spark.experimental.extraOptimizations =
+            spark.experimental.extraOptimizations :+ plans.NsTimeFilterPushdown
+      }
   }
+
+  private val regLock = new Object
 
   private val extensionChecked = java.util.Collections.synchronizedMap(
     new java.util.WeakHashMap[SparkSession, java.lang.Boolean]())
@@ -71,14 +77,22 @@ object Tables {
         size() > MaxCached
     }
 
-  /** mtime+length stat of the table path — one driver-side FS call,
-    * strictly cheaper than the footer read it guards. 0 when the path
-    * is not yet statable (the read itself will surface the error). */
+  /** mtime+length stat of the table path — one driver-side FS call
+    * (one listing for a directory-backed table: a dir's own mtime does
+    * NOT change when a same-named child is rewritten in place, so the
+    * child (name, len, mtime) triples are mixed in), strictly cheaper
+    * than the footer read it guards. 0 when the path is not yet
+    * statable (the read itself will surface the error). */
   private def fingerprint(spark: SparkSession, path: String): Long =
     try {
       val p = new org.apache.hadoop.fs.Path(path)
-      val st = p.getFileSystem(spark.sparkContext.hadoopConfiguration).getFileStatus(p)
-      st.getModificationTime * 31L + st.getLen
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val st = fs.getFileStatus(p)
+      if (!st.isDirectory) st.getModificationTime * 31L + st.getLen
+      else fs.listStatus(p).foldLeft(1125899906842597L) { (h, c) =>
+        ((h * 31L + c.getPath.getName.hashCode) * 31L + c.getLen) * 31L +
+          c.getModificationTime
+      }
     } catch { case _: Exception => 0L }
 
   def load(spark: SparkSession, dir: String, name: String): DataFrame = {
@@ -89,13 +103,16 @@ object Tables {
       val it = cache.keySet().iterator()
       while (it.hasNext) if (it.next()._1.sparkContext.isStopped) it.remove()
       val hit = cache.get(key)
-      if (hit != null) hit
-      else {
-        val df = normalizeTs(spark.read.parquet(path))
-        cache.put(key, df)
-        df
-      }
+      if (hit != null) return hit
     }
+    // plan construction (file listing + footer schema read — seconds on
+    // a remote lake) happens OUTSIDE the lock so one slow first load
+    // cannot stall every other session's cache hits; a concurrent
+    // duplicate build is harmless (the plans are identical) and the
+    // second put wins
+    val df = normalizeTs(spark.read.parquet(path))
+    cache.synchronized { cache.put(key, df) }
+    df
   }
 
   /** Test hook: current cache keys (session identity, path, fingerprint). */

@@ -101,12 +101,16 @@ object Bpe {
    *
    * `maxVocab` bounds the driver-side vocabulary: the top-N distinct
    * words by (count DESC, word ASC) are kept — a distributed
-   * TakeOrdered, collected small. Uncapped by default (exact); at
-   * open-web scale set it to the memory budget (rare-word pruning is
-   * how every production BPE trainer bounds this same table).
+   * TakeOrdered, collected small. The DEFAULT is capped at 1M words
+   * (~hundreds of MB of driver state) so the default path cannot
+   * driver-OOM on an open-web corpus whose distinct-word table is
+   * unbounded; rare-word pruning is how every production BPE trainer
+   * bounds this same table, and words beyond the cap contribute
+   * negligibly to pair counts. Pass `Int.MaxValue` explicitly for the
+   * exact uncapped run on corpora known to fit.
    */
   def learnMerges(docs: DataFrame, textCol: String, merges: Int,
-                  maxVocab: Int = Int.MaxValue): DataFrame = {
+                  maxVocab: Int = 1000000): DataFrame = {
     require(merges > 0, "merges must be positive")
     val spark = docs.sparkSession
     import spark.implicits._
@@ -322,21 +326,36 @@ object Bpe {
       .agg(sum(col("n_occ") * col("n_toks")).as("n_bpe_tokens"))
   }
 
-  /** A merge list is creation-ordered when every rule's operands are
-    * base symbols (one code point, or [[Eow]]) or the concatenation
-    * produced by a STRICTLY EARLIER rule. Trained lists always are —
-    * a pair can only win a round once both its symbols exist. Under
-    * this invariant, "repeatedly merge the present pair of lowest
-    * rank" is equivalent to "apply every rule in rank order": rule
-    * k's operands cannot be produced by any rule > k, so no later
-    * rule can create an occurrence an earlier pass should have
-    * consumed. */
+  /** A merge list is PQ-safe ("creation-ordered") when
+    *
+    *  1. every rule's operands are base symbols (one code point, or
+    *     [[Eow]]) or the concatenation produced by a STRICTLY EARLIER
+    *     rule, AND
+    *  2. no rule's product equals a string an EARLIER rule consumes as
+    *     an operand.
+    *
+    * (1) alone is NOT sufficient: a product can be created twice —
+    * `[(a,b),(b,c),(a,bc),(abc,d),(ab,c)]` passes (1), but on "abcd"
+    * the rank scan stops at [abc, d] (rule (abc,d) ran before any
+    * `abc` existed) while lowest-rank-first merging applies (ab,c)
+    * and then re-fires the earlier (abc,d) on its product — a
+    * different, WRONG token count. Rejecting products that earlier
+    * rules consume (2) closes that hole: a string created only by
+    * rules later than every rule that consumes it can never re-arm an
+    * already-passed rule. Rejected lists (hand-built, or the rare
+    * trained list where both parses of one string win rounds in the
+    * re-arming order) take the definitional sequential scan instead —
+    * slower, never wrong (BpeScaleSpec pins the counterexample). */
   private[graft] def isCreationOrdered(merges: Seq[(String, String)]): Boolean = {
     val created = mutable.HashSet.empty[String]
+    val consumed = mutable.HashSet.empty[String] // non-base operands so far
     def base(s: String): Boolean =
       s == Eow || (s.nonEmpty && s.codePointCount(0, s.length) == 1)
     merges.forall { case (l, r) =>
-      val ok = (base(l) || created(l)) && (base(r) || created(r))
+      val ok = (base(l) || created(l)) && (base(r) || created(r)) &&
+        !consumed(l + r)
+      if (!base(l)) consumed += l
+      if (!base(r)) consumed += r
       created += (l + r)
       ok
     }

@@ -287,6 +287,16 @@ object Similarity {
   def hardNegatives(emb: DataFrame, idCol: String, vecCol: String,
                     labelCol: String, queryPred: Column, k: Int): DataFrame = {
     require(k > 0, "k must be positive")
+    // the bounded-heap carries (id, label) as longs; a non-integral
+    // column would cast to null and die inside the non-nullable
+    // aggregator encoder with an opaque error — refuse up front
+    Seq(idCol, labelCol).foreach { c =>
+      require(Seq("int", "bigint", "smallint", "tinyint")
+          .contains(emb.schema(c).dataType.simpleString),
+        s"hardNegatives: $c must be an integral column " +
+          s"(got ${emb.schema(c).dataType.simpleString}); map string " +
+          "labels to codes first")
+    }
     val clean = emb.filter(finiteNorm(norm(col(vecCol))))
     val q = clean.filter(queryPred).select(
       col(idCol).as("q_id"), col(vecCol).as("__qv"), col(labelCol).as("__ql"))

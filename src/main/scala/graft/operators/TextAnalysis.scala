@@ -831,6 +831,30 @@ object TextAnalysis {
    */
   def nbClassifier(seed: DataFrame, corpus: DataFrame, idCol: String,
                    textCol: String, labelCol: String): DataFrame = {
+    val core = nbCore(seed, textCol, labelCol)
+    val docToks = corpus
+      .select(col(idCol), explode(tokens(col(textCol))).as("t"))
+      .groupBy(idCol, "t").agg(count(lit(1)).cast("double").as("c"))
+    val scored = docToks.join(core.weights, Seq("t"), "left")
+      .groupBy(idCol)
+      .agg(sum(col("c") * coalesce(col("w"), lit(core.oovW))).as("s"))
+    corpus.select(col(idCol)).join(scored, Seq(idCol), "left")
+      .select(col(idCol),
+        round(coalesce(col("s"), lit(0.0)) + lit(core.priorDelta), 4).as("logit"))
+      .withColumn("pred", col("logit") > 0.0)
+      .orderBy(idCol)
+  }
+
+  /** The ONE training pipeline behind [[nbClassifier]] and [[nbTrain]]:
+    * (token → log-odds weight) frame plus the two scalar constants.
+    * Float-op FORMS here must stay identical to the qAO SQL oracle
+    * (a·b/c reassociation moves the 4th decimal on knife-edge sums) —
+    * which is exactly why this exists once, not twice. */
+  private case class NbCore(weights: DataFrame, oovW: Double,
+                            priorDelta: Double)
+
+  private def nbCore(seed: DataFrame, textCol: String,
+                     labelCol: String): NbCore = {
     val st = seed.select(col(labelCol).cast("boolean").as("y"),
       explode(tokens(col(textCol))).as("t"))
     val counts = st.groupBy("y", "t")
@@ -843,31 +867,18 @@ object TextAnalysis {
       .agg(count(lit(1)).cast("double").as("nd")).collect()
       .map(r => r.getBoolean(0) -> r.getDouble(1)).toMap
     require(docsPerClass.keySet == Set(true, false),
-      s"nbClassifier: seed must contain both classes, got ${docsPerClass.keySet}")
+      s"nb training: seed must contain both classes, got ${docsPerClass.keySet}")
     val nPos = tot.getOrElse(true, 0.0)
     val nNeg = tot.getOrElse(false, 0.0)
-    // identical float-op FORMS to the SQL oracle (a·b/c reassociation
-    // would move the 4th decimal on knife-edge sums)
-    val oovW = math.log(1.0 / (nPos + v)) - math.log(1.0 / (nNeg + v))
-    val priorDelta =
-      math.log(docsPerClass(true)) - math.log(docsPerClass(false))
-    val model = counts.groupBy("t")
+    val weights = counts.groupBy("t")
       .agg(sum(when(col("y"), col("c")).otherwise(0.0)).as("cp"),
         sum(when(!col("y"), col("c")).otherwise(0.0)).as("cn"))
       .select(col("t"),
         (log((col("cp") + 1.0) / lit(nPos + v))
           - log((col("cn") + 1.0) / lit(nNeg + v))).as("w"))
-    val docToks = corpus
-      .select(col(idCol), explode(tokens(col(textCol))).as("t"))
-      .groupBy(idCol, "t").agg(count(lit(1)).cast("double").as("c"))
-    val scored = docToks.join(model, Seq("t"), "left")
-      .groupBy(idCol)
-      .agg(sum(col("c") * coalesce(col("w"), lit(oovW))).as("s"))
-    corpus.select(col(idCol)).join(scored, Seq(idCol), "left")
-      .select(col(idCol),
-        round(coalesce(col("s"), lit(0.0)) + lit(priorDelta), 4).as("logit"))
-      .withColumn("pred", col("logit") > 0.0)
-      .orderBy(idCol)
+    NbCore(weights,
+      math.log(1.0 / (nPos + v)) - math.log(1.0 / (nNeg + v)),
+      math.log(docsPerClass(true)) - math.log(docsPerClass(false)))
   }
 
   /** A trained NB model in broadcastable form: per-token log-odds,
@@ -882,31 +893,10 @@ object TextAnalysis {
   /** Train [[nbClassifier]]'s closed form and collect it as an
     * [[NbModel]] (one driver collect of the vocab-sized weight table). */
   def nbTrain(seed: DataFrame, textCol: String, labelCol: String): NbModel = {
-    val st = seed.select(col(labelCol).cast("boolean").as("y"),
-      explode(tokens(col(textCol))).as("t"))
-    val counts = st.groupBy("y", "t")
-      .agg(count(lit(1)).cast("double").as("c")).localCheckpoint(true)
-    val v = counts.select("t").distinct().count().toDouble
-    val tot = counts.groupBy("y").agg(sum("c").as("n")).collect()
-      .map(r => r.getBoolean(0) -> r.getDouble(1)).toMap
-    val docsPerClass = seed
-      .groupBy(col(labelCol).cast("boolean").as("y"))
-      .agg(count(lit(1)).cast("double").as("nd")).collect()
-      .map(r => r.getBoolean(0) -> r.getDouble(1)).toMap
-    require(docsPerClass.keySet == Set(true, false),
-      s"nbTrain: seed must contain both classes, got ${docsPerClass.keySet}")
-    val nPos = tot.getOrElse(true, 0.0)
-    val nNeg = tot.getOrElse(false, 0.0)
-    val weights = counts.groupBy("t")
-      .agg(sum(when(col("y"), col("c")).otherwise(0.0)).as("cp"),
-        sum(when(!col("y"), col("c")).otherwise(0.0)).as("cn"))
-      .select(col("t"),
-        (log((col("cp") + 1.0) / lit(nPos + v))
-          - log((col("cn") + 1.0) / lit(nNeg + v))).as("w"))
-      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
-    NbModel(weights,
-      math.log(1.0 / (nPos + v)) - math.log(1.0 / (nNeg + v)),
-      math.log(docsPerClass(true)) - math.log(docsPerClass(false)))
+    val core = nbCore(seed, textCol, labelCol)
+    NbModel(core.weights.collect()
+        .map(r => r.getString(0) -> r.getDouble(1)).toMap,
+      core.oovW, core.priorDelta)
   }
 
   /**

@@ -1456,14 +1456,19 @@ object Pipeline {
     "qAH_bpe_train" -> Bpe.oracleSql(20),
     "qAK_bpe_encode" -> Bpe.encodeOracleSql(20),
     "qAM_hard_negatives" -> """
-      WITH q AS (SELECT vec_id AS q_id, CAST(embedding AS DOUBLE[]) AS qv,
-                        label AS q_label
-                 FROM embeddings WHERE vec_id < 20),
+      WITH fin AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v, label
+                   FROM embeddings
+                   WHERE sqrt(list_inner_product(CAST(embedding AS DOUBLE[]),
+                                                 CAST(embedding AS DOUBLE[]))) > 0
+                     AND sqrt(list_inner_product(CAST(embedding AS DOUBLE[]),
+                                                 CAST(embedding AS DOUBLE[])))
+                         <= 1.7976931348623157e308),
+           q AS (SELECT vec_id AS q_id, v AS qv, label AS q_label
+                 FROM fin WHERE vec_id < 20),
            scored AS (
              SELECT q.q_id, e.vec_id AS n_id, e.label AS n_label,
-                    round(list_cosine_similarity(
-                      CAST(e.embedding AS DOUBLE[]), q.qv), 4) AS cos_sim
-             FROM embeddings e JOIN q ON e.label != q.q_label)
+                    round(list_cosine_similarity(e.v, q.qv), 4) AS cos_sim
+             FROM fin e JOIN q ON e.label != q.q_label)
       SELECT q_id, CAST(rnk AS INT) AS rank, n_id, n_label, cos_sim
       FROM (SELECT *, row_number() OVER
               (PARTITION BY q_id ORDER BY cos_sim DESC, n_id) AS rnk

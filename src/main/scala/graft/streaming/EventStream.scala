@@ -81,10 +81,16 @@ object EventStream {
     * a parquet conversion error and at least one readEvents source fell
     * back to its logical schema, log the likely cause + fix. */
   private def installFallbackDiagnostics(spark: SparkSession, dir: String): Unit = {
-    val dirs = fallbackDirs.computeIfAbsent(spark,
-      _ => java.util.concurrent.ConcurrentHashMap.newKeySet[String]())
-    val first = dirs.isEmpty
-    dirs.add(dir)
+    // first-install decision under the map's own lock: two streams
+    // probing empty concurrently must not both register a listener
+    // (every diagnosis would then log twice)
+    val (dirs, first) = fallbackDirs.synchronized {
+      val d = fallbackDirs.computeIfAbsent(spark,
+        _ => java.util.concurrent.ConcurrentHashMap.newKeySet[String]())
+      val f = d.isEmpty
+      d.add(dir)
+      (d, f)
+    }
     if (first) spark.streams.addListener(
       new org.apache.spark.sql.streaming.StreamingQueryListener {
         import org.apache.spark.sql.streaming.StreamingQueryListener._

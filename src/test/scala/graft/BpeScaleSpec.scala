@@ -126,4 +126,26 @@ class BpeScaleSpec extends AnyFunSuite {
     // Eow is a base symbol even though it is multi-char
     assert(Bpe.isCreationOrdered(Seq(("b", Bpe.Eow), ("a", "b" + Bpe.Eow))))
   }
+
+  test("re-arming lists (product == earlier rule's operand) take the scan path") {
+    // every operand here is base or previously created, yet PQ order
+    // diverges: on "abcd" the rank scan never fires (abc,d) — no `abc`
+    // exists when its turn comes — and ends at [abc, d] via (ab,c);
+    // lowest-rank-first would merge (ab,c) and then RE-FIRE the
+    // earlier (abc,d) on the product, ending at [abcd]. The guard must
+    // reject the list so encodeTokenCounts stays on the definitional
+    // sequential semantics.
+    val rearming = Seq(("a", "b"), ("b", "c"), ("a", "bc"),
+      ("abc", "d"), ("ab", "c"))
+    assert(!Bpe.isCreationOrdered(rearming),
+      "a later rule re-creating an earlier rule's operand must disqualify PQ")
+    // end-to-end: the counted tokens follow the sequential semantics
+    val docs = Seq((1L, "abcd")).toDF("doc_id", "text")
+    val n = Bpe.encodeTokenCounts(docs, "doc_id", "text", rearming)
+      .collect().head.getLong(1)
+    var syms = Bpe.charSymbols("abcd")
+    rearming.foreach { case (l, r) => syms = Bpe.applyMerge(syms, l, r) }
+    assert(n == syms.length,
+      s"encodeTokenCounts must match the rank scan: got $n want ${syms.length}")
+  }
 }
