@@ -682,4 +682,77 @@ object Dedup {
         graft.functions.ShingleExprs
           .join_except_positions(col("ch"), col("delpos")).as("clean_text"))
   }
+
+  /** Per-document n-gram NOVELTY under first-occurrence (min doc_id)
+    * semantics — the data-curation signal for "how much of this
+    * document is new text vs boilerplate already in the corpus"
+    * (docs full of previously-seen shingles get novelty → 0 and are
+    * dedup/downsample candidates even when no single pair crosses a
+    * Jaccard threshold).
+    *
+    * Scale shape: three partial-aggregate shuffles and NO wide join —
+    * distinct (doc, gram) pairs, per-doc gram counts, then per-gram
+    * min(doc_id) re-aggregated by the winning doc. The corpus text is
+    * never shuffled (only (doc_id, gram) keys; at 100 TB key grams by
+    * xxhash64 instead of the string, same plan with 8-byte keys). */
+  def ngramNovelty(docs: DataFrame, idCol: String, textCol: String,
+                   shingleWords: Int): DataFrame = {
+    val sh = docs.select(col(idCol).as("doc_id"),
+        explode(coalesce(graft.functions.ShingleExprs
+          .token_grams(col(textCol), shingleWords, overlapping = true),
+          array().cast("array<string>"))).as("gram"))
+      .distinct()
+    val counts = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_grams"))
+    // novelty credit: each distinct gram is "novel" exactly once, for
+    // its min-doc_id owner — so n_novel is a re-aggregation of the
+    // per-gram winners, never a gram-keyed join back to the corpus
+    val novels = sh.groupBy(col("gram")).agg(min(col("doc_id")).as("doc_id"))
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_novel"))
+    docs.select(col(idCol).as("doc_id"))
+      .join(counts, Seq("doc_id"), "left")
+      .join(novels, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_grams"), lit(0L)).as("n_grams"),
+        coalesce(col("n_novel"), lit(0L)).as("n_novel"),
+        when(coalesce(col("n_grams"), lit(0L)) === 0, lit(0.0))
+          .otherwise(round(coalesce(col("n_novel"), lit(0L)).cast("double") /
+            col("n_grams").cast("double"), 6)).as("novelty"))
+  }
+
+  /** Near-dup cluster canonicalization by QUALITY: exact
+    * prefix-filter Jaccard pairs → connected components → keep per
+    * cluster the member maximizing `qualityCol` (ties → smallest
+    * doc_id). This is the production dedup policy ("of N copies keep
+    * the longest / highest-quality one"), vs [[dedupCorpus]]'s
+    * keep-min-id.
+    *
+    * The (quality, −doc_id) preference packs into ONE long key
+    * (q·10⁶ + (10⁶−1−doc_id)) so the winner is a single deterministic
+    * `max_by` integer compare — identical in the DuckDB oracle's
+    * `arg_max`. Contract: doc_id < 10⁶ and quality < 2⁶³/10⁶ (holds
+    * for any bounded quality metric; re-pack with wider position bits
+    * for larger id spaces).
+    *
+    * Scale shape: the pair list is the prefix-filter candidate stream
+    * (pruned, never all-pairs), CC is the O(log n) large/small-star
+    * loop above the driver threshold, and the final keep is one
+    * partial-agg groupBy(component) — nothing wider than a cluster
+    * ever groups. */
+  def clusterKeepBest(docs: DataFrame, idCol: String, textCol: String,
+                      qualityCol: String, minJaccard: Double,
+                      shingleWords: Int = 3): DataFrame = {
+    val pairs = prefixFilterJaccardPairs(docs, idCol, textCol, shingleWords,
+      minJaccard)
+    val cc = ConnectedComponents.run(pairs, "id_a", "id_b")
+    val withComp = docs
+      .select(col(idCol).as("doc_id"), col(qualityCol).cast("long").as("q"))
+      .join(cc.withColumnRenamed("id", "doc_id"), Seq("doc_id"), "left")
+      .select(col("doc_id"), col("q"),
+        coalesce(col("component"), col("doc_id")).as("component"))
+    val key = col("q") * lit(1000000L) + (lit(999999L) - col("doc_id"))
+    withComp.groupBy(col("component"))
+      .agg(max_by(col("doc_id"), key).as("keep_id"),
+        count(lit(1)).as("n_members"),
+        max(col("q")).as("best_q"))
+  }
 }

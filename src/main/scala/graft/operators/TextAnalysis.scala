@@ -314,6 +314,95 @@ object TextAnalysis {
   def fingerprintMd5(text: Column): Column =
     md5(trim(regexp_replace(lower(text), "\\s+", " ")))
 
+  /** Winnowing document fingerprints (Schleimer/Wilkerson/Aiken,
+    * SIGMOD 2003 — the MOSS scheme; distinct from q61's single
+    * whole-document rolling-min hash): hash every overlapping
+    * `k`-word gram, slide a `w`-gram window and keep each window's
+    * MINIMUM hash with the RIGHTMOST tie-break, recording positions.
+    * Guarantees any shared token run of ≥ w+k-1 tokens contributes at
+    * least one shared (position-stamped) fingerprint — the standard
+    * local fingerprint for plagiarism/near-dup detection.
+    *
+    * Scale shape: entirely per-row higher-order-function math inside
+    * one codegen'd projection — ZERO shuffles at any corpus size
+    * (selection over a size-w slice per window start, O(m·w) per doc).
+    * The gram hash is the 40-bit md5 prefix (replayed exactly by the
+    * DuckDB oracle); hash and position pack into one long
+    * (h·2²⁰ + (2²⁰−1−pos)) so min-with-rightmost-tie-break is a
+    * single `array_min`. A document beyond 2²⁰−1 grams fails LOUDLY
+    * (raise_error) rather than fingerprinting wrongly — mirroring the
+    * [[Multimodal]] frame-cap contract.
+    *
+    * Emits one row per selected fingerprint: (doc_id, pos, fp). */
+  def winnowFingerprints(docs: DataFrame, idCol: String, textCol: String,
+                         k: Int = 3, w: Int = 4): DataFrame = {
+    require(k >= 1 && w >= 1, "winnow gram size and window must be >= 1")
+    val PosCap = 1L << 20
+    val grams = coalesce(
+      graft.functions.ShingleExprs.token_grams(col(textCol), k,
+        overlapping = true),
+      array().cast("array<string>"))
+    val keys = transform(grams, (g, i) =>
+      conv(substring(md5(g), 1, 10), 16, 10).cast("long") * lit(PosCap) +
+        (lit(PosCap - 1) - i.cast("long")))
+    val guarded = docs
+      .select(col(idCol).as("doc_id"), keys.as("ks"))
+      .select(col("doc_id"),
+        when(size(col("ks")) >= lit(PosCap),
+          raise_error(concat(lit("winnowFingerprints: document "),
+            col("doc_id").cast("string"),
+            lit(" exceeds the 2^20-gram id-packing cap")))
+            .cast("array<bigint>"))
+          .otherwise(col("ks")).as("ks"))
+    // window starts 0..m−w; a short doc (0 < m < w) gets one
+    // whole-array window (slice truncates at the end, like the
+    // oracle's ROWS frame)
+    val sel = guarded.select(col("doc_id"),
+      when(size(col("ks")) === 0, array().cast("array<bigint>"))
+        .otherwise(array_distinct(transform(
+          sequence(lit(0), greatest(size(col("ks")) - lit(w), lit(0))),
+          j => array_min(slice(col("ks"), j + lit(1), lit(w)))))).as("fps"))
+    sel.select(col("doc_id"), explode(col("fps")).as("key"))
+      .select(col("doc_id"),
+        (lit(PosCap - 1) - col("key").bitwiseAND(lit(PosCap - 1)))
+          .as("pos"),
+        shiftright(col("key"), 20).as("fp"))
+  }
+
+  /** Per-document unigram token ENTROPY + type-token ratio — the
+    * classic lexical-diversity / degenerate-text signals (a crawler
+    * trap repeating one token scores H≈0; natural prose scores near
+    * ln(n_types)). H = ln n − (Σ c·ln c)/n computed in exactly that
+    * association order in both engines for IEEE parity.
+    *
+    * Scale shape: explode → partial-agg by (doc, token) → partial-agg
+    * by doc; both aggregations map-side combine, nothing wider than a
+    * document's type count ever groups, and the corpus text itself is
+    * never shuffled (only (doc_id, token) pairs). */
+  def tokenEntropy(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val tok = docs.select(col(idCol).as("doc_id"),
+      explode(coalesce(tokens(col(textCol)),
+        array().cast("array<string>"))).as("tok"))
+    val per = tok.groupBy(col("doc_id"), col("tok"))
+      .agg(count(lit(1)).as("c"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("c")).as("n_tokens"),
+        count(lit(1)).as("n_types"),
+        sum(col("c").cast("double") * log(col("c").cast("double")))
+          .as("clogc"))
+    docs.select(col(idCol).as("doc_id"))
+      .join(per, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
+        coalesce(col("n_types"), lit(0L)).as("n_types"),
+        when(coalesce(col("n_tokens"), lit(0L)) === 0, lit(0.0))
+          .otherwise(round(log(col("n_tokens").cast("double")) -
+            col("clogc") / col("n_tokens").cast("double"), 6)).as("entropy"),
+        when(coalesce(col("n_tokens"), lit(0L)) === 0, lit(0.0))
+          .otherwise(round(col("n_types").cast("double") /
+            col("n_tokens").cast("double"), 6)).as("ttr"))
+  }
+
   /** PII patterns for [[redactPii]] — deliberately lookaround-free so
     * each is valid and IDENTICAL in Java regex (Spark codegen) and RE2
     * (the DuckDB oracle). Ordering matters and is fixed: emails first

@@ -1065,6 +1065,41 @@ object Pipeline {
           sum(col("n_tokens")).cast("long").as("total_tokens"),
           countDistinct(col("fp")).as("n_unique_fp"))
         .orderBy(col("pred_lang"))
+    }),
+
+    // winnowing (MOSS) local fingerprints: per-row window-min over
+    // packed (hash, pos) keys — zero-shuffle kernel, FULL oracle (the
+    // 40-bit md5 gram hash and the packing replay exactly in SQL)
+    "qAP_winnow_fingerprint" -> ((s, dir) => {
+      TextAnalysis.winnowFingerprints(T(s, dir)("documents"), "doc_id",
+          "text", k = 3, w = 4)
+        .orderBy(col("doc_id"), col("pos"))
+    }),
+
+    // per-doc n-gram novelty vs the whole corpus (first-occurrence
+    // credit): boilerplate-heavy docs score → 0 without any pair ever
+    // crossing a Jaccard threshold — three partial-agg shuffles
+    "qAQ_ngram_novelty" -> ((s, dir) => {
+      Dedup.ngramNovelty(T(s, dir)("documents"), "doc_id", "text",
+          shingleWords = 3)
+        .orderBy(col("doc_id"))
+    }),
+
+    // unigram token entropy + type-token ratio: degenerate/crawler-trap
+    // text detection; H = ln n − (Σ c·ln c)/n in identical association
+    // order for IEEE oracle parity
+    "qAR_token_entropy" -> ((s, dir) => {
+      TextAnalysis.tokenEntropy(T(s, dir)("documents"), "doc_id", "text")
+        .orderBy(col("doc_id"))
+    }),
+
+    // near-dup clusters canonicalized by QUALITY (keep the longest
+    // member, ties → min id) — the production keep-best policy on the
+    // q97 component spine, winner picked by one packed-integer max_by
+    "qAS_cluster_keep_best" -> ((s, dir) => {
+      Dedup.clusterKeepBest(T(s, dir)("documents"), "doc_id", "text",
+          qualityCol = "n_chars", minJaccard = 0.8)
+        .orderBy(col("component"))
     })
   )
 
@@ -2032,6 +2067,84 @@ object Pipeline {
       WHERE rn <= 3 ORDER BY doc_id, rn""",
     "q60_fingerprint_md5" -> """
       SELECT doc_id, md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp
-      FROM documents ORDER BY doc_id"""
+      FROM documents ORDER BY doc_id""",
+    "qAP_winnow_fingerprint" -> """
+      WITH toks AS (SELECT doc_id, regexp_extract_all(text, '\S+') AS t FROM documents),
+      g AS (SELECT doc_id, i - 1 AS pos, len(t) - 2 AS m,
+              t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS gram
+            FROM toks, LATERAL (SELECT unnest(range(1, len(t) - 1)) AS i) u
+            WHERE len(t) >= 3),
+      k AS (SELECT doc_id, pos, m,
+              CAST(list_reduce(list_transform(
+                regexp_extract_all(substring(md5(gram), 1, 10), '.'),
+                c -> CAST(instr('0123456789abcdef', c) - 1 AS BIGINT)),
+                (a, b) -> a * 16 + b) * 1048576 + (1048575 - pos) AS BIGINT) AS key
+            FROM g),
+      wm AS (SELECT doc_id, pos, m,
+               MIN(key) OVER (PARTITION BY doc_id ORDER BY pos
+                 ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS wk
+             FROM k),
+      sel AS (SELECT DISTINCT doc_id, wk FROM wm
+              WHERE pos <= m - 4 OR (m < 4 AND pos = 0))
+      SELECT doc_id, CAST(1048575 - (wk % 1048576) AS BIGINT) AS pos,
+             CAST(wk // 1048576 AS BIGINT) AS fp
+      FROM sel ORDER BY doc_id, pos""",
+    "qAQ_ngram_novelty" -> """
+      WITH toks AS (SELECT doc_id, regexp_extract_all(text, '\S+') AS t FROM documents),
+      sh AS (SELECT DISTINCT doc_id,
+                    unnest(list_transform(range(1, len(t) - 1),
+                      i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS s
+             FROM toks WHERE len(t) >= 3),
+      c AS (SELECT doc_id, COUNT(*) AS n_grams FROM sh GROUP BY 1),
+      f AS (SELECT s, MIN(doc_id) AS doc_id FROM sh GROUP BY 1),
+      nv AS (SELECT doc_id, COUNT(*) AS n_novel FROM f GROUP BY 1)
+      SELECT d.doc_id, CAST(COALESCE(c.n_grams, 0) AS BIGINT) AS n_grams,
+             CAST(COALESCE(nv.n_novel, 0) AS BIGINT) AS n_novel,
+             CASE WHEN COALESCE(c.n_grams, 0) = 0 THEN 0.0
+                  ELSE round(COALESCE(nv.n_novel, 0) / CAST(c.n_grams AS DOUBLE), 6)
+             END AS novelty
+      FROM documents d LEFT JOIN c USING (doc_id) LEFT JOIN nv USING (doc_id)
+      ORDER BY d.doc_id""",
+    "qAR_token_entropy" -> """
+      WITH tok AS (SELECT doc_id, unnest(regexp_extract_all(text, '\S+')) AS tok
+                   FROM documents),
+      cnt AS (SELECT doc_id, tok, COUNT(*) AS c FROM tok GROUP BY 1, 2),
+      per AS (SELECT doc_id, SUM(c) AS n_tokens, COUNT(*) AS n_types,
+                SUM(c * ln(CAST(c AS DOUBLE))) AS clogc
+              FROM cnt GROUP BY 1)
+      SELECT d.doc_id, CAST(COALESCE(n_tokens, 0) AS BIGINT) AS n_tokens,
+             CAST(COALESCE(n_types, 0) AS BIGINT) AS n_types,
+             CASE WHEN COALESCE(n_tokens, 0) = 0 THEN 0.0
+                  ELSE round(ln(CAST(n_tokens AS DOUBLE)) -
+                    clogc / CAST(n_tokens AS DOUBLE), 6) END AS entropy,
+             CASE WHEN COALESCE(n_tokens, 0) = 0 THEN 0.0
+                  ELSE round(n_types / CAST(n_tokens AS DOUBLE), 6) END AS ttr
+      FROM documents d LEFT JOIN per USING (doc_id) ORDER BY d.doc_id""",
+    "qAS_cluster_keep_best" -> """
+      WITH RECURSIVE toks AS (SELECT doc_id, regexp_extract_all(text, '\S+') AS t FROM documents),
+      sh AS (SELECT DISTINCT doc_id,
+                    unnest(list_transform(range(1, len(t) - 1),
+                      i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS s
+             FROM toks WHERE len(t) >= 3),
+      sz AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1),
+      inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS i
+                FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+                GROUP BY 1, 2),
+      pairs AS (SELECT id_a, id_b
+                FROM inter JOIN sz sa ON sa.doc_id = id_a
+                           JOIN sz sb ON sb.doc_id = id_b
+                WHERE i / CAST(sa.n + sb.n - i AS DOUBLE) >= 0.8),
+      edges AS (SELECT id_a AS a, id_b AS b FROM pairs
+                UNION ALL SELECT id_b, id_a FROM pairs),
+      reach(id, r) AS (SELECT doc_id, doc_id FROM documents
+                       UNION
+                       SELECT e.b, reach.r FROM reach JOIN edges e ON e.a = reach.id),
+      comp AS (SELECT id AS doc_id, MIN(r) AS component FROM reach GROUP BY id),
+      j AS (SELECT c.component, d.doc_id, CAST(d.n_chars AS BIGINT) AS q,
+              CAST(d.n_chars AS BIGINT) * 1000000 + (999999 - d.doc_id) AS key
+            FROM comp c JOIN documents d USING (doc_id))
+      SELECT component, arg_max(doc_id, key) AS keep_id,
+             COUNT(*) AS n_members, MAX(q) AS best_q
+      FROM j GROUP BY component ORDER BY component"""
   ).map { case (k, v) => k -> v.trim.replaceAll("\\s+", " ") }
 }

@@ -1,0 +1,116 @@
+package graft
+
+import graft.operators.{Dedup, TextAnalysis}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Round-9 text-curation operators: winnowing fingerprints, n-gram
+  * novelty, token entropy, quality-keeping cluster canonicalization. */
+class WinnowNoveltySpec extends AnyFunSuite {
+  private lazy val spark = GraftTestSession.spark
+  import spark.implicits._
+
+  private def winnow(df: org.apache.spark.sql.DataFrame) =
+    TextAnalysis.winnowFingerprints(df, "doc_id", "text", k = 3, w = 4)
+
+  test("winnowing: shared run of >= w+k-1 tokens shares a fingerprint") {
+    // the paper's guarantee: any match of length >= w+k-1 (= 6 here)
+    // contributes at least one common selected hash
+    val common = "c1 c2 c3 c4 c5 c6"
+    val docs = Seq(
+      (1L, s"p q r $common x y"),
+      (2L, s"a b $common m n o z")).toDF("doc_id", "text")
+    val fps = winnow(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).groupBy(_._1)
+      .map { case (d, a) => d -> a.map(_._2).toSet }
+    assert((fps(1L) & fps(2L)).nonEmpty, "no shared fingerprint on a 6-token run")
+  }
+
+  test("winnowing: coverage (every window selects) and position fidelity") {
+    val toks = (0 until 50).map(i => s"w$i")
+    val docs = Seq((7L, toks.mkString(" "))).toDF("doc_id", "text")
+    val rows = winnow(docs).collect().map(r => (r.getLong(1), r.getLong(2)))
+    val m = 48 // 50 tokens, 3-grams
+    val selPos = rows.map(_._1).toSet
+    (0 to m - 4).foreach { j =>
+      assert((j to j + 3).exists(p => selPos.contains(p.toLong)),
+        s"window starting at $j selected nothing")
+    }
+    // each emitted fp is the 40-bit md5 prefix of the gram AT that pos
+    rows.foreach { case (pos, fp) =>
+      val gram = toks.slice(pos.toInt, pos.toInt + 3).mkString(" ")
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(gram.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      assert(fp == java.lang.Long.parseLong(hex.take(10), 16),
+        s"fp at pos $pos is not the gram's 40-bit md5 prefix")
+    }
+    // density: ~2/(w+1) of positions selected, never more than #windows
+    assert(rows.length <= m - 4 + 1 && rows.length >= (m / 5))
+  }
+
+  test("winnowing: short docs get one whole-array window; tiny docs none") {
+    val docs = Seq(
+      (1L, "a b c d"),        // 2 grams < w: single window, 1 fp
+      (2L, "a b"),            // < k tokens: no grams, no rows
+      (3L, null.asInstanceOf[String])).toDF("doc_id", "text")
+    val by = winnow(docs).collect().groupBy(_.getLong(0))
+    assert(by.getOrElse(1L, Array.empty).length == 1)
+    assert(!by.contains(2L) && !by.contains(3L))
+  }
+
+  test("ngramNovelty: copies score 0, originals 1, partial overlap fractional") {
+    val docs = Seq(
+      (1L, "u v w x y"),      // 3 grams, all first-seen here
+      (2L, "u v w x y"),      // exact copy, later id: nothing novel
+      (3L, "u v w z1 z2"),    // shares gram "u v w" only
+      (4L, "ab")).toDF("doc_id", "text") // too short: 0 grams
+    val got = Dedup.ngramNovelty(docs, "doc_id", "text", 3).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3))))
+      .toMap
+    assert(got(1L) == ((3L, 3L, 1.0)))
+    assert(got(2L) == ((3L, 0L, 0.0)))
+    assert(got(3L) == ((3L, 2L, 0.666667)))
+    assert(got(4L) == ((0L, 0L, 0.0)))
+  }
+
+  test("tokenEntropy: degenerate 0, uniform ln(n), empty zeros") {
+    val docs = Seq(
+      (1L, "x x x x"),
+      (2L, "a b c d"),
+      (3L, "a a b b"),
+      (4L, null.asInstanceOf[String])).toDF("doc_id", "text")
+    val got = TextAnalysis.tokenEntropy(docs, "doc_id", "text").collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4)))).toMap
+    assert(got(1L) == ((4L, 1L, 0.0, 0.25)))
+    assert(got(2L) == ((4L, 4L,
+      BigDecimal(math.log(4)).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+        .toDouble, 1.0)))
+    assert(got(3L) == ((4L, 2L,
+      BigDecimal(math.log(2)).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+        .toDouble, 0.5)))
+    assert(got(4L) == ((0L, 0L, 0.0, 0.0)))
+  }
+
+  test("clusterKeepBest keeps max quality with min-id tie-break") {
+    val t10 = (1 to 10).map(i => s"t$i").mkString(" ")
+    val docs = Seq(
+      (1L, t10),                 // 8 shingles
+      (2L, t10 + " t11"),        // J(1,2)=8/9
+      (3L, t10 + " t11 t12"),    // J(1,3)=8/10=0.8, longest -> winner
+      (4L, "left alone solo island nothing shared here"))
+      .toDF("doc_id", "text")
+      .withColumn("n_chars", length(coalesce(col("text"), lit(""))))
+    val got = Dedup.clusterKeepBest(docs, "doc_id", "text", "n_chars", 0.8)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2))))
+      .toMap
+    assert(got(1L) == ((3L, 3L)), s"cluster 1 wrong: $got") // doc 3 longest
+    assert(got(4L) == ((4L, 1L)))
+    // tie on quality -> smallest id: duplicate texts, equal length
+    val ties = Seq((5L, t10), (6L, t10)).toDF("doc_id", "text")
+      .withColumn("n_chars", length(col("text")))
+    val t = Dedup.clusterKeepBest(ties, "doc_id", "text", "n_chars", 0.8)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(t == Map(5L -> 5L))
+  }
+}
