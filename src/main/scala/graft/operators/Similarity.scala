@@ -261,6 +261,69 @@ object Similarity {
         round(dot(col("va"), col("vb")) / (col("na") * col("nb")), 4).as("cos_sim"))
   }
 
+  /** ±1 sign-projection hyperplanes, seed-fixed: one (table, bit) row
+    * per plane. ±1 entries (vs [[hyperplanes]]' Gaussians) keep every
+    * per-bit dot product an exact left-to-right double sum that a SQL
+    * oracle replays bit-for-bit — signed random projection preserves
+    * the same cosine-angle collision geometry (Charikar 2002), so
+    * nothing is lost vs Gaussian planes except the irreproducible RNG. */
+  private[graft] def signedPlanes(tables: Int, bits: Int,
+                                  dim: Int): Seq[(Int, Int, Seq[Double])] = {
+    val rnd = new scala.util.Random(4242L)
+    for { t <- 0 until tables; b <- 0 until bits }
+      yield (t, b, Seq.fill(dim)(if (rnd.nextBoolean()) 1.0 else -1.0))
+  }
+
+  /** The [[signedPlanes]] as DuckDB VALUES rows `(t, b, s)` — embedded
+    * in the oracle SQL so the bucketing replays exactly. */
+  private[graft] def signedPlanesSql(tables: Int, bits: Int, dim: Int): String =
+    signedPlanes(tables, bits, dim).map { case (t, b, s) =>
+      s"($t, $b, [${s.map(_.toInt).mkString(",")}])"
+    }.mkString(", ")
+
+  /**
+   * FULLY ORACLE-CHECKED embedding near-dup pairs via signed-projection
+   * LSH — the deterministic twin of [[lshPairs]] (whose Gaussian
+   * hyperplanes keep it rows-only). Same banded spine: per-table
+   * sign-bit buckets, hot buckets dropped loudly, candidates deduped
+   * across tables, ONE exact-cosine verification join. Every per-bit
+   * dot is a sequential left-to-right double sum over the
+   * double-cast embedding, identical in the DuckDB replica, so bucket
+   * assignment — and therefore the emitted pair set — matches exactly.
+   */
+  def signedLshPairs(emb: DataFrame, idCol: String, vecCol: String,
+                     bits: Int, dim: Int, tables: Int = 4,
+                     maxBucketSize: Option[Int] = None): DataFrame = {
+    require(tables >= 1 && bits >= 1 && bits <= 30)
+    val planes = signedPlanes(tables, bits, dim)
+    val v = col(vecCol).cast("array<double>")
+    val sigArr = array((0 until tables).map { t =>
+      planes.collect { case (`t`, b, s) => (b, s) }
+        .foldLeft(lit(0)) { case (acc, (b, s)) =>
+          acc.bitwiseOR(shiftleft(
+            when(dot(v, typedLit(s)) > 0, 1).otherwise(0), b))
+        }
+    }: _*)
+    val banded0 = emb.select(col(idCol).as("id"),
+      posexplode(sigArr).as(Seq("table", "bucket")))
+    val banded = Dedup.capBuckets(banded0, Seq("table", "bucket"),
+      maxBucketSize, "signedLshPairs")
+    val cand = banded.as("x").join(banded.as("y"),
+        col("x.table") === col("y.table") &&
+          col("x.bucket") === col("y.bucket") && col("x.id") < col("y.id"))
+      .select(col("x.id").as("id_a"), col("y.id").as("id_b"))
+      .distinct()
+    val vecs = emb.select(col(idCol).as("id"), col(vecCol).as("v"),
+      norm(col(vecCol)).as("nv")).filter(finiteNorm(col("nv")))
+    cand
+      .join(vecs.select(col("id").as("id_a"), col("v").as("va"),
+        col("nv").as("na")), "id_a")
+      .join(vecs.select(col("id").as("id_b"), col("v").as("vb"),
+        col("nv").as("nb")), "id_b")
+      .select(col("id_a"), col("id_b"),
+        round(dot(col("va"), col("vb")) / (col("na") * col("nb")), 4).as("cos_sim"))
+  }
+
   /**
    * Hard-negative mining for contrastive/retrieval training: for each
    * query vector, the k most-cosine-similar corpus vectors carrying a

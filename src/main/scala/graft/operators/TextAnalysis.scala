@@ -369,6 +369,44 @@ object TextAnalysis {
         shiftright(col("key"), 20).as("fp"))
   }
 
+  /** MOSS-style near-dup candidate pairs from shared winnowing
+    * fingerprints: docs are paired iff they share ≥ `minShared`
+    * selected fingerprint VALUES, scored by containment
+    * (shared / min(|fp_a|, |fp_b|)). Because winnowing guarantees a
+    * fingerprint inside every w-window, a pair sharing any
+    * ≥ (w+k-1)-token run is guaranteed a shared fingerprint — local
+    * plagiarism detection that Jaccard-style whole-doc measures dilute
+    * away on long documents.
+    *
+    * Scale shape: fingerprinting is the zero-shuffle
+    * [[winnowFingerprints]] kernel; pairing is the standard banded
+    * spine — ONE shuffle by fingerprint value, hot fingerprints
+    * (ubiquitous boilerplate grams) dropped loudly via
+    * [[Dedup.capBuckets]] before the self-join, so the candidate
+    * stream is Σ bucket² over CAPPED buckets, never all-pairs. */
+  def winnowPairs(docs: DataFrame, idCol: String, textCol: String,
+                  k: Int = 3, w: Int = 4, minShared: Int = 2,
+                  maxFpBucket: Option[Int] = Some(100)): DataFrame = {
+    require(minShared >= 1, "minShared must be >= 1")
+    val fps = winnowFingerprints(docs, idCol, textCol, k, w)
+      .select(col("doc_id"), col("fp")).distinct()
+    val sizes = fps.groupBy(col("doc_id")).agg(count(lit(1)).as("n_fp"))
+    val capped = Dedup.capBuckets(fps, Seq("fp"), maxFpBucket, "winnowPairs")
+    val shared = capped.as("x").join(capped.as("y"),
+        col("x.fp") === col("y.fp") && col("x.doc_id") < col("y.doc_id"))
+      .groupBy(col("x.doc_id").as("id_a"), col("y.doc_id").as("id_b"))
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+    shared
+      .join(sizes.select(col("doc_id").as("id_a"), col("n_fp").as("n_a")),
+        Seq("id_a"))
+      .join(sizes.select(col("doc_id").as("id_b"), col("n_fp").as("n_b")),
+        Seq("id_b"))
+      .select(col("id_a"), col("id_b"), col("n_shared"),
+        round(col("n_shared").cast("double") /
+          least(col("n_a"), col("n_b")).cast("double"), 6).as("containment"))
+  }
+
   /** Per-document unigram token ENTROPY + type-token ratio — the
     * classic lexical-diversity / degenerate-text signals (a crawler
     * trap repeating one token scores H≈0; natural prose scores near

@@ -1100,6 +1100,29 @@ object Pipeline {
       Dedup.clusterKeepBest(T(s, dir)("documents"), "doc_id", "text",
           qualityCol = "n_chars", minJaccard = 0.8)
         .orderBy(col("component"))
+    }),
+
+    // FULLY-ORACLED embedding LSH (the deterministic twin of q56's
+    // rows-only Gaussian variant): ±1 sign-projection buckets whose
+    // per-bit dots replay bit-for-bit in SQL — banded spine, hot-bucket
+    // cap mirrored by the oracle's HAVING
+    "qAT_signed_lsh" -> ((s, dir) => {
+      Similarity.signedLshPairs(T(s, dir)("embeddings"), "vec_id",
+          "embedding", bits = 6, dim = 64, tables = 4,
+          maxBucketSize = Some(200))
+        .filter(col("cos_sim") >= 0.3)
+        .orderBy(col("cos_sim").desc, col("id_a"), col("id_b"))
+        .limit(50)
+    }),
+
+    // MOSS near-dup pairs from shared winnowing fingerprints (local
+    // plagiarism detection): zero-shuffle fingerprint kernel + one
+    // fp-keyed banded shuffle, containment-scored
+    "qAU_winnow_pairs" -> ((s, dir) => {
+      TextAnalysis.winnowPairs(T(s, dir)("documents"), "doc_id", "text",
+          k = 3, w = 4, minShared = 2, maxFpBucket = Some(100))
+        .orderBy(col("containment").desc, col("id_a"), col("id_b"))
+        .limit(50)
     })
   )
 
@@ -2145,6 +2168,55 @@ object Pipeline {
             FROM comp c JOIN documents d USING (doc_id))
       SELECT component, arg_max(doc_id, key) AS keep_id,
              COUNT(*) AS n_members, MAX(q) AS best_q
-      FROM j GROUP BY component ORDER BY component"""
+      FROM j GROUP BY component ORDER BY component""",
+    "qAT_signed_lsh" -> s"""
+      WITH planes AS (SELECT * FROM (VALUES ${Similarity.signedPlanesSql(4, 6, 64)}) p(t, b, s)),
+      dots AS (SELECT e.vec_id, p.t, p.b,
+                 list_reduce(list_transform(range(1, 65),
+                   i -> CAST(e.embedding[i] AS DOUBLE) * p.s[i]),
+                   (acc, x) -> acc + x) AS d
+               FROM embeddings e, planes p),
+      sig AS (SELECT vec_id, t,
+                SUM(CASE WHEN d > 0 THEN 1 << b ELSE 0 END) AS bucket
+              FROM dots GROUP BY 1, 2),
+      ok AS (SELECT t, bucket FROM sig GROUP BY 1, 2 HAVING COUNT(*) <= 200),
+      cand AS (SELECT DISTINCT x.vec_id AS id_a, y.vec_id AS id_b
+               FROM sig x JOIN sig y ON x.t = y.t AND x.bucket = y.bucket
+                    AND x.vec_id < y.vec_id
+               JOIN ok ON ok.t = x.t AND ok.bucket = x.bucket),
+      v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ve FROM embeddings)
+      SELECT id_a, id_b, round(list_cosine_similarity(a.ve, b.ve), 4) AS cos_sim
+      FROM cand JOIN v a ON a.vec_id = id_a JOIN v b ON b.vec_id = id_b
+      WHERE round(list_cosine_similarity(a.ve, b.ve), 4) >= 0.3
+      ORDER BY cos_sim DESC, id_a, id_b LIMIT 50""",
+    "qAU_winnow_pairs" -> """
+      WITH toks AS (SELECT doc_id, regexp_extract_all(text, '\S+') AS t FROM documents),
+      g AS (SELECT doc_id, i - 1 AS pos, len(t) - 2 AS m,
+              t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS gram
+            FROM toks, LATERAL (SELECT unnest(range(1, len(t) - 1)) AS i) u
+            WHERE len(t) >= 3),
+      k AS (SELECT doc_id, pos, m,
+              CAST(list_reduce(list_transform(
+                regexp_extract_all(substring(md5(gram), 1, 10), '.'),
+                c -> CAST(instr('0123456789abcdef', c) - 1 AS BIGINT)),
+                (a, b) -> a * 16 + b) * 1048576 + (1048575 - pos) AS BIGINT) AS key
+            FROM g),
+      wm AS (SELECT doc_id, pos, m,
+               MIN(key) OVER (PARTITION BY doc_id ORDER BY pos
+                 ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS wk
+             FROM k),
+      sel AS (SELECT DISTINCT doc_id, wk FROM wm
+              WHERE pos <= m - 4 OR (m < 4 AND pos = 0)),
+      fp AS (SELECT DISTINCT doc_id, wk // 1048576 AS fp FROM sel),
+      sz AS (SELECT doc_id, COUNT(*) AS n_fp FROM fp GROUP BY 1),
+      ok AS (SELECT fp FROM fp GROUP BY fp HAVING COUNT(*) <= 100),
+      sh AS (SELECT x.doc_id AS id_a, y.doc_id AS id_b, COUNT(*) AS n_shared
+             FROM fp x JOIN fp y ON x.fp = y.fp AND x.doc_id < y.doc_id
+                  JOIN ok ON ok.fp = x.fp
+             GROUP BY 1, 2 HAVING COUNT(*) >= 2)
+      SELECT id_a, id_b, CAST(n_shared AS BIGINT) AS n_shared,
+             round(n_shared / CAST(least(a.n_fp, b.n_fp) AS DOUBLE), 6) AS containment
+      FROM sh JOIN sz a ON a.doc_id = id_a JOIN sz b ON b.doc_id = id_b
+      ORDER BY containment DESC, id_a, id_b LIMIT 50"""
   ).map { case (k, v) => k -> v.trim.replaceAll("\\s+", " ") }
 }

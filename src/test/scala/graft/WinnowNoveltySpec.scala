@@ -92,6 +92,37 @@ class WinnowNoveltySpec extends AnyFunSuite {
     assert(got(4L) == ((0L, 0L, 0.0, 0.0)))
   }
 
+  test("winnowPairs: a copied run is detected; unrelated docs are not paired") {
+    val run = (0 until 20).map(i => s"r$i").mkString(" ") // 20-token plagiarized run
+    val docs = Seq(
+      (1L, s"intro alpha beta $run tail one two"),
+      (2L, s"other start here $run closing words differ"),
+      (3L, "completely different content with no overlap at all whatsoever"))
+      .toDF("doc_id", "text")
+    val pairs = TextAnalysis.winnowPairs(docs, "doc_id", "text",
+        k = 3, w = 4, minShared = 2, maxFpBucket = Some(100))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 2L)), "copied 20-token run not detected")
+    assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L),
+      "unrelated doc paired")
+  }
+
+  test("winnowPairs: hot-fingerprint cap drops ubiquitous grams loudly") {
+    // 30 docs all sharing one boilerplate phrase + unique remainders:
+    // with the cap below 30 the boilerplate fingerprint is dropped and
+    // no pair survives minShared=2; without the cap pairs appear
+    val boiler = "all rights reserved by the site operator"
+    val docs = (0 until 30).map(i =>
+      (i.toLong, s"u${i}a u${i}b u${i}c $boiler u${i}d u${i}e u${i}f"))
+      .toDF("doc_id", "text")
+    val capped = TextAnalysis.winnowPairs(docs, "doc_id", "text",
+      k = 3, w = 4, minShared = 2, maxFpBucket = Some(10)).count()
+    val uncapped = TextAnalysis.winnowPairs(docs, "doc_id", "text",
+      k = 3, w = 4, minShared = 2, maxFpBucket = None).count()
+    assert(capped == 0, s"cap leaked $capped pairs")
+    assert(uncapped > 0, "boilerplate produced no shared fingerprints at all")
+  }
+
   test("clusterKeepBest keeps max quality with min-id tie-break") {
     val t10 = (1 to 10).map(i => s"t$i").mkString(" ")
     val docs = Seq(
