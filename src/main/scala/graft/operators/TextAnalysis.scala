@@ -407,6 +407,46 @@ object TextAnalysis {
           least(col("n_a"), col("n_b")).cast("double"), 6).as("containment"))
   }
 
+  /** Per-SOURCE Zipf fit — corpus-health monitoring: natural language
+    * follows freq ∝ rank^s with s ≈ −1; a source whose fitted slope
+    * drifts far from −1 (template spam → flat head; key-value dumps →
+    * cliff tails) is a curation red flag. Least squares of ln(freq) on
+    * ln(rank) in CLOSED FORM: slope = (Σxy − ΣxΣy/n)/(Σx² − (Σx)²/n),
+    * computed in exactly that association order in both engines.
+    *
+    * Scale shape: token counts are one map-side-combining hash agg;
+    * the only window ranks WITHIN a source's vocabulary (deterministic
+    * freq-desc/token-asc order), which is ≪ corpus size — the corpus
+    * token stream itself never enters a window. The final per-source
+    * moments are another partial agg. |sources| rows out. */
+  def zipfSlopes(docs: DataFrame, sourceCol: String, textCol: String): DataFrame = {
+    val counts = docs.select(col(sourceCol).as("source"),
+        explode(coalesce(tokens(col(textCol)),
+          array().cast("array<string>"))).as("tok"))
+      .groupBy(col("source"), col("tok")).agg(count(lit(1)).as("c"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("source").orderBy(col("c").desc, col("tok"))
+    val xy = counts.withColumn("rank", row_number().over(w))
+      .select(col("source"),
+        log(col("rank").cast("double")).as("x"),
+        log(col("c").cast("double")).as("y"))
+    xy.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_types"),
+        sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+        sum(col("x") * col("y")).as("sxy"), sum(col("x") * col("x")).as("sxx"))
+      .select(col("source"), col("n_types"),
+        when(col("n_types") < 2, lit(0.0))
+          .otherwise(round(
+            (col("sxy") - col("sx") * col("sy") / col("n_types").cast("double")) /
+              (col("sxx") - col("sx") * col("sx") / col("n_types").cast("double")),
+            6)).as("zipf_slope"),
+        when(col("n_types") < 2, lit(0.0))
+          .otherwise(round(
+            (col("sy") - ((col("sxy") - col("sx") * col("sy") / col("n_types").cast("double")) /
+              (col("sxx") - col("sx") * col("sx") / col("n_types").cast("double"))) * col("sx")) /
+              col("n_types").cast("double"), 6)).as("intercept"))
+  }
+
   /** Per-document unigram token ENTROPY + type-token ratio — the
     * classic lexical-diversity / degenerate-text signals (a crawler
     * trap repeating one token scores H≈0; natural prose scores near

@@ -1123,6 +1123,14 @@ object Pipeline {
           k = 3, w = 4, minShared = 2, maxFpBucket = Some(100))
         .orderBy(col("containment").desc, col("id_a"), col("id_b"))
         .limit(50)
+    }),
+
+    // per-source Zipf fit (corpus-health monitoring): closed-form least
+    // squares of ln freq on ln rank — the only window ranks within a
+    // source's own vocabulary, never the corpus stream
+    "qAV_zipf_slope" -> ((s, dir) => {
+      TextAnalysis.zipfSlopes(T(s, dir)("documents"), "source", "text")
+        .orderBy(col("source"))
     })
   )
 
@@ -2217,6 +2225,29 @@ object Pipeline {
       SELECT id_a, id_b, CAST(n_shared AS BIGINT) AS n_shared,
              round(n_shared / CAST(least(a.n_fp, b.n_fp) AS DOUBLE), 6) AS containment
       FROM sh JOIN sz a ON a.doc_id = id_a JOIN sz b ON b.doc_id = id_b
-      ORDER BY containment DESC, id_a, id_b LIMIT 50"""
+      ORDER BY containment DESC, id_a, id_b LIMIT 50""",
+    "qAV_zipf_slope" -> """
+      WITH cnt AS (SELECT source, tok, COUNT(*) AS c
+                   FROM (SELECT source, unnest(regexp_extract_all(text, '\S+')) AS tok
+                         FROM documents)
+                   GROUP BY 1, 2),
+      xy AS (SELECT source,
+               ln(CAST(ROW_NUMBER() OVER (PARTITION BY source
+                 ORDER BY c DESC, tok) AS DOUBLE)) AS x,
+               ln(CAST(c AS DOUBLE)) AS y
+             FROM cnt),
+      m AS (SELECT source, COUNT(*) AS n_types,
+              SUM(x) AS sx, SUM(y) AS sy,
+              SUM(x * y) AS sxy, SUM(x * x) AS sxx
+            FROM xy GROUP BY 1)
+      SELECT source, CAST(n_types AS BIGINT) AS n_types,
+             CASE WHEN n_types < 2 THEN 0.0
+                  ELSE round((sxy - sx * sy / CAST(n_types AS DOUBLE)) /
+                    (sxx - sx * sx / CAST(n_types AS DOUBLE)), 6) END AS zipf_slope,
+             CASE WHEN n_types < 2 THEN 0.0
+                  ELSE round((sy - ((sxy - sx * sy / CAST(n_types AS DOUBLE)) /
+                    (sxx - sx * sx / CAST(n_types AS DOUBLE))) * sx) /
+                    CAST(n_types AS DOUBLE), 6) END AS intercept
+      FROM m ORDER BY source"""
   ).map { case (k, v) => k -> v.trim.replaceAll("\\s+", " ") }
 }

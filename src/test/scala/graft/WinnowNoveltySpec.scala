@@ -123,6 +123,34 @@ class WinnowNoveltySpec extends AnyFunSuite {
     assert(uncapped > 0, "boilerplate produced no shared fingerprints at all")
   }
 
+  test("winnowFingerprints plans with zero shuffles") {
+    // the scale claim: fingerprint selection is entirely per-row —
+    // no Exchange anywhere in the physical plan
+    val docs = Seq((1L, "a b c d e f g h")).toDF("doc_id", "text")
+    val plan = TextAnalysis.winnowFingerprints(docs, "doc_id", "text", 3, 4)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"winnow kernel shuffles:\n$plan")
+  }
+
+  test("zipfSlopes: closed form on hand counts; flat vs skewed sources") {
+    // skewed source: freqs 4,2,1 -> regression of ln f on ln rank
+    val docs = Seq(
+      (1L, "s1", "t t t t u u v"),
+      (2L, "s2", "p q r z")) // all freq 1: y const 0 -> slope 0
+      .toDF("doc_id", "source", "text")
+    val got = TextAnalysis.zipfSlopes(docs, "source", "text").collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    val x = Seq(1.0, 2.0, 3.0).map(math.log)
+    val y = Seq(4.0, 2.0, 1.0).map(math.log)
+    val n = 3.0
+    val slope = (x.zip(y).map { case (a, b) => a * b }.sum - x.sum * y.sum / n) /
+      (x.map(a => a * a).sum - x.sum * x.sum / n)
+    assert(got("s1")._1 == 3L)
+    assert(math.abs(got("s1")._2 - slope) < 1e-5, s"${got("s1")._2} vs $slope")
+    assert(got("s1")._2 < -0.5, "skewed source should be steeply Zipfian")
+    assert(got("s2") == ((4L, 0.0)), "uniform-frequency source must be flat")
+  }
+
   test("clusterKeepBest keeps max quality with min-id tie-break") {
     val t10 = (1 to 10).map(i => s"t$i").mkString(" ")
     val docs = Seq(
