@@ -334,37 +334,44 @@ object TextAnalysis {
     * [[Multimodal]] frame-cap contract.
     *
     * Emits one row per selected fingerprint: (doc_id, pos, fp). */
-  def winnowFingerprints(docs: DataFrame, idCol: String, textCol: String,
-                         k: Int = 3, w: Int = 4): DataFrame = {
+  private val WinnowPosCap = 1L << 20
+
+  /** The selected winnow KEY array (h·2²⁰ + (2²⁰−1−pos), distinct) for
+    * one row's text — the shared per-row kernel behind the batch
+    * [[winnowFingerprints]] and the streaming stateless stage
+    * ([[graft.streaming.StreamingWinnow]]). `idCol` only labels the
+    * loud >2²⁰-gram failure. */
+  private[graft] def winnowKeyArray(idCol: Column, textCol: Column,
+                                    k: Int, w: Int): Column = {
     require(k >= 1 && w >= 1, "winnow gram size and window must be >= 1")
-    val PosCap = 1L << 20
     val grams = coalesce(
-      graft.functions.ShingleExprs.token_grams(col(textCol), k,
-        overlapping = true),
+      graft.functions.ShingleExprs.token_grams(textCol, k, overlapping = true),
       array().cast("array<string>"))
     val keys = transform(grams, (g, i) =>
-      conv(substring(md5(g), 1, 10), 16, 10).cast("long") * lit(PosCap) +
-        (lit(PosCap - 1) - i.cast("long")))
-    val guarded = docs
-      .select(col(idCol).as("doc_id"), keys.as("ks"))
-      .select(col("doc_id"),
-        when(size(col("ks")) >= lit(PosCap),
-          raise_error(concat(lit("winnowFingerprints: document "),
-            col("doc_id").cast("string"),
-            lit(" exceeds the 2^20-gram id-packing cap")))
-            .cast("array<bigint>"))
-          .otherwise(col("ks")).as("ks"))
+      conv(substring(md5(g), 1, 10), 16, 10).cast("long") * lit(WinnowPosCap) +
+        (lit(WinnowPosCap - 1) - i.cast("long")))
+    val guarded = when(size(keys) >= lit(WinnowPosCap),
+      raise_error(concat(lit("winnowFingerprints: document "),
+        idCol.cast("string"),
+        lit(" exceeds the 2^20-gram id-packing cap")))
+        .cast("array<bigint>"))
+      .otherwise(keys)
     // window starts 0..m−w; a short doc (0 < m < w) gets one
     // whole-array window (slice truncates at the end, like the
     // oracle's ROWS frame)
-    val sel = guarded.select(col("doc_id"),
-      when(size(col("ks")) === 0, array().cast("array<bigint>"))
-        .otherwise(array_distinct(transform(
-          sequence(lit(0), greatest(size(col("ks")) - lit(w), lit(0))),
-          j => array_min(slice(col("ks"), j + lit(1), lit(w)))))).as("fps"))
-    sel.select(col("doc_id"), explode(col("fps")).as("key"))
+    when(size(guarded) === 0, array().cast("array<bigint>"))
+      .otherwise(array_distinct(transform(
+        sequence(lit(0), greatest(size(guarded) - lit(w), lit(0))),
+        j => array_min(slice(guarded, j + lit(1), lit(w))))))
+  }
+
+  def winnowFingerprints(docs: DataFrame, idCol: String, textCol: String,
+                         k: Int = 3, w: Int = 4): DataFrame = {
+    docs.select(col(idCol).as("doc_id"),
+        winnowKeyArray(col(idCol), col(textCol), k, w).as("fps"))
+      .select(col("doc_id"), explode(col("fps")).as("key"))
       .select(col("doc_id"),
-        (lit(PosCap - 1) - col("key").bitwiseAND(lit(PosCap - 1)))
+        (lit(WinnowPosCap - 1) - col("key").bitwiseAND(lit(WinnowPosCap - 1)))
           .as("pos"),
         shiftright(col("key"), 20).as("fp"))
   }

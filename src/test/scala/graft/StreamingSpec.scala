@@ -150,6 +150,38 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming winnow candidates equal the batch shared-fp surface") {
+    import graft.operators.TextAnalysis
+    import graft.streaming.StreamingWinnow
+    val d = stage("documents")
+    val batchDocs = Tables.load(spark, "/root/testdata/sf0.001", "documents")
+    val stream = spark.readStream.schema(batchDocs.schema).parquet(d)
+    val q = StreamingWinnow.candidates(stream, "doc_id", "text", k = 3, w = 4)
+      .writeStream.format("memory").queryName("stream_winnow")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      val streamed = spark.table("stream_winnow")
+        .select("id_a", "id_b").distinct()
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      // batch twin: the minShared=1, uncapped candidate surface
+      val batch = TextAnalysis.winnowPairs(batchDocs, "doc_id", "text",
+          k = 3, w = 4, minShared = 1, maxFpBucket = None)
+        .select("id_a", "id_b")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(streamed == batch)
+      assert(streamed.nonEmpty, "corpus has shared winnow fingerprints")
+      // at-least-once replay: re-delivered docs add no pairs
+      java.nio.file.Files.copy(
+        java.nio.file.Path.of("/root/testdata/sf0.001/documents.parquet"),
+        java.nio.file.Path.of(d).resolve("part1.parquet"))
+      q.processAllAvailable()
+      val after = spark.table("stream_winnow")
+        .select("id_a", "id_b").distinct().count()
+      assert(after == streamed.size, "re-delivered docs must not re-pair")
+    } finally q.stop()
+  }
+
   test("streaming image near-dup pairs equal the batch banded hamming join") {
     import spark.implicits._
     import graft.operators.Multimodal
