@@ -339,10 +339,11 @@ object TextAnalysis {
   /** The selected winnow KEY array (h·2²⁰ + (2²⁰−1−pos), distinct) for
     * one row's text — the shared per-row kernel behind the batch
     * [[winnowFingerprints]] and the streaming stateless stage
-    * ([[graft.streaming.StreamingWinnow]]). `idCol` only labels the
-    * loud >2²⁰-gram failure. */
-  private[graft] def winnowKeyArray(idCol: Column, textCol: Column,
-                                    k: Int, w: Int): Column = {
+    * ([[graft.streaming.StreamingWinnow]]). Gram hashing is an O(m)
+    * `transform` (each gram hashed ONCE — single consumer), selection
+    * is the O(m) native [[graft.functions.WinnowSelect]] deque kernel;
+    * the >2²⁰-gram cap fails loudly inside the kernel. */
+  private[graft] def winnowKeyArray(textCol: Column, k: Int, w: Int): Column = {
     require(k >= 1 && w >= 1, "winnow gram size and window must be >= 1")
     val grams = coalesce(
       graft.functions.ShingleExprs.token_grams(textCol, k, overlapping = true),
@@ -350,25 +351,13 @@ object TextAnalysis {
     val keys = transform(grams, (g, i) =>
       conv(substring(md5(g), 1, 10), 16, 10).cast("long") * lit(WinnowPosCap) +
         (lit(WinnowPosCap - 1) - i.cast("long")))
-    val guarded = when(size(keys) >= lit(WinnowPosCap),
-      raise_error(concat(lit("winnowFingerprints: document "),
-        idCol.cast("string"),
-        lit(" exceeds the 2^20-gram id-packing cap")))
-        .cast("array<bigint>"))
-      .otherwise(keys)
-    // window starts 0..m−w; a short doc (0 < m < w) gets one
-    // whole-array window (slice truncates at the end, like the
-    // oracle's ROWS frame)
-    when(size(guarded) === 0, array().cast("array<bigint>"))
-      .otherwise(array_distinct(transform(
-        sequence(lit(0), greatest(size(guarded) - lit(w), lit(0))),
-        j => array_min(slice(guarded, j + lit(1), lit(w))))))
+    graft.functions.WinnowSelect.winnow_select(keys, w)
   }
 
   def winnowFingerprints(docs: DataFrame, idCol: String, textCol: String,
                          k: Int = 3, w: Int = 4): DataFrame = {
     docs.select(col(idCol).as("doc_id"),
-        winnowKeyArray(col(idCol), col(textCol), k, w).as("fps"))
+        winnowKeyArray(col(textCol), k, w).as("fps"))
       .select(col("doc_id"), explode(col("fps")).as("key"))
       .select(col("doc_id"),
         (lit(WinnowPosCap - 1) - col("key").bitwiseAND(lit(WinnowPosCap - 1)))

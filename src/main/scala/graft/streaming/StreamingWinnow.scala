@@ -40,7 +40,7 @@ object StreamingWinnow {
     // (positions dropped: pairing is by content, and keeping one row
     // per (doc, fp) bounds the state operator's input)
     val fps = docs.select(col(idCol).cast("long").as("__wid"),
-        TextAnalysis.winnowKeyArray(col(idCol), col(textCol), k, w).as("__keys"))
+        TextAnalysis.winnowKeyArray(col(textCol), k, w).as("__keys"))
       .select(col("__wid"),
         explode(array_distinct(transform(col("__keys"),
           key => shiftright(key, 20)))).as("fp"))

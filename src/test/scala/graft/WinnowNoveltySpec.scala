@@ -123,6 +123,24 @@ class WinnowNoveltySpec extends AnyFunSuite {
     assert(uncapped > 0, "boilerplate produced no shared fingerprints at all")
   }
 
+  test("WinnowSelect kernel: deque minima equal naive window minima; loud cap") {
+    import org.apache.spark.sql.catalyst.util.GenericArrayData
+    val rnd = new scala.util.Random(7)
+    for (m <- Seq(1, 2, 3, 4, 5, 17, 100); w <- Seq(1, 2, 4, 7)) {
+      val keys = Array.fill(m)(rnd.nextLong(1L << 40))
+      val got = graft.functions.WinnowSelect
+        .select(new GenericArrayData(keys), w).toLongArray().toSeq
+      val eff = math.min(w, m)
+      val naive = (0 to m - eff).map(j => keys.slice(j, j + eff).min).distinct
+      assert(got == naive, s"m=$m w=$w")
+    }
+    val big = new GenericArrayData(new Array[Long](1 << 20))
+    val e = intercept[IllegalStateException] {
+      graft.functions.WinnowSelect.select(big, 4)
+    }
+    assert(e.getMessage.contains("id-packing cap"))
+  }
+
   test("winnowFingerprints plans with zero shuffles") {
     // the scale claim: fingerprint selection is entirely per-row —
     // no Exchange anywhere in the physical plan
