@@ -456,6 +456,51 @@ object Dedup {
   }
 
   /**
+   * Exact CONTAINMENT pairs — the asymmetric near-dup measure:
+   * C(a,b) = |A∩B| / min(|A|,|B|) ≥ t, which a symmetric Jaccard
+   * threshold dilutes away whenever a short document is quoted inside
+   * a much longer one (J ≤ |small|/|big| regardless of overlap). The
+   * quote/subset detector of the dedup family.
+   *
+   * Candidate pruning is the one-sided prefix filter: an overlap of
+   * ≥ t·|small| must touch the SMALLER set's (1−t)-prefix of its
+   * sorted hash array, so prefixes (every doc's own, ~(1−t)·tokens
+   * rows) join against the full inverted token stream — one equi-join
+   * shuffle keyed by shingle hash, never all-pairs; size pruning is
+   * impossible by design (any size ratio can contain). Verification is
+   * the same sorted-merge intersect kernel as the Jaccard path.
+   */
+  def containmentPairs(docs: DataFrame, idCol: String, textCol: String,
+                       shingleWords: Int, minContainment: Double): DataFrame = {
+    require(minContainment > 0 && minContainment <= 1)
+    val sized = docs.select(col(idCol).as("id"),
+        graft.functions.ShingleExprs.shingle_hashes(
+          col(textCol), shingleWords).as("arr"))
+      .filter(col("arr").isNotNull)
+      .select(col("id"), col("arr"), size(col("arr")).as("n"))
+    val prefix = sized.select(col("id"),
+      explode(slice(col("arr"), lit(1),
+        (col("n") - ceil(lit(minContainment) * col("n")) + 1).cast("int")))
+        .as("h"))
+    val full = sized.select(col("id"), explode(col("arr")).as("h"))
+    val cand = prefix.as("x").join(full.as("y"),
+        col("x.h") === col("y.h") && col("x.id") =!= col("y.id"))
+      .select(least(col("x.id"), col("y.id")).as("id_a"),
+        greatest(col("x.id"), col("y.id")).as("id_b"))
+      .distinct()
+    val sets = sized.select(col("id"), col("arr").as("hset"))
+    cand
+      .join(sets.select(col("id").as("id_a"), col("hset").as("sa")), "id_a")
+      .join(sets.select(col("id").as("id_b"), col("hset").as("sb")), "id_b")
+      .withColumn("__i", graft.functions.ShingleExprs
+        .sorted_intersect_count(col("sa"), col("sb")))
+      .withColumn("containment",
+        col("__i") / least(size(col("sa")), size(col("sb"))).cast("double"))
+      .filter(col("containment") >= minContainment)
+      .select(col("id_a"), col("id_b"), col("containment"))
+  }
+
+  /**
    * Corpus canonicalization: drop every document that near-dups a
    * lower-id document (greedy one-pass representative selection over
    * the MinHash+LSH pair set — the standard production policy; not a

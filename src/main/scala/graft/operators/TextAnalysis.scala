@@ -403,6 +403,26 @@ object TextAnalysis {
           least(col("n_a"), col("n_b")).cast("double"), 6).as("containment"))
   }
 
+  /** Flesch reading-ease readability — the classic curation signal for
+    * "is this prose or a keyword dump": 206.835 − 1.015·(words/sents)
+    * − 84.6·(syllables/words), with the standard heuristics (sentences
+    * = `[.!?]+` runs, syllables = vowel-group count) spelled as three
+    * codegen'd `regexp_count` passes valid in both Java regex and RE2.
+    * Per-row, zero shuffle; divisions guard empty text via greatest(1).
+    * Rounded 1e-6 for cross-engine float parity. */
+  def fleschReadingEase(text: Column): (Seq[(String, Column)]) = {
+    val words = greatest(tokenCount(text), lit(1)).cast("double")
+    val sents = greatest(regexp_count(text, lit("[.!?]+")), lit(1)).cast("double")
+    val sylls = greatest(regexp_count(lower(text), lit("[aeiouy]+")), lit(1))
+      .cast("double")
+    Seq(
+      "n_words" -> words.cast("long"),
+      "n_sentences" -> sents.cast("long"),
+      "n_syllables" -> sylls.cast("long"),
+      "flesch" -> round(lit(206.835) - lit(1.015) * (words / sents) -
+        lit(84.6) * (sylls / words), 6))
+  }
+
   /** Per-SOURCE Zipf fit — corpus-health monitoring: natural language
     * follows freq ∝ rank^s with s ≈ −1; a source whose fitted slope
     * drifts far from −1 (template spam → flat head; key-value dumps →

@@ -1131,6 +1131,33 @@ object Pipeline {
     "qAV_zipf_slope" -> ((s, dir) => {
       TextAnalysis.zipfSlopes(T(s, dir)("documents"), "source", "text")
         .orderBy(col("source"))
+    }),
+
+    // asymmetric containment pairs (quote/subset detection): one-sided
+    // prefix filter vs the full inverted stream; docs doubled with a
+    // HALF-length copy so genuine containment-without-Jaccard pairs
+    // exist (the copy's shingles are a subset of its original's)
+    "qAW_containment_pairs" -> ((s, dir) => {
+      val d = T(s, dir)("documents")
+      val halves = d.select((col("doc_id") + 100000L).as("doc_id"),
+        concat_ws(" ", slice(TextAnalysis.tokens(col("text")), lit(1),
+          greatest((size(TextAnalysis.tokens(col("text"))) / 2).cast("int"),
+            lit(3)))).as("text"))
+      Dedup.containmentPairs(d.select(col("doc_id"), col("text"))
+          .unionByName(halves), "doc_id", "text",
+          shingleWords = 3, minContainment = 0.8)
+        .orderBy(col("containment").desc, col("id_a"), col("id_b"))
+        .limit(100)
+    }),
+
+    // Flesch reading-ease readability: three codegen'd regexp_count
+    // passes, per-row/zero-shuffle — prose vs keyword-dump curation
+    "qAX_readability" -> ((s, dir) => {
+      val cols = TextAnalysis.fleschReadingEase(col("text"))
+        .map { case (n, c) => c.as(n) }
+      T(s, dir)("documents")
+        .select(col("doc_id") +: cols: _*)
+        .orderBy(col("doc_id"))
     })
   )
 
@@ -2248,6 +2275,38 @@ object Pipeline {
                   ELSE round((sy - ((sxy - sx * sy / CAST(n_types AS DOUBLE)) /
                     (sxx - sx * sx / CAST(n_types AS DOUBLE))) * sx) /
                     CAST(n_types AS DOUBLE), 6) END AS intercept
-      FROM m ORDER BY source"""
+      FROM m ORDER BY source""",
+    "qAW_containment_pairs" -> """
+      WITH dup AS (
+        SELECT doc_id, text FROM documents
+        UNION ALL
+        SELECT doc_id + 100000,
+               array_to_string(list_slice(regexp_extract_all(text, '\S+'), 1,
+                 greatest(len(regexp_extract_all(text, '\S+')) // 2, 3)), ' ')
+        FROM documents),
+      toks AS (SELECT doc_id, regexp_extract_all(text, '\S+') AS t FROM dup),
+      sh AS (SELECT DISTINCT doc_id,
+                    unnest(list_transform(range(1, len(t) - 1),
+                      i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS s
+             FROM toks WHERE len(t) >= 3),
+      sz AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1),
+      inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS i
+                FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+                GROUP BY 1, 2)
+      SELECT id_a, id_b, i / CAST(least(sa.n, sb.n) AS DOUBLE) AS containment
+      FROM inter JOIN sz sa ON sa.doc_id = id_a JOIN sz sb ON sb.doc_id = id_b
+      WHERE i / CAST(least(sa.n, sb.n) AS DOUBLE) >= 0.8
+      ORDER BY containment DESC, id_a, id_b LIMIT 100""",
+    "qAX_readability" -> """
+      WITH f AS (SELECT doc_id,
+               greatest(len(regexp_extract_all(text, '\S+')), 1) AS w,
+               greatest(len(regexp_extract_all(text, '[.!?]+')), 1) AS s,
+               greatest(len(regexp_extract_all(lower(text), '[aeiouy]+')), 1) AS y
+             FROM documents)
+      SELECT doc_id, CAST(w AS BIGINT) AS n_words, CAST(s AS BIGINT) AS n_sentences,
+             CAST(y AS BIGINT) AS n_syllables,
+             round(206.835 - 1.015 * (CAST(w AS DOUBLE) / CAST(s AS DOUBLE)) -
+               84.6 * (CAST(y AS DOUBLE) / CAST(w AS DOUBLE)), 6) AS flesch
+      FROM f ORDER BY doc_id"""
   ).map { case (k, v) => k -> v.trim.replaceAll("\\s+", " ") }
 }

@@ -169,6 +169,61 @@ class WinnowNoveltySpec extends AnyFunSuite {
     assert(got("s2") == ((4L, 0.0)), "uniform-frequency source must be flat")
   }
 
+  test("containmentPairs finds quotes Jaccard misses; matches brute force") {
+    // doc 2 is the first third of doc 1: containment 1.0, Jaccard ~1/3
+    val long = (0 until 30).map(i => s"t$i").mkString(" ")
+    val quote = (0 until 10).map(i => s"t$i").mkString(" ")
+    val docs = Seq((1L, long), (2L, quote),
+      (3L, "entirely different material with no shared shingles here at all"))
+      .toDF("doc_id", "text")
+    val cont = Dedup.containmentPairs(docs, "doc_id", "text", 3, 0.8)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(cont.get((1L, 2L)).contains(1.0), s"quote not contained: $cont")
+    val jac = Dedup.prefixFilterJaccardPairs(docs, "doc_id", "text", 3, 0.8)
+      .collect()
+    assert(jac.isEmpty, "Jaccard 0.8 should miss the one-third quote")
+    // completeness vs brute force on real docs + planted half-copies
+    val real = Tables.load(spark, "/root/testdata/sf0.001", "documents")
+      .filter(col("doc_id") < 100).select(col("doc_id"), col("text"))
+    val halves = real.select((col("doc_id") + 1000L).as("doc_id"),
+      concat_ws(" ", slice(graft.operators.TextAnalysis.tokens(col("text")),
+        lit(1), greatest((size(graft.operators.TextAnalysis.tokens(col("text"))) / 2)
+          .cast("int"), lit(3)))).as("text"))
+    val corpus = real.unionByName(halves)
+    val got = Dedup.containmentPairs(corpus, "doc_id", "text", 3, 0.8)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // brute force: distinct shingle sets in Scala
+    val sets = corpus.select(col("doc_id"),
+        graft.functions.ShingleExprs.shingle_hashes(col("text"), 3).as("h"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toSet)
+      .filter(_._2.nonEmpty)
+    val want = (for {
+      (a, sa) <- sets; (b, sb) <- sets if a < b
+      c = (sa & sb).size.toDouble / math.min(sa.size, sb.size)
+      if c >= 0.8
+    } yield (a, b)).toSet
+    assert(got == want && want.nonEmpty,
+      s"containment incomplete: missing ${want -- got}, extra ${got -- want}")
+  }
+
+  test("fleschReadingEase: exact formula; prose outscores a keyword dump") {
+    val docs = Seq(
+      (1L, "The cat sat. The dog ran. We saw it all."),
+      (2L, "cryptocurrency blockchain optimization infrastructure virtualization"))
+      .toDF("doc_id", "text")
+    val cols = graft.operators.TextAnalysis.fleschReadingEase(col("text"))
+      .map { case (n, c) => c.as(n) }
+    val got = docs.select(col("doc_id") +: cols: _*).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4)))).toMap
+    val (w, s, y) = (10.0, 3.0, 10.0) // hand counts for doc 1
+    assert(got(1L)._1 == 10L && got(1L)._2 == 3L && got(1L)._3 == 10L)
+    val expect = BigDecimal(206.835 - 1.015 * (w / s) - 84.6 * (y / w))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(math.abs(got(1L)._4 - expect) < 1e-9)
+    assert(got(1L)._4 > got(2L)._4, "simple prose must outscore the dump")
+  }
+
   test("clusterKeepBest keeps max quality with min-id tie-break") {
     val t10 = (1 to 10).map(i => s"t$i").mkString(" ")
     val docs = Seq(
