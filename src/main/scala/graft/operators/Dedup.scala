@@ -516,6 +516,32 @@ object Dedup {
     docs.join(losers, Seq(idCol), "left_anti")
   }
 
+  /** Per-source dedup IMPACT report — the curation dashboard number
+    * ("how much of each domain survives dedup, in docs and tokens"):
+    * [[dedupCorpus]]'s keep set re-aggregated by source with token
+    * mass. One broadcast-able keep-flag join + one partial-agg
+    * groupBy(source); |sources| rows out. FULL-oracle-able because the
+    * entire LSH keep decision replays in SQL (XxhOracle). */
+  def dedupImpactBySource(docs: DataFrame, idCol: String, textCol: String,
+                          sourceCol: String, minJaccard: Double): DataFrame = {
+    val t = docs.select(col(idCol).as("doc_id"), col(sourceCol).as("source"),
+      TextAnalysis.tokenCount(col(textCol)).cast("long").as("n_tokens"))
+    val kept = dedupCorpus(docs, idCol, textCol, minJaccard)
+      .select(col(idCol).as("doc_id"), lit(1L).as("__kept"))
+    t.join(kept, Seq("doc_id"), "left")
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("__kept").isNotNull, 1L).otherwise(0L)).as("n_kept"),
+        sum(col("n_tokens")).as("tokens_total"),
+        sum(when(col("__kept").isNotNull, col("n_tokens")).otherwise(0L))
+          .as("tokens_kept"))
+      .select(col("source"), col("n_docs"), col("n_kept"),
+        col("tokens_total"), col("tokens_kept"),
+        when(col("tokens_total") === 0, lit(0.0))
+          .otherwise(round(col("tokens_kept").cast("double") /
+            col("tokens_total").cast("double"), 6)).as("kept_frac"))
+  }
+
   /**
    * Corpus canonicalization over the EXACT prefix-filtered pair set:
    * same greedy min-id-wins policy as `dedupCorpus`, but the pair set

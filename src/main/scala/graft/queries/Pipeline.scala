@@ -1158,6 +1158,15 @@ object Pipeline {
       T(s, dir)("documents")
         .select(col("doc_id") +: cols: _*)
         .orderBy(col("doc_id"))
+    }),
+
+    // per-source dedup impact report (the curation dashboard): the q73
+    // LSH keep decision re-aggregated by source with token mass — FULL
+    // oracle via the same XxhOracle pipeline replay
+    "qAY_dedup_impact" -> ((s, dir) => {
+      Dedup.dedupImpactBySource(T(s, dir)("documents"), "doc_id", "text",
+          "source", minJaccard = 0.8)
+        .orderBy(col("source"))
     })
   )
 
@@ -1168,6 +1177,7 @@ object Pipeline {
     // DuckDB via the XxhOracle xxhash64(seed=42) + murmur3 replicas
     "q9M_source_overlap_minhash" -> XxhOracle.q9mSql,
     "q73_dedup_corpus" -> XxhOracle.q73Sql,
+    "qAY_dedup_impact" -> XxhOracle.qAySql,
     "q52_minhash_lsh" -> XxhOracle.q52Sql,
     "q53_simhash" -> XxhOracle.q53Sql,
     "q9N_dedup_incremental" -> XxhOracle.q9nSql,

@@ -240,6 +240,29 @@ private[queries] object XxhOracle {
          WHERE est_jaccard >= 0.4::DOUBLE AND jaccard >= 0.8::DOUBLE)""",
     "ORDER BY d.doc_id")
 
+  /** FULL oracle for qAY: per-source dedup impact — the q73 keep
+    * decision re-aggregated by source with whitespace-token mass. */
+  def qAySql: String = lshQuery(
+    "x.doc_id < y.doc_id",
+    """SELECT d.source,
+         CAST(COUNT(*) AS BIGINT) AS n_docs,
+         CAST(SUM(CASE WHEN dr.id_b IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+         CAST(SUM(len(regexp_extract_all(d.text, '\S+'))) AS BIGINT) AS tokens_total,
+         CAST(SUM(CASE WHEN dr.id_b IS NULL
+           THEN len(regexp_extract_all(d.text, '\S+')) ELSE 0 END) AS BIGINT) AS tokens_kept,
+         CASE WHEN SUM(len(regexp_extract_all(d.text, '\S+'))) = 0 THEN 0.0
+              ELSE round(
+                CAST(SUM(CASE WHEN dr.id_b IS NULL
+                  THEN len(regexp_extract_all(d.text, '\S+')) ELSE 0 END) AS DOUBLE) /
+                CAST(SUM(len(regexp_extract_all(d.text, '\S+'))) AS DOUBLE), 6)
+         END AS kept_frac
+       FROM documents d LEFT JOIN
+         (SELECT DISTINCT id_b FROM ver
+          WHERE est_jaccard >= 0.4::DOUBLE AND jaccard >= 0.8::DOUBLE) dr
+         ON d.doc_id = dr.id_b
+       GROUP BY d.source""",
+    "ORDER BY source")
+
   /** FULL oracle for q52: the near-dup pair report itself — top-50 by
     * exact Jaccard over the estimate-filtered LSH candidates. */
   def q52Sql: String = lshQuery(

@@ -224,6 +224,24 @@ class WinnowNoveltySpec extends AnyFunSuite {
     assert(got(1L)._4 > got(2L)._4, "simple prose must outscore the dump")
   }
 
+  test("dedupImpactBySource: per-source doc and token survival") {
+    val dupText = (0 until 12).map(i => s"d$i").mkString(" ") // 12 tokens
+    val docs = Seq(
+      (1L, "web", dupText),
+      (2L, "web", dupText), // exact dup, higher id -> dropped
+      (3L, "web", "unique web content that stands completely alone here"), // 8 tokens
+      (4L, "books", "another unique passage with no duplicate partner at all")) // 9
+      .toDF("doc_id", "source", "text")
+    val got = Dedup.dedupImpactBySource(docs, "doc_id", "text", "source", 0.8)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+          r.getDouble(5)))).toMap
+    assert(got("web") == ((3L, 2L, 32L, 20L,
+      BigDecimal(20.0 / 32.0).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+        .toDouble)), s"web row wrong: ${got("web")}")
+    assert(got("books") == ((1L, 1L, 9L, 9L, 1.0)))
+  }
+
   test("clusterKeepBest keeps max quality with min-id tie-break") {
     val t10 = (1 to 10).map(i => s"t$i").mkString(" ")
     val docs = Seq(
