@@ -76,5 +76,9 @@ object Compat {
       unary("deflate_stats", DeflateStats), "built-in")
     reg.createOrReplaceTempFunction("repetition_ngrams",
       unary("repetition_ngrams", RepetitionNgrams), "built-in")
+    reg.createOrReplaceTempFunction("winnow_select", args => {
+      require(args.length == 2, "winnow_select(packed_keys, window)")
+      WinnowSelect(args.head, litInt(args(1), "winnow_select"))
+    }, "built-in")
   }
 }

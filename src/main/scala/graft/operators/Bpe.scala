@@ -326,6 +326,48 @@ object Bpe {
       .agg(sum(col("n_occ") * col("n_toks")).as("n_bpe_tokens"))
   }
 
+  /** Tokenizer FERTILITY per source — BPE tokens per whitespace word,
+    * the standard "how well does the tokenizer fit each domain" metric
+    * (English prose near the trained distribution ≈ low fertility;
+    * code/foreign-script sources fragment into more tokens and cost
+    * proportionally more context budget). Rides [[encodeTokenCounts]]
+    * (vocabulary encodes once map-side, corpus reduces to per-doc
+    * sums) plus one partial-agg groupBy(source); |sources| rows out.
+    * Sources whose documents contain no words are absent (mirrors the
+    * oracle's occurrence join). */
+  def fertilityBySource(docs: DataFrame, idCol: String, textCol: String,
+                        sourceCol: String,
+                        merges: Seq[(String, String)]): DataFrame = {
+    val enc = encodeTokenCounts(docs, idCol, textCol, merges)
+    docs.select(col(idCol), col(sourceCol).as("source"),
+        TextAnalysis.tokenCount(col(textCol)).cast("long").as("__nw"))
+      .join(enc, Seq(idCol), "left")
+      .groupBy(col("source"))
+      .agg(sum(col("__nw")).as("n_words"),
+        sum(coalesce(col("n_bpe_tokens"), lit(0L))).as("n_bpe_tokens"))
+      .filter(col("n_words") > 0)
+      .select(col("source"), col("n_words"), col("n_bpe_tokens"),
+        round(col("n_bpe_tokens").cast("double") /
+          col("n_words").cast("double"), 6).as("fertility"))
+  }
+
+  /** Fertility oracle: the scripted merge chain again, per-word token
+    * counts joined to the source-labelled word-occurrence stream. */
+  def fertilityOracleSql(merges: Int): String =
+    mergeChainCtes(merges) + s""",
+      docw AS (SELECT source, unnest(regexp_extract_all(text, '\\S+')) AS w
+               FROM documents),
+      wtok AS (SELECT left(replace(state, ' ', ''),
+                          len(replace(state, ' ', '')) - ${Eow.length}) AS w,
+                      len(string_split(trim(state), '  '))::BIGINT AS n_toks
+               FROM w$merges)
+      SELECT d.source, COUNT(*)::BIGINT AS n_words,
+             SUM(n_toks)::BIGINT AS n_bpe_tokens,
+             round(CAST(SUM(n_toks) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 6)
+               AS fertility
+      FROM docw d JOIN wtok USING (w)
+      GROUP BY 1 ORDER BY 1"""
+
   /** A merge list is PQ-safe ("creation-ordered") when
     *
     *  1. every rule's operands are base symbols (one code point, or

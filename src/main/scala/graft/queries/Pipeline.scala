@@ -1167,6 +1167,16 @@ object Pipeline {
       Dedup.dedupImpactBySource(T(s, dir)("documents"), "doc_id", "text",
           "source", minJaccard = 0.8)
         .orderBy(col("source"))
+    }),
+
+    // tokenizer fertility per source (BPE tokens / word): the trained
+    // merge list applied through the map-side vocab encoder, per-source
+    // partial agg — oracle reads token counts off the merge-chain CTEs
+    "qAZ_bpe_fertility" -> ((s, dir) => {
+      val d = T(s, dir)("documents")
+      Bpe.fertilityBySource(d, "doc_id", "text", "source",
+          Bpe.learnMergesCached(d, "text", merges = 20, cacheKey = dir))
+        .orderBy(col("source"))
     })
   )
 
@@ -1558,6 +1568,7 @@ object Pipeline {
       ORDER BY id_a, id_b""",
     "qAH_bpe_train" -> Bpe.oracleSql(20),
     "qAK_bpe_encode" -> Bpe.encodeOracleSql(20),
+    "qAZ_bpe_fertility" -> Bpe.fertilityOracleSql(20),
     "qAM_hard_negatives" -> """
       WITH fin AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v, label
                    FROM embeddings

@@ -78,6 +78,11 @@ class QueryServerSpec extends AnyFunSuite {
       """{"query":"SELECT simhash64(location) FROM mydb.weather"}""")
     assert(bad.statusCode() == 400)
     assert(bad.body().contains("DATATYPE_MISMATCH"), bad.body())
+    // the winnow selection kernel is registered on the same surface
+    val winnowed = spark
+      .sql("SELECT winnow_select(array(50L, 40L, 30L, 20L), 2) AS w")
+      .collect()(0).getSeq[Long](0)
+    assert(winnowed == Seq(40L, 30L, 20L))
   }
 
   test("arrow format: IPC stream readable, time forced to ns-UTC") {

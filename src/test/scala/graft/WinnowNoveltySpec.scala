@@ -242,6 +242,29 @@ class WinnowNoveltySpec extends AnyFunSuite {
     assert(got("books") == ((1L, 1L, 9L, 9L, 1.0)))
   }
 
+  test("fertilityBySource: merged-friendly source scores lower; sums exact") {
+    import graft.operators.Bpe
+    val docs = Seq(
+      (1L, "dense", "aaaa aaaa aaaa aaaa aaaa"),
+      (2L, "dense", "aaaa aaaa aaaa"),
+      (3L, "sparse", "wxyz qrst mnop")).toDF("doc_id", "source", "text")
+    val merges = Bpe.learnMerges(docs, "text", merges = 6).orderBy("rank")
+      .collect().map(r => (r.getString(1), r.getString(2))).toSeq
+    val got = Bpe.fertilityBySource(docs, "doc_id", "text", "source", merges)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    // independent reduction from the (already-pinned) per-doc encoder
+    val enc = Bpe.encodeTokenCounts(docs, "doc_id", "text", merges)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val wantDense = (enc(1L) + enc(2L), 8L)
+    assert(got("dense")._1 == wantDense._2 &&
+      got("dense")._2 == wantDense._1)
+    assert(got("dense")._3 == BigDecimal(wantDense._1.toDouble / 8.0)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    assert(got("dense")._3 < got("sparse")._3,
+      s"frequent fully-merged words must cost fewer tokens: $got")
+  }
+
   test("clusterKeepBest keeps max quality with min-id tie-break") {
     val t10 = (1 to 10).map(i => s"t$i").mkString(" ")
     val docs = Seq(
