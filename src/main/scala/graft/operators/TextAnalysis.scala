@@ -423,6 +423,44 @@ object TextAnalysis {
         lit(84.6) * (sylls / words), 6))
   }
 
+  /** Encoding-damage ("mojibake") detection — the ingest-hygiene
+    * battery for crawled text: U+FFFD replacement chars (decoder gave
+    * up), C1 control chars U+0080–U+009F (latin-1/windows-1252 debris),
+    * and the UTF-8-read-as-latin-1 digraph signature Ã + [U+0080–U+00BF]
+    * (every two-byte UTF-8 sequence for U+00C0–U+00FF mis-decodes to
+    * exactly that shape). Three codegen'd regexp_count passes per row,
+    * zero shuffle; `\\x{...}` escapes are valid and IDENTICAL in Java
+    * regex and RE2. */
+  def mojibakeStats(text: Column): Seq[(String, Column)] = {
+    val repl = regexp_count(text, lit("\\x{FFFD}"))
+    val c1 = regexp_count(text, lit("[\\x{0080}-\\x{009F}]"))
+    val digraph = regexp_count(text, lit("\\x{00C3}[\\x{0080}-\\x{00BF}]"))
+    Seq(
+      "n_replacement" -> repl.cast("long"),
+      "n_c1_controls" -> c1.cast("long"),
+      "n_mojibake_digraphs" -> digraph.cast("long"),
+      "is_damaged" -> (repl + c1 + digraph > 0))
+  }
+
+  /** Unicode-script mix profile — multilingual-curation QA (a doc
+    * labelled `en` that is 40% Han characters is a langid bug or a
+    * crawler artifact): per-script character counts over the major
+    * scripts + the dominant-script share. Java regex spells scripts
+    * `\\p{IsX}`, RE2 `\\p{X}` — different pattern TEXT, same script
+    * property, so the oracle matches on semantics. Per-row, zero
+    * shuffle. */
+  def scriptProfile(text: Column): Seq[(String, Column)] = {
+    val scripts = Seq("latin" -> "Latin", "cyrillic" -> "Cyrillic",
+      "han" -> "Han", "arabic" -> "Arabic", "greek" -> "Greek")
+    val counts = scripts.map { case (n, s) =>
+      n -> regexp_count(text, lit(s"\\p{Is$s}")) }
+    val total = counts.map(_._2).reduce(_ + _)
+    counts.map { case (n, c) => s"n_$n" -> c.cast("long") } :+
+      ("dominant_share" -> when(total === 0, lit(0.0))
+        .otherwise(round(greatest(counts.map(_._2.cast("double")): _*) /
+          total.cast("double"), 6)))
+  }
+
   /** Per-SOURCE Zipf fit — corpus-health monitoring: natural language
     * follows freq ∝ rank^s with s ≈ −1; a source whose fitted slope
     * drifts far from −1 (template spam → flat head; key-value dumps →

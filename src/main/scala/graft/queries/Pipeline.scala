@@ -1177,6 +1177,36 @@ object Pipeline {
       Bpe.fertilityBySource(d, "doc_id", "text", "source",
           Bpe.learnMergesCached(d, "text", merges = 20, cacheKey = dir))
         .orderBy(col("source"))
+    }),
+
+    // mojibake / encoding-damage detection: the corpus is PII-clean and
+    // well-encoded, so damage is salted in per doc_id arithmetic (like
+    // q9Q) before the three per-row detector passes
+    "qB0_mojibake" -> ((s, dir) => {
+      val aug = concat(col("text"),
+        when(col("doc_id") % 3 === 0, lit(" cafÃ©")) // 'Ã©'
+          .otherwise(lit(" café")),
+        when(col("doc_id") % 5 === 0, lit(" �")).otherwise(lit("")),
+        when(col("doc_id") % 7 === 0, lit(" x")).otherwise(lit("")))
+      val cols = TextAnalysis.mojibakeStats(aug).map { case (n, c) => c.as(n) }
+      T(s, dir)("documents")
+        .select(col("doc_id") +: cols: _*)
+        .orderBy(col("doc_id"))
+    }),
+
+    // Unicode-script mix profile (multilingual curation QA): per-script
+    // char counts + dominant share, salted with a Han/Cyrillic suffix
+    // on a doc_id slice so non-Latin paths are exercised
+    "qB1_script_mix" -> ((s, dir) => {
+      val aug = concat(col("text"),
+        when(col("doc_id") % 4 === 0, lit(" 漢字文"))
+          .otherwise(lit("")),
+        when(col("doc_id") % 6 === 0, lit(" текст"))
+          .otherwise(lit("")))
+      val cols = TextAnalysis.scriptProfile(aug).map { case (n, c) => c.as(n) }
+      T(s, dir)("documents")
+        .select(col("doc_id") +: cols: _*)
+        .orderBy(col("doc_id"))
     })
   )
 
@@ -2328,6 +2358,41 @@ object Pipeline {
              CAST(y AS BIGINT) AS n_syllables,
              round(206.835 - 1.015 * (CAST(w AS DOUBLE) / CAST(s AS DOUBLE)) -
                84.6 * (CAST(y AS DOUBLE) / CAST(w AS DOUBLE)), 6) AS flesch
-      FROM f ORDER BY doc_id"""
+      FROM f ORDER BY doc_id""",
+    "qB0_mojibake" -> """
+      WITH aug AS (SELECT doc_id, text ||
+          CASE WHEN doc_id % 3 = 0 THEN ' cafÃ©' ELSE ' café' END ||
+          CASE WHEN doc_id % 5 = 0 THEN ' ' || chr(65533) ELSE '' END ||
+          CASE WHEN doc_id % 7 = 0 THEN ' ' || chr(133) || 'x' ELSE '' END AS t
+        FROM documents),
+      c AS (SELECT doc_id,
+              len(regexp_extract_all(t, '\x{FFFD}')) AS r,
+              len(regexp_extract_all(t, '[\x{0080}-\x{009F}]')) AS c1,
+              len(regexp_extract_all(t, '\x{00C3}[\x{0080}-\x{00BF}]')) AS dg
+            FROM aug)
+      SELECT doc_id, CAST(r AS BIGINT) AS n_replacement,
+             CAST(c1 AS BIGINT) AS n_c1_controls,
+             CAST(dg AS BIGINT) AS n_mojibake_digraphs,
+             (r + c1 + dg) > 0 AS is_damaged
+      FROM c ORDER BY doc_id""",
+    "qB1_script_mix" -> """
+      WITH aug AS (SELECT doc_id, text ||
+          CASE WHEN doc_id % 4 = 0 THEN ' 漢字文' ELSE '' END ||
+          CASE WHEN doc_id % 6 = 0 THEN ' текст' ELSE '' END AS t
+        FROM documents),
+      c AS (SELECT doc_id,
+              len(regexp_extract_all(t, '\p{Latin}')) AS la,
+              len(regexp_extract_all(t, '\p{Cyrillic}')) AS cy,
+              len(regexp_extract_all(t, '\p{Han}')) AS ha,
+              len(regexp_extract_all(t, '\p{Arabic}')) AS ar,
+              len(regexp_extract_all(t, '\p{Greek}')) AS gr
+            FROM aug)
+      SELECT doc_id, CAST(la AS BIGINT) AS n_latin, CAST(cy AS BIGINT) AS n_cyrillic,
+             CAST(ha AS BIGINT) AS n_han, CAST(ar AS BIGINT) AS n_arabic,
+             CAST(gr AS BIGINT) AS n_greek,
+             CASE WHEN la + cy + ha + ar + gr = 0 THEN 0.0
+                  ELSE round(CAST(greatest(la, cy, ha, ar, gr) AS DOUBLE) /
+                    CAST(la + cy + ha + ar + gr AS DOUBLE), 6) END AS dominant_share
+      FROM c ORDER BY doc_id"""
   ).map { case (k, v) => k -> v.trim.replaceAll("\\s+", " ") }
 }

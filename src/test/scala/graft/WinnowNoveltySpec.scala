@@ -265,6 +265,39 @@ class WinnowNoveltySpec extends AnyFunSuite {
       s"frequent fully-merged words must cost fewer tokens: $got")
   }
 
+  test("mojibakeStats: clean text passes, each damage class detected") {
+    val docs = Seq(
+      (1L, "perfectly clean ascii prose"),
+      (2L, "utf8 read as latin1: cafÃ© naÃ¯ve"), // 2 digraphs
+      (3L, "decoder gave up �� here"),
+      (4L, "c1 debrisbetweenwords")).toDF("doc_id", "text")
+    val cols = graft.operators.TextAnalysis.mojibakeStats(col("text"))
+      .map { case (n, c) => c.as(n) }
+    val got = docs.select(col("doc_id") +: cols: _*).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getBoolean(4)))).toMap
+    assert(got(1L) == ((0L, 0L, 0L, false)))
+    assert(got(2L) == ((0L, 0L, 2L, true)))
+    assert(got(3L) == ((2L, 0L, 0L, true)))
+    assert(got(4L) == ((0L, 2L, 0L, true)))
+  }
+
+  test("scriptProfile: per-script counts and dominant share") {
+    val docs = Seq(
+      (1L, "abc кир 漢"), // 3 latin, 3 cyrillic, 1 han
+      (2L, "12345 .,!?")) // no script chars at all
+      .toDF("doc_id", "text")
+    val cols = graft.operators.TextAnalysis.scriptProfile(col("text"))
+      .map { case (n, c) => c.as(n) }
+    val got = docs.select(col("doc_id") +: cols: _*).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getDouble(6)))).toMap
+    assert(got(1L) == ((3L, 3L, 1L, 0L, 0L,
+      BigDecimal(3.0 / 7.0).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+        .toDouble)))
+    assert(got(2L) == ((0L, 0L, 0L, 0L, 0L, 0.0)))
+  }
+
   test("clusterKeepBest keeps max quality with min-id tie-break") {
     val t10 = (1 to 10).map(i => s"t$i").mkString(" ")
     val docs = Seq(
