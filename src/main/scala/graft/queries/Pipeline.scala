@@ -1207,6 +1207,28 @@ object Pipeline {
       T(s, dir)("documents")
         .select(col("doc_id") +: cols: _*)
         .orderBy(col("doc_id"))
+    }),
+
+    // composite curation filter chaining the round-9 signals — novelty
+    // (corpus-level), entropy + readability (per-row) — into one keep
+    // decision, FULLY oracled end-to-end (every stage has a SQL
+    // replica, so the composite does too, unlike q89's rows-only
+    // capstone). Per-row signals ride the novelty frame's one scan.
+    "qB2_curation_filter" -> ((s, dir) => {
+      val d = T(s, dir)("documents")
+      val nov = Dedup.ngramNovelty(d, "doc_id", "text", shingleWords = 3)
+        .select(col("doc_id"), col("novelty"))
+      val ent = TextAnalysis.tokenEntropy(d, "doc_id", "text")
+        .select(col("doc_id"), col("entropy"))
+      val fl = TextAnalysis.fleschReadingEase(col("text"))
+        .collectFirst { case ("flesch", c) => c }.get
+      d.select(col("doc_id"), fl.as("flesch"))
+        .join(nov, Seq("doc_id"))
+        .join(ent, Seq("doc_id"))
+        .select(col("doc_id"), col("novelty"), col("entropy"), col("flesch"),
+          (col("novelty") >= 0.5 && col("entropy") >= 1.0 &&
+            col("flesch") > -100.0).as("keep"))
+        .orderBy(col("doc_id"))
     })
   )
 
@@ -2393,6 +2415,43 @@ object Pipeline {
              CASE WHEN la + cy + ha + ar + gr = 0 THEN 0.0
                   ELSE round(CAST(greatest(la, cy, ha, ar, gr) AS DOUBLE) /
                     CAST(la + cy + ha + ar + gr AS DOUBLE), 6) END AS dominant_share
-      FROM c ORDER BY doc_id"""
+      FROM c ORDER BY doc_id""",
+    "qB2_curation_filter" -> """
+      WITH toks AS (SELECT doc_id, regexp_extract_all(text, '\S+') AS t FROM documents),
+      sh AS (SELECT DISTINCT doc_id,
+                    unnest(list_transform(range(1, len(t) - 1),
+                      i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS s
+             FROM toks WHERE len(t) >= 3),
+      c AS (SELECT doc_id, COUNT(*) AS n_grams FROM sh GROUP BY 1),
+      f AS (SELECT s, MIN(doc_id) AS doc_id FROM sh GROUP BY 1),
+      nvc AS (SELECT doc_id, COUNT(*) AS n_novel FROM f GROUP BY 1),
+      nov AS (SELECT d.doc_id,
+                CASE WHEN COALESCE(c.n_grams, 0) = 0 THEN 0.0
+                     ELSE round(COALESCE(nvc.n_novel, 0) / CAST(c.n_grams AS DOUBLE), 6)
+                END AS novelty
+              FROM documents d LEFT JOIN c USING (doc_id) LEFT JOIN nvc USING (doc_id)),
+      tok AS (SELECT doc_id, unnest(regexp_extract_all(text, '\S+')) AS tok
+              FROM documents),
+      cnt AS (SELECT doc_id, tok, COUNT(*) AS cc FROM tok GROUP BY 1, 2),
+      per AS (SELECT doc_id, SUM(cc) AS n_tokens,
+                SUM(cc * ln(CAST(cc AS DOUBLE))) AS clogc
+              FROM cnt GROUP BY 1),
+      ent AS (SELECT d.doc_id,
+                CASE WHEN COALESCE(n_tokens, 0) = 0 THEN 0.0
+                     ELSE round(ln(CAST(n_tokens AS DOUBLE)) -
+                       clogc / CAST(n_tokens AS DOUBLE), 6) END AS entropy
+              FROM documents d LEFT JOIN per USING (doc_id)),
+      fle AS (SELECT doc_id,
+                round(206.835 -
+                  1.015 * (CAST(greatest(len(regexp_extract_all(text, '\S+')), 1) AS DOUBLE) /
+                    CAST(greatest(len(regexp_extract_all(text, '[.!?]+')), 1) AS DOUBLE)) -
+                  84.6 * (CAST(greatest(len(regexp_extract_all(lower(text), '[aeiouy]+')), 1) AS DOUBLE) /
+                    CAST(greatest(len(regexp_extract_all(text, '\S+')), 1) AS DOUBLE)), 6) AS flesch
+              FROM documents)
+      SELECT d.doc_id, nov.novelty, ent.entropy, fle.flesch,
+             (nov.novelty >= 0.5 AND ent.entropy >= 1.0 AND fle.flesch > -100.0) AS keep
+      FROM documents d JOIN nov USING (doc_id) JOIN ent USING (doc_id)
+           JOIN fle USING (doc_id)
+      ORDER BY d.doc_id"""
   ).map { case (k, v) => k -> v.trim.replaceAll("\\s+", " ") }
 }

@@ -298,6 +298,28 @@ class WinnowNoveltySpec extends AnyFunSuite {
     assert(got(2L) == ((0L, 0L, 0L, 0L, 0L, 0.0)))
   }
 
+  test("curation composite: duplicate and degenerate docs drop, prose keeps") {
+    // mirror qB2's exact predicate on a corpus engineered per-branch
+    val prose = "The quick brown fox jumps over the lazy dog. It runs far."
+    val docs = Seq(
+      (1L, prose),                    // novel + entropic + readable -> keep
+      (2L, prose),                    // exact dup: novelty 0 -> drop
+      (3L, "spam spam spam spam spam spam spam spam")) // entropy 0 -> drop
+      .toDF("doc_id", "text")
+    val nov = Dedup.ngramNovelty(docs, "doc_id", "text", 3)
+      .select(col("doc_id"), col("novelty"))
+    val ent = graft.operators.TextAnalysis.tokenEntropy(docs, "doc_id", "text")
+      .select(col("doc_id"), col("entropy"))
+    val fl = graft.operators.TextAnalysis.fleschReadingEase(col("text"))
+      .collectFirst { case ("flesch", c) => c }.get
+    val keep = docs.select(col("doc_id"), fl.as("flesch"))
+      .join(nov, Seq("doc_id")).join(ent, Seq("doc_id"))
+      .select(col("doc_id"), (col("novelty") >= 0.5 && col("entropy") >= 1.0 &&
+        col("flesch") > -100.0).as("keep"))
+      .collect().map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    assert(keep == Map(1L -> true, 2L -> false, 3L -> false), s"$keep")
+  }
+
   test("clusterKeepBest keeps max quality with min-id tie-break") {
     val t10 = (1 to 10).map(i => s"t$i").mkString(" ")
     val docs = Seq(
