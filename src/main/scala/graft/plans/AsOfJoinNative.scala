@@ -163,7 +163,7 @@ object AsOfJoinNative {
     // old ids become ambiguous/unresolvable. Fresh aliases here make
     // the node unambiguous regardless of provenance.
     import org.apache.spark.sql.functions.col
-    val rFresh = right.select(right.columns.map(c => col(c).as(c)): _*)
+    val rFresh = right.select(right.columns.toIndexedSeq.map(c => col(c).as(c)): _*)
     val rPlan = rFresh.queryExecution.analyzed
     def attr(p: LogicalPlan, n: String): Attribute =
       p.output.find(_.name.equalsIgnoreCase(n)).getOrElse(

@@ -182,6 +182,33 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("contamination flagging applies statelessly at ingest") {
+    // the eval gram set is driver metadata and the corpus side is one
+    // codegen'd kernel projection — so the SAME operator call runs on
+    // a readStream frame unchanged, flagging at ingest with no state
+    import graft.operators.Contamination
+    val d = stage("documents")
+    val batchDocs = Tables.load(spark, "/root/testdata/sf0.001", "documents")
+    val evalSet = batchDocs.filter(col("doc_id") % 29 === 0)
+    val hashes = Contamination.evalGramHashes(evalSet, "text", w = 5)
+    val stream = spark.readStream.schema(batchDocs.schema).parquet(d)
+    val q = Contamination.flagContaminated(stream, "text", 5, hashes)
+      .select(col("doc_id"), col("contaminated"))
+      .writeStream.format("memory").queryName("stream_decon")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      val streamed = spark.table("stream_decon")
+        .collect().map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+      val batch = Contamination.flagContaminated(batchDocs, "text", 5, hashes)
+        .select(col("doc_id"), col("contaminated"))
+        .collect().map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+      assert(streamed == batch)
+      assert(streamed.values.exists(identity) &&
+        streamed.values.exists(!_), "flag must discriminate")
+    } finally q.stop()
+  }
+
   test("streaming image near-dup pairs equal the batch banded hamming join") {
     import spark.implicits._
     import graft.operators.Multimodal
