@@ -86,6 +86,24 @@ object IvfIndex {
   def readIndex(spark: SparkSession, path: String): DataFrame =
     spark.read.parquet(path)
 
+  /** Persist trained centroids next to the cell-partitioned index —
+    * the query-time half of the offline artifact: [[probeCells]] and
+    * [[searchIndexed]] need them, and reloading beats retraining k
+    * Lloyd iterations over the corpus. nlist × dim doubles — driver
+    * metadata, one tiny file. */
+  def saveCentroids(spark: SparkSession, centroids: Seq[Seq[Double]],
+                    path: String): Unit = {
+    import spark.implicits._
+    centroids.zipWithIndex.map { case (c, i) => (i, c) }
+      .toDF("cell", "centroid").coalesce(1)
+      .write.mode("overwrite").parquet(path)
+  }
+
+  /** Reload [[saveCentroids]]' artifact, cell order restored. */
+  def loadCentroids(spark: SparkSession, path: String): Seq[Seq[Double]] =
+    spark.read.parquet(path).select("cell", "centroid").collect()
+      .sortBy(_.getInt(0)).map(_.getSeq[Double](1).toIndexedSeq).toIndexedSeq
+
   /** The `nprobe` cells nearest to the query vector — pure driver-side
     * math over nlist × dim doubles; the corpus is never touched. */
   def probeCells(query: Seq[Double], centroids: Seq[Seq[Double]],

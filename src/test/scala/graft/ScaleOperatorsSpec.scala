@@ -54,6 +54,17 @@ class ScaleOperatorsSpec extends AnyFunSuite {
         centroids, 2): _*))
     val scan = pruned.queryExecution.executedPlan.toString
     assert(scan.contains("PartitionFilters: [ivf_cell"))
+    // centroid persistence: the offline artifact round-trips exactly,
+    // and a COLD session searching from the reloaded artifact gets the
+    // same neighbours as the training session
+    val cpath = "target/ivf_centroids_spec"
+    IvfIndex.saveCentroids(spark, centroids, cpath)
+    val reloaded = IvfIndex.loadCentroids(spark, cpath)
+    assert(reloaded == centroids.map(_.toIndexedSeq).toIndexedSeq)
+    val cold = IvfIndex.searchIndexed(indexed, "vec_id", "embedding",
+      reloaded, queryId = 0L, k = 10, nprobe = 8)
+      .collect().map(_.getLong(0)).toSeq
+    assert(cold == brute)
   }
 
   test("MinHash LSH candidate recall >= 0.9 against the exact pair set") {

@@ -141,6 +141,21 @@ class WinnowNoveltySpec extends AnyFunSuite {
     assert(e.getMessage.contains("id-packing cap"))
   }
 
+  test("novelty and entropy plan as pure aggregations — no Window operator") {
+    // the SCALE.md claim: neither operator funnels a hot key through a
+    // single-task window; everything is partial/final hash aggregation
+    val docs = Seq((1L, "a b c d e")).toDF("doc_id", "text")
+    val novPlan = Dedup.ngramNovelty(docs, "doc_id", "text", 3)
+      .queryExecution.executedPlan.toString
+    val entPlan = graft.operators.TextAnalysis
+      .tokenEntropy(docs, "doc_id", "text")
+      .queryExecution.executedPlan.toString
+    Seq("nov" -> novPlan, "ent" -> entPlan).foreach { case (n, p) =>
+      assert(!p.contains("Window"), s"$n plans a Window:\n$p")
+      assert(p.contains("HashAggregate"), s"$n lost hash aggregation")
+    }
+  }
+
   test("winnowFingerprints plans with zero shuffles") {
     // the scale claim: fingerprint selection is entirely per-row —
     // no Exchange anywhere in the physical plan
