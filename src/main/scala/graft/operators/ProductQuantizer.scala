@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /**
@@ -43,6 +43,35 @@ object ProductQuantizer {
       IvfIndex.train(sub, "id", "v", ksub, iters)
     }
     Codebooks(m, dsub, ksub, tables)
+  }
+
+  /** Persist trained codebooks as the offline PQ artifact (one row per
+    * (subspace, centroid)) — the [[IvfIndex.saveCentroids]] precedent:
+    * reload beats retraining m Lloyd runs, and an encoded corpus is
+    * unreadable without the exact codebooks that produced its codes.
+    * m × ksub × dsub doubles — driver metadata, one tiny file. */
+  def saveCodebooks(spark: SparkSession, cb: Codebooks, path: String): Unit = {
+    import spark.implicits._
+    (for {
+      i <- 0 until cb.m; c <- cb.tables(i).indices
+    } yield (i, c, cb.tables(i)(c)))
+      .toDF("subspace", "centroid", "components").coalesce(1)
+      .write.mode("overwrite").parquet(path)
+  }
+
+  /** Reload [[saveCodebooks]]' artifact, subspace/centroid order
+    * restored (ragged tables — a subspace can train < ksub centroids
+    * on a small corpus — round-trip intact). */
+  def loadCodebooks(spark: SparkSession, path: String): Codebooks = {
+    val rows = spark.read.parquet(path)
+      .select("subspace", "centroid", "components").collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getSeq[Double](2).toIndexedSeq))
+    require(rows.nonEmpty, s"no PQ codebooks at $path")
+    val tables = rows.groupBy(_._1).toSeq.sortBy(_._1).map { case (_, cs) =>
+      cs.sortBy(_._2).map(_._3).toIndexedSeq
+    }.toIndexedSeq
+    Codebooks(tables.size, tables.head.head.size,
+      tables.map(_.size).max, tables)
   }
 
   /** Attach the `pq_codes` column (array of m centroid indices). */

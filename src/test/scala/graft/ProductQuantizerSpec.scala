@@ -36,6 +36,18 @@ class ProductQuantizerSpec extends AnyFunSuite {
       .select(col("vec_id"), col("pq_codes"))
       .collect().map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
     assert(again == rows)
+    // offline artifact round-trip: reloaded codebooks reproduce the
+    // exact code assignment of the training session
+    val path = "target/pq_codebooks_spec"
+    ProductQuantizer.saveCodebooks(spark, cb, path)
+    val re = ProductQuantizer.loadCodebooks(spark, path)
+    assert(re.m == cb.m && re.dsub == cb.dsub &&
+      re.tables.map(_.map(_.toIndexedSeq)) ==
+        cb.tables.map(_.map(_.toIndexedSeq)))
+    val cold = ProductQuantizer.encode(emb, "embedding", re)
+      .select(col("vec_id"), col("pq_codes"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
+    assert(cold == rows)
   }
 
   test("ADC shortlist + exact re-rank recall, pinned at measured points") {
