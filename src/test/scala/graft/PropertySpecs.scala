@@ -67,6 +67,67 @@ class PropertySpecs extends AnyFunSuite {
     }
   }
 
+  test("winnowing guarantee holds on random corpora with planted runs") {
+    val spark = GraftTestSession.spark
+    import spark.implicits._
+    // random noise docs over a large vocabulary + a shared run of
+    // exactly w+k-1 = 6 tokens planted at random offsets in two of
+    // them: the SIGMOD-03 guarantee says those two MUST share a
+    // fingerprint, while the noise pairs (distinct vocab slices per
+    // doc) must not
+    val runGen = for {
+      runWords <- Gen.listOfN(6, Gen.choose(0, 999).map(i => s"r$i"))
+      offA <- Gen.choose(0, 10); offB <- Gen.choose(0, 10)
+      padA <- Gen.listOfN(offA + 8, Gen.choose(0, 999).map(i => s"a$i"))
+      padB <- Gen.listOfN(offB + 8, Gen.choose(0, 999).map(i => s"b$i"))
+    } yield {
+      val run = runWords.mkString(" ")
+      val (pa1, pa2) = padA.splitAt(offA)
+      val (pb1, pb2) = padB.splitAt(offB)
+      (s"${pa1.mkString(" ")} $run ${pa2.mkString(" ")}".trim,
+        s"${pb1.mkString(" ")} $run ${pb2.mkString(" ")}".trim)
+    }
+    samples(runGen, 25).zipWithIndex.foreach { case ((ta, tb), i) =>
+      val docs = Seq((1L, ta), (2L, tb)).toDF("doc_id", "text")
+      val byDoc = graft.operators.TextAnalysis
+        .winnowFingerprints(docs, "doc_id", "text", k = 3, w = 4)
+        .collect().groupBy(_.getLong(0))
+        .map { case (d, rs) => d -> rs.map(_.getLong(2)).toSet }
+      assert((byDoc(1L) & byDoc(2L)).nonEmpty,
+        s"case $i: planted 6-token run shared no fingerprint\nA=$ta\nB=$tb")
+    }
+  }
+
+  test("containmentPairs equals brute force on dense random corpora") {
+    val spark = GraftTestSession.spark
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // tiny vocabulary => heavy shingle collisions, subsets, and exact
+    // duplicates; the prefix-filtered join must still be EXACT
+    val vocab = Vector("x", "y", "z", "w")
+    val docGen = Gen.chooseNum(3, 14).flatMap(n =>
+      Gen.listOfN(n, Gen.oneOf(vocab)).map(_.mkString(" ")))
+    (0 until 3).foreach { round =>
+      val corpus = samples(docGen, 30).zipWithIndex
+        .map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+      val got = graft.operators.Dedup
+        .containmentPairs(corpus, "doc_id", "text", 3, 0.7)
+        .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2))
+        .toMap
+      val sets = corpus.select(col("doc_id"),
+          graft.functions.ShingleExprs.shingle_hashes(col("text"), 3).as("h"))
+        .collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toSet)
+        .filter(_._2.nonEmpty)
+      val want = (for {
+        (a, sa) <- sets; (b, sb) <- sets if a < b
+        c = (sa & sb).size.toDouble / math.min(sa.size, sb.size)
+        if c >= 0.7
+      } yield (a, b) -> c).toMap
+      assert(got == want, s"round $round: missing ${(want.keySet -- got.keySet).take(3)}, " +
+        s"extra ${(got.keySet -- want.keySet).take(3)}")
+    }
+  }
+
   test("weightedPrioritySample: k = n returns everything; heavy row dominates") {
     val spark = GraftTestSession.spark
     import spark.implicits._
