@@ -117,14 +117,69 @@ object Bench {
     def json(rows: Seq[(String, Double)]): String =
       rows.map { case (k, v) => "\"" + k + "\":" + num(v) }.mkString("{", ",", "}")
 
+    // Host-contention census: bench numbers are only meaningful from an
+    // otherwise-idle host (SCALE.md records 4-8x wall variance when the
+    // box is shared), and this VM ALSO runs under a hypervisor that
+    // steals CPU when neighbors are busy (observed: 20% of non-idle
+    // time stolen in the first minutes after boot, with per-query seq
+    // times up to 14x their settled values). Rather than let a
+    // contaminated run masquerade as a regression, each timed pass
+    // samples /proc/stat around itself and the record carries: %CPU
+    // stolen by the hypervisor, %CPU burned by OTHER processes (the
+    // driver's verify jobs, a concurrent build), and this JVM's own
+    // share — so a slow wall is attributable from the record alone.
+    def procStat(): Array[Long] = try {
+      val l = scala.io.Source.fromFile("/proc/stat").getLines().next()
+      l.split("\\s+").drop(1).map(_.toLong)
+    } catch { case _: Exception => Array.empty[Long] }
+    def selfJiffies(): Long = try {
+      val f = scala.io.Source.fromFile("/proc/self/stat").mkString.split(" ")
+      f(13).toLong + f(14).toLong // utime + stime
+    } catch { case _: Exception => 0L }
+    def uptimeS: Long = try {
+      scala.io.Source.fromFile("/proc/uptime").mkString
+        .split("\\s+")(0).toDouble.toLong
+    } catch { case _: Exception => -1L }
+    final class HostCensus {
+      private var h0 = procStat(); private var s0 = selfJiffies()
+      private val acc = new java.util.concurrent.atomic.AtomicReference(
+        (0L, 0L, 0L, 0L)) // (steal, busy, self, total)
+      /** Reset the window WITHOUT accumulating — excludes warmup/settle
+        * gaps so the census covers exactly the timed passes. */
+      def mark(): Unit = { h0 = procStat(); s0 = selfJiffies() }
+      def lap(): Unit = {
+        val h1 = procStat(); val s1 = selfJiffies()
+        if (h0.length >= 8 && h1.length >= 8) {
+          val d = h1.zip(h0).map { case (a, b) => a - b }
+          val tot = d.sum
+          val (st, bz, sf, to) = acc.get()
+          acc.set((st + d(7), bz + (tot - d(3)), sf + (s1 - s0), to + tot))
+        }
+        h0 = h1; s0 = s1
+      }
+      def json: String = {
+        val (st, bz, sf, to) = acc.get()
+        if (to == 0) "{}"
+        else {
+          def pct(x: Long) = num(100.0 * x / to)
+          // other = busy minus this JVM (self is per-process jiffies on
+          // the same clock; clamp at 0 against rounding)
+          s"""{"steal_pct":${pct(st)},"busy_pct":${pct(bz)},"self_pct":${pct(sf)},"other_pct":${pct(math.max(0L, bz - sf))},"uptime_s":$uptimeS}"""
+        }
+      }
+    }
+    val census = new HostCensus
+
     // sequential pass runs FIRST: it's the clean per-query plan signal,
     // and running it after the concurrent pass let same-JVM ordering/GC
     // make a query read slower alone than under 8-way contention
+    census.mark()
     val seqResults: Seq[(String, Double)] =
       if (mode != "conc") names.flatMap { case (name, fn) =>
         timed(name, fn).map(name -> _)
       }
       else Nil
+    census.lap()
     var wall = seqResults.map(_._2).sum // overwritten by the conc wall below
     var concJson = "{}"
     var concResults: Seq[(String, Double)] = Nil
@@ -141,6 +196,7 @@ object Bench {
       // leaves each query ~4 cores; SPARK_GRAFT_BENCH_POOL overrides
       // for makespan experiments (the gateway analog is the admission
       // limit a real deployment tunes per workload mix)
+      census.mark()
       val poolSize = sys.env.get("SPARK_GRAFT_BENCH_POOL").map(_.toInt)
         .getOrElse(math.min(8, Runtime.getRuntime.availableProcessors()))
       val pool = java.util.concurrent.Executors.newFixedThreadPool(poolSize)
@@ -169,6 +225,7 @@ object Bench {
         scala.concurrent.Future.sequence(futures),
         scala.concurrent.duration.Duration.Inf).flatten
       wall = (System.nanoTime() - t0) / 1e9
+      census.lap()
       pool.shutdown()
       concResults = results
       concJson = json(results)
@@ -184,7 +241,7 @@ object Bench {
     val errJson = errors.toSeq.sortBy(_._1)
       .map { case (k, v) => "\"" + k + "\":\"" + v + "\"" }.mkString("{", ",", "}")
     val fullRecord =
-      s"""{"metric":"total","unit":"sec","queries":$concJson,"queries_seq":$seqJson,"slowest":$slowest,"errors":$errJson,"value":${num(wall)},"sf":"$sfDir"}"""
+      s"""{"metric":"total","unit":"sec","queries":$concJson,"queries_seq":$seqJson,"slowest":$slowest,"errors":$errJson,"host":${census.json},"value":${num(wall)},"sf":"$sfDir"}"""
     // The FULL record (146 queries × two per-query maps ≈ 6 KB) exceeds
     // the driver's 2000-char stdout tail, so it goes to a COMMITTED file
     // (repo root — target/ is gitignored) where per-query numbers stay
@@ -206,7 +263,7 @@ object Bench {
     // full record) so a failure is visible even in the 2000-char tail
     val errNames = errors.keys.toSeq.sorted
       .map("\"" + _ + "\"").mkString("[", ",", "]")
-    println(s"""{"metric":"total","unit":"sec","queries":$slowConc,"queries_seq":$slowSeq,"slowest":$slowest,"errors":$errNames,"value":${num(wall)},"sf":"$sfDir","full":"$fullPath"}""")
+    println(s"""{"metric":"total","unit":"sec","queries":$slowConc,"queries_seq":$slowSeq,"slowest":$slowest,"errors":$errNames,"host":${census.json},"value":${num(wall)},"sf":"$sfDir","full":"$fullPath"}""")
     spark.stop()
   }
 }

@@ -754,6 +754,114 @@ object Dedup {
           .join_except_positions(col("ch"), col("delpos")).as("clean_text"))
   }
 
+  /**
+   * Group-scoped BOILERPLATE excision — the CCNet / RefinedWeb
+   * "repeated lines within a domain" cleanup at w-token chunk
+   * granularity: a chunk occurring in at least `minDocs` DISTINCT
+   * documents of the same group (site, source, crawl host) is template
+   * text (nav bars, footers, cookie banners, license blocks) and is
+   * deleted from EVERY document of that group. Policy differs from
+   * [[chunkDedup]] on both axes: the threshold is distinct-document
+   * frequency within a group rather than any global repeat, and ALL
+   * occurrences go — a template has no canonical "first owner" the way
+   * a plagiarized passage does.
+   *
+   * Scale shape mirrors [[chunkDedup]]: the chunk array is built by the
+   * one-pass native kernel in the scan stage; the frequency census is
+   * two stacked hash aggregates (dedupe (grp, chunk, doc) first — a
+   * doc's internal repeats combine map-side — then count), both
+   * partial/final, no windows; deletions aggregate to a per-doc
+   * position set sized by the BOILERPLATE occurrences only and join
+   * back doc-keyed (AQE broadcasts while small); documents reassemble
+   * map-side from their own chunk array via the bitset kernel. The
+   * corpus text is scanned once and never re-collected. At 100 TB the
+   * (grp, chunk) census keys are the only wide shuffle — key them by
+   * `xxhash64` for 8-byte shuffle keys if chunk strings dominate the
+   * wire (kept as strings here for exact oracle parity).
+   */
+  def boilerplateStrip(docs: DataFrame, idCol: String, textCol: String,
+                       groupCol: String, w: Int, minDocs: Int): DataFrame = {
+    require(w >= 1, "chunk width must be >= 1")
+    require(minDocs >= 2, "minDocs must be >= 2 (a 1-doc threshold deletes everything)")
+    val withCh = docs.select(col(idCol).as("doc_id"), col(groupCol).as("grp"),
+      coalesce(graft.functions.ShingleExprs.token_grams(col(textCol), w,
+          overlapping = false),
+        array().cast("array<string>")).as("ch"))
+    // posexplode_OUTER + post-filter: see the chunkDedup note on
+    // InferFiltersFromGenerate re-inlining the chunk kernel into a Filter
+    val chunks = withCh.select(col("doc_id"), col("grp"),
+        posexplode_outer(col("ch")).as(Seq("pos", "chunk")))
+      .filter(col("chunk").isNotNull)
+    val boiler = chunks.select(col("grp"), col("chunk"), col("doc_id")).distinct()
+      .groupBy(col("grp"), col("chunk"))
+      .agg(count(lit(1)).as("nd"))
+      .filter(col("nd") >= minDocs)
+      .select(col("grp"), col("chunk"))
+    val dels = chunks.join(boiler, Seq("grp", "chunk"))
+      .groupBy(col("doc_id"))
+      .agg(collect_set(col("pos")).as("delpos"))
+    withCh.join(dels, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        size(col("ch")).cast("long").as("n_chunks"),
+        coalesce(size(col("delpos")), lit(0)).cast("long").as("n_removed"),
+        graft.functions.ShingleExprs
+          .join_except_positions(col("ch"), col("delpos")).as("clean_text"))
+  }
+
+  /**
+   * Bounded edit-distance similarity self-join over a string column —
+   * typo clustering / vocabulary canonicalization (map OCR errors and
+   * misspellings onto their frequent canonical forms before token
+   * statistics). Exact for `maxDist` ∈ {1, 2} via the SymSpell
+   * deletion-neighborhood construction (Garbe's symmetric delete
+   * algorithm): two strings within Levenshtein distance d share at
+   * least one common variant reachable by ≤ d character DELETIONS from
+   * each side, so candidates come from an equi-join on the deletion
+   * neighborhood and only candidates pay the O(|a|·|b|) DP verify —
+   * never the all-pairs product.
+   *
+   * Scale shape: the input reduces to its DISTINCT value table first
+   * (for a text corpus that is the vocabulary, orders of magnitude
+   * smaller than the corpus — the same reduction [[Bpe.learnMerges]]
+   * rides); the neighborhood explode multiplies each value by
+   * O(1 + L + L²/2) variants (L = string length, d = 2), the join is
+   * one hash-keyed shuffle on the variant, and verification is Spark's
+   * codegen'd `levenshtein`. Output carries corpus occurrence counts
+   * for both sides so the caller can orient pairs typo → canonical
+   * (rare → frequent).
+   */
+  def editDistancePairs(df: DataFrame, strCol: String,
+                        maxDist: Int): DataFrame = {
+    require(maxDist >= 1 && maxDist <= 2,
+      "deletion-neighborhood completeness is implemented for maxDist 1 and 2")
+    val vocab = df.select(col(strCol).as("w"))
+      .filter(col("w").isNotNull && length(col("w")) > 0)
+      .groupBy(col("w")).agg(count(lit(1)).as("n"))
+    // ≤d-deletion neighborhood of `w` (includes w itself). `w` is a
+    // plain attribute behind the aggregate barrier, so the lambdas
+    // cannot re-inline any derivation (cf. the winnowing HOF note).
+    def delete1(s: Column): Column = transform(
+      sequence(lit(1), length(s)),
+      i => concat(s.substr(lit(1), i - 1), s.substr(i + 1, length(s))))
+    val nbh1 = array_union(array(col("w")), delete1(col("w")))
+    val nbh =
+      if (maxDist == 1) nbh1
+      else array_distinct(flatten(transform(nbh1, v =>
+        array_union(array(v), delete1(v)))))
+    val variants = vocab.select(col("w"), col("n"),
+        explode(nbh).as("v"))
+    val a = variants.select(col("v"), col("w").as("w1"), col("n").as("n1"))
+    val b = variants.select(col("v"), col("w").as("w2"), col("n").as("n2"))
+    a.join(b, Seq("v"))
+      .filter(col("w1") < col("w2"))
+      .select(col("w1"), col("w2"), col("n1"), col("n2"))
+      .distinct() // many shared variants per true pair
+      .withColumn("dist", levenshtein(col("w1"), col("w2")))
+      .filter(col("dist") <= maxDist)
+      .select(col("w1"), col("w2"), col("dist").cast("int").as("dist"),
+        col("n1"), col("n2"))
+  }
+
   /** Per-document n-gram NOVELTY under first-occurrence (min doc_id)
     * semantics — the data-curation signal for "how much of this
     * document is new text vs boilerplate already in the corpus"

@@ -1229,6 +1229,32 @@ object Pipeline {
           (col("novelty") >= 0.5 && col("entropy") >= 1.0 &&
             col("flesch") > -100.0).as("keep"))
         .orderBy(col("doc_id"))
+    }),
+
+    // CCNet/RefinedWeb-style template removal: 2-token chunks present
+    // in >= 3 distinct docs of the same source are boilerplate and all
+    // their occurrences are excised; docs reassemble map-side from the
+    // per-doc deletion set (the chunkDedup spine with a group-scoped
+    // frequency policy instead of global first-wins)
+    "qB3_boilerplate" -> ((s, dir) => {
+      Dedup.boilerplateStrip(T(s, dir)("documents"), "doc_id", "text",
+          "source", w = 2, minDocs = 3)
+        .select(col("doc_id"), col("n_chunks"), col("n_removed"),
+          md5(col("clean_text")).as("clean_md5"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // typo clustering over the corpus vocabulary: SymSpell deletion-
+    // neighborhood candidates (exact at d<=2), codegen'd levenshtein
+    // verify, occurrence counts carried for typo->canonical orientation;
+    // oracle is the brute-force cross join (vocabulary is oracle-sized,
+    // the corpus never is)
+    "qB4_typo_pairs" -> ((s, dir) => {
+      Dedup.editDistancePairs(
+        T(s, dir)("documents")
+          .select(explode(TextAnalysis.tokens(col("text"))).as("w")),
+        "w", maxDist = 2)
+        .orderBy(col("w1"), col("w2"))
     })
   )
 
@@ -2452,6 +2478,40 @@ object Pipeline {
              (nov.novelty >= 0.5 AND ent.entropy >= 1.0 AND fle.flesch > -100.0) AS keep
       FROM documents d JOIN nov USING (doc_id) JOIN ent USING (doc_id)
            JOIN fle USING (doc_id)
-      ORDER BY d.doc_id"""
+      ORDER BY d.doc_id""",
+    "qB3_boilerplate" -> """
+      WITH toks AS (SELECT doc_id, source, regexp_extract_all(text, '\S+') AS t FROM documents),
+      chunks AS (
+        SELECT doc_id, source, i AS pos,
+               array_to_string(list_slice(t, i*2+1, i*2+2), ' ') AS chunk
+        FROM toks, LATERAL (SELECT unnest(range(CAST(ceil(len(t)/2.0) AS BIGINT))) AS i) u),
+      boiler AS (
+        SELECT source, chunk
+        FROM (SELECT source, chunk, COUNT(DISTINCT doc_id) AS nd
+              FROM chunks GROUP BY 1, 2)
+        WHERE nd >= 3),
+      marked AS (
+        SELECT c.doc_id, c.pos, c.chunk, (b.chunk IS NOT NULL) AS del
+        FROM chunks c LEFT JOIN boiler b
+          ON c.source = b.source AND c.chunk = b.chunk),
+      agg AS (
+        SELECT doc_id, COUNT(*) AS n_chunks,
+               COUNT(*) FILTER (del) AS n_removed,
+               string_agg(chunk, ' ' ORDER BY pos) FILTER (NOT del) AS clean_text
+        FROM marked GROUP BY doc_id)
+      SELECT d.doc_id, CAST(COALESCE(a.n_chunks, 0) AS BIGINT) AS n_chunks,
+             CAST(COALESCE(a.n_removed, 0) AS BIGINT) AS n_removed,
+             md5(COALESCE(a.clean_text, '')) AS clean_md5
+      FROM documents d LEFT JOIN agg a USING (doc_id)
+      ORDER BY d.doc_id""",
+    "qB4_typo_pairs" -> """
+      WITH t AS (SELECT unnest(regexp_extract_all(text, '\S+')) AS w FROM documents),
+      v AS (SELECT w, COUNT(*)::BIGINT AS n FROM t GROUP BY 1)
+      SELECT a.w AS w1, b.w AS w2,
+             CAST(levenshtein(a.w, b.w) AS INT) AS dist,
+             a.n AS n1, b.n AS n2
+      FROM v a JOIN v b ON a.w < b.w
+      WHERE levenshtein(a.w, b.w) <= 2
+      ORDER BY w1, w2"""
   ).map { case (k, v) => k -> v.trim.replaceAll("\\s+", " ") }
 }

@@ -210,4 +210,88 @@ class Round9OpsSpec extends AnyFunSuite {
     assert(eval >= 0.95, s"held-out accuracy $eval on a 70/30-separable " +
       "two-dialect corpus — the classifier failed to learn")
   }
+
+  test("boilerplateStrip deletes ALL occurrences of group-frequent chunks") {
+    import graft.operators.Dedup
+    val docs = Seq(
+      (1L, "s1", "cookie banner alpha beta"),
+      (2L, "s1", "cookie banner gamma delta"),
+      (3L, "s1", "cookie banner epsilon zeta"),
+      (4L, "s2", "cookie banner eta theta"), // same chunk, other group: kept
+      (5L, "s1", "unique text here entirely")
+    ).toDF("doc_id", "source", "text")
+    val out = Dedup.boilerplateStrip(docs, "doc_id", "text", "source",
+        w = 2, minDocs = 3)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    assert(out === Array(
+      (1L, 2L, 1L, "alpha beta"),
+      (2L, 2L, 1L, "gamma delta"),
+      (3L, 2L, 1L, "epsilon zeta"),
+      (4L, 2L, 0L, "cookie banner eta theta"),
+      (5L, 2L, 0L, "unique text here entirely")))
+  }
+
+  test("boilerplateStrip equals brute force on a random grouped corpus") {
+    import graft.operators.Dedup
+    val rnd = new scala.util.Random(41)
+    val vocabW = Vector("aa", "bb", "cc", "dd", "ee")
+    val corpus = (0 until 80).map { i =>
+      val words = (0 until 4 + rnd.nextInt(6)).map(_ => vocabW(rnd.nextInt(vocabW.length)))
+      (i.toLong, s"g${i % 3}", words.mkString(" "))
+    }
+    val w = 2; val minDocs = 3
+    def chunksOf(t: String): Vector[String] =
+      t.split("\\s+").filter(_.nonEmpty).grouped(w).map(_.mkString(" ")).toVector
+    val byGroup = corpus.groupBy(_._2)
+    // NOTE .toSeq: flatMap on a Map yielding pairs would re-collect into
+    // a Map and silently keep ONE chunk per group
+    val boiler: Set[(String, String)] = byGroup.toSeq.flatMap { case (g, ds) =>
+      ds.flatMap(d => chunksOf(d._3).distinct.map(c => (c, d._1)))
+        .groupBy(_._1).filter(_._2.map(_._2).distinct.size >= minDocs)
+        .keys.map(c => (g, c))
+    }.toSet
+    val want = corpus.map { case (id, g, t) =>
+      val ch = chunksOf(t)
+      val kept = ch.filterNot(c => boiler((g, c)))
+      (id, ch.size.toLong, (ch.size - kept.size).toLong, kept.mkString(" "))
+    }.toArray
+    val got = Dedup.boilerplateStrip(corpus.toDF("doc_id", "source", "text"),
+        "doc_id", "text", "source", w, minDocs)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    assert(want.exists(_._3 > 0L), "degenerate fixture: no boilerplate planted")
+    assert(got === want)
+  }
+
+  test("editDistancePairs equals brute force at d=1 and d=2") {
+    import graft.operators.Dedup
+    def lev(a: String, b: String): Int = {
+      val d = Array.tabulate(a.length + 1, b.length + 1) { (i, j) =>
+        if (i == 0) j else if (j == 0) i else 0
+      }
+      for (i <- 1 to a.length; j <- 1 to b.length)
+        d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+          d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+      d(a.length)(b.length)
+    }
+    val rnd = new scala.util.Random(7)
+    val words = (1 to 150).map(_ =>
+      (1 to (1 + rnd.nextInt(5))).map(_ => ('a' + rnd.nextInt(2)).toChar).mkString)
+    val df = words.toDF("w")
+    val counts = words.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    for (d <- Seq(1, 2)) {
+      val got = Dedup.editDistancePairs(df, "w", d).collect()
+        .map(r => (r.getString(0), r.getString(1), r.getInt(2),
+          r.getLong(3), r.getLong(4))).toSet
+      val vocab = words.distinct
+      val want = (for {
+        a <- vocab; b <- vocab
+        if a < b
+        dist = lev(a, b) if dist <= d
+      } yield (a, b, dist, counts(a), counts(b))).toSet
+      assert(want.nonEmpty, s"degenerate fixture at d=$d")
+      assert(got == want, s"SymSpell candidates incomplete or unsound at d=$d")
+    }
+  }
 }
