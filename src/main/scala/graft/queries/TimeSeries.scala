@@ -285,6 +285,19 @@ object TimeSeries {
       series.join(buckets, Seq("bucket_ns"), "left")
         .select(col("bucket_ns"), coalesce(col("n"), lit(0L)).as("n"))
         .orderBy(col("bucket_ns"))
+    }),
+
+    // tiered retention: last 7 days of the fixture's 30-day window stay
+    // raw, the older 23 days compact to per-type hourly rollups — on
+    // the date=/hour= lake the cutoff is a partition-pruning split (hot
+    // branch map-only, cold branch one hash agg); µs-truncated ts on
+    // the raw tier for oracle parity (eventsUs note above)
+    "qB5_ts_retention" -> ((s, dir) => {
+      graft.operators.Retention.tieredDownsample(
+          eventsUs(s, dir), "ts", Seq("event_type"), "value",
+          cutoffNs = ns("2024-01-24T00:00:00Z"), bucketNs = HOUR_NS)
+        .orderBy(col("tier"), col("event_type"), col("bucket_ns"),
+          col("v_avg"))
     })
   )
 
@@ -442,6 +455,21 @@ object TimeSeries {
       series AS (SELECT UNNEST(generate_series(lo, hi, 3600000000000)) AS bucket_ns FROM bounds)
       SELECT s.bucket_ns, COALESCE(b.n, 0) AS n
       FROM series s LEFT JOIN b USING (bucket_ns)
-      ORDER BY s.bucket_ns"""
+      ORDER BY s.bucket_ns""",
+    "qB5_ts_retention" -> """
+      WITH e AS (SELECT event_type, value,
+                        epoch_ns(ts) - epoch_ns(ts) % 1000 AS tsns
+                 FROM events)
+      SELECT event_type, tsns AS bucket_ns, 1::BIGINT AS n_rows,
+             ROUND(value, 6) AS v_avg, value AS v_min, value AS v_max,
+             'raw' AS tier
+      FROM e WHERE tsns >= 1706054400000000000
+      UNION ALL
+      SELECT event_type, tsns - tsns % 3600000000000 AS bucket_ns,
+             COUNT(*) AS n_rows, ROUND(AVG(value), 6) AS v_avg,
+             MIN(value) AS v_min, MAX(value) AS v_max, 'rollup' AS tier
+      FROM e WHERE tsns < 1706054400000000000
+      GROUP BY 1, 2
+      ORDER BY tier, event_type, bucket_ns, v_avg"""
   ).map { case (k, v) => k -> v.trim.replaceAll("\\s+", " ") }
 }

@@ -264,6 +264,46 @@ class Round9OpsSpec extends AnyFunSuite {
     assert(got === want)
   }
 
+  test("qB3/qB4 plans: equi-joins and hash aggregates only — no windows, no products") {
+    import graft.operators.Dedup
+    val docs = Seq((1L, "s1", "a b c d"), (2L, "s1", "a b e f"))
+      .toDF("doc_id", "source", "text")
+    val bpPlan = Dedup.boilerplateStrip(docs, "doc_id", "text", "source", 2, 2)
+      .queryExecution.executedPlan.toString
+    val edPlan = Dedup.editDistancePairs(
+        docs.select(explode(split(col("text"), " ")).as("w")), "w", 2)
+      .queryExecution.executedPlan.toString
+    Seq("boilerplateStrip" -> bpPlan, "editDistancePairs" -> edPlan)
+      .foreach { case (n, p) =>
+        // the scale claims: census/candidates are hash-agg + equi-join
+        // shaped; an all-pairs product or a global window would be the
+        // anti-pattern both operators exist to avoid
+        assert(!p.contains("CartesianProduct"), s"$n plans a product:\n$p")
+        assert(!p.contains("BroadcastNestedLoopJoin"), s"$n theta-joins:\n$p")
+        assert(!p.contains("Window"), s"$n plans a Window:\n$p")
+        assert(p.contains("HashAggregate"), s"$n lost hash aggregation:\n$p")
+      }
+  }
+
+  test("tieredDownsample: raw passthrough above cutoff, hourly rollups below") {
+    import graft.operators.Retention
+    val H = 3600L * 1000 * 1000 * 1000
+    val ev = Seq(
+      ("a", 0L, 1.0), ("a", H / 2, 3.0), // cold, same bucket → one rollup row
+      ("b", H, 5.0),                     // cold, own bucket
+      ("a", 10 * H + 7L, 9.0)            // hot → raw, ts preserved exactly
+    ).toDF("event_type", "ts", "value")
+    val out = Retention.tieredDownsample(ev, "ts", Seq("event_type"), "value",
+        cutoffNs = 10 * H, bucketNs = H)
+      .orderBy("tier", "event_type", "bucket_ns").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3),
+        r.getDouble(4), r.getDouble(5), r.getString(6)))
+    assert(out === Array(
+      ("a", 10 * H + 7L, 1L, 9.0, 9.0, 9.0, "raw"),
+      ("a", 0L, 2L, 2.0, 1.0, 3.0, "rollup"),
+      ("b", H, 1L, 5.0, 5.0, 5.0, "rollup")))
+  }
+
   test("editDistancePairs equals brute force at d=1 and d=2") {
     import graft.operators.Dedup
     def lev(a: String, b: String): Int = {
