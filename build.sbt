@@ -41,4 +41,7 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // pass accumulates localCheckpoint blocks + shuffle buffers across
   // 127 queries, and an 8g heap GC-thrashes exactly in that last pass
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "24g")}",
-)
+) ++
+  // opt-in GC log for diagnosing bench-wall inflation (SCALE.md):
+  // SPARK_GRAFT_GCLOG=/tmp/gc.log sbt "runMain graft.Bench"
+  sys.env.get("SPARK_GRAFT_GCLOG").toSeq.map(p => s"-Xlog:gc*:file=$p:time,uptime")

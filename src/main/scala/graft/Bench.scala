@@ -140,46 +140,80 @@ object Bench {
       scala.io.Source.fromFile("/proc/uptime").mkString
         .split("\\s+")(0).toDouble.toLong
     } catch { case _: Exception => -1L }
+    // Fixed single-thread reference workload (xorshift64* over 3e7
+    // steps, ~50 ms on this box when healthy): guest-visible steal
+    // accounting MISSES two real slowdown modes on a shared host —
+    // frequency capping and LLC/memory-bandwidth contention from
+    // neighboring VMs (observed: walls of 42.8 s and 17.3 s from the
+    // SAME jar an hour apart, both with steal < 0.3% and iowait 0).
+    // A calibration probe converts "the wall is slow" into "the wall
+    // is slow AND the fixed 50 ms probe took 130 ms" — attributable
+    // to the host from the record alone, no guest counters needed.
+    def probeMs(): Double = {
+      var x = 0x9E3779B97F4A7C15L
+      var i = 0
+      val t0 = System.nanoTime()
+      while (i < 30000000) {
+        x ^= x >>> 12; x ^= x << 25; x ^= x >>> 27
+        i += 1
+      }
+      val dt = (System.nanoTime() - t0) / 1e6
+      if (x == 42L) println("") // defeat dead-code elimination
+      dt
+    }
+    probeMs() // JIT-warm the probe loop itself before anyone times it
+
     final class HostCensus {
       private var h0 = procStat(); private var s0 = selfJiffies()
       private val acc = new java.util.concurrent.atomic.AtomicReference(
-        (0L, 0L, 0L, 0L)) // (steal, busy, self, total)
+        (0L, 0L, 0L, 0L, 0L)) // (steal, busy, self, iowait, total)
+      private var probe = -1.0
       /** Reset the window WITHOUT accumulating — excludes warmup/settle
-        * gaps so the census covers exactly the timed passes. */
-      def mark(): Unit = { h0 = procStat(); s0 = selfJiffies() }
+        * gaps so the census covers exactly the timed passes. Times the
+        * calibration probe at the pass boundary. */
+      def mark(): Unit = { probe = probeMs(); h0 = procStat(); s0 = selfJiffies() }
       def lap(): Unit = {
         val h1 = procStat(); val s1 = selfJiffies()
         if (h0.length >= 8 && h1.length >= 8) {
           val d = h1.zip(h0).map { case (a, b) => a - b }
           val tot = d.sum
-          val (st, bz, sf, to) = acc.get()
-          acc.set((st + d(7), bz + (tot - d(3)), sf + (s1 - s0), to + tot))
+          val (st, bz, sf, io, to) = acc.get()
+          // busy excludes BOTH idle and iowait — iowait is reported on
+          // its own so an IO-stalled run is distinguishable from a
+          // CPU-starved one in the record
+          acc.set((st + d(7), bz + (tot - d(3) - d(4)), sf + (s1 - s0),
+            io + d(4), to + tot))
         }
         h0 = h1; s0 = s1
       }
       def json: String = {
-        val (st, bz, sf, to) = acc.get()
+        val (st, bz, sf, io, to) = acc.get()
         if (to == 0) "{}"
         else {
           def pct(x: Long) = num(100.0 * x / to)
           // other = busy minus this JVM (self is per-process jiffies on
           // the same clock; clamp at 0 against rounding)
-          s"""{"steal_pct":${pct(st)},"busy_pct":${pct(bz)},"self_pct":${pct(sf)},"other_pct":${pct(math.max(0L, bz - sf))},"uptime_s":$uptimeS}"""
+          s"""{"steal_pct":${pct(st)},"busy_pct":${pct(bz)},"self_pct":${pct(sf)},"other_pct":${pct(math.max(0L, bz - sf))},"iowait_pct":${pct(io)},"probe_ms":${num(probe)},"uptime_s":$uptimeS}"""
         }
       }
     }
-    val census = new HostCensus
+    // one census per timed pass: the seq pass runs minutes and would
+    // dilute a conc-pass-only collapse below visibility in a combined
+    // number (observed: combined busy 16% when the conc pass itself
+    // was the anomaly)
+    val censusSeq = new HostCensus
+    val censusConc = new HostCensus
 
     // sequential pass runs FIRST: it's the clean per-query plan signal,
     // and running it after the concurrent pass let same-JVM ordering/GC
     // make a query read slower alone than under 8-way contention
-    census.mark()
+    censusSeq.mark()
     val seqResults: Seq[(String, Double)] =
       if (mode != "conc") names.flatMap { case (name, fn) =>
         timed(name, fn).map(name -> _)
       }
       else Nil
-    census.lap()
+    censusSeq.lap()
     var wall = seqResults.map(_._2).sum // overwritten by the conc wall below
     var concJson = "{}"
     var concResults: Seq[(String, Double)] = Nil
@@ -196,7 +230,7 @@ object Bench {
       // leaves each query ~4 cores; SPARK_GRAFT_BENCH_POOL overrides
       // for makespan experiments (the gateway analog is the admission
       // limit a real deployment tunes per workload mix)
-      census.mark()
+      censusConc.mark()
       val poolSize = sys.env.get("SPARK_GRAFT_BENCH_POOL").map(_.toInt)
         .getOrElse(math.min(8, Runtime.getRuntime.availableProcessors()))
       val pool = java.util.concurrent.Executors.newFixedThreadPool(poolSize)
@@ -225,7 +259,7 @@ object Bench {
         scala.concurrent.Future.sequence(futures),
         scala.concurrent.duration.Duration.Inf).flatten
       wall = (System.nanoTime() - t0) / 1e9
-      census.lap()
+      censusConc.lap()
       pool.shutdown()
       concResults = results
       concJson = json(results)
@@ -241,7 +275,7 @@ object Bench {
     val errJson = errors.toSeq.sortBy(_._1)
       .map { case (k, v) => "\"" + k + "\":\"" + v + "\"" }.mkString("{", ",", "}")
     val fullRecord =
-      s"""{"metric":"total","unit":"sec","queries":$concJson,"queries_seq":$seqJson,"slowest":$slowest,"errors":$errJson,"host":${census.json},"value":${num(wall)},"sf":"$sfDir"}"""
+      s"""{"metric":"total","unit":"sec","queries":$concJson,"queries_seq":$seqJson,"slowest":$slowest,"errors":$errJson,"host":{"seq":${censusSeq.json},"conc":${censusConc.json}},"value":${num(wall)},"sf":"$sfDir"}"""
     // The FULL record (146 queries × two per-query maps ≈ 6 KB) exceeds
     // the driver's 2000-char stdout tail, so it goes to a COMMITTED file
     // (repo root — target/ is gitignored) where per-query numbers stay
@@ -263,7 +297,7 @@ object Bench {
     // full record) so a failure is visible even in the 2000-char tail
     val errNames = errors.keys.toSeq.sorted
       .map("\"" + _ + "\"").mkString("[", ",", "]")
-    println(s"""{"metric":"total","unit":"sec","queries":$slowConc,"queries_seq":$slowSeq,"slowest":$slowest,"errors":$errNames,"host":${census.json},"value":${num(wall)},"sf":"$sfDir","full":"$fullPath"}""")
+    println(s"""{"metric":"total","unit":"sec","queries":$slowConc,"queries_seq":$slowSeq,"slowest":$slowest,"errors":$errNames,"host":{"seq":${censusSeq.json},"conc":${censusConc.json}},"value":${num(wall)},"sf":"$sfDir","full":"$fullPath"}""")
     spark.stop()
   }
 }

@@ -390,4 +390,35 @@ class ScaleOperatorsSpec extends AnyFunSuite {
     assert(logs.exists(_.contains("saturated")),
       s"saturation must be logged; captured: ${logs.take(5).mkString(" | ")}")
   }
+
+  test("boilerplateStrip stays bounded on an all-template source") {
+    // degenerate cohort: 2000 docs of ONE source all carrying the same
+    // template — the (grp, chunk) census must combine map-side to a
+    // handful of rows (never a per-doc blowup) and every occurrence is
+    // excised; the unique tail survives untouched
+    val docs = ((0 until 2000).map(i => (i.toLong, "farm", "free prize click here now banner")) :+
+      (9999L, "farm", "genuinely novel writing only")).toDF("doc_id", "source", "text")
+    val out = Dedup.boilerplateStrip(docs, "doc_id", "text", "source",
+        w = 2, minDocs = 3)
+    val agg = out.agg(
+      sum(when(col("n_removed") > 0, 1L).otherwise(0L)).as("docs_hit"),
+      sum(col("n_removed")).as("removed")).head
+    assert(agg.getLong(0) == 2000L, "every template doc must be stripped")
+    // 3 chunks per template doc, all deleted everywhere
+    assert(agg.getLong(1) == 3L * 2000L)
+    val novel = out.filter(col("doc_id") === 9999L).head
+    assert(novel.getAs[Long]("n_removed") == 0L,
+      "the unique doc must survive the purge")
+  }
+
+  test("editDistancePairs is vocabulary-shaped: duplicates collapse before the join") {
+    // 50k occurrences of two words → the variant join sees a 2-row
+    // vocabulary, and the output carries the corpus counts
+    val words = (1 to 50000).map(i => if (i % 2 == 0) "spark" else "spank")
+    val got = Dedup.editDistancePairs(words.toDF("w"), "w", 1).collect()
+    assert(got.length == 1)
+    val r = got.head
+    assert(r.getString(0) == "spank" && r.getString(1) == "spark" &&
+      r.getInt(2) == 1 && r.getLong(3) == 25000L && r.getLong(4) == 25000L)
+  }
 }
