@@ -21,7 +21,12 @@ import org.apache.spark.sql.functions._
  *
  * `v_avg` is rounded to 1e-6 on BOTH tiers (the q41/lmScore
  * cross-engine convention); min/max are exact row values and need no
- * rounding.
+ * rounding. The rollup average is computed as an EXACT DECIMAL sum
+ * cast to double, then divided — a plain double `avg` is
+ * summation-order-dependent, and at sf0.1 one bucket's float sum
+ * landed a half-ulp either side of a round(x, 6) midpoint in Spark vs
+ * DuckDB; the decimal sum is order-independent, so both engines round
+ * the identical double.
  */
 object Retention {
 
@@ -41,10 +46,12 @@ object Retention {
     val rolled = events.filter(ts < cutoffNs)
       .groupBy(keys :+ (ts - pmod(ts, lit(bucketNs))).as("bucket_ns"): _*)
       .agg(count(lit(1)).as("n_rows"),
-        round(avg(col(valCol)), 6).as("v_avg"),
+        sum(col(valCol).cast("decimal(27,9)")).as("__vsum"),
         min(col(valCol)).cast("double").as("v_min"),
         max(col(valCol)).cast("double").as("v_max"))
-      .withColumn("tier", lit("rollup"))
+      .select(keys ++ Seq(col("bucket_ns"), col("n_rows"),
+        round(col("__vsum").cast("double") / col("n_rows"), 6).as("v_avg"),
+        col("v_min"), col("v_max"), lit("rollup").as("tier")): _*)
     raw.unionByName(rolled)
   }
 }

@@ -380,11 +380,17 @@ object Pipeline {
       val media = T(s, dir)("documents").select(col("doc_id")).as[Long]
         .mapPartitions { ids =>
           ids.map { id =>
-            // 24/12 both refine the 4×4 feature grid (6- and 3-px
-            // cells), so twin features match up to 8-bit rounding
-            val base = Multimodal.syntheticGridImage(id / 2, 24, 24, "bmp")
-            val payload = if (id % 2 == 0) base
-              else Multimodal.areaResizeGray(base, 12, 12, "bmp").get
+            // twin = FORMAT re-encode of the same render (BMP vs PNG,
+            // both lossless): decoded pixels are bitwise equal, so twin
+            // feature distance is exactly 0 and rank-1-equals-twin
+            // holds at ANY corpus scale. (The earlier 24px/12px
+            // cross-resolution twins stop being each other's nearest
+            // neighbour once the seed count saturates the pooled
+            // feature space — at sf0.1, 20 of 2500 pairs flipped; the
+            // resolution-robust matching story lives in qA3's dHash.)
+            val payload = if (id % 2 == 0)
+              Multimodal.syntheticGridImage(id / 2, 24, 24, "bmp")
+            else Multimodal.syntheticGridPng(id / 2, 24, 24)
             Multimodal.MediaRow(id, payload)
           }
         }

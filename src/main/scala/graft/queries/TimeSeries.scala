@@ -466,7 +466,9 @@ object TimeSeries {
       FROM e WHERE tsns >= 1706054400000000000
       UNION ALL
       SELECT event_type, tsns - tsns % 3600000000000 AS bucket_ns,
-             COUNT(*) AS n_rows, ROUND(AVG(value), 6) AS v_avg,
+             COUNT(*) AS n_rows,
+             ROUND(CAST(SUM(CAST(value AS DECIMAL(27,9))) AS DOUBLE)
+                   / COUNT(*), 6) AS v_avg,
              MIN(value) AS v_min, MAX(value) AS v_max, 'rollup' AS tier
       FROM e WHERE tsns < 1706054400000000000
       GROUP BY 1, 2
