@@ -188,6 +188,83 @@ object TextExprs {
 
   def repetition_ngrams(text: Column): Column =
     ColumnBridge.column(RepetitionNgrams(ColumnBridge.expression(text)))
+
+  def text_profile(text: Column): Column =
+    ColumnBridge.column(TextProfile(ColumnBridge.expression(text)))
+
+  /** Fused character-profile pass backing [[TextProfile]]: every count
+    * the script-mix / mojibake / readability profilers need, in ONE
+    * codepoint walk (plus one lowercase pass for syllables) instead of
+    * the 11 full-text `regexp_count` scans the column-expression
+    * formulation costs. Each counter replicates its regex's match
+    * semantics EXACTLY (the DuckDB oracles keep the regex spelling):
+    *
+    *  - script counts = per-codepoint `Character.UnicodeScript`
+    *    membership — the same tables Java regex `\p{IsX}` (and RE2
+    *    `\p{X}`) resolve to, one binary search per char instead of
+    *    five anchored regex scans;
+    *  - `n_replacement` / `n_c1_controls` = single-char class counts;
+    *  - `n_mojibake_digraphs` = non-overlapping `Ã[\x80-\xBF]` matches.
+    *    Statless pairwise testing IS non-overlapping here: a match's
+    *    consumed second char is in [0x80,BF] and can never start the
+    *    next match (which needs 0xC3);
+    *  - `n_words` = `\S+` run count with Java's `\s` class
+    *    ([ \t\n\x0B\f\r] — NOT Unicode spaces), matching
+    *    `tokenCount`'s regex byte-for-byte;
+    *  - `n_sentences` = `[.!?]+` run count;
+    *  - `n_syllables` = `[aeiouy]+` run count over
+    *    `UTF8String.toLowerCase` — the exact kernel Spark's `lower()`
+    *    applies, so 1:M case mappings (İ → i + combining dot) land
+    *    identically to the `regexp_count(lower(text), ...)` spelling. */
+  def textProfile(text: UTF8String): InternalRow = {
+    val s = text.toString
+    val n = s.length
+    var latin = 0L; var cyr = 0L; var han = 0L; var arab = 0L; var greek = 0L
+    var repl = 0L; var c1 = 0L; var digraph = 0L
+    var words = 0L; var sents = 0L
+    var inWord = false; var inSent = false
+    var i = 0
+    while (i < n) {
+      val cp = s.codePointAt(i)
+      val cc = Character.charCount(cp)
+      if (cp >= 0x41) { // scripts assigned below U+0041 are all COMMON
+        val sc = Character.UnicodeScript.of(cp)
+        if (sc eq Character.UnicodeScript.LATIN) latin += 1
+        else if (sc eq Character.UnicodeScript.CYRILLIC) cyr += 1
+        else if (sc eq Character.UnicodeScript.HAN) han += 1
+        else if (sc eq Character.UnicodeScript.ARABIC) arab += 1
+        else if (sc eq Character.UnicodeScript.GREEK) greek += 1
+      }
+      if (cp == 0xFFFD) repl += 1
+      else if (cp >= 0x80 && cp <= 0x9F) c1 += 1
+      else if (cp == 0xC3 && i + cc < n) {
+        val nx = s.codePointAt(i + cc)
+        if (nx >= 0x80 && nx <= 0xBF) digraph += 1
+      }
+      val ws = cp == 0x20 || cp == 0x09 || cp == 0x0A || cp == 0x0B ||
+        cp == 0x0C || cp == 0x0D
+      if (!ws) { if (!inWord) { words += 1; inWord = true } }
+      else inWord = false
+      val sentCh = cp == '.' || cp == '!' || cp == '?'
+      if (sentCh) { if (!inSent) { sents += 1; inSent = true } }
+      else inSent = false
+      i += cc
+    }
+    var sylls = 0L
+    var inVowel = false
+    val ls = text.toLowerCase.toString
+    var j = 0
+    val m = ls.length
+    while (j < m) {
+      val c = ls.charAt(j)
+      val v = c == 'a' || c == 'e' || c == 'i' || c == 'o' || c == 'u' || c == 'y'
+      if (v) { if (!inVowel) { sylls += 1; inVowel = true } }
+      else inVowel = false
+      j += 1
+    }
+    InternalRow(latin, cyr, han, arab, greek, repl, c1, digraph,
+      words, sents, sylls)
+  }
 }
 
 /** Unicode NFC normalization (the canonicalization step of text
@@ -301,4 +378,38 @@ case class DeflateStats(child: Expression)
   override protected def withNewChildInternal(c: Expression): DeflateStats =
     copy(child = c)
   override def prettyName: String = "deflate_stats"
+}
+
+/** struct of the 11 counters behind the script-mix / mojibake /
+  * readability profilers, in one fused codepoint pass (see
+  * [[TextExprs.textProfile]]) — replaces up to 11 separate full-text
+  * `regexp_count` scans. Callers project the fields they need; with
+  * whole-stage codegen's common-subexpression elimination the kernel
+  * runs ONCE per row however many fields are read. */
+case class TextProfile(child: Expression)
+    extends UnaryExpression with ExpectsInputTypes {
+
+  override def inputTypes: Seq[ColumnBridge.SqlAbstractDataType] = Seq(StringType)
+  override def dataType: DataType = StructType(Seq(
+    StructField("n_latin", LongType, nullable = false),
+    StructField("n_cyrillic", LongType, nullable = false),
+    StructField("n_han", LongType, nullable = false),
+    StructField("n_arabic", LongType, nullable = false),
+    StructField("n_greek", LongType, nullable = false),
+    StructField("n_replacement", LongType, nullable = false),
+    StructField("n_c1_controls", LongType, nullable = false),
+    StructField("n_mojibake_digraphs", LongType, nullable = false),
+    StructField("n_words", LongType, nullable = false),
+    StructField("n_sentences", LongType, nullable = false),
+    StructField("n_syllables", LongType, nullable = false)))
+
+  override def nullSafeEval(v: Any): Any =
+    TextExprs.textProfile(v.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.TextExprs.textProfile($c)")
+
+  override protected def withNewChildInternal(c: Expression): TextProfile =
+    copy(child = c)
+  override def prettyName: String = "text_profile"
 }

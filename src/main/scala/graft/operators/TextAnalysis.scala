@@ -406,15 +406,17 @@ object TextAnalysis {
   /** Flesch reading-ease readability — the classic curation signal for
     * "is this prose or a keyword dump": 206.835 − 1.015·(words/sents)
     * − 84.6·(syllables/words), with the standard heuristics (sentences
-    * = `[.!?]+` runs, syllables = vowel-group count) spelled as three
-    * codegen'd `regexp_count` passes valid in both Java regex and RE2.
-    * Per-row, zero shuffle; divisions guard empty text via greatest(1).
-    * Rounded 1e-6 for cross-engine float parity. */
+    * = `[.!?]+` runs, syllables = vowel-group count). The counts ride
+    * the fused [[graft.functions.TextProfile]] kernel (one codepoint
+    * pass shared with the other profilers via codegen CSE) — its run
+    * counters replicate the regex-count spelling the DuckDB oracle
+    * keeps. Per-row, zero shuffle; divisions guard empty text via
+    * greatest(1). Rounded 1e-6 for cross-engine float parity. */
   def fleschReadingEase(text: Column): (Seq[(String, Column)]) = {
-    val words = greatest(tokenCount(text), lit(1)).cast("double")
-    val sents = greatest(regexp_count(text, lit("[.!?]+")), lit(1)).cast("double")
-    val sylls = greatest(regexp_count(lower(text), lit("[aeiouy]+")), lit(1))
-      .cast("double")
+    val p = graft.functions.TextExprs.text_profile(text)
+    val words = greatest(p.getField("n_words"), lit(1L)).cast("double")
+    val sents = greatest(p.getField("n_sentences"), lit(1L)).cast("double")
+    val sylls = greatest(p.getField("n_syllables"), lit(1L)).cast("double")
     Seq(
       "n_words" -> words.cast("long"),
       "n_sentences" -> sents.cast("long"),
@@ -428,34 +430,38 @@ object TextAnalysis {
     * up), C1 control chars U+0080–U+009F (latin-1/windows-1252 debris),
     * and the UTF-8-read-as-latin-1 digraph signature Ã + [U+0080–U+00BF]
     * (every two-byte UTF-8 sequence for U+00C0–U+00FF mis-decodes to
-    * exactly that shape). Three codegen'd regexp_count passes per row,
-    * zero shuffle; `\\x{...}` escapes are valid and IDENTICAL in Java
-    * regex and RE2. */
+    * exactly that shape). Counted by the fused
+    * [[graft.functions.TextProfile]] kernel in one codepoint pass (the
+    * DuckDB oracle keeps the `\\x{...}` regex spelling, which the
+    * kernel's counters replicate match-for-match). Per-row, zero
+    * shuffle. */
   def mojibakeStats(text: Column): Seq[(String, Column)] = {
-    val repl = regexp_count(text, lit("\\x{FFFD}"))
-    val c1 = regexp_count(text, lit("[\\x{0080}-\\x{009F}]"))
-    val digraph = regexp_count(text, lit("\\x{00C3}[\\x{0080}-\\x{00BF}]"))
+    val p = graft.functions.TextExprs.text_profile(text)
+    val repl = p.getField("n_replacement")
+    val c1 = p.getField("n_c1_controls")
+    val digraph = p.getField("n_mojibake_digraphs")
     Seq(
-      "n_replacement" -> repl.cast("long"),
-      "n_c1_controls" -> c1.cast("long"),
-      "n_mojibake_digraphs" -> digraph.cast("long"),
+      "n_replacement" -> repl,
+      "n_c1_controls" -> c1,
+      "n_mojibake_digraphs" -> digraph,
       "is_damaged" -> (repl + c1 + digraph > 0))
   }
 
   /** Unicode-script mix profile — multilingual-curation QA (a doc
     * labelled `en` that is 40% Han characters is a langid bug or a
     * crawler artifact): per-script character counts over the major
-    * scripts + the dominant-script share. Java regex spells scripts
-    * `\\p{IsX}`, RE2 `\\p{X}` — different pattern TEXT, same script
-    * property, so the oracle matches on semantics. Per-row, zero
+    * scripts + the dominant-script share. Counted by the fused
+    * [[graft.functions.TextProfile]] kernel — ONE
+    * `Character.UnicodeScript` walk (the tables Java regex `\\p{IsX}`
+    * resolves to; RE2's `\\p{X}` in the oracle is the same script
+    * property) instead of five full-text regex scans. Per-row, zero
     * shuffle. */
   def scriptProfile(text: Column): Seq[(String, Column)] = {
-    val scripts = Seq("latin" -> "Latin", "cyrillic" -> "Cyrillic",
-      "han" -> "Han", "arabic" -> "Arabic", "greek" -> "Greek")
-    val counts = scripts.map { case (n, s) =>
-      n -> regexp_count(text, lit(s"\\p{Is$s}")) }
+    val p = graft.functions.TextExprs.text_profile(text)
+    val counts = Seq("latin", "cyrillic", "han", "arabic", "greek")
+      .map(n => n -> p.getField(s"n_$n"))
     val total = counts.map(_._2).reduce(_ + _)
-    counts.map { case (n, c) => s"n_$n" -> c.cast("long") } :+
+    counts.map { case (n, c) => s"n_$n" -> c } :+
       ("dominant_share" -> when(total === 0, lit(0.0))
         .otherwise(round(greatest(counts.map(_._2.cast("double")): _*) /
           total.cast("double"), 6)))
