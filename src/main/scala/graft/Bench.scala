@@ -78,10 +78,14 @@ object Bench {
       (t.getClass.getSimpleName + ": " +
         String.valueOf(t.getMessage)).replaceAll("[\"\\\\\\s]+", " ").take(200)
     // untimed warmup ITERATION over the whole workload: JIT + codegen
-    // caches + parquet footers, and q72's memoized IVF index build (an
-    // index is an OFFLINE artifact — timed runs measure search, not
-    // build). Without a full pass, whichever timed pass runs first
-    // absorbs per-query codegen compilation and reads artificially slow.
+    // caches + parquet footers, and the memoized OFFLINE artifacts —
+    // IVF centroids (q72/qA4), BPE merge lists + the encoded corpus
+    // (qAH/qAK/qAZ), media embeddings/fingerprints (qA3/qA4/qAG via
+    // FrameCache). A deployment builds those once at ingest and stores
+    // them in the lake; timed runs measure index/search/aggregate, not
+    // re-extraction. Without a full pass, whichever timed pass runs
+    // first absorbs per-query codegen compilation and reads
+    // artificially slow.
     names.foreach { case (name, fn) =>
       try consume(fn(spark, sfDir)) catch {
         case t: Throwable => warmupErrors.put(name, errMsg(t))
@@ -176,13 +180,17 @@ object Bench {
         val h1 = procStat(); val s1 = selfJiffies()
         if (h0.length >= 8 && h1.length >= 8) {
           val d = h1.zip(h0).map { case (a, b) => a - b }
+          def at(i: Int) = if (d.length > i) d(i) else 0L
           val tot = d.sum
           val (st, bz, sf, io, to) = acc.get()
-          // busy excludes BOTH idle and iowait — iowait is reported on
-          // its own so an IO-stalled run is distinguishable from a
-          // CPU-starved one in the record
-          acc.set((st + d(7), bz + (tot - d(3) - d(4)), sf + (s1 - s0),
-            io + d(4), to + tot))
+          // busy = in-guest CPU only: excludes idle and iowait (each
+          // reported on its own), AND steal/guest jiffies — otherwise
+          // other_pct (= busy − self) would conflate hypervisor steal
+          // with other-process CPU and contradict the record's own
+          // steal_pct column
+          acc.set((st + at(7),
+            bz + (tot - at(3) - at(4) - at(7) - at(8) - at(9)),
+            sf + (s1 - s0), io + at(4), to + tot))
         }
         h0 = h1; s0 = s1
       }
@@ -211,6 +219,7 @@ object Bench {
     val censusConc = new HostCensus
     val censusConcRetry = new HostCensus
     var concWalls: Seq[Double] = Nil // populated only when a retry fires
+    var valuePass = "conc" // which pass produced the headline wall
 
     // sequential pass runs FIRST: it's the clean per-query plan signal,
     // and running it after the concurrent pass let same-JVM ordering/GC
@@ -278,15 +287,22 @@ object Bench {
       // hypervisor steal spikes (SCALE.md: 30-60% of busy time stolen
       // in bursts after boot). A conc wall measured under that much
       // steal is a reading of the NEIGHBORS, not the engine — retry
-      // the pass ONCE and report the better wall; both walls and both
-      // censuses stay in the record, so nothing is hidden.
+      // the pass ONCE. The published pass is chosen by the CAUSE
+      // variable (lower measured steal), never by the outcome
+      // (min wall) — picking the better wall would bias the headline
+      // one-sidedly downward, since the retry only ever fires when
+      // pass 1 was contended, never when it was lucky. Both walls,
+      // both censuses, and which pass was published stay in the
+      // record, so nothing is hidden.
       if (censusConc.stealPct > 2.0) {
         settle()
         censusConcRetry.mark()
         val (w2, r2) = concPass()
         censusConcRetry.lap()
         concWalls = Seq(w1, w2)
-        if (w2 < w1) { wall = w2; concResults = r2 }
+        if (censusConcRetry.stealPct <= censusConc.stealPct) {
+          wall = w2; concResults = r2; valuePass = "conc_retry"
+        }
       }
       concJson = json(concResults)
     }
@@ -302,7 +318,7 @@ object Bench {
       .map { case (k, v) => "\"" + k + "\":\"" + v + "\"" }.mkString("{", ",", "}")
     val retryJson =
       if (concWalls.isEmpty) ""
-      else s""","conc_walls":${concWalls.map(num).mkString("[", ",", "]")},"conc_retry":${censusConcRetry.json}"""
+      else s""","conc_walls":${concWalls.map(num).mkString("[", ",", "]")},"value_pass":"$valuePass","conc_retry":${censusConcRetry.json}"""
     val fullRecord =
       s"""{"metric":"total","unit":"sec","queries":$concJson,"queries_seq":$seqJson,"slowest":$slowest,"errors":$errJson,"host":{"seq":${censusSeq.json},"conc":${censusConc.json}$retryJson},"value":${num(wall)},"sf":"$sfDir"}"""
     // The FULL record (146 queries × two per-query maps ≈ 6 KB) exceeds

@@ -326,19 +326,41 @@ object Bpe {
       .agg(sum(col("n_occ") * col("n_toks")).as("n_bpe_tokens"))
   }
 
+  /** [[encodeTokenCounts]] memoized per JVM through [[FrameCache]] —
+    * the encoded corpus is an OFFLINE artifact exactly like the merge
+    * list that produced it (a deployment tokenizes once and stores
+    * per-doc token counts next to the corpus; qAK/qAZ/packing queries
+    * all consume the same encoding). The key folds in the same
+    * ingredients as [[learnMergesCached]] plus the merge list itself,
+    * so a different tokenizer or regenerated lake can never be served
+    * a stale encoding. */
+  def encodeTokenCountsCached(docs: DataFrame, idCol: String, textCol: String,
+                              merges: Seq[(String, String)],
+                              cacheKey: String): DataFrame = {
+    val key = s"bpeEncode|$cacheKey|$idCol|$textCol" +
+      s"|${docs.queryExecution.analyzed.semanticHash()}" +
+      s"|${dataFingerprint(docs)}|${merges.hashCode()}"
+    FrameCache.cached(docs.sparkSession, key)(
+      encodeTokenCounts(docs, idCol, textCol, merges))
+  }
+
   /** Tokenizer FERTILITY per source — BPE tokens per whitespace word,
     * the standard "how well does the tokenizer fit each domain" metric
     * (English prose near the trained distribution ≈ low fertility;
     * code/foreign-script sources fragment into more tokens and cost
     * proportionally more context budget). Rides [[encodeTokenCounts]]
     * (vocabulary encodes once map-side, corpus reduces to per-doc
-    * sums) plus one partial-agg groupBy(source); |sources| rows out.
+    * sums) — or a caller-supplied precomputed encoding
+    * ([[encodeTokenCountsCached]]), so fertility and per-doc counts
+    * share ONE corpus encode — plus one partial-agg groupBy(source);
+    * |sources| rows out.
     * Sources whose documents contain no words are absent (mirrors the
     * oracle's occurrence join). */
   def fertilityBySource(docs: DataFrame, idCol: String, textCol: String,
                         sourceCol: String,
-                        merges: Seq[(String, String)]): DataFrame = {
-    val enc = encodeTokenCounts(docs, idCol, textCol, merges)
+                        merges: Seq[(String, String)],
+                        encoded: Option[DataFrame] = None): DataFrame = {
+    val enc = encoded.getOrElse(encodeTokenCounts(docs, idCol, textCol, merges))
     docs.select(col(idCol), col(sourceCol).as("source"),
         TextAnalysis.tokenCount(col(textCol)).cast("long").as("__nw"))
       .join(enc, Seq(idCol), "left")
