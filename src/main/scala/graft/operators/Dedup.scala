@@ -829,14 +829,38 @@ object Dedup {
    * codegen'd `levenshtein`. Output carries corpus occurrence counts
    * for both sides so the caller can orient pairs typo → canonical
    * (rare → frequent).
+   *
+   * `maxLen` bounds the explode: values longer than it (URLs, base64
+   * blobs — every web \S+ vocabulary has them, and one 500-char token
+   * alone would emit multi-MB of variants) are excluded from pairing
+   * with a logged count, so per-value fan-out is capped at
+   * O(maxLen²/2) variants of ≤ maxLen chars. Oracles must mirror the
+   * same `length(w) <= maxLen` filter.
    */
   def editDistancePairs(df: DataFrame, strCol: String,
-                        maxDist: Int): DataFrame = {
+                        maxDist: Int, maxLen: Int = 32): DataFrame = {
     require(maxDist >= 1 && maxDist <= 2,
       "deletion-neighborhood completeness is implemented for maxDist 1 and 2")
-    val vocab = df.select(col(strCol).as("w"))
+    require(maxLen > maxDist, "maxLen must exceed maxDist")
+    val all = df.select(col(strCol).as("w"))
       .filter(col("w").isNotNull && length(col("w")) > 0)
       .groupBy(col("w")).agg(count(lit(1)).as("n"))
+    // length guard BEFORE the neighborhood explode: a value of length
+    // L fans out to O(L²/2) variants of length O(L) — web-corpus \S+
+    // "vocabularies" contain URLs and base64 blobs hundreds of chars
+    // long, and one such token would alone emit multi-MB of variants.
+    // Values over maxLen are EXCLUDED from pairing, loudly (the
+    // capBuckets contract): typo clustering is a word-vocabulary
+    // operation — a 200-char blob is not a typo candidate, and the
+    // URL/content paths (normalizeUrl, chunk/minhash dedup) own those.
+    // The vocab-scale count costs one agg over the DISTINCT table,
+    // never the corpus.
+    val nLong = all.filter(length(col("w")) > maxLen).count()
+    if (nLong > 0)
+      log.warn(s"editDistancePairs: excluding $nLong vocabulary " +
+        s"value(s) longer than maxLen=$maxLen from the deletion " +
+        "neighborhood; pairs involving them are not emitted")
+    val vocab = all.filter(length(col("w")) <= maxLen)
     // ≤d-deletion neighborhood of `w` (includes w itself). `w` is a
     // plain attribute behind the aggregate barrier, so the lambdas
     // cannot re-inline any derivation (cf. the winnowing HOF note).

@@ -34,6 +34,13 @@ object Retention {
                        keyCols: Seq[String], valCol: String,
                        cutoffNs: Long, bucketNs: Long): DataFrame = {
     require(bucketNs > 0, "bucketNs must be positive")
+    // pmod floors (−3 % 10 → 7) where SQL % truncates toward zero
+    // (→ −3), so the two bucket formulas diverge on NEGATIVE
+    // timestamps — epoch-ns lakes are non-negative by construction
+    // (the reference's time model starts at unix epoch), and a
+    // pre-1970 ts here means corrupted ingest, better refused loudly
+    // than silently bucketed differently per engine.
+    require(cutoffNs >= 0, "cutoffNs must be >= 0 (epoch-ns time model)")
     val keys = keyCols.map(col)
     val ts = col(tsCol)
     val raw = events.filter(ts >= cutoffNs)
@@ -43,8 +50,17 @@ object Retention {
         col(valCol).cast("double").as("v_min"),
         col(valCol).cast("double").as("v_max"),
         lit("raw").as("tier")): _*)
+    // per-row tripwire for the same invariant on the data itself: a
+    // negative ts fails the job with a named error instead of landing
+    // in a floor-vs-truncate bucket the oracle disagrees on. One
+    // codegen'd branch inside the scan — no extra pass.
+    val guardedTs = when(ts < 0, raise_error(concat(
+        lit(s"tieredDownsample: negative $tsCol (pre-epoch) in rollup "),
+        lit("tier — floor (pmod) and SQL % bucketing diverge there"))))
+      .otherwise(ts)
     val rolled = events.filter(ts < cutoffNs)
-      .groupBy(keys :+ (ts - pmod(ts, lit(bucketNs))).as("bucket_ns"): _*)
+      .groupBy(keys :+ (guardedTs - pmod(guardedTs, lit(bucketNs)))
+        .as("bucket_ns"): _*)
       .agg(count(lit(1)).as("n_rows"),
         sum(col(valCol).cast("decimal(27,9)")).as("__vsum"),
         min(col(valCol)).cast("double").as("v_min"),

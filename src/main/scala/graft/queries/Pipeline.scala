@@ -2534,7 +2534,7 @@ object Pipeline {
       ORDER BY d.doc_id""",
     "qB4_typo_pairs" -> """
       WITH t AS (SELECT unnest(regexp_extract_all(text, '\S+')) AS w FROM documents),
-      v AS (SELECT w, COUNT(*)::BIGINT AS n FROM t GROUP BY 1)
+      v AS (SELECT w, COUNT(*)::BIGINT AS n FROM t WHERE length(w) <= 32 GROUP BY 1)
       SELECT a.w AS w1, b.w AS w2,
              CAST(levenshtein(a.w, b.w) AS INT) AS dist,
              a.n AS n1, b.n AS n2

@@ -304,6 +304,25 @@ class Round9OpsSpec extends AnyFunSuite {
       ("b", H, 1L, 5.0, 5.0, 5.0, "rollup")))
   }
 
+  test("tieredDownsample refuses pre-epoch timestamps loudly") {
+    import graft.operators.Retention
+    // pmod floors where SQL % truncates — negative ts would bucket
+    // differently per engine, so the rollup tier trips a named error
+    // instead of silently diverging from the oracle
+    val ev = Seq(("a", -5L, 1.0), ("a", 100L, 2.0)).toDF("event_type", "ts", "value")
+    val ex = intercept[Exception] {
+      Retention.tieredDownsample(ev, "ts", Seq("event_type"), "value",
+        cutoffNs = 50L, bucketNs = 10L).collect()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Nil else String.valueOf(t.getMessage) +: msgs(t.getCause)
+    assert(msgs(ex).exists(_.contains("pre-epoch")))
+    intercept[IllegalArgumentException] {
+      Retention.tieredDownsample(ev, "ts", Seq("event_type"), "value",
+        cutoffNs = -1L, bucketNs = 10L)
+    }
+  }
+
   test("editDistancePairs equals brute force at d=1 and d=2") {
     import graft.operators.Dedup
     def lev(a: String, b: String): Int = {

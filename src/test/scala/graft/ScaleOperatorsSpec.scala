@@ -421,4 +421,64 @@ class ScaleOperatorsSpec extends AnyFunSuite {
     assert(r.getString(0) == "spank" && r.getString(1) == "spark" &&
       r.getInt(2) == 1 && r.getLong(3) == 25000L && r.getLong(4) == 25000L)
   }
+
+  test("editDistancePairs stays bounded on a dense typo cluster + web blobs") {
+    // adversarial web-vocabulary skew, two modes at once:
+    //  (a) a DENSE cluster: 10k strings sampled from a 4-letter
+    //      length-8 space, so thousands of pairs are genuinely within
+    //      distance 2 — the candidate stream must scale with the TRUE
+    //      pair density (bucketed equi-join), never all-pairs n²/2;
+    //  (b) a 500-char base64-style blob, the token class that would
+    //      alone emit ~125k variant rows of ~500 chars — maxLen must
+    //      exclude it without touching the word pairs.
+    val rnd = new scala.util.Random(7)
+    val vocabulary = (1 to 10000)
+      .map(_ => Array.fill(8)("abcd" (rnd.nextInt(4))).mkString).distinct
+    // replicate the ≤2-deletion neighborhood in plain Scala and bound
+    // the candidate-pair count the variant equi-join can emit:
+    // Σ_v b(v)·(b(v)−1)/2 over variant buckets — the DESIGN property
+    // (verify stage linear-ish in vocab) that a silent regression to
+    // all-pairs would break by two orders of magnitude
+    def del1(s: String): Seq[String] =
+      s.indices.map(i => s.substring(0, i) + s.substring(i + 1))
+    val buckets = new scala.collection.mutable.HashMap[String, Long]()
+    vocabulary.foreach { w =>
+      val n1 = (w +: del1(w)).distinct
+      val n2 = (n1 ++ n1.flatMap(del1)).distinct
+      n2.foreach(v => buckets(v) = buckets.getOrElse(v, 0L) + 1L)
+    }
+    val candidatePairs = buckets.valuesIterator.map(b => b * (b - 1) / 2).sum
+    val allPairs = vocabulary.size.toLong * (vocabulary.size - 1) / 2
+    // measured ~350 candidates/word on this fixture — tracking the
+    // TRUE neighbor density of the 4-letter space (each word really
+    // has O(100) strings within distance 2 here), 13× under all-pairs
+    // n/2 ≈ 4650/word; a regression to the cross product blows both
+    // bounds by an order of magnitude
+    assert(candidatePairs < 450L * vocabulary.size,
+      s"variant buckets emit $candidatePairs candidates — not density-shaped")
+    assert(candidatePairs < allPairs / 10,
+      "candidate stream is within 10% of all-pairs; bucketing buys nothing")
+    val blob = "QmFzZTY0QmxvYg==" * 32 // 512 chars
+    val df = (vocabulary :+ blob).toDF("w")
+    val pairs = Dedup.editDistancePairs(df, "w", maxDist = 2)
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert(pairs.nonEmpty)
+    assert(!pairs.exists { case (a, b) => a == blob || b == blob },
+      "blob over maxLen must not pair")
+    // exactness under the skew: spot-check 25 words against scalar DP
+    def dp(a: String, b: String): Int = {
+      val d = Array.tabulate(a.length + 1, b.length + 1) { (i, j) =>
+        if (i == 0) j else if (j == 0) i else 0 }
+      for (i <- 1 to a.length; j <- 1 to b.length)
+        d(i)(j) = math.min(math.min(d(i - 1)(j), d(i)(j - 1)) + 1,
+          d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+      d(a.length)(b.length)
+    }
+    val sample = vocabulary.take(25)
+    sample.foreach { w =>
+      val want = vocabulary.filter(o => o > w && dp(w, o) <= 2).toSet
+      val gotW = pairs.collect { case (a, b) if a == w => b }
+      assert(gotW == want, s"pairs for $w: got ${gotW.size}, want ${want.size}")
+    }
+  }
 }
