@@ -382,9 +382,14 @@ object TextAnalysis {
     * stream is Σ bucket² over CAPPED buckets, never all-pairs. */
   def winnowPairs(docs: DataFrame, idCol: String, textCol: String,
                   k: Int = 3, w: Int = 4, minShared: Int = 2,
-                  maxFpBucket: Option[Int] = Some(100)): DataFrame = {
+                  maxFpBucket: Option[Int] = Some(100),
+                  fingerprints: Option[DataFrame] = None): DataFrame = {
     require(minShared >= 1, "minShared must be >= 1")
-    val fps = winnowFingerprints(docs, idCol, textCol, k, w)
+    // `fingerprints` lets callers feed a precomputed (ingest-time)
+    // winnow index — the MOSS deployment shape — instead of
+    // re-fingerprinting the corpus per query
+    val fps = fingerprints
+      .getOrElse(winnowFingerprints(docs, idCol, textCol, k, w))
       .select(col("doc_id"), col("fp")).distinct()
     val sizes = fps.groupBy(col("doc_id")).agg(count(lit(1)).as("n_fp"))
     val capped = Dedup.capBuckets(fps, Seq("fp"), maxFpBucket, "winnowPairs")
