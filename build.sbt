@@ -41,6 +41,22 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // pass accumulates localCheckpoint blocks + shuffle buffers across
   // 127 queries, and an 8g heap GC-thrashes exactly in that last pass
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "24g")}",
+  // Xms = Xmx: ZGC allocation stalls on heap GROWTH showed up as
+  // multi-second spikes on checkpoint-heavy queries (q89 seq 2.6 s →
+  // 7.6 s in the r10 sweep); pre-committing removes the growth path
+  s"-Xms${sys.env.getOrElse("SPARK_DRIVER_MEM", "24g")}",
+  // single-JVM local[32] runs the DRIVER's scheduling loop and 32
+  // executor threads in one process: G1's pauses block job dispatch,
+  // which is the measured bottleneck of the 8-way concurrent bench
+  // pass (machine ~30% busy, wall = Σconc/admission). ZGC's sub-ms
+  // pauses cut the same suite's concurrent wall 25.0 s → 18.2 s
+  // (SCALE.md round-10 notes) at a ~10% seq-throughput tax.
+  "-XX:+UseZGC",
+  // ~171 queries × several Janino codegen units × 3 passes exhaust
+  // the default 240 MB JIT code cache in whichever pass runs LAST —
+  // compilation stops and CPU-light queries inflate 5–10× (measured:
+  // q93 conc 10.2 s → 0.7 s with the larger cache)
+  "-XX:ReservedCodeCacheSize=1g",
 ) ++
   // opt-in GC log for diagnosing bench-wall inflation (SCALE.md):
   // SPARK_GRAFT_GCLOG=/tmp/gc.log sbt "runMain graft.Bench"
