@@ -66,7 +66,13 @@ class StreamingSpec extends AnyFunSuite {
           md5(TextAnalysis.cleanText(col("text"))).as("clean_md5"),
           TextExprs.repetition_stats(col("text")).getField("n_distinct")
             .as("n_distinct"),
-          col("contaminated"))
+          col("contaminated"),
+          // the fused profiler kernel is equally stateless — a quality/
+          // encoding-health monitor runs map-side at stream ingest
+          TextExprs.text_profile(col("text")).getField("n_latin")
+            .as("n_latin"),
+          TextAnalysis.fleschReadingEase(col("text"))
+            .collectFirst { case ("flesch", c) => c }.get.as("flesch"))
     val stream = spark.readStream.schema(batchDocs.schema).parquet(d)
     val q = pipeline(stream).writeStream.format("memory")
       .queryName("docs_clean").outputMode("append").start()
@@ -76,9 +82,11 @@ class StreamingSpec extends AnyFunSuite {
       // duplicate emissions from re-processed micro-batches
       assert(spark.table("docs_clean").count() == batchDocs.count())
       val streamed = spark.table("docs_clean").collect()
-        .map(r => (r.getLong(0), r.getString(1), r.getInt(2), r.getBoolean(3))).toSet
+        .map(r => (r.getLong(0), r.getString(1), r.getInt(2), r.getBoolean(3),
+          r.getLong(4), r.getDouble(5))).toSet
       val batch = pipeline(batchDocs).collect()
-        .map(r => (r.getLong(0), r.getString(1), r.getInt(2), r.getBoolean(3))).toSet
+        .map(r => (r.getLong(0), r.getString(1), r.getInt(2), r.getBoolean(3),
+          r.getLong(4), r.getDouble(5))).toSet
       assert(streamed == batch)
       assert(streamed.exists(_._4), "contaminated docs must appear")
     } finally q.stop()
