@@ -138,12 +138,16 @@ object Similarity {
       case Some(key) => IvfIndex.trainCached(emb, idCol, vecCol, nlist, iters, key)
       case None => IvfIndex.train(emb, idCol, vecCol, nlist, iters)
     }
+    // assign ONCE into a checkpoint before the self-join — without it
+    // the nlist-wide argmin expression re-inlines into filter AND
+    // project on BOTH join sides (the knnJoin finding, same fix)
     val assigned = Dedup.capBuckets(
       IvfIndex.assign(emb, idCol, vecCol, centroids)
         .select(col(idCol).as("id"), col(vecCol).as("v"),
           norm(col(vecCol)).as("nv"), col("ivf_cell").as("cell"))
         .filter(finiteNorm(col("nv"))), // NaN/Inf/zero-norm → singleton
       Seq("cell"), maxCellSize, "semanticDedup")
+      .localCheckpoint(true)
     val edges = assigned.as("a").join(assigned.as("b"),
         col("a.cell") === col("b.cell") && col("a.id") < col("b.id"))
       .filter(dot(col("a.v"), col("b.v")) / (col("a.nv") * col("b.nv")) >= minCos)
