@@ -192,6 +192,84 @@ object TextExprs {
   def text_profile(text: Column): Column =
     ColumnBridge.column(TextProfile(ColumnBridge.expression(text)))
 
+  def lexical_stats(text: Column, wordSets: Seq[Seq[String]]): Column =
+    ColumnBridge.column(LexicalStats(ColumnBridge.expression(text), wordSets))
+
+  /** Fused lexical-statistics pass backing [[LexicalStats]]: every
+    * counter the quality-score / text-stats / Gopher-rules / lang-ID
+    * operators need, in ONE codepoint walk — replacing up to seven
+    * full-text regex scans per projection. Counter semantics replicate
+    * the regex spellings the DuckDB oracles keep, exactly:
+    *
+    *  - `n_chars` = codepoint count (`length`);
+    *  - `n_tokens` = `\S+` run count (Java `\s` class, ASCII — the
+    *    [[TextProfile]] word counter);
+    *  - `n_nonspace` = non-whitespace codepoints
+    *    (`length(regexp_replace(text, "\s+", ""))`);
+    *  - `n_hash` = '#' occurrences;
+    *  - `n_ellipsis` = non-overlapping `\.\.\.` matches — per maximal
+    *    run of d dots the regex consumes ⌊d/3⌋ matches;
+    *  - `n_alpha_words` = tokens containing ≥ 1 Unicode letter
+    *    (`(?<!\S)[^\p{L}\s]*\p{L}\S*` counts exactly one match per
+    *    such token);
+    *  - `set_hits[k]` = tokens whose WHOLE text equals a member of
+    *    `wordSets(k)` — the `(?<!\S)(?:w1|w2|…)(?!\S)` whole-token
+    *    alternation count (stopword hits, language-marker hits).
+    *
+    * Token strings materialize only while a run is still short enough
+    * to possibly be a member (≤ the longest word in any set) — long
+    * tokens never allocate. */
+  def lexicalStats(text: UTF8String,
+                   sets: Array[java.util.HashSet[String]],
+                   maxWordLen: Int): InternalRow = {
+    val s = text.toString
+    val n = s.length
+    var chars = 0L; var toks = 0L; var nonws = 0L
+    var hash = 0L; var ellip = 0L; var alphaw = 0L
+    val hits = new Array[Long](sets.length)
+    var dotRun = 0L
+    var inWord = false; var wordHasLetter = false; var runLen = 0
+    val sb = new java.lang.StringBuilder
+    def endWord(): Unit = {
+      if (wordHasLetter) alphaw += 1
+      if (runLen <= maxWordLen && sets.length > 0) {
+        val w = sb.toString
+        var k = 0
+        while (k < sets.length) {
+          if (sets(k).contains(w)) hits(k) += 1
+          k += 1
+        }
+      }
+      inWord = false
+    }
+    var i = 0
+    while (i < n) {
+      val cp = s.codePointAt(i)
+      val cc = Character.charCount(cp)
+      chars += 1
+      if (cp == '.') dotRun += 1
+      else { ellip += dotRun / 3; dotRun = 0 }
+      if (cp == '#') hash += 1
+      val ws = cp == 0x20 || cp == 0x09 || cp == 0x0A || cp == 0x0B ||
+        cp == 0x0C || cp == 0x0D
+      if (!ws) {
+        nonws += 1
+        if (!inWord) {
+          inWord = true; wordHasLetter = false; runLen = 0; sb.setLength(0)
+          toks += 1
+        }
+        if (!wordHasLetter && Character.isLetter(cp)) wordHasLetter = true
+        runLen += 1
+        if (runLen <= maxWordLen) sb.appendCodePoint(cp)
+      } else if (inWord) endWord()
+      i += cc
+    }
+    if (inWord) endWord()
+    ellip += dotRun / 3
+    InternalRow(chars, toks, nonws, hash, ellip, alphaw,
+      new org.apache.spark.sql.catalyst.util.GenericArrayData(hits))
+  }
+
   /** Fused character-profile pass backing [[TextProfile]]: every count
     * the script-mix / mojibake / readability profilers need, in ONE
     * codepoint walk (plus one lowercase pass for syllables) instead of
@@ -386,6 +464,49 @@ case class DeflateStats(child: Expression)
   * `regexp_count` scans. Callers project the fields they need; with
   * whole-stage codegen's common-subexpression elimination the kernel
   * runs ONCE per row however many fields are read. */
+/** struct of the fused lexical counters (see
+  * [[TextExprs.lexicalStats]]) + per-word-set whole-token hit counts —
+  * one codepoint pass serving quality scoring, text stats, the Gopher
+  * rule battery, and language ID. `wordSets` participates in equality,
+  * so whole-stage codegen CSE shares one evaluation exactly between
+  * projections of the SAME sets. */
+case class LexicalStats(child: Expression, wordSets: Seq[Seq[String]])
+    extends UnaryExpression with ExpectsInputTypes {
+
+  @transient private lazy val sets: Array[java.util.HashSet[String]] =
+    wordSets.map { ws =>
+      val h = new java.util.HashSet[String](ws.size * 2)
+      ws.foreach(h.add)
+      h
+    }.toArray
+  @transient private lazy val maxWordLen: Int =
+    wordSets.flatten.map(_.length).maxOption.getOrElse(0)
+
+  override def inputTypes: Seq[ColumnBridge.SqlAbstractDataType] = Seq(StringType)
+  override def dataType: DataType = StructType(Seq(
+    StructField("n_chars", LongType, nullable = false),
+    StructField("n_tokens", LongType, nullable = false),
+    StructField("n_nonspace", LongType, nullable = false),
+    StructField("n_hash", LongType, nullable = false),
+    StructField("n_ellipsis", LongType, nullable = false),
+    StructField("n_alpha_words", LongType, nullable = false),
+    StructField("set_hits", ArrayType(LongType, containsNull = false),
+      nullable = false)))
+
+  override def nullSafeEval(v: Any): Any =
+    TextExprs.lexicalStats(v.asInstanceOf[UTF8String], sets, maxWordLen)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("sets", sets, "java.util.HashSet[]")
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.TextExprs.lexicalStats($c, $ref, $maxWordLen)")
+  }
+
+  override protected def withNewChildInternal(c: Expression): LexicalStats =
+    copy(child = c)
+  override def prettyName: String = "lexical_stats"
+}
+
 case class TextProfile(child: Expression)
     extends UnaryExpression with ExpectsInputTypes {
 

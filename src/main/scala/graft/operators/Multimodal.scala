@@ -444,16 +444,31 @@ object Multimodal {
    */
   def videoNearDupPairs(frames: Dataset[Frame], maxHamming: Int = 3,
                         minFrameMatchFrac: Double = 0.5,
-                        maxBucketSize: Option[Int] = None): DataFrame = {
+                        maxBucketSize: Option[Int] = None): DataFrame =
+    videoNearDupPairsFromIndex(
+      frameFingerprints(frames),
+      // coverage denominators count SAMPLED frames, not
+      // fingerprint-surviving ones — otherwise a video whose frames
+      // mostly drop (sub-bucket stubs) could pair on a 1-of-1
+      // surviving fraction, violating the documented "of their
+      // sampled frames"
+      frames.toDF()
+        .groupBy(col("doc_id").as("vid")).agg(count(lit(1)).as("n_frames")),
+      maxHamming, minFrameMatchFrac, maxBucketSize)
+
+  /** [[videoNearDupPairs]] over a PRECOMPUTED fingerprint index +
+    * per-video sampled-frame counts — the ingest-artifact shape (a
+    * deployment fingerprints media once and stores both frames; see
+    * [[FrameCache]]), which also avoids scanning the frame stream
+    * twice per query. `frameCounts` must be (vid, n_frames) counting
+    * ALL sampled frames (see the denominator note above). */
+  def videoNearDupPairsFromIndex(fps: DataFrame, frameCounts: DataFrame,
+                                 maxHamming: Int = 3,
+                                 minFrameMatchFrac: Double = 0.5,
+                                 maxBucketSize: Option[Int] = None): DataFrame = {
     require(minFrameMatchFrac > 0.0 && minFrameMatchFrac <= 1.0,
       "minFrameMatchFrac must be in (0, 1]")
-    val fps = frameFingerprints(frames)
-    // coverage denominators count SAMPLED frames, not
-    // fingerprint-surviving ones — otherwise a video whose frames
-    // mostly drop (sub-bucket stubs) could pair on a 1-of-1 surviving
-    // fraction, violating the documented "of their sampled frames"
-    val nFrames = frames.toDF()
-      .groupBy(col("doc_id").as("vid")).agg(count(lit(1)).as("n_frames"))
+    val nFrames = frameCounts
     val framePairs = Dedup.simhashPairs(fps, maxHamming, maxBucketSize)
       .select(shiftright(col("id_a"), FRAME_BITS).as("vid_a"),
         shiftright(col("id_b"), FRAME_BITS).as("vid_b"),

@@ -76,12 +76,27 @@ object TextAnalysis {
   /**
    * Heuristic quality score in [0,1]: combines length, stopword
    * presence and token-length sanity — the standard cheap pre-filter
-   * before expensive model-based scoring.
+   * before expensive model-based scoring. Counters ride ONE fused
+   * [[graft.functions.LexicalStats]] codepoint pass (the regex
+   * spelling stays in the DuckDB oracles; every IEEE operation keeps
+   * its original association order for cross-engine parity).
    */
-  def qualityScore(text: Column): Column = {
-    val lenScore = least(length(text).cast("double") / 400.0, lit(1.0))
-    val stopScore = least(stopwordRatio(text) * 5.0, lit(1.0))
-    val tokLen = avgTokenLen(text)
+  def qualityScore(text: Column): Column =
+    qualityFromStats(
+      graft.functions.TextExprs.lexical_stats(text, Seq(STOPWORDS)))
+
+  /** [[qualityScore]] off an existing [[graft.functions.LexicalStats]]
+    * struct whose set 0 is [[STOPWORDS]] — lets table operators share
+    * one kernel evaluation across all their stats columns. */
+  private def qualityFromStats(ls: Column): Column = {
+    val nTokSafe = greatest(ls.getField("n_tokens").cast("int"), lit(1))
+      .cast("double")
+    val lenScore = least(ls.getField("n_chars").cast("int").cast("double")
+      / 400.0, lit(1.0))
+    val stopScore = least(
+      (ls.getField("set_hits").getItem(0).cast("int") / nTokSafe) * 5.0,
+      lit(1.0))
+    val tokLen = ls.getField("n_nonspace").cast("int") / nTokSafe
     val tokScore = when(tokLen.between(3.0, 10.0), 1.0).otherwise(0.5)
     round((lenScore * 0.4 + stopScore * 0.3 + tokScore * 0.3), 6)
   }
@@ -102,65 +117,62 @@ object TextAnalysis {
       lit(tokenAlternationRe(LANG_MARKERS.toMap.apply(lang)))).cast("long")
 
   /** argmax language by marker score (first language wins ties, in
-    * LANG_MARKERS order — deterministic). */
-  def langId(text: Column): Column = {
-    val scores = LANG_MARKERS.map { case (l, _) => (l, langScore(text, l)) }
-    scores.tail.foldLeft((lit(scores.head._1), scores.head._2)) {
-      case ((bestL, bestS), (l, s)) =>
-        (when(s > bestS, l).otherwise(bestL), greatest(s, bestS))
-    }._1
-  }
+    * LANG_MARKERS order — deterministic). All five marker sets are
+    * counted by ONE fused [[graft.functions.LexicalStats]] pass
+    * (whole-token membership ≡ the `(?<!\S)(?:…)(?!\S)` alternation
+    * count, since a token equals at most one marker); the fold keeps
+    * strictly-greater-wins so earlier languages keep ties. */
+  def langId(text: Column): Column =
+    langArgmax(graft.functions.TextExprs
+      .lexical_stats(text, LANG_MARKERS.map(_._2)).getField("set_hits"))._1
+
+  private def langArgmax(hits: Column): (Column, Column) =
+    LANG_MARKERS.indices.tail.foldLeft(
+      (lit(LANG_MARKERS.head._1), hits.getItem(0))) {
+      case ((bestL, bestS), i) =>
+        val s = hits.getItem(i)
+        (when(s > bestS, LANG_MARKERS(i)._1).otherwise(bestL),
+          greatest(s, bestS))
+    }
 
   /**
-   * Language-ID as a table transform: tokenize ONCE (explode), join the
-   * ~20-row broadcast marker table, hash-aggregate hit counts per
-   * (doc, lang), argmax via a tiny per-doc window. Same result as
-   * applying `langId(text)` per row, but one codegen'd pass over the
-   * tokens instead of languages×markers interpreted HOF evaluations per
-   * row (the #1 perf trap — q58 went 15.4s → sub-second at sf0.1).
-   * Docs with zero marker hits get the first language with score 0,
-   * matching `langId`'s deterministic tie rule.
+   * Language-ID as a table transform: ONE fused
+   * [[graft.functions.LexicalStats]] codepoint pass counts all five
+   * marker sets per row, and the argmax is a per-row fold — NO
+   * explode, NO join, NO window, zero shuffle (the previous
+   * explode + broadcast-join + window plan shuffled a corpus-sized
+   * token stream; per-row whole-token membership is the same count).
+   * Docs with zero marker hits get the first language with score 0 —
+   * `langId`'s deterministic tie rule, strictly-greater-wins in
+   * LANG_MARKERS order.
    */
   def langIdTable(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val spark = docs.sparkSession
-    import spark.implicits._
-    val markers = LANG_MARKERS.zipWithIndex.flatMap { case ((lang, ms), i) =>
-      ms.map(m => (lang, i + 1, m))
-    }.toDF("lang", "prio", "term")
-    val toks = docs.select(col(idCol).as("doc_id"),
-      explode(tokens(col(textCol))).as("term"))
-    val hits = toks.join(broadcast(markers), "term")
-      .groupBy(col("doc_id"), col("lang"), col("prio"))
-      .agg(count(lit(1)).as("score"))
-    val w = Window.partitionBy(col("doc_id"))
-      .orderBy(col("score").desc, col("prio"))
-    val top = hits.withColumn("rn", row_number().over(w))
-      .filter(col("rn") === 1)
-      .select(col("doc_id"), col("lang"), col("score"))
-    docs.select(col(idCol).as("doc_id"))
-      .join(top, Seq("doc_id"), "left")
-      .select(col("doc_id"),
-        coalesce(col("lang"), lit(LANG_MARKERS.head._1)).as("pred_lang"),
-        coalesce(col("score"), lit(0L)).as("score"))
+    val hits = graft.functions.TextExprs
+      .lexical_stats(col(textCol), LANG_MARKERS.map(_._2)).getField("set_hits")
+    val (bestL, bestS) = langArgmax(hits)
+    docs.select(col(idCol).as("doc_id"),
+      bestL.as("pred_lang"), bestS.cast("long").as("score"))
   }
 
   /**
    * All per-document token/quality stats in ONE codegen'd projection —
-   * no explode, no join, no shuffle: every stat is a per-row regex
-   * aggregate (token count, non-space char count, stopword hits via
-   * `regexp_count`), so the operator is embarrassingly parallel and
-   * the repeated subexpressions (token count appears in several
-   * ratios) collapse under whole-stage codegen's subexpression
-   * elimination rather than re-scanning the text.
+   * no explode, no join, no shuffle: every stat reads a field of ONE
+   * fused [[graft.functions.LexicalStats]] codepoint pass (shared
+   * across all columns by whole-stage codegen's subexpression
+   * elimination), so the operator is embarrassingly parallel and the
+   * text is scanned once however many ratios are projected.
    */
   def textStatsTable(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val t = col(textCol)
+    val ls = graft.functions.TextExprs.lexical_stats(col(textCol), Seq(STOPWORDS))
+    val nTokSafe = greatest(ls.getField("n_tokens").cast("int"), lit(1))
+      .cast("double")
     docs.select(col(idCol),
-      tokenCount(t).as("n_tokens"),
-      round(avgTokenLen(t), 6).as("avg_token_len"),
-      round(stopwordRatio(t), 6).as("stopword_ratio"),
-      qualityScore(t).as("quality"))
+      ls.getField("n_tokens").cast("int").as("n_tokens"),
+      round(ls.getField("n_nonspace").cast("int") / nTokSafe, 6)
+        .as("avg_token_len"),
+      round(ls.getField("set_hits").getItem(0).cast("int") / nTokSafe, 6)
+        .as("stopword_ratio"),
+      qualityFromStats(ls).as("quality"))
   }
 
   /**
@@ -191,20 +203,21 @@ object TextAnalysis {
    * oracle for qA6 is bit-compatible).
    */
   def gopherRulesTable(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val t = col(textCol)
-    val nw = tokenCount(t)
+    // every counter reads ONE fused LexicalStats codepoint pass (the
+    // five regex scans this projection used to cost live on in the
+    // DuckDB oracle spelling; n_alpha_words replicates the
+    // one-match-per-qualifying-token `(?<!\S)[^\p{L}\s]*\p{L}\S*`
+    // count — \p{L} ≡ Character.isLetter, CJK ideographs included)
+    val ls = graft.functions.TextExprs.lexical_stats(col(textCol), Seq(STOPWORDS))
+    val nw = ls.getField("n_tokens").cast("int")
     val nwSafe = greatest(nw, lit(1)).cast("double")
-    val mwl = avgTokenLen(t)
+    val mwl = ls.getField("n_nonspace").cast("int") / nwSafe
     val symbolRatio =
-      (regexp_count(t, lit("#")) + regexp_count(t, lit("\\.\\.\\.")))
+      (ls.getField("n_hash").cast("int") + ls.getField("n_ellipsis").cast("int"))
         .cast("double") / nwSafe
-    // a word "contains an alphabetic char" = from the token boundary,
-    // optional non-letter prefix, then a letter (one non-overlapping
-    // match per qualifying token; \p{L} includes CJK ideographs)
     val alphaRatio =
-      regexp_count(t, lit("(?<!\\S)[^\\p{L}\\s]*\\p{L}\\S*"))
-        .cast("double") / nwSafe
-    val stopHits = stopwordHits(t)
+      ls.getField("n_alpha_words").cast("int").cast("double") / nwSafe
+    val stopHits = ls.getField("set_hits").getItem(0).cast("int")
     val fWords = nw.between(50, 100000)
     val fMeanLen = mwl.between(3.0, 10.0)
     val fSymbol = symbolRatio <= 0.1

@@ -70,4 +70,77 @@ class TextProfileSpec extends AnyFunSuite {
       .orderBy(col("id")).collect()
     assert(got(0).isNullAt(1) && !got(1).isNullAt(1))
   }
+
+  private val lexCases = Seq(
+    "",
+    "the cat of a and to in is it mat", // heavy stopword hits
+    "theater band it. 'the' (a)", // stopwords as substrings / punctuated
+    "one... two..... ...#tag ## #", // ellipsis runs 3,5,3 + hashes
+    "....", // 4-dot run: one ellipsis match
+    "café 漢字 123 ...abc 42x --- π", // alpha-word edge cases
+    "  padded   runs\tand\nlines  ",
+    "a#b...c#d", // symbols inside one token
+    "многоязычный the текст and")
+
+  test("lexical_stats == the regex spellings, counter for counter") {
+    val stops = Seq("the", "a", "of", "and", "to", "in", "is", "it")
+    val markers = Seq(Seq("the", "a"), Seq("текст", "многоязычный"))
+    val df = lexCases.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("id", "text")
+    val ls = graft.functions.TextExprs.lexical_stats(col("text"),
+      stops +: markers)
+    def alt(ws: Seq[String]) = "(?<!\\S)(?:" + ws.mkString("|") + ")(?!\\S)"
+    val got = df.select(col("id"),
+        ls.getField("n_chars").as("k_chars"),
+        ls.getField("n_tokens").as("k_toks"),
+        ls.getField("n_nonspace").as("k_nonws"),
+        ls.getField("n_hash").as("k_hash"),
+        ls.getField("n_ellipsis").as("k_ellip"),
+        ls.getField("n_alpha_words").as("k_alpha"),
+        ls.getField("set_hits").getItem(0).as("k_stop"),
+        ls.getField("set_hits").getItem(1).as("k_m0"),
+        ls.getField("set_hits").getItem(2).as("k_m1"),
+        length(col("text")).cast("long").as("r_chars"),
+        regexp_count(col("text"), lit("\\S+")).cast("long").as("r_toks"),
+        length(regexp_replace(col("text"), "\\s+", "")).cast("long")
+          .as("r_nonws"),
+        regexp_count(col("text"), lit("#")).cast("long").as("r_hash"),
+        regexp_count(col("text"), lit("\\.\\.\\.")).cast("long").as("r_ellip"),
+        regexp_count(col("text"), lit("(?<!\\S)[^\\p{L}\\s]*\\p{L}\\S*"))
+          .cast("long").as("r_alpha"),
+        regexp_count(col("text"), lit(alt(stops))).cast("long").as("r_stop"),
+        regexp_count(col("text"), lit(alt(markers(0)))).cast("long").as("r_m0"),
+        regexp_count(col("text"), lit(alt(markers(1)))).cast("long").as("r_m1"))
+      .collect()
+    val names = Seq("chars", "toks", "nonws", "hash", "ellip", "alpha",
+      "stop", "m0", "m1")
+    got.foreach { r =>
+      names.zipWithIndex.foreach { case (nm, i) =>
+        assert(r.getLong(1 + i) == r.getLong(1 + names.size + i),
+          s"$nm diverges on case ${r.getLong(0)}: " +
+            s"'${lexCases(r.getLong(0).toInt)}'")
+      }
+    }
+  }
+
+  test("langIdTable per-row argmax equals the langId column fold") {
+    import graft.operators.TextAnalysis
+    val df = Seq(
+      (1L, "the cat and the hat of it"),
+      (2L, "der hund und die katze und"),
+      (3L, "le chat et les chiens le la"),
+      (4L, "el que los gatos y perros"),
+      (5L, "的 是 了 在 的"),
+      (6L, "no markers whatsoever here"), // zero hits -> first lang
+      (7L, "the der le el 的")) // all tie at 1 -> first lang
+      .toDF("doc_id", "text")
+    val viaTable = TextAnalysis.langIdTable(df, "doc_id", "text")
+      .orderBy("doc_id").collect().map(r => (r.getString(1), r.getLong(2)))
+    val viaCol = df.orderBy("doc_id")
+      .select(TextAnalysis.langId(col("text"))).collect().map(_.getString(0))
+    assert(viaTable.map(_._1).toSeq ==
+      Seq("en", "de", "fr", "es", "zh", "en", "en"))
+    assert(viaCol.toSeq == viaTable.map(_._1).toSeq)
+    assert(viaTable(5)._2 == 0L)
+  }
 }
