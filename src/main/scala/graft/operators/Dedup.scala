@@ -237,8 +237,14 @@ object Dedup {
   def minhashCandidates(docs: DataFrame, idCol: String, textCol: String,
                         shingleWords: Int = 3, k: Int = 64, bands: Int = 16,
                         minEstJaccard: Double = 0.0,
-                        maxBucketSize: Option[Int] = None): DataFrame = {
-    val sigs = signatures(docs, idCol, textCol, shingleWords, k)
+                        maxBucketSize: Option[Int] = None,
+                        precomputedSigs: Option[DataFrame] = None): DataFrame = {
+    // `precomputedSigs` feeds the persisted/memoized signature
+    // artifact ([[signatures]] scaladoc — at ingest scale it is
+    // written columnar next to the lake; in one JVM, FrameCache) so
+    // several dedup consumers share one signature pass
+    val sigs = precomputedSigs
+      .getOrElse(signatures(docs, idCol, textCol, shingleWords, k))
     val banded = capBuckets(bandBuckets(sigs, k, bands),
       Seq("band", "bucket"), maxBucketSize, "minhashCandidates")
     val cand = banded.as("x").join(banded.as("y"),
@@ -508,9 +514,10 @@ object Dedup {
    * components).
    */
   def dedupCorpus(docs: DataFrame, idCol: String, textCol: String,
-                  minJaccard: Double): DataFrame = {
+                  minJaccard: Double,
+                  precomputedSigs: Option[DataFrame] = None): DataFrame = {
     val losers = minhashCandidates(docs, idCol, textCol,
-        minEstJaccard = minJaccard * 0.5)
+        minEstJaccard = minJaccard * 0.5, precomputedSigs = precomputedSigs)
       .filter(col("jaccard") >= minJaccard)
       .select(col("id_b").as(idCol)).distinct()
     docs.join(losers, Seq(idCol), "left_anti")
@@ -523,10 +530,11 @@ object Dedup {
     * groupBy(source); |sources| rows out. FULL-oracle-able because the
     * entire LSH keep decision replays in SQL (XxhOracle). */
   def dedupImpactBySource(docs: DataFrame, idCol: String, textCol: String,
-                          sourceCol: String, minJaccard: Double): DataFrame = {
+                          sourceCol: String, minJaccard: Double,
+                          precomputedSigs: Option[DataFrame] = None): DataFrame = {
     val t = docs.select(col(idCol).as("doc_id"), col(sourceCol).as("source"),
       TextAnalysis.tokenCount(col(textCol)).cast("long").as("n_tokens"))
-    val kept = dedupCorpus(docs, idCol, textCol, minJaccard)
+    val kept = dedupCorpus(docs, idCol, textCol, minJaccard, precomputedSigs)
       .select(col(idCol).as("doc_id"), lit(1L).as("__kept"))
     t.join(kept, Seq("doc_id"), "left")
       .groupBy(col("source"))
