@@ -798,10 +798,14 @@ object Pipeline {
     // DuckDB (XxhOracle); the decomposition invariant additionally
     // stays pinned in Round5OpsSpec
     "q9N_dedup_incremental" -> ((s, dir) => {
-      val d = T(s, dir)("documents")
+      // signatures are per-row, so signing-then-filtering equals
+      // filtering-then-signing: both sides are id-filters over the ONE
+      // shared signature artifact — exactly the deployment shape (the
+      // stored table IS the artifact; a new batch joins by filter)
+      val sigs = mhSigs(s, dir)
       Dedup.minhashCandidatesIncremental(
-          Dedup.signatures(d.filter(col("doc_id") >= 250), "doc_id", "text"),
-          Dedup.signatures(d.filter(col("doc_id") < 250), "doc_id", "text"),
+          sigs.filter(col("id") >= 250),
+          sigs.filter(col("id") < 250),
           minEstJaccard = 0.4)
         .orderBy(col("id_a"), col("id_b"))
     }),
@@ -812,10 +816,12 @@ object Pipeline {
     // collisions replayed exactly in DuckDB (XxhOracle); the
     // cross = full − within decomposition stays pinned in spec
     "q9O_fuzzy_decontaminate" -> ((s, dir) => {
-      val d = T(s, dir)("documents")
+      // both corpora are id-filters over the shared signature artifact
+      // (per-row signing commutes with row filters — the q9N note)
+      val sigs = mhSigs(s, dir)
       Dedup.crossCandidates(
-          Dedup.signatures(d.filter(col("doc_id") % 29 =!= 0), "doc_id", "text"),
-          Dedup.signatures(d.filter(col("doc_id") % 29 === 0), "doc_id", "text"),
+          sigs.filter(col("id") % 29 =!= 0),
+          sigs.filter(col("id") % 29 === 0),
           minEstJaccard = 0.4)
         .orderBy(col("id_a"), col("id_b"))
     }),
