@@ -411,11 +411,16 @@ object Dedup {
     // i.e. three shuffles of the full shingle stream, with zero. The
     // array arrives SORTED, so the AllPairs canonical order is free:
     // the prefix is simply the first n − ⌈t·n⌉ + 1 elements.
+    // checkpoint the per-doc hash arrays ONCE: this frame feeds the
+    // prefix self-join (both sides) AND the two verification joins —
+    // without the barrier the tokenize+shingle+hash+sort kernel
+    // re-inlines into every scan (the knnJoin finding, same fix)
     val sized = docs.select(col(idCol).as("id"),
         graft.functions.ShingleExprs.shingle_hashes(
           col(textCol), shingleWords).as("arr"))
       .filter(col("arr").isNotNull)
       .select(col("id"), col("arr"), size(col("arr")).as("n"))
+      .localCheckpoint(true)
     val prefix = sized.select(col("id"), col("n"),
         posexplode(slice(col("arr"), lit(1),
           (col("n") - ceil(lit(minJaccard) * col("n")) + 1).cast("int")))
@@ -479,11 +484,14 @@ object Dedup {
   def containmentPairs(docs: DataFrame, idCol: String, textCol: String,
                        shingleWords: Int, minContainment: Double): DataFrame = {
     require(minContainment > 0 && minContainment <= 1)
+    // checkpoint once: prefix + full inverted stream + both
+    // verification joins all read this frame (see the Jaccard twin)
     val sized = docs.select(col(idCol).as("id"),
         graft.functions.ShingleExprs.shingle_hashes(
           col(textCol), shingleWords).as("arr"))
       .filter(col("arr").isNotNull)
       .select(col("id"), col("arr"), size(col("arr")).as("n"))
+      .localCheckpoint(true)
     val prefix = sized.select(col("id"),
       explode(slice(col("arr"), lit(1),
         (col("n") - ceil(lit(minContainment) * col("n")) + 1).cast("int")))
