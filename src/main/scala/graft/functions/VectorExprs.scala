@@ -1,7 +1,7 @@
 package graft.functions
 
 import org.apache.spark.sql.Column
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
@@ -75,4 +75,77 @@ object ArrayDot {
   /** Column entry point: dot product of two numeric array columns. */
   def array_dot(a: Column, b: Column): Column =
     ColumnBridge.column(ArrayDot(ColumnBridge.expression(a), ColumnBridge.expression(b)))
+
+  /** Column entry point: all `tables` LSH sign-bit signatures of one
+    * vector in a single kernel call (see [[LshSignatures]]). `planes`
+    * is laid out `[table * bits + bit]`. */
+  def lsh_signatures(v: Column, planes: Array[Array[Double]],
+                     tables: Int, bits: Int): Column =
+    ColumnBridge.column(
+      LshSignatures(ColumnBridge.expression(v), planes, tables, bits))
+
+  /** Kernel behind [[LshSignatures]]: per-bit dot products replicate
+    * [[ArrayDot]]'s left-to-right double accumulation exactly (float
+    * elements promoted per element), so the signed-projection oracle
+    * replays bucket assignment bit-for-bit. */
+  def lshSignatures(v: ArrayData, planes: Array[Array[Double]],
+                    tables: Int, bits: Int, floatIn: Boolean): ArrayData = {
+    val out = new Array[Int](tables)
+    var t = 0
+    while (t < tables) {
+      var sig = 0
+      var b = 0
+      while (b < bits) {
+        val p = planes(t * bits + b)
+        val n = math.min(v.numElements(), p.length)
+        var s = 0.0
+        var i = 0
+        if (floatIn) while (i < n) { s += v.getFloat(i).toDouble * p(i); i += 1 }
+        else while (i < n) { s += v.getDouble(i) * p(i); i += 1 }
+        if (s > 0) sig |= (1 << b)
+        b += 1
+      }
+      out(t) = sig
+      t += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+}
+
+/**
+ * All `tables` random-projection LSH signatures of a vector in ONE
+ * codegen'd kernel call. The composable spelling — `array(table_0 …)`
+ * where each table is a `bits`-step fold of `when(array_dot(v,
+ * typedLit(plane)) > 0, 1) << b` — builds an expression tree of
+ * tables × bits literal-array dot subtrees (e.g. 16 × 5 × 64-dim =
+ * thousands of Catalyst nodes), which costs more in per-execution
+ * analysis/optimization than the arithmetic itself. Here the planes
+ * ride ONE reference object and the tree is ONE node; bucket
+ * arithmetic is bit-identical (the [[ArrayDot]] accumulation order).
+ */
+case class LshSignatures(child: Expression, planes: Array[Array[Double]],
+                         tables: Int, bits: Int) extends UnaryExpression {
+  require(tables >= 1 && bits >= 1 && bits <= 30 &&
+    planes.length == tables * bits,
+    s"need tables*bits = ${tables * bits} planes, got ${planes.length}")
+
+  private def floatIn: Boolean =
+    child.dataType.asInstanceOf[ArrayType].elementType == FloatType
+
+  override def dataType: DataType = ArrayType(org.apache.spark.sql.types.IntegerType,
+    containsNull = false)
+
+  override def nullSafeEval(v: Any): Any =
+    ArrayDot.lshSignatures(v.asInstanceOf[ArrayData], planes, tables, bits,
+      floatIn)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("planes", planes, "double[][]")
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.ArrayDot.lshSignatures($c, $ref, $tables, $bits, $floatIn)")
+  }
+
+  override protected def withNewChildInternal(c: Expression): LshSignatures =
+    copy(child = c)
+  override def prettyName: String = "lsh_signatures"
 }

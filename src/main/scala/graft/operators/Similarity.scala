@@ -264,8 +264,14 @@ object Similarity {
                bits: Int, dim: Int, tables: Int = 8,
                maxBucketSize: Option[Int] = None): DataFrame = {
     require(tables >= 1)
-    val sigArr = array((0 until tables).map(t =>
-      lshSignature(col(vecCol), bits, dim, seed = 42L + t)): _*)
+    // one fused kernel computes all tables×bits sign bits per row —
+    // the composed array-of-folds spelling costs thousands of Catalyst
+    // nodes of per-execution analysis (see LshSignatures scaladoc)
+    val planes = (0 until tables)
+      .flatMap(t => hyperplanes(bits, dim, seed = 42L + t))
+      .map(_.toArray).toArray
+    val sigArr = graft.functions.ArrayDot.lsh_signatures(
+      col(vecCol), planes, tables, bits)
     val banded0 = emb.select(col(idCol).as("id"),
       posexplode(sigArr).as(Seq("table", "bucket")))
     val banded = Dedup.capBuckets(banded0, Seq("table", "bucket"),
@@ -320,15 +326,15 @@ object Similarity {
                      bits: Int, dim: Int, tables: Int = 4,
                      maxBucketSize: Option[Int] = None): DataFrame = {
     require(tables >= 1 && bits >= 1 && bits <= 30)
-    val planes = signedPlanes(tables, bits, dim)
-    val v = col(vecCol).cast("array<double>")
-    val sigArr = array((0 until tables).map { t =>
-      planes.collect { case (`t`, b, s) => (b, s) }
-        .foldLeft(lit(0)) { case (acc, (b, s)) =>
-          acc.bitwiseOR(shiftleft(
-            when(dot(v, typedLit(s)) > 0, 1).otherwise(0), b))
-        }
-    }: _*)
+    // signedPlanes yields (t, b) in t-major order, so the flattened
+    // layout is exactly LshSignatures' [t*bits + b] contract; the
+    // kernel's per-bit left-to-right double accumulation over
+    // per-element-promoted floats is bit-identical to the previous
+    // cast-to-double ArrayDot fold, so the oracle's bucket replay
+    // still matches exactly
+    val planes = signedPlanes(tables, bits, dim).map(_._3.toArray).toArray
+    val sigArr = graft.functions.ArrayDot.lsh_signatures(
+      col(vecCol), planes, tables, bits)
     val banded0 = emb.select(col(idCol).as("id"),
       posexplode(sigArr).as(Seq("table", "bucket")))
     val banded = Dedup.capBuckets(banded0, Seq("table", "bucket"),
