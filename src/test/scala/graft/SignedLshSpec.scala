@@ -27,6 +27,32 @@ class SignedLshSpec extends AnyFunSuite {
     assert(hit.get._3 == 1.0)
   }
 
+  test("LshSignatures kernel == the composed array-dot fold, bit for bit") {
+    // the fused kernel must reproduce the fold spelling it replaced —
+    // per-bit dot sign over the SAME planes, including the float →
+    // double per-element promotion order — or bucket assignment (and
+    // the qAT oracle replay) silently drifts
+    val (tables, bits, dim) = (4, 6, 64)
+    val planes = Similarity.signedPlanes(tables, bits, dim)
+    val planesArr = planes.map(_._3.toArray).toArray
+    val kernel = graft.functions.ArrayDot.lsh_signatures(
+      col("embedding"), planesArr, tables, bits)
+    val v = col("embedding").cast("array<double>")
+    val fold = array((0 until tables).map { t =>
+      planes.collect { case (`t`, b, s) => (b, s) }
+        .foldLeft(lit(0)) { case (acc, (b, s)) =>
+          acc.bitwiseOR(shiftleft(
+            when(graft.functions.ArrayDot.array_dot(v, typedLit(s)) > 0, 1)
+              .otherwise(0), b))
+        }
+    }: _*)
+    emb.select(col("vec_id"), kernel.as("k"), fold.as("f")).collect()
+      .foreach { r =>
+        assert(r.getSeq[Int](1) == r.getSeq[Int](2),
+          s"signature mismatch for vec ${r.getLong(0)}")
+      }
+  }
+
   test("pair scores equal the exact cosine; pair set is deterministic") {
     val run1 = Similarity.signedLshPairs(emb, "vec_id", "embedding",
       bits = 6, dim = 64, tables = 4).collect()
