@@ -30,12 +30,19 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 object FrameCache {
   private val cache =
     new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
+  // crude bound, the Bpe.MergeCacheMax precedent: past this many
+  // artifacts the cache clears wholesale — dropped frames just
+  // rebuild on next use, and the ContextCleaner reclaims their
+  // checkpoint blocks once unreachable. A long-lived server over many
+  // lakes must never pin blocks unboundedly.
+  private val MaxEntries = 64
 
   def cached(spark: SparkSession, key: String)(build: => DataFrame): DataFrame = {
     val k = spark.sparkContext.applicationId + "|" + key
     val hit = cache.get(k)
     if (hit != null) hit
     else {
+      if (cache.size > MaxEntries) cache.clear()
       val df = build.localCheckpoint(true)
       val prev = cache.putIfAbsent(k, df)
       if (prev != null) prev else df
