@@ -123,6 +123,31 @@ class TextProfileSpec extends AnyFunSuite {
     }
   }
 
+  test("langIdTable / textStatsTable / gopherRulesTable plan with zero shuffles") {
+    import graft.operators.TextAnalysis
+    // the scale claim of the fused-kernel rewrites: all three are
+    // per-row projections — no Exchange anywhere (langIdTable used to
+    // cost an explode + broadcast join + window)
+    val docs = Seq((1L, "the quick brown fox")).toDF("doc_id", "text")
+    Seq(
+      "langIdTable" -> TextAnalysis.langIdTable(docs, "doc_id", "text"),
+      "textStatsTable" -> TextAnalysis.textStatsTable(docs, "doc_id", "text"),
+      "gopherRulesTable" -> TextAnalysis.gopherRulesTable(docs, "doc_id", "text")
+    ).foreach { case (name, df) =>
+      val plan = df.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange"), s"$name shuffles:\n$plan")
+    }
+  }
+
+  test("knnJoin ranks through the bounded-heap aggregate, not a window") {
+    val emb = Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
+    val plan = graft.operators.Similarity
+      .knnJoin(emb, "vec_id", "embedding", k = 2, nlist = 4, probeCells = 2)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), s"knnJoin fell back to a window:\n$plan")
+    assert(plan.contains("Aggregate"), s"no aggregate in knnJoin plan:\n$plan")
+  }
+
   test("langIdTable per-row argmax equals the langId column fold") {
     import graft.operators.TextAnalysis
     val df = Seq(
