@@ -474,10 +474,16 @@ object Pipeline {
       val html = concat(
         lit("<html><body><h1>Doc "), col("doc_id"), lit("</h1><p>"),
         col("text"), lit("</p><script>var x=1;</script></body></html>"))
+      // checkpoint the ingest projection ONCE: `cleaned` feeds both
+      // sides of the URL-dedup self-join and the gopher + join-back
+      // consumers below — without the barrier the generate + strip +
+      // canonicalize chains re-inline into every scan (the q89
+      // pattern; the timed query still pays the full chain once)
       val cleaned = T(s, dir)("documents")
         .select(col("doc_id"),
           TextAnalysis.normalizeUrl(url).as("url_norm"),
           TextAnalysis.stripHtml(html).as("clean"))
+        .localCheckpoint(true)
       val kept = cleaned.join(
         cleaned.groupBy(col("url_norm")).agg(min(col("doc_id")).as("keep_id")),
         "url_norm").filter(col("doc_id") === col("keep_id"))
