@@ -115,6 +115,34 @@ object EventStream {
       .select(col("window.start").as("window_start"), col("event_type"),
         col("n"), col("sum_value"))
 
+  /** Streaming twin of the batch COLD tier
+    * ([[graft.operators.Retention.tieredDownsample]]'s rollup branch):
+    * watermarked tumbling-window rollups of (n_rows, v_avg, v_min,
+    * v_max) per (window, keys). The average is the same EXACT
+    * DECIMAL(27,9) sum cast to double as the batch tier
+    * (order-independent — the qB5 cross-engine convention), so a
+    * window's FINAL value equals the batch rollup of the same rows
+    * exactly; StreamingSpec pins streaming ≡ batch. Deployment shape:
+    * the hot tier is the raw stream itself (append passthrough /
+    * [[LakeIngest]]); this query maintains the rollup table the batch
+    * reader unions past the cutoff — state is one aggregate row per
+    * open (window, keys), evicted at the watermark. */
+  def tieredRollup(events: DataFrame, window_ : String = "1 hour",
+                   watermark: String = "2 hours",
+                   keyCols: Seq[String] = Seq("event_type"),
+                   valCol: String = "value"): DataFrame =
+    events
+      .withWatermark("event_time", watermark)
+      .groupBy(window(col("event_time"), window_) +: keyCols.map(col): _*)
+      .agg(count(lit(1)).as("n_rows"),
+        sum(col(valCol).cast("decimal(27,9)")).as("__vsum"),
+        min(col(valCol)).cast("double").as("v_min"),
+        max(col(valCol)).cast("double").as("v_max"))
+      .select(col("window.start").as("bucket_start") +: keyCols.map(col) ++:
+        Seq(col("n_rows"),
+          round(col("__vsum").cast("double") / col("n_rows"), 6).as("v_avg"),
+          col("v_min"), col("v_max")): _*)
+
   /** Gap-based sessions (streaming twin of q45's 30-min session split). */
   def sessionCounts(events: DataFrame, gap: String = "30 minutes",
                     watermark: String = "2 hours"): DataFrame =

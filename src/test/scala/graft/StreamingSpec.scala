@@ -49,6 +49,38 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming tiered rollup equals the batch cold tier exactly") {
+    // the streaming twin of Retention.tieredDownsample's rollup
+    // branch: every FINAL window must carry the identical
+    // (n_rows, v_avg, v_min, v_max) — including the exact-decimal-sum
+    // average, which is order-independent and therefore immune to the
+    // micro-batch arrival order
+    val dir = "/root/testdata/sf0.001"
+    val batchEvents = Tables.load(spark, dir, "events")
+    val stream = EventStream.readEvents(spark, streamDir, batchEvents.schema)
+    val q = EventStream.tieredRollup(stream, "1 hour", "2 hours")
+      .writeStream.format("memory").queryName("tier_rollup")
+      .outputMode("complete").start()
+    try {
+      q.processAllAvailable()
+      val H = 3600L * 1000 * 1000 * 1000
+      val streamed = spark.table("tier_rollup").collect()
+        .map(r => (r.getTimestamp(0).getTime, r.getString(1), r.getLong(2),
+          r.getDouble(3), r.getDouble(4), r.getDouble(5))).toSet
+      // batch twin: cutoff above every ts -> everything is cold tier
+      val batch = graft.operators.Retention.tieredDownsample(batchEvents,
+          "ts", Seq("event_type"), "value",
+          cutoffNs = Long.MaxValue, bucketNs = H)
+        .filter(col("tier") === "rollup")
+        .collect()
+        .map(r => (r.getLong(1) / 1000000L, r.getString(0), r.getLong(2),
+          r.getDouble(3), r.getDouble(4), r.getDouble(5))).toSet
+      assert(streamed.nonEmpty)
+      assert(streamed.map(t => (t._1, t._2)).size == streamed.size)
+      assert(streamed == batch)
+    } finally q.stop()
+  }
+
   test("text-pipeline kernels run unchanged in a streaming plan") {
     // cleanText / RepetitionStats / decontamination flag are stateless
     // per-row expressions, so a streaming ingest pipeline can run them
