@@ -135,16 +135,16 @@ class Round7OpsSpec extends AnyFunSuite {
     assert(out == Seq("a.b.com", "b.com", "com"))
   }
 
-  test("qAD plan instantiates the stripHtml chain exactly once") {
-    // qAD builds `cleaned` (= stripHtml + normalizeUrl) and self-joins
-    // it against its own groupBy(url_norm) aggregate: Catalyst must
-    // PRUNE the stripHtml chain off the agg branch (which only needs
-    // url_norm). If an edit to the agg branch ever references `clean`,
-    // the strip work silently doubles at corpus scale — pin the plan
-    // shape via the chain's distinctive script-block pattern.
-    // (expression inlining repeats the chain TEXT across a Project's
-    // columns — that's subexpression-eliminated at codegen; the real
-    // regression is the chain appearing under an Aggregate subtree)
+  test("qAD plan runs the stripHtml chain exactly once — at the checkpoint") {
+    // qAD materializes `cleaned` (= stripHtml + normalizeUrl) into a
+    // localCheckpoint BEFORE the url-dedup self-join (round 10; the
+    // chain previously re-inlined into the agg branch and every other
+    // consumer). The pin is now the STRONGER property: the queryable
+    // plan must contain NO trace of the strip chain at all — the
+    // chain ran once, at checkpoint time, and everything downstream
+    // (self-join, gopher filter, join-back) reads checkpointed rows.
+    // A regression that drops the checkpoint puts the distinctive
+    // script-block pattern back into this plan and fails here.
     val exec = graft.queries.Pipeline
       .queries("qAD_web_ingest")(spark, "/root/testdata/sf0.001")
       .queryExecution.executedPlan match {
@@ -152,13 +152,13 @@ class Round7OpsSpec extends AnyFunSuite {
           a.executedPlan
         case p => p
       }
-    assert(exec.toString.contains("<script"), "strip chain vanished entirely")
+    val s = exec.toString
+    assert(!s.contains("<script"),
+      s"stripHtml chain re-entered the query plan:\n$s")
+    assert(s.contains("ExistingRDD"),
+      s"expected checkpointed-scan leaves:\n$s")
     val aggs = exec.collect { case a if a.nodeName.contains("Aggregate") => a }
     assert(aggs.nonEmpty, "expected the url_norm dedup aggregate")
-    aggs.foreach { a =>
-      assert(!a.toString.contains("<script"),
-        s"stripHtml chain leaked into an aggregate branch:\n$a")
-    }
   }
 
   test("stereo WAV duration uses frames, not interleaved samples") {
