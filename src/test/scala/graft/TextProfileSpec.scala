@@ -167,5 +167,18 @@ class TextProfileSpec extends AnyFunSuite {
       Seq("en", "de", "fr", "es", "zh", "en", "en"))
     assert(viaCol.toSeq == viaTable.map(_._1).toSeq)
     assert(viaTable(5)._2 == 0L)
+    // the kernel's winning score must equal the regex-reference
+    // langScore count for the predicted language (langScore is the
+    // regex spelling the kernel replaced — kept as the reference
+    // implementation this differential runs against)
+    val scores = df.orderBy("doc_id").select(
+        array(Seq("en", "de", "fr", "es", "zh")
+          .map(l => TextAnalysis.langScore(col("text"), l)): _*))
+      .collect().map(_.getSeq[Long](0))
+    viaTable.zip(scores).foreach { case ((lang, score), ref) =>
+      val li = Seq("en", "de", "fr", "es", "zh").indexOf(lang)
+      assert(score == ref(li), s"kernel score for $lang != regex reference")
+      assert(ref.forall(_ <= score), "argmax disagrees with regex scores")
+    }
   }
 }
