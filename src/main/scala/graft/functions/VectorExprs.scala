@@ -82,7 +82,8 @@ object ArrayDot {
   def lsh_signatures(v: Column, planes: Array[Array[Double]],
                      tables: Int, bits: Int): Column =
     ColumnBridge.column(
-      LshSignatures(ColumnBridge.expression(v), planes, tables, bits))
+      LshSignatures(ColumnBridge.expression(v),
+        planes.toSeq.map(_.toSeq), tables, bits))
 
   /** Kernel behind [[LshSignatures]]: per-bit dot products replicate
     * [[ArrayDot]]'s left-to-right double accumulation exactly (float
@@ -122,12 +123,35 @@ object ArrayDot {
  * analysis/optimization than the arithmetic itself. Here the planes
  * ride ONE reference object and the tree is ONE node; bucket
  * arithmetic is bit-identical (the [[ArrayDot]] accumulation order).
+ *
+ * `planes` is a Seq (not a raw Array) so the case class keeps VALUE
+ * equality — semanticEquals / subexpression elimination can match two
+ * separately constructed but identical instances; an Array field
+ * would fall back to reference equality and silently defeat CSE.
+ * Input must be array<float> or array<double>; other numeric element
+ * types are implicitly cast to array<double> (the pre-kernel
+ * behavior of the composed `ArrayDot` spelling), and a non-array
+ * child fails analysis with a type-check error, never a cast crash.
  */
-case class LshSignatures(child: Expression, planes: Array[Array[Double]],
-                         tables: Int, bits: Int) extends UnaryExpression {
+case class LshSignatures(child: Expression, planes: Seq[Seq[Double]],
+                         tables: Int, bits: Int) extends UnaryExpression
+    with org.apache.spark.sql.catalyst.expressions.ImplicitCastInputTypes {
   require(tables >= 1 && bits >= 1 && bits <= 30 &&
     planes.length == tables * bits,
     s"need tables*bits = ${tables * bits} planes, got ${planes.length}")
+
+  override def inputTypes: Seq[ColumnBridge.SqlAbstractDataType] =
+    // double FIRST: float/double arrays pass through uncast (both are
+    // collection members), anything else implicitly casts to the
+    // collection's first castable member — array<double>, matching
+    // the pre-kernel `cast to array<double>` behavior exactly
+    Seq(ColumnBridge.typeCollection(
+      ArrayType(DoubleType), ArrayType(FloatType)))
+
+  // the kernel's layout: one primitive double[][] reference object
+  // shared by every row (built once per executor deserialization)
+  @transient private lazy val planesArr: Array[Array[Double]] =
+    planes.map(_.toArray).toArray
 
   private def floatIn: Boolean =
     child.dataType.asInstanceOf[ArrayType].elementType == FloatType
@@ -136,11 +160,11 @@ case class LshSignatures(child: Expression, planes: Array[Array[Double]],
     containsNull = false)
 
   override def nullSafeEval(v: Any): Any =
-    ArrayDot.lshSignatures(v.asInstanceOf[ArrayData], planes, tables, bits,
+    ArrayDot.lshSignatures(v.asInstanceOf[ArrayData], planesArr, tables, bits,
       floatIn)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
-    val ref = ctx.addReferenceObj("planes", planes, "double[][]")
+    val ref = ctx.addReferenceObj("planes", planesArr, "double[][]")
     defineCodeGen(ctx, ev, c =>
       s"graft.functions.ArrayDot.lshSignatures($c, $ref, $tables, $bits, $floatIn)")
   }

@@ -233,6 +233,15 @@ object Dedup {
    *
    * Documents with fewer than `shingleWords` tokens produce no
    * shingles and drop out (they cannot near-dup at this granularity).
+   *
+   * `precomputedSigs` CONTRACT: the frame must be the output of
+   * [[signatures]] built with THE SAME `(shingleWords, k)` as this
+   * call. A `k` mismatch would slice `element_at(sig, i+1)` past the
+   * signature array in [[bandBuckets]] and silently hash nulls into
+   * the buckets — so the signature length is asserted per row (a
+   * codegen'd O(1) `size` check inside the scan) and a mismatch fails
+   * loudly instead. `shingleWords` is not recoverable from the frame
+   * and stays the caller's responsibility.
    */
   def minhashCandidates(docs: DataFrame, idCol: String, textCol: String,
                         shingleWords: Int = 3, k: Int = 64, bands: Int = 16,
@@ -243,8 +252,15 @@ object Dedup {
     // artifact ([[signatures]] scaladoc — at ingest scale it is
     // written columnar next to the lake; in one JVM, FrameCache) so
     // several dedup consumers share one signature pass
-    val sigs = precomputedSigs
-      .getOrElse(signatures(docs, idCol, textCol, shingleWords, k))
+    val sigs = precomputedSigs match {
+      case None => signatures(docs, idCol, textCol, shingleWords, k)
+      case Some(pre) => pre.withColumn("sig",
+        when(size(col("sig")) === k, col("sig")).otherwise(raise_error(
+          concat(lit("minhashCandidates: precomputedSigs signature length "),
+            size(col("sig")).cast("string"),
+            lit(s" != this call's k=$k — the frame was built with "),
+            lit("different signatures() parameters")))))
+    }
     val banded = capBuckets(bandBuckets(sigs, k, bands),
       Seq("band", "bucket"), maxBucketSize, "minhashCandidates")
     val cand = banded.as("x").join(banded.as("y"),
@@ -520,6 +536,10 @@ object Dedup {
    * the MinHash+LSH pair set — the standard production policy; not a
    * transitive closure, which would need iterative connected
    * components).
+   *
+   * `precomputedSigs` must be a [[signatures]] frame built at THIS
+   * call's operating point (the defaults here: w=3, k=64) — length is
+   * re-asserted per row in [[minhashCandidates]].
    */
   def dedupCorpus(docs: DataFrame, idCol: String, textCol: String,
                   minJaccard: Double,
@@ -536,7 +556,8 @@ object Dedup {
     * [[dedupCorpus]]'s keep set re-aggregated by source with token
     * mass. One broadcast-able keep-flag join + one partial-agg
     * groupBy(source); |sources| rows out. FULL-oracle-able because the
-    * entire LSH keep decision replays in SQL (XxhOracle). */
+    * entire LSH keep decision replays in SQL (XxhOracle).
+    * `precomputedSigs` contract as in [[dedupCorpus]] (w=3, k=64). */
   def dedupImpactBySource(docs: DataFrame, idCol: String, textCol: String,
                           sourceCol: String, minJaccard: Double,
                           precomputedSigs: Option[DataFrame] = None): DataFrame = {

@@ -202,10 +202,12 @@ object Similarity {
   def knnJoin(emb: DataFrame, idCol: String, vecCol: String, k: Int,
               nlist: Int = 16, probeCells: Int = 4,
               iters: Int = 2, cacheKey: Option[String] = None): DataFrame = {
-    require(Seq("int", "bigint", "smallint", "tinyint")
-        .contains(emb.schema(idCol).dataType.simpleString),
+    require(org.apache.spark.sql.graftbridge.ColumnBridge
+        .isIntegral(emb.schema(idCol).dataType),
       s"knnJoin: $idCol must be an integral id column " +
-        s"(got ${emb.schema(idCol).dataType.simpleString})")
+        s"(got ${emb.schema(idCol).dataType.simpleString}) — " +
+        "the output widens id/nn_id to long (hardNegatives contract); " +
+        "string/decimal ids need a caller-side surrogate key")
     val centroids = cacheKey match {
       case Some(key) => IvfIndex.trainCached(emb, idCol, vecCol, nlist, iters, key)
       case None => IvfIndex.train(emb, idCol, vecCol, nlist, iters)

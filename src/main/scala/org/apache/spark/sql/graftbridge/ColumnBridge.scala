@@ -20,6 +20,17 @@ object ColumnBridge {
     * ClassCastExceptions on mistyped SQL). */
   type SqlAbstractDataType = org.apache.spark.sql.types.AbstractDataType
 
+  /** `TypeCollection` ("any of these types, implicit-cast to the first
+    * castable") is likewise `private[sql]` — re-exported for graft
+    * Expressions accepting more than one input type. */
+  def typeCollection(types: SqlAbstractDataType*): SqlAbstractDataType =
+    org.apache.spark.sql.types.TypeCollection(types: _*)
+
+  /** `IntegralType` is `private[sql]` in Spark 4 — membership test for
+    * callers that must accept any integral column (byte…long). */
+  def isIntegral(dt: org.apache.spark.sql.types.DataType): Boolean =
+    dt.isInstanceOf[org.apache.spark.sql.types.IntegralType]
+
   /** Run a (possibly hand-transformed) unresolved LogicalPlan. */
   def ofRows(spark: org.apache.spark.sql.SparkSession,
              plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): org.apache.spark.sql.DataFrame =

@@ -85,6 +85,52 @@ class ScaleOperatorsSpec extends AnyFunSuite {
     assert(recall >= 0.9, s"LSH recall $recall over ${exact.size} exact pairs")
   }
 
+  test("knnJoin refuses non-integral id columns via a typed check") {
+    // the output contract widens id/nn_id to long; a string id must
+    // fail the IntegralType check up front, not produce a cast-mangled
+    // result (and decimal — integral-LOOKING simpleString — too)
+    val emb = Seq(("a", Array(1.0f, 0f)), ("b", Array(0f, 1f))).toDF("id", "v")
+    val e = intercept[IllegalArgumentException] {
+      graft.operators.Similarity.knnJoin(emb, "id", "v", k = 1)
+    }
+    assert(e.getMessage.contains("integral"))
+    val dec = emb.select(lit(java.math.BigDecimal.ONE).as("id"), col("v"))
+    intercept[IllegalArgumentException] {
+      graft.operators.Similarity.knnJoin(dec, "id", "v", k = 1)
+    }
+  }
+
+  test("precomputedSigs with a mismatched k fails loudly, never hashes nulls") {
+    // a k=32 signature table fed to a k=64 call would slice
+    // element_at(sig, i+1) past the array and silently bucket nulls —
+    // the per-row length guard must turn that into a hard error
+    val docs = Tables.load(spark, "/root/testdata/sf0.001", "documents")
+    val sigs32 = Dedup.signatures(docs, "doc_id", "text",
+      shingleWords = 3, k = 32)
+    val err = intercept[Exception] {
+      Dedup.minhashCandidates(docs, "doc_id", "text", shingleWords = 3,
+        k = 64, bands = 16, precomputedSigs = Some(sigs32)).collect()
+    }
+    def causes(t: Throwable): Seq[Throwable] =
+      if (t == null) Nil else t +: causes(t.getCause)
+    assert(causes(err).exists(c =>
+      String.valueOf(c.getMessage).contains("precomputedSigs")),
+      s"expected the k-mismatch guard, got: ${err.getMessage}")
+    // matched k passes through the guard untouched
+    val sigs64 = Dedup.signatures(docs, "doc_id", "text",
+      shingleWords = 3, k = 64)
+    val viaPre = Dedup.minhashCandidates(docs, "doc_id", "text",
+        shingleWords = 3, k = 64, bands = 16,
+        precomputedSigs = Some(sigs64))
+      .select("id_a", "id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val direct = Dedup.minhashCandidates(docs, "doc_id", "text",
+        shingleWords = 3, k = 64, bands = 16)
+      .select("id_a", "id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(viaPre == direct && direct.nonEmpty)
+  }
+
   test("simhashPairs pigeonhole banding is complete at the requested radius") {
     // brute-force ground truth over random signatures: every pair with
     // hamming <= r must be found by the (r+1)-band scheme, at r=3 and

@@ -91,4 +91,43 @@ class SignedLshSpec extends AnyFunSuite {
     val recall = (exact & got).size.toDouble / exact.size
     assert(recall >= 0.3, f"recall $recall%.2f collapsed at 4x6 bits")
   }
+
+  test("LshSignatures type discipline: int arrays coerce, non-arrays fail analysis") {
+    val (tables, bits, dim) = (2, 4, 3)
+    val planes = Similarity.signedPlanes(tables, bits, dim)
+      .map(_._3.toArray).toArray
+    // integral element types implicitly cast to array<double> (the old
+    // signedLshPairs cast-to-double behavior), not misread as doubles
+    val ints = Seq((1L, Seq(1, -2, 3)), (2L, Seq(-1, 2, -3)))
+      .toDF("id", "v")
+    val viaInt = ints.select(col("id"), graft.functions.ArrayDot
+      .lsh_signatures(col("v"), planes, tables, bits).as("sig")).collect()
+    val viaDouble = ints.select(col("id"), graft.functions.ArrayDot
+      .lsh_signatures(col("v").cast("array<double>"), planes, tables, bits)
+      .as("sig")).collect()
+    assert(viaInt.map(_.getSeq[Int](1)).toSeq ==
+      viaDouble.map(_.getSeq[Int](1)).toSeq)
+    // a non-array child is an ANALYSIS error (type check), not an
+    // executor ClassCastException
+    val bad = intercept[org.apache.spark.sql.AnalysisException] {
+      ints.select(graft.functions.ArrayDot
+        .lsh_signatures(col("id"), planes, tables, bits)).collect()
+    }
+    assert(bad.getMessage.toLowerCase.contains("type"))
+  }
+
+  test("LshSignatures value equality survives separate construction (CSE-able)") {
+    // Array-typed constructor params would make two separately built
+    // but identical instances reference-unequal and defeat
+    // semanticEquals / subexpression elimination. Use a stable child
+    // (a Column-wrapped child carries an Origin stack trace that
+    // legitimately differs per construction site).
+    import org.apache.spark.sql.catalyst.expressions.BoundReference
+    import org.apache.spark.sql.types.{ArrayType, DoubleType}
+    def expr() = graft.functions.LshSignatures(
+      BoundReference(0, ArrayType(DoubleType), nullable = false),
+      Similarity.signedPlanes(2, 4, 3).map(_._3), 2, 4)
+    assert(expr() == expr())
+    assert(expr().semanticEquals(expr()))
+  }
 }
