@@ -234,21 +234,9 @@ object Bpe {
     * previous corpus's merges (the plan's semanticHash alone
     * fingerprints the PATHS, not the data). Non-file-backed plans
     * (in-memory test frames) fingerprint empty and fall back to the
-    * semantic hash alone. */
-  private def dataFingerprint(docs: DataFrame): String = {
-    val files = docs.inputFiles
-    if (files.isEmpty) ""
-    else {
-      val conf = docs.sparkSession.sparkContext.hadoopConfiguration
-      val h = java.security.MessageDigest.getInstance("MD5")
-      files.sorted.foreach { f =>
-        val p = new org.apache.hadoop.fs.Path(f)
-        val st = p.getFileSystem(conf).getFileStatus(p)
-        h.update(s"$f|${st.getLen}|${st.getModificationTime};".getBytes("UTF-8"))
-      }
-      h.digest().map("%02x".format(_)).mkString
-    }
-  }
+    * semantic hash alone. Shared with the frame-artifact cache. */
+  private def dataFingerprint(docs: DataFrame): String =
+    FrameCache.frameFingerprint(docs)
 
   /** [[learnMerges]] collected to its rank-ordered (lft, rgt) list,
     * memoized per JVM. The key folds in the analyzed plan's semantic

@@ -16,36 +16,84 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
  *
  * Keys fold in the SparkContext applicationId so a cached frame can
  * never leak across sessions into a stopped context, and the caller's
- * key must identify the INPUT (lake dir + parameters) — same contract
- * as the other artifact caches. Only DETERMINISTIC builders may be
- * cached (every current caller derives rows from doc_id arithmetic or
- * deterministic decode), otherwise the memoized and fresh plans could
- * disagree under the oracle.
+ * key must identify the INPUT — not just its path: [[cachedOn]] is
+ * the standard entry point, folding each input frame's analyzed-plan
+ * semanticHash AND its backing files' (size, mtime) fingerprint into
+ * the key, so a lake regenerated in place in the same JVM can never
+ * be served the previous corpus's artifacts. Only DETERMINISTIC
+ * builders may be cached (every current caller derives rows from
+ * doc_id arithmetic or deterministic decode), otherwise the memoized
+ * and fresh plans could disagree under the oracle.
+ *
+ * Eviction is per-entry LRU (access-ordered LinkedHashMap under a
+ * lock): at [[FrameCache.MaxEntries]]+1 artifacts the LEAST RECENTLY
+ * USED one drops and rebuilds on next use — a long-lived server over
+ * many lakes sheds cold lakes' artifacts while the live session's hot
+ * entries survive (the previous wholesale clear() evicted those too:
+ * a rebuild storm in exactly the deployment the bound protects).
+ * Dropped frames' checkpoint blocks are reclaimed by the
+ * ContextCleaner once unreachable.
  *
  * Builds race benignly: two concurrent misses on one key both build,
- * one wins `putIfAbsent`, the loser's checkpoint is dropped by the
- * ContextCleaner. (computeIfAbsent would instead hold a bin lock
+ * the first to insert wins, the loser's checkpoint is dropped by the
+ * ContextCleaner. (Building under the map lock would instead hold it
  * across a whole Spark job.)
  */
 object FrameCache {
+  private[graft] val MaxEntries = 64
   private val cache =
-    new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
-  // crude bound, the Bpe.MergeCacheMax precedent: past this many
-  // artifacts the cache clears wholesale — dropped frames just
-  // rebuild on next use, and the ContextCleaner reclaims their
-  // checkpoint blocks once unreachable. A long-lived server over many
-  // lakes must never pin blocks unboundedly.
-  private val MaxEntries = 64
+    new java.util.LinkedHashMap[String, DataFrame](16, 0.75f,
+        /* accessOrder = */ true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[String, DataFrame]): Boolean =
+        size() > MaxEntries
+    }
 
   def cached(spark: SparkSession, key: String)(build: => DataFrame): DataFrame = {
     val k = spark.sparkContext.applicationId + "|" + key
-    val hit = cache.get(k)
+    val hit = cache.synchronized(cache.get(k))
     if (hit != null) hit
     else {
-      if (cache.size > MaxEntries) cache.clear()
       val df = build.localCheckpoint(true)
-      val prev = cache.putIfAbsent(k, df)
-      if (prev != null) prev else df
+      cache.synchronized {
+        val prev = cache.get(k)
+        if (prev != null) prev
+        else { cache.put(k, df); df }
+      }
+    }
+  }
+
+  /** [[cached]] with the input frames folded into the key: each
+    * input's analyzed-plan semanticHash (what is computed, from which
+    * paths) plus its [[frameFingerprint]] (file sizes/mtimes — the
+    * part the semantic hash misses when a lake is regenerated in
+    * place). `tag` distinguishes different artifacts of the same
+    * inputs. */
+  def cachedOn(spark: SparkSession, tag: String, inputs: DataFrame*)
+              (build: => DataFrame): DataFrame = {
+    val in = inputs.map(d =>
+      d.queryExecution.analyzed.semanticHash().toString + ":" +
+        frameFingerprint(d)).mkString(",")
+    cached(spark, s"$tag|in=$in")(build)
+  }
+
+  /** Fingerprint of a DataFrame's backing files (path, size, mtime).
+    * Non-file-backed plans (in-memory test frames) fingerprint empty —
+    * callers fold the semantic hash alongside, which covers those.
+    * Metadata-only: one FileSystem getFileStatus per backing file,
+    * no data read. */
+  def frameFingerprint(df: DataFrame): String = {
+    val files = df.inputFiles
+    if (files.isEmpty) ""
+    else {
+      val conf = df.sparkSession.sparkContext.hadoopConfiguration
+      val h = java.security.MessageDigest.getInstance("MD5")
+      files.sorted.foreach { f =>
+        val p = new org.apache.hadoop.fs.Path(f)
+        val st = p.getFileSystem(conf).getFileStatus(p)
+        h.update(s"$f|${st.getLen}|${st.getModificationTime};".getBytes("UTF-8"))
+      }
+      h.digest().map("%02x".format(_)).mkString
     }
   }
 }

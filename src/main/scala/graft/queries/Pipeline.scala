@@ -22,11 +22,25 @@ object Pipeline {
 
   /** The documents MinHash signature table at the default (w=3, k=64)
     * operating point — the persistable dedup artifact
-    * ([[graft.operators.Dedup.signatures]]), memoized per (JVM, lake)
-    * and shared by the q52/q73/qAY consumers. */
-  private def mhSigs(s: SparkSession, dir: String): DataFrame =
-    graft.operators.FrameCache.cached(s, dir + "#mhsig-w3k64")(
-      graft.operators.Dedup.signatures(T(s, dir)("documents"), "doc_id", "text"))
+    * ([[graft.operators.Dedup.signatures]]), memoized per (JVM,
+    * lake-content) and shared by the q52/q73/qAY consumers. cachedOn
+    * folds the documents frame's data fingerprint into the key, so an
+    * in-place regenerated lake rebuilds instead of serving stale
+    * signatures. */
+  private def mhSigs(s: SparkSession, dir: String): DataFrame = {
+    val docs = T(s, dir)("documents")
+    graft.operators.FrameCache.cachedOn(s, dir + "#mhsig-w3k64", docs)(
+      graft.operators.Dedup.signatures(docs, "doc_id", "text"))
+  }
+
+  /** The documents winnowing fingerprint index at (k=3, w=4) — the
+    * MOSS ingest artifact shared by qAP/qAU, stale-lake safe via the
+    * same cachedOn data fingerprint as [[mhSigs]]. */
+  private def winnowFp34(s: SparkSession, dir: String): DataFrame = {
+    val docs = T(s, dir)("documents")
+    graft.operators.FrameCache.cachedOn(s, dir + "#winnowfp34", docs)(
+      TextAnalysis.winnowFingerprints(docs, "doc_id", "text", k = 3, w = 4))
+  }
 
   val queries: Map[String, Q] = Map(
     // exact dedup (hash groupBy); docs doubled first so there is
@@ -176,8 +190,9 @@ object Pipeline {
         }
       // decoded media metadata is ingest-time work (the qA3/qA4
       // FrameCache economics — a lake stores it next to the payloads);
-      // the timed query reads the artifact
-      graft.operators.FrameCache.cached(s, dir + "#qA2meta")(
+      // the timed query reads the artifact (key carries the media
+      // frame's data fingerprint — stale-lake safe)
+      graft.operators.FrameCache.cachedOn(s, dir + "#qA2meta", media.toDF())(
           Multimodal.extractMeta(media).toDF())
         .select(col("doc_id"), col("format"), col("width"), col("height"),
           col("n_frames"), col("decoded"),
@@ -216,8 +231,8 @@ object Pipeline {
       // measures the banded pair join, not ImageIO re-decode — the
       // FrameCache economics shared with qA4's features and the BPE
       // encode
-      val hashes = graft.operators.FrameCache.cached(s, dir + "#qA3dhash")(
-        Multimodal.dHashes(media))
+      val hashes = graft.operators.FrameCache.cachedOn(s, dir + "#qA3dhash",
+        media.toDF())(Multimodal.dHashes(media))
       graft.operators.Dedup.simhashPairs(hashes, maxHamming = 3)
         .select(col("id_a"), col("id_b"))
         .orderBy(col("id_a"), col("id_b"))
@@ -241,7 +256,7 @@ object Pipeline {
           }
         }
       // decoded-audio metadata cached per (JVM, lake) — the qA2 twin
-      graft.operators.FrameCache.cached(s, dir + "#qA5meta")(
+      graft.operators.FrameCache.cachedOn(s, dir + "#qA5meta", media.toDF())(
           Audio.audioMeta(media).toDF())
         .select(col("doc_id"), col("sample_rate"), col("channels"),
           col("bits"), col("n_samples"),
@@ -347,8 +362,8 @@ object Pipeline {
         }
       // fingerprints memoized per (JVM, lake) like qA3's dHashes — an
       // ingest-time artifact; the timed query is the banded pair join
-      val fps = graft.operators.FrameCache.cached(s, dir + "#qAGfp")(
-        Audio.rmsFingerprints(media))
+      val fps = graft.operators.FrameCache.cachedOn(s, dir + "#qAGfp",
+        media.toDF())(Audio.rmsFingerprints(media))
       graft.operators.Dedup.simhashPairs(fps, maxHamming = 3)
         .select(col("id_a"), col("id_b"))
         .orderBy(col("id_a"), col("id_b"))
@@ -396,10 +411,10 @@ object Pipeline {
       // fingerprint index + sampled-frame counts are ingest artifacts
       // (the qA3/qAG FrameCache economics); the timed query is the
       // banded join + coverage aggregation
-      val fps = graft.operators.FrameCache.cached(s, dir + "#qAJfp")(
-        Multimodal.frameFingerprints(frames))
-      val counts = graft.operators.FrameCache.cached(s, dir + "#qAJnf")(
-        frames.toDF().groupBy(col("doc_id").as("vid"))
+      val fps = graft.operators.FrameCache.cachedOn(s, dir + "#qAJfp",
+        frames.toDF())(Multimodal.frameFingerprints(frames))
+      val counts = graft.operators.FrameCache.cachedOn(s, dir + "#qAJnf",
+        frames.toDF())(frames.toDF().groupBy(col("doc_id").as("vid"))
           .agg(count(lit(1)).as("n_frames")))
       Multimodal.videoNearDupPairsFromIndex(fps, counts, maxHamming = 3,
           minFrameMatchFrac = 0.9)
@@ -440,8 +455,8 @@ object Pipeline {
       // not generate+decode+pool re-extraction. Checkpointing is also
       // a per-query necessity: knnJoin scans its input four times
       // (Lloyd train, assign, both join sides).
-      val feats = graft.operators.FrameCache.cached(s, dir + "#qA4feats")(
-        Multimodal.imageFeatures(media, grid = 4))
+      val feats = graft.operators.FrameCache.cachedOn(s, dir + "#qA4feats",
+        media.toDF())(Multimodal.imageFeatures(media, grid = 4))
       // nlist 64 ≈ √n at bench scale: candidate stream = corpus ×
       // probe/nlist = n²/16 — the knob that keeps the kNN self-join
       // linear-ish as the corpus grows (twins co-locate regardless).
@@ -1134,12 +1149,10 @@ object Pipeline {
     // 40-bit md5 gram hash and the packing replay exactly in SQL)
     "qAP_winnow_fingerprint" -> ((s, dir) => {
       // the winnow index is an ingest-time artifact (MOSS stores it,
-      // queries probe it) — memoized per (JVM, lake) and shared with
-      // qAU's pair join, the dHash/embedding FrameCache economics
-      graft.operators.FrameCache.cached(s, dir + "#winnowfp34")(
-          TextAnalysis.winnowFingerprints(T(s, dir)("documents"), "doc_id",
-            "text", k = 3, w = 4))
-        .orderBy(col("doc_id"), col("pos"))
+      // queries probe it) — memoized per (JVM, lake-content) and
+      // shared with qAU's pair join, the dHash/embedding FrameCache
+      // economics
+      winnowFp34(s, dir).orderBy(col("doc_id"), col("pos"))
     }),
 
     // per-doc n-gram novelty vs the whole corpus (first-occurrence
@@ -1187,10 +1200,7 @@ object Pipeline {
     "qAU_winnow_pairs" -> ((s, dir) => {
       TextAnalysis.winnowPairs(T(s, dir)("documents"), "doc_id", "text",
           k = 3, w = 4, minShared = 2, maxFpBucket = Some(100),
-          fingerprints = Some(
-            graft.operators.FrameCache.cached(s, dir + "#winnowfp34")(
-              TextAnalysis.winnowFingerprints(T(s, dir)("documents"),
-                "doc_id", "text", k = 3, w = 4))))
+          fingerprints = Some(winnowFp34(s, dir)))
         .orderBy(col("containment").desc, col("id_a"), col("id_b"))
         .limit(50)
     }),
