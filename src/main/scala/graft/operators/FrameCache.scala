@@ -63,6 +63,12 @@ object FrameCache {
     }
   }
 
+  /** Test hook: drop every memoized frame (suites sharing one JVM use
+    * this to force the durable [[ArtifactStore]] tier to be consulted).
+    * Never called by production code — eviction is the LRU's job. */
+  private[graft] def clearForTesting(): Unit =
+    cache.synchronized(cache.clear())
+
   /** [[cached]] with the input frames folded into the key: each
     * input's analyzed-plan semanticHash (what is computed, from which
     * paths) plus its [[frameFingerprint]] (file sizes/mtimes — the

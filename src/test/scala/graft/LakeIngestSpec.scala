@@ -187,4 +187,83 @@ class LakeIngestSpec extends AnyFunSuite {
       cat.close()
     } finally srv.stop()
   }
+
+  test("artifact sidecar: build-once, read-from-disk, stale generations vacuumed") {
+    import spark.implicits._
+    import graft.operators.ArtifactStore
+    // an owned lake: one parquet table + a literal `_artifacts` sidecar
+    val lake = Files.createTempDirectory(
+      new File("target").toPath.toAbsolutePath, "art-lake").toString
+    val tableDir = new File(lake, "docs.parquet").getAbsolutePath
+    val sidecar = Some(new File(lake, "_artifacts").getAbsolutePath)
+    (0L until 50L).map(i => (i, s"text $i")).toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(tableDir)
+
+    def docs = spark.read.parquet(tableDir)
+    var builds = 0
+    def art() = ArtifactStore.readOrBuild(spark, lake, "lenfp",
+      Seq(docs), explicitRoot = sidecar) {
+      builds += 1
+      docs.select(col("doc_id"), length(col("text")).as("len"))
+    }
+    val first = art().orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getInt(1))).toSeq
+    assert(builds == 1 && first.size == 50)
+    // the sidecar is a real on-disk generation a FRESH process would
+    // read: parquet files + _SUCCESS under _artifacts/lenfp/fp=...
+    val gens1 = ArtifactStore.generations(spark, lake, "lenfp", sidecar)
+    assert(gens1.size == 1, s"want one generation, got $gens1")
+    // second call: same fingerprint → no rebuild, frame scans the
+    // stored parquet (no lineage to the builder plan)
+    val again = art()
+    assert(builds == 1, "second call re-built instead of reading the store")
+    assert(again.queryExecution.executedPlan.toString.contains("_artifacts"),
+      "returned frame does not scan the sidecar")
+    assert(again.orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getInt(1))).toSeq == first)
+    // regenerate the lake in place: new fingerprint → rebuild, and the
+    // vacuum (the compactor-style maintenance) drops the stale
+    // generation — exactly one survives
+    Thread.sleep(1100)
+    (0L until 60L).map(i => (i, s"other $i!")).toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(tableDir)
+    val rebuilt = art()
+    assert(builds == 2, "regenerated lake was served the stale artifact")
+    assert(rebuilt.count() == 60)
+    val gens2 = ArtifactStore.generations(spark, lake, "lenfp", sidecar)
+    assert(gens2.size == 1 && gens2 != gens1,
+      s"vacuum left stale generations: $gens2 (was $gens1)")
+  }
+
+  test("qA3/qA4 media artifacts land in the store and the queries read it") {
+    import graft.operators.ArtifactStore
+    // point the default store root at a temp dir (the bench lakes are
+    // read-only testdata — placement note in ArtifactStore scaladoc)
+    val prev = sys.props.get("graft.artifacts.root")
+    val tmpRoot = Files.createTempDirectory(
+      new File("target").toPath.toAbsolutePath, "art-root").toString
+    sys.props("graft.artifacts.root") = tmpRoot
+    try {
+      val dir = "/root/testdata/sf0.001"
+      // other suites in this JVM may have warmed the in-memory tier;
+      // drop it so the queries exercise the durable store
+      graft.operators.FrameCache.clearForTesting()
+      val qa3 = graft.queries.Pipeline.queries("qA3_image_neardup")(spark, dir)
+      assert(qa3.count() > 0)
+      val qa4 = graft.queries.Pipeline.queries("qA4_image_knn")(spark, dir)
+      assert(qa4.count() > 0)
+      // both artifact families persisted a generation under the root
+      assert(ArtifactStore.generations(spark, dir, "qA3dhash").size == 1)
+      assert(ArtifactStore.generations(spark, dir, "qA4feats").size == 1)
+      // and the generation is under OUR temp root, never the lake
+      assert(ArtifactStore.root(dir).startsWith(tmpRoot))
+      assert(!new File(dir, "_artifacts").exists(),
+        "store wrote into the read-only lake")
+    } finally {
+      prev match {
+        case Some(v) => sys.props("graft.artifacts.root") = v
+        case None => sys.props.remove("graft.artifacts.root")
+      }
+    }
+  }
 }
