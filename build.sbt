@@ -51,13 +51,24 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // pass (machine ~30% busy, wall = Σconc/admission). ZGC's sub-ms
   // pauses cut the same suite's concurrent wall 25.0 s → 18.2 s
   // (SCALE.md round-10 notes) at a ~10% seq-throughput tax.
-  "-XX:+UseZGC",
+  // SPARK_GRAFT_GC=g1 flips to G1 for A/B runs — JDK 17's ZGC is
+  // non-generational and can allocation-stall under explode-heavy
+  // allocation rates (the round-10 seq storm hypothesis; the bench's
+  // census now counts those stalls from the GC log either way).
+  sys.env.getOrElse("SPARK_GRAFT_GC", "zgc") match {
+    case "g1" => "-XX:+UseG1GC"
+    case _    => "-XX:+UseZGC"
+  },
   // ~171 queries × several Janino codegen units × 3 passes exhaust
   // the default 240 MB JIT code cache in whichever pass runs LAST —
   // compilation stops and CPU-light queries inflate 5–10× (measured:
   // q93 conc 10.2 s → 0.7 s with the larger cache)
   "-XX:ReservedCodeCacheSize=1g",
-) ++
-  // opt-in GC log for diagnosing bench-wall inflation (SCALE.md):
-  // SPARK_GRAFT_GCLOG=/tmp/gc.log sbt "runMain graft.Bench"
-  sys.env.get("SPARK_GRAFT_GCLOG").toSeq.map(p => s"-Xlog:gc*:file=$p:time,uptime")
+  // GC log DEFAULT-ON (round-10 verdict ask): a bench record whose
+  // wall might be a GC pathology must carry its own GC evidence —
+  // Bench's census parses this file per pass for ZGC allocation /
+  // relocation stalls and publishes the counts in the record. The
+  // forked JVM's cwd is the project base, so the default lands in
+  // the gitignored target/. Override: SPARK_GRAFT_GCLOG=/path.
+  s"-Xlog:gc*:file=${sys.env.getOrElse("SPARK_GRAFT_GCLOG", "target/gc-run.log")}:time,uptime",
+)

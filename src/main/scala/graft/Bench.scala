@@ -16,6 +16,18 @@ import org.apache.spark.sql.SparkSession
  * recorded as `queries_seq` — that's the column to read when judging a
  * single query's plan. SPARK_GRAFT_BENCH_MODE=conc|seq skips the other
  * pass; default is both.
+ *
+ * The record SELF-HEALS (round-10 verdict): a query's seq and conc
+ * readings measure the same plan on the same data in the same JVM, so
+ * a >4× disagreement between them is a measurement artifact by
+ * construction. The conc pass retries once when its internal
+ * incoherence is worth >10% of the wall (or when hypervisor steal
+ * >2%), published by CAUSE, never by min-wall; surviving outliers are
+ * re-measured one-by-one post-settle and the replayed value replaces
+ * a seq-side outlier's entry (originals stay under "replay"). Each
+ * census also counts ZGC allocation/relocation stalls from the
+ * default-on GC log, so a stall storm is attributable from the record
+ * alone.
  */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -167,17 +179,56 @@ object Bench {
     }
     probeMs() // JIT-warm the probe loop itself before anyone times it
 
+    // GC evidence (round-10 verdict ask #2): build.sbt logs gc* to this
+    // file unconditionally; each census window counts the ZGC
+    // allocation/relocation stalls that fell inside it, so a stalled
+    // pass carries its own diagnosis in the record. JDK 17's ZGC is
+    // non-generational — under explode-heavy allocation rates mutator
+    // threads block in "Allocation Stall (thread) 12.345ms" events,
+    // the prime suspect for the r10 seq storm (q9T 19.6 s seq vs
+    // 0.77 s conc, same jar reading 0.44 s half an hour earlier).
+    val gcLogPath = sys.env.getOrElse("SPARK_GRAFT_GCLOG", "target/gc-run.log")
+    def gcLogLen(): Long = {
+      val f = new java.io.File(gcLogPath)
+      if (f.isFile) f.length() else 0L
+    }
+    val StallRe = "(Allocation|Relocation) Stall \\([^)]*\\)\\s+([0-9.]+)ms".r
+    /** (allocStalls, relocStalls, totalStallMs) in [from, to) of the log. */
+    def gcStalls(from: Long, to: Long): (Long, Long, Double) = try {
+      if (to <= from) (0L, 0L, 0.0)
+      else {
+        val raf = new java.io.RandomAccessFile(gcLogPath, "r")
+        try {
+          raf.seek(from)
+          val buf = new Array[Byte](math.min(to - from, 64L << 20).toInt)
+          raf.readFully(buf)
+          val text = new String(buf, "UTF-8")
+          var (a, r, ms) = (0L, 0L, 0.0)
+          StallRe.findAllMatchIn(text).foreach { m =>
+            if (m.group(1) == "Allocation") a += 1 else r += 1
+            ms += m.group(2).toDouble
+          }
+          (a, r, ms)
+        } finally raf.close()
+      }
+    } catch { case _: Exception => (0L, 0L, 0.0) }
+
     final class HostCensus {
       private var h0 = procStat(); private var s0 = selfJiffies()
+      private var g0 = gcLogLen()
       private val acc = new java.util.concurrent.atomic.AtomicReference(
         (0L, 0L, 0L, 0L, 0L)) // (steal, busy, self, iowait, total)
+      private val gcAcc = new java.util.concurrent.atomic.AtomicReference(
+        (0L, 0L, 0.0)) // (allocStalls, relocStalls, stallMs)
       private var probe = -1.0
       /** Reset the window WITHOUT accumulating — excludes warmup/settle
         * gaps so the census covers exactly the timed passes. Times the
         * calibration probe at the pass boundary. */
-      def mark(): Unit = { probe = probeMs(); h0 = procStat(); s0 = selfJiffies() }
+      def mark(): Unit = {
+        probe = probeMs(); h0 = procStat(); s0 = selfJiffies(); g0 = gcLogLen()
+      }
       def lap(): Unit = {
-        val h1 = procStat(); val s1 = selfJiffies()
+        val h1 = procStat(); val s1 = selfJiffies(); val g1 = gcLogLen()
         if (h0.length >= 8 && h1.length >= 8) {
           val d = h1.zip(h0).map { case (a, b) => a - b }
           def at(i: Int) = if (d.length > i) d(i) else 0L
@@ -192,7 +243,10 @@ object Bench {
             bz + (tot - at(3) - at(4) - at(7) - at(8) - at(9)),
             sf + (s1 - s0), io + at(4), to + tot))
         }
-        h0 = h1; s0 = s1
+        val (ga, gr, gms) = gcStalls(g0, g1)
+        val (pa, pr, pms) = gcAcc.get()
+        gcAcc.set((pa + ga, pr + gr, pms + gms))
+        h0 = h1; s0 = s1; g0 = g1
       }
       /** Hypervisor-steal share of total CPU time in this census's
         * window — the retry trigger (0 when nothing measured). */
@@ -205,9 +259,10 @@ object Bench {
         if (to == 0) "{}"
         else {
           def pct(x: Long) = num(100.0 * x / to)
+          val (ga, gr, gms) = gcAcc.get()
           // other = busy minus this JVM (self is per-process jiffies on
           // the same clock; clamp at 0 against rounding)
-          s"""{"steal_pct":${pct(st)},"busy_pct":${pct(bz)},"self_pct":${pct(sf)},"other_pct":${pct(math.max(0L, bz - sf))},"iowait_pct":${pct(io)},"probe_ms":${num(probe)},"uptime_s":$uptimeS}"""
+          s"""{"steal_pct":${pct(st)},"busy_pct":${pct(bz)},"self_pct":${pct(sf)},"other_pct":${pct(math.max(0L, bz - sf))},"iowait_pct":${pct(io)},"probe_ms":${num(probe)},"uptime_s":$uptimeS,"alloc_stalls":$ga,"reloc_stalls":$gr,"gc_stall_ms":${num(gms)}}"""
         }
       }
     }
@@ -218,8 +273,10 @@ object Bench {
     val censusSeq = new HostCensus
     val censusConc = new HostCensus
     val censusConcRetry = new HostCensus
+    val censusReplay = new HostCensus
     var concWalls: Seq[Double] = Nil // populated only when a retry fires
     var valuePass = "conc" // which pass produced the headline wall
+    var retryReason = "" // why the conc retry fired ("" = it didn't)
 
     // sequential pass runs FIRST: it's the clean per-query plan signal,
     // and running it after the concurrent pass let same-JVM ordering/GC
@@ -279,35 +336,107 @@ object Bench {
         pool.shutdown()
         (w, results)
       }
+      // Internal-incoherence score of a conc pass: Σ excess seconds
+      // over queries whose conc reading is >4× their own seq twin.
+      // Same plan, same data, same JVM — a disagreement that large is
+      // a measurement artifact BY CONSTRUCTION (the r10 gate record:
+      // q93 16.3 s conc vs 0.89 s seq while steal/iowait/other ≈ 0).
+      // ÷pool ≈ the wall-seconds the artifact added (the conc pass is
+      // admission-bound: wall ≈ Σconc/pool).
+      val seqCost0 = seqResults.toMap
+      def concIncoherence(rs: Seq[(String, Double)]): Double =
+        rs.iterator.flatMap { case (n, c) =>
+          seqCost0.get(n).collect {
+            case s if c > 3.0 && c > 4.0 * math.max(s, 1e-3) => c - s
+          }
+        }.sum
       censusConc.mark()
       val (w1, r1) = concPass()
       censusConc.lap()
       wall = w1; concResults = r1
-      // Round boundaries are exactly when VM fleets boot in waves and
-      // hypervisor steal spikes (SCALE.md: 30-60% of busy time stolen
-      // in bursts after boot). A conc wall measured under that much
-      // steal is a reading of the NEIGHBORS, not the engine — retry
-      // the pass ONCE. The published pass is chosen by the CAUSE
-      // variable (lower measured steal), never by the outcome
-      // (min wall) — picking the better wall would bias the headline
-      // one-sidedly downward, since the retry only ever fires when
-      // pass 1 was contended, never when it was lucky. Both walls,
-      // both censuses, and which pass was published stay in the
-      // record, so nothing is hidden.
-      if (censusConc.stealPct > 2.0) {
+      val incoh1 = concIncoherence(r1)
+      // Retry the whole pass ONCE when the sample is untrustworthy,
+      // for either measurable cause:
+      // - steal > 2%: round boundaries are exactly when VM fleets boot
+      //   in waves and hypervisor steal spikes (SCALE.md: 30-60% of
+      //   busy time stolen in bursts) — the wall read the NEIGHBORS.
+      // - incoherence worth >10% of the wall (and >2 s): the record
+      //   refutes itself, so it must not be published unchallenged.
+      // The published pass is chosen by the CAUSE variable (lower
+      // steal / lower incoherence), never by the outcome (min wall) —
+      // picking the better wall would bias the headline one-sidedly
+      // downward, since the retry only fires when pass 1 was sick,
+      // never when it was lucky. Both walls, both censuses, the
+      // reason, and which pass was published stay in the record.
+      if (censusConc.stealPct > 2.0) retryReason = "steal"
+      else if (incoh1 / poolSize > math.max(2.0, 0.10 * w1))
+        retryReason = "incoherence"
+      if (retryReason.nonEmpty) {
         settle()
         censusConcRetry.mark()
         val (w2, r2) = concPass()
         censusConcRetry.lap()
         concWalls = Seq(w1, w2)
-        if (censusConcRetry.stealPct <= censusConc.stealPct) {
+        val publishRetry =
+          if (retryReason == "steal")
+            censusConcRetry.stealPct <= censusConc.stealPct
+          else concIncoherence(r2) < incoh1
+        if (publishRetry) {
           wall = w2; concResults = r2; valuePass = "conc_retry"
         }
       }
       concJson = json(concResults)
     }
-    val seqJson = if (mode != "conc") json(seqResults) else "{}"
-    val slowestRows = (if (seqResults.nonEmpty) seqResults else concResults)
+    // Per-query outlier replay (round-10 verdict ask #1): after both
+    // passes (and any retry), every query whose seq and conc readings
+    // STILL disagree >4× is re-measured once, alone, post-settle. The
+    // SEQ column is the per-query plan signal — when the seq side was
+    // the outlier (the r10 storm: q9T 19.57 s seq vs 0.77 s conc in
+    // one record), the replayed value replaces it; both original
+    // readings stay in the record under "replay" so nothing is
+    // hidden. Conc-side outliers are replayed for evidence only (the
+    // conc column is a dispatch artifact by design; the full-pass
+    // retry above owns the wall).
+    val MaxReplay = 20
+    var seqFinal = seqResults
+    var replayJson = ""
+    if (mode == "both") {
+      val concMap = concResults.toMap
+      def isOutlier(s: Double, c: Double): Boolean = {
+        val hi = math.max(s, c); val lo = math.max(math.min(s, c), 1e-3)
+        hi > 3.0 && hi > 4.0 * lo
+      }
+      val outliers = seqResults.flatMap { case (n, s) =>
+        concMap.get(n).collect { case c if isOutlier(s, c) => (n, s, c) }
+      }
+      if (outliers.nonEmpty) {
+        settle()
+        censusReplay.mark()
+        val fnByName = SparkEntry.queries
+        val re = outliers.sortBy { case (_, s, c) => -math.abs(s - c) }
+          .take(MaxReplay).flatMap { case (n, s, c) =>
+            fnByName.get(n).flatMap(fn => timed(n, fn)).map(v => (n, s, c, v))
+          }
+        censusReplay.lap()
+        val reMap = re.map { case (n, _, _, v) => n -> v }.toMap
+        seqFinal = seqResults.map { case (n, s) =>
+          concMap.get(n) match {
+            case Some(c) if isOutlier(s, c) && s > c && reMap.contains(n) =>
+              (n, reMap(n))
+            case _ => (n, s)
+          }
+        }
+        val rows = re.map { case (n, s, c, v) =>
+          s""""$n":{"seq":${num(s)},"conc":${num(c)},"re":${num(v)}}"""
+        }.mkString("{", ",", "}")
+        val capped = if (outliers.size > MaxReplay)
+          s""","replay_dropped":${outliers.size - MaxReplay}""" else ""
+        replayJson =
+          s""","replay":$rows,"replay_census":${censusReplay.json}$capped"""
+      }
+    }
+    val seqJson = if (mode != "conc") json(seqFinal) else "{}"
+    val slowestRows = (if (seqFinal.nonEmpty) seqFinal else concResults)
       .sortBy(-_._2).take(12)
     val slowest = json(slowestRows)
     // errMsg sanitized values (no quotes/backslashes/newlines), so
@@ -318,9 +447,9 @@ object Bench {
       .map { case (k, v) => "\"" + k + "\":\"" + v + "\"" }.mkString("{", ",", "}")
     val retryJson =
       if (concWalls.isEmpty) ""
-      else s""","conc_walls":${concWalls.map(num).mkString("[", ",", "]")},"value_pass":"$valuePass","conc_retry":${censusConcRetry.json}"""
+      else s""","conc_walls":${concWalls.map(num).mkString("[", ",", "]")},"value_pass":"$valuePass","retry_reason":"$retryReason","conc_retry":${censusConcRetry.json}"""
     val fullRecord =
-      s"""{"metric":"total","unit":"sec","queries":$concJson,"queries_seq":$seqJson,"slowest":$slowest,"errors":$errJson,"host":{"seq":${censusSeq.json},"conc":${censusConc.json}$retryJson},"value":${num(wall)},"sf":"$sfDir"}"""
+      s"""{"metric":"total","unit":"sec","queries":$concJson,"queries_seq":$seqJson,"slowest":$slowest,"errors":$errJson,"host":{"seq":${censusSeq.json},"conc":${censusConc.json}$retryJson$replayJson},"value":${num(wall)},"sf":"$sfDir"}"""
     // The FULL record (146 queries × two per-query maps ≈ 6 KB) exceeds
     // the driver's 2000-char stdout tail, so it goes to a COMMITTED file
     // (repo root — target/ is gitignored) where per-query numbers stay
@@ -336,7 +465,7 @@ object Bench {
         (fullRecord + "\n").getBytes("UTF-8"))
     } catch { case _: Exception => () } // bench result > bookkeeping
     println(fullRecord)
-    val slowSeq = json(seqResults.sortBy(-_._2).take(12))
+    val slowSeq = json(seqFinal.sortBy(-_._2).take(12))
     val slowConc = json(concResults.sortBy(-_._2).take(12))
     // compact line carries only the error NAMES (messages live in the
     // full record) so a failure is visible even in the 2000-char tail
