@@ -312,8 +312,10 @@ object Bench {
       // SPARK_GRAFT_BENCH_POOL overrides for makespan experiments
       // (the gateway analog is the admission limit a real deployment
       // tunes per workload mix)
+      // keyed off the session's executor-thread count (local[N]), not
+      // host processors — a local[4] smoke run must not admit 24
       val poolSize = sys.env.get("SPARK_GRAFT_BENCH_POOL").map(_.toInt)
-        .getOrElse(math.max(8, Runtime.getRuntime.availableProcessors() * 3 / 4))
+        .getOrElse(math.max(8, cpus.toInt * 3 / 4))
       // LPT (longest-first) submission when the sequential pass already
       // measured costs: heavy queries start first and light ones fill
       // the tail — classic makespan packing. Name order otherwise.
