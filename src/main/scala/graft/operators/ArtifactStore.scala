@@ -88,6 +88,15 @@ object ArtifactStore {
                   inputs: Seq[DataFrame],
                   explicitRoot: Option[String] = None)
                  (build: => DataFrame): DataFrame = {
+    // a file-less (in-memory) input fingerprints empty, so two
+    // DIFFERENT in-memory corpora under one artifact name would
+    // collide and serve each other's generations — refuse loudly; a
+    // durable store is for lake-backed inputs (in-memory frames
+    // belong in FrameCache, whose keys fold the plan's semanticHash)
+    require(inputs.nonEmpty && inputs.forall(_.inputFiles.nonEmpty),
+      s"ArtifactStore($name): every input must be file-backed — " +
+        "an in-memory frame has no data fingerprint to key a durable " +
+        "generation by")
     val fp = fingerprint(name, inputs)
     val artDir = new org.apache.hadoop.fs.Path(
       new org.apache.hadoop.fs.Path(root(lakeDir, explicitRoot)), name)

@@ -235,6 +235,37 @@ class LakeIngestSpec extends AnyFunSuite {
       s"vacuum left stale generations: $gens2 (was $gens1)")
   }
 
+  test("artifact store: concurrent misses build once; in-memory inputs refused") {
+    import spark.implicits._
+    import graft.operators.ArtifactStore
+    val lake = Files.createTempDirectory(
+      new File("target").toPath.toAbsolutePath, "art-conc").toString
+    val tableDir = new File(lake, "t.parquet").getAbsolutePath
+    (0L until 20L).toDF("id").write.mode("overwrite").parquet(tableDir)
+    def docs = spark.read.parquet(tableDir)
+    val builds = new java.util.concurrent.atomic.AtomicInteger(0)
+    // 8 threads race the same cold artifact: the per-path lock must
+    // serialize the miss so exactly one build/write happens and no
+    // thread reads a half-committed generation
+    import scala.concurrent.{Await, Future, ExecutionContext}
+    import scala.concurrent.duration.Duration
+    implicit val ec: ExecutionContext = ExecutionContext.global
+    val rows = Await.result(Future.sequence((1 to 8).map(_ => Future {
+      ArtifactStore.readOrBuild(spark, lake, "conc", Seq(docs)) {
+        builds.incrementAndGet()
+        docs.select(col("id"), (col("id") * 2).as("y"))
+      }.count()
+    })), Duration.Inf)
+    assert(rows.forall(_ == 20L))
+    assert(builds.get() == 1, s"raced to ${builds.get()} builds")
+    // file-less inputs must be refused, not silently keyed by nothing
+    val mem = Seq(1L, 2L).toDF("id")
+    val e = intercept[IllegalArgumentException] {
+      ArtifactStore.readOrBuild(spark, lake, "memart", Seq(mem))(mem)
+    }
+    assert(e.getMessage.contains("file-backed"))
+  }
+
   test("qA3/qA4 media artifacts land in the store and the queries read it") {
     import graft.operators.ArtifactStore
     // point the default store root at a temp dir (the bench lakes are
