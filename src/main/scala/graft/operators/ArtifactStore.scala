@@ -49,7 +49,7 @@ object ArtifactStore {
   private val locks =
     new java.util.concurrent.ConcurrentHashMap[String, Object]()
 
-  private def md5(s: String): String =
+  private[operators] def md5(s: String): String =
     java.security.MessageDigest.getInstance("MD5")
       .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
 

@@ -328,8 +328,20 @@ object Bpe {
     val key = s"bpeEncode|$cacheKey|$idCol|$textCol" +
       s"|${docs.queryExecution.analyzed.semanticHash()}" +
       s"|${dataFingerprint(docs)}|${merges.hashCode()}"
-    FrameCache.cached(docs.sparkSession, key)(
-      encodeTokenCounts(docs, idCol, textCol, merges))
+    FrameCache.cached(docs.sparkSession, key) {
+      if (docs.inputFiles.nonEmpty)
+        // durable tier for lake-backed corpora: the encoded corpus is
+        // a stored ingest product (qAK/qAZ/packing all consume it) —
+        // a fresh JVM reads parquet instead of re-encoding. The
+        // tokenizer's identity (columns + merge list, JVM-stable
+        // string hashes) rides the artifact NAME since the store's
+        // fingerprint covers data only.
+        ArtifactStore.readOrBuild(docs.sparkSession, cacheKey,
+          "bpeEncoded-" + ArtifactStore.md5(
+            s"$idCol|$textCol|${merges.hashCode()}").take(12), Seq(docs))(
+          encodeTokenCounts(docs, idCol, textCol, merges))
+      else encodeTokenCounts(docs, idCol, textCol, merges)
+    }
   }
 
   /** Tokenizer FERTILITY per source — BPE tokens per whitespace word,
