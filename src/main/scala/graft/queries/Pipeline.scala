@@ -30,7 +30,8 @@ object Pipeline {
   private def mhSigs(s: SparkSession, dir: String): DataFrame = {
     val docs = T(s, dir)("documents")
     graft.operators.FrameCache.cachedOn(s, dir + "#mhsig-w3k64", docs)(
-      graft.operators.Dedup.signatures(docs, "doc_id", "text"))
+      graft.operators.ArtifactStore.readOrBuild(s, dir, "mhsig-w3k64",
+        Seq(docs))(graft.operators.Dedup.signatures(docs, "doc_id", "text")))
   }
 
   /** The documents winnowing fingerprint index at (k=3, w=4) — the
