@@ -138,11 +138,28 @@ object IvfIndex {
     new java.util.concurrent.ConcurrentHashMap[String, Seq[Seq[Double]]]()
 
   /** Memoized centroid training (k-means is an OFFLINE artifact —
-    * queries pay assignment/search cost only, as with [[buildCached]]). */
+    * queries pay assignment/search cost only, as with [[buildCached]]).
+    * For lake-backed corpora the trained centroids also persist as an
+    * [[ArtifactStore]] generation — `(cell, vec)` rows, order
+    * restored by cell — so a FRESH JVM loads the stored index instead
+    * of re-running Lloyd's (and, a correctness bonus: every process
+    * serving one lake searches the SAME centroids, removing the
+    * float-iteration-order jitter between their k-means runs). */
   def trainCached(emb: DataFrame, idCol: String, vecCol: String,
                   nlist: Int, iters: Int, cacheKey: String): Seq[Seq[Double]] =
-    centroidCache.computeIfAbsent(s"$cacheKey|$nlist|$iters",
-      _ => train(emb, idCol, vecCol, nlist, iters))
+    centroidCache.computeIfAbsent(s"$cacheKey|$nlist|$iters", _ =>
+      if (emb.inputFiles.isEmpty) train(emb, idCol, vecCol, nlist, iters)
+      else {
+        val spark = emb.sparkSession
+        import spark.implicits._
+        ArtifactStore.readOrBuild(spark, cacheKey,
+          "ivfcentroids-" + ArtifactStore.md5(
+            s"$idCol|$vecCol|$nlist|$iters").take(12), Seq(emb)) {
+          train(emb, idCol, vecCol, nlist, iters)
+            .zipWithIndex.map { case (v, i) => (i, v) }.toDF("cell", "vec")
+        }.orderBy(col("cell")).collect()
+          .map(_.getSeq[Double](1).toIndexedSeq).toIndexedSeq
+      })
 
   /**
    * Memoized build (one per JVM per cache key, like `Tables.load`):
