@@ -251,8 +251,19 @@ object Bpe {
       s"|${dataFingerprint(docs)}"
     if (mergeCache.size > MergeCacheMax) mergeCache.clear()
     mergeCache.computeIfAbsent((key, merges), { _ =>
-      learnMerges(docs, textCol, merges).orderBy("rank")
-        .collect().map(r => (r.getString(1), r.getString(2))).toSeq
+      // durable tier for lake-backed corpora: the trained merge list
+      // IS the tokenizer (a deployment trains once, stores it, and
+      // every later process loads it) — without this a fresh JVM
+      // re-trained BPE just to derive the key of the already-stored
+      // encoded corpus. Rank order restored explicitly on read.
+      val frame =
+        if (docs.inputFiles.isEmpty) learnMerges(docs, textCol, merges)
+        else ArtifactStore.readOrBuild(docs.sparkSession, cacheKey,
+          "bpeMerges-" + ArtifactStore.md5(s"$textCol|$merges").take(12),
+          Seq(docs))(learnMerges(docs, textCol, merges))
+      frame.orderBy("rank")
+        .collect().map(r => (r.getAs[String]("lft"), r.getAs[String]("rgt")))
+        .toSeq
     })
   }
 
