@@ -355,11 +355,7 @@ object Bench {
       // admission-bound: wall ≈ Σconc/pool).
       val seqCost0 = seqResults.toMap
       def concIncoherence(rs: Seq[(String, Double)]): Double =
-        rs.iterator.flatMap { case (n, c) =>
-          seqCost0.get(n).collect {
-            case s if c > 3.0 && c > 4.0 * math.max(s, 1e-3) => c - s
-          }
-        }.sum
+        BenchHeuristics.concIncoherence(seqCost0, rs)
       censusConc.mark()
       val (w1, r1) = concPass()
       censusConc.lap()
@@ -379,7 +375,7 @@ object Bench {
       // never when it was lucky. Both walls, both censuses, the
       // reason, and which pass was published stay in the record.
       if (censusConc.stealPct > 2.0) retryReason = "steal"
-      else if (incoh1 / poolSize > math.max(2.0, 0.10 * w1))
+      else if (BenchHeuristics.incoherenceRetries(incoh1, poolSize, w1))
         retryReason = "incoherence"
       if (retryReason.nonEmpty) {
         settle()
@@ -412,10 +408,7 @@ object Bench {
     var replayJson = ""
     if (mode == "both") {
       val concMap = concResults.toMap
-      def isOutlier(s: Double, c: Double): Boolean = {
-        val hi = math.max(s, c); val lo = math.max(math.min(s, c), 1e-3)
-        hi > 3.0 && hi > 4.0 * lo
-      }
+      import BenchHeuristics.isOutlier
       val outliers = seqResults.flatMap { case (n, s) =>
         concMap.get(n).collect { case c if isOutlier(s, c) => (n, s, c) }
       }

@@ -1,0 +1,44 @@
+package graft
+
+/**
+ * The pure math behind [[Bench]]'s self-healing record (round 11):
+ * extracted so the exact predicates the gate depends on are unit-
+ * testable against real recorded pathologies, not only exercised
+ * end-to-end inside a minutes-long bench run.
+ *
+ * Premise: a query's seq and conc readings measure the SAME plan on
+ * the SAME data in the SAME JVM. They legitimately differ by
+ * contention (conc runs under admission-width-way sharing), but a
+ * >4× disagreement with the larger side above 3 s is a measurement
+ * artifact by construction — the round-10 gate record held both
+ * directions (q9T 19.57 s seq vs 0.77 s conc; q93 16.34 s conc vs
+ * 0.89 s seq) on a host whose steal/iowait/other were all ≈ 0.
+ */
+object BenchHeuristics {
+
+  /** True when the two readings of one query refute each other:
+    * larger side > 3 s AND > 4× the smaller (floored at 1 ms so a
+    * 0-second reading cannot divide away the check). */
+  def isOutlier(a: Double, b: Double): Boolean = {
+    val hi = math.max(a, b)
+    val lo = math.max(math.min(a, b), 1e-3)
+    hi > 3.0 && hi > 4.0 * lo
+  }
+
+  /** Σ excess conc-seconds over queries whose CONC reading is the
+    * outlier side — the portion of the admission-bound wall
+    * (≈ Σconc/pool) attributable to measurement artifacts. */
+  def concIncoherence(seqCost: Map[String, Double],
+                      conc: Seq[(String, Double)]): Double =
+    conc.iterator.flatMap { case (n, c) =>
+      seqCost.get(n).collect {
+        case s if c > 3.0 && c > 4.0 * math.max(s, 1e-3) => c - s
+      }
+    }.sum
+
+  /** Fire the full conc-pass retry when the incoherence is worth more
+    * wall time than max(2 s, 10% of the measured wall). */
+  def incoherenceRetries(incoherence: Double, pool: Int,
+                         wall: Double): Boolean =
+    incoherence / pool > math.max(2.0, 0.10 * wall)
+}

@@ -1,0 +1,56 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The self-healing bench predicates, pinned against the REAL
+  * round-10 gate pathology (BENCH_r10: wall 41.7 s on a quiet host,
+  * refuted by its own seq/conc disagreement) and against healthy
+  * readings that must never trigger false healing. */
+class BenchHeuristicsSpec extends AnyFunSuite {
+  import BenchHeuristics._
+
+  test("the r10 storm readings are outliers, in both directions") {
+    assert(isOutlier(19.57, 0.77)) // q9T: seq storm
+    assert(isOutlier(0.89, 16.34)) // q93: conc code-cache signature
+    assert(isOutlier(15.355, 1.0)) // q9P seq vs its committed reading
+  }
+
+  test("legitimate contention and small noise are NOT outliers") {
+    // conc legitimately reads ~2-3x seq under admission sharing
+    assert(!isOutlier(1.0, 2.9))
+    assert(!isOutlier(2.0, 6.0)) // 3x, under the 4x bar
+    // sub-3s pairs never flag, whatever the ratio — replaying
+    // millisecond noise would churn the record for nothing
+    assert(!isOutlier(0.05, 0.9))
+    assert(!isOutlier(0.2, 2.9))
+    // identical readings
+    assert(!isOutlier(5.0, 5.0))
+  }
+
+  test("a zero reading cannot divide away the check") {
+    assert(isOutlier(0.0, 3.5))
+    assert(isOutlier(4.0, 0.0))
+  }
+
+  test("concIncoherence counts only conc-side outliers, by excess") {
+    val seq = Map("a" -> 1.0, "b" -> 0.89, "c" -> 19.57, "d" -> 2.0)
+    val conc = Seq(
+      "a" -> 2.5,   // healthy contention: not counted
+      "b" -> 16.34, // conc outlier: counts 15.45
+      "c" -> 0.77,  // SEQ-side outlier: not a conc artifact
+      "d" -> 9.0,   // conc outlier: counts 7.0
+      "e" -> 50.0)  // no seq twin: cannot be judged, not counted
+    assert(math.abs(concIncoherence(seq, conc) - (15.45 + 7.0)) < 1e-9)
+  }
+
+  test("retry threshold: the r10 record fires, a healthy record does not") {
+    // r10: 13 storm queries summed ~127s excess against a 41.7s wall
+    assert(incoherenceRetries(127.0, 8, 41.7))
+    // this round's first live firing: qA4-class excess at pool 8
+    assert(incoherenceRetries(30.0, 8, 17.9))
+    // healthy: zero incoherence, any wall
+    assert(!incoherenceRetries(0.0, 24, 6.0))
+    // small absolute excess on a wide pool stays below the floor
+    assert(!incoherenceRetries(20.0, 24, 6.0))
+  }
+}
