@@ -59,9 +59,30 @@ object Similarity {
       .limit(k)
   }
 
+  /** Loud scale guard shared by the two DELIBERATE O(n²) baselines
+    * ([[allPairsTopK]], [[allPairsAbove]]): above `maxRows` vectors
+    * the n²/2 pair space stops being a verification tool and becomes
+    * a cluster-killer, so the operator REFUSES with a pointer to the
+    * bounded paths instead of silently melting a 1000-executor job.
+    * The count is one cheap job — acceptable in an explicitly
+    * verification-scale operator (this is not the production path). */
+  private def guardQuadratic(emb: DataFrame, op: String,
+                             maxRows: Long): Unit = {
+    val n = emb.count()
+    require(n <= maxRows,
+      s"$op: $n vectors -> ~${n * n / 2} candidate pairs. This is the " +
+        "O(n^2) verification baseline; at corpus scale use the bounded " +
+        "paths (lshPairs/signedLshPairs/knnJoin/semanticDedup). Pass " +
+        s"maxRows explicitly (got $maxRows) to force a larger run.")
+  }
+
   /** Exact top-k most-similar pairs across the whole corpus (O(n²)/2
-    * pairs — the verification-scale baseline the LSH path approximates). */
-  def allPairsTopK(emb: DataFrame, idCol: String, vecCol: String, k: Int): DataFrame = {
+    * pairs — the verification-scale baseline the LSH path
+    * approximates; refuses corpora beyond `maxRows`, see
+    * [[guardQuadratic]]). */
+  def allPairsTopK(emb: DataFrame, idCol: String, vecCol: String, k: Int,
+                   maxRows: Long = 1000000L): DataFrame = {
+    guardQuadratic(emb, "allPairsTopK", maxRows)
     val a = emb.select(col(idCol).as("id_a"), col(vecCol).as("va"),
       norm(col(vecCol)).as("na")).filter(finiteNorm(col("na")))
     val b = emb.select(col(idCol).as("id_b"), col(vecCol).as("vb"),
@@ -84,7 +105,8 @@ object Similarity {
     * the knife edge, not remove it). Measured margin of the testdata
     * pair nearest 0.40: ≥ 1e-5 at every SF — 10 orders above ulp. */
   def allPairsAbove(emb: DataFrame, idCol: String, vecCol: String,
-                    minCos: Double): DataFrame = {
+                    minCos: Double, maxRows: Long = 1000000L): DataFrame = {
+    guardQuadratic(emb, "allPairsAbove", maxRows)
     val a = emb.select(col(idCol).as("id_a"), col(vecCol).as("va"),
       norm(col(vecCol)).as("na")).filter(finiteNorm(col("na")))
     val b = emb.select(col(idCol).as("id_b"), col(vecCol).as("vb"),

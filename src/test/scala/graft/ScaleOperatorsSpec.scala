@@ -85,6 +85,25 @@ class ScaleOperatorsSpec extends AnyFunSuite {
     assert(recall >= 0.9, s"LSH recall $recall over ${exact.size} exact pairs")
   }
 
+  test("the O(n^2) baselines refuse corpora beyond maxRows, loudly") {
+    // q54/q9G keep deliberate quadratic verification plans; at corpus
+    // scale they must refuse with a pointer to the bounded paths, not
+    // melt a cluster
+    val emb = Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
+    val e = intercept[IllegalArgumentException] {
+      graft.operators.Similarity.allPairsTopK(emb, "vec_id", "embedding",
+        k = 5, maxRows = 10)
+    }
+    assert(e.getMessage.contains("bounded paths"))
+    intercept[IllegalArgumentException] {
+      graft.operators.Similarity.allPairsAbove(emb, "vec_id", "embedding",
+        minCos = 0.5, maxRows = 10)
+    }
+    // under the cap both still work
+    assert(graft.operators.Similarity.allPairsTopK(emb, "vec_id",
+      "embedding", k = 3, maxRows = 1000000).count() == 3)
+  }
+
   test("knnJoin refuses non-integral id columns via a typed check") {
     // the output contract widens id/nn_id to long; a string id must
     // fail the IntegralType check up front, not produce a cast-mangled
