@@ -38,9 +38,12 @@ import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
  *
  * Builders must be DETERMINISTIC (the [[FrameCache]] contract): the
  * stored and fresh frames must agree under the oracle. Concurrent
- * same-JVM misses serialize on a per-path lock; cross-process write
- * races are NOT handled (a deployment runs ingest — and therefore
- * artifact builds — from one writer, the usual lake discipline).
+ * same-JVM misses serialize on a per-path lock; the commit is a
+ * RENAME from a dot-prefixed staging dir, so a generation appears
+ * atomically and readers — including other processes — can never
+ * observe a half-written one. Concurrent cross-process WRITERS are
+ * still discouraged (one-writer lake discipline), but the failure
+ * mode is benign: one rename wins, the loser's staging is cleaned.
  */
 object ArtifactStore {
 
@@ -109,7 +112,21 @@ object ArtifactStore {
       val lock = locks.computeIfAbsent(target.toString, _ => new Object)
       lock.synchronized {
         if (!complete) { // double-check under the lock
-          build.write.mode(SaveMode.Overwrite).parquet(target.toString)
+          // rename-commit: build lands in a dot-prefixed staging dir
+          // (invisible to Spark's FileIndex) and the finished
+          // generation appears ATOMICALLY at `fp=` — a reader can
+          // never observe a half-written generation, even from
+          // another process (in-place Overwrite would delete-then-
+          // rewrite under a concurrent reader's feet)
+          val staging = new org.apache.hadoop.fs.Path(artDir,
+            s".tmp-$fp-${java.util.UUID.randomUUID().toString.take(8)}")
+          build.write.mode(SaveMode.Overwrite).parquet(staging.toString)
+          if (!complete) { // an external writer may have won meanwhile
+            if (!fs.rename(staging, target))
+              require(complete, // rename lost an external race, or failed
+                s"ArtifactStore($name): commit rename failed for $target")
+          }
+          if (fs.exists(staging)) fs.delete(staging, true) // lost race
           vacuumStale(fs, artDir, keep = s"fp=$fp")
         }
       }
@@ -126,8 +143,12 @@ object ArtifactStore {
                           artDir: org.apache.hadoop.fs.Path,
                           keep: String): Unit =
     fs.listStatus(artDir).foreach { st =>
-      if (st.isDirectory && st.getPath.getName.startsWith("fp=") &&
-          st.getPath.getName != keep)
+      val n = st.getPath.getName
+      // stale generations, plus any `.tmp-` staging left by a crashed
+      // build (a LIVE staging dir only exists inside this process's
+      // build lock, which we hold)
+      if (st.isDirectory && n != keep &&
+          (n.startsWith("fp=") || n.startsWith(".tmp-")))
         fs.delete(st.getPath, true)
     }
 
