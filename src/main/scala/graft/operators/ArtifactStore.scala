@@ -22,8 +22,22 @@ import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
  * only — see the note on [[fingerprint]] for why the plan's
  * semanticHash must NOT participate.) After a successful build the
  * store vacuums the artifact's STALE `fp=` siblings (the maintenance
- * a lake compaction cycle would run) — exactly one generation per
- * artifact survives.
+ * a lake compaction cycle would run). The vacuum is AGE-GATED: a
+ * stale generation or a foreign staging dir is deleted only once
+ * older than a grace window (default 15 min,
+ * `graft.artifacts.vacuumGraceMs` overrides), because neither is
+ * provably dead at build time — a lazy reader handed the previous
+ * generation's frame may still be scanning it, and a `.tmp-` dir
+ * this process didn't create may be a concurrent cross-process
+ * build mid-write. A stale generation's clock starts when a vacuum
+ * FIRST observes it superseded (a `.superseded` marker dropped into
+ * it), not when it was built — so a generation that served readers
+ * for an hour still gets the full grace after replacement. Staging
+ * dirs of builds LIVE in this JVM are never touched (tracked in
+ * [[ownStaging]]); crashed-build leftovers age out like foreign
+ * ones. Disk cost of the gate: at most one superseded generation
+ * per artifact lingers until a post-grace build's vacuum reclaims
+ * it.
  *
  * Placement: for a lake the engine OWNS (a [[graft.streaming.LakeIngest]]
  * deployment), pass `explicitRoot = <table dir>/_artifacts` — the
@@ -47,10 +61,28 @@ import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
  */
 object ArtifactStore {
 
-  /** Per-target-path build locks: two same-JVM misses on one artifact
-    * must not interleave Overwrite commits. */
+  /** Per-ARTIFACT-DIR build locks (not per fp= target): two same-JVM
+    * misses on one artifact must not interleave commits, and — the
+    * round-11 advice fix — a build of a DIFFERENT fingerprint of the
+    * same artifact (lake regenerated mid-run) must not be mid-write
+    * in a staging dir while this build's vacuum sweeps the dir. */
   private val locks =
     new java.util.concurrent.ConcurrentHashMap[String, Object]()
+
+  /** Staging dirs of builds LIVE in this JVM right now (registered
+    * before the write, deregistered in the commit's finally) — the
+    * vacuum must never touch these, whatever their age. */
+  private val ownStaging =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+
+  /** Age gate for deleting superseded generations / non-live staging:
+    * both may still be in use (a lazy reader of the previous
+    * generation; a cross-process builder mid-write), so they are
+    * reclaimed only once quiescent for this long. Tests set the
+    * property to 0 to exercise the reclaim path synchronously. */
+  private def vacuumGraceMs: Long =
+    sys.props.get("graft.artifacts.vacuumGraceMs").map(_.toLong)
+      .getOrElse(15L * 60 * 1000)
 
   private[operators] def md5(s: String): String =
     java.security.MessageDigest.getInstance("MD5")
@@ -109,7 +141,10 @@ object ArtifactStore {
     def complete: Boolean =
       fs.exists(new org.apache.hadoop.fs.Path(target, "_SUCCESS"))
     if (!complete) {
-      val lock = locks.computeIfAbsent(target.toString, _ => new Object)
+      // lock on the ARTIFACT DIR, not the fp= target: the vacuum below
+      // sweeps the whole dir, so no other same-JVM build of this
+      // artifact (any fingerprint) may hold a live staging dir there
+      val lock = locks.computeIfAbsent(artDir.toString, _ => new Object)
       lock.synchronized {
         if (!complete) { // double-check under the lock
           // rename-commit: build lands in a dot-prefixed staging dir
@@ -120,13 +155,19 @@ object ArtifactStore {
           // rewrite under a concurrent reader's feet)
           val staging = new org.apache.hadoop.fs.Path(artDir,
             s".tmp-$fp-${java.util.UUID.randomUUID().toString.take(8)}")
-          build.write.mode(SaveMode.Overwrite).parquet(staging.toString)
-          if (!complete) { // an external writer may have won meanwhile
-            if (!fs.rename(staging, target))
-              require(complete, // rename lost an external race, or failed
-                s"ArtifactStore($name): commit rename failed for $target")
-          }
-          if (fs.exists(staging)) fs.delete(staging, true) // lost race
+          ownStaging.add(staging.toString)
+          try {
+            build.write.mode(SaveMode.Overwrite).parquet(staging.toString)
+            if (!complete) { // an external writer may have won meanwhile
+              if (!fs.rename(staging, target))
+                require(complete, // rename lost an external race, or failed
+                  s"ArtifactStore($name): commit rename failed for $target")
+            }
+            if (fs.exists(staging)) fs.delete(staging, true) // lost race
+          } finally ownStaging.remove(staging.toString)
+          // a crashed build's leftover staging loses its ownStaging
+          // entry above and ages out through the vacuum like a
+          // foreign one — never reclaimed while possibly live
           vacuumStale(fs, artDir, keep = s"fp=$fp")
         }
       }
@@ -134,23 +175,44 @@ object ArtifactStore {
     spark.read.parquet(target.toString)
   }
 
-  /** Drop every `fp=` generation of `artDir` except `keep` — the
-    * maintenance pass a lake compactor would schedule; run inline
-    * after each successful build so at most one stale generation ever
-    * exists (the one being replaced, and only until the replacement
-    * commits). */
+  /** Drop superseded `fp=` generations of `artDir` (everything but
+    * `keep`) and dead staging dirs — the maintenance pass a lake
+    * compactor would schedule, run inline after each successful
+    * build. Deletion rules (round-11 advice: the old unconditional
+    * sweep could kill a cross-process build's live staging or a lazy
+    * reader's scan):
+    *  - staging of a build LIVE in this JVM ([[ownStaging]]): never;
+    *  - other `.tmp-` staging: delete once its mtime (= last write)
+    *    is older than [[vacuumGraceMs]] — a recent one may be
+    *    another process mid-write;
+    *  - superseded `fp=` generations: on first observation drop a
+    *    `.superseded` marker (starting the clock at SUPERSEDE time,
+    *    not build time); delete once the marker is older than the
+    *    grace — a recent one may still be under a lazy reader's
+    *    scan. */
   private def vacuumStale(fs: org.apache.hadoop.fs.FileSystem,
                           artDir: org.apache.hadoop.fs.Path,
-                          keep: String): Unit =
+                          keep: String): Unit = {
+    val now = System.currentTimeMillis()
     fs.listStatus(artDir).foreach { st =>
-      val n = st.getPath.getName
-      // stale generations, plus any `.tmp-` staging left by a crashed
-      // build (a LIVE staging dir only exists inside this process's
-      // build lock, which we hold)
-      if (st.isDirectory && n != keep &&
-          (n.startsWith("fp=") || n.startsWith(".tmp-")))
-        fs.delete(st.getPath, true)
+      val p = st.getPath
+      val n = p.getName
+      if (st.isDirectory && n != keep && !ownStaging.contains(p.toString)) {
+        if (n.startsWith(".tmp-")) {
+          if (now - st.getModificationTime >= vacuumGraceMs)
+            fs.delete(p, true)
+        } else if (n.startsWith("fp=")) {
+          val marker = new org.apache.hadoop.fs.Path(p, ".superseded")
+          val since =
+            if (fs.exists(marker)) fs.getFileStatus(marker).getModificationTime
+            else { try fs.create(marker, true).close() catch {
+              case _: java.io.IOException => () // gen raced away: next pass
+            }; now }
+          if (now - since >= vacuumGraceMs) fs.delete(p, true)
+        }
+      }
     }
+  }
 
   /** Generations currently on disk for an artifact (test/ops probe). */
   def generations(spark: SparkSession, lakeDir: String, name: String,

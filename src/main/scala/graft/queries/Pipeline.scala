@@ -30,7 +30,7 @@ object Pipeline {
   private def mhSigs(s: SparkSession, dir: String): DataFrame = {
     val docs = T(s, dir)("documents")
     graft.operators.FrameCache.cachedOn(s, dir + "#mhsig-w3k64", docs)(
-      graft.operators.ArtifactStore.readOrBuild(s, dir, "mhsig-w3k64",
+      graft.operators.ArtifactStore.readOrBuild(s, dir, "mhsig-w3k64-v1",
         Seq(docs))(graft.operators.Dedup.signatures(docs, "doc_id", "text")))
   }
 
@@ -40,7 +40,7 @@ object Pipeline {
   private def winnowFp34(s: SparkSession, dir: String): DataFrame = {
     val docs = T(s, dir)("documents")
     graft.operators.FrameCache.cachedOn(s, dir + "#winnowfp34", docs)(
-      graft.operators.ArtifactStore.readOrBuild(s, dir, "winnowfp34",
+      graft.operators.ArtifactStore.readOrBuild(s, dir, "winnowfp34-v1",
         Seq(docs))(
         TextAnalysis.winnowFingerprints(docs, "doc_id", "text", k = 3, w = 4)))
   }
@@ -196,7 +196,7 @@ object Pipeline {
       // the timed query reads the artifact (key carries the media
       // frame's data fingerprint — stale-lake safe)
       graft.operators.FrameCache.cachedOn(s, dir + "#qA2meta", media.toDF())(
-          graft.operators.ArtifactStore.readOrBuild(s, dir, "qA2meta",
+          graft.operators.ArtifactStore.readOrBuild(s, dir, "qA2meta-v1",
             Seq(media.toDF()))(Multimodal.extractMeta(media).toDF()))
         .select(col("doc_id"), col("format"), col("width"), col("height"),
           col("n_frames"), col("decoded"),
@@ -241,7 +241,7 @@ object Pipeline {
       // the in-JVM checkpointed copy hot between queries
       val hashes = graft.operators.FrameCache.cachedOn(s, dir + "#qA3dhash",
         media.toDF())(graft.operators.ArtifactStore.readOrBuild(s, dir,
-          "qA3dhash", Seq(media.toDF()))(Multimodal.dHashes(media)))
+          "qA3dhash-v1", Seq(media.toDF()))(Multimodal.dHashes(media)))
       graft.operators.Dedup.simhashPairs(hashes, maxHamming = 3)
         .select(col("id_a"), col("id_b"))
         .orderBy(col("id_a"), col("id_b"))
@@ -266,7 +266,7 @@ object Pipeline {
         }
       // decoded-audio metadata cached per (JVM, lake) — the qA2 twin
       graft.operators.FrameCache.cachedOn(s, dir + "#qA5meta", media.toDF())(
-          graft.operators.ArtifactStore.readOrBuild(s, dir, "qA5meta",
+          graft.operators.ArtifactStore.readOrBuild(s, dir, "qA5meta-v1",
             Seq(media.toDF()))(Audio.audioMeta(media).toDF()))
         .select(col("doc_id"), col("sample_rate"), col("channels"),
           col("bits"), col("n_samples"),
@@ -374,7 +374,7 @@ object Pipeline {
       // ingest-time artifact; the timed query is the banded pair join
       val fps = graft.operators.FrameCache.cachedOn(s, dir + "#qAGfp",
         media.toDF())(graft.operators.ArtifactStore.readOrBuild(s, dir,
-          "qAGfp", Seq(media.toDF()))(Audio.rmsFingerprints(media)))
+          "qAGfp-v1", Seq(media.toDF()))(Audio.rmsFingerprints(media)))
       graft.operators.Dedup.simhashPairs(fps, maxHamming = 3)
         .select(col("id_a"), col("id_b"))
         .orderBy(col("id_a"), col("id_b"))
@@ -424,7 +424,7 @@ object Pipeline {
       // banded join + coverage aggregation
       val fps = graft.operators.FrameCache.cachedOn(s, dir + "#qAJfp",
         frames.toDF())(graft.operators.ArtifactStore.readOrBuild(s, dir,
-          "qAJfp", Seq(frames.toDF()))(Multimodal.frameFingerprints(frames)))
+          "qAJfp-v1", Seq(frames.toDF()))(Multimodal.frameFingerprints(frames)))
       val counts = graft.operators.FrameCache.cachedOn(s, dir + "#qAJnf",
         frames.toDF())(frames.toDF().groupBy(col("doc_id").as("vid"))
           .agg(count(lit(1)).as("n_frames")))
@@ -469,7 +469,7 @@ object Pipeline {
       // (Lloyd train, assign, both join sides).
       val feats = graft.operators.FrameCache.cachedOn(s, dir + "#qA4feats",
         media.toDF())(graft.operators.ArtifactStore.readOrBuild(s, dir,
-          "qA4feats", Seq(media.toDF()))(
+          "qA4feats-v1", Seq(media.toDF()))(
           Multimodal.imageFeatures(media, grid = 4)))
       // nlist 64 ≈ √n at bench scale: candidate stream = corpus ×
       // probe/nlist = n²/16 — the knob that keeps the kNN self-join

@@ -191,6 +191,11 @@ class LakeIngestSpec extends AnyFunSuite {
   test("artifact sidecar: build-once, read-from-disk, stale generations vacuumed") {
     import spark.implicits._
     import graft.operators.ArtifactStore
+    // grace 0: this test pins the reclaim path synchronously (the
+    // age-gate itself is pinned by the dedicated vacuum test below)
+    val prevGrace = sys.props.get("graft.artifacts.vacuumGraceMs")
+    sys.props("graft.artifacts.vacuumGraceMs") = "0"
+    try {
     // an owned lake: one parquet table + a literal `_artifacts` sidecar
     val lake = Files.createTempDirectory(
       new File("target").toPath.toAbsolutePath, "art-lake").toString
@@ -233,6 +238,53 @@ class LakeIngestSpec extends AnyFunSuite {
     val gens2 = ArtifactStore.generations(spark, lake, "lenfp", sidecar)
     assert(gens2.size == 1 && gens2 != gens1,
       s"vacuum left stale generations: $gens2 (was $gens1)")
+    } finally prevGrace match {
+      case Some(v) => sys.props("graft.artifacts.vacuumGraceMs") = v
+      case None => sys.props.remove("graft.artifacts.vacuumGraceMs")
+    }
+  }
+
+  test("vacuum age-gates: recent stale gens and foreign staging survive") {
+    import spark.implicits._
+    import graft.operators.ArtifactStore
+    val prevGrace = sys.props.get("graft.artifacts.vacuumGraceMs")
+    val lake = Files.createTempDirectory(
+      new File("target").toPath.toAbsolutePath, "art-gate").toString
+    val tableDir = new File(lake, "t.parquet").getAbsolutePath
+    val sidecar = Some(new File(lake, "_artifacts").getAbsolutePath)
+    def regen(n: Long): Unit = {
+      Thread.sleep(1100) // distinct mtime → distinct fingerprint
+      (0L until n).toDF("id").write.mode("overwrite").parquet(tableDir)
+    }
+    def docs = spark.read.parquet(tableDir)
+    def art() = ArtifactStore.readOrBuild(spark, lake, "gatefp",
+      Seq(docs), explicitRoot = sidecar)(
+      docs.select(col("id"), (col("id") + 1).as("y")))
+    try {
+      sys.props("graft.artifacts.vacuumGraceMs") = "3600000" // 1 h
+      regen(10); assert(art().count() == 10)
+      // a foreign staging dir (another process mid-write): fresh
+      // mtime, must survive a graced vacuum
+      val artDir = new File(sidecar.get, "gatefp")
+      val foreign = new File(artDir, ".tmp-deadbeef-external")
+      assert(foreign.mkdirs())
+      // lake regenerated → new fingerprint builds, but within the
+      // grace the superseded generation (a lazy reader may still
+      // scan it) and the foreign staging both survive
+      regen(20); assert(art().count() == 20)
+      assert(ArtifactStore.generations(spark, lake, "gatefp", sidecar)
+        .size == 2, "graced vacuum deleted a recent stale generation")
+      assert(foreign.isDirectory, "graced vacuum deleted foreign staging")
+      // grace 0: the next build's vacuum reclaims both
+      sys.props("graft.artifacts.vacuumGraceMs") = "0"
+      regen(30); assert(art().count() == 30)
+      assert(ArtifactStore.generations(spark, lake, "gatefp", sidecar)
+        .size == 1, "post-grace vacuum left stale generations")
+      assert(!foreign.exists(), "post-grace vacuum left dead staging")
+    } finally prevGrace match {
+      case Some(v) => sys.props("graft.artifacts.vacuumGraceMs") = v
+      case None => sys.props.remove("graft.artifacts.vacuumGraceMs")
+    }
   }
 
   test("artifact store: concurrent misses build once; in-memory inputs refused") {
@@ -284,8 +336,8 @@ class LakeIngestSpec extends AnyFunSuite {
       val qa4 = graft.queries.Pipeline.queries("qA4_image_knn")(spark, dir)
       assert(qa4.count() > 0)
       // both artifact families persisted a generation under the root
-      assert(ArtifactStore.generations(spark, dir, "qA3dhash").size == 1)
-      assert(ArtifactStore.generations(spark, dir, "qA4feats").size == 1)
+      assert(ArtifactStore.generations(spark, dir, "qA3dhash-v1").size == 1)
+      assert(ArtifactStore.generations(spark, dir, "qA4feats-v1").size == 1)
       // and the generation is under OUR temp root, never the lake
       assert(ArtifactStore.root(dir).startsWith(tmpRoot))
       assert(!new File(dir, "_artifacts").exists(),
