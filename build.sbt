@@ -69,6 +69,11 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // Bench's census parses this file per pass for ZGC allocation /
   // relocation stalls and publishes the counts in the record. The
   // forked JVM's cwd is the project base, so the default lands in
-  // the gitignored target/. Override: SPARK_GRAFT_GCLOG=/path.
-  s"-Xlog:gc*:file=${sys.env.getOrElse("SPARK_GRAFT_GCLOG", "target/gc-run.log")}:time,uptime",
+  // the gitignored target/. %p expands to the JVM's pid (verified
+  // bare-pid on 17.0.20; Bench expands it the same way), giving
+  // every forked JVM its OWN file — round-11 advice: a shared path
+  // let concurrent forks (tests beside a bench) truncate/interleave
+  // the log and corrupt the census's byte-offset windows.
+  // Override: SPARK_GRAFT_GCLOG=/path (may itself contain %p).
+  s"-Xlog:gc*:file=${sys.env.getOrElse("SPARK_GRAFT_GCLOG", "target/gc-%p.log")}:time,uptime",
 )

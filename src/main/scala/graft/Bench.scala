@@ -25,10 +25,16 @@ import org.apache.spark.sql.SparkSession
  * incoherence is worth >10% of the wall (or when hypervisor steal
  * >2%), published by CAUSE, never by min-wall; surviving outliers are
  * re-measured one-by-one post-settle and the replayed value replaces
- * a seq-side outlier's entry (originals stay under "replay"). Each
- * census also counts ZGC allocation/relocation stalls from the
- * default-on GC log, so a stall storm is attributable from the record
- * alone.
+ * a seq-side outlier's entry ONLY when the replay is itself coherent
+ * with the conc twin — a replay that reproduces the slow reading
+ * confirms it and the original stays published (round-11 advice: the
+ * old unconditional replace healed real regressions out of the
+ * headline). Replaced names are flagged in `seq_replaced` next to
+ * `queries_seq`; originals stay under "replay". Each census also
+ * counts ZGC allocation/relocation stalls from the default-on per-JVM
+ * GC log, so a stall storm is attributable from the record alone
+ * (`gc_stalls_observable` says whether the active collector's stalls
+ * match the parser at all — G1's pauses don't).
  */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -188,12 +194,32 @@ object Bench {
     // threads block in "Allocation Stall (thread) 12.345ms" events,
     // the prime suspect for the r10 seq storm (q9T 19.6 s seq vs
     // 0.77 s conc, same jar reading 0.44 s half an hour earlier).
-    val gcLogPath = sys.env.getOrElse("SPARK_GRAFT_GCLOG", "target/gc-run.log")
+    // default matches build.sbt's per-JVM pattern: the JDK expands
+    // %p to the bare pid in -Xlog file names (verified on 17.0.20),
+    // so concurrent forked JVMs (tests beside a bench) each get their
+    // own file instead of truncating/interleaving one shared log —
+    // the round-11 advice fix for corrupted byte-offset census windows
+    val gcLogPath = sys.env.getOrElse("SPARK_GRAFT_GCLOG", "target/gc-%p.log")
+      .replace("%p", ProcessHandle.current().pid().toString)
     def gcLogLen(): Long = {
       val f = new java.io.File(gcLogPath)
       if (f.isFile) f.length() else 0L
     }
     val StallRe = "(Allocation|Relocation) Stall \\([^)]*\\)\\s+([0-9.]+)ms".r
+    // whether the ACTIVE collector's stall/pause events can match
+    // StallRe at all: ZGC logs per-thread "Allocation Stall" lines;
+    // G1's pauses don't, so under SPARK_GRAFT_GC=g1 alloc_stalls=0
+    // means "not observable", not "no pauses" — say so in the record
+    val gcCollector: String = {
+      import scala.jdk.CollectionConverters._
+      val ns = java.lang.management.ManagementFactory
+        .getGarbageCollectorMXBeans.asScala.map(_.getName)
+      if (ns.exists(_.startsWith("ZGC"))) "zgc"
+      else if (ns.exists(_.startsWith("G1"))) "g1"
+      else ns.mkString("+")
+    }
+    val gcMetaJson =
+      s""""gc_collector":"$gcCollector","gc_stalls_observable":${gcCollector == "zgc"}"""
     /** (allocStalls, relocStalls, totalStallMs) in [from, to) of the log. */
     def gcStalls(from: Long, to: Long): (Long, Long, Double) = try {
       if (to <= from) (0L, 0L, 0.0)
@@ -405,6 +431,7 @@ object Bench {
     // retry above owns the wall).
     val MaxReplay = 20
     var seqFinal = seqResults
+    var seqReplaced: Seq[String] = Nil
     var replayJson = ""
     if (mode == "both") {
       val concMap = concResults.toMap
@@ -416,21 +443,41 @@ object Bench {
         settle()
         censusReplay.mark()
         val fnByName = SparkEntry.queries
+        // replay-local timing (round-11 advice): a replay throw must
+        // not mark a query that succeeded in BOTH real passes as
+        // failed in the record's errors map, and a replay success
+        // must not clear a genuine warmup flag — replay outcomes
+        // live only in the replay sidecar below
+        def timedReplay(
+            fn: (SparkSession, String) => org.apache.spark.sql.DataFrame)
+            : Either[String, Double] = {
+          val q0 = System.nanoTime()
+          try { consume(fn(spark, sfDir)); Right((System.nanoTime() - q0) / 1e9) }
+          catch { case t: Throwable => Left(errMsg(t)) }
+        }
         val re = outliers.sortBy { case (_, s, c) => -math.abs(s - c) }
           .take(MaxReplay).flatMap { case (n, s, c) =>
-            fnByName.get(n).flatMap(fn => timed(n, fn)).map(v => (n, s, c, v))
+            fnByName.get(n).map(fn => (n, s, c, timedReplay(fn)))
           }
         censusReplay.lap()
-        val reMap = re.map { case (n, _, _, v) => n -> v }.toMap
+        // Accept a replayed value into queries_seq only per
+        // BenchHeuristics.acceptReplay: seq side was the outlier AND
+        // the replay is coherent with the conc twin (round-11 advice:
+        // the old unconditional replace was one-sided — it healed
+        // upward noise while a reproducible regression that also
+        // reads high alone CONFIRMS the seq reading).
+        val accepted: Map[String, Double] = re.collect {
+          case (n, s, c, Right(v))
+            if BenchHeuristics.acceptReplay(s, c, v) => n -> v
+        }.toMap
         seqFinal = seqResults.map { case (n, s) =>
-          concMap.get(n) match {
-            case Some(c) if isOutlier(s, c) && s > c && reMap.contains(n) =>
-              (n, reMap(n))
-            case _ => (n, s)
-          }
-        }
-        val rows = re.map { case (n, s, c, v) =>
-          s""""$n":{"seq":${num(s)},"conc":${num(c)},"re":${num(v)}}"""
+          (n, accepted.getOrElse(n, s)) }
+        seqReplaced = accepted.keys.toSeq.sorted
+        val rows = re.map {
+          case (n, s, c, Right(v)) =>
+            s""""$n":{"seq":${num(s)},"conc":${num(c)},"re":${num(v)},"accepted":${accepted.contains(n)}}"""
+          case (n, s, c, Left(e)) =>
+            s""""$n":{"seq":${num(s)},"conc":${num(c)},"re_err":"$e"}"""
         }.mkString("{", ",", "}")
         val capped = if (outliers.size > MaxReplay)
           s""","replay_dropped":${outliers.size - MaxReplay}""" else ""
@@ -439,6 +486,11 @@ object Bench {
       }
     }
     val seqJson = if (mode != "conc") json(seqFinal) else "{}"
+    // flag replaced entries NEXT TO the seq map itself (round-11
+    // advice), not only in the replay sidecar buried under "host"
+    val seqReplacedJson = if (seqReplaced.isEmpty) "" else
+      seqReplaced.map("\"" + _ + "\"")
+        .mkString(""","seq_replaced":[""", ",", "]")
     val slowestRows = (if (seqFinal.nonEmpty) seqFinal else concResults)
       .sortBy(-_._2).take(12)
     val slowest = json(slowestRows)
@@ -452,7 +504,7 @@ object Bench {
       if (concWalls.isEmpty) ""
       else s""","conc_walls":${concWalls.map(num).mkString("[", ",", "]")},"value_pass":"$valuePass","retry_reason":"$retryReason","conc_retry":${censusConcRetry.json}"""
     val fullRecord =
-      s"""{"metric":"total","unit":"sec","queries":$concJson,"queries_seq":$seqJson,"slowest":$slowest,"errors":$errJson,"host":{"seq":${censusSeq.json},"conc":${censusConc.json}$retryJson$replayJson},"value":${num(wall)},"sf":"$sfDir"}"""
+      s"""{"metric":"total","unit":"sec","queries":$concJson,"queries_seq":$seqJson$seqReplacedJson,"slowest":$slowest,"errors":$errJson,"host":{"seq":${censusSeq.json},"conc":${censusConc.json},$gcMetaJson$retryJson$replayJson},"value":${num(wall)},"sf":"$sfDir"}"""
     // The FULL record (146 queries × two per-query maps ≈ 6 KB) exceeds
     // the driver's 2000-char stdout tail, so it goes to a COMMITTED file
     // (repo root — target/ is gitignored) where per-query numbers stay
@@ -474,7 +526,7 @@ object Bench {
     // full record) so a failure is visible even in the 2000-char tail
     val errNames = errors.keys.toSeq.sorted
       .map("\"" + _ + "\"").mkString("[", ",", "]")
-    println(s"""{"metric":"total","unit":"sec","queries":$slowConc,"queries_seq":$slowSeq,"slowest":$slowest,"errors":$errNames,"host":{"seq":${censusSeq.json},"conc":${censusConc.json}$retryJson},"value":${num(wall)},"sf":"$sfDir","full":"$fullPath"}""")
+    println(s"""{"metric":"total","unit":"sec","queries":$slowConc,"queries_seq":$slowSeq$seqReplacedJson,"slowest":$slowest,"errors":$errNames,"host":{"seq":${censusSeq.json},"conc":${censusConc.json},$gcMetaJson$retryJson},"value":${num(wall)},"sf":"$sfDir","full":"$fullPath"}""")
     spark.stop()
   }
 }

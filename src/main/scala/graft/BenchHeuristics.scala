@@ -41,4 +41,18 @@ object BenchHeuristics {
   def incoherenceRetries(incoherence: Double, pool: Int,
                          wall: Double): Boolean =
     incoherence / pool > math.max(2.0, 0.10 * wall)
+
+  /** Whether a post-settle replay value `re` may REPLACE the seq
+    * reading `seq` in the published queries_seq (round-11 advice: the
+    * old rule replaced unconditionally and only ever downward).
+    * Two conditions:
+    *  - the SEQ side was the outlier (seq > conc): the seq column is
+    *    the plan signal, so only its artifacts are healed; conc-side
+    *    outliers are replayed for evidence only.
+    *  - the replay itself is COHERENT with the conc twin: a replay
+    *    that reproduces the slow reading (still >4×/3 s apart from
+    *    conc) CONFIRMS the seq reading — a reproducible regression
+    *    must stay published, not be healed out of the headline. */
+  def acceptReplay(seq: Double, conc: Double, re: Double): Boolean =
+    seq > conc && !isOutlier(re, conc)
 }

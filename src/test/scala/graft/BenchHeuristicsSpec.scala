@@ -43,6 +43,24 @@ class BenchHeuristicsSpec extends AnyFunSuite {
     assert(math.abs(concIncoherence(seq, conc) - (15.45 + 7.0)) < 1e-9)
   }
 
+  test("replay acceptance: heals transient seq artifacts, never " +
+       "reproducible regressions or conc-side outliers") {
+    // the r10 storm shape: seq 19.57 vs conc 0.77, replay reads 0.8
+    // alone → transient measurement artifact, replace
+    assert(acceptReplay(19.57, 0.77, 0.8))
+    // replay REPRODUCES the slow reading → the regression is real;
+    // the original stays published (round-11 advice: the old
+    // unconditional replace healed this out of the headline)
+    assert(!acceptReplay(19.57, 0.77, 18.9))
+    // replay still incoherent with conc even if faster than seq
+    assert(!acceptReplay(19.57, 0.77, 6.0))
+    // conc-side outlier (q93 shape): evidence only, never replaces
+    assert(!acceptReplay(0.89, 16.34, 0.9))
+    // replay coherent-but-slower is still accepted (two-sided: the
+    // replayed value may correct the seq reading UPWARD too)
+    assert(acceptReplay(13.0, 3.1, 9.0))
+  }
+
   test("retry threshold: the r10 record fires, a healthy record does not") {
     // r10: 13 storm queries summed ~127s excess against a 41.7s wall
     assert(incoherenceRetries(127.0, 8, 41.7))
