@@ -20,6 +20,8 @@ import org.apache.spark.sql.functions._
  */
 object Similarity {
 
+  private lazy val log = org.slf4j.LoggerFactory.getLogger(getClass)
+
   /** Dot product of two equal-length numeric array columns (double). */
   def dot(a: Column, b: Column): Column = array_dot(a, b)
 
@@ -114,6 +116,112 @@ object Similarity {
     a.join(b, col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"),
         (dot(col("va"), col("vb")) / (col("na") * col("nb"))).as("cos_raw"))
+      .filter(col("cos_raw") >= minCos)
+      .select(col("id_a"), col("id_b"), round(col("cos_raw"), 4).as("cos_sim"))
+  }
+
+  /** The directed cell-pair candidate list of [[exactPairsPruned]]:
+    * keep (i,j) unless the angular triangle inequality PROVES no
+    * member pair can reach `minCos`. For cells with centroid angles
+    * θij and member radii ri, rj (max angle member↔centroid), every
+    * cross pair's angle is ≥ θij − ri − rj, so its cosine is ≤
+    * cos(max(0, θij − ri − rj)) — below-threshold bounds prune the
+    * whole cell pair EXACTLY (a 1e-6 margin absorbs float jitter; the
+    * inequality itself is not approximate). Degenerate geometry
+    * (zero-norm centroid → NaN bound) keeps the pair — conservative,
+    * never wrong. Within-cell pairs are always kept. Kept cross pairs
+    * are emitted in BOTH directions so the id-ordered join sees each
+    * member pair exactly once. */
+  private[graft] def allowedCellPairs(
+      centroids: Seq[Seq[Double]], radii: Map[Int, Double],
+      minCos: Double): Seq[(Int, Int)] = {
+    def dotd(a: Seq[Double], b: Seq[Double]): Double = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { s += a(i) * b(i); i += 1 }
+      s
+    }
+    def angle(a: Seq[Double], b: Seq[Double]): Double =
+      math.acos(math.max(-1.0, math.min(1.0,
+        dotd(a, b) / math.sqrt(dotd(a, a) * dotd(b, b)))))
+    val cells = radii.keys.toSeq.sorted // only cells that HAVE members
+    for {
+      i <- cells; j <- cells if i <= j
+      bound = math.cos(math.max(0.0,
+        angle(centroids(i), centroids(j)) - radii(i) - radii(j)))
+      // NaN bound (degenerate centroid) must KEEP: !(NaN < x) is true
+      if !(bound < minCos - 1e-6)
+      p <- if (i == j) Seq((i, i)) else Seq((i, j), (j, i))
+    } yield p
+  }
+
+  /**
+   * EXACT all-pairs with cosine ≥ `minCos` — same contract and output
+   * as [[allPairsAbove]] — but sub-quadratic on clustered corpora:
+   * k-means cells (IvfIndex's deterministic Lloyd) plus the angular
+   * triangle inequality prune every cell PAIR that provably cannot
+   * contain a qualifying pair (see [[allowedCellPairs]]), and the
+   * quadratic join runs only over surviving cell pairs. Unlike
+   * [[semanticDedup]]/[[lshPairs]] this loses NO recall: pruning is a
+   * proof, not a heuristic, so the result is bit-identical to the
+   * brute force (pinned in ScaleOperatorsSpec).
+   *
+   * Scale shape: real embedding corpora are angularly clustered (that
+   * is why IVF works), so at a near-dup threshold (≥ 0.9) almost
+   * every cross-cell pair is provably cold and candidate volume
+   * approaches Σ|cell|² — the [[semanticDedup]] economics with exact
+   * semantics. Worst case (uniform high-dim corpus, low threshold)
+   * no bound fires and the plan degrades to [[allPairsAbove]] plus
+   * one clustering pass — never wrong, at most unpruned. The
+   * centroid/radius math is metadata-sized driver work (nlist × dim
+   * + nlist² doubles); the corpus sees one assignment pass and one
+   * cell-pair-bounded join. No row-count guard: the operator is safe
+   * wherever its candidate volume is, and a hot cell is visible in
+   * the assignment (cap with [[semanticDedup]]'s `maxCellSize` path
+   * if approximate suffices).
+   */
+  def exactPairsPruned(emb: DataFrame, idCol: String, vecCol: String,
+                       minCos: Double, nlist: Int, iters: Int = 2,
+                       cacheKey: Option[String] = None): DataFrame = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val centroids = cacheKey match {
+      case Some(key) => IvfIndex.trainCached(emb, idCol, vecCol, nlist, iters, key)
+      case None => IvfIndex.train(emb, idCol, vecCol, nlist, iters)
+    }
+    // assign ONCE into a checkpoint before the self-join (the knnJoin
+    // finding: the nlist-wide argmin otherwise re-inlines into filter
+    // and project on both join sides). Raw float vectors + norms ride
+    // along so the scoring expression is IDENTICAL to allPairsAbove's.
+    val assigned = IvfIndex.assign(emb, idCol, vecCol, centroids)
+      .select(col(idCol).as("id"), col(vecCol).as("v"),
+        norm(col(vecCol)).as("nv"), col("ivf_cell").as("cell"))
+      .filter(finiteNorm(col("nv")))
+      .localCheckpoint(true)
+    // per-cell angular radius: max angle member↔centroid. One narrow
+    // agg; nlist rows back to the driver (metadata, not data).
+    val centDf = centroids.zipWithIndex.map { case (c, i) => (i, c) }
+      .toDF("cell", "__cent")
+    val radii = assigned
+      .join(broadcast(centDf), Seq("cell"))
+      .select(col("cell"), acos(least(lit(1.0), greatest(lit(-1.0),
+        dot(col("v").cast("array<double>"), col("__cent")) /
+          (col("nv") * sqrt(dot(col("__cent"), col("__cent"))))))).as("__ang"))
+      .groupBy(col("cell")).agg(max(col("__ang")).as("r"))
+      .collect().map(r => r.getInt(0) -> r.getDouble(1)).toMap
+    val allowedPairs = allowedCellPairs(centroids, radii, minCos)
+    // visible pruning: how much of the cell-pair space the bound
+    // eliminated (the whole point of the operator at scale)
+    log.info(s"exactPairsPruned: ${allowedPairs.count { case (a, b) => a <= b }}" +
+      s"/${radii.size.toLong * (radii.size + 1) / 2} undirected cell pairs " +
+      s"survive the angular bound at minCos=$minCos (nlist=$nlist)")
+    val allowed = allowedPairs.toDF("cell_a", "cell_b")
+    assigned.as("a")
+      .join(broadcast(allowed), col("a.cell") === col("cell_a"))
+      .join(assigned.as("b"),
+        col("cell_b") === col("b.cell") && col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        (dot(col("a.v"), col("b.v")) / (col("a.nv") * col("b.nv")))
+          .as("cos_raw"))
       .filter(col("cos_raw") >= minCos)
       .select(col("id_a"), col("id_b"), round(col("cos_raw"), 4).as("cos_sim"))
   }

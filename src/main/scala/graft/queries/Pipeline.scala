@@ -1354,6 +1354,18 @@ object Pipeline {
           .select(explode(TextAnalysis.tokens(col("text"))).as("w")),
         "w", maxDist = 2)
         .orderBy(col("w1"), col("w2"))
+    }),
+
+    // EXACT cosine-threshold pairs via angular cell pruning: k-means
+    // cells + the triangle inequality prune cell pairs that provably
+    // cannot reach the threshold, so q9G's exact edge semantics get a
+    // scale path (no recall loss — bit-identical to the brute force,
+    // full hash oracle below; pruning power on clustered geometry is
+    // pinned in ScaleOperatorsSpec)
+    "qB6_exact_pruned" -> ((s, dir) => {
+      Similarity.exactPairsPruned(T(s, dir)("embeddings"), "vec_id",
+          "embedding", minCos = 0.40, nlist = 16, cacheKey = Some(dir))
+        .orderBy(col("id_a"), col("id_b"))
     })
   )
 
@@ -2611,6 +2623,13 @@ object Pipeline {
              a.n AS n1, b.n AS n2
       FROM v a JOIN v b ON a.w < b.w
       WHERE levenshtein(a.w, b.w) <= 2
-      ORDER BY w1, w2"""
+      ORDER BY w1, w2""",
+    "qB6_exact_pruned" -> """
+      WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
+      SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+             round(list_cosine_similarity(a.v, b.v), 4) AS cos_sim
+      FROM e a JOIN e b ON a.vec_id < b.vec_id
+      WHERE list_cosine_similarity(a.v, b.v) >= 0.40
+      ORDER BY id_a, id_b"""
   ).map { case (k, v) => k -> v.trim.replaceAll("\\s+", " ") }
 }

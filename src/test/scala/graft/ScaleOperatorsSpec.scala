@@ -546,4 +546,86 @@ class ScaleOperatorsSpec extends AnyFunSuite {
       assert(gotW == want, s"pairs for $w: got ${gotW.size}, want ${want.size}")
     }
   }
+
+  test("allowedCellPairs: angular bound prunes exactly, keeps degenerates") {
+    import graft.operators.Similarity.allowedCellPairs
+    // three orthogonal unit centroids, tight cells (radius 0.1 rad):
+    // any cross pair's angle >= pi/2 - 0.2 -> cosine <= 0.198, so at
+    // a 0.9 threshold ONLY the within-cell pairs can qualify
+    val ortho = Seq(Seq(1.0, 0, 0), Seq(0, 1.0, 0), Seq(0, 0, 1.0))
+    val tight = Map(0 -> 0.1, 1 -> 0.1, 2 -> 0.1)
+    assert(allowedCellPairs(ortho, tight, 0.9).toSet ==
+      Set((0, 0), (1, 1), (2, 2)))
+    // same geometry at a 0.1 threshold: the 0.198 bound clears it,
+    // every directed pair stays (pruning is threshold-relative)
+    assert(allowedCellPairs(ortho, tight, 0.1).size == 9)
+    // fat cells (radius 1.0 rad): theta - r_i - r_j < 0 -> bound 1,
+    // nothing prunable even at 0.9
+    val fat = Map(0 -> 1.0, 1 -> 1.0, 2 -> 1.0)
+    assert(allowedCellPairs(ortho, fat, 0.9).size == 9)
+    // degenerate zero-norm centroid -> NaN bound must KEEP its pairs
+    // (conservative, never wrong), and memberless cells (absent from
+    // radii) contribute none
+    val degen = Seq(Seq(0.0, 0.0, 0.0), Seq(0, 1.0, 0), Seq(0, 0, 1.0))
+    val kept = allowedCellPairs(degen, Map(0 -> 0.1, 1 -> 0.1), 0.9).toSet
+    assert(kept.contains((0, 1)) && kept.contains((1, 0)) &&
+      kept.contains((0, 0)) && kept.contains((1, 1)))
+    assert(!kept.exists { case (a, b) => a == 2 || b == 2 })
+  }
+
+  test("exactPairsPruned is bit-identical to the brute force (testdata + clustered)") {
+    import graft.operators.Similarity
+    def pairSet(df: org.apache.spark.sql.DataFrame): Set[(Long, Long, Double)] =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    // the real testdata corpus (uniform-ish 64-dim: the worst case for
+    // pruning — the claim here is pure exactness, zero recall loss)
+    val emb = Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
+    val brute = pairSet(Similarity.allPairsAbove(
+      emb, "vec_id", "embedding", 0.40))
+    val pruned = pairSet(Similarity.exactPairsPruned(
+      emb, "vec_id", "embedding", 0.40, nlist = 8, iters = 2))
+    assert(brute.nonEmpty && pruned == brute,
+      s"pruned ${pruned.size} pairs != brute ${brute.size}")
+    // a clustered corpus (the geometry the operator is FOR): three
+    // tight cohorts around orthogonal axes; at a near-dup threshold
+    // the cross-cell pair space is provably cold and the trained
+    // geometry must prune it (checked against the operator's own
+    // bound math), while the emitted edges stay exactly brute-force
+    val rnd = new scala.util.Random(7)
+    val dim = 16
+    // ids interleave the cohorts so IvfIndex.train's lowest-id seeds
+    // start one per cohort (the deterministic no-RNG seeding rule)
+    val rows = for (c <- 0 until 3; i <- 0 until 60) yield {
+      val v = Array.tabulate(dim)(j =>
+        (if (j == c * 5) 1.0 else 0.0) + rnd.nextGaussian() * 0.03)
+      ((i * 3 + c).toLong, v.map(_.toFloat).toSeq)
+    }
+    val clustered = rows.toDF("vec_id", "embedding")
+    val bruteC = pairSet(Similarity.allPairsAbove(
+      clustered, "vec_id", "embedding", 0.9))
+    val prunedC = pairSet(Similarity.exactPairsPruned(
+      clustered, "vec_id", "embedding", 0.9, nlist = 3, iters = 4))
+    assert(bruteC.nonEmpty && prunedC == bruteC,
+      s"clustered: pruned ${prunedC.size} != brute ${bruteC.size}")
+    // replicate the operator's geometry to show the bound FIRED: with
+    // 3 tight orthogonal cohorts and nlist=3 the cross-cell pairs
+    // must be provably cold at 0.9
+    val cents = IvfIndex.train(clustered, "vec_id", "embedding",
+      nlist = 3, iters = 4)
+    val assigned = IvfIndex.assign(clustered, "vec_id", "embedding", cents)
+    val radii = assigned.select(col("ivf_cell"), col("embedding"))
+      .collect().groupBy(_.getInt(0)).map { case (cell, rs) =>
+        cell -> rs.map { r =>
+          val v = r.getSeq[Float](1).map(_.toDouble)
+          val c = cents(cell)
+          val d = v.zip(c).map { case (a, b) => a * b }.sum
+          math.acos(math.max(-1.0, math.min(1.0,
+            d / math.sqrt(v.map(x => x * x).sum * c.map(x => x * x).sum))))
+        }.max
+      }
+    val allowed = graft.operators.Similarity.allowedCellPairs(
+      cents, radii, 0.9)
+    assert(allowed.toSet == Set((0, 0), (1, 1), (2, 2)),
+      s"cross-cell pairs must prune on this geometry, kept: $allowed")
+  }
 }
