@@ -797,7 +797,9 @@ object Pipeline {
     // set (≥ 0.40) → distributed connected components → min-id
     // canonical per cluster. Fully oracle-checked (DuckDB
     // list_cosine_similarity + recursive reachability CTE); the LSH
-    // (q56) / IVF (q9B) paths bound the edge set at corpus scale.
+    // (q56) / IVF (q9B) paths bound the edge set approximately at
+    // corpus scale, and qB6's exactPairsPruned keeps these EXACT
+    // edges sub-quadratic on clustered corpora.
     "q9G_embed_dedup" -> ((s, dir) => {
       val emb = T(s, dir)("embeddings")
       val pairs = Similarity.allPairsAbove(emb, "vec_id", "embedding", 0.40)
