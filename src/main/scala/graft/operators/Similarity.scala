@@ -184,30 +184,8 @@ object Similarity {
                        cacheKey: Option[String] = None): DataFrame = {
     val spark = emb.sparkSession
     import spark.implicits._
-    val centroids = cacheKey match {
-      case Some(key) => IvfIndex.trainCached(emb, idCol, vecCol, nlist, iters, key)
-      case None => IvfIndex.train(emb, idCol, vecCol, nlist, iters)
-    }
-    // assign ONCE into a checkpoint before the self-join (the knnJoin
-    // finding: the nlist-wide argmin otherwise re-inlines into filter
-    // and project on both join sides). Raw float vectors + norms ride
-    // along so the scoring expression is IDENTICAL to allPairsAbove's.
-    val assigned = IvfIndex.assign(emb, idCol, vecCol, centroids)
-      .select(col(idCol).as("id"), col(vecCol).as("v"),
-        norm(col(vecCol)).as("nv"), col("ivf_cell").as("cell"))
-      .filter(finiteNorm(col("nv")))
-      .localCheckpoint(true)
-    // per-cell angular radius: max angle member↔centroid. One narrow
-    // agg; nlist rows back to the driver (metadata, not data).
-    val centDf = centroids.zipWithIndex.map { case (c, i) => (i, c) }
-      .toDF("cell", "__cent")
-    val radii = assigned
-      .join(broadcast(centDf), Seq("cell"))
-      .select(col("cell"), acos(least(lit(1.0), greatest(lit(-1.0),
-        dot(col("v").cast("array<double>"), col("__cent")) /
-          (col("nv") * sqrt(dot(col("__cent"), col("__cent"))))))).as("__ang"))
-      .groupBy(col("cell")).agg(max(col("__ang")).as("r"))
-      .collect().map(r => r.getInt(0) -> r.getDouble(1)).toMap
+    val (centroids, assigned, radii) =
+      cellGeometry(emb, idCol, vecCol, nlist, iters, cacheKey)
     val allowedPairs = allowedCellPairs(centroids, radii, minCos)
     // visible pruning: how much of the cell-pair space the bound
     // eliminated (the whole point of the operator at scale)
@@ -224,6 +202,95 @@ object Similarity {
           .as("cos_raw"))
       .filter(col("cos_raw") >= minCos)
       .select(col("id_a"), col("id_b"), round(col("cos_raw"), 4).as("cos_sim"))
+  }
+
+  /** Shared geometry pass of the pruned-exact operators: trained
+    * centroids, the checkpointed cell assignment (assign ONCE before
+    * any self-join — the knnJoin finding: the nlist-wide argmin
+    * otherwise re-inlines into filter and project on both join
+    * sides; raw float vectors + norms ride along so scoring stays
+    * expression-identical to allPairsAbove), and per-cell angular
+    * radii (max angle member↔centroid — one narrow agg, nlist rows
+    * of driver metadata). */
+  private def cellGeometry(emb: DataFrame, idCol: String, vecCol: String,
+                           nlist: Int, iters: Int,
+                           cacheKey: Option[String])
+      : (Seq[Seq[Double]], DataFrame, Map[Int, Double]) = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val centroids = cacheKey match {
+      case Some(key) => IvfIndex.trainCached(emb, idCol, vecCol, nlist, iters, key)
+      case None => IvfIndex.train(emb, idCol, vecCol, nlist, iters)
+    }
+    val assigned = IvfIndex.assign(emb, idCol, vecCol, centroids)
+      .select(col(idCol).as("id"), col(vecCol).as("v"),
+        norm(col(vecCol)).as("nv"), col("ivf_cell").as("cell"))
+      .filter(finiteNorm(col("nv")))
+      .localCheckpoint(true)
+    val centDf = centroids.zipWithIndex.map { case (c, i) => (i, c) }
+      .toDF("cell", "__cent")
+    val radii = assigned
+      .join(broadcast(centDf), Seq("cell"))
+      .select(col("cell"), acos(least(lit(1.0), greatest(lit(-1.0),
+        dot(col("v").cast("array<double>"), col("__cent")) /
+          (col("nv") * sqrt(dot(col("__cent"), col("__cent"))))))).as("__ang"))
+      .groupBy(col("cell")).agg(max(col("__ang")).as("r"))
+      .collect().map(r => r.getInt(0) -> r.getDouble(1)).toMap
+    (centroids, assigned, radii)
+  }
+
+  /**
+   * EXACT top-k most-similar pairs — same contract and output as
+   * [[allPairsTopK]] — sub-quadratic on clustered corpora via a
+   * two-phase bound: phase 1 scores only WITHIN-cell pairs (a subset,
+   * Σ|cell|² work) and takes its k-th best RAW cosine as a lower
+   * bound L on the final k-th score (more candidates can only raise
+   * it); phase 2 prunes every cell pair whose angular bound falls
+   * below L minus one display-rounding quantum (the published
+   * ordering is on `round(cos, 4)`, so a raw score within 1e-4 of L
+   * can still display-tie into the top k — the widened margin keeps
+   * the prune exact under rounding ties too) and runs the exact join
+   * over survivors. Worst case (uniform corpus): phase 1 adds
+   * Σ|cell|²/2 ≈ n²/(2·nlist) scores, nothing prunes, and the total
+   * is ~(1 + 1/nlist)× the brute force — never wrong, at most
+   * unpruned; on clustered corpora phase 2 collapses toward the
+   * diagonal and total work approaches 2·Σ|cell|²/2. No row-count
+   * guard ([[exactPairsPruned]]'s rationale): candidate volume is
+   * the real budget, and it is visible in the logged pair counts.
+   */
+  def allPairsTopKPruned(emb: DataFrame, idCol: String, vecCol: String,
+                         k: Int, nlist: Int, iters: Int = 2,
+                         cacheKey: Option[String] = None): DataFrame = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val (centroids, assigned, radii) =
+      cellGeometry(emb, idCol, vecCol, nlist, iters, cacheKey)
+    def scored(pairs: DataFrame): DataFrame =
+      pairs.select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        (dot(col("a.v"), col("b.v")) / (col("a.nv") * col("b.nv")))
+          .as("cos_raw"))
+    // phase 1: within-cell k-th best raw score → TakeOrdered (k rows
+    // to the driver — metadata). Fewer than k within-cell pairs → no
+    // bound (L = −∞ keeps every cell pair, phase 2 = brute force).
+    val within = scored(assigned.as("a").join(assigned.as("b"),
+        col("a.cell") === col("b.cell") && col("a.id") < col("b.id")))
+      .orderBy(col("cos_raw").desc).limit(k)
+      .collect().map(_.getDouble(2))
+    val bound = if (within.length == k) within.min else Double.NegativeInfinity
+    // 2e-4 margin: one 4-decimal rounding quantum (display ties reach
+    // raw scores up to ~1e-4 below L) plus the float-jitter epsilon
+    val allowedPairs = allowedCellPairs(centroids, radii, bound - 2e-4)
+    log.info(s"allPairsTopKPruned: ${allowedPairs.count { case (a, b) => a <= b }}" +
+      s"/${radii.size.toLong * (radii.size + 1) / 2} undirected cell pairs " +
+      s"survive the k-th-score bound ${"%.4f".format(bound)} (k=$k, nlist=$nlist)")
+    val allowed = allowedPairs.toDF("cell_a", "cell_b")
+    scored(assigned.as("a")
+        .join(broadcast(allowed), col("a.cell") === col("cell_a"))
+        .join(assigned.as("b"),
+          col("cell_b") === col("b.cell") && col("a.id") < col("b.id")))
+      .select(col("id_a"), col("id_b"), round(col("cos_raw"), 4).as("cos_sim"))
+      .orderBy(col("cos_sim").desc, col("id_a"), col("id_b"))
+      .limit(k)
   }
 
   /**

@@ -1368,6 +1368,15 @@ object Pipeline {
       Similarity.exactPairsPruned(T(s, dir)("embeddings"), "vec_id",
           "embedding", minCos = 0.40, nlist = 16, cacheKey = Some(dir))
         .orderBy(col("id_a"), col("id_b"))
+    }),
+
+    // EXACT top-k pairs (q54's semantics) with the two-phase bound:
+    // within-cell k-th score -> angular cell-pair pruning -> exact
+    // join over survivors. Bit-identical to the brute force (same
+    // oracle as q54); sub-quadratic on clustered corpora
+    "qB7_topk_pruned" -> ((s, dir) => {
+      Similarity.allPairsTopKPruned(T(s, dir)("embeddings"), "vec_id",
+        "embedding", k = 20, nlist = 16, cacheKey = Some(dir))
     })
   )
 
@@ -2632,6 +2641,12 @@ object Pipeline {
              round(list_cosine_similarity(a.v, b.v), 4) AS cos_sim
       FROM e a JOIN e b ON a.vec_id < b.vec_id
       WHERE list_cosine_similarity(a.v, b.v) >= 0.40
-      ORDER BY id_a, id_b"""
+      ORDER BY id_a, id_b""",
+    "qB7_topk_pruned" -> """
+      SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+             round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                          CAST(b.embedding AS DOUBLE[])), 4) AS cos_sim
+      FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+      ORDER BY cos_sim DESC, id_a, id_b LIMIT 20"""
   ).map { case (k, v) => k -> v.trim.replaceAll("\\s+", " ") }
 }

@@ -628,4 +628,34 @@ class ScaleOperatorsSpec extends AnyFunSuite {
     assert(allowed.toSet == Set((0, 0), (1, 1), (2, 2)),
       s"cross-cell pairs must prune on this geometry, kept: $allowed")
   }
+
+  test("allPairsTopKPruned is bit-identical to allPairsTopK") {
+    import graft.operators.Similarity
+    def rows(df: org.apache.spark.sql.DataFrame): Seq[(Long, Long, Double)] =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    // uniform testdata: the within-cell phase finds a k-th bound that
+    // prunes nothing — the result must still be exactly brute force
+    val emb = Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
+    val brute = rows(Similarity.allPairsTopK(emb, "vec_id", "embedding", 20))
+    val pruned = rows(Similarity.allPairsTopKPruned(
+      emb, "vec_id", "embedding", 20, nlist = 8))
+    assert(pruned == brute && brute.size == 20)
+    // k larger than the within-cell pair count: no bound, still exact
+    val tiny = emb.filter(col("vec_id") < 12)
+    assert(rows(Similarity.allPairsTopKPruned(
+        tiny, "vec_id", "embedding", 50, nlist = 8)) ==
+      rows(Similarity.allPairsTopK(tiny, "vec_id", "embedding", 50)))
+    // clustered cohorts (the interleaved-id corpus of the threshold
+    // test): top pairs live within cohorts, the within-cell bound is
+    // high, cross-cell pairs prune — and the output stays exact
+    val rnd = new scala.util.Random(7)
+    val cl = (for (c <- 0 until 3; i <- 0 until 60) yield {
+      val v = Array.tabulate(16)(j =>
+        (if (j == c * 5) 1.0 else 0.0) + rnd.nextGaussian() * 0.03)
+      ((i * 3 + c).toLong, v.map(_.toFloat).toSeq)
+    }).toDF("vec_id", "embedding")
+    assert(rows(Similarity.allPairsTopKPruned(
+        cl, "vec_id", "embedding", 10, nlist = 3, iters = 4)) ==
+      rows(Similarity.allPairsTopK(cl, "vec_id", "embedding", 10)))
+  }
 }
