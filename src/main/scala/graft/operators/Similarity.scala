@@ -222,11 +222,18 @@ object Similarity {
       case Some(key) => IvfIndex.trainCached(emb, idCol, vecCol, nlist, iters, key)
       case None => IvfIndex.train(emb, idCol, vecCol, nlist, iters)
     }
-    val assigned = IvfIndex.assign(emb, idCol, vecCol, centroids)
+    def assignPass: DataFrame = IvfIndex.assign(emb, idCol, vecCol, centroids)
       .select(col(idCol).as("id"), col(vecCol).as("v"),
         norm(col(vecCol)).as("nv"), col("ivf_cell").as("cell"))
       .filter(finiteNorm(col("nv")))
-      .localCheckpoint(true)
+    // keyed corpora memoize the assignment per (JVM, lake content) so
+    // the pruned-exact siblings (qB6 threshold / qB7 top-k) share one
+    // build — cachedOn checkpoints; the unkeyed path checkpoints here
+    val assigned = cacheKey match {
+      case Some(_) => FrameCache.cachedOn(emb.sparkSession,
+        s"cellgeom-$nlist-$iters", emb)(assignPass)
+      case None => assignPass.localCheckpoint(true)
+    }
     val centDf = centroids.zipWithIndex.map { case (c, i) => (i, c) }
       .toDF("cell", "__cent")
     val radii = assigned
