@@ -42,6 +42,18 @@ object BenchHeuristics {
                          wall: Double): Boolean =
     incoherence / pool > math.max(2.0, 0.10 * wall)
 
+  /** Unified sickness of one conc pass, for ranking passes by CAUSE
+    * (never by wall): both trigger conditions normalized so 1.0 = at
+    * its threshold — steal_pct against the 2% bar, incoherence wall-
+    * share against max(2 s, 10% wall). A pass trips the retry when
+    * sick > 1; among completed passes the one with MIN sickness is
+    * published (outcome-blind: a lucky-fast but steal-soaked pass
+    * ranks worse than a slower clean one). */
+  def sickScore(stealPct: Double, incoherence: Double, pool: Int,
+                wall: Double): Double =
+    math.max(stealPct / 2.0,
+      (incoherence / pool) / math.max(2.0, 0.10 * wall))
+
   /** Whether a post-settle replay value `re` may REPLACE the seq
     * reading `seq` in the published queries_seq (round-11 advice: the
     * old rule replaced unconditionally and only ever downward).

@@ -71,4 +71,18 @@ class BenchHeuristicsSpec extends AnyFunSuite {
     // small absolute excess on a wide pool stays below the floor
     assert(!incoherenceRetries(20.0, 24, 6.0))
   }
+
+  test("sickScore ranks passes by cause, consistent with the triggers") {
+    // sick > 1 exactly when one of the two triggers fires
+    assert(sickScore(4.7, 0.0, 24, 6.9) > 1.0)   // the live steal firing
+    assert(sickScore(0.1, 127.0 * 24 / 8, 24, 41.7) > 1.0) // r10 storm shape
+    assert(sickScore(0.06, 0.0, 24, 5.7) < 1.0)  // clean record
+    assert(sickScore(1.9, 40.0, 24, 40.0) < 1.0) // both just under
+    // a steal-soaked lucky-fast pass ranks WORSE than a clean slower
+    // one — publication is outcome-blind
+    assert(sickScore(6.0, 0.0, 24, 4.0) > sickScore(0.1, 0.0, 24, 9.0))
+    // monotone in each cause
+    assert(sickScore(3.0, 0.0, 24, 10.0) < sickScore(5.0, 0.0, 24, 10.0))
+    assert(sickScore(0.0, 50.0, 24, 10.0) < sickScore(0.0, 100.0, 24, 10.0))
+  }
 }
