@@ -282,4 +282,59 @@ class PropertySpecs extends AnyFunSuite {
       }
     }
   }
+
+  test("pruned-exact similarity equals brute force on random geometries") {
+    // the pruning bound is a PROOF obligation — one missed pair on any
+    // geometry falsifies the operator, so hammer it with corpora the
+    // hand-written cases don't cover: uniform, clustered, antipodal
+    // (negative cosines), exact duplicates (radius-0 ties at cos 1.0),
+    // and a degenerate zero vector (excluded by both paths)
+    val spark = GraftTestSession.spark
+    import spark.implicits._
+    import graft.operators.Similarity
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    def topk(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    val rnd = new scala.util.Random(1234)
+    val geometries: Seq[(String, Seq[(Long, Seq[Float])])] = Seq(
+      "uniform" -> (0 until 60).map(i =>
+        (i.toLong, Seq.fill(8)(rnd.nextGaussian().toFloat))),
+      "clustered+dups" -> {
+        val base = (0 until 54).map { i =>
+          val c = i % 3
+          (i.toLong, Array.tabulate(8)(j =>
+            (if (j == c * 2) 1.0 else 0.0) + rnd.nextGaussian() * 0.04)
+            .map(_.toFloat).toSeq)
+        }
+        // exact duplicates (cos 1.0 ties) + a zero vector (must stay
+        // excluded, matching allPairsAbove/allPairsTopK)
+        base ++ Seq((100L, base(0)._2), (101L, base(1)._2),
+          (102L, Seq.fill(8)(0.0f)))
+      },
+      "antipodal" -> (0 until 40).map { i =>
+        val sign = if (i % 2 == 0) 1.0 else -1.0
+        (i.toLong, Array.tabulate(8)(j =>
+          sign * (if (j == 0) 1.0 else 0.0) + rnd.nextGaussian() * 0.05)
+          .map(_.toFloat).toSeq)
+      })
+    for ((name, rows) <- geometries) {
+      val emb = rows.toDF("vec_id", "embedding")
+      for (minCos <- Seq(-0.5, 0.2, 0.9); nlist <- Seq(2, 5)) {
+        val brute = pairs(Similarity.allPairsAbove(
+          emb, "vec_id", "embedding", minCos))
+        val pruned = pairs(Similarity.exactPairsPruned(
+          emb, "vec_id", "embedding", minCos, nlist, iters = 3))
+        assert(pruned == brute,
+          s"$name minCos=$minCos nlist=$nlist: ${pruned.size} != ${brute.size}")
+      }
+      for (k <- Seq(7, 5000)) { // 5000 > any pair count: no-bound path
+        val brute = topk(Similarity.allPairsTopK(
+          emb, "vec_id", "embedding", k))
+        val pruned = topk(Similarity.allPairsTopKPruned(
+          emb, "vec_id", "embedding", k, nlist = 4, iters = 3))
+        assert(pruned == brute, s"$name k=$k: top-k diverged")
+      }
+    }
+  }
 }
