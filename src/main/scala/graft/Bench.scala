@@ -203,6 +203,17 @@ object Bench {
     // the round-11 advice fix for corrupted byte-offset census windows
     val gcLogPath = sys.env.getOrElse("SPARK_GRAFT_GCLOG", "target/gc-%p.log")
       .replace("%p", ProcessHandle.current().pid().toString)
+    // per-JVM logs accumulate one file per fork (tests included) with
+    // nothing bounding the set — reclaim siblings older than a day so
+    // a long-lived workspace doesn't grow target/ without limit
+    try {
+      val dir = new java.io.File(gcLogPath).getAbsoluteFile.getParentFile
+      val cutoff = System.currentTimeMillis() - 24L * 3600 * 1000
+      Option(dir.listFiles()).getOrElse(Array.empty).foreach { f =>
+        if (f.getName.startsWith("gc-") && f.getName.endsWith(".log") &&
+            f.lastModified() < cutoff) f.delete()
+      }
+    } catch { case _: Exception => () }
     def gcLogLen(): Long = {
       val f = new java.io.File(gcLogPath)
       if (f.isFile) f.length() else 0L
@@ -511,11 +522,16 @@ object Bench {
     val errors = warmupErrors.asScala.toMap ++ timedErrors.asScala.toMap
     val errJson = errors.toSeq.sortBy(_._1)
       .map { case (k, v) => "\"" + k + "\":\"" + v + "\"" }.mkString("{", ",", "}")
-    val retryJson =
+    // the compact stdout line must stay under the driver's 2000-char
+    // tail even in the worst case (two retries + replays): it carries
+    // the retry walls/reason but NOT the second retry census or the
+    // seq_replaced list — those live in the full record only
+    val retryJsonCompact =
       if (concWalls.isEmpty) ""
-      else s""","conc_walls":${concWalls.map(num).mkString("[", ",", "]")},"value_pass":"$valuePass","retry_reason":"$retryReason","conc_retry":${censusConcRetry.json}""" +
-        (if (concWalls.size > 2) s""","conc_retry2":${censusConcRetry2.json}"""
-         else "")
+      else s""","conc_walls":${concWalls.map(num).mkString("[", ",", "]")},"value_pass":"$valuePass","retry_reason":"$retryReason","conc_retry":${censusConcRetry.json}"""
+    val retryJson = retryJsonCompact +
+      (if (concWalls.size > 2) s""","conc_retry2":${censusConcRetry2.json}"""
+       else "")
     val fullRecord =
       s"""{"metric":"total","unit":"sec","queries":$concJson,"queries_seq":$seqJson$seqReplacedJson,"slowest":$slowest,"errors":$errJson,"host":{"seq":${censusSeq.json},"conc":${censusConc.json},$gcMetaJson$retryJson$replayJson},"value":${num(wall)},"sf":"$sfDir"}"""
     // The FULL record (146 queries × two per-query maps ≈ 6 KB) exceeds
@@ -539,7 +555,7 @@ object Bench {
     // full record) so a failure is visible even in the 2000-char tail
     val errNames = errors.keys.toSeq.sorted
       .map("\"" + _ + "\"").mkString("[", ",", "]")
-    println(s"""{"metric":"total","unit":"sec","queries":$slowConc,"queries_seq":$slowSeq$seqReplacedJson,"slowest":$slowest,"errors":$errNames,"host":{"seq":${censusSeq.json},"conc":${censusConc.json},$gcMetaJson$retryJson},"value":${num(wall)},"sf":"$sfDir","full":"$fullPath"}""")
+    println(s"""{"metric":"total","unit":"sec","queries":$slowConc,"queries_seq":$slowSeq,"slowest":$slowest,"errors":$errNames,"host":{"seq":${censusSeq.json},"conc":${censusConc.json},$gcMetaJson$retryJsonCompact},"value":${num(wall)},"sf":"$sfDir","full":"$fullPath"}""")
     spark.stop()
   }
 }

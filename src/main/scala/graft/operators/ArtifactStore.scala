@@ -155,7 +155,11 @@ object ArtifactStore {
           // rewrite under a concurrent reader's feet)
           val staging = new org.apache.hadoop.fs.Path(artDir,
             s".tmp-$fp-${java.util.UUID.randomUUID().toString.take(8)}")
-          ownStaging.add(staging.toString)
+          // register the QUALIFIED form — listStatus returns
+          // scheme-qualified paths (file:/...), and the vacuum's
+          // membership check compares against those
+          val stagingKey = fs.makeQualified(staging).toString
+          ownStaging.add(stagingKey)
           try {
             build.write.mode(SaveMode.Overwrite).parquet(staging.toString)
             if (!complete) { // an external writer may have won meanwhile
@@ -164,7 +168,7 @@ object ArtifactStore {
                   s"ArtifactStore($name): commit rename failed for $target")
             }
             if (fs.exists(staging)) fs.delete(staging, true) // lost race
-          } finally ownStaging.remove(staging.toString)
+          } finally ownStaging.remove(stagingKey)
           // a crashed build's leftover staging loses its ownStaging
           // entry above and ages out through the vacuum like a
           // foreign one — never reclaimed while possibly live
@@ -172,8 +176,31 @@ object ArtifactStore {
         }
       }
     }
+    // a generation can come back into currency after a lake rollback:
+    // clear any `.superseded` marker a past vacuum left, or the NEXT
+    // supersede would find a pre-aged marker and reclaim this
+    // generation with zero effective grace
+    try {
+      val m = new org.apache.hadoop.fs.Path(target, ".superseded")
+      if (fs.exists(m)) fs.delete(m, false)
+    } catch { case _: java.io.IOException => () }
     spark.read.parquet(target.toString)
   }
+
+  /** Newest modification time in the subtree under `p` — directory
+    * mtimes only change when DIRECT children are added/removed, so a
+    * long parquet job mutating `staging/_temporary/...` leaves the
+    * staging root's mtime at job start; the liveness gate must see
+    * the deepest write. Staging trees are small (one job's task
+    * files), so the recursive list is cheap, and it only runs for
+    * `.tmp-` dirs during a vacuum. */
+  private def newestMtime(fs: org.apache.hadoop.fs.FileSystem,
+                          p: org.apache.hadoop.fs.Path): Long = try {
+    val st = fs.getFileStatus(p)
+    if (!st.isDirectory) st.getModificationTime
+    else (st.getModificationTime +:
+      fs.listStatus(p).map(c => newestMtime(fs, c.getPath)).toSeq).max
+  } catch { case _: java.io.IOException => Long.MaxValue } // racing: live
 
   /** Drop superseded `fp=` generations of `artDir` (everything but
     * `keep`) and dead staging dirs — the maintenance pass a lake
@@ -182,14 +209,19 @@ object ArtifactStore {
     * sweep could kill a cross-process build's live staging or a lazy
     * reader's scan):
     *  - staging of a build LIVE in this JVM ([[ownStaging]]): never;
-    *  - other `.tmp-` staging: delete once its mtime (= last write)
-    *    is older than [[vacuumGraceMs]] — a recent one may be
-    *    another process mid-write;
+    *  - other `.tmp-` staging: delete once the NEWEST mtime in its
+    *    subtree ([[newestMtime]] — the top dir's own mtime misses
+    *    nested task-file writes) is older than [[vacuumGraceMs]] — a
+    *    recent one may be another process mid-write;
     *  - superseded `fp=` generations: on first observation drop a
     *    `.superseded` marker (starting the clock at SUPERSEDE time,
     *    not build time); delete once the marker is older than the
     *    grace — a recent one may still be under a lazy reader's
-    *    scan. */
+    *    scan.
+    * Every FS probe of a candidate tolerates IOException: a
+    * concurrent cross-process vacuum may reclaim the same dir between
+    * our list and stat, and losing that race must not fail a build
+    * that already committed. */
   private def vacuumStale(fs: org.apache.hadoop.fs.FileSystem,
                           artDir: org.apache.hadoop.fs.Path,
                           keep: String): Unit = {
@@ -198,18 +230,50 @@ object ArtifactStore {
       val p = st.getPath
       val n = p.getName
       if (st.isDirectory && n != keep && !ownStaging.contains(p.toString)) {
-        if (n.startsWith(".tmp-")) {
-          if (now - st.getModificationTime >= vacuumGraceMs)
-            fs.delete(p, true)
-        } else if (n.startsWith("fp=")) {
-          val marker = new org.apache.hadoop.fs.Path(p, ".superseded")
-          val since =
-            if (fs.exists(marker)) fs.getFileStatus(marker).getModificationTime
-            else { try fs.create(marker, true).close() catch {
-              case _: java.io.IOException => () // gen raced away: next pass
-            }; now }
-          if (now - since >= vacuumGraceMs) fs.delete(p, true)
+        try {
+          if (n.startsWith(".tmp-")) {
+            if (now - newestMtime(fs, p) >= vacuumGraceMs)
+              fs.delete(p, true)
+          } else if (n.startsWith("fp=")) {
+            val marker = new org.apache.hadoop.fs.Path(p, ".superseded")
+            val since =
+              if (fs.exists(marker)) fs.getFileStatus(marker).getModificationTime
+              else { fs.create(marker, true).close(); now }
+            if (now - since >= vacuumGraceMs) fs.delete(p, true)
+          }
+        } catch {
+          case _: java.io.IOException => () // raced away: next pass
         }
+      }
+    }
+  }
+
+  /** Maintenance sweep for ORPHANED artifact families: a builder
+    * version bump (`qA3dhash-v1` → `-v2`) leaves the old name's
+    * directory — with a full parquet generation — behind forever,
+    * because [[vacuumStale]] only ever sweeps inside one artifact's
+    * own dir. A deployment schedules this with its compaction cycle,
+    * passing the names its current code builds ([[live]]); any other
+    * artifact dir under the store root is reclaimed once every file
+    * in it is older than the grace (the same lazy-reader/live-writer
+    * window as the generation vacuum). Returns the names removed. */
+  def vacuumOrphans(spark: SparkSession, lakeDir: String,
+                    live: Set[String],
+                    explicitRoot: Option[String] = None): Seq[String] = {
+    val rootDir = new org.apache.hadoop.fs.Path(root(lakeDir, explicitRoot))
+    val fs = rootDir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(rootDir)) Nil
+    else {
+      val now = System.currentTimeMillis()
+      fs.listStatus(rootDir).toSeq.flatMap { st =>
+        val n = st.getPath.getName
+        val dead = st.isDirectory && !live.contains(n) &&
+          (try now - newestMtime(fs, st.getPath) >= vacuumGraceMs
+           catch { case _: java.io.IOException => false })
+        if (dead && (try { fs.delete(st.getPath, true) }
+                     catch { case _: java.io.IOException => false }))
+          Seq(n)
+        else Nil
       }
     }
   }

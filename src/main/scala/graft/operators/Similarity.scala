@@ -226,25 +226,47 @@ object Similarity {
       .select(col(idCol).as("id"), col(vecCol).as("v"),
         norm(col(vecCol)).as("nv"), col("ivf_cell").as("cell"))
       .filter(finiteNorm(col("nv")))
+    // the tag must identify WHICH columns were assigned, not just the
+    // frame: two calls on one frame with different id/vector columns
+    // share the semanticHash-keyed input half of the key
+    val tag = s"cellgeom-$idCol-$vecCol-$nlist-$iters"
     // keyed corpora memoize the assignment per (JVM, lake content) so
     // the pruned-exact siblings (qB6 threshold / qB7 top-k) share one
     // build — cachedOn checkpoints; the unkeyed path checkpoints here
     val assigned = cacheKey match {
-      case Some(_) => FrameCache.cachedOn(emb.sparkSession,
-        s"cellgeom-$nlist-$iters", emb)(assignPass)
+      case Some(_) => FrameCache.cachedOn(emb.sparkSession, tag, emb)(assignPass)
       case None => assignPass.localCheckpoint(true)
     }
-    val centDf = centroids.zipWithIndex.map { case (c, i) => (i, c) }
-      .toDF("cell", "__cent")
-    val radii = assigned
-      .join(broadcast(centDf), Seq("cell"))
-      .select(col("cell"), acos(least(lit(1.0), greatest(lit(-1.0),
-        dot(col("v").cast("array<double>"), col("__cent")) /
-          (col("nv") * sqrt(dot(col("__cent"), col("__cent"))))))).as("__ang"))
-      .groupBy(col("cell")).agg(max(col("__ang")).as("r"))
-      .collect().map(r => r.getInt(0) -> r.getDouble(1)).toMap
+    def radiiPass: Map[Int, Double] = {
+      val centDf = centroids.zipWithIndex.map { case (c, i) => (i, c) }
+        .toDF("cell", "__cent")
+      assigned
+        .join(broadcast(centDf), Seq("cell"))
+        .select(col("cell"), acos(least(lit(1.0), greatest(lit(-1.0),
+          dot(col("v").cast("array<double>"), col("__cent")) /
+            (col("nv") * sqrt(dot(col("__cent"), col("__cent"))))))).as("__ang"))
+        .groupBy(col("cell")).agg(max(col("__ang")).as("r"))
+        .collect().map(r => r.getInt(0) -> r.getDouble(1)).toMap
+    }
+    // radii are deterministic per (assignment, centroids) — memoize
+    // them under the SAME identity as the assignment (appId + tag +
+    // input plan/data fingerprint) so repeat invocations skip the
+    // scan+collect too, not just the assignment build
+    val radii = cacheKey match {
+      case Some(_) =>
+        val k = emb.sparkSession.sparkContext.applicationId + "|" + tag +
+          "|" + emb.queryExecution.analyzed.semanticHash() + ":" +
+          FrameCache.frameFingerprint(emb)
+        radiiCache.computeIfAbsent(k, _ => radiiPass)
+      case None => radiiPass
+    }
     (centroids, assigned, radii)
   }
+
+  /** [[cellGeometry]]'s driver-side radii memo (nlist doubles per
+    * entry — metadata, no eviction pressure). */
+  private val radiiCache =
+    new java.util.concurrent.ConcurrentHashMap[String, Map[Int, Double]]()
 
   /**
    * EXACT top-k most-similar pairs — same contract and output as

@@ -287,6 +287,45 @@ class LakeIngestSpec extends AnyFunSuite {
     }
   }
 
+  test("vacuumOrphans reclaims renamed families; read path clears stale markers") {
+    import spark.implicits._
+    import graft.operators.ArtifactStore
+    val prevGrace = sys.props.get("graft.artifacts.vacuumGraceMs")
+    sys.props("graft.artifacts.vacuumGraceMs") = "0"
+    try {
+      val lake = Files.createTempDirectory(
+        new File("target").toPath.toAbsolutePath, "art-orph").toString
+      val tableDir = new File(lake, "t.parquet").getAbsolutePath
+      val sidecar = Some(new File(lake, "_artifacts").getAbsolutePath)
+      (0L until 20L).toDF("id").write.mode("overwrite").parquet(tableDir)
+      def docs = spark.read.parquet(tableDir)
+      def build(name: String) = ArtifactStore.readOrBuild(spark, lake, name,
+        Seq(docs), explicitRoot = sidecar)(
+        docs.select(col("id"), (col("id") * 2).as("y")))
+      // v1 ships, then the builder bumps to v2: v1's dir is orphaned
+      build("thing-v1"); build("thing-v2")
+      assert(new File(sidecar.get, "thing-v1").isDirectory)
+      val removed = ArtifactStore.vacuumOrphans(spark, lake,
+        live = Set("thing-v2"), explicitRoot = sidecar)
+      assert(removed == Seq("thing-v1"), s"removed: $removed")
+      assert(!new File(sidecar.get, "thing-v1").exists())
+      assert(new File(sidecar.get, "thing-v2").isDirectory,
+        "live artifact must survive the orphan sweep")
+      // a `.superseded` marker on the CURRENT generation (lake rolled
+      // back to an old fingerprint) must be cleared by the read path,
+      // or the next supersede would reclaim it with zero grace
+      val gen = ArtifactStore.generations(spark, lake, "thing-v2", sidecar).head
+      val marker = new File(new File(new File(sidecar.get, "thing-v2"), gen),
+        ".superseded")
+      assert(marker.createNewFile())
+      build("thing-v2") // hit path
+      assert(!marker.exists(), "read path must clear the stale marker")
+    } finally prevGrace match {
+      case Some(v) => sys.props("graft.artifacts.vacuumGraceMs") = v
+      case None => sys.props.remove("graft.artifacts.vacuumGraceMs")
+    }
+  }
+
   test("artifact store: concurrent misses build once; in-memory inputs refused") {
     import spark.implicits._
     import graft.operators.ArtifactStore
