@@ -101,4 +101,29 @@ object LakeCompactor {
     }
     (folders, before, after)
   }
+
+  /** Compact PLUS artifact-sidecar maintenance in one maintenance
+    * cycle: after the small-file pass, reclaim orphaned artifact
+    * families under the table's `_artifacts` sidecar (a builder
+    * version bump strands the old name's generations forever
+    * otherwise — the per-artifact vacuum never sees sibling names).
+    * `artifactsLive` is the set of artifact names the CURRENT code
+    * builds; anything else under the sidecar is deleted once
+    * quiescent past the ArtifactStore grace window.
+    * @return (compaction triple, orphaned artifact names removed) */
+  def compactWithArtifacts(spark: SparkSession, root: String, db: String,
+                           table: String, artifactsLive: Set[String],
+                           timeCol: String = "time",
+                           targetFileBytes: Long = 128L * 1024 * 1024,
+                           catalog: Option[CatalogBackend] = None)
+      : ((Int, Int, Int), Seq[String]) = {
+    val c = compact(spark, root, db, table, timeCol, targetFileBytes, catalog)
+    val sidecar = new File(new File(new File(root, db), table), "_artifacts")
+    val removed =
+      if (!sidecar.isDirectory) Nil
+      else graft.operators.ArtifactStore.vacuumOrphans(spark,
+        sidecar.getAbsolutePath, artifactsLive,
+        explicitRoot = Some(sidecar.getAbsolutePath))
+    (c, removed)
+  }
 }

@@ -311,6 +311,24 @@ class LakeIngestSpec extends AnyFunSuite {
       assert(!new File(sidecar.get, "thing-v1").exists())
       assert(new File(sidecar.get, "thing-v2").isDirectory,
         "live artifact must survive the orphan sweep")
+      // the compactor carries the sweep in its maintenance cycle:
+      // stage an owned-lake layout (db/table/_artifacts) and bump
+      build("again-v1")
+      val owned = Files.createTempDirectory(
+        new File("target").toPath.toAbsolutePath, "art-owned").toString
+      val tdir = new File(new File(owned, "db"), "t")
+      assert(tdir.mkdirs())
+      (0L until 5L).toDF("id").coalesce(1).write.mode("overwrite")
+        .parquet(new File(tdir, "p").getAbsolutePath)
+      val ownedSidecar = new File(tdir, "_artifacts")
+      org.apache.commons.io.FileUtils.copyDirectory(
+        new File(sidecar.get), ownedSidecar)
+      val (_, orphans) = LakeCompactor.compactWithArtifacts(spark, owned,
+        "db", "t", artifactsLive = Set("thing-v2"))
+      assert(orphans.toSet == Set("again-v1"),
+        s"compactor sweep removed: $orphans")
+      assert(new File(ownedSidecar, "thing-v2").isDirectory)
+      assert(!new File(ownedSidecar, "again-v1").exists())
       // a `.superseded` marker on the CURRENT generation (lake rolled
       // back to an old fingerprint) must be cleared by the read path,
       // or the next supersede would reclaim it with zero grace
