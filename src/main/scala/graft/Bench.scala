@@ -205,13 +205,17 @@ object Bench {
       .replace("%p", ProcessHandle.current().pid().toString)
     // per-JVM logs accumulate one file per fork (tests included) with
     // nothing bounding the set — reclaim siblings older than a day so
-    // a long-lived workspace doesn't grow target/ without limit
-    try {
+    // a long-lived workspace doesn't grow target/ without limit.
+    // ONLY under the default target/ location and only files matching
+    // the exact per-pid shape gc-<digits>.log: with SPARK_GRAFT_GCLOG
+    // pointing into a shared directory (e.g. /var/log) a broad
+    // `gc-*.log` sweep would delete logs the bench does not own
+    if (!sys.env.contains("SPARK_GRAFT_GCLOG")) try {
       val dir = new java.io.File(gcLogPath).getAbsoluteFile.getParentFile
       val cutoff = System.currentTimeMillis() - 24L * 3600 * 1000
+      val own = "gc-[0-9]+\\.log".r
       Option(dir.listFiles()).getOrElse(Array.empty).foreach { f =>
-        if (f.getName.startsWith("gc-") && f.getName.endsWith(".log") &&
-            f.lastModified() < cutoff) f.delete()
+        if (own.matches(f.getName) && f.lastModified() < cutoff) f.delete()
       }
     } catch { case _: Exception => () }
     def gcLogLen(): Long = {

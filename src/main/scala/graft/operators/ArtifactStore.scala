@@ -35,9 +35,11 @@ import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
  * for an hour still gets the full grace after replacement. Staging
  * dirs of builds LIVE in this JVM are never touched (tracked in
  * [[ownStaging]]); crashed-build leftovers age out like foreign
- * ones. Disk cost of the gate: at most one superseded generation
- * per artifact lingers until a post-grace build's vacuum reclaims
- * it.
+ * ones. The vacuum runs after every build AND on every read of a
+ * complete generation, so a superseded generation lingers at most
+ * one grace window past the next touch of the artifact — a lake
+ * regenerated once and then left stable still gets its old
+ * generation reclaimed by ordinary reads.
  *
  * Placement: for a lake the engine OWNS (a [[graft.streaming.LakeIngest]]
  * deployment), pass `explicitRoot = <table dir>/_artifacts` — the
@@ -81,8 +83,11 @@ object ArtifactStore {
     * reclaimed only once quiescent for this long. Tests set the
     * property to 0 to exercise the reclaim path synchronously. */
   private def vacuumGraceMs: Long =
-    sys.props.get("graft.artifacts.vacuumGraceMs").map(_.toLong)
-      .getOrElse(15L * 60 * 1000)
+    sys.props.get("graft.artifacts.vacuumGraceMs")
+      .flatMap(s => scala.util.Try(s.trim.toLong).toOption)
+      .getOrElse(15L * 60 * 1000) // malformed override → default: a bad
+      // ops value must not throw out of a vacuum and fail a query
+      // whose artifact already committed
 
   private[operators] def md5(s: String): String =
     java.security.MessageDigest.getInstance("MD5")
@@ -179,11 +184,21 @@ object ArtifactStore {
     // a generation can come back into currency after a lake rollback:
     // clear any `.superseded` marker a past vacuum left, or the NEXT
     // supersede would find a pre-aged marker and reclaim this
-    // generation with zero effective grace
+    // generation with zero effective grace. MUST precede the read-path
+    // vacuum below, which would otherwise see the pre-aged marker and
+    // reclaim the very generation we are about to read.
     try {
       val m = new org.apache.hadoop.fs.Path(target, ".superseded")
       if (fs.exists(m)) fs.delete(m, false)
     } catch { case _: java.io.IOException => () }
+    // read-path maintenance: without this, a lake regenerated ONCE and
+    // then stable leaks its superseded generation forever — the build-
+    // branch vacuum marks it but only a LATER vacuum (which would only
+    // run on the next fingerprint change) could pass the age gate and
+    // delete it. Safe without the build lock: live same-JVM staging is
+    // shielded by [[ownStaging]], cross-process work by the age gate,
+    // and every probe tolerates a racing sweep.
+    vacuumStale(fs, artDir, keep = s"fp=$fp")
     spark.read.parquet(target.toString)
   }
 
@@ -229,6 +244,11 @@ object ArtifactStore {
     fs.listStatus(artDir).foreach { st =>
       val p = st.getPath
       val n = p.getName
+      // the ownStaging check is defense-in-depth here: same-artifact
+      // builds serialize on the artifact-dir lock and the current
+      // build deregisters before vacuuming, so in the build path it
+      // cannot fire — but the READ-path vacuum runs without the lock,
+      // where a concurrent same-JVM build's staging IS live
       if (st.isDirectory && n != keep && !ownStaging.contains(p.toString)) {
         try {
           if (n.startsWith(".tmp-")) {
@@ -267,7 +287,16 @@ object ArtifactStore {
       val now = System.currentTimeMillis()
       fs.listStatus(rootDir).toSeq.flatMap { st =>
         val n = st.getPath.getName
-        val dead = st.isDirectory && !live.contains(n) &&
+        // never sweep a family with a build LIVE in this JVM, whatever
+        // the caller's `live` set claims — a mis-passed set must not
+        // delete a staging dir mid-write (the per-artifact lock does
+        // not protect this root-level sweep)
+        val qual = fs.makeQualified(st.getPath).toString
+        val hasLiveStaging = {
+          import scala.jdk.CollectionConverters._
+          ownStaging.asScala.exists(_.startsWith(qual + "/"))
+        }
+        val dead = st.isDirectory && !live.contains(n) && !hasLiveStaging &&
           (try now - newestMtime(fs, st.getPath) >= vacuumGraceMs
            catch { case _: java.io.IOException => false })
         if (dead && (try { fs.delete(st.getPath, true) }

@@ -292,6 +292,12 @@ object Similarity {
                          cacheKey: Option[String] = None): DataFrame = {
     val spark = emb.sparkSession
     import spark.implicits._
+    // k ≤ 0 → empty, matching allPairsTopK's limit(0) behavior (the
+    // phase-1 bound below would otherwise evaluate `min` of an empty
+    // score set: 0 collected == k is true when k == 0)
+    if (k <= 0)
+      return emb.limit(0).select(col(idCol).as("id_a"),
+        col(idCol).as("id_b"), lit(0.0).as("cos_sim"))
     val (centroids, assigned, radii) =
       cellGeometry(emb, idCol, vecCol, nlist, iters, cacheKey)
     def scored(pairs: DataFrame): DataFrame =

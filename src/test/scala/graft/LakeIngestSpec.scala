@@ -287,6 +287,48 @@ class LakeIngestSpec extends AnyFunSuite {
     }
   }
 
+  test("read path reclaims a superseded generation without another build") {
+    import spark.implicits._
+    import graft.operators.ArtifactStore
+    val prevGrace = sys.props.get("graft.artifacts.vacuumGraceMs")
+    val lake = Files.createTempDirectory(
+      new File("target").toPath.toAbsolutePath, "art-read").toString
+    val tableDir = new File(lake, "t.parquet").getAbsolutePath
+    val sidecar = Some(new File(lake, "_artifacts").getAbsolutePath)
+    def regen(n: Long): Unit = {
+      Thread.sleep(1100)
+      (0L until n).toDF("id").write.mode("overwrite").parquet(tableDir)
+    }
+    def docs = spark.read.parquet(tableDir)
+    def art() = ArtifactStore.readOrBuild(spark, lake, "readfp",
+      Seq(docs), explicitRoot = sidecar)(
+      docs.select(col("id"), (col("id") + 1).as("y")))
+    try {
+      // malformed grace override must not throw out of any path —
+      // falls back to the default (review fix: NumberFormatException
+      // escaped the vacuum's IOException-only catches)
+      sys.props("graft.artifacts.vacuumGraceMs") = "15m"
+      regen(10); assert(art().count() == 10)
+      // lake regenerated ONCE, then stable: the new build marks the
+      // old generation superseded but (grace 1 h) keeps it
+      sys.props("graft.artifacts.vacuumGraceMs") = "3600000"
+      regen(20); assert(art().count() == 20)
+      assert(ArtifactStore.generations(spark, lake, "readfp", sidecar)
+        .size == 2)
+      // no further build ever happens; an ORDINARY READ past the
+      // grace must reclaim the leak (review fix: the vacuum only ran
+      // in the build branch, so a once-regenerated-then-stable lake
+      // leaked its old generation forever)
+      sys.props("graft.artifacts.vacuumGraceMs") = "0"
+      assert(art().count() == 20)
+      assert(ArtifactStore.generations(spark, lake, "readfp", sidecar)
+        .size == 1, "read-path vacuum did not reclaim the superseded gen")
+    } finally prevGrace match {
+      case Some(v) => sys.props("graft.artifacts.vacuumGraceMs") = v
+      case None => sys.props.remove("graft.artifacts.vacuumGraceMs")
+    }
+  }
+
   test("vacuumOrphans reclaims renamed families; read path clears stale markers") {
     import spark.implicits._
     import graft.operators.ArtifactStore

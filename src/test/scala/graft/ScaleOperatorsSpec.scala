@@ -657,5 +657,13 @@ class ScaleOperatorsSpec extends AnyFunSuite {
     assert(rows(Similarity.allPairsTopKPruned(
         cl, "vec_id", "embedding", 10, nlist = 3, iters = 4)) ==
       rows(Similarity.allPairsTopK(cl, "vec_id", "embedding", 10)))
+    // k == 0: empty with the brute-force path's column shape (the
+    // phase-1 bound used to evaluate `min` of an empty score set)
+    val z = Similarity.allPairsTopKPruned(emb, "vec_id", "embedding", 0,
+      nlist = 8)
+    assert(z.count() == 0)
+    assert(z.schema.map(f => (f.name, f.dataType)) ==
+      Similarity.allPairsTopK(emb, "vec_id", "embedding", 0)
+        .schema.map(f => (f.name, f.dataType)))
   }
 }
