@@ -329,6 +329,58 @@ object Similarity {
   }
 
   /**
+   * D4-style PROTOTYPICALITY filter (Tirumala et al. 2023, "D4:
+   * Improving LLM Pretraining via Document De-Duplication and
+   * Diversification") — the diversification half of the D4 recipe,
+   * whose dedup half is [[semanticDedup]]: within each k-means cell,
+   * the members MOST similar to their cell centroid are the
+   * over-represented template mass (generic boilerplate survives
+   * near-dup dedup as many distinct-but-interchangeable documents),
+   * so the top `dropFrac` fraction by cosine-to-centroid is dropped
+   * and the diverse tail kept. Every finite-norm input id is emitted
+   * with its cell, rounded prototypicality score, and the keep
+   * decision: rank within the cell by RAW cosine descending (id
+   * tie-break), keep rank > floor(|cell| · dropFrac).
+   *
+   * Scale shape: one geometry pass (shared [[cellGeometry]] — under
+   * `cacheKey` the same per-(JVM, lake) artifact the pruned-exact
+   * pair operators reuse), a broadcast centroid join, and a per-cell
+   * window rank. The window sorts one cell per task — cells are
+   * n/nlist-sized by construction, so pick nlist ∝ n / (target cell
+   * size) exactly as for [[semanticDedup]]; a hot cell costs one
+   * O(|cell| log |cell|) sort task, never a quadratic join. With
+   * nlist = 1 the centroid is the global mean after the first Lloyd
+   * pass (all vectors share the one cell), which is what qB8's full
+   * SQL oracle replays — cosine is scale-invariant, so the oracle
+   * may rank against the per-dimension SUM vector.
+   */
+  def prototypicalityFilter(emb: DataFrame, idCol: String, vecCol: String,
+                            dropFrac: Double, nlist: Int, iters: Int = 2,
+                            cacheKey: Option[String] = None): DataFrame = {
+    require(dropFrac >= 0.0 && dropFrac < 1.0,
+      s"dropFrac must be in [0, 1), got $dropFrac")
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val (centroids, assigned, _) =
+      cellGeometry(emb, idCol, vecCol, nlist, iters, cacheKey)
+    val centDf = centroids.zipWithIndex.map { case (c, i) =>
+      (i, c, math.sqrt(c.map(x => x * x).sum)) }
+      .toDF("cell", "__cent", "__cnorm")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("cell")).orderBy(col("__cos").desc, col("id"))
+    val wc = org.apache.spark.sql.expressions.Window.partitionBy(col("cell"))
+    assigned.join(broadcast(centDf), Seq("cell"))
+      .select(col("id"), col("cell"),
+        (dot(col("v").cast("array<double>"), col("__cent")) /
+          (col("nv") * col("__cnorm"))).as("__cos"))
+      .select(col("id"), col("cell"), col("__cos"),
+        (row_number().over(w) >
+          floor(count(lit(1)).over(wc) * lit(dropFrac))).as("kept"))
+      .select(col("id"), col("cell"),
+        round(col("__cos"), 4).as("cos_proto"), col("kept"))
+  }
+
+  /**
    * SemDeDup-style semantic dedup (Abbas et al. 2023): k-means
    * (IvfIndex's deterministic Lloyd) partitions the corpus into
    * `nlist` cells, the quadratic cosine edge search runs only WITHIN

@@ -1377,6 +1377,20 @@ object Pipeline {
     "qB7_topk_pruned" -> ((s, dir) => {
       Similarity.allPairsTopKPruned(T(s, dir)("embeddings"), "vec_id",
         "embedding", k = 20, nlist = 16, cacheKey = Some(dir))
+    }),
+
+    // D4 diversification (Tirumala et al. 2023): drop the most
+    // PROTOTYPICAL quarter (closest to centroid — the generic
+    // template mass that survives near-dup dedup), keep the diverse
+    // tail. nlist=1 so the centroid is the global mean and the full
+    // SQL oracle can replay the ranking (cosine is scale-invariant:
+    // the oracle ranks against the per-dimension SUM vector); the
+    // multi-cell path is pinned against this one in ScaleOperatorsSpec
+    "qB8_proto_filter" -> ((s, dir) => {
+      Similarity.prototypicalityFilter(T(s, dir)("embeddings"), "vec_id",
+          "embedding", dropFrac = 0.25, nlist = 1, iters = 1,
+          cacheKey = Some(dir))
+        .orderBy(col("id"))
     })
   )
 
@@ -2647,6 +2661,27 @@ object Pipeline {
              round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
                                           CAST(b.embedding AS DOUBLE[])), 4) AS cos_sim
       FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
-      ORDER BY cos_sim DESC, id_a, id_b LIMIT 20"""
+      ORDER BY cos_sim DESC, id_a, id_b LIMIT 20""",
+    "qB8_proto_filter" -> """
+      WITH s AS (
+        SELECT ord, sum(x) AS sx
+        FROM (SELECT unnest(CAST(embedding AS DOUBLE[])) AS x,
+                     generate_subscripts(embedding, 1) AS ord
+              FROM embeddings)
+        GROUP BY ord),
+      mv AS (SELECT list(sx ORDER BY ord) AS c FROM s),
+      scored AS (
+        SELECT e.vec_id,
+               list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), mv.c) AS cs
+        FROM embeddings e, mv),
+      ranked AS (
+        SELECT vec_id, cs,
+               row_number() OVER (ORDER BY cs DESC, vec_id) AS rn,
+               count(*) OVER () AS n
+        FROM scored)
+      SELECT vec_id AS id, CAST(0 AS INT) AS cell,
+             round(cs, 4) AS cos_proto,
+             rn > floor(n * 0.25) AS kept
+      FROM ranked ORDER BY id"""
   ).map { case (k, v) => k -> v.trim.replaceAll("\\s+", " ") }
 }

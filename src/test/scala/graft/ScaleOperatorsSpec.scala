@@ -666,4 +666,66 @@ class ScaleOperatorsSpec extends AnyFunSuite {
       Similarity.allPairsTopK(emb, "vec_id", "embedding", 0)
         .schema.map(f => (f.name, f.dataType)))
   }
+
+  test("prototypicalityFilter: D4 drop-most-prototypical semantics") {
+    import graft.operators.Similarity
+    import spark.implicits._
+    // nlist=1 against an independent global-mean ranking (the qB8
+    // oracle's premise, re-derived here in plain Scala)
+    val emb = Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
+    val out = Similarity.prototypicalityFilter(
+      emb, "vec_id", "embedding", dropFrac = 0.25, nlist = 1, iters = 1)
+      .collect().map(r => (r.getLong(0), r.getBoolean(3))).toMap
+    val vecs = emb.select(col("vec_id"),
+        col("embedding").cast("array<double>"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1).toArray).toMap
+    val dim = vecs.head._2.length
+    val mean = Array.tabulate(dim)(j => vecs.values.map(_(j)).sum / vecs.size)
+    def cosTo(v: Array[Double], c: Array[Double]): Double = {
+      val d = v.zip(c).map { case (a, b) => a * b }.sum
+      d / (math.sqrt(v.map(x => x * x).sum) * math.sqrt(c.map(x => x * x).sum))
+    }
+    val byProto = vecs.toSeq.map { case (id, v) => (id, cosTo(v, mean)) }
+      .sortBy { case (id, c) => (-c, id) }.map(_._1)
+    val expectDropped = byProto.take((vecs.size * 0.25).toInt).toSet
+    assert(vecs.keySet.forall(id => out(id) == !expectDropped(id)),
+      "nlist=1 keep set must equal the global-mean ranking's bottom 75%")
+    // multi-cell path on planted clusters with exact clones at each
+    // center: per cell, exactly floor(|cell| * frac) drop, every
+    // dropped member at least as prototypical as every kept one, and
+    // the center clones (maximally prototypical) dropped first
+    val rnd = new scala.util.Random(11)
+    val cl = (for (c <- 0 until 3; i <- 0 until 40) yield {
+      val clone = i < 6 // six exact center clones per cohort
+      val v = Array.tabulate(16)(j =>
+        (if (j == c * 5) 1.0 else 0.0) +
+          (if (clone) 0.0 else rnd.nextGaussian() * 0.05))
+      ((i * 3 + c).toLong, v.map(_.toFloat).toSeq)
+    }).toDF("vec_id", "embedding")
+    val res = Similarity.prototypicalityFilter(
+        cl, "vec_id", "embedding", dropFrac = 0.2, nlist = 3, iters = 4)
+      .collect().map(r =>
+        (r.getLong(0), r.getInt(1), r.getDouble(2), r.getBoolean(3)))
+    assert(res.length == 120)
+    res.groupBy(_._2).foreach { case (cell, members) =>
+      val dropped = members.filter(!_._4)
+      val kept = members.filter(_._4)
+      assert(dropped.length == (members.length * 0.2).toInt,
+        s"cell $cell dropped ${dropped.length} of ${members.length}")
+      if (dropped.nonEmpty && kept.nonEmpty)
+        assert(dropped.map(_._3).min >= kept.map(_._3).max - 1e-9,
+          s"cell $cell kept a more-prototypical member than it dropped")
+    }
+    // a clone IS the centroid direction — none may survive while any
+    // non-clone of its cohort is dropped; with 8 drops per 40-member
+    // cell the 6 clones are all gone
+    val cloneIds = (for (c <- 0 until 3; i <- 0 until 6)
+      yield (i * 3 + c).toLong).toSet
+    assert(res.filter(r => cloneIds(r._1)).forall(!_._4),
+      "center clones must be dropped first")
+    // dropFrac = 0 keeps everything
+    assert(Similarity.prototypicalityFilter(
+        cl, "vec_id", "embedding", dropFrac = 0.0, nlist = 3)
+      .filter(!col("kept")).count() == 0)
+  }
 }
