@@ -1177,4 +1177,55 @@ object TextAnalysis {
         (r.getLong(0), logit, logit > 0.0)
       }.toDF(idCol, "logit", "pred")
   }
+
+  /**
+   * GUARANTEED φ-heavy hitters over the corpus token n-gram stream —
+   * the bounded-memory "what dominates this corpus" probe (stopword
+   * mass at n = 1, templated boilerplate at n ≥ 2, hot URLs/domains
+   * on a pre-extracted column). Exact output: every gram occurring
+   * MORE than `phi` × (total gram count) times, with its exact count.
+   *
+   * Two passes, neither shuffling the gram space:
+   *  1. candidates — one [[graft.functions.MisraGries]] summary
+   *     (partial/final mergeable aggregate, ≤ k entries per task
+   *     cross the wire) plus the exact stream length in the same
+   *     aggregate. `(k+1) · phi ≥ 1` makes the summary a PROVEN
+   *     superset of the φ-heavy set, so the sketch never costs
+   *     recall — it only bounds who needs re-counting;
+   *  2. exact verify — re-scan with a broadcast ≤ k-entry candidate
+   *     join (map-side filter drops the cold tail before any
+   *     aggregation), count only survivors, keep `cnt > phi·N`.
+   *
+   * The exact `groupBy(gram).count()` alternative shuffles a hash
+   * table of corpus-cardinality distinct grams; here shuffle volume
+   * is O(k × tasks) + O(k) regardless of gram cardinality. The gram
+   * explode runs twice — at 100 TB a re-scan is cheaper than
+   * materializing a grams-stream bigger than the corpus.
+   */
+  def heavyGrams(docs: DataFrame, idCol: String, textCol: String,
+                 n: Int, phi: Double, k: Int): DataFrame = {
+    require(phi > 0.0 && phi < 1.0, s"phi must be in (0, 1), got $phi")
+    require((k + 1).toDouble * phi >= 1.0,
+      s"k = $k loses the recall guarantee at phi = $phi: need k+1 >= 1/phi")
+    require(k <= (1 << 20), s"candidate cap k = $k exceeds the driver-" +
+      "metadata bound (the summary is collected)")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    def grams = docs.select(explode(graft.functions.ShingleExprs
+        .token_grams(col(textCol), n, overlapping = true)).as("gram"))
+      .filter(col("gram").isNotNull)
+    val mg = udaf(new graft.functions.MisraGries(k),
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[String]())
+    val row = grams.agg(mg(col("gram")).as("cand"),
+      count(lit(1)).as("total")).head()
+    val total = row.getLong(1)
+    val cands = row.getSeq[org.apache.spark.sql.Row](0).map(_.getString(0))
+    if (cands.isEmpty || total == 0L)
+      return grams.limit(0)
+        .select(col("gram"), lit(0L).as("cnt"))
+    grams.join(broadcast(cands.toDF("gram")), Seq("gram"))
+      .groupBy(col("gram")).agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt").cast("double") > lit(phi) * lit(total.toDouble))
+      .orderBy(col("cnt").desc, col("gram"))
+  }
 }

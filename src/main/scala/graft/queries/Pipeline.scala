@@ -1391,6 +1391,16 @@ object Pipeline {
           "embedding", dropFrac = 0.25, nlist = 1, iters = 1,
           cacheKey = Some(dir))
         .orderBy(col("id"))
+    }),
+
+    // guaranteed heavy hitters over the corpus token stream: a
+    // Misra-Gries mergeable summary bounds the candidate set (k
+    // entries per task cross the wire, never the gram cardinality),
+    // then an exact broadcast-filtered re-count makes the answer
+    // sketch-free — full oracle vs DuckDB's brute-force GROUP BY
+    "qB9_heavy_tokens" -> ((s, dir) => {
+      TextAnalysis.heavyGrams(T(s, dir)("documents"), "doc_id", "text",
+        n = 1, phi = 0.005, k = 256)
     })
   )
 
@@ -2682,6 +2692,14 @@ object Pipeline {
       SELECT vec_id AS id, CAST(0 AS INT) AS cell,
              round(cs, 4) AS cos_proto,
              rn > floor(n * 0.25) AS kept
-      FROM ranked ORDER BY id"""
+      FROM ranked ORDER BY id""",
+    "qB9_heavy_tokens" -> """
+      WITH g AS (SELECT unnest(regexp_extract_all(text, '\S+')) AS gram
+                 FROM documents),
+      c AS (SELECT gram, count(*) AS cnt FROM g GROUP BY 1),
+      t AS (SELECT count(*) AS total FROM g)
+      SELECT gram, cnt FROM c, t
+      WHERE CAST(cnt AS DOUBLE) > CAST(0.005 AS DOUBLE) * CAST(total AS DOUBLE)
+      ORDER BY cnt DESC, gram"""
   ).map { case (k, v) => k -> v.trim.replaceAll("\\s+", " ") }
 }

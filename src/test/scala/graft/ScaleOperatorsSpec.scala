@@ -728,4 +728,49 @@ class ScaleOperatorsSpec extends AnyFunSuite {
         cl, "vec_id", "embedding", dropFrac = 0.0, nlist = 3)
       .filter(!col("kept")).count() == 0)
   }
+
+  test("MisraGries guarantees + heavyGrams equals brute force") {
+    import spark.implicits._
+    import graft.functions.MisraGries
+    // adversarial eviction pressure: one heavy item, then a flood of
+    // distinct singletons each trying to decrement it away. N = 1050,
+    // k = 9 -> undercount <= N/(k+1) = 105 < 150 = true count, so the
+    // heavy item MUST survive with est >= 45
+    val stream = Seq.fill(150)("hh") ++ (0 until 900).map(i => s"x$i")
+    val mg = org.apache.spark.sql.functions.udaf(new MisraGries(9),
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[String]())
+    def summary(parts: Int): Map[String, Long] =
+      stream.toDF("g").repartition(parts).agg(mg(col("g")))
+        .head().getSeq[org.apache.spark.sql.Row](0)
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+    for (parts <- Seq(1, 7, 32)) { // 7/32 exercise the mergeable path
+      val s = summary(parts)
+      assert(s.size <= 9, s"summary over capacity at $parts partitions")
+      assert(s.contains("hh"),
+        s"guaranteed heavy item evicted at $parts partitions")
+      assert(s("hh") >= 150L - 105L && s("hh") <= 150L,
+        s"estimate ${s.get("hh")} outside the MG bound at $parts partitions")
+    }
+    // end-to-end: exact verify over the sketch candidates must equal
+    // DuckDB-style brute force (computed here with a plain groupBy)
+    val docs = Tables.load(spark, "/root/testdata/sf0.001", "documents")
+    val hh = graft.operators.TextAnalysis
+      .heavyGrams(docs, "doc_id", "text", n = 1, phi = 0.01, k = 256)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    val toks = docs.select(explode(graft.operators.TextAnalysis
+      .tokens(col("text"))).as("g"))
+    val total = toks.count()
+    val brute = toks.groupBy(col("g")).count()
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+      .filter(_._2.toDouble > 0.01 * total.toDouble)
+      .sortBy { case (g, c) => (-c, g) }.toSeq
+    assert(hh == brute, s"heavyGrams diverged from brute force: " +
+      s"got ${hh.take(3)}…, want ${brute.take(3)}…")
+    assert(hh.nonEmpty, "fixture premise: the corpus has 1%-heavy tokens")
+    // recall-guarantee precondition is enforced loudly
+    intercept[IllegalArgumentException] {
+      graft.operators.TextAnalysis
+        .heavyGrams(docs, "doc_id", "text", n = 1, phi = 0.001, k = 256)
+    }
+  }
 }
