@@ -482,4 +482,59 @@ class StreamingSpec extends AnyFunSuite {
       }
     } finally q.stop()
   }
+
+  test("streaming heavy hitters: sharded MG state tracks the ingested corpus") {
+    import graft.streaming.StreamingHeavyHitters
+    val batchDocs = Tables.load(spark, "/root/testdata/sf0.001", "documents")
+    // four files -> four micro-batches, so the summary evolves
+    val d = java.nio.file.Files.createTempDirectory(
+      new java.io.File("target").toPath.toAbsolutePath, "hh-stream").toString
+    batchDocs.repartition(4).write.mode("overwrite").parquet(d)
+    val truth = batchDocs.select(explode(graft.operators.TextAnalysis
+        .tokens(col("text"))).as("g"))
+      .groupBy("g").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val n = truth.values.sum
+
+    def run(k: Int, name: String): Map[Int, (Map[String, Long], Long)] = {
+      val latest =
+        new java.util.concurrent.ConcurrentHashMap[Int, (Map[String, Long], Long)]()
+      val stream = spark.readStream.schema(batchDocs.schema)
+        .option("maxFilesPerTrigger", 1).parquet(d)
+      val q = StreamingHeavyHitters.heavyGrams(stream, "text", n = 1, k = k)
+        .writeStream.outputMode("update")
+        .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+          batch.collect().foreach { r =>
+            latest.put(r.getInt(0),
+              (r.getSeq[org.apache.spark.sql.Row](1)
+                .map(h => h.getString(0) -> h.getLong(1)).toMap,
+               r.getLong(2)))
+          }
+        }.start()
+      try q.processAllAvailable() finally q.stop()
+      import scala.jdk.CollectionConverters._
+      latest.asScala.toMap
+    }
+
+    // k=64 under real eviction pressure: totals exact, the phi-heavy
+    // guarantee holds for every phi with (k+1)*phi >= 1, estimates
+    // never exceed truth and undercount within N_shard/(k+1) <= N/65
+    val tight = run(64, "hh64")
+    assert(tight.values.map(_._2).sum == n, "shard totals must sum to N")
+    val cands64 = tight.values.flatMap(_._1).toMap
+    val phi = 1.0 / 65.0
+    truth.filter(_._2.toDouble > phi * n.toDouble).keys.foreach { g =>
+      assert(cands64.contains(g), s"guaranteed heavy gram '$g' missing")
+    }
+    cands64.foreach { case (g, est) =>
+      assert(est <= truth(g), s"'$g' overestimated: $est > ${truth(g)}")
+      assert(est >= truth(g) - n / 65, s"'$g' below the MG bound")
+    }
+    // k large enough that no shard ever overflows: base stays 0 and
+    // the union of summaries IS the exact batch count table
+    val exact = run(8192, "hh8k")
+    val candsBig = exact.values.flatMap(_._1).toMap
+    assert(candsBig == truth,
+      "non-overflowed shards must hold exact running counts")
+  }
 }
