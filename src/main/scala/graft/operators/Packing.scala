@@ -114,4 +114,51 @@ object Packing {
         least(col(weightCol).cast("long"),
           (col("seq_id") + lit(1L)) * L - col("cum_before")).as("tok_end"))
   }
+
+  /**
+   * Overlapping retrieval chunks — the RAG-ingest layout, PER
+   * document (unlike [[packSequences]], which packs a global training
+   * stream ACROSS document boundaries): each document's token stream
+   * is cut into windows of `width` tokens starting every `stride`
+   * tokens, so consecutive chunks overlap by `width − stride` and no
+   * passage is split without also appearing whole in a neighbor.
+   * Emitted columns: (doc_id, chunk_idx, tok_start, tok_end,
+   * chunk_text), spans 1-based inclusive in the document's token
+   * coordinates — the metadata an index needs to map a retrieved
+   * chunk back to its source span.
+   *
+   * Contract, integer-exact (the qBA oracle replays it verbatim):
+   * starts are 1, 1+stride, 2·stride+1, …; a start is kept while it
+   * is 1 or extends coverage (start ≤ n − width + stride — a tail
+   * window fully contained in its predecessor is redundant retrieval
+   * mass and is dropped); the final chunk clips to the document end.
+   * Zero-token documents emit no chunks.
+   *
+   * Scale shape: pure per-row explode — tokenize once, one Generate,
+   * no shuffle at all; ~n/stride output rows per document. The
+   * bounded per-doc fan-out (≤ n/stride + 1) keeps task memory flat;
+   * chunk text is materialized by slicing the one token array, never
+   * by re-tokenizing per chunk.
+   */
+  def chunkWindows(docs: DataFrame, idCol: String, textCol: String,
+                   width: Int, stride: Int): DataFrame = {
+    require(width > 0, s"chunk width must be positive, got $width")
+    require(stride > 0 && stride <= width,
+      s"stride must be in [1, width], got $stride (width $width)")
+    val toks = coalesce(TextAnalysis.tokens(col(textCol)),
+      array().cast("array<string>"))
+    docs.select(col(idCol).as("doc_id"), toks.as("t"))
+      .select(col("doc_id"), size(col("t")).cast("long").as("n"), col("t"))
+      .filter(col("n") >= 1)
+      .select(col("doc_id"), col("n"), col("t"),
+        posexplode(sequence(lit(1L), col("n"), lit(stride.toLong)))
+          .as(Seq("ci", "start")))
+      .filter(col("start") === 1 ||
+        col("start") <= col("n") - lit(width.toLong) + lit(stride.toLong))
+      .select(col("doc_id"), col("ci").cast("long").as("chunk_idx"),
+        col("start").as("tok_start"),
+        least(col("start") + lit((width - 1).toLong), col("n")).as("tok_end"),
+        concat_ws(" ", slice(col("t"), col("start"), lit(width)))
+          .as("chunk_text"))
+  }
 }

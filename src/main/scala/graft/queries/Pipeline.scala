@@ -1401,6 +1401,16 @@ object Pipeline {
     "qB9_heavy_tokens" -> ((s, dir) => {
       TextAnalysis.heavyGrams(T(s, dir)("documents"), "doc_id", "text",
         n = 1, phi = 0.005, k = 256)
+    }),
+
+    // RAG-ingest chunk layout: per-document overlapping token windows
+    // (64 wide, every 48 -> 16-token overlap) with source-span
+    // metadata; redundant fully-contained tail windows dropped.
+    // Integer-exact contract, replayed verbatim by the oracle
+    "qBA_chunk_windows" -> ((s, dir) => {
+      Packing.chunkWindows(T(s, dir)("documents"), "doc_id", "text",
+          width = 64, stride = 48)
+        .orderBy(col("doc_id"), col("chunk_idx"))
     })
   )
 
@@ -2700,6 +2710,21 @@ object Pipeline {
       t AS (SELECT count(*) AS total FROM g)
       SELECT gram, cnt FROM c, t
       WHERE CAST(cnt AS DOUBLE) > CAST(0.005 AS DOUBLE) * CAST(total AS DOUBLE)
-      ORDER BY cnt DESC, gram"""
+      ORDER BY cnt DESC, gram""",
+    "qBA_chunk_windows" -> """
+      WITH toks AS (SELECT doc_id, regexp_extract_all(text, '\S+') AS t
+                    FROM documents),
+      d AS (SELECT doc_id, CAST(len(t) AS BIGINT) AS n, t
+            FROM toks WHERE len(t) >= 1),
+      s AS (SELECT doc_id, n, t, unnest(range(1, n + 1, 48)) AS start FROM d),
+      k AS (SELECT doc_id, n, t, CAST(start AS BIGINT) AS start,
+                   (start - 1) // 48 AS chunk_idx
+            FROM s WHERE start = 1 OR start <= n - 64 + 48)
+      SELECT doc_id, CAST(chunk_idx AS BIGINT) AS chunk_idx,
+             start AS tok_start,
+             least(start + 63, n) AS tok_end,
+             array_to_string(list_slice(t, start, least(start + 63, n)), ' ')
+               AS chunk_text
+      FROM k ORDER BY doc_id, chunk_idx"""
   ).map { case (k, v) => k -> v.trim.replaceAll("\\s+", " ") }
 }

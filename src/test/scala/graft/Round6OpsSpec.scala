@@ -306,4 +306,47 @@ class Round6OpsSpec extends AnyFunSuite {
     assert(kept > 0 && kept < n,
       s"expected a mix of keep/drop, got $kept of $n")
   }
+
+  test("chunkWindows: full coverage, exact overlap, no redundant tails") {
+    import spark.implicits._
+    // doc sizes around every boundary: empty, null, single token,
+    // under/at/over width, grid-aligned and not
+    val mk = (id: Long, n: Int) =>
+      (id, if (n < 0) null else (1 to n).map(i => s"t$i").mkString(" "))
+    val docs = Seq(mk(0, 0), mk(1, -1), mk(2, 1), mk(3, 7), mk(4, 8),
+      mk(5, 9), mk(6, 12), mk(7, 20), mk(8, 21), mk(9, 100))
+      .toDF("doc_id", "text")
+    val width = 8; val stride = 5
+    val out = graft.operators.Packing
+      .chunkWindows(docs, "doc_id", "text", width, stride)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getString(4)))
+    val n = Map(0L -> 0, 1L -> 0, 2L -> 1, 3L -> 7, 4L -> 8, 5L -> 9,
+      6L -> 12, 7L -> 20, 8L -> 21, 9L -> 100)
+    assert(!out.exists(c => c._1 == 0L || c._1 == 1L),
+      "empty/null docs must emit no chunks")
+    out.groupBy(_._1).foreach { case (id, cs) =>
+      val sorted = cs.sortBy(_._2)
+      // dense indices, starts on the stride grid, spans match text
+      assert(sorted.map(_._2).toSeq == sorted.indices.map(_.toLong))
+      sorted.foreach { case (_, ci, s, e, text) =>
+        assert(s == ci * stride + 1 && e == math.min(s + width - 1, n(id)))
+        assert(text == (s to e).map(i => s"t$i").mkString(" "))
+      }
+      // coverage: every token position falls inside some chunk
+      val covered = sorted.flatMap(c => c._3 to c._4).toSet
+      assert(covered == (1 to n(id)).toSet, s"doc $id coverage hole")
+      // no chunk contained in its predecessor (redundant tails dropped)
+      sorted.sliding(2).foreach {
+        case Array(a, b) => assert(b._4 > a._4,
+          s"doc $id chunk ${b._2} adds no coverage")
+        case _ =>
+      }
+    }
+    // invalid geometry is refused loudly
+    intercept[IllegalArgumentException] {
+      graft.operators.Packing.chunkWindows(docs, "doc_id", "text", 8, 9)
+    }
+  }
 }
