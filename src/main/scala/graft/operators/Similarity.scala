@@ -381,6 +381,57 @@ object Similarity {
   }
 
   /**
+   * Per-group embedding CENTROID-DRIFT matrix — the embedding-space
+   * sibling of [[TextAnalysis.klDriftMatrix]]'s token-distribution
+   * probe: for every group pair, the Euclidean distance between the
+   * groups' mean vectors (the linear-kernel MMD statistic — the
+   * cheapest two-sample drift estimate; Gretton et al. 2012). The
+   * mixture-monitoring question it answers: did source/label X move
+   * in embedding space relative to Y (model drift, upstream filter
+   * change, template contamination) without scoring a single pair?
+   *
+   * Scale shape: ONE partial/final [[graft.functions.VectorMean]]
+   * aggregate (each map task ships dim doubles per group — corpus
+   * never shuffles), then a localCheckpointed G-row self-join for the
+   * G² matrix. Loud cap at 4096 groups — the matrix is meant for
+   * sources/labels/shards, not per-document keys.
+   *
+   * Output: (groupCol_a, groupCol_b, n_a, n_b, dist), a < b, dist
+   * rounded to 4. Null groups and null vectors are excluded; vectors
+   * are assumed uniform-dimension (the mean truncates at the first
+   * row's width).
+   */
+  def centroidDriftMatrix(emb: DataFrame, groupCol: String,
+                          vecCol: String): DataFrame = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val clean = emb.filter(col(groupCol).isNotNull && col(vecCol).isNotNull)
+    val first = clean.select(size(col(vecCol))).limit(1).collect()
+    if (first.isEmpty)
+      return clean.select(col(groupCol).as(s"${groupCol}_a"),
+        col(groupCol).as(s"${groupCol}_b"), lit(0L).as("n_a"),
+        lit(0L).as("n_b"), lit(0.0).as("dist")).limit(0)
+    val vm = udaf(new graft.functions.VectorMean(first.head.getInt(0)),
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[Double]]())
+    // checkpoint before the self-join: the G-row agg would otherwise
+    // re-run the corpus scan on BOTH join sides (and for the cap count)
+    val cents = clean.groupBy(col(groupCol).as("g"))
+      .agg(vm(col(vecCol).cast("array<double>")).as("cent"),
+        count(lit(1)).as("n"))
+      .localCheckpoint(true)
+    val g = cents.count()
+    require(g <= 4096, s"centroidDriftMatrix: $g groups would build a " +
+      s"${g}x$g matrix — group by sources/labels/shards, not row keys")
+    val dist = sqrt(aggregate(zip_with(col("a.cent"), col("b.cent"),
+      (x, y) => (x - y) * (x - y)), lit(0.0), (acc, e) => acc + e))
+    cents.as("a").join(cents.as("b"), col("a.g") < col("b.g"))
+      .select(col("a.g").as(s"${groupCol}_a"), col("b.g").as(s"${groupCol}_b"),
+        col("a.n").as("n_a"), col("b.n").as("n_b"),
+        round(dist, 4).as("dist"))
+      .orderBy(col(s"${groupCol}_a"), col(s"${groupCol}_b"))
+  }
+
+  /**
    * SemDeDup-style semantic dedup (Abbas et al. 2023): k-means
    * (IvfIndex's deterministic Lloyd) partitions the corpus into
    * `nlist` cells, the quadratic cosine edge search runs only WITHIN

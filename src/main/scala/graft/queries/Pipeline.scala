@@ -1411,6 +1411,14 @@ object Pipeline {
       Packing.chunkWindows(T(s, dir)("documents"), "doc_id", "text",
           width = 64, stride = 48)
         .orderBy(col("doc_id"), col("chunk_idx"))
+    }),
+
+    // embedding-space drift: linear-MMD centroid distances between
+    // every label pair — one VectorMean shuffle (dim doubles per
+    // group), the corpus itself never moves
+    "qBB_embed_drift" -> ((s, dir) => {
+      Similarity.centroidDriftMatrix(T(s, dir)("embeddings"), "label",
+        "embedding")
     })
   )
 
@@ -2725,6 +2733,22 @@ object Pipeline {
              least(start + 63, n) AS tok_end,
              array_to_string(list_slice(t, start, least(start + 63, n)), ' ')
                AS chunk_text
-      FROM k ORDER BY doc_id, chunk_idx"""
+      FROM k ORDER BY doc_id, chunk_idx""",
+    "qBB_embed_drift" -> """
+      WITH d AS (SELECT label, unnest(CAST(embedding AS DOUBLE[])) AS x,
+                        generate_subscripts(embedding, 1) AS ord
+                 FROM embeddings
+                 WHERE label IS NOT NULL AND embedding IS NOT NULL),
+      m AS (SELECT label, ord, avg(x) AS mx FROM d GROUP BY 1, 2),
+      c AS (SELECT label, list(mx ORDER BY ord) AS cent FROM m GROUP BY 1),
+      n AS (SELECT label, count(*) AS cnt FROM embeddings
+            WHERE label IS NOT NULL AND embedding IS NOT NULL GROUP BY 1)
+      SELECT a.label AS label_a, b.label AS label_b,
+             na.cnt AS n_a, nb.cnt AS n_b,
+             round(list_distance(a.cent, b.cent), 4) AS dist
+      FROM c a JOIN c b ON a.label < b.label
+      JOIN n na ON na.label = a.label
+      JOIN n nb ON nb.label = b.label
+      ORDER BY label_a, label_b"""
   ).map { case (k, v) => k -> v.trim.replaceAll("\\s+", " ") }
 }

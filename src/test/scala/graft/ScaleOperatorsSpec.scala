@@ -729,6 +729,33 @@ class ScaleOperatorsSpec extends AnyFunSuite {
       .filter(!col("kept")).count() == 0)
   }
 
+  test("centroidDriftMatrix: exact linear-MMD distances on planted geometry") {
+    import graft.operators.Similarity
+    import spark.implicits._
+    // means exact in binary: A and B share mean (0.5,0,0,0); C sits at
+    // (0.5,2,0,0) — so dist(A,B)=0 and dist(A,C)=dist(B,C)=2 exactly
+    val ab = for (g <- Seq("A", "B"); i <- 0 until 4)
+      yield (g, Seq((i % 2).toFloat, 0f, 0f, 0f))
+    val c = Seq.fill(3)(("C", Seq(0.5f, 2f, 0f, 0f)))
+    val bad = Seq((null.asInstanceOf[String], Seq(9f, 9f, 9f, 9f)),
+      ("A", null.asInstanceOf[Seq[Float]])) // excluded, must not skew A
+    val out = Similarity.centroidDriftMatrix(
+        (ab ++ c ++ bad).toDF("g", "v"), "g", "v")
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getLong(3), r.getDouble(4)))
+    assert(out.toSeq == Seq(("A", "B", 4L, 4L, 0.0),
+      ("A", "C", 4L, 3L, 2.0), ("B", "C", 4L, 3L, 2.0)))
+    // row-key grouping is refused loudly (the G^2 matrix guard)
+    intercept[IllegalArgumentException] {
+      Similarity.centroidDriftMatrix(
+        (0 until 4097).map(i => (i.toString, Seq(1f))).toDF("g", "v"),
+        "g", "v")
+    }
+    // empty input: empty matrix, not a crash
+    assert(Similarity.centroidDriftMatrix(
+      (ab ++ c).toDF("g", "v").limit(0), "g", "v").count() == 0)
+  }
+
   test("MisraGries guarantees + heavyGrams equals brute force") {
     import spark.implicits._
     import graft.functions.MisraGries
