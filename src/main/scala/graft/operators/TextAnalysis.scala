@@ -1179,6 +1179,31 @@ object TextAnalysis {
   }
 
   /**
+   * Blocklist PHRASE filter — the multi-pattern companion of
+   * [[domainFilter]] for crawl hygiene: one
+   * [[graft.functions.AhoCorasick]] automaton pass per document
+   * reports every blocklist phrase occurring as a substring
+   * (O(|text| + matches) per row, independent of blocklist size),
+   * where k `contains` predicates would re-scan the text k times and
+   * a regex alternation backtracks. Case-sensitive raw matching —
+   * pre-normalize with `lower`/[[cleanText]] when the blocklist is.
+   * Emits (doc_id, hits, n_hits, keep): `hits` lists the distinct
+   * matched phrases in blocklist order, `keep` = no phrase matched;
+   * null text matches nothing and keeps. Per-row kernel, zero
+   * shuffle.
+   */
+  def phraseFilter(docs: DataFrame, idCol: String, textCol: String,
+                   phrases: Seq[String]): DataFrame = {
+    val hits = coalesce(graft.functions.AhoCorasick
+        .multi_phrase_hits(col(textCol), phrases),
+      array().cast("array<string>"))
+    docs.select(col(idCol).as("doc_id"), hits.as("hits"))
+      .select(col("doc_id"), col("hits"),
+        size(col("hits")).as("n_hits"),
+        (size(col("hits")) === 0).as("keep"))
+  }
+
+  /**
    * GUARANTEED φ-heavy hitters over the corpus token n-gram stream —
    * the bounded-memory "what dominates this corpus" probe (stopword
    * mass at n = 1, templated boilerplate at n ≥ 2, hot URLs/domains

@@ -1419,6 +1419,17 @@ object Pipeline {
     "qBB_embed_drift" -> ((s, dir) => {
       Similarity.centroidDriftMatrix(T(s, dir)("embeddings"), "label",
         "embedding")
+    }),
+
+    // phrase-blocklist filter: one Aho-Corasick pass per document
+    // reports every blocklist phrase present (vs k contains re-scans
+    // or a backtracking alternation); oracle replays it with
+    // list_filter(phrases, contains)
+    "qBC_phrase_filter" -> ((s, dir) => {
+      TextAnalysis.phraseFilter(T(s, dir)("documents"), "doc_id", "text",
+          Seq("batch batch", "merge slow", "table scan", "the fast",
+            "slow sort", "spark window"))
+        .orderBy(col("doc_id"))
     })
   )
 
@@ -2749,6 +2760,15 @@ object Pipeline {
       FROM c a JOIN c b ON a.label < b.label
       JOIN n na ON na.label = a.label
       JOIN n nb ON nb.label = b.label
-      ORDER BY label_a, label_b"""
+      ORDER BY label_a, label_b""",
+    "qBC_phrase_filter" -> """
+      WITH p AS (SELECT ['batch batch','merge slow','table scan',
+                         'the fast','slow sort','spark window'] AS ps)
+      SELECT doc_id,
+             list_filter(ps, x -> contains(text, x)) AS hits,
+             CAST(len(list_filter(ps, x -> contains(text, x))) AS INT)
+               AS n_hits,
+             len(list_filter(ps, x -> contains(text, x))) = 0 AS keep
+      FROM documents, p ORDER BY doc_id"""
   ).map { case (k, v) => k -> v.trim.replaceAll("\\s+", " ") }
 }

@@ -283,6 +283,62 @@ class PropertySpecs extends AnyFunSuite {
     }
   }
 
+  test("Aho-Corasick scan equals naive contains on adversarial phrase sets") {
+    // small alphabet maximizes overlapping/suffix-sharing matches —
+    // the cases where fail-link bugs hide ("aa" inside "aaa", a
+    // phrase that is a suffix of another's prefix, etc.)
+    val alpha = Seq('a', 'b', ' ')
+    val textGen = for {
+      n <- Gen.choose(0, 60)
+      cs <- Gen.listOfN(n, Gen.oneOf(alpha))
+    } yield cs.mkString
+    val phraseGen = for {
+      n <- Gen.choose(1, 6)
+      cs <- Gen.listOfN(n, Gen.oneOf(alpha))
+    } yield cs.mkString
+    val phraseSetGen = Gen.listOfN(8, phraseGen).map(_.distinct)
+    samples(Gen.zip(textGen, phraseSetGen), n = 300).foreach {
+      case (text, phrases) if phrases.nonEmpty =>
+        val ac = new graft.functions.AhoCorasick.Automaton(phrases.toArray)
+        val got = ac.scan(
+          org.apache.spark.unsafe.types.UTF8String.fromString(text))
+          .toObjectArray(org.apache.spark.sql.types.StringType)
+          .map(_.toString).toSeq
+        val want = phrases.filter(text.contains(_))
+        assert(got == want,
+          s"text='$text' phrases=$phrases: got $got want $want")
+      case _ => ()
+    }
+    // fixed sentinels: suffix outputs via fail links (matching "ab"
+    // must also report "b"), single char, phrase == text, no match
+    val ac = new graft.functions.AhoCorasick.Automaton(
+      Array("ab", "b", "abab", "baba"))
+    def scan(t: String) = ac.scan(
+      org.apache.spark.unsafe.types.UTF8String.fromString(t))
+      .toObjectArray(org.apache.spark.sql.types.StringType)
+      .map(_.toString).toSeq
+    assert(scan("abab") == Seq("ab", "b", "abab"))
+    assert(scan("babab") == Seq("ab", "b", "abab", "baba"))
+    assert(scan("aa") == Seq())
+    assert(scan("") == Seq())
+    // guards: empty list, empty phrase, duplicates refused loudly
+    intercept[IllegalArgumentException] {
+      graft.functions.MultiPhraseHits(
+        org.apache.spark.sql.graftbridge.ColumnBridge.expression(
+          org.apache.spark.sql.functions.lit("x")), Seq.empty)
+    }
+    intercept[IllegalArgumentException] {
+      graft.functions.MultiPhraseHits(
+        org.apache.spark.sql.graftbridge.ColumnBridge.expression(
+          org.apache.spark.sql.functions.lit("x")), Seq("a", ""))
+    }
+    intercept[IllegalArgumentException] {
+      graft.functions.MultiPhraseHits(
+        org.apache.spark.sql.graftbridge.ColumnBridge.expression(
+          org.apache.spark.sql.functions.lit("x")), Seq("a", "a"))
+    }
+  }
+
   test("pruned-exact similarity equals brute force on random geometries") {
     // the pruning bound is a PROOF obligation — one missed pair on any
     // geometry falsifies the operator, so hammer it with corpora the
