@@ -45,6 +45,20 @@ object Pipeline {
         TextAnalysis.winnowFingerprints(docs, "doc_id", "text", k = 3, w = 4)))
   }
 
+  /** DSIR importance weights (hashed-unigram en target, 64 buckets) —
+    * an importance-scoring ingest artifact computed once per lake and
+    * shared by the qA9 (weights) / qAE (resample) consumers; was two
+    * full corpus double-passes per consumer. Stale-lake safe via the
+    * same cachedOn data fingerprint as [[mhSigs]]. */
+  private def dsirW(s: SparkSession, dir: String): DataFrame = {
+    val docs = T(s, dir)("documents")
+    graft.operators.FrameCache.cachedOn(s, dir + "#dsirw-en-b64", docs)(
+      graft.operators.ArtifactStore.readOrBuild(s, dir, "dsirw-en-b64-v1",
+        Seq(docs))(
+        TextAnalysis.dsirWeights(docs, "doc_id", "text",
+          isTarget = col("lang") === "en", buckets = 64)))
+  }
+
   val queries: Map[String, Q] = Map(
     // exact dedup (hash groupBy); docs doubled first so there is
     // something to deduplicate
@@ -617,8 +631,7 @@ object Pipeline {
     // libm last-ulp drift can't flip ranks. Global top-k
     // (TakeOrderedAndProject), no sort.
     "qAE_dsir_sample" -> ((s, dir) => {
-      val w = TextAnalysis.dsirWeights(T(s, dir)("documents"), "doc_id",
-        "text", isTarget = col("lang") === "en", buckets = 64)
+      val w = dsirW(s, dir)
       val u = (Sampling.hash40(Seq(col("doc_id")), "s0") + lit(1L))
         .cast("double")
       w.select(col("doc_id"), col("dsir_weight"),
@@ -634,9 +647,7 @@ object Pipeline {
     // 64 rows, broadcast both ways; two corpus passes, no corpus-sized
     // shuffle beyond the per-doc partial sums.
     "qA9_dsir_weights" -> ((s, dir) => {
-      TextAnalysis.dsirWeights(T(s, dir)("documents"), "doc_id", "text",
-          isTarget = col("lang") === "en", buckets = 64)
-        .orderBy(col("doc_id"))
+      dsirW(s, dir).orderBy(col("doc_id"))
     }),
 
     // corpus n-gram census: which grams dominate the corpus — the
