@@ -145,6 +145,7 @@ object ArtifactStore {
     val fs = target.getFileSystem(conf)
     def complete: Boolean =
       fs.exists(new org.apache.hadoop.fs.Path(target, "_SUCCESS"))
+    var builtNow = false
     if (!complete) {
       // lock on the ARTIFACT DIR, not the fp= target: the vacuum below
       // sweeps the whole dir, so no other same-JVM build of this
@@ -178,6 +179,7 @@ object ArtifactStore {
           // entry above and ages out through the vacuum like a
           // foreign one — never reclaimed while possibly live
           vacuumStale(fs, artDir, keep = s"fp=$fp")
+          builtNow = true
         }
       }
     }
@@ -195,10 +197,12 @@ object ArtifactStore {
     // then stable leaks its superseded generation forever — the build-
     // branch vacuum marks it but only a LATER vacuum (which would only
     // run on the next fingerprint change) could pass the age gate and
-    // delete it. Safe without the build lock: live same-JVM staging is
+    // delete it. Skipped when THIS call just built (that branch already
+    // vacuumed — no point paying the directory listing twice back to
+    // back). Safe without the build lock: live same-JVM staging is
     // shielded by [[ownStaging]], cross-process work by the age gate,
     // and every probe tolerates a racing sweep.
-    vacuumStale(fs, artDir, keep = s"fp=$fp")
+    if (!builtNow) vacuumStale(fs, artDir, keep = s"fp=$fp")
     spark.read.parquet(target.toString)
   }
 
@@ -241,7 +245,15 @@ object ArtifactStore {
                           artDir: org.apache.hadoop.fs.Path,
                           keep: String): Unit = {
     val now = System.currentTimeMillis()
-    fs.listStatus(artDir).foreach { st =>
+    // the LISTING itself must tolerate a racing sweep too (a
+    // cross-process vacuumOrphans can delete the whole artifact dir
+    // between our completeness check and here) — a lost race must not
+    // fail a read of a generation that was complete moments ago; the
+    // read below will surface any real loss as its own error
+    val entries = try fs.listStatus(artDir)
+      catch { case _: java.io.IOException =>
+        Array.empty[org.apache.hadoop.fs.FileStatus] }
+    entries.foreach { st =>
       val p = st.getPath
       val n = p.getName
       // the ownStaging check is defense-in-depth here: same-artifact

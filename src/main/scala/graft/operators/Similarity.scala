@@ -184,8 +184,9 @@ object Similarity {
                        cacheKey: Option[String] = None): DataFrame = {
     val spark = emb.sparkSession
     import spark.implicits._
-    val (centroids, assigned, radii) =
+    val (centroids, assigned, radiiF) =
       cellGeometry(emb, idCol, vecCol, nlist, iters, cacheKey)
+    val radii = radiiF()
     val allowedPairs = allowedCellPairs(centroids, radii, minCos)
     // visible pruning: how much of the cell-pair space the bound
     // eliminated (the whole point of the operator at scale)
@@ -209,13 +210,14 @@ object Similarity {
     * any self-join — the knnJoin finding: the nlist-wide argmin
     * otherwise re-inlines into filter and project on both join
     * sides; raw float vectors + norms ride along so scoring stays
-    * expression-identical to allPairsAbove), and per-cell angular
-    * radii (max angle member↔centroid — one narrow agg, nlist rows
-    * of driver metadata). */
+    * expression-identical to allPairsAbove), and a LAZY thunk for the
+    * per-cell angular radii (max angle member↔centroid — one narrow
+    * agg, nlist rows of driver metadata; only the pair-pruning
+    * operators pay for it). */
   private def cellGeometry(emb: DataFrame, idCol: String, vecCol: String,
                            nlist: Int, iters: Int,
                            cacheKey: Option[String])
-      : (Seq[Seq[Double]], DataFrame, Map[Int, Double]) = {
+      : (Seq[Seq[Double]], DataFrame, () => Map[Int, Double]) = {
     val spark = emb.sparkSession
     import spark.implicits._
     val centroids = cacheKey match {
@@ -251,14 +253,17 @@ object Similarity {
     // radii are deterministic per (assignment, centroids) — memoize
     // them under the SAME identity as the assignment (appId + tag +
     // input plan/data fingerprint) so repeat invocations skip the
-    // scan+collect too, not just the assignment build
-    val radii = cacheKey match {
+    // scan+collect too, not just the assignment build. LAZY (a thunk):
+    // the pair-pruning operators need radii, but prototypicalityFilter
+    // only needs centroids + assignment — eagerly computing them there
+    // would add one whole wasted corpus pass to its first run
+    val radii: () => Map[Int, Double] = cacheKey match {
       case Some(_) =>
         val k = emb.sparkSession.sparkContext.applicationId + "|" + tag +
           "|" + emb.queryExecution.analyzed.semanticHash() + ":" +
           FrameCache.frameFingerprint(emb)
-        radiiCache.computeIfAbsent(k, _ => radiiPass)
-      case None => radiiPass
+        () => radiiCache.computeIfAbsent(k, _ => radiiPass)
+      case None => () => radiiPass
     }
     (centroids, assigned, radii)
   }
@@ -298,8 +303,9 @@ object Similarity {
     if (k <= 0)
       return emb.limit(0).select(col(idCol).as("id_a"),
         col(idCol).as("id_b"), lit(0.0).as("cos_sim"))
-    val (centroids, assigned, radii) =
+    val (centroids, assigned, radiiF) =
       cellGeometry(emb, idCol, vecCol, nlist, iters, cacheKey)
+    val radii = radiiF()
     def scored(pairs: DataFrame): DataFrame =
       pairs.select(col("a.id").as("id_a"), col("b.id").as("id_b"),
         (dot(col("a.v"), col("b.v")) / (col("a.nv") * col("b.nv")))
@@ -342,10 +348,14 @@ object Similarity {
    * decision: rank within the cell by RAW cosine descending (id
    * tie-break), keep rank > floor(|cell| · dropFrac).
    *
-   * Scale shape: one geometry pass (shared [[cellGeometry]] — under
-   * `cacheKey` the same per-(JVM, lake) artifact the pruned-exact
-   * pair operators reuse), a broadcast centroid join, and a per-cell
-   * window rank. The window sorts one cell per task — cells are
+   * Scale shape: one geometry pass ([[cellGeometry]], memoized
+   * per-(JVM, lake, nlist, iters) under `cacheKey`; NOTE the cache
+   * keys fold nlist/iters, so a call at different geometry than the
+   * pruned-exact pair operators builds its own assignment — qB8's
+   * nlist=1 is its own trivial build, not a reuse of qB6/qB7's
+   * nlist=16 artifact), a broadcast centroid join, and a per-cell
+   * window rank; the radii thunk is never forced — no pair geometry
+   * is paid for here. The window sorts one cell per task — cells are
    * n/nlist-sized by construction, so pick nlist ∝ n / (target cell
    * size) exactly as for [[semanticDedup]]; a hot cell costs one
    * O(|cell| log |cell|) sort task, never a quadratic join. With
