@@ -2,7 +2,7 @@ package graft.functions
 
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.expressions.{Cast, Expression, Literal, Multiply, UnixMicros}
-import org.apache.spark.sql.types.{BooleanType, IntegerType, LongType, TimestampType}
+import org.apache.spark.sql.types.{BooleanType, IntegerType, LongType, StringType, TimestampType}
 
 /**
  * Reference-dialect compat functions.
@@ -22,7 +22,8 @@ import org.apache.spark.sql.types.{BooleanType, IntegerType, LongType, Timestamp
  * pipeline primitives without the Scala API:
  * `token_grams(text, w, overlapping)`, `shingle_hashes(text, w[, mask])`,
  * `simhash64(tokens_array)`, `nfc_normalize(text)`,
- * `repetition_stats(text)`, `deflate_stats(text)`.
+ * `repetition_stats(text)`, `deflate_stats(text)`,
+ * `multi_phrase_hits(text, phrase, ...)`.
  */
 object Compat {
   private def epochNs(args: Seq[Expression]): Expression = {
@@ -79,6 +80,18 @@ object Compat {
     reg.createOrReplaceTempFunction("winnow_select", args => {
       require(args.length == 2, "winnow_select(packed_keys, window)")
       WinnowSelect(args.head, litInt(args(1), "winnow_select"))
+    }, "built-in")
+    reg.createOrReplaceTempFunction("multi_phrase_hits", args => {
+      require(args.length >= 2,
+        "multi_phrase_hits(text, phrase, ...) needs at least one phrase")
+      val phrases = args.tail.map {
+        case Literal(s: org.apache.spark.unsafe.types.UTF8String, StringType)
+          if s != null => s.toString
+        case other => throw new IllegalArgumentException(
+          "multi_phrase_hits: phrases must be non-null string literals " +
+            s"(the automaton is built once at plan time), got $other")
+      }
+      MultiPhraseHits(args.head, phrases)
     }, "built-in")
   }
 }

@@ -410,13 +410,19 @@ class Round5OpsSpec extends AnyFunSuite {
         "shingle_hashes('a b  c', 2) AS hs, " +
         "simhash64(array('a','b')) AS sh, " +
         "nfc_normalize('é') AS nfc, " +
-        "repetition_stats('x x y') AS reps").head()
+        "repetition_stats('x x y') AS reps, " +
+        "multi_phrase_hits('the bad cat', 'bad cat', 'dog', 'he b') AS mph").head()
     assert(r.getSeq[String](r.fieldIndex("sp")) == Seq("a b", "b c", "c d"))
     assert(r.getSeq[String](r.fieldIndex("ch")) == Seq("a b", "c d"))
     assert(r.getSeq[Long](r.fieldIndex("hs")).size == 2) // 2 distinct bigrams
     assert(!r.isNullAt(r.fieldIndex("sh")))
     assert(r.getAs[String]("nfc") == "\u00e9") // composed single-codepoint form
     assert(!r.isNullAt(r.fieldIndex("reps")))
+    assert(r.getSeq[String](r.fieldIndex("mph")) == Seq("bad cat", "he b"))
+    // phrases must be literals: the automaton is built at plan time
+    intercept[Exception] {
+      spark.sql("SELECT multi_phrase_hits('x', lower('Y'))").head()
+    }
   }
 
   test("token_grams kernel ≡ relational gram builders, both modes") {
