@@ -4,7 +4,7 @@ import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.expressions.{ExpectsInputTypes, Expression, UnaryExpression}
-import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.graftbridge.ColumnBridge
 import org.apache.spark.sql.types._
 import org.apache.spark.unsafe.types.UTF8String
@@ -194,6 +194,39 @@ object TextExprs {
 
   def lexical_stats(text: Column, wordSets: Seq[Seq[String]]): Column =
     ColumnBridge.column(LexicalStats(ColumnBridge.expression(text), wordSets))
+
+  def hash_embed_vec(text: Column, dim: Int): Column =
+    ColumnBridge.column(HashEmbedVec(ColumnBridge.expression(text), dim))
+
+  /** Fused feature-hashing pass backing [[HashEmbedVec]]: the whole
+    * signed-bucket accumulation per document in one token walk. The
+    * relational form (explode → groupBy(id, bucket) → groupBy(id))
+    * shuffles the corpus token stream twice; here nothing shuffles at
+    * all. Bucket/sign replicate the Spark-SQL/DuckDB md5 convention
+    * EXACTLY — first 8 hex chars (digest bytes 0–3, unsigned
+    * big-endian) mod dim, sign from the parity of hex char 9 (the
+    * high nibble of byte 4) — and ±1 sums are exact in doubles under
+    * ANY order, so the kernel is bit-identical to the relational
+    * plan and the q9Z oracle. Returns null when the text has no
+    * tokens ("no distribution", the relational form's dropped-row
+    * contract). */
+  def hashEmbedVec(text: UTF8String, dim: Int): ArrayData = {
+    val ts = toks(text)
+    if (ts.isEmpty) return null
+    val acc = new Array[Double](dim)
+    val md = java.security.MessageDigest.getInstance("MD5")
+    var i = 0
+    while (i < ts.length) {
+      md.reset()
+      val d = md.digest(ts(i).getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      val bucket = ((((d(0) & 0xffL) << 24) | ((d(1) & 0xffL) << 16) |
+        ((d(2) & 0xffL) << 8) | (d(3) & 0xffL)) % dim).toInt
+      val nib = (d(4) >> 4) & 0xf
+      acc(bucket) += (if (nib % 2 == 0) 1.0 else -1.0)
+      i += 1
+    }
+    new GenericArrayData(acc)
+  }
 
   /** Fused lexical-statistics pass backing [[LexicalStats]]: every
     * counter the quality-score / text-stats / Gopher-rules / lang-ID
@@ -533,4 +566,30 @@ case class TextProfile(child: Expression)
   override protected def withNewChildInternal(c: Expression): TextProfile =
     copy(child = c)
   override def prettyName: String = "text_profile"
+}
+
+/** Signed feature-hashed embedding of the token stream in ONE pass —
+  * array<double> of length `dim`, null when the text has no tokens
+  * (see [[TextExprs.hashEmbedVec]] for the md5 convention parity). */
+case class HashEmbedVec(child: Expression, dim: Int)
+    extends UnaryExpression with ExpectsInputTypes {
+  require(dim > 0, "dim must be positive")
+
+  override def inputTypes: Seq[ColumnBridge.SqlAbstractDataType] = Seq(StringType)
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+
+  override def nullSafeEval(v: Any): Any =
+    TextExprs.hashEmbedVec(v.asInstanceOf[UTF8String], dim)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      s"""
+         |${ev.value} = graft.functions.TextExprs.hashEmbedVec($c, $dim);
+         |${ev.isNull} = ${ev.value} == null;
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(c: Expression): HashEmbedVec =
+    copy(child = c)
+  override def prettyName: String = "hash_embed_vec"
 }

@@ -821,19 +821,17 @@ object TextAnalysis {
   def hashEmbed(docs: org.apache.spark.sql.DataFrame, idCol: String,
                 textCol: String, dim: Int = 64): org.apache.spark.sql.DataFrame = {
     require(dim > 0, "dim must be positive")
-    val h = md5(col("tok"))
-    val bucket = (conv(substring(h, 1, 8), 16, 10).cast("long") % dim).cast("int")
-    val sign = when(conv(substring(h, 9, 1), 16, 10).cast("int") % 2 === 0,
-      lit(1.0)).otherwise(lit(-1.0))
-    docs.select(col(idCol), explode(tokens(col(textCol))).as("tok"))
-      .select(col(idCol), bucket.as("bucket"), sign.as("s"))
-      .groupBy(col(idCol), col("bucket"))
-      .agg(sum(col("s")).as("w"))
-      .groupBy(col(idCol))
-      .agg(map_from_entries(collect_list(struct(col("bucket"), col("w")))).as("m"))
-      .select(col(idCol),
-        transform(sequence(lit(0), lit(dim - 1)),
-          i => coalesce(element_at(col("m"), i), lit(0.0))).as("embedding"))
+    // ONE fused kernel pass per document (graft.functions.HashEmbedVec)
+    // — the relational form (explode → groupBy(id,bucket) → groupBy(id))
+    // shuffled the corpus token stream twice; the kernel shuffles
+    // nothing and is bit-identical (±1 sums are order-exact in
+    // doubles, md5 bucket/sign convention replicated byte-for-byte —
+    // the q9Z oracle pins it). Zero-token docs drop out ("no
+    // distribution"), the same contract the explode form had.
+    docs.select(col(idCol),
+        graft.functions.TextExprs.hash_embed_vec(col(textCol), dim)
+          .as("embedding"))
+      .filter(col("embedding").isNotNull)
   }
 
   /**

@@ -217,14 +217,16 @@ class Round5OpsSpec extends AnyFunSuite {
     assert(!plan.contains("SortMergeJoin"))
   }
 
-  test("hashEmbed plan: one corpus shuffle pair, no joins") {
+  test("hashEmbed plan: fused kernel — zero shuffles, no joins") {
     import graft.operators.TextAnalysis
     val plan = TextAnalysis.hashEmbed(docs, "doc_id", "text", dim = 16)
       .queryExecution.executedPlan.toString
-    // (doc,bucket) partial/final + per-doc assembly = 2 Exchanges max;
-    // the dense fill is pure projection — no join anywhere
-    assert("Exchange".r.findAllIn(plan).size <= 2, plan)
+    // the HashEmbedVec kernel accumulates the whole vector per row —
+    // the old explode → groupBy(id,bucket) → groupBy(id) pair of
+    // corpus shuffles is gone entirely
+    assert(!plan.contains("Exchange"), plan)
     assert(!plan.contains("Join"), plan)
+    assert(plan.contains("hash_embed_vec"), plan)
   }
 
   // --- randomized cross-checks --------------------------------------
