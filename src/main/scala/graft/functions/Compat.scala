@@ -85,8 +85,10 @@ object Compat {
       require(args.length >= 2,
         "multi_phrase_hits(text, phrase, ...) needs at least one phrase")
       val phrases = args.tail.map {
-        case Literal(s: org.apache.spark.unsafe.types.UTF8String, StringType)
-          if s != null => s.toString
+        // a typed pattern never matches null, so Literal(null, string)
+        // falls through to the rejection below
+        case Literal(s: org.apache.spark.unsafe.types.UTF8String, StringType) =>
+          s.toString
         case other => throw new IllegalArgumentException(
           "multi_phrase_hits: phrases must be non-null string literals " +
             s"(the automaton is built once at plan time), got $other")

@@ -210,14 +210,22 @@ object TextExprs {
     * plan and the q9Z oracle. Returns null when the text has no
     * tokens ("no distribution", the relational form's dropped-row
     * contract). */
+  private val md5Local =
+    new ThreadLocal[java.security.MessageDigest] {
+      override def initialValue(): java.security.MessageDigest =
+        java.security.MessageDigest.getInstance("MD5")
+    }
+
   def hashEmbedVec(text: UTF8String, dim: Int): ArrayData = {
     val ts = toks(text)
     if (ts.isEmpty) return null
     val acc = new Array[Double](dim)
-    val md = java.security.MessageDigest.getInstance("MD5")
+    // per-thread digest: a per-row getInstance would pay a provider
+    // lookup + allocation per document; digest() resets the engine
+    // after each call, so no explicit reset between tokens
+    val md = md5Local.get()
     var i = 0
     while (i < ts.length) {
-      md.reset()
       val d = md.digest(ts(i).getBytes(java.nio.charset.StandardCharsets.UTF_8))
       val bucket = ((((d(0) & 0xffL) << 24) | ((d(1) & 0xffL) << 16) |
         ((d(2) & 0xffL) << 8) | (d(3) & 0xffL)) % dim).toInt
@@ -577,6 +585,13 @@ case class HashEmbedVec(child: Expression, dim: Int)
 
   override def inputTypes: Seq[ColumnBridge.SqlAbstractDataType] = Seq(StringType)
   override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+  // null OUT for zero-token text even when the INPUT is non-nullable —
+  // without this override the optimizer trusts child.nullable, deletes
+  // downstream isNotNull filters, and a null embedding escapes
+  // (confirmed EXPRESSION_DECODING_FAILED on a lit() input); it also
+  // keeps nullSafeCodeGen's isNull a real variable, not the literal
+  // `false` the generated assignment below could not compile against
+  override def nullable: Boolean = true
 
   override def nullSafeEval(v: Any): Any =
     TextExprs.hashEmbedVec(v.asInstanceOf[UTF8String], dim)

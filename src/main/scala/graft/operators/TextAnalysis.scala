@@ -812,11 +812,14 @@ object TextAnalysis {
    * (bruteForceTopK / semanticDedup / IVF / PQ) when no model
    * embeddings exist; docs with zero tokens produce no row.
    *
-   * Scale shape: explode → (doc, bucket) partial/final hash-agg (the
-   * corpus-token shuffle compresses to ≤ dim rows per doc map-side) →
-   * per-doc dense assembly. The `transform` lambda runs ONCE per doc
-   * over dim entries (output assembly), not in a per-pair hot path —
-   * the interpreted-HOF trap doesn't apply.
+   * Scale shape: ONE fused kernel pass per row
+   * ([[graft.functions.HashEmbedVec]]) — zero shuffles; the explode →
+   * (doc, bucket) → per-doc-assembly relational form this replaced
+   * shuffled the corpus token stream twice. One embedding row is
+   * emitted PER INPUT ROW: `idCol` is expected unique (one document
+   * per row); rows sharing an id get per-row vectors, where the old
+   * groupBy form would have merged their token streams — dedup ids
+   * upstream if that contract matters.
    */
   def hashEmbed(docs: org.apache.spark.sql.DataFrame, idCol: String,
                 textCol: String, dim: Int = 64): org.apache.spark.sql.DataFrame = {
@@ -824,10 +827,11 @@ object TextAnalysis {
     // ONE fused kernel pass per document (graft.functions.HashEmbedVec)
     // — the relational form (explode → groupBy(id,bucket) → groupBy(id))
     // shuffled the corpus token stream twice; the kernel shuffles
-    // nothing and is bit-identical (±1 sums are order-exact in
-    // doubles, md5 bucket/sign convention replicated byte-for-byte —
-    // the q9Z oracle pins it). Zero-token docs drop out ("no
-    // distribution"), the same contract the explode form had.
+    // nothing and is bit-identical ON UNIQUE-ID INPUTS (±1 sums are
+    // order-exact in doubles, md5 bucket/sign convention replicated
+    // byte-for-byte — the q9Z oracle pins it; see the scaladoc for
+    // the duplicate-id contract change). Zero-token docs drop out
+    // ("no distribution"), the same contract the explode form had.
     docs.select(col(idCol),
         graft.functions.TextExprs.hash_embed_vec(col(textCol), dim)
           .as("embedding"))

@@ -611,6 +611,19 @@ class Round5OpsSpec extends AnyFunSuite {
     assert(got(1L) === expected.toSeq)
   }
 
+  test("hashEmbed: zero-token docs drop even when text is NON-nullable") {
+    import graft.operators.TextAnalysis
+    // a non-nullable text column is the trap: without HashEmbedVec's
+    // nullable=true override the optimizer trusted child.nullable,
+    // deleted the isNotNull guard, and a null embedding escaped
+    // (EXPRESSION_DECODING_FAILED at collect)
+    val df = spark.range(3).select(col("id").as("doc_id"),
+      when(col("id") === 1L, lit("tok tok")).otherwise(lit("   ")).as("text"))
+    assert(!df.schema("text").nullable, "fixture premise: non-nullable text")
+    val out = TextAnalysis.hashEmbed(df, "doc_id", "text", dim = 8).collect()
+    assert(out.map(_.getLong(0)).toSeq == Seq(1L))
+  }
+
   test("hashEmbed bridges text into the ANN family: dup docs are identical") {
     import graft.operators.TextAnalysis
     val d0 = docs.orderBy("doc_id").limit(20).select(col("doc_id"), col("text"))
