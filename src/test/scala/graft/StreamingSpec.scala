@@ -104,7 +104,13 @@ class StreamingSpec extends AnyFunSuite {
           TextExprs.text_profile(col("text")).getField("n_latin")
             .as("n_latin"),
           TextAnalysis.fleschReadingEase(col("text"))
-            .collectFirst { case ("flesch", c) => c }.get.as("flesch"))
+            .collectFirst { case ("flesch", c) => c }.get.as("flesch"),
+          // the newest kernels are stateless too: phrase-blocklist
+          // hits and the fused feature-hash embedding at ingest
+          size(graft.functions.AhoCorasick.multi_phrase_hits(col("text"),
+            Seq("batch batch", "merge slow"))).as("n_phrase_hits"),
+          md5(to_json(struct(graft.functions.TextExprs
+            .hash_embed_vec(col("text"), 8)))).as("embed_md5"))
     val stream = spark.readStream.schema(batchDocs.schema).parquet(d)
     val q = pipeline(stream).writeStream.format("memory")
       .queryName("docs_clean").outputMode("append").start()
@@ -113,14 +119,14 @@ class StreamingSpec extends AnyFunSuite {
       // row-count equality first: Set comparison alone would mask
       // duplicate emissions from re-processed micro-batches
       assert(spark.table("docs_clean").count() == batchDocs.count())
-      val streamed = spark.table("docs_clean").collect()
-        .map(r => (r.getLong(0), r.getString(1), r.getInt(2), r.getBoolean(3),
-          r.getLong(4), r.getDouble(5))).toSet
-      val batch = pipeline(batchDocs).collect()
-        .map(r => (r.getLong(0), r.getString(1), r.getInt(2), r.getBoolean(3),
-          r.getLong(4), r.getDouble(5))).toSet
+      def key(r: org.apache.spark.sql.Row) =
+        (r.getLong(0), r.getString(1), r.getInt(2), r.getBoolean(3),
+          r.getLong(4), r.getDouble(5), r.getInt(6), r.getString(7))
+      val streamed = spark.table("docs_clean").collect().map(key).toSet
+      val batch = pipeline(batchDocs).collect().map(key).toSet
       assert(streamed == batch)
       assert(streamed.exists(_._4), "contaminated docs must appear")
+      assert(streamed.exists(_._7 > 0), "phrase hits must appear")
     } finally q.stop()
   }
 
