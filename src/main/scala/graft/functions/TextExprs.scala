@@ -198,6 +198,56 @@ object TextExprs {
   def hash_embed_vec(text: Column, dim: Int): Column =
     ColumnBridge.column(HashEmbedVec(ColumnBridge.expression(text), dim))
 
+  def bucket_counts(text: Column, buckets: Int): Column =
+    ColumnBridge.column(BucketCounts(ColumnBridge.expression(text), buckets))
+
+  def dsir_score(text: Column, lr: Seq[Double]): Column =
+    ColumnBridge.column(DsirScore(ColumnBridge.expression(text), lr))
+
+  /** md5 feature bucket of one token — shared by [[bucketCounts]] and
+    * [[dsirScore]]; [[hashEmbedVec]] inlines the same arithmetic
+    * because it also reads the sign nibble from the one digest
+    * (hash/bucket convention parity with the relational
+    * `conv(substring(md5(tok),1,8),16,10) % n` form). */
+  private def md5Bucket(md: java.security.MessageDigest, tok: String,
+                        n: Int): Int = {
+    val d = md.digest(tok.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    ((((d(0) & 0xffL) << 24) | ((d(1) & 0xffL) << 16) |
+      ((d(2) & 0xffL) << 8) | (d(3) & 0xffL)) % n).toInt
+  }
+
+  /** Per-document token counts by md5 feature bucket, in one pass —
+    * long[buckets], zeros for zero-token text (contributes nothing to
+    * a downstream [[LongVectorSum]] model). */
+  def bucketCounts(text: UTF8String, buckets: Int): ArrayData = {
+    val ts = toks(text)
+    val acc = new Array[Long](buckets)
+    val md = md5Local.get()
+    var i = 0
+    while (i < ts.length) {
+      acc(md5Bucket(md, ts(i), buckets)) += 1
+      i += 1
+    }
+    new GenericArrayData(acc)
+  }
+
+  /** Per-document DSIR partial: struct(score = Σ_tok lr(bucket(tok)),
+    * n_tokens), null when the text has no tokens (the "no
+    * distribution" drop-out contract). One pass, no explode/shuffle —
+    * the per-bucket log-ratios ride inside the expression. */
+  def dsirScore(text: UTF8String, lr: Array[Double]): InternalRow = {
+    val ts = toks(text)
+    if (ts.isEmpty) return null
+    val md = md5Local.get()
+    var s = 0.0
+    var i = 0
+    while (i < ts.length) {
+      s += lr(md5Bucket(md, ts(i), lr.length))
+      i += 1
+    }
+    InternalRow(s, ts.length.toLong)
+  }
+
   /** Fused feature-hashing pass backing [[HashEmbedVec]]: the whole
     * signed-bucket accumulation per document in one token walk. The
     * relational form (explode → groupBy(id, bucket) → groupBy(id))
@@ -607,4 +657,61 @@ case class HashEmbedVec(child: Expression, dim: Int)
   override protected def withNewChildInternal(c: Expression): HashEmbedVec =
     copy(child = c)
   override def prettyName: String = "hash_embed_vec"
+}
+
+/** Per-document md5-bucket token counts in one pass — long[buckets],
+  * zeros for zero-token text (see [[TextExprs.bucketCounts]]). */
+case class BucketCounts(child: Expression, buckets: Int)
+    extends UnaryExpression with ExpectsInputTypes {
+  require(buckets > 0, "buckets must be positive")
+
+  override def inputTypes: Seq[ColumnBridge.SqlAbstractDataType] = Seq(StringType)
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def nullSafeEval(v: Any): Any =
+    TextExprs.bucketCounts(v.asInstanceOf[UTF8String], buckets)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.TextExprs.bucketCounts($c, $buckets)")
+
+  override protected def withNewChildInternal(c: Expression): BucketCounts =
+    copy(child = c)
+  override def prettyName: String = "bucket_counts"
+}
+
+/** struct(score, n_tokens): Σ of the per-bucket log-ratios over the
+  * document's tokens in one pass; null when the text has no tokens
+  * (see [[TextExprs.dsirScore]]). The ≤buckets-sized ratio table rides
+  * inside the expression as one reference object. */
+case class DsirScore(child: Expression, lr: Seq[Double])
+    extends UnaryExpression with ExpectsInputTypes {
+  require(lr.nonEmpty, "log-ratio table must be non-empty")
+
+  override def inputTypes: Seq[ColumnBridge.SqlAbstractDataType] = Seq(StringType)
+  override def dataType: DataType = StructType(Seq(
+    StructField("score", DoubleType, nullable = false),
+    StructField("n_tokens", LongType, nullable = false)))
+  // null OUT for zero-token text even from a non-nullable input — the
+  // HashEmbedVec lesson: without this the optimizer deletes downstream
+  // isNotNull guards and the null escapes
+  override def nullable: Boolean = true
+
+  @transient private lazy val lrArr: Array[Double] = lr.toArray
+
+  override def nullSafeEval(v: Any): Any =
+    TextExprs.dsirScore(v.asInstanceOf[UTF8String], lrArr)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("lr", lrArr, "double[]")
+    nullSafeCodeGen(ctx, ev, c => {
+      s"""
+         |${ev.value} = graft.functions.TextExprs.dsirScore($c, $ref);
+         |${ev.isNull} = ${ev.value} == null;
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildInternal(c: Expression): DsirScore =
+    copy(child = c)
+  override def prettyName: String = "dsir_score"
 }

@@ -42,3 +42,42 @@ class VectorMean(dim: Int)
 object VectorMean {
   case class Buf(sums: Array[Double], count: Long)
 }
+
+/** Typed element-wise LONG vector sum — the counting sibling of
+  * [[VectorMean]]: partial/final over `dim` longs per task, used to
+  * reduce per-document bucket-count vectors ([[BucketCounts]]) into a
+  * corpus model without ever exploding the token stream. Inputs
+  * shorter than `dim` contribute their prefix; null inputs contribute
+  * nothing. */
+class LongVectorSum(dim: Int)
+    extends Aggregator[Seq[Long], LongVectorSum.Buf, Seq[Long]] {
+  import LongVectorSum.Buf
+  require(dim > 0, "dim must be positive")
+
+  override def zero: Buf = Buf(new Array[Long](dim))
+
+  override def reduce(b: Buf, v: Seq[Long]): Buf = {
+    if (v != null) {
+      var i = 0
+      val n = math.min(dim, v.size)
+      while (i < n) { b.sums(i) += v(i); i += 1 }
+    }
+    b
+  }
+
+  override def merge(a: Buf, b: Buf): Buf = {
+    var i = 0
+    while (i < dim) { a.sums(i) += b.sums(i); i += 1 }
+    a
+  }
+
+  override def finish(b: Buf): Seq[Long] = b.sums.toSeq
+
+  override def bufferEncoder: Encoder[Buf] = Encoders.product[Buf]
+  override def outputEncoder: Encoder[Seq[Long]] =
+    org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[Long]]()
+}
+
+object LongVectorSum {
+  case class Buf(sums: Array[Long])
+}

@@ -864,35 +864,48 @@ object TextAnalysis {
                   textCol: String, isTarget: Column,
                   buckets: Int = 64): org.apache.spark.sql.DataFrame = {
     require(buckets > 0, "buckets must be positive")
-    val toks = docs.select(col(idCol).as("__id"),
-        isTarget.cast("boolean").as("__t"),
-        explode(tokens(col(textCol))).as("tok"))
-      .withColumn("bucket",
-        (conv(substring(md5(col("tok")), 1, 8), 16, 10).cast("long")
-          % buckets).cast("int"))
-    // the model is ≤ buckets rows — collect ONCE (driver metadata, the
-    // lmScore convention) and derive totals + log-ratios locally; an
-    // agg-of-the-agg formulation would re-run the whole model subtree
-    // (and the corpus explode under it) a second time
-    val spark = docs.sparkSession
-    import spark.implicits._
-    val model = toks.groupBy(col("bucket"))
-      .agg(count(lit(1)).as("c_raw"),
-        sum(when(col("__t"), 1L).otherwise(0L)).as("c_t"))
-      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
-    val nRaw = model.map(_._2).sum
-    val nT = model.map(_._3).sum
+    // model: ONE fused kernel pass — per-document bucket-count vectors
+    // (graft.functions.BucketCounts, no token explode) reduced by the
+    // LongVectorSum partial/final aggregate: `buckets` longs per task
+    // cross the wire, never the token stream. Counts are integers, so
+    // the model is bit-identical to the explode/groupBy form it
+    // replaced; null-text and zero-token docs contribute zero vectors
+    // exactly as dropped explode rows did.
+    val zero = array_repeat(lit(0L), buckets)
+    val lvs = org.apache.spark.sql.functions.udaf(
+      new graft.functions.LongVectorSum(buckets),
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[Long]]())
+    val row = docs.select(
+        coalesce(graft.functions.TextExprs.bucket_counts(col(textCol), buckets),
+          zero).as("c"),
+        isTarget.cast("boolean").as("__t"))
+      .agg(lvs(col("c")).as("raw"),
+        lvs(when(col("__t"), col("c")).otherwise(zero)).as("t"))
+      .head()
+    val cRaw = row.getSeq[Long](0)
+    val cT = row.getSeq[Long](1)
+    val nRaw = cRaw.sum
+    val nT = cT.sum
     // same IEEE ops as the SQL oracle: exact-integer-derived divisions,
-    // Math.log (the JVM's ln for Column log() too)
-    val ratios = model.toSeq.map { case (b, cRaw, cT) =>
-      (b, math.log((cT + 1).toDouble / (nT + buckets))
-        - math.log((cRaw + 1).toDouble / (nRaw + buckets)))
-    }.toDF("bucket", "lr")
-    toks.join(broadcast(ratios), Seq("bucket"))
-      .groupBy(col("__id"))
-      .agg(round(sum(col("lr")), 6).as("dsir_weight"),
-        count(lit(1)).as("n_tokens"))
-      .select(col("__id").as(idCol), col("dsir_weight"), col("n_tokens"))
+    // Math.log (the JVM's ln for Column log() too). Ratios exist for
+    // every bucket; empty buckets' entries are never referenced (no
+    // token hashes there).
+    val ratios = (0 until buckets).map { b =>
+      math.log((cT(b) + 1).toDouble / (nT + buckets)) -
+        math.log((cRaw(b) + 1).toDouble / (nRaw + buckets))
+    }
+    // score: the second fused pass — per-doc Σ lr(bucket(tok)) and the
+    // token count in one kernel (graft.functions.DsirScore, ratio
+    // table rides as a reference object): no explode, no join, no
+    // per-doc shuffle at all. Summation order changes vs the old
+    // shuffled sum(lr); the 1e-6 rounding that already absorbed ln
+    // last-ulp drift absorbs reorder drift of the same magnitude.
+    // Zero-token docs drop out ("no distribution"), as before.
+    docs.select(col(idCol),
+        graft.functions.TextExprs.dsir_score(col(textCol), ratios).as("__d"))
+      .filter(col("__d").isNotNull)
+      .select(col(idCol), round(col("__d.score"), 6).as("dsir_weight"),
+        col("__d.n_tokens").as("n_tokens"))
   }
 
   /**

@@ -247,15 +247,16 @@ class Round6OpsSpec extends AnyFunSuite {
         TextExprs.repetition_ngrams(col("text")).as("r"))
       .queryExecution.executedPlan.toString
     assert(!perRow.contains("Exchange"), perRow)
-    // dsir: exactly the model hash-agg shuffle, the per-doc hash-agg
-    // shuffle, and the broadcast of the ratio table — 3 Exchange
-    // occurrences; more means the corpus (or the model subtree) is
-    // being recomputed or shuffled somewhere it shouldn't be
+    // dsir scoring pass: fused DsirScore kernel — the ratio table
+    // rides INSIDE the expression (no broadcast join, no explode, no
+    // per-doc agg), so the returned frame must plan with zero
+    // Exchanges of any kind; the model pass (one LongVectorSum
+    // partial/final) ran eagerly inside dsirWeights
     val dsir = TextAnalysis.dsirWeights(docs, "doc_id", "text",
         isTarget = col("lang") === "en", buckets = 16)
       .queryExecution.executedPlan.toString
-    assert("Exchange".r.findAllIn(dsir).size <= 3, dsir)
-    assert(dsir.contains("BroadcastExchange"), "ratios must broadcast")
+    assert(!dsir.contains("Exchange"), dsir)
+    assert(dsir.contains("dsir_score"), dsir)
   }
 
   test("sequence packing: dense sequences, tokens conserved, spans contiguous") {
