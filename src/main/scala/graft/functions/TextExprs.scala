@@ -209,12 +209,18 @@ object TextExprs {
     * because it also reads the sign nibble from the one digest
     * (hash/bucket convention parity with the relational
     * `conv(substring(md5(tok),1,8),16,10) % n` form). */
-  private def md5Bucket(md: java.security.MessageDigest, tok: String,
-                        n: Int): Int = {
-    val d = md.digest(tok.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+  /** First-4-digest-bytes unsigned big-endian value mod `n` — the ONE
+    * definition of the bucket fold, shared by every md5-bucket kernel
+    * (a convention tweak applied anywhere else would silently
+    * desynchronize hashed embeddings from DSIR features). */
+  private def bucketOfDigest(d: Array[Byte], n: Int): Int =
     ((((d(0) & 0xffL) << 24) | ((d(1) & 0xffL) << 16) |
       ((d(2) & 0xffL) << 8) | (d(3) & 0xffL)) % n).toInt
-  }
+
+  private def md5Bucket(md: java.security.MessageDigest, tok: String,
+                        n: Int): Int =
+    bucketOfDigest(
+      md.digest(tok.getBytes(java.nio.charset.StandardCharsets.UTF_8)), n)
 
   /** Per-document token counts by md5 feature bucket, in one pass —
     * long[buckets], zeros for zero-token text (contributes nothing to
@@ -277,8 +283,7 @@ object TextExprs {
     var i = 0
     while (i < ts.length) {
       val d = md.digest(ts(i).getBytes(java.nio.charset.StandardCharsets.UTF_8))
-      val bucket = ((((d(0) & 0xffL) << 24) | ((d(1) & 0xffL) << 16) |
-        ((d(2) & 0xffL) << 8) | (d(3) & 0xffL)) % dim).toInt
+      val bucket = bucketOfDigest(d, dim)
       val nib = (d(4) >> 4) & 0xf
       acc(bucket) += (if (nib % 2 == 0) 1.0 else -1.0)
       i += 1

@@ -850,40 +850,69 @@ object TextAnalysis {
    * is the whole input. Resampling keeps the top weights (or draws via
    * [[Sampling.weightedPrioritySample]] with `exp(weight)` weights).
    *
-   * Scale shape: the model is ≤ `buckets` rows — ONE corpus token pass
-   * aggregates both counts map-side (partial/final hash-agg), and the
-   * per-bucket log-ratios broadcast back; scoring is the second pass:
-   * broadcast join + one per-doc sum. The corpus-sized shuffle carries
-   * (doc, partial-sum) rows only. Every division has exact
+   * Scale shape: both corpus passes are fused kernels. The model is
+   * one [[graft.functions.BucketCounts]] pass (per-document count
+   * vectors, no token explode) reduced by a
+   * [[graft.functions.LongVectorSum]] partial/final aggregate —
+   * `buckets` longs per task, never the token stream; above 1024
+   * buckets the dense per-row vector would cost O(buckets) per
+   * document regardless of its length, so the model falls back to the
+   * sparse explode → per-bucket hash-agg (O(total tokens), ≤ buckets
+   * rows after map-side combine). Scoring is one
+   * [[graft.functions.DsirScore]] pass with the ratio table riding as
+   * a reference object — no explode, no join, no per-doc shuffle, and
+   * O(tokens) per row at any bucket count. Every division has exact
    * integer-derived operands (one correctly-rounded IEEE op — any
-   * engine lands on the same double); `ln` last-ulp drift is absorbed
-   * by the 1e-6 rounding, the [[lmScore]]/[[bm25Rank]] convention.
-   * Documents with zero tokens have no distribution and drop out.
+   * engine lands on the same double); `ln` last-ulp and
+   * summation-order drift are absorbed by the 1e-6 rounding, the
+   * [[lmScore]]/[[bm25Rank]] convention. Documents with zero tokens
+   * have no distribution and drop out. One output row is emitted PER
+   * INPUT ROW ([[hashEmbed]]'s contract): `idCol` is expected unique —
+   * rows sharing an id get per-row weights, where the old grouped
+   * form merged their token streams.
    */
   def dsirWeights(docs: org.apache.spark.sql.DataFrame, idCol: String,
                   textCol: String, isTarget: Column,
                   buckets: Int = 64): org.apache.spark.sql.DataFrame = {
     require(buckets > 0, "buckets must be positive")
-    // model: ONE fused kernel pass — per-document bucket-count vectors
-    // (graft.functions.BucketCounts, no token explode) reduced by the
-    // LongVectorSum partial/final aggregate: `buckets` longs per task
-    // cross the wire, never the token stream. Counts are integers, so
-    // the model is bit-identical to the explode/groupBy form it
-    // replaced; null-text and zero-token docs contribute zero vectors
-    // exactly as dropped explode rows did.
-    val zero = array_repeat(lit(0L), buckets)
-    val lvs = org.apache.spark.sql.functions.udaf(
-      new graft.functions.LongVectorSum(buckets),
-      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[Long]]())
-    val row = docs.select(
-        coalesce(graft.functions.TextExprs.bucket_counts(col(textCol), buckets),
-          zero).as("c"),
-        isTarget.cast("boolean").as("__t"))
-      .agg(lvs(col("c")).as("raw"),
-        lvs(when(col("__t"), col("c")).otherwise(zero)).as("t"))
-      .head()
-    val cRaw = row.getSeq[Long](0)
-    val cT = row.getSeq[Long](1)
+    // model: per-bucket (raw, target) token counts — two plan shapes,
+    // identical integers. Dense kernel path for the hashing-trick
+    // regime (≤1024 buckets): one BucketCounts pass reduced by the
+    // LongVectorSum partial/final aggregate, `buckets` longs per task,
+    // never the token stream; null-text / zero-token docs contribute
+    // zero vectors exactly as dropped explode rows did. Above 1024 the
+    // dense vector costs O(buckets) per document regardless of length
+    // (a boxed long[10k] per 50-token row), so the SPARSE explode →
+    // per-bucket hash-agg takes over: O(total tokens), ≤ buckets rows
+    // after map-side combine.
+    val (cRaw, cT): (IndexedSeq[Long], IndexedSeq[Long]) =
+      if (buckets <= 1024) {
+        val zero = array_repeat(lit(0L), buckets)
+        val lvs = org.apache.spark.sql.functions.udaf(
+          new graft.functions.LongVectorSum(buckets),
+          org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[Long]]())
+        val row = docs.select(
+            coalesce(graft.functions.TextExprs.bucket_counts(col(textCol),
+              buckets), zero).as("c"),
+            isTarget.cast("boolean").as("__t"))
+          .agg(lvs(col("c")).as("raw"),
+            lvs(when(col("__t"), col("c")).otherwise(zero)).as("t"))
+          .head()
+        (row.getSeq[Long](0).toIndexedSeq, row.getSeq[Long](1).toIndexedSeq)
+      } else {
+        val m = docs.select(isTarget.cast("boolean").as("__t"),
+            explode(tokens(col(textCol))).as("tok"))
+          .select(col("__t"),
+            (conv(substring(md5(col("tok")), 1, 8), 16, 10).cast("long")
+              % buckets).cast("int").as("bucket"))
+          .groupBy(col("bucket"))
+          .agg(count(lit(1)).as("c_raw"),
+            sum(when(col("__t"), 1L).otherwise(0L)).as("c_t"))
+          .collect().map(r => r.getInt(0) -> (r.getLong(1), r.getLong(2)))
+          .toMap
+        (IndexedSeq.tabulate(buckets)(b => m.get(b).map(_._1).getOrElse(0L)),
+         IndexedSeq.tabulate(buckets)(b => m.get(b).map(_._2).getOrElse(0L)))
+      }
     val nRaw = cRaw.sum
     val nT = cT.sum
     // same IEEE ops as the SQL oracle: exact-integer-derived divisions,

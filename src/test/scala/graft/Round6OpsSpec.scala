@@ -187,7 +187,13 @@ class Round6OpsSpec extends AnyFunSuite {
       (2L, "zh", "kiwi kiwi mango plum"),
       (3L, "en", "apple kiwi banana"),
       (4L, "de", "plum plum plum cherry mango"))
-    val buckets = 16
+    // 16 exercises the dense kernel model path, 2048 the sparse
+    // explode fallback — both must match the definitional form
+    for (buckets <- Seq(16, 2048)) checkDsir(rows, buckets)
+  }
+
+  private def checkDsir(rows: Seq[(Long, String, String)],
+                        buckets: Int): Unit = {
 
     // independent model: plain collections + MessageDigest
     def bucketOf(tok: String): Int = {
