@@ -489,6 +489,53 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming centroid drift: running means converge on the batch profile") {
+    import graft.streaming.StreamingDrift
+    val batch = Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
+    val d = java.nio.file.Files.createTempDirectory(
+      new java.io.File("target").toPath.toAbsolutePath, "drift-stream").toString
+    batch.repartition(4).write.mode("overwrite").parquet(d)
+    val byLabel = batch.select(col("label").cast("string"),
+        col("embedding").cast("array<double>"))
+      .collect().map(r => r.getString(0) -> r.getSeq[Double](1))
+      .groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    def mean(vs: Seq[Seq[Double]]): Seq[Double] =
+      vs.head.indices.map(j => vs.map(_(j)).sum / vs.size)
+    // reference: exact batch means for even labels (expected drift 0),
+    // label "1" shifted by exactly 2 in dim 0 (expected drift 2.0),
+    // other odd labels absent (no baseline -> null dist)
+    val ref: Map[String, Seq[Double]] =
+      byLabel.collect { case (l, vs) if l.toInt % 2 == 0 => l -> mean(vs) } ++
+        Map("1" -> mean(byLabel("1")).zipWithIndex.map {
+          case (x, 0) => x + 2.0
+          case (x, _) => x
+        })
+    val latest =
+      new java.util.concurrent.ConcurrentHashMap[String, (Long, Option[Double])]()
+    val stream = spark.readStream.schema(batch.schema)
+      .option("maxFilesPerTrigger", 1).parquet(d)
+    val q = StreamingDrift.centroidDrift(stream, "label", "embedding", ref)
+      .writeStream.outputMode("update")
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        b.collect().foreach(r => latest.put(r.getString(0),
+          (r.getLong(1), if (r.isNullAt(2)) None else Some(r.getDouble(2)))))
+      }.start()
+    try q.processAllAvailable() finally q.stop()
+    import scala.jdk.CollectionConverters._
+    val got = latest.asScala.toMap
+    assert(got.keySet == byLabel.keySet)
+    byLabel.foreach { case (l, vs) =>
+      val (n, dist) = got(l)
+      assert(n == vs.size, s"label $l ingested $n of ${vs.size}")
+      if (l.toInt % 2 == 0)
+        assert(dist.contains(0.0), s"label $l drifted: $dist")
+      else if (l == "1")
+        assert(dist.contains(2.0), s"label 1 shift misread: $dist")
+      else
+        assert(dist.isEmpty, s"label $l has no reference, got $dist")
+    }
+  }
+
   test("streaming heavy hitters: sharded MG state tracks the ingested corpus") {
     import graft.streaming.StreamingHeavyHitters
     val batchDocs = Tables.load(spark, "/root/testdata/sf0.001", "documents")
