@@ -330,7 +330,19 @@ object Coverage {
           col("l_orderkey").bitwiseXOR(col("l_partkey")).as("xor_pk"),
           shiftleft(col("l_linenumber"), 3).as("shl3"))
         .orderBy(col("l_orderkey"), col("l_linenumber"))
-    })
+    }),
+
+    // Spark 4 SQL PIPE syntax (|> operators) — the same Catalyst plan
+    // as the nested form, so the oracle is the plain-SQL equivalent
+    "qBD_pipe_syntax" -> sql("""
+      FROM lineitem
+      |> WHERE l_quantity > 10
+      |> AGGREGATE sum(l_quantity) AS sum_qty, count(*) AS n
+         GROUP BY l_returnflag, l_linestatus
+      |> WHERE n > 100
+      |> SELECT l_returnflag, l_linestatus, sum_qty, n
+      |> ORDER BY l_returnflag, l_linestatus
+    """)
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -498,5 +510,12 @@ object Coverage {
              bool_or(l_discount > 0.09) AS any_big_disc,
              COUNT(*) FILTER (WHERE l_tax > 0.05) AS n_high_tax
       FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
+    "qBD_pipe_syntax" -> """
+      SELECT l_returnflag, l_linestatus,
+             sum(l_quantity) AS sum_qty, count(*) AS n
+      FROM lineitem WHERE l_quantity > 10
+      GROUP BY l_returnflag, l_linestatus
+      HAVING count(*) > 100
+      ORDER BY l_returnflag, l_linestatus""",
   ).map { case (k, v) => k -> v.trim.replaceAll("\\s+", " ") }
 }
