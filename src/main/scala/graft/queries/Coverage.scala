@@ -342,6 +342,21 @@ object Coverage {
       |> WHERE n > 100
       |> SELECT l_returnflag, l_linestatus, sum_qty, n
       |> ORDER BY l_returnflag, l_linestatus
+    """),
+
+    // Spark 4 VARIANT type: parse_json -> typed variant_get
+    // extraction. JSON round-trips doubles exactly (shortest-repr
+    // print, nearest-double parse), so the oracle is a plain typed
+    // projection
+    "qBE_variant" -> sql("""
+      SELECT o_orderkey,
+             variant_get(v, '$.p', 'double') AS price,
+             variant_get(v, '$.k', 'bigint') AS custkey
+      FROM (SELECT o_orderkey,
+                   parse_json(to_json(named_struct(
+                     'p', o_totalprice, 'k', o_custkey))) AS v
+            FROM orders WHERE o_orderkey <= 200)
+      ORDER BY o_orderkey
     """)
   )
 
@@ -517,5 +532,11 @@ object Coverage {
       GROUP BY l_returnflag, l_linestatus
       HAVING count(*) > 100
       ORDER BY l_returnflag, l_linestatus""",
+    "qBE_variant" -> """
+      SELECT o_orderkey,
+             CAST(o_totalprice AS DOUBLE) AS price,
+             o_custkey AS custkey
+      FROM orders WHERE o_orderkey <= 200
+      ORDER BY o_orderkey""",
   ).map { case (k, v) => k -> v.trim.replaceAll("\\s+", " ") }
 }
