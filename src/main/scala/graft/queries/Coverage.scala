@@ -357,7 +357,23 @@ object Coverage {
                      'p', o_totalprice, 'k', o_custkey))) AS v
             FROM orders WHERE o_orderkey <= 200)
       ORDER BY o_orderkey
-    """)
+    """),
+
+    // Spark 4 declarative SQL UDF (CREATE FUNCTION ... RETURN expr):
+    // the body inlines into the plan, so pushdown/codegen see through
+    // it — the oracle is the inlined expression
+    "qBF_sql_udf" -> ((s, dir) => {
+      Tables.registerAll(s, dir)
+      s.sql("""CREATE OR REPLACE TEMPORARY FUNCTION graft_disc_price(
+               p DOUBLE, d DOUBLE) RETURNS DOUBLE RETURN p * (1 - d)""")
+      s.sql("""
+        SELECT l_returnflag,
+               round(sum(graft_disc_price(l_extendedprice, l_discount)), 2)
+                 AS revenue
+        FROM lineitem WHERE l_quantity > 5
+        GROUP BY l_returnflag ORDER BY l_returnflag
+      """)
+    })
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -538,5 +554,10 @@ object Coverage {
              o_custkey AS custkey
       FROM orders WHERE o_orderkey <= 200
       ORDER BY o_orderkey""",
+    "qBF_sql_udf" -> """
+      SELECT l_returnflag,
+             round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+      FROM lineitem WHERE l_quantity > 5
+      GROUP BY l_returnflag ORDER BY l_returnflag""",
   ).map { case (k, v) => k -> v.trim.replaceAll("\\s+", " ") }
 }
