@@ -373,7 +373,19 @@ object Coverage {
         FROM lineitem WHERE l_quantity > 5
         GROUP BY l_returnflag ORDER BY l_returnflag
       """)
-    })
+    }),
+
+    // Spark 4 string collations: UTF8_LCASE equality semantics via
+    // count(DISTINCT) over a deliberately case-mixed value — the
+    // case-insensitive count collapses what the binary count keeps
+    // apart; the oracle lowers explicitly
+    "qBG_collation" -> sql("""
+      SELECT count(DISTINCT mixed COLLATE UTF8_LCASE) AS n_ci,
+             count(DISTINCT mixed) AS n_cs
+      FROM (SELECT CASE WHEN l_orderkey % 2 = 0
+                        THEN upper(l_returnflag) ELSE l_returnflag END AS mixed
+            FROM lineitem)
+    """)
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -559,5 +571,11 @@ object Coverage {
              round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
       FROM lineitem WHERE l_quantity > 5
       GROUP BY l_returnflag ORDER BY l_returnflag""",
+    "qBG_collation" -> """
+      SELECT count(DISTINCT lower(mixed)) AS n_ci,
+             count(DISTINCT mixed) AS n_cs
+      FROM (SELECT CASE WHEN l_orderkey % 2 = 0
+                        THEN upper(l_returnflag) ELSE l_returnflag END AS mixed
+            FROM lineitem)""",
   ).map { case (k, v) => k -> v.trim.replaceAll("\\s+", " ") }
 }
