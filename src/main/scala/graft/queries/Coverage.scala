@@ -385,7 +385,24 @@ object Coverage {
       FROM (SELECT CASE WHEN l_orderkey % 2 = 0
                         THEN upper(l_returnflag) ELSE l_returnflag END AS mixed
             FROM lineitem)
-    """)
+    """),
+
+    // named-parameter binding (spark.sql(text, args)) feeding an
+    // EXECUTE IMMEDIATE with positional USING binds — the
+    // prepared-statement surface a query server exposes
+    "qBH_param_sql" -> ((s, dir) => {
+      Tables.registerAll(s, dir)
+      val inner = s.sql(
+        "SELECT count(*) AS n_all FROM lineitem WHERE l_quantity > :q",
+        Map("q" -> 45)).head().getLong(0)
+      s.sql(s"""
+        EXECUTE IMMEDIATE
+          'SELECT l_returnflag, count(*) AS n, ? AS n_global
+           FROM lineitem WHERE l_quantity > ?
+           GROUP BY l_returnflag ORDER BY l_returnflag'
+        USING $inner, 45
+      """)
+    })
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -577,5 +594,10 @@ object Coverage {
       FROM (SELECT CASE WHEN l_orderkey % 2 = 0
                         THEN upper(l_returnflag) ELSE l_returnflag END AS mixed
             FROM lineitem)""",
+    "qBH_param_sql" -> """
+      SELECT l_returnflag, count(*) AS n,
+             (SELECT count(*) FROM lineitem WHERE l_quantity > 45) AS n_global
+      FROM lineitem WHERE l_quantity > 45
+      GROUP BY l_returnflag ORDER BY l_returnflag""",
   ).map { case (k, v) => k -> v.trim.replaceAll("\\s+", " ") }
 }
