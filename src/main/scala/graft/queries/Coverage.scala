@@ -384,7 +384,7 @@ object Coverage {
              count(DISTINCT mixed) AS n_cs
       FROM (SELECT CASE WHEN l_orderkey % 2 = 0
                         THEN upper(l_returnflag) ELSE l_returnflag END AS mixed
-            FROM lineitem)
+            FROM lineitem WHERE l_quantity > 45)
     """),
 
     // named-parameter binding (spark.sql(text, args)) feeding an
@@ -593,7 +593,7 @@ object Coverage {
              count(DISTINCT mixed) AS n_cs
       FROM (SELECT CASE WHEN l_orderkey % 2 = 0
                         THEN upper(l_returnflag) ELSE l_returnflag END AS mixed
-            FROM lineitem)""",
+            FROM lineitem WHERE l_quantity > 45)""",
     "qBH_param_sql" -> """
       SELECT l_returnflag, count(*) AS n,
              (SELECT count(*) FROM lineitem WHERE l_quantity > 45) AS n_global
