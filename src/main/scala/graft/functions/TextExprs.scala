@@ -204,19 +204,18 @@ object TextExprs {
   def dsir_score(text: Column, lr: Seq[Double]): Column =
     ColumnBridge.column(DsirScore(ColumnBridge.expression(text), lr))
 
-  /** md5 feature bucket of one token — shared by [[bucketCounts]] and
-    * [[dsirScore]]; [[hashEmbedVec]] inlines the same arithmetic
-    * because it also reads the sign nibble from the one digest
-    * (hash/bucket convention parity with the relational
-    * `conv(substring(md5(tok),1,8),16,10) % n` form). */
   /** First-4-digest-bytes unsigned big-endian value mod `n` — the ONE
     * definition of the bucket fold, shared by every md5-bucket kernel
     * (a convention tweak applied anywhere else would silently
-    * desynchronize hashed embeddings from DSIR features). */
+    * desynchronize hashed embeddings from DSIR features); parity with
+    * the relational `conv(substring(md5(tok),1,8),16,10) % n` form. */
   private def bucketOfDigest(d: Array[Byte], n: Int): Int =
     ((((d(0) & 0xffL) << 24) | ((d(1) & 0xffL) << 16) |
       ((d(2) & 0xffL) << 8) | (d(3) & 0xffL)) % n).toInt
 
+  /** md5 feature bucket of one token — shared by [[bucketCounts]] and
+    * [[dsirScore]]; [[hashEmbedVec]] digests once itself because it
+    * also reads the sign nibble, then folds via [[bucketOfDigest]]. */
   private def md5Bucket(md: java.security.MessageDigest, tok: String,
                         n: Int): Int =
     bucketOfDigest(

@@ -383,7 +383,7 @@ object Coverage {
       SELECT count(DISTINCT mixed COLLATE UTF8_LCASE) AS n_ci,
              count(DISTINCT mixed) AS n_cs
       FROM (SELECT CASE WHEN l_orderkey % 2 = 0
-                        THEN upper(l_returnflag) ELSE l_returnflag END AS mixed
+                        THEN lower(l_returnflag) ELSE l_returnflag END AS mixed
             FROM lineitem WHERE l_quantity > 45)
     """),
 
@@ -592,7 +592,7 @@ object Coverage {
       SELECT count(DISTINCT lower(mixed)) AS n_ci,
              count(DISTINCT mixed) AS n_cs
       FROM (SELECT CASE WHEN l_orderkey % 2 = 0
-                        THEN upper(l_returnflag) ELSE l_returnflag END AS mixed
+                        THEN lower(l_returnflag) ELSE l_returnflag END AS mixed
             FROM lineitem WHERE l_quantity > 45)""",
     "qBH_param_sql" -> """
       SELECT l_returnflag, count(*) AS n,

@@ -16,7 +16,7 @@ import org.apache.spark.sql.streaming.GroupStateTimeout
  *
  * The reference centroids come from a batch profile (e.g.
  * `centroidDriftMatrix`'s input corpus, or last month's lake) and
- * ride into the state function as one broadcast-sized map. Groups
+ * ride into the state function inside the task closure. Groups
  * absent from the reference emit a null distance (new source — no
  * baseline to drift from) rather than being dropped; the count and
  * running mean still accumulate, so promoting the group into the
@@ -37,48 +37,70 @@ import org.apache.spark.sql.streaming.GroupStateTimeout
  */
 object StreamingDrift {
 
-  /** @return Update-mode stream of (group, n, dist): rows ingested so
-    *         far for the group, and the Euclidean distance of its
-    *         running mean to `reference(group)` rounded to 4 (null
-    *         when the group has no reference entry). */
+  /** @return Update-mode stream of (group, n, n_bad, dist): usable
+    *         rows ingested so far for the group, rows REJECTED for
+    *         the group (empty vectors, or a dimension that
+    *         contradicts the group's first-seen dimension — the
+    *         schema-drift signal), and the Euclidean distance of the
+    *         running mean to `reference(group)` rounded to 4. `dist`
+    *         is null when the group has no reference entry, has no
+    *         usable rows yet, or its dimension does not match the
+    *         reference's — a dimension mismatch must read as "no
+    *         comparable signal", never as a silently truncated
+    *         distance (a monitor that reports 0.0 drift on a schema
+    *         change is worse than none). */
   def centroidDrift(emb: DataFrame, groupCol: String, vecCol: String,
                     reference: Map[String, Seq[Double]]): DataFrame = {
     val spark = emb.sparkSession
     import spark.implicits._
-    val ref = spark.sparkContext.broadcast(reference)
+    // the reference is groups × dim doubles — task-closure-sized; a
+    // SparkContext broadcast here would leak (no handle to unpersist
+    // across query restarts), so it rides the serialized closure
+    val ref = reference
     emb.filter(col(groupCol).isNotNull && col(vecCol).isNotNull)
       .select(col(groupCol).cast("string").as("g"),
         col(vecCol).cast("array<double>").as("v"))
       .as[(String, Seq[Double])]
       .groupByKey(_._1)
-      .mapGroupsWithState[(Array[Double], Long),
-                          (String, Long, Option[Double])](
+      .mapGroupsWithState[(Array[Double], Long, Long),
+                          (String, Long, Long, Option[Double])](
         GroupStateTimeout.NoTimeout) {
         (g: String, rows: Iterator[(String, Seq[Double])],
-         state: org.apache.spark.sql.streaming.GroupState[(Array[Double], Long)]) =>
-          var (sums, n) = state.getOption.getOrElse((Array.empty[Double], 0L))
+         state: org.apache.spark.sql.streaming.GroupState[(Array[Double], Long, Long)]) =>
+          var (sums, n, bad) =
+            state.getOption.getOrElse((Array.empty[Double], 0L, 0L))
+          // the group's AUTHORITATIVE dimension: the reference's when
+          // it has one (a junk first arrival must not hijack the
+          // group), else first-seen
+          val refDim = ref.get(g).map(_.size)
           rows.foreach { case (_, v) =>
-            if (sums.isEmpty) sums = new Array[Double](v.size)
-            var i = 0
-            val d = math.min(sums.length, v.size)
-            while (i < d) { sums(i) += v(i); i += 1 }
-            n += 1
-          }
-          state.update((sums, n))
-          val dist = ref.value.get(g).filter(_ => n > 0).map { rc =>
-            var s = 0.0
-            var i = 0
-            val d = math.min(sums.length, rc.size)
-            while (i < d) {
-              val diff = sums(i) / n - rc(i)
-              s += diff * diff
-              i += 1
+            if (v.isEmpty || refDim.exists(_ != v.size)) bad += 1
+            else {
+              if (sums.isEmpty) sums = new Array[Double](v.size)
+              if (v.size != sums.length) bad += 1 // dimension drifted
+              else {
+                var i = 0
+                while (i < sums.length) { sums(i) += v(i); i += 1 }
+                n += 1
+              }
             }
-            BigDecimal(math.sqrt(s))
-              .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
           }
-          (g, n, dist)
+          state.update((sums, n, bad))
+          val dist = ref.get(g)
+            .filter(rc => n > 0 && rc.size == sums.length)
+            .map { rc =>
+              var s = 0.0
+              var i = 0
+              while (i < sums.length) {
+                val diff = sums(i) / n - rc(i)
+                s += diff * diff
+                i += 1
+              }
+              BigDecimal(math.sqrt(s))
+                .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+            }
+          (g, n, bad, dist)
       }
-      .toDF(groupCol, "n", "dist")
+      .toDF(groupCol, "n", "n_bad", "dist")
   }
 }

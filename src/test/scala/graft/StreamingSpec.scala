@@ -491,10 +491,17 @@ class StreamingSpec extends AnyFunSuite {
 
   test("streaming centroid drift: running means converge on the batch profile") {
     import graft.streaming.StreamingDrift
+    import spark.implicits._
     val batch = Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
     val d = java.nio.file.Files.createTempDirectory(
       new java.io.File("target").toPath.toAbsolutePath, "drift-stream").toString
-    batch.repartition(4).write.mode("overwrite").parquet(d)
+    // inject an EMPTY vector (label 2) and a wrong-dimension vector
+    // (label 4): both must be rejected into n_bad without skewing the
+    // running mean
+    val junk = Seq(
+      (900001L, Seq.empty[Float], 2),
+      (900002L, Seq(1f, 2f, 3f), 4)).toDF("vec_id", "embedding", "label")
+    batch.unionByName(junk).repartition(4).write.mode("overwrite").parquet(d)
     val byLabel = batch.select(col("label").cast("string"),
         col("embedding").cast("array<double>"))
       .collect().map(r => r.getString(0) -> r.getSeq[Double](1))
@@ -510,23 +517,27 @@ class StreamingSpec extends AnyFunSuite {
           case (x, 0) => x + 2.0
           case (x, _) => x
         })
-    val latest =
-      new java.util.concurrent.ConcurrentHashMap[String, (Long, Option[Double])]()
+    val latest = new java.util.concurrent.ConcurrentHashMap[
+      String, (Long, Long, Option[Double])]()
     val stream = spark.readStream.schema(batch.schema)
       .option("maxFilesPerTrigger", 1).parquet(d)
     val q = StreamingDrift.centroidDrift(stream, "label", "embedding", ref)
       .writeStream.outputMode("update")
       .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
         b.collect().foreach(r => latest.put(r.getString(0),
-          (r.getLong(1), if (r.isNullAt(2)) None else Some(r.getDouble(2)))))
+          (r.getLong(1), r.getLong(2),
+            if (r.isNullAt(3)) None else Some(r.getDouble(3)))))
       }.start()
     try q.processAllAvailable() finally q.stop()
     import scala.jdk.CollectionConverters._
     val got = latest.asScala.toMap
     assert(got.keySet == byLabel.keySet)
     byLabel.foreach { case (l, vs) =>
-      val (n, dist) = got(l)
+      val (n, bad, dist) = got(l)
       assert(n == vs.size, s"label $l ingested $n of ${vs.size}")
+      // the injected junk rows land in n_bad, never in the mean
+      assert(bad == (if (l == "2" || l == "4") 1L else 0L),
+        s"label $l n_bad $bad")
       if (l.toInt % 2 == 0)
         assert(dist.contains(0.0), s"label $l drifted: $dist")
       else if (l == "1")
