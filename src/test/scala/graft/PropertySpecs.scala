@@ -283,6 +283,43 @@ class PropertySpecs extends AnyFunSuite {
     }
   }
 
+  test("chunkWindows invariants hold on randomized geometries") {
+    val spark = GraftTestSession.spark
+    import spark.implicits._
+    val geoms = samples(Gen.zip(Gen.choose(0, 120), Gen.choose(1, 20),
+      Gen.choose(1, 20)), n = 40)
+      .map { case (n, w, s) => (n, w, math.min(s, w)) }
+    // one frame per distinct doc size; one operator call per geometry
+    geoms.distinct.foreach { case (n, width, stride) =>
+      val df = Seq((1L, (1 to n).map(i => s"t$i").mkString(" ")))
+        .toDF("doc_id", "text")
+      val out = graft.operators.Packing
+        .chunkWindows(df, "doc_id", "text", width, stride)
+        .collect().map(r => (r.getLong(1), r.getLong(2), r.getLong(3)))
+        .sortBy(_._1)
+      if (n == 0) assert(out.isEmpty)
+      else {
+        // contract re-derivation: starts on the stride grid while
+        // start == 1 or start <= n - width + stride
+        val starts = (1 to n by stride)
+          .filter(st => st == 1 || st <= n - width + stride)
+        assert(out.map(_._2).toSeq == starts.map(_.toLong),
+          s"n=$n w=$width s=$stride starts")
+        assert(out.map(_._1).toSeq == out.indices.map(_.toLong))
+        assert(out.forall { case (_, st, e) =>
+          e == math.min(st + width - 1, n) })
+        // full coverage, and every kept chunk extends coverage
+        assert(out.flatMap(c => c._2 to c._3).toSet == (1 to n).toSet,
+          s"n=$n w=$width s=$stride coverage")
+        out.sliding(2).foreach {
+          case Array(a, b) => assert(b._3 > a._3,
+            s"n=$n w=$width s=$stride redundant tail at ${b._1}")
+          case _ =>
+        }
+      }
+    }
+  }
+
   test("Aho-Corasick scan equals naive contains on adversarial phrase sets") {
     // small alphabet maximizes overlapping/suffix-sharing matches —
     // the cases where fail-link bugs hide ("aa" inside "aaa", a
