@@ -320,6 +320,40 @@ class PropertySpecs extends AnyFunSuite {
     }
   }
 
+  test("MisraGries bounds hold on randomized zipfy streams and partitionings") {
+    val spark = GraftTestSession.spark
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    // zipf-ish streams (value v with weight ~ 1/(v+1)) stress both the
+    // heavy head (must survive) and the singleton tail (must evict)
+    val streamGen = for {
+      n <- Gen.choose(200, 1200)
+      vs <- Gen.listOfN(n, Gen.frequency(
+        (8, Gen.choose(0, 5)), (3, Gen.choose(6, 40)), (2, Gen.choose(41, 800))))
+    } yield vs.map(v => s"v$v")
+    samples(Gen.zip(streamGen, Gen.choose(4, 24), Gen.oneOf(1, 5, 17)), n = 25)
+      .foreach { case (stream, k, parts) =>
+        val truth = stream.groupBy(identity).view.mapValues(_.size.toLong).toMap
+        val n = stream.size.toLong
+        val mg = org.apache.spark.sql.functions.udaf(
+          new graft.functions.MisraGries(k),
+          org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[String]())
+        val s = stream.toDF("g").repartition(parts).agg(mg(col("g")))
+          .head().getSeq[org.apache.spark.sql.Row](0)
+          .map(r => r.getString(0) -> r.getLong(1)).toMap
+        assert(s.size <= k, s"k=$k parts=$parts over capacity")
+        val bound = n / (k + 1)
+        truth.foreach { case (g, c) =>
+          if (c > bound)
+            assert(s.contains(g), s"k=$k parts=$parts lost heavy '$g' ($c > $bound)")
+        }
+        s.foreach { case (g, est) =>
+          assert(est <= truth(g), s"k=$k parts=$parts overestimated '$g'")
+          assert(est >= truth(g) - bound, s"k=$k parts=$parts '$g' under bound")
+        }
+      }
+  }
+
   test("Aho-Corasick scan equals naive contains on adversarial phrase sets") {
     // small alphabet maximizes overlapping/suffix-sharing matches —
     // the cases where fail-link bugs hide ("aa" inside "aaa", a
