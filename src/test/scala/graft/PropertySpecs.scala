@@ -283,6 +283,33 @@ class PropertySpecs extends AnyFunSuite {
     }
   }
 
+  test("SQL pipe syntax resolves to the same plan as the nested form") {
+    val spark = GraftTestSession.spark
+    Tables.registerAll(spark, "/root/testdata/sf0.001")
+    // the qBD claim, pinned structurally: |> chains are parse-level
+    // sugar, so the optimized plans must answer sameResult — not just
+    // hash-equal output
+    val pipe = spark.sql("""
+      FROM lineitem
+      |> WHERE l_quantity > 10
+      |> AGGREGATE sum(l_quantity) AS sum_qty, count(*) AS n
+         GROUP BY l_returnflag, l_linestatus
+      |> WHERE n > 100
+      |> SELECT l_returnflag, l_linestatus, sum_qty, n
+      |> ORDER BY l_returnflag, l_linestatus
+    """).queryExecution.optimizedPlan
+    val plain = spark.sql("""
+      SELECT l_returnflag, l_linestatus,
+             sum(l_quantity) AS sum_qty, count(*) AS n
+      FROM lineitem WHERE l_quantity > 10
+      GROUP BY l_returnflag, l_linestatus
+      HAVING count(*) > 100
+      ORDER BY l_returnflag, l_linestatus
+    """).queryExecution.optimizedPlan
+    assert(pipe.sameResult(plain),
+      s"pipe plan diverged:\n$pipe\nvs\n$plain")
+  }
+
   test("chunkWindows invariants hold on randomized geometries") {
     val spark = GraftTestSession.spark
     import spark.implicits._

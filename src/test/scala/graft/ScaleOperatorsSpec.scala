@@ -756,6 +756,31 @@ class ScaleOperatorsSpec extends AnyFunSuite {
       (ab ++ c).toDF("g", "v").limit(0), "g", "v").count() == 0)
   }
 
+  test("prototypicalityFilter invariants hold on random corpora") {
+    import graft.operators.Similarity
+    import spark.implicits._
+    val rnd = new scala.util.Random(23)
+    for (dropFrac <- Seq(0.1, 1.0 / 3, 0.5); nlist <- Seq(1, 4)) {
+      val emb = (0 until 90).map { i =>
+        (i.toLong, Seq.fill(8)((rnd.nextGaussian() * 0.7).toFloat))
+      }.toDF("vec_id", "embedding")
+      val res = Similarity.prototypicalityFilter(
+          emb, "vec_id", "embedding", dropFrac, nlist, iters = 3)
+        .collect().map(r =>
+          (r.getLong(0), r.getInt(1), r.getDouble(2), r.getBoolean(3)))
+      assert(res.length == 90, s"frac=$dropFrac nlist=$nlist lost rows")
+      res.groupBy(_._2).foreach { case (cell, ms) =>
+        val dropped = ms.filter(!_._4)
+        assert(dropped.length == (ms.length * dropFrac).toInt,
+          s"frac=$dropFrac nlist=$nlist cell $cell drop count")
+        val kept = ms.filter(_._4)
+        if (dropped.nonEmpty && kept.nonEmpty)
+          assert(dropped.map(_._3).min >= kept.map(_._3).max - 1e-9,
+            s"frac=$dropFrac nlist=$nlist cell $cell ordering")
+      }
+    }
+  }
+
   test("MisraGries guarantees + heavyGrams equals brute force") {
     import spark.implicits._
     import graft.functions.MisraGries
