@@ -210,12 +210,22 @@ object Bench {
     // the exact per-pid shape gc-<digits>.log: with SPARK_GRAFT_GCLOG
     // pointing into a shared directory (e.g. /var/log) a broad
     // `gc-*.log` sweep would delete logs the bench does not own
+    // …and never a file whose pid is STILL ALIVE: a concurrent JVM
+    // older than a day is legitimately writing gc-<its-pid>.log, and
+    // unlinking it would make that process's stall census silently
+    // read zero from a missing path (round-12 advice)
     if (!sys.env.contains("SPARK_GRAFT_GCLOG")) try {
       val dir = new java.io.File(gcLogPath).getAbsoluteFile.getParentFile
       val cutoff = System.currentTimeMillis() - 24L * 3600 * 1000
-      val own = "gc-[0-9]+\\.log".r
+      val own = "gc-([0-9]+)\\.log".r
       Option(dir.listFiles()).getOrElse(Array.empty).foreach { f =>
-        if (own.matches(f.getName) && f.lastModified() < cutoff) f.delete()
+        f.getName match {
+          case own(pid) if f.lastModified() < cutoff &&
+              !(try ProcessHandle.of(pid.toLong).isPresent
+                catch { case _: NumberFormatException => true }) =>
+            f.delete()
+          case _ => ()
+        }
       }
     } catch { case _: Exception => () }
     def gcLogLen(): Long = {

@@ -36,69 +36,107 @@ object AhoCorasick {
     ColumnBridge.column(
       MultiPhraseHits(ColumnBridge.expression(text), phrases))
 
-  /** Array-based automaton: goto maps per node, BFS fail links,
-    * per-node matched-phrase index lists (suffix outputs merged at
-    * build). Serializable — it rides to executors as a codegen
-    * reference object. */
+  /** Byte-trie automaton over the phrases' UTF-8 encodings: the scan
+    * walks `UTF8String.getByte` directly (raw-substring matching is
+    * byte-for-byte equivalent on valid UTF-8, and skipping the
+    * UTF-16 transcode + String allocation matters on a per-row hot
+    * path). Goto tables are flattened after build into sorted
+    * parallel primitive arrays (CSR layout: `nodeStart`/`keys`/
+    * `nexts`) probed by binary search — no boxed maps survive to
+    * scan time. BFS fail links; per-node matched-phrase index lists
+    * with suffix outputs merged at build, flattened the same way.
+    * Serializable — it rides to executors as a codegen reference
+    * object. */
   final class Automaton(phrases: Array[String]) extends Serializable {
-    private val gotoMaps =
-      scala.collection.mutable.ArrayBuffer(
-        new java.util.HashMap[Char, Int]())
-    private val outLists =
-      scala.collection.mutable.ArrayBuffer[Array[Int]](Array.empty)
-
-    phrases.zipWithIndex.foreach { case (p, pi) =>
-      var s = 0
-      p.foreach { ch =>
-        val m = gotoMaps(s)
-        s = if (m.containsKey(ch)) m.get(ch)
-        else {
-          gotoMaps += new java.util.HashMap[Char, Int]()
-          outLists += Array.empty
-          m.put(ch, gotoMaps.size - 1)
-          gotoMaps.size - 1
+    // Build with mutable boxed maps (TreeMap so keys flatten sorted),
+    // then flatten into CSR primitive arrays — ONLY the arrays become
+    // fields, so the scan never touches a boxed map and serialization
+    // ships nothing but primitives.
+    private val (nodeStart, keys, nexts, fail, outStart, outs) = {
+      val gotoMaps = scala.collection.mutable.ArrayBuffer(
+        new java.util.TreeMap[Integer, Integer]())
+      val outLists =
+        scala.collection.mutable.ArrayBuffer[Array[Int]](Array.empty)
+      phrases.zipWithIndex.foreach { case (p, pi) =>
+        var s = 0
+        p.getBytes(java.nio.charset.StandardCharsets.UTF_8).foreach { bt =>
+          val m = gotoMaps(s)
+          val key = Integer.valueOf(bt.toInt)
+          s = if (m.containsKey(key)) m.get(key)
+          else {
+            gotoMaps += new java.util.TreeMap[Integer, Integer]()
+            outLists += Array.empty
+            m.put(key, gotoMaps.size - 1)
+            gotoMaps.size - 1
+          }
+        }
+        outLists(s) = outLists(s) :+ pi
+      }
+      val fl = new Array[Int](gotoMaps.size)
+      locally { // BFS fail links; merge suffix outputs into each node
+        val q = new java.util.ArrayDeque[Int]()
+        gotoMaps(0).values().forEach(v => q.add(v))
+        while (!q.isEmpty) {
+          val u = q.poll()
+          gotoMaps(u).forEach { (bt, v) =>
+            q.add(v)
+            var f = fl(u)
+            while (f != 0 && !gotoMaps(f).containsKey(bt)) f = fl(f)
+            fl(v) =
+              if (gotoMaps(f).containsKey(bt) && gotoMaps(f).get(bt) != v)
+                gotoMaps(f).get(bt)
+              else 0
+            if (outLists(fl(v)).nonEmpty)
+              outLists(v) = outLists(v) ++ outLists(fl(v))
+          }
         }
       }
-      outLists(s) = outLists(s) :+ pi
-    }
-
-    private val fail = new Array[Int](gotoMaps.size)
-    locally { // BFS fail links; merge suffix outputs into each node
-      val q = new java.util.ArrayDeque[Int]()
-      gotoMaps(0).values().forEach(v => q.add(v))
-      while (!q.isEmpty) {
-        val u = q.poll()
-        gotoMaps(u).forEach { (ch, v) =>
-          q.add(v)
-          var f = fail(u)
-          while (f != 0 && !gotoMaps(f).containsKey(ch)) f = fail(f)
-          fail(v) =
-            if (gotoMaps(f).containsKey(ch) && gotoMaps(f).get(ch) != v)
-              gotoMaps(f).get(ch)
-            else 0
-          if (outLists(fail(v)).nonEmpty)
-            outLists(v) = outLists(v) ++ outLists(fail(v))
-        }
+      // flatten: CSR goto (sorted signed-byte keys per node) + CSR outputs
+      val ns = new Array[Int](gotoMaps.size + 1)
+      gotoMaps.indices.foreach(i => ns(i + 1) = ns(i) + gotoMaps(i).size())
+      val ks = new Array[Byte](ns.last)
+      val nx = new Array[Int](ns.last)
+      var w = 0
+      gotoMaps.foreach { m =>
+        m.forEach { (bt, v) => ks(w) = bt.byteValue(); nx(w) = v.intValue(); w += 1 }
       }
+      val os = new Array[Int](outLists.size + 1)
+      outLists.indices.foreach(i => os(i + 1) = os(i) + outLists(i).length)
+      (ns, ks, nx, fl, os, outLists.toArray.flatten)
     }
 
     private val phraseUtf8: Array[UTF8String] =
       phrases.map(UTF8String.fromString)
 
+    /** goto(state, b), or -1 when no edge: binary search over the
+      * node's sorted signed-byte key slice (typically ≤ a few keys). */
+    private def step(state: Int, b: Byte): Int = {
+      var lo = nodeStart(state)
+      var hi = nodeStart(state + 1) - 1
+      while (lo <= hi) {
+        val mid = (lo + hi) >>> 1
+        val kb = keys(mid)
+        if (kb == b) return nexts(mid)
+        else if (kb < b) lo = mid + 1
+        else hi = mid - 1
+      }
+      -1
+    }
+
     /** One left-to-right pass; distinct matches in phrase-list order. */
     def scan(text: UTF8String): GenericArrayData = {
-      val s = text.toString
+      val n = text.numBytes()
       val seen = new java.util.BitSet(phraseUtf8.length)
       var state = 0
       var i = 0
-      while (i < s.length) {
-        val ch = s.charAt(i)
-        while (state != 0 && !gotoMaps(state).containsKey(ch))
-          state = fail(state)
-        if (gotoMaps(state).containsKey(ch)) state = gotoMaps(state).get(ch)
-        val out = outLists(state)
-        var j = 0
-        while (j < out.length) { seen.set(out(j)); j += 1 }
+      while (i < n) {
+        val b = text.getByte(i)
+        var nxt = step(state, b)
+        while (nxt < 0 && state != 0) { state = fail(state); nxt = step(state, b) }
+        if (nxt >= 0) state = nxt else state = 0
+        var j = outStart(state)
+        val jEnd = outStart(state + 1)
+        while (j < jEnd) { seen.set(outs(j)); j += 1 }
         i += 1
       }
       val hits = new scala.collection.mutable.ArrayBuffer[Any](seen.cardinality())

@@ -28,27 +28,35 @@ import org.apache.spark.sql.expressions.Aggregator
  *
  * Buffer layout: absolute counts over a shared `base` offset
  * (effective count = stored − base). The classic decrement-all step
- * becomes `base += 1` plus dropping entries that hit the base —
- * amortized O(1) per element, since every unit of dropped count was
- * added by exactly one stream element.
+ * becomes `base += 1` plus dropping entries that hit the base.
+ * `minStored` is a LOWER BOUND on the smallest stored count (only
+ * insertions can lower the true minimum, so the bound survives
+ * increments untouched): the eviction step scans the summary only
+ * when `minStored` says some entry CAN hit the base, which keeps a
+ * heavy-head-plus-long-tail stream — a full summary of high counts
+ * absorbing a stream of strangers — at O(1) per element instead of a
+ * drop-nothing O(k) filter per stranger.
  */
 class MisraGries(k: Int)
     extends Aggregator[String, MisraGries.Buf, Seq[MisraGries.Hit]] {
   import MisraGries.{Buf, Hit}
   require(k > 0, "summary capacity k must be positive")
 
-  override def zero: Buf = Buf(0L, Map.empty)
+  override def zero: Buf = Buf(0L, Map.empty, Long.MaxValue)
 
   override def reduce(b: Buf, gram: String): Buf =
     b.counts.get(gram) match {
-      case Some(c) => Buf(b.base, b.counts.updated(gram, c + 1))
+      case Some(c) => Buf(b.base, b.counts.updated(gram, c + 1), b.minStored)
       case None if b.counts.size < k =>
-        Buf(b.base, b.counts.updated(gram, b.base + 1))
+        Buf(b.base, b.counts.updated(gram, b.base + 1),
+          math.min(b.minStored, b.base + 1))
       case None =>
         // full and unseen: decrement-all via the base offset; entries
-        // whose count falls to the new base leave the summary
+        // whose count falls to the new base leave the summary. Skip
+        // the scan entirely while the bound proves nothing can drop.
         val nb = b.base + 1
-        Buf(nb, b.counts.filter(_._2 > nb))
+        if (b.minStored > nb) Buf(nb, b.counts, b.minStored)
+        else Buf(nb, b.counts.filter(_._2 > nb), nb + 1)
     }
 
   override def merge(a: Buf, b: Buf): Buf = {
@@ -60,13 +68,14 @@ class MisraGries(k: Int)
     // …then trim to the k largest by subtracting the (k+1)-th largest
     // residual (the mergeable-summaries step: equivalent to that many
     // decrement-alls, so the N/(k+1) undercount bound telescopes)
-    if (summed.size <= k) Buf(0L, summed)
-    else {
-      val cut = summed.values.toSeq.sorted(Ordering[Long].reverse)(k)
-      Buf(0L, summed.collect {
-        case (g, c) if c - cut > 0 => g -> (c - cut)
-      })
-    }
+    val trimmed =
+      if (summed.size <= k) summed
+      else {
+        val cut = summed.values.toSeq.sorted(Ordering[Long].reverse)(k)
+        summed.collect { case (g, c) if c - cut > 0 => g -> (c - cut) }
+      }
+    Buf(0L, trimmed,
+      if (trimmed.isEmpty) Long.MaxValue else trimmed.valuesIterator.min)
   }
 
   /** Candidates with their (under-)estimates, best-first; ties in
@@ -81,6 +90,7 @@ class MisraGries(k: Int)
 }
 
 object MisraGries {
-  case class Buf(base: Long, counts: Map[String, Long])
+  /** `minStored` lower-bounds min(counts.values) — see class doc. */
+  case class Buf(base: Long, counts: Map[String, Long], minStored: Long)
   case class Hit(gram: String, est: Long)
 }

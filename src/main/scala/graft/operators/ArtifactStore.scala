@@ -201,8 +201,13 @@ object ArtifactStore {
     // vacuumed — no point paying the directory listing twice back to
     // back). Safe without the build lock: live same-JVM staging is
     // shielded by [[ownStaging]], cross-process work by the age gate,
-    // and every probe tolerates a racing sweep.
-    if (!builtNow) vacuumStale(fs, artDir, keep = s"fp=$fp")
+    // and every probe tolerates a racing sweep. markNew = false: a
+    // reader only RECLAIMS generations a builder already marked — a
+    // process holding a stale view of a regenerated lake must not
+    // supersede the CURRENT generation other processes are serving
+    // (only the build path, which proved its fp= absent from disk,
+    // may start a supersede clock).
+    if (!builtNow) vacuumStale(fs, artDir, keep = s"fp=$fp", markNew = false)
     spark.read.parquet(target.toString)
   }
 
@@ -232,18 +237,21 @@ object ArtifactStore {
     *    subtree ([[newestMtime]] — the top dir's own mtime misses
     *    nested task-file writes) is older than [[vacuumGraceMs]] — a
     *    recent one may be another process mid-write;
-    *  - superseded `fp=` generations: on first observation drop a
-    *    `.superseded` marker (starting the clock at SUPERSEDE time,
-    *    not build time); delete once the marker is older than the
-    *    grace — a recent one may still be under a lazy reader's
-    *    scan.
+    *  - superseded `fp=` generations: on first observation (build-
+    *    path vacuums only — `markNew`) drop a `.superseded` marker
+    *    (starting the clock at SUPERSEDE time, not build time);
+    *    delete once the marker is older than the grace — a recent
+    *    one may still be under a lazy reader's scan. Read-path
+    *    vacuums pass `markNew = false` and only reclaim generations
+    *    a builder already marked, so a stale-fingerprint reader can
+    *    never start the supersede clock on the current generation.
     * Every FS probe of a candidate tolerates IOException: a
     * concurrent cross-process vacuum may reclaim the same dir between
     * our list and stat, and losing that race must not fail a build
     * that already committed. */
   private def vacuumStale(fs: org.apache.hadoop.fs.FileSystem,
                           artDir: org.apache.hadoop.fs.Path,
-                          keep: String): Unit = {
+                          keep: String, markNew: Boolean = true): Unit = {
     val now = System.currentTimeMillis()
     // the LISTING itself must tolerate a racing sweep too (a
     // cross-process vacuumOrphans can delete the whole artifact dir
@@ -268,10 +276,10 @@ object ArtifactStore {
               fs.delete(p, true)
           } else if (n.startsWith("fp=")) {
             val marker = new org.apache.hadoop.fs.Path(p, ".superseded")
-            val since =
-              if (fs.exists(marker)) fs.getFileStatus(marker).getModificationTime
-              else { fs.create(marker, true).close(); now }
-            if (now - since >= vacuumGraceMs) fs.delete(p, true)
+            if (fs.exists(marker)) {
+              if (now - fs.getFileStatus(marker).getModificationTime
+                    >= vacuumGraceMs) fs.delete(p, true)
+            } else if (markNew) fs.create(marker, true).close()
           }
         } catch {
           case _: java.io.IOException => () // raced away: next pass

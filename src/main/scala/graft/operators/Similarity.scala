@@ -174,19 +174,28 @@ object Similarity {
    * one clustering pass — never wrong, at most unpruned. The
    * centroid/radius math is metadata-sized driver work (nlist × dim
    * + nlist² doubles); the corpus sees one assignment pass and one
-   * cell-pair-bounded join. No row-count guard: the operator is safe
-   * wherever its candidate volume is, and a hot cell is visible in
-   * the assignment (cap with [[semanticDedup]]'s `maxCellSize` path
-   * if approximate suffices).
+   * cell-pair-bounded join. `maxCellSize` is the hot-cell guard for
+   * the quadratic phases: exactness forbids [[semanticDedup]]'s
+   * member-dropping cap, so when a degenerate clustering (near-
+   * identical embeddings, or Lloyd collapsing onto one populated
+   * cell) would silently turn "pruned" into n², the operator REFUSES
+   * LOUDLY ([[refuseHotCells]]) instead — re-cluster with larger
+   * nlist/iters, raise the cap deliberately, or take the approximate
+   * paths ([[semanticDedup]]/[[lshPairs]]). `None` keeps the
+   * unguarded behavior (candidate volume stays visible in the
+   * logged pair counts either way).
    */
   def exactPairsPruned(emb: DataFrame, idCol: String, vecCol: String,
                        minCos: Double, nlist: Int, iters: Int = 2,
-                       cacheKey: Option[String] = None): DataFrame = {
+                       cacheKey: Option[String] = None,
+                       maxCellSize: Option[Int] = None): DataFrame = {
     val spark = emb.sparkSession
     import spark.implicits._
-    val (centroids, assigned, radiiF) =
+    val (centroids, assigned, statsF) =
       cellGeometry(emb, idCol, vecCol, nlist, iters, cacheKey)
-    val radii = radiiF()
+    val stats = statsF()
+    refuseHotCells("exactPairsPruned", stats, maxCellSize)
+    val radii = stats.map { case (c, (r, _)) => c -> r }
     val allowedPairs = allowedCellPairs(centroids, radii, minCos)
     // visible pruning: how much of the cell-pair space the bound
     // eliminated (the whole point of the operator at scale)
@@ -205,19 +214,45 @@ object Similarity {
       .select(col("id_a"), col("id_b"), round(col("cos_raw"), 4).as("cos_sim"))
   }
 
+  /** Loud hot-cell guard of the pruned-EXACT pair operators: their
+    * within/cross-cell joins are quadratic in the hottest cell, and a
+    * degenerate clustering (one populated cell) makes Σ|cell|² = n² —
+    * "pruned" silently becoming full brute force at scale. Exactness
+    * rules out [[semanticDedup]]'s drop-the-overflow cap (members
+    * dropped = pairs lost = wrong answer), so the only honest guard
+    * is refusal with the remediation spelled out. Opt-in (`None`
+    * preserves the unguarded contract); sizes come free with the
+    * radii scan. */
+  private def refuseHotCells(op: String, stats: Map[Int, (Double, Long)],
+                             maxCellSize: Option[Int]): Unit =
+    maxCellSize.foreach { cap =>
+      val hot = stats.filter { case (_, (_, n)) => n > cap }
+      if (hot.nonEmpty) {
+        val (worstCell, (_, worstN)) = hot.maxBy { case (_, (_, n)) => n }
+        throw new IllegalArgumentException(
+          s"$op: ${hot.size} cell(s) exceed maxCellSize=$cap (hottest: " +
+            s"cell $worstCell with $worstN members -> ~${worstN * worstN / 2} " +
+            "within-cell pairs). The clustering is too coarse or has " +
+            "collapsed; re-cluster with larger nlist/iters, raise " +
+            "maxCellSize deliberately, or use the approximate paths " +
+            "(semanticDedup/lshPairs) if exactness is negotiable.")
+      }
+    }
+
   /** Shared geometry pass of the pruned-exact operators: trained
     * centroids, the checkpointed cell assignment (assign ONCE before
     * any self-join — the knnJoin finding: the nlist-wide argmin
     * otherwise re-inlines into filter and project on both join
     * sides; raw float vectors + norms ride along so scoring stays
     * expression-identical to allPairsAbove), and a LAZY thunk for the
-    * per-cell angular radii (max angle member↔centroid — one narrow
-    * agg, nlist rows of driver metadata; only the pair-pruning
-    * operators pay for it). */
+    * per-cell stats — angular radius (max angle member↔centroid) and
+    * member count, one narrow agg, nlist rows of driver metadata;
+    * only the pair-pruning operators pay for it (the count rides the
+    * same scan so the hot-cell guard costs no extra pass). */
   private def cellGeometry(emb: DataFrame, idCol: String, vecCol: String,
                            nlist: Int, iters: Int,
                            cacheKey: Option[String])
-      : (Seq[Seq[Double]], DataFrame, () => Map[Int, Double]) = {
+      : (Seq[Seq[Double]], DataFrame, () => Map[Int, (Double, Long)]) = {
     val spark = emb.sparkSession
     import spark.implicits._
     val centroids = cacheKey match {
@@ -239,7 +274,7 @@ object Similarity {
       case Some(_) => FrameCache.cachedOn(emb.sparkSession, tag, emb)(assignPass)
       case None => assignPass.localCheckpoint(true)
     }
-    def radiiPass: Map[Int, Double] = {
+    def radiiPass: Map[Int, (Double, Long)] = {
       val centDf = centroids.zipWithIndex.map { case (c, i) => (i, c) }
         .toDF("cell", "__cent")
       assigned
@@ -247,8 +282,9 @@ object Similarity {
         .select(col("cell"), acos(least(lit(1.0), greatest(lit(-1.0),
           dot(col("v").cast("array<double>"), col("__cent")) /
             (col("nv") * sqrt(dot(col("__cent"), col("__cent"))))))).as("__ang"))
-        .groupBy(col("cell")).agg(max(col("__ang")).as("r"))
-        .collect().map(r => r.getInt(0) -> r.getDouble(1)).toMap
+        .groupBy(col("cell"))
+        .agg(max(col("__ang")).as("r"), count(lit(1)).as("n"))
+        .collect().map(r => r.getInt(0) -> (r.getDouble(1), r.getLong(2))).toMap
     }
     // radii are deterministic per (assignment, centroids) — memoize
     // them under the SAME identity as the assignment (appId + tag +
@@ -257,7 +293,7 @@ object Similarity {
     // the pair-pruning operators need radii, but prototypicalityFilter
     // only needs centroids + assignment — eagerly computing them there
     // would add one whole wasted corpus pass to its first run
-    val radii: () => Map[Int, Double] = cacheKey match {
+    val radii: () => Map[Int, (Double, Long)] = cacheKey match {
       case Some(_) =>
         val k = emb.sparkSession.sparkContext.applicationId + "|" + tag +
           "|" + emb.queryExecution.analyzed.semanticHash() + ":" +
@@ -268,10 +304,10 @@ object Similarity {
     (centroids, assigned, radii)
   }
 
-  /** [[cellGeometry]]'s driver-side radii memo (nlist doubles per
-    * entry — metadata, no eviction pressure). */
+  /** [[cellGeometry]]'s driver-side radii+size memo (nlist entries —
+    * metadata, no eviction pressure). */
   private val radiiCache =
-    new java.util.concurrent.ConcurrentHashMap[String, Map[Int, Double]]()
+    new java.util.concurrent.ConcurrentHashMap[String, Map[Int, (Double, Long)]]()
 
   /**
    * EXACT top-k most-similar pairs — same contract and output as
@@ -288,13 +324,17 @@ object Similarity {
    * Σ|cell|²/2 ≈ n²/(2·nlist) scores, nothing prunes, and the total
    * is ~(1 + 1/nlist)× the brute force — never wrong, at most
    * unpruned; on clustered corpora phase 2 collapses toward the
-   * diagonal and total work approaches 2·Σ|cell|²/2. No row-count
-   * guard ([[exactPairsPruned]]'s rationale): candidate volume is
-   * the real budget, and it is visible in the logged pair counts.
+   * diagonal and total work approaches 2·Σ|cell|²/2. `maxCellSize`
+   * guards the quadratic phases against a degenerate clustering
+   * exactly as in [[exactPairsPruned]] — an opt-in LOUD refusal
+   * ([[refuseHotCells]]), checked BEFORE the phase-1 within-cell
+   * join, since exactness forbids dropping members. Candidate volume
+   * stays visible in the logged pair counts either way.
    */
   def allPairsTopKPruned(emb: DataFrame, idCol: String, vecCol: String,
                          k: Int, nlist: Int, iters: Int = 2,
-                         cacheKey: Option[String] = None): DataFrame = {
+                         cacheKey: Option[String] = None,
+                         maxCellSize: Option[Int] = None): DataFrame = {
     val spark = emb.sparkSession
     import spark.implicits._
     // k ≤ 0 → empty, matching allPairsTopK's limit(0) behavior (the
@@ -303,9 +343,11 @@ object Similarity {
     if (k <= 0)
       return emb.limit(0).select(col(idCol).as("id_a"),
         col(idCol).as("id_b"), lit(0.0).as("cos_sim"))
-    val (centroids, assigned, radiiF) =
+    val (centroids, assigned, statsF) =
       cellGeometry(emb, idCol, vecCol, nlist, iters, cacheKey)
-    val radii = radiiF()
+    val stats = statsF()
+    refuseHotCells("allPairsTopKPruned", stats, maxCellSize)
+    val radii = stats.map { case (c, (r, _)) => c -> r }
     def scored(pairs: DataFrame): DataFrame =
       pairs.select(col("a.id").as("id_a"), col("b.id").as("id_b"),
         (dot(col("a.v"), col("b.v")) / (col("a.nv") * col("b.nv")))

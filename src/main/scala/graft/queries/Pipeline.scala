@@ -1435,11 +1435,18 @@ object Pipeline {
     // phrase-blocklist filter: one Aho-Corasick pass per document
     // reports every blocklist phrase present (vs k contains re-scans
     // or a backtracking alternation); oracle replays it with
-    // list_filter(phrases, contains)
+    // list_filter(phrases, contains). The gate projection flattens
+    // `hits` to a sorted '|'-joined scalar: the driver's comparison
+    // harness pandas-sorts result frames and crashes on raw
+    // array<string> cells (r12 qBC traceback) — every other suite
+    // query already reduces arrays before the final projection.
     "qBC_phrase_filter" -> ((s, dir) => {
       TextAnalysis.phraseFilter(T(s, dir)("documents"), "doc_id", "text",
           Seq("batch batch", "merge slow", "table scan", "the fast",
             "slow sort", "spark window"))
+        .select(col("doc_id"),
+          array_join(sort_array(col("hits")), "|").as("hits"),
+          col("n_hits"), col("keep"))
         .orderBy(col("doc_id"))
     })
   )
@@ -2776,7 +2783,9 @@ object Pipeline {
       WITH p AS (SELECT ['batch batch','merge slow','table scan',
                          'the fast','slow sort','spark window'] AS ps)
       SELECT doc_id,
-             list_filter(ps, x -> contains(text, x)) AS hits,
+             COALESCE(array_to_string(
+               list_sort(list_filter(ps, x -> contains(text, x))), '|'),
+               '') AS hits,
              CAST(len(list_filter(ps, x -> contains(text, x))) AS INT)
                AS n_hits,
              len(list_filter(ps, x -> contains(text, x))) = 0 AS keep

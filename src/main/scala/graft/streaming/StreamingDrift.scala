@@ -19,8 +19,10 @@ import org.apache.spark.sql.streaming.GroupStateTimeout
  * ride into the state function inside the task closure. Groups
  * absent from the reference emit a null distance (new source — no
  * baseline to drift from) rather than being dropped; the count and
- * running mean still accumulate, so promoting the group into the
- * next reference is a read of the same emission.
+ * running mean still accumulate AND are emitted, so
+ * [[promoteReference]] folds them into the next reference from the
+ * consumer's latest-per-group snapshot — no second pass over the
+ * ingested data.
  *
  * Scale shape: state is dim doubles + one long PER GROUP
  * (sources/labels/shards — the same cardinality contract as the
@@ -37,18 +39,20 @@ import org.apache.spark.sql.streaming.GroupStateTimeout
  */
 object StreamingDrift {
 
-  /** @return Update-mode stream of (group, n, n_bad, dist): usable
-    *         rows ingested so far for the group, rows REJECTED for
-    *         the group (empty vectors, or a dimension that
+  /** @return Update-mode stream of (group, n, n_bad, dist, mean):
+    *         usable rows ingested so far for the group, rows REJECTED
+    *         for the group (empty vectors, or a dimension that
     *         contradicts the group's first-seen dimension — the
-    *         schema-drift signal), and the Euclidean distance of the
-    *         running mean to `reference(group)` rounded to 4. `dist`
-    *         is null when the group has no reference entry, has no
-    *         usable rows yet, or its dimension does not match the
-    *         reference's — a dimension mismatch must read as "no
-    *         comparable signal", never as a silently truncated
-    *         distance (a monitor that reports 0.0 drift on a schema
-    *         change is worse than none). */
+    *         schema-drift signal), the Euclidean distance of the
+    *         running mean to `reference(group)` rounded to 4, and the
+    *         running mean itself (null until a usable row arrives —
+    *         the [[promoteReference]] input). `dist` is null when the
+    *         group has no reference entry, has no usable rows yet, or
+    *         its dimension does not match the reference's — a
+    *         dimension mismatch must read as "no comparable signal",
+    *         never as a silently truncated distance (a monitor that
+    *         reports 0.0 drift on a schema change is worse than
+    *         none). */
   def centroidDrift(emb: DataFrame, groupCol: String, vecCol: String,
                     reference: Map[String, Seq[Double]]): DataFrame = {
     val spark = emb.sparkSession
@@ -63,7 +67,7 @@ object StreamingDrift {
       .as[(String, Seq[Double])]
       .groupByKey(_._1)
       .mapGroupsWithState[(Array[Double], Long, Long),
-                          (String, Long, Long, Option[Double])](
+                          (String, Long, Long, Option[Double], Option[Seq[Double]])](
         GroupStateTimeout.NoTimeout) {
         (g: String, rows: Iterator[(String, Seq[Double])],
          state: org.apache.spark.sql.streaming.GroupState[(Array[Double], Long, Long)]) =>
@@ -99,8 +103,46 @@ object StreamingDrift {
               BigDecimal(math.sqrt(s))
                 .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
             }
-          (g, n, bad, dist)
+          val mean =
+            if (n > 0) Some(sums.map(_ / n).toSeq) else None
+          (g, n, bad, dist, mean)
       }
-      .toDF(groupCol, "n", "n_bad", "dist")
+      .toDF(groupCol, "n", "n_bad", "dist", "mean")
+  }
+
+  /** Fold the monitor's accumulated no-baseline groups into the NEXT
+    * reference — the promotion the [[centroidDrift]] scaladoc
+    * promises: `snapshot` is the consumer's latest-per-group view of
+    * the update-mode output (e.g. a foreachBatch upsert sink — update
+    * mode re-emits a group on every touch, so the last row per group
+    * is current; group cardinality is metadata-sized by the monitor's
+    * own state contract), and every group ABSENT from `reference`
+    * with at least `minCount` usable rows joins the returned map with
+    * its running mean as centroid. Groups already in the reference
+    * keep their existing entry untouched: refreshing a live baseline
+    * is a re-profiling decision (run the batch profile), not a side
+    * effect of promotion — a reference that chases the stream would
+    * read zero drift forever. */
+  def promoteReference(snapshot: DataFrame,
+                       reference: Map[String, Seq[Double]],
+                       minCount: Long = 1L): Map[String, Seq[Double]] = {
+    require(minCount >= 1L, s"minCount must be >= 1, got $minCount")
+    val cols = snapshot.columns
+    require(cols.length >= 5,
+      "promoteReference expects the centroidDrift output shape " +
+        s"(group, n, n_bad, dist, mean); got ${cols.mkString(", ")}")
+    val rows = snapshot.select(col(cols(0)).cast("string"), col("n"),
+      col("mean")).collect()
+    val dup = rows.groupBy(_.getString(0)).collect {
+      case (g, rs) if rs.length > 1 => g
+    }
+    require(dup.isEmpty,
+      s"snapshot holds ${dup.size} duplicated group(s) (${dup.take(3).mkString(", ")}" +
+        ") — pass the LATEST emission per group, not the raw update stream")
+    reference ++ rows.collect {
+      case r if !reference.contains(r.getString(0)) && !r.isNullAt(2) &&
+          r.getLong(1) >= minCount =>
+        r.getString(0) -> r.getSeq[Double](2).toSeq
+    }
   }
 }

@@ -667,6 +667,49 @@ class ScaleOperatorsSpec extends AnyFunSuite {
         .schema.map(f => (f.name, f.dataType)))
   }
 
+  test("pruned-exact hot-cell guard: one-populated-cell corpus refuses loudly") {
+    import graft.operators.Similarity
+    // a degenerate corpus — EXACT duplicate vectors — collapses the
+    // k-means assignment onto ONE populated cell (identical seeds →
+    // every member ties → argmin's first-cell tie-break), so
+    // Σ|cell|² = n² and the "pruned" quadratic phases ARE brute
+    // force. With maxCellSize set the operators must refuse loudly
+    // instead of silently melting; unset, they stay exact (never
+    // wrong, at most unpruned).
+    val rnd = new scala.util.Random(11)
+    val one = Array.tabulate(16)(j => if (j == 0) 1.0f else 0.0f).toSeq
+    val degen = (0 until 90).map(i => (i.toLong, one))
+      .toDF("vec_id", "embedding")
+    val e1 = intercept[IllegalArgumentException] {
+      Similarity.exactPairsPruned(degen, "vec_id", "embedding", 0.9,
+        nlist = 4, iters = 2, maxCellSize = Some(50)).collect()
+    }
+    assert(e1.getMessage.contains("maxCellSize=50") &&
+      e1.getMessage.contains("exactPairsPruned"))
+    val e2 = intercept[IllegalArgumentException] {
+      Similarity.allPairsTopKPruned(degen, "vec_id", "embedding", 5,
+        nlist = 4, iters = 2, maxCellSize = Some(50)).collect()
+    }
+    assert(e2.getMessage.contains("maxCellSize=50") &&
+      e2.getMessage.contains("allPairsTopKPruned"))
+    // unguarded on the same degenerate corpus: still bit-exact
+    def pairSet(df: org.apache.spark.sql.DataFrame): Set[(Long, Long, Double)] =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(pairSet(Similarity.exactPairsPruned(degen, "vec_id", "embedding",
+        0.9, nlist = 4, iters = 2)) ==
+      pairSet(Similarity.allPairsAbove(degen, "vec_id", "embedding", 0.9)))
+    // a cap ABOVE every cell size is inert: same output, no refusal —
+    // the balanced-cohort corpus of the exactness tests (60 per cell)
+    val cl = (for (c <- 0 until 3; i <- 0 until 60) yield {
+      val v = Array.tabulate(16)(j =>
+        (if (j == c * 5) 1.0 else 0.0) + rnd.nextGaussian() * 0.03)
+      ((i * 3 + c).toLong, v.map(_.toFloat).toSeq)
+    }).toDF("vec_id", "embedding")
+    assert(pairSet(Similarity.exactPairsPruned(cl, "vec_id", "embedding",
+        0.9, nlist = 3, iters = 4, maxCellSize = Some(70))) ==
+      pairSet(Similarity.allPairsAbove(cl, "vec_id", "embedding", 0.9)))
+  }
+
   test("prototypicalityFilter: D4 drop-most-prototypical semantics") {
     import graft.operators.Similarity
     import spark.implicits._

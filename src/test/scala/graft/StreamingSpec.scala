@@ -518,7 +518,7 @@ class StreamingSpec extends AnyFunSuite {
           case (x, _) => x
         })
     val latest = new java.util.concurrent.ConcurrentHashMap[
-      String, (Long, Long, Option[Double])]()
+      String, (Long, Long, Option[Double], Option[Seq[Double]])]()
     val stream = spark.readStream.schema(batch.schema)
       .option("maxFilesPerTrigger", 1).parquet(d)
     val q = StreamingDrift.centroidDrift(stream, "label", "embedding", ref)
@@ -526,14 +526,15 @@ class StreamingSpec extends AnyFunSuite {
       .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
         b.collect().foreach(r => latest.put(r.getString(0),
           (r.getLong(1), r.getLong(2),
-            if (r.isNullAt(3)) None else Some(r.getDouble(3)))))
+            if (r.isNullAt(3)) None else Some(r.getDouble(3)),
+            if (r.isNullAt(4)) None else Some(r.getSeq[Double](4).toSeq))))
       }.start()
     try q.processAllAvailable() finally q.stop()
     import scala.jdk.CollectionConverters._
     val got = latest.asScala.toMap
     assert(got.keySet == byLabel.keySet)
     byLabel.foreach { case (l, vs) =>
-      val (n, bad, dist) = got(l)
+      val (n, bad, dist, _) = got(l)
       assert(n == vs.size, s"label $l ingested $n of ${vs.size}")
       // the injected junk rows land in n_bad, never in the mean
       assert(bad == (if (l == "2" || l == "4") 1L else 0L),
@@ -545,6 +546,38 @@ class StreamingSpec extends AnyFunSuite {
       else
         assert(dist.isEmpty, s"label $l has no reference, got $dist")
     }
+    // promotion: the no-baseline odd labels fold into the next
+    // reference with their running mean as centroid — pinned against
+    // the independently computed batch centroid (arrival-order float
+    // sums vs driver-order sums agree to well under 1e-9) — while
+    // existing entries stay UNTOUCHED (label "1" keeps its shifted
+    // baseline: promotion must not chase the stream)
+    val snapshot = got.toSeq.map { case (g, (n, bad, dist, mean)) =>
+      (g, n, bad, dist, mean)
+    }.toDF("label", "n", "n_bad", "dist", "mean")
+    val promoted = StreamingDrift.promoteReference(snapshot, ref)
+    assert(promoted.keySet == byLabel.keySet,
+      s"promoted keys ${promoted.keySet} != all labels ${byLabel.keySet}")
+    ref.foreach { case (g, c) =>
+      assert(promoted(g) == c, s"existing baseline $g was rewritten")
+    }
+    byLabel.collect { case (l, vs) if !ref.contains(l) =>
+      val exp = mean(vs)
+      val gotMean = promoted(l)
+      assert(gotMean.size == exp.size &&
+        gotMean.zip(exp).forall { case (a, b) => math.abs(a - b) < 1e-9 },
+        s"promoted centroid of $l off batch mean")
+    }
+    // a raw update stream (duplicate group rows) is refused loudly
+    val dupSnap = snapshot.unionByName(snapshot.limit(1))
+    val e = intercept[IllegalArgumentException] {
+      StreamingDrift.promoteReference(dupSnap, ref)
+    }
+    assert(e.getMessage.contains("LATEST emission"))
+    // minCount gates thin groups out of promotion
+    val thin = StreamingDrift.promoteReference(snapshot, ref,
+      minCount = Long.MaxValue)
+    assert(thin.keySet == ref.keySet)
   }
 
   test("streaming heavy hitters: sharded MG state tracks the ingested corpus") {
