@@ -267,22 +267,52 @@ object Bench {
       }
     } catch { case _: Exception => (0L, 0L, 0.0) }
 
+    // JIT evidence for sick-pass attribution (SCALE.md "conc-dispatch
+    // pathology"): per-window compilation-time delta separates a
+    // JIT-storm pass (re-compilation churn) from an allocation-stall
+    // pass; code-heap occupancy at window end makes code-cache
+    // exhaustion (compilation silently stops, hot paths stay in the
+    // interpreter) directly readable from the record instead of
+    // requiring a -XX:+PrintCodeCache exit dump on a one-shot JVM.
+    val compBean = java.lang.management.ManagementFactory.getCompilationMXBean
+    def jitMs(): Long =
+      if (compBean != null && compBean.isCompilationTimeMonitoringSupported)
+        compBean.getTotalCompilationTime
+      else -1L
+    /** (used, max) bytes summed over the CodeHeap/CodeCache pools. */
+    def codeCacheUsage(): (Long, Long) = try {
+      import scala.jdk.CollectionConverters._
+      val pools = java.lang.management.ManagementFactory.getMemoryPoolMXBeans
+        .asScala.filter(p => p.getName.contains("CodeHeap") ||
+          p.getName.contains("Code Cache"))
+      (pools.map(_.getUsage.getUsed).sum,
+        pools.map(p => math.max(0L, p.getUsage.getMax)).sum)
+    } catch { case _: Exception => (-1L, -1L) }
+
     final class HostCensus {
       private var h0 = procStat(); private var s0 = selfJiffies()
       private var g0 = gcLogLen()
+      private var j0 = jitMs()
       private val acc = new java.util.concurrent.atomic.AtomicReference(
         (0L, 0L, 0L, 0L, 0L)) // (steal, busy, self, iowait, total)
       private val gcAcc = new java.util.concurrent.atomic.AtomicReference(
         (0L, 0L, 0.0)) // (allocStalls, relocStalls, stallMs)
+      private val jitAcc = new java.util.concurrent.atomic.AtomicLong(0L)
+      @volatile private var ccEnd = (-1L, -1L)
       private var probe = -1.0
       /** Reset the window WITHOUT accumulating — excludes warmup/settle
         * gaps so the census covers exactly the timed passes. Times the
         * calibration probe at the pass boundary. */
       def mark(): Unit = {
         probe = probeMs(); h0 = procStat(); s0 = selfJiffies(); g0 = gcLogLen()
+        j0 = jitMs()
       }
       def lap(): Unit = {
         val h1 = procStat(); val s1 = selfJiffies(); val g1 = gcLogLen()
+        val j1 = jitMs()
+        if (j0 >= 0 && j1 >= j0) jitAcc.addAndGet(j1 - j0)
+        j0 = j1
+        ccEnd = codeCacheUsage()
         if (h0.length >= 8 && h1.length >= 8) {
           val d = h1.zip(h0).map { case (a, b) => a - b }
           def at(i: Int) = if (d.length > i) d(i) else 0L
@@ -314,9 +344,11 @@ object Bench {
         else {
           def pct(x: Long) = num(100.0 * x / to)
           val (ga, gr, gms) = gcAcc.get()
+          val (ccu, ccm) = ccEnd
+          def mb(b: Long) = if (b < 0) -1 else b >> 20
           // other = busy minus this JVM (self is per-process jiffies on
           // the same clock; clamp at 0 against rounding)
-          s"""{"steal_pct":${pct(st)},"busy_pct":${pct(bz)},"self_pct":${pct(sf)},"other_pct":${pct(math.max(0L, bz - sf))},"iowait_pct":${pct(io)},"probe_ms":${num(probe)},"uptime_s":$uptimeS,"alloc_stalls":$ga,"reloc_stalls":$gr,"gc_stall_ms":${num(gms)}}"""
+          s"""{"steal_pct":${pct(st)},"busy_pct":${pct(bz)},"self_pct":${pct(sf)},"other_pct":${pct(math.max(0L, bz - sf))},"iowait_pct":${pct(io)},"probe_ms":${num(probe)},"uptime_s":$uptimeS,"alloc_stalls":$ga,"reloc_stalls":$gr,"gc_stall_ms":${num(gms)},"jit_ms":${jitAcc.get()},"codecache_used_mb":${mb(ccu)},"codecache_max_mb":${mb(ccm)}}"""
         }
       }
     }

@@ -216,6 +216,54 @@ object Sampling {
   }
 
   /**
+   * Temperature-scaled mixture sampling — the multilingual/domain
+   * balancing rule of the mT5/UniMax lineage: source `s` with token
+   * mass `n_s` is sampled toward share `p_s ∝ n_s^tau`. `tau = 1`
+   * keeps the natural mixture, `tau = 0` equalizes every source, and
+   * the usual `0 < tau < 1` flattens the head without starving the
+   * tail — the knob pipelines reach for when one crawl dwarfs the
+   * curated sources. Target mass per source is
+   * `t_s = min(n_s, budget · p_s)`: the SINGLE-PASS cap (a source too
+   * small for its share contributes everything it has; its surplus is
+   * NOT redistributed — UniMax's iterative water-filling needs a
+   * driver loop over the per-source table, while this variant stays
+   * one aggregate + one broadcast and is exactly what the SQL oracle
+   * replays). Keep-rate `f_s = t_s / n_s` is drawn per document via
+   * [[hash40]] under [[mixToTarget]]'s contract: engine-independent
+   * IEEE arithmetic, salt-resampleable, `<=` so rate-1 sources keep
+   * EVERYTHING (budget ≥ total at tau = 1 returns the corpus
+   * unchanged).
+   *
+   * Shape: one tiny per-source aggregate, a broadcast of |S|
+   * thresholds, a map-side filter — the corpus never shuffles.
+   */
+  def temperatureMix(df: DataFrame, idCol: String, srcCol: String,
+                     weightCol: String, tau: Double, budget: Double,
+                     salt: String = "s0"): DataFrame = {
+    require(tau >= 0.0, s"tau must be >= 0, got $tau")
+    require(budget > 0.0, s"budget must be positive, got $budget")
+    val tot = df.groupBy(col(srcCol))
+      .agg(sum(col(weightCol)).cast("double").as("__tok"))
+      // non-positive sources contribute nothing and would corrupt the
+      // normalizer (0^tau = 0 is harmless at tau > 0 but NaN/negative
+      // bases are not) — exclude, the mixToTarget precedent
+      .filter(col("__tok") > 0)
+    val z = tot.agg(sum(pow(col("__tok"), lit(tau))).as("__z"))
+    // association order matches the oracle SQL verbatim:
+    // budget * tok^tau / z / tok, LEAST against 1.0, then the 2^40 scale
+    val thresholds = tot.crossJoin(broadcast(z))
+      .select(col(srcCol),
+        (least(lit(1.0),
+          lit(budget) * pow(col("__tok"), lit(tau)) / col("__z") /
+            col("__tok")) * lit(1099511627776.0 /* 2^40 */)).as("__thr"))
+    df.select(col(idCol), col(srcCol), col(weightCol))
+      .join(broadcast(thresholds), srcCol)
+      .filter((hash40(Seq(col(idCol)), salt) + lit(1L)).cast("double")
+        <= col("__thr"))
+      .drop("__thr")
+  }
+
+  /**
    * Leakage-free train/validation split: documents that near-dup each
    * other (any edge in `pairs`) MUST land on the same side, or the
    * held-out set leaks into training through paraphrases — the split

@@ -61,6 +61,57 @@ object Similarity {
       .limit(k)
   }
 
+  /**
+   * Two-stage retrieval over MATRYOSHKA prefix dimensions (Kusupati
+   * et al. 2022, "Matryoshka Representation Learning" — MRL-trained
+   * embeddings carry most of their signal in a dimension PREFIX):
+   * stage 1 scores the corpus on the first `prefixDims` dimensions
+   * only and keeps the top `candidates` by rounded coarse cosine
+   * (deterministic id tie-break); stage 2 re-ranks just those
+   * candidates with the full-dimension exact cosine and returns the
+   * top k. The model-free member of the two-stage family: unlike
+   * IVF (q72) or PQ (q9A) there is NOTHING to train, every score is
+   * plain arithmetic a SQL oracle replays in full — the only
+   * approximate-ANN path here with a FULL rows+schema+hash oracle.
+   *
+   * Scale shape: the stage-1 scan is the same one-pass broadcast-
+   * query plan as [[bruteForceTopK]] but its hot loop runs
+   * dim/prefixDims× fewer multiply-adds; storing the prefix as its
+   * own column (the MRL deployment convention) turns that into the
+   * same factor of scan IO. Stage 2 touches `candidates` rows —
+   * driver-bounded metadata. Recall is the standard MRL trade,
+   * measured in SimilaritySpec; `prefixDims` = full dim with
+   * `candidates` ≥ corpus provably equals the brute force. Vectors
+   * whose PREFIX has no finite positive norm are excluded from stage
+   * 1 (they are invisible to the coarse metric; the usual
+   * NaN-poisoning guard), as are degenerate full vectors and queries.
+   */
+  def matryoshkaTopK(emb: DataFrame, idCol: String, vecCol: String,
+                     queryId: Long, k: Int, prefixDims: Int,
+                     candidates: Int): DataFrame = {
+    require(prefixDims > 0, s"prefixDims must be positive, got $prefixDims")
+    require(k > 0 && candidates >= k,
+      s"need candidates >= k > 0, got k=$k candidates=$candidates")
+    val q = emb.filter(col(idCol) === queryId)
+      .select(col(vecCol).as("__qv"),
+        slice(col(vecCol), 1, prefixDims).as("__qp"))
+      .filter(finiteNorm(norm(col("__qv"))) && finiteNorm(norm(col("__qp"))))
+    val stage1 = emb.filter(col(idCol) =!= queryId)
+      .select(col(idCol), col(vecCol).as("__v"),
+        slice(col(vecCol), 1, prefixDims).as("__p"))
+      .filter(finiteNorm(norm(col("__v"))) && finiteNorm(norm(col("__p"))))
+      .join(broadcast(q))
+      .select(col(idCol), col("__v"), col("__qv"),
+        round(cosine(col("__p"), col("__qp")), 4).as("cos_pre"))
+      .orderBy(col("cos_pre").desc, col(idCol))
+      .limit(candidates)
+    stage1
+      .select(col(idCol), col("cos_pre"),
+        round(cosine(col("__v"), col("__qv")), 4).as("cos_sim"))
+      .orderBy(col("cos_sim").desc, col(idCol))
+      .limit(k)
+  }
+
   /** Loud scale guard shared by the two DELIBERATE O(n²) baselines
     * ([[allPairsTopK]], [[allPairsAbove]]): above `maxRows` vectors
     * the n²/2 pair space stops being a verification tool and becomes

@@ -1248,6 +1248,50 @@ object TextAnalysis {
   }
 
   /**
+   * Line-level quality stats — the C4/FineWeb family of LINE
+   * heuristics the document-level battery ([[gopherRulesTable]],
+   * [[TextAnalysis.cleanText]]) cannot see: C4 drops lines without
+   * terminal punctuation and FineWeb scores the fraction of such
+   * lines plus duplicated-line mass, because crawl boilerplate
+   * (menus, cookie banners, footers) arrives as short unpunctuated
+   * repeated lines that sentence-level stats average away. Per
+   * document over the non-empty trimmed lines (split on `sepRegex`):
+   * line count, fraction ending in terminal punctuation (`. ! ? "`),
+   * duplicated-line fraction (1 − distinct/total), mean line length
+   * in chars, and the keep decision
+   * `frac_term ≥ minTermFrac && frac_dup ≤ maxDupFrac`. Documents
+   * with no non-empty line emit null fractions and keep = false
+   * (guarded — a 0-line doc must not ride Spark's NaN-is-largest
+   * comparison into `keep`). Fractions and the mean are exact-integer
+   * IEEE divisions rounded to 6, so a SQL oracle replays them
+   * bit-for-bit.
+   *
+   * Shape: one per-row HOF chain (split → trim/filter → counts),
+   * zero shuffle, codegen-friendly — the same per-row economics as
+   * the rest of the quality battery.
+   */
+  def lineStats(docs: DataFrame, idCol: String, textCol: String,
+                sepRegex: String = "\n", minTermFrac: Double = 0.9,
+                maxDupFrac: Double = 0.3): DataFrame = {
+    val base = docs.select(col(idCol).as("doc_id"),
+      filter(transform(split(coalesce(col(textCol), lit("")), sepRegex, -1),
+        x => trim(x)), x => length(x) > 0).as("__lines"))
+    val n = size(col("__lines"))
+    val fracTerm = round(size(filter(col("__lines"),
+      x => x.rlike("[.!?\"]$"))).cast("double") / n.cast("double"), 6)
+    val fracDup = round((n - size(array_distinct(col("__lines"))))
+      .cast("double") / n.cast("double"), 6)
+    val meanLen = round(aggregate(col("__lines"), lit(0L),
+      (acc, x) => acc + length(x)).cast("double") / n.cast("double"), 6)
+    base.select(col("doc_id"), n.as("n_lines"),
+      when(n > 0, fracTerm).as("frac_term"),
+      when(n > 0, fracDup).as("frac_dup"),
+      when(n > 0, meanLen).as("mean_line_chars"),
+      when(n > 0, fracTerm >= lit(minTermFrac) && fracDup <= lit(maxDupFrac))
+        .otherwise(lit(false)).as("keep"))
+  }
+
+  /**
    * GUARANTEED φ-heavy hitters over the corpus token n-gram stream —
    * the bounded-memory "what dominates this corpus" probe (stopword
    * mass at n = 1, templated boilerplate at n ≥ 2, hot URLs/domains

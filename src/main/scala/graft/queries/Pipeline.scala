@@ -1448,6 +1448,40 @@ object Pipeline {
           array_join(sort_array(col("hits")), "|").as("hits"),
           col("n_hits"), col("keep"))
         .orderBy(col("doc_id"))
+    }),
+
+    // temperature-scaled mixture sampling (mT5/UniMax balancing):
+    // sources sampled toward share ∝ tokens^0.5 under a fixed token
+    // budget; single-pass cap + the engine-independent 40-bit draw
+    "qBI_temperature_mix" -> ((s, dir) => {
+      val d = T(s, dir)("documents")
+        .select(col("doc_id"), col("source"),
+          TextAnalysis.tokenCount(col("text")).cast("long").as("n_tokens"))
+      Sampling.temperatureMix(d, "doc_id", "source", "n_tokens",
+          tau = 0.5, budget = 20000.0)
+        .orderBy(col("doc_id"))
+    }),
+
+    // C4/FineWeb line-level quality stats: the synthetic corpus is
+    // single-line, so sentence boundaries are first promoted to line
+    // breaks ('. ' -> '.\n') on BOTH sides — the metrics then read
+    // real per-line structure (terminal-punct fraction, duplicated
+    // lines, mean length) instead of a degenerate 1-line profile
+    "qBJ_line_stats" -> ((s, dir) => {
+      TextAnalysis.lineStats(
+          T(s, dir)("documents").withColumn("text",
+            regexp_replace(col("text"), "\\. ", ".\n")),
+          "doc_id", "text", minTermFrac = 0.9, maxDupFrac = 0.3)
+        .orderBy(col("doc_id"))
+    }),
+
+    // matryoshka two-stage retrieval: coarse top-40 on the 16-dim
+    // prefix, exact re-rank on all 64 dims — the model-free two-stage
+    // ANN, so unlike IVF/PQ the WHOLE path replays in SQL
+    "qBK_matryoshka" -> ((s, dir) => {
+      Similarity.matryoshkaTopK(T(s, dir)("embeddings"), "vec_id",
+        "embedding", queryId = 7L, k = 10, prefixDims = 16,
+        candidates = 40)
     })
   )
 
@@ -2789,6 +2823,70 @@ object Pipeline {
              CAST(len(list_filter(ps, x -> contains(text, x))) AS INT)
                AS n_hits,
              len(list_filter(ps, x -> contains(text, x))) = 0 AS keep
-      FROM documents, p ORDER BY doc_id"""
+      FROM documents, p ORDER BY doc_id""",
+    "qBI_temperature_mix" -> """
+      WITH t AS (SELECT doc_id, source,
+                   CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT) AS n_tokens
+                 FROM documents),
+      tot AS (SELECT source, CAST(SUM(n_tokens) AS DOUBLE) AS tok
+              FROM t GROUP BY source HAVING CAST(SUM(n_tokens) AS DOUBLE) > 0),
+      z AS (SELECT SUM(pow(tok, 0.5)) AS z FROM tot),
+      r AS (SELECT source,
+              LEAST(1.0, 20000.0 * pow(tok, 0.5) / z / tok)
+                * 1099511627776.0 AS thr
+            FROM tot, z),
+      h AS (SELECT doc_id, source, n_tokens,
+              CAST(list_reduce(list_transform(
+                regexp_extract_all(substring(md5(CAST(doc_id AS VARCHAR) || ' s0'), 1, 10), '.'),
+                c -> CAST(instr('0123456789abcdef', c) - 1 AS BIGINT)),
+                (a, b) -> a * 16 + b) + 1 AS DOUBLE) AS u
+            FROM t)
+      SELECT doc_id, source, n_tokens
+      FROM h JOIN r USING (source) WHERE u <= thr
+      ORDER BY doc_id""",
+    "qBJ_line_stats" -> """
+      WITH l AS (SELECT doc_id,
+                   list_filter(list_transform(
+                     string_split(regexp_replace(text, '\. ', '.' || chr(10), 'g'),
+                                  chr(10)),
+                     x -> trim(x)), x -> len(x) > 0) AS ls
+                 FROM documents),
+      m AS (SELECT doc_id, CAST(len(ls) AS INT) AS n_lines,
+              len(list_filter(ls, x -> regexp_matches(x, '[.!?"]$'))) AS n_term,
+              len(list_distinct(ls)) AS n_dist,
+              CASE WHEN len(ls) > 0 THEN list_reduce(
+                list_transform(ls, x -> CAST(len(x) AS BIGINT)), (a, b) -> a + b)
+              END AS tot_chars
+            FROM l)
+      SELECT doc_id, n_lines,
+             CASE WHEN n_lines > 0
+               THEN round(CAST(n_term AS DOUBLE) / CAST(n_lines AS DOUBLE), 6)
+             END AS frac_term,
+             CASE WHEN n_lines > 0
+               THEN round(CAST(n_lines - n_dist AS DOUBLE)
+                          / CAST(n_lines AS DOUBLE), 6)
+             END AS frac_dup,
+             CASE WHEN n_lines > 0
+               THEN round(CAST(tot_chars AS DOUBLE) / CAST(n_lines AS DOUBLE), 6)
+             END AS mean_line_chars,
+             CASE WHEN n_lines > 0
+               THEN round(CAST(n_term AS DOUBLE) / CAST(n_lines AS DOUBLE), 6) >= 0.9
+                AND round(CAST(n_lines - n_dist AS DOUBLE)
+                          / CAST(n_lines AS DOUBLE), 6) <= 0.3
+               ELSE false
+             END AS keep
+      FROM m ORDER BY doc_id""",
+    "qBK_matryoshka" -> """
+      WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv,
+                        CAST(embedding[1:16] AS DOUBLE[]) AS qp
+                 FROM embeddings WHERE vec_id = 7),
+      s1 AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+                    round(list_cosine_similarity(
+                      CAST(embedding[1:16] AS DOUBLE[]), qp), 4) AS cos_pre
+             FROM embeddings, q WHERE vec_id != 7
+             ORDER BY cos_pre DESC, vec_id LIMIT 40)
+      SELECT vec_id, cos_pre,
+             round(list_cosine_similarity(v, qv), 4) AS cos_sim
+      FROM s1, q ORDER BY cos_sim DESC, vec_id LIMIT 10"""
   ).map { case (k, v) => k -> v.trim.replaceAll("\\s+", " ") }
 }

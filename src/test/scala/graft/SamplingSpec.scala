@@ -157,4 +157,44 @@ class SamplingSpec extends AnyFunSuite {
       Seq(("web", 0.0)).toDF("source", "target"))
     assert(none.count() === 0L)
   }
+
+  test("temperatureMix: tau flattens the mixture, budget>=total keeps all") {
+    import spark.implicits._
+    // a skewed corpus: "web" has 50x the token mass of "books"
+    val d = ((0 until 500).map(i => (i.toLong, "web", 100L)) ++
+      (500 until 510).map(i => (i.toLong, "books", 100L)))
+      .toDF("doc_id", "source", "n_tokens")
+    val total = 510 * 100.0
+    // tau = 1, budget = total mass: every threshold is exactly rate 1
+    // (p_s = n_s/total, t_s = n_s) and the <= draw keeps EVERYTHING
+    val all = Sampling.temperatureMix(d, "doc_id", "source", "n_tokens",
+      tau = 1.0, budget = total)
+    assert(all.count() === 510L)
+    def keptMass(tau: Double): Map[String, Long] =
+      Sampling.temperatureMix(d, "doc_id", "source", "n_tokens",
+          tau, budget = 10000.0)
+        .groupBy("source").agg(sum("n_tokens").as("m"))
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // tau = 0 equalizes target mass (5000 each): books (1000 total)
+    // caps at its full mass, web keeps ~5000 of 50000
+    val flat = keptMass(0.0)
+    assert(flat("books") === 1000L, "capped source must keep everything")
+    assert(flat("web") >= 3500L && flat("web") <= 6500L,
+      s"tau=0 web mass ${flat("web")} far from the 5000 target")
+    // tau = 1 keeps the natural 50:1 ratio of the budget
+    val nat = keptMass(1.0)
+    val rNat = nat("web").toDouble / math.max(1L, nat.getOrElse("books", 0L))
+    val rFlat = flat("web").toDouble / flat("books")
+    assert(rNat > 3 * rFlat,
+      s"tau=1 ratio $rNat should be far above tau=0 ratio $rFlat")
+    // deterministic; salt redraws
+    val a = Sampling.temperatureMix(d, "doc_id", "source", "n_tokens",
+      0.5, 10000.0).collect().map(_.getLong(1)).toSet
+    val b = Sampling.temperatureMix(d.repartition(7), "doc_id", "source",
+      "n_tokens", 0.5, 10000.0).collect().map(_.getLong(1)).toSet
+    assert(a == b, "partitioning must not change the draw")
+    val c = Sampling.temperatureMix(d, "doc_id", "source", "n_tokens",
+      0.5, 10000.0, salt = "s1").collect().map(_.getLong(1)).toSet
+    assert(c != a, "salt must redraw")
+  }
 }

@@ -710,6 +710,63 @@ class ScaleOperatorsSpec extends AnyFunSuite {
       pairSet(Similarity.allPairsAbove(cl, "vec_id", "embedding", 0.9)))
   }
 
+  test("matryoshkaTopK: full-prefix equals brute force; prefix recall measured") {
+    import graft.operators.Similarity
+    val emb = Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
+    val n = emb.count().toInt
+    def ids(df: org.apache.spark.sql.DataFrame): Seq[Long] =
+      df.collect().map(_.getLong(0)).toSeq
+    // degenerate-free identity: prefix = full dim and candidates >= n
+    // makes both stages exact — output must equal bruteForceTopK
+    // including scores
+    val brute = Similarity.bruteForceTopK(emb, "vec_id", "embedding", 7L, 10)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val full = Similarity.matryoshkaTopK(emb, "vec_id", "embedding",
+        queryId = 7L, k = 10, prefixDims = 64, candidates = n)
+      .collect().map(r => (r.getLong(0), r.getDouble(2))).toSeq
+    assert(full == brute, s"full-prefix path diverged:\n$full\n$brute")
+    // the 16-of-64-dim coarse stage on UNIFORM embeddings (the
+    // hardest case for a prefix metric — no trained dimension
+    // ordering) must still pull most of the true top-10 into a
+    // 40-candidate shortlist; recall floor set WELL below the
+    // measured value so data regeneration doesn't flap the pin
+    val pre = ids(Similarity.matryoshkaTopK(emb, "vec_id", "embedding",
+      queryId = 7L, k = 10, prefixDims = 16, candidates = 40))
+    val recall = pre.toSet.intersect(brute.map(_._1).toSet).size / 10.0
+    assert(recall >= 0.3, s"prefix-16 recall@10 $recall below floor")
+    // candidates = k degenerates to prefix-only ranking (re-rank
+    // reorders but cannot recover outside the shortlist): still k rows
+    assert(Similarity.matryoshkaTopK(emb, "vec_id", "embedding",
+      7L, 10, 16, 10).count() === 10L)
+    // a missing query id yields an empty result, never a NaN flood
+    assert(Similarity.matryoshkaTopK(emb, "vec_id", "embedding",
+      -999L, 10, 16, 40).count() === 0L)
+  }
+
+  test("plan pins: temperatureMix broadcasts, matryoshka takes-ordered") {
+    import graft.operators.{Sampling, Similarity, TextAnalysis}
+    val docs = Tables.load(spark, "/root/testdata/sf0.001", "documents")
+      .select(col("doc_id"), col("source"),
+        TextAnalysis.tokenCount(col("text")).cast("long").as("n_tokens"))
+    // the corpus side must reach the filter through a BROADCAST of the
+    // |S|-row threshold table — a SortMergeJoin here would shuffle the
+    // whole corpus by source (exactly the skew the operator avoids:
+    // one crawl source = one reducer)
+    val mixPlan = Sampling.temperatureMix(docs, "doc_id", "source",
+      "n_tokens", 0.5, 20000.0).queryExecution.executedPlan.toString
+    assert(mixPlan.contains("BroadcastHashJoin"), mixPlan.take(800))
+    assert(!mixPlan.contains("SortMergeJoin"), mixPlan.take(800))
+    // both matryoshka stages must plan as TakeOrderedAndProject (the
+    // partial-per-partition top-k), never a global Sort + Limit over
+    // the scored corpus
+    val emb = Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
+    val mPlan = Similarity.matryoshkaTopK(emb, "vec_id", "embedding",
+      7L, 10, 16, 40).queryExecution.executedPlan.toString
+    assert(mPlan.contains("TakeOrderedAndProject"), mPlan.take(800))
+    assert(!mPlan.replaceAll("TakeOrderedAndProject", "")
+      .contains("Sort "), mPlan.take(800))
+  }
+
   test("prototypicalityFilter: D4 drop-most-prototypical semantics") {
     import graft.operators.Similarity
     import spark.implicits._

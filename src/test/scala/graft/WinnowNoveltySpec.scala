@@ -356,4 +356,34 @@ class WinnowNoveltySpec extends AnyFunSuite {
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(t == Map(5L -> 5L))
   }
+
+  test("lineStats: C4/FineWeb line heuristics, hand-computed") {
+    val docs = Seq(
+      // blank/whitespace-only lines drop; "menu" duplicates
+      (1L, "A sentence.\nmenu\nmenu\nAnother?!\n\n  \nBad line"),
+      (2L, "Clean one.\nClean two!\nClean three?"), // all terminal, no dup
+      (3L, ""),                                     // no lines at all
+      (4L, "no punct at all")                       // 1 line, 0 terminal
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.lineStats(docs, "doc_id", "text",
+        minTermFrac = 0.9, maxDupFrac = 0.3)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getInt(1),
+          if (r.isNullAt(2)) None else Some(r.getDouble(2)),
+          if (r.isNullAt(3)) None else Some(r.getDouble(3)),
+          if (r.isNullAt(4)) None else Some(r.getDouble(4)),
+          r.getBoolean(5)))).toMap
+    // doc 1: lines "A sentence."(11) "menu"(4) "menu"(4) "Another?!"(9)
+    //        "Bad line"(8) -> n=5, term 2/5 (. and !), dup 1/5, mean 7.2
+    assert(got(1L) == ((5, Some(0.4), Some(0.2), Some(7.2), false)),
+      s"doc1: ${got(1L)}")
+    // doc 2: 3 lines, all terminal, no dup, mean (10+10+12)/3 = 10.666667
+    assert(got(2L) == ((3, Some(1.0), Some(0.0), Some(10.666667), true)),
+      s"doc2: ${got(2L)}")
+    // doc 3: empty -> 0 lines, null fractions, keep FALSE (never NaN-true)
+    assert(got(3L) == ((0, None, None, None, false)), s"doc3: ${got(3L)}")
+    // doc 4: one unpunctuated line
+    assert(got(4L) == ((1, Some(0.0), Some(0.0), Some(15.0), false)),
+      s"doc4: ${got(4L)}")
+  }
 }
