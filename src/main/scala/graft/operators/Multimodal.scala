@@ -488,6 +488,44 @@ object Multimodal {
   }
 
   /**
+   * Scene-cut detection — the per-video TEMPORAL segmentation the
+   * near-dup family ignores: consecutive frames whose fingerprints
+   * disagree in more than `maxHamming` bits mark a cut, and the cut
+   * count segments the video into scenes (keyframe selection,
+   * per-scene sampling budgets, and trailer/loop detection all start
+   * here). Reuses [[frameFingerprints]]' gradient-sign signature —
+   * gain-invariant, so a re-encode does not fabricate cuts. Emits one
+   * row per video: fingerprinted-frame count, cut count, scene count
+   * (= cuts + 1; a video with a single surviving frame is one scene).
+   * Frames dropped by the fingerprinter (sub-bucket payloads) leave
+   * gaps and the distance is then measured across the gap —
+   * documented, not silently padded.
+   *
+   * Shape: the lag/compare is a per-video window (one
+   * O(frames·log frames) sort task per video, bounded by the
+   * 2^FRAME_BITS packing cap — per-cell-sort economics, never a
+   * join), then one partial/final aggregate.
+   */
+  def sceneCuts(frames: Dataset[Frame], maxHamming: Int = 8,
+                buckets: Int = 65): DataFrame = {
+    require(maxHamming >= 0 && maxHamming < 64,
+      s"maxHamming must be in [0, 64), got $maxHamming")
+    val fps = frameFingerprints(frames, buckets)
+      .select(shiftright(col("id"), FRAME_BITS).as("doc_id"),
+        col("id").bitwiseAND(lit((1L << FRAME_BITS) - 1)).as("frame_idx"),
+        col("simhash"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("frame_idx"))
+    fps.withColumn("__prev", lag(col("simhash"), 1).over(w))
+      .withColumn("__cut", col("__prev").isNotNull &&
+        bit_count(col("simhash").bitwiseXOR(col("__prev"))) > maxHamming)
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_frames"),
+        sum(when(col("__cut"), lit(1L)).otherwise(lit(0L))).as("n_cuts"))
+      .withColumn("n_scenes", col("n_cuts") + lit(1L))
+  }
+
+  /**
    * STUB decoder for payloads ImageIO cannot read (audio/video — the
    * container has no media-codec libraries beyond the JDK): metadata
    * is derived deterministically from the payload bytes. The

@@ -559,6 +559,51 @@ object TextAnalysis {
             col("n_tokens").cast("double"), 6)).as("ttr"))
   }
 
+  /**
+   * Per-source z-score calibration of an INTEGER quality score — the
+   * robust-thresholding stage between scoring and filtering: an
+   * absolute cutoff (length, entropy bucket, classifier logit)
+   * over-filters clean domains and under-filters noisy ones, so
+   * production filters standardize within source first and trim by
+   * |z| (length outliers per domain being the classic case). Emits
+   * every row with its source mean/sigma-relative z (rounded 6) and
+   * `keep = |z| ≤ zAbsMax`; single-member sources (sigma undefined)
+   * and zero-variance sources emit null z and KEEP (no evidence of
+   * outlierhood, and a NaN must never decide a filter — Spark orders
+   * NaN largest).
+   *
+   * Exactness contract: the score must be integer-valued (token
+   * counts, char counts, bucket ids). Moments come from exact BIGINT
+   * Σx and Σx² (not a streaming stddev, whose accumulation order
+   * differs per engine), so mu/sigma/z are fixed-form IEEE arithmetic
+   * on identical operands — a SQL oracle hash-matches them. Σx² must
+   * stay below 2^63 (|score| ≤ ~3e6 at a billion rows per source —
+   * true for every per-doc count this engine emits).
+   *
+   * Shape: one |S|-row aggregate, broadcast join, map-side
+   * projection; the corpus never shuffles.
+   */
+  def sourceZScores(docs: DataFrame, idCol: String, srcCol: String,
+                    scoreCol: String, zAbsMax: Double = 3.0): DataFrame = {
+    val x = col(scoreCol).cast("long")
+    val stats = docs.groupBy(col(srcCol)).agg(
+      sum(x).as("__s1"), sum(x * x).as("__s2"), count(lit(1)).as("__n"))
+    val nd = col("__n").cast("double")
+    val s1d = col("__s1").cast("double")
+    val mu = s1d / nd
+    // sample variance from exact sums; clamp at 0 against the last-ulp
+    // negative a constant source can produce
+    val variance = (col("__s2").cast("double") - s1d * s1d / nd) / (nd - 1)
+    val z = round((x.cast("double") - mu) /
+      sqrt(greatest(variance, lit(0.0))), 6)
+    docs.select(col(idCol).as("doc_id"), col(srcCol), col(scoreCol))
+      .join(broadcast(stats), Seq(srcCol))
+      .select(col("doc_id"), col(srcCol), col(scoreCol),
+        when(col("__n") > 1 && variance > 0, z).as("z"),
+        when(col("__n") > 1 && variance > 0, abs(z) <= lit(zAbsMax))
+          .otherwise(lit(true)).as("keep"))
+  }
+
   /** PII patterns for [[redactPii]] — deliberately lookaround-free so
     * each is valid and IDENTICAL in Java regex (Spark codegen) and RE2
     * (the DuckDB oracle). Ordering matters and is fixed: emails first
@@ -582,6 +627,54 @@ object TextAnalysis {
     "n_email" -> regexp_count(text, lit(EMAIL_RE)),
     "n_ip" -> regexp_count(text, lit(IPV4_RE)),
     "n_phone" -> regexp_count(text, lit(PHONE_RE)))
+
+  /** Bare 13–19-digit runs, word-bounded — the PAN (payment-card
+    * number) candidate shape. Lookaround-free, identical in Java
+    * regex and RE2 (the [[EMAIL_RE]] contract). Candidates only:
+    * a digit run is a card number iff it also passes [[luhnValid]] —
+    * a plain regex scrub would eat order ids and timestamps. */
+  val CC_RE = "\\b\\d{13,19}\\b"
+
+  /** Luhn checksum (ISO/IEC 7812) of an all-digit string column, as a
+    * pure column expression: from the RIGHT, double every second
+    * digit (subtract 9 above 9) and require the sum ≡ 0 mod 10.
+    * Exact integer arithmetic end to end, so any engine evaluating
+    * the same formula agrees bit-for-bit. */
+  def luhnValid(c: Column): Column = {
+    val len = length(c)
+    (aggregate(sequence(lit(1), len), lit(0),
+      (acc, j) => {
+        val d = c.substr(j, lit(1)).cast("int")
+        val dbl = d * 2
+        acc + when(((len - j) % 2) === 1,
+          when(dbl > 9, dbl - 9).otherwise(dbl)).otherwise(d)
+      }) % 10 === 0)
+  }
+
+  /**
+   * Credit-card redaction — the VALIDATED member of the PII family:
+   * [[CC_RE]] digit runs are replaced with `<CC>` only when the Luhn
+   * checksum confirms a plausible card number, so order ids, EANs
+   * with a failing checksum, and timestamps survive while real PANs
+   * do not (the precision/recall trade every published scrub makes).
+   * Emits (doc_id, n_cards, redacted); null text redacts to the
+   * empty string with 0 cards.
+   *
+   * Shape: per-row HOF chain — extract candidates, filter through
+   * the integer-exact [[luhnValid]], fold `replace` over the
+   * validated list; zero shuffle, and the whole pipeline (regex,
+   * checksum, fold) replays verbatim in the SQL oracle.
+   */
+  def redactCreditCards(docs: DataFrame, idCol: String,
+                        textCol: String): DataFrame = {
+    val text = coalesce(col(textCol), lit(""))
+    val valid = filter(regexp_extract_all(text, lit(CC_RE), lit(0)),
+      c => luhnValid(c))
+    docs.select(col(idCol).as("doc_id"),
+      size(valid).as("n_cards"),
+      aggregate(valid, text, (acc, v) => replace(acc, v, lit("<CC>")))
+        .as("redacted"))
+  }
 
   /**
    * Top-k TF-IDF terms per document. Classic distributed shape: one

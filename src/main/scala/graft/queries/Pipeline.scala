@@ -1482,6 +1482,62 @@ object Pipeline {
       Similarity.matryoshkaTopK(T(s, dir)("embeddings"), "vec_id",
         "embedding", queryId = 7L, k = 10, prefixDims = 16,
         candidates = 40)
+    }),
+
+    // Luhn-validated credit-card redaction: a 16-digit PAN-shaped
+    // number is salted into each doc from doc_id arithmetic (the
+    // synthetic corpus has no card numbers) — only the ~1-in-10 that
+    // pass the checksum redact; order-id-shaped numbers survive
+    "qBL_cc_redact" -> ((s, dir) => {
+      TextAnalysis.redactCreditCards(
+          T(s, dir)("documents").withColumn("text",
+            concat(col("text"), lit(" ref "),
+              (lit(4000000000000000L) + col("doc_id") * 7919L)
+                .cast("string"))),
+          "doc_id", "text")
+        .orderBy(col("doc_id"))
+    }),
+
+    // per-source z-score calibration of doc token counts: the robust
+    // per-domain length-outlier trim (absolute cutoffs over-filter
+    // clean domains); moments from exact BIGINT sums
+    "qBM_source_zscore" -> ((s, dir) => {
+      TextAnalysis.sourceZScores(
+          T(s, dir)("documents")
+            .select(col("doc_id"), col("source"),
+              TextAnalysis.tokenCount(col("text")).cast("long")
+                .as("n_tokens")),
+          "doc_id", "source", "n_tokens", zAbsMax = 2.0)
+        .orderBy(col("doc_id"))
+    }),
+
+    // video scene-cut detection over synthetic planted-scene videos:
+    // frames are constant within a scene and re-patterned at scene
+    // boundaries (doc_id arithmetic fixes the scene length), so the
+    // predicted cut count replays as pure SQL arithmetic
+    "qBN_scene_cuts" -> ((s, dir) => {
+      import s.implicits._
+      val frames = T(s, dir)("documents").select(col("doc_id")).as[Long]
+        .mapPartitions { ids =>
+          ids.flatMap { id =>
+            val sceneLen = 3 + (id % 4).toInt
+            (0 until 12).iterator.map { f =>
+              val scene = f / sceneLen
+              val bytes = new Array[Byte](650)
+              var seg = 0
+              while (seg < 65) {
+                val z = graft.operators.Dedup.splitmix64(
+                  id * 1000003L + scene * 7919L + seg * 104729L)
+                val value: Byte = if ((z & 1L) == 0L) 200.toByte else 40.toByte
+                java.util.Arrays.fill(bytes, seg * 10, seg * 10 + 10, value)
+                seg += 1
+              }
+              Multimodal.Frame(id, f, bytes)
+            }
+          }
+        }
+      Multimodal.sceneCuts(frames, maxHamming = 8)
+        .orderBy(col("doc_id"))
     })
   )
 
@@ -2887,6 +2943,55 @@ object Pipeline {
              ORDER BY cos_pre DESC, vec_id LIMIT 40)
       SELECT vec_id, cos_pre,
              round(list_cosine_similarity(v, qv), 4) AS cos_sim
-      FROM s1, q ORDER BY cos_sim DESC, vec_id LIMIT 10"""
+      FROM s1, q ORDER BY cos_sim DESC, vec_id LIMIT 10""",
+    "qBL_cc_redact" -> """
+      WITH t AS (SELECT doc_id,
+                   text || ' ref ' ||
+                   CAST(4000000000000000 + doc_id * 7919 AS VARCHAR) AS text
+                 FROM documents),
+      c AS (SELECT doc_id, text,
+              list_filter(regexp_extract_all(text, '\b\d{13,19}\b'),
+                x -> list_sum(list_transform(range(1, len(x) + 1),
+                       j -> CASE WHEN (len(x) - j) % 2 = 1
+                            THEN CASE WHEN CAST(substr(x, j, 1) AS INT) * 2 > 9
+                                 THEN CAST(substr(x, j, 1) AS INT) * 2 - 9
+                                 ELSE CAST(substr(x, j, 1) AS INT) * 2 END
+                            ELSE CAST(substr(x, j, 1) AS INT) END))
+                     % 10 = 0) AS valid
+            FROM t)
+      SELECT doc_id, CAST(len(valid) AS INT) AS n_cards,
+             list_reduce(list_prepend(text, valid),
+                         (acc, v) -> replace(acc, v, '<CC>')) AS redacted
+      FROM c ORDER BY doc_id""",
+    "qBM_source_zscore" -> """
+      WITH t AS (SELECT doc_id, source,
+                   CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT) AS n_tokens
+                 FROM documents),
+      st AS (SELECT source, CAST(SUM(n_tokens) AS BIGINT) AS s1,
+                    CAST(SUM(n_tokens * n_tokens) AS BIGINT) AS s2,
+                    COUNT(*) AS n
+             FROM t GROUP BY source),
+      j AS (SELECT doc_id, t.source AS source, n_tokens,
+              CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE) AS mu,
+              (CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE)
+                 / CAST(n AS DOUBLE)) / (CAST(n AS DOUBLE) - 1) AS var,
+              n
+            FROM t JOIN st ON t.source = st.source)
+      SELECT doc_id, source, n_tokens,
+             CASE WHEN n > 1 AND var > 0
+               THEN round((CAST(n_tokens AS DOUBLE) - mu)
+                          / sqrt(greatest(var, 0.0)), 6)
+             END AS z,
+             CASE WHEN n > 1 AND var > 0
+               THEN abs(round((CAST(n_tokens AS DOUBLE) - mu)
+                              / sqrt(greatest(var, 0.0)), 6)) <= 2.0
+               ELSE true
+             END AS keep
+      FROM j ORDER BY doc_id""",
+    "qBN_scene_cuts" -> """
+      SELECT doc_id, CAST(12 AS BIGINT) AS n_frames,
+             CAST(CEIL(12.0 / (3 + doc_id % 4)) - 1 AS BIGINT) AS n_cuts,
+             CAST(CEIL(12.0 / (3 + doc_id % 4)) AS BIGINT) AS n_scenes
+      FROM documents ORDER BY doc_id"""
   ).map { case (k, v) => k -> v.trim.replaceAll("\\s+", " ") }
 }

@@ -246,6 +246,41 @@ class MultimodalSpec extends AnyFunSuite {
     assert(fps(0) == fps(1), "half-gain re-encode changed the fingerprint")
   }
 
+  test("sceneCuts: planted scene boundaries, gain invariance, singletons") {
+    import spark.implicits._
+    // frames constant WITHIN a scene, re-patterned at each boundary
+    def frame(vid: Long, idx: Int, scene: Int, gainDiv: Int = 1): Multimodal.Frame = {
+      val b = new Array[Byte](650)
+      var seg = 0
+      while (seg < 65) {
+        val z = graft.operators.Dedup.splitmix64(
+          vid * 1000003L + scene * 7919L + seg * 104729L)
+        val v: Byte = ((if ((z & 1L) == 0L) 200 else 40) / gainDiv).toByte
+        java.util.Arrays.fill(b, seg * 10, seg * 10 + 10, v)
+        seg += 1
+      }
+      Multimodal.Frame(vid, idx, b)
+    }
+    val frames = (
+      // video 0: scenes of length 3 over 9 frames -> 2 cuts, 3 scenes
+      (0 until 9).map(f => frame(0L, f, f / 3)) ++
+      // video 1: one scene -> 0 cuts
+      (0 until 6).map(f => frame(1L, f, 0)) ++
+      // video 2: single frame -> 0 cuts, 1 scene
+      Seq(frame(2L, 0, 0)) ++
+      // video 3: same scene layout as video 0 but half-gain — the
+      // gain-invariant fingerprint must see the SAME cut structure
+      (0 until 9).map(f => frame(3L, f, f / 3, gainDiv = 2))
+    ).toDS()
+    val got = Multimodal.sceneCuts(frames, maxHamming = 8)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(got(0L) == ((9L, 2L, 3L)), s"v0: ${got(0L)}")
+    assert(got(1L) == ((6L, 0L, 1L)), s"v1: ${got(1L)}")
+    assert(got(2L) == ((1L, 0L, 1L)), s"v2: ${got(2L)}")
+    assert(got(3L) == ((9L, 2L, 3L)), s"half-gain v3: ${got(3L)}")
+  }
+
   test("media features feed the similarity family directly") {
     val feats = Multimodal.featureStub(media, dim = 64)
     // unit-norm vectors

@@ -357,6 +357,54 @@ class WinnowNoveltySpec extends AnyFunSuite {
     assert(t == Map(5L -> 5L))
   }
 
+  test("redactCreditCards: Luhn gate separates PANs from order ids") {
+    val docs = Seq(
+      // classic Luhn-valid test PANs: 16-digit and 13-digit
+      (1L, "pay 4111111111111111 now"),
+      (2L, "visa 4222222222222 ok"),
+      // same shape, checksum off by one -> must SURVIVE
+      (3L, "order 4111111111111112 shipped"),
+      // too short (12) and too long (20): not candidates at all
+      (4L, "ids 411111111111 and 41111111111111111111"),
+      // two valid cards in one doc, both redacted
+      (5L, "a 4111111111111111 b 5500005555555559 c"),
+      (6L, null.asInstanceOf[String])
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.redactCreditCards(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> ((r.getInt(1), r.getString(2))))
+      .toMap
+    assert(got(1L) == ((1, "pay <CC> now")), s"${got(1L)}")
+    assert(got(2L) == ((1, "visa <CC> ok")), s"${got(2L)}")
+    assert(got(3L) == ((0, "order 4111111111111112 shipped")))
+    assert(got(4L) == ((0, "ids 411111111111 and 41111111111111111111")))
+    assert(got(5L) == ((2, "a <CC> b <CC> c")), s"${got(5L)}")
+    assert(got(6L) == ((0, "")), "null text redacts to empty, 0 cards")
+  }
+
+  test("sourceZScores: per-source calibration, degenerate sources keep") {
+    // web: 9 docs at 100 tokens + one 400-token outlier; books: a
+    // single doc; flat: constant counts (zero variance)
+    val docs = ((1L to 9L).map(i => (i, "web", 100L)) ++
+      Seq((10L, "web", 400L), (11L, "books", 50L),
+        (12L, "flat", 70L), (13L, "flat", 70L)))
+      .toDF("doc_id", "source", "n_tokens")
+    val got = TextAnalysis.sourceZScores(docs, "doc_id", "source",
+        "n_tokens", zAbsMax = 2.0)
+      .collect().map(r => r.getLong(0) ->
+        ((if (r.isNullAt(3)) None else Some(r.getDouble(3)),
+          r.getBoolean(4)))).toMap
+    // web: mu=130, var=(250000-1300^2/10)/9 = 9000, sigma ~94.8683
+    // doc 10: z=(400-130)/94.8683... = 2.84604989 -> rounds 2.846050
+    assert(got(10L)._1.exists(z => math.abs(z - 2.84605) < 1e-9) &&
+      !got(10L)._2, s"outlier: ${got(10L)}")
+    // the in-band web docs keep (z ~ -0.316228)
+    assert((1L to 9L).forall(i => got(i)._2), "in-band web docs must keep")
+    // single-member and zero-variance sources: null z, keep
+    assert(got(11L) == ((None, true)), s"singleton: ${got(11L)}")
+    assert(got(12L) == ((None, true)) && got(13L) == ((None, true)),
+      s"flat: ${got(12L)}")
+  }
+
   test("lineStats: C4/FineWeb line heuristics, hand-computed") {
     val docs = Seq(
       // blank/whitespace-only lines drop; "menu" duplicates
