@@ -369,7 +369,7 @@ object Multimodal {
     * the video id in the high bits — all frames of a lower video id
     * order before any frame of a higher one, which [[videoNearDupPairs]]
     * relies on to orient its pairs. */
-  private[operators] val FRAME_BITS = 20
+  private[graft] val FRAME_BITS = 20
 
   /**
    * 64-bit gradient-sign fingerprint of one frame's byte signal: the

@@ -239,7 +239,8 @@ object Sampling {
    */
   def temperatureMix(df: DataFrame, idCol: String, srcCol: String,
                      weightCol: String, tau: Double, budget: Double,
-                     salt: String = "s0"): DataFrame = {
+                     salt: String = "s0",
+                     waterFill: Boolean = false): DataFrame = {
     require(tau >= 0.0, s"tau must be >= 0, got $tau")
     require(budget > 0.0, s"budget must be positive, got $budget")
     val tot = df.groupBy(col(srcCol))
@@ -248,14 +249,53 @@ object Sampling {
       // normalizer (0^tau = 0 is harmless at tau > 0 but NaN/negative
       // bases are not) — exclude, the mixToTarget precedent
       .filter(col("__tok") > 0)
-    val z = tot.agg(sum(pow(col("__tok"), lit(tau))).as("__z"))
-    // association order matches the oracle SQL verbatim:
-    // budget * tok^tau / z / tok, LEAST against 1.0, then the 2^40 scale
-    val thresholds = tot.crossJoin(broadcast(z))
-      .select(col(srcCol),
-        (least(lit(1.0),
-          lit(budget) * pow(col("__tok"), lit(tau)) / col("__z") /
-            col("__tok")) * lit(1099511627776.0 /* 2^40 */)).as("__thr"))
+    val thresholds =
+      if (waterFill) {
+        // EXACT UniMax allocation: the single-pass cap strands a
+        // capped source's surplus; water-filling redistributes it
+        // among the uncapped until the budget is spent or every
+        // source caps. Driver-side over the |S|-row per-source table
+        // (metadata by the operator's contract; loud cap below) —
+        // sort by fill ratio n_s/w_s ascending, cap greedily, then
+        // the survivors share the remainder proportionally to w_s.
+        val rows = tot.collect().map(r => (r.getString(0), r.getDouble(1)))
+        require(rows.length <= (1 << 20),
+          s"temperatureMix(waterFill): ${rows.length} sources exceed the " +
+            "driver-metadata bound")
+        val weighted = rows.map { case (s, n) => (s, n, math.pow(n, tau)) }
+          .sortBy { case (_, n, w) => n / w }
+        var bRem = budget
+        var wRem = weighted.map(_._3).sum
+        val rates = scala.collection.mutable.ArrayBuffer[(String, Double)]()
+        var i = 0
+        var lambda = -1.0 // set once the first uncapped source is found
+        while (i < weighted.length) {
+          val (s, n, w) = weighted(i)
+          if (lambda < 0 && n <= bRem / wRem * w) {
+            // caps: takes its whole mass, surplus stays in bRem
+            rates += ((s, 1.0)); bRem -= n; wRem -= w
+          } else {
+            // first non-capping source fixes lambda for ALL remaining
+            // (sorted by fill ratio, none after this one caps either)
+            if (lambda < 0) lambda = math.max(0.0, bRem / wRem)
+            rates += ((s, math.min(1.0, lambda * w / n)))
+          }
+          i += 1
+        }
+        import df.sparkSession.implicits._
+        rates.toSeq.toDF(srcCol, "__rate")
+          .select(col(srcCol),
+            (col("__rate") * lit(1099511627776.0 /* 2^40 */)).as("__thr"))
+      } else {
+        val z = tot.agg(sum(pow(col("__tok"), lit(tau))).as("__z"))
+        // association order matches the oracle SQL verbatim:
+        // budget * tok^tau / z / tok, LEAST against 1.0, then 2^40
+        tot.crossJoin(broadcast(z))
+          .select(col(srcCol),
+            (least(lit(1.0),
+              lit(budget) * pow(col("__tok"), lit(tau)) / col("__z") /
+                col("__tok")) * lit(1099511627776.0 /* 2^40 */)).as("__thr"))
+      }
     df.select(col(idCol), col(srcCol), col(weightCol))
       .join(broadcast(thresholds), srcCol)
       .filter((hash40(Seq(col(idCol)), salt) + lit(1L)).cast("double")

@@ -197,4 +197,37 @@ class SamplingSpec extends AnyFunSuite {
       0.5, 10000.0, salt = "s1").collect().map(_.getLong(1)).toSet
     assert(c != a, "salt must redraw")
   }
+
+  test("temperatureMix waterFill: capped surplus is redistributed exactly") {
+    import spark.implicits._
+    val d = ((0 until 500).map(i => (i.toLong, "web", 100L)) ++
+      (500 until 510).map(i => (i.toLong, "books", 100L)))
+      .toDF("doc_id", "source", "n_tokens")
+    def mass(waterFill: Boolean): Map[String, Long] =
+      Sampling.temperatureMix(d, "doc_id", "source", "n_tokens",
+          tau = 0.0, budget = 10000.0, waterFill = waterFill)
+        .groupBy("source").agg(sum("n_tokens").as("m"))
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // tau = 0, budget 10000 over (web 50000, books 1000): the single
+    // pass strands books' 4000 surplus (targets 5000 each, books caps
+    // at 1000); water-filling hands it to web — expected web mass 9000
+    // vs 5000, a gap far beyond the binomial draw noise (sd ~ 900)
+    val single = mass(waterFill = false)
+    val filled = mass(waterFill = true)
+    assert(single("books") === 1000L && filled("books") === 1000L)
+    assert(filled("web") - single("web") >= 2000L,
+      s"surplus not redistributed: single ${single("web")} filled ${filled("web")}")
+    assert(math.abs(filled("web") - 9000L) <= 2500L,
+      s"water-filled web mass ${filled("web")} far from the 9000 target")
+    // nothing caps at a small budget: both variants compute the same
+    // rates and the same deterministic draw
+    val a = Sampling.temperatureMix(d, "doc_id", "source", "n_tokens",
+      0.0, 1000.0).collect().map(_.getLong(1)).toSet
+    val b = Sampling.temperatureMix(d, "doc_id", "source", "n_tokens",
+      0.0, 1000.0, waterFill = true).collect().map(_.getLong(1)).toSet
+    assert(a == b, "uncapped water-fill must equal the single pass")
+    // budget >= total keeps everything in both variants
+    assert(Sampling.temperatureMix(d, "doc_id", "source", "n_tokens",
+      1.0, 51000.0, waterFill = true).count() === 510L)
+  }
 }

@@ -634,4 +634,63 @@ class StreamingSpec extends AnyFunSuite {
     assert(candsBig == truth,
       "non-overflowed shards must hold exact running counts")
   }
+
+  test("streaming scene cuts: ordered multi-batch equals batch; replays absorbed") {
+    import graft.operators.Multimodal
+    import graft.streaming.StreamingSceneCuts
+    import spark.implicits._
+    // Spark 4 moved MemoryStream under execution.streaming.runtime
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    def frame(vid: Long, idx: Int, scene: Int): Multimodal.Frame = {
+      val b = new Array[Byte](650)
+      var seg = 0
+      while (seg < 65) {
+        val z = graft.operators.Dedup.splitmix64(
+          vid * 1000003L + scene * 7919L + seg * 104729L)
+        val v: Byte = if ((z & 1L) == 0L) 200.toByte else 40.toByte
+        java.util.Arrays.fill(b, seg * 10, seg * 10 + 10, v)
+        seg += 1
+      }
+      Multimodal.Frame(vid, idx, b)
+    }
+    val sceneLens = Seq(3, 6, 2)
+    val all = (0L to 2L).flatMap(v =>
+      (0 until 9).map(f => frame(v, f, f / sceneLens(v.toInt))))
+    val batch = Multimodal.sceneCuts(spark.createDataset(all), maxHamming = 8)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    val mem = MemoryStream[Multimodal.Frame]
+    val latest = new java.util.concurrent.ConcurrentHashMap[
+      Long, (Long, Long, Long, Long)]()
+    val q = StreamingSceneCuts.sceneCuts(mem.toDF(), maxHamming = 8)
+      .writeStream.outputMode("update")
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        b.collect().foreach(r => latest.put(r.getLong(0),
+          (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))))
+      }.start()
+    try {
+      // three in-order micro-batches of 3 frames per video each
+      (0 until 3).foreach { bi =>
+        mem.addData(all.filter(_.frame_idx / 3 == bi))
+        q.processAllAvailable()
+      }
+      import scala.jdk.CollectionConverters._
+      val mid = latest.asScala.toMap
+      assert(mid.keySet == batch.keySet)
+      batch.foreach { case (v, (nf, nc, ns)) =>
+        assert(mid(v) == ((nf, nc, ns, 0L)),
+          s"video $v streamed ${mid(v)} vs batch ($nf,$nc,$ns)")
+      }
+      // at-least-once: replaying a whole middle batch lands in n_late
+      // and must not fabricate cuts between non-adjacent frames
+      mem.addData(all.filter(_.frame_idx / 3 == 1))
+      q.processAllAvailable()
+      val after = latest.asScala.toMap
+      batch.foreach { case (v, (nf, nc, ns)) =>
+        assert(after(v) == ((nf, nc, ns, 3L)),
+          s"video $v replay broke structure: ${after(v)}")
+      }
+    } finally q.stop()
+  }
 }
