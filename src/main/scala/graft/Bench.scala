@@ -279,14 +279,19 @@ object Bench {
       if (compBean != null && compBean.isCompilationTimeMonitoringSupported)
         compBean.getTotalCompilationTime
       else -1L
-    /** (used, max) bytes summed over the CodeHeap/CodeCache pools. */
+    /** (used, max) bytes summed over the CodeHeap/CodeCache pools.
+      * Any pool reporting an UNDEFINED max (-1) makes the whole max
+      * -1/unknown — clamping it to 0 would publish used > max, which
+      * reads as total exhaustion, the one misdiagnosis these fields
+      * exist to prevent. */
     def codeCacheUsage(): (Long, Long) = try {
       import scala.jdk.CollectionConverters._
       val pools = java.lang.management.ManagementFactory.getMemoryPoolMXBeans
         .asScala.filter(p => p.getName.contains("CodeHeap") ||
           p.getName.contains("Code Cache"))
+      val maxes = pools.map(_.getUsage.getMax)
       (pools.map(_.getUsage.getUsed).sum,
-        pools.map(p => math.max(0L, p.getUsage.getMax)).sum)
+        if (maxes.exists(_ < 0) || maxes.isEmpty) -1L else maxes.sum)
     } catch { case _: Exception => (-1L, -1L) }
 
     final class HostCensus {

@@ -53,10 +53,18 @@ class MisraGries(k: Int)
       case None =>
         // full and unseen: decrement-all via the base offset; entries
         // whose count falls to the new base leave the summary. Skip
-        // the scan entirely while the bound proves nothing can drop.
+        // the scan entirely while the bound proves nothing can drop —
+        // for the skip to ever fire, the filter branch must record the
+        // TRUE minimum of the surviving map (the scan is already
+        // paying O(k); a weak `nb + 1` bound here would stay forever
+        // <= the next base and the guard would be dead code)
         val nb = b.base + 1
         if (b.minStored > nb) Buf(nb, b.counts, b.minStored)
-        else Buf(nb, b.counts.filter(_._2 > nb), nb + 1)
+        else {
+          val kept = b.counts.filter(_._2 > nb)
+          Buf(nb, kept,
+            if (kept.isEmpty) Long.MaxValue else kept.valuesIterator.min)
+        }
     }
 
   override def merge(a: Buf, b: Buf): Buf = {

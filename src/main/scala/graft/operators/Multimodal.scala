@@ -585,6 +585,29 @@ object Multimodal {
 
   case class Frame(doc_id: Long, frame_idx: Int, frame: Array[Byte])
 
+  /** Shared FIXTURE builder for the planted-frame oracles and specs
+    * (the qAJ/qBN gate queries, the scene-cut specs): one 650-byte
+    * frame of 65 ten-byte segments, each segment's 200/40 level taken
+    * from the low bit of `splitmix64(keyA·1000003 + keyB·7919 +
+    * seg·104729)` — vary `keyB` to re-pattern a frame (a scene
+    * boundary), keep it to clone one (within-scene frames). ONE
+    * definition so the gate oracles and the specs can never
+    * desynchronize on the constants. `gainDiv` divides the levels
+    * (both even, so division is exact) to exercise the fingerprints'
+    * gain invariance. */
+  def plantedFrame(docId: Long, frameIdx: Int, keyA: Long, keyB: Long,
+                   gainDiv: Int = 1): Frame = {
+    val bytes = new Array[Byte](650)
+    var seg = 0
+    while (seg < 65) {
+      val z = Dedup.splitmix64(keyA * 1000003L + keyB * 7919L + seg * 104729L)
+      val v: Byte = ((if ((z & 1L) == 0L) 200 else 40) / gainDiv).toByte
+      java.util.Arrays.fill(bytes, seg * 10, seg * 10 + 10, v)
+      seg += 1
+    }
+    Frame(docId, frameIdx, bytes)
+  }
+
   /**
    * Frame sampling: every `everyN`-th frame of each video payload as
    * its own row — the row-EXPLODING stage of a video pipeline

@@ -586,8 +586,14 @@ object TextAnalysis {
   def sourceZScores(docs: DataFrame, idCol: String, srcCol: String,
                     scoreCol: String, zAbsMax: Double = 3.0): DataFrame = {
     val x = col(scoreCol).cast("long")
+    // count(x), not count(*): a null score must stay OUT of the
+    // moments (sum already skips it — a mismatched n would bias mu
+    // for every scored row in the source) and out of the row-level
+    // decision below (its z is null evidence, so it KEEPS — the same
+    // "null must never decide a filter" contract as the fractions in
+    // [[lineStats]])
     val stats = docs.groupBy(col(srcCol)).agg(
-      sum(x).as("__s1"), sum(x * x).as("__s2"), count(lit(1)).as("__n"))
+      sum(x).as("__s1"), sum(x * x).as("__s2"), count(x).as("__n"))
     val nd = col("__n").cast("double")
     val s1d = col("__s1").cast("double")
     val mu = s1d / nd
@@ -596,11 +602,12 @@ object TextAnalysis {
     val variance = (col("__s2").cast("double") - s1d * s1d / nd) / (nd - 1)
     val z = round((x.cast("double") - mu) /
       sqrt(greatest(variance, lit(0.0))), 6)
+    val defined = col("__n") > 1 && variance > 0 && x.isNotNull
     docs.select(col(idCol).as("doc_id"), col(srcCol), col(scoreCol))
       .join(broadcast(stats), Seq(srcCol))
       .select(col("doc_id"), col(srcCol), col(scoreCol),
-        when(col("__n") > 1 && variance > 0, z).as("z"),
-        when(col("__n") > 1 && variance > 0, abs(z) <= lit(zAbsMax))
+        when(defined, z).as("z"),
+        when(defined, abs(z) <= lit(zAbsMax))
           .otherwise(lit(true)).as("keep"))
   }
 
@@ -661,9 +668,15 @@ object TextAnalysis {
    * empty string with 0 cards.
    *
    * Shape: per-row HOF chain — extract candidates, filter through
-   * the integer-exact [[luhnValid]], fold `replace` over the
-   * validated list; zero shuffle, and the whole pipeline (regex,
-   * checksum, fold) replays verbatim in the SQL oracle.
+   * the integer-exact [[luhnValid]], fold a WORD-BOUNDED
+   * `regexp_replace` over the validated list (a literal `replace`
+   * would substitute the PAN everywhere its digits appear as a
+   * substring — inside a longer non-candidate run like a 21-digit
+   * order id — mangling text the candidate regex deliberately
+   * excluded; the `\b` bounds pin each replacement to the exact
+   * spans the extraction matched, and digits carry no regex
+   * metacharacters to escape); zero shuffle, and the whole pipeline
+   * (regex, checksum, fold) replays verbatim in the SQL oracle.
    */
   def redactCreditCards(docs: DataFrame, idCol: String,
                         textCol: String): DataFrame = {
@@ -672,7 +685,8 @@ object TextAnalysis {
       c => luhnValid(c))
     docs.select(col(idCol).as("doc_id"),
       size(valid).as("n_cards"),
-      aggregate(valid, text, (acc, v) => replace(acc, v, lit("<CC>")))
+      aggregate(valid, text, (acc, v) =>
+        regexp_replace(acc, concat(lit("\\b"), v, lit("\\b")), lit("<CC>")))
         .as("redacted"))
   }
 

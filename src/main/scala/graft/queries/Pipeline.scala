@@ -411,26 +411,11 @@ object Pipeline {
           ids.flatMap { id =>
             val v = id / 2
             val nF = 8 + (v % 5).toInt
-            (0 until nF).iterator.map { f =>
-              val bytes = new Array[Byte](650)
-              var seg = 0
-              while (seg < 65) {
-                // full splitmix64 finalizer (shared helper) — a single
-                // xor-mul round leaves the low bit nearly periodic in
-                // (v+f+seg) and collapses the fixture's fingerprints
-                val z = Dedup.splitmix64(v * 1000003L + f * 7919L + seg * 104729L)
-                val value: Byte = if ((z & 1L) == 0L) 200.toByte else 40.toByte
-                java.util.Arrays.fill(bytes, seg * 10, seg * 10 + 10, value)
-                seg += 1
-              }
-              if (id % 2 == 1) {
-                var i = 0
-                while (i < bytes.length) {
-                  bytes(i) = ((bytes(i) & 0xFF) / 2).toByte; i += 1
-                }
-              }
-              Multimodal.Frame(id, f, bytes)
-            }
+            // shared plantedFrame fixture (keyed per (video, frame) so
+            // every frame has its own pattern); odd ids are the
+            // half-gain re-encode twins the fingerprint must absorb
+            (0 until nF).iterator.map(f => Multimodal.plantedFrame(
+              id, f, v, f, gainDiv = if (id % 2 == 1) 2 else 1))
           }
         }
       // fingerprint index + sampled-frame counts are ingest artifacts
@@ -1521,19 +1506,10 @@ object Pipeline {
         .mapPartitions { ids =>
           ids.flatMap { id =>
             val sceneLen = 3 + (id % 4).toInt
-            (0 until 12).iterator.map { f =>
-              val scene = f / sceneLen
-              val bytes = new Array[Byte](650)
-              var seg = 0
-              while (seg < 65) {
-                val z = graft.operators.Dedup.splitmix64(
-                  id * 1000003L + scene * 7919L + seg * 104729L)
-                val value: Byte = if ((z & 1L) == 0L) 200.toByte else 40.toByte
-                java.util.Arrays.fill(bytes, seg * 10, seg * 10 + 10, value)
-                seg += 1
-              }
-              Multimodal.Frame(id, f, bytes)
-            }
+            // shared plantedFrame fixture keyed per (video, SCENE):
+            // constant within a scene, re-patterned at each boundary
+            (0 until 12).iterator.map(f =>
+              Multimodal.plantedFrame(id, f, id, f / sceneLen))
           }
         }
       Multimodal.sceneCuts(frames, maxHamming = 8)
@@ -2961,7 +2937,8 @@ object Pipeline {
             FROM t)
       SELECT doc_id, CAST(len(valid) AS INT) AS n_cards,
              list_reduce(list_prepend(text, valid),
-                         (acc, v) -> replace(acc, v, '<CC>')) AS redacted
+               (acc, v) -> regexp_replace(acc, '\b' || v || '\b', '<CC>', 'g'))
+               AS redacted
       FROM c ORDER BY doc_id""",
     "qBM_source_zscore" -> """
       WITH t AS (SELECT doc_id, source,
@@ -2969,7 +2946,7 @@ object Pipeline {
                  FROM documents),
       st AS (SELECT source, CAST(SUM(n_tokens) AS BIGINT) AS s1,
                     CAST(SUM(n_tokens * n_tokens) AS BIGINT) AS s2,
-                    COUNT(*) AS n
+                    COUNT(n_tokens) AS n
              FROM t GROUP BY source),
       j AS (SELECT doc_id, t.source AS source, n_tokens,
               CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE) AS mu,

@@ -33,6 +33,13 @@ import org.apache.spark.sql.streaming.GroupStateTimeout
  * overflowed (`base == 0`), every stored count is the gram's EXACT
  * running frequency — small-cardinality feeds degrade gracefully
  * into plain exact counting.
+ *
+ * State-schema note: the persisted state embeds [[graft.functions.MisraGries.Buf]],
+ * whose layout gained a `minStored` field (round 13) — a streaming
+ * query checkpointed under the 2-field Buf cannot resume on this
+ * code (Spark's state-schema compatibility check refuses); restart
+ * from a fresh checkpoint. Future Buf changes carry the same cost —
+ * prefer extending at the END of the case class and note it here.
  */
 object StreamingHeavyHitters {
 

@@ -248,19 +248,10 @@ class MultimodalSpec extends AnyFunSuite {
 
   test("sceneCuts: planted scene boundaries, gain invariance, singletons") {
     import spark.implicits._
-    // frames constant WITHIN a scene, re-patterned at each boundary
-    def frame(vid: Long, idx: Int, scene: Int, gainDiv: Int = 1): Multimodal.Frame = {
-      val b = new Array[Byte](650)
-      var seg = 0
-      while (seg < 65) {
-        val z = graft.operators.Dedup.splitmix64(
-          vid * 1000003L + scene * 7919L + seg * 104729L)
-        val v: Byte = ((if ((z & 1L) == 0L) 200 else 40) / gainDiv).toByte
-        java.util.Arrays.fill(b, seg * 10, seg * 10 + 10, v)
-        seg += 1
-      }
-      Multimodal.Frame(vid, idx, b)
-    }
+    // shared fixture: frames constant WITHIN a scene (same keyB),
+    // re-patterned at each boundary
+    def frame(vid: Long, idx: Int, scene: Int, gainDiv: Int = 1): Multimodal.Frame =
+      Multimodal.plantedFrame(vid, idx, vid, scene, gainDiv)
     val frames = (
       // video 0: scenes of length 3 over 9 frames -> 2 cuts, 3 scenes
       (0 until 9).map(f => frame(0L, f, f / 3)) ++

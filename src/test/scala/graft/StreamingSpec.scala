@@ -642,18 +642,8 @@ class StreamingSpec extends AnyFunSuite {
     // Spark 4 moved MemoryStream under execution.streaming.runtime
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
-    def frame(vid: Long, idx: Int, scene: Int): Multimodal.Frame = {
-      val b = new Array[Byte](650)
-      var seg = 0
-      while (seg < 65) {
-        val z = graft.operators.Dedup.splitmix64(
-          vid * 1000003L + scene * 7919L + seg * 104729L)
-        val v: Byte = if ((z & 1L) == 0L) 200.toByte else 40.toByte
-        java.util.Arrays.fill(b, seg * 10, seg * 10 + 10, v)
-        seg += 1
-      }
-      Multimodal.Frame(vid, idx, b)
-    }
+    def frame(vid: Long, idx: Int, scene: Int): Multimodal.Frame =
+      Multimodal.plantedFrame(vid, idx, vid, scene)
     val sceneLens = Seq(3, 6, 2)
     val all = (0L to 2L).flatMap(v =>
       (0 until 9).map(f => frame(v, f, f / sceneLens(v.toInt))))

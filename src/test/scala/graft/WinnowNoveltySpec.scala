@@ -368,7 +368,12 @@ class WinnowNoveltySpec extends AnyFunSuite {
       (4L, "ids 411111111111 and 41111111111111111111"),
       // two valid cards in one doc, both redacted
       (5L, "a 4111111111111111 b 5500005555555559 c"),
-      (6L, null.asInstanceOf[String])
+      (6L, null.asInstanceOf[String]),
+      // a valid PAN whose digits ALSO appear inside a longer
+      // non-candidate run: the word-bounded replace must redact only
+      // the standalone occurrence (a literal substring replace would
+      // mangle the 21-digit order id)
+      (7L, "pay 4111111111111111 ref 941111111111111112345")
     ).toDF("doc_id", "text")
     val got = TextAnalysis.redactCreditCards(docs, "doc_id", "text")
       .collect().map(r => r.getLong(0) -> ((r.getInt(1), r.getString(2))))
@@ -379,14 +384,18 @@ class WinnowNoveltySpec extends AnyFunSuite {
     assert(got(4L) == ((0, "ids 411111111111 and 41111111111111111111")))
     assert(got(5L) == ((2, "a <CC> b <CC> c")), s"${got(5L)}")
     assert(got(6L) == ((0, "")), "null text redacts to empty, 0 cards")
+    assert(got(7L) == ((1, "pay <CC> ref 941111111111111112345")),
+      s"substring containment mangled a non-candidate: ${got(7L)}")
   }
 
   test("sourceZScores: per-source calibration, degenerate sources keep") {
     // web: 9 docs at 100 tokens + one 400-token outlier; books: a
-    // single doc; flat: constant counts (zero variance)
-    val docs = ((1L to 9L).map(i => (i, "web", 100L)) ++
-      Seq((10L, "web", 400L), (11L, "books", 50L),
-        (12L, "flat", 70L), (13L, "flat", 70L)))
+    // single doc; flat: constant counts (zero variance); a null-score
+    // web row must stay out of the moments AND keep with null z
+    val docs = ((1L to 9L).map(i => (i, "web", Option(100L))) ++
+      Seq((10L, "web", Option(400L)), (11L, "books", Option(50L)),
+        (12L, "flat", Option(70L)), (13L, "flat", Option(70L)),
+        (14L, "web", None: Option[Long])))
       .toDF("doc_id", "source", "n_tokens")
     val got = TextAnalysis.sourceZScores(docs, "doc_id", "source",
         "n_tokens", zAbsMax = 2.0)
@@ -403,6 +412,9 @@ class WinnowNoveltySpec extends AnyFunSuite {
     assert(got(11L) == ((None, true)), s"singleton: ${got(11L)}")
     assert(got(12L) == ((None, true)) && got(13L) == ((None, true)),
       s"flat: ${got(12L)}")
+    // the null-score row: keeps with null z (boolean, never SQL null),
+    // and its absence from the moments is what made doc 10's z exact
+    assert(got(14L) == ((None, true)), s"null score: ${got(14L)}")
   }
 
   test("lineStats: C4/FineWeb line heuristics, hand-computed") {
