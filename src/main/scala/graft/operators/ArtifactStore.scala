@@ -276,10 +276,18 @@ object ArtifactStore {
               fs.delete(p, true)
           } else if (n.startsWith("fp=")) {
             val marker = new org.apache.hadoop.fs.Path(p, ".superseded")
-            if (fs.exists(marker)) {
-              if (now - fs.getFileStatus(marker).getModificationTime
-                    >= vacuumGraceMs) fs.delete(p, true)
-            } else if (markNew) fs.create(marker, true).close()
+            // the marking pass ALSO age-checks (since = now): at
+            // grace 0 a build's own vacuum reclaims the generation it
+            // just superseded in the same pass — the compactor-test
+            // contract. Read-path vacuums (markNew = false) never
+            // start the clock; they only reclaim already-marked gens.
+            val since =
+              if (fs.exists(marker))
+                Some(fs.getFileStatus(marker).getModificationTime)
+              else if (markNew) { fs.create(marker, true).close(); Some(now) }
+              else None
+            since.foreach(s =>
+              if (now - s >= vacuumGraceMs) fs.delete(p, true))
           }
         } catch {
           case _: java.io.IOException => () // raced away: next pass
