@@ -255,35 +255,13 @@ object Sampling {
         // capped source's surplus; water-filling redistributes it
         // among the uncapped until the budget is spent or every
         // source caps. Driver-side over the |S|-row per-source table
-        // (metadata by the operator's contract; loud cap below) —
-        // sort by fill ratio n_s/w_s ascending, cap greedily, then
-        // the survivors share the remainder proportionally to w_s.
+        // (metadata by the operator's contract; loud cap below).
         val rows = tot.collect().map(r => (r.getString(0), r.getDouble(1)))
         require(rows.length <= (1 << 20),
           s"temperatureMix(waterFill): ${rows.length} sources exceed the " +
             "driver-metadata bound")
-        val weighted = rows.map { case (s, n) => (s, n, math.pow(n, tau)) }
-          .sortBy { case (_, n, w) => n / w }
-        var bRem = budget
-        var wRem = weighted.map(_._3).sum
-        val rates = scala.collection.mutable.ArrayBuffer[(String, Double)]()
-        var i = 0
-        var lambda = -1.0 // set once the first uncapped source is found
-        while (i < weighted.length) {
-          val (s, n, w) = weighted(i)
-          if (lambda < 0 && n <= bRem / wRem * w) {
-            // caps: takes its whole mass, surplus stays in bRem
-            rates += ((s, 1.0)); bRem -= n; wRem -= w
-          } else {
-            // first non-capping source fixes lambda for ALL remaining
-            // (sorted by fill ratio, none after this one caps either)
-            if (lambda < 0) lambda = math.max(0.0, bRem / wRem)
-            rates += ((s, math.min(1.0, lambda * w / n)))
-          }
-          i += 1
-        }
         import df.sparkSession.implicits._
-        rates.toSeq.toDF(srcCol, "__rate")
+        waterFillRates(rows, tau, budget).toSeq.toDF(srcCol, "__rate")
           .select(col(srcCol),
             (col("__rate") * lit(1099511627776.0 /* 2^40 */)).as("__thr"))
       } else {
@@ -301,6 +279,39 @@ object Sampling {
       .filter((hash40(Seq(col(idCol)), salt) + lit(1L)).cast("double")
         <= col("__thr"))
       .drop("__thr")
+  }
+
+  /** The water-filling keep-rate computation of [[temperatureMix]],
+    * as a pure function (property-pinned in PropertySpecs): sort by
+    * fill ratio n_s/w_s ascending (w_s = n_s^tau), cap greedily —
+    * capping only RAISES the shared fill level, so one pass suffices
+    * — then the first non-capping source fixes λ = bRem/wRem for all
+    * remaining (their larger ratios cannot cap at a level the
+    * smaller one survived). Invariants: rates ∈ [0, 1]; Σ rate_s·n_s
+    * = min(budget, Σ n_s) up to float ulps; capped sources have rate
+    * exactly 1; uncapped sources share one λ = rate_s·n_s/w_s. */
+  private[graft] def waterFillRates(rows: Array[(String, Double)],
+                                    tau: Double,
+                                    budget: Double): Seq[(String, Double)] = {
+    val weighted = rows.map { case (s, n) => (s, n, math.pow(n, tau)) }
+      .sortBy { case (_, n, w) => n / w }
+    var bRem = budget
+    var wRem = weighted.map(_._3).sum
+    val rates = scala.collection.mutable.ArrayBuffer[(String, Double)]()
+    var i = 0
+    var lambda = -1.0 // set once the first uncapped source is found
+    while (i < weighted.length) {
+      val (s, n, w) = weighted(i)
+      if (lambda < 0 && n <= bRem / wRem * w) {
+        // caps: takes its whole mass, surplus stays in bRem
+        rates += ((s, 1.0)); bRem -= n; wRem -= w
+      } else {
+        if (lambda < 0) lambda = math.max(0.0, bRem / wRem)
+        rates += ((s, math.min(1.0, lambda * w / n)))
+      }
+      i += 1
+    }
+    rates.toSeq
   }
 
   /**

@@ -1371,7 +1371,9 @@ object TextAnalysis {
    * (guarded — a 0-line doc must not ride Spark's NaN-is-largest
    * comparison into `keep`). Fractions and the mean are exact-integer
    * IEEE divisions rounded to 6, so a SQL oracle replays them
-   * bit-for-bit.
+   * bit-for-bit. Trimming is SQL `trim` — SPACE-ONLY on both engines,
+   * so a tab-padded line counts as non-empty; normalize tabs upstream
+   * ([[cleanText]]) when that matters.
    *
    * Shape: one per-row HOF chain (split → trim/filter → counts),
    * zero shuffle, codegen-friendly — the same per-row economics as

@@ -491,4 +491,110 @@ class PropertySpecs extends AnyFunSuite {
       }
     }
   }
+
+  test("waterFillRates invariants hold on random source tables") {
+    import graft.operators.Sampling
+    val rowsGen = for {
+      k <- Gen.choose(1, 12)
+      ns <- Gen.listOfN(k, Gen.choose(1.0, 100000.0))
+    } yield ns.zipWithIndex.map { case (n, i) => (s"s$i", n) }.toArray
+    samples(Gen.zip(rowsGen, Gen.choose(0.0, 1.5),
+        Gen.choose(1.0, 500000.0)), n = 200)
+      .foreach { case (rows, tau, budget) =>
+        val rates = Sampling.waterFillRates(rows, tau, budget).toMap
+        val byName = rows.toMap
+        assert(rates.keySet == byName.keySet)
+        rates.values.foreach(r => assert(r >= 0.0 && r <= 1.0, s"rate $r"))
+        // budget conservation: allocated mass = min(budget, total mass)
+        val total = rows.map(_._2).sum
+        val alloc = rates.map { case (s, r) => r * byName(s) }.sum
+        val want = math.min(budget, total)
+        assert(math.abs(alloc - want) <= 1e-6 * math.max(1.0, want),
+          s"tau=$tau B=$budget: allocated $alloc, want $want")
+        // uncapped sources share ONE fill level lambda = t_s / w_s
+        val lambdas = rates.collect { case (s, r) if r < 1.0 =>
+          r * byName(s) / math.pow(byName(s), tau)
+        }
+        if (lambdas.nonEmpty) {
+          val l0 = lambdas.max
+          lambdas.foreach(l => assert(math.abs(l - l0) <= 1e-9 * math.max(1.0, l0),
+            s"uncapped sources disagree on lambda: $lambdas"))
+        }
+      }
+  }
+
+  test("luhnValid equals the reference checksum on random digit strings") {
+    val spark = GraftTestSession.spark
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    def refLuhn(s: String): Boolean = {
+      var sum = 0
+      var i = s.length - 1
+      var second = false
+      while (i >= 0) {
+        var d = s.charAt(i) - '0'
+        if (second) { d *= 2; if (d > 9) d -= 9 }
+        sum += d
+        second = !second
+        i -= 1
+      }
+      sum % 10 == 0
+    }
+    val digits = samples(
+      Gen.choose(1, 25).flatMap(n =>
+        Gen.listOfN(n, Gen.choose(0, 9)).map(_.mkString)), n = 400)
+      .distinct
+    val got = digits.zipWithIndex.map { case (s, i) => (i.toLong, s) }
+      .toDF("id", "s")
+      .select(col("s"), graft.operators.TextAnalysis.luhnValid(col("s")).as("ok"))
+      .collect().map(r => r.getString(0) -> r.getBoolean(1)).toMap
+    digits.foreach { s =>
+      assert(got(s) == refLuhn(s), s"luhn('$s'): got ${got(s)}")
+    }
+    // the classic valid PANs anchor the reference itself
+    assert(refLuhn("4111111111111111") && refLuhn("4222222222222"))
+    assert(!refLuhn("4111111111111112"))
+  }
+
+  test("lineStats equals a naive recompute on random multi-line docs") {
+    val spark = GraftTestSession.spark
+    import spark.implicits._
+    val lineGen = Gen.frequency(
+      (4, Gen.oneOf("alpha beta.", "menu", "hello there!", "Why?", "plain line",
+        "quoted\"", "x")),
+      (1, Gen.oneOf("", " ", "  \t")))
+    val docGen = Gen.choose(0, 8).flatMap(n =>
+      Gen.listOfN(n, lineGen).map(_.mkString("\n")))
+    val docs = samples(docGen, n = 150).zipWithIndex
+      .map { case (t, i) => (i.toLong, t) }
+    val got = graft.operators.TextAnalysis.lineStats(
+        docs.toDF("doc_id", "text"), "doc_id", "text",
+        minTermFrac = 0.5, maxDupFrac = 0.4)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getInt(1),
+          if (r.isNullAt(2)) None else Some(r.getDouble(2)),
+          if (r.isNullAt(3)) None else Some(r.getDouble(3)),
+          if (r.isNullAt(4)) None else Some(r.getDouble(4)),
+          r.getBoolean(5)))).toMap
+    def round6(x: Double): Double =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    // the operator's trim is SQL trim: SPACE-ONLY on both engines
+    // (a tab-padded line survives as non-empty) — the naive recompute
+    // must share that contract, not java.lang.String#trim's <= 0x20
+    def sqlTrim(s: String): String =
+      s.dropWhile(_ == ' ').reverse.dropWhile(_ == ' ').reverse
+    docs.foreach { case (id, text) =>
+      val lines = text.split("\n", -1).map(sqlTrim).filter(_.nonEmpty).toSeq
+      val exp =
+        if (lines.isEmpty) (0, None, None, None, false)
+        else {
+          val ft = round6(lines.count(l =>
+            ".!?\"".contains(l.last)).toDouble / lines.size)
+          val fd = round6((lines.size - lines.distinct.size).toDouble / lines.size)
+          val ml = round6(lines.map(_.length).sum.toDouble / lines.size)
+          (lines.size, Some(ft), Some(fd), Some(ml), ft >= 0.5 && fd <= 0.4)
+        }
+      assert(got(id) == exp, s"doc $id '${text.replace("\n", "\\n")}'")
+    }
+  }
 }
