@@ -1,0 +1,178 @@
+package graft.operators
+
+import graft.functions.SecondMoments
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/**
+ * PCA / whitening over an embedding column — the standard
+ * pre-conditioning stage of embedding pipelines (SemDeDup whitens
+ * before clustering; retrieval stacks drop to the top-k variance
+ * directions to cut index cost): fit estimates mean + covariance in
+ * ONE corpus pass ([[graft.functions.SecondMoments]] — O(dim²)
+ * doubles per task cross the wire, the vectors never shuffle),
+ * eigen-decomposes the dim×dim covariance ON THE DRIVER (metadata:
+ * 64×64 here; the aggregator refuses dims whose buffer would not be)
+ * via deterministic cyclic Jacobi rotations — no RNG, no library —
+ * and projection is a per-row map over broadcast components (k dot
+ * products per vector, zero shuffle).
+ *
+ * Whitening divides each score by √(λᵢ + eps), so the projected
+ * corpus has ≈ unit variance per retained direction — the isotropy
+ * SemDeDup-style cosine thresholds assume. Float envelope: moments
+ * accumulate in partition order and Jacobi is iterative, so the model
+ * is deterministic per (data, partitioning) but NOT SQL-replayable —
+ * the qBO gate row is rows-only; PcaSpec pins the math (hand
+ * eigensystems, orthonormality, planted-axis recovery, whitened
+ * covariance ≈ I, partitioning invariance of the SPANNED subspace).
+ */
+object Pca {
+
+  /** mean + top-k eigenpairs (components are unit rows, eigenvalues
+    * descending). Driver-sized: (k+1)·dim doubles. */
+  case class Model(mean: Array[Double], eigenvalues: Array[Double],
+                   components: Array[Array[Double]])
+
+  /** One-pass fit. `dim` is explicit (the VectorMean convention);
+    * rows shorter than `dim` or null are skipped by the aggregator. */
+  def fit(emb: DataFrame, vecCol: String, dim: Int, k: Int): Model = {
+    require(k > 0 && k <= dim, s"need 0 < k <= dim, got k=$k dim=$dim")
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val agg = udaf(new SecondMoments(dim),
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[Double]]())
+    val m = emb.select(col(vecCol).cast("array<double>").as("v"))
+      .agg(agg(col("v")).as("m"))
+      .select(col("m.n"), col("m.sums"), col("m.xx")).head()
+    val n = m.getLong(0)
+    require(n >= 2, s"PCA needs >= 2 usable vectors, got $n")
+    val sums = m.getSeq[Double](1).toArray
+    val xx = m.getSeq[Double](2).toArray
+    val mean = sums.map(_ / n)
+    // covariance from the packed triangle: (Σxixj − n·μiμj) / (n−1)
+    val cov = Array.ofDim[Double](dim, dim)
+    var idx = 0
+    var i = 0
+    while (i < dim) {
+      var j = i
+      while (j < dim) {
+        val c = (xx(idx) - n * mean(i) * mean(j)) / (n - 1)
+        cov(i)(j) = c; cov(j)(i) = c
+        j += 1; idx += 1
+      }
+      i += 1
+    }
+    val (values, vectors) = jacobiEigen(cov)
+    Model(mean, values.take(k), vectors.take(k))
+  }
+
+  /** Project (and optionally whiten) onto the model's components:
+    * per-row map over one broadcast row, zero shuffle. Output
+    * (idCol, pc) where pc is the length-k score array, each entry
+    * rounded to `scale` decimals (stable display contract). */
+  def project(emb: DataFrame, idCol: String, vecCol: String, model: Model,
+              whiten: Boolean = false, eps: Double = 1e-9,
+              scale: Int = 6): DataFrame = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val scales =
+      if (whiten) model.eigenvalues.map(l => 1.0 / math.sqrt(math.max(l, 0.0) + eps))
+      else model.eigenvalues.map(_ => 1.0)
+    val modelDf = Seq((model.mean.toSeq,
+        model.components.map(_.toSeq).toSeq, scales.toSeq))
+      .toDF("__mean", "__comps", "__scales")
+    emb.crossJoin(broadcast(modelDf))
+      .select(col(idCol),
+        zip_with(col(vecCol).cast("array<double>"), col("__mean"),
+          (a, b) => a - b).as("__c"),
+        col("__comps"), col("__scales"))
+      .select(col(idCol),
+        zip_with(
+          transform(col("__comps"), c => Similarity.dot(col("__c"), c)),
+          col("__scales"),
+          (s, sc) => round(s * sc, scale)).as("pc"))
+  }
+
+  /** Cyclic Jacobi eigendecomposition of a symmetric matrix —
+    * deterministic (fixed sweep order, no RNG), O(dim³) per sweep,
+    * driver-side metadata work. Returns (eigenvalues, eigenvectors)
+    * sorted by eigenvalue DESCENDING, eigenvectors as unit ROWS,
+    * sign-normalized (largest-|entry| coordinate positive) so the
+    * basis is reproducible across runs. */
+  private[graft] def jacobiEigen(a0: Array[Array[Double]],
+                                 maxSweeps: Int = 64,
+                                 tol: Double = 1e-12)
+      : (Array[Double], Array[Array[Double]]) = {
+    val n = a0.length
+    val a = a0.map(_.clone())
+    val v = Array.tabulate(n, n)((i, j) => if (i == j) 1.0 else 0.0)
+    var sweep = 0
+    var off = offDiag(a)
+    val base = math.max(1.0, frobenius(a))
+    while (off > tol * base && sweep < maxSweeps) {
+      var p = 0
+      while (p < n - 1) {
+        var q = p + 1
+        while (q < n) {
+          val apq = a(p)(q)
+          if (math.abs(apq) > tol * base / (n.toLong * n)) {
+            // classic 2×2 rotation zeroing a(p)(q)
+            val theta = (a(q)(q) - a(p)(p)) / (2.0 * apq)
+            val t = math.signum(theta) match {
+              case 0.0 => 1.0
+              case s => s / (math.abs(theta) + math.sqrt(theta * theta + 1.0))
+            }
+            val c = 1.0 / math.sqrt(t * t + 1.0)
+            val s = t * c
+            var i = 0
+            while (i < n) {
+              val aip = a(i)(p); val aiq = a(i)(q)
+              a(i)(p) = c * aip - s * aiq
+              a(i)(q) = s * aip + c * aiq
+              i += 1
+            }
+            i = 0
+            while (i < n) {
+              val api = a(p)(i); val aqi = a(q)(i)
+              a(p)(i) = c * api - s * aqi
+              a(q)(i) = s * api + c * aqi
+              val vip = v(i)(p); val viq = v(i)(q)
+              v(i)(p) = c * vip - s * viq
+              v(i)(q) = s * vip + c * viq
+              i += 1
+            }
+          }
+          q += 1
+        }
+        p += 1
+      }
+      off = offDiag(a)
+      sweep += 1
+    }
+    val pairs = (0 until n).map { i =>
+      val col = Array.tabulate(n)(r => v(r)(i))
+      // sign convention: the largest-|entry| coordinate is positive
+      val m = col.indices.maxBy(r => (math.abs(col(r)), -r))
+      val vec = if (col(m) < 0) col.map(-_) else col
+      (a(i)(i), vec)
+    }.sortBy { case (l, _) => -l }
+    (pairs.map(_._1).toArray, pairs.map(_._2).toArray)
+  }
+
+  private def offDiag(a: Array[Array[Double]]): Double = {
+    var s = 0.0
+    var i = 0
+    while (i < a.length) {
+      var j = i + 1
+      while (j < a.length) { s += math.abs(a(i)(j)); j += 1 }
+      i += 1
+    }
+    s
+  }
+
+  private def frobenius(a: Array[Array[Double]]): Double = {
+    var s = 0.0
+    for (r <- a; x <- r) s += x * x
+    math.sqrt(s)
+  }
+}

@@ -1496,6 +1496,24 @@ object Pipeline {
         .orderBy(col("doc_id"))
     }),
 
+    // PCA-whitening of the embedding corpus: one SecondMoments pass,
+    // driver Jacobi eigendecomposition, broadcast projection (k dots
+    // per row, zero shuffle). Eigen iterations are float math with no
+    // SQL replay -> rows-only; PcaSpec pins the math (hand
+    // eigensystems, planted-axis recovery, whitened covariance = I)
+    "qBO_pca_whiten" -> ((s, dir) => {
+      val emb = T(s, dir)("embeddings")
+      val model = graft.operators.Pca.fit(emb, "embedding", dim = 64, k = 8)
+      graft.operators.Pca.project(emb, "vec_id", "embedding", model,
+          whiten = true)
+        .select(col("vec_id"),
+          element_at(col("pc"), 1).as("pc1"),
+          element_at(col("pc"), 2).as("pc2"),
+          element_at(col("pc"), 3).as("pc3"),
+          element_at(col("pc"), 4).as("pc4"))
+        .orderBy(col("vec_id"))
+    }),
+
     // video scene-cut detection over synthetic planted-scene videos:
     // frames are constant within a scene and re-patterned at scene
     // boundaries (doc_id arithmetic fixes the scene length), so the
