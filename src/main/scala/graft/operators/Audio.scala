@@ -142,8 +142,24 @@ object Audio {
    * decodable 16-bit mono PCM or have fewer samples than frames.
    */
   def rmsFingerprint(payload: Array[Byte]): Option[Long] =
+    frameRms(payload, FingerprintFrames).map { rms =>
+      var h = 0L
+      var bit = 0
+      while (bit < 64) {
+        if (rms(bit + 1) > rms(bit)) h |= (1L << bit)
+        bit += 1
+      }
+      h
+    }
+
+  /** The fixed-position-fraction frame-RMS pass shared by
+    * [[rmsFingerprint]] and [[activeSegments]]: decode once, RMS per
+    * frame at boundaries k·n/frames. None for payloads that are not
+    * decodable 16-bit mono PCM or have fewer samples than frames. */
+  private[graft] def frameRms(payload: Array[Byte],
+                              frames: Int): Option[Array[Double]] =
     decodeWav(payload).filter(d => d.channels == 1 &&
-        d.nSamples >= FingerprintFrames).map { _ =>
+        d.nSamples >= frames).map { _ =>
       // decodeWav validated the header; re-read the PCM frame stream
       // through AudioSystem (offset derived, not assumed — the
       // frameStats precedent)
@@ -151,11 +167,11 @@ object Audio {
         new java.io.ByteArrayInputStream(payload))
       val bytes = try in.readAllBytes() finally in.close()
       val n = bytes.length / 2
-      val rms = new Array[Double](FingerprintFrames)
+      val rms = new Array[Double](frames)
       var k = 0
-      while (k < FingerprintFrames) {
-        val start = (k.toLong * n / FingerprintFrames).toInt
-        val end = ((k + 1).toLong * n / FingerprintFrames).toInt
+      while (k < frames) {
+        val start = (k.toLong * n / frames).toInt
+        val end = ((k + 1).toLong * n / frames).toInt
         var sumSq = 0.0
         var j = start
         while (j < end) {
@@ -166,14 +182,77 @@ object Audio {
         rms(k) = math.sqrt(sumSq / (end - start))
         k += 1
       }
-      var h = 0L
-      var bit = 0
-      while (bit < 64) {
-        if (rms(bit + 1) > rms(bit)) h |= (1L << bit)
-        bit += 1
-      }
-      h
+      rms
     }
+
+  /**
+   * Active-audio segmentation — the silence-trim / voice-activity
+   * stage of an audio ingest pipeline (speech corpora drop leading/
+   * trailing/internal silence before feature extraction; long-form
+   * audio splits into utterances at quiet gaps): the decoded PCM is
+   * RMS-profiled over `frames` fixed-fraction frames ([[frameRms]] —
+   * one real decode per payload, map-side) and maximal runs of
+   * consecutive frames with RMS ≥ `minRms` become segments. Emits
+   * (doc_id, seg_idx, start_frame, end_frame) with a 0-based segment
+   * index and [start, end) frame bounds; silent or undecodable
+   * payloads emit nothing. Frame granularity (not sample) keeps the
+   * output metadata-sized; callers scale bounds by n/frames.
+   *
+   * Shape: flatMap inside mapPartitions — per-row decode, zero
+   * shuffle, payloads never leave their partition.
+   */
+  def activeSegments(media: Dataset[Multimodal.MediaRow],
+                     minRms: Double,
+                     frames: Int = FingerprintFrames): DataFrame = {
+    require(frames > 0, s"frames must be positive, got $frames")
+    import media.sparkSession.implicits._
+    media.mapPartitions { rows =>
+      rows.flatMap { r =>
+        frameRms(r.payload, frames) match {
+          case None => Iterator.empty
+          case Some(rms) =>
+            val segs = scala.collection.mutable.ArrayBuffer[(Long, Int, Int, Int)]()
+            var k = 0
+            var start = -1
+            while (k <= rms.length) {
+              val active = k < rms.length && rms(k) >= minRms
+              if (active && start < 0) start = k
+              else if (!active && start >= 0) {
+                segs += ((r.doc_id, segs.length, start, k))
+                start = -1
+              }
+              k += 1
+            }
+            segs.iterator
+        }
+      }
+    }.toDF("doc_id", "seg_idx", "start_frame", "end_frame")
+  }
+
+  /** Deterministic GATED envelope WAV for the [[activeSegments]]
+    * oracle: segment k carries a [[segmentAmp]] square wave when its
+    * run `(k / runLen) % 2 == 0` is active and SILENCE (amplitude 0)
+    * otherwise, with each [[frameRms]] frame covering exactly one
+    * segment — active frames read RMS ≥ 1000 and silent frames
+    * exactly 0, so the emitted run structure is pure doc-id
+    * arithmetic a SQL oracle replays. */
+  def syntheticGatedWav(seed: Long, sampleRate: Int, samplesPerSeg: Int,
+                        runLen: Int): Array[Byte] = {
+    require(samplesPerSeg > 0 && runLen > 0)
+    val samples = new Array[Short](FingerprintFrames * samplesPerSeg)
+    var k = 0
+    while (k < FingerprintFrames) {
+      val amp = if ((k / runLen) % 2 == 0) segmentAmp(seed, k) else 0
+      var j = 0
+      while (j < samplesPerSeg) {
+        val idx = k * samplesPerSeg + j
+        samples(idx) = (if (idx % 2 == 0) amp else -amp).toShort
+        j += 1
+      }
+      k += 1
+    }
+    monoWav(sampleRate, samples)
+  }
 
   /** Per-payload [[rmsFingerprint]]s as (id, simhash) — named to feed
     * [[Dedup.simhashPairs]]'s banded hamming join directly;

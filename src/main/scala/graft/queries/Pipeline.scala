@@ -1496,6 +1496,23 @@ object Pipeline {
         .orderBy(col("doc_id"))
     }),
 
+    // active-audio segmentation (silence trim / VAD) over gated
+    // synthetic WAVs: runs of runLen active segments alternate with
+    // silence, each RMS frame covers one segment exactly — the
+    // emitted run structure is pure doc_id arithmetic
+    "qBP_audio_segments" -> ((s, dir) => {
+      import s.implicits._
+      val media = T(s, dir)("documents").select(col("doc_id")).as[Long]
+        .mapPartitions { ids =>
+          ids.map { id =>
+            Multimodal.MediaRow(id, Audio.syntheticGatedWav(
+              id, 8000, samplesPerSeg = 4, runLen = 2 + (id % 5).toInt))
+          }
+        }
+      Audio.activeSegments(media, minRms = 500.0)
+        .orderBy(col("doc_id"), col("seg_idx"))
+    }),
+
     // PCA-whitening of the embedding corpus: one SecondMoments pass,
     // driver Jacobi eigendecomposition, broadcast projection (k dots
     // per row, zero shuffle). Eigen iterations are float math with no
@@ -2987,6 +3004,14 @@ object Pipeline {
       SELECT doc_id, CAST(12 AS BIGINT) AS n_frames,
              CAST(CEIL(12.0 / (3 + doc_id % 4)) - 1 AS BIGINT) AS n_cuts,
              CAST(CEIL(12.0 / (3 + doc_id % 4)) AS BIGINT) AS n_scenes
-      FROM documents ORDER BY doc_id"""
+      FROM documents ORDER BY doc_id""",
+    "qBP_audio_segments" -> """
+      WITH p AS (SELECT doc_id, 2 + doc_id % 5 AS rl FROM documents),
+      m AS (SELECT doc_id, rl, unnest(range(0, 17)) AS m FROM p)
+      SELECT doc_id, CAST(m AS INT) AS seg_idx,
+             CAST(2 * m * rl AS INT) AS start_frame,
+             CAST(least((2 * m + 1) * rl, 65) AS INT) AS end_frame
+      FROM m WHERE 2 * m * rl < 65
+      ORDER BY doc_id, seg_idx"""
   ).map { case (k, v) => k -> v.trim.replaceAll("\\s+", " ") }
 }

@@ -53,4 +53,29 @@ class AudioSpec extends AnyFunSuite {
     assert(frames.forall(_._3 == 777.0))
     assert(frames.forall(_._4 == 399L))
   }
+
+  test("activeSegments: gated runs, all-active, all-silent, undecodable") {
+    import spark.implicits._
+    val rows = Seq(
+      // runLen 3: active runs [0,3) [6,9) ... [60,63)
+      Multimodal.MediaRow(1L, Audio.syntheticGatedWav(11L, 8000, 4, runLen = 3)),
+      // no silence anywhere: one segment spanning all 65 frames
+      Multimodal.MediaRow(2L, Audio.syntheticEnvelopeWav(5L, 8000, 4)),
+      // all-silent payload: a gated wav thresholded above every amp
+      Multimodal.MediaRow(3L, Audio.syntheticGatedWav(7L, 8000, 4, runLen = 2)),
+      // not audio at all: emits nothing
+      Multimodal.MediaRow(4L, Array[Byte](1, 2, 3, 4))
+    ).toDS()
+    val got = Audio.activeSegments(rows, minRms = 500.0)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getInt(3)))
+      .groupBy(_._1)
+    val exp1 = (0 until 11).map(m => (1L, m, 6 * m, math.min(6 * m + 3, 65)))
+    assert(got(1L).toSeq.sortBy(_._2) == exp1, s"gated: ${got(1L).toSeq}")
+    assert(got(2L).toSeq == Seq((2L, 0, 0, 65)), s"all-active: ${got(2L).toSeq}")
+    // threshold above the max segmentAmp (28998): nothing is active
+    val silent = Audio.activeSegments(rows.filter(_.doc_id == 3L),
+      minRms = 30000.0)
+    assert(silent.count() == 0L)
+    assert(!got.contains(4L), "undecodable payload emitted segments")
+  }
 }
