@@ -153,37 +153,52 @@ object Audio {
     }
 
   /** The fixed-position-fraction frame-RMS pass shared by
-    * [[rmsFingerprint]] and [[activeSegments]]: decode once, RMS per
-    * frame at boundaries k·n/frames. None for payloads that are not
-    * decodable 16-bit mono PCM or have fewer samples than frames. */
+    * [[rmsFingerprint]] and [[activeSegments]]: ONE stream open, one
+    * byte read, one scan — the header is validated inline (the same
+    * acceptance set as [[decodeWav]] restricted to mono: 16-bit
+    * signed LE PCM, sample count in [frames, MaxSamples]) rather
+    * than by a decodeWav call, whose corpus-wide RMS/crossing scan
+    * these callers would pay for and never use. RMS per frame at
+    * boundaries k·n/frames; None for anything else. */
   private[graft] def frameRms(payload: Array[Byte],
-                              frames: Int): Option[Array[Double]] =
-    decodeWav(payload).filter(d => d.channels == 1 &&
-        d.nSamples >= frames).map { _ =>
-      // decodeWav validated the header; re-read the PCM frame stream
-      // through AudioSystem (offset derived, not assumed — the
-      // frameStats precedent)
+                              frames: Int): Option[Array[Double]] = {
+    if (payload.isEmpty) return None
+    try {
       val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
         new java.io.ByteArrayInputStream(payload))
-      val bytes = try in.readAllBytes() finally in.close()
-      val n = bytes.length / 2
-      val rms = new Array[Double](frames)
-      var k = 0
-      while (k < frames) {
-        val start = (k.toLong * n / frames).toInt
-        val end = ((k + 1).toLong * n / frames).toInt
-        var sumSq = 0.0
-        var j = start
-        while (j < end) {
-          val s = ((bytes(2 * j + 1) << 8) | (bytes(2 * j) & 0xFF)).toShort.toInt
-          sumSq += s.toDouble * s
-          j += 1
+      try {
+        val f = in.getFormat
+        val nFrames = in.getFrameLength
+        if (f.getEncoding != javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED ||
+            f.getSampleSizeInBits != 16 || f.isBigEndian ||
+            f.getChannels != 1 || nFrames <= 0 || nFrames < frames ||
+            nFrames > MaxSamples) None
+        else {
+          val bytes = in.readAllBytes()
+          val n = bytes.length / 2
+          if (n < frames) None
+          else {
+            val rms = new Array[Double](frames)
+            var k = 0
+            while (k < frames) {
+              val start = (k.toLong * n / frames).toInt
+              val end = ((k + 1).toLong * n / frames).toInt
+              var sumSq = 0.0
+              var j = start
+              while (j < end) {
+                val s = ((bytes(2 * j + 1) << 8) | (bytes(2 * j) & 0xFF)).toShort.toInt
+                sumSq += s.toDouble * s
+                j += 1
+              }
+              rms(k) = math.sqrt(sumSq / (end - start))
+              k += 1
+            }
+            Some(rms)
+          }
         }
-        rms(k) = math.sqrt(sumSq / (end - start))
-        k += 1
-      }
-      rms
-    }
+      } finally in.close()
+    } catch { case _: Exception => None }
+  }
 
   /**
    * Active-audio segmentation — the silence-trim / voice-activity
@@ -239,19 +254,8 @@ object Audio {
   def syntheticGatedWav(seed: Long, sampleRate: Int, samplesPerSeg: Int,
                         runLen: Int): Array[Byte] = {
     require(samplesPerSeg > 0 && runLen > 0)
-    val samples = new Array[Short](FingerprintFrames * samplesPerSeg)
-    var k = 0
-    while (k < FingerprintFrames) {
-      val amp = if ((k / runLen) % 2 == 0) segmentAmp(seed, k) else 0
-      var j = 0
-      while (j < samplesPerSeg) {
-        val idx = k * samplesPerSeg + j
-        samples(idx) = (if (idx % 2 == 0) amp else -amp).toShort
-        j += 1
-      }
-      k += 1
-    }
-    monoWav(sampleRate, samples)
+    segmentWav(sampleRate, samplesPerSeg)(k =>
+      if ((k / runLen) % 2 == 0) segmentAmp(seed, k) else 0)
   }
 
   /** Per-payload [[rmsFingerprint]]s as (id, simhash) — named to feed
@@ -302,10 +306,20 @@ object Audio {
   def syntheticEnvelopeWav(seed: Long, sampleRate: Int,
                            samplesPerSeg: Int, gainDiv: Int = 1): Array[Byte] = {
     require(samplesPerSeg > 0 && gainDiv > 0)
+    segmentWav(sampleRate, samplesPerSeg)(k => segmentAmp(seed, k) / gainDiv)
+  }
+
+  /** Shared per-segment square-wave fill of the synthetic WAV
+    * fixtures ([[syntheticEnvelopeWav]], [[syntheticGatedWav]]):
+    * segment k is `samplesPerSeg` samples at ±ampOf(k), sign
+    * alternating on the GLOBAL sample index — one definition so the
+    * fixture families cannot diverge on the fill convention. */
+  private def segmentWav(sampleRate: Int, samplesPerSeg: Int)
+                        (ampOf: Int => Int): Array[Byte] = {
     val samples = new Array[Short](FingerprintFrames * samplesPerSeg)
     var k = 0
     while (k < FingerprintFrames) {
-      val amp = segmentAmp(seed, k) / gainDiv
+      val amp = ampOf(k)
       var j = 0
       while (j < samplesPerSeg) {
         val idx = k * samplesPerSeg + j

@@ -69,7 +69,13 @@ object Pca {
   /** Project (and optionally whiten) onto the model's components:
     * per-row map over one broadcast row, zero shuffle. Output
     * (idCol, pc) where pc is the length-k score array, each entry
-    * rounded to `scale` decimals (stable display contract). */
+    * rounded to `scale` decimals (stable display contract). Rows the
+    * MODEL never saw — null vectors or shorter than the model's
+    * dimension, which [[fit]]'s aggregator skipped — are DROPPED
+    * here too: a padded projection would emit plausible-looking but
+    * sheared scores for exactly the rows outside the model, and
+    * downstream whitened-cosine thresholds would act on garbage
+    * (left-join the output back when the rows must survive). */
   def project(emb: DataFrame, idCol: String, vecCol: String, model: Model,
               whiten: Boolean = false, eps: Double = 1e-9,
               scale: Int = 6): DataFrame = {
@@ -81,7 +87,9 @@ object Pca {
     val modelDf = Seq((model.mean.toSeq,
         model.components.map(_.toSeq).toSeq, scales.toSeq))
       .toDF("__mean", "__comps", "__scales")
-    emb.crossJoin(broadcast(modelDf))
+    emb.filter(col(vecCol).isNotNull &&
+        size(col(vecCol)) >= lit(model.mean.length))
+      .crossJoin(broadcast(modelDf))
       .select(col(idCol),
         zip_with(col(vecCol).cast("array<double>"), col("__mean"),
           (a, b) => a - b).as("__c"),

@@ -98,6 +98,12 @@ class PcaSpec extends AnyFunSuite {
     val model = Pca.fit(df, "embedding", dim = 3, k = 2)
     // mean computed over the 20 usable rows only: mean of 0..19 = 9.5
     assert(math.abs(model.mean(0) - 9.5) < 1e-9, model.mean.toSeq.toString)
+    // projection drops the SAME rows the fit skipped — a padded
+    // projection would emit sheared scores for rows outside the model
+    val projIds = Pca.project(df, "vec_id", "embedding", model)
+      .collect().map(_.getLong(0)).toSet
+    assert(projIds == good.map(_._1).toSet,
+      s"project emitted model-unseen rows: ${projIds -- good.map(_._1).toSet}")
     val e = intercept[IllegalArgumentException] {
       Pca.fit(df.filter(col("vec_id") === 0L), "embedding", dim = 3, k = 1)
     }
