@@ -112,6 +112,59 @@ object Similarity {
       .limit(k)
   }
 
+  /**
+   * ROBUST per-group centroids via median-of-means — the
+   * outlier-resistant twin of the plain [[VectorMean]] centroid the
+   * drift monitors compare against: a poisoned ingest batch (a few
+   * adversarial or corrupt vectors) shifts a mean by Θ(outlier/n) per
+   * coordinate with unbounded magnitude, while the median over
+   * `shards` independent bucket means ignores any minority of
+   * contaminated buckets entirely — the standard heavy-tail/poisoning
+   * estimator. Vectors land in buckets by the engine-independent
+   * 40-bit md5 of their id ([[Sampling.hash40]] — deterministic,
+   * salt-redrawable, SQL-replayable), each (group, bucket) reduces to
+   * its [[graft.functions.VectorMean]], and the centroid coordinate
+   * is the LOWER-MIDDLE element of the sorted bucket means (an
+   * explicit element, never an interpolation — the cross-engine
+   * contract). Output is LONG form — (group, dim, med) scalar rows,
+   * groups × dim of metadata — so the gate's comparison never sees a
+   * raw array column.
+   *
+   * Scale shape: one partial/final VectorMean shuffle of
+   * groups × shards × dim doubles (the corpus never moves), then a
+   * metadata-sized explode + collect_list over `shards` elements per
+   * (group, dim). Null groups/vectors and vectors shorter than `dim`
+   * are excluded (the [[Pca.project]] skip contract). Odd `shards`
+   * recommended: the lower-middle of an even count is biased low.
+   */
+  def robustCentroids(emb: DataFrame, idCol: String, groupCol: String,
+                      vecCol: String, dim: Int, shards: Int = 5,
+                      salt: String = "s0", scale: Int = 4): DataFrame = {
+    require(shards > 0, s"shards must be positive, got $shards")
+    require(dim > 0, s"dim must be positive, got $dim")
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val vm = udaf(new graft.functions.VectorMean(dim),
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[Double]]())
+    val bucketMeans = emb
+      .filter(col(groupCol).isNotNull && col(vecCol).isNotNull &&
+        size(col(vecCol)) >= dim)
+      .select(col(groupCol).as("__g"),
+        pmod(Sampling.hash40(Seq(col(idCol)), salt), lit(shards.toLong))
+          .as("__b"),
+        col(vecCol).cast("array<double>").as("__v"))
+      .groupBy(col("__g"), col("__b")).agg(vm(col("__v")).as("__m"))
+    bucketMeans
+      .select(col("__g"), posexplode(col("__m")))
+      .groupBy(col("__g"), col("pos"))
+      .agg(sort_array(collect_list(col("col"))).as("__xs"))
+      .select(col("__g").as(groupCol),
+        (col("pos") + 1).cast("int").as("dim"),
+        round(element_at(col("__xs"),
+          floor((size(col("__xs")) + 1) / lit(2.0)).cast("int")), scale)
+          .as("med"))
+  }
+
   /** Loud scale guard shared by the two DELIBERATE O(n²) baselines
     * ([[allPairsTopK]], [[allPairsAbove]]): above `maxRows` vectors
     * the n²/2 pair space stops being a verification tool and becomes

@@ -1496,6 +1496,16 @@ object Pipeline {
         .orderBy(col("doc_id"))
     }),
 
+    // robust per-label centroids (median-of-means): the
+    // poisoning-resistant reference the drift monitors should compare
+    // against; md5-bucketed means, lower-middle median per coordinate,
+    // long-form scalar output
+    "qBQ_robust_centroid" -> ((s, dir) => {
+      Similarity.robustCentroids(T(s, dir)("embeddings"), "vec_id",
+          "label", "embedding", dim = 64, shards = 5)
+        .orderBy(col("label"), col("dim"))
+    }),
+
     // active-audio segmentation (silence trim / VAD) over gated
     // synthetic WAVs: runs of runLen active segments alternate with
     // silence, each RMS frame covers one segment exactly — the
@@ -3005,6 +3015,24 @@ object Pipeline {
              CAST(CEIL(12.0 / (3 + doc_id % 4)) - 1 AS BIGINT) AS n_cuts,
              CAST(CEIL(12.0 / (3 + doc_id % 4)) AS BIGINT) AS n_scenes
       FROM documents ORDER BY doc_id""",
+    "qBQ_robust_centroid" -> """
+      WITH f AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v
+                 FROM embeddings
+                 WHERE label IS NOT NULL AND embedding IS NOT NULL
+                   AND len(embedding) >= 64),
+      h AS (SELECT label, v,
+              CAST(list_reduce(list_transform(
+                regexp_extract_all(substring(md5(CAST(vec_id AS VARCHAR) || ' s0'), 1, 10), '.'),
+                c -> CAST(instr('0123456789abcdef', c) - 1 AS BIGINT)),
+                (a, b) -> a * 16 + b) % 5 AS BIGINT) AS b
+            FROM f),
+      d AS (SELECT label, b, unnest(v) AS x,
+                   generate_subscripts(v, 1) AS dim FROM h),
+      m AS (SELECT label, b, dim, avg(x) AS mx FROM d GROUP BY 1, 2, 3),
+      s AS (SELECT label, dim, list_sort(list(mx)) AS xs FROM m GROUP BY 1, 2)
+      SELECT label, CAST(dim AS INT) AS dim,
+             round(xs[CAST((len(xs) + 1) // 2 AS INT)], 4) AS med
+      FROM s ORDER BY label, dim""",
     "qBP_audio_segments" -> """
       WITH p AS (SELECT doc_id, 2 + doc_id % 5 AS rl FROM documents),
       m AS (SELECT doc_id, rl, unnest(range(0, 17)) AS m FROM p)

@@ -743,6 +743,50 @@ class ScaleOperatorsSpec extends AnyFunSuite {
       -999L, 10, 16, 40).count() === 0L)
   }
 
+  test("robustCentroids: median-of-means shrugs off planted poison") {
+    import graft.operators.Similarity
+    import spark.implicits._
+    // 100 clean 4-dim vectors around (1,2,3,4) plus TWO poisoned rows
+    // at +1e6: the plain mean shifts by ~2e4 per coordinate, the
+    // median-of-means centroid must stay within the clean spread
+    val rnd = new scala.util.Random(5)
+    val clean = (0 until 100).map { i =>
+      (i.toLong, "g", Seq(1.0, 2.0, 3.0, 4.0).map(_ + rnd.nextGaussian() * 0.1))
+    }
+    val poisoned = clean ++ Seq(
+      (1000L, "g", Seq(1e6, 1e6, 1e6, 1e6)),
+      (1001L, "g", Seq(1e6, 1e6, 1e6, 1e6)))
+    val med = Similarity.robustCentroids(poisoned.toDF("vec_id", "label", "embedding"),
+        "vec_id", "label", "embedding", dim = 4, shards = 5)
+      .collect().map(r => r.getInt(1) -> r.getDouble(2)).toMap
+    Seq(1.0, 2.0, 3.0, 4.0).zipWithIndex.foreach { case (mu, i) =>
+      assert(math.abs(med(i + 1) - mu) < 0.2,
+        s"dim ${i + 1}: robust centroid ${med(i + 1)} poisoned away from $mu")
+    }
+    // the plain mean IS poisoned on this corpus (sanity of the setup)
+    val plain = poisoned.map(_._3.head).sum / poisoned.size
+    assert(plain > 1000.0, s"setup broken: plain mean $plain not poisoned")
+    // shards = 1 degenerates to the plain per-group mean (round 4)
+    val one = Similarity.robustCentroids(clean.toDF("vec_id", "label", "embedding"),
+        "vec_id", "label", "embedding", dim = 4, shards = 1)
+      .collect().map(r => r.getInt(1) -> r.getDouble(2)).toMap
+    (0 until 4).foreach { i =>
+      val m = clean.map(_._3(i)).sum / clean.size
+      assert(math.abs(one(i + 1) -
+        BigDecimal(m).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble)
+        <= 1e-4, s"shards=1 dim ${i + 1}")
+    }
+    // deterministic across partitionings
+    val a = Similarity.robustCentroids(poisoned.toDF("vec_id", "label", "embedding"),
+      "vec_id", "label", "embedding", dim = 4, shards = 5)
+      .collect().map(r => (r.getString(0), r.getInt(1), r.getDouble(2))).toSet
+    val b = Similarity.robustCentroids(
+      poisoned.toDF("vec_id", "label", "embedding").repartition(7),
+      "vec_id", "label", "embedding", dim = 4, shards = 5)
+      .collect().map(r => (r.getString(0), r.getInt(1), r.getDouble(2))).toSet
+    assert(a == b, "partitioning changed the robust centroid")
+  }
+
   test("plan pins: temperatureMix broadcasts, matryoshka takes-ordered") {
     import graft.operators.{Sampling, Similarity, TextAnalysis}
     val docs = Tables.load(spark, "/root/testdata/sf0.001", "documents")
