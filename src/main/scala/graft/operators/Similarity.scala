@@ -165,6 +165,47 @@ object Similarity {
           .as("med"))
   }
 
+  /** Seed-fixed ±1 Rademacher sign matrix for [[randomProject]] —
+    * generated from the salt via splitmix64, identically on the
+    * driver and in the oracle's embedded literals. */
+  private[graft] def rademacherSigns(outDim: Int, dim: Int,
+                                     salt: String): Array[Array[Double]] =
+    Array.tabulate(outDim, dim)((j, i) =>
+      if ((Dedup.splitmix64(salt.hashCode.toLong * 1000003L +
+          j * 7919L + i) & 1L) == 0L) 1.0 else -1.0)
+
+  /**
+   * Johnson–Lindenstrauss random projection (Achlioptas 2003's ±1
+   * database-friendly variant): `f(x)_j = Σᵢ sᵢⱼ·xᵢ / √outDim` with a
+   * SEED-FIXED Rademacher sign matrix — the training-free
+   * dimensionality reduction that preserves pairwise distances within
+   * the JL bound in expectation. The full-oracle member of the
+   * dim-reduction family: unlike [[Pca]] (fitted, rows-only) the
+   * matrix is pure arithmetic both engines generate/embed literally,
+   * and scores are the same SEQUENTIAL dot both sides (ArrayDot's
+   * in-order fold ≡ the oracle's list_reduce), so every value
+   * hash-matches. Delegates the projection plumbing to
+   * [[Pca.project]] with a zero mean and unit scales (same null/
+   * short-vector skip), then explodes to LONG form (id, dim, val) —
+   * scalar rows, never a raw array in the gate projection.
+   *
+   * Shape: broadcast outDim×dim signs, outDim dots per row, zero
+   * shuffle — one scan at any corpus size.
+   */
+  def randomProject(emb: DataFrame, idCol: String, vecCol: String,
+                    dim: Int, outDim: Int, salt: String = "s0",
+                    scale: Int = 6): DataFrame = {
+    require(dim > 0 && outDim > 0, s"need positive dims, got $dim -> $outDim")
+    val inv = 1.0 / math.sqrt(outDim.toDouble)
+    val model = Pca.Model(new Array[Double](dim),
+      Array.fill(outDim)(1.0),
+      rademacherSigns(outDim, dim, salt).map(_.map(_ * inv)))
+    Pca.project(emb, idCol, vecCol, model, whiten = false, scale = scale)
+      .select(col(idCol), posexplode(col("pc")))
+      .select(col(idCol), (col("pos") + 1).cast("int").as("dim"),
+        col("col").as("val"))
+  }
+
   /** Loud scale guard shared by the two DELIBERATE O(n²) baselines
     * ([[allPairsTopK]], [[allPairsAbove]]): above `maxRows` vectors
     * the n²/2 pair space stops being a verification tool and becomes

@@ -1496,6 +1496,16 @@ object Pipeline {
         .orderBy(col("doc_id"))
     }),
 
+    // Johnson-Lindenstrauss ±1 random projection 64 -> 16: the
+    // training-free dim reduction whose seed-fixed sign matrix both
+    // engines embed literally — sequential-dot parity gives the only
+    // FULL-oracle dim-reduction path (PCA is rows-only)
+    "qBR_jl_project" -> ((s, dir) => {
+      Similarity.randomProject(T(s, dir)("embeddings"), "vec_id",
+          "embedding", dim = 64, outDim = 16)
+        .orderBy(col("vec_id"), col("dim"))
+    }),
+
     // robust per-label centroids (median-of-means): the
     // poisoning-resistant reference the drift monitors should compare
     // against; md5-bucketed means, lower-middle median per coordinate,
@@ -1563,6 +1573,24 @@ object Pipeline {
   )
 
   private val STOP_IN = "('the','a','of','and','to','in','is','it')"
+
+  /** qBR's oracle embeds the SAME seed-fixed ±(1/√16) matrix the
+    * operator broadcasts, as literal DuckDB lists; the sequential
+    * list_reduce dot replays ArrayDot's in-order fold exactly. */
+  private def qBRSql: String = {
+    val rows = graft.operators.Similarity.rademacherSigns(16, 64, "s0")
+      .zipWithIndex.map { case (r, j) =>
+        s"(${j + 1}, [${r.map(s => if (s > 0) "0.25" else "-0.25").mkString(", ")}])"
+      }.mkString(", ")
+    s"""
+      WITH m(dim, c) AS (VALUES $rows),
+      f AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+            WHERE embedding IS NOT NULL AND len(embedding) >= 64)
+      SELECT vec_id, CAST(dim AS INT) AS dim,
+             round(list_reduce(list_transform(range(1, 65), i -> v[i] * c[i]),
+                               (a, b) -> a + b), 6) AS val
+      FROM f, m ORDER BY vec_id, dim"""
+  }
 
   val oracleSql: Map[String, String] = Map(
     // hash-dependent MinHash/SimHash queries, replayed exactly in
@@ -3015,6 +3043,7 @@ object Pipeline {
              CAST(CEIL(12.0 / (3 + doc_id % 4)) - 1 AS BIGINT) AS n_cuts,
              CAST(CEIL(12.0 / (3 + doc_id % 4)) AS BIGINT) AS n_scenes
       FROM documents ORDER BY doc_id""",
+    "qBR_jl_project" -> qBRSql,
     "qBQ_robust_centroid" -> """
       WITH f AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v
                  FROM embeddings

@@ -743,6 +743,52 @@ class ScaleOperatorsSpec extends AnyFunSuite {
       -999L, 10, 16, 40).count() === 0L)
   }
 
+  test("randomProject: JL norm/distance preservation on the testdata corpus") {
+    import graft.operators.Similarity
+    val emb = Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
+    val proj = Similarity.randomProject(emb, "vec_id", "embedding",
+        dim = 64, outDim = 16, scale = 9)
+      .collect().groupBy(_.getLong(0)).view
+      .mapValues(rs => rs.sortBy(_.getInt(1)).map(_.getDouble(2))).toMap
+    val orig = emb.select(org.apache.spark.sql.functions.col("vec_id"),
+        org.apache.spark.sql.functions.col("embedding").cast("array<double>"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1).toArray).toMap
+    def sq(v: Array[Double]): Double = v.map(x => x * x).sum
+    // unbiasedness in aggregate: E[||f(x)||^2] = ||x||^2 — the CORPUS
+    // MEAN of the norm ratios concentrates near 1 even at outDim 16
+    val ratios = orig.keys.toSeq.sorted.map { id =>
+      sq(proj(id).toArray) / sq(orig(id))
+    }
+    val meanRatio = ratios.sum / ratios.size
+    assert(meanRatio > 0.85 && meanRatio < 1.15,
+      s"JL norm ratio mean $meanRatio off 1")
+    // per-pair distances: the JL bound at outDim 16 is loose, but the
+    // ratio distribution must still concentrate — deterministic data
+    // + matrix, floor set well below the measured concentration
+    val ids = orig.keys.toSeq.sorted.take(40)
+    val pairRatios = for {
+      a <- ids; b <- ids if a < b
+    } yield {
+      val d0 = sq(orig(a).zip(orig(b)).map { case (x, y) => x - y })
+      val d1 = sq(proj(a).zip(proj(b)).map { case (x, y) => x - y }.toArray)
+      d1 / d0
+    }
+    val within = pairRatios.count(r => r > 0.3 && r < 2.2).toDouble / pairRatios.size
+    assert(within > 0.9,
+      s"only ${(within * 100).round}% of pair ratios in [0.3, 2.2]")
+    // deterministic; a different salt is an independent projection
+    val again = Similarity.randomProject(emb, "vec_id", "embedding", 64, 16,
+        scale = 9)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getDouble(2))).toSet
+    val first = proj.toSeq.flatMap { case (id, vs) =>
+      vs.zipWithIndex.map { case (v, i) => (id, i + 1, v) } }.toSet
+    assert(again == first)
+    assert(Similarity.randomProject(emb, "vec_id", "embedding", 64, 16,
+        salt = "s1", scale = 9)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getDouble(2))).toSet
+      != first, "salt must redraw the matrix")
+  }
+
   test("robustCentroids: median-of-means shrugs off planted poison") {
     import graft.operators.Similarity
     import spark.implicits._
