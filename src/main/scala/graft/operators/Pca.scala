@@ -91,7 +91,11 @@ object Pca {
         size(col(vecCol)) >= lit(model.mean.length))
       .crossJoin(broadcast(modelDf))
       .select(col(idCol),
-        zip_with(col(vecCol).cast("array<double>"), col("__mean"),
+        // slice to the model's dim FIRST: fit's aggregator used the
+        // first dim coords of longer vectors, and an unsliced
+        // zip_with would pad to the LONGER side with nulls
+        zip_with(slice(col(vecCol).cast("array<double>"), 1,
+            model.mean.length), col("__mean"),
           (a, b) => a - b).as("__c"),
         col("__comps"), col("__scales"))
       .select(col(idCol),

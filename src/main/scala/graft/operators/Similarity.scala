@@ -166,13 +166,26 @@ object Similarity {
   }
 
   /** Seed-fixed ±1 Rademacher sign matrix for [[randomProject]] —
-    * generated from the salt via splitmix64, identically on the
-    * driver and in the oracle's embedded literals. */
+    * generated identically on the driver and in the oracle's embedded
+    * literals. The salt seeds through md5 (the [[Sampling.rankKey]]
+    * convention — String.hashCode collides trivially, "Aa" == "BB",
+    * which would make two "independent" projections identical), and
+    * (j, i) packs INJECTIVELY into one long before the splitmix
+    * finalizer — an additive i + c·j mix repeats entries whenever
+    * dim exceeds the stride, correlating matrix rows and silently
+    * voiding the JL independence assumption. */
   private[graft] def rademacherSigns(outDim: Int, dim: Int,
-                                     salt: String): Array[Array[Double]] =
+                                     salt: String): Array[Array[Double]] = {
+    require(outDim <= (1 << 20) && dim <= (1 << 20),
+      s"sign matrix $outDim x $dim exceeds the driver-metadata bound")
+    val saltSeed = java.nio.ByteBuffer.wrap(
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(salt.getBytes(java.nio.charset.StandardCharsets.UTF_8)))
+      .getLong
     Array.tabulate(outDim, dim)((j, i) =>
-      if ((Dedup.splitmix64(salt.hashCode.toLong * 1000003L +
-          j * 7919L + i) & 1L) == 0L) 1.0 else -1.0)
+      if ((Dedup.splitmix64(saltSeed ^ ((j.toLong << 32) | i.toLong)) & 1L)
+          == 0L) 1.0 else -1.0)
+  }
 
   /**
    * Johnson–Lindenstrauss random projection (Achlioptas 2003's ±1

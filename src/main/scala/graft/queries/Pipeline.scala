@@ -3045,7 +3045,8 @@ object Pipeline {
       FROM documents ORDER BY doc_id""",
     "qBR_jl_project" -> qBRSql,
     "qBQ_robust_centroid" -> """
-      WITH f AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v
+      WITH f AS (SELECT vec_id, label,
+                        list_slice(CAST(embedding AS DOUBLE[]), 1, 64) AS v
                  FROM embeddings
                  WHERE label IS NOT NULL AND embedding IS NOT NULL
                    AND len(embedding) >= 64),

@@ -750,9 +750,16 @@ class ScaleOperatorsSpec extends AnyFunSuite {
         dim = 64, outDim = 16, scale = 9)
       .collect().groupBy(_.getLong(0)).view
       .mapValues(rs => rs.sortBy(_.getInt(1)).map(_.getDouble(2))).toMap
+    // mirror the operator's skip (null / short vectors drop) so a
+    // fixture change fails with an assertion, not a map-lookup crash
     val orig = emb.select(org.apache.spark.sql.functions.col("vec_id"),
         org.apache.spark.sql.functions.col("embedding").cast("array<double>"))
+      .filter(org.apache.spark.sql.functions.col("embedding").isNotNull &&
+        org.apache.spark.sql.functions.size(
+          org.apache.spark.sql.functions.col("embedding")) >= 64)
       .collect().map(r => r.getLong(0) -> r.getSeq[Double](1).toArray).toMap
+    assert(orig.keySet == proj.keySet,
+      "projection and filtered corpus disagree on the row set")
     def sq(v: Array[Double]): Double = v.map(x => x * x).sum
     // unbiasedness in aggregate: E[||f(x)||^2] = ||x||^2 — the CORPUS
     // MEAN of the norm ratios concentrates near 1 even at outDim 16
