@@ -635,6 +635,57 @@ class StreamingSpec extends AnyFunSuite {
       "non-overflowed shards must hold exact running counts")
   }
 
+  test("streaming robust centroids compose from the drift monitor per (group, bucket)") {
+    import graft.operators.{Sampling, Similarity}
+    import graft.streaming.StreamingDrift
+    import spark.implicits._
+    // the streaming story for median-of-means needs NO new operator:
+    // key the drift monitor by (label, md5-bucket) — the SAME 40-bit
+    // bucket hash the batch operator uses — and the consumer medians
+    // the emitted running means per label. Pinned ≡ batch
+    // robustCentroids (arrival-order float sums vs partition-order
+    // sums may flip a 1e-4 rounding boundary; tolerance absorbs it).
+    val emb = Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
+    val batch = Similarity.robustCentroids(emb, "vec_id", "label",
+        "embedding", dim = 64, shards = 5)
+      .collect().map(r => (r.get(0).toString, r.getInt(1)) -> r.getDouble(2))
+      .toMap
+    val d = java.nio.file.Files.createTempDirectory(
+      new java.io.File("target").toPath.toAbsolutePath, "mom-stream").toString
+    emb.repartition(4).write.mode("overwrite").parquet(d)
+    val latest = new java.util.concurrent.ConcurrentHashMap[
+      String, Seq[Double]]()
+    val stream = spark.readStream.schema(emb.schema)
+      .option("maxFilesPerTrigger", 1).parquet(d)
+      .filter(col("label").isNotNull)
+      .withColumn("gk", concat_ws("|", col("label").cast("string"),
+        pmod(Sampling.hash40(Seq(col("vec_id")), "s0"), lit(5L))
+          .cast("string")))
+    val q = StreamingDrift.centroidDrift(stream, "gk", "embedding",
+        Map.empty)
+      .writeStream.outputMode("update")
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        b.collect().foreach { r =>
+          if (!r.isNullAt(4)) latest.put(r.getString(0), r.getSeq[Double](4))
+        }
+      }.start()
+    try q.processAllAvailable() finally q.stop()
+    import scala.jdk.CollectionConverters._
+    val byLabel = latest.asScala.toMap.groupBy(_._1.split('|')(0))
+    assert(byLabel.nonEmpty)
+    byLabel.foreach { case (label, buckets) =>
+      val means = buckets.values.toSeq
+      (0 until 64).foreach { i =>
+        val xs = means.map(_(i)).sorted
+        val med = BigDecimal(xs((xs.size + 1) / 2 - 1))
+          .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+        val want = batch((label, i + 1))
+        assert(math.abs(med - want) <= 1.1e-4,
+          s"label $label dim ${i + 1}: streamed $med vs batch $want")
+      }
+    }
+  }
+
   test("streaming scene cuts: ordered multi-batch equals batch; replays absorbed") {
     import graft.operators.Multimodal
     import graft.streaming.StreamingSceneCuts
