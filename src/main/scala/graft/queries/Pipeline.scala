@@ -1496,6 +1496,22 @@ object Pipeline {
         .orderBy(col("doc_id"))
     }),
 
+    // integer-exact PageRank over a synthetic doc link graph (two
+    // arithmetic out-edges per doc): every step is integer DIV/SUM,
+    // so the ITERATIVE operator hash-matches a 10-round chained-CTE
+    // replay — no float-iteration rows-only compromise
+    "qBS_pagerank" -> ((s, dir) => {
+      val d = T(s, dir)("documents").select(col("doc_id"))
+      val n = d.count()
+      val edges = d.select(col("doc_id").as("src"),
+          ((col("doc_id") * 7 + 3) % n).as("dst"))
+        .unionByName(d.select(col("doc_id").as("src"),
+          ((col("doc_id") * 13 + 5) % n).as("dst")))
+      graft.operators.Graphs.pageRankInt(edges, "src", "dst", iters = 10)
+        .select(col("node"), col("rank").as("pr"))
+        .orderBy(col("node"))
+    }),
+
     // Johnson-Lindenstrauss ±1 random projection 64 -> 16: the
     // training-free dim reduction whose seed-fixed sign matrix both
     // engines embed literally — sequential-dot parity gives the only
@@ -1573,6 +1589,35 @@ object Pipeline {
   )
 
   private val STOP_IN = "('the','a','of','and','to','in','is','it')"
+
+  /** qBS's oracle: the integer PageRank recurrence unrolled into 10
+    * chained CTEs (the Bpe.oracleSql precedent — recursive CTEs
+    * forbid aggregates in the recursive term, fixed iteration counts
+    * do not need them). All-integer arithmetic ⇒ bit-exact replay. */
+  private def qBSSql: String = {
+    val base = 1000000000000L
+    val teleport = 15L * base / 100
+    val iterCtes = (1 to 10).map { t =>
+      s"""r$t AS (SELECT n.node,
+           CAST($teleport + (85 * COALESCE(s.c, 0)) // 100 AS BIGINT) AS r
+         FROM nodes n LEFT JOIN (
+           SELECT e.dst AS node, SUM(p.r // od.c) AS c
+           FROM e JOIN od ON od.src = e.src JOIN r${t - 1} p ON p.node = e.src
+           GROUP BY e.dst) s ON s.node = n.node)"""
+    }.mkString(", ")
+    s"""
+      WITH nn AS (SELECT COUNT(*) AS n FROM documents),
+      e AS (SELECT doc_id AS src, (doc_id * 7 + 3) % n AS dst
+            FROM documents, nn
+            UNION ALL
+            SELECT doc_id, (doc_id * 13 + 5) % n FROM documents, nn),
+      nodes AS (SELECT DISTINCT src AS node FROM e
+                UNION SELECT DISTINCT dst FROM e),
+      od AS (SELECT src, COUNT(*) AS c FROM e GROUP BY src),
+      r0 AS (SELECT node, CAST($base AS BIGINT) AS r FROM nodes),
+      $iterCtes
+      SELECT node, r AS pr FROM r10 ORDER BY node"""
+  }
 
   /** qBR's oracle embeds the SAME seed-fixed ±(1/√16) matrix the
     * operator broadcasts, as literal DuckDB lists; the sequential
@@ -3044,6 +3089,7 @@ object Pipeline {
              CAST(CEIL(12.0 / (3 + doc_id % 4)) AS BIGINT) AS n_scenes
       FROM documents ORDER BY doc_id""",
     "qBR_jl_project" -> qBRSql,
+    "qBS_pagerank" -> qBSSql,
     "qBQ_robust_centroid" -> """
       WITH f AS (SELECT vec_id, label,
                         list_slice(CAST(embedding AS DOUBLE[]), 1, 64) AS v
