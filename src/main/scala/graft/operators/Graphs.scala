@@ -57,14 +57,16 @@ object Graphs {
     require(nNodes > 0, "pageRankInt: empty graph")
     require(nNodes <= Long.MaxValue / math.max(1L, base) / 100,
       s"pageRankInt: $nNodes nodes x base $base risks 64-bit overflow")
-    val outdeg = e.groupBy(col("src")).agg(count(lit(1)).as("__out"))
+    // outdeg folds into the edge table ONCE — it never changes, and
+    // joining it per round would re-pay a third join every iteration
+    val eOut = e.join(
+        e.groupBy(col("src")).agg(count(lit(1)).as("__out")), "src")
       .localCheckpoint(true)
     val teleport = (100 - damp) * base / 100
     var ranks = nodes.withColumn("rank", lit(base))
     var t = 0
     while (t < iters) {
-      val contrib = ranks.join(outdeg, col("node") === col("src"))
-        .join(e, "src")
+      val contrib = ranks.join(eOut, col("node") === col("src"))
         .select(col("dst").as("node"),
           expr("rank DIV __out").as("__c"))
         .groupBy(col("node")).agg(sum(col("__c")).as("__s"))

@@ -1499,7 +1499,10 @@ object Pipeline {
     // integer-exact PageRank over a synthetic doc link graph (two
     // arithmetic out-edges per doc): every step is integer DIV/SUM,
     // so the ITERATIVE operator hash-matches a 10-round chained-CTE
-    // replay — no float-iteration rows-only compromise
+    // replay — no float-iteration rows-only compromise. Seq cost
+    // (~2.4 s at sf0.1) is 10 rounds x Spark's 2-stage scheduling
+    // floor on tiny data, not plan weight: per-round work is
+    // |E|-linear and the floor vanishes into it at real scale
     "qBS_pagerank" -> ((s, dir) => {
       val d = T(s, dir)("documents").select(col("doc_id"))
       val n = d.count()
