@@ -1498,11 +1498,14 @@ object Pipeline {
 
     // integer-exact PageRank over a synthetic doc link graph (two
     // arithmetic out-edges per doc): every step is integer DIV/SUM,
-    // so the ITERATIVE operator hash-matches a 10-round chained-CTE
-    // replay — no float-iteration rows-only compromise. Seq cost
-    // (~2.4 s at sf0.1) is 10 rounds x Spark's 2-stage scheduling
-    // floor on tiny data, not plan weight: per-round work is
-    // |E|-linear and the floor vanishes into it at real scale
+    // so the ITERATIVE operator hash-matches a PR_ITERS-round
+    // chained-CTE replay — no float-iteration rows-only compromise.
+    // Seq cost (~1.2 s warm at sf0.1, bench_full record) is the
+    // per-round scheduling floor on tiny data, not plan weight:
+    // per-round work is |E|-linear and the floor vanishes into it at
+    // real scale. Constants are SHARED with the oracle generator
+    // (qBSSql) — a drift between them would only surface as an
+    // opaque hash mismatch
     "qBS_pagerank" -> ((s, dir) => {
       val d = T(s, dir)("documents").select(col("doc_id"))
       val n = d.count()
@@ -1510,7 +1513,8 @@ object Pipeline {
           ((col("doc_id") * 7 + 3) % n).as("dst"))
         .unionByName(d.select(col("doc_id").as("src"),
           ((col("doc_id") * 13 + 5) % n).as("dst")))
-      graft.operators.Graphs.pageRankInt(edges, "src", "dst", iters = 10)
+      graft.operators.Graphs.pageRankInt(edges, "src", "dst",
+          iters = PR_ITERS, damp = PR_DAMP, base = PR_BASE)
         .select(col("node"), col("rank").as("pr"))
         .orderBy(col("node"))
     }),
@@ -1593,16 +1597,24 @@ object Pipeline {
 
   private val STOP_IN = "('the','a','of','and','to','in','is','it')"
 
-  /** qBS's oracle: the integer PageRank recurrence unrolled into 10
-    * chained CTEs (the Bpe.oracleSql precedent — recursive CTEs
-    * forbid aggregates in the recursive term, fixed iteration counts
-    * do not need them). All-integer arithmetic ⇒ bit-exact replay. */
+  /** qBS's PageRank parameters — ONE definition feeding both the
+    * query's `pageRankInt` call and the oracle generator below, so
+    * they cannot drift apart (a mismatch only surfaces as an opaque
+    * hash failure at verify time). */
+  private val PR_ITERS = 10
+  private val PR_DAMP = 85L
+  private val PR_BASE = 1000000000000L
+
+  /** qBS's oracle: the integer PageRank recurrence unrolled into
+    * PR_ITERS chained CTEs (the Bpe.oracleSql precedent — recursive
+    * CTEs forbid aggregates in the recursive term, fixed iteration
+    * counts do not need them). All-integer arithmetic ⇒ bit-exact
+    * replay. */
   private def qBSSql: String = {
-    val base = 1000000000000L
-    val teleport = 15L * base / 100
-    val iterCtes = (1 to 10).map { t =>
+    val teleport = (100 - PR_DAMP) * PR_BASE / 100
+    val iterCtes = (1 to PR_ITERS).map { t =>
       s"""r$t AS (SELECT n.node,
-           CAST($teleport + (85 * COALESCE(s.c, 0)) // 100 AS BIGINT) AS r
+           CAST($teleport + ($PR_DAMP * COALESCE(s.c, 0)) // 100 AS BIGINT) AS r
          FROM nodes n LEFT JOIN (
            SELECT e.dst AS node, SUM(p.r // od.c) AS c
            FROM e JOIN od ON od.src = e.src JOIN r${t - 1} p ON p.node = e.src
@@ -1617,9 +1629,9 @@ object Pipeline {
       nodes AS (SELECT DISTINCT src AS node FROM e
                 UNION SELECT DISTINCT dst FROM e),
       od AS (SELECT src, COUNT(*) AS c FROM e GROUP BY src),
-      r0 AS (SELECT node, CAST($base AS BIGINT) AS r FROM nodes),
+      r0 AS (SELECT node, CAST($PR_BASE AS BIGINT) AS r FROM nodes),
       $iterCtes
-      SELECT node, r AS pr FROM r10 ORDER BY node"""
+      SELECT node, r AS pr FROM r$PR_ITERS ORDER BY node"""
   }
 
   /** qBR's oracle embeds the SAME seed-fixed ±(1/√16) matrix the

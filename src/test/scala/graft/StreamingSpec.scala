@@ -657,7 +657,11 @@ class StreamingSpec extends AnyFunSuite {
       String, Seq[Double]]()
     val stream = spark.readStream.schema(emb.schema)
       .option("maxFilesPerTrigger", 1).parquet(d)
-      .filter(col("label").isNotNull)
+      // reproduce the batch operator's FULL input contract: a short
+      // vector arriving first would otherwise lock a (label, bucket)
+      // state to the wrong dimension and diverge from batch
+      .filter(col("label").isNotNull && col("embedding").isNotNull &&
+        size(col("embedding")) >= 64)
       .withColumn("gk", concat_ws("|", col("label").cast("string"),
         pmod(Sampling.hash40(Seq(col("vec_id")), "s0"), lit(5L))
           .cast("string")))
