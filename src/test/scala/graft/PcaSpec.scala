@@ -89,6 +89,21 @@ class PcaSpec extends AnyFunSuite {
     assert(math.abs(agree) > 0.999999, s"partitioning moved the top axis: $agree")
   }
 
+  test("plan pins: projection paths are shuffle-free maps over broadcasts") {
+    import graft.operators.Similarity
+    val emb = Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
+    val model = Pca.fit(emb, "embedding", dim = 64, k = 4)
+    // both projections are one scan + one broadcast row: a hash
+    // Exchange here would mean the corpus is being shuffled to
+    // multiply by a constant matrix
+    val pcaPlan = Pca.project(emb, "vec_id", "embedding", model)
+      .queryExecution.executedPlan.toString
+    assert(!pcaPlan.contains("Exchange hashpartitioning"), pcaPlan.take(600))
+    val jlPlan = Similarity.randomProject(emb, "vec_id", "embedding", 64, 8)
+      .queryExecution.executedPlan.toString
+    assert(!jlPlan.contains("Exchange hashpartitioning"), jlPlan.take(600))
+  }
+
   test("fit skips nulls/short vectors and refuses degenerate corpora") {
     import spark.implicits._
     val good = (0 until 20).map(i =>
