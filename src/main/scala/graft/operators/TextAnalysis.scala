@@ -805,6 +805,68 @@ object TextAnalysis {
   }
 
   /**
+   * Min-k% prob membership-inference score (Shi et al. 2023,
+   * "Detecting Pretraining Data from Large Language Models") — the
+   * MODEL-BASED contamination detector next to the exact-n-gram ones
+   * ([[graft.operators.Contamination]]): memorized/leaked text has
+   * anomalously FEW surprising tokens under a reference LM, so the
+   * mean negative-log-likelihood of each document's k% most
+   * surprising tokens separates members from non-members far better
+   * than the full-document perplexity (which fluent novel text also
+   * lowers). Scores under the same add-α unigram reference model as
+   * [[lmScore]] (train slice broadcast, [[lmScore]]'s exact
+   * arithmetic); per document the token nlls sort DESCENDING and the
+   * top ⌈kFrac·n⌉ average — `mink_score` rounded 1e-6, LOW scores =
+   * familiar = flag. Emits every doc with ≥1 token:
+   * (doc_id, n_tokens, mink_score, flagged = score < threshold).
+   *
+   * Scale shape: explode → broadcast model join → ONE per-doc
+   * aggregate whose buffer is the doc's token-nll list (bounded by
+   * document length — the same per-doc envelope as [[lineStats]]'s
+   * line arrays; a corpus of context-window-sized docs keeps it a
+   * few KB). The sort/slice/mean runs per row after the aggregate —
+   * no second shuffle. Cross-engine: nll values differ in ulps
+   * between engines' `ln`, but a boundary swap in the sorted list
+   * moves the mean by ulps/n and the 1e-6 rounding absorbs it (the
+   * q9Y precedent).
+   */
+  def minKProbScore(docs: org.apache.spark.sql.DataFrame,
+                    train: org.apache.spark.sql.DataFrame, idCol: String,
+                    textCol: String, kFrac: Double = 0.2,
+                    threshold: Double = 4.0, alpha: Double = 0.5,
+                    minCount: Long = 1L,
+                    maxVocab: Int = 10000000): org.apache.spark.sql.DataFrame = {
+    require(kFrac > 0.0 && kFrac <= 1.0, s"kFrac must be in (0, 1], got $kFrac")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val model = trainModel(
+      train.select(explode(tokens(col(textCol))).as("g")),
+      minCount, maxVocab, "minKProbScore")
+    val n = model.map(_._2).sum
+    val v = model.length.toLong
+    val denom = n + alpha * (v + 1)
+    val counts = model.toSeq.toDF("tok", "cnt")
+    docs.select(col(idCol).as("doc_id"),
+        explode(tokens(col(textCol))).as("tok"))
+      .join(broadcast(counts), Seq("tok"), "left")
+      .select(col("doc_id"),
+        (-log((coalesce(col("cnt"), lit(0L)) + lit(alpha)) / lit(denom)))
+          .as("nll"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).cast("long").as("n_tokens"),
+        reverse(sort_array(collect_list(col("nll")))).as("__nlls"))
+      .select(col("doc_id"), col("n_tokens"),
+        round(aggregate(
+            slice(col("__nlls"), lit(1),
+              ceil(col("n_tokens") * lit(kFrac)).cast("int")),
+            lit(0.0), (acc, x) => acc + x) /
+          ceil(col("n_tokens") * lit(kFrac)).cast("double"), 6)
+          .as("mink_score"))
+      .select(col("doc_id"), col("n_tokens"), col("mink_score"),
+        (col("mink_score") < lit(threshold)).as("flagged"))
+  }
+
+  /**
    * Bigram upgrade of [[lmScore]] (CCNet's KenLM is higher-order; the
    * bigram model is the first step up from the unigram): the first
    * token scores under the unigram model, every following token under

@@ -1496,6 +1496,18 @@ object Pipeline {
         .orderBy(col("doc_id"))
     }),
 
+    // min-k% prob membership inference (Shi et al. 2023): score every
+    // doc's 20% most-surprising tokens under a reference LM trained
+    // on the doc_id%4==0 slice — member docs read anomalously LOW
+    // (few surprising tokens); the model-based contamination detector
+    // beside the exact-n-gram ones (q9D/q9J)
+    "qBT_mink_contamination" -> ((s, dir) => {
+      val d = T(s, dir)("documents")
+      TextAnalysis.minKProbScore(d, d.filter(col("doc_id") % 4 === 0),
+          "doc_id", "text", kFrac = 0.2, threshold = 3.55)
+        .orderBy(col("doc_id"))
+    }),
+
     // integer-exact PageRank over a synthetic doc link graph (two
     // arithmetic out-edges per doc): every step is integer DIV/SUM,
     // so the ITERATIVE operator hash-matches a PR_ITERS-round
@@ -3105,6 +3117,27 @@ object Pipeline {
       FROM documents ORDER BY doc_id""",
     "qBR_jl_project" -> qBRSql,
     "qBS_pagerank" -> qBSSql,
+    "qBT_mink_contamination" -> """
+      WITH dt AS (SELECT doc_id, unnest(regexp_extract_all(text, '\S+')) AS tok
+                  FROM documents),
+      c AS (SELECT tok, COUNT(*) AS cnt FROM dt WHERE doc_id % 4 = 0
+            GROUP BY tok),
+      s AS (SELECT CAST(SUM(cnt) AS DOUBLE) AS n, CAST(COUNT(*) AS DOUBLE) AS v
+            FROM c),
+      j AS (SELECT doc_id,
+              -ln((COALESCE(c.cnt, 0) + 0.5) / (s.n + 0.5 * (s.v + 1))) AS nll
+            FROM dt LEFT JOIN c USING (tok) CROSS JOIN s),
+      g AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+                   list_sort(list(nll), 'DESC') AS nlls
+            FROM j GROUP BY doc_id),
+      k AS (SELECT doc_id, n_tokens,
+              CAST(CEIL(n_tokens * 0.2) AS INT) AS kk, nlls FROM g)
+      SELECT doc_id, n_tokens,
+             round(list_reduce(list_slice(nlls, 1, kk), (a, b) -> a + b)
+                   / CAST(kk AS DOUBLE), 6) AS mink_score,
+             round(list_reduce(list_slice(nlls, 1, kk), (a, b) -> a + b)
+                   / CAST(kk AS DOUBLE), 6) < 3.55 AS flagged
+      FROM k ORDER BY doc_id""",
     "qBQ_robust_centroid" -> """
       WITH f AS (SELECT vec_id, label,
                         list_slice(CAST(embedding AS DOUBLE[]), 1, 64) AS v

@@ -417,6 +417,44 @@ class WinnowNoveltySpec extends AnyFunSuite {
     assert(got(14L) == ((None, true)), s"null score: ${got(14L)}")
   }
 
+  test("minKProbScore: memorized text reads low, novel-vocab text high") {
+    // the reference corpus: repeated everyday sentences; one doc of it
+    // is the MEMBER (verbatim in training), the novel doc's vocabulary
+    // is entirely unseen — its min-k tokens all score the OOV nll
+    val trainDocs = (1L to 20L).map(i =>
+      (i, "the quick brown fox jumps over the lazy dog every single day"))
+    val member = (100L, trainDocs.head._2)
+    val novel = (101L, "zyx wvu tsr qpo nml kji hgf edc ba")
+    val docs = (trainDocs :+ member :+ novel).toDF("doc_id", "text")
+    val train = docs.filter(col("doc_id") <= 20L)
+    val got = TextAnalysis.minKProbScore(docs, train, "doc_id", "text",
+        kFrac = 0.2, threshold = 5.0)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2),
+        r.getBoolean(3)))).toMap
+    val (nMem, sMem, fMem) = got(100L)
+    val (nNov, sNov, fNov) = got(101L)
+    assert(nMem == 12L && nNov == 9L)
+    // the member's MOST surprising tokens are still familiar; the
+    // novel doc's are all OOV — a wide margin, not a knife edge
+    assert(sMem + 2.0 < sNov,
+      s"membership signal missing: member $sMem vs novel $sNov")
+    assert(fMem && !fNov, s"flags wrong: member $fMem novel $fNov")
+    // hand-check the member's score: 12 tokens -> k = ceil(2.4) = 3.
+    // Train: 20 copies, n = 240 tokens, v = 11 distinct, denom =
+    // 240 + 0.5*(11+1) = 246. The member's rarest tokens occur 20x
+    // ('the' occurs 40x and ranks LESS surprising), so the top-3 nlls
+    // are all ln(246/20.5) and so is their mean.
+    val expect = math.log(246.0 / 20.5)
+    assert(math.abs(sMem - BigDecimal(expect).setScale(6,
+      BigDecimal.RoundingMode.HALF_UP).toDouble) <= 1e-6,
+      s"member score $sMem vs closed form $expect")
+    // the novel doc's min-k tokens are pure OOV: nll = ln(246/0.5)
+    val oov = math.log(246.0 / 0.5)
+    assert(math.abs(sNov - BigDecimal(oov).setScale(6,
+      BigDecimal.RoundingMode.HALF_UP).toDouble) <= 1e-6,
+      s"novel score $sNov vs OOV closed form $oov")
+  }
+
   test("lineStats: C4/FineWeb line heuristics, hand-computed") {
     val docs = Seq(
       // blank/whitespace-only lines drop; "menu" duplicates
