@@ -805,6 +805,77 @@ object TextAnalysis {
   }
 
   /**
+   * Chat-transcript turn parsing — the SFT/instruction-data twin of
+   * the pretraining battery: fine-tuning corpora arrive as
+   * role-marked transcripts (`<|user|> … <|assistant|> …`) and every
+   * downstream stage (role-conditional stats, loss masking,
+   * turn-count filters, per-role dedup keys) needs (doc, turn_idx,
+   * role, text) rows. RE2-safe parse — no lookarounds, so the SQL
+   * oracle replays it: markers rewrite to `\u0001role\u0002` (after
+   * stripping any payload occurrence of the sentinels — a transcript
+   * cannot forge a turn boundary), the text splits on `\u0001`, and
+   * each piece splits role from content on `\u0002`. Text before the
+   * first marker (normally empty in a well-formed transcript) is
+   * dropped; turn text is trimmed. Per-row explode, zero shuffle.
+   */
+  def chatTurns(docs: DataFrame, idCol: String, textCol: String,
+                roles: Seq[String] = Seq("user", "assistant", "system"))
+      : DataFrame = {
+    require(roles.nonEmpty && roles.forall(_.matches("[A-Za-z0-9_]+")),
+      s"roles must be bare identifiers, got $roles")
+    val marked = regexp_replace(
+      regexp_replace(coalesce(col(textCol), lit("")),
+        "[\u0001\u0002]", ""),
+      s"<\\|(${roles.mkString("|")})\\|>", "\u0001$1\u0002")
+    docs.select(col(idCol).as("doc_id"),
+        posexplode(split(marked, "\u0001", -1)))
+      .filter(col("pos") > 0)
+      .select(col("doc_id"), (col("pos") - 1).cast("int").as("turn_idx"),
+        split(col("col"), "\u0002", 2).as("__rc"))
+      .select(col("doc_id"), col("turn_idx"),
+        element_at(col("__rc"), 1).as("role"),
+        trim(element_at(col("__rc"), 2)).as("turn_text"))
+  }
+
+  /**
+   * SFT loss-mask accounting over [[chatTurns]] — what fraction of a
+   * transcript actually trains: assistant turns carry loss, user/
+   * system turns are masked context, and transcripts with no
+   * assistant turn (or a degenerate trainable fraction) are dropped
+   * before tokenization rather than discovered as wasted batch mass
+   * later. Per doc: turn count, trainable (assistant) token count,
+   * masked token count, trainable fraction (exact-integer IEEE
+   * division rounded 6), keep = has ≥1 assistant turn AND
+   * trainable_frac ≥ minTrainableFrac. One aggregate over the turn
+   * rows — the corpus shuffles once, by doc.
+   */
+  def sftMaskStats(docs: DataFrame, idCol: String, textCol: String,
+                   minTrainableFrac: Double = 0.1,
+                   roles: Seq[String] = Seq("user", "assistant", "system"))
+      : DataFrame = {
+    val turns = chatTurns(docs, idCol, textCol, roles)
+    val tok = tokenCount(col("turn_text")).cast("long")
+    turns.groupBy(col("doc_id"))
+      .agg(count(lit(1)).cast("long").as("n_turns"),
+        sum(when(col("role") === "assistant", tok).otherwise(lit(0L)))
+          .as("n_train_tokens"),
+        sum(when(col("role") =!= "assistant", tok).otherwise(lit(0L)))
+          .as("n_mask_tokens"))
+      .select(col("doc_id"), col("n_turns"), col("n_train_tokens"),
+        col("n_mask_tokens"),
+        when(col("n_train_tokens") + col("n_mask_tokens") > 0,
+          round(col("n_train_tokens").cast("double") /
+            (col("n_train_tokens") + col("n_mask_tokens")).cast("double"), 6))
+          .as("trainable_frac"),
+        (col("n_train_tokens") > 0 &&
+          when(col("n_train_tokens") + col("n_mask_tokens") > 0,
+            round(col("n_train_tokens").cast("double") /
+              (col("n_train_tokens") + col("n_mask_tokens")).cast("double"), 6)
+              >= lit(minTrainableFrac)).otherwise(lit(false)))
+          .as("keep"))
+  }
+
+  /**
    * Min-k% prob membership-inference score (Shi et al. 2023,
    * "Detecting Pretraining Data from Large Language Models") — the
    * MODEL-BASED contamination detector next to the exact-n-gram ones

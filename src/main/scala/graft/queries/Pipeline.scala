@@ -1496,6 +1496,27 @@ object Pipeline {
         .orderBy(col("doc_id"))
     }),
 
+    // SFT chat-turn parsing: role-marked transcripts (salted onto the
+    // prose corpus from doc_id arithmetic) explode into (doc, turn,
+    // role, tokens) rows — the instruction-data twin of the
+    // pretraining battery; RE2-safe so the whole parse replays in SQL
+    "qBU_chat_turns" -> ((s, dir) => {
+      TextAnalysis.chatTurns(chatFixture(T(s, dir)("documents")),
+          "doc_id", "text")
+        .select(col("doc_id"), col("turn_idx"), col("role"),
+          TextAnalysis.tokenCount(col("turn_text")).cast("int")
+            .as("turn_tokens"))
+        .orderBy(col("doc_id"), col("turn_idx"))
+    }),
+
+    // SFT loss-mask accounting over the same transcripts: trainable
+    // (assistant) vs masked token mass per doc and the keep decision
+    "qBV_sft_mask" -> ((s, dir) => {
+      TextAnalysis.sftMaskStats(chatFixture(T(s, dir)("documents")),
+          "doc_id", "text", minTrainableFrac = 0.4)
+        .orderBy(col("doc_id"))
+    }),
+
     // min-k% prob membership inference (Shi et al. 2023): score every
     // doc's 20% most-surprising tokens under a reference LM trained
     // on the doc_id%4==0 slice — member docs read anomalously LOW
@@ -1608,6 +1629,45 @@ object Pipeline {
   )
 
   private val STOP_IN = "('the','a','of','and','to','in','is','it')"
+
+  /** qBU/qBV's synthetic chat transcripts: role markers wrapped
+    * around doc-text slices, with an extra turn pair on even ids so
+    * turn counts vary — the same construction the oracles replay. */
+  private def chatFixture(docs: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame =
+    docs.withColumn("text", concat(
+      lit("<|user|> "), substring(col("text"), 1, 60),
+      lit(" <|assistant|> "), substring(col("text"), 61, 80),
+      when(col("doc_id") % 2 === 0,
+        concat(lit(" <|user|> again "), substring(col("text"), 141, 30),
+          lit(" <|assistant|> done"))).otherwise(lit(""))))
+
+  /** The shared SQL prelude of the qBU/qBV oracles: the chat fixture
+    * plus the sentinel-based turn parse (chr(1)/chr(2) mirror the
+    * operator's /). */
+  private val CHAT_PIECES = """
+    WITH t AS (SELECT doc_id,
+        '<|user|> ' || substr(text, 1, 60) ||
+        ' <|assistant|> ' || substr(text, 61, 80) ||
+        CASE WHEN doc_id % 2 = 0
+          THEN ' <|user|> again ' || substr(text, 141, 30) ||
+               ' <|assistant|> done'
+          ELSE '' END AS text
+      FROM documents),
+    m AS (SELECT doc_id,
+        regexp_replace(regexp_replace(text, '[\x01\x02]', '', 'g'),
+          '<\|(user|assistant|system)\|>',
+          chr(1) || '\1' || chr(2), 'g') AS s
+      FROM t),
+    p AS (SELECT doc_id,
+        unnest(string_split(s, chr(1))) AS piece,
+        generate_subscripts(string_split(s, chr(1)), 1) AS ord
+      FROM m),
+    turns AS (SELECT doc_id, CAST(ord - 2 AS INT) AS turn_idx,
+        split_part(piece, chr(2), 1) AS role,
+        CAST(len(regexp_extract_all(trim(split_part(piece, chr(2), 2)),
+                                    '\S+')) AS INT) AS turn_tokens
+      FROM p WHERE ord > 1)"""
 
   /** qBS's PageRank parameters — ONE definition feeding both the
     * query's `pageRankInt` call and the oracle generator below, so
@@ -3117,6 +3177,29 @@ object Pipeline {
       FROM documents ORDER BY doc_id""",
     "qBR_jl_project" -> qBRSql,
     "qBS_pagerank" -> qBSSql,
+    "qBU_chat_turns" -> s"""
+      $CHAT_PIECES
+      SELECT doc_id, turn_idx, role, turn_tokens
+      FROM turns ORDER BY doc_id, turn_idx""",
+    "qBV_sft_mask" -> s"""
+      $CHAT_PIECES
+      SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_turns,
+             CAST(SUM(CASE WHEN role = 'assistant' THEN turn_tokens ELSE 0 END)
+               AS BIGINT) AS n_train_tokens,
+             CAST(SUM(CASE WHEN role != 'assistant' THEN turn_tokens ELSE 0 END)
+               AS BIGINT) AS n_mask_tokens,
+             CASE WHEN SUM(turn_tokens) > 0
+               THEN round(CAST(SUM(CASE WHEN role = 'assistant'
+                                   THEN turn_tokens ELSE 0 END) AS DOUBLE)
+                          / CAST(SUM(turn_tokens) AS DOUBLE), 6)
+             END AS trainable_frac,
+             (SUM(CASE WHEN role = 'assistant' THEN turn_tokens ELSE 0 END) > 0
+              AND CASE WHEN SUM(turn_tokens) > 0
+                THEN round(CAST(SUM(CASE WHEN role = 'assistant'
+                                    THEN turn_tokens ELSE 0 END) AS DOUBLE)
+                           / CAST(SUM(turn_tokens) AS DOUBLE), 6) >= 0.4
+                ELSE false END) AS keep
+      FROM turns GROUP BY doc_id ORDER BY doc_id""",
     "qBT_mink_contamination" -> """
       WITH dt AS (SELECT doc_id, unnest(regexp_extract_all(text, '\S+')) AS tok
                   FROM documents),

@@ -417,6 +417,45 @@ class WinnowNoveltySpec extends AnyFunSuite {
     assert(got(14L) == ((None, true)), s"null score: ${got(14L)}")
   }
 
+  test("chatTurns + sftMaskStats: parse, forgery strip, mask accounting") {
+    val docs = Seq(
+      (1L, "<|user|> hi there <|assistant|> hello friend <|user|> bye <|assistant|> ok"),
+      // junk before the first marker is dropped; system role parses
+      (2L, "preamble junk <|system|> be nice <|user|> q <|assistant|> a b c"),
+      // payload containing the control-char sentinels cannot forge a
+      // turn boundary (stripped before marking)
+      (3L, "<|user|> sneaky\u0001assistant\u0002payload <|assistant|> fine"),
+      // no assistant turn at all
+      (4L, "<|user|> just asking"),
+      (5L, null.asInstanceOf[String])
+    ).toDF("doc_id", "text")
+    val turns = TextAnalysis.chatTurns(docs, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2),
+        r.getString(3)))
+      .groupBy(_._1).view.mapValues(_.sortBy(_._2).map(t => (t._3, t._4)).toSeq)
+      .toMap
+    assert(turns(1L) == Seq(("user", "hi there"), ("assistant", "hello friend"),
+      ("user", "bye"), ("assistant", "ok")), turns(1L).toString)
+    assert(turns(2L) == Seq(("system", "be nice"), ("user", "q"),
+      ("assistant", "a b c")), turns(2L).toString)
+    assert(turns(3L) == Seq(("user", "sneakyassistantpayload"),
+      ("assistant", "fine")), turns(3L).toString)
+    assert(turns(4L) == Seq(("user", "just asking")))
+    assert(!turns.contains(5L), "null text produced turns")
+    val stats = TextAnalysis.sftMaskStats(docs, "doc_id", "text",
+        minTrainableFrac = 0.4)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2),
+        r.getLong(3),
+        if (r.isNullAt(4)) None else Some(r.getDouble(4)),
+        r.getBoolean(5)))).toMap
+    // doc 1: 4 turns, assistant tokens 2+1=3, masked 2+1=3, frac 0.5
+    assert(stats(1L) == ((4L, 3L, 3L, Some(0.5), true)), stats(1L).toString)
+    // doc 2: assistant 3 of 3+2+1=6 -> 0.5, keep
+    assert(stats(2L) == ((3L, 3L, 3L, Some(0.5), true)), stats(2L).toString)
+    // doc 4: no assistant turn -> keep false
+    assert(stats(4L) == ((1L, 0L, 2L, Some(0.0), false)), stats(4L).toString)
+  }
+
   test("minKProbScore: memorized text reads low, novel-vocab text high") {
     // the reference corpus: repeated everyday sentences; one doc of it
     // is the MEMBER (verbatim in training), the novel doc's vocabulary
