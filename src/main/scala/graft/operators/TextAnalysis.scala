@@ -774,35 +774,51 @@ object TextAnalysis {
     m
   }
 
-  def lmScore(docs: org.apache.spark.sql.DataFrame,
-              train: org.apache.spark.sql.DataFrame, idCol: String,
-              textCol: String, alpha: Double = 0.5,
-              minCount: Long = 1L, carry: Seq[String] = Nil,
-              maxVocab: Int = 10000000): org.apache.spark.sql.DataFrame = {
+  /** Shared per-token unigram-nll stream of [[lmScore]] and
+    * [[minKProbScore]]: train the add-α model ONCE (broadcast), emit
+    * (id [, carry...], nll) per token. This arithmetic must stay in
+    * exact FP lockstep with the DuckDB oracles of BOTH consumers —
+    * one definition so a smoothing/denominator change cannot leave
+    * one of them silently on the old formula.
+    *
+    * Unseen tokens share one OOV bucket: denominator adds α·(V+1).
+    * Long→Double is exact below 2^53 and α·(V+1) is one IEEE
+    * multiply, so any engine computing this formula lands on the
+    * same double. `carry`: columns functionally dependent on the id
+    * (e.g. lang) ride the exploded stream, so a caller needing them
+    * does not re-join the corpus after scoring. */
+  private def unigramNll(docs: org.apache.spark.sql.DataFrame,
+                         train: org.apache.spark.sql.DataFrame,
+                         idCol: String, textCol: String, alpha: Double,
+                         minCount: Long, maxVocab: Int, what: String,
+                         carry: Seq[String] = Nil)
+      : org.apache.spark.sql.DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
     val model = trainModel(
       train.select(explode(tokens(col(textCol))).as("g")),
-      minCount, maxVocab, "lmScore")
+      minCount, maxVocab, what)
     val n = model.map(_._2).sum
     val v = model.length.toLong
-    // unseen tokens share one OOV bucket: denominator adds α·(V+1).
-    // Long→Double is exact below 2^53 and α·(V+1) is one IEEE multiply,
-    // so any engine computing this formula lands on the same double.
     val denom = n + alpha * (v + 1)
     val counts = model.toSeq.toDF("tok", "cnt")
-    // `carry`: columns functionally dependent on the id (e.g. lang)
-    // ride the exploded stream and the group keys, so a caller needing
-    // them does not re-join the corpus after scoring
     val keyCols = col(idCol) +: carry.map(col)
     docs.select(keyCols :+ explode(tokens(col(textCol))).as("tok"): _*)
       .join(broadcast(counts), Seq("tok"), "left")
       .select(keyCols :+
         (-log((coalesce(col("cnt"), lit(0L)) + lit(alpha)) / lit(denom))).as("nll"): _*)
-      .groupBy(keyCols: _*)
+  }
+
+  def lmScore(docs: org.apache.spark.sql.DataFrame,
+              train: org.apache.spark.sql.DataFrame, idCol: String,
+              textCol: String, alpha: Double = 0.5,
+              minCount: Long = 1L, carry: Seq[String] = Nil,
+              maxVocab: Int = 10000000): org.apache.spark.sql.DataFrame =
+    unigramNll(docs, train, idCol, textCol, alpha, minCount, maxVocab,
+        "lmScore", carry)
+      .groupBy(col(idCol) +: carry.map(col): _*)
       .agg(round(avg(col("nll")), 6).as("avg_nll"),
         count(lit(1)).as("n_tokens"))
-  }
 
   /**
    * Chat-transcript turn parsing — the SFT/instruction-data twin of
@@ -845,34 +861,37 @@ object TextAnalysis {
    * before tokenization rather than discovered as wasted batch mass
    * later. Per doc: turn count, trainable (assistant) token count,
    * masked token count, trainable fraction (exact-integer IEEE
-   * division rounded 6), keep = has ≥1 assistant turn AND
-   * trainable_frac ≥ minTrainableFrac. One aggregate over the turn
-   * rows — the corpus shuffles once, by doc.
+   * division rounded 6), keep = has ≥1 TRAINABLE TOKEN (an assistant
+   * turn with empty content carries no loss and does not keep) AND
+   * trainable_frac ≥ minTrainableFrac. The trainable role is an
+   * explicit parameter and must be one of `roles` — a corpus using
+   * "gpt"/"human" markers must say so, or every transcript would
+   * silently read all-masked. One aggregate over the turn rows — the
+   * corpus shuffles once, by doc.
    */
   def sftMaskStats(docs: DataFrame, idCol: String, textCol: String,
                    minTrainableFrac: Double = 0.1,
-                   roles: Seq[String] = Seq("user", "assistant", "system"))
-      : DataFrame = {
+                   roles: Seq[String] = Seq("user", "assistant", "system"),
+                   trainableRole: String = "assistant"): DataFrame = {
+    require(roles.contains(trainableRole),
+      s"trainableRole '$trainableRole' is not among the parsed roles " +
+        s"$roles — every transcript would silently read all-masked")
     val turns = chatTurns(docs, idCol, textCol, roles)
     val tok = tokenCount(col("turn_text")).cast("long")
+    val total = col("n_train_tokens") + col("n_mask_tokens")
+    val frac = when(total > 0,
+      round(col("n_train_tokens").cast("double") / total.cast("double"), 6))
     turns.groupBy(col("doc_id"))
       .agg(count(lit(1)).cast("long").as("n_turns"),
-        sum(when(col("role") === "assistant", tok).otherwise(lit(0L)))
+        sum(when(col("role") === trainableRole, tok).otherwise(lit(0L)))
           .as("n_train_tokens"),
-        sum(when(col("role") =!= "assistant", tok).otherwise(lit(0L)))
+        sum(when(col("role") =!= trainableRole, tok).otherwise(lit(0L)))
           .as("n_mask_tokens"))
       .select(col("doc_id"), col("n_turns"), col("n_train_tokens"),
         col("n_mask_tokens"),
-        when(col("n_train_tokens") + col("n_mask_tokens") > 0,
-          round(col("n_train_tokens").cast("double") /
-            (col("n_train_tokens") + col("n_mask_tokens")).cast("double"), 6))
-          .as("trainable_frac"),
+        frac.as("trainable_frac"),
         (col("n_train_tokens") > 0 &&
-          when(col("n_train_tokens") + col("n_mask_tokens") > 0,
-            round(col("n_train_tokens").cast("double") /
-              (col("n_train_tokens") + col("n_mask_tokens")).cast("double"), 6)
-              >= lit(minTrainableFrac)).otherwise(lit(false)))
-          .as("keep"))
+          coalesce(frac >= lit(minTrainableFrac), lit(false))).as("keep"))
   }
 
   /**
@@ -908,30 +927,16 @@ object TextAnalysis {
                     minCount: Long = 1L,
                     maxVocab: Int = 10000000): org.apache.spark.sql.DataFrame = {
     require(kFrac > 0.0 && kFrac <= 1.0, s"kFrac must be in (0, 1], got $kFrac")
-    val spark = docs.sparkSession
-    import spark.implicits._
-    val model = trainModel(
-      train.select(explode(tokens(col(textCol))).as("g")),
-      minCount, maxVocab, "minKProbScore")
-    val n = model.map(_._2).sum
-    val v = model.length.toLong
-    val denom = n + alpha * (v + 1)
-    val counts = model.toSeq.toDF("tok", "cnt")
-    docs.select(col(idCol).as("doc_id"),
-        explode(tokens(col(textCol))).as("tok"))
-      .join(broadcast(counts), Seq("tok"), "left")
-      .select(col("doc_id"),
-        (-log((coalesce(col("cnt"), lit(0L)) + lit(alpha)) / lit(denom)))
-          .as("nll"))
+    val kLen = ceil(col("n_tokens") * lit(kFrac)).cast("int")
+    unigramNll(docs, train, idCol, textCol, alpha, minCount, maxVocab,
+        "minKProbScore")
+      .select(col(idCol).as("doc_id"), col("nll"))
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).cast("long").as("n_tokens"),
         reverse(sort_array(collect_list(col("nll")))).as("__nlls"))
       .select(col("doc_id"), col("n_tokens"),
-        round(aggregate(
-            slice(col("__nlls"), lit(1),
-              ceil(col("n_tokens") * lit(kFrac)).cast("int")),
-            lit(0.0), (acc, x) => acc + x) /
-          ceil(col("n_tokens") * lit(kFrac)).cast("double"), 6)
+        round(aggregate(slice(col("__nlls"), lit(1), kLen),
+            lit(0.0), (acc, x) => acc + x) / kLen.cast("double"), 6)
           .as("mink_score"))
       .select(col("doc_id"), col("n_tokens"), col("mink_score"),
         (col("mink_score") < lit(threshold)).as("flagged"))

@@ -1513,7 +1513,7 @@ object Pipeline {
     // (assistant) vs masked token mass per doc and the keep decision
     "qBV_sft_mask" -> ((s, dir) => {
       TextAnalysis.sftMaskStats(chatFixture(T(s, dir)("documents")),
-          "doc_id", "text", minTrainableFrac = 0.4)
+          "doc_id", "text", minTrainableFrac = SFT_MIN_TRAINABLE)
         .orderBy(col("doc_id"))
     }),
 
@@ -1525,7 +1525,7 @@ object Pipeline {
     "qBT_mink_contamination" -> ((s, dir) => {
       val d = T(s, dir)("documents")
       TextAnalysis.minKProbScore(d, d.filter(col("doc_id") % 4 === 0),
-          "doc_id", "text", kFrac = 0.2, threshold = 3.55)
+          "doc_id", "text", kFrac = MINK_KFRAC, threshold = MINK_THRESHOLD)
         .orderBy(col("doc_id"))
     }),
 
@@ -1629,6 +1629,14 @@ object Pipeline {
   )
 
   private val STOP_IN = "('the','a','of','and','to','in','is','it')"
+
+  /** qBT/qBV tuning constants — ONE definition feeding both the query
+    * lambdas and the oracle SQL (the qBS shared-definition pattern):
+    * retuning a threshold must not be able to drift the two sides
+    * apart into an opaque hash mismatch. */
+  private val MINK_KFRAC = 0.2
+  private val MINK_THRESHOLD = 3.55
+  private val SFT_MIN_TRAINABLE = 0.4
 
   /** qBU/qBV's synthetic chat transcripts: role markers wrapped
     * around doc-text slices, with an extra turn pair on even ids so
@@ -3197,9 +3205,11 @@ object Pipeline {
               AND CASE WHEN SUM(turn_tokens) > 0
                 THEN round(CAST(SUM(CASE WHEN role = 'assistant'
                                     THEN turn_tokens ELSE 0 END) AS DOUBLE)
-                           / CAST(SUM(turn_tokens) AS DOUBLE), 6) >= 0.4
+                           / CAST(SUM(turn_tokens) AS DOUBLE), 6)
+                     >= __SFT_MIN__
                 ELSE false END) AS keep
-      FROM turns GROUP BY doc_id ORDER BY doc_id""",
+      FROM turns GROUP BY doc_id ORDER BY doc_id"""
+      .replace("__SFT_MIN__", SFT_MIN_TRAINABLE.toString),
     "qBT_mink_contamination" -> """
       WITH dt AS (SELECT doc_id, unnest(regexp_extract_all(text, '\S+')) AS tok
                   FROM documents),
@@ -3214,13 +3224,15 @@ object Pipeline {
                    list_sort(list(nll), 'DESC') AS nlls
             FROM j GROUP BY doc_id),
       k AS (SELECT doc_id, n_tokens,
-              CAST(CEIL(n_tokens * 0.2) AS INT) AS kk, nlls FROM g)
+              CAST(CEIL(n_tokens * __MINK_KFRAC__) AS INT) AS kk, nlls FROM g)
       SELECT doc_id, n_tokens,
              round(list_reduce(list_slice(nlls, 1, kk), (a, b) -> a + b)
                    / CAST(kk AS DOUBLE), 6) AS mink_score,
              round(list_reduce(list_slice(nlls, 1, kk), (a, b) -> a + b)
-                   / CAST(kk AS DOUBLE), 6) < 3.55 AS flagged
-      FROM k ORDER BY doc_id""",
+                   / CAST(kk AS DOUBLE), 6) < __MINK_T__ AS flagged
+      FROM k ORDER BY doc_id"""
+      .replace("__MINK_KFRAC__", MINK_KFRAC.toString)
+      .replace("__MINK_T__", MINK_THRESHOLD.toString),
     "qBQ_robust_centroid" -> """
       WITH f AS (SELECT vec_id, label,
                         list_slice(CAST(embedding AS DOUBLE[]), 1, 64) AS v
