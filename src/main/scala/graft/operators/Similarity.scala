@@ -40,6 +40,20 @@ object Similarity {
   private def finiteNorm(nv: Column): Column =
     nv > 0 && nv <= lit(Double.MaxValue)
 
+  /** 1e-9 fixed-point quantization — the order-invariant float
+    * contract for centroid sums ([[robustCentroids]],
+    * [[centroidDriftMatrix]]): `floor(x·1e⁹ + 0.5)` is the same
+    * explicit rule in Spark and the SQL oracle (unlike `round`, whose
+    * tie semantics engines disagree on), and the resulting longs add
+    * EXACTLY in any partition/merge order. |x| ≥ 9e9 would overflow
+    * the long silently (Spark wraps outside ANSI mode) — refused
+    * loudly; embedding coordinates are orders of magnitude smaller. */
+  private[graft] def fixedPoint(x: Column, who: String): Column =
+    when(abs(x) < lit(9.0e9), floor(x * lit(1e9) + lit(0.5)))
+      .otherwise(raise_error(concat(
+        lit(s"$who: |coordinate| >= 9e9 overflows the 1e-9 " +
+          "fixed-point long contract: "), x.cast("string"))))
+
   /**
    * Exact top-k nearest neighbours of the vector identified by
    * `queryId`, by cosine. The 1-row query side is broadcast — no
@@ -123,15 +137,31 @@ object Similarity {
    * estimator. Vectors land in buckets by the engine-independent
    * 40-bit md5 of their id ([[Sampling.hash40]] — deterministic,
    * salt-redrawable, SQL-replayable), each (group, bucket) reduces to
-   * its [[graft.functions.VectorMean]], and the centroid coordinate
+   * an ORDER-INVARIANT fixed-point mean, and the centroid coordinate
    * is the LOWER-MIDDLE element of the sorted bucket means (an
    * explicit element, never an interpolation — the cross-engine
    * contract). Output is LONG form — (group, dim, med) scalar rows,
    * groups × dim of metadata — so the gate's comparison never sees a
    * raw array column.
    *
-   * Scale shape: one partial/final VectorMean shuffle of
-   * groups × shards × dim doubles (the corpus never moves), then a
+   * Float contract (the round-13 qBQ lesson): a bucket mean as a raw
+   * double sum is ORDER-DEPENDENT — partition/merge order perturbs
+   * ulps, and `round(…, 4)` flips whenever a value straddles a
+   * 5·10⁻⁵ boundary, so two runs of the same engine (or the engine
+   * vs the SQL oracle) can legally disagree. The fix is the
+   * [[TextAnalysis.sourceZScores]] pattern: each coordinate is
+   * quantized ONCE to a 1e-9 fixed-point long (`floor(x·1e⁹ + 0.5)` —
+   * the same explicit rule in both engines; |x| must stay under 9e9
+   * or the long would overflow, guarded loudly), the bucket reduces
+   * by EXACT integer addition ([[graft.functions.LongVectorSum]] —
+   * commutative, any partition order), and the one float division
+   * `sum/n/1e⁹` happens once per bucket on bit-identical operands.
+   * Every downstream value (sort, median pick, round) is then a pure
+   * function of exact integers — deterministic at any thread count
+   * and bit-equal to the oracle's replay.
+   *
+   * Scale shape: one partial/final LongVectorSum shuffle of
+   * groups × shards × dim longs (the corpus never moves), then a
    * metadata-sized explode + collect_list over `shards` elements per
    * (group, dim). Null groups/vectors and vectors shorter than `dim`
    * are excluded (the [[Pca.project]] skip contract). Odd `shards`
@@ -144,16 +174,21 @@ object Similarity {
     require(dim > 0, s"dim must be positive, got $dim")
     val spark = emb.sparkSession
     import spark.implicits._
-    val vm = udaf(new graft.functions.VectorMean(dim),
-      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[Double]]())
+    val lvs = udaf(new graft.functions.LongVectorSum(dim),
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[Long]]())
     val bucketMeans = emb
       .filter(col(groupCol).isNotNull && col(vecCol).isNotNull &&
         size(col(vecCol)) >= dim)
       .select(col(groupCol).as("__g"),
         pmod(Sampling.hash40(Seq(col(idCol)), salt), lit(shards.toLong))
           .as("__b"),
-        col(vecCol).cast("array<double>").as("__v"))
-      .groupBy(col("__g"), col("__b")).agg(vm(col("__v")).as("__m"))
+        transform(slice(col(vecCol).cast("array<double>"), 1, dim),
+          x => fixedPoint(x, "robustCentroids")).as("__v"))
+      .groupBy(col("__g"), col("__b"))
+      .agg(lvs(col("__v")).as("__s"), count(lit(1)).as("__n"))
+      .select(col("__g"),
+        transform(col("__s"),
+          s => s.cast("double") / col("__n") / lit(1e9)).as("__m"))
     bucketMeans
       .select(col("__g"), posexplode(col("__m")))
       .groupBy(col("__g"), col("pos"))
@@ -600,11 +635,18 @@ object Similarity {
    * in embedding space relative to Y (model drift, upstream filter
    * change, template contamination) without scoring a single pair?
    *
-   * Scale shape: ONE partial/final [[graft.functions.VectorMean]]
-   * aggregate (each map task ships dim doubles per group — corpus
+   * Scale shape: ONE partial/final [[graft.functions.LongVectorSum]]
+   * aggregate (each map task ships dim longs per group — corpus
    * never shuffles), then a localCheckpointed G-row self-join for the
    * G² matrix. Loud cap at 4096 groups — the matrix is meant for
    * sources/labels/shards, not per-document keys.
+   *
+   * Float contract: centroids are 1e-9 [[fixedPoint]] integer sums
+   * divided once (the qBQ round-13 lesson — an order-dependent double
+   * sum under round-4 is a nondeterministic oracle), and the distance
+   * is the SEQUENTIAL fold `sqrt(((0 + d₁²) + d₂²) + …)` both engines
+   * replay verbatim — every emitted value is a pure function of exact
+   * integers, stable at any thread count.
    *
    * Output: (groupCol_a, groupCol_b, n_a, n_b, dist), a < b, dist
    * rounded to 4. Null groups and null vectors are excluded; vectors
@@ -621,13 +663,18 @@ object Similarity {
       return clean.select(col(groupCol).as(s"${groupCol}_a"),
         col(groupCol).as(s"${groupCol}_b"), lit(0L).as("n_a"),
         lit(0L).as("n_b"), lit(0.0).as("dist")).limit(0)
-    val vm = udaf(new graft.functions.VectorMean(first.head.getInt(0)),
-      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[Double]]())
+    val lvs = udaf(new graft.functions.LongVectorSum(first.head.getInt(0)),
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[Long]]())
     // checkpoint before the self-join: the G-row agg would otherwise
     // re-run the corpus scan on BOTH join sides (and for the cap count)
     val cents = clean.groupBy(col(groupCol).as("g"))
-      .agg(vm(col(vecCol).cast("array<double>")).as("cent"),
+      .agg(lvs(transform(col(vecCol).cast("array<double>"),
+          x => fixedPoint(x, "centroidDriftMatrix"))).as("__s"),
         count(lit(1)).as("n"))
+      .select(col("g"),
+        transform(col("__s"),
+          s => s.cast("double") / col("n") / lit(1e9)).as("cent"),
+        col("n"))
       .localCheckpoint(true)
     val g = cents.count()
     require(g <= 4096, s"centroidDriftMatrix: $g groups would build a " +

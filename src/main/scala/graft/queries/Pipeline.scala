@@ -3047,13 +3047,19 @@ object Pipeline {
                         generate_subscripts(embedding, 1) AS ord
                  FROM embeddings
                  WHERE label IS NOT NULL AND embedding IS NOT NULL),
-      m AS (SELECT label, ord, avg(x) AS mx FROM d GROUP BY 1, 2),
+      m AS (SELECT label, ord,
+                   CAST(SUM(CAST(floor(x * 1e9 + 0.5) AS BIGINT)) AS DOUBLE)
+                     / count(*) / 1e9 AS mx
+            FROM d GROUP BY 1, 2),
       c AS (SELECT label, list(mx ORDER BY ord) AS cent FROM m GROUP BY 1),
       n AS (SELECT label, count(*) AS cnt FROM embeddings
             WHERE label IS NOT NULL AND embedding IS NOT NULL GROUP BY 1)
       SELECT a.label AS label_a, b.label AS label_b,
              na.cnt AS n_a, nb.cnt AS n_b,
-             round(list_distance(a.cent, b.cent), 4) AS dist
+             round(sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+               list_transform(range(1, len(a.cent) + 1),
+                 i -> (a.cent[i] - b.cent[i]) * (a.cent[i] - b.cent[i]))),
+               (acc, e) -> acc + e)), 4) AS dist
       FROM c a JOIN c b ON a.label < b.label
       JOIN n na ON na.label = a.label
       JOIN n nb ON nb.label = b.label
@@ -3247,7 +3253,10 @@ object Pipeline {
             FROM f),
       d AS (SELECT label, b, unnest(v) AS x,
                    generate_subscripts(v, 1) AS dim FROM h),
-      m AS (SELECT label, b, dim, avg(x) AS mx FROM d GROUP BY 1, 2, 3),
+      m AS (SELECT label, b, dim,
+                   CAST(SUM(CAST(floor(x * 1e9 + 0.5) AS BIGINT)) AS DOUBLE)
+                     / count(*) / 1e9 AS mx
+            FROM d GROUP BY 1, 2, 3),
       s AS (SELECT label, dim, list_sort(list(mx)) AS xs FROM m GROUP BY 1, 2)
       SELECT label, CAST(dim AS INT) AS dim,
              round(xs[CAST((len(xs) + 1) // 2 AS INT)], 4) AS med

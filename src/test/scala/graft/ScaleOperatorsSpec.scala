@@ -829,15 +829,58 @@ class ScaleOperatorsSpec extends AnyFunSuite {
         BigDecimal(m).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble)
         <= 1e-4, s"shards=1 dim ${i + 1}")
     }
-    // deterministic across partitionings
-    val a = Similarity.robustCentroids(poisoned.toDF("vec_id", "label", "embedding"),
-      "vec_id", "label", "embedding", dim = 4, shards = 5)
-      .collect().map(r => (r.getString(0), r.getInt(1), r.getDouble(2))).toSet
-    val b = Similarity.robustCentroids(
-      poisoned.toDF("vec_id", "label", "embedding").repartition(7),
-      "vec_id", "label", "embedding", dim = 4, shards = 5)
-      .collect().map(r => (r.getString(0), r.getInt(1), r.getDouble(2))).toSet
-    assert(a == b, "partitioning changed the robust centroid")
+    // ORDER-INVARIANCE on real testdata at FULL precision (scale=12):
+    // the round-13 gate flip was a merge-order ulp straddling a
+    // round-4 boundary, which a toy repartition check on 102 rows
+    // cannot see. Under the fixed-point contract the unrounded bucket
+    // means are bit-equal at any layout; under an order-dependent
+    // double sum, two partitionings of 64-dim real doubles disagree
+    // in ulps with near-certainty — at scale=12 this pin DETECTS
+    // order sensitivity instead of merely hoping round-4 hides it.
+    val emb = Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
+      .filter(col("label").isNotNull && col("embedding").isNotNull &&
+        size(col("embedding")) >= 64)
+    def layout(df: org.apache.spark.sql.DataFrame) =
+      Similarity.robustCentroids(df, "vec_id", "label", "embedding",
+          dim = 64, shards = 5, scale = 12)
+        .collect().map(r => (r.get(0).toString, r.getInt(1), r.getDouble(2)))
+        .sortBy(t => (t._1, t._2)).toSeq
+    val lay1 = layout(emb.repartition(3))
+    val lay2 = layout(emb.repartition(29))
+    assert(lay1 == lay2,
+      "partition layout changed a full-precision robust centroid")
+    // ...and the values ARE the exact fixed-point arithmetic: replay
+    // the contract in plain Scala (exact long sums, one division per
+    // bucket, explicit lower-middle median) and compare bit-for-bit
+    val rows = emb.select(col("vec_id").cast("long"), col("label"),
+        col("embedding").cast("array<double>"))
+      .collect().map(r => (r.getLong(0), r.get(1).toString,
+        r.getSeq[Double](2).take(64)))
+    def bucket(id: Long): Long = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"$id s0".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.take(10)
+      java.lang.Long.parseLong(hex, 16) % 5
+    }
+    val expected = rows.groupBy(r => (r._2, bucket(r._1))).toSeq
+      .map { case ((g, _), vs) =>
+        g -> Array.tabulate(64) { i =>
+          vs.map(v => math.floor(v._3(i) * 1e9 + 0.5).toLong).sum
+            .toDouble / vs.length / 1e9
+        }
+      }
+      .groupBy(_._1)
+      .flatMap { case (g, buckets) =>
+        (0 until 64).map { i =>
+          val xs = buckets.map(_._2(i)).sorted
+          val m = xs((xs.size + 1) / 2 - 1)
+          (g, i + 1,
+            BigDecimal(m).setScale(12, BigDecimal.RoundingMode.HALF_UP)
+              .toDouble)
+        }
+      }.toSeq.sortBy(t => (t._1, t._2))
+    assert(lay1 == expected,
+      "robust centroid diverged from the exact fixed-point reference")
   }
 
   test("plan pins: temperatureMix broadcasts, matryoshka takes-ordered") {
