@@ -98,7 +98,17 @@ class MisraGries(k: Int)
 }
 
 object MisraGries {
-  /** `minStored` lower-bounds min(counts.values) — see class doc. */
+  /** `minStored` lower-bounds min(counts.values) — see class doc.
+    *
+    * COMPATIBILITY: this case class doubles as the persisted
+    * streaming state of StreamingHeavyHitters, so ANY field change
+    * (adding `minStored` in round 13 was one) is a checkpoint-schema
+    * break — existing streams refuse to resume and need a fresh
+    * checkpoint directory. Field changes here are therefore versioned
+    * operational events, not refactors: either bump the checkpoint
+    * dir convention (state-v2, the parquet-generation pattern of
+    * ArtifactStore) or introduce a separate state case class for the
+    * stream before touching this buffer again. */
   case class Buf(base: Long, counts: Map[String, Long], minStored: Long)
   case class Hit(gram: String, est: Long)
 }

@@ -256,12 +256,19 @@ object Sampling {
         // among the uncapped until the budget is spent or every
         // source caps. Driver-side over the |S|-row per-source table
         // (metadata by the operator's contract; loud cap below).
-        val rows = tot.collect().map(r => (r.getString(0), r.getDouble(1)))
+        // Keys ride as their STRING form and the rates join back onto
+        // `tot` by the same cast, so a non-string srcCol (int shard
+        // ids, dates) is accepted exactly like the single-pass branch
+        // and the threshold table keeps the source's original type.
+        val rows = tot.collect().map(r =>
+          (if (r.isNullAt(0)) null else r.get(0).toString, r.getDouble(1)))
         require(rows.length <= (1 << 20),
           s"temperatureMix(waterFill): ${rows.length} sources exceed the " +
             "driver-metadata bound")
         import df.sparkSession.implicits._
-        waterFillRates(rows, tau, budget).toSeq.toDF(srcCol, "__rate")
+        val rates = waterFillRates(rows, tau, budget).toSeq
+          .toDF("__k", "__rate")
+        tot.join(broadcast(rates), col(srcCol).cast("string") === col("__k"))
           .select(col(srcCol),
             (col("__rate") * lit(1099511627776.0 /* 2^40 */)).as("__thr"))
       } else {

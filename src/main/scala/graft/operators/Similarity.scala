@@ -106,6 +106,16 @@ object Similarity {
     require(prefixDims > 0, s"prefixDims must be positive, got $prefixDims")
     require(k > 0 && candidates >= k,
       s"need candidates >= k > 0, got k=$k candidates=$candidates")
+    // prefixDims beyond the stored width would silently clamp via
+    // slice — the "coarse" stage would BE the exact scan and the
+    // caller would pay two full-dimension passes believing one is
+    // cheap; refuse loudly (one-row metadata probe)
+    emb.select(size(col(vecCol))).limit(1).collect().headOption.foreach { r =>
+      require(prefixDims <= r.getInt(0),
+        s"prefixDims=$prefixDims exceeds the corpus vector width " +
+          s"${r.getInt(0)} — the coarse stage would silently be the " +
+          "exact scan")
+    }
     val q = emb.filter(col(idCol) === queryId)
       .select(col(vecCol).as("__qv"),
         slice(col(vecCol), 1, prefixDims).as("__qp"))

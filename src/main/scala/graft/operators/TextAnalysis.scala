@@ -834,15 +834,22 @@ object TextAnalysis {
    * first marker (normally empty in a well-formed transcript) is
    * dropped; turn text is trimmed. Per-row explode, zero shuffle.
    */
+  /** The shared marker rewrite of [[chatTurns]] and [[sftMaskStats]]:
+    * sentinel-strip then `<|role|>` -> `\u0001role\u0002` (forgery-
+    * proof -- a transcript cannot fabricate a turn boundary). */
+  private[graft] def chatMarked(textCol: Column, roles: Seq[String]): Column = {
+    require(roles.nonEmpty && roles.forall(_.matches("[A-Za-z0-9_]+")),
+      s"roles must be bare identifiers, got $roles")
+    regexp_replace(
+      regexp_replace(coalesce(textCol, lit("")),
+        "[\u0001\u0002]", ""),
+      s"<\\|(${roles.mkString("|")})\\|>", "\u0001$1\u0002")
+  }
+
   def chatTurns(docs: DataFrame, idCol: String, textCol: String,
                 roles: Seq[String] = Seq("user", "assistant", "system"))
       : DataFrame = {
-    require(roles.nonEmpty && roles.forall(_.matches("[A-Za-z0-9_]+")),
-      s"roles must be bare identifiers, got $roles")
-    val marked = regexp_replace(
-      regexp_replace(coalesce(col(textCol), lit("")),
-        "[\u0001\u0002]", ""),
-      s"<\\|(${roles.mkString("|")})\\|>", "\u0001$1\u0002")
+    val marked = chatMarked(col(textCol), roles)
     docs.select(col(idCol).as("doc_id"),
         posexplode(split(marked, "\u0001", -1)))
       .filter(col("pos") > 0)
@@ -866,8 +873,16 @@ object TextAnalysis {
    * trainable_frac ≥ minTrainableFrac. The trainable role is an
    * explicit parameter and must be one of `roles` — a corpus using
    * "gpt"/"human" markers must say so, or every transcript would
-   * silently read all-masked. One aggregate over the turn rows — the
-   * corpus shuffles once, by doc.
+   * silently read all-masked.
+   *
+   * EVERY input document emits exactly one row: a transcript with no
+   * parseable turn (no role marker at all) surfaces as an explicit
+   * (n_turns=0, trainable_frac=null, keep=false) row rather than
+   * vanishing — a caller joining on keep must see the drop decision
+   * (the round-13 advice finding). Since all of a transcript's turns
+   * live in its ONE input row, the stats are a per-row kernel over
+   * the split pieces ([[graft.operators.Dedup]]'s fuse-the-explode
+   * lever) — zero shuffle, not even the per-doc aggregate.
    */
   def sftMaskStats(docs: DataFrame, idCol: String, textCol: String,
                    minTrainableFrac: Double = 0.1,
@@ -876,17 +891,27 @@ object TextAnalysis {
     require(roles.contains(trainableRole),
       s"trainableRole '$trainableRole' is not among the parsed roles " +
         s"$roles — every transcript would silently read all-masked")
-    val turns = chatTurns(docs, idCol, textCol, roles)
-    val tok = tokenCount(col("turn_text")).cast("long")
+    val pieces = filter(
+      split(chatMarked(col(textCol), roles), "\u0001", -1),
+      (_, i) => i > 0)
+    val role = (p: Column) => element_at(split(p, "\u0002", 2), 1)
+    // a piece always contains the role separator (only the marker
+    // rewrite can mint one), but a null-safe fold costs nothing: one
+    // null leg would otherwise poison the whole sum
+    val toks = (p: Column) => coalesce(
+      tokenCount(element_at(split(p, "\u0002", 2), 2)).cast("long"), lit(0L))
+    def tokSum(pred: Column => Column): Column =
+      aggregate(col("__turns"), lit(0L),
+        (acc, p) => acc + when(pred(p), toks(p)).otherwise(lit(0L)))
     val total = col("n_train_tokens") + col("n_mask_tokens")
     val frac = when(total > 0,
       round(col("n_train_tokens").cast("double") / total.cast("double"), 6))
-    turns.groupBy(col("doc_id"))
-      .agg(count(lit(1)).cast("long").as("n_turns"),
-        sum(when(col("role") === trainableRole, tok).otherwise(lit(0L)))
-          .as("n_train_tokens"),
-        sum(when(col("role") =!= trainableRole, tok).otherwise(lit(0L)))
-          .as("n_mask_tokens"))
+    docs
+      .select(col(idCol).as("doc_id"), pieces.as("__turns"))
+      .select(col("doc_id"),
+        size(col("__turns")).cast("long").as("n_turns"),
+        tokSum(p => role(p) === trainableRole).as("n_train_tokens"),
+        tokSum(p => role(p) =!= trainableRole).as("n_mask_tokens"))
       .select(col("doc_id"), col("n_turns"), col("n_train_tokens"),
         col("n_mask_tokens"),
         frac.as("trainable_frac"),

@@ -1643,24 +1643,32 @@ object Pipeline {
     * turn counts vary — the same construction the oracles replay. */
   private def chatFixture(docs: org.apache.spark.sql.DataFrame)
       : org.apache.spark.sql.DataFrame =
-    docs.withColumn("text", concat(
-      lit("<|user|> "), substring(col("text"), 1, 60),
-      lit(" <|assistant|> "), substring(col("text"), 61, 80),
-      when(col("doc_id") % 2 === 0,
-        concat(lit(" <|user|> again "), substring(col("text"), 141, 30),
-          lit(" <|assistant|> done"))).otherwise(lit(""))))
+    // doc_id % 7 == 3 stays RAW prose — a transcript with no role
+    // marker at all, so qBV's "no doc vanishes" contract (zero turns
+    // ⇒ explicit keep=false row) is exercised at the gate, not just
+    // in the spec
+    docs.withColumn("text",
+      when(col("doc_id") % 7 === 3, substring(col("text"), 1, 50))
+        .otherwise(concat(
+          lit("<|user|> "), substring(col("text"), 1, 60),
+          lit(" <|assistant|> "), substring(col("text"), 61, 80),
+          when(col("doc_id") % 2 === 0,
+            concat(lit(" <|user|> again "), substring(col("text"), 141, 30),
+              lit(" <|assistant|> done"))).otherwise(lit("")))))
 
   /** The shared SQL prelude of the qBU/qBV oracles: the chat fixture
     * plus the sentinel-based turn parse (chr(1)/chr(2) mirror the
     * operator's /). */
   private val CHAT_PIECES = """
     WITH t AS (SELECT doc_id,
-        '<|user|> ' || substr(text, 1, 60) ||
-        ' <|assistant|> ' || substr(text, 61, 80) ||
-        CASE WHEN doc_id % 2 = 0
-          THEN ' <|user|> again ' || substr(text, 141, 30) ||
-               ' <|assistant|> done'
-          ELSE '' END AS text
+        CASE WHEN doc_id % 7 = 3 THEN substr(text, 1, 50)
+        ELSE '<|user|> ' || substr(text, 1, 60) ||
+          ' <|assistant|> ' || substr(text, 61, 80) ||
+          CASE WHEN doc_id % 2 = 0
+            THEN ' <|user|> again ' || substr(text, 141, 30) ||
+                 ' <|assistant|> done'
+            ELSE '' END
+        END AS text
       FROM documents),
     m AS (SELECT doc_id,
         regexp_replace(regexp_replace(text, '[\x01\x02]', '', 'g'),
@@ -3196,25 +3204,27 @@ object Pipeline {
       SELECT doc_id, turn_idx, role, turn_tokens
       FROM turns ORDER BY doc_id, turn_idx""",
     "qBV_sft_mask" -> s"""
-      $CHAT_PIECES
-      SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_turns,
-             CAST(SUM(CASE WHEN role = 'assistant' THEN turn_tokens ELSE 0 END)
-               AS BIGINT) AS n_train_tokens,
-             CAST(SUM(CASE WHEN role != 'assistant' THEN turn_tokens ELSE 0 END)
-               AS BIGINT) AS n_mask_tokens,
-             CASE WHEN SUM(turn_tokens) > 0
-               THEN round(CAST(SUM(CASE WHEN role = 'assistant'
-                                   THEN turn_tokens ELSE 0 END) AS DOUBLE)
-                          / CAST(SUM(turn_tokens) AS DOUBLE), 6)
+      $CHAT_PIECES,
+      agg AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_turns,
+                CAST(SUM(CASE WHEN role = 'assistant'
+                         THEN turn_tokens ELSE 0 END) AS BIGINT) AS ntr,
+                CAST(SUM(CASE WHEN role != 'assistant'
+                         THEN turn_tokens ELSE 0 END) AS BIGINT) AS nms
+              FROM turns GROUP BY doc_id)
+      SELECT doc_id, COALESCE(a.n_turns, 0) AS n_turns,
+             COALESCE(a.ntr, 0) AS n_train_tokens,
+             COALESCE(a.nms, 0) AS n_mask_tokens,
+             CASE WHEN COALESCE(a.ntr, 0) + COALESCE(a.nms, 0) > 0
+               THEN round(CAST(a.ntr AS DOUBLE)
+                          / CAST(a.ntr + a.nms AS DOUBLE), 6)
              END AS trainable_frac,
-             (SUM(CASE WHEN role = 'assistant' THEN turn_tokens ELSE 0 END) > 0
-              AND CASE WHEN SUM(turn_tokens) > 0
-                THEN round(CAST(SUM(CASE WHEN role = 'assistant'
-                                    THEN turn_tokens ELSE 0 END) AS DOUBLE)
-                           / CAST(SUM(turn_tokens) AS DOUBLE), 6)
+             (COALESCE(a.ntr, 0) > 0
+              AND CASE WHEN COALESCE(a.ntr, 0) + COALESCE(a.nms, 0) > 0
+                THEN round(CAST(a.ntr AS DOUBLE)
+                           / CAST(a.ntr + a.nms AS DOUBLE), 6)
                      >= __SFT_MIN__
                 ELSE false END) AS keep
-      FROM turns GROUP BY doc_id ORDER BY doc_id"""
+      FROM documents d LEFT JOIN agg a USING (doc_id) ORDER BY doc_id"""
       .replace("__SFT_MIN__", SFT_MIN_TRAINABLE.toString),
     "qBT_mink_contamination" -> """
       WITH dt AS (SELECT doc_id, unnest(regexp_extract_all(text, '\S+')) AS tok

@@ -229,5 +229,18 @@ class SamplingSpec extends AnyFunSuite {
     // budget >= total keeps everything in both variants
     assert(Sampling.temperatureMix(d, "doc_id", "source", "n_tokens",
       1.0, 51000.0, waterFill = true).count() === 510L)
+    // a NON-STRING source column takes the water-fill branch too —
+    // the rates join back by string form while the threshold table
+    // keeps the source's original type (round-13 advice: getString
+    // threw only in this branch)
+    val ints = d.withColumn("source",
+      when(col("source") === "web", 1).otherwise(2))
+    val intFilled = Sampling.temperatureMix(ints, "doc_id", "source",
+        "n_tokens", tau = 0.0, budget = 10000.0, waterFill = true)
+      .groupBy("source").agg(sum("n_tokens").as("m"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(intFilled(2) === 1000L &&
+      intFilled(1) === filled("web"),
+      s"int-typed source diverged from the string run: $intFilled")
   }
 }

@@ -454,6 +454,11 @@ class WinnowNoveltySpec extends AnyFunSuite {
     assert(stats(2L) == ((3L, 3L, 3L, Some(0.5), true)), stats(2L).toString)
     // doc 4: no assistant turn -> keep false
     assert(stats(4L) == ((1L, 0L, 2L, Some(0.0), false)), stats(4L).toString)
+    // doc 5 (null text, ZERO parseable turns) must SURFACE as an
+    // explicit keep=false row, not vanish from the stats — a caller
+    // joining on keep sees the drop decision (round-13 advice)
+    assert(stats(5L) == ((0L, 0L, 0L, None, false)), stats(5L).toString)
+    assert(stats.size == 5, s"every input doc emits exactly one row: $stats")
   }
 
   test("minKProbScore: memorized text reads low, novel-vocab text high") {
