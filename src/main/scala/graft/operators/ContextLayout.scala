@@ -1,0 +1,210 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/**
+ * In-context pretraining layout (Shi et al. 2023, "In-Context
+ * Pretraining: Language Modeling Beyond Document Boundaries"):
+ * order the corpus so RELATED documents land in the same training
+ * sequence, instead of the iid md5 shuffle of
+ * [[Packing.packSequences]]. The reference pipeline (gigapi-querier
+ * delegates ordering to its engine's ORDER BY — `querier/query.go`
+ * has no layout operator; this is a pipeline-family addition) is the
+ * standard two-stage recipe: a kNN document graph, then a greedy
+ * maximum-similarity walk through each connected component, then
+ * sequence packing along the walk.
+ *
+ * The walk contract (every rule engine-independent and total):
+ *   - components come from [[ConnectedComponents.run]] (min-label);
+ *     nodes absent from the edge list are their own singleton
+ *     component,
+ *   - the walk starts at the component's (max degree, min hash40,
+ *     min id) node — degree is an exact integer, never a float
+ *     weight sum,
+ *   - each step moves to the unvisited neighbor with the largest
+ *     edge weight (ties: min [[Sampling.hash40]], then min id);
+ *     a stuck walk (all neighbors visited) jumps to the unvisited
+ *     component member with the smallest (hash40, id),
+ *   - components are laid out by their minimum member hash40 (id
+ *     tie-break) — deterministic corpus-level mixing, so the layout
+ *     does not inherit crawl-order id bias between clusters.
+ *
+ * Scale shape: the walk is inherently sequential PER COMPONENT, so
+ * it runs inside one `flatMapGroups` task per component — fine
+ * exactly because degree-bounded kNN components are small; a
+ * component larger than `maxComponent` would serialize a giant walk
+ * into one task, so it falls back to plain (hash40, id) order WITHIN
+ * the component (related docs still co-locate componentwise) and is
+ * flagged `walked = false` — observable per row, never silent.
+ * Adjacency lists are capped at `maxDegree` (top by weight, hash
+ * tie-break) so task memory is O(component × maxDegree). The global
+ * ordinal is assigned by [[Packing]]'s two-phase distributed prefix
+ * sum over the (component key, position) order — never a single-task
+ * global window.
+ */
+object ContextLayout {
+
+  /**
+   * Greedy similarity-walk ordering of a node set under an explicit
+   * weighted edge list. @return (id, component, ord, walked): `ord`
+   * is the 0-based global layout ordinal, `component` the min-label
+   * component id, `walked` false only for over-`maxComponent`
+   * fallback components.
+   */
+  def contextOrder(nodes: DataFrame, idCol: String, edges: DataFrame,
+                   aCol: String, bCol: String, wCol: String,
+                   maxComponent: Int = 1 << 16, maxDegree: Int = 64,
+                   salt: String = "s0", partitions: Int = 32): DataFrame = {
+    require(maxComponent > 0 && maxDegree > 0,
+      s"maxComponent/maxDegree must be positive, got $maxComponent/$maxDegree")
+    require(org.apache.spark.sql.graftbridge.ColumnBridge
+        .isIntegral(nodes.schema(idCol).dataType),
+      s"contextOrder: $idCol must be an integral id column " +
+        s"(got ${nodes.schema(idCol).dataType.simpleString}) — the " +
+        "ConnectedComponents min-label contract")
+    val spark = nodes.sparkSession
+    import spark.implicits._
+    val ids = nodes.select(col(idCol).cast("long").as("id"))
+      .filter(col("id").isNotNull).distinct()
+    val e = edges.select(col(aCol).cast("long").as("a"),
+        col(bCol).cast("long").as("b"), col(wCol).cast("double").as("w"))
+      .filter(col("a").isNotNull && col("b").isNotNull &&
+        col("a") =!= col("b"))
+    val cc = ConnectedComponents.run(e, "a", "b")
+    val withComp = ids
+      .join(cc, Seq("id"), "left")
+      .select(col("id"),
+        coalesce(col("component"), col("id")).as("comp"),
+        Sampling.hash40(Seq(col("id")), salt).as("h"))
+    // one tagged stream per component: node rows carry (id, hash),
+    // edge rows carry (a, b, w) keyed by a's component (both
+    // endpoints share it by construction)
+    val nodeRows = withComp.select(col("comp"), lit(0).as("kind"),
+      col("id").as("x"), col("h").as("y"), lit(0.0).as("w"))
+    val edgeRows = e
+      .join(withComp.select(col("id").as("a"), col("comp")), Seq("a"))
+      .select(col("comp"), lit(1).as("kind"), col("a").as("x"),
+        col("b").as("y"), col("w"))
+    val mc = maxComponent
+    val md = maxDegree
+    val walked = nodeRows.union(edgeRows)
+      .as[(Long, Int, Long, Long, Double)]
+      .groupByKey(_._1)
+      .flatMapGroups { (comp, it) =>
+        walkComponent(comp, it, mc, md)
+      }
+      .toDF("id", "comp", "comp_key", "pos", "walked")
+    // global ordinal: two-phase prefix sum with unit weights over the
+    // (component key, component, position) order — `ord` = number of
+    // docs laid out before this one, computed distributed
+    val ord = Packing.prefixByKey(
+      walked.withColumn("__one", lit(1L)),
+      format_string("%019d|%019d|%010d", col("comp_key"), col("comp"),
+        col("pos")),
+      "id", "__one", partitions)
+    walked.join(ord, Seq("id"))
+      .select(col("id"), col("comp").as("component"),
+        col("cum_before").as("ord"), col("walked"))
+  }
+
+  /** The per-component greedy walk — driver-free, component-bounded.
+    * Emits (id, comp, compKey, pos, walked). */
+  private def walkComponent(comp: Long,
+                            it: Iterator[(Long, Int, Long, Long, Double)],
+                            maxComponent: Int, maxDegree: Int)
+      : Iterator[(Long, Long, Long, Int, Boolean)] = {
+    val hs = scala.collection.mutable.LongMap.empty[Long]
+    val adj = scala.collection.mutable.LongMap
+      .empty[scala.collection.mutable.ArrayBuffer[(Long, Double)]]
+    it.foreach {
+      case (_, 0, id, h, _) => hs(id) = h
+      case (_, _, a, b, w) =>
+        adj.getOrElseUpdate(a,
+          scala.collection.mutable.ArrayBuffer.empty) += ((b, w))
+        adj.getOrElseUpdate(b,
+          scala.collection.mutable.ArrayBuffer.empty) += ((a, w))
+    }
+    val n = hs.size
+    if (n == 0) return Iterator.empty
+    // neighbor precedence: max weight, then min hash, then min id;
+    // cap each adjacency at maxDegree under the same precedence
+    def prec(m: (Long, Double)): (Double, Long, Long) =
+      (-m._2, hs.getOrElse(m._1, Long.MaxValue), m._1)
+    adj.keysIterator.toArray.foreach { k =>
+      adj(k) = adj(k).distinct.sortBy(prec).take(maxDegree)
+    }
+    // (hash, id)-sorted members: the jump pool, the fallback order,
+    // and the component layout key (head's hash)
+    val byHash = hs.toArray.sortBy { case (id, h) => (h, id) }.map(_._1)
+    val compKey = hs(byHash.head)
+    if (n > maxComponent) {
+      // LOUD fallback, flagged per row: a giant component would
+      // serialize its walk into one task
+      return byHash.iterator.zipWithIndex.map { case (id, i) =>
+        (id, comp, compKey, i, false)
+      }
+    }
+    val visited = new java.util.HashSet[java.lang.Long](n * 2)
+    val path = new scala.collection.mutable.ArrayBuffer[Long](n)
+    // start: max degree, then min hash, then min id
+    val start = hs.keysIterator.toArray
+      .sortBy(id => (-adj.get(id).map(_.size).getOrElse(0),
+        hs(id), id)).head
+    var current = start
+    visited.add(current); path += current
+    var jump = 0
+    while (path.size < n) {
+      var best = -1L
+      var bw = Double.NegativeInfinity
+      var bh = Long.MaxValue
+      adj.get(current).foreach(_.foreach { case (m, w) =>
+        if (!visited.contains(m) && hs.contains(m)) {
+          val h = hs(m)
+          if (w > bw || (w == bw && (h < bh || (h == bh && m < best)))) {
+            best = m; bw = w; bh = h
+          }
+        }
+      })
+      if (best == -1L) {
+        while (visited.contains(byHash(jump))) jump += 1
+        best = byHash(jump)
+      }
+      visited.add(best); path += best; current = best
+    }
+    path.iterator.zipWithIndex.map { case (id, i) =>
+      (id, comp, compKey, i, true)
+    }
+  }
+
+  /**
+   * The one-call composition: kNN graph over the embeddings
+   * ([[Similarity.knnJoin]] — banded IVF candidates, never all
+   * pairs), symmetrized max-weight edges, [[contextOrder]]'s greedy
+   * walk, then [[Packing.packSequencesBy]] along the walk ordinal.
+   * `docs` supplies the token weights; ids must match `emb`'s.
+   * @return (id, component, ord, walked, seq_id, tok_start, tok_end)
+   *         — one row per (doc, sequence) overlap, zero-weight docs
+   *         dropped (the packSequences contract).
+   */
+  def inContextLayout(docs: DataFrame, idCol: String, weightCol: String,
+                      emb: DataFrame, vecCol: String, seqLen: Long,
+                      k: Int = 8, nlist: Int = 16, probeCells: Int = 4,
+                      maxComponent: Int = 1 << 16,
+                      salt: String = "s0"): DataFrame = {
+    val nn = Similarity.knnJoin(emb, idCol, vecCol, k, nlist, probeCells)
+    val und = nn
+      .select(least(col("id"), col("nn_id")).as("a"),
+        greatest(col("id"), col("nn_id")).as("b"), col("cos_sim").as("w"))
+      .groupBy("a", "b").agg(max("w").as("w"))
+    val ord = contextOrder(docs.select(col(idCol)), idCol, und,
+      "a", "b", "w", maxComponent, salt = salt)
+    val packed = Packing.packSequencesBy(
+      docs.select(col(idCol).cast("long").as("id"), col(weightCol))
+        .join(ord.select(col("id"), col("ord")), Seq("id")),
+      "id", weightCol, "ord", seqLen)
+    ord.join(packed, Seq("id"))
+      .select(col("id"), col("component"), col("ord"), col("walked"),
+        col("seq_id"), col("tok_start"), col("tok_end"))
+  }
+}

@@ -1,7 +1,7 @@
 package graft.operators
 
 import org.apache.spark.TaskContext
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /**
@@ -38,16 +38,32 @@ object Packing {
   def packShards(df: DataFrame, idCol: String, weightCol: String,
                  budget: Long, partitions: Int = 32): DataFrame = {
     require(budget > 0, "budget must be positive")
+    val b = budget
+    prefixByKey(df, md5(col(idCol).cast("string")), idCol, weightCol,
+        partitions)
+      .withColumn("shard_id", expr(s"cum_before div $b"))
+  }
+
+  /** The distributed two-phase prefix sum shared by [[packShards]],
+    * [[packSequences]] and [[packSequencesBy]]: range-partition +
+    * sort by `keyCol` (the ONE necessary shuffle), per-partition
+    * totals → driver offsets, then a map-side pass adds the offset to
+    * the within-partition running sum. `keyCol` must be a STRING
+    * expression whose lexicographic order IS the intended layout
+    * order. @return (idCol, weightCol, cum_before). */
+  private[operators] def prefixByKey(df: DataFrame, keyCol: Column,
+                                     idCol: String, weightCol: String,
+                                     partitions: Int): DataFrame = {
     // ids ride through the typed two-pass pipeline as longs — refuse
     // non-integral id columns loudly instead of silently nulling them
     val idType = df.schema(idCol).dataType
     require(Seq("byte", "short", "integer", "long").contains(idType.typeName),
-      s"packShards needs an integral id column; $idCol is $idType")
+      s"prefix packing needs an integral id column; $idCol is $idType")
     val spark = df.sparkSession
     import spark.implicits._
 
     val keyed = df
-      .select(md5(col(idCol).cast("string")).as("__key"),
+      .select(keyCol.cast("string").as("__key"),
         col(idCol).cast("long").as("__id"),
         col(weightCol).cast("long").as("__w"))
       .repartitionByRange(partitions, col("__key"))
@@ -65,17 +81,16 @@ object Packing {
       .map(p => partSums.getOrElse(p, 0L)).scanLeft(0L)(_ + _).toArray
     val bOffsets = spark.sparkContext.broadcast(offsets)
 
-    val b = budget
     val out = ds.mapPartitions { it =>
       var run = bOffsets.value(TaskContext.getPartitionId())
       it.map { case (_, id, w) =>
         val before = run
         run += w
-        (id, w, before, before / b)
+        (id, w, before)
       }
-    }.toDF(idCol, weightCol, "cum_before", "shard_id")
+    }.toDF(idCol, weightCol, "cum_before")
       // materialize NOW (eager localCheckpoint): the result is small
-      // (4 scalar columns) and once it exists the big range-partitioned
+      // (3 scalar columns) and once it exists the big range-partitioned
       // intermediate can be released instead of leaking in the cache
       // for the session lifetime
       .localCheckpoint(true)
@@ -100,9 +115,42 @@ object Packing {
    * counts.
    */
   def packSequences(df: DataFrame, idCol: String, weightCol: String,
-                    seqLen: Long, partitions: Int = 32): DataFrame = {
+                    seqLen: Long, partitions: Int = 32): DataFrame =
+    cutSequences(
+      prefixByKey(df, md5(col(idCol).cast("string")), idCol, weightCol,
+        partitions),
+      idCol, weightCol, seqLen)
+
+  /**
+   * [[packSequences]] with a CALLER-SUPPLIED layout order instead of
+   * the md5 shuffle — the packing half of
+   * [[ContextLayout.inContextLayout]]: an in-context pretraining
+   * layout (Shi et al. 2023) wants RELATED documents adjacent in the
+   * token stream, so the order is the similarity walk's ordinal, not
+   * a pseudo-random key. `orderCol` must be a non-negative long,
+   * unique per row (ties would make the layout partitioning-
+   * dependent); it rides as a zero-padded string through the same
+   * two-phase distributed prefix sum — never a single-task window.
+   */
+  def packSequencesBy(df: DataFrame, idCol: String, weightCol: String,
+                      orderCol: String, seqLen: Long,
+                      partitions: Int = 32): DataFrame = {
+    val key = when(col(orderCol) >= 0,
+        format_string("%019d", col(orderCol).cast("long")))
+      .otherwise(raise_error(concat(
+        lit(s"packSequencesBy: negative $orderCol breaks the " +
+          "zero-padded key order: "), col(orderCol).cast("string"))))
+    cutSequences(prefixByKey(df, key, idCol, weightCol, partitions),
+      idCol, weightCol, seqLen)
+  }
+
+  /** The sequence-cut explode shared by [[packSequences]] and
+    * [[packSequencesBy]]: cut the global token stream at multiples of
+    * `seqLen`, emit one row per (doc, sequence) overlap. Integer
+    * `div` keeps boundary math in exact longs. */
+  private def cutSequences(base: DataFrame, idCol: String,
+                           weightCol: String, seqLen: Long): DataFrame = {
     require(seqLen > 0, "seqLen must be positive")
-    val base = packShards(df, idCol, weightCol, seqLen, partitions)
     val L = lit(seqLen)
     val first = expr(s"cum_before div $seqLen")
     val last = expr(s"(cum_before + `$weightCol` - 1) div $seqLen")

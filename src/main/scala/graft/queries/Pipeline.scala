@@ -1517,6 +1517,36 @@ object Pipeline {
         .orderBy(col("doc_id"))
     }),
 
+    // in-context pretraining layout (Shi et al. 2023): similarity-walk
+    // document ordering + sequence packing along the walk. The gate
+    // fixture is a closed-form instance — complete graphs over
+    // div-8 id groups with EQUAL weights, where the walk contract
+    // provably reduces to (min-hash component key, hash40, id) order —
+    // so the oracle replays the ENTIRE layout (walk + two-phase
+    // prefix sum + sequence cuts) in pure SQL; the non-degenerate
+    // greedy-walk and knnJoin-composed paths are pinned in
+    // ContextLayoutSpec (adjacency beats the md5 shuffle)
+    "qBW_incontext_layout" -> ((s, dir) => {
+      val d = T(s, dir)("documents")
+        .select(col("doc_id"),
+          TextAnalysis.tokenCount(col("text")).cast("long").as("n_tokens"),
+          expr("doc_id div 8").as("g"))
+      val edges = d.as("x").join(d.as("y"),
+          col("x.g") === col("y.g") && col("x.doc_id") < col("y.doc_id"))
+        .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"),
+          lit(1.0).as("w"))
+      val ord = graft.operators.ContextLayout.contextOrder(
+        d.select("doc_id"), "doc_id", edges, "a", "b", "w")
+      val packed = graft.operators.Packing.packSequencesBy(
+        d.join(ord.select(col("id").as("doc_id"), col("ord")), Seq("doc_id")),
+        "doc_id", "n_tokens", "ord", seqLen = 64)
+      ord.select(col("id").as("doc_id"), col("component"), col("ord"))
+        .join(packed, Seq("doc_id"))
+        .select(col("doc_id"), col("component"), col("ord"), col("seq_id"),
+          col("tok_start"), col("tok_end"))
+        .orderBy(col("ord"), col("seq_id"))
+    }),
+
     // min-k% prob membership inference (Shi et al. 2023): score every
     // doc's 20% most-surprising tokens under a reference LM trained
     // on the doc_id%4==0 slice — member docs read anomalously LOW
@@ -3226,6 +3256,35 @@ object Pipeline {
                 ELSE false END) AS keep
       FROM documents d LEFT JOIN agg a USING (doc_id) ORDER BY doc_id"""
       .replace("__SFT_MIN__", SFT_MIN_TRAINABLE.toString),
+    "qBW_incontext_layout" -> """
+      WITH d AS (SELECT doc_id,
+              CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT) AS w,
+              doc_id // 8 AS g,
+              CAST(list_reduce(list_transform(
+                regexp_extract_all(substring(md5(CAST(doc_id AS VARCHAR) || ' s0'), 1, 10), '.'),
+                c -> CAST(instr('0123456789abcdef', c) - 1 AS BIGINT)),
+                (a, b) -> a * 16 + b) AS BIGINT) AS h
+            FROM documents),
+      k AS (SELECT doc_id, w, h,
+              MIN(h) OVER (PARTITION BY g) AS gk,
+              MIN(doc_id) OVER (PARTITION BY g) AS component
+            FROM d),
+      o AS (SELECT doc_id, w, component,
+              row_number() OVER (ORDER BY gk, component, h, doc_id) - 1 AS ord
+            FROM k),
+      c AS (SELECT doc_id, component, ord, w,
+              CAST(COALESCE(SUM(w) OVER (ORDER BY ord
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                AS BIGINT) AS cum
+            FROM o),
+      s AS (SELECT doc_id, component, ord, w, cum,
+              unnest(range(cum // 64, (cum + w - 1) // 64 + 1)) AS seq_id
+            FROM c WHERE w > 0)
+      SELECT doc_id, component, CAST(ord AS BIGINT) AS ord,
+             CAST(seq_id AS BIGINT) AS seq_id,
+             greatest(0, seq_id * 64 - cum) AS tok_start,
+             least(w, (seq_id + 1) * 64 - cum) AS tok_end
+      FROM s ORDER BY ord, seq_id""",
     "qBT_mink_contamination" -> """
       WITH dt AS (SELECT doc_id, unnest(regexp_extract_all(text, '\S+')) AS tok
                   FROM documents),
