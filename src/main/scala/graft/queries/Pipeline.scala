@@ -1547,6 +1547,29 @@ object Pipeline {
         .orderBy(col("ord"), col("seq_id"))
     }),
 
+    // DPO preference-pair extraction: per prompt (div-4 id groups,
+    // score = doc_id % 7 so ties exercise the ∓id tie-break), the
+    // (chosen, rejected) legs via one packed-key max_by/min_by
+    // aggregate, exact token-set Jaccard near-dup guard, length delta
+    "qBX_preference_pairs" -> ((s, dir) => {
+      graft.operators.Preference.preferencePairs(prefFixture(s, dir),
+          "prompt_id", "doc_id", "text", "score", maxJaccard = PREF_MAX_JAC,
+          carry = Seq("source"))
+        .orderBy(col("prompt_id"))
+    }),
+
+    // length-bias audit over the kept pairs: per source, mean Δtokens
+    // and the chosen-longer fraction — the verbosity-bias alarm
+    // (exact integer sums, one division, the float-contract rule)
+    "qBY_length_bias" -> ((s, dir) => {
+      graft.operators.Preference.lengthBias(
+          graft.operators.Preference.preferencePairs(prefFixture(s, dir),
+            "prompt_id", "doc_id", "text", "score",
+            maxJaccard = PREF_MAX_JAC, carry = Seq("source")),
+          "source")
+        .orderBy(col("source"))
+    }),
+
     // min-k% prob membership inference (Shi et al. 2023): score every
     // doc's 20% most-surprising tokens under a reference LM trained
     // on the doc_id%4==0 slice — member docs read anomalously LOW
@@ -1671,6 +1694,61 @@ object Pipeline {
   /** qBU/qBV's synthetic chat transcripts: role markers wrapped
     * around doc-text slices, with an extra turn pair on even ids so
     * turn counts vary — the same construction the oracles replay. */
+  /** qBX/qBY's fixture: documents as a (prompt, response) table —
+    * 4 responses per prompt, integer scores with deliberate ties. */
+  private val PREF_MAX_JAC = 0.9
+  private def prefFixture(s: org.apache.spark.sql.SparkSession,
+                          dir: String): org.apache.spark.sql.DataFrame =
+    T(s, dir)("documents")
+      .select(expr("doc_id div 4").as("prompt_id"), col("doc_id"),
+        col("text"), (col("doc_id") % 7).as("score"), col("source"))
+
+  /** The shared SQL prelude of the qBX/qBY oracles: the preference
+    * fixture + chosen/rejected selection + exact Jaccard. */
+  private val PREF_PIECES = """
+    WITH r AS (SELECT doc_id // 4 AS prompt_id, doc_id, text,
+                      doc_id % 7 AS score, source
+               FROM documents),
+    ch AS (SELECT prompt_id, doc_id, text, source,
+             row_number() OVER (PARTITION BY prompt_id
+               ORDER BY score DESC, doc_id ASC) AS rn FROM r),
+    rj AS (SELECT prompt_id, doc_id, text,
+             row_number() OVER (PARTITION BY prompt_id
+               ORDER BY score ASC, doc_id DESC) AS rn FROM r),
+    n AS (SELECT prompt_id, CAST(count(*) AS BIGINT) AS n_resp
+          FROM r GROUP BY 1),
+    p AS (SELECT c.prompt_id AS prompt_id, n.n_resp AS n_resp,
+                 c.doc_id AS chosen_id, j.doc_id AS rejected_id,
+                 c.text AS ct, j.text AS jt, c.source AS source
+          FROM ch c
+          JOIN rj j ON c.prompt_id = j.prompt_id AND j.rn = 1
+          JOIN n ON n.prompt_id = c.prompt_id
+          WHERE c.rn = 1),
+    t AS (SELECT prompt_id, n_resp, chosen_id, rejected_id, source,
+            list_distinct(regexp_extract_all(ct, '\S+')) AS ca,
+            list_distinct(regexp_extract_all(jt, '\S+')) AS ra,
+            CAST(len(regexp_extract_all(ct, '\S+')) AS BIGINT) AS ctoks,
+            CAST(len(regexp_extract_all(jt, '\S+')) AS BIGINT) AS rtoks
+          FROM p),
+    u AS (SELECT prompt_id, n_resp, chosen_id, rejected_id, source,
+            ctoks, rtoks,
+            CAST(len(list_intersect(ca, ra)) AS BIGINT) AS inter,
+            CAST(len(ca) + len(ra) AS BIGINT)
+              - CAST(len(list_intersect(ca, ra)) AS BIGINT) AS uni
+          FROM t),
+    pairs AS (SELECT prompt_id, n_resp, chosen_id, rejected_id,
+            ctoks AS chosen_tokens, rtoks AS rejected_tokens,
+            ctoks - rtoks AS delta_tokens,
+            round(CASE WHEN uni > 0
+              THEN CAST(inter AS DOUBLE) / CAST(uni AS DOUBLE)
+              ELSE 1.0 END, 4) AS jaccard,
+            (n_resp >= 2 AND chosen_id != rejected_id AND
+             round(CASE WHEN uni > 0
+               THEN CAST(inter AS DOUBLE) / CAST(uni AS DOUBLE)
+               ELSE 1.0 END, 4) < __PREF_MAX_JAC__) AS keep,
+            source
+          FROM u)"""
+
   private def chatFixture(docs: org.apache.spark.sql.DataFrame)
       : org.apache.spark.sql.DataFrame =
     // doc_id % 7 == 3 stays RAW prose — a transcript with no role
@@ -3285,6 +3363,23 @@ object Pipeline {
              greatest(0, seq_id * 64 - cum) AS tok_start,
              least(w, (seq_id + 1) * 64 - cum) AS tok_end
       FROM s ORDER BY ord, seq_id""",
+    "qBX_preference_pairs" -> s"""
+      $PREF_PIECES
+      SELECT prompt_id, n_resp, chosen_id, rejected_id, chosen_tokens,
+             rejected_tokens, delta_tokens, jaccard, keep, source
+      FROM pairs ORDER BY prompt_id"""
+      .replace("__PREF_MAX_JAC__", "0.9"),
+    "qBY_length_bias" -> s"""
+      $PREF_PIECES
+      SELECT source, CAST(count(*) AS BIGINT) AS n_pairs,
+             CAST(SUM(delta_tokens) AS BIGINT) AS sum_delta,
+             round(CAST(CAST(SUM(delta_tokens) AS BIGINT) AS DOUBLE)
+                   / CAST(count(*) AS DOUBLE), 6) AS avg_delta,
+             round(CAST(SUM(CASE WHEN delta_tokens > 0 THEN 1 ELSE 0 END)
+                     AS DOUBLE)
+                   / CAST(count(*) AS DOUBLE), 6) AS frac_chosen_longer
+      FROM pairs WHERE keep GROUP BY source ORDER BY source"""
+      .replace("__PREF_MAX_JAC__", "0.9"),
     "qBT_mink_contamination" -> """
       WITH dt AS (SELECT doc_id, unnest(regexp_extract_all(text, '\S+')) AS tok
                   FROM documents),

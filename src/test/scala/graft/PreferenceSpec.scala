@@ -1,0 +1,97 @@
+package graft
+
+import graft.operators.Preference
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class PreferenceSpec extends AnyFunSuite {
+  private lazy val spark = GraftTestSession.spark
+  import spark.implicits._
+
+  private def pairsOf(df: org.apache.spark.sql.DataFrame,
+                      maxJac: Double = 0.9) =
+    Preference.preferencePairs(df, "prompt_id", "resp_id", "text", "score",
+        maxJaccard = maxJac)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(2), r.getLong(3),
+        r.getLong(6), r.getDouble(7), r.getBoolean(8)))).toMap
+
+  test("preferencePairs: selection, tie-breaks, near-dup guard by hand") {
+    val df = Seq(
+      // prompt 1: clear winner/loser, disjoint vocab
+      (1L, 10L, "alpha beta gamma delta", 5L),
+      (1L, 11L, "omega", 1L),
+      (1L, 12L, "middle answer here", 3L),
+      // prompt 2: ALL scores tie -> chosen = min id, rejected = max id
+      (2L, 20L, "aa bb", 2L), (2L, 21L, "cc", 2L), (2L, 22L, "dd ee ff", 2L),
+      // prompt 3: chosen and rejected near-identical -> guarded out
+      (3L, 30L, "same words every time", 9L),
+      (3L, 31L, "same words every time", 0L),
+      // prompt 4: single response -> degenerate, keep = false
+      (4L, 40L, "lonely", 7L),
+      // prompt 5: both legs token-less -> jaccard 1 by convention
+      (5L, 50L, "", 8L), (5L, 51L, "   ", 1L)
+    ).toDF("prompt_id", "resp_id", "text", "score")
+    val p = pairsOf(df)
+    // prompt 1: (10 chosen score 5, 11 rejected score 1), delta 4-1=3,
+    // disjoint vocab -> jaccard 0, kept
+    assert(p(1L) == ((10L, 11L, 3L, 0.0, true)), p(1L).toString)
+    // prompt 2: ties -> (min id 20, max id 22), delta 2-3 = -1, kept
+    assert(p(2L) == ((20L, 22L, -1L, 0.0, true)), p(2L).toString)
+    // prompt 3: identical texts -> jaccard 1, dropped
+    assert(p(3L) == ((30L, 31L, 0L, 1.0, false)), p(3L).toString)
+    // prompt 4: chosen == rejected == the only row -> dropped
+    assert(p(4L) == ((40L, 40L, 0L, 1.0, false)), p(4L).toString)
+    // prompt 5: empty responses are identical by convention
+    assert(p(5L) == ((50L, 51L, 0L, 1.0, false)), p(5L).toString)
+  }
+
+  test("preferencePairs: jaccard arithmetic exact, threshold strict") {
+    // |A|=4, |B|=3, |A∩B|=2 -> union 5, jaccard 0.4
+    val df = Seq(
+      (1L, 1L, "a b c d", 2L),
+      (1L, 2L, "c d e", 1L)
+    ).toDF("prompt_id", "resp_id", "text", "score")
+    val p = pairsOf(df)
+    assert(p(1L) == ((1L, 2L, 1L, 0.4, true)), p(1L).toString)
+    // at maxJaccard = 0.4 the SAME pair is dropped (strict <)
+    val strict = pairsOf(df, maxJac = 0.4)
+    assert(!strict(1L)._5, "jaccard == maxJaccard must drop")
+    // duplicate tokens collapse to the SET (jaccard is set-based)
+    val dup = Seq(
+      (1L, 1L, "a a a b", 2L),
+      (1L, 2L, "a b b b", 1L)
+    ).toDF("prompt_id", "resp_id", "text", "score")
+    assert(pairsOf(dup)(1L)._4 == 1.0, "token multiset must not leak in")
+  }
+
+  test("preferencePairs: carry takes the CHOSEN row's columns; ids validated") {
+    val df = Seq(
+      (1L, 1L, "winner text", 9L, "modelA"),
+      (1L, 2L, "loser text", 1L, "modelB")
+    ).toDF("prompt_id", "resp_id", "text", "score", "src")
+    val out = Preference.preferencePairs(df, "prompt_id", "resp_id",
+        "text", "score", carry = Seq("src")).collect()
+    assert(out.length == 1 && out.head.getAs[String]("src") == "modelA")
+    val bad = Seq(("p", "x", "t", 1L)).toDF("prompt_id", "resp_id", "text",
+      "score")
+    val ex = intercept[IllegalArgumentException] {
+      Preference.preferencePairs(bad, "prompt_id", "resp_id", "text", "score")
+    }
+    assert(ex.getMessage.contains("integral"))
+  }
+
+  test("lengthBias: exact sums, only kept pairs count") {
+    val pairs = Seq(
+      // (by, delta, keep): kept deltas 3, -1, 2 -> sum 4, avg 4/3,
+      // 2 of 3 chosen-longer; the dropped +100 must not leak in
+      ("web", 3L, true), ("web", -1L, true), ("web", 2L, true),
+      ("web", 100L, false),
+      ("books", -5L, true)
+    ).toDF("source", "delta_tokens", "keep")
+    val out = Preference.lengthBias(pairs, "source")
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getDouble(4)))).toMap
+    assert(out("web") == ((3L, 4L, 1.333333, 0.666667)), out("web").toString)
+    assert(out("books") == ((1L, -5L, -5.0, 0.0)), out("books").toString)
+  }
+}
