@@ -509,9 +509,22 @@ object Bench {
     if (mode == "both") {
       val concMap = concResults.toMap
       import BenchHeuristics.isOutlier
-      val outliers = seqResults.flatMap { case (n, s) =>
+      val perQuery = seqResults.flatMap { case (n, s) =>
         concMap.get(n).collect { case c if isOutlier(s, c) => (n, s, c) }
       }
+      // window-level trigger (round-13 verdict ask #6): a contiguous
+      // run of ≥4 seq readings each >2× its conc twin is a host
+      // contention window even though no single member trips the 4×
+      // bar — replay the WHOLE window post-settle
+      val windowNames = BenchHeuristics.contentionWindow(seqResults, concMap)
+      val perQueryNames = perQuery.map(_._1).toSet
+      val windowMembers = seqResults.flatMap { case (n, s) =>
+        if (windowNames(n) && !perQueryNames(n))
+          concMap.get(n).map(c => (n, s, c))
+        else None
+      }
+      val isWindow = windowMembers.map(_._1).toSet
+      val outliers = perQuery ++ windowMembers
       if (outliers.nonEmpty) {
         settle()
         censusReplay.mark()
@@ -539,18 +552,21 @@ object Bench {
         // the old unconditional replace was one-sided — it healed
         // upward noise while a reproducible regression that also
         // reads high alone CONFIRMS the seq reading).
+        // window members accept at their own 2× bar; per-query
+        // outliers keep the 4× rule — both one-sided (seq > conc)
         val accepted: Map[String, Double] = re.collect {
           case (n, s, c, Right(v))
-            if BenchHeuristics.acceptReplay(s, c, v) => n -> v
+            if (if (isWindow(n)) BenchHeuristics.acceptWindowReplay(s, c, v)
+                else BenchHeuristics.acceptReplay(s, c, v)) => n -> v
         }.toMap
         seqFinal = seqResults.map { case (n, s) =>
           (n, accepted.getOrElse(n, s)) }
         seqReplaced = accepted.keys.toSeq.sorted
         val rows = re.map {
           case (n, s, c, Right(v)) =>
-            s""""$n":{"seq":${num(s)},"conc":${num(c)},"re":${num(v)},"accepted":${accepted.contains(n)}}"""
+            s""""$n":{"seq":${num(s)},"conc":${num(c)},"re":${num(v)},"accepted":${accepted.contains(n)}${if (isWindow(n)) ""","window":true""" else ""}}"""
           case (n, s, c, Left(e)) =>
-            s""""$n":{"seq":${num(s)},"conc":${num(c)},"re_err":"$e"}"""
+            s""""$n":{"seq":${num(s)},"conc":${num(c)},"re_err":"$e"${if (isWindow(n)) ""","window":true""" else ""}}"""
         }.mkString("{", ",", "}")
         val capped = if (outliers.size > MaxReplay)
           s""","replay_dropped":${outliers.size - MaxReplay}""" else ""

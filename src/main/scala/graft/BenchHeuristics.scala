@@ -67,4 +67,40 @@ object BenchHeuristics {
     *    must stay published, not be healed out of the headline. */
   def acceptReplay(seq: Double, conc: Double, re: Double): Boolean =
     seq > conc && !isOutlier(re, conc)
+
+  /** A seq reading is WINDOW-INFLATED when it tops 1 s AND 2× its
+    * conc twin — individually UNDER the [[isOutlier]] 4×/3 s bar, so
+    * the per-query replay never sees it. */
+  def inflated2x(seq: Double, conc: Double): Boolean =
+    seq > 1.0 && seq > 2.0 * math.max(conc, 1e-3)
+
+  /** Names inside a CONTENTION WINDOW: ≥ `minRun` CONSECUTIVE (in
+    * execution order) window-inflated seq readings. The round-13 gate
+    * showed the shape this catches: a contiguous run (qAS→qB5)
+    * inflated 2–7× versus both the conc twins and the prior round,
+    * with only 3 members over the 4× per-query bar — the other 8
+    * published inflated and pushed Σseq from the 66–77 s band to
+    * 89.7 s. Independent plan regressions do not land adjacent in
+    * execution order; a host contention window is exactly this
+    * shape, so the whole run is replayed post-settle (each member
+    * still subject to the one-sided acceptance rule). */
+  def contentionWindow(seq: Seq[(String, Double)],
+                       conc: Map[String, Double],
+                       minRun: Int = 4): Set[String] = {
+    val out = Set.newBuilder[String]
+    var run = List.empty[String]
+    def flush(): Unit = { if (run.size >= minRun) out ++= run; run = Nil }
+    seq.foreach { case (n, s) =>
+      if (conc.get(n).exists(c => inflated2x(s, c))) run ::= n else flush()
+    }
+    flush()
+    out.result()
+  }
+
+  /** Replay acceptance for window members — [[acceptReplay]]'s
+    * one-sided rule at the window's own 2× bar: a replay that still
+    * reads inflated alone post-settle CONFIRMS the seq reading and
+    * must stay published. */
+  def acceptWindowReplay(seq: Double, conc: Double, re: Double): Boolean =
+    seq > conc && !inflated2x(re, conc)
 }

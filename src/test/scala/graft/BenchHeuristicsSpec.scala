@@ -72,6 +72,33 @@ class BenchHeuristicsSpec extends AnyFunSuite {
     assert(!incoherenceRetries(20.0, 24, 6.0))
   }
 
+  test("contentionWindow: the r13 gate shape fires, scattered noise does not") {
+    import BenchHeuristics.{contentionWindow, acceptWindowReplay, inflated2x}
+    val conc = Map("a" -> 0.5, "b" -> 1.2, "c" -> 0.6, "d" -> 1.0,
+      "e" -> 0.4, "f" -> 0.3, "g" -> 2.0)
+    // the r13 shape: a contiguous run of 2-4x inflations (each under
+    // the 4x/3s per-query bar given its conc twin) — all five flagged
+    val storm = Seq("a" -> 1.4, "b" -> 3.9, "c" -> 1.8, "d" -> 2.9,
+      "e" -> 1.1, "f" -> 0.3, "g" -> 2.1)
+    assert(contentionWindow(storm, conc) == Set("a", "b", "c", "d", "e"))
+    // a run of 3 stays under the default minRun of 4
+    val short = Seq("a" -> 1.4, "b" -> 3.9, "c" -> 1.8, "d" -> 0.9,
+      "e" -> 1.1, "f" -> 0.3, "g" -> 2.1)
+    assert(contentionWindow(short, conc).isEmpty)
+    // scattered single inflations never form a window
+    val scattered = Seq("a" -> 1.4, "b" -> 1.0, "c" -> 1.8, "d" -> 0.9,
+      "e" -> 1.1, "f" -> 0.2, "g" -> 2.1)
+    assert(contentionWindow(scattered, conc).isEmpty)
+    // sub-second readings are not "inflated" no matter the ratio
+    assert(!inflated2x(0.9, 0.1))
+    // window acceptance mirrors the 2x trigger: a replay still
+    // inflated alone CONFIRMS the reading; a settled one replaces it
+    assert(acceptWindowReplay(3.9, 1.2, 1.3))
+    assert(!acceptWindowReplay(3.9, 1.2, 3.8))
+    // one-sided: a conc-side anomaly never rewrites the seq column
+    assert(!acceptWindowReplay(1.0, 2.0, 1.0))
+  }
+
   test("sickScore ranks passes by cause, consistent with the triggers") {
     // sick > 1 exactly when one of the two triggers fires
     assert(sickScore(4.7, 0.0, 24, 6.9) > 1.0)   // the live steal firing
