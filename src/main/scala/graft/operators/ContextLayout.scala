@@ -114,6 +114,9 @@ object ContextLayout {
                             it: Iterator[(Long, Int, Long, Long, Double)],
                             maxComponent: Int, maxDegree: Int)
       : Iterator[(Long, Long, Long, Int, Boolean)] = {
+    require(comp >= 0,
+      s"contextOrder: negative component id $comp breaks the " +
+        "zero-padded global order key — ids must be non-negative")
     val hs = scala.collection.mutable.LongMap.empty[Long]
     val adj = scala.collection.mutable.LongMap
       .empty[scala.collection.mutable.ArrayBuffer[(Long, Double)]]

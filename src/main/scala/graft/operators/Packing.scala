@@ -135,6 +135,11 @@ object Packing {
   def packSequencesBy(df: DataFrame, idCol: String, weightCol: String,
                       orderCol: String, seqLen: Long,
                       partitions: Int = 32): DataFrame = {
+    // a fractional order column would silently TRUNCATE through the
+    // long cast and alias distinct positions onto one key
+    val ordType = df.schema(orderCol).dataType
+    require(Seq("byte", "short", "integer", "long").contains(ordType.typeName),
+      s"packSequencesBy needs an integral order column; $orderCol is $ordType")
     val key = when(col(orderCol) >= 0,
         format_string("%019d", col(orderCol).cast("long")))
       .otherwise(raise_error(concat(

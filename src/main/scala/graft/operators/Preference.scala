@@ -52,7 +52,11 @@ object Preference {
     val payload = struct((col(respIdCol).cast("long").as("id") +:
       col(textCol).as("text") +: carry.map(col)): _*)
     val pairs = resp
-      .filter(col(promptCol).isNotNull && col(respIdCol).isNotNull)
+      // an UNSCORED response can be neither chosen nor rejected, and a
+      // null inside the max_by struct key would make the selection
+      // engine-dependent — exclude it from the pool (and from n_resp)
+      .filter(col(promptCol).isNotNull && col(respIdCol).isNotNull &&
+        col(scoreCol).isNotNull)
       .groupBy(col(promptCol))
       .agg(count(lit(1)).as("n_resp"),
         max_by(payload, struct(col(scoreCol), (-id).as("nid"))).as("__c"),

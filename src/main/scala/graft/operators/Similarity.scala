@@ -49,10 +49,14 @@ object Similarity {
     * the long silently (Spark wraps outside ANSI mode) — refused
     * loudly; embedding coordinates are orders of magnitude smaller. */
   private[graft] def fixedPoint(x: Column, who: String): Column =
+    // the guard condition is FALSE (or null) for NaN and null
+    // elements too — they would otherwise poison a centroid silently
+    // (the pre-fix float sums did); the error names all three causes
     when(abs(x) < lit(9.0e9), floor(x * lit(1e9) + lit(0.5)))
       .otherwise(raise_error(concat(
-        lit(s"$who: |coordinate| >= 9e9 overflows the 1e-9 " +
-          "fixed-point long contract: "), x.cast("string"))))
+        lit(s"$who: coordinate is null, NaN, or >= 9e9 in magnitude " +
+          "— breaks the 1e-9 fixed-point long contract: "),
+        coalesce(x.cast("string"), lit("null")))))
 
   /**
    * Exact top-k nearest neighbours of the vector identified by

@@ -43,6 +43,18 @@ class PreferenceSpec extends AnyFunSuite {
     assert(p(4L) == ((40L, 40L, 0L, 1.0, false)), p(4L).toString)
     // prompt 5: empty responses are identical by convention
     assert(p(5L) == ((50L, 51L, 0L, 1.0, false)), p(5L).toString)
+    // an UNSCORED response is invisible: it can be neither leg and
+    // does not count toward n_resp (a null in the selection key would
+    // make the argmax engine-dependent)
+    val withNull = Seq(
+      (6L, 60L, "scored a b", java.lang.Long.valueOf(4L)),
+      (6L, 61L, "best text ever", null.asInstanceOf[java.lang.Long]),
+      (6L, 62L, "scored c", java.lang.Long.valueOf(1L))
+    ).toDF("prompt_id", "resp_id", "text", "score")
+    val q = Preference.preferencePairs(withNull, "prompt_id", "resp_id",
+        "text", "score")
+      .collect().map(r => (r.getLong(1), r.getLong(2), r.getLong(3))).head
+    assert(q == ((2L, 60L, 62L)), s"null-scored row leaked in: $q")
   }
 
   test("preferencePairs: jaccard arithmetic exact, threshold strict") {
@@ -78,6 +90,22 @@ class PreferenceSpec extends AnyFunSuite {
       Preference.preferencePairs(bad, "prompt_id", "resp_id", "text", "score")
     }
     assert(ex.getMessage.contains("integral"))
+  }
+
+  test("plan pin: preferencePairs is ONE aggregate, no join, on real testdata") {
+    // the packed-key max_by/min_by design exists so the corpus
+    // shuffles exactly once — a join-based chosen×rejected plan
+    // would shuffle it three times
+    val r = Tables.load(spark, "/root/testdata/sf0.001", "documents")
+      .select(expr("doc_id div 4").as("prompt_id"),
+        col("doc_id").as("resp_id"), col("text"),
+        (col("doc_id") % 7).as("score"))
+    val plan = Preference.preferencePairs(r, "prompt_id", "resp_id",
+      "text", "score").queryExecution.executedPlan.toString
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("Join"),
+      plan.take(800))
+    assert("Exchange".r.findAllIn(plan).size == 1,
+      s"expected exactly one shuffle:\n${plan.take(800)}")
   }
 
   test("lengthBias: exact sums, only kept pairs count") {
