@@ -149,6 +149,57 @@ object Packing {
       idCol, weightCol, seqLen)
   }
 
+  /**
+   * Packing-efficiency audit over [[packSequences]] /
+   * [[packSequencesBy]] output — the layout's acceptance report: how
+   * many documents were SPLIT across a sequence boundary (attention
+   * never spans the cut, so a split doc trains on truncated context),
+   * how densely sequences filled, and the doc-per-sequence mixing
+   * rate the in-context layout is trying to raise. One row of exact
+   * integer counts; the two fractions are single divisions of exact
+   * integers (the float-contract rule). Assumes the dense-stream
+   * contract of the producers (contiguous seq ids from 0), under
+   * which `tail_fill` = tokens in the final, possibly-partial
+   * sequence. Empty input yields the row with zero counts and null
+   * fractions.
+   *
+   * Scale shape: two partial/final aggregates over the span rows
+   * (by doc, by sequence) reduced to one-row summaries each, then a
+   * 1×1 cross join — nothing corpus-sized survives the first stage.
+   *
+   * @return (n_seqs, n_docs, n_tokens, full_seqs, split_docs,
+   *         split_doc_frac, mean_docs_per_seq, tail_fill)
+   */
+  def packingReport(packed: DataFrame, idCol: String,
+                    seqLen: Long): DataFrame = {
+    require(seqLen > 0, "seqLen must be positive")
+    val spans = packed.select(col(idCol).as("__id"), col("seq_id"),
+      (col("tok_end") - col("tok_start")).as("__len"))
+    val perDoc = spans.groupBy("__id").agg(count(lit(1)).as("__n"))
+    val perSeq = spans.groupBy("seq_id")
+      .agg(sum("__len").as("__fill"), count(lit(1)).as("__docs"))
+    val d = perDoc.agg(
+      count(lit(1)).cast("long").as("n_docs"),
+      coalesce(sum(when(col("__n") > 1, 1L).otherwise(0L)), lit(0L))
+        .cast("long").as("split_docs"))
+    val s = perSeq.agg(
+      count(lit(1)).cast("long").as("n_seqs"),
+      coalesce(sum(col("__fill")), lit(0L)).cast("long").as("n_tokens"),
+      coalesce(sum(when(col("__fill") === seqLen, 1L).otherwise(0L)),
+        lit(0L)).cast("long").as("full_seqs"),
+      coalesce(sum(col("__docs")), lit(0L)).cast("long").as("n_spans"))
+    d.crossJoin(s).select(
+      col("n_seqs"), col("n_docs"), col("n_tokens"), col("full_seqs"),
+      col("split_docs"),
+      when(col("n_docs") > 0, round(col("split_docs").cast("double") /
+        col("n_docs").cast("double"), 6)).as("split_doc_frac"),
+      when(col("n_seqs") > 0, round(col("n_spans").cast("double") /
+        col("n_seqs").cast("double"), 6)).as("mean_docs_per_seq"),
+      when(col("n_seqs") > 0,
+        col("n_tokens") - (col("n_seqs") - 1) * lit(seqLen))
+        .as("tail_fill"))
+  }
+
   /** The sequence-cut explode shared by [[packSequences]] and
     * [[packSequencesBy]]: cut the global token stream at multiples of
     * `seqLen`, emit one row per (doc, sequence) overlap. Integer

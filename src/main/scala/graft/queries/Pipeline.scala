@@ -1526,26 +1526,16 @@ object Pipeline {
     // prefix sum + sequence cuts) in pure SQL; the non-degenerate
     // greedy-walk and knnJoin-composed paths are pinned in
     // ContextLayoutSpec (adjacency beats the md5 shuffle)
-    "qBW_incontext_layout" -> ((s, dir) => {
-      val d = T(s, dir)("documents")
-        .select(col("doc_id"),
-          TextAnalysis.tokenCount(col("text")).cast("long").as("n_tokens"),
-          expr("doc_id div 8").as("g"))
-      val edges = d.as("x").join(d.as("y"),
-          col("x.g") === col("y.g") && col("x.doc_id") < col("y.doc_id"))
-        .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"),
-          lit(1.0).as("w"))
-      val ord = graft.operators.ContextLayout.contextOrder(
-        d.select("doc_id"), "doc_id", edges, "a", "b", "w")
-      val packed = graft.operators.Packing.packSequencesBy(
-        d.join(ord.select(col("id").as("doc_id"), col("ord")), Seq("doc_id")),
-        "doc_id", "n_tokens", "ord", seqLen = 64)
-      ord.select(col("id").as("doc_id"), col("component"), col("ord"))
-        .join(packed, Seq("doc_id"))
-        .select(col("doc_id"), col("component"), col("ord"), col("seq_id"),
-          col("tok_start"), col("tok_end"))
-        .orderBy(col("ord"), col("seq_id"))
-    }),
+    "qBW_incontext_layout" -> ((s, dir) =>
+      inContextFixture(s, dir).orderBy(col("ord"), col("seq_id"))),
+
+    // packing-efficiency audit of the SAME layout: split-doc
+    // fraction, sequence fill, docs-per-sequence mixing — the
+    // acceptance report a layout change is judged by; one row of
+    // exact integer counts + two single divisions
+    "qBZ_packing_report" -> ((s, dir) =>
+      graft.operators.Packing.packingReport(inContextFixture(s, dir),
+        "doc_id", seqLen = 64)),
 
     // DPO preference-pair extraction: per prompt (div-4 id groups,
     // score = doc_id % 7 so ties exercise the ∓id tie-break), the
@@ -1694,6 +1684,32 @@ object Pipeline {
   /** qBU/qBV's synthetic chat transcripts: role markers wrapped
     * around doc-text slices, with an extra turn pair on even ids so
     * turn counts vary — the same construction the oracles replay. */
+  /** qBW/qBZ's shared pipeline: the closed-form in-context layout —
+    * complete div-8 id groups with equal weights, real operator code
+    * paths (ConnectedComponents, the greedy walk, the two-phase
+    * prefix sum, the sequence cuts). @return (doc_id, component,
+    * ord, seq_id, tok_start, tok_end). */
+  private def inContextFixture(s: org.apache.spark.sql.SparkSession,
+                               dir: String): org.apache.spark.sql.DataFrame = {
+    val d = T(s, dir)("documents")
+      .select(col("doc_id"),
+        TextAnalysis.tokenCount(col("text")).cast("long").as("n_tokens"),
+        expr("doc_id div 8").as("g"))
+    val edges = d.as("x").join(d.as("y"),
+        col("x.g") === col("y.g") && col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"),
+        lit(1.0).as("w"))
+    val ord = graft.operators.ContextLayout.contextOrder(
+      d.select("doc_id"), "doc_id", edges, "a", "b", "w")
+    val packed = graft.operators.Packing.packSequencesBy(
+      d.join(ord.select(col("id").as("doc_id"), col("ord")), Seq("doc_id")),
+      "doc_id", "n_tokens", "ord", seqLen = 64)
+    ord.select(col("id").as("doc_id"), col("component"), col("ord"))
+      .join(packed, Seq("doc_id"))
+      .select(col("doc_id"), col("component"), col("ord"), col("seq_id"),
+        col("tok_start"), col("tok_end"))
+  }
+
   /** qBX/qBY's fixture: documents as a (prompt, response) table —
     * 4 responses per prompt, integer scores with deliberate ties. */
   private val PREF_MAX_JAC = 0.9
@@ -1702,6 +1718,40 @@ object Pipeline {
     T(s, dir)("documents")
       .select(expr("doc_id div 4").as("prompt_id"), col("doc_id"),
         col("text"), (col("doc_id") % 7).as("score"), col("source"))
+
+  /** The shared SQL prelude of the qBW/qBZ oracles: the closed-form
+    * in-context layout — on the equal-weight complete-group fixture
+    * the walk contract reduces to (min-hash group key, hash40, id)
+    * order, so the whole layout is a window + range unnest. */
+  private val INCTX_PIECES = """
+      WITH d AS (SELECT doc_id,
+              CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT) AS w,
+              doc_id // 8 AS g,
+              CAST(list_reduce(list_transform(
+                regexp_extract_all(substring(md5(CAST(doc_id AS VARCHAR) || ' s0'), 1, 10), '.'),
+                c -> CAST(instr('0123456789abcdef', c) - 1 AS BIGINT)),
+                (a, b) -> a * 16 + b) AS BIGINT) AS h
+            FROM documents),
+      k AS (SELECT doc_id, w, h,
+              MIN(h) OVER (PARTITION BY g) AS gk,
+              MIN(doc_id) OVER (PARTITION BY g) AS component
+            FROM d),
+      o AS (SELECT doc_id, w, component,
+              row_number() OVER (ORDER BY gk, component, h, doc_id) - 1 AS ord
+            FROM k),
+      c AS (SELECT doc_id, component, ord, w,
+              CAST(COALESCE(SUM(w) OVER (ORDER BY ord
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                AS BIGINT) AS cum
+            FROM o),
+      s AS (SELECT doc_id, component, ord, w, cum,
+              unnest(range(cum // 64, (cum + w - 1) // 64 + 1)) AS seq_id
+            FROM c WHERE w > 0),
+      spans AS (SELECT doc_id, component, CAST(ord AS BIGINT) AS ord,
+              CAST(seq_id AS BIGINT) AS seq_id,
+              greatest(0, seq_id * 64 - cum) AS tok_start,
+              least(w, (seq_id + 1) * 64 - cum) AS tok_end
+            FROM s)"""
 
   /** The shared SQL prelude of the qBX/qBY oracles: the preference
     * fixture + chosen/rejected selection + exact Jaccard. */
@@ -3334,35 +3384,32 @@ object Pipeline {
                 ELSE false END) AS keep
       FROM documents d LEFT JOIN agg a USING (doc_id) ORDER BY doc_id"""
       .replace("__SFT_MIN__", SFT_MIN_TRAINABLE.toString),
-    "qBW_incontext_layout" -> """
-      WITH d AS (SELECT doc_id,
-              CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT) AS w,
-              doc_id // 8 AS g,
-              CAST(list_reduce(list_transform(
-                regexp_extract_all(substring(md5(CAST(doc_id AS VARCHAR) || ' s0'), 1, 10), '.'),
-                c -> CAST(instr('0123456789abcdef', c) - 1 AS BIGINT)),
-                (a, b) -> a * 16 + b) AS BIGINT) AS h
-            FROM documents),
-      k AS (SELECT doc_id, w, h,
-              MIN(h) OVER (PARTITION BY g) AS gk,
-              MIN(doc_id) OVER (PARTITION BY g) AS component
-            FROM d),
-      o AS (SELECT doc_id, w, component,
-              row_number() OVER (ORDER BY gk, component, h, doc_id) - 1 AS ord
-            FROM k),
-      c AS (SELECT doc_id, component, ord, w,
-              CAST(COALESCE(SUM(w) OVER (ORDER BY ord
-                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
-                AS BIGINT) AS cum
-            FROM o),
-      s AS (SELECT doc_id, component, ord, w, cum,
-              unnest(range(cum // 64, (cum + w - 1) // 64 + 1)) AS seq_id
-            FROM c WHERE w > 0)
-      SELECT doc_id, component, CAST(ord AS BIGINT) AS ord,
-             CAST(seq_id AS BIGINT) AS seq_id,
-             greatest(0, seq_id * 64 - cum) AS tok_start,
-             least(w, (seq_id + 1) * 64 - cum) AS tok_end
-      FROM s ORDER BY ord, seq_id""",
+    "qBW_incontext_layout" -> s"""
+      $INCTX_PIECES
+      SELECT doc_id, component, ord, seq_id, tok_start, tok_end
+      FROM spans ORDER BY ord, seq_id""",
+    "qBZ_packing_report" -> s"""
+      $INCTX_PIECES,
+      pd AS (SELECT doc_id, count(*) AS nsp FROM spans GROUP BY 1),
+      ps AS (SELECT seq_id, CAST(SUM(tok_end - tok_start) AS BIGINT) AS fill,
+                    CAST(count(*) AS BIGINT) AS docs FROM spans GROUP BY 1),
+      da AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
+                    CAST(SUM(CASE WHEN nsp > 1 THEN 1 ELSE 0 END) AS BIGINT)
+                      AS split_docs
+             FROM pd),
+      sa AS (SELECT CAST(count(*) AS BIGINT) AS n_seqs,
+                    CAST(SUM(fill) AS BIGINT) AS n_tokens,
+                    CAST(SUM(CASE WHEN fill = 64 THEN 1 ELSE 0 END) AS BIGINT)
+                      AS full_seqs,
+                    CAST(SUM(docs) AS BIGINT) AS n_spans
+             FROM ps)
+      SELECT n_seqs, n_docs, n_tokens, full_seqs, split_docs,
+             round(CAST(split_docs AS DOUBLE) / CAST(n_docs AS DOUBLE), 6)
+               AS split_doc_frac,
+             round(CAST(n_spans AS DOUBLE) / CAST(n_seqs AS DOUBLE), 6)
+               AS mean_docs_per_seq,
+             n_tokens - (n_seqs - 1) * 64 AS tail_fill
+      FROM da, sa""",
     "qBX_preference_pairs" -> s"""
       $PREF_PIECES
       SELECT prompt_id, n_resp, chosen_id, rejected_id, chosen_tokens,

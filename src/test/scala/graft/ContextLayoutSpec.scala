@@ -89,6 +89,25 @@ class ContextLayoutSpec extends AnyFunSuite {
     assert(ex.getMessage != null)
   }
 
+  test("packingReport: hand-computed audit; split docs and tail fill exact") {
+    // the packSequencesBy hand case: stream 10(3) 11(4) 12(5) at
+    // seqLen 4 -> 3 full sequences, docs 11 and 12 split, 5 spans
+    val df = Seq((10L, 3L, 0L), (11L, 4L, 1L), (12L, 5L, 2L))
+      .toDF("id", "w", "ord")
+    val packed = Packing.packSequencesBy(df, "id", "w", "ord", seqLen = 4)
+    val r = Packing.packingReport(packed, "id", seqLen = 4).collect().head
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+      r.getLong(4)) == ((3L, 3L, 12L, 3L, 2L)), r.toString)
+    assert(r.getDouble(5) == 0.666667 && r.getDouble(6) == 1.666667,
+      r.toString)
+    assert(r.getLong(7) == 4L, s"tail fill: $r")
+    // empty input: zero counts, null fractions — never a crash
+    val empty = Packing.packingReport(packed.limit(0), "id", seqLen = 4)
+      .collect().head
+    assert(empty.getLong(0) == 0L && empty.getLong(1) == 0L &&
+      empty.isNullAt(5) && empty.isNullAt(6) && empty.isNullAt(7))
+  }
+
   test("inContextLayout: retrieval neighbors pack adjacent, beats the md5 shuffle") {
     // planted corpus: 4 clusters interleaved across ids (the IvfIndex
     // lowest-id-seed convention), one-hot embeddings so within-cluster

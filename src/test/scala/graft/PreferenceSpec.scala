@@ -108,6 +108,43 @@ class PreferenceSpec extends AnyFunSuite {
       s"expected exactly one shuffle:\n${plan.take(800)}")
   }
 
+  test("cross-pair leak guard: near-dup legs across prompts split together") {
+    import graft.operators.{Dedup, Sampling}
+    // prompts 1 and 3 share a near-identical CHOSEN response — a
+    // train/val split by prompt alone could put the duplicate on both
+    // sides; composing with the existing leak-free split (q9R) over
+    // leg-text near-dup edges forces linked prompts onto ONE side
+    val resp = Seq(
+      (1L, 10L, "the quick brown fox jumps over the lazy dog today", 5L),
+      (1L, 11L, "completely different animal story entirely", 1L),
+      (2L, 20L, "unrelated cooking recipe with many steps involved", 4L),
+      (2L, 21L, "a short note", 1L),
+      (3L, 30L, "the quick brown fox jumps over the lazy dog tonight", 7L),
+      (3L, 31L, "yet another unrelated reply text", 2L)
+    ).toDF("prompt_id", "resp_id", "text", "score")
+    val pairs = Preference.preferencePairs(resp, "prompt_id", "resp_id",
+      "text", "score")
+    // legs carried back to their prompt: near-dup edges between leg
+    // texts become edges between PROMPTS
+    val legs = pairs.select(col("prompt_id").as("pid"),
+        col("chosen_id").as("resp_id"))
+      .union(pairs.select(col("prompt_id").as("pid"),
+        col("rejected_id").as("resp_id")))
+      .join(resp, Seq("resp_id"))
+      .select((col("pid") * 1000 + col("resp_id")).as("leg_id"), col("text"))
+    val dup = Dedup.prefixFilterJaccardPairs(legs, "leg_id", "text",
+      shingleWords = 3, minJaccard = 0.5)
+    val promptEdges = dup.select((col("id_a") / 1000).cast("long").as("a"),
+      (col("id_b") / 1000).cast("long").as("b"))
+    val split = Sampling.leakFreeSplit(
+        resp.select("prompt_id").distinct(), "prompt_id",
+        promptEdges, "a", "b", valBound = "8")
+      .collect().map(r => r.getLong(0) -> r.getString(2)).toMap
+    assert(split.size == 3)
+    assert(split(1L) == split(3L),
+      s"near-dup chosen legs straddle the split: $split")
+  }
+
   test("lengthBias: exact sums, only kept pairs count") {
     val pairs = Seq(
       // (by, delta, keep): kept deltas 3, -1, 2 -> sum 4, avg 4/3,
