@@ -95,6 +95,11 @@ object ContextLayout {
         walkComponent(comp, it, mc, md)
       }
       .toDF("id", "comp", "comp_key", "pos", "walked")
+      // materialize ONCE: the walk output feeds both the prefix sum
+      // and the final join — without this the CC + walk pipeline
+      // executes twice; the frame is 5 scalars per node (the
+      // packShards materialization class)
+      .localCheckpoint(true)
     // global ordinal: two-phase prefix sum with unit weights over the
     // (component key, component, position) order — `ord` = number of
     // docs laid out before this one, computed distributed
@@ -103,9 +108,13 @@ object ContextLayout {
       format_string("%019d|%019d|%010d", col("comp_key"), col("comp"),
         col("pos")),
       "id", "__one", partitions)
+    // the layout is the natural input to BOTH a packing pass and an
+    // audit/join-back (see inContextLayout) — materialize the n×4
+    // scalar result so consumers never re-run the assembly join
     walked.join(ord, Seq("id"))
       .select(col("id"), col("comp").as("component"),
         col("cum_before").as("ord"), col("walked"))
+      .localCheckpoint(true)
   }
 
   /** The per-component greedy walk — driver-free, component-bounded.
