@@ -89,6 +89,36 @@ class ContextLayoutSpec extends AnyFunSuite {
     assert(ex.getMessage != null)
   }
 
+  test("contextOrder: random graphs — permutation, component-contiguous, layout-invariant") {
+    val rnd = new scala.util.Random(7)
+    for (_ <- 1 to 3) {
+      val n = 40 + rnd.nextInt(40)
+      val ids = (0L until n.toLong).toDF("id")
+      val edges = Seq.fill(2 * n)((rnd.nextInt(n).toLong,
+          rnd.nextInt(n).toLong, (rnd.nextInt(10) + 1) / 10.0))
+        .filter(e => e._1 != e._2).toDF("a", "b", "w")
+      val rows = ContextLayout.contextOrder(ids, "id", edges, "a", "b", "w")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      // a LAYOUT is a permutation: every id exactly once, dense ords
+      assert(rows.map(_._1).toSet == (0L until n.toLong).toSet)
+      assert(rows.map(_._3).sorted.toSeq == (0L until n.toLong))
+      // a component never splits across the layout (related docs
+      // stay contiguous — the property the operator exists for)
+      val compsInOrder = rows.sortBy(_._3).map(_._2)
+      val runs = compsInOrder.foldLeft(List.empty[Long]) { (acc, c) =>
+        if (acc.headOption.contains(c)) acc else c :: acc
+      }
+      assert(runs.distinct.size == runs.size,
+        s"component split across the layout: ${compsInOrder.mkString(",")}")
+      // partitioning must not change a single ordinal
+      val relaid = ContextLayout.contextOrder(ids.repartition(13), "id",
+          edges.repartition(7), "a", "b", "w")
+        .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+      assert(relaid == rows.map(r => (r._1, r._3)).toSet,
+        "partition layout changed the walk")
+    }
+  }
+
   test("packingReport: hand-computed audit; split docs and tail fill exact") {
     // the packSequencesBy hand case: stream 10(3) 11(4) 12(5) at
     // seqLen 4 -> 3 full sequences, docs 11 and 12 split, 5 spans

@@ -994,6 +994,17 @@ class ScaleOperatorsSpec extends AnyFunSuite {
     // empty input: empty matrix, not a crash
     assert(Similarity.centroidDriftMatrix(
       (ab ++ c).toDF("g", "v").limit(0), "g", "v").count() == 0)
+    // the qBB fixed-point sweep: on real testdata the ROUNDED output
+    // is bit-identical across partition layouts (the qBQ-class trap
+    // this operator shared — order-dependent double sums under
+    // round-4 — is closed by the 1e-9 integer contract)
+    val emb = Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
+    def mat(df: org.apache.spark.sql.DataFrame) =
+      Similarity.centroidDriftMatrix(df, "label", "embedding")
+        .collect().map(r => (r.get(0).toString, r.get(1).toString,
+          r.getDouble(4))).toSet
+    assert(mat(emb.repartition(3)) == mat(emb.repartition(29)),
+      "partition layout changed a drift distance")
   }
 
   test("prototypicalityFilter invariants hold on random corpora") {
