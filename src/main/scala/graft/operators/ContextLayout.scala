@@ -32,11 +32,14 @@ import org.apache.spark.sql.functions._
  *
  * Scale shape: the walk is inherently sequential PER COMPONENT, so
  * it runs inside one `flatMapGroups` task per component — fine
- * exactly because degree-bounded kNN components are small; a
- * component larger than `maxComponent` would serialize a giant walk
- * into one task, so it falls back to plain (hash40, id) order WITHIN
- * the component (related docs still co-locate componentwise) and is
- * flagged `walked = false` — observable per row, never silent.
+ * exactly because degree-bounded kNN components are small. A
+ * component larger than `maxComponent` NEVER reaches a walk task
+ * (a distributed size census routes it first — buffering a giant
+ * component's adjacency before deciding to fall back would be the
+ * OOM the cap exists to prevent): its members get plain (hash40, id)
+ * order within the component straight through the distributed prefix
+ * sum (related docs still co-locate componentwise), flagged
+ * `walked = false` — observable per row, never silent.
  * Adjacency lists are capped at `maxDegree` (top by weight, hash
  * tie-break) so task memory is O(component × maxDegree). The global
  * ordinal is assigned by [[Packing]]'s two-phase distributed prefix
@@ -77,36 +80,60 @@ object ContextLayout {
       .select(col("id"),
         coalesce(col("component"), col("id")).as("comp"),
         Sampling.hash40(Seq(col("id")), salt).as("h"))
-    // one tagged stream per component: node rows carry (id, hash),
-    // edge rows carry (a, b, w) keyed by a's component (both
-    // endpoints share it by construction)
-    val nodeRows = withComp.select(col("comp"), lit(0).as("kind"),
-      col("id").as("x"), col("h").as("y"), lit(0.0).as("w"))
+      // reused by the size census, the walk stream, AND the edge
+      // tagging — materialize once (3 scalars per node)
+      .localCheckpoint(true)
+    // component size census FIRST, distributed: an over-cap component
+    // must never reach a single walk task at all — buffering a
+    // giant component's adjacency before deciding to fall back would
+    // be the OOM the cap exists to prevent. comp_key = the (h, id)-
+    // minimum member's hash, the component's layout position.
+    val stats = withComp.groupBy(col("comp"))
+      .agg(count(lit(1)).as("__n"),
+        min(struct(col("h"), col("id"))).as("__mk"))
+      .select(col("comp"), col("__n"),
+        col("__mk").getField("h").as("comp_key"))
+    val tagged = withComp.join(stats, Seq("comp"))
+    // one tagged stream per WALKABLE component: node rows carry
+    // (id, hash), edge rows carry (a, b, w) keyed by a's component
+    // (both endpoints share it by construction); over-cap components
+    // contribute NO rows here
+    val nodeRows = tagged.filter(col("__n") <= maxComponent)
+      .select(col("comp"), lit(0).as("kind"),
+        col("id").as("x"), col("h").as("y"), lit(0.0).as("w"))
     val edgeRows = e
       .join(withComp.select(col("id").as("a"), col("comp")), Seq("a"))
+      .join(stats.select(col("comp"), col("__n")), Seq("comp"))
+      .filter(col("__n") <= maxComponent)
       .select(col("comp"), lit(1).as("kind"), col("a").as("x"),
         col("b").as("y"), col("w"))
     val mc = maxComponent
     val md = maxDegree
+    // the third key field: walk position for walked components, the
+    // member hash for over-cap ones — (hash, id) IS the documented
+    // fallback order, assigned fully distributed
     val walked = nodeRows.union(edgeRows)
       .as[(Long, Int, Long, Long, Double)]
       .groupByKey(_._1)
       .flatMapGroups { (comp, it) =>
         walkComponent(comp, it, mc, md)
       }
-      .toDF("id", "comp", "comp_key", "pos", "walked")
-      // materialize ONCE: the walk output feeds both the prefix sum
-      // and the final join — without this the CC + walk pipeline
+      .toDF("id", "comp", "comp_key", "third", "walked")
+      .union(tagged.filter(col("__n") > maxComponent)
+        .select(col("id"), col("comp"), col("comp_key"),
+          col("h").as("third"), lit(false).as("walked")))
+      // materialize ONCE: the layout feeds both the prefix sum and
+      // the final join — without this the CC + walk pipeline
       // executes twice; the frame is 5 scalars per node (the
       // packShards materialization class)
       .localCheckpoint(true)
     // global ordinal: two-phase prefix sum with unit weights over the
-    // (component key, component, position) order — `ord` = number of
-    // docs laid out before this one, computed distributed
+    // (component key, component, position, id) order — `ord` = number
+    // of docs laid out before this one, computed distributed
     val ord = Packing.prefixByKey(
       walked.withColumn("__one", lit(1L)),
-      format_string("%019d|%019d|%010d", col("comp_key"), col("comp"),
-        col("pos")),
+      format_string("%019d|%019d|%019d|%019d", col("comp_key"),
+        col("comp"), col("third"), col("id")),
       "id", "__one", partitions)
     // the layout is the natural input to BOTH a packing pass and an
     // audit/join-back (see inContextLayout) — materialize the n×4
@@ -117,12 +144,13 @@ object ContextLayout {
       .localCheckpoint(true)
   }
 
-  /** The per-component greedy walk — driver-free, component-bounded.
-    * Emits (id, comp, compKey, pos, walked). */
+  /** The per-component greedy walk — driver-free, component-bounded
+    * (over-cap components are routed around this function entirely by
+    * the size census). Emits (id, comp, compKey, pos, walked). */
   private def walkComponent(comp: Long,
                             it: Iterator[(Long, Int, Long, Long, Double)],
                             maxComponent: Int, maxDegree: Int)
-      : Iterator[(Long, Long, Long, Int, Boolean)] = {
+      : Iterator[(Long, Long, Long, Long, Boolean)] = {
     require(comp >= 0,
       s"contextOrder: negative component id $comp breaks the " +
         "zero-padded global order key — ids must be non-negative")
@@ -146,17 +174,15 @@ object ContextLayout {
     adj.keysIterator.toArray.foreach { k =>
       adj(k) = adj(k).distinct.sortBy(prec).take(maxDegree)
     }
-    // (hash, id)-sorted members: the jump pool, the fallback order,
-    // and the component layout key (head's hash)
+    // the size census routes over-cap components around the walk —
+    // seeing one here means the routing broke, not the input
+    require(n <= maxComponent,
+      s"contextOrder: component $comp of size $n reached the walk task " +
+        s"past the $maxComponent census cut — routing invariant broken")
+    // (hash, id)-sorted members: the jump pool and the component
+    // layout key (head's hash)
     val byHash = hs.toArray.sortBy { case (id, h) => (h, id) }.map(_._1)
     val compKey = hs(byHash.head)
-    if (n > maxComponent) {
-      // LOUD fallback, flagged per row: a giant component would
-      // serialize its walk into one task
-      return byHash.iterator.zipWithIndex.map { case (id, i) =>
-        (id, comp, compKey, i, false)
-      }
-    }
     val visited = new java.util.HashSet[java.lang.Long](n * 2)
     val path = new scala.collection.mutable.ArrayBuffer[Long](n)
     // start: max degree, then min hash, then min id
@@ -185,7 +211,7 @@ object ContextLayout {
       visited.add(best); path += best; current = best
     }
     path.iterator.zipWithIndex.map { case (id, i) =>
-      (id, comp, compKey, i, true)
+      (id, comp, compKey, i.toLong, true)
     }
   }
 
