@@ -597,4 +597,67 @@ class PropertySpecs extends AnyFunSuite {
       assert(got(id) == exp, s"doc $id '${text.replace("\n", "\\n")}'")
     }
   }
+
+  test("preferencePairs ≡ driver brute force on random response tables") {
+    val spark = GraftTestSession.spark
+    import spark.implicits._
+    val words = Vector("aa", "bb", "cc", "dd", "ee", "ff", "gg")
+    val rnd = new scala.util.Random(91)
+    for (_ <- 1 to 3) {
+      val rows = (0 until 120).map { i =>
+        val text = Seq.fill(rnd.nextInt(6))(words(rnd.nextInt(words.size)))
+          .mkString(" ")
+        ((i / 5).toLong, i.toLong, text, rnd.nextInt(4).toLong)
+      }
+      val got = graft.operators.Preference.preferencePairs(
+          rows.toDF("prompt_id", "resp_id", "text", "score"),
+          "prompt_id", "resp_id", "text", "score", maxJaccard = 0.8)
+        .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2),
+          r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6),
+          r.getDouble(7), r.getBoolean(8)))).toMap
+      rows.groupBy(_._1).foreach { case (p, rs) =>
+        val chosen = rs.minBy(r => (-r._4, r._2))
+        val rejected = rs.minBy(r => (r._4, -r._2))
+        def toks(t: String) = t.split("\\s+").filter(_.nonEmpty)
+        def set(t: String) = toks(t).toSet
+        val (ca, ra) = (set(chosen._3), set(rejected._3))
+        val inter = (ca & ra).size.toLong
+        val uni = ca.size + ra.size - inter
+        val jac = if (uni > 0) BigDecimal(inter.toDouble / uni)
+          .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble else 1.0
+        val exp = (rs.size.toLong, chosen._2, rejected._2,
+          toks(chosen._3).length.toLong, toks(rejected._3).length.toLong,
+          toks(chosen._3).length.toLong - toks(rejected._3).length,
+          jac, rs.size >= 2 && chosen._2 != rejected._2 && jac < 0.8)
+        assert(got(p) == exp, s"prompt $p: got ${got(p)} expected $exp")
+      }
+    }
+  }
+
+  test("packingReport ≡ driver brute force on random packed layouts") {
+    val spark = GraftTestSession.spark
+    import spark.implicits._
+    val rnd = new scala.util.Random(17)
+    for (_ <- 1 to 3) {
+      val n = 30 + rnd.nextInt(30)
+      val seqLen = 8L + rnd.nextInt(8)
+      val docs = (0 until n).map(i => (i.toLong, rnd.nextInt(20).toLong,
+        i.toLong))
+      val packed = graft.operators.Packing.packSequencesBy(
+        docs.toDF("id", "w", "ord"), "id", "w", "ord", seqLen)
+      val spans = packed.collect().map(r => (r.getLong(0), r.getLong(1),
+        r.getLong(3) - r.getLong(2)))
+      val r = graft.operators.Packing.packingReport(packed, "id", seqLen)
+        .collect().head
+      val byDoc = spans.groupBy(_._1)
+      val bySeq = spans.groupBy(_._2)
+      assert(r.getLong(0) == bySeq.size && r.getLong(1) == byDoc.size)
+      assert(r.getLong(2) == spans.map(_._3).sum)
+      assert(r.getLong(3) ==
+        bySeq.values.count(_.map(_._3).sum == seqLen))
+      assert(r.getLong(4) == byDoc.values.count(_.size > 1))
+      if (bySeq.nonEmpty)
+        assert(r.getLong(7) == spans.map(_._3).sum - (bySeq.size - 1) * seqLen)
+    }
+  }
 }
