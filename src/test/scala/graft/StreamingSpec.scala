@@ -738,4 +738,45 @@ class StreamingSpec extends AnyFunSuite {
       }
     } finally q.stop()
   }
+
+  test("streaming length bias: integer state makes streamed ≡ batch bit-for-bit") {
+    import graft.operators.Preference
+    import graft.streaming.StreamingLengthBias
+    import spark.implicits._
+    // pairs from the real corpus via the batch extractor, streamed
+    // file-by-file into the monitor — the final per-source row must
+    // equal the batch audit EXACTLY (integer state, one division)
+    val resp = Tables.load(spark, "/root/testdata/sf0.001", "documents")
+      .select(expr("doc_id div 4").as("prompt_id"), col("doc_id").as("resp_id"),
+        col("text"), (col("doc_id") % 7).as("score"), col("source"))
+    val pairs = Preference.preferencePairs(resp, "prompt_id", "resp_id",
+        "text", "score", carry = Seq("source"))
+      .localCheckpoint(true)
+    val batch = Preference.lengthBias(pairs, "source")
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getDouble(4)))).toMap
+    val d = java.nio.file.Files.createTempDirectory(
+      new java.io.File("target").toPath.toAbsolutePath, "lenbias").toString
+    pairs.repartition(4).write.mode("overwrite").parquet(d)
+    val latest = new java.util.concurrent.ConcurrentHashMap[
+      String, (Long, Long, Double, Double)]()
+    val stream = spark.readStream.schema(pairs.schema)
+      .option("maxFilesPerTrigger", 1).parquet(d)
+    val q = StreamingLengthBias.lengthBias(stream, "source")
+      .writeStream.outputMode("update")
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        b.collect().foreach { r =>
+          latest.put(r.getString(0),
+            (r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4)))
+        }
+      }.start()
+    try q.processAllAvailable() finally q.stop()
+    import scala.jdk.CollectionConverters._
+    val streamed = latest.asScala.toMap
+    assert(streamed.keySet == batch.keySet, s"sources diverge: " +
+      s"${streamed.keySet} vs ${batch.keySet}")
+    batch.foreach { case (src, exp) =>
+      assert(streamed(src) == exp, s"source $src: ${streamed(src)} vs $exp")
+    }
+  }
 }
