@@ -102,8 +102,8 @@ object ContextLayout {
       .select(col("comp"), lit(0).as("kind"),
         col("id").as("x"), col("h").as("y"), lit(0.0).as("w"))
     val edgeRows = e
-      .join(withComp.select(col("id").as("a"), col("comp")), Seq("a"))
-      .join(stats.select(col("comp"), col("__n")), Seq("comp"))
+      .join(tagged.select(col("id").as("a"), col("comp"), col("__n")),
+        Seq("a"))
       .filter(col("__n") <= maxComponent)
       .select(col("comp"), lit(1).as("kind"), col("a").as("x"),
         col("b").as("y"), col("w"))
