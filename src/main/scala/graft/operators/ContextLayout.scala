@@ -70,10 +70,13 @@ object ContextLayout {
     import spark.implicits._
     val ids = nodes.select(col(idCol).cast("long").as("id"))
       .filter(col("id").isNotNull).distinct()
+    // a NaN weight means "no defined similarity" — keeping it would
+    // poison the adjacency sort and the step comparisons (NaN
+    // compares are order-dependent in plain scala sorts)
     val e = edges.select(col(aCol).cast("long").as("a"),
         col(bCol).cast("long").as("b"), col(wCol).cast("double").as("w"))
       .filter(col("a").isNotNull && col("b").isNotNull &&
-        col("a") =!= col("b"))
+        col("a") =!= col("b") && col("w").isNotNull && !isnan(col("w")))
     val cc = ConnectedComponents.run(e, "a", "b")
     val withComp = ids
       .join(cc, Seq("id"), "left")
