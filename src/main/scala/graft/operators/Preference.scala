@@ -25,6 +25,12 @@ import org.apache.spark.sql.functions._
  * aggregation so the corpus shuffles exactly once; every later step
  * is per-pair row arithmetic.
  *
+ * Null scores are excluded from the pool (and from n_resp) — a null
+ * inside the selection key would make the argmax engine-dependent. A
+ * float NaN score, by Spark's ordering, sorts LARGEST and would be
+ * chosen — filter NaN scores upstream if the score column can carry
+ * them (the operator cannot: isnan is undefined on integral types).
+ *
  * Near-dup guard: exact token-set Jaccard between chosen and
  * rejected, |∩| and |∪| = |A|+|B|−|∩| as exact integers and ONE
  * float division (the round-14 float-contract rule); two empty

@@ -364,12 +364,17 @@ object Coverage {
     // it — the oracle is the inlined expression
     "qBF_sql_udf" -> ((s, dir) => {
       Tables.registerAll(s, dir)
+      // the UDF returns an EXACT decimal so the Σ above it is
+      // order-invariant (round-14 float contract — a DOUBLE-returning
+      // body would put a reorderable float sum under the round-2 hash)
       s.sql("""CREATE OR REPLACE TEMPORARY FUNCTION graft_disc_price(
-               p DOUBLE, d DOUBLE) RETURNS DOUBLE RETURN p * (1 - d)""")
+               p DOUBLE, d DOUBLE) RETURNS DECIMAL(16,4)
+               RETURN CAST(p AS DECIMAL(12,2)) *
+                      (CAST(1 AS DECIMAL(3,2)) - CAST(d AS DECIMAL(3,2)))""")
       s.sql("""
         SELECT l_returnflag,
-               round(sum(graft_disc_price(l_extendedprice, l_discount)), 2)
-                 AS revenue
+               round(CAST(sum(graft_disc_price(l_extendedprice, l_discount))
+                     AS DOUBLE), 2) AS revenue
         FROM lineitem WHERE l_quantity > 5
         GROUP BY l_returnflag ORDER BY l_returnflag
       """)
@@ -585,7 +590,9 @@ object Coverage {
       ORDER BY o_orderkey""",
     "qBF_sql_udf" -> """
       SELECT l_returnflag,
-             round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+             round(CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) *
+                   (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(3,2))))
+                   AS DOUBLE), 2) AS revenue
       FROM lineitem WHERE l_quantity > 5
       GROUP BY l_returnflag ORDER BY l_returnflag""",
     "qBG_collation" -> """

@@ -32,6 +32,23 @@ object Relational {
     s.sql(q)
   }
 
+  /** Order-invariant money sum: 2-decimal lake prices quantize
+    * losslessly into DECIMAL(12,2), whose sum is exact integer
+    * arithmetic in any partition/merge order; the final round of the
+    * double cast is then a pure function of the exact sum (round-14
+    * float contract — a float Σ over a large group carries reorder
+    * error within an order of magnitude of the half-cent boundary). */
+  private def moneySum(c: Column): Column =
+    round(sum(c.cast("decimal(12,2)")).cast("double"), 2)
+
+  /** [[moneySum]] for TPC-H revenue terms: price × (1 − discount) as
+    * exact DECIMAL(12,2) × DECIMAL(3,2) products (discounts are
+    * 2-decimal too), summed exactly, rounded once. */
+  private def revenueSum(p: Column, d: Column): Column =
+    round(sum(p.cast("decimal(12,2)") *
+      (lit(1).cast("decimal(3,2)") - d.cast("decimal(3,2)")))
+      .cast("double"), 2)
+
   val queries: Map[String, Q] = Map(
     // ---- projection / filter / scalar expressions ----------------------
     "q01_projection" -> ((s, dir) => {
@@ -66,6 +83,14 @@ object Relational {
     }),
 
     // ---- aggregation ---------------------------------------------------
+    // Money sums go through EXACT decimals (the q93 precedent, made
+    // suite law by the round-14 float contract): prices in the lake
+    // are 2-decimal, a float Σ over a large group reorders by
+    // partition merge with error within an order of magnitude of the
+    // half-cent round boundary, and DECIMAL sums are order-invariant.
+    // avg(l_quantity) needs no treatment: quantities are
+    // integer-valued, and integer-valued double sums below 2^53 are
+    // exact in any order.
     "q04_agg" -> ((s, dir) => {
       val t = T(s, dir) _
       t("lineitem")
@@ -73,8 +98,9 @@ object Relational {
         .groupBy(col("l_returnflag"), col("l_linestatus"))
         .agg(
           sum(col("l_quantity")).as("sum_qty"),
-          round(sum(col("l_extendedprice")), 2).as("sum_base_price"),
-          round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2).as("sum_disc_price"),
+          moneySum(col("l_extendedprice")).as("sum_base_price"),
+          revenueSum(col("l_extendedprice"), col("l_discount"))
+            .as("sum_disc_price"),
           round(avg(col("l_quantity")), 6).as("avg_qty"),
           count(lit(1)).as("count_order"))
         .orderBy(col("l_returnflag"), col("l_linestatus"))
@@ -93,7 +119,7 @@ object Relational {
       val t = T(s, dir) _
       t("orders").agg(
         count(lit(1)).as("n"),
-        round(sum(col("o_totalprice")), 2).as("total"),
+        moneySum(col("o_totalprice")).as("total"),
         min(col("o_totalprice")).as("min_price"),
         max(col("o_totalprice")).as("max_price"),
         min(col("o_orderdate")).as("first_date"),
@@ -139,7 +165,7 @@ object Relational {
       val t = T(s, dir) _
       t("orders")
         .cube(col("o_orderstatus"), col("o_orderpriority"))
-        .agg(count(lit(1)).as("n"), round(sum(col("o_totalprice")), 2).as("total"))
+        .agg(count(lit(1)).as("n"), moneySum(col("o_totalprice")).as("total"))
         .orderBy(col("o_orderstatus").asc_nulls_first, col("o_orderpriority").asc_nulls_first)
     }),
 
@@ -160,7 +186,7 @@ object Relational {
       li.join(o, li("l_orderkey") === o("o_orderkey"))
         .join(c, o("o_custkey") === c("c_custkey"))
         .groupBy(col("c_mktsegment"))
-        .agg(round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2).as("revenue"),
+        .agg(revenueSum(col("l_extendedprice"), col("l_discount")).as("revenue"),
           count(lit(1)).as("n_items"))
         .orderBy(col("c_mktsegment"))
     }),
@@ -249,7 +275,7 @@ object Relational {
           o("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
           o("o_orderdate") < lit("1998-01-01").cast("timestamp"))
         .groupBy(col("n_name"))
-        .agg(round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2)
+        .agg(revenueSum(col("l_extendedprice"), col("l_discount"))
           .as("revenue"), count(lit(1)).as("n_items"))
         .orderBy(col("n_name"))
     }),
@@ -498,8 +524,8 @@ object Relational {
     "q04_agg" -> """
       SELECT l_returnflag, l_linestatus,
              SUM(l_quantity) AS sum_qty,
-             ROUND(SUM(l_extendedprice), 2) AS sum_base_price,
-             ROUND(SUM(l_extendedprice * (1.0 - l_discount)), 2) AS sum_disc_price,
+             ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE), 2) AS sum_base_price,
+             ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(3,2)))) AS DOUBLE), 2) AS sum_disc_price,
              ROUND(AVG(l_quantity), 6) AS avg_qty,
              COUNT(*) AS count_order
       FROM lineitem
@@ -512,7 +538,7 @@ object Relational {
       HAVING SUM(l_quantity) > 1000
       ORDER BY l_suppkey""",
     "q06_agg_global" -> """
-      SELECT COUNT(*) AS n, ROUND(SUM(o_totalprice), 2) AS total,
+      SELECT COUNT(*) AS n, ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE), 2) AS total,
              MIN(o_totalprice) AS min_price, MAX(o_totalprice) AS max_price,
              MIN(o_orderdate) AS first_date, MAX(o_orderdate) AS last_date
       FROM orders""",
@@ -531,7 +557,7 @@ object Relational {
       ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""",
     "q11_cube" -> """
       SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n,
-             ROUND(SUM(o_totalprice), 2) AS total
+             ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE), 2) AS total
       FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
       ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""",
     "q12_grouping_sets" -> """
@@ -544,14 +570,14 @@ object Relational {
       ORDER BY g_flag, g_status, l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""",
     "q13_join_inner" -> """
       SELECT c_mktsegment,
-             ROUND(SUM(l_extendedprice * (1.0 - l_discount)), 2) AS revenue,
+             ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(3,2)))) AS DOUBLE), 2) AS revenue,
              COUNT(*) AS n_items
       FROM lineitem JOIN orders ON l_orderkey = o_orderkey
                     JOIN customer ON o_custkey = c_custkey
       GROUP BY c_mktsegment ORDER BY c_mktsegment""",
     "q13b_join_5way" -> """
       SELECT n_name,
-             ROUND(SUM(l_extendedprice * (1.0 - l_discount)), 2) AS revenue,
+             ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(3,2)))) AS DOUBLE), 2) AS revenue,
              COUNT(*) AS n_items
       FROM lineitem
       JOIN orders ON l_orderkey = o_orderkey
