@@ -33,21 +33,25 @@ object Relational {
   }
 
   /** Order-invariant money sum: 2-decimal lake prices quantize
-    * losslessly into DECIMAL(12,2), whose sum is exact integer
+    * losslessly into exact CENTS longs (`floor(x·100 + 0.5)` — the
+    * suite's fixedPoint convention), whose sum is exact integer
     * arithmetic in any partition/merge order; the final round of the
-    * double cast is then a pure function of the exact sum (round-14
-    * float contract — a float Σ over a large group carries reorder
-    * error within an order of magnitude of the half-cent boundary). */
+    * one double division is then a pure function of the exact sum
+    * (round-14 float contract — a float Σ over a large group carries
+    * reorder error within an order of magnitude of the half-cent
+    * boundary). Long cents over DECIMAL(12,2) deliberately: same
+    * exactness, but the whole aggregate stays inside whole-stage
+    * codegen (measured ~2× on q04; decimal sums box per row). Long
+    * range bounds the contract at ~9e16 dollars per group. */
   private def moneySum(c: Column): Column =
-    round(sum(c.cast("decimal(12,2)")).cast("double"), 2)
+    round(sum(floor(c * 100 + lit(0.5))).cast("double") / 100, 2)
 
-  /** [[moneySum]] for TPC-H revenue terms: price × (1 − discount) as
-    * exact DECIMAL(12,2) × DECIMAL(3,2) products (discounts are
-    * 2-decimal too), summed exactly, rounded once. */
+  /** [[moneySum]] for TPC-H revenue terms: cents × (100 − discount
+    * percent) as exact long products (discounts are 2-decimal too),
+    * summed exactly in 1e-4-dollar units, divided and rounded once. */
   private def revenueSum(p: Column, d: Column): Column =
-    round(sum(p.cast("decimal(12,2)") *
-      (lit(1).cast("decimal(3,2)") - d.cast("decimal(3,2)")))
-      .cast("double"), 2)
+    round(sum(floor(p * 100 + lit(0.5)) *
+      (lit(100L) - floor(d * 100 + lit(0.5)))).cast("double") / 10000, 2)
 
   val queries: Map[String, Q] = Map(
     // ---- projection / filter / scalar expressions ----------------------
@@ -83,12 +87,11 @@ object Relational {
     }),
 
     // ---- aggregation ---------------------------------------------------
-    // Money sums go through EXACT decimals (the q93 precedent, made
-    // suite law by the round-14 float contract): prices in the lake
-    // are 2-decimal, a float Σ over a large group reorders by
-    // partition merge with error within an order of magnitude of the
-    // half-cent round boundary, and DECIMAL sums are order-invariant.
-    // avg(l_quantity) needs no treatment: quantities are
+    // Money sums go through EXACT cents longs (see moneySum above —
+    // the round-14 float contract): prices in the lake are 2-decimal,
+    // and a float Σ over a large group reorders by partition merge
+    // with error within an order of magnitude of the half-cent round
+    // boundary. avg(l_quantity) needs no treatment: quantities are
     // integer-valued, and integer-valued double sums below 2^53 are
     // exact in any order.
     "q04_agg" -> ((s, dir) => {
@@ -524,8 +527,8 @@ object Relational {
     "q04_agg" -> """
       SELECT l_returnflag, l_linestatus,
              SUM(l_quantity) AS sum_qty,
-             ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE), 2) AS sum_base_price,
-             ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(3,2)))) AS DOUBLE), 2) AS sum_disc_price,
+             ROUND(CAST(SUM(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)) AS DOUBLE) / 100, 2) AS sum_base_price,
+             ROUND(CAST(SUM(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) * (100 - CAST(floor(l_discount * 100 + 0.5) AS BIGINT))) AS DOUBLE) / 10000, 2) AS sum_disc_price,
              ROUND(AVG(l_quantity), 6) AS avg_qty,
              COUNT(*) AS count_order
       FROM lineitem
@@ -538,7 +541,7 @@ object Relational {
       HAVING SUM(l_quantity) > 1000
       ORDER BY l_suppkey""",
     "q06_agg_global" -> """
-      SELECT COUNT(*) AS n, ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE), 2) AS total,
+      SELECT COUNT(*) AS n, ROUND(CAST(SUM(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS DOUBLE) / 100, 2) AS total,
              MIN(o_totalprice) AS min_price, MAX(o_totalprice) AS max_price,
              MIN(o_orderdate) AS first_date, MAX(o_orderdate) AS last_date
       FROM orders""",
@@ -557,7 +560,7 @@ object Relational {
       ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""",
     "q11_cube" -> """
       SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n,
-             ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE), 2) AS total
+             ROUND(CAST(SUM(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS DOUBLE) / 100, 2) AS total
       FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
       ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""",
     "q12_grouping_sets" -> """
@@ -570,14 +573,14 @@ object Relational {
       ORDER BY g_flag, g_status, l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""",
     "q13_join_inner" -> """
       SELECT c_mktsegment,
-             ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(3,2)))) AS DOUBLE), 2) AS revenue,
+             ROUND(CAST(SUM(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) * (100 - CAST(floor(l_discount * 100 + 0.5) AS BIGINT))) AS DOUBLE) / 10000, 2) AS revenue,
              COUNT(*) AS n_items
       FROM lineitem JOIN orders ON l_orderkey = o_orderkey
                     JOIN customer ON o_custkey = c_custkey
       GROUP BY c_mktsegment ORDER BY c_mktsegment""",
     "q13b_join_5way" -> """
       SELECT n_name,
-             ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(3,2)))) AS DOUBLE), 2) AS revenue,
+             ROUND(CAST(SUM(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) * (100 - CAST(floor(l_discount * 100 + 0.5) AS BIGINT))) AS DOUBLE) / 10000, 2) AS revenue,
              COUNT(*) AS n_items
       FROM lineitem
       JOIN orders ON l_orderkey = o_orderkey
