@@ -1,0 +1,51 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Suite-level registry invariants — cheap, driver-only checks that
+  * catch wiring mistakes the per-query gates cannot see. */
+class SparkEntrySpec extends AnyFunSuite {
+
+  test("no orphan oracles: every oracleSql key names a registered query") {
+    // an oracle whose query was renamed/removed would silently check
+    // NOTHING — the gate only iterates queries, so the mismatch never
+    // errors on its own
+    val orphans = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
+    assert(orphans.isEmpty, s"oracles without a query: $orphans")
+  }
+
+  test("query names are gate-safe identifiers, unique across merged maps") {
+    // the driver uses names as file stems and JSON keys; merging the
+    // per-file query maps must not drop a duplicate silently (Map ++
+    // keeps the last one — a duplicated name would shadow a query and
+    // its oracle row would test the wrong plan)
+    val names = SparkEntry.queries.keySet
+    names.foreach { n =>
+      assert(n.matches("[A-Za-z0-9_]+"), s"unsafe query name: $n")
+    }
+    val families = Seq(
+      graft.queries.Relational.queries.keySet,
+      graft.queries.TimeSeries.queries.keySet,
+      graft.queries.Coverage.queries.keySet,
+      graft.queries.Pipeline.queries.keySet)
+    val total = families.map(_.size).sum
+    assert(total == families.reduce(_ ++ _).size,
+      "duplicate query name across families (Map ++ silently shadows)")
+    assert(names.size >= 201, s"query registry shrank: ${names.size}")
+  }
+
+  test("rows-only queries are the documented set, nothing drifts in silently") {
+    // every query WITHOUT an oracle is a deliberate rows-only check —
+    // a new query missing its oracle should fail HERE, not pass the
+    // gate with a silently weaker row-count-only comparison
+    val rowsOnly = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
+    val documented = Set(
+      "q09_approx_distinct", "q56_ann_lsh", "q72_ivf_search",
+      "q87_approx_percentile", "q88_sample", "q9A_pq_search",
+      "q9B_knn_join", "q9X_semantic_dedup", "qA7_compress_ratio",
+      "qBO_pca_whiten")
+    assert(rowsOnly == documented,
+      s"rows-only drift: unexpected ${rowsOnly -- documented}, " +
+        s"missing ${documented -- rowsOnly}")
+  }
+}
