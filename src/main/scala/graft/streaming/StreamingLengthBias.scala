@@ -34,9 +34,12 @@ object StreamingLengthBias {
 
   /** @return Update-mode stream of (byCol, n_pairs, sum_delta,
     *         avg_delta, frac_chosen_longer) — the batch
-    *         [[graft.operators.Preference.lengthBias]] schema, null
-    *         group rows excluded like the batch groupBy drops them
-    *         from a keyed report. */
+    *         [[graft.operators.Preference.lengthBias]] schema. ONE
+    *         deliberate difference: null-group pairs are EXCLUDED
+    *         here (a null key through the typed state exchange is a
+    *         reliability risk), while the batch groupBy reports a
+    *         null-source row — coalesce the group column upstream if
+    *         unattributed pairs must be monitored. */
   def lengthBias(pairs: DataFrame, byCol: String): DataFrame = {
     val spark = pairs.sparkSession
     import spark.implicits._
