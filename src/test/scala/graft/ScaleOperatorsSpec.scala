@@ -714,6 +714,24 @@ class ScaleOperatorsSpec extends AnyFunSuite {
     import graft.operators.Similarity
     val emb = Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
     val n = emb.count().toInt
+    // prefixDims beyond the stored width is refused loudly, never a
+    // silent exact-scan masquerading as the coarse stage (r13 advice)
+    val wide = intercept[IllegalArgumentException] {
+      Similarity.matryoshkaTopK(emb, "vec_id", "embedding", queryId = 1L,
+        k = 3, prefixDims = 4096, candidates = 10)
+    }
+    assert(wide.getMessage.contains("vector width"), wide.getMessage)
+    // a coordinate outside the 1e-9 fixed-point long range (or
+    // NaN/null) fails the centroid guard loudly, never wraps
+    val huge = Seq((1L, "g", Seq(1.0e10, 0.0)), (2L, "g", Seq(1.0, 2.0)))
+    import spark.implicits._
+    val ex = intercept[Exception] {
+      Similarity.robustCentroids(huge.toDF("vec_id", "label", "embedding"),
+        "vec_id", "label", "embedding", dim = 2, shards = 1).collect()
+    }
+    assert(ex.getMessage != null &&
+      (ex.getMessage + Option(ex.getCause).map(_.getMessage).getOrElse(""))
+        .contains("fixed-point"), ex.toString)
     def ids(df: org.apache.spark.sql.DataFrame): Seq[Long] =
       df.collect().map(_.getLong(0)).toSeq
     // degenerate-free identity: prefix = full dim and candidates >= n
