@@ -29,9 +29,18 @@ object Verify {
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .map { case (name, fn) =>
       scala.concurrent.Future {
-        try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-          .parquet(s"$outDir/$name")
-        catch { case e: Throwable =>
+        try {
+          fn(spark, sfDir).coalesce(1).write.mode("overwrite")
+            .parquet(s"$outDir/$name")
+          // sweep the WRITTEN bytes for -0.0 (cheap re-scan of the
+          // small output, not a re-execution): a negative zero here
+          // is a deterministic driver hash mismatch no numeric
+          // compare reports — fail loudly at dump time instead
+          val nz = SignZero.negZeroCounts(spark.read.parquet(s"$outDir/$name"))
+          if (nz.nonEmpty)
+            System.err.println(s"[signzero] $name emits NEGATIVE ZERO " +
+              s"in $nz — gateRound the projection (SCALE.md sign axis)")
+        } catch { case e: Throwable =>
           System.err.println(s"[verify] $name failed: ${e.getMessage}")
         }
       }

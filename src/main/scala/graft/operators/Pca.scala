@@ -102,7 +102,7 @@ object Pca {
         zip_with(
           transform(col("__comps"), c => Similarity.dot(col("__c"), c)),
           col("__scales"),
-          (s, sc) => round(s * sc, scale)).as("pc"))
+          (s, sc) => graft.functions.GateRound(s * sc, scale)).as("pc"))
   }
 
   /** Cyclic Jacobi eigendecomposition of a symmetric matrix —

@@ -113,7 +113,9 @@ object Preference {
         sum(when(col("delta_tokens") > 0, 1L).otherwise(0L))
           .cast("long").as("__longer"))
       .select(col(byCol), col("n_pairs"), col("sum_delta"),
-        round(col("sum_delta").cast("double") /
+        // GateRound: sum_delta can be a tiny negative whose rounded
+        // zero must not keep DuckDB's sign bit (the qBQ class)
+        graft.functions.GateRound(col("sum_delta").cast("double") /
           col("n_pairs").cast("double"), 6).as("avg_delta"),
         round(col("__longer").cast("double") /
           col("n_pairs").cast("double"), 6).as("frac_chosen_longer"))

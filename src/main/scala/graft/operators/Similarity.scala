@@ -74,7 +74,8 @@ object Similarity {
     emb.filter(col(idCol) =!= queryId)
       .filter(finiteNorm(norm(col(vecCol))))
       .join(broadcast(q))
-      .select(col(idCol), round(cosine(col(vecCol), col("__qvec")), 4).as("cos_sim"))
+      .select(col(idCol), graft.functions.GateRound(
+        cosine(col(vecCol), col("__qvec")), 4).as("cos_sim"))
       .orderBy(col("cos_sim").desc, col(idCol))
       .limit(k)
   }
@@ -130,12 +131,14 @@ object Similarity {
       .filter(finiteNorm(norm(col("__v"))) && finiteNorm(norm(col("__p"))))
       .join(broadcast(q))
       .select(col(idCol), col("__v"), col("__qv"),
-        round(cosine(col("__p"), col("__qp")), 4).as("cos_pre"))
+        graft.functions.GateRound(cosine(col("__p"), col("__qp")), 4)
+          .as("cos_pre"))
       .orderBy(col("cos_pre").desc, col(idCol))
       .limit(candidates)
     stage1
       .select(col(idCol), col("cos_pre"),
-        round(cosine(col("__v"), col("__qv")), 4).as("cos_sim"))
+        graft.functions.GateRound(cosine(col("__v"), col("__qv")), 4)
+          .as("cos_sim"))
       .orderBy(col("cos_sim").desc, col(idCol))
       .limit(k)
   }
@@ -209,7 +212,10 @@ object Similarity {
       .agg(sort_array(collect_list(col("col"))).as("__xs"))
       .select(col("__g").as(groupCol),
         (col("pos") + 1).cast("int").as("dim"),
-        round(element_at(col("__xs"),
+        // GateRound, not round: a tiny-negative median rounds to zero
+        // and the sign bit of that zero is the one byte DuckDB and
+        // Spark disagree on (the r14 gate forensic — label=8/dim=47)
+        graft.functions.GateRound(element_at(col("__xs"),
           floor((size(col("__xs")) + 1) / lit(2.0)).cast("int")), scale)
           .as("med"))
   }
@@ -298,7 +304,8 @@ object Similarity {
       norm(col(vecCol)).as("nb")).filter(finiteNorm(col("nb")))
     a.join(b, col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"),
-        round(dot(col("va"), col("vb")) / (col("na") * col("nb")), 4).as("cos_sim"))
+        graft.functions.GateRound(dot(col("va"), col("vb")) /
+          (col("na") * col("nb")), 4).as("cos_sim"))
       .orderBy(col("cos_sim").desc, col("id_a"), col("id_b"))
       .limit(k)
   }
@@ -578,7 +585,8 @@ object Similarity {
         .join(broadcast(allowed), col("a.cell") === col("cell_a"))
         .join(assigned.as("b"),
           col("cell_b") === col("b.cell") && col("a.id") < col("b.id")))
-      .select(col("id_a"), col("id_b"), round(col("cos_raw"), 4).as("cos_sim"))
+      .select(col("id_a"), col("id_b"),
+        graft.functions.GateRound(col("cos_raw"), 4).as("cos_sim"))
       .orderBy(col("cos_sim").desc, col("id_a"), col("id_b"))
       .limit(k)
   }
@@ -636,7 +644,10 @@ object Similarity {
         (row_number().over(w) >
           floor(count(lit(1)).over(wc) * lit(dropFrac))).as("kept"))
       .select(col("id"), col("cell"),
-        round(col("__cos"), 4).as("cos_proto"), col("kept"))
+        // GateRound: a cosine a hair under zero rounds to -0.0 in the
+        // DuckDB oracle (manifest at sf0.1) — normalize the sign bit
+        graft.functions.GateRound(col("__cos"), 4).as("cos_proto"),
+        col("kept"))
   }
 
   /**
@@ -1007,7 +1018,8 @@ object Similarity {
     val scored = clean
       .join(broadcast(q), col(labelCol) =!= col("__ql"))
       .select(col("q_id"),
-        round(cosine(col(vecCol), col("__qv")), 4).as("__score"),
+        graft.functions.GateRound(cosine(col(vecCol), col("__qv")), 4)
+          .as("__score"),
         col(idCol).cast("long").as("__id"),
         col(labelCol).cast("long").as("__tag"))
     scored.groupBy(col("q_id"))

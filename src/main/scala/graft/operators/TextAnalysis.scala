@@ -439,8 +439,8 @@ object TextAnalysis {
       "n_words" -> words.cast("long"),
       "n_sentences" -> sents.cast("long"),
       "n_syllables" -> sylls.cast("long"),
-      "flesch" -> round(lit(206.835) - lit(1.015) * (words / sents) -
-        lit(84.6) * (sylls / words), 6))
+      "flesch" -> graft.functions.GateRound(lit(206.835) -
+        lit(1.015) * (words / sents) - lit(84.6) * (sylls / words), 6))
   }
 
   /** Encoding-damage ("mojibake") detection — the ingest-hygiene
@@ -514,12 +514,12 @@ object TextAnalysis {
         sum(col("x") * col("y")).as("sxy"), sum(col("x") * col("x")).as("sxx"))
       .select(col("source"), col("n_types"),
         when(col("n_types") < 2, lit(0.0))
-          .otherwise(round(
+          .otherwise(graft.functions.GateRound(
             (col("sxy") - col("sx") * col("sy") / col("n_types").cast("double")) /
               (col("sxx") - col("sx") * col("sx") / col("n_types").cast("double")),
             6)).as("zipf_slope"),
         when(col("n_types") < 2, lit(0.0))
-          .otherwise(round(
+          .otherwise(graft.functions.GateRound(
             (col("sy") - ((col("sxy") - col("sx") * col("sy") / col("n_types").cast("double")) /
               (col("sxx") - col("sx") * col("sx") / col("n_types").cast("double"))) * col("sx")) /
               col("n_types").cast("double"), 6)).as("intercept"))
@@ -552,7 +552,7 @@ object TextAnalysis {
         coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
         coalesce(col("n_types"), lit(0L)).as("n_types"),
         when(coalesce(col("n_tokens"), lit(0L)) === 0, lit(0.0))
-          .otherwise(round(log(col("n_tokens").cast("double")) -
+          .otherwise(graft.functions.GateRound(log(col("n_tokens").cast("double")) -
             col("clogc") / col("n_tokens").cast("double"), 6)).as("entropy"),
         when(coalesce(col("n_tokens"), lit(0L)) === 0, lit(0.0))
           .otherwise(round(col("n_types").cast("double") /
@@ -600,7 +600,7 @@ object TextAnalysis {
     // sample variance from exact sums; clamp at 0 against the last-ulp
     // negative a constant source can produce
     val variance = (col("__s2").cast("double") - s1d * s1d / nd) / (nd - 1)
-    val z = round((x.cast("double") - mu) /
+    val z = graft.functions.GateRound((x.cast("double") - mu) /
       sqrt(greatest(variance, lit(0.0))), 6)
     val defined = col("__n") > 1 && variance > 0 && x.isNotNull
     docs.select(col(idCol).as("doc_id"), col(srcCol), col(scoreCol))
@@ -1203,7 +1203,8 @@ object TextAnalysis {
     docs.select(col(idCol),
         graft.functions.TextExprs.dsir_score(col(textCol), ratios).as("__d"))
       .filter(col("__d").isNotNull)
-      .select(col(idCol), round(col("__d.score"), 6).as("dsir_weight"),
+      .select(col(idCol),
+        graft.functions.GateRound(col("__d.score"), 6).as("dsir_weight"),
         col("__d.n_tokens").as("n_tokens"))
   }
 
@@ -1346,7 +1347,7 @@ object TextAnalysis {
       .join(pairj, Seq("sa", "sb"), "left")
       .na.fill(0.0, Seq("j1", "j2", "j3", "j4", "ji"))
       .select(col("sa").as("src_a"), col("sb").as("src_b"),
-        round(col("j1")
+        graft.functions.GateRound(col("j1")
           + (col("t1a") - col("j2"))
           - col("lpb0") * (col("t2a") - col("j3"))
           + col("pa0") * ((col("suppb") - col("ji")) * col("lpa0")
@@ -1399,7 +1400,8 @@ object TextAnalysis {
       .agg(sum(col("c") * coalesce(col("w"), lit(core.oovW))).as("s"))
     corpus.select(col(idCol)).join(scored, Seq(idCol), "left")
       .select(col(idCol),
-        round(coalesce(col("s"), lit(0.0)) + lit(core.priorDelta), 4).as("logit"))
+        graft.functions.GateRound(coalesce(col("s"), lit(0.0)) +
+          lit(core.priorDelta), 4).as("logit"))
       .withColumn("pred", col("logit") > 0.0)
       .orderBy(idCol)
   }

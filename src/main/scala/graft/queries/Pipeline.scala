@@ -620,7 +620,8 @@ object Pipeline {
       val u = (Sampling.hash40(Seq(col("doc_id")), "s0") + lit(1L))
         .cast("double")
       w.select(col("doc_id"), col("dsir_weight"),
-          round(log(u) - col("dsir_weight"), 6).as("draw_key"))
+          graft.functions.GateRound(log(u) - col("dsir_weight"), 6)
+            .as("draw_key"))
         .orderBy(col("draw_key"), col("doc_id"))
         .limit(50)
         .orderBy(col("doc_id"))
@@ -1088,12 +1089,13 @@ object Pipeline {
           slice(col("embedding"), 1, coarseDims).as("qc"))
       val stage1 = emb.filter(col("vec_id") =!= 0)
         .join(broadcast(q))
-        .withColumn("coarse_sim",
-          round(Similarity.cosine(slice(col("embedding"), 1, coarseDims), col("qc")), 4))
+        .withColumn("coarse_sim", graft.functions.GateRound(
+          Similarity.cosine(slice(col("embedding"), 1, coarseDims), col("qc")), 4))
         .orderBy(col("coarse_sim").desc, col("vec_id"))
         .limit(50)
       stage1
-        .withColumn("cos_sim", round(Similarity.cosine(col("embedding"), col("qv")), 4))
+        .withColumn("cos_sim", graft.functions.GateRound(
+          Similarity.cosine(col("embedding"), col("qv")), 4))
         .select(col("vec_id"), col("coarse_sim"), col("cos_sim"))
         .orderBy(col("cos_sim").desc, col("vec_id"))
         .limit(10)
@@ -1110,7 +1112,7 @@ object Pipeline {
       val codes = transform(e, x => floor((x.cast("double") - vmin) / scale).cast("int"))
       T(s, dir)("embeddings").filter(col("vec_id") < 200)
         .select(col("vec_id"),
-          round(vmin, 6).as("q_min"),
+          graft.functions.GateRound(vmin, 6).as("q_min"),
           round(scale, 8).as("q_scale"),
           element_at(codes, 1).as("code0"),
           aggregate(codes, lit(0L), (acc, c) => acc + c).as("code_sum"),
@@ -1894,7 +1896,7 @@ object Pipeline {
             WHERE embedding IS NOT NULL AND len(embedding) >= 64)
       SELECT vec_id, CAST(dim AS INT) AS dim,
              round(list_reduce(list_transform(range(1, 65), i -> v[i] * c[i]),
-                               (a, b) -> a + b), 6) AS val
+                               (a, b) -> a + b), 6) + 0 AS val
       FROM f, m ORDER BY vec_id, dim"""
   }
 
@@ -1930,12 +1932,12 @@ object Pipeline {
     "q54_embed_pairs" -> """
       SELECT a.vec_id AS id_a, b.vec_id AS id_b,
              round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
-                                          CAST(b.embedding AS DOUBLE[])), 4) AS cos_sim
+                                          CAST(b.embedding AS DOUBLE[])), 4) + 0 AS cos_sim
       FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
       ORDER BY cos_sim DESC, id_a, id_b LIMIT 20""",
     "q55_sim_topk" -> """
       WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 0)
-      SELECT vec_id, round(list_cosine_similarity(CAST(embedding AS DOUBLE[]), qv), 4) AS cos_sim
+      SELECT vec_id, round(list_cosine_similarity(CAST(embedding AS DOUBLE[]), qv), 4) + 0 AS cos_sim
       FROM embeddings, q WHERE vec_id != 0
       ORDER BY cos_sim DESC, vec_id LIMIT 10""",
     "q57_text_stats" -> s"""
@@ -1979,11 +1981,11 @@ object Pipeline {
                  FROM embeddings WHERE vec_id = 0),
       stage1 AS (
         SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ev,
-               round(list_cosine_similarity(CAST(list_slice(embedding, 1, 16) AS DOUBLE[]), qc), 4) AS coarse_sim
+               round(list_cosine_similarity(CAST(list_slice(embedding, 1, 16) AS DOUBLE[]), qc), 4) + 0 AS coarse_sim
         FROM embeddings, q WHERE vec_id != 0
         ORDER BY coarse_sim DESC, vec_id LIMIT 50)
       SELECT vec_id, coarse_sim,
-             round(list_cosine_similarity(ev, qv), 4) AS cos_sim
+             round(list_cosine_similarity(ev, qv), 4) + 0 AS cos_sim
       FROM stage1, q
       ORDER BY cos_sim DESC, vec_id LIMIT 10""",
     "q92_embed_quantize" -> """
@@ -1997,7 +1999,7 @@ object Pipeline {
                list_transform(e, x -> CAST(floor((x - vmin) / scale) AS INT)) AS codes
         FROM q
       )
-      SELECT vec_id, round(vmin, 6) AS q_min, round(scale, 8) AS q_scale,
+      SELECT vec_id, round(vmin, 6) + 0 AS q_min, round(scale, 8) AS q_scale,
              codes[1] AS code0,
              CAST(list_sum(codes) AS BIGINT) AS code_sum,
              round(list_max(list_transform(range(1, len(e) + 1),
@@ -2165,7 +2167,7 @@ object Pipeline {
                 - ln((c_raw + 1) / CAST(n_raw + 64 AS DOUBLE)) AS lr
             FROM m, t),
       wdoc AS (
-        SELECT b.doc_id, round(SUM(r.lr), 6) AS dsir_weight
+        SELECT b.doc_id, round(SUM(r.lr), 6) + 0 AS dsir_weight
         FROM b JOIN r USING (bucket) GROUP BY b.doc_id),
       h AS (
         SELECT doc_id,
@@ -2176,7 +2178,7 @@ object Pipeline {
         FROM documents),
       k AS (
         SELECT w.doc_id, w.dsir_weight,
-               round(ln(h.u) - w.dsir_weight, 6) AS draw_key
+               round(ln(h.u) - w.dsir_weight, 6) + 0 AS draw_key
         FROM wdoc w JOIN h USING (doc_id))
       SELECT doc_id, dsir_weight, draw_key FROM (
         SELECT * FROM k ORDER BY draw_key, doc_id LIMIT 50)
@@ -2200,7 +2202,7 @@ object Pipeline {
               ln((c_t + 1) / CAST(n_t + 64 AS DOUBLE))
                 - ln((c_raw + 1) / CAST(n_raw + 64 AS DOUBLE)) AS lr
             FROM m, t)
-      SELECT b.doc_id, round(SUM(r.lr), 6) AS dsir_weight,
+      SELECT b.doc_id, round(SUM(r.lr), 6) + 0 AS dsir_weight,
              CAST(COUNT(*) AS BIGINT) AS n_tokens
       FROM b JOIN r USING (bucket)
       GROUP BY b.doc_id ORDER BY b.doc_id""",
@@ -2297,7 +2299,7 @@ object Pipeline {
                  FROM fin WHERE vec_id < 20),
            scored AS (
              SELECT q.q_id, e.vec_id AS n_id, e.label AS n_label,
-                    round(list_cosine_similarity(e.v, q.qv), 4) AS cos_sim
+                    round(list_cosine_similarity(e.v, q.qv), 4) + 0 AS cos_sim
              FROM fin e JOIN q ON e.label != q.q_label)
       SELECT q_id, CAST(rnk AS INT) AS rank, n_id, n_label, cos_sim
       FROM (SELECT *, row_number() OVER
@@ -2345,7 +2347,7 @@ object Pipeline {
                    + pa.p0 * ((pb.supp - coalesce(ji, 0)) * pa.lp0
                               - (pb.t3 - coalesce(j4, 0)))
                    + (vocab.v - pa.supp - pb.supp + coalesce(ji, 0))
-                     * pa.p0 * (pa.lp0 - pb.lp0), 4) AS kl_div
+                     * pa.p0 * (pa.lp0 - pb.lp0), 4) + 0 AS kl_div
       FROM per2 pa
       JOIN per2 pb ON pa.src != pb.src
       CROSS JOIN vocab
@@ -2383,7 +2385,7 @@ object Pipeline {
       SELECT d.doc_id,
              round(coalesce(sc.s, 0)
                    + (ln((SELECT dp FROM prior)) - ln((SELECT dn FROM prior))), 4)
-               AS logit,
+               + 0 AS logit,
              round(coalesce(sc.s, 0)
                    + (ln((SELECT dp FROM prior)) - ln((SELECT dn FROM prior))), 4)
                > 0 AS pred
@@ -2911,7 +2913,7 @@ object Pipeline {
              CAST(COALESCE(n_types, 0) AS BIGINT) AS n_types,
              CASE WHEN COALESCE(n_tokens, 0) = 0 THEN 0.0
                   ELSE round(ln(CAST(n_tokens AS DOUBLE)) -
-                    clogc / CAST(n_tokens AS DOUBLE), 6) END AS entropy,
+                    clogc / CAST(n_tokens AS DOUBLE), 6) + 0 END AS entropy,
              CASE WHEN COALESCE(n_tokens, 0) = 0 THEN 0.0
                   ELSE round(n_types / CAST(n_tokens AS DOUBLE), 6) END AS ttr
       FROM documents d LEFT JOIN per USING (doc_id) ORDER BY d.doc_id""",
@@ -3007,11 +3009,11 @@ object Pipeline {
       SELECT source, CAST(n_types AS BIGINT) AS n_types,
              CASE WHEN n_types < 2 THEN 0.0
                   ELSE round((sxy - sx * sy / CAST(n_types AS DOUBLE)) /
-                    (sxx - sx * sx / CAST(n_types AS DOUBLE)), 6) END AS zipf_slope,
+                    (sxx - sx * sx / CAST(n_types AS DOUBLE)), 6) + 0 END AS zipf_slope,
              CASE WHEN n_types < 2 THEN 0.0
                   ELSE round((sy - ((sxy - sx * sy / CAST(n_types AS DOUBLE)) /
                     (sxx - sx * sx / CAST(n_types AS DOUBLE))) * sx) /
-                    CAST(n_types AS DOUBLE), 6) END AS intercept
+                    CAST(n_types AS DOUBLE), 6) + 0 END AS intercept
       FROM m ORDER BY source""",
     "qAW_containment_pairs" -> """
       WITH dup AS (
@@ -3043,7 +3045,7 @@ object Pipeline {
       SELECT doc_id, CAST(w AS BIGINT) AS n_words, CAST(s AS BIGINT) AS n_sentences,
              CAST(y AS BIGINT) AS n_syllables,
              round(206.835 - 1.015 * (CAST(w AS DOUBLE) / CAST(s AS DOUBLE)) -
-               84.6 * (CAST(y AS DOUBLE) / CAST(w AS DOUBLE)), 6) AS flesch
+               84.6 * (CAST(y AS DOUBLE) / CAST(w AS DOUBLE)), 6) + 0 AS flesch
       FROM f ORDER BY doc_id""",
     "qB0_mojibake" -> """
       WITH aug AS (SELECT doc_id, text ||
@@ -3103,14 +3105,14 @@ object Pipeline {
       ent AS (SELECT d.doc_id,
                 CASE WHEN COALESCE(n_tokens, 0) = 0 THEN 0.0
                      ELSE round(ln(CAST(n_tokens AS DOUBLE)) -
-                       clogc / CAST(n_tokens AS DOUBLE), 6) END AS entropy
+                       clogc / CAST(n_tokens AS DOUBLE), 6) + 0 END AS entropy
               FROM documents d LEFT JOIN per USING (doc_id)),
       fle AS (SELECT doc_id,
                 round(206.835 -
                   1.015 * (CAST(greatest(len(regexp_extract_all(text, '\S+')), 1) AS DOUBLE) /
                     CAST(greatest(len(regexp_extract_all(text, '[.!?]+')), 1) AS DOUBLE)) -
                   84.6 * (CAST(greatest(len(regexp_extract_all(lower(text), '[aeiouy]+')), 1) AS DOUBLE) /
-                    CAST(greatest(len(regexp_extract_all(text, '\S+')), 1) AS DOUBLE)), 6) AS flesch
+                    CAST(greatest(len(regexp_extract_all(text, '\S+')), 1) AS DOUBLE)), 6) + 0 AS flesch
               FROM documents)
       SELECT d.doc_id, nov.novelty, ent.entropy, fle.flesch,
              (nov.novelty >= 0.5 AND ent.entropy >= 1.0 AND fle.flesch > -100.0) AS keep
@@ -3161,7 +3163,7 @@ object Pipeline {
     "qB7_topk_pruned" -> """
       SELECT a.vec_id AS id_a, b.vec_id AS id_b,
              round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
-                                          CAST(b.embedding AS DOUBLE[])), 4) AS cos_sim
+                                          CAST(b.embedding AS DOUBLE[])), 4) + 0 AS cos_sim
       FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
       ORDER BY cos_sim DESC, id_a, id_b LIMIT 20""",
     "qB8_proto_filter" -> """
@@ -3182,7 +3184,7 @@ object Pipeline {
                count(*) OVER () AS n
         FROM scored)
       SELECT vec_id AS id, CAST(0 AS INT) AS cell,
-             round(cs, 4) AS cos_proto,
+             round(cs, 4) + 0 AS cos_proto,
              rn > floor(n * 0.25) AS kept
       FROM ranked ORDER BY id""",
     "qB9_heavy_tokens" -> """
@@ -3299,11 +3301,11 @@ object Pipeline {
                  FROM embeddings WHERE vec_id = 7),
       s1 AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
                     round(list_cosine_similarity(
-                      CAST(embedding[1:16] AS DOUBLE[]), qp), 4) AS cos_pre
+                      CAST(embedding[1:16] AS DOUBLE[]), qp), 4) + 0 AS cos_pre
              FROM embeddings, q WHERE vec_id != 7
              ORDER BY cos_pre DESC, vec_id LIMIT 40)
       SELECT vec_id, cos_pre,
-             round(list_cosine_similarity(v, qv), 4) AS cos_sim
+             round(list_cosine_similarity(v, qv), 4) + 0 AS cos_sim
       FROM s1, q ORDER BY cos_sim DESC, vec_id LIMIT 10""",
     "qBL_cc_redact" -> """
       WITH t AS (SELECT doc_id,
@@ -3342,7 +3344,7 @@ object Pipeline {
       SELECT doc_id, source, n_tokens,
              CASE WHEN n > 1 AND var > 0
                THEN round((CAST(n_tokens AS DOUBLE) - mu)
-                          / sqrt(greatest(var, 0.0)), 6)
+                          / sqrt(greatest(var, 0.0)), 6) + 0
              END AS z,
              CASE WHEN n > 1 AND var > 0
                THEN abs(round((CAST(n_tokens AS DOUBLE) - mu)
@@ -3421,7 +3423,7 @@ object Pipeline {
       SELECT source, CAST(count(*) AS BIGINT) AS n_pairs,
              CAST(SUM(delta_tokens) AS BIGINT) AS sum_delta,
              round(CAST(CAST(SUM(delta_tokens) AS BIGINT) AS DOUBLE)
-                   / CAST(count(*) AS DOUBLE), 6) AS avg_delta,
+                   / CAST(count(*) AS DOUBLE), 6) + 0 AS avg_delta,
              round(CAST(SUM(CASE WHEN delta_tokens > 0 THEN 1 ELSE 0 END)
                      AS DOUBLE)
                    / CAST(count(*) AS DOUBLE), 6) AS frac_chosen_longer
@@ -3470,7 +3472,7 @@ object Pipeline {
             FROM d GROUP BY 1, 2, 3),
       s AS (SELECT label, dim, list_sort(list(mx)) AS xs FROM m GROUP BY 1, 2)
       SELECT label, CAST(dim AS INT) AS dim,
-             round(xs[CAST((len(xs) + 1) // 2 AS INT)], 4) AS med
+             round(xs[CAST((len(xs) + 1) // 2 AS INT)], 4) + 0 AS med
       FROM s ORDER BY label, dim""",
     "qBP_audio_segments" -> """
       WITH p AS (SELECT doc_id, 2 + doc_id % 5 AS rl FROM documents),

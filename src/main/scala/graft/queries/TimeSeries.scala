@@ -217,8 +217,9 @@ object TimeSeries {
           .otherwise(col("counter") - col("prev")))
         .groupBy(col("user_id"),
           (col("ts") - pmod(col("ts"), lit(DAY_NS))).as("day_ns"))
-        .agg(round(sum(col("inc")), 6).as("increase"),
-          round(sum(col("inc")) / lit(86400.0), 9).as("rate_per_sec"))
+        .agg(graft.functions.GateRound(sum(col("inc")), 6).as("increase"),
+          graft.functions.GateRound(sum(col("inc")) / lit(86400.0), 9)
+            .as("rate_per_sec"))
         .orderBy(col("user_id"), col("day_ns"))
     }),
 
@@ -318,10 +319,11 @@ object TimeSeries {
       SELECT user_id, tsns - tsns % 86400000000000 AS day_ns,
              round(SUM(CASE WHEN prev IS NULL THEN 0
                             WHEN counter < prev THEN counter
-                            ELSE counter - prev END), 6) AS increase,
+                            ELSE counter - prev END), 6) + 0 AS increase,
              round(SUM(CASE WHEN prev IS NULL THEN 0
                             WHEN counter < prev THEN counter
-                            ELSE counter - prev END) / 86400.0, 9) AS rate_per_sec
+                            ELSE counter - prev END) / 86400.0, 9) + 0
+               AS rate_per_sec
       FROM d GROUP BY 1, 2 ORDER BY 1, 2""",
     "q99_ts_band_join" -> """
       SELECT a.event_id AS click_id, b.event_id AS purchase_id,

@@ -72,6 +72,15 @@ def main(sf_dir, out_dir):
                 continue
             if np.issubdtype(a.dtype, np.floating) or np.issubdtype(b.dtype, np.floating):
                 aa = a.astype(float).to_numpy(); bb = b.astype(float).to_numpy()
+                # the driver hashes BYTES: -0.0 == 0.0 numerically but the
+                # sign bit differs (the r14 qBQ forensic) -> treat a
+                # signbit disagreement as a mismatch, like the driver does
+                sz = (aa == 0.0) & (bb == 0.0) & (np.signbit(aa) != np.signbit(bb))
+                if sz.any():
+                    i = int(np.argmax(sz))
+                    bad.append(f"{c}[SIGNZERO] e.g. row {i}: {aa[i]!r} vs "
+                               f"{bb[i]!r} ({int(sz.sum())} rows)")
+                    continue
                 eq = (aa == bb) | (np.isnan(aa) & np.isnan(bb))
                 if not eq.all():
                     close = np.isclose(aa, bb, rtol=1e-9, atol=1e-9, equal_nan=True)
