@@ -103,4 +103,37 @@ object BenchHeuristics {
     * must stay published. */
   def acceptWindowReplay(seq: Double, conc: Double, re: Double): Boolean =
     seq > conc && !inflated2x(re, conc)
+
+  /** The committed clean norm for a full seq pass's JIT compilation
+    * time on this suite (~25 s across the r12–r14 clean records; the
+    * census's jit_ms field). */
+  val SeqJitCleanNormMs = 25000L
+
+  /** A seq pass is JIT-SICK when its compilation-time census reads
+    * over 2× the committed clean norm — the r14 gate pathology:
+    * seq jit_ms 62.0 s vs the ~25 s norm inflated Σseq 104.3 s vs
+    * the 70.7 s committed record UNIFORMLY (trivial collation plans
+    * 3–7× their committed twins), with no ≥4-consecutive window, so
+    * [[contentionWindow]] correctly stayed quiet and the inflation
+    * published. A census this sick is a host/code-cache story, not
+    * 16 simultaneous plan regressions. Negative jit_ms (compilation
+    * timing unsupported) never trips. */
+  def jitSickSeq(seqJitMs: Long,
+                 cleanNormMs: Long = SeqJitCleanNormMs): Boolean =
+    seqJitMs > 2L * cleanNormMs
+
+  /** Who to replay when the seq pass is JIT-sick: every seq reading
+    * inflated 2× past its conc twin (the [[inflated2x]] bar — the
+    * suite-wide analogue of a window, membership by inflation alone
+    * since adjacency carries no signal when the whole pass is sick),
+    * ranked by absolute seq−conc excess, capped so the post-settle
+    * replay tail stays bounded. Acceptance is the window members'
+    * one-sided 2× rule — a replay that reproduces the inflation
+    * alone confirms the reading and stays published. */
+  def jitReplayMembers(seq: Seq[(String, Double)],
+                       conc: Map[String, Double],
+                       cap: Int = 12): Seq[String] =
+    seq.flatMap { case (n, s) =>
+      conc.get(n).collect { case c if inflated2x(s, c) => (n, s - c) }
+    }.sortBy(-_._2).take(cap).map(_._1)
 }

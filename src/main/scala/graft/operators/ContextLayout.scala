@@ -68,13 +68,29 @@ object ContextLayout {
         "ConnectedComponents min-label contract")
     val spark = nodes.sparkSession
     import spark.implicits._
-    val ids = nodes.select(col(idCol).cast("long").as("id"))
+    // id-domain guard, at ENTRY and on both frames: a negative id
+    // would reach the walked path's loud require via its component
+    // min-label, but an over-maxComponent component BYPASSES the walk
+    // task and format_string("%019d") zero-pads negative longs into
+    // keys whose string order reverses among negatives — a silent
+    // wrong order. The raise_error rides the existing scans (the
+    // packSequencesBy pattern), no extra job. Edges are guarded too:
+    // an edge endpoint absent from `nodes` can still become a
+    // component's min-label and poison comp_key/comp.
+    def nonNeg(c: Column, what: String): Column =
+      when(c.isNull || c >= 0, c)
+        .otherwise(raise_error(concat(
+          lit(s"contextOrder: negative $what breaks the zero-padded " +
+            "global order key — ids must be non-negative: "),
+          c.cast("string"))))
+    val ids = nodes.select(nonNeg(col(idCol).cast("long"), idCol).as("id"))
       .filter(col("id").isNotNull).distinct()
     // a NaN weight means "no defined similarity" — keeping it would
     // poison the adjacency sort and the step comparisons (NaN
     // compares are order-dependent in plain scala sorts)
-    val e = edges.select(col(aCol).cast("long").as("a"),
-        col(bCol).cast("long").as("b"), col(wCol).cast("double").as("w"))
+    val e = edges.select(nonNeg(col(aCol).cast("long"), aCol).as("a"),
+        nonNeg(col(bCol).cast("long"), bCol).as("b"),
+        col(wCol).cast("double").as("w"))
       .filter(col("a").isNotNull && col("b").isNotNull &&
         col("a") =!= col("b") && col("w").isNotNull && !isnan(col("w")))
     val cc = ConnectedComponents.run(e, "a", "b")
@@ -171,11 +187,20 @@ object ContextLayout {
     val n = hs.size
     if (n == 0) return Iterator.empty
     // neighbor precedence: max weight, then min hash, then min id;
-    // cap each adjacency at maxDegree under the same precedence
+    // cap each adjacency at maxDegree under the same precedence.
+    // Collapse each neighbor to its MAX weight FIRST: raw contextOrder
+    // input isn't forced through inContextLayout's symmetrize/max
+    // groupBy, and a neighbor arriving with several distinct weights
+    // would otherwise consume several of the maxDegree slots and
+    // evict genuinely distinct neighbors ("top maxDegree neighbors by
+    // weight" counts neighbors, not multi-edges)
     def prec(m: (Long, Double)): (Double, Long, Long) =
       (-m._2, hs.getOrElse(m._1, Long.MaxValue), m._1)
     adj.keysIterator.toArray.foreach { k =>
-      adj(k) = adj(k).distinct.sortBy(prec).take(maxDegree)
+      adj(k) = adj(k).groupBy(_._1).iterator
+        .map { case (m, ws) => (m, ws.iterator.map(_._2).max) }
+        .to(scala.collection.mutable.ArrayBuffer)
+        .sortBy(prec).take(maxDegree)
     }
     // the size census routes over-cap components around the walk —
     // seeing one here means the routing broke, not the input

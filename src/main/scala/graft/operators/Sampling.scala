@@ -260,8 +260,16 @@ object Sampling {
         // `tot` by the same cast, so a non-string srcCol (int shard
         // ids, dates) is accepted exactly like the single-pass branch
         // and the threshold table keeps the source's original type.
-        val rows = tot.collect().map(r =>
-          (if (r.isNullAt(0)) null else r.get(0).toString, r.getDouble(1)))
+        // The string form is SPARK'S cast('string'), collected — not
+        // driver-side Row.get.toString: the two renderings differ for
+        // some types (TimestampType: '…00:00:00.0' vs '…00:00:00'),
+        // and a mismatch would silently empty the threshold table for
+        // the affected source, dropping its every document with no
+        // error — against the suite's loud-refusal convention.
+        val rows = tot
+          .select(col(srcCol).cast("string"), col("__tok"))
+          .collect().map(r =>
+            (if (r.isNullAt(0)) null else r.getString(0), r.getDouble(1)))
         require(rows.length <= (1 << 20),
           s"temperatureMix(waterFill): ${rows.length} sources exceed the " +
             "driver-metadata bound")

@@ -114,12 +114,19 @@ object Similarity {
     // prefixDims beyond the stored width would silently clamp via
     // slice — the "coarse" stage would BE the exact scan and the
     // caller would pay two full-dimension passes believing one is
-    // cheap; refuse loudly (one-row metadata probe)
-    emb.select(size(col(vecCol))).limit(1).collect().headOption.foreach { r =>
-      require(prefixDims <= r.getInt(0),
+    // cheap; refuse loudly. Probe with max(size) over non-null
+    // vectors, not limit(1): a null in the arbitrary probed row
+    // would NPE instead of raising the intended message, and under
+    // ragged widths limit(1)'s outcome depends on which row the
+    // engine returns. max is the refusal's contract — if prefixDims
+    // ≥ the WIDEST vector, the coarse metric is exact for every row.
+    val probed = emb.filter(col(vecCol).isNotNull)
+      .agg(max(size(col(vecCol)))).head()
+    if (!probed.isNullAt(0)) {
+      require(prefixDims <= probed.getInt(0),
         s"prefixDims=$prefixDims exceeds the corpus vector width " +
-          s"${r.getInt(0)} — the coarse stage would silently be the " +
-          "exact scan")
+          s"${probed.getInt(0)} — the coarse stage would silently be " +
+          "the exact scan")
     }
     val q = emb.filter(col(idCol) === queryId)
       .select(col(vecCol).as("__qv"),

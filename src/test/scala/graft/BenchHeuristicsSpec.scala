@@ -99,6 +99,32 @@ class BenchHeuristicsSpec extends AnyFunSuite {
     assert(!acceptWindowReplay(1.0, 2.0, 1.0))
   }
 
+  test("jitSickSeq: the r14 recorded pathology fires, clean censuses do not") {
+    import BenchHeuristics.{jitSickSeq, jitReplayMembers}
+    // the r14 gate record: seq-pass jit_ms 62032 against the ~25 s
+    // committed clean norm — suite-wide inflation, no contiguous
+    // window, published Σseq 104.3 s vs the 70.7 s clean record
+    assert(jitSickSeq(62032L))
+    // clean rounds read at/under the norm
+    assert(!jitSickSeq(25000L))
+    assert(!jitSickSeq(48000L)) // under the 2x bar: not sick
+    // unsupported compilation timing (jit_ms = -1) never trips
+    assert(!jitSickSeq(-1L))
+    // member selection: the r14 signature — trivial plans 3-7x their
+    // conc twins scattered across the suite (no adjacency); ranked by
+    // absolute excess, sub-second and sub-2x readings excluded
+    val conc = Map("qBM" -> 0.34, "qBI" -> 0.26, "qBG" -> 0.23,
+      "q01" -> 0.05, "q13" -> 1.10)
+    val seq = Seq("qBM" -> 2.39, "q01" -> 0.09, "qBI" -> 1.58,
+      "q13" -> 1.60, "qBG" -> 1.15)
+    assert(jitReplayMembers(seq, conc) == Seq("qBM", "qBI", "qBG"))
+    // the cap bounds the replay tail by largest excess first
+    assert(jitReplayMembers(seq, conc, cap = 2) == Seq("qBM", "qBI"))
+    // a clean suite selects nobody even if the trigger were consulted
+    val clean = Seq("qBM" -> 0.35, "qBI" -> 0.27, "qBG" -> 0.25)
+    assert(jitReplayMembers(clean, conc).isEmpty)
+  }
+
   test("sickScore ranks passes by cause, consistent with the triggers") {
     // sick > 1 exactly when one of the two triggers fires
     assert(sickScore(4.7, 0.0, 24, 6.9) > 1.0)   // the live steal firing

@@ -72,6 +72,54 @@ class ContextLayoutSpec extends AnyFunSuite {
       s"fallback must be (hash, id) order: $fallback")
   }
 
+  test("contextOrder: negative ids refused loudly at entry, node or edge side") {
+    // a negative id would reach the walked path's require via its
+    // component min-label — but an OVER-CAP component bypasses the
+    // walk task entirely, and %019d zero-pads negative longs into
+    // keys whose string order reverses among negatives: a silent
+    // wrong order without the entry guard. Both frames are guarded:
+    // an edge endpoint absent from nodes can still become a
+    // component's min-label.
+    val edges = Seq((1L, 2L, 0.5)).toDF("a", "b", "w")
+    val badNodes = intercept[Exception] {
+      ContextLayout.contextOrder(Seq(1L, -7L).toDF("id"), "id",
+        edges, "a", "b", "w").collect()
+    }
+    assert(badNodes.getMessage.contains("non-negative"),
+      badNodes.getMessage)
+    val badEdges = intercept[Exception] {
+      ContextLayout.contextOrder(Seq(1L, 2L).toDF("id"), "id",
+        Seq((1L, -2L, 0.5)).toDF("a", "b", "w"), "a", "b", "w").collect()
+    }
+    assert(badEdges.getMessage.contains("non-negative"),
+      badEdges.getMessage)
+  }
+
+  test("contextOrder: multi-weight duplicate neighbor holds ONE maxDegree slot") {
+    // the 1-2 edge arrives under TWO distinct weights (raw input, not
+    // forced through inContextLayout's symmetrize/max groupBy); at
+    // maxDegree=2 node 1's capped list must collapse the duplicate so
+    // the (3, .6) edge keeps the second slot. Walk trace (hash40:
+    // 9→21B, 8→245B, 1→481B, 2→868B, 3→897B; start = 9, hash-min of
+    // the degree-2 tie {9, 2, 1}): 9 → 2 (.95) → 1 (.9), then at 1
+    // the RETAINED 3-edge continues the walk before the jump pool
+    // takes 8 — walk 9,2,1,3,8. Pre-fix, 1's capped list was
+    // [(2,.9),(2,.8)] (both slots spent on 2), the walk was stuck at
+    // 1 and the jump-hash order put 8 BEFORE 3: 9,2,1,8,3.
+    val nodes = Seq(1L, 2L, 3L, 8L, 9L).toDF("id")
+    val edges = Seq((9L, 2L, 0.95), (9L, 8L, 0.2),
+      (1L, 2L, 0.9), (1L, 2L, 0.8), (1L, 3L, 0.6)).toDF("a", "b", "w")
+    val out = ContextLayout.contextOrder(nodes, "id", edges, "a", "b", "w",
+      maxDegree = 2)
+    val walk = out.orderBy("ord").collect().map(_.getLong(0)).toSeq
+    assert(walk == Seq(9L, 2L, 1L, 3L, 8L), walk.mkString(","))
+    // the load-bearing position: 3 follows 1 VIA THE RETAINED EDGE —
+    // the duplicate-evicted adjacency left 1 stuck and put 8 (the
+    // jump pool's hash-minimum) there instead
+    assert(walk(3) == 3L,
+      s"duplicate neighbor evicted 3 from the capped adjacency: $walk")
+  }
+
   test("packSequencesBy: spans cut along the caller's order, negatives refused") {
     val df = Seq((10L, 3L, 0L), (11L, 4L, 1L), (12L, 5L, 2L), (13L, 0L, 3L))
       .toDF("id", "w", "ord")

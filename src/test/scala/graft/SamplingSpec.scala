@@ -242,5 +242,20 @@ class SamplingSpec extends AnyFunSuite {
     assert(intFilled(2) === 1000L &&
       intFilled(1) === filled("web"),
       s"int-typed source diverged from the string run: $intFilled")
+    // a TIMESTAMP source column is where the two string renderings
+    // genuinely diverge (r14 advice): driver-side Timestamp.toString
+    // gives '… 00:00:00.0' while Spark's cast('string') gives
+    // '… 00:00:00' — the pre-fix driver-rendered keys matched NO
+    // Spark-cast key, the threshold table silently emptied, and every
+    // document of the source vanished without an error. Both sides
+    // now use Spark's rendering: budget >= total must keep all rows.
+    val ts = d.withColumn("source",
+      when(col("source") === "web",
+        to_timestamp(lit("2024-01-01 00:00:00")))
+        .otherwise(to_timestamp(lit("2024-02-01 00:00:00"))))
+    assert(Sampling.temperatureMix(ts, "doc_id", "source", "n_tokens",
+      1.0, 51000.0, waterFill = true).count() === 510L,
+      "timestamp-typed source dropped rows: the rates join key " +
+        "renderings disagree")
   }
 }
