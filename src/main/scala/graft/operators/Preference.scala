@@ -93,6 +93,95 @@ object Preference {
   }
 
   /**
+   * Best-of-n / rejection-sampling preparation (RAFT, Dong et al.
+   * 2023; "SFT on the best sampled responses") — the top-n
+   * generalization of [[preferencePairs]]' packed-key argmax: per
+   * prompt, the n highest-scoring responses as (prompt, rank,
+   * response) rows, ranked by the SAME total contract (score DESC,
+   * id ASC — bit-for-bit the `row_number()` oracle order), with the
+   * same exact-integer token-set Jaccard guard applied against the
+   * RANK-1 response: a lower-ranked response that near-duplicates
+   * the best teaches the SFT stage nothing and double-weights one
+   * sample, so it ships flagged `keep = false`, never silently
+   * dropped. Rank 1 always keeps; its `jaccard_to_best` is null (a
+   * self-Jaccard of 1.0 would read as "drop the best").
+   *
+   * Shape (the 100 TB path): selection is the [[graft.functions
+   * .TopKByScore]] bounded heap inside ONE partial/final aggregate —
+   * each map task reduces its slice to ≤ n entries per prompt, so
+   * shuffle volume is O(prompts × n), independent of the response
+   * count — never `row_number().over(partitionBy(prompt))`, which
+   * shuffles and sorts every candidate row. Texts and carry columns
+   * do NOT ride the heap: the ≤ n·|prompts| survivors join back to
+   * the response table on (prompt, id) — survivors are the SMALL
+   * side and broadcast when they fit, and the corpus scans once
+   * either way. The rank-1 guard is a survivors-only self-join.
+   *
+   * Null scores are excluded from the pool and from `n_resp`
+   * (the [[preferencePairs]] contract: a null in the ranking key
+   * would make the order engine-dependent). Null/token-less texts
+   * Jaccard as identical (the ∅-vs-∅ = 1 convention above).
+   *
+   * @return (promptCol, rank 1-based, resp_id, score as input-typed,
+   *         n_resp, n_tokens, jaccard_to_best rounded 4 — null at
+   *         rank 1, keep) + `carry` columns from the ranked row.
+   */
+  def bestOfN(resp: DataFrame, promptCol: String, respIdCol: String,
+              textCol: String, scoreCol: String, n: Int,
+              maxJaccard: Double = 0.9,
+              carry: Seq[String] = Nil): DataFrame = {
+    require(n > 0, s"n must be positive, got $n")
+    require(maxJaccard > 0.0 && maxJaccard <= 1.0,
+      s"maxJaccard must be in (0, 1], got $maxJaccard")
+    require(org.apache.spark.sql.graftbridge.ColumnBridge
+        .isIntegral(resp.schema(respIdCol).dataType),
+      s"bestOfN: $respIdCol must be integral (got " +
+        s"${resp.schema(respIdCol).dataType.simpleString}) — the heap's " +
+        "id tie-break and the join-back need exact ids")
+    val clean = resp.filter(col(promptCol).isNotNull &&
+      col(respIdCol).isNotNull && col(scoreCol).isNotNull)
+    val topk = org.apache.spark.sql.functions.udaf(
+      new graft.functions.TopKByScore(n))
+    val ranked = clean
+      .groupBy(col(promptCol))
+      .agg(count(lit(1)).as("n_resp"),
+        // integral scores cast exactly (≤ 2^53); the heap's ordering
+        // (score desc, id asc) IS the oracle's row_number order
+        topk(col(scoreCol).cast("double"), col(respIdCol).cast("long"),
+          lit(0L)).as("__top"))
+      .select(col(promptCol), col("n_resp"),
+        posexplode(col("__top")).as(Seq("__pos", "__m")))
+      .select(col(promptCol), col("n_resp"),
+        (col("__pos") + 1).cast("int").as("rank"),
+        col("__m.id").as("__rid"))
+    val detail = clean.select((col(promptCol) +:
+      col(respIdCol).cast("long").as("__rid") +:
+      col(textCol).as("__text") +: col(scoreCol).as("score") +:
+      carry.map(col)): _*)
+    val rows = ranked.join(detail, Seq(promptCol, "__rid"))
+    val best = rows.filter(col("rank") === 1)
+      .select(col(promptCol), col("__text").as("__btext"))
+    val ca = array_distinct(TextAnalysis.tokens(col("__text")))
+    val ba = array_distinct(TextAnalysis.tokens(col("__btext")))
+    val inter = size(array_intersect(ca, ba)).cast("long")
+    val uni = (size(ca) + size(ba)).cast("long") - inter
+    // the keep decision compares the ROUNDED value (the qBX
+    // convention): the oracle replays `round(j, 4) < maxJaccard`, and
+    // deciding on the raw double would flip rows whose raw value
+    // straddles a rounding boundary around the threshold
+    val jac = round(when(uni > 0, inter.cast("double") / uni.cast("double"))
+      .otherwise(lit(1.0)), 4)
+    rows.join(best, Seq(promptCol))
+      .select((col(promptCol) +: col("rank") +:
+        col("__rid").as("resp_id") +: col("score") +: col("n_resp") +:
+        TextAnalysis.tokenCount(col("__text")).cast("long")
+          .as("n_tokens") +:
+        when(col("rank") > 1, jac).as("jaccard_to_best") +:
+        (col("rank") === 1 || jac < lit(maxJaccard)).as("keep") +:
+        carry.map(col)): _*)
+  }
+
+  /**
    * Length-bias audit over [[preferencePairs]] output: per group
    * (source/template/model), how much longer the chosen response
    * runs. A strongly positive mean Δtokens or a chosen-longer

@@ -1550,6 +1550,18 @@ object Pipeline {
         .orderBy(col("prompt_id"))
     }),
 
+    // best-of-n / rejection-sampling prep (RAFT): per prompt the top-3
+    // responses by (score desc, id asc) via the TopKByScore bounded
+    // heap — O(prompts × n) shuffle, never a per-prompt row_number
+    // window — with the qBX near-dup guard applied against the rank-1
+    // response; FULL oracle = row_number() replay (the qAM precedent)
+    "qC0_best_of_n" -> ((s, dir) => {
+      graft.operators.Preference.bestOfN(prefFixture(s, dir),
+          "prompt_id", "doc_id", "text", "score", n = 3,
+          maxJaccard = PREF_MAX_JAC, carry = Seq("source"))
+        .orderBy(col("prompt_id"), col("rank"))
+    }),
+
     // length-bias audit over the kept pairs: per source, mean Δtokens
     // and the chosen-longer fraction — the verbosity-bias alarm
     // (exact integer sums, one division, the float-contract rule)
@@ -3418,6 +3430,40 @@ object Pipeline {
              rejected_tokens, delta_tokens, jaccard, keep, source
       FROM pairs ORDER BY prompt_id"""
       .replace("__PREF_MAX_JAC__", "0.9"),
+    "qC0_best_of_n" -> """
+      WITH r AS (SELECT doc_id // 4 AS prompt_id, doc_id, text,
+                        doc_id % 7 AS score, source FROM documents),
+      nn AS (SELECT prompt_id, CAST(count(*) AS BIGINT) AS n_resp
+             FROM r GROUP BY 1),
+      k AS (SELECT prompt_id, doc_id, text, score, source,
+              CAST(row_number() OVER (PARTITION BY prompt_id
+                ORDER BY score DESC, doc_id ASC) AS INT) AS rank
+            FROM r QUALIFY rank <= 3),
+      b AS (SELECT prompt_id, text AS btext FROM k WHERE rank = 1),
+      t AS (SELECT k.prompt_id, k.rank, k.doc_id AS resp_id, k.score,
+              nn.n_resp,
+              CAST(len(regexp_extract_all(k.text, '\S+')) AS BIGINT)
+                AS n_tokens,
+              list_distinct(regexp_extract_all(k.text, '\S+')) AS ca,
+              list_distinct(regexp_extract_all(b.btext, '\S+')) AS ba,
+              k.source AS source
+            FROM k JOIN b ON b.prompt_id = k.prompt_id
+                 JOIN nn ON nn.prompt_id = k.prompt_id),
+      u AS (SELECT *, CAST(len(list_intersect(ca, ba)) AS BIGINT) AS inter,
+              CAST(len(ca) + len(ba) AS BIGINT)
+                - CAST(len(list_intersect(ca, ba)) AS BIGINT) AS uni
+            FROM t)
+      SELECT prompt_id, rank, resp_id, score, n_resp, n_tokens,
+             CASE WHEN rank > 1 THEN round(CASE WHEN uni > 0
+               THEN CAST(inter AS DOUBLE) / CAST(uni AS DOUBLE)
+               ELSE 1.0 END, 4) END AS jaccard_to_best,
+             (rank = 1 OR round(CASE WHEN uni > 0
+               THEN CAST(inter AS DOUBLE) / CAST(uni AS DOUBLE)
+               ELSE 1.0 END, 4) < __PREF_MAX_JAC__) AS keep,
+             source
+      FROM u ORDER BY prompt_id, rank"""
+      .replace("__PREF_MAX_JAC__", "0.9"),
+
     "qBY_length_bias" -> s"""
       $PREF_PIECES
       SELECT source, CAST(count(*) AS BIGINT) AS n_pairs,

@@ -145,6 +145,84 @@ class PreferenceSpec extends AnyFunSuite {
       s"near-dup chosen legs straddle the split: $split")
   }
 
+  test("bestOfN: ranking, tie-breaks, rank-1 guard, carry by hand") {
+    val df = Seq(
+      // prompt 1: four responses, top-3 by score desc / id asc; 12
+      // near-duplicates the best -> flagged, 13 distinct -> kept
+      (1L, 10L, "alpha beta gamma delta", 9L),
+      (1L, 12L, "alpha beta gamma delta echo", 7L),
+      (1L, 13L, "totally different words", 5L),
+      (1L, 14L, "left out entirely", 1L),
+      // prompt 2: ALL scores tie -> rank order is ascending id
+      (2L, 22L, "cc", 4L), (2L, 20L, "aa bb", 4L), (2L, 21L, "dd", 4L),
+      // prompt 3: single response -> rank 1 alone, keep, null jaccard
+      (3L, 30L, "lonely", 2L),
+      // prompt 4: rank-2 EMPTY vs non-empty best -> disjoint (jac 0),
+      // kept: emptiness is a quality problem, not a near-dup
+      (4L, 40L, "has words", 8L), (4L, 41L, "   ", 3L),
+      // prompt 5: BOTH token-less -> identical by the ∅-∅ = 1
+      // convention, rank 2 flagged
+      (5L, 50L, "", 8L), (5L, 51L, "   ", 1L)
+    ).toDF("prompt_id", "resp_id", "text", "score")
+      .withColumn("src", concat(lit("s"), col("resp_id")))
+    val out = Preference.bestOfN(df, "prompt_id", "resp_id", "text",
+        "score", n = 3, carry = Seq("src"))
+      .collect().map(r => (r.getLong(0), r.getInt(1)) ->
+        ((r.getLong(2), if (r.isNullAt(6)) -1.0 else r.getDouble(6),
+          r.getBoolean(7), r.getString(8)))).toMap
+    // prompt 1: ranks 10(9), 12(7), 13(5); 14 drops past n=3
+    assert(out((1L, 1)) == ((10L, -1.0, true, "s10")), out((1L, 1)))
+    // rank 2 shares 4 of 5 union tokens with the best -> 0.8, kept
+    // under 0.9 strictly
+    assert(out((1L, 2)) == ((12L, 0.8, true, "s12")), out((1L, 2)))
+    assert(out((1L, 3)) == ((13L, 0.0, true, "s13")), out((1L, 3)))
+    assert(!out.contains((1L, 4)), "n=3 must cap the ranks")
+    // prompt 2: equal scores -> ascending id
+    assert(Seq(1, 2, 3).map(r => out((2L, r))._1) == Seq(20L, 21L, 22L))
+    // prompt 3: singleton keeps with null jaccard_to_best
+    assert(out((3L, 1)) == ((30L, -1.0, true, "s30")), out((3L, 1)))
+    // prompt 4: one-sided empty is DISJOINT, not identical -> kept
+    assert(out((4L, 2)) == ((41L, 0.0, true, "s41")), out((4L, 2)))
+    // prompt 5: both token-less read identical -> flagged out
+    assert(out((5L, 2)) == ((51L, 1.0, false, "s51")), out((5L, 2)))
+    // threshold is STRICT at maxJaccard: a rank-2 at exactly 0.9
+    // (9 shared of 10 union) is flagged
+    val edge = Seq(
+      (7L, 70L, "t1 t2 t3 t4 t5 t6 t7 t8 t9 t10", 5L),
+      (7L, 71L, "t1 t2 t3 t4 t5 t6 t7 t8 t9 u1", 4L)
+    ).toDF("prompt_id", "resp_id", "text", "score")
+    val e = Preference.bestOfN(edge, "prompt_id", "resp_id", "text",
+        "score", n = 2).collect()
+      .map(r => r.getInt(1) -> ((if (r.isNullAt(6)) -1.0 else r.getDouble(6),
+        r.getBoolean(7))))
+      .toMap
+    // |∩| = 9, |∪| = 11 -> 0.8182 kept; at maxJaccard = 0.8182 the
+    // strict < flags it
+    assert(e(2) == ((0.8182, true)), e(2).toString)
+    val strict = Preference.bestOfN(edge, "prompt_id", "resp_id", "text",
+        "score", n = 2, maxJaccard = 0.8182).collect()
+      .map(r => r.getInt(1) -> r.getBoolean(7)).toMap
+    assert(!strict(2), "threshold must be strict <")
+    // null scores invisible: excluded from pool AND n_resp
+    val withNull = Seq(
+      (8L, 80L, "scored a", java.lang.Long.valueOf(4L)),
+      (8L, 81L, "unscored best", null.asInstanceOf[java.lang.Long]),
+      (8L, 82L, "scored b", java.lang.Long.valueOf(6L))
+    ).toDF("prompt_id", "resp_id", "text", "score")
+    val nn = Preference.bestOfN(withNull, "prompt_id", "resp_id", "text",
+        "score", n = 3).collect()
+      .map(r => (r.getInt(1), r.getLong(2), r.getLong(4))).sorted.toSeq
+    assert(nn == Seq((1, 82L, 2L), (2, 80L, 2L)),
+      s"null-scored row leaked into the heap or n_resp: $nn")
+    // non-integral id refused loudly
+    val bad = intercept[IllegalArgumentException] {
+      Preference.bestOfN(df.withColumn("resp_id",
+        col("resp_id").cast("string")), "prompt_id", "resp_id", "text",
+        "score", n = 2)
+    }
+    assert(bad.getMessage.contains("integral"), bad.getMessage)
+  }
+
   test("lengthBias: exact sums, only kept pairs count") {
     val pairs = Seq(
       // (by, delta, keep): kept deltas 3, -1, 2 -> sum 4, avg 4/3,
