@@ -779,4 +779,54 @@ class StreamingSpec extends AnyFunSuite {
       assert(streamed(src) == exp, s"source $src: ${streamed(src)} vs $exp")
     }
   }
+
+  test("StreamingBestOfN: streamed top-n selection equals the batch operator") {
+    import graft.operators.Preference
+    import graft.streaming.StreamingBestOfN
+    import spark.implicits._
+    // the qC0 fixture from the real corpus; the streamed final state
+    // per prompt must equal the batch bestOfN SELECTION columns
+    // exactly (same TopKByScore.reduce on both sides — the ordering
+    // contract is shared code, not a replica)
+    val resp = Tables.load(spark, "/root/testdata/sf0.001", "documents")
+      .select(expr("doc_id div 4").as("prompt_id"),
+        col("doc_id").as("resp_id"), col("text"),
+        (col("doc_id") % 7).as("score"), col("source"))
+      .localCheckpoint(true)
+    val batch = Preference.bestOfN(resp, "prompt_id", "resp_id", "text",
+        "score", n = 3)
+      .select(col("prompt_id").cast("string"), col("rank"),
+        col("resp_id"), col("score").cast("double"), col("n_resp"))
+      .collect()
+      .map(r => (r.getString(0), r.getInt(1)) ->
+        ((r.getLong(2), r.getDouble(3), r.getLong(4)))).toMap
+    val d = java.nio.file.Files.createTempDirectory(
+      new java.io.File("target").toPath.toAbsolutePath, "bestofn").toString
+    resp.repartition(4).write.mode("overwrite").parquet(d)
+    val latest = new java.util.concurrent.ConcurrentHashMap[
+      (String, Int), (Long, Double, Long)]()
+    val stream = spark.readStream.schema(resp.schema)
+      .option("maxFilesPerTrigger", 1).parquet(d)
+    val q = StreamingBestOfN.bestOfN(stream, "prompt_id", "resp_id",
+        "score", n = 3)
+      .writeStream.outputMode("update")
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        b.collect().foreach { r =>
+          latest.put((r.getString(0), r.getInt(1)),
+            (r.getLong(2), r.getDouble(3), r.getLong(4)))
+        }
+      }.start()
+    try q.processAllAvailable() finally q.stop()
+    import scala.jdk.CollectionConverters._
+    val streamed = latest.asScala.toMap
+    // every batch (prompt, rank) appears streamed with identical
+    // (id, score, n_resp); update-mode retractions cannot shrink the
+    // rank set (rank r only ever improves), so equality is exact
+    assert(streamed.keySet == batch.keySet,
+      s"rank sets diverge: ${(streamed.keySet -- batch.keySet).take(3)} / " +
+        s"${(batch.keySet -- streamed.keySet).take(3)}")
+    batch.foreach { case (k, exp) =>
+      assert(streamed(k) == exp, s"$k: ${streamed(k)} vs $exp")
+    }
+  }
 }
