@@ -208,4 +208,144 @@ object Preference {
           col("n_pairs").cast("double"), 6).as("avg_delta"),
         round(col("__longer").cast("double") /
           col("n_pairs").cast("double"), 6).as("frac_chosen_longer"))
+
+  /**
+   * Group-relative advantage normalization (GRPO, Shao et al. 2024,
+   * "DeepSeekMath"): per prompt, each response's advantage is its
+   * score standardized against the response GROUP's own moments —
+   * `(x − μ_g) / σ_g` with the POPULATION σ (the group IS the whole
+   * population the policy sampled) — the critic-free baseline that
+   * replaces the value model in GRPO-style RL. A zero-variance group
+   * (all responses scored equal) carries no gradient signal: every
+   * advantage is 0 by convention, never a 0/0 NaN.
+   *
+   * Float contract (the qBM z-score shape): integral scores sum to
+   * exact BIGINT (Σx, Σx²) in any partition order; μ, σ², and the
+   * final standardization are per-row float arithmetic over those
+   * exact integers in ONE fixed association order, mirrored verbatim
+   * in the SQL oracle; the rounded output is [[graft.functions
+   * .GateRound]]ed (advantages go tiny-negative by construction).
+   * Non-integral score columns are refused — float sums would bring
+   * back the merge-order class the BIGINT moments exist to kill.
+   *
+   * Scale shape: one partial/final aggregate to |prompts| moment
+   * rows, one equi-join back (prompt cardinality is corpus-order —
+   * deliberately NOT a broadcast; AQE picks the join). No windows:
+   * a `partitionBy(prompt)` window would single-task each group —
+   * harmless at n≈8 responses, but the agg+join shape is uniform
+   * with the rest of the suite and free.
+   *
+   * @return (promptCol, respIdCol, score, n_resp, advantage rounded
+   *         `scale`, defined) — `defined` false (advantage 0) for
+   *         zero-variance or singleton groups.
+   */
+  def groupAdvantage(resp: DataFrame, promptCol: String, respIdCol: String,
+                     scoreCol: String, scale: Int = 6): DataFrame = {
+    require(org.apache.spark.sql.graftbridge.ColumnBridge
+        .isIntegral(resp.schema(scoreCol).dataType),
+      s"groupAdvantage: $scoreCol must be integral (got " +
+        s"${resp.schema(scoreCol).dataType.simpleString}) — the exact " +
+        "BIGINT moment contract (quantize float rewards upstream)")
+    val x = col(scoreCol).cast("long")
+    val clean = resp.filter(col(promptCol).isNotNull &&
+      col(respIdCol).isNotNull && col(scoreCol).isNotNull)
+    val stats = clean.groupBy(col(promptCol)).agg(
+      sum(x).as("__s1"), sum(x * x).as("__s2"),
+      count(lit(1)).as("n_resp"))
+    val nd = col("n_resp").cast("double")
+    val s1d = col("__s1").cast("double")
+    val mu = s1d / nd
+    // population variance from exact sums; the last-ulp-negative
+    // clamp is the qBM convention
+    val variance = (col("__s2").cast("double") - s1d * s1d / nd) / nd
+    val defined = col("n_resp") > 1 && variance > 0
+    val adv = graft.functions.GateRound(
+      (x.cast("double") - mu) / sqrt(greatest(variance, lit(0.0))), scale)
+    clean.select(col(promptCol), col(respIdCol), col(scoreCol))
+      .join(stats, Seq(promptCol))
+      .select(col(promptCol), col(respIdCol), col(scoreCol),
+        col("n_resp"),
+        when(defined, adv).otherwise(lit(0.0)).as("advantage"),
+        defined.as("defined"))
+  }
+
+  /**
+   * Unbiased pass@k estimator (Chen et al. 2021, "Evaluating Large
+   * Language Models Trained on Code", eq. 1): per prompt with n
+   * sampled responses of which c passed, the probability that at
+   * least one of k drawn-without-replacement samples passes:
+   * `1 − C(n−c, k)/C(n, k)`, computed in the numerically-stable
+   * product form `1 − Π_{j=0}^{k−1} (n−c−j)/(n−j)`. Guards per the
+   * paper's domain: `n − c < k` → exactly 1.0 (some passing sample
+   * is always drawn); `n < k` → null (the estimator is undefined —
+   * emitted null, never a silently clamped k).
+   *
+   * Float contract: each factor is ONE division of exact integers and
+   * the left-fold multiplication order is fixed and identical in both
+   * engines (Spark `aggregate` starts at 1.0 — exact identity — and
+   * DuckDB `list_reduce` starts at the first element; `1.0 * r = r`
+   * bitwise, so the two folds agree). Values are in [0, 1]: no
+   * signed-zero exposure, plain round.
+   *
+   * Scale shape: one partial/final aggregate to |prompts| rows; the
+   * product is a k-step per-row fold over a constant sequence.
+   *
+   * @return (promptCol, n_resp, n_passed, pass_at_1 rounded 6,
+   *         pass_at_k rounded 6 — null when n_resp < k, k)
+   */
+  def passAtK(resp: DataFrame, promptCol: String, passedCol: String,
+              k: Int): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    val agg = resp.filter(col(promptCol).isNotNull &&
+        col(passedCol).isNotNull)
+      .groupBy(col(promptCol))
+      .agg(count(lit(1)).as("n_resp"),
+        sum(when(col(passedCol), 1L).otherwise(0L)).as("n_passed"))
+    val n = col("n_resp").cast("double")
+    val c = col("n_passed").cast("double")
+    val prod = aggregate(sequence(lit(0), lit(k - 1)), lit(1.0),
+      (acc, j) => acc * ((n - c - j.cast("double")) / (n - j.cast("double"))))
+    agg.select(col(promptCol), col("n_resp"), col("n_passed"),
+      round(c / n, 6).as("pass_at_1"),
+      when(col("n_resp") < k, lit(null).cast("double"))
+        .when(col("n_resp") - col("n_passed") < k, lit(1.0))
+        .otherwise(round(lit(1.0) - prod, 6)).as(s"pass_at_k"),
+      lit(k).as("k"))
+  }
+
+  /**
+   * Self-consistency majority vote (Wang et al. 2023,
+   * "Self-Consistency Improves Chain of Thought Reasoning"): per
+   * prompt, the modal extracted answer across the n sampled
+   * responses, ties broken to the LEXICOGRAPHICALLY SMALLEST answer
+   * (total, engine-independent — the ∓id convention's string
+   * analogue). Null answers are excluded from the vote (an
+   * unparseable response abstains) but still count in `n_resp`.
+   *
+   * Shape: two partial/final aggregates — (prompt, answer) counts,
+   * then one packed-key `min_by` per prompt on (−count, answer); no
+   * windows, no joins until the n_resp join-back (exact integers
+   * throughout, one division for the vote share).
+   *
+   * @return (promptCol, vote_answer, n_votes, n_resp,
+   *         vote_frac rounded 6) — prompts whose every answer is
+   *         null emit a null vote_answer with n_votes 0.
+   */
+  def majorityVote(resp: DataFrame, promptCol: String,
+                   answerCol: String): DataFrame = {
+    val base = resp.filter(col(promptCol).isNotNull)
+    val nResp = base.groupBy(col(promptCol))
+      .agg(count(lit(1)).as("n_resp"))
+    val votes = base.filter(col(answerCol).isNotNull)
+      .groupBy(col(promptCol), col(answerCol).cast("string").as("__a"))
+      .agg(count(lit(1)).as("__c"))
+      .groupBy(col(promptCol))
+      .agg(min_by(struct(col("__a").as("a"), col("__c").as("c")),
+        struct((-col("__c")).as("nc"), col("__a"))).as("__w"))
+    nResp.join(votes, Seq(promptCol), "left")
+      .select(col(promptCol), col("__w.a").as("vote_answer"),
+        coalesce(col("__w.c"), lit(0L)).as("n_votes"), col("n_resp"),
+        round(coalesce(col("__w.c"), lit(0L)).cast("double") /
+          col("n_resp").cast("double"), 6).as("vote_frac"))
+  }
 }

@@ -1562,6 +1562,41 @@ object Pipeline {
         .orderBy(col("prompt_id"), col("rank"))
     }),
 
+    // GRPO group-relative advantage (Shao et al. 2024): per prompt,
+    // (score − μ_g)/σ_g with population σ from exact BIGINT moments —
+    // the critic-free RL baseline; zero-variance groups emit 0, never
+    // NaN; advantage is gateRounded (tiny-negative by construction)
+    "qC1_grpo_advantage" -> ((s, dir) => {
+      graft.operators.Preference.groupAdvantage(
+          prefFixture(s, dir), "prompt_id", "doc_id", "score")
+        .orderBy(col("prompt_id"), col("doc_id"))
+    }),
+
+    // unbiased pass@k (Chen et al. 2021 eq. 1) at k=3 over a
+    // deterministic pass flag: exact (n, c) counts, the stable
+    // product form in ONE fixed fold order both engines share
+    "qC2_pass_at_k" -> ((s, dir) => {
+      graft.operators.Preference.passAtK(
+          T(s, dir)("documents")
+            .select(expr("doc_id div 4").as("prompt_id"),
+              (col("doc_id") % 3 === 0).as("passed")),
+          "prompt_id", "passed", k = 3)
+        .orderBy(col("prompt_id"))
+    }),
+
+    // self-consistency majority vote (Wang et al. 2023): modal
+    // extracted answer per prompt, ties to the lexicographically
+    // smallest — packed min_by on (−count, answer), no windows
+    "qC3_majority_vote" -> ((s, dir) => {
+      graft.operators.Preference.majorityVote(
+          T(s, dir)("documents")
+            .select(expr("doc_id div 4").as("prompt_id"),
+              ((col("doc_id") * col("doc_id")) % 3).cast("string")
+                .as("answer")),
+          "prompt_id", "answer")
+        .orderBy(col("prompt_id"))
+    }),
+
     // length-bias audit over the kept pairs: per source, mean Δtokens
     // and the chosen-longer fraction — the verbosity-bias alarm
     // (exact integer sums, one division, the float-contract rule)
@@ -3430,6 +3465,64 @@ object Pipeline {
              rejected_tokens, delta_tokens, jaccard, keep, source
       FROM pairs ORDER BY prompt_id"""
       .replace("__PREF_MAX_JAC__", "0.9"),
+    "qC1_grpo_advantage" -> """
+      WITH r AS (SELECT doc_id // 4 AS prompt_id, doc_id,
+                        doc_id % 7 AS score FROM documents),
+      st AS (SELECT prompt_id, CAST(SUM(score) AS BIGINT) AS s1,
+               CAST(SUM(score * score) AS BIGINT) AS s2,
+               CAST(COUNT(*) AS BIGINT) AS n_resp
+             FROM r GROUP BY 1),
+      j AS (SELECT r.prompt_id, r.doc_id, r.score, st.n_resp,
+              CAST(s1 AS DOUBLE) / CAST(n_resp AS DOUBLE) AS mu,
+              (CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE)
+                 / CAST(n_resp AS DOUBLE)) / CAST(n_resp AS DOUBLE) AS var
+            FROM r JOIN st USING (prompt_id))
+      SELECT prompt_id, doc_id, score, n_resp,
+             CASE WHEN n_resp > 1 AND var > 0
+               THEN round((CAST(score AS DOUBLE) - mu)
+                          / sqrt(greatest(var, 0.0)), 6) + 0
+               ELSE 0.0 END AS advantage,
+             (n_resp > 1 AND var > 0) AS defined
+      FROM j ORDER BY prompt_id, doc_id""",
+
+    "qC2_pass_at_k" -> """
+      WITH r AS (SELECT doc_id // 4 AS prompt_id,
+                        doc_id % 3 = 0 AS passed FROM documents),
+      a AS (SELECT prompt_id, CAST(COUNT(*) AS BIGINT) AS n_resp,
+              CAST(SUM(CASE WHEN passed THEN 1 ELSE 0 END) AS BIGINT)
+                AS n_passed
+            FROM r GROUP BY 1)
+      SELECT prompt_id, n_resp, n_passed,
+             round(CAST(n_passed AS DOUBLE) / CAST(n_resp AS DOUBLE), 6)
+               AS pass_at_1,
+             CASE WHEN n_resp < 3 THEN NULL
+                  WHEN n_resp - n_passed < 3 THEN 1.0
+                  ELSE round(1.0 - list_reduce(list_transform(range(0, 3),
+                    j -> (CAST(n_resp AS DOUBLE) - CAST(n_passed AS DOUBLE)
+                            - CAST(j AS DOUBLE))
+                         / (CAST(n_resp AS DOUBLE) - CAST(j AS DOUBLE))),
+                    (x, y) -> x * y), 6) END AS pass_at_k,
+             CAST(3 AS INT) AS k
+      FROM a ORDER BY prompt_id""",
+
+    "qC3_majority_vote" -> """
+      WITH r AS (SELECT doc_id // 4 AS prompt_id,
+                        CAST((doc_id * doc_id) % 3 AS VARCHAR) AS a
+                 FROM documents),
+      n AS (SELECT prompt_id, CAST(COUNT(*) AS BIGINT) AS n_resp
+            FROM r GROUP BY 1),
+      c AS (SELECT prompt_id, a, CAST(COUNT(*) AS BIGINT) AS c
+            FROM r GROUP BY 1, 2),
+      w AS (SELECT prompt_id, a AS vote_answer, c AS n_votes,
+              row_number() OVER (PARTITION BY prompt_id
+                ORDER BY c DESC, a ASC) AS rn
+            FROM c)
+      SELECT n.prompt_id, w.vote_answer, w.n_votes, n.n_resp,
+             round(CAST(w.n_votes AS DOUBLE) / CAST(n.n_resp AS DOUBLE), 6)
+               AS vote_frac
+      FROM n JOIN w ON w.prompt_id = n.prompt_id AND rn = 1
+      ORDER BY n.prompt_id""",
+
     "qC0_best_of_n" -> """
       WITH r AS (SELECT doc_id // 4 AS prompt_id, doc_id, text,
                         doc_id % 7 AS score, source FROM documents),

@@ -223,6 +223,90 @@ class PreferenceSpec extends AnyFunSuite {
     assert(bad.getMessage.contains("integral"), bad.getMessage)
   }
 
+  test("groupAdvantage: standardization, zero-variance, singleton, nulls") {
+    val df = Seq(
+      // prompt 1: scores 1,3,5 -> mu 3, sigma = sqrt(8/3)
+      (1L, 10L, java.lang.Long.valueOf(1L)),
+      (1L, 11L, java.lang.Long.valueOf(3L)),
+      (1L, 12L, java.lang.Long.valueOf(5L)),
+      // prompt 2: all equal -> zero variance, advantage 0, undefined
+      (2L, 20L, java.lang.Long.valueOf(4L)),
+      (2L, 21L, java.lang.Long.valueOf(4L)),
+      // prompt 3: singleton -> undefined
+      (3L, 30L, java.lang.Long.valueOf(9L)),
+      // prompt 4: a null score is excluded from pool AND moments
+      (4L, 40L, java.lang.Long.valueOf(2L)),
+      (4L, 41L, null.asInstanceOf[java.lang.Long]),
+      (4L, 42L, java.lang.Long.valueOf(6L))
+    ).toDF("prompt_id", "resp_id", "score")
+    val out = Preference.groupAdvantage(df, "prompt_id", "resp_id", "score")
+      .collect().map(r => r.getLong(1) ->
+        ((r.getLong(3), r.getDouble(4), r.getBoolean(5)))).toMap
+    // sigma = sqrt(((1+9+25) - 81/3)/3) = sqrt(8/3); (1-3)/sigma ≈ -1.224745
+    assert(out(10L) == ((3L, -1.224745, true)), out(10L).toString)
+    assert(out(11L) == ((3L, 0.0, true)))
+    assert(out(12L) == ((3L, 1.224745, true)))
+    // the zero advantage of a MID-scoring response is +0.0 bits, and
+    // so is the zero-variance convention value (the sign axis)
+    assert(java.lang.Double.doubleToRawLongBits(out(11L)._2) == 0L)
+    assert(out(20L) == ((2L, 0.0, false)) && out(21L) == ((2L, 0.0, false)))
+    assert(out(30L) == ((1L, 0.0, false)))
+    // prompt 4: moments over the two scored rows only (mu 4, sigma 2)
+    assert(out(40L) == ((2L, -1.0, true)), out(40L).toString)
+    assert(out(42L) == ((2L, 1.0, true)))
+    assert(!out.contains(41L), "null-scored row must not emit")
+    val bad = intercept[IllegalArgumentException] {
+      Preference.groupAdvantage(df.withColumn("score",
+        col("score").cast("double")), "prompt_id", "resp_id", "score")
+    }
+    assert(bad.getMessage.contains("integral"), bad.getMessage)
+  }
+
+  test("passAtK: the Chen et al. estimator, both guards, exact fold") {
+    val df = Seq(
+      // prompt 1: n=4, c=1 -> pass@3 = 1 - (3/4)(2/3)(1/2) = 0.75
+      (1L, true), (1L, false), (1L, false), (1L, false),
+      // prompt 2: n=4, c=2 -> n-c=2 < 3 -> exactly 1.0
+      (2L, true), (2L, true), (2L, false), (2L, false),
+      // prompt 3: n=2 < k -> estimator undefined -> null
+      (3L, true), (3L, false),
+      // prompt 4: c=0 -> product = 1, pass@k = 0
+      (4L, false), (4L, false), (4L, false), (4L, false)
+    ).toDF("prompt_id", "passed")
+    val out = Preference.passAtK(df, "prompt_id", "passed", k = 3)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3),
+          if (r.isNullAt(4)) -1.0 else r.getDouble(4)))).toMap
+    assert(out(1L) == ((4L, 1L, 0.25, 0.75)), out(1L).toString)
+    assert(out(2L) == ((4L, 2L, 0.5, 1.0)), out(2L).toString)
+    assert(out(3L) == ((2L, 1L, 0.5, -1.0)), out(3L).toString)
+    assert(out(4L) == ((4L, 0L, 0.0, 0.0)), out(4L).toString)
+    intercept[IllegalArgumentException] {
+      Preference.passAtK(df, "prompt_id", "passed", k = 0)
+    }
+  }
+
+  test("majorityVote: modal answer, lexicographic ties, null abstention") {
+    val df = Seq(
+      // prompt 1: b,b,a -> b wins on count
+      (1L, Some("b")), (1L, Some("b")), (1L, Some("a")),
+      // prompt 2: a,b tie -> lexicographically smallest wins
+      (2L, Some("b")), (2L, Some("a")),
+      // prompt 3: null answers abstain but count in n_resp
+      (3L, Some("x")), (3L, None), (3L, None),
+      // prompt 4: every answer null -> null vote, 0 votes
+      (4L, None)
+    ).toDF("prompt_id", "answer")
+    val out = Preference.majorityVote(df, "prompt_id", "answer")
+      .collect().map(r => r.getLong(0) ->
+        ((Option(r.getString(1)), r.getLong(2), r.getLong(3),
+          r.getDouble(4)))).toMap
+    assert(out(1L) == ((Some("b"), 2L, 3L, 0.666667)), out(1L).toString)
+    assert(out(2L) == ((Some("a"), 1L, 2L, 0.5)), out(2L).toString)
+    assert(out(3L) == ((Some("x"), 1L, 3L, 0.333333)), out(3L).toString)
+    assert(out(4L) == ((None, 0L, 1L, 0.0)), out(4L).toString)
+  }
+
   test("lengthBias: exact sums, only kept pairs count") {
     val pairs = Seq(
       // (by, delta, keep): kept deltas 3, -1, 2 -> sum 4, avg 4/3,
