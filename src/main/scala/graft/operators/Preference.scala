@@ -158,7 +158,13 @@ object Preference {
       col(respIdCol).cast("long").as("__rid") +:
       col(textCol).as("__text") +: col(scoreCol).as("score") +:
       carry.map(col)): _*)
+    // materialize ONCE: `rows` feeds both the final projection and
+    // the rank-1 guard side — without this the heap aggregate and the
+    // detail join EXECUTE TWICE (the qBW fan-out lesson; plan-audited
+    // round 15). The frame is survivors-sized (≤ n·|prompts| rows) —
+    // the operator's own output scale.
     val rows = ranked.join(detail, Seq(promptCol, "__rid"))
+      .localCheckpoint(true)
     val best = rows.filter(col("rank") === 1)
       .select(col(promptCol), col("__text").as("__btext"))
     val ca = array_distinct(TextAnalysis.tokens(col("__text")))
