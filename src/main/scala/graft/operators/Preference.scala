@@ -320,6 +320,100 @@ object Preference {
   }
 
   /**
+   * Score–confound Pearson correlation per group — the direct
+   * reward-model calibration audit beside [[lengthBias]]: a reward
+   * that correlates strongly with a CONFOUND (token length, markdown
+   * density, list count) trains the policy toward the confound, not
+   * the preference (the Singhal et al. 2023 failure, measured at the
+   * response level rather than the pair level). Both columns must be
+   * integral (quantize upstream): all five sums (Σx, Σy, Σxy, Σx²,
+   * Σy²) are then exact BIGINTs in any partition order, and r is
+   * per-group float arithmetic over exact integers in ONE association
+   * order mirrored in the oracle — numerator `n·Σxy − Σx·Σy`, each
+   * factor exact in double below 2^53, [[graft.functions.GateRound]]ed
+   * (r goes tiny-negative by construction). Degenerate groups (n ≤ 1
+   * or either variance 0) emit r = 0 with defined = false, never NaN.
+   *
+   * Scale shape: one partial/final aggregate to |groups| rows. The
+   * 2^53 exactness bound holds when n·max|x·y| < 9e15 — sources of
+   * ~1e9 docs with 7-point scores and 1e5-token lengths overflow it;
+   * pre-scale the confound (e.g. kilotokens) at that size.
+   *
+   * @return (byCol, n, r rounded 6, defined)
+   */
+  def scoreCorrelation(resp: DataFrame, byCol: String, scoreCol: String,
+                       confoundCol: String): DataFrame = {
+    Seq(scoreCol, confoundCol).foreach { c =>
+      require(org.apache.spark.sql.graftbridge.ColumnBridge
+          .isIntegral(resp.schema(c).dataType),
+        s"scoreCorrelation: $c must be integral (got " +
+          s"${resp.schema(c).dataType.simpleString}) — the exact BIGINT " +
+          "sum contract")
+    }
+    val x = col(scoreCol).cast("long")
+    val y = col(confoundCol).cast("long")
+    val stats = resp
+      .filter(col(scoreCol).isNotNull && col(confoundCol).isNotNull)
+      .groupBy(col(byCol))
+      .agg(count(lit(1)).as("n"), sum(x).as("__sx"), sum(y).as("__sy"),
+        sum(x * y).as("__sxy"), sum(x * x).as("__sxx"),
+        sum(y * y).as("__syy"))
+    val nd = col("n").cast("double")
+    def d(c: String) = col(c).cast("double")
+    val num = nd * d("__sxy") - d("__sx") * d("__sy")
+    val vx = nd * d("__sxx") - d("__sx") * d("__sx")
+    val vy = nd * d("__syy") - d("__sy") * d("__sy")
+    val defined = col("n") > 1 && vx > 0 && vy > 0
+    stats.select(col(byCol), col("n"),
+      when(defined, graft.functions.GateRound(
+        num / (sqrt(greatest(vx, lit(0.0))) * sqrt(greatest(vy, lit(0.0)))),
+        6)).otherwise(lit(0.0)).as("r"),
+      defined.as("defined"))
+  }
+
+  /**
+   * Pairwise win-rate matrix (arena-style model evaluation): per
+   * prompt, every response of player A meets every response of
+   * player B (ordered pairs `player_a < player_b` — string order,
+   * total), a win is a strictly higher score, ties split 0.5 (the
+   * standard Elo/BT convention). Emits one row per player pair with
+   * exact comparison/win/tie counts and ONE division for the rate.
+   *
+   * Scale shape: the self-join is per-prompt and per-player-pair —
+   * candidate volume is Σ_prompt (responses choose 2), bounded by the
+   * sampling fan-out (n per prompt), never corpus². One shuffle on
+   * the prompt key for the join, one partial/final aggregate to
+   * |players|² rows.
+   *
+   * @return (player_a, player_b, n_comparisons, n_wins_a, n_ties,
+   *         win_rate_a rounded 6)
+   */
+  def winRateMatrix(resp: DataFrame, promptCol: String, playerCol: String,
+                    scoreCol: String): DataFrame = {
+    val clean = resp.filter(col(promptCol).isNotNull &&
+        col(playerCol).isNotNull && col(scoreCol).isNotNull)
+      .select(col(promptCol).as("__p"),
+        col(playerCol).cast("string").as("__pl"),
+        col(scoreCol).cast("long").as("__s"))
+    val a = clean.select(col("__p"), col("__pl").as("player_a"),
+      col("__s").as("__sa"))
+    val b = clean.select(col("__p"), col("__pl").as("player_b"),
+      col("__s").as("__sb"))
+    a.join(b, Seq("__p")).filter(col("player_a") < col("player_b"))
+      .groupBy(col("player_a"), col("player_b"))
+      .agg(count(lit(1)).as("n_comparisons"),
+        sum(when(col("__sa") > col("__sb"), 1L).otherwise(0L))
+          .as("n_wins_a"),
+        sum(when(col("__sa") === col("__sb"), 1L).otherwise(0L))
+          .as("n_ties"))
+      .select(col("player_a"), col("player_b"), col("n_comparisons"),
+        col("n_wins_a"), col("n_ties"),
+        round((col("n_wins_a").cast("double") +
+          lit(0.5) * col("n_ties").cast("double")) /
+          col("n_comparisons").cast("double"), 6).as("win_rate_a"))
+  }
+
+  /**
    * Self-consistency majority vote (Wang et al. 2023,
    * "Self-Consistency Improves Chain of Thought Reasoning"): per
    * prompt, the modal extracted answer across the n sampled

@@ -1597,6 +1597,33 @@ object Pipeline {
         .orderBy(col("prompt_id"))
     }),
 
+    // reward-calibration audit: per-source Pearson r between score
+    // and token length (the response-level confound check beside
+    // qBY) — five exact BIGINT sums, per-group float in one shared
+    // association order, gateRounded
+    "qC4_score_length_corr" -> ((s, dir) => {
+      graft.operators.Preference.scoreCorrelation(
+          T(s, dir)("documents").select(col("source"),
+            (col("doc_id") % 7).as("score"),
+            TextAnalysis.tokenCount(col("text")).cast("long")
+              .as("n_tokens")),
+          "source", "score", "n_tokens")
+        .orderBy(col("source"))
+    }),
+
+    // arena-style pairwise win-rate matrix between sources: per
+    // prompt every cross pair, strict-win counts, ties split 0.5 —
+    // exact integers, one division; join volume bounded by the
+    // per-prompt sampling fan-out
+    "qC5_winrate_matrix" -> ((s, dir) => {
+      graft.operators.Preference.winRateMatrix(
+          T(s, dir)("documents").select(
+            expr("doc_id div 4").as("prompt_id"), col("source"),
+            (col("doc_id") % 7).as("score")),
+          "prompt_id", "source", "score")
+        .orderBy(col("player_a"), col("player_b"))
+    }),
+
     // length-bias audit over the kept pairs: per source, mean Δtokens
     // and the chosen-longer fraction — the verbosity-bias alarm
     // (exact integer sums, one division, the float-contract rule)
@@ -3465,6 +3492,49 @@ object Pipeline {
              rejected_tokens, delta_tokens, jaccard, keep, source
       FROM pairs ORDER BY prompt_id"""
       .replace("__PREF_MAX_JAC__", "0.9"),
+    "qC4_score_length_corr" -> """
+      WITH r AS (SELECT source, doc_id % 7 AS x,
+                   CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT) AS y
+                 FROM documents),
+      st AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+               CAST(SUM(x * y) AS BIGINT) AS sxy,
+               CAST(SUM(x * x) AS BIGINT) AS sxx,
+               CAST(SUM(y * y) AS BIGINT) AS syy
+             FROM r GROUP BY 1),
+      v AS (SELECT source, n,
+              CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE) AS num,
+              CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) AS vx,
+              CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+                - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) AS vy
+            FROM st)
+      SELECT source, n,
+             CASE WHEN n > 1 AND vx > 0 AND vy > 0
+               THEN round(num / (sqrt(greatest(vx, 0.0))
+                                 * sqrt(greatest(vy, 0.0))), 6) + 0
+               ELSE 0.0 END AS r,
+             (n > 1 AND vx > 0 AND vy > 0) AS defined
+      FROM v ORDER BY source""",
+
+    "qC5_winrate_matrix" -> """
+      WITH r AS (SELECT doc_id // 4 AS p, source AS pl, doc_id % 7 AS s
+                 FROM documents)
+      SELECT a.pl AS player_a, b.pl AS player_b,
+             CAST(COUNT(*) AS BIGINT) AS n_comparisons,
+             CAST(SUM(CASE WHEN a.s > b.s THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_wins_a,
+             CAST(SUM(CASE WHEN a.s = b.s THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_ties,
+             round((CAST(SUM(CASE WHEN a.s > b.s THEN 1 ELSE 0 END)
+                      AS DOUBLE)
+                    + 0.5 * CAST(SUM(CASE WHEN a.s = b.s THEN 1 ELSE 0 END)
+                        AS DOUBLE))
+                   / CAST(COUNT(*) AS DOUBLE), 6) AS win_rate_a
+      FROM r a JOIN r b ON a.p = b.p AND a.pl < b.pl
+      GROUP BY 1, 2 ORDER BY player_a, player_b""",
+
     "qC1_grpo_advantage" -> """
       WITH r AS (SELECT doc_id // 4 AS prompt_id, doc_id,
                         doc_id % 7 AS score FROM documents),

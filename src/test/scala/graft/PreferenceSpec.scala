@@ -307,6 +307,56 @@ class PreferenceSpec extends AnyFunSuite {
     assert(out(4L) == ((None, 0L, 1L, 0.0)), out(4L).toString)
   }
 
+  test("scoreCorrelation: hand Pearson, degenerate groups, type refusal") {
+    val df = Seq(
+      // group a: y = 2x exactly -> r = 1
+      ("a", 1L, 2L), ("a", 2L, 4L), ("a", 3L, 6L),
+      // group b: y = -x + 10 -> r = -1
+      ("b", 1L, 9L), ("b", 2L, 8L), ("b", 4L, 6L),
+      // group c: constant score -> vx = 0 -> undefined
+      ("c", 5L, 1L), ("c", 5L, 9L),
+      // group d: singleton -> undefined
+      ("d", 3L, 3L)
+    ).toDF("src", "score", "len")
+    val out = Preference.scoreCorrelation(df, "src", "score", "len")
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getDouble(2), r.getBoolean(3)))).toMap
+    assert(out("a") == ((3L, 1.0, true)), out("a").toString)
+    assert(out("b") == ((3L, -1.0, true)), out("b").toString)
+    assert(out("c") == ((2L, 0.0, false)), out("c").toString)
+    assert(out("d") == ((1L, 0.0, false)), out("d").toString)
+    // the undefined groups' 0.0 carries no sign bit
+    assert(java.lang.Double.doubleToRawLongBits(out("c")._2) == 0L)
+    val bad = intercept[IllegalArgumentException] {
+      Preference.scoreCorrelation(df.withColumn("len",
+        col("len").cast("double")), "src", "score", "len")
+    }
+    assert(bad.getMessage.contains("integral"), bad.getMessage)
+  }
+
+  test("winRateMatrix: strict wins, tie split, pair orientation, fan-out") {
+    val df = Seq(
+      // prompt 1: m1=5 beats m2=3; m1=5 vs m3=5 tie; m2=3 loses to m3=5
+      (1L, "m1", 5L), (1L, "m2", 3L), (1L, "m3", 5L),
+      // prompt 2: m1=1 loses to m2=4 — and m2 fields TWO responses
+      // (fan-out: both meet m1's single response)
+      (2L, "m1", 1L), (2L, "m2", 4L), (2L, "m2", 0L)
+    ).toDF("prompt_id", "model", "score")
+    val out = Preference.winRateMatrix(df, "prompt_id", "model", "score")
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4), r.getDouble(5)))).toMap
+    // m1 vs m2: prompt1 win (5>3), prompt2 loss (1<4) + win (1>0)
+    // -> 3 comparisons, 2 wins, 0 ties, rate 2/3
+    assert(out(("m1", "m2")) == ((3L, 2L, 0L, 0.666667)),
+      out(("m1", "m2")).toString)
+    // m1 vs m3: single tie -> rate 0.5
+    assert(out(("m1", "m3")) == ((1L, 0L, 1L, 0.5)))
+    // m2 vs m3: 3 < 5 -> one loss
+    assert(out(("m2", "m3")) == ((1L, 0L, 0L, 0.0)))
+    // pairs are oriented player_a < player_b only — no mirror rows
+    assert(out.keySet == Set(("m1", "m2"), ("m1", "m3"), ("m2", "m3")))
+  }
+
   test("lengthBias: exact sums, only kept pairs count") {
     val pairs = Seq(
       // (by, delta, keep): kept deltas 3, -1, 2 -> sum 4, avg 4/3,
