@@ -660,4 +660,97 @@ class PropertySpecs extends AnyFunSuite {
         assert(r.getLong(7) == spans.map(_._3).sum - (bySeq.size - 1) * seqLen)
     }
   }
+
+  test("response-set analytics invariants hold on random tables") {
+    val spark = GraftTestSession.spark
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, concat, lit}
+    val rnd = new scala.util.Random(53)
+    for (_ <- 1 to 3) {
+      val rows = (0 until 150).map { i =>
+        ((i / rnd.nextInt(6).max(1)).toLong % 20, i.toLong,
+          rnd.nextInt(5).toLong, rnd.nextInt(2) == 0,
+          rnd.nextInt(4).toString)
+      }
+      val df = rows.toDF("prompt_id", "resp_id", "score", "passed", "ans")
+
+      // groupAdvantage: defined groups standardize to mean ~0 within
+      // rounding; undefined groups emit exactly 0.0; every advantage
+      // finite, never a signed zero
+      val adv = graft.operators.Preference.groupAdvantage(
+          df, "prompt_id", "resp_id", "score")
+        .collect().map(r => (r.getLong(0), r.getDouble(4), r.getBoolean(5)))
+      adv.groupBy(_._1).foreach { case (p, g) =>
+        if (g.head._3) {
+          val mean = g.map(_._2).sum / g.size
+          assert(math.abs(mean) < 1e-5, s"prompt $p advantage mean $mean")
+        } else g.foreach { case (_, a, _) =>
+          assert(a == 0.0 &&
+            java.lang.Double.doubleToRawLongBits(a) == 0L)
+        }
+        g.foreach(t => assert(!t._2.isNaN && !t._2.isInfinite))
+      }
+
+      // passAtK: pass@1 <= pass@k (more draws can only help), both in
+      // [0, 1], and the n-c < k branch is exactly 1
+      val pk = graft.operators.Preference.passAtK(df, "prompt_id",
+          "passed", k = 3)
+        .collect().map(r => (r.getLong(1), r.getLong(2), r.getDouble(3),
+          if (r.isNullAt(4)) None else Some(r.getDouble(4))))
+      pk.foreach { case (n, c, p1, pkv) =>
+        assert(p1 >= 0.0 && p1 <= 1.0)
+        if (n < 3) assert(pkv.isEmpty, s"n=$n must be undefined")
+        else {
+          val v = pkv.get
+          assert(v >= 0.0 && v <= 1.0 && v >= p1 - 1e-9,
+            s"pass@3 $v < pass@1 $p1 (n=$n c=$c)")
+          if (n - c < 3) assert(v == 1.0)
+          if (c == 0) assert(v == 0.0)
+        }
+      }
+
+      // majorityVote: the winner's count is the max count, its answer
+      // the lexicographic min among max-count answers; votes <= n_resp
+      val mv = graft.operators.Preference.majorityVote(df, "prompt_id",
+          "ans")
+        .collect().map(r => r.getLong(0) ->
+          ((r.getString(1), r.getLong(2), r.getLong(3)))).toMap
+      rows.groupBy(_._1).foreach { case (p, g) =>
+        val counts = g.groupBy(_._5).view.mapValues(_.size.toLong).toMap
+        val best = counts.toSeq.minBy { case (a, c) => (-c, a) }
+        val (va, nv, nr) = mv(p)
+        assert((va, nv) == best, s"prompt $p: ($va, $nv) vs $best")
+        assert(nv <= nr && nr == g.size)
+      }
+
+      // winRateMatrix: rate_a in [0,1]; wins + ties <= comparisons;
+      // and the mirrored rate computed from B's perspective sums to 1
+      val wr = graft.operators.Preference.winRateMatrix(
+          df.withColumn("player", concat(lit("m"), col("score") % 3)),
+          "prompt_id", "player", "resp_id")
+        .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2),
+          r.getLong(3), r.getLong(4), r.getDouble(5)))
+      wr.foreach { case (a, b, n, w, t, rate) =>
+        assert(a < b, "orientation broken")
+        assert(w + t <= n)
+        assert(rate >= 0.0 && rate <= 1.0)
+        // losses = n - w - t; rate_b = (losses + 0.5 t)/n; sum = 1
+        val rateB = BigDecimal(((n - w - t) + 0.5 * t) / n)
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+        assert(math.abs(rate + rateB - 1.0) < 2e-6, s"$a/$b rates")
+      }
+
+      // scoreCorrelation: r in [-1, 1] within rounding; sign matches
+      // the covariance's; undefined groups emit +0.0 bits
+      val sc = graft.operators.Preference.scoreCorrelation(
+          df.withColumn("len", col("resp_id") % 7), "prompt_id",
+          "score", "len")
+        .collect().map(r => (r.getLong(0), r.getDouble(2), r.getBoolean(3)))
+      sc.foreach { case (p, r, defined) =>
+        assert(r >= -1.0000005 && r <= 1.0000005, s"prompt $p r=$r")
+        if (!defined)
+          assert(java.lang.Double.doubleToRawLongBits(r) == 0L)
+      }
+    }
+  }
 }
