@@ -383,18 +383,35 @@ object Preference {
    * candidate volume is Σ_prompt (responses choose 2), bounded by the
    * sampling fan-out (n per prompt), never corpus². One shuffle on
    * the prompt key for the join, one partial/final aggregate to
-   * |players|² rows.
+   * |players|² rows. The fan-out premise is ENFORCED, not assumed
+   * (the hot-bucket convention): a prompt with more than `maxFanOut`
+   * responses would quadratically melt its join task — refused
+   * loudly with the offending prompt named, via one cheap
+   * prompts-sized aggregate (the [[Similarity]] guardQuadratic
+   * economics).
    *
    * @return (player_a, player_b, n_comparisons, n_wins_a, n_ties,
    *         win_rate_a rounded 6)
    */
   def winRateMatrix(resp: DataFrame, promptCol: String, playerCol: String,
-                    scoreCol: String): DataFrame = {
+                    scoreCol: String, maxFanOut: Int = 10000): DataFrame = {
+    require(maxFanOut > 0, s"maxFanOut must be positive, got $maxFanOut")
     val clean = resp.filter(col(promptCol).isNotNull &&
         col(playerCol).isNotNull && col(scoreCol).isNotNull)
       .select(col(promptCol).as("__p"),
         col(playerCol).cast("string").as("__pl"),
         col(scoreCol).cast("long").as("__s"))
+    val hot = clean.groupBy(col("__p")).agg(count(lit(1)).as("__n"))
+      .filter(col("__n") > maxFanOut)
+      .orderBy(col("__n").desc).limit(1).collect()
+    require(hot.isEmpty, {
+      val r = hot.head
+      s"winRateMatrix: prompt ${r.get(0)} has ${r.getLong(1)} responses " +
+        s"-> ~${r.getLong(1) * r.getLong(1) / 2} comparison pairs in one " +
+        s"task (maxFanOut=$maxFanOut). A fan-out this size is not a " +
+        "sampling set; aggregate per (prompt, player) first or raise " +
+        "maxFanOut explicitly."
+    })
     val a = clean.select(col("__p"), col("__pl").as("player_a"),
       col("__s").as("__sa"))
     val b = clean.select(col("__p"), col("__pl").as("player_b"),
@@ -411,6 +428,53 @@ object Preference {
         round((col("n_wins_a").cast("double") +
           lit(0.5) * col("n_ties").cast("double")) /
           col("n_comparisons").cast("double"), 6).as("win_rate_a"))
+  }
+
+  /**
+   * Distinct-n response diversity (Li et al. 2016, "A Diversity-
+   * Promoting Objective Function for Neural Conversation Models"):
+   * per prompt, the ratio of DISTINCT word n-grams to total word
+   * n-grams across all of the prompt's responses — the standard
+   * sampling-temperature audit (a collapsed sampler repeats itself;
+   * distinct-2 near 1 means every response contributes new bigrams).
+   * Token-less prompts report ratio 0.0 with n_grams = 0 visible
+   * (the [[TextAnalysis.tokenEntropy]] zero-denominator convention —
+   * the count column, not a null, is the "no evidence" signal).
+   *
+   * Exact contract: gram counts are integers aggregated exactly;
+   * ONE division, values in [0, 1] — no sign exposure, plain round.
+   *
+   * Scale shape: per-row gram construction (no join), explode to
+   * (prompt, gram) pairs, then two partial/final aggregates —
+   * (prompt, gram) counts, then per-prompt totals; response TEXTS
+   * never shuffle, only grams do (the tokenEntropy shape).
+   *
+   * @return (promptCol, n_resp, n_grams, n_distinct,
+   *         distinct_ratio rounded 6)
+   */
+  def responseDiversity(resp: DataFrame, promptCol: String,
+                        textCol: String, n: Int): DataFrame = {
+    require(n > 0, s"n must be positive, got $n")
+    val base = resp.filter(col(promptCol).isNotNull)
+    val nResp = base.groupBy(col(promptCol))
+      .agg(count(lit(1)).as("n_resp"))
+    val toks = TextAnalysis.tokens(col(textCol))
+    val grams = when(col(textCol).isNotNull && size(toks) >= n,
+      transform(sequence(lit(1), size(toks) - lit(n - 1)),
+        i => array_join(slice(toks, i, lit(n)), " ")))
+      .otherwise(array().cast("array<string>"))
+    val stats = base.select(col(promptCol), explode(grams).as("__g"))
+      .groupBy(col(promptCol), col("__g"))
+      .agg(count(lit(1)).as("__c"))
+      .groupBy(col(promptCol))
+      .agg(count(lit(1)).as("n_distinct"), sum(col("__c")).as("n_grams"))
+    nResp.join(stats, Seq(promptCol), "left")
+      .select(col(promptCol), col("n_resp"),
+        coalesce(col("n_grams"), lit(0L)).as("n_grams"),
+        coalesce(col("n_distinct"), lit(0L)).as("n_distinct"),
+        when(coalesce(col("n_grams"), lit(0L)) === 0, lit(0.0))
+          .otherwise(round(col("n_distinct").cast("double") /
+            col("n_grams").cast("double"), 6)).as("distinct_ratio"))
   }
 
   /**

@@ -1624,6 +1624,18 @@ object Pipeline {
         .orderBy(col("player_a"), col("player_b"))
     }),
 
+    // distinct-2 response diversity (Li et al. 2016): per prompt,
+    // distinct/total bigram ratio across the response set — the
+    // sampling-temperature collapse audit; exact gram counts, one
+    // division, texts never shuffle (only grams do)
+    "qC6_response_diversity" -> ((s, dir) => {
+      graft.operators.Preference.responseDiversity(
+          T(s, dir)("documents").select(
+            expr("doc_id div 4").as("prompt_id"), col("text")),
+          "prompt_id", "text", n = 2)
+        .orderBy(col("prompt_id"))
+    }),
+
     // length-bias audit over the kept pairs: per source, mean Δtokens
     // and the chosen-longer fraction — the verbosity-bias alarm
     // (exact integer sums, one division, the float-contract rule)
@@ -3492,6 +3504,28 @@ object Pipeline {
              rejected_tokens, delta_tokens, jaccard, keep, source
       FROM pairs ORDER BY prompt_id"""
       .replace("__PREF_MAX_JAC__", "0.9"),
+    "qC6_response_diversity" -> """
+      WITH r AS (SELECT doc_id // 4 AS prompt_id,
+                        regexp_extract_all(text, '\S+') AS t
+                 FROM documents),
+      nr AS (SELECT prompt_id, CAST(COUNT(*) AS BIGINT) AS n_resp
+             FROM r GROUP BY 1),
+      g AS (SELECT prompt_id,
+              unnest(list_transform(range(1, len(t)),
+                i -> t[i] || ' ' || t[i + 1])) AS gram
+            FROM r WHERE len(t) >= 2),
+      c AS (SELECT prompt_id, gram, COUNT(*) AS cnt FROM g GROUP BY 1, 2),
+      s AS (SELECT prompt_id, CAST(COUNT(*) AS BIGINT) AS n_distinct,
+              CAST(SUM(cnt) AS BIGINT) AS n_grams FROM c GROUP BY 1)
+      SELECT nr.prompt_id, nr.n_resp,
+             COALESCE(s.n_grams, 0) AS n_grams,
+             COALESCE(s.n_distinct, 0) AS n_distinct,
+             CASE WHEN COALESCE(s.n_grams, 0) = 0 THEN 0.0
+                  ELSE round(CAST(s.n_distinct AS DOUBLE)
+                             / CAST(s.n_grams AS DOUBLE), 6)
+             END AS distinct_ratio
+      FROM nr LEFT JOIN s USING (prompt_id) ORDER BY prompt_id""",
+
     "qC4_score_length_corr" -> """
       WITH r AS (SELECT source, doc_id % 7 AS x,
                    CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT) AS y

@@ -355,6 +355,47 @@ class PreferenceSpec extends AnyFunSuite {
     assert(out(("m2", "m3")) == ((1L, 0L, 0L, 0.0)))
     // pairs are oriented player_a < player_b only — no mirror rows
     assert(out.keySet == Set(("m1", "m2"), ("m1", "m3"), ("m2", "m3")))
+    // a pathological fan-out is refused loudly, naming the prompt —
+    // C(n,2) pairs in one join task is a melt, not a sampling set
+    val fat = (0 until 40).map(i => (9L, s"m$i", i.toLong))
+      .toDF("prompt_id", "model", "score")
+    val err = intercept[IllegalArgumentException] {
+      Preference.winRateMatrix(fat, "prompt_id", "model", "score",
+        maxFanOut = 10)
+    }
+    assert(err.getMessage.contains("9") &&
+      err.getMessage.contains("maxFanOut"), err.getMessage)
+  }
+
+  test("responseDiversity: distinct-n by hand, empty prompts, validation") {
+    val df = Seq(
+      // prompt 1: two responses sharing the bigram "a b" ->
+      // grams: [a b, b c], [a b] => total 3, distinct 2
+      (1L, "a b c"), (1L, "a b"),
+      // prompt 2: all responses identical -> collapse reads low:
+      // 3x [x y] => total 3, distinct 1
+      (2L, "x y"), (2L, "x y"), (2L, "x y"),
+      // prompt 3: single-token and empty texts carry no bigrams
+      (3L, "solo"), (3L, ""), (3L, null)
+    ).toDF("prompt_id", "text")
+    val out = graft.operators.Preference.responseDiversity(
+        df, "prompt_id", "text", n = 2)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4)))).toMap
+    assert(out(1L) == ((2L, 3L, 2L, 0.666667)), out(1L).toString)
+    assert(out(2L) == ((3L, 3L, 1L, 0.333333)), out(2L).toString)
+    assert(out(3L) == ((3L, 0L, 0L, 0.0)), out(3L).toString)
+    // distinct-1 counts unigrams
+    val uni = graft.operators.Preference.responseDiversity(
+        df, "prompt_id", "text", n = 1)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(2), r.getLong(3))))
+      .toMap
+    assert(uni(1L) == ((5L, 3L)), uni(1L).toString) // a,b,c,a,b
+    assert(uni(3L) == ((1L, 1L)))
+    intercept[IllegalArgumentException] {
+      graft.operators.Preference.responseDiversity(df, "prompt_id",
+        "text", n = 0)
+    }
   }
 
   test("lengthBias: exact sums, only kept pairs count") {
