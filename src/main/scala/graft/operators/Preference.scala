@@ -478,6 +478,56 @@ object Preference {
   }
 
   /**
+   * Cohen's kappa between two binary judges (Cohen 1960) — the
+   * inter-annotator / judge-ensemble agreement audit: raw agreement
+   * corrected for the agreement two INDEPENDENT judges with the same
+   * marginals would reach by chance. κ near 0 on a high-raw-agreement
+   * label means the labels are skew, not signal — the standard
+   * pre-flight before trusting an LLM-judge ensemble or a human
+   * annotation batch.
+   *
+   * Exact contract: the 2×2 contingency (n, agree, a-positives,
+   * b-positives) sums exactly in any order; p_o = agree/n and
+   * p_e = (a₁·b₁ + (n−a₁)·(n−b₁))/n² are each ONE division with an
+   * exact INTEGER numerator and denominator (products stay below
+   * 2^53 for n < 9e7 per group — pre-aggregate or shard groups past
+   * that); κ = (p_o − p_e)/(1 − p_e) mirrors the oracle verbatim and
+   * is [[graft.functions.GateRound]]ed (κ is signed). A constant
+   * pair of judges (p_e = 1) has no chance-corrected scale — κ = 0
+   * with defined = false, never 0/0.
+   *
+   * @return (byCol, n, n_agree, kappa rounded 6, defined)
+   */
+  def judgeAgreement(resp: DataFrame, byCol: String, judgeACol: String,
+                     judgeBCol: String): DataFrame = {
+    Seq(judgeACol, judgeBCol).foreach { c =>
+      require(resp.schema(c).dataType ==
+          org.apache.spark.sql.types.BooleanType,
+        s"judgeAgreement: $c must be boolean (got " +
+          s"${resp.schema(c).dataType.simpleString}) — binarize " +
+          "judge scores upstream")
+    }
+    val a = col(judgeACol)
+    val b = col(judgeBCol)
+    val stats = resp.filter(a.isNotNull && b.isNotNull)
+      .groupBy(col(byCol))
+      .agg(count(lit(1)).as("n"),
+        sum(when(a === b, 1L).otherwise(0L)).as("n_agree"),
+        sum(when(a, 1L).otherwise(0L)).as("__a1"),
+        sum(when(b, 1L).otherwise(0L)).as("__b1"))
+    val nd = col("n").cast("double")
+    val po = col("n_agree").cast("double") / nd
+    val pe = (col("__a1") * col("__b1") +
+      (col("n") - col("__a1")) * (col("n") - col("__b1")))
+      .cast("double") / (col("n") * col("n")).cast("double")
+    val defined = col("n") > 0 && pe < 1.0
+    stats.select(col(byCol), col("n"), col("n_agree"),
+      when(defined, graft.functions.GateRound((po - pe) / (lit(1.0) - pe), 6))
+        .otherwise(lit(0.0)).as("kappa"),
+      defined.as("defined"))
+  }
+
+  /**
    * Self-consistency majority vote (Wang et al. 2023,
    * "Self-Consistency Improves Chain of Thought Reasoning"): per
    * prompt, the modal extracted answer across the n sampled

@@ -1636,6 +1636,19 @@ object Pipeline {
         .orderBy(col("prompt_id"))
     }),
 
+    // Cohen's kappa between two synthetic binary judges per source:
+    // the annotation/judge-ensemble agreement audit — exact 2x2
+    // contingency, integer-numerator p_o/p_e divisions, gateRounded
+    // signed kappa
+    "qC7_judge_agreement" -> ((s, dir) => {
+      graft.operators.Preference.judgeAgreement(
+          T(s, dir)("documents").select(col("source"),
+            (col("doc_id") % 7 > 3).as("judge_a"),
+            (col("doc_id") % 5 > 2).as("judge_b")),
+          "source", "judge_a", "judge_b")
+        .orderBy(col("source"))
+    }),
+
     // length-bias audit over the kept pairs: per source, mean Δtokens
     // and the chosen-longer fraction — the verbosity-bias alarm
     // (exact integer sums, one division, the float-contract rule)
@@ -3525,6 +3538,27 @@ object Pipeline {
                              / CAST(s.n_grams AS DOUBLE), 6)
              END AS distinct_ratio
       FROM nr LEFT JOIN s USING (prompt_id) ORDER BY prompt_id""",
+
+    "qC7_judge_agreement" -> """
+      WITH r AS (SELECT source, doc_id % 7 > 3 AS a, doc_id % 5 > 2 AS b
+                 FROM documents),
+      st AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(CASE WHEN a = b THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_agree,
+               CAST(SUM(CASE WHEN a THEN 1 ELSE 0 END) AS BIGINT) AS a1,
+               CAST(SUM(CASE WHEN b THEN 1 ELSE 0 END) AS BIGINT) AS b1
+             FROM r GROUP BY 1),
+      v AS (SELECT source, n, n_agree,
+              CAST(n_agree AS DOUBLE) / CAST(n AS DOUBLE) AS po,
+              CAST(a1 * b1 + (n - a1) * (n - b1) AS DOUBLE)
+                / CAST(n * n AS DOUBLE) AS pe
+            FROM st)
+      SELECT source, n, n_agree,
+             CASE WHEN n > 0 AND pe < 1.0
+               THEN round((po - pe) / (1.0 - pe), 6) + 0
+               ELSE 0.0 END AS kappa,
+             (n > 0 AND pe < 1.0) AS defined
+      FROM v ORDER BY source""",
 
     "qC4_score_length_corr" -> """
       WITH r AS (SELECT source, doc_id % 7 AS x,

@@ -398,6 +398,52 @@ class PreferenceSpec extends AnyFunSuite {
     }
   }
 
+  test("judgeAgreement: hand kappa, chance floor, constant judges, typing") {
+    val df = Seq(
+      // group a: perfect agreement with BOTH labels used -> kappa 1
+      ("a", true, true), ("a", false, false),
+      ("a", true, true), ("a", false, false),
+      // group b: perfect DISagreement, balanced marginals -> kappa -1
+      ("b", true, false), ("b", false, true),
+      ("b", true, false), ("b", false, true),
+      // group c: judge B constant -> pe = po, kappa 0 (defined: pe<1)
+      ("c", true, true), ("c", false, true),
+      // group d: both judges constant -> pe = 1, undefined
+      ("d", true, true), ("d", true, true),
+      // group e placeholder (the magnitude case runs separately below)
+      ("e", true, true), ("e", false, false)
+    ).toDF("src", "ja", "jb")
+    val out = graft.operators.Preference.judgeAgreement(
+        df.filter(col("src") =!= "e"), "src", "ja", "jb")
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3), r.getBoolean(4))))
+      .toMap
+    assert(out("a") == ((4L, 4L, 1.0, true)), out("a").toString)
+    assert(out("b") == ((4L, 0L, -1.0, true)), out("b").toString)
+    // c: po = 0.5; a1=1, b1=2, n=2 -> pe = (2 + 0)/4 = 0.5 -> kappa 0
+    assert(out("c") == ((2L, 1L, 0.0, true)), out("c").toString)
+    assert(out("d") == ((2L, 2L, 0.0, false)), out("d").toString)
+    // the zero kappas carry no sign bit (the gateRound pin)
+    assert(java.lang.Double.doubleToRawLongBits(out("c")._3) == 0L)
+    assert(java.lang.Double.doubleToRawLongBits(out("d")._3) == 0L)
+    // a hand magnitude case via replicated rows: 50 TT, 15 TF,
+    // 25 FT, 10 FF -> po = 0.6, a1 = 65, b1 = 75,
+    // pe = (65*75 + 35*25)/10000 = 0.575,
+    // kappa = 0.025/0.425 = 0.058824 (rounded 6)
+    val text = ((1 to 50).map(_ => ("t", true, true)) ++
+      (1 to 15).map(_ => ("t", true, false)) ++
+      (1 to 25).map(_ => ("t", false, true)) ++
+      (1 to 10).map(_ => ("t", false, false))).toDF("src", "ja", "jb")
+    val k = graft.operators.Preference.judgeAgreement(text, "src",
+      "ja", "jb").head()
+    assert(k.getDouble(3) == 0.058824, k.getDouble(3).toString)
+    val bad = intercept[IllegalArgumentException] {
+      graft.operators.Preference.judgeAgreement(
+        df.withColumn("ja", col("ja").cast("int")), "src", "ja", "jb")
+    }
+    assert(bad.getMessage.contains("boolean"), bad.getMessage)
+  }
+
   test("lengthBias: exact sums, only kept pairs count") {
     val pairs = Seq(
       // (by, delta, keep): kept deltas 3, -1, 2 -> sum 4, avg 4/3,
