@@ -528,6 +528,59 @@ object Preference {
   }
 
   /**
+   * Calibration reliability bins (Guo et al. 2017, "On Calibration
+   * of Modern Neural Networks"): a confidence score in integer
+   * PERCENT (0–100 — the operator's own quantization demand, so the
+   * bin edges and every sum are exact integers) against a binary
+   * outcome, bucketed into `bins` equal-width bins by
+   * `floor(pct · bins / 100)` clamped to bins−1. Emits the
+   * reliability-diagram rows; ECE = Σ (n_b/n)·gap_b is one exact
+   * weighted sum downstream of this long form (deliberately NOT
+   * emitted here: a cross-bin fold would need an ordered reduction,
+   * while per-bin rows are each a single partial/final aggregate —
+   * the safest gate shape).
+   *
+   * Exact contract: (n_b, Σoutcome, Σpct) are exact integers in any
+   * order; accuracy and mean confidence are each ONE division; the
+   * gap is |acc − conf| — abs() makes it non-negative, so plain
+   * round with no sign exposure.
+   *
+   * @return (bin 0-based int, n, accuracy rounded 6, confidence
+   *         rounded 6, gap rounded 6) — empty bins absent (the
+   *         reliability diagram's convention; left-join a bin
+   *         spine downstream to densify).
+   */
+  def calibrationBins(resp: DataFrame, pctCol: String, outcomeCol: String,
+                      bins: Int = 10): DataFrame = {
+    require(bins > 0, s"bins must be positive, got $bins")
+    require(org.apache.spark.sql.graftbridge.ColumnBridge
+        .isIntegral(resp.schema(pctCol).dataType),
+      s"calibrationBins: $pctCol must be integral percent 0-100 (got " +
+        s"${resp.schema(pctCol).dataType.simpleString}) — quantize " +
+        "probabilities upstream; float bin edges are engine-dependent")
+    val pct = col(pctCol).cast("long")
+    val guarded = when(pct >= 0 && pct <= 100, pct)
+      .otherwise(raise_error(concat(
+        lit("calibrationBins: percent out of [0, 100]: "),
+        pct.cast("string"))))
+    resp.filter(col(pctCol).isNotNull && col(outcomeCol).isNotNull)
+      .select(least(floor(guarded * bins / lit(100)), lit(bins - 1))
+          .cast("int").as("bin"),
+        when(col(outcomeCol), 1L).otherwise(0L).as("__y"), guarded.as("__p"))
+      .groupBy(col("bin"))
+      .agg(count(lit(1)).as("n"), sum(col("__y")).as("__sy"),
+        sum(col("__p")).as("__sp"))
+      .select(col("bin"), col("n"),
+        round(col("__sy").cast("double") / col("n").cast("double"), 6)
+          .as("accuracy"),
+        round(col("__sp").cast("double") /
+          (col("n") * 100L).cast("double"), 6).as("confidence"),
+        round(abs(col("__sy").cast("double") / col("n").cast("double") -
+          col("__sp").cast("double") / (col("n") * 100L).cast("double")),
+          6).as("gap"))
+  }
+
+  /**
    * Self-consistency majority vote (Wang et al. 2023,
    * "Self-Consistency Improves Chain of Thought Reasoning"): per
    * prompt, the modal extracted answer across the n sampled

@@ -1649,6 +1649,19 @@ object Pipeline {
         .orderBy(col("source"))
     }),
 
+    // reliability-diagram bins (Guo et al. 2017): integer-percent
+    // confidence vs binary outcome in 10 equal bins — exact counts,
+    // one division each for accuracy/confidence, abs gap; ECE is one
+    // weighted sum downstream of this long form
+    "qC8_calibration_bins" -> ((s, dir) => {
+      graft.operators.Preference.calibrationBins(
+          T(s, dir)("documents").select(
+            (col("doc_id") % 101).as("pct"),
+            (col("doc_id") % 3 === 0).as("correct")),
+          "pct", "correct", bins = 10)
+        .orderBy(col("bin"))
+    }),
+
     // length-bias audit over the kept pairs: per source, mean Δtokens
     // and the chosen-longer fraction — the verbosity-bias alarm
     // (exact integer sums, one division, the float-contract rule)
@@ -3538,6 +3551,21 @@ object Pipeline {
                              / CAST(s.n_grams AS DOUBLE), 6)
              END AS distinct_ratio
       FROM nr LEFT JOIN s USING (prompt_id) ORDER BY prompt_id""",
+
+    "qC8_calibration_bins" -> """
+      WITH r AS (SELECT doc_id % 101 AS pct, doc_id % 3 = 0 AS y
+                 FROM documents)
+      SELECT CAST(least(floor(pct * 10 / 100), 9) AS INT) AS bin,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             round(CAST(SUM(CASE WHEN y THEN 1 ELSE 0 END) AS DOUBLE)
+                   / CAST(COUNT(*) AS DOUBLE), 6) AS accuracy,
+             round(CAST(SUM(pct) AS DOUBLE)
+                   / CAST(COUNT(*) * 100 AS DOUBLE), 6) AS confidence,
+             round(abs(CAST(SUM(CASE WHEN y THEN 1 ELSE 0 END) AS DOUBLE)
+                       / CAST(COUNT(*) AS DOUBLE)
+                     - CAST(SUM(pct) AS DOUBLE)
+                       / CAST(COUNT(*) * 100 AS DOUBLE)), 6) AS gap
+      FROM r GROUP BY 1 ORDER BY bin""",
 
     "qC7_judge_agreement" -> """
       WITH r AS (SELECT source, doc_id % 7 > 3 AS a, doc_id % 5 > 2 AS b

@@ -444,6 +444,43 @@ class PreferenceSpec extends AnyFunSuite {
     assert(bad.getMessage.contains("boolean"), bad.getMessage)
   }
 
+  test("calibrationBins: bin math, 100-clamp, range refusal, null exclusion") {
+    val df = Seq(
+      // bin 0: pct 5 correct, pct 9 wrong -> acc .5, conf .07, gap .43
+      (5L, true), (9L, false),
+      // pct 100 clamps into the LAST bin (floor(100*10/100) = 10 -> 9)
+      (100L, true),
+      // bin 9 also holds pct 95 -> acc 1.0, conf (195/200) = .975
+      (95L, true),
+      // a null outcome is excluded entirely
+      (50L, true)
+    ).toDF("pct", "correct")
+      .unionByName(Seq((Some(42L), Option.empty[Boolean]))
+        .toDF("pct", "correct"))
+    val out = graft.operators.Preference.calibrationBins(
+        df, "pct", "correct")
+      .collect().map(r => r.getInt(0) ->
+        ((r.getLong(1), r.getDouble(2), r.getDouble(3), r.getDouble(4))))
+      .toMap
+    assert(out(0) == ((2L, 0.5, 0.07, 0.43)), out(0).toString)
+    assert(out(9) == ((2L, 1.0, 0.975, 0.025)), out(9).toString)
+    assert(out(5) == ((1L, 1.0, 0.5, 0.5)), out(5).toString)
+    assert(out.keySet == Set(0, 5, 9), "empty bins must be absent")
+    // out-of-range percent refused loudly (not clamped, not dropped)
+    val err = intercept[Exception] {
+      graft.operators.Preference.calibrationBins(
+        Seq((101L, true)).toDF("pct", "correct"), "pct", "correct")
+        .collect()
+    }
+    assert(err.getMessage.contains("percent out of"), err.getMessage)
+    // float probabilities refused — quantize upstream
+    val bad = intercept[IllegalArgumentException] {
+      graft.operators.Preference.calibrationBins(
+        df.withColumn("pct", col("pct").cast("double")), "pct", "correct")
+    }
+    assert(bad.getMessage.contains("integral"), bad.getMessage)
+  }
+
   test("lengthBias: exact sums, only kept pairs count") {
     val pairs = Seq(
       // (by, delta, keep): kept deltas 3, -1, 2 -> sum 4, avg 4/3,
