@@ -34,6 +34,10 @@ import org.apache.spark.sql.functions.{lit, round}
  * `-0.0`), and GateRoundSpec pins the behavior on a real column.
  */
 object GateRound {
+  /** For DOUBLE/FLOAT columns. A DecimalType input would silently
+    * COERCE to double through the `+ 0.0` (and decimals have no
+    * signed zero to normalize anyway) — keep money columns on the
+    * long-cents/decimal contracts, not this helper. */
   def apply(c: Column, scale: Int): Column = round(c, scale) + lit(0.0)
 
   /** For already-exact values that are emitted without rounding but

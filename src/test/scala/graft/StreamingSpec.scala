@@ -829,4 +829,45 @@ class StreamingSpec extends AnyFunSuite {
       assert(streamed(k) == exp, s"$k: ${streamed(k)} vs $exp")
     }
   }
+
+  test("StreamingCalibrationBins: streamed reliability rows equal batch") {
+    import graft.operators.Preference
+    import graft.streaming.StreamingCalibrationBins
+    import spark.implicits._
+    // the qC8 fixture from the real corpus; final per-bin rows must
+    // equal the batch audit bit-for-bit (integer state, the same
+    // divisions, BigDecimal HALF_UP == Spark round — the
+    // StreamingLengthBias precedent)
+    val graded = Tables.load(spark, "/root/testdata/sf0.001", "documents")
+      .select((col("doc_id") % 101).as("pct"),
+        (col("doc_id") % 3 === 0).as("correct"))
+      .localCheckpoint(true)
+    val batch = Preference.calibrationBins(graded, "pct", "correct")
+      .collect().map(r => r.getInt(0) -> ((r.getLong(1), r.getDouble(2),
+        r.getDouble(3), r.getDouble(4)))).toMap
+    val d = java.nio.file.Files.createTempDirectory(
+      new java.io.File("target").toPath.toAbsolutePath, "calbins").toString
+    graded.repartition(4).write.mode("overwrite").parquet(d)
+    val latest = new java.util.concurrent.ConcurrentHashMap[
+      Int, (Long, Double, Double, Double)]()
+    val stream = spark.readStream.schema(graded.schema)
+      .option("maxFilesPerTrigger", 1).parquet(d)
+    val q = StreamingCalibrationBins.calibrationBins(stream, "pct",
+        "correct")
+      .writeStream.outputMode("update")
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        b.collect().foreach { r =>
+          latest.put(r.getInt(0),
+            (r.getLong(1), r.getDouble(2), r.getDouble(3), r.getDouble(4)))
+        }
+      }.start()
+    try q.processAllAvailable() finally q.stop()
+    import scala.jdk.CollectionConverters._
+    val streamed = latest.asScala.toMap
+    assert(streamed.keySet == batch.keySet,
+      s"bins diverge: ${streamed.keySet} vs ${batch.keySet}")
+    batch.foreach { case (bin, exp) =>
+      assert(streamed(bin) == exp, s"bin $bin: ${streamed(bin)} vs $exp")
+    }
+  }
 }
