@@ -105,9 +105,15 @@ object BenchHeuristics {
     seq > conc && !inflated2x(re, conc)
 
   /** The committed clean norm for a full seq pass's JIT compilation
-    * time on this suite (~25 s across the r12–r14 clean records; the
-    * census's jit_ms field). */
-  val SeqJitCleanNormMs = 25000L
+    * time on this suite (the census's jit_ms field). Re-recorded
+    * round 16 from the five round-15 census-clean records at the
+    * 202–210-query suite size — jit_seq 48.6/49.8/51.1/52.2/54.3 s,
+    * median ≈ 51 s (the old 25 s constant was the r12–r14 suite's
+    * norm; left stale it armed [[jitSickSeq]] on EVERY clean pass,
+    * permanently routing inflated readings through the weaker
+    * one-sided window acceptance — the r15 ADVICE item). Re-record
+    * when the suite grows enough to move the clean census. */
+  val SeqJitCleanNormMs = 51000L
 
   /** A seq pass is JIT-SICK when its compilation-time census reads
     * over 2× the committed clean norm — the r14 gate pathology:

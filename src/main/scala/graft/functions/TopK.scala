@@ -30,13 +30,9 @@ class TopKByScore(k: Int)
   import TopKByScore.In
   require(k > 0, "k must be positive")
 
-  /** Strict "a ranks strictly better than b". */
-  private def better(a: In, b: In): Boolean =
-    if (a.score.isNaN && b.score.isNaN) a.id < b.id
-    else if (a.score.isNaN) false
-    else if (b.score.isNaN) true
-    else if (a.score != b.score) a.score > b.score
-    else a.id < b.id
+  /** Strict "a ranks strictly better than b" — the companion's
+    * [[TopKByScore.ranksBetter]], the single source of the ordering. */
+  private def better(a: In, b: In): Boolean = TopKByScore.ranksBetter(a, b)
 
   private def insert(buf: Seq[In], in: In): Seq[In] =
     if (buf.length >= k && !better(in, buf.last)) buf
@@ -60,4 +56,19 @@ object TopKByScore {
   /** One scored candidate: `id` is the candidate's identity (and the
     * tie-break), `tag` carries a small caller payload (e.g. a label). */
   case class In(score: Double, id: Long, tag: Long)
+
+  /** The buffer's strict ordering — "a ranks strictly better than b":
+    * higher score first, ties by ascending id, NaN scores last.
+    * Exposed so stateful consumers (the streaming best-of-n fold's
+    * dedup-by-id) compare with the aggregator's EXACT contract rather
+    * than a replica that could drift. An identical (score, id) pair is
+    * neither better nor worse than its copy — which is why a replayed
+    * insert must dedup by id BEFORE calling `reduce` (the buffer
+    * itself never inspects ids for identity). */
+  def ranksBetter(a: In, b: In): Boolean =
+    if (a.score.isNaN && b.score.isNaN) a.id < b.id
+    else if (a.score.isNaN) false
+    else if (b.score.isNaN) true
+    else if (a.score != b.score) a.score > b.score
+    else a.id < b.id
 }

@@ -158,15 +158,23 @@ object Preference {
       col(respIdCol).cast("long").as("__rid") +:
       col(textCol).as("__text") +: col(scoreCol).as("score") +:
       carry.map(col)): _*)
-    // materialize ONCE: `rows` feeds both the final projection and
-    // the rank-1 guard side — without this the heap aggregate and the
-    // detail join EXECUTE TWICE (the qBW fan-out lesson; plan-audited
-    // round 15). The frame is survivors-sized (≤ n·|prompts| rows) —
-    // the operator's own output scale.
     val rows = ranked.join(detail, Seq(promptCol, "__rid"))
-      .localCheckpoint(true)
-    val best = rows.filter(col("rank") === 1)
-      .select(col(promptCol), col("__text").as("__btext"))
+    // the rank-1 text comes from its OWN max_by aggregate over `clean`
+    // (a third pruned scan of the input) rather than filtering `rows`
+    // — a second consumer of the heap-join frame would re-EXECUTE the
+    // heap aggregate and the join (the qBW lesson) unless eagerly
+    // localCheckpointed, and an eager checkpoint runs full Spark jobs
+    // at DataFrame-CONSTRUCTION time (the r15 ADVICE item). The
+    // max_by key replicates the heap's exact rank-1 contract: score
+    // desc, id asc, NaN scores last (the not-NaN flag leads the key —
+    // Spark's native NaN-is-largest would otherwise invert the
+    // heap's NaN-last ordering).
+    val bScore = col(scoreCol).cast("double")
+    val best = clean.groupBy(col(promptCol))
+      .agg(max_by(col(textCol), struct(
+        (!isnan(bScore)).cast("int").as("real"), bScore.as("s"),
+        (-col(respIdCol).cast("long")).as("ni"))).as("__btext"))
+      .select(col(promptCol), col("__btext"))
     val ca = array_distinct(TextAnalysis.tokens(col("__text")))
     val ba = array_distinct(TextAnalysis.tokens(col("__btext")))
     val inter = size(array_intersect(ca, ba)).cast("long")
@@ -396,24 +404,36 @@ object Preference {
   def winRateMatrix(resp: DataFrame, promptCol: String, playerCol: String,
                     scoreCol: String, maxFanOut: Int = 10000): DataFrame = {
     require(maxFanOut > 0, s"maxFanOut must be positive, got $maxFanOut")
+    require(org.apache.spark.sql.graftbridge.ColumnBridge
+        .isIntegral(resp.schema(scoreCol).dataType),
+      s"winRateMatrix: $scoreCol must be integral (got " +
+        s"${resp.schema(scoreCol).dataType.simpleString}) — the win/tie " +
+        "comparison casts to long, and a fractional score would " +
+        "silently truncate distinct values into ties")
     val clean = resp.filter(col(promptCol).isNotNull &&
         col(playerCol).isNotNull && col(scoreCol).isNotNull)
       .select(col(promptCol).as("__p"),
         col(playerCol).cast("string").as("__pl"),
         col(scoreCol).cast("long").as("__s"))
-    val hot = clean.groupBy(col("__p")).agg(count(lit(1)).as("__n"))
-      .filter(col("__n") > maxFanOut)
-      .orderBy(col("__n").desc).limit(1).collect()
-    require(hot.isEmpty, {
-      val r = hot.head
-      s"winRateMatrix: prompt ${r.get(0)} has ${r.getLong(1)} responses " +
-        s"-> ~${r.getLong(1) * r.getLong(1) / 2} comparison pairs in one " +
-        s"task (maxFanOut=$maxFanOut). A fan-out this size is not a " +
-        "sampling set; aggregate per (prompt, player) first or raise " +
-        "maxFanOut explicitly."
-    })
-    val a = clean.select(col("__p"), col("__pl").as("player_a"),
-      col("__s").as("__sa"))
+    // the fan-out guard lives IN the plan (the calibrationBins
+    // raise_error pattern), not in an eager collect(): a per-prompt
+    // count joins the a-side and the guarded score raises mid-job
+    // when a hot prompt would quadratically melt its join task —
+    // building the DataFrame stays free of Spark jobs, and
+    // non-deterministic upstream lineage executes exactly once. The
+    // counts frame is |prompts|-sized (AQE broadcasts it) and its
+    // aggregate shares the join's __p exchange.
+    val fan = clean.groupBy(col("__p")).agg(count(lit(1)).as("__n"))
+    val a = clean.join(fan, Seq("__p"))
+      .select(col("__p"), col("__pl").as("player_a"),
+        when(col("__n") <= maxFanOut, col("__s"))
+          .otherwise(raise_error(concat(
+            lit("winRateMatrix: prompt "), col("__p").cast("string"),
+            lit(" has "), col("__n").cast("string"),
+            lit(" responses -> quadratic comparison melt in one task " +
+              s"(maxFanOut=$maxFanOut). A fan-out this size is not a " +
+              "sampling set; aggregate per (prompt, player) first or " +
+              "raise maxFanOut explicitly.")))).as("__sa"))
     val b = clean.select(col("__p"), col("__pl").as("player_b"),
       col("__s").as("__sb"))
     a.join(b, Seq("__p")).filter(col("player_a") < col("player_b"))

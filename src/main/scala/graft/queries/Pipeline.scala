@@ -3591,7 +3591,8 @@ object Pipeline {
     "qC4_score_length_corr" -> """
       WITH r AS (SELECT source, doc_id % 7 AS x,
                    CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT) AS y
-                 FROM documents),
+                 FROM documents
+                 WHERE doc_id % 7 IS NOT NULL AND text IS NOT NULL),
       st AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n,
                CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
                CAST(SUM(x * y) AS BIGINT) AS sxy,

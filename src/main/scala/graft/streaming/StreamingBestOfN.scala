@@ -30,10 +30,16 @@ import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
  * downstream), scores are emitted as the heap's double (exact for
  * integral scores ≤ 2^53), and null-prompt rows are excluded.
  *
- * At-least-once caveat: a replayed micro-batch re-inserts its rows;
- * `n_resp` over-counts under replays (the top-n buffer itself is
- * idempotent to re-insertion of an id it already ranks ONLY if the
- * score is identical — exactly-once sinks, the
+ * At-least-once caveat: the top-n buffer is replay-safe — the state
+ * fold DEDUPS BY ID before every insert (a replayed (score, id) row
+ * finds its existing copy removed first and re-ranks to the same
+ * slot; a re-scored id keeps the better of the two entries), because
+ * [[graft.functions.TopKByScore]]'s ordering is strict and would
+ * otherwise rank an identical replayed pair BESIDE its copy,
+ * evicting a distinct response. `n_resp` still over-counts under
+ * replays (an exact count would need every seen id in state — the
+ * payloads-out-of-state rule's counting analogue); pair it with
+ * exactly-once sinks where `n_resp` must be exact (the
  * [[StreamingHeavyHitters]] convention).
  */
 object StreamingBestOfN {
@@ -64,7 +70,18 @@ object StreamingBestOfN {
             .getOrElse((0L, Seq.empty[graft.functions.TopKByScore.In]))
           rows.foreach { case (_, s, i) =>
             cnt += 1
-            buf = heap.reduce(buf, graft.functions.TopKByScore.In(s, i, 0L))
+            val in = graft.functions.TopKByScore.In(s, i, 0L)
+            // dedup-by-id BEFORE insert: a replayed micro-batch
+            // re-delivers (s, i); the heap's strict ordering would
+            // rank the copy beside the original and evict a distinct
+            // response. Keep the better entry when an id re-arrives
+            // with a different score (a reward-model re-grade).
+            val (dup, rest) = buf.partition(_.id == i)
+            val winner = dup.foldLeft(in) { (best, old) =>
+              if (graft.functions.TopKByScore.ranksBetter(old, best)) old
+              else best
+            }
+            buf = heap.reduce(rest, winner)
           }
           state.update((cnt, buf))
           buf.iterator.zipWithIndex.map { case (in, r) =>

@@ -101,13 +101,17 @@ class BenchHeuristicsSpec extends AnyFunSuite {
 
   test("jitSickSeq: the r14 recorded pathology fires, clean censuses do not") {
     import BenchHeuristics.{jitSickSeq, jitReplayMembers}
-    // the r14 gate record: seq-pass jit_ms 62032 against the ~25 s
-    // committed clean norm — suite-wide inflation, no contiguous
-    // window, published Σseq 104.3 s vs the 70.7 s clean record
-    assert(jitSickSeq(62032L))
-    // clean rounds read at/under the norm
-    assert(!jitSickSeq(25000L))
-    assert(!jitSickSeq(48000L)) // under the 2x bar: not sick
+    // the r14 gate record read jit_ms 62032 against ITS era's ~25 s
+    // norm — the analogous suite-wide sickness at the r15-re-recorded
+    // 51 s norm (clean records 48.6-54.3 s at 202-210 queries) is
+    // anything past 102 s
+    assert(jitSickSeq(62032L, cleanNormMs = 25000L))
+    assert(jitSickSeq(130000L))
+    // clean r15 censuses read at the norm and MUST NOT arm (the r15
+    // ADVICE item: the stale 25 s constant fired on every clean pass)
+    assert(!jitSickSeq(48600L))
+    assert(!jitSickSeq(54300L))
+    assert(!jitSickSeq(102000L)) // at the 2x bar: not sick
     // unsupported compilation timing (jit_ms = -1) never trips
     assert(!jitSickSeq(-1L))
     // member selection: the r14 signature — trivial plans 3-7x their

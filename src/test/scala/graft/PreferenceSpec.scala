@@ -356,15 +356,25 @@ class PreferenceSpec extends AnyFunSuite {
     // pairs are oriented player_a < player_b only — no mirror rows
     assert(out.keySet == Set(("m1", "m2"), ("m1", "m3"), ("m2", "m3")))
     // a pathological fan-out is refused loudly, naming the prompt —
-    // C(n,2) pairs in one join task is a melt, not a sampling set
+    // C(n,2) pairs in one join task is a melt, not a sampling set.
+    // The guard is plan-side (the calibrationBins raise_error
+    // pattern): building the frame is free of Spark jobs, the refusal
+    // fires at action time
     val fat = (0 until 40).map(i => (9L, s"m$i", i.toLong))
       .toDF("prompt_id", "model", "score")
-    val err = intercept[IllegalArgumentException] {
-      Preference.winRateMatrix(fat, "prompt_id", "model", "score",
-        maxFanOut = 10)
-    }
+    val guarded = Preference.winRateMatrix(fat, "prompt_id", "model",
+      "score", maxFanOut = 10) // construction must NOT execute or throw
+    val err = intercept[Exception] { guarded.collect() }
     assert(err.getMessage.contains("9") &&
       err.getMessage.contains("maxFanOut"), err.getMessage)
+    // fractional scores refused — the long cast would silently
+    // truncate distinct scores into ties (the r15 ADVICE item)
+    val frac = intercept[IllegalArgumentException] {
+      Preference.winRateMatrix(
+        df.withColumn("score", col("score").cast("double")),
+        "prompt_id", "model", "score")
+    }
+    assert(frac.getMessage.contains("integral"), frac.getMessage)
   }
 
   test("responseDiversity: distinct-n by hand, empty prompts, validation") {

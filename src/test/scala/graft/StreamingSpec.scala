@@ -830,6 +830,68 @@ class StreamingSpec extends AnyFunSuite {
     }
   }
 
+  test("StreamingBestOfN absorbs replays (delivered-twice selection parity)") {
+    import graft.operators.Preference
+    import graft.streaming.StreamingBestOfN
+    // every row delivered TWICE (two identical files, one per
+    // micro-batch): the state fold's dedup-by-id must keep the buffer
+    // duplicate-free — before the r16 fix the strict TopKByScore
+    // ordering ranked the replayed (score, id) BESIDE its copy and
+    // evicted a distinct response. Selection columns (rank, resp_id,
+    // score) must equal the single-delivery batch operator; n_resp
+    // over-counts by design (documented) and is excluded.
+    val resp = Tables.load(spark, "/root/testdata/sf0.001", "documents")
+      .select(expr("doc_id div 4").as("prompt_id"),
+        col("doc_id").as("resp_id"), col("text"),
+        (col("doc_id") % 7).as("score"), col("source"))
+      .localCheckpoint(true)
+    val batch = Preference.bestOfN(resp, "prompt_id", "resp_id", "text",
+        "score", n = 3)
+      .select(col("prompt_id").cast("string"), col("rank"),
+        col("resp_id"), col("score").cast("double"))
+      .collect()
+      .map(r => (r.getString(0), r.getInt(1)) ->
+        ((r.getLong(2), r.getDouble(3)))).toMap
+    val d = java.nio.file.Files.createTempDirectory(
+      new java.io.File("target").toPath.toAbsolutePath, "bestofn-replay")
+    // `_`-prefixed dirs are invisible to the file stream source, so
+    // the staging dir can stay in place
+    resp.coalesce(1).write.mode("overwrite").parquet(s"$d/__stage")
+    val staged = new java.io.File(s"$d/__stage").listFiles()
+      .filter(_.getName.endsWith(".parquet")).head
+    Seq("part0", "part1").foreach { p =>
+      java.nio.file.Files.copy(staged.toPath, d.resolve(s"$p.parquet"))
+    }
+    val latest = new java.util.concurrent.ConcurrentHashMap[
+      (String, Int), (Long, Double)]()
+    val stream = spark.readStream.schema(resp.schema)
+      .option("maxFilesPerTrigger", 1).parquet(d.toString)
+    val q = StreamingBestOfN.bestOfN(stream, "prompt_id", "resp_id",
+        "score", n = 3)
+      .writeStream.outputMode("update")
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        b.collect().foreach { r =>
+          latest.put((r.getString(0), r.getInt(1)),
+            (r.getLong(2), r.getDouble(3)))
+        }
+      }.start()
+    try q.processAllAvailable() finally q.stop()
+    import scala.jdk.CollectionConverters._
+    val streamed = latest.asScala.toMap
+    // duplicate delivery must not let an id occupy two rank slots
+    streamed.groupBy(_._1._1).foreach { case (prompt, ranks) =>
+      val ids = ranks.values.map(_._1).toSeq
+      assert(ids.distinct == ids,
+        s"prompt $prompt ranks a replayed id twice: $ranks")
+    }
+    assert(streamed.keySet == batch.keySet,
+      s"rank sets diverge: ${(streamed.keySet -- batch.keySet).take(3)} / " +
+        s"${(batch.keySet -- streamed.keySet).take(3)}")
+    batch.foreach { case (k, exp) =>
+      assert(streamed(k) == exp, s"$k: ${streamed(k)} vs $exp")
+    }
+  }
+
   test("StreamingCalibrationBins: streamed reliability rows equal batch") {
     import graft.operators.Preference
     import graft.streaming.StreamingCalibrationBins
