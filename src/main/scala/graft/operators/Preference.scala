@@ -451,6 +451,92 @@ object Preference {
   }
 
   /**
+   * Bradley–Terry strength fit over the [[winRateMatrix]] pairs — the
+   * arena family's second half: a rating per player from pairwise
+   * outcomes, via Hunter (2004)'s MM update
+   * p_i ← W_i / Σ_j n_ij/(p_i + p_j), ties as half-wins (the Elo/BT
+   * convention [[winRateMatrix]] already uses). This is a FIT, not a
+   * transform (the IvfIndex.train convention): it eagerly collects
+   * the C(P,2) pair matrix — a leaderboard is model-sized — behind a
+   * loud `maxPlayers` bound, iterates on the driver, and returns the
+   * ratings frame.
+   *
+   * Exact contract (the qBS integer-PageRank precedent): half-win
+   * units make every tournament count an exact integer (W2 = 2·wins
+   * + ties, N2 = 2·comparisons); ratings live as 1e-6 fixed-point
+   * BigInt (start 1.0 = S), and each MM step is integer-only —
+   * d_i = Σ_j ⌊N2_ij·S²/(p_i+p_j)⌋ (per-edge floors summed, an
+   * ORDER-FREE integer sum), p'_i = ⌊W2_i·S²/d_i⌋, then one
+   * normalization to Σp = P·S — so k iterations are bit-identical in
+   * any execution order and the oracle replays them as k chained SQL
+   * CTEs in HUGEINT. Ratings floor at 1 unit (a player with no
+   * half-wins pins to the 1e-6 floor rather than dividing to 0).
+   * `rating` = round(rating_fp/1e6, 6): positive, plain round.
+   *
+   * Players that never share a prompt with another player have no
+   * pairs and are absent (the reliability-diagram empty-bin
+   * convention — join the player spine downstream if needed).
+   *
+   * @return (player, n_comparisons, w2 half-win units, rating_fp
+   *         exact 1e-6 fixed-point, rating rounded 6) — mean rating
+   *         ≈ 1.0 by the normalization.
+   */
+  def bradleyTerry(resp: DataFrame, promptCol: String, playerCol: String,
+                   scoreCol: String, iters: Int = 10,
+                   maxFanOut: Int = 10000,
+                   maxPlayers: Int = 1000): DataFrame = {
+    require(iters > 0 && iters <= 1000,
+      s"iters must be in [1, 1000], got $iters")
+    require(maxPlayers > 0, s"maxPlayers must be positive, got $maxPlayers")
+    val spark = resp.sparkSession
+    val nDistinct = resp.filter(col(playerCol).isNotNull)
+      .select(col(playerCol).cast("string")).distinct().count()
+    require(nDistinct <= maxPlayers,
+      s"bradleyTerry: $nDistinct players > maxPlayers=$maxPlayers — the " +
+        "fit collects the C(P,2) pair matrix to the driver (a " +
+        "leaderboard is model-sized, a corpus is not); aggregate " +
+        "players upstream or raise maxPlayers explicitly")
+    val matrix = winRateMatrix(resp, promptCol, playerCol, scoreCol,
+        maxFanOut)
+      .select(col("player_a"), col("player_b"), col("n_comparisons"),
+        col("n_wins_a"), col("n_ties"))
+      .collect()
+    final case class Edge(j: String, n2: BigInt, w2: BigInt)
+    val S = BigInt(1000000)
+    // directed half-win edges: the pair's N2 units split exactly
+    // (w2_b = n2 - w2_a — every comparison hands out 2 half-units)
+    val edges: Map[String, Seq[Edge]] = matrix.iterator.flatMap { r =>
+      val n2 = BigInt(r.getLong(2)) * 2
+      val w2a = BigInt(r.getLong(3)) * 2 + BigInt(r.getLong(4))
+      Seq(r.getString(0) -> Edge(r.getString(1), n2, w2a),
+        r.getString(1) -> Edge(r.getString(0), n2, n2 - w2a))
+    }.toSeq.groupMap(_._1)(_._2)
+    val names = edges.keys.toSeq.sorted
+    val totals: Map[String, (BigInt, BigInt)] = edges.view.mapValues { es =>
+      (es.map(_.n2).sum, es.map(_.w2).sum)
+    }.toMap
+    val nP = BigInt(names.size)
+    var p: Map[String, BigInt] = names.map(_ -> S).toMap
+    (1 to iters).foreach { _ =>
+      val pu = names.map { i =>
+        val d = edges(i).map(e => (e.n2 * S * S) / (p(i) + p(e.j))).sum
+          .max(BigInt(1))
+        i -> ((totals(i)._2 * S * S) / d).max(BigInt(1))
+      }.toMap
+      val sumU = pu.values.sum
+      p = names.map(i => i -> ((pu(i) * nP * S) / sumU).max(BigInt(1))).toMap
+    }
+    import spark.implicits._
+    names.map { i =>
+      (i, (totals(i)._1 / 2).toLong, totals(i)._2.toLong, p(i).toLong)
+    }.toDF("player", "n_comparisons", "w2", "rating_fp")
+      .select(col("player"), col("n_comparisons"), col("w2"),
+        col("rating_fp"),
+        round(col("rating_fp").cast("double") / lit(1000000.0), 6)
+          .as("rating"))
+  }
+
+  /**
    * Distinct-n response diversity (Li et al. 2016, "A Diversity-
    * Promoting Objective Function for Neural Conversation Models"):
    * per prompt, the ratio of DISTINCT word n-grams to total word
@@ -570,8 +656,12 @@ object Preference {
    *         reliability diagram's convention; left-join a bin
    *         spine downstream to densify).
    */
-  def calibrationBins(resp: DataFrame, pctCol: String, outcomeCol: String,
-                      bins: Int = 10): DataFrame = {
+  /** The shared exact core of [[calibrationBins]] and
+    * [[expectedCalibrationError]]: per-bin (bin, n, Σoutcome, Σpct)
+    * — all exact integers in any partition order; one partial/final
+    * aggregate to ≤ `bins` rows. */
+  private def calBinStats(resp: DataFrame, pctCol: String,
+                          outcomeCol: String, bins: Int): DataFrame = {
     require(bins > 0, s"bins must be positive, got $bins")
     require(org.apache.spark.sql.graftbridge.ColumnBridge
         .isIntegral(resp.schema(pctCol).dataType),
@@ -590,6 +680,11 @@ object Preference {
       .groupBy(col("bin"))
       .agg(count(lit(1)).as("n"), sum(col("__y")).as("__sy"),
         sum(col("__p")).as("__sp"))
+  }
+
+  def calibrationBins(resp: DataFrame, pctCol: String, outcomeCol: String,
+                      bins: Int = 10): DataFrame = {
+    calBinStats(resp, pctCol, outcomeCol, bins)
       .select(col("bin"), col("n"),
         round(col("__sy").cast("double") / col("n").cast("double"), 6)
           .as("accuracy"),
@@ -598,6 +693,73 @@ object Preference {
         round(abs(col("__sy").cast("double") / col("n").cast("double") -
           col("__sp").cast("double") / (col("n") * 100L).cast("double")),
           6).as("gap"))
+  }
+
+  /**
+   * Expected calibration error over the [[calibrationBins]] long form
+   * (Guo et al. 2017 eq. 2, ECE = Σ_b (n_b/n)·|acc_b − conf_b|) with
+   * a DENSIFIED bin spine — every bin 0..bins−1 emits a row, empty
+   * bins visibly (n = 0, null diagram columns), so a reliability
+   * consumer can see coverage holes the sparse form hides.
+   *
+   * Exact contract: the weighted sum telescopes to pure integers —
+   * (n_b/n)·|sy_b/n_b − sp_b/(100·n_b)| = |100·sy_b − sp_b|/(100·n),
+   * so each bin contributes the exact BIGINT `abs_dev` =
+   * |100·Σoutcome_b − Σpct_b| and ECE is ONE division of two exact
+   * integers, order-free by construction (no float fold across bins
+   * — the qBQ lesson never arises). ECE ∈ [0, 1]: non-negative, so
+   * plain round with no sign exposure. Empty input → ece 0.0 with
+   * n_total 0 visible.
+   *
+   * Scale shape: one corpus partial/final aggregate to ≤ `bins`
+   * rows, then a single-row global fold of those rows
+   * (collect_list + integer sums in the SAME aggregate — the bins
+   * frame has ONE consumer, so nothing re-executes and nothing needs
+   * a checkpoint), cross-joined to the `bins`-row spine with the
+   * per-bin lookup as a plan-side array filter. The collect_list is
+   * `bins`-bounded — `bins` is capped loudly to keep the one-row
+   * fold metadata-sized.
+   *
+   * @return (bin, n, accuracy, confidence, gap — null on empty bins,
+   *         abs_dev exact BIGINT, n_total, ece rounded 6 — constant
+   *         across rows)
+   */
+  def expectedCalibrationError(resp: DataFrame, pctCol: String,
+                               outcomeCol: String,
+                               bins: Int = 10): DataFrame = {
+    require(bins <= 65536,
+      s"bins must be <= 65536, got $bins — the densified spine and the " +
+        "single-row fold are bins-sized; a finer diagram is not a " +
+        "calibration audit")
+    val stats = calBinStats(resp, pctCol, outcomeCol, bins)
+    val one = stats.agg(
+      collect_list(struct(col("bin"), col("n"), col("__sy"), col("__sp")))
+        .as("__rows"),
+      coalesce(sum(col("n")), lit(0L)).as("n_total"),
+      coalesce(sum(abs(lit(100L) * col("__sy") - col("__sp"))), lit(0L))
+        .as("__dev"))
+    val spine = resp.sparkSession.range(bins)
+      .select(col("id").cast("int").as("bin"))
+    // try_element_at: an empty-bin lookup yields a null struct (ANSI
+    // element_at would throw on the empty filtered array)
+    val m = try_element_at(
+      filter(col("__rows"), r => r("bin") === col("bin")), lit(1))
+    spine.crossJoin(one).select(
+      col("bin"),
+      coalesce(m("n"), lit(0L)).as("n"),
+      round(m("__sy").cast("double") / m("n").cast("double"), 6)
+        .as("accuracy"),
+      round(m("__sp").cast("double") / (m("n") * 100L).cast("double"), 6)
+        .as("confidence"),
+      round(abs(m("__sy").cast("double") / m("n").cast("double") -
+        m("__sp").cast("double") / (m("n") * 100L).cast("double")), 6)
+        .as("gap"),
+      coalesce(abs(lit(100L) * m("__sy") - m("__sp")), lit(0L))
+        .as("abs_dev"),
+      col("n_total"),
+      when(col("n_total") === 0L, lit(0.0))
+        .otherwise(round(col("__dev").cast("double") /
+          (col("n_total") * 100L).cast("double"), 6)).as("ece"))
   }
 
   /**

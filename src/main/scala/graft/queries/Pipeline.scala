@@ -1662,6 +1662,32 @@ object Pipeline {
         .orderBy(col("bin"))
     }),
 
+    // expected calibration error over the qC8 long form with a
+    // densified spine (empty bins visible): per-bin exact BIGINT
+    // |100·Σy − Σpct| telescopes the weighted sum, ECE is ONE
+    // division of two exact integers — no cross-bin float fold
+    "qC9_calibration_ece" -> ((s, dir) => {
+      graft.operators.Preference.expectedCalibrationError(
+          T(s, dir)("documents").select(
+            (col("doc_id") % 101).as("pct"),
+            (col("doc_id") % 3 === 0).as("correct")),
+          "pct", "correct", bins = 10)
+        .orderBy(col("bin"))
+    }),
+
+    // Bradley-Terry strength fit over the qC5 matrix (Hunter 2004 MM,
+    // ties as half-wins): 10 fixed-point integer iterations at 1e-6
+    // scale — bit-exact in any order, the qBS integer-PageRank
+    // precedent — FULL-oracled as 10 chained HUGEINT CTEs
+    "qCA_bradley_terry" -> ((s, dir) => {
+      graft.operators.Preference.bradleyTerry(
+          T(s, dir)("documents").select(
+            expr("doc_id div 4").as("prompt_id"), col("source"),
+            (col("doc_id") % 7).as("score")),
+          "prompt_id", "source", "score", iters = 10)
+        .orderBy(col("player"))
+    }),
+
     // length-bias audit over the kept pairs: per source, mean Δtokens
     // and the chosen-longer fraction — the verbosity-bias alarm
     // (exact integer sums, one division, the float-contract rule)
@@ -1837,6 +1863,54 @@ object Pipeline {
     * in-context layout — on the equal-weight complete-group fixture
     * the walk contract reduces to (min-hash group key, hash40, id)
     * order, so the whole layout is a window + range unnest. */
+  /** The qCA oracle: Bradley–Terry MM in fixed-point HUGEINT —
+    * `iters` chained CTEs, each replaying one exact integer MM step
+    * (per-edge floor divisions summed order-free, one normalization)
+    * over the qC5 pair matrix. Mirrors
+    * [[graft.operators.Preference.bradleyTerry]] verbatim: S = 1e6,
+    * d_i = greatest(Σ_j ⌊N2·S²/(p_i+p_j)⌋, 1),
+    * p'_i = greatest(⌊W2·S²/d_i⌋, 1), then
+    * p_i = greatest(⌊p'_i·P·S/Σp'⌋, 1). */
+  private def btOracleSql(iters: Int): String = {
+    val steps = (1 to iters).map { k =>
+      val prev = s"it${k - 1}"
+      s"""d$k AS MATERIALIZED (SELECT e.i AS pl,
+             greatest(SUM((e.n2 * 1000000 * 1000000) // (pi.p + pj.p)), 1)
+               AS d
+           FROM e JOIN $prev pi ON pi.pl = e.i
+                  JOIN $prev pj ON pj.pl = e.j GROUP BY 1),
+      u$k AS MATERIALIZED (SELECT pl.pl,
+             greatest((pl.w2t * 1000000 * 1000000) // d$k.d, 1) AS pu
+           FROM pl JOIN d$k USING (pl)),
+      it$k AS MATERIALIZED (SELECT u$k.pl,
+             greatest((pu * np.n * 1000000) // (SELECT SUM(pu) FROM u$k),
+               1) AS p
+           FROM u$k CROSS JOIN np)"""
+    }.mkString(",\n      ")
+    s"""
+      WITH r AS MATERIALIZED (SELECT doc_id // 4 AS p, source AS pl,
+                 doc_id % 7 AS s FROM documents),
+      m AS MATERIALIZED (SELECT a.pl AS pa, b.pl AS pb,
+              CAST(2 * COUNT(*) AS HUGEINT) AS n2,
+              CAST(2 * SUM(CASE WHEN a.s > b.s THEN 1 ELSE 0 END)
+                 + SUM(CASE WHEN a.s = b.s THEN 1 ELSE 0 END) AS HUGEINT)
+                AS w2a
+            FROM r a JOIN r b ON a.p = b.p AND a.pl < b.pl GROUP BY 1, 2),
+      e AS MATERIALIZED (SELECT pa AS i, pb AS j, n2, w2a AS w2 FROM m
+            UNION ALL SELECT pb AS i, pa AS j, n2, n2 - w2a AS w2 FROM m),
+      pl AS MATERIALIZED (SELECT i AS pl, CAST(SUM(n2) AS HUGEINT) AS n2t,
+               CAST(SUM(w2) AS HUGEINT) AS w2t FROM e GROUP BY 1),
+      np AS MATERIALIZED (SELECT CAST(COUNT(*) AS HUGEINT) AS n FROM pl),
+      it0 AS MATERIALIZED (SELECT pl, CAST(1000000 AS HUGEINT) AS p
+            FROM pl),
+      $steps
+      SELECT pl.pl AS player, CAST(pl.n2t // 2 AS BIGINT) AS n_comparisons,
+             CAST(pl.w2t AS BIGINT) AS w2,
+             CAST(it$iters.p AS BIGINT) AS rating_fp,
+             round(CAST(it$iters.p AS DOUBLE) / 1000000.0, 6) AS rating
+      FROM pl JOIN it$iters USING (pl) ORDER BY player"""
+  }
+
   private val INCTX_PIECES = """
       WITH d AS (SELECT doc_id,
               CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT) AS w,
@@ -3567,6 +3641,35 @@ object Pipeline {
                        / CAST(COUNT(*) * 100 AS DOUBLE)), 6) AS gap
       FROM r GROUP BY 1 ORDER BY bin""",
 
+    "qC9_calibration_ece" -> """
+      WITH r AS (SELECT doc_id % 101 AS pct, doc_id % 3 = 0 AS y
+                 FROM documents),
+      s AS (SELECT CAST(least(floor(pct * 10 / 100), 9) AS INT) AS bin,
+              CAST(COUNT(*) AS BIGINT) AS n,
+              CAST(SUM(CASE WHEN y THEN 1 ELSE 0 END) AS BIGINT) AS sy,
+              CAST(SUM(pct) AS BIGINT) AS sp
+            FROM r GROUP BY 1),
+      t AS (SELECT COALESCE(CAST(SUM(n) AS BIGINT), 0) AS n_total,
+              COALESCE(CAST(SUM(abs(100 * sy - sp)) AS BIGINT), 0) AS dev
+            FROM s),
+      spine AS (SELECT CAST(range AS INT) AS bin FROM range(0, 10))
+      SELECT bin, COALESCE(s.n, 0) AS n,
+             round(CAST(s.sy AS DOUBLE) / CAST(s.n AS DOUBLE), 6)
+               AS accuracy,
+             round(CAST(s.sp AS DOUBLE) / CAST(s.n * 100 AS DOUBLE), 6)
+               AS confidence,
+             round(abs(CAST(s.sy AS DOUBLE) / CAST(s.n AS DOUBLE)
+                     - CAST(s.sp AS DOUBLE) / CAST(s.n * 100 AS DOUBLE)),
+               6) AS gap,
+             COALESCE(CAST(abs(100 * s.sy - s.sp) AS BIGINT), 0)
+               AS abs_dev,
+             t.n_total,
+             CASE WHEN t.n_total = 0 THEN 0.0
+                  ELSE round(CAST(t.dev AS DOUBLE)
+                             / CAST(t.n_total * 100 AS DOUBLE), 6)
+             END AS ece
+      FROM spine CROSS JOIN t LEFT JOIN s USING (bin) ORDER BY bin""",
+
     "qC7_judge_agreement" -> """
       WITH r AS (SELECT source, doc_id % 7 > 3 AS a, doc_id % 5 > 2 AS b
                  FROM documents),
@@ -3631,6 +3734,8 @@ object Pipeline {
                    / CAST(COUNT(*) AS DOUBLE), 6) AS win_rate_a
       FROM r a JOIN r b ON a.p = b.p AND a.pl < b.pl
       GROUP BY 1, 2 ORDER BY player_a, player_b""",
+
+    "qCA_bradley_terry" -> btOracleSql(10),
 
     "qC1_grpo_advantage" -> """
       WITH r AS (SELECT doc_id // 4 AS prompt_id, doc_id,

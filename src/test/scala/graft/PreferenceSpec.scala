@@ -377,6 +377,44 @@ class PreferenceSpec extends AnyFunSuite {
     assert(frac.getMessage.contains("integral"), frac.getMessage)
   }
 
+  test("bradleyTerry: rating order on a hand tournament, ties, bounds") {
+    // two prompts, each scoring A > B > C: every pair has 2
+    // comparisons, A sweeps both rivals, B sweeps C — the MM fit
+    // must order ratings A > B > C with mean ~1.0 (the
+    // normalization) and C floored above 0
+    val df = Seq(
+      (1L, "A", 3L), (1L, "B", 1L), (1L, "C", 0L),
+      (2L, "A", 3L), (2L, "B", 1L), (2L, "C", 0L)
+    ).toDF("prompt_id", "player", "score")
+    val out = graft.operators.Preference.bradleyTerry(
+        df, "prompt_id", "player", "score")
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4)))).toMap
+    // n_comparisons 4 each; half-win units: A 8 (4 wins), B 4, C 0
+    assert(out("A")._1 == 4L && out("B")._1 == 4L && out("C")._1 == 4L)
+    assert(out("A")._2 == 8L && out("B")._2 == 4L && out("C")._2 == 0L)
+    assert(out("A")._3 > out("B")._3 && out("B")._3 > out("C")._3,
+      out.toString)
+    assert(out("C")._3 >= 1L, "a sweep victim floors at 1e-6, never 0")
+    val total = out.values.map(_._3).sum
+    assert(total > 3000000L - 10L && total <= 3000000L,
+      s"normalization drifted: $total")
+    // a pure-tie pair converges to identical ratings (exact integer
+    // symmetry — same W2, same edges)
+    val ties = Seq((1L, "D", 5L), (1L, "E", 5L), (2L, "D", 2L),
+      (2L, "E", 2L)).toDF("prompt_id", "player", "score")
+    val t = graft.operators.Preference.bradleyTerry(
+        ties, "prompt_id", "player", "score")
+      .collect().map(r => r.getString(0) -> r.getLong(3)).toMap
+    assert(t("D") == t("E"), t.toString)
+    // the model-sized premise is enforced loudly
+    val err = intercept[IllegalArgumentException] {
+      graft.operators.Preference.bradleyTerry(df, "prompt_id", "player",
+        "score", maxPlayers = 2)
+    }
+    assert(err.getMessage.contains("maxPlayers"), err.getMessage)
+  }
+
   test("responseDiversity: distinct-n by hand, empty prompts, validation") {
     val df = Seq(
       // prompt 1: two responses sharing the bigram "a b" ->
@@ -489,6 +527,39 @@ class PreferenceSpec extends AnyFunSuite {
         df.withColumn("pct", col("pct").cast("double")), "pct", "correct")
     }
     assert(bad.getMessage.contains("integral"), bad.getMessage)
+  }
+
+  test("expectedCalibrationError: telescoped exact sum, densified spine") {
+    // the calibrationBins fixture: bin0 (5,T),(9,F) -> abs_dev
+    // |100·1-14| = 86; bin5 (50,T) -> |100-50| = 50; bin9
+    // (100,T),(95,T) -> |200-195| = 5. ECE = (86+50+5)/(5·100)
+    // = 141/500 = 0.282 — hand-checkable as the weighted form too:
+    // (2/5)·0.43 + (1/5)·0.5 + (2/5)·0.025 = 0.282
+    val df = Seq((5L, true), (9L, false), (100L, true), (95L, true),
+      (50L, true)).toDF("pct", "correct")
+    val out = graft.operators.Preference.expectedCalibrationError(
+        df, "pct", "correct")
+      .collect().map(r => r.getInt(0) -> r).toMap
+    assert(out.keySet == (0 until 10).toSet, "spine must densify")
+    assert(out(0).getLong(1) == 2L && out(0).getLong(5) == 86L)
+    assert(out(5).getLong(5) == 50L && out(9).getLong(5) == 5L)
+    // diagram columns match calibrationBins on the shared bins
+    assert(out(0).getDouble(2) == 0.5 && out(0).getDouble(3) == 0.07 &&
+      out(0).getDouble(4) == 0.43)
+    // empty bins: n 0, null diagram columns, zero deviation
+    assert(out(3).getLong(1) == 0L && out(3).isNullAt(2) &&
+      out(3).isNullAt(3) && out(3).isNullAt(4) && out(3).getLong(5) == 0L)
+    // the scalar rides every row: n_total 5, ece 0.282
+    (0 until 10).foreach { b =>
+      assert(out(b).getLong(6) == 5L && out(b).getDouble(7) == 0.282,
+        s"bin $b: ${out(b)}")
+    }
+    // empty input: all bins empty, ece 0.0 with n_total 0 (no 0/0)
+    val empty = graft.operators.Preference.expectedCalibrationError(
+        df.filter(col("pct") < 0L), "pct", "correct")
+      .collect()
+    assert(empty.length == 10 &&
+      empty.forall(r => r.getLong(6) == 0L && r.getDouble(7) == 0.0))
   }
 
   test("lengthBias: exact sums, only kept pairs count") {
