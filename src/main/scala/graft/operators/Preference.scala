@@ -584,6 +584,103 @@ object Preference {
   }
 
   /**
+   * Embedding-space response diversity — the semantic twin of
+   * [[responseDiversity]] (lexical distinct-n misses PARAPHRASE
+   * collapse: a sampler that rewords the same answer n ways scores
+   * high on distinct bigrams and ~1.0 here): per prompt, the mean
+   * pairwise cosine across the response set's embeddings. Near 1.0
+   * = collapsed sampling; near 0 = genuinely diverse responses.
+   *
+   * Exact contract (the qBQ/qBB fixed-point discipline, extended to
+   * a CROSS-PAIR mean): coordinates quantize ONCE to 1e-6 longs
+   * (floor(x·1e6 + 0.5); null/NaN/|x| ≥ 10 refused loudly — with
+   * unit-scale embeddings this keeps Σq² below 2^53 through dim
+   * ~10k), per-pair dot and per-vector norms are exact integer
+   * sums, each pair's cosine is IEEE-deterministic arithmetic on
+   * those integers in ONE shared association order
+   * (dot / (sqrt(na)·sqrt(nb))) and quantizes to a 1e-9 long — so
+   * the cross-pair SUM is an exact integer in any partition order
+   * (a float fold across pairs would flip on merge order) and the
+   * mean is ONE division, [[graft.functions.GateRound]]ed (cosine
+   * is signed). Zero-after-quantization vectors are excluded from
+   * the pool and from `n_resp` (a degenerate vector has no cosine —
+   * the [[Similarity]] finite-norm convention); a dimension
+   * mismatch inside a pair is refused loudly, never null-dropped.
+   *
+   * Scale shape: quantized vectors + norms are computed per row
+   * BEFORE the per-prompt self-join; pair volume is Σ_p C(n_p, 2),
+   * bounded by the sampling fan-out and ENFORCED in the plan (the
+   * [[winRateMatrix]] raise_error guard over a broadcast per-prompt
+   * count) — never corpus². One shuffle on the prompt key, one
+   * partial/final aggregate to |prompts| rows.
+   *
+   * @return (promptCol, n_resp valid responses, n_pairs,
+   *         mean_cos rounded 6 — 0.0 with n_pairs = 0 visible when
+   *         fewer than two valid responses)
+   */
+  def embeddingDiversity(resp: DataFrame, promptCol: String,
+                         respIdCol: String, vecCol: String,
+                         maxFanOut: Int = 10000): DataFrame = {
+    require(maxFanOut > 0, s"maxFanOut must be positive, got $maxFanOut")
+    require(org.apache.spark.sql.graftbridge.ColumnBridge
+        .isIntegral(resp.schema(respIdCol).dataType),
+      s"embeddingDiversity: $respIdCol must be integral (got " +
+        s"${resp.schema(respIdCol).dataType.simpleString}) — the pair " +
+        "orientation needs exact ids")
+    val qx = (x: org.apache.spark.sql.Column) =>
+      when(abs(x) < lit(10.0),
+        floor(x.cast("double") * lit(1e6) + lit(0.5)))
+        .otherwise(raise_error(concat(
+          lit("embeddingDiversity: coordinate is null, NaN, or >= 10 " +
+            "in magnitude - breaks the 1e-6 fixed-point cosine " +
+            "contract: "),
+          coalesce(x.cast("string"), lit("null")))))
+    val base = resp.filter(col(promptCol).isNotNull &&
+        col(respIdCol).isNotNull && col(vecCol).isNotNull)
+      .select(col(promptCol).as("__p"),
+        col(respIdCol).cast("long").as("__id"),
+        transform(col(vecCol), qx).as("__qv"))
+      .select(col("__p"), col("__id"), col("__qv"),
+        aggregate(col("__qv"), lit(0L), (acc, v) => acc + v * v)
+          .as("__nq"))
+      .filter(col("__nq") > 0L)
+    val fan = base.groupBy(col("__p")).agg(count(lit(1)).as("n_resp"))
+    val a = base.join(fan, Seq("__p"))
+      .select(col("__p"),
+        when(col("n_resp") <= maxFanOut, col("__id"))
+          .otherwise(raise_error(concat(
+            lit("embeddingDiversity: prompt "), col("__p").cast("string"),
+            lit(" has "), col("n_resp").cast("string"),
+            lit(" responses -> quadratic pair melt in one task " +
+              s"(maxFanOut=$maxFanOut); aggregate or sample upstream, " +
+              "or raise maxFanOut explicitly")))).as("__ia"),
+        col("__qv").as("__qa"), col("__nq").as("__na"))
+    val b = base.select(col("__p"), col("__id").as("__ib"),
+      col("__qv").as("__qb"), col("__nq").as("__nb"))
+    val dotq = aggregate(zip_with(col("__qa"), col("__qb"),
+      (x, y) => x * y), lit(0L), (acc, v) => acc + v)
+    val cosFp = floor(dotq.cast("double") /
+      (sqrt(col("__na").cast("double")) * sqrt(col("__nb").cast("double")))
+      * lit(1e9) + lit(0.5))
+    val pairs = a.join(b, Seq("__p")).filter(col("__ia") < col("__ib"))
+      .select(col("__p"),
+        when(dotq.isNotNull, cosFp).otherwise(raise_error(concat(
+          lit("embeddingDiversity: dimension mismatch between "),
+          col("__ia").cast("string"), lit(" and "),
+          col("__ib").cast("string")))).as("__cfp"))
+      .groupBy(col("__p"))
+      .agg(count(lit(1)).as("n_pairs"), sum(col("__cfp")).as("__s"))
+    fan.join(pairs, Seq("__p"), "left")
+      .select(col("__p").as(promptCol), col("n_resp"),
+        coalesce(col("n_pairs"), lit(0L)).as("n_pairs"),
+        when(coalesce(col("n_pairs"), lit(0L)) === 0L, lit(0.0))
+          .otherwise(graft.functions.GateRound(
+            col("__s").cast("double") /
+              (col("n_pairs") * lit(1000000000L)).cast("double"), 6))
+          .as("mean_cos"))
+  }
+
+  /**
    * Cohen's kappa between two binary judges (Cohen 1960) — the
    * inter-annotator / judge-ensemble agreement audit: raw agreement
    * corrected for the agreement two INDEPENDENT judges with the same
@@ -630,6 +727,74 @@ object Preference {
     stats.select(col(byCol), col("n"), col("n_agree"),
       when(defined, graft.functions.GateRound((po - pe) / (lit(1.0) - pe), 6))
         .otherwise(lit(0.0)).as("kappa"),
+      defined.as("defined"))
+  }
+
+  /**
+   * Fleiss' kappa (Fleiss 1971) — [[judgeAgreement]] generalized to
+   * m judges and any category set: the multi-annotator agreement
+   * audit real labeling batches need (Cohen's κ only compares two
+   * judges on a binary label). Input is the LONG form — one row per
+   * rating (group, item, category); judges are anonymous, which is
+   * exactly Fleiss' setting.
+   *
+   * Exact contract: per-item category counts n_ij, Σn_ij and Σn_ij²
+   * are exact integers in any order; P̄ = (ΣΣn_ij² − N·m)/(N·m·(m−1))
+   * and P̄e = Σc_j²/(N·m)² each have exact INTEGER numerators and
+   * denominators with ONE division apiece (products below 2^53 for
+   * N·m < 9e7 per group — shard past that, the [[judgeAgreement]]
+   * bound); κ = (P̄ − P̄e)/(1 − P̄e) mirrors the oracle verbatim and is
+   * [[graft.functions.GateRound]]ed (κ is signed). Constant m per
+   * item is Fleiss' own premise and is ENFORCED in the plan
+   * (raise_error naming the group when min ≠ max after null
+   * exclusion — a partially-rated item silently skews P̄). m = 1 (no
+   * pairs to agree) or P̄e = 1 (a constant panel) → κ = 0 with
+   * defined = false, never 0/0.
+   *
+   * Scale shape: two aggregation chains over the pruned input —
+   * (group, item, category) → (group, item) → group, and
+   * (group, category) → group — joined at |groups| rows; no windows,
+   * no self-joins, ratings never shuffle more than their 3-column
+   * projection.
+   *
+   * @return (byCol, n_items, m, kappa rounded 6, defined)
+   */
+  def fleissKappa(resp: DataFrame, byCol: String, itemCol: String,
+                  categoryCol: String): DataFrame = {
+    val base = resp.filter(col(byCol).isNotNull && col(itemCol).isNotNull &&
+      col(categoryCol).isNotNull)
+    val perItem = base
+      .groupBy(col(byCol), col(itemCol), col(categoryCol))
+      .agg(count(lit(1)).as("__nij"))
+      .groupBy(col(byCol), col(itemCol))
+      .agg(sum(col("__nij")).as("__mi"),
+        sum(col("__nij") * col("__nij")).as("__si"))
+    val perGroup = perItem.groupBy(col(byCol))
+      .agg(count(lit(1)).as("n_items"), min(col("__mi")).as("__mmin"),
+        max(col("__mi")).as("__mmax"), sum(col("__si")).as("__s"))
+    val marg = base.groupBy(col(byCol), col(categoryCol))
+      .agg(count(lit(1)).as("__cj"))
+      .groupBy(col(byCol))
+      .agg(sum(col("__cj") * col("__cj")).as("__c"))
+    val mGuard = when(col("__mmin") === col("__mmax"), col("__mmin"))
+      .otherwise(raise_error(concat(
+        lit("fleissKappa: ratings per item must be constant within a " +
+          "group (Fleiss' premise) - group "),
+        col(byCol).cast("string"), lit(" saw "),
+        col("__mmin").cast("string"), lit(".."),
+        col("__mmax").cast("string"),
+        lit("; exclude partially-rated items upstream"))))
+    val joined = perGroup.join(marg, Seq(byCol))
+      .select(col(byCol), col("n_items"), mGuard.as("m"), col("__s"),
+        col("__c"))
+    val nmD = (col("n_items") * col("m")).cast("double")
+    val pbar = (col("__s") - col("n_items") * col("m")).cast("double") /
+      (col("n_items") * col("m") * (col("m") - 1L)).cast("double")
+    val pe = col("__c").cast("double") / (nmD * nmD)
+    val defined = col("m") > 1L && pe < 1.0
+    joined.select(col(byCol), col("n_items"), col("m"),
+      when(defined, graft.functions.GateRound(
+        (pbar - pe) / (lit(1.0) - pe), 6)).otherwise(lit(0.0)).as("kappa"),
       defined.as("defined"))
   }
 

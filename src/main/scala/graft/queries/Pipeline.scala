@@ -1675,6 +1675,36 @@ object Pipeline {
         .orderBy(col("bin"))
     }),
 
+    // embedding-space response diversity (the semantic twin of qC6 —
+    // lexical distinct-n misses paraphrase collapse): per prompt the
+    // mean pairwise cosine over the response embeddings — 1e-6
+    // quantized coordinates, exact integer dots/norms, per-pair 1e-9
+    // quantized cosine so the cross-pair sum is order-free
+    "qCC_embedding_diversity" -> ((s, dir) => {
+      graft.operators.Preference.embeddingDiversity(
+          T(s, dir)("embeddings").select(
+            expr("vec_id div 4").as("prompt_id"), col("vec_id"),
+            col("embedding")),
+          "prompt_id", "vec_id", "embedding")
+        .orderBy(col("prompt_id"))
+    }),
+
+    // Fleiss' kappa per source over a 3-judge synthetic panel (qC7
+    // generalized past 2 judges / binary labels): exact per-item
+    // contingency, integer-numerator Pbar/Pe, gateRounded signed
+    // kappa; constant-m enforced in the plan
+    "qCB_fleiss_kappa" -> ((s, dir) => {
+      graft.operators.Preference.fleissKappa(
+          T(s, dir)("documents").select(col("source"),
+            col("doc_id").as("item"),
+            explode(array(
+              (col("doc_id") % 5).cast("string"),
+              ((col("doc_id") * 2 + 1) % 5).cast("string"),
+              ((col("doc_id") * 3 + 2) % 5).cast("string"))).as("cat")),
+          "source", "item", "cat")
+        .orderBy(col("source"))
+    }),
+
     // Bradley-Terry strength fit over the qC5 matrix (Hunter 2004 MM,
     // ties as half-wins): 10 fixed-point integer iterations at 1e-6
     // scale — bit-exact in any order, the qBS integer-PageRank
@@ -3736,6 +3766,68 @@ object Pipeline {
       GROUP BY 1, 2 ORDER BY player_a, player_b""",
 
     "qCA_bradley_terry" -> btOracleSql(10),
+
+    "qCC_embedding_diversity" -> """
+      WITH q AS (SELECT vec_id // 4 AS p, vec_id AS id,
+               list_transform(CAST(embedding AS DOUBLE[]),
+                 x -> CAST(floor(x * 1000000 + 0.5) AS BIGINT)) AS qv
+             FROM embeddings WHERE embedding IS NOT NULL),
+      n AS (SELECT p, id, qv,
+              CAST(list_sum(list_transform(qv, x -> x * x)) AS BIGINT)
+                AS nq
+            FROM q),
+      v AS (SELECT * FROM n WHERE nq > 0),
+      nr AS (SELECT p, CAST(COUNT(*) AS BIGINT) AS n_resp
+             FROM v GROUP BY 1),
+      pr AS (SELECT a.p,
+               CAST(list_sum(list_transform(range(1, len(a.qv) + 1),
+                 i -> a.qv[i] * b.qv[i])) AS BIGINT) AS dotq,
+               a.nq AS na, b.nq AS nb
+             FROM v a JOIN v b ON a.p = b.p AND a.id < b.id),
+      c AS (SELECT p, CAST(floor(CAST(dotq AS DOUBLE)
+              / (sqrt(CAST(na AS DOUBLE)) * sqrt(CAST(nb AS DOUBLE)))
+              * 1000000000 + 0.5) AS BIGINT) AS cfp
+            FROM pr),
+      g AS (SELECT p, CAST(COUNT(*) AS BIGINT) AS n_pairs,
+              CAST(SUM(cfp) AS BIGINT) AS s FROM c GROUP BY 1)
+      SELECT nr.p AS prompt_id, nr.n_resp,
+             COALESCE(g.n_pairs, 0) AS n_pairs,
+             CASE WHEN COALESCE(g.n_pairs, 0) = 0 THEN 0.0
+                  ELSE round(CAST(g.s AS DOUBLE)
+                    / CAST(g.n_pairs * 1000000000 AS DOUBLE), 6) + 0
+             END AS mean_cos
+      FROM nr LEFT JOIN g ON g.p = nr.p ORDER BY prompt_id""",
+
+    "qCB_fleiss_kappa" -> """
+      WITH r AS (SELECT source, doc_id AS item,
+                   unnest([CAST(doc_id % 5 AS VARCHAR),
+                           CAST((doc_id * 2 + 1) % 5 AS VARCHAR),
+                           CAST((doc_id * 3 + 2) % 5 AS VARCHAR)]) AS cat
+                 FROM documents),
+      nij AS (SELECT source, item, cat, CAST(COUNT(*) AS BIGINT) AS nij
+              FROM r GROUP BY 1, 2, 3),
+      pi AS (SELECT source, item, CAST(SUM(nij) AS BIGINT) AS mi,
+               CAST(SUM(nij * nij) AS BIGINT) AS si
+             FROM nij GROUP BY 1, 2),
+      pg AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_items,
+               CAST(MIN(mi) AS BIGINT) AS m, CAST(SUM(si) AS BIGINT) AS s
+             FROM pi GROUP BY 1),
+      mg AS (SELECT source, cat, CAST(COUNT(*) AS BIGINT) AS cj
+             FROM r GROUP BY 1, 2),
+      cg AS (SELECT source, CAST(SUM(cj * cj) AS BIGINT) AS c
+             FROM mg GROUP BY 1),
+      v AS (SELECT pg.source, n_items, m,
+              CAST(s - n_items * m AS DOUBLE)
+                / CAST(n_items * m * (m - 1) AS DOUBLE) AS pbar,
+              CAST(c AS DOUBLE) / (CAST(n_items * m AS DOUBLE)
+                * CAST(n_items * m AS DOUBLE)) AS pe
+            FROM pg JOIN cg USING (source))
+      SELECT source, n_items, m,
+             CASE WHEN m > 1 AND pe < 1.0
+               THEN round((pbar - pe) / (1.0 - pe), 6) + 0
+               ELSE 0.0 END AS kappa,
+             (m > 1 AND pe < 1.0) AS defined
+      FROM v ORDER BY source""",
 
     "qC1_grpo_advantage" -> """
       WITH r AS (SELECT doc_id // 4 AS prompt_id, doc_id,

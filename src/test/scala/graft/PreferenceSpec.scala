@@ -492,6 +492,90 @@ class PreferenceSpec extends AnyFunSuite {
     assert(bad.getMessage.contains("boolean"), bad.getMessage)
   }
 
+  test("embeddingDiversity: planted collapse, hand cosines, guards") {
+    // prompt 1 COLLAPSED (identical embeddings -> every pairwise
+    // cosine 1.0); prompt 2 diverse: (1,0),(0,1),(1,0) -> cosines
+    // 0, 1, 0 -> mean 1/3; prompt 3 adversarial: (1,0) vs (-1,0) ->
+    // mean -1.0 (the signed path); prompt 4 single response -> no
+    // pairs, 0.0 visible; a zero vector is excluded from the pool
+    val df = Seq(
+      (1L, 10L, Seq(0.6f, 0.8f)), (1L, 11L, Seq(0.6f, 0.8f)),
+      (1L, 12L, Seq(0.6f, 0.8f)),
+      (2L, 20L, Seq(1f, 0f)), (2L, 21L, Seq(0f, 1f)),
+      (2L, 22L, Seq(1f, 0f)),
+      (3L, 30L, Seq(1f, 0f)), (3L, 31L, Seq(-1f, 0f)),
+      (4L, 40L, Seq(1f, 1f)),
+      (5L, 50L, Seq(0f, 0f)), (5L, 51L, Seq(1f, 0f))
+    ).toDF("prompt_id", "resp_id", "emb")
+    val out = graft.operators.Preference.embeddingDiversity(
+        df, "prompt_id", "resp_id", "emb")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    assert(out(1L) == ((3L, 3L, 1.0)), out(1L).toString)
+    assert(out(2L) == ((3L, 3L, 0.333333)), out(2L).toString)
+    assert(out(3L) == ((2L, 1L, -1.0)), out(3L).toString)
+    assert(out(4L) == ((1L, 0L, 0.0)), out(4L).toString)
+    // the zero vector dropped from n_resp AND pairs — one survivor
+    assert(out(5L) == ((1L, 0L, 0.0)), out(5L).toString)
+    // a wild coordinate is refused loudly (fixed-point contract)
+    val err = intercept[Exception] {
+      graft.operators.Preference.embeddingDiversity(
+        Seq((1L, 1L, Seq(11f, 0f)), (1L, 2L, Seq(1f, 0f)))
+          .toDF("prompt_id", "resp_id", "emb"),
+        "prompt_id", "resp_id", "emb").collect()
+    }
+    assert(err.getMessage.contains("fixed-point"), err.getMessage)
+    // pathological fan-out refused in the plan, naming the prompt
+    val fat = (0 until 30).map(i => (7L, i.toLong, Seq(1f, 0f)))
+      .toDF("prompt_id", "resp_id", "emb")
+    val melt = intercept[Exception] {
+      graft.operators.Preference.embeddingDiversity(fat, "prompt_id",
+        "resp_id", "emb", maxFanOut = 10).collect()
+    }
+    assert(melt.getMessage.contains("maxFanOut"), melt.getMessage)
+  }
+
+  test("fleissKappa: hand contingency, constant-m refusal, degenerates") {
+    // g: item 1 rated (a,a,a), item 2 rated (a,a,b) by 3 judges.
+    // P_1 = (9-3)/6 = 1, P_2 = (5-3)/6 = 1/3 -> Pbar = (14-6)/12 = 2/3.
+    // Marginals a=5, b=1 -> Pe = 26/36. kappa = (24/36 - 26/36)/(10/36)
+    // = -0.2 exactly (a SIGNED hand case — below-chance agreement).
+    val df = Seq(
+      ("g", 1L, "a"), ("g", 1L, "a"), ("g", 1L, "a"),
+      ("g", 2L, "a"), ("g", 2L, "a"), ("g", 2L, "b")
+    ).toDF("src", "item", "cat")
+    val out = graft.operators.Preference.fleissKappa(df, "src", "item",
+      "cat").head()
+    assert(out.getLong(1) == 2L && out.getLong(2) == 3L)
+    assert(out.getDouble(3) == -0.2 && out.getBoolean(4), out.toString)
+    // inconsistent m within a group is refused loudly, naming it
+    val ragged = df.unionByName(Seq(("g", 3L, "a")).toDF("src", "item",
+      "cat"))
+    val err = intercept[Exception] {
+      graft.operators.Preference.fleissKappa(ragged, "src", "item", "cat")
+        .collect()
+    }
+    assert(err.getMessage.contains("constant"), err.getMessage)
+    // m = 1 (single judge): no pairs to agree -> kappa 0, not defined
+    val solo = Seq(("g", 1L, "a"), ("g", 2L, "b")).toDF("src", "item",
+      "cat")
+    val s1 = graft.operators.Preference.fleissKappa(solo, "src", "item",
+      "cat").head()
+    assert(s1.getDouble(3) == 0.0 && !s1.getBoolean(4))
+    // a constant panel (every rating one category): Pe = 1 -> undefined
+    val const = Seq(("g", 1L, "a"), ("g", 1L, "a"), ("g", 2L, "a"),
+      ("g", 2L, "a")).toDF("src", "item", "cat")
+    val c1 = graft.operators.Preference.fleissKappa(const, "src", "item",
+      "cat").head()
+    assert(c1.getDouble(3) == 0.0 && !c1.getBoolean(4))
+    // null ratings are excluded before the constant-m check
+    val withNull = df.unionByName(
+      Seq(("g", Some(1L), Option.empty[String])).toDF("src", "item", "cat"))
+    val n1 = graft.operators.Preference.fleissKappa(withNull, "src",
+      "item", "cat").head()
+    assert(n1.getDouble(3) == -0.2, n1.toString)
+  }
+
   test("calibrationBins: bin math, 100-clamp, range refusal, null exclusion") {
     val df = Seq(
       // bin 0: pct 5 correct, pct 9 wrong -> acc .5, conf .07, gap .43
