@@ -451,6 +451,47 @@ object Preference {
   }
 
   /**
+   * Wilson-score confidence intervals over the [[winRateMatrix]]
+   * rates (Wilson 1927; Brown–Cai–DasGupta 2001 recommend it over
+   * the Wald interval at small n and extreme rates — exactly the
+   * arena regime: a 3-0 sweep is NOT a settled 1.0). Ties count as
+   * half-wins through the same half-unit trick: p̂ = (2w + t)/(2n)
+   * is ONE division of exact integers.
+   *
+   * Float contract: every input to the interval arithmetic is an
+   * exact integer (w2, n2, n); the Wilson formula is then a fixed
+   * dag of IEEE ops mirrored VERBATIM in the oracle — no float
+   * accumulation anywhere (the per-group shape that needs no
+   * fixed-point fix). `ci_lo` is analytically ≥ 0 but can read −ε in
+   * floating point — gateRounded; `ci_hi` is strictly positive —
+   * plain round.
+   *
+   * Scale shape: [[winRateMatrix]]'s plan plus five projected
+   * columns at |players|² rows — nothing new shuffles.
+   *
+   * @return (player_a, player_b, n_comparisons, n_wins_a, n_ties,
+   *         win_rate_a, ci_lo, ci_hi rounded 6) at z = 1.96 (95%)
+   */
+  def winRateConfidence(resp: DataFrame, promptCol: String,
+                        playerCol: String, scoreCol: String,
+                        maxFanOut: Int = 10000): DataFrame = {
+    val m = winRateMatrix(resp, promptCol, playerCol, scoreCol, maxFanOut)
+    val z = lit(1.96)
+    val z2 = z * z
+    val nD = col("n_comparisons").cast("double")
+    val p = (col("n_wins_a") * 2L + col("n_ties")).cast("double") /
+      (col("n_comparisons") * 2L).cast("double")
+    val center = p + z2 / (lit(2.0) * nD)
+    val margin = z * sqrt(p * (lit(1.0) - p) / nD +
+      z2 / (lit(4.0) * nD * nD))
+    val den = lit(1.0) + z2 / nD
+    m.select(col("player_a"), col("player_b"), col("n_comparisons"),
+      col("n_wins_a"), col("n_ties"), col("win_rate_a"),
+      graft.functions.GateRound((center - margin) / den, 6).as("ci_lo"),
+      round((center + margin) / den, 6).as("ci_hi"))
+  }
+
+  /**
    * Bradley–Terry strength fit over the [[winRateMatrix]] pairs — the
    * arena family's second half: a rating per player from pairwise
    * outcomes, via Hunter (2004)'s MM update
@@ -795,6 +836,81 @@ object Preference {
     joined.select(col(byCol), col("n_items"), col("m"),
       when(defined, graft.functions.GateRound(
         (pbar - pe) / (lit(1.0) - pe), 6)).otherwise(lit(0.0)).as("kappa"),
+      defined.as("defined"))
+  }
+
+  /**
+   * Krippendorff's alpha, nominal data (Krippendorff 2004) — the
+   * agreement audit for RAGGED panels: [[fleissKappa]] refuses
+   * items whose rating count varies (Fleiss' premise); α is the
+   * standard tool when judges rate overlapping subsets — exactly
+   * what a routed LLM-judge ensemble or a crowdsourced batch
+   * produces. Items with fewer than 2 ratings have no pairable
+   * values and are excluded (the standard), visibly via `n_items`
+   * vs the input.
+   *
+   * Exact contract: per item, the disagreement numerator
+   * A_i = m_i² − Σ_c n_ic² is an exact integer but v_i = A_i/(m_i−1)
+   * is rational with a PER-ITEM denominator — the [[qCC|quantized]]
+   * cross-entity sum axis again: v_i is one IEEE division of exact
+   * integers (bit-identical in both engines), quantized to a 1e-9
+   * long, so Σv_i is an exact integer in any partition order.
+   * D_o = Σq/(M·1e9) and D_e = (M² − Σc_j²)/(M·(M−1)) are one
+   * division each over exact integers (Σ_c c_j(M−c_j) telescopes to
+   * M² − Σc_j² since Σc_j = M — no per-category fold);
+   * α = 1 − D_o/D_e mirrored verbatim, gateRounded (α is signed).
+   * 2^53 bound: M < 9.5e7 per group (M² must stay exact in double) —
+   * shard past that. D_e = 0 (a constant panel) or M < 2 → α = 0
+   * with defined = false.
+   *
+   * Scale shape: an items-sized include set (≥2 non-null ratings)
+   * joins the 3-column input once per branch — two aggregation
+   * chains like [[fleissKappa]]'s, joined at |groups| rows; no
+   * windows, no self-joins. The include join re-derives rather than
+   * checkpoints (the qC6 second-scan economics — both sides are
+   * column-pruned scans + one metadata-sized aggregate).
+   *
+   * @return (byCol, n_items pairable items, n_values M,
+   *         alpha rounded 6, defined)
+   */
+  def krippendorffAlpha(resp: DataFrame, byCol: String, itemCol: String,
+                        categoryCol: String): DataFrame = {
+    val base = resp.filter(col(byCol).isNotNull && col(itemCol).isNotNull &&
+      col(categoryCol).isNotNull)
+    val included = base.groupBy(col(byCol), col(itemCol))
+      .agg(count(lit(1)).as("__m0"))
+      .filter(col("__m0") >= 2L)
+      .select(col(byCol), col(itemCol))
+    val baseInc = base.join(included, Seq(byCol, itemCol))
+    val perGroup = baseInc
+      .groupBy(col(byCol), col(itemCol), col(categoryCol))
+      .agg(count(lit(1)).as("__nij"))
+      .groupBy(col(byCol), col(itemCol))
+      .agg(sum(col("__nij")).as("__mi"),
+        sum(col("__nij") * col("__nij")).as("__si"))
+      .select(col(byCol), col("__mi"),
+        // v_i quantized: IEEE-deterministic division of exact
+        // integers, then the 1e-9 grid — Σ over items is order-free
+        floor((col("__mi") * col("__mi") - col("__si")).cast("double") /
+          (col("__mi") - 1L).cast("double") * lit(1e9) + lit(0.5))
+          .as("__qi"))
+      .groupBy(col(byCol))
+      .agg(count(lit(1)).as("n_items"), sum(col("__mi")).as("n_values"),
+        sum(col("__qi")).as("__sq"))
+    val marg = baseInc.groupBy(col(byCol), col(categoryCol))
+      .agg(count(lit(1)).as("__cj"))
+      .groupBy(col(byCol))
+      .agg(sum(col("__cj") * col("__cj")).as("__c2"))
+    val joined = perGroup.join(marg, Seq(byCol))
+    val m = col("n_values")
+    val deNum = m * m - col("__c2")
+    val doo = col("__sq").cast("double") /
+      (m * lit(1000000000L)).cast("double")
+    val de = deNum.cast("double") / (m * (m - 1L)).cast("double")
+    val defined = m > 1L && deNum > 0L
+    joined.select(col(byCol), col("n_items"), col("n_values"),
+      when(defined, graft.functions.GateRound(
+        lit(1.0) - doo / de, 6)).otherwise(lit(0.0)).as("alpha"),
       defined.as("defined"))
   }
 

@@ -1689,6 +1689,19 @@ object Pipeline {
         .orderBy(col("prompt_id"))
     }),
 
+    // Wilson-score 95% intervals over the arena rates (Brown et al.
+    // 2001: Wald lies at small n — the arena regime): exact (w2, n2)
+    // half-unit integers into a fixed IEEE dag mirrored verbatim;
+    // ci_lo gateRounded (floating −ε on analytic 0)
+    "qCD_winrate_wilson" -> ((s, dir) => {
+      graft.operators.Preference.winRateConfidence(
+          T(s, dir)("documents").select(
+            expr("doc_id div 4").as("prompt_id"), col("source"),
+            (col("doc_id") % 7).as("score")),
+          "prompt_id", "source", "score")
+        .orderBy(col("player_a"), col("player_b"))
+    }),
+
     // Fleiss' kappa per source over a 3-judge synthetic panel (qC7
     // generalized past 2 judges / binary labels): exact per-item
     // contingency, integer-numerator Pbar/Pe, gateRounded signed
@@ -1701,6 +1714,25 @@ object Pipeline {
               (col("doc_id") % 5).cast("string"),
               ((col("doc_id") * 2 + 1) % 5).cast("string"),
               ((col("doc_id") * 3 + 2) % 5).cast("string"))).as("cat")),
+          "source", "item", "cat")
+        .orderBy(col("source"))
+    }),
+
+    // Krippendorff's alpha over a RAGGED judge panel (the data shape
+    // qCB refuses by design): judge 2 rates evens, judge 3 rates
+    // multiples of 3 — m varies 1..3, singleton items excluded; the
+    // per-item rational disagreement quantizes to the 1e-9 grid so
+    // the cross-item sum is exact (the qCC axis)
+    "qCE_krippendorff_alpha" -> ((s, dir) => {
+      graft.operators.Preference.krippendorffAlpha(
+          T(s, dir)("documents").select(col("source"),
+            col("doc_id").as("item"),
+            explode(array(
+              (col("doc_id") % 5).cast("string"),
+              when(col("doc_id") % 2 === 0,
+                ((col("doc_id") * 2 + 1) % 5).cast("string")),
+              when(col("doc_id") % 3 === 0,
+                ((col("doc_id") * 3 + 2) % 5).cast("string")))).as("cat")),
           "source", "item", "cat")
         .orderBy(col("source"))
     }),
@@ -3767,6 +3799,34 @@ object Pipeline {
 
     "qCA_bradley_terry" -> btOracleSql(10),
 
+    "qCD_winrate_wilson" -> """
+      WITH r AS (SELECT doc_id // 4 AS p, source AS pl, doc_id % 7 AS s
+                 FROM documents),
+      m AS (SELECT a.pl AS player_a, b.pl AS player_b,
+              CAST(COUNT(*) AS BIGINT) AS n_comparisons,
+              CAST(SUM(CASE WHEN a.s > b.s THEN 1 ELSE 0 END) AS BIGINT)
+                AS n_wins_a,
+              CAST(SUM(CASE WHEN a.s = b.s THEN 1 ELSE 0 END) AS BIGINT)
+                AS n_ties
+            FROM r a JOIN r b ON a.p = b.p AND a.pl < b.pl GROUP BY 1, 2),
+      v AS (SELECT *, CAST(n_comparisons AS DOUBLE) AS nd,
+              CAST(n_wins_a * 2 + n_ties AS DOUBLE)
+                / CAST(n_comparisons * 2 AS DOUBLE) AS ph,
+              1.96 * 1.96 AS z2
+            FROM m),
+      w AS (SELECT *, ph + z2 / (2.0 * nd) AS center,
+              1.96 * sqrt(ph * (1.0 - ph) / nd + z2 / (4.0 * nd * nd))
+                AS margin,
+              1.0 + z2 / nd AS den
+            FROM v)
+      SELECT player_a, player_b, n_comparisons, n_wins_a, n_ties,
+             round((CAST(n_wins_a AS DOUBLE)
+                    + 0.5 * CAST(n_ties AS DOUBLE))
+                   / CAST(n_comparisons AS DOUBLE), 6) AS win_rate_a,
+             round((center - margin) / den, 6) + 0 AS ci_lo,
+             round((center + margin) / den, 6) AS ci_hi
+      FROM w ORDER BY player_a, player_b""",
+
     "qCC_embedding_diversity" -> """
       WITH q AS (SELECT vec_id // 4 AS p, vec_id AS id,
                list_transform(CAST(embedding AS DOUBLE[]),
@@ -3797,6 +3857,52 @@ object Pipeline {
                     / CAST(g.n_pairs * 1000000000 AS DOUBLE), 6) + 0
              END AS mean_cos
       FROM nr LEFT JOIN g ON g.p = nr.p ORDER BY prompt_id""",
+
+    "qCE_krippendorff_alpha" -> """
+      WITH raw AS (SELECT source, doc_id AS item,
+                     unnest([CAST(doc_id % 5 AS VARCHAR),
+                             CASE WHEN doc_id % 2 = 0
+                               THEN CAST((doc_id * 2 + 1) % 5 AS VARCHAR)
+                             END,
+                             CASE WHEN doc_id % 3 = 0
+                               THEN CAST((doc_id * 3 + 2) % 5 AS VARCHAR)
+                             END]) AS cat
+                   FROM documents),
+      r AS (SELECT * FROM raw WHERE cat IS NOT NULL),
+      inc AS (SELECT source, item FROM r GROUP BY 1, 2
+              HAVING COUNT(*) >= 2),
+      ri AS (SELECT r.* FROM r JOIN inc USING (source, item)),
+      nij AS (SELECT source, item, cat, CAST(COUNT(*) AS BIGINT) AS nij
+              FROM ri GROUP BY 1, 2, 3),
+      pi AS (SELECT source, item, CAST(SUM(nij) AS BIGINT) AS mi,
+               CAST(SUM(nij * nij) AS BIGINT) AS si
+             FROM nij GROUP BY 1, 2),
+      pq AS (SELECT source, mi,
+               CAST(floor(CAST(mi * mi - si AS DOUBLE)
+                 / CAST(mi - 1 AS DOUBLE) * 1000000000 + 0.5) AS BIGINT)
+                 AS qi
+             FROM pi),
+      pg AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_items,
+               CAST(SUM(mi) AS BIGINT) AS n_values,
+               CAST(SUM(qi) AS BIGINT) AS sq
+             FROM pq GROUP BY 1),
+      mg AS (SELECT source, cat, CAST(COUNT(*) AS BIGINT) AS cj
+             FROM ri GROUP BY 1, 2),
+      cg AS (SELECT source, CAST(SUM(cj * cj) AS BIGINT) AS c2
+             FROM mg GROUP BY 1),
+      v AS (SELECT pg.source, n_items, n_values,
+              CAST(sq AS DOUBLE)
+                / CAST(n_values * 1000000000 AS DOUBLE) AS dobs,
+              CAST(n_values * n_values - c2 AS DOUBLE)
+                / CAST(n_values * (n_values - 1) AS DOUBLE) AS de,
+              n_values * n_values - c2 AS denum
+            FROM pg JOIN cg USING (source))
+      SELECT source, n_items, n_values,
+             CASE WHEN n_values > 1 AND denum > 0
+               THEN round(1.0 - dobs / de, 6) + 0
+               ELSE 0.0 END AS alpha,
+             (n_values > 1 AND denum > 0) AS defined
+      FROM v ORDER BY source""",
 
     "qCB_fleiss_kappa" -> """
       WITH r AS (SELECT source, doc_id AS item,

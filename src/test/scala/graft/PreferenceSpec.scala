@@ -377,6 +377,32 @@ class PreferenceSpec extends AnyFunSuite {
     assert(frac.getMessage.contains("integral"), frac.getMessage)
   }
 
+  test("winRateConfidence: Wilson bounds by hand, zero-rate lower edge") {
+    // the winRateMatrix fixture; Wilson at z=1.96 over the half-unit
+    // exact integers. m2-m3 is a 0-for-1 rate — the lower bound is
+    // analytic 0 and must publish +0.0 (the gateRound sign contract)
+    val df = Seq(
+      (1L, "m1", 5L), (1L, "m2", 3L), (1L, "m3", 5L),
+      (2L, "m1", 1L), (2L, "m2", 4L), (2L, "m2", 0L)
+    ).toDF("prompt_id", "model", "score")
+    val out = graft.operators.Preference.winRateConfidence(
+        df, "prompt_id", "model", "score")
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getDouble(5), r.getDouble(6), r.getDouble(7)))).toMap
+    assert(out(("m1", "m2")) == ((0.666667, 0.207655, 0.93851)),
+      out(("m1", "m2")).toString)
+    assert(out(("m1", "m3")) == ((0.5, 0.054619, 0.945381)))
+    val (rate, lo, hi) = out(("m2", "m3"))
+    assert(rate == 0.0 && lo == 0.0 && hi == 0.793457, (rate, lo, hi))
+    assert(
+      java.lang.Double.doubleToRawLongBits(lo) == 0L,
+      "ci_lo at an analytic zero must be +0.0 bits")
+    // every interval brackets its rate
+    out.values.foreach { case (r, l, h) =>
+      assert(l <= r && r <= h, (r, l, h).toString)
+    }
+  }
+
   test("bradleyTerry: rating order on a hand tournament, ties, bounds") {
     // two prompts, each scoring A > B > C: every pair has 2
     // comparisons, A sweeps both rivals, B sweeps C — the MM fit
@@ -574,6 +600,42 @@ class PreferenceSpec extends AnyFunSuite {
     val n1 = graft.operators.Preference.fleissKappa(withNull, "src",
       "item", "cat").head()
     assert(n1.getDouble(3) == -0.2, n1.toString)
+  }
+
+  test("krippendorffAlpha: hand alpha, ragged m, singleton exclusion") {
+    // items (a,a),(b,b),(a,b): D_o = (0+0+2)/6 = 1/3, marginals
+    // a=3,b=3 -> D_e = (36-18)/30 = 0.6, alpha = 1 - (1/3)/0.6
+    // = 0.444444
+    val flat = Seq(
+      ("g", 1L, "a"), ("g", 1L, "a"), ("g", 2L, "b"), ("g", 2L, "b"),
+      ("g", 3L, "a"), ("g", 3L, "b")
+    ).toDF("src", "item", "cat")
+    val f = graft.operators.Preference.krippendorffAlpha(flat, "src",
+      "item", "cat").head()
+    assert(f.getLong(1) == 3L && f.getLong(2) == 6L)
+    assert(f.getDouble(3) == 0.444444 && f.getBoolean(4), f.toString)
+    // RAGGED m (what fleissKappa refuses): item 4 has THREE ratings
+    // (a,a,a) -> M=9, D_o = 2/9, D_e = (81-45)/72 = 0.5 -> alpha 5/9
+    val ragged = flat.unionByName(Seq(("g", 4L, "a"), ("g", 4L, "a"),
+      ("g", 4L, "a")).toDF("src", "item", "cat"))
+    val r = graft.operators.Preference.krippendorffAlpha(ragged, "src",
+      "item", "cat").head()
+    assert(r.getLong(1) == 4L && r.getLong(2) == 9L)
+    assert(r.getDouble(3) == 0.555556 && r.getBoolean(4), r.toString)
+    // a singleton item has no pairable values: excluded from items,
+    // values AND marginals — result unchanged
+    val single = ragged.unionByName(Seq(("g", 5L, "b")).toDF("src",
+      "item", "cat"))
+    val s1 = graft.operators.Preference.krippendorffAlpha(single, "src",
+      "item", "cat").head()
+    assert(s1.getLong(1) == 4L && s1.getLong(2) == 9L &&
+      s1.getDouble(3) == 0.555556, s1.toString)
+    // a constant panel: D_e = 0 -> alpha 0, not defined
+    val const = Seq(("g", 1L, "a"), ("g", 1L, "a"), ("g", 2L, "a"),
+      ("g", 2L, "a")).toDF("src", "item", "cat")
+    val c1 = graft.operators.Preference.krippendorffAlpha(const, "src",
+      "item", "cat").head()
+    assert(c1.getDouble(3) == 0.0 && !c1.getBoolean(4))
   }
 
   test("calibrationBins: bin math, 100-clamp, range refusal, null exclusion") {
