@@ -840,6 +840,87 @@ object Preference {
   }
 
   /**
+   * Judge position-bias audit (Zheng et al. 2023, "Judging
+   * LLM-as-a-Judge" §3.2 — LLM judges measurably favor the FIRST
+   * answer): over pairs judged TWICE (original and swapped order),
+   * classify each pair by winner identity across the swap —
+   * consistent (same answer wins both orders), first-biased (the
+   * position-1 answer wins both times), second-biased — the standard
+   * pre-flight before trusting pairwise LLM judgments. A consistency
+   * rate far below 1 or a bias split far from symmetric flags the
+   * judge, not the models.
+   *
+   * Exact contract: exact integer counts per class, ONE division per
+   * rate (non-negative → plain round). Domain is ENFORCED in the
+   * plan: `orderCol` must be 0 (original) / 1 (swapped) and
+   * `winnerPosCol` 1/2 — anything else raise_errors; pairs without
+   * exactly one judgment per order are EXCLUDED from classification
+   * but VISIBLE (`n_incomplete` — a silently dropped re-judgment
+   * would fake consistency).
+   *
+   * Scale shape: one (group, pair) partial/final aggregate packing
+   * both orders into per-pair columns (no self-join — the swap pair
+   * meets in the aggregate), then one group-level aggregate;
+   * judgments never shuffle more than their 4-column projection.
+   *
+   * @return (byCol, n_pairs complete, n_incomplete, n_consistent,
+   *         n_first_biased, n_second_biased, consistency_rate,
+   *         first_bias_rate, second_bias_rate rounded 6 — rates 0.0
+   *         when no complete pairs, n_pairs 0 visible)
+   */
+  def positionBias(resp: DataFrame, byCol: String, pairCol: String,
+                   orderCol: String, winnerPosCol: String): DataFrame = {
+    Seq(orderCol, winnerPosCol).foreach { c =>
+      require(org.apache.spark.sql.graftbridge.ColumnBridge
+          .isIntegral(resp.schema(c).dataType),
+        s"positionBias: $c must be integral (got " +
+          s"${resp.schema(c).dataType.simpleString})")
+    }
+    val o = col(orderCol).cast("long")
+    val w = col(winnerPosCol).cast("long")
+    val oG = when(o === 0L || o === 1L, o)
+      .otherwise(raise_error(concat(
+        lit("positionBias: order must be 0 (original) or 1 (swapped), " +
+          "got "), o.cast("string"))))
+    val wG = when(w === 1L || w === 2L, w)
+      .otherwise(raise_error(concat(
+        lit("positionBias: winner position must be 1 or 2, got "),
+        w.cast("string"))))
+    val perPair = resp
+      .filter(col(byCol).isNotNull && col(pairCol).isNotNull &&
+        col(orderCol).isNotNull && col(winnerPosCol).isNotNull)
+      .select(col(byCol), col(pairCol), oG.as("__o"), wG.as("__w"))
+      .groupBy(col(byCol), col(pairCol))
+      .agg(sum(when(col("__o") === 0L, 1L).otherwise(0L)).as("__n0"),
+        sum(when(col("__o") === 1L, 1L).otherwise(0L)).as("__n1"),
+        min(when(col("__o") === 0L, col("__w"))).as("__p0"),
+        min(when(col("__o") === 1L, col("__w"))).as("__p1"))
+    val complete = col("__n0") === 1L && col("__n1") === 1L
+    // winner IDENTITY across the swap: original order winner is
+    // answer A iff p0 = 1; swapped order winner is A iff p1 = 2
+    val winA0 = col("__p0") === 1L
+    val winA1 = col("__p1") === 2L
+    val stats = perPair.groupBy(col(byCol))
+      .agg(sum(when(complete, 1L).otherwise(0L)).as("n_pairs"),
+        sum(when(complete, 0L).otherwise(1L)).as("n_incomplete"),
+        sum(when(complete && winA0 === winA1, 1L).otherwise(0L))
+          .as("n_consistent"),
+        sum(when(complete && col("__p0") === 1L && col("__p1") === 1L, 1L)
+          .otherwise(0L)).as("n_first_biased"),
+        sum(when(complete && col("__p0") === 2L && col("__p1") === 2L, 1L)
+          .otherwise(0L)).as("n_second_biased"))
+    def rate(n: org.apache.spark.sql.Column) =
+      when(col("n_pairs") === 0L, lit(0.0))
+        .otherwise(round(n.cast("double") / col("n_pairs").cast("double"),
+          6))
+    stats.select(col(byCol), col("n_pairs"), col("n_incomplete"),
+      col("n_consistent"), col("n_first_biased"), col("n_second_biased"),
+      rate(col("n_consistent")).as("consistency_rate"),
+      rate(col("n_first_biased")).as("first_bias_rate"),
+      rate(col("n_second_biased")).as("second_bias_rate"))
+  }
+
+  /**
    * Krippendorff's alpha, nominal data (Krippendorff 2004) — the
    * agreement audit for RAGGED panels: [[fleissKappa]] refuses
    * items whose rating count varies (Fleiss' premise); α is the

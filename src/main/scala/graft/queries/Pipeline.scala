@@ -1718,6 +1718,25 @@ object Pipeline {
         .orderBy(col("source"))
     }),
 
+    // judge position-bias audit (Zheng et al. 2023): each pair judged
+    // in both orders, classified consistent / first-biased /
+    // second-biased by winner IDENTITY across the swap; doc_id%7==0
+    // pairs lose their swapped judgment -> visibly incomplete
+    "qCF_position_bias" -> ((s, dir) => {
+      graft.operators.Preference.positionBias(
+          T(s, dir)("documents").select(col("source"),
+            col("doc_id").as("pair"),
+            explode(array(
+              struct(lit(0L).as("o"), (col("doc_id") % 2 + 1).as("w")),
+              struct(lit(1L).as("o"),
+                when(col("doc_id") % 7 =!= 0,
+                  expr("doc_id div 3") % 2 + 1).as("w")))).as("j"))
+            .select(col("source"), col("pair"), col("j.o").as("ord"),
+              col("j.w").as("win")),
+          "source", "pair", "ord", "win")
+        .orderBy(col("source"))
+    }),
+
     // Krippendorff's alpha over a RAGGED judge panel (the data shape
     // qCB refuses by design): judge 2 rates evens, judge 3 rates
     // multiples of 3 — m varies 1..3, singleton items excluded; the
@@ -3857,6 +3876,51 @@ object Pipeline {
                     / CAST(g.n_pairs * 1000000000 AS DOUBLE), 6) + 0
              END AS mean_cos
       FROM nr LEFT JOIN g ON g.p = nr.p ORDER BY prompt_id""",
+
+    "qCF_position_bias" -> """
+      WITH raw AS (SELECT source, doc_id AS pair, unnest([
+               {'o': 0, 'w': doc_id % 2 + 1},
+               {'o': 1, 'w': CASE WHEN doc_id % 7 <> 0
+                 THEN (doc_id // 3) % 2 + 1 END}]) AS j
+             FROM documents),
+      r AS (SELECT source, pair, j.o AS o, j.w AS w FROM raw
+            WHERE j.w IS NOT NULL),
+      pp AS (SELECT source, pair,
+               SUM(CASE WHEN o = 0 THEN 1 ELSE 0 END) AS n0,
+               SUM(CASE WHEN o = 1 THEN 1 ELSE 0 END) AS n1,
+               MIN(CASE WHEN o = 0 THEN w END) AS p0,
+               MIN(CASE WHEN o = 1 THEN w END) AS p1
+             FROM r GROUP BY 1, 2),
+      st AS (SELECT source,
+               CAST(SUM(CASE WHEN n0 = 1 AND n1 = 1 THEN 1 ELSE 0 END)
+                 AS BIGINT) AS n_pairs,
+               CAST(SUM(CASE WHEN n0 = 1 AND n1 = 1 THEN 0 ELSE 1 END)
+                 AS BIGINT) AS n_incomplete,
+               CAST(SUM(CASE WHEN n0 = 1 AND n1 = 1
+                   AND (p0 = 1) = (p1 = 2) THEN 1 ELSE 0 END)
+                 AS BIGINT) AS n_consistent,
+               CAST(SUM(CASE WHEN n0 = 1 AND n1 = 1 AND p0 = 1
+                   AND p1 = 1 THEN 1 ELSE 0 END)
+                 AS BIGINT) AS n_first_biased,
+               CAST(SUM(CASE WHEN n0 = 1 AND n1 = 1 AND p0 = 2
+                   AND p1 = 2 THEN 1 ELSE 0 END)
+                 AS BIGINT) AS n_second_biased
+             FROM pp GROUP BY 1)
+      SELECT source, n_pairs, n_incomplete, n_consistent,
+             n_first_biased, n_second_biased,
+             CASE WHEN n_pairs = 0 THEN 0.0
+               ELSE round(CAST(n_consistent AS DOUBLE)
+                          / CAST(n_pairs AS DOUBLE), 6)
+             END AS consistency_rate,
+             CASE WHEN n_pairs = 0 THEN 0.0
+               ELSE round(CAST(n_first_biased AS DOUBLE)
+                          / CAST(n_pairs AS DOUBLE), 6)
+             END AS first_bias_rate,
+             CASE WHEN n_pairs = 0 THEN 0.0
+               ELSE round(CAST(n_second_biased AS DOUBLE)
+                          / CAST(n_pairs AS DOUBLE), 6)
+             END AS second_bias_rate
+      FROM st ORDER BY source""",
 
     "qCE_krippendorff_alpha" -> """
       WITH raw AS (SELECT source, doc_id AS item,

@@ -602,6 +602,39 @@ class PreferenceSpec extends AnyFunSuite {
     assert(n1.getDouble(3) == -0.2, n1.toString)
   }
 
+  test("positionBias: swap classification, incompletes visible, domain") {
+    // (pair, order, winnerPos): p1 consistent (A wins both orders),
+    // p2 first-biased, p3 second-biased, p4 consistent (B both),
+    // p5 missing the swap, p6 double-judged in order 0
+    val df = Seq(
+      ("g", 1L, 0L, 1L), ("g", 1L, 1L, 2L),
+      ("g", 2L, 0L, 1L), ("g", 2L, 1L, 1L),
+      ("g", 3L, 0L, 2L), ("g", 3L, 1L, 2L),
+      ("g", 4L, 0L, 2L), ("g", 4L, 1L, 1L),
+      ("g", 5L, 0L, 1L),
+      ("g", 6L, 0L, 1L), ("g", 6L, 0L, 2L), ("g", 6L, 1L, 1L)
+    ).toDF("src", "pair", "ord", "win")
+    val r = graft.operators.Preference.positionBias(df, "src", "pair",
+      "ord", "win").head()
+    assert((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+      r.getLong(5)) == ((4L, 2L, 2L, 1L, 1L)), r.toString)
+    assert((r.getDouble(6), r.getDouble(7), r.getDouble(8)) ==
+      ((0.5, 0.25, 0.25)), r.toString)
+    // out-of-domain winner position / order refused loudly
+    val badW = intercept[Exception] {
+      graft.operators.Preference.positionBias(
+        Seq(("g", 1L, 0L, 3L)).toDF("src", "pair", "ord", "win"),
+        "src", "pair", "ord", "win").collect()
+    }
+    assert(badW.getMessage.contains("winner position"), badW.getMessage)
+    val badO = intercept[Exception] {
+      graft.operators.Preference.positionBias(
+        Seq(("g", 1L, 2L, 1L)).toDF("src", "pair", "ord", "win"),
+        "src", "pair", "ord", "win").collect()
+    }
+    assert(badO.getMessage.contains("order must be"), badO.getMessage)
+  }
+
   test("krippendorffAlpha: hand alpha, ragged m, singleton exclusion") {
     // items (a,a),(b,b),(a,b): D_o = (0+0+2)/6 = 1/3, marginals
     // a=3,b=3 -> D_e = (36-18)/30 = 0.6, alpha = 1 - (1/3)/0.6

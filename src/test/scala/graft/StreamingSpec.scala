@@ -892,6 +892,88 @@ class StreamingSpec extends AnyFunSuite {
     }
   }
 
+  test("StreamingPassAtK: streamed estimator rows equal batch") {
+    import graft.operators.Preference
+    import graft.streaming.StreamingPassAtK
+    import spark.implicits._
+    // the qC2 fixture from the real corpus; the final per-prompt rows
+    // must equal the batch estimator bit-for-bit — two-long integer
+    // state, the SAME left-assoc product fold (the
+    // StreamingLengthBias precedent)
+    val graded = Tables.load(spark, "/root/testdata/sf0.001", "documents")
+      .select(expr("doc_id div 4").as("prompt_id"),
+        (col("doc_id") % 3 === 0).as("passed"))
+      .localCheckpoint(true)
+    def row(r: org.apache.spark.sql.Row) =
+      (r.getLong(1), r.getLong(2), r.getDouble(3),
+        if (r.isNullAt(4)) None else Some(r.getDouble(4)), r.getInt(5))
+    val batch = Preference.passAtK(graded, "prompt_id", "passed", k = 3)
+      .collect().map(r => r.getLong(0).toString -> row(r)).toMap
+    val d = java.nio.file.Files.createTempDirectory(
+      new java.io.File("target").toPath.toAbsolutePath, "passatk").toString
+    graded.repartition(4).write.mode("overwrite").parquet(d)
+    val latest = new java.util.concurrent.ConcurrentHashMap[
+      String, (Long, Long, Double, Option[Double], Int)]()
+    val stream = spark.readStream.schema(graded.schema)
+      .option("maxFilesPerTrigger", 1).parquet(d)
+    val q = StreamingPassAtK.passAtK(stream, "prompt_id", "passed", k = 3)
+      .writeStream.outputMode("update")
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        b.collect().foreach(r => latest.put(r.getString(0), row(r)))
+      }.start()
+    try q.processAllAvailable() finally q.stop()
+    import scala.jdk.CollectionConverters._
+    val streamed = latest.asScala.toMap
+    assert(streamed.keySet == batch.keySet)
+    batch.foreach { case (k2, exp) =>
+      assert(streamed(k2) == exp, s"$k2: ${streamed(k2)} vs $exp")
+    }
+  }
+
+  test("StreamingJudgeAgreement: streamed kappa rows equal batch") {
+    import graft.operators.Preference
+    import graft.streaming.StreamingJudgeAgreement
+    import spark.implicits._
+    // the qC7 fixture from the real corpus; four-long contingency
+    // state, the same association order + GateRound sign
+    // normalization — bit-for-bit against batch
+    val judged = Tables.load(spark, "/root/testdata/sf0.001", "documents")
+      .select(col("source"), (col("doc_id") % 7 > 3).as("judge_a"),
+        (col("doc_id") % 5 > 2).as("judge_b"))
+      .localCheckpoint(true)
+    val batch = Preference.judgeAgreement(judged, "source", "judge_a",
+        "judge_b")
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3), r.getBoolean(4))))
+      .toMap
+    val d = java.nio.file.Files.createTempDirectory(
+      new java.io.File("target").toPath.toAbsolutePath, "judgeagr").toString
+    judged.repartition(4).write.mode("overwrite").parquet(d)
+    val latest = new java.util.concurrent.ConcurrentHashMap[
+      String, (Long, Long, Double, Boolean)]()
+    val stream = spark.readStream.schema(judged.schema)
+      .option("maxFilesPerTrigger", 1).parquet(d)
+    val q = StreamingJudgeAgreement.judgeAgreement(stream, "source",
+        "judge_a", "judge_b")
+      .writeStream.outputMode("update")
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        b.collect().foreach { r =>
+          latest.put(r.getString(0),
+            (r.getLong(1), r.getLong(2), r.getDouble(3), r.getBoolean(4)))
+        }
+      }.start()
+    try q.processAllAvailable() finally q.stop()
+    import scala.jdk.CollectionConverters._
+    val streamed = latest.asScala.toMap
+    assert(streamed.keySet == batch.keySet)
+    batch.foreach { case (src, exp) =>
+      assert(streamed(src) == exp, s"$src: ${streamed(src)} vs $exp")
+      // the +0.0 normalization carries to the sign bit
+      assert(java.lang.Double.doubleToRawLongBits(streamed(src)._3) ==
+        java.lang.Double.doubleToRawLongBits(exp._3))
+    }
+  }
+
   test("StreamingCalibrationBins: streamed reliability rows equal batch") {
     import graft.operators.Preference
     import graft.streaming.StreamingCalibrationBins
