@@ -451,6 +451,84 @@ object Preference {
   }
 
   /**
+   * Best-of-n scaling curve — the unbiased estimator of E[max score
+   * of a uniformly random j-subset] for every j up to `maxJ`
+   * (Nakano et al. 2021 WebGPT App. I use exactly this to plot BoN
+   * reward against sample count without re-sampling): the "how many
+   * samples does this prompt actually need" audit that prices a
+   * sampling budget before committing it. pass@k is this curve's
+   * boolean special case.
+   *
+   * Math: with scores sorted ascending s_(1)..s_(n),
+   * P(max of a random j-subset ≤ s_(i)) = C(i,j)/C(n,j)
+   * = Π_{t<j} (i−t)/(n−t), and summation by parts gives
+   * E_j = s_(n) + Σ_{i=j}^{n−1} F(i)·(s_(i) − s_(i+1)) — no
+   * binomials ever materialize (C(64,32) already overflows 2^53),
+   * only j-term products of SMALL-integer ratios.
+   *
+   * Float contract: scores must be integral (exact longs cast to
+   * double); every product/sum is a FIXED-ORDER fold shared with the
+   * oracle — the inner product starts at Spark's exact 1.0 identity
+   * ≡ DuckDB list_reduce's first-element start (1.0·x = x exactly,
+   * the qC2 precedent), the outer sum starts at 0.0 whose first add
+   * is exact (terms are ≤ 0; an s-tie term is +0.0 since x−x = +0.0
+   * in round-to-nearest) — so both engines produce bit-identical
+   * doubles. E_j is signed when scores are → gateRounded.
+   *
+   * Scale shape: ONE groupBy collecting each prompt's scores into a
+   * sorted array (fan-out-bounded — the plan-side `maxFanOut`
+   * raise_error guard), then a per-row j-explode and pure
+   * expression-level folds (O(n·j²) flops per prompt, no joins, no
+   * windows, nothing shuffles but (prompt, score) pairs).
+   *
+   * @return long form (promptCol, j 1..min(n, maxJ), n_resp,
+   *         e_best rounded 6) — monotone nondecreasing in j per
+   *         prompt by construction.
+   */
+  def bestOfNCurve(resp: DataFrame, promptCol: String, scoreCol: String,
+                   maxJ: Int = 16, maxFanOut: Int = 10000): DataFrame = {
+    require(maxJ > 0, s"maxJ must be positive, got $maxJ")
+    require(maxFanOut > 0, s"maxFanOut must be positive, got $maxFanOut")
+    require(org.apache.spark.sql.graftbridge.ColumnBridge
+        .isIntegral(resp.schema(scoreCol).dataType),
+      s"bestOfNCurve: $scoreCol must be integral (got " +
+        s"${resp.schema(scoreCol).dataType.simpleString}) — the exact " +
+        "order-statistic contract; quantize rewards upstream")
+    val byPrompt = resp
+      .filter(col(promptCol).isNotNull && col(scoreCol).isNotNull)
+      .groupBy(col(promptCol))
+      .agg(sort_array(collect_list(col(scoreCol).cast("long")))
+        .as("__ss"))
+      .select(col(promptCol), col("__ss"),
+        when(size(col("__ss")) <= maxFanOut,
+          size(col("__ss")).cast("int"))
+          .otherwise(raise_error(concat(
+            lit("bestOfNCurve: prompt "), col(promptCol).cast("string"),
+            lit(" has "), size(col("__ss")).cast("string"),
+            lit(s" responses (maxFanOut=$maxFanOut) - the per-prompt " +
+              "curve is O(n*j^2); sample upstream or raise maxFanOut " +
+              "explicitly")))).as("__n"))
+    val rows = byPrompt.select(col(promptCol), col("__ss"), col("__n"),
+      explode(sequence(lit(1), least(col("__n"), lit(maxJ)))).as("j"))
+    val n = col("__n")
+    def sD(i: org.apache.spark.sql.Column) =
+      element_at(col("__ss"), i).cast("double")
+    // F(i) = C(i, j)/C(n, j) as the j-term product of small ratios;
+    // the 1.0 identity start is exact (1.0·x = x)
+    def fCdf(i: org.apache.spark.sql.Column) =
+      aggregate(sequence(lit(0), col("j") - 1), lit(1.0),
+        (acc, t) => acc * ((i - t).cast("double") / (n - t).cast("double")))
+    // Spark sequence(a, b) DESCENDS when a > b — the j = n branch
+    // must short-circuit before the otherwise() sequence is built
+    val tail = aggregate(sequence(col("j"), n - 1), lit(0.0),
+      (acc, i) => acc + fCdf(i) * (sD(i) - sD(i + 1)))
+    rows.select(col(promptCol), col("j"), n.cast("long").as("n_resp"),
+      graft.functions.GateRound(
+        sD(n) + when(col("j") === n, lit(0.0)).otherwise(tail), 6)
+        .as("e_best"))
+  }
+
+  /**
    * Wilson-score confidence intervals over the [[winRateMatrix]]
    * rates (Wilson 1927; Brown–Cai–DasGupta 2001 recommend it over
    * the Wald interval at small n and extreme rates — exactly the
@@ -1122,6 +1200,50 @@ object Preference {
       when(col("n_total") === 0L, lit(0.0))
         .otherwise(round(col("__dev").cast("double") /
           (col("n_total") * 100L).cast("double"), 6)).as("ece"))
+  }
+
+  /**
+   * Maximum calibration error (Guo et al. 2017 eq. 5 — ECE's
+   * worst-case twin: a model can hide one badly-miscalibrated
+   * confidence region inside a small average): the largest per-bin
+   * |accuracy − confidence| gap, with the offending bin named.
+   *
+   * Exact contract: per-bin gaps compare as the integer-valued
+   * quantity |100·Σy_b − Σpct_b|·(scale-free per-bin): the
+   * comparison key is the RATIONAL gap |100·sy − sp|/(100·n_b) —
+   * computed as ONE IEEE division of exact integers (the telescoped
+   * [[expectedCalibrationError]] form — deterministic in both
+   * engines, unlike a difference of two divisions) — and the argmax
+   * tie-breaks to the LOWEST bin (total order, engine-independent);
+   * the published mce is the winning bin's gap (plain round —
+   * non-negative). Empty input → one row with n_total 0 and mce 0.0
+   * (the ECE empty contract).
+   *
+   * Scale shape: [[calBinStats]]'s single corpus aggregate, then one
+   * global max_by over ≤ bins rows.
+   *
+   * @return one row: (mce rounded 6, mce_bin, mce_n,
+   *         n_bins_nonempty, n_total)
+   */
+  def maxCalibrationError(resp: DataFrame, pctCol: String,
+                          outcomeCol: String,
+                          bins: Int = 10): DataFrame = {
+    val stats = calBinStats(resp, pctCol, outcomeCol, bins)
+    val gap = abs(lit(100L) * col("__sy") - col("__sp")).cast("double") /
+      (col("n") * 100L).cast("double")
+    stats
+      .select(col("bin"), col("n"), gap.as("__gap"))
+      .agg(
+        max_by(struct(col("__gap").as("g"), col("bin").as("b"),
+          col("n").as("n")),
+          struct(col("__gap").as("g"), (-col("bin")).as("nb"))).as("__w"),
+        count(lit(1)).as("n_bins_nonempty"),
+        coalesce(sum(col("n")), lit(0L)).as("n_total"))
+      .select(
+        coalesce(round(col("__w.g"), 6), lit(0.0)).as("mce"),
+        coalesce(col("__w.b"), lit(-1)).as("mce_bin"),
+        coalesce(col("__w.n"), lit(0L)).as("mce_n"),
+        col("n_bins_nonempty"), col("n_total"))
   }
 
   /**

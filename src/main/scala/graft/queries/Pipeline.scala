@@ -1718,6 +1718,30 @@ object Pipeline {
         .orderBy(col("source"))
     }),
 
+    // best-of-n scaling curve (Nakano et al. 2021 App. I): unbiased
+    // E[best-of-j] for j = 1..8 per prompt from sorted order
+    // statistics — binomial-free ratio products in fixed shared fold
+    // order; prices a sampling budget without re-sampling
+    "qCH_best_of_n_curve" -> ((s, dir) => {
+      graft.operators.Preference.bestOfNCurve(
+          T(s, dir)("documents").select(
+            expr("doc_id div 4").as("prompt_id"),
+            (col("doc_id") % 7).as("score")),
+          "prompt_id", "score", maxJ = 8)
+        .orderBy(col("prompt_id"), col("j"))
+    }),
+
+    // maximum calibration error (Guo et al. 2017 eq. 5 — ECE's
+    // worst-case twin): the argmax bin by the telescoped exact-integer
+    // gap, ties to the lowest bin — one global max_by over the bins
+    "qCG_calibration_mce" -> ((s, dir) => {
+      graft.operators.Preference.maxCalibrationError(
+          T(s, dir)("documents").select(
+            (col("doc_id") % 101).as("pct"),
+            (col("doc_id") % 3 === 0).as("correct")),
+          "pct", "correct", bins = 10)
+    }),
+
     // judge position-bias audit (Zheng et al. 2023): each pair judged
     // in both orders, classified consistent / first-biased /
     // second-biased by winner IDENTITY across the swap; doc_id%7==0
@@ -3876,6 +3900,58 @@ object Pipeline {
                     / CAST(g.n_pairs * 1000000000 AS DOUBLE), 6) + 0
              END AS mean_cos
       FROM nr LEFT JOIN g ON g.p = nr.p ORDER BY prompt_id""",
+
+    "qCH_best_of_n_curve" -> """
+      WITH r AS (SELECT doc_id // 4 AS p, doc_id % 7 AS s
+                 FROM documents),
+      a AS (SELECT p, list_sort(list(s)) AS ss,
+              CAST(COUNT(*) AS INT) AS n
+            FROM r GROUP BY 1),
+      jj AS (SELECT p, ss, n,
+               CAST(unnest(range(1, CAST(least(n, 8) AS BIGINT) + 1))
+                 AS INT) AS j
+             FROM a),
+      e AS (SELECT p, j, n,
+              CAST(ss[n] AS DOUBLE) +
+              CASE WHEN j = n THEN 0.0 ELSE
+                list_reduce(list_transform(
+                  range(CAST(j AS BIGINT), CAST(n AS BIGINT)), i ->
+                    list_reduce(list_transform(
+                      range(0, CAST(j AS BIGINT)), t ->
+                        CAST(i - t AS DOUBLE) / CAST(n - t AS DOUBLE)),
+                      (x, y) -> x * y)
+                    * (CAST(ss[i] AS DOUBLE) - CAST(ss[i + 1] AS DOUBLE))),
+                  (x, y) -> x + y)
+              END AS eb
+            FROM jj)
+      SELECT p AS prompt_id, j, CAST(n AS BIGINT) AS n_resp,
+             round(eb, 6) + 0 AS e_best
+      FROM e ORDER BY prompt_id, j""",
+
+    "qCG_calibration_mce" -> """
+      WITH r AS (SELECT doc_id % 101 AS pct, doc_id % 3 = 0 AS y
+                 FROM documents),
+      s AS (SELECT CAST(least(floor(pct * 10 / 100), 9) AS INT) AS bin,
+              CAST(COUNT(*) AS BIGINT) AS n,
+              CAST(SUM(CASE WHEN y THEN 1 ELSE 0 END) AS BIGINT) AS sy,
+              CAST(SUM(pct) AS BIGINT) AS sp
+            FROM r GROUP BY 1),
+      g AS (SELECT bin, n,
+              CAST(abs(100 * sy - sp) AS DOUBLE)
+                / CAST(n * 100 AS DOUBLE) AS gap
+            FROM s),
+      w AS (SELECT bin, n, gap,
+              row_number() OVER (ORDER BY gap DESC, bin ASC) AS rn
+            FROM g),
+      t AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_bins_nonempty,
+              COALESCE(CAST(SUM(n) AS BIGINT), 0) AS n_total
+            FROM g)
+      SELECT COALESCE(round((SELECT gap FROM w WHERE rn = 1), 6), 0.0)
+               AS mce,
+             COALESCE((SELECT bin FROM w WHERE rn = 1), -1) AS mce_bin,
+             COALESCE((SELECT n FROM w WHERE rn = 1), 0) AS mce_n,
+             t.n_bins_nonempty, t.n_total
+      FROM t""",
 
     "qCF_position_bias" -> """
       WITH raw AS (SELECT source, doc_id AS pair, unnest([

@@ -377,6 +377,49 @@ class PreferenceSpec extends AnyFunSuite {
     assert(frac.getMessage.contains("integral"), frac.getMessage)
   }
 
+  test("bestOfNCurve: hand curve, monotonicity, signed scores, guards") {
+    // scores (1,2,3): E[best@1] = 2 (the mean), E[best@2] =
+    // (2+3+3)/3 = 8/3, E[best@3] = 3
+    val df = Seq((1L, 1L), (1L, 2L), (1L, 3L)).toDF("prompt_id", "score")
+    val out = graft.operators.Preference.bestOfNCurve(df, "prompt_id",
+        "score")
+      .collect().map(r => r.getInt(1) -> r.getDouble(3)).toMap
+    assert(out == Map(1 -> 2.0, 2 -> 2.666667, 3 -> 3.0), out.toString)
+    // all-negative scores ride the signed contract (gateRound); a
+    // constant set is flat at the constant
+    val neg = Seq((1L, -5L), (1L, -2L), (2L, 0L), (2L, 0L))
+      .toDF("prompt_id", "score")
+    val nout = graft.operators.Preference.bestOfNCurve(neg, "prompt_id",
+        "score")
+      .collect().map(r => (r.getLong(0), r.getInt(1)) -> r.getDouble(3))
+      .toMap
+    assert(nout((1L, 1)) == -3.5 && nout((1L, 2)) == -2.0, nout.toString)
+    assert(nout((2L, 1)) == 0.0 && nout((2L, 2)) == 0.0)
+    assert(java.lang.Double.doubleToRawLongBits(nout((2L, 1))) == 0L)
+    // monotone nondecreasing in j on a bigger set, and j caps at maxJ
+    val big = (1 to 12).map(i => (9L, (i * 7 % 5).toLong))
+      .toDF("prompt_id", "score")
+    val curve = graft.operators.Preference.bestOfNCurve(big, "prompt_id",
+        "score", maxJ = 6)
+      .orderBy(col("j")).collect().map(_.getDouble(3))
+    assert(curve.length == 6)
+    curve.sliding(2).foreach { case Array(a, b) =>
+      assert(a <= b, s"curve not monotone: ${curve.toSeq}")
+    }
+    // guards: fractional scores and pathological fan-out refused
+    val frac = intercept[IllegalArgumentException] {
+      graft.operators.Preference.bestOfNCurve(
+        df.withColumn("score", col("score").cast("double")),
+        "prompt_id", "score")
+    }
+    assert(frac.getMessage.contains("integral"), frac.getMessage)
+    val melt = intercept[Exception] {
+      graft.operators.Preference.bestOfNCurve(big, "prompt_id", "score",
+        maxFanOut = 5).collect()
+    }
+    assert(melt.getMessage.contains("maxFanOut"), melt.getMessage)
+  }
+
   test("winRateConfidence: Wilson bounds by hand, zero-rate lower edge") {
     // the winRateMatrix fixture; Wilson at z=1.96 over the half-unit
     // exact integers. m2-m3 is a 0-for-1 rate — the lower bound is
@@ -739,6 +782,27 @@ class PreferenceSpec extends AnyFunSuite {
       .collect()
     assert(empty.length == 10 &&
       empty.forall(r => r.getLong(6) == 0L && r.getDouble(7) == 0.0))
+  }
+
+  test("maxCalibrationError: argmax bin, tie to lowest, empty contract") {
+    // the calibrationBins fixture: gaps 0.43 (bin 0), 0.5 (bin 5),
+    // 0.025 (bin 9) -> MCE 0.5 at bin 5
+    val df = Seq((5L, true), (9L, false), (100L, true), (95L, true),
+      (50L, true)).toDF("pct", "correct")
+    val r = graft.operators.Preference.maxCalibrationError(df, "pct",
+      "correct").head()
+    assert((r.getDouble(0), r.getInt(1), r.getLong(2), r.getLong(3),
+      r.getLong(4)) == ((0.5, 5, 1L, 3L, 5L)), r.toString)
+    // a gap tie (both bins at exactly 1.0) resolves to the LOWEST bin
+    val tie = Seq((0L, true), (100L, false)).toDF("pct", "correct")
+    val t = graft.operators.Preference.maxCalibrationError(tie, "pct",
+      "correct").head()
+    assert(t.getDouble(0) == 1.0 && t.getInt(1) == 0, t.toString)
+    // empty input: mce 0.0, bin -1, zero counts — never a null row
+    val e = graft.operators.Preference.maxCalibrationError(
+      df.filter(col("pct") < 0L), "pct", "correct").head()
+    assert((e.getDouble(0), e.getInt(1), e.getLong(3), e.getLong(4)) ==
+      ((0.0, -1, 0L, 0L)), e.toString)
   }
 
   test("lengthBias: exact sums, only kept pairs count") {
