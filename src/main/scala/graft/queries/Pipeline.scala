@@ -1718,6 +1718,22 @@ object Pipeline {
         .orderBy(col("source"))
     }),
 
+    // retrieval-eval metrics (Jarvelin & Kekalainen 2002): per-query
+    // recall@5 / MRR / nDCG@5 over a ranked run vs graded qrels —
+    // per-term 1e-9-quantized DCG so the sums are order-free longs;
+    // judged-but-unretrieved and unjudged queries stay visible
+    "qCI_ranking_metrics" -> ((s, dir) => {
+      val docs = T(s, dir)("documents")
+      graft.operators.Retrieval.rankingMetrics(
+          docs.select(expr("doc_id div 10").as("query_id"),
+            col("doc_id").as("doc"), (col("doc_id") % 10 + 1).as("rank")),
+          docs.filter(col("doc_id") % 3 === 0)
+            .select(expr("doc_id div 10").as("query_id"),
+              col("doc_id").as("doc"), (col("doc_id") % 4).as("gain")),
+          "query_id", "doc", "rank", "gain", k = 5)
+        .orderBy(col("query_id"))
+    }),
+
     // best-of-n scaling curve (Nakano et al. 2021 App. I): unbiased
     // E[best-of-j] for j = 1..8 per prompt from sorted order
     // statistics — binomial-free ratio products in fixed shared fold
@@ -3900,6 +3916,79 @@ object Pipeline {
                     / CAST(g.n_pairs * 1000000000 AS DOUBLE), 6) + 0
              END AS mean_cos
       FROM nr LEFT JOIN g ON g.p = nr.p ORDER BY prompt_id""",
+
+    "qCI_ranking_metrics" -> """
+      WITH run AS (SELECT doc_id // 10 AS q, doc_id AS d,
+                     doc_id % 10 + 1 AS r FROM documents),
+      topk AS (SELECT * FROM run WHERE r <= 5),
+      qr AS (SELECT doc_id // 10 AS q, doc_id AS d, doc_id % 4 AS g
+             FROM documents WHERE doc_id % 3 = 0),
+      rs AS (SELECT t.q, CAST(COUNT(*) AS BIGINT) AS n_retrieved,
+               CAST(SUM(CASE WHEN COALESCE(qr.g, 0) > 0 THEN 1 ELSE 0
+                 END) AS BIGINT) AS n_rel_at_k,
+               MIN(CASE WHEN COALESCE(qr.g, 0) > 0 THEN t.r END)
+                 AS first_rel,
+               CAST(SUM(CASE WHEN COALESCE(qr.g, 0) > 0
+                 THEN CAST(floor(CAST(qr.g AS DOUBLE)
+                   / log2(CAST(t.r + 1 AS DOUBLE)) * 1000000000 + 0.5)
+                   AS BIGINT)
+                 ELSE 0 END) AS BIGINT) AS dcg_fp,
+               list_sort(list(t.r) FILTER (WHERE COALESCE(qr.g, 0) > 0))
+                 AS rel_ranks
+             FROM topk t LEFT JOIN qr ON qr.q = t.q AND qr.d = t.d
+             GROUP BY 1),
+      ra AS (SELECT q, n_retrieved, n_rel_at_k, first_rel, dcg_fp,
+               CAST(COALESCE(list_sum(list_transform(
+                 range(1, CAST(len(rel_ranks) AS BIGINT) + 1),
+                 j -> CAST(floor(CAST(j AS DOUBLE)
+                   / CAST(rel_ranks[j] AS DOUBLE) * 1000000000 + 0.5)
+                   AS BIGINT))), 0) AS BIGINT) AS ap_fp
+             FROM rs),
+      gs AS (SELECT q, CAST(COUNT(*) AS BIGINT) AS n_judged,
+               CAST(SUM(CASE WHEN g > 0 THEN 1 ELSE 0 END) AS BIGINT)
+                 AS gold_pos,
+               list_sort(list(g), 'DESC') AS gl
+             FROM qr GROUP BY 1),
+      gi AS (SELECT q, n_judged, gold_pos,
+               CAST(COALESCE(list_sum(list_transform(
+                 range(1, CAST(least(len(gl), 5) AS BIGINT) + 1),
+                 i -> CASE WHEN gl[i] > 0
+                   THEN CAST(floor(CAST(gl[i] AS DOUBLE)
+                     / log2(CAST(i + 1 AS DOUBLE)) * 1000000000 + 0.5)
+                     AS BIGINT)
+                   ELSE 0 END)), 0) AS BIGINT) AS idcg_fp
+             FROM gs),
+      j AS (SELECT COALESCE(gi.q, rs.q) AS q,
+              COALESCE(n_judged, 0) AS n_judged,
+              COALESCE(n_retrieved, 0) AS n_retrieved,
+              COALESCE(n_rel_at_k, 0) AS n_rel_at_k, first_rel,
+              COALESCE(dcg_fp, 0) AS dcg_fp,
+              COALESCE(ap_fp, 0) AS ap_fp,
+              COALESCE(idcg_fp, 0) AS idcg_fp,
+              COALESCE(gold_pos, 0) AS gold_pos
+            FROM gi FULL OUTER JOIN ra rs ON rs.q = gi.q)
+      SELECT q AS query_id, n_judged, n_retrieved, n_rel_at_k,
+             CASE WHEN gold_pos > 0
+               THEN round(CAST(n_rel_at_k AS DOUBLE)
+                          / CAST(gold_pos AS DOUBLE), 6)
+               ELSE 0.0 END AS recall_at_k,
+             CASE WHEN first_rel IS NOT NULL
+               THEN round(1.0 / CAST(first_rel AS DOUBLE), 6)
+               ELSE 0.0 END AS rr,
+             round(CAST(dcg_fp AS DOUBLE) / 1000000000.0, 6) AS dcg_at_k,
+             round(CAST(idcg_fp AS DOUBLE) / 1000000000.0, 6)
+               AS idcg_at_k,
+             CASE WHEN gold_pos > 0 AND idcg_fp > 0
+               THEN round(CAST(dcg_fp AS DOUBLE)
+                          / CAST(idcg_fp AS DOUBLE), 6)
+               ELSE 0.0 END AS ndcg_at_k,
+             CASE WHEN gold_pos > 0
+               THEN round(CAST(ap_fp AS DOUBLE)
+                          / CAST(gold_pos * 1000000000 AS DOUBLE), 6)
+               ELSE 0.0 END AS ap_at_k,
+             (gold_pos > 0 AND idcg_fp > 0) AS defined,
+             CAST(5 AS INT) AS k
+      FROM j ORDER BY query_id""",
 
     "qCH_best_of_n_curve" -> """
       WITH r AS (SELECT doc_id // 4 AS p, doc_id % 7 AS s
