@@ -66,6 +66,110 @@ object Pca {
     Model(mean, values.take(k), vectors.take(k))
   }
 
+  /**
+   * Exact fixed-point top principal direction (power iteration on the
+   * uncentered Gram matrix) — the [[fit]]/[[jacobiEigen]] float path
+   * is rows-only under a byte-hash oracle (eigen iterations in
+   * doubles flip on nothing); THIS path makes the dominant direction
+   * FULLY hash-oracle-able, the qBS-PageRank/qCA-Bradley–Terry
+   * precedent crossed onto spectra: every quantity in the loop is an
+   * exact integer, so k iterations are bit-identical in any
+   * execution order and the oracle replays them as k chained
+   * HUGEINT CTEs.
+   *
+   * Contract: coordinates quantize ONCE to 1e-6 longs (null/NaN/
+   * |x| ≥ 10 refused — the qCC guard); the Gram G_ij = Σ_d q_di·q_dj
+   * is an exact long sum (bound: n·(10⁶·max|x|)² < 9.2e18 — ~9e6
+   * unit-scale vectors; this is a FIT on an embedding sample, like
+   * [[fit]]); each iteration is w = G·v in BigInt, then v =
+   * (w·S) / max|w| with TRUNCATING division (Scala BigInt `/` ≡
+   * DuckDB `//` — probed, both truncate toward zero); the final
+   * sign is canonicalized so the largest-|v| component (ties → the
+   * lowest index) is non-negative; the Rayleigh quotient
+   * λ = vᵀGv/vᵀv divides two exact BigInts cast to double
+   * (round-to-nearest-even in both engines — probed).
+   *
+   * Scale shape: ONE distributed pass builds G — per-row dim²
+   * products partial-aggregated map-side to ≤ dim² rows per task
+   * (the gram shape; dim capped loudly) — then the dim²-long matrix
+   * collects (metadata) and the driver iterates BigInt. Uniform
+   * dimension is enforced (a ragged corpus would silently skew G).
+   *
+   * @return one row per dimension: (dim_idx 0-based, v_fp exact
+   *         1e-6 fixed-point, v rounded 6 — signed, gateRounded,
+   *         lambda rounded 6 — repeated, n_vectors, iters)
+   */
+  def powerIteration(emb: DataFrame, vecCol: String, iters: Int = 20,
+                     maxDim: Int = 128): DataFrame = {
+    require(iters > 0 && iters <= 1000,
+      s"iters must be in [1, 1000], got $iters")
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val qx = (x: org.apache.spark.sql.Column) =>
+      when(abs(x) < lit(10.0),
+        floor(x.cast("double") * lit(1e6) + lit(0.5)))
+        .otherwise(raise_error(concat(
+          lit("powerIteration: coordinate is null, NaN, or >= 10 in " +
+            "magnitude - breaks the 1e-6 fixed-point gram contract: "),
+          coalesce(x.cast("string"), lit("null")))))
+    val base = emb.filter(col(vecCol).isNotNull)
+      .select(transform(col(vecCol), qx).as("__qv"))
+    val dims = base.select(size(col("__qv")).as("d")).distinct()
+      .collect().map(_.getInt(0))
+    if (dims.isEmpty) {
+      return Seq.empty[(Int, Long, Double, Double, Long, Int)]
+        .toDF("dim_idx", "v_fp", "v", "lambda", "n_vectors", "iters")
+    }
+    require(dims.length == 1,
+      s"powerIteration: mixed dimensions ${dims.sorted.mkString(",")} — " +
+        "a ragged corpus would silently skew the gram matrix")
+    val d = dims.head
+    require(d >= 1 && d <= maxDim,
+      s"powerIteration: dim $d outside [1, $maxDim] — the gram pass " +
+        "explodes dim^2 per row; project first (JL/PCA) or raise maxDim")
+    val nVec = base.count()
+    val gRows = base
+      .select(posexplode(col("__qv")).as(Seq("i", "a")), col("__qv"))
+      .select(col("i"), col("a"),
+        posexplode(col("__qv")).as(Seq("j", "b")))
+      .groupBy(col("i"), col("j"))
+      .agg(sum(col("a") * col("b")).as("g"))
+      .collect()
+    val g = Array.ofDim[BigInt](d, d)
+    gRows.foreach(r => g(r.getInt(0))(r.getInt(1)) = BigInt(r.getLong(2)))
+    val S = BigInt(1000000)
+    var v = Array.fill(d)(S)
+    var degenerate = false
+    (1 to iters).foreach { _ =>
+      if (!degenerate) {
+        val w = Array.tabulate(d)(i =>
+          (0 until d).foldLeft(BigInt(0))((acc, j) => acc + g(i)(j) * v(j)))
+        val m = w.map(_.abs).max
+        if (m == 0) degenerate = true // all-zero gram row space
+        else v = w.map(wi => (wi * S) / m) // truncating, == DuckDB //
+      }
+    }
+    if (degenerate) v = Array.fill(d)(BigInt(0))
+    // canonical sign: the largest-|v| component (ties -> lowest index)
+    // must be non-negative
+    val lead = v.zipWithIndex.maxBy { case (x, i) => (x.abs, BigInt(-i)) }._1
+    if (lead < 0) v = v.map(-_)
+    val num = (0 until d).foldLeft(BigInt(0))((acc, i) =>
+      acc + (0 until d).foldLeft(BigInt(0))((a2, j) =>
+        a2 + v(i) * g(i)(j) * v(j)))
+    val den = v.foldLeft(BigInt(0))((acc, x) => acc + x * x)
+    val lambda =
+      if (den == 0) 0.0
+      else BigDecimal(num.toDouble / den.toDouble)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    (0 until d).map(i => (i, v(i).toLong, lambda, nVec, iters))
+      .toDF("dim_idx", "v_fp", "lambda", "n_vectors", "iters")
+      .select(col("dim_idx"), col("v_fp"),
+        graft.functions.GateRound(
+          col("v_fp").cast("double") / lit(1000000.0), 6).as("v"),
+        col("lambda"), col("n_vectors"), col("iters"))
+  }
+
   /** Project (and optionally whiten) onto the model's components:
     * per-row map over one broadcast row, zero shuffle. Output
     * (idCol, pc) where pc is the length-k score array, each entry

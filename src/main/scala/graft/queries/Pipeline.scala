@@ -1718,6 +1718,18 @@ object Pipeline {
         .orderBy(col("source"))
     }),
 
+    // exact fixed-point top principal direction (power iteration on
+    // the quantized gram matrix): the qBS/qCA integer-iteration
+    // precedent crossed onto spectra — eigen iterations were the
+    // canonical rows-only excuse (qBO); this path is FULL-oracled as
+    // 20 chained HUGEINT CTEs
+    "qCJ_power_iteration" -> ((s, dir) => {
+      graft.operators.Pca.powerIteration(
+          T(s, dir)("embeddings").select(col("embedding")),
+          "embedding", iters = 20)
+        .orderBy(col("dim_idx"))
+    }),
+
     // retrieval-eval metrics (Jarvelin & Kekalainen 2002): per-query
     // recall@5 / MRR / nDCG@5 over a ranked run vs graded qrels —
     // per-term 1e-9-quantized DCG so the sums are order-free longs;
@@ -2030,6 +2042,55 @@ object Pipeline {
              CAST(it$iters.p AS BIGINT) AS rating_fp,
              round(CAST(it$iters.p AS DOUBLE) / 1000000.0, 6) AS rating
       FROM pl JOIN it$iters USING (pl) ORDER BY player"""
+  }
+
+  /** The qCJ oracle: fixed-point power iteration in HUGEINT —
+    * `iters` chained CTEs over the 1e-6-quantized gram matrix,
+    * mirroring [[graft.operators.Pca.powerIteration]] verbatim
+    * (TRUNCATING `//` ≡ BigInt `/`, probed; sign canonicalized at
+    * the largest-|v| component, ties to the lowest index; Rayleigh
+    * quotient as one HUGEINT→DOUBLE division). Fixture-specific:
+    * dim 64 hardcoded. */
+  private def powerIterOracleSql(iters: Int): String = {
+    val steps = (1 to iters).map { k =>
+      val prev = s"it${k - 1}"
+      s"""w$k AS MATERIALIZED (SELECT g.i,
+             CAST(SUM(g.gij * p.p) AS HUGEINT) AS w
+           FROM g JOIN $prev p ON p.i = g.j GROUP BY 1),
+      m$k AS MATERIALIZED (SELECT MAX(ABS(w)) AS m FROM w$k),
+      it$k AS MATERIALIZED (SELECT w$k.i,
+             CASE WHEN m$k.m = 0 THEN CAST(0 AS HUGEINT)
+                  ELSE (w$k.w * 1000000) // m$k.m END AS p
+           FROM w$k CROSS JOIN m$k)"""
+    }.mkString(",\n      ")
+    s"""
+      WITH e2 AS MATERIALIZED (SELECT list_transform(
+               CAST(embedding AS DOUBLE[]),
+               x -> CAST(floor(x * 1000000 + 0.5) AS BIGINT)) AS qv
+             FROM embeddings WHERE embedding IS NOT NULL),
+      g AS MATERIALIZED (SELECT t1.range AS i, t2.range AS j,
+             CAST(SUM(qv[CAST(t1.range AS INT) + 1]
+                    * qv[CAST(t2.range AS INT) + 1]) AS HUGEINT) AS gij
+           FROM e2, range(0, 64) t1, range(0, 64) t2 GROUP BY 1, 2),
+      it0 AS MATERIALIZED (SELECT range AS i,
+             CAST(1000000 AS HUGEINT) AS p FROM range(0, 64)),
+      $steps,
+      pick AS (SELECT p FROM it$iters ORDER BY ABS(p) DESC, i ASC
+               LIMIT 1),
+      fin AS MATERIALIZED (SELECT i,
+             CASE WHEN (SELECT p FROM pick) < 0 THEN -p ELSE p END AS p
+           FROM it$iters),
+      nv AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM e2),
+      ray AS (SELECT CAST(SUM(f1.p * g.gij * f2.p) AS HUGEINT) AS num,
+               (SELECT CAST(SUM(p * p) AS HUGEINT) FROM fin) AS den
+             FROM g JOIN fin f1 ON f1.i = g.i JOIN fin f2 ON f2.i = g.j)
+      SELECT CAST(fin.i AS INT) AS dim_idx, CAST(fin.p AS BIGINT) AS v_fp,
+             round(CAST(fin.p AS DOUBLE) / 1000000.0, 6) + 0 AS v,
+             CASE WHEN ray.den = 0 THEN 0.0
+                  ELSE round(CAST(ray.num AS DOUBLE)
+                             / CAST(ray.den AS DOUBLE), 6) END AS lambda,
+             nv.n AS n_vectors, CAST($iters AS INT) AS iters
+      FROM fin CROSS JOIN ray CROSS JOIN nv ORDER BY dim_idx"""
   }
 
   private val INCTX_PIECES = """
@@ -3857,6 +3918,8 @@ object Pipeline {
       GROUP BY 1, 2 ORDER BY player_a, player_b""",
 
     "qCA_bradley_terry" -> btOracleSql(10),
+
+    "qCJ_power_iteration" -> powerIterOracleSql(20),
 
     "qCD_winrate_wilson" -> """
       WITH r AS (SELECT doc_id // 4 AS p, source AS pl, doc_id % 7 AS s

@@ -124,4 +124,53 @@ class PcaSpec extends AnyFunSuite {
     }
     assert(e.getMessage.contains(">= 2 usable vectors"))
   }
+
+  test("powerIteration recovers a planted dominant direction exactly " +
+      "enough, canonical sign, guards") {
+    import spark.implicits._
+    // corpus dominated by multiples of (0.6, 0.8) with small
+    // orthogonal noise — the gram's top eigenvector is ±(0.6, 0.8);
+    // the canonical sign makes the largest-|v| component positive
+    val planted = Seq(
+      Seq(0.6f, 0.8f), Seq(1.2f, 1.6f), Seq(-0.6f, -0.8f),
+      Seq(0.61f, 0.79f), Seq(0.08f, -0.06f)
+    ).map(Tuple1(_)).toDF("emb")
+    val out = Pca.powerIteration(planted, "emb")
+      .collect().map(r => r.getInt(0) ->
+        ((r.getLong(1), r.getDouble(2), r.getDouble(3)))).toMap
+    val (v0, v1) = (out(0)._2, out(1)._2)
+    // direction ~ (0.6, 0.8) normalized to max-component 1: (0.75, 1)
+    assert(math.abs(v1 - 1.0) < 1e-6 && math.abs(v0 - 0.75) < 0.02,
+      out.toString)
+    assert(v1 > 0, "canonical sign: the leading component is positive")
+    // lambda is the Rayleigh quotient of the gram — positive, and at
+    // least the dominant mass (sum of squared norms along the
+    // direction ~ 0.36+1.44*4... sanity: > 4)
+    assert(out(0)._3 == out(1)._3 && out(0)._3 > 4.0, out.toString)
+    // a sign-flipped corpus yields the SAME canonical vector
+    val flipped = planted.select(transform(col("emb"),
+      x => -x).as("emb"))
+    val f = Pca.powerIteration(flipped, "emb")
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(f(0) == out(0)._1 && f(1) == out(1)._1, f.toString)
+    // all-zero corpus: defined-free zeros, never NaN or a crash
+    val zero = Seq(Seq(0f, 0f), Seq(0f, 0f)).map(Tuple1(_)).toDF("emb")
+    val z = Pca.powerIteration(zero, "emb").collect()
+    assert(z.forall(r => r.getLong(1) == 0L && r.getDouble(3) == 0.0))
+    // ragged dimensions and oversize dims are refused loudly
+    val ragged = Seq(Seq(1f, 0f), Seq(1f, 0f, 0f)).map(Tuple1(_))
+      .toDF("emb")
+    val e1 = intercept[IllegalArgumentException] {
+      Pca.powerIteration(ragged, "emb")
+    }
+    assert(e1.getMessage.contains("mixed dimensions"), e1.getMessage)
+    val e2 = intercept[IllegalArgumentException] {
+      Pca.powerIteration(planted, "emb", maxDim = 1)
+    }
+    assert(e2.getMessage.contains("dim"), e2.getMessage)
+    // wild coordinates break the fixed-point contract loudly
+    val wild = Seq(Seq(11f, 0f), Seq(1f, 0f)).map(Tuple1(_)).toDF("emb")
+    val e3 = intercept[Exception] { Pca.powerIteration(wild, "emb") }
+    assert(e3.getMessage.contains("fixed-point"), e3.getMessage)
+  }
 }

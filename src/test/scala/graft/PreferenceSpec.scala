@@ -420,6 +420,29 @@ class PreferenceSpec extends AnyFunSuite {
     assert(melt.getMessage.contains("maxFanOut"), melt.getMessage)
   }
 
+  test("bestOfNCurve equals brute-force subset enumeration (n <= 6)") {
+    // ground truth: enumerate ALL C(n, j) subsets and average their
+    // maxima — the estimator must match to the 6-decimal round on
+    // every (multiset, j), including ties and negatives
+    val cases = Seq(
+      Seq(1L, 2L, 3L, 4L), Seq(5L, 5L, 5L), Seq(-3L, 0L, 2L, 2L, 7L),
+      Seq(0L, 1L), Seq(4L, 1L, 3L, 3L, 2L, 6L), Seq(-1L, -9L))
+    cases.zipWithIndex.foreach { case (scores, p) =>
+      val df = scores.map(s => (p.toLong, s)).toDF("prompt_id", "score")
+      val got = graft.operators.Preference.bestOfNCurve(df, "prompt_id",
+          "score", maxJ = scores.size)
+        .collect().map(r => r.getInt(1) -> r.getDouble(3)).toMap
+      (1 to scores.size).foreach { j =>
+        val exact = scores.indices.combinations(j)
+          .map(c => c.map(scores).max.toDouble).toSeq
+        val want = BigDecimal(exact.sum / exact.size)
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+        assert(math.abs(got(j) - want) < 2e-6,
+          s"case $p scores=$scores j=$j: got ${got(j)}, brute $want")
+      }
+    }
+  }
+
   test("winRateConfidence: Wilson bounds by hand, zero-rate lower edge") {
     // the winRateMatrix fixture; Wilson at z=1.96 over the half-unit
     // exact integers. m2-m3 is a 0-for-1 rate — the lower bound is
