@@ -1281,4 +1281,216 @@ object Preference {
         round(coalesce(col("__w.c"), lit(0L)).cast("double") /
           col("n_resp").cast("double"), 6).as("vote_frac"))
   }
+
+  /**
+   * Kendall's tau-b rank correlation per group (Kendall 1938; the
+   * tau-b tie correction per Agresti 2010 §2.1) — the RANK-based
+   * twin of [[scoreCorrelation]]: Pearson r on raw scores is blown
+   * around by outlier magnitudes (one 10^6-token response dominates
+   * the moments), while tau asks only "do the two judges ORDER the
+   * responses the same way" — the judge-ensemble consistency audit
+   * at the pair level. Scores must be integral (quantize upstream):
+   * every pair then classifies EXACTLY as concordant / discordant /
+   * tied-in-x / tied-in-y / tied-in-both with integer counts, and
+   * tau_b = (C − D) / (√(n₀−n₁)·√(n₀−n₂)) is per-group float
+   * arithmetic over exact longs in ONE association order mirrored in
+   * the oracle (n₁ = pairs tied in x = tx + txy, n₂ likewise),
+   * [[graft.functions.GateRound]]ed (tau is signed). Groups where
+   * either ranking is constant (n₀ = n₁ or n₀ = n₂) emit tau = 0
+   * with defined = false, never NaN; single-item groups stay visible
+   * through the items-side frame (the qCI visibility convention).
+   *
+   * Scale shape: the self-join is per-group — candidate volume is
+   * Σ_g (|g| choose 2), bounded by `maxGroup` ENFORCED in the plan
+   * (the [[winRateMatrix]] raise_error economics: building the
+   * DataFrame runs no Spark job, and a hot group refuses loudly
+   * mid-job instead of quadratically melting one task). One shuffle
+   * on the group key for the join, one partial/final aggregate to
+   * |groups| rows. n₀ < maxGroup²/2 keeps every count far below
+   * 2^53.
+   *
+   * @param idCol distinct per observation WITHIN a group (integral) —
+   *        orders the pair space so each unordered pair counts once.
+   * @return (byCol, n_items, n_pairs, concordant, discordant,
+   *         n_tied_x, n_tied_y, n_tied_xy, tau_b rounded 6, defined)
+   */
+  def kendallTau(resp: DataFrame, byCol: String, idCol: String,
+                 xCol: String, yCol: String,
+                 maxGroup: Int = 10000): DataFrame = {
+    require(maxGroup > 0, s"maxGroup must be positive, got $maxGroup")
+    Seq(idCol, xCol, yCol).foreach { c =>
+      require(org.apache.spark.sql.graftbridge.ColumnBridge
+          .isIntegral(resp.schema(c).dataType),
+        s"kendallTau: $c must be integral (got " +
+          s"${resp.schema(c).dataType.simpleString}) — pair " +
+          "classification needs exact comparisons")
+    }
+    val clean = resp.filter(col(byCol).isNotNull && col(idCol).isNotNull &&
+        col(xCol).isNotNull && col(yCol).isNotNull)
+      .select(col(byCol).as("__g"), col(idCol).cast("long").as("__i"),
+        col(xCol).cast("long").as("__x"), col(yCol).cast("long").as("__y"))
+    val items = clean.groupBy(col("__g")).agg(count(lit(1)).as("n_items"))
+    // the fan-out guard lives IN the plan (the winRateMatrix
+    // pattern): a per-group count joins the a-side and raises mid-job
+    // on a group that would quadratically melt its join task
+    val a = clean.join(items, Seq("__g"))
+      .select(col("__g"), col("__i").as("__ia"),
+        when(col("n_items") <= maxGroup, col("__x"))
+          .otherwise(raise_error(concat(
+            lit("kendallTau: group "), col("__g").cast("string"),
+            lit(" has "), col("n_items").cast("string"),
+            lit(" items -> quadratic pair melt in one task " +
+              s"(maxGroup=$maxGroup). Aggregate or sample the group " +
+              "first, or raise maxGroup explicitly.")))).as("__xa"),
+        col("__y").as("__ya"))
+    val b = clean.select(col("__g"), col("__i").as("__ib"),
+      col("__x").as("__xb"), col("__y").as("__yb"))
+    val stats = a.join(b, Seq("__g")).filter(col("__ia") < col("__ib"))
+      .groupBy(col("__g"))
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(when((col("__xa") < col("__xb") && col("__ya") < col("__yb")) ||
+            (col("__xa") > col("__xb") && col("__ya") > col("__yb")), 1L)
+          .otherwise(0L)).as("concordant"),
+        sum(when((col("__xa") < col("__xb") && col("__ya") > col("__yb")) ||
+            (col("__xa") > col("__xb") && col("__ya") < col("__yb")), 1L)
+          .otherwise(0L)).as("discordant"),
+        sum(when(col("__xa") === col("__xb") && col("__ya") =!= col("__yb"),
+          1L).otherwise(0L)).as("n_tied_x"),
+        sum(when(col("__ya") === col("__yb") && col("__xa") =!= col("__xb"),
+          1L).otherwise(0L)).as("n_tied_y"),
+        sum(when(col("__xa") === col("__xb") && col("__ya") === col("__yb"),
+          1L).otherwise(0L)).as("n_tied_xy"))
+    val joined = items.join(stats, Seq("__g"), "left")
+    def z(c: String) = coalesce(col(c), lit(0L))
+    val n0 = z("n_pairs")
+    val n1 = z("n_tied_x") + z("n_tied_xy")
+    val n2 = z("n_tied_y") + z("n_tied_xy")
+    val defined = n0 > n1 && n0 > n2
+    joined.select(col("__g").as(byCol), col("n_items"),
+      n0.as("n_pairs"), z("concordant").as("concordant"),
+      z("discordant").as("discordant"), z("n_tied_x").as("n_tied_x"),
+      z("n_tied_y").as("n_tied_y"), z("n_tied_xy").as("n_tied_xy"),
+      when(defined, graft.functions.GateRound(
+        (z("concordant") - z("discordant")).cast("double") /
+          (sqrt((n0 - n1).cast("double")) * sqrt((n0 - n2).cast("double"))),
+        6)).otherwise(lit(0.0)).as("tau_b"),
+      defined.as("defined"))
+  }
+
+  /**
+   * Spearman's rho per group — rank correlation WITHOUT the
+   * quadratic pair space: Pearson r on average ranks, the
+   * [[kendallTau]] companion for groups too large to pair (tau's
+   * self-join is Σ|g|², rho is two sorts and one aggregate). The
+   * tie-handling trick keeps it exact: the average rank of a tied
+   * block ((first + last)/2) is a half-integer, so the DOUBLED rank
+   * `2·rank + eq − 1` (dense `rank()` = strictly-smaller + 1, `eq` =
+   * block size) is an exact long, and the whole [[scoreCorrelation]]
+   * exact-BIGINT Pearson dag applies verbatim to (2rx, 2ry) — the
+   * doubling cancels in r. Scores must be integral (quantize
+   * upstream); constant rankings emit rho = 0 / defined = false.
+   *
+   * Scale shape: one hash exchange on the group key, then two
+   * in-partition sorts (the two rank windows; the per-(group, value)
+   * tie counts reuse the same exchange — HashPartitioning(g)
+   * satisfies the (g, x) clustering), then the one partial/final
+   * Pearson aggregate to |groups| rows. No joins, no pair explosion.
+   * Exactness bound: n·Σ(2rx·2ry) ≤ 4n⁴ must stay below 2^53 →
+   * `maxGroup` defaults to 6000 (4·6000⁴ ≈ 5.2e15) and is ENFORCED
+   * in the plan (raise_error, the hot-group convention) — past it
+   * the doubled-rank moments would silently lose bits, not melt a
+   * task, which is exactly why the refusal must be loud.
+   *
+   * @return (byCol, n, rho rounded 6, defined)
+   */
+  def spearmanRho(resp: DataFrame, byCol: String, xCol: String,
+                  yCol: String, maxGroup: Int = 6000): DataFrame = {
+    require(maxGroup > 0 && maxGroup <= 6900,
+      s"maxGroup must be in [1, 6900], got $maxGroup — 4·n^4 exceeds " +
+        "2^53 past n = 6900 and the doubled-rank moments lose bits")
+    Seq(xCol, yCol).foreach { c =>
+      require(org.apache.spark.sql.graftbridge.ColumnBridge
+          .isIntegral(resp.schema(c).dataType),
+        s"spearmanRho: $c must be integral (got " +
+          s"${resp.schema(c).dataType.simpleString}) — exact rank ties " +
+          "need exact equality")
+    }
+    val clean = resp.filter(col(byCol).isNotNull && col(xCol).isNotNull &&
+        col(yCol).isNotNull)
+      .select(col(byCol).as("__g"), col(xCol).cast("long").as("__x"),
+        col(yCol).cast("long").as("__y"))
+    import org.apache.spark.sql.expressions.Window
+    val g = Window.partitionBy(col("__g"))
+    val rx = lit(2L) * rank().over(g.orderBy(col("__x"))).cast("long") +
+      count(lit(1)).over(Window.partitionBy(col("__g"), col("__x"))) -
+      lit(1L)
+    val ry = lit(2L) * rank().over(g.orderBy(col("__y"))).cast("long") +
+      count(lit(1)).over(Window.partitionBy(col("__g"), col("__y"))) -
+      lit(1L)
+    val n = count(lit(1)).over(g)
+    val ranked = clean.select(col("__g"),
+      when(n <= maxGroup, rx).otherwise(raise_error(concat(
+        lit("spearmanRho: group "), col("__g").cast("string"),
+        lit(" has "), n.cast("string"),
+        lit(s" items > maxGroup=$maxGroup -> the doubled-rank moments " +
+          "exceed 2^53 and the exact Pearson contract breaks. Sample " +
+          "the group or use kendallTau on a sampled pair space."))))
+        .as("__rx"),
+      ry.as("__ry"))
+    scoreCorrelation(ranked, "__g", "__rx", "__ry")
+      .select(col("__g").as(byCol), col("n"), col("r").as("rho"),
+        col("defined"))
+  }
+
+  /**
+   * McNemar's paired-classifier test statistic per group (McNemar
+   * 1947, the Edwards continuity correction) — the A/B audit for two
+   * quality filters / judges scored against the SAME labeled
+   * examples: accuracy deltas hide on correlated errors, while
+   * McNemar looks only at the DISCORDANT cells (A right where B is
+   * wrong and vice versa), which is the information the paired
+   * design actually carries. All four contingency cells are exact
+   * longs in any partition order; the statistic
+   * (max(|b−c|−1, 0))² / (b+c) is integer arithmetic to the last
+   * step and ONE division (the max-with-0 keeps the b = c case at
+   * exactly 0 instead of the correction's 1/(b+c) artifact — χ²(1)
+   * of an observed zero difference is zero). b + c = 0 (the two
+   * classifiers never disagree) emits 0 with defined = false. The
+   * statistic is non-negative: plain round, no gateRound needed.
+   *
+   * Scale shape: one partial/final aggregate to |groups| rows —
+   * nothing else.
+   *
+   * @return (byCol, n, n_both_right, n_a_only, n_b_only,
+   *         n_both_wrong, mcnemar rounded 6, defined)
+   */
+  def mcnemar(resp: DataFrame, byCol: String, predACol: String,
+              predBCol: String, truthCol: String): DataFrame = {
+    Seq(predACol, predBCol, truthCol).foreach { c =>
+      require(resp.schema(c).dataType ==
+          org.apache.spark.sql.types.BooleanType,
+        s"mcnemar: $c must be boolean (got " +
+          s"${resp.schema(c).dataType.simpleString}) — threshold scores " +
+          "upstream; a silent truthiness coercion would bend the cells")
+    }
+    val okA = col(predACol) === col(truthCol)
+    val okB = col(predBCol) === col(truthCol)
+    val stats = resp.filter(col(byCol).isNotNull &&
+        col(predACol).isNotNull && col(predBCol).isNotNull &&
+        col(truthCol).isNotNull)
+      .groupBy(col(byCol))
+      .agg(count(lit(1)).as("n"),
+        sum(when(okA && okB, 1L).otherwise(0L)).as("n_both_right"),
+        sum(when(okA && !okB, 1L).otherwise(0L)).as("n_a_only"),
+        sum(when(!okA && okB, 1L).otherwise(0L)).as("n_b_only"),
+        sum(when(!okA && !okB, 1L).otherwise(0L)).as("n_both_wrong"))
+    val bc = col("n_a_only") + col("n_b_only")
+    val numi = greatest(abs(col("n_a_only") - col("n_b_only")) - lit(1L),
+      lit(0L))
+    stats.select(col(byCol), col("n"), col("n_both_right"),
+      col("n_a_only"), col("n_b_only"), col("n_both_wrong"),
+      when(bc > 0, round((numi * numi).cast("double") / bc.cast("double"),
+        6)).otherwise(lit(0.0)).as("mcnemar"),
+      (bc > 0).as("defined"))
+  }
 }

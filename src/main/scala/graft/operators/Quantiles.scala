@@ -142,4 +142,58 @@ object Quantiles {
     picked.groupBy(col("g").as(groupCol))
       .agg(aggs.head, aggs.tail: _*)
   }
+
+  /**
+   * Split-conformal calibration quantile per group (Vovk et al. 2005;
+   * Angelopoulos & Bates 2021 eq. 1) — the distribution-free
+   * prediction-set threshold a deployed scorer needs: given n
+   * calibration nonconformity scores, q̂ is the ⌈(n+1)(1−α)⌉-th
+   * smallest score, and predicting {y : score ≤ q̂} guarantees
+   * ≥ 1−α coverage with NO distributional assumption. α arrives as
+   * an integer PERCENT (the qC8 integer-domain convention) so the
+   * rank k = ⌈(n+1)(100−α)/100⌉ is pure integer arithmetic — this
+   * operator computes NO float at all: the selection is an exact
+   * order statistic, ties ordered by `idCol` only to make the SORT
+   * total (the picked VALUE is tie-invariant). k > n (too few
+   * calibration points for the requested coverage — the finite-sample
+   * refusal regime) emits a null q̂ with defined = false, never a
+   * silently-weaker threshold.
+   *
+   * Scale shape: one hash exchange on the group key + one
+   * in-partition sort (row_number and the per-group count share the
+   * exchange); the rank-k filter prunes to |groups| rows. No joins,
+   * no driver state — groups of any cardinality sort distributed.
+   *
+   * @return (byCol, n, k, qhat — null when k > n, defined)
+   */
+  def conformalQuantile(df: DataFrame, byCol: String, scoreCol: String,
+                        idCol: String, alphaPct: Int): DataFrame = {
+    require(alphaPct > 0 && alphaPct < 100,
+      s"alphaPct must be in (0, 100), got $alphaPct")
+    Seq(scoreCol, idCol).foreach { c =>
+      require(org.apache.spark.sql.graftbridge.ColumnBridge
+          .isIntegral(df.schema(c).dataType),
+        s"conformalQuantile: $c must be integral (got " +
+          s"${df.schema(c).dataType.simpleString}) — quantize " +
+          "nonconformity scores upstream; the zero-float contract is " +
+          "the point of this operator")
+    }
+    val clean = df.filter(col(byCol).isNotNull && col(scoreCol).isNotNull &&
+        col(idCol).isNotNull)
+      .select(col(byCol).as("__g"), col(scoreCol).cast("long").as("__s"),
+        col(idCol).cast("long").as("__i"))
+    val g = Window.partitionBy(col("__g"))
+    val rn = row_number().over(g.orderBy(col("__s"), col("__i")))
+    val n = count(lit(1)).over(g)
+    // `div` (IntegralDivide), not `/` (Divide would detour through
+    // DOUBLE and break the zero-float claim)
+    val k = call_function("div",
+      (n + lit(1L)) * lit((100 - alphaPct).toLong) + lit(99L), lit(100L))
+    clean.select(col("__g"), col("__s"), rn.as("__rn"), n.as("n"),
+        k.as("k"))
+      .filter(col("__rn") === least(col("k"), col("n")))
+      .select(col("__g").as(byCol), col("n"), col("k"),
+        when(col("k") <= col("n"), col("__s")).as("qhat"),
+        (col("k") <= col("n")).as("defined"))
+  }
 }

@@ -1808,6 +1808,73 @@ object Pipeline {
         .orderBy(col("source"))
     }),
 
+    // Kendall's tau-b between two synthetic judges per 20-item group:
+    // the rank twin of qC4 — exact pair classification (concordant /
+    // discordant / three tie classes), tau in one shared association
+    // order, gateRounded; pair volume bounded by the group fan-out
+    "qCK_kendall_tau" -> ((s, dir) => {
+      graft.operators.Preference.kendallTau(
+          T(s, dir)("documents").select(
+            expr("doc_id div 20").as("grp"), col("doc_id"),
+            (col("doc_id") % 7).as("x"),
+            ((col("doc_id") * 3) % 11).as("y")),
+          "grp", "doc_id", "x", "y")
+        .orderBy(col("grp"))
+    }),
+
+    // Spearman's rho per 50-item group: rank correlation WITHOUT the
+    // quadratic pair space — doubled average ranks are exact longs,
+    // then the qC4 exact-BIGINT Pearson dag verbatim
+    "qCL_spearman_rho" -> ((s, dir) => {
+      graft.operators.Preference.spearmanRho(
+          T(s, dir)("documents").select(
+            expr("doc_id div 50").as("grp"),
+            (col("doc_id") % 7).as("x"),
+            ((col("doc_id") * 5) % 13).as("y")),
+          "grp", "x", "y")
+        .orderBy(col("grp"))
+    }),
+
+    // dataset cartography (Swayamdipta et al. 2020): per-example
+    // confidence / variability / correctness over a 3-epoch synthetic
+    // trace — exact BIGINT moments, integer-compare region boundaries
+    // (no float threshold edges)
+    "qCM_cartography" -> ((s, dir) => {
+      graft.operators.TrainingDynamics.cartography(
+          T(s, dir)("documents").select(col("doc_id"),
+            explode(array((0 to 2).map(e => struct(
+              ((col("doc_id") * (e + 1)) % 101).as("p"),
+              ((col("doc_id") + e) % 3 === 0).as("c"))): _*)).as("ep"))
+            .select(col("doc_id"), col("ep.p").as("prob_pct"),
+              col("ep.c").as("correct")),
+          "doc_id", "prob_pct", "correct")
+        .orderBy(col("doc_id"))
+    }),
+
+    // split-conformal calibration quantile per source (Angelopoulos &
+    // Bates 2021 eq. 1): the exact ⌈(n+1)(1−α)⌉-th order statistic —
+    // ZERO float arithmetic anywhere, integer rank selection only
+    "qCO_conformal_quantile" -> ((s, dir) => {
+      graft.operators.Quantiles.conformalQuantile(
+          T(s, dir)("documents").select(col("source"),
+            (col("doc_id") % 997).as("score"), col("doc_id")),
+          "source", "score", "doc_id", alphaPct = 10)
+        .orderBy(col("source"))
+    }),
+
+    // McNemar's paired-classifier audit per source: two synthetic
+    // quality filters against a shared label — exact 2x2 discordant
+    // cells, continuity-corrected statistic in ONE division
+    "qCR_mcnemar" -> ((s, dir) => {
+      graft.operators.Preference.mcnemar(
+          T(s, dir)("documents").select(col("source"),
+            (col("doc_id") % 7 > 3).as("pred_a"),
+            (col("doc_id") % 5 > 2).as("pred_b"),
+            (col("doc_id") % 3 === 0).as("truth")),
+          "source", "pred_a", "pred_b", "truth")
+        .orderBy(col("source"))
+    }),
+
     // Bradley-Terry strength fit over the qC5 matrix (Hunter 2004 MM,
     // ties as half-wins): 10 fixed-point integer iterations at 1e-6
     // scale — bit-exact in any order, the qBS integer-PageRank
@@ -3872,6 +3939,134 @@ object Pipeline {
                ELSE 0.0 END AS kappa,
              (n > 0 AND pe < 1.0) AS defined
       FROM v ORDER BY source""",
+
+    "qCK_kendall_tau" -> """
+      WITH r AS (SELECT doc_id // 20 AS grp, doc_id AS i, doc_id % 7 AS x,
+                   (doc_id * 3) % 11 AS y FROM documents),
+      f AS (SELECT grp, CAST(COUNT(*) AS BIGINT) AS n_items
+            FROM r GROUP BY 1),
+      p AS (SELECT a.grp, CAST(COUNT(*) AS BIGINT) AS n_pairs,
+              CAST(SUM(CASE WHEN (a.x < b.x AND a.y < b.y)
+                              OR (a.x > b.x AND a.y > b.y)
+                       THEN 1 ELSE 0 END) AS BIGINT) AS c,
+              CAST(SUM(CASE WHEN (a.x < b.x AND a.y > b.y)
+                              OR (a.x > b.x AND a.y < b.y)
+                       THEN 1 ELSE 0 END) AS BIGINT) AS d,
+              CAST(SUM(CASE WHEN a.x = b.x AND a.y <> b.y
+                       THEN 1 ELSE 0 END) AS BIGINT) AS tx,
+              CAST(SUM(CASE WHEN a.y = b.y AND a.x <> b.x
+                       THEN 1 ELSE 0 END) AS BIGINT) AS ty,
+              CAST(SUM(CASE WHEN a.x = b.x AND a.y = b.y
+                       THEN 1 ELSE 0 END) AS BIGINT) AS txy
+            FROM r a JOIN r b ON a.grp = b.grp AND a.i < b.i GROUP BY 1),
+      j AS (SELECT f.grp, f.n_items, COALESCE(p.n_pairs, 0) AS n_pairs,
+              COALESCE(p.c, 0) AS concordant,
+              COALESCE(p.d, 0) AS discordant,
+              COALESCE(p.tx, 0) AS n_tied_x,
+              COALESCE(p.ty, 0) AS n_tied_y,
+              COALESCE(p.txy, 0) AS n_tied_xy
+            FROM f LEFT JOIN p USING (grp)),
+      v AS (SELECT *, n_tied_x + n_tied_xy AS n1,
+              n_tied_y + n_tied_xy AS n2 FROM j)
+      SELECT grp, n_items, n_pairs, concordant, discordant, n_tied_x,
+             n_tied_y, n_tied_xy,
+             CASE WHEN n_pairs > n1 AND n_pairs > n2
+               THEN round(CAST(concordant - discordant AS DOUBLE)
+                          / (sqrt(CAST(n_pairs - n1 AS DOUBLE))
+                             * sqrt(CAST(n_pairs - n2 AS DOUBLE))), 6) + 0
+               ELSE 0.0 END AS tau_b,
+             (n_pairs > n1 AND n_pairs > n2) AS defined
+      FROM v ORDER BY grp""",
+
+    "qCL_spearman_rho" -> """
+      WITH r AS (SELECT doc_id // 50 AS grp, doc_id % 7 AS x,
+                   (doc_id * 5) % 13 AS y FROM documents),
+      rk AS (SELECT grp,
+               2 * rank() OVER (PARTITION BY grp ORDER BY x)
+                 + COUNT(*) OVER (PARTITION BY grp, x) - 1 AS rx,
+               2 * rank() OVER (PARTITION BY grp ORDER BY y)
+                 + COUNT(*) OVER (PARTITION BY grp, y) - 1 AS ry
+             FROM r),
+      st AS (SELECT grp, CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(rx) AS BIGINT) AS sx,
+               CAST(SUM(ry) AS BIGINT) AS sy,
+               CAST(SUM(rx * ry) AS BIGINT) AS sxy,
+               CAST(SUM(rx * rx) AS BIGINT) AS sxx,
+               CAST(SUM(ry * ry) AS BIGINT) AS syy
+             FROM rk GROUP BY 1),
+      v AS (SELECT grp, n,
+              CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE) AS num,
+              CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) AS vx,
+              CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+                - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) AS vy
+            FROM st)
+      SELECT grp, n,
+             CASE WHEN n > 1 AND vx > 0 AND vy > 0
+               THEN round(num / (sqrt(greatest(vx, 0.0))
+                                 * sqrt(greatest(vy, 0.0))), 6) + 0
+               ELSE 0.0 END AS rho,
+             (n > 1 AND vx > 0 AND vy > 0) AS defined
+      FROM v ORDER BY grp""",
+
+    "qCM_cartography" -> """
+      WITH e AS (SELECT doc_id, (doc_id * (e + 1)) % 101 AS p,
+                   (doc_id + e) % 3 = 0 AS c
+                 FROM documents, (SELECT unnest([0, 1, 2]) AS e)),
+      st AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_epochs,
+               CAST(SUM(p) AS BIGINT) AS sp,
+               CAST(SUM(p * p) AS BIGINT) AS spp,
+               CAST(SUM(CASE WHEN c THEN 1 ELSE 0 END) AS BIGINT) AS sc
+             FROM e GROUP BY 1),
+      v AS (SELECT *, n_epochs * spp - sp * sp AS vq FROM st)
+      SELECT doc_id, n_epochs,
+             round(CAST(sp AS DOUBLE)
+                   / (100.0 * CAST(n_epochs AS DOUBLE)), 6) AS confidence,
+             round(sqrt(CAST(vq AS DOUBLE))
+                   / (100.0 * CAST(n_epochs AS DOUBLE)), 6) AS variability,
+             round(CAST(sc AS DOUBLE) / CAST(n_epochs AS DOUBLE), 6)
+               AS correctness,
+             CASE WHEN vq >= 625 * n_epochs * n_epochs THEN 'ambiguous'
+                  WHEN 2 * sp > 100 * n_epochs THEN 'easy_to_learn'
+                  ELSE 'hard_to_learn' END AS region
+      FROM v ORDER BY doc_id""",
+
+    "qCO_conformal_quantile" -> """
+      WITH r AS (SELECT source AS g, doc_id % 997 AS s, doc_id AS i
+                 FROM documents),
+      rk AS (SELECT g, s,
+               row_number() OVER (PARTITION BY g ORDER BY s, i) AS rn,
+               CAST(COUNT(*) OVER (PARTITION BY g) AS BIGINT) AS n
+             FROM r),
+      v AS (SELECT *, ((n + 1) * 90 + 99) // 100 AS k FROM rk)
+      SELECT g AS source, n, k,
+             CASE WHEN k <= n THEN s END AS qhat,
+             k <= n AS defined
+      FROM v WHERE rn = least(k, n) ORDER BY source""",
+
+    "qCR_mcnemar" -> """
+      WITH r AS (SELECT source, doc_id % 7 > 3 AS a, doc_id % 5 > 2 AS b,
+                   doc_id % 3 = 0 AS t FROM documents),
+      st AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(CASE WHEN a = t AND b = t THEN 1 ELSE 0 END)
+                 AS BIGINT) AS n_both_right,
+               CAST(SUM(CASE WHEN a = t AND b <> t THEN 1 ELSE 0 END)
+                 AS BIGINT) AS n_a_only,
+               CAST(SUM(CASE WHEN a <> t AND b = t THEN 1 ELSE 0 END)
+                 AS BIGINT) AS n_b_only,
+               CAST(SUM(CASE WHEN a <> t AND b <> t THEN 1 ELSE 0 END)
+                 AS BIGINT) AS n_both_wrong
+             FROM r GROUP BY 1)
+      SELECT source, n, n_both_right, n_a_only, n_b_only, n_both_wrong,
+             CASE WHEN n_a_only + n_b_only > 0
+               THEN round(CAST(greatest(abs(n_a_only - n_b_only) - 1, 0)
+                               * greatest(abs(n_a_only - n_b_only) - 1, 0)
+                            AS DOUBLE)
+                          / CAST(n_a_only + n_b_only AS DOUBLE), 6)
+               ELSE 0.0 END AS mcnemar,
+             (n_a_only + n_b_only > 0) AS defined
+      FROM st ORDER BY source""",
 
     "qC4_score_length_corr" -> """
       WITH r AS (SELECT source, doc_id % 7 AS x,

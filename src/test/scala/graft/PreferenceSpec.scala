@@ -842,4 +842,138 @@ class PreferenceSpec extends AnyFunSuite {
     assert(out("web") == ((3L, 4L, 1.333333, 0.666667)), out("web").toString)
     assert(out("books") == ((1L, -5L, -5.0, 0.0)), out("books").toString)
   }
+
+  private def tauOf(df: org.apache.spark.sql.DataFrame,
+                    maxGroup: Int = 10000) =
+    Preference.kendallTau(df, "grp", "id", "x", "y", maxGroup = maxGroup)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6),
+        r.getLong(7), r.getDouble(8), r.getBoolean(9)))).toMap
+
+  test("kendallTau: pair classification and tau-b by hand") {
+    val df = Seq(
+      // x = [1,2,3,3], y = [1,3,2,2]: C=3 (1-2,1-3,1-4), D=2 (2-3,2-4),
+      // txy=1 (3-4); n0=6, n1=n2=1 -> tau = (3-2)/sqrt(5*5) = 0.2
+      (1L, 1L, 1L, 1L), (1L, 2L, 2L, 3L), (1L, 3L, 3L, 2L),
+      (1L, 4L, 3L, 2L),
+      // constant x: every pair tied in x -> n1 = n0, undefined
+      (2L, 1L, 7L, 1L), (2L, 2L, 7L, 2L), (2L, 3L, 7L, 3L),
+      // singleton group: zero pairs, visible, undefined
+      (3L, 1L, 4L, 4L),
+      // perfect agreement / perfect reversal
+      (4L, 1L, 1L, 10L), (4L, 2L, 2L, 20L), (4L, 3L, 3L, 30L),
+      (5L, 1L, 1L, 30L), (5L, 2L, 2L, 20L), (5L, 3L, 3L, 10L)
+    ).toDF("grp", "id", "x", "y")
+    val t = tauOf(df)
+    assert(t(1L) == ((4L, 6L, 3L, 2L, 0L, 0L, 1L, 0.2, true)),
+      t(1L).toString)
+    assert(t(2L) == ((3L, 3L, 0L, 0L, 3L, 0L, 0L, 0.0, false)),
+      t(2L).toString)
+    assert(t(3L) == ((1L, 0L, 0L, 0L, 0L, 0L, 0L, 0.0, false)),
+      t(3L).toString)
+    assert(t(4L)._8 == 1.0 && t(4L)._9, t(4L).toString)
+    assert(t(5L)._8 == -1.0 && t(5L)._9, t(5L).toString)
+  }
+
+  test("kendallTau: null rows excluded, hot-group refusal, " +
+      "integral contract") {
+    val withNull = Seq(
+      (1L, Option(1L), Option(1L), Option(1L)),
+      (1L, Option(2L), Option(2L), Option.empty[Long]),
+      (1L, Option(3L), Option(3L), Option(3L))
+    ).toDF("grp", "id", "x", "y")
+    // the null-y row vanishes: 2 items, 1 concordant pair
+    val t = tauOf(withNull)
+    assert(t(1L)._1 == 2L && t(1L)._2 == 1L && t(1L)._3 == 1L,
+      t(1L).toString)
+    val hot = Seq((1L, 1L, 1L, 1L), (1L, 2L, 2L, 2L), (1L, 3L, 3L, 3L))
+      .toDF("grp", "id", "x", "y")
+    val ex = intercept[Exception] { tauOf(hot, maxGroup = 2) }
+    assert(ex.getMessage != null, "hot group must refuse loudly")
+    val bad = Seq((1L, 1L, 1.5, 1L)).toDF("grp", "id", "x", "y")
+    intercept[IllegalArgumentException] {
+      Preference.kendallTau(bad, "grp", "id", "x", "y")
+    }
+  }
+
+  private def rhoOf(df: org.apache.spark.sql.DataFrame,
+                    maxGroup: Int = 6000) =
+    Preference.spearmanRho(df, "grp", "x", "y", maxGroup = maxGroup)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2),
+        r.getBoolean(3)))).toMap
+
+  test("spearmanRho: doubled average ranks, ties, hand values") {
+    val df = Seq(
+      // x=[1,2,3], y=[3,1,2]: 2rx=(2,4,6), 2ry=(6,2,4) -> rho = -0.5
+      (1L, 1L, 3L), (1L, 2L, 1L), (1L, 3L, 2L),
+      // tie block in x: x=[1,1,2] -> 2rx=(3,3,6); y=[1,2,3] ->
+      // 2ry=(2,4,6); rho = 18/sqrt(18*24) = 0.866025
+      (2L, 1L, 1L), (2L, 1L, 2L), (2L, 2L, 3L),
+      // constant y -> vy = 0, undefined
+      (3L, 1L, 5L), (3L, 2L, 5L), (3L, 3L, 5L),
+      // perfect monotone agreement
+      (4L, 1L, 10L), (4L, 2L, 20L), (4L, 3L, 30L)
+    ).toDF("grp", "x", "y")
+    val r = rhoOf(df)
+    assert(r(1L) == ((3L, -0.5, true)), r(1L).toString)
+    assert(r(2L) == ((3L, 0.866025, true)), r(2L).toString)
+    assert(r(3L) == ((3L, 0.0, false)), r(3L).toString)
+    assert(r(4L) == ((3L, 1.0, true)), r(4L).toString)
+  }
+
+  test("spearmanRho: exactness-bound refusals") {
+    val df = Seq((1L, 1L, 1L), (1L, 2L, 2L), (1L, 3L, 3L))
+      .toDF("grp", "x", "y")
+    // a group past maxGroup refuses mid-job (the 2^53 moment bound)
+    val ex = intercept[Exception] { rhoOf(df, maxGroup = 2) }
+    assert(ex.getMessage != null, "oversize group must refuse loudly")
+    // maxGroup itself is capped where 4n^4 crosses 2^53
+    intercept[IllegalArgumentException] {
+      Preference.spearmanRho(df, "grp", "x", "y", maxGroup = 7000)
+    }
+    val bad = Seq((1L, 1.5, 1L)).toDF("grp", "x", "y")
+    intercept[IllegalArgumentException] {
+      Preference.spearmanRho(bad, "grp", "x", "y")
+    }
+  }
+
+  private def mcOf(df: org.apache.spark.sql.DataFrame) =
+    Preference.mcnemar(df, "src", "a", "b", "t")
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5), r.getDouble(6),
+        r.getBoolean(7)))).toMap
+
+  test("mcnemar: contingency cells and statistic by hand") {
+    val df = Seq(
+      // truth all true; a right on 1,2; b right on 1,3,4:
+      // both_right=1, a_only=1, b_only=2, both_wrong=1 ->
+      // (max(|1-2|-1,0))^2 / 3 = 0 exactly (not 1/3)
+      ("w", true, true, true), ("w", true, false, true),
+      ("w", false, true, true), ("w", false, true, true),
+      ("w", false, false, true),
+      // a_only=4, b_only=1 -> (|4-1|-1)^2/5 = 4/5 = 0.8
+      ("x", true, false, true), ("x", true, false, true),
+      ("x", true, false, true), ("x", true, false, true),
+      ("x", false, true, true),
+      // the two classifiers never disagree -> undefined
+      ("y", true, true, true), ("y", false, false, true)
+    ).toDF("src", "a", "b", "t")
+    val m = mcOf(df)
+    assert(m("w") == ((5L, 1L, 1L, 2L, 1L, 0.0, true)), m("w").toString)
+    assert(m("x") == ((5L, 0L, 4L, 1L, 0L, 0.8, true)), m("x").toString)
+    assert(m("y") == ((2L, 1L, 0L, 0L, 1L, 0.0, false)), m("y").toString)
+  }
+
+  test("mcnemar: boolean contract enforced, nulls excluded") {
+    val bad = Seq(("w", 1L, true, true)).toDF("src", "a", "b", "t")
+    intercept[IllegalArgumentException] {
+      Preference.mcnemar(bad, "src", "a", "b", "t")
+    }
+    val withNull = Seq(
+      ("w", Option(true), Option(false), Option(true)),
+      ("w", Option(true), Option.empty[Boolean], Option(true))
+    ).toDF("src", "a", "b", "t")
+    val m = mcOf(withNull)
+    assert(m("w")._1 == 1L, s"null-pred row leaked in: ${m("w")}")
+  }
 }

@@ -91,4 +91,45 @@ class QuantilesSpec extends AnyFunSuite {
     val physical = df.queryExecution.executedPlan.toString
     assert(!physical.contains("ObjectHashAggregate"), physical)
   }
+
+  private def conf(df: org.apache.spark.sql.DataFrame, alpha: Int) =
+    Quantiles.conformalQuantile(df, "g", "s", "i", alpha)
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2),
+        Option(r.get(3)).map(_.asInstanceOf[Long]), r.getBoolean(4))))
+      .toMap
+
+  test("conformalQuantile: exact order-statistic rank by hand") {
+    import spark.implicits._
+    val nine = (1L to 9L).map(i => ("a", i, i)) ++
+      (1L to 4L).map(i => ("b", i, i))
+    val df = nine.toDF("g", "s", "i")
+    val m = conf(df, 10)
+    // n=9, alpha=10%: k = ceil(10*0.9) = 9 -> the 9th smallest (max)
+    assert(m("a") == ((9L, 9L, Some(9L), true)), m("a").toString)
+    // n=4 cannot support 90% coverage: k=5 > n -> undefined, visible
+    assert(m("b") == ((4L, 5L, None, false)), m("b").toString)
+    // alpha=50 on n=3: k = ceil(4*0.5) = 2 -> 2nd smallest
+    val three = Seq(("c", 30L, 1L), ("c", 10L, 2L), ("c", 20L, 3L))
+      .toDF("g", "s", "i")
+    assert(conf(three, 50)("c") == ((3L, 2L, Some(20L), true)))
+    // tied scores: the picked VALUE is tie-invariant
+    val tied = Seq(("d", 5L, 1L), ("d", 5L, 2L), ("d", 1L, 3L))
+      .toDF("g", "s", "i")
+    assert(conf(tied, 50)("d") == ((3L, 2L, Some(5L), true)))
+  }
+
+  test("conformalQuantile: domain refusals") {
+    import spark.implicits._
+    val df = Seq(("a", 1L, 1L)).toDF("g", "s", "i")
+    intercept[IllegalArgumentException] {
+      Quantiles.conformalQuantile(df, "g", "s", "i", 0)
+    }
+    intercept[IllegalArgumentException] {
+      Quantiles.conformalQuantile(df, "g", "s", "i", 100)
+    }
+    val flt = Seq(("a", 1.5, 1L)).toDF("g", "s", "i")
+    intercept[IllegalArgumentException] {
+      Quantiles.conformalQuantile(flt, "g", "s", "i", 10)
+    }
+  }
 }
