@@ -1615,4 +1615,220 @@ object TextAnalysis {
       .filter(col("cnt").cast("double") > lit(phi) * lit(total.toDouble))
       .orderBy(col("cnt").desc, col("gram"))
   }
+
+  /**
+   * χ² token–label feature selection (Manning, Raghavan & Schütze
+   * 2008 §13.5.2) — the top-k terms most ASSOCIATED with each label:
+   * the audit that tells you what a quality/domain classifier would
+   * actually key on before you train it (and the shortcut-detector
+   * afterwards: a label whose top term is a boilerplate artifact is
+   * a leaking label). Presence-based (each document votes once per
+   * distinct term, the standard formulation): the 2×2 cells
+   * N11/N01/N10/N00 derive from four exact-long counts (N, docs per
+   * label, docs per term, docs per (term, label)) in any partition
+   * order; χ² = N·(N11·N00 − N01·N10)² / ((N11+N01)(N11+N10)
+   * (N10+N00)(N01+N00)) is ONE shared float dag over those longs —
+   * the determinant is an exact long below |N| < 3e9 docs (documented
+   * bound), each margin product a double factor in fixed
+   * left-associated order mirrored verbatim in the oracle. Ranking is
+   * engine-independent: χ² quantizes to the 1e-9 grid (the qCC axis)
+   * and ties break on term ASC — a total order. A term present in
+   * EVERY document (N00 + N01 = 0) or a corpus with one label
+   * (N10 + N00 = 0) yields a degenerate margin → χ² = 0,
+   * defined = false, still rankable (last).
+   *
+   * Scale shape: one distinct-token explode → two hash aggregates
+   * (per-term, per-(term, label)) sharing the token shuffle; labels
+   * and per-label counts broadcast (|labels| is small — the premise
+   * of per-label top-k); the candidate frame is |vocab|·|labels| rows
+   * and the ranking window sorts per label. `minDf` prunes the
+   * long-tail vocabulary BEFORE the window — at web scale the df ≥
+   * minDf filter is what keeps the sort bounded.
+   *
+   * @return top-k rows per label: (labelCol, term, n11, n01, n10,
+   *         n00, chi2 rounded 6, rank, defined)
+   */
+  def chiSquaredTerms(docs: DataFrame, labelCol: String, textCol: String,
+                      topK: Int, minDf: Long = 1L): DataFrame = {
+    require(topK > 0, s"topK must be positive, got $topK")
+    require(minDf >= 1L, s"minDf must be >= 1, got $minDf")
+    val base = docs.filter(col(labelCol).isNotNull)
+      .select(col(labelCol).cast("string").as("__l"), col(textCol))
+      .localCheckpoint(true) // three consumers: N + labels, terms, cells
+    val nTotal = base.count()
+    val labels = base.groupBy(col("__l"))
+      .agg(count(lit(1)).as("__nl"))
+    val docTerms = base
+      .select(col("__l"),
+        explode(array_distinct(tokens(col(textCol)))).as("__t"))
+    val perTerm = docTerms.groupBy(col("__t"))
+      .agg(count(lit(1)).as("__df"))
+      .filter(col("__df") >= minDf)
+    val cells = docTerms.groupBy(col("__t"), col("__l"))
+      .agg(count(lit(1)).as("__ntl"))
+    val cand = perTerm.crossJoin(broadcast(labels))
+      .join(cells, Seq("__t", "__l"), "left")
+      .select(col("__t"), col("__l"), col("__df"), col("__nl"),
+        coalesce(col("__ntl"), lit(0L)).as("__ntl"))
+    val n11 = col("__ntl")
+    val n01 = col("__df") - col("__ntl")
+    val n10 = col("__nl") - col("__ntl")
+    val n00 = lit(nTotal) - col("__df") - col("__nl") + col("__ntl")
+    val det = n11 * n00 - n01 * n10
+    val defined = (n11 + n01) > 0 && (n11 + n10) > 0 &&
+      (n10 + n00) > 0 && (n01 + n00) > 0
+    // ONE shared dag, left-associated in both engines
+    val chi2 = (lit(nTotal.toDouble) * det.cast("double") *
+      det.cast("double")) /
+      ((n11 + n01).cast("double") * (n11 + n10).cast("double") *
+        (n10 + n00).cast("double") * (n01 + n00).cast("double"))
+    val scored = cand.select(col("__l"), col("__t"),
+      n11.as("n11"), n01.as("n01"), n10.as("n10"), n00.as("n00"),
+      when(defined, chi2).otherwise(lit(0.0)).as("__chi2"),
+      defined.as("defined"))
+    val chi2q = floor(col("__chi2") * lit(1e9) + lit(0.5)).cast("long")
+    import org.apache.spark.sql.expressions.Window
+    scored
+      .withColumn("rank", row_number().over(Window.partitionBy(col("__l"))
+        .orderBy(chi2q.desc, col("__t"))))
+      .filter(col("rank") <= topK)
+      .select(col("__l").as(labelCol), col("__t").as("term"),
+        col("n11"), col("n01"), col("n10"), col("n00"),
+        round(col("__chi2"), 6).as("chi2"),
+        col("rank").cast("long").as("rank"), col("defined"))
+  }
+
+  /**
+   * Jensen–Shannon divergence between two corpus halves' unigram
+   * token distributions (Lin 1991) — the SYMMETRIC, always-finite
+   * companion to [[klDriftMatrix]] for the before/after mixture
+   * check (did the new crawl shift the token distribution, and by
+   * how many bits): JS needs no smoothing because every observed
+   * token has mass in the mixture M = (P+Q)/2, and √JS is a metric,
+   * so thresholds transfer across corpus pairs.
+   *
+   * Exact contract (the qCC cross-entity quantization axis): the
+   * per-token counts (a, b) and totals (T_A, T_B) are exact longs;
+   * each token's term 0.5·p·ln(2p/(p+q)) + 0.5·q·ln(2q/(p+q))
+   * (p = a/T_A, q = b/T_B; a zero-count side contributes 0 by the
+   * 0·ln 0 = 0 convention) is ONE shared IEEE dag quantized to a
+   * 1e-9-grid long, so the cross-vocabulary SUM is an exact integer
+   * in any partition order; the bits conversion divides by a shared
+   * ln 2 LITERAL (not each engine's ln(2) — same bits by
+   * construction). GateRounded: an identical-corpora JS is exactly 0
+   * (every term is ln 1 = 0 pre-quantization), but near-identical
+   * corpora can sum quantization residue to −ε.
+   *
+   * Scale shape: one token explode → one (token) hash aggregate with
+   * two conditional sums (the split never shuffles separately) → one
+   * global aggregate. Totals ride the same aggregate re-aggregated —
+   * two metadata-sized rows, no second corpus pass.
+   *
+   * @param inBCol boolean — false = corpus A, true = corpus B
+   * @return ONE row: (n_vocab, total_a, total_b, js_bits rounded 6,
+   *         defined — false when either half is token-less)
+   */
+  def jsDivergence(docs: DataFrame, inBCol: String,
+                   textCol: String): DataFrame = {
+    require(docs.schema(inBCol).dataType ==
+        org.apache.spark.sql.types.BooleanType,
+      s"jsDivergence: $inBCol must be boolean (got " +
+        s"${docs.schema(inBCol).dataType.simpleString})")
+    val counts = docs.filter(col(inBCol).isNotNull)
+      .select(col(inBCol).as("__b"),
+        explode(tokens(col(textCol))).as("__t"))
+      .groupBy(col("__t"))
+      .agg(sum(when(!col("__b"), 1L).otherwise(0L)).as("__a"),
+        sum(when(col("__b"), 1L).otherwise(0L)).as("__bc"))
+    val withTot = counts.crossJoin(broadcast(
+      counts.select(sum(col("__a")).as("__ta"),
+        sum(col("__bc")).as("__tb"))))
+    // the when() is pure selection (ANSI double-division throws on a
+    // zero total): a token-less half is the defined=false regime and
+    // its terms are discarded — on the defined path the dag is the
+    // bare a/T_A division, bit-identical to the oracle's
+    val pd = when(col("__ta") > 0,
+      col("__a").cast("double") / col("__ta").cast("double"))
+      .otherwise(lit(0.0))
+    val qd = when(col("__tb") > 0,
+      col("__bc").cast("double") / col("__tb").cast("double"))
+      .otherwise(lit(0.0))
+    val term =
+      when(col("__a") > 0,
+        lit(0.5) * pd * log(lit(2.0) * pd / (pd + qd)))
+        .otherwise(lit(0.0)) +
+      when(col("__bc") > 0,
+        lit(0.5) * qd * log(lit(2.0) * qd / (pd + qd)))
+        .otherwise(lit(0.0))
+    val tq = floor(term * lit(1e9) + lit(0.5)).cast("long")
+    val agg = withTot.select(col("__ta"), col("__tb"), tq.as("__tq"))
+      .groupBy(/* global */)
+      .agg(count(lit(1)).as("n_vocab"),
+        coalesce(max(col("__ta")), lit(0L)).as("total_a"),
+        coalesce(max(col("__tb")), lit(0L)).as("total_b"),
+        coalesce(sum(col("__tq")), lit(0L)).as("__s"))
+    val defined = col("total_a") > 0 && col("total_b") > 0
+    agg.select(col("n_vocab"), col("total_a"), col("total_b"),
+      when(defined, graft.functions.GateRound(
+        col("__s").cast("double") / lit(1e9) / lit(0.6931471805599453),
+        6)).otherwise(lit(0.0)).as("js_bits"),
+      defined.as("defined"))
+  }
+
+  /**
+   * ROUGE-N overlap between paired texts (Lin 2004, "ROUGE: A
+   * Package for Automatic Evaluation of Summaries") — the
+   * reference-based generation score a distillation / summarization
+   * pipeline grades candidates with: per (candidate, reference)
+   * pair, clipped n-gram matches = Σ_g min(count_cand(g),
+   * count_ref(g)). All counts are exact longs; precision = m/|cand
+   * grams| and recall = m/|ref grams| are ONE division each, and F1
+   * uses the harmonic identity F1 = 2m/(|cand|+|ref|) — one division
+   * of exact integers, NOT a float p·r composition (the same value,
+   * none of the intermediate rounding). A gram-less side ⇒
+   * defined = false with zero scores, pairs stay visible.
+   *
+   * Scale shape: both sides' grams explode into ONE union frame
+   * (side-tagged — the two gram multisets meet in a single
+   * (pair, gram) hash aggregate, never a join), then one per-pair
+   * aggregate; texts shuffle never, only grams (the qC6 economics);
+   * the pairs frame re-joins at |pairs| rows for visibility.
+   *
+   * @return (idCol, n_cand_grams, n_ref_grams, n_matches,
+   *         rouge_p, rouge_r, rouge_f1 — each rounded 6, defined)
+   */
+  def rougeN(pairs: DataFrame, idCol: String, candCol: String,
+             refCol: String, n: Int): DataFrame = {
+    require(n >= 1, s"n must be >= 1, got $n")
+    val base = pairs.filter(col(idCol).isNotNull)
+    def side(c: String, isCand: Boolean) = base
+      .select(col(idCol).as("__id"),
+        explode(graft.functions.ShingleExprs
+          .token_grams(coalesce(col(c), lit("")), n, overlapping = true))
+          .as("__g"),
+        lit(isCand).as("__c"))
+    val stats = side(candCol, isCand = true)
+      .unionByName(side(refCol, isCand = false))
+      .groupBy(col("__id"), col("__g"))
+      .agg(sum(when(col("__c"), 1L).otherwise(0L)).as("__cc"),
+        sum(when(!col("__c"), 1L).otherwise(0L)).as("__rc"))
+      .groupBy(col("__id"))
+      .agg(sum(least(col("__cc"), col("__rc"))).as("__m"),
+        sum(col("__cc")).as("__tc"), sum(col("__rc")).as("__tr"))
+    val out = base.select(col(idCol).as("__id")).distinct()
+      .join(stats, Seq("__id"), "left")
+    def z(c: String) = coalesce(col(c), lit(0L))
+    val defined = z("__tc") > 0 && z("__tr") > 0
+    out.select(col("__id").as(idCol),
+      z("__tc").as("n_cand_grams"), z("__tr").as("n_ref_grams"),
+      z("__m").as("n_matches"),
+      when(defined, round(z("__m").cast("double") /
+        z("__tc").cast("double"), 6)).otherwise(lit(0.0)).as("rouge_p"),
+      when(defined, round(z("__m").cast("double") /
+        z("__tr").cast("double"), 6)).otherwise(lit(0.0)).as("rouge_r"),
+      when(defined, round(lit(2.0) * z("__m").cast("double") /
+        (z("__tc") + z("__tr")).cast("double"), 6)).otherwise(lit(0.0))
+        .as("rouge_f1"),
+      defined.as("defined"))
+  }
 }

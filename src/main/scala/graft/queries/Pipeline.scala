@@ -1835,6 +1835,42 @@ object Pipeline {
         .orderBy(col("grp"))
     }),
 
+    // chi-squared token-label feature selection (Manning et al. 2008
+    // §13.5.2): top-10 terms per language by exact 2x2 presence
+    // cells — one shared float dag over exact longs, 1e-9-grid
+    // quantized ranking with term-asc ties (a total order)
+    "qCN_chi2_terms" -> ((s, dir) => {
+      TextAnalysis.chiSquaredTerms(T(s, dir)("documents"), "lang", "text",
+          topK = 10, minDf = 2)
+        .orderBy(col("lang"), col("rank"))
+    }),
+
+    // ROUGE-2 between even/odd paired documents (Lin 2004): clipped
+    // bigram matches as exact longs, F1 via the harmonic identity
+    // 2m/(tc+tr) — one division of exact integers, no p*r float path
+    "qCP_rouge_n" -> ((s, dir) => {
+      val d = T(s, dir)("documents")
+      val ev = d.filter(col("doc_id") % 2 === 0)
+        .select(expr("doc_id div 2").as("pair_id"),
+          col("text").as("cand"))
+      val od = d.filter(col("doc_id") % 2 === 1)
+        .select(expr("doc_id div 2").as("pair_id"), col("text").as("ref"))
+      TextAnalysis.rougeN(ev.join(od, Seq("pair_id")), "pair_id",
+          "cand", "ref", n = 2)
+        .orderBy(col("pair_id"))
+    }),
+
+    // Jensen-Shannon divergence between the even/odd corpus halves:
+    // the symmetric, smoothing-free twin of qAN's KL matrix — each
+    // token's term quantizes to a 1e-9-grid long (the qCC axis) so
+    // the vocabulary sum is order-free; bits via a shared ln-2 literal
+    "qCQ_js_divergence" -> ((s, dir) => {
+      TextAnalysis.jsDivergence(
+          T(s, dir)("documents").select(
+            (col("doc_id") % 2 === 1).as("in_b"), col("text")),
+          "in_b", "text")
+    }),
+
     // dataset cartography (Swayamdipta et al. 2020): per-example
     // confidence / variability / correctness over a 3-epoch synthetic
     // trace — exact BIGINT moments, integer-compare region boundaries
@@ -4009,6 +4045,118 @@ object Pipeline {
                ELSE 0.0 END AS rho,
              (n > 1 AND vx > 0 AND vy > 0) AS defined
       FROM v ORDER BY grp""",
+
+    "qCN_chi2_terms" -> """
+      WITH base AS (SELECT lang AS l, text FROM documents
+                    WHERE lang IS NOT NULL),
+      nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS nt FROM base),
+      lab AS (SELECT l, CAST(COUNT(*) AS BIGINT) AS nl
+              FROM base GROUP BY 1),
+      dt AS (SELECT l, unnest(list_distinct(
+               regexp_extract_all(text, '\S+'))) AS t FROM base),
+      pt AS (SELECT t, CAST(COUNT(*) AS BIGINT) AS df FROM dt
+             GROUP BY 1 HAVING COUNT(*) >= 2),
+      cl AS (SELECT t, l, CAST(COUNT(*) AS BIGINT) AS ntl
+             FROM dt GROUP BY 1, 2),
+      cand AS (SELECT pt.t, lab.l, pt.df, lab.nl,
+                 COALESCE(cl.ntl, 0) AS ntl
+               FROM pt CROSS JOIN lab
+               LEFT JOIN cl ON cl.t = pt.t AND cl.l = lab.l),
+      cells AS (SELECT l, t, ntl AS n11, df - ntl AS n01,
+                  nl - ntl AS n10, nt - df - nl + ntl AS n00, nt
+                FROM cand CROSS JOIN nn),
+      sc AS (SELECT l, t, n11, n01, n10, n00,
+               (n11 + n01 > 0 AND n11 + n10 > 0 AND n10 + n00 > 0
+                AND n01 + n00 > 0) AS defined,
+               CASE WHEN n11 + n01 > 0 AND n11 + n10 > 0
+                     AND n10 + n00 > 0 AND n01 + n00 > 0
+                 THEN (CAST(nt AS DOUBLE)
+                       * CAST(n11 * n00 - n01 * n10 AS DOUBLE)
+                       * CAST(n11 * n00 - n01 * n10 AS DOUBLE))
+                      / (CAST(n11 + n01 AS DOUBLE)
+                         * CAST(n11 + n10 AS DOUBLE)
+                         * CAST(n10 + n00 AS DOUBLE)
+                         * CAST(n01 + n00 AS DOUBLE))
+                 ELSE 0.0 END AS chi2
+             FROM cells),
+      rk AS (SELECT *, row_number() OVER (PARTITION BY l
+               ORDER BY CAST(floor(chi2 * 1000000000 + 0.5) AS BIGINT)
+                 DESC, t) AS rank
+             FROM sc)
+      SELECT l AS lang, t AS term, n11, n01, n10, n00,
+             round(chi2, 6) AS chi2, rank, defined
+      FROM rk WHERE rank <= 10 ORDER BY lang, rank""",
+
+    "qCP_rouge_n" -> """
+      WITH ev AS (SELECT doc_id // 2 AS pair_id, text AS cand
+                  FROM documents WHERE doc_id % 2 = 0),
+      od AS (SELECT doc_id // 2 AS pair_id, text AS ref
+             FROM documents WHERE doc_id % 2 = 1),
+      pr AS (SELECT ev.pair_id, cand, ref FROM ev JOIN od USING (pair_id)),
+      g AS (SELECT pair_id, unnest(list_transform(range(1, len(t)),
+              i -> t[i] || ' ' || t[i + 1])) AS gr, 1 AS cc, 0 AS rc
+            FROM (SELECT pair_id,
+                    regexp_extract_all(COALESCE(cand, ''), '\S+') AS t
+                  FROM pr) WHERE len(t) >= 2
+            UNION ALL
+            SELECT pair_id, unnest(list_transform(range(1, len(t)),
+              i -> t[i] || ' ' || t[i + 1])), 0, 1
+            FROM (SELECT pair_id,
+                    regexp_extract_all(COALESCE(ref, ''), '\S+') AS t
+                  FROM pr) WHERE len(t) >= 2),
+      cnt AS (SELECT pair_id, gr, CAST(SUM(cc) AS BIGINT) AS cc,
+                CAST(SUM(rc) AS BIGINT) AS rc FROM g GROUP BY 1, 2),
+      st AS (SELECT pair_id, CAST(SUM(least(cc, rc)) AS BIGINT) AS m,
+               CAST(SUM(cc) AS BIGINT) AS tc,
+               CAST(SUM(rc) AS BIGINT) AS tr FROM cnt GROUP BY 1)
+      SELECT p.pair_id, COALESCE(st.tc, 0) AS n_cand_grams,
+             COALESCE(st.tr, 0) AS n_ref_grams,
+             COALESCE(st.m, 0) AS n_matches,
+             CASE WHEN COALESCE(st.tc, 0) > 0 AND COALESCE(st.tr, 0) > 0
+               THEN round(CAST(st.m AS DOUBLE) / CAST(st.tc AS DOUBLE), 6)
+               ELSE 0.0 END AS rouge_p,
+             CASE WHEN COALESCE(st.tc, 0) > 0 AND COALESCE(st.tr, 0) > 0
+               THEN round(CAST(st.m AS DOUBLE) / CAST(st.tr AS DOUBLE), 6)
+               ELSE 0.0 END AS rouge_r,
+             CASE WHEN COALESCE(st.tc, 0) > 0 AND COALESCE(st.tr, 0) > 0
+               THEN round(2.0 * CAST(st.m AS DOUBLE)
+                          / CAST(st.tc + st.tr AS DOUBLE), 6)
+               ELSE 0.0 END AS rouge_f1,
+             COALESCE(st.tc, 0) > 0 AND COALESCE(st.tr, 0) > 0 AS defined
+      FROM (SELECT DISTINCT pair_id FROM pr) p
+      LEFT JOIN st USING (pair_id) ORDER BY pair_id""",
+
+    "qCQ_js_divergence" -> """
+      WITH tok AS (SELECT doc_id % 2 = 1 AS b,
+                     unnest(regexp_extract_all(text, '\S+')) AS t
+                   FROM documents),
+      c AS (SELECT t,
+              CAST(SUM(CASE WHEN NOT b THEN 1 ELSE 0 END) AS BIGINT) AS a,
+              CAST(SUM(CASE WHEN b THEN 1 ELSE 0 END) AS BIGINT) AS bc
+            FROM tok GROUP BY 1),
+      tot AS (SELECT COALESCE(CAST(SUM(a) AS BIGINT), 0) AS ta,
+                COALESCE(CAST(SUM(bc) AS BIGINT), 0) AS tb FROM c),
+      pq AS (SELECT a, bc, CAST(a AS DOUBLE) / CAST(ta AS DOUBLE) AS pd,
+               CAST(bc AS DOUBLE) / CAST(tb AS DOUBLE) AS qd
+             FROM c CROSS JOIN tot),
+      term AS (SELECT CAST(floor(
+                 ((CASE WHEN a > 0
+                     THEN 0.5 * pd * ln(2.0 * pd / (pd + qd))
+                     ELSE 0.0 END)
+                  + (CASE WHEN bc > 0
+                       THEN 0.5 * qd * ln(2.0 * qd / (pd + qd))
+                       ELSE 0.0 END)) * 1000000000 + 0.5) AS BIGINT)
+                 AS tq
+               FROM pq),
+      agg AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_vocab,
+                COALESCE(CAST(SUM(tq) AS BIGINT), 0) AS s FROM term)
+      SELECT agg.n_vocab, tot.ta AS total_a, tot.tb AS total_b,
+             CASE WHEN tot.ta > 0 AND tot.tb > 0
+               THEN round(CAST(s AS DOUBLE) / 1000000000.0
+                          / 0.6931471805599453, 6) + 0
+               ELSE 0.0 END AS js_bits,
+             tot.ta > 0 AND tot.tb > 0 AS defined
+      FROM agg CROSS JOIN tot""",
 
     "qCM_cartography" -> """
       WITH e AS (SELECT doc_id, (doc_id * (e + 1)) % 101 AS p,

@@ -1,0 +1,99 @@
+package graft
+
+import graft.operators.TextAnalysis
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class Round16OpsSpec extends AnyFunSuite {
+  private lazy val spark = GraftTestSession.spark
+  import spark.implicits._
+
+  test("chiSquaredTerms: 2x2 cells and chi2 by hand, total-order ranking") {
+    val docs = Seq(
+      ("en", "apple apple banana"), ("en", "apple cherry"),
+      ("de", "banana"), ("de", "cherry dog")
+    ).toDF("lang", "text")
+    val out = TextAnalysis.chiSquaredTerms(docs, "lang", "text", topK = 10)
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5),
+          r.getDouble(6), r.getLong(7), r.getBoolean(8)))).toMap
+    // apple is perfectly en-associated: N=4, cells (2,0,0,2),
+    // chi2 = 4*16/(2*2*2*2) = 4.0, rank 1
+    assert(out(("en", "apple")) == ((2L, 0L, 0L, 2L, 4.0, 1L, true)),
+      out(("en", "apple")).toString)
+    // dog (de-only, df=1): en cells (0,1,2,1), det=-2,
+    // chi2 = 4*4/(1*2*3*2) = 1.333333, rank 2
+    assert(out(("en", "dog")) == ((0L, 1L, 2L, 1L, 1.333333, 2L, true)),
+      out(("en", "dog")).toString)
+    // banana/cherry are uninformative (det=0) and tie at chi2=0:
+    // term-asc breaks the tie -> banana rank 3, cherry rank 4
+    assert(out(("en", "banana"))._6 == 3L && out(("en", "cherry"))._6 == 4L)
+    // the de column mirrors: apple chi2 4.0 (association is symmetric
+    // in a 2-label corpus), dog 1.333333
+    assert(out(("de", "apple"))._5 == 4.0 &&
+      out(("de", "dog"))._5 == 1.333333)
+  }
+
+  test("chiSquaredTerms: minDf prunes, single-label corpus undefined") {
+    val docs = Seq(
+      ("en", "apple banana"), ("en", "apple cherry"), ("de", "dog")
+    ).toDF("lang", "text")
+    val pruned = TextAnalysis.chiSquaredTerms(docs, "lang", "text",
+        topK = 10, minDf = 2)
+      .select("term").distinct().as[String].collect().toSet
+    assert(pruned == Set("apple"), s"minDf=2 should keep only apple: $pruned")
+    // one label: n10 + n00 = 0 for every term -> chi2 0, defined false
+    val one = Seq(("en", "apple banana"), ("en", "apple")).toDF("lang", "text")
+    val rows = TextAnalysis.chiSquaredTerms(one, "lang", "text", topK = 10)
+      .collect()
+    assert(rows.nonEmpty && rows.forall(r =>
+      r.getDouble(6) == 0.0 && !r.getBoolean(8)), rows.mkString(";"))
+  }
+
+  private def js(df: org.apache.spark.sql.DataFrame) =
+    TextAnalysis.jsDivergence(df, "in_b", "text").head()
+
+  test("jsDivergence: identical = 0, disjoint = 1 bit, empty undefined") {
+    val same = Seq((false, "a b"), (true, "a b")).toDF("in_b", "text")
+    val s = js(same)
+    assert((s.getLong(0), s.getLong(1), s.getLong(2), s.getDouble(3),
+      s.getBoolean(4)) == ((2L, 2L, 2L, 0.0, true)), s.toString)
+    // fully disjoint vocabularies: JS = ln 2 nats = exactly 1 bit
+    val disj = Seq((false, "x"), (true, "y")).toDF("in_b", "text")
+    assert(js(disj).getDouble(3) == 1.0, js(disj).toString)
+    // a token-less half has no distribution: visible, undefined
+    val half = Seq((false, "x y"), (true, "")).toDF("in_b", "text")
+    val h = js(half)
+    assert(h.getDouble(3) == 0.0 && !h.getBoolean(4), h.toString)
+    // symmetry: swapping the halves leaves JS unchanged
+    val ab = Seq((false, "a a b"), (true, "a b b")).toDF("in_b", "text")
+    val ba = Seq((true, "a a b"), (false, "a b b")).toDF("in_b", "text")
+    assert(js(ab).getDouble(3) == js(ba).getDouble(3))
+    assert(js(ab).getDouble(3) > 0.0 && js(ab).getDouble(3) < 1.0)
+  }
+
+  private def rouge(df: org.apache.spark.sql.DataFrame, n: Int) =
+    TextAnalysis.rougeN(df, "id", "cand", "ref", n)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getDouble(4), r.getDouble(5), r.getDouble(6),
+        r.getBoolean(7)))).toMap
+
+  test("rougeN: clipped matches, harmonic F1, visibility by hand") {
+    val uni = Seq(
+      (1L, "a b c", "a b d"),        // m=2/3+3 -> p=r=2/3, f1=2/3
+      (2L, "a a a", "a"),            // clipping: m=min(3,1)=1
+      (3L, "a b", ""),               // gram-less ref: visible, undefined
+      (4L, "x y", "x y")             // exact match
+    ).toDF("id", "cand", "ref")
+    val r1 = rouge(uni, 1)
+    assert(r1(1L) == ((3L, 3L, 2L, 0.666667, 0.666667, 0.666667, true)),
+      r1(1L).toString)
+    assert(r1(2L) == ((3L, 1L, 1L, 0.333333, 1.0, 0.5, true)),
+      r1(2L).toString)
+    assert(r1(3L) == ((2L, 0L, 0L, 0.0, 0.0, 0.0, false)), r1(3L).toString)
+    assert(r1(4L) == ((2L, 2L, 2L, 1.0, 1.0, 1.0, true)), r1(4L).toString)
+    // bigrams: cand {a b, b c} vs ref {b c, c d} share one gram
+    val bi = Seq((1L, "a b c", "b c d")).toDF("id", "cand", "ref")
+    assert(rouge(bi, 2)(1L) == ((2L, 2L, 1L, 0.5, 0.5, 0.5, true)))
+  }
+}
