@@ -1014,4 +1014,50 @@ class StreamingSpec extends AnyFunSuite {
       assert(streamed(bin) == exp, s"bin $bin: ${streamed(bin)} vs $exp")
     }
   }
+
+  test("StreamingCartography: streamed map rows equal batch") {
+    import graft.operators.TrainingDynamics
+    import graft.streaming.StreamingCartography
+    import spark.implicits._
+    // the qCM fixture from the real corpus; final per-example rows —
+    // including the integer-compare REGION label — must equal the
+    // batch audit bit-for-bit (integer state, the same divisions,
+    // BigDecimal HALF_UP == Spark round)
+    val trace = Tables.load(spark, "/root/testdata/sf0.001", "documents")
+      .select(col("doc_id"),
+        explode(array((0 to 2).map(e => struct(
+          ((col("doc_id") * (e + 1)) % 101).as("p"),
+          ((col("doc_id") + e) % 3 === 0).as("c"))): _*)).as("ep"))
+      .select(col("doc_id"), col("ep.p").as("prob_pct"),
+        col("ep.c").as("correct"))
+      .localCheckpoint(true)
+    val batch = TrainingDynamics.cartography(trace, "doc_id", "prob_pct",
+        "correct")
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2),
+        r.getDouble(3), r.getDouble(4), r.getString(5)))).toMap
+    val d = java.nio.file.Files.createTempDirectory(
+      new java.io.File("target").toPath.toAbsolutePath, "carto").toString
+    trace.repartition(4).write.mode("overwrite").parquet(d)
+    val latest = new java.util.concurrent.ConcurrentHashMap[
+      Long, (Long, Double, Double, Double, String)]()
+    val stream = spark.readStream.schema(trace.schema)
+      .option("maxFilesPerTrigger", 1).parquet(d)
+    val q = StreamingCartography.cartography(stream, "doc_id", "prob_pct",
+        "correct")
+      .writeStream.outputMode("update")
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        b.collect().foreach { r =>
+          latest.put(r.getLong(0), (r.getLong(1), r.getDouble(2),
+            r.getDouble(3), r.getDouble(4), r.getString(5)))
+        }
+      }.start()
+    try q.processAllAvailable() finally q.stop()
+    import scala.jdk.CollectionConverters._
+    val streamed = latest.asScala.toMap
+    assert(streamed.keySet == batch.keySet,
+      s"examples diverge: ${streamed.size} vs ${batch.size}")
+    batch.foreach { case (ex, exp) =>
+      assert(streamed(ex) == exp, s"example $ex: ${streamed(ex)} vs $exp")
+    }
+  }
 }
