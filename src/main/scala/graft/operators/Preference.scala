@@ -1283,6 +1283,96 @@ object Preference {
   }
 
   /**
+   * Murphy decomposition of the Brier score (Murphy 1973; Brier
+   * 1950) — the calibration family's variance analysis: BRIER =
+   * RELIABILITY − RESOLUTION + UNCERTAINTY, where reliability is the
+   * (bad) calibration gap [[expectedCalibrationError]] measures in
+   * L1, resolution is the (good) discrimination the forecaster
+   * actually adds, and uncertainty is the base-rate entropy nobody
+   * controls — two models with equal ECE can differ entirely in
+   * resolution, which is why the decomposition exists. (With binned
+   * forecasts the identity holds up to the within-bin variance term;
+   * the components are reported, the identity is not asserted.)
+   *
+   * Exact contract: integer-percent confidences (the qC8 domain,
+   * same guard); per-bin (n_b, Σy_b, Σp_b) and the GLOBAL Brier
+   * numerator Σ(p_i − 100·y_i)² are exact longs in any partition
+   * order (one corpus aggregate carries all four). Brier is ONE
+   * division of exact integers. The reliability and resolution terms
+   * telescope per bin — n_b·(conf_b−acc_b)² = (Σp_b − 100Σy_b)²/
+   * (10⁴·n_b) and n_b·(acc_b−acc)² = (nΣy_b − Σy·n_b)²/(n_b·n²) —
+   * each an exact-long numerator (2^53-safe to n < 3e9 docs,
+   * documented) over ONE division, quantized to the 1e-9 grid (the
+   * qCC axis) so the cross-bin sums are order-free; the final
+   * rescalings are fixed division chains mirrored verbatim. All four
+   * outputs are non-negative: plain round. Empty input emits the
+   * (0, 0.0 …, defined=false) row, never zero rows.
+   *
+   * Scale shape: ONE corpus partial/final aggregate to ≤ `bins`
+   * rows (localCheckpointed — metadata-sized, two consumers), then
+   * single-row folds. Nothing corpus-sized survives stage one.
+   *
+   * @return ONE row: (n, brier, reliability, resolution, uncertainty
+   *         — each rounded 6, defined)
+   */
+  def brierDecomposition(resp: DataFrame, pctCol: String,
+                         outcomeCol: String, bins: Int = 10): DataFrame = {
+    require(bins > 0, s"bins must be positive, got $bins")
+    require(org.apache.spark.sql.graftbridge.ColumnBridge
+        .isIntegral(resp.schema(pctCol).dataType),
+      s"brierDecomposition: $pctCol must be integral percent 0-100 (got " +
+        s"${resp.schema(pctCol).dataType.simpleString}) — quantize " +
+        "probabilities upstream")
+    val pct = col(pctCol).cast("long")
+    val guarded = when(pct >= 0 && pct <= 100, pct)
+      .otherwise(raise_error(concat(
+        lit("brierDecomposition: percent out of [0, 100]: "),
+        pct.cast("string"))))
+    val stats = resp.filter(col(pctCol).isNotNull &&
+        col(outcomeCol).isNotNull)
+      .select(least(floor(guarded * bins / lit(100)), lit(bins - 1))
+          .cast("int").as("__b"),
+        when(col(outcomeCol), 1L).otherwise(0L).as("__y"),
+        guarded.as("__p"))
+      .groupBy(col("__b"))
+      .agg(count(lit(1)).as("__n"), sum(col("__y")).as("__sy"),
+        sum(col("__p")).as("__sp"),
+        sum((col("__p") - lit(100L) * col("__y")) *
+          (col("__p") - lit(100L) * col("__y"))).as("__sq"))
+      .localCheckpoint(true) // <= bins rows, two consumers
+    val totals = stats.agg(
+      coalesce(sum(col("__n")), lit(0L)).as("__tn"),
+      coalesce(sum(col("__sy")), lit(0L)).as("__tsy"),
+      coalesce(sum(col("__sq")), lit(0L)).as("__tsq"))
+    val nd = col("__tn").cast("double")
+    val relDiff = col("__sp") - lit(100L) * col("__sy")
+    val resDiff = col("__tn") * col("__sy") - col("__tsy") * col("__n")
+    def q(t: org.apache.spark.sql.Column) =
+      floor(t * lit(1e9) + lit(0.5)).cast("long")
+    val terms = stats.crossJoin(broadcast(totals))
+      .select(
+        q(relDiff.cast("double") * relDiff.cast("double") /
+          col("__n").cast("double")).as("__relq"),
+        q(resDiff.cast("double") * resDiff.cast("double") /
+          col("__n").cast("double")).as("__resq"))
+      .agg(coalesce(sum(col("__relq")), lit(0L)).as("__rel"),
+        coalesce(sum(col("__resq")), lit(0L)).as("__res"))
+    val out = terms.crossJoin(totals)
+    val defined = col("__tn") > 0
+    out.select(col("__tn").as("n"),
+      when(defined, round(col("__tsq").cast("double") /
+        (lit(10000.0) * nd), 6)).otherwise(lit(0.0)).as("brier"),
+      when(defined, round(col("__rel").cast("double") / lit(1e9) /
+        lit(10000.0) / nd, 6)).otherwise(lit(0.0)).as("reliability"),
+      when(defined, round(col("__res").cast("double") / lit(1e9) /
+        nd / nd / nd, 6)).otherwise(lit(0.0)).as("resolution"),
+      when(defined, round((col("__tsy") * (col("__tn") - col("__tsy")))
+        .cast("double") / (nd * nd), 6)).otherwise(lit(0.0))
+        .as("uncertainty"),
+      defined.as("defined"))
+  }
+
+  /**
    * Kendall's tau-b rank correlation per group (Kendall 1938; the
    * tau-b tie correction per Agresti 2010 §2.1) — the RANK-based
    * twin of [[scoreCorrelation]]: Pearson r on raw scores is blown

@@ -1699,6 +1699,88 @@ object TextAnalysis {
   }
 
   /**
+   * Log-likelihood-ratio collocation extraction (Dunning 1993, the
+   * G² statistic) — the statistically-sound "what phrases does this
+   * corpus actually use" extractor (raw bigram counts surface
+   * stopword pairs; pointwise MI overweights hapaxes; G² is the
+   * field's standard fix for both): for every bigram (w1, w2) the
+   * 2×2 contingency over all N adjacent-token events — k11 = the
+   * bigram, k12 = w1 followed by something else, k21 = something
+   * else followed by w2, k22 = the rest — scored by G² =
+   * 2·Σ k·ln(k·N / (rowsum·colsum)), 0·ln 0 = 0. Phrase tables,
+   * tokenizer-merge candidates and boilerplate phrase detectors all
+   * start here.
+   *
+   * Exact contract: all counts are exact longs in any partition
+   * order; G² is ONE shared dag over those longs (four guarded
+   * k·ln(kN/(rs·cs)) terms in a fixed left-associated sum, ×2),
+   * [[graft.functions.GateRound]]ed — analytically ≥ 0 but the
+   * float sum of signed terms can land at −ε/−0.0. The top-k cut is
+   * a TOTAL order: G² quantized to the 1e-9 grid (the qCC axis),
+   * ties (w1, w2) ASC — Spark plans the limit as
+   * TakeOrderedAndProject (distributed per-partition top-k, never a
+   * global sort).
+   *
+   * Scale shape: one token-pair explode → one (w1, w2) hash
+   * aggregate (localCheckpointed — THREE consumers: the two marginal
+   * re-aggregates and the scoring join would each replay the corpus
+   * explode, the klDriftMatrix lesson); marginals join back on their
+   * own keys (never corpus-sized shuffles), N is a broadcast
+   * single-row cross; `minCount` prunes the hapax tail BEFORE the
+   * joins — at web scale the prune is what keeps the candidate frame
+   * bounded.
+   *
+   * @return top-k rows: (w1, w2, c12, c1, c2, n_bigrams,
+   *         g2 rounded 6)
+   */
+  def collocations(docs: DataFrame, textCol: String, topK: Int,
+                   minCount: Long = 2L): DataFrame = {
+    require(topK > 0, s"topK must be positive, got $topK")
+    require(minCount >= 1L, s"minCount must be >= 1, got $minCount")
+    val toks = tokens(col(textCol))
+    val pairs = when(col(textCol).isNotNull && size(toks) >= 2,
+      transform(sequence(lit(1), size(toks) - 1),
+        i => struct(element_at(toks, i).as("w1"),
+          element_at(toks, i + 1).as("w2"))))
+      .otherwise(array().cast("array<struct<w1:string,w2:string>>"))
+    val counts = docs.select(explode(pairs).as("__pr"))
+      .select(col("__pr.w1").as("__w1"), col("__pr.w2").as("__w2"))
+      .groupBy(col("__w1"), col("__w2"))
+      .agg(count(lit(1)).as("__c12"))
+      .localCheckpoint(true) // three consumers of the bigram table
+    val c1 = counts.groupBy(col("__w1")).agg(sum(col("__c12")).as("__c1"))
+    val c2 = counts.groupBy(col("__w2")).agg(sum(col("__c12")).as("__c2"))
+    val nRow = counts.agg(coalesce(sum(col("__c12")), lit(0L)).as("__nn"))
+    val scored = counts.filter(col("__c12") >= minCount)
+      .join(c1, Seq("__w1")).join(c2, Seq("__w2"))
+      .crossJoin(broadcast(nRow))
+    val k11 = col("__c12")
+    val k12 = col("__c1") - col("__c12")
+    val k21 = col("__c2") - col("__c12")
+    val k22 = col("__nn") - col("__c1") - col("__c2") + col("__c12")
+    val nnd = col("__nn").cast("double")
+    def term(k: org.apache.spark.sql.Column, rs: org.apache.spark.sql.Column,
+             cs: org.apache.spark.sql.Column) =
+      when(k > 0, k.cast("double") *
+        log(k.cast("double") * nnd / (rs.cast("double") * cs.cast("double"))))
+        .otherwise(lit(0.0))
+    val r1 = col("__c1")
+    val r2 = col("__nn") - col("__c1")
+    val s1 = col("__c2")
+    val s2 = col("__nn") - col("__c2")
+    val g2 = lit(2.0) * (term(k11, r1, s1) + term(k12, r1, s2) +
+      term(k21, r2, s1) + term(k22, r2, s2))
+    val g2q = floor(g2 * lit(1e9) + lit(0.5)).cast("long")
+    scored.select(col("__w1").as("w1"), col("__w2").as("w2"),
+        col("__c12").as("c12"), col("__c1").as("c1"),
+        col("__c2").as("c2"), col("__nn").as("n_bigrams"),
+        graft.functions.GateRound(g2, 6).as("g2"), g2q.as("__g2q"))
+      .orderBy(col("__g2q").desc, col("w1"), col("w2"))
+      .limit(topK)
+      .drop("__g2q")
+  }
+
+  /**
    * Jensen–Shannon divergence between two corpus halves' unigram
    * token distributions (Lin 1991) — the SYMMETRIC, always-finite
    * companion to [[klDriftMatrix]] for the before/after mixture

@@ -1835,6 +1835,28 @@ object Pipeline {
         .orderBy(col("grp"))
     }),
 
+    // Murphy decomposition of the Brier score (Murphy 1973): brier =
+    // reliability - resolution + uncertainty over the qC8 fixture —
+    // exact integer numerators per term, 1e-9-grid quantized cross-bin
+    // sums, fixed division chains
+    "qCS_brier_decomposition" -> ((s, dir) => {
+      graft.operators.Preference.brierDecomposition(
+          T(s, dir)("documents").select(
+            (col("doc_id") % 101).as("pct"),
+            (col("doc_id") % 3 === 0).as("correct")),
+          "pct", "correct", bins = 10)
+    }),
+
+    // G^2 log-likelihood-ratio collocations (Dunning 1993): top-30
+    // bigram phrases by the 2x2 adjacency contingency — exact long
+    // cells, one shared four-term dag, total-order cut (1e-9 grid +
+    // lexicographic ties) planned as TakeOrderedAndProject
+    "qCT_collocations" -> ((s, dir) => {
+      TextAnalysis.collocations(T(s, dir)("documents"), "text",
+          topK = 30, minCount = 2)
+        .orderBy(col("w1"), col("w2"))
+    }),
+
     // chi-squared token-label feature selection (Manning et al. 2008
     // §13.5.2): top-10 terms per language by exact 2x2 presence
     // cells — one shared float dag over exact longs, 1e-9-grid
@@ -4045,6 +4067,91 @@ object Pipeline {
                ELSE 0.0 END AS rho,
              (n > 1 AND vx > 0 AND vy > 0) AS defined
       FROM v ORDER BY grp""",
+
+    "qCS_brier_decomposition" -> """
+      WITH r AS (SELECT doc_id % 101 AS pct, doc_id % 3 = 0 AS y
+                 FROM documents),
+      st AS (SELECT CAST(least(floor(pct * 10 / 100), 9) AS INT) AS b,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(CASE WHEN y THEN 1 ELSE 0 END) AS BIGINT) AS sy,
+               CAST(SUM(pct) AS BIGINT) AS sp,
+               CAST(SUM((pct - 100 * (CASE WHEN y THEN 1 ELSE 0 END))
+                    * (pct - 100 * (CASE WHEN y THEN 1 ELSE 0 END)))
+                 AS BIGINT) AS sq
+             FROM r GROUP BY 1),
+      tot AS (SELECT COALESCE(CAST(SUM(n) AS BIGINT), 0) AS tn,
+                COALESCE(CAST(SUM(sy) AS BIGINT), 0) AS tsy,
+                COALESCE(CAST(SUM(sq) AS BIGINT), 0) AS tsq FROM st),
+      terms AS (SELECT
+          CAST(floor(CAST(sp - 100 * sy AS DOUBLE)
+               * CAST(sp - 100 * sy AS DOUBLE)
+               / CAST(n AS DOUBLE) * 1000000000 + 0.5) AS BIGINT) AS relq,
+          CAST(floor(CAST(tn * sy - tsy * n AS DOUBLE)
+               * CAST(tn * sy - tsy * n AS DOUBLE)
+               / CAST(n AS DOUBLE) * 1000000000 + 0.5) AS BIGINT) AS resq
+        FROM st CROSS JOIN tot),
+      ta AS (SELECT COALESCE(CAST(SUM(relq) AS BIGINT), 0) AS rel,
+               COALESCE(CAST(SUM(resq) AS BIGINT), 0) AS res FROM terms)
+      SELECT tn AS n,
+        CASE WHEN tn > 0 THEN round(CAST(tsq AS DOUBLE)
+             / (10000.0 * CAST(tn AS DOUBLE)), 6) ELSE 0.0 END AS brier,
+        CASE WHEN tn > 0 THEN round(CAST(rel AS DOUBLE) / 1000000000.0
+             / 10000.0 / CAST(tn AS DOUBLE), 6) ELSE 0.0 END
+          AS reliability,
+        CASE WHEN tn > 0 THEN round(CAST(res AS DOUBLE) / 1000000000.0
+             / CAST(tn AS DOUBLE) / CAST(tn AS DOUBLE)
+             / CAST(tn AS DOUBLE), 6) ELSE 0.0 END AS resolution,
+        CASE WHEN tn > 0 THEN round(CAST(tsy * (tn - tsy) AS DOUBLE)
+             / (CAST(tn AS DOUBLE) * CAST(tn AS DOUBLE)), 6)
+          ELSE 0.0 END AS uncertainty,
+        tn > 0 AS defined
+      FROM ta CROSS JOIN tot""",
+
+    "qCT_collocations" -> """
+      WITH tk AS (SELECT regexp_extract_all(text, '\S+') AS t
+                  FROM documents),
+      bg AS (SELECT unnest(list_transform(range(1, len(t)),
+               i -> t[i])) AS w1,
+             unnest(list_transform(range(1, len(t)),
+               i -> t[i + 1])) AS w2
+             FROM tk WHERE len(t) >= 2),
+      c AS (SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS c12
+            FROM bg GROUP BY 1, 2),
+      m1 AS (SELECT w1, CAST(SUM(c12) AS BIGINT) AS c1 FROM c GROUP BY 1),
+      m2 AS (SELECT w2, CAST(SUM(c12) AS BIGINT) AS c2 FROM c GROUP BY 1),
+      nn AS (SELECT COALESCE(CAST(SUM(c12) AS BIGINT), 0) AS n FROM c),
+      s AS (SELECT c.w1, c.w2, c.c12, m1.c1, m2.c2, nn.n
+            FROM c JOIN m1 USING (w1) JOIN m2 USING (w2) CROSS JOIN nn
+            WHERE c.c12 >= 2),
+      g AS (SELECT *,
+              2.0 * ((CASE WHEN c12 > 0
+                  THEN CAST(c12 AS DOUBLE) * ln(CAST(c12 AS DOUBLE)
+                       * CAST(n AS DOUBLE)
+                       / (CAST(c1 AS DOUBLE) * CAST(c2 AS DOUBLE)))
+                  ELSE 0.0 END)
+                + (CASE WHEN c1 - c12 > 0
+                  THEN CAST(c1 - c12 AS DOUBLE) * ln(CAST(c1 - c12 AS DOUBLE)
+                       * CAST(n AS DOUBLE)
+                       / (CAST(c1 AS DOUBLE) * CAST(n - c2 AS DOUBLE)))
+                  ELSE 0.0 END)
+                + (CASE WHEN c2 - c12 > 0
+                  THEN CAST(c2 - c12 AS DOUBLE) * ln(CAST(c2 - c12 AS DOUBLE)
+                       * CAST(n AS DOUBLE)
+                       / (CAST(n - c1 AS DOUBLE) * CAST(c2 AS DOUBLE)))
+                  ELSE 0.0 END)
+                + (CASE WHEN n - c1 - c2 + c12 > 0
+                  THEN CAST(n - c1 - c2 + c12 AS DOUBLE)
+                       * ln(CAST(n - c1 - c2 + c12 AS DOUBLE)
+                            * CAST(n AS DOUBLE)
+                            / (CAST(n - c1 AS DOUBLE)
+                               * CAST(n - c2 AS DOUBLE)))
+                  ELSE 0.0 END)) AS g2raw
+            FROM s)
+      SELECT w1, w2, c12, c1, c2, n AS n_bigrams,
+             round(g2raw, 6) + 0 AS g2
+      FROM g
+      ORDER BY CAST(floor(g2raw * 1000000000 + 0.5) AS BIGINT) DESC, w1, w2
+      LIMIT 30""",
 
     "qCN_chi2_terms" -> """
       WITH base AS (SELECT lang AS l, text FROM documents

@@ -96,4 +96,53 @@ class Round16OpsSpec extends AnyFunSuite {
     val bi = Seq((1L, "a b c", "b c d")).toDF("id", "cand", "ref")
     assert(rouge(bi, 2)(1L) == ((2L, 2L, 1L, 0.5, 0.5, 0.5, true)))
   }
+
+  private def brier(df: org.apache.spark.sql.DataFrame) = {
+    val r = graft.operators.Preference
+      .brierDecomposition(df, "pct", "correct").head()
+    (r.getLong(0), r.getDouble(1), r.getDouble(2), r.getDouble(3),
+      r.getDouble(4), r.getBoolean(5))
+  }
+
+  test("brierDecomposition: Murphy components by hand") {
+    // perfectly calibrated and fully resolved: brier 0 = rel 0 -
+    // res 0.25 + unc 0.25 (the identity holds exactly here)
+    val perfect = Seq((100L, true), (100L, true), (0L, false), (0L, false))
+      .toDF("pct", "correct")
+    assert(brier(perfect) == ((4L, 0.0, 0.0, 0.25, 0.25, true)),
+      brier(perfect).toString)
+    // confidently wrong everywhere: brier 1 = rel 1 - res 0.25 + 0.25
+    val inverted = Seq((100L, false), (0L, true)).toDF("pct", "correct")
+    assert(brier(inverted) == ((2L, 1.0, 1.0, 0.25, 0.25, true)),
+      brier(inverted).toString)
+    // empty input: the one visible undefined row, never zero rows
+    assert(brier(perfect.filter(col("pct") < 0L)) ==
+      ((0L, 0.0, 0.0, 0.0, 0.0, false)))
+    // domain refusals: out-of-range percent mid-job, float at entry
+    intercept[Exception] {
+      brier(Seq((101L, true)).toDF("pct", "correct"))
+    }
+    intercept[IllegalArgumentException] {
+      graft.operators.Preference.brierDecomposition(
+        Seq((0.5, true)).toDF("pct", "correct"), "pct", "correct")
+    }
+  }
+
+  test("collocations: G2 contingency by hand, minCount prunes hapaxes") {
+    val docs = Seq("a b", "a b", "a b", "a c", "c b").toDF("text")
+    // bigram events: (a,b)x3, (a,c), (c,b) -> N=5; for (a,b):
+    // k=(3,1,1,0), G2 = 2*(3*ln(15/16) + ln(5/4) + ln(5/4)) = 0.505343
+    val kept = TextAnalysis.collocations(docs, "text", topK = 10,
+        minCount = 2)
+      .collect().map(r => (r.getString(0), r.getString(1),
+        r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5),
+        r.getDouble(6)))
+    assert(kept.toSeq == Seq(("a", "b", 3L, 4L, 4L, 5L, 0.505343)),
+      kept.mkString(";"))
+    // minCount=1 keeps the hapax pairs; tie on g2 -> lexicographic cut
+    val all = TextAnalysis.collocations(docs, "text", topK = 2,
+        minCount = 1)
+      .collect().map(r => (r.getString(0), r.getString(1)))
+    assert(all.toSeq == Seq(("a", "b"), ("a", "c")), all.mkString(";"))
+  }
 }
