@@ -1283,6 +1283,62 @@ object Preference {
   }
 
   /**
+   * Wald's sequential probability-ratio test monitor (Wald 1945) —
+   * the "can I stop this eval yet" operator: an A/B model comparison
+   * streaming win/loss verdicts can stop the moment the evidence
+   * crosses a boundary, at a FRACTION of the fixed-n sample cost
+   * (Wald's theorem: SPRT minimizes expected samples at both
+   * hypotheses for the same error rates). Per group, the
+   * log-likelihood ratio of H1 (win rate p1) against H0 (p0) after w
+   * wins / l losses, and the decision against the
+   * (α, β)-error boundaries A = ln((1−β)/α), B = ln(β/(1−α)).
+   *
+   * Exact contract: all four parameters arrive as integer PERCENTS
+   * (the qC8 domain convention), so every input to the float dag —
+   * w, l, p0, p1, α, β — is an exact integer and the llr
+   * w·ln(p1/p0) + l·ln((100−p1)/(100−p0)) and both boundaries are
+   * ONE shared dag mirrored verbatim in the oracle; the boundary
+   * COMPARES run on those identical doubles, so the decision string
+   * is engine-independent. llr is signed → gateRounded; the decision
+   * uses the UNROUNDED value.
+   *
+   * Scale shape: one partial/final aggregate to |groups| rows.
+   *
+   * @return (byCol, n, wins, losses, llr rounded 6, decision ∈
+   *         {accept_h1, accept_h0, continue})
+   */
+  def sprtMonitor(resp: DataFrame, byCol: String, winCol: String,
+                  p0Pct: Int = 50, p1Pct: Int = 60,
+                  alphaPct: Int = 5, betaPct: Int = 5): DataFrame = {
+    require(0 < p0Pct && p0Pct < p1Pct && p1Pct < 100,
+      s"need 0 < p0 < p1 < 100 in percent, got ($p0Pct, $p1Pct)")
+    require(0 < alphaPct && alphaPct < 100 && 0 < betaPct && betaPct < 100,
+      s"error rates must be percents in (0, 100), got " +
+        s"($alphaPct, $betaPct)")
+    require(resp.schema(winCol).dataType ==
+        org.apache.spark.sql.types.BooleanType,
+      s"sprtMonitor: $winCol must be boolean (got " +
+        s"${resp.schema(winCol).dataType.simpleString})")
+    val stats = resp.filter(col(byCol).isNotNull && col(winCol).isNotNull)
+      .groupBy(col(byCol))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col(winCol), 1L).otherwise(0L)).as("wins"),
+        sum(when(!col(winCol), 1L).otherwise(0L)).as("losses"))
+    val winLr = log(lit(p1Pct.toDouble) / lit(p0Pct.toDouble))
+    val lossLr = log(lit((100 - p1Pct).toDouble) /
+      lit((100 - p0Pct).toDouble))
+    val llr = col("wins").cast("double") * winLr +
+      col("losses").cast("double") * lossLr
+    val upper = log(lit((100 - betaPct).toDouble) / lit(alphaPct.toDouble))
+    val lower = log(lit(betaPct.toDouble) / lit((100 - alphaPct).toDouble))
+    stats.select(col(byCol), col("n"), col("wins"), col("losses"),
+      graft.functions.GateRound(llr, 6).as("llr"),
+      when(llr >= upper, lit("accept_h1"))
+        .when(llr <= lower, lit("accept_h0"))
+        .otherwise(lit("continue")).as("decision"))
+  }
+
+  /**
    * Murphy decomposition of the Brier score (Murphy 1973; Brier
    * 1950) — the calibration family's variance analysis: BRIER =
    * RELIABILITY − RESOLUTION + UNCERTAINTY, where reliability is the

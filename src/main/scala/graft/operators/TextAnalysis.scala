@@ -1781,6 +1781,72 @@ object TextAnalysis {
   }
 
   /**
+   * Interpolated Kneser–Ney bigram model table (Kneser & Ney 1995;
+   * Chen & Goodman 1999 eq. 4.25, fixed discount) — the smoothing
+   * that actually works for language data, and the reason "San
+   * Francisco" doesn't make "Francisco" a likely sentence starter:
+   * the backoff weight of a word is its CONTINUATION count (how many
+   * distinct contexts it follows), not its raw frequency. This is
+   * the model table an n-gram quality scorer / infill-data generator
+   * trains: P_KN(w2|w1) = max(c₁₂ − D, 0)/c₁ + λ(w1)·P_cont(w2),
+   * λ(w1) = D·N₁₊(w1·)/c₁, P_cont(w2) = N₁₊(·w2)/N₁₊(··).
+   *
+   * Exact contract: every count in the formula — c₁₂, the context
+   * total c₁, the forward type count N₁₊(w1·), the continuation
+   * count N₁₊(·w2) and the bigram-type total N₁₊(··) — is an exact
+   * long in any partition order; D = 0.75 is a LITERAL (exact in
+   * binary: 3/4), and P_KN is ONE shared dag over those longs
+   * mirrored verbatim in the oracle. The top-k cut needs no
+   * quantization at all: (c₁₂ DESC, w1, w2) is a total order on
+   * exact integers. P ∈ (0, 1]: plain round.
+   *
+   * Scale shape: one token-pair explode → one (w1, w2) hash
+   * aggregate (localCheckpointed — FOUR consumers: three marginal
+   * re-aggregates and the scoring join); marginals join back on
+   * their own keys, the type total is a broadcast single-row cross.
+   * The model table is bigram-type-sized, never corpus-sized.
+   *
+   * @return top-k rows: (w1, w2, c12, c1, n1f, n1b, n_types,
+   *         p_kn rounded 6)
+   */
+  def kneserNeyBigrams(docs: DataFrame, textCol: String, topK: Int,
+                       discount: Double = 0.75): DataFrame = {
+    require(topK > 0, s"topK must be positive, got $topK")
+    require(discount > 0.0 && discount < 1.0,
+      s"discount must be in (0, 1), got $discount")
+    val toks = tokens(col(textCol))
+    val prs = when(col(textCol).isNotNull && size(toks) >= 2,
+      transform(sequence(lit(1), size(toks) - 1),
+        i => struct(element_at(toks, i).as("w1"),
+          element_at(toks, i + 1).as("w2"))))
+      .otherwise(array().cast("array<struct<w1:string,w2:string>>"))
+    val counts = docs.select(explode(prs).as("__pr"))
+      .select(col("__pr.w1").as("__w1"), col("__pr.w2").as("__w2"))
+      .groupBy(col("__w1"), col("__w2"))
+      .agg(count(lit(1)).as("__c12"))
+      .localCheckpoint(true) // four consumers of the bigram table
+    val ctx = counts.groupBy(col("__w1"))
+      .agg(sum(col("__c12")).as("__c1"),
+        count(lit(1)).as("__n1f"))
+    val cont = counts.groupBy(col("__w2"))
+      .agg(count(lit(1)).as("__n1b"))
+    val types = counts.agg(count(lit(1)).as("__nt"))
+    val d = lit(discount)
+    val scored = counts.join(ctx, Seq("__w1")).join(cont, Seq("__w2"))
+      .crossJoin(broadcast(types))
+    val pkn = greatest(col("__c12").cast("double") - d, lit(0.0)) /
+      col("__c1").cast("double") +
+      (d * col("__n1f").cast("double") / col("__c1").cast("double")) *
+      (col("__n1b").cast("double") / col("__nt").cast("double"))
+    scored.select(col("__w1").as("w1"), col("__w2").as("w2"),
+        col("__c12").as("c12"), col("__c1").as("c1"),
+        col("__n1f").as("n1f"), col("__n1b").as("n1b"),
+        col("__nt").as("n_types"), round(pkn, 6).as("p_kn"))
+      .orderBy(col("c12").desc, col("w1"), col("w2"))
+      .limit(topK)
+  }
+
+  /**
    * Jensen–Shannon divergence between two corpus halves' unigram
    * token distributions (Lin 1991) — the SYMMETRIC, always-finite
    * companion to [[klDriftMatrix]] for the before/after mixture

@@ -89,4 +89,85 @@ object TrainingDynamics {
         .when(lit(2L) * col("__sp") > lit(100L) * n, lit("easy_to_learn"))
         .otherwise(lit("hard_to_learn")).as("region"))
   }
+
+  /**
+   * Cluster–label agreement audit: purity and normalized mutual
+   * information between a clustering (e.g. the [[Similarity]]
+   * centroid assignments, a dedup component id) and an external
+   * label (source, language, topic) — the standard external
+   * validation pair (Manning et al. 2008 §16.3: purity alone rewards
+   * shattering into singletons; NMI's normalization is the fix, so
+   * the two are reported together). "Did my embedding clusters just
+   * rediscover the source field" is this audit.
+   *
+   * Exact contract: the (cluster, label) contingency and all
+   * marginals are exact longs in any partition order. Purity =
+   * Σ_c max_l n_cl / n — integer maxes, ONE division. Each MI term
+   * (n_cl/n)·ln(n·n_cl/(n_c·n_l)) and each entropy term
+   * −(n_c/n)·ln(n_c/n) is ONE shared dag over exact longs quantized
+   * to a 1e-9-grid long (the qCC axis) — the cross-cell sums are
+   * exact integers in any partition order; NMI = I/√(H_C·H_L) is a
+   * fixed dag over the three quantized sums. MI is analytically ≥ 0
+   * but quantization residue can land at −ε → gateRounded (NMI
+   * likewise). A single-cluster or single-label input has a zero
+   * entropy → NMI undefined (defined = false), purity still
+   * reported.
+   *
+   * Scale shape: one corpus partial/final aggregate to the
+   * |clusters|·|labels| contingency; every later step re-aggregates
+   * that metadata-sized frame (localCheckpointed — four consumers).
+   *
+   * @return ONE row: (n, n_clusters, n_labels, purity rounded 6,
+   *         mi_nats rounded 6, nmi rounded 6, defined)
+   */
+  def clusterLabelAgreement(assign: DataFrame, clusterCol: String,
+                            labelCol: String): DataFrame = {
+    val cells = assign.filter(col(clusterCol).isNotNull &&
+        col(labelCol).isNotNull)
+      .groupBy(col(clusterCol).cast("string").as("__c"),
+        col(labelCol).cast("string").as("__l"))
+      .agg(count(lit(1)).as("__ncl"))
+      .localCheckpoint(true) // contingency-sized, four consumers
+    val byC = cells.groupBy(col("__c")).agg(sum(col("__ncl")).as("__nc"),
+      max(col("__ncl")).as("__mx"))
+    val byL = cells.groupBy(col("__l")).agg(sum(col("__ncl")).as("__nl"))
+    val tot = byC.agg(coalesce(sum(col("__nc")), lit(0L)).as("__n"),
+      coalesce(sum(col("__mx")), lit(0L)).as("__pur"),
+      count(lit(1)).as("n_clusters"))
+    val nd = col("__n").cast("double")
+    def q(t: org.apache.spark.sql.Column) =
+      floor(t * lit(1e9) + lit(0.5)).cast("long")
+    val mi = cells.join(byC.select(col("__c"), col("__nc")), Seq("__c"))
+      .join(byL, Seq("__l")).crossJoin(broadcast(tot))
+      .select(q(col("__ncl").cast("double") / nd *
+        log(nd * col("__ncl").cast("double") /
+          (col("__nc").cast("double") * col("__nl").cast("double"))))
+        .as("__t"))
+      .agg(coalesce(sum(col("__t")), lit(0L)).as("__miq"))
+    // every scalar stays IN the plan as a single-row cross (the qC5
+    // lesson: an eager first()/count() at construction time executes
+    // jobs before the caller asked for any)
+    def entropy(m: DataFrame, cnt: String, out: String) =
+      m.crossJoin(broadcast(tot.select(col("__n"))))
+        .select(q(lit(-1.0) * (col(cnt).cast("double") / nd) *
+          log(col(cnt).cast("double") / nd)).as("__t"))
+        .agg(coalesce(sum(col("__t")), lit(0L)).as(out))
+    val hcF = entropy(byC.select(col("__nc")), "__nc", "__hcq")
+    val hlF = entropy(byL.select(col("__nl")), "__nl", "__hlq")
+    val labF = byL.agg(count(lit(1)).as("n_labels"))
+    val iNats = col("__miq").cast("double") / lit(1e9)
+    val nmi = iNats / sqrt((col("__hcq").cast("double") / lit(1e9)) *
+      (col("__hlq").cast("double") / lit(1e9)))
+    val defined = col("__n") > 0 && col("__hcq") > 0L && col("__hlq") > 0L
+    mi.crossJoin(tot).crossJoin(hcF).crossJoin(hlF).crossJoin(labF)
+      .select(col("__n").as("n"), col("n_clusters"), col("n_labels"),
+        when(col("__n") > 0, round(col("__pur").cast("double") / nd, 6))
+          .otherwise(lit(0.0)).as("purity"),
+        when(col("__n") > 0,
+          graft.functions.GateRound(iNats, 6)).otherwise(lit(0.0))
+          .as("mi_nats"),
+        when(defined, graft.functions.GateRound(nmi, 6)).otherwise(lit(0.0))
+          .as("nmi"),
+        defined.as("defined"))
+  }
 }

@@ -1835,6 +1835,39 @@ object Pipeline {
         .orderBy(col("grp"))
     }),
 
+    // interpolated Kneser-Ney bigram model table (Kneser & Ney 1995):
+    // top-50 bigrams with the continuation-count backoff — every
+    // count exact, D=0.75 a binary-exact literal, one shared dag;
+    // the cut needs no quantization (c12 desc is an integer order)
+    "qCU_kneser_ney" -> ((s, dir) => {
+      TextAnalysis.kneserNeyBigrams(T(s, dir)("documents"), "text",
+          topK = 50)
+        .orderBy(col("w1"), col("w2"))
+    }),
+
+    // Wald's SPRT eval monitor (Wald 1945): per-source stop/continue
+    // decision for an A/B win stream at (p0=50%, p1=60%, a=b=5%) —
+    // integer-percent params, one shared llr dag, boundary compares
+    // on identical doubles
+    "qCV_sprt_monitor" -> ((s, dir) => {
+      graft.operators.Preference.sprtMonitor(
+          T(s, dir)("documents").select(col("source"),
+            (col("doc_id") % 7 > 3).as("win")),
+          "source", "win")
+        .orderBy(col("source"))
+    }),
+
+    // cluster-label agreement (Manning et al. 2008 §16.3): purity +
+    // NMI between a synthetic 8-way clustering and the source label —
+    // exact contingency, 1e-9-grid quantized MI/entropy terms, one
+    // fixed NMI dag
+    "qCW_cluster_agreement" -> ((s, dir) => {
+      graft.operators.TrainingDynamics.clusterLabelAgreement(
+          T(s, dir)("documents").select(
+            (col("doc_id") % 8).as("cluster"), col("source")),
+          "cluster", "source")
+    }),
+
     // Murphy decomposition of the Brier score (Murphy 1973): brier =
     // reliability - resolution + uncertainty over the qC8 fixture —
     // exact integer numerators per term, 1e-9-grid quantized cross-bin
@@ -4067,6 +4100,92 @@ object Pipeline {
                ELSE 0.0 END AS rho,
              (n > 1 AND vx > 0 AND vy > 0) AS defined
       FROM v ORDER BY grp""",
+
+    "qCU_kneser_ney" -> """
+      WITH tk AS (SELECT regexp_extract_all(text, '\S+') AS t
+                  FROM documents),
+      bg AS (SELECT unnest(list_transform(range(1, len(t)),
+               i -> t[i])) AS w1,
+             unnest(list_transform(range(1, len(t)),
+               i -> t[i + 1])) AS w2
+             FROM tk WHERE len(t) >= 2),
+      c AS (SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS c12
+            FROM bg GROUP BY 1, 2),
+      ctx AS (SELECT w1, CAST(SUM(c12) AS BIGINT) AS c1,
+                CAST(COUNT(*) AS BIGINT) AS n1f FROM c GROUP BY 1),
+      cont AS (SELECT w2, CAST(COUNT(*) AS BIGINT) AS n1b
+               FROM c GROUP BY 1),
+      ty AS (SELECT CAST(COUNT(*) AS BIGINT) AS nt FROM c),
+      s AS (SELECT c.w1, c.w2, c.c12, ctx.c1, ctx.n1f, cont.n1b, ty.nt
+            FROM c JOIN ctx USING (w1) JOIN cont USING (w2)
+            CROSS JOIN ty)
+      SELECT w1, w2, c12, c1, n1f, n1b, nt AS n_types,
+             round(greatest(CAST(c12 AS DOUBLE) - 0.75, 0.0)
+                     / CAST(c1 AS DOUBLE)
+                   + (0.75 * CAST(n1f AS DOUBLE) / CAST(c1 AS DOUBLE))
+                     * (CAST(n1b AS DOUBLE) / CAST(nt AS DOUBLE)), 6)
+               AS p_kn
+      FROM s ORDER BY c12 DESC, w1, w2 LIMIT 50""",
+
+    "qCV_sprt_monitor" -> """
+      WITH r AS (SELECT source, doc_id % 7 > 3 AS w FROM documents),
+      st AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(CASE WHEN w THEN 1 ELSE 0 END) AS BIGINT)
+                 AS wins,
+               CAST(SUM(CASE WHEN NOT w THEN 1 ELSE 0 END) AS BIGINT)
+                 AS losses
+             FROM r GROUP BY 1),
+      v AS (SELECT *, CAST(wins AS DOUBLE) * ln(60.0 / 50.0)
+              + CAST(losses AS DOUBLE) * ln(40.0 / 50.0) AS llr
+            FROM st)
+      SELECT source, n, wins, losses, round(llr, 6) + 0 AS llr,
+             CASE WHEN llr >= ln(95.0 / 5.0) THEN 'accept_h1'
+                  WHEN llr <= ln(5.0 / 95.0) THEN 'accept_h0'
+                  ELSE 'continue' END AS decision
+      FROM v ORDER BY source""",
+
+    "qCW_cluster_agreement" -> """
+      WITH a AS (SELECT CAST(doc_id % 8 AS VARCHAR) AS c, source AS l
+                 FROM documents),
+      cells AS (SELECT c, l, CAST(COUNT(*) AS BIGINT) AS ncl
+                FROM a GROUP BY 1, 2),
+      bc AS (SELECT c, CAST(SUM(ncl) AS BIGINT) AS nc,
+               CAST(MAX(ncl) AS BIGINT) AS mx FROM cells GROUP BY 1),
+      bl AS (SELECT l, CAST(SUM(ncl) AS BIGINT) AS nl
+             FROM cells GROUP BY 1),
+      tot AS (SELECT COALESCE(CAST(SUM(nc) AS BIGINT), 0) AS n,
+                COALESCE(CAST(SUM(mx) AS BIGINT), 0) AS pur,
+                CAST(COUNT(*) AS BIGINT) AS n_clusters FROM bc),
+      mi AS (SELECT COALESCE(CAST(SUM(CAST(floor(
+               CAST(ncl AS DOUBLE) / CAST(n AS DOUBLE)
+               * ln(CAST(n AS DOUBLE) * CAST(ncl AS DOUBLE)
+                    / (CAST(nc AS DOUBLE) * CAST(nl AS DOUBLE)))
+               * 1000000000 + 0.5) AS BIGINT)) AS BIGINT), 0) AS miq
+             FROM cells JOIN bc USING (c) JOIN bl USING (l)
+             CROSS JOIN tot),
+      hc AS (SELECT COALESCE(CAST(SUM(CAST(floor(
+               -1.0 * (CAST(nc AS DOUBLE) / CAST(n AS DOUBLE))
+               * ln(CAST(nc AS DOUBLE) / CAST(n AS DOUBLE))
+               * 1000000000 + 0.5) AS BIGINT)) AS BIGINT), 0) AS hcq
+             FROM bc CROSS JOIN tot),
+      hl AS (SELECT COALESCE(CAST(SUM(CAST(floor(
+               -1.0 * (CAST(nl AS DOUBLE) / CAST(n AS DOUBLE))
+               * ln(CAST(nl AS DOUBLE) / CAST(n AS DOUBLE))
+               * 1000000000 + 0.5) AS BIGINT)) AS BIGINT), 0) AS hlq
+             FROM bl CROSS JOIN tot),
+      lc AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_labels FROM bl)
+      SELECT tot.n, tot.n_clusters, lc.n_labels,
+             CASE WHEN tot.n > 0 THEN round(CAST(tot.pur AS DOUBLE)
+                  / CAST(tot.n AS DOUBLE), 6) ELSE 0.0 END AS purity,
+             CASE WHEN tot.n > 0 THEN round(CAST(miq AS DOUBLE)
+                  / 1000000000.0, 6) + 0 ELSE 0.0 END AS mi_nats,
+             CASE WHEN tot.n > 0 AND hcq > 0 AND hlq > 0
+               THEN round((CAST(miq AS DOUBLE) / 1000000000.0)
+                    / sqrt((CAST(hcq AS DOUBLE) / 1000000000.0)
+                           * (CAST(hlq AS DOUBLE) / 1000000000.0)), 6) + 0
+               ELSE 0.0 END AS nmi,
+             tot.n > 0 AND hcq > 0 AND hlq > 0 AS defined
+      FROM mi CROSS JOIN tot CROSS JOIN hc CROSS JOIN hl CROSS JOIN lc""",
 
     "qCS_brier_decomposition" -> """
       WITH r AS (SELECT doc_id % 101 AS pct, doc_id % 3 = 0 AS y

@@ -145,4 +145,85 @@ class Round16OpsSpec extends AnyFunSuite {
       .collect().map(r => (r.getString(0), r.getString(1)))
     assert(all.toSeq == Seq(("a", "b"), ("a", "c")), all.mkString(";"))
   }
+
+  test("kneserNeyBigrams: continuation-count smoothing by hand") {
+    val docs = Seq("a b", "a b", "a b", "a c", "c b").toDF("text")
+    // types (a,b):3 (a,c):1 (c,b):1; ctx a:(c1=4,n1f=2) c:(1,1);
+    // cont b:2 c:1; nt=3
+    val m = TextAnalysis.kneserNeyBigrams(docs, "text", topK = 10)
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5),
+          r.getLong(6), r.getDouble(7)))).toMap
+    // P(b|a) = 2.25/4 + (0.75*2/4)*(2/3) = 0.8125
+    assert(m(("a", "b")) == ((3L, 4L, 2L, 2L, 3L, 0.8125)),
+      m(("a", "b")).toString)
+    // P(c|a) = 0.25/4 + 0.375*(1/3) = 0.1875 — probabilities per
+    // context sum to exactly 1 (the KN normalization)
+    assert(m(("a", "c"))._6 == 0.1875)
+    assert(m(("a", "b"))._6 + m(("a", "c"))._6 == 1.0)
+    // P(b|c) = 0.25/1 + 0.75*(2/3) = 0.75
+    assert(m(("c", "b"))._6 == 0.75)
+    // the top-k cut is by raw count then lexicographic
+    val top2 = TextAnalysis.kneserNeyBigrams(docs, "text", topK = 2)
+      .collect().map(r => (r.getString(0), r.getString(1)))
+    assert(top2.toSeq == Seq(("a", "b"), ("a", "c")), top2.mkString(";"))
+    intercept[IllegalArgumentException] {
+      TextAnalysis.kneserNeyBigrams(docs, "text", topK = 10,
+        discount = 1.5)
+    }
+  }
+
+  test("sprtMonitor: boundary decisions and llr by hand") {
+    import graft.operators.Preference
+    val df = Seq.fill(17)(("h1", true)) ++ Seq.fill(15)(("h0", false)) ++
+      (Seq.fill(5)(("c", true)) ++ Seq.fill(5)(("c", false))) ++
+      Seq.fill(10)(("almost", true))
+    val out = Preference.sprtMonitor(df.toDF("src", "win"), "src", "win")
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getDouble(4), r.getString(5)))).toMap
+    // 17 straight wins: llr = 17 ln 1.2 = 3.099466 >= ln 19 -> stop
+    assert(out("h1") == ((17L, 17L, 0L, 3.099466, "accept_h1")),
+      out("h1").toString)
+    // 15 straight losses: 15 ln 0.8 = -3.347153 <= ln(1/19) -> stop
+    assert(out("h0")._5 == "accept_h0", out("h0").toString)
+    // a 5-5 split and a 10-win streak both stay in the continue band
+    assert(out("c")._5 == "continue" && out("c")._4 == -0.20411)
+    assert(out("almost") == ((10L, 10L, 0L, 1.823216, "continue")),
+      out("almost").toString)
+    intercept[IllegalArgumentException] {
+      Preference.sprtMonitor(df.toDF("src", "win"), "src", "win",
+        p0Pct = 60, p1Pct = 50)
+    }
+    intercept[IllegalArgumentException] {
+      Preference.sprtMonitor(Seq(("a", 1L)).toDF("src", "win"),
+        "src", "win")
+    }
+  }
+
+  private def agree(df: org.apache.spark.sql.DataFrame) = {
+    val r = graft.operators.TrainingDynamics
+      .clusterLabelAgreement(df, "c", "l").head()
+    (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3),
+      r.getDouble(4), r.getDouble(5), r.getBoolean(6))
+  }
+
+  test("clusterLabelAgreement: purity and NMI by hand") {
+    // perfect alignment: purity 1, MI = H = ln 2, NMI exactly 1
+    val perfect = Seq(("A", "x"), ("A", "x"), ("B", "y"), ("B", "y"))
+      .toDF("c", "l")
+    assert(agree(perfect) == ((4L, 2L, 2L, 1.0, 0.693147, 1.0, true)),
+      agree(perfect).toString)
+    // independence: every cell uniform -> MI 0, NMI 0, purity 0.5
+    val indep = Seq(("A", "x"), ("A", "y"), ("B", "x"), ("B", "y"))
+      .toDF("c", "l")
+    assert(agree(indep) == ((4L, 2L, 2L, 0.5, 0.0, 0.0, true)),
+      agree(indep).toString)
+    // one cluster: H_C = 0 -> NMI undefined, purity still reported
+    val one = Seq(("A", "x"), ("A", "y")).toDF("c", "l")
+    val o = agree(one)
+    assert(o._4 == 0.5 && o._6 == 0.0 && !o._7, o.toString)
+    // empty input: the single visible undefined row
+    assert(agree(perfect.filter(col("c") === "zz")) ==
+      ((0L, 0L, 0L, 0.0, 0.0, 0.0, false)))
+  }
 }
