@@ -1060,4 +1060,80 @@ class StreamingSpec extends AnyFunSuite {
       assert(streamed(ex) == exp, s"example $ex: ${streamed(ex)} vs $exp")
     }
   }
+
+  test("StreamingSprt: streamed decisions equal batch at the end state") {
+    import graft.operators.Preference
+    import graft.streaming.StreamingSprt
+    import spark.implicits._
+    // the qCV fixture from the real corpus; final per-group rows —
+    // llr AND the boundary decision string — must equal batch
+    val verdicts = Tables.load(spark, "/root/testdata/sf0.001", "documents")
+      .select(col("source"), (col("doc_id") % 7 > 3).as("win"))
+      .localCheckpoint(true)
+    val batch = Preference.sprtMonitor(verdicts, "source", "win")
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getDouble(4), r.getString(5)))).toMap
+    val d = java.nio.file.Files.createTempDirectory(
+      new java.io.File("target").toPath.toAbsolutePath, "sprt").toString
+    verdicts.repartition(4).write.mode("overwrite").parquet(d)
+    val latest = new java.util.concurrent.ConcurrentHashMap[
+      String, (Long, Long, Long, Double, String)]()
+    val stream = spark.readStream.schema(verdicts.schema)
+      .option("maxFilesPerTrigger", 1).parquet(d)
+    val q = StreamingSprt.sprtMonitor(stream, "source", "win")
+      .writeStream.outputMode("update")
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        b.collect().foreach { r =>
+          latest.put(r.getString(0), (r.getLong(1), r.getLong(2),
+            r.getLong(3), r.getDouble(4), r.getString(5)))
+        }
+      }.start()
+    try q.processAllAvailable() finally q.stop()
+    import scala.jdk.CollectionConverters._
+    val streamed = latest.asScala.toMap
+    assert(streamed.keySet == batch.keySet)
+    batch.foreach { case (g, exp) =>
+      assert(streamed(g) == exp, s"group $g: ${streamed(g)} vs $exp")
+    }
+  }
+
+  test("StreamingMcNemar: streamed paired-classifier rows equal batch") {
+    import graft.operators.Preference
+    import graft.streaming.StreamingMcNemar
+    import spark.implicits._
+    val graded = Tables.load(spark, "/root/testdata/sf0.001", "documents")
+      .select(col("source"), (col("doc_id") % 7 > 3).as("pred_a"),
+        (col("doc_id") % 5 > 2).as("pred_b"),
+        (col("doc_id") % 3 === 0).as("truth"))
+      .localCheckpoint(true)
+    val batch = Preference.mcnemar(graded, "source", "pred_a", "pred_b",
+        "truth")
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5), r.getDouble(6),
+        r.getBoolean(7)))).toMap
+    val d = java.nio.file.Files.createTempDirectory(
+      new java.io.File("target").toPath.toAbsolutePath, "mcnemar").toString
+    graded.repartition(4).write.mode("overwrite").parquet(d)
+    val latest = new java.util.concurrent.ConcurrentHashMap[
+      String, (Long, Long, Long, Long, Long, Double, Boolean)]()
+    val stream = spark.readStream.schema(graded.schema)
+      .option("maxFilesPerTrigger", 1).parquet(d)
+    val q = StreamingMcNemar.mcnemar(stream, "source", "pred_a", "pred_b",
+        "truth")
+      .writeStream.outputMode("update")
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        b.collect().foreach { r =>
+          latest.put(r.getString(0), (r.getLong(1), r.getLong(2),
+            r.getLong(3), r.getLong(4), r.getLong(5), r.getDouble(6),
+            r.getBoolean(7)))
+        }
+      }.start()
+    try q.processAllAvailable() finally q.stop()
+    import scala.jdk.CollectionConverters._
+    val streamed = latest.asScala.toMap
+    assert(streamed.keySet == batch.keySet)
+    batch.foreach { case (g, exp) =>
+      assert(streamed(g) == exp, s"group $g: ${streamed(g)} vs $exp")
+    }
+  }
 }
