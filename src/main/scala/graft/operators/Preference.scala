@@ -1283,6 +1283,117 @@ object Preference {
   }
 
   /**
+   * Exact binomial sign test (Arbuthnott 1710 lineage; the paired
+   * A/B significance test) — the FIXED-n companion to [[sprtMonitor]]
+   * and the exact version of [[mcnemar]]: given w wins and l losses
+   * (ties excluded upstream), the two-sided p-value under the null
+   * p = ½ is min(1, 2·P(X ≥ max(w, l))) with X ~ Bin(n, ½) — no
+   * normal approximation, valid at the small n where arena
+   * comparisons actually live.
+   *
+   * Exact contract: w, l are exact longs; the tail probability is a
+   * shared fold over exact integers — each term C(n,i)/2ⁿ is
+   * 2⁻ⁿ·Π_{j=1..k}((n−i+j)/j) with 2⁻ⁿ EXACT in binary (a power of
+   * two; any correct pow returns it bit-exactly), the ratio product
+   * folded left-to-right from the 1.0 identity (bitwise ≡ DuckDB's
+   * first-element `list_reduce`, the qC2/qCH precedent) and the
+   * outer tail sum folded left-to-right from +0.0 over POSITIVE
+   * terms. p ∈ (0, 1]: plain round. The fold is O((n−k)·n) per
+   * group — `maxN` is ENFORCED plan-side (raise_error): past it the
+   * per-row fold melts the task and 2⁻ⁿ approaches underflow.
+   *
+   * Scale shape: one partial/final aggregate to |groups| rows; the
+   * fold is per-row arithmetic on constants.
+   *
+   * @return (byCol, n, wins, losses, p_two rounded 6, defined —
+   *         false on empty groups)
+   */
+  def signTest(resp: DataFrame, byCol: String, winCol: String,
+               maxN: Int = 1000): DataFrame = {
+    require(maxN > 0 && maxN <= 1074,
+      s"maxN must be in [1, 1074], got $maxN — 2^-n underflows past " +
+        "1074 and the O(n^2) fold melts long before")
+    require(resp.schema(winCol).dataType ==
+        org.apache.spark.sql.types.BooleanType,
+      s"signTest: $winCol must be boolean (got " +
+        s"${resp.schema(winCol).dataType.simpleString}) — exclude ties " +
+        "upstream; a silent coercion would bend the null")
+    val stats = resp.filter(col(byCol).isNotNull && col(winCol).isNotNull)
+      .groupBy(col(byCol))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col(winCol), 1L).otherwise(0L)).as("wins"),
+        sum(when(!col(winCol), 1L).otherwise(0L)).as("losses"))
+    val n = col("n")
+    val guardedN = when(n <= maxN, n).otherwise(raise_error(concat(
+      lit("signTest: group "), col(byCol).cast("string"), lit(" has "),
+      n.cast("string"),
+      lit(s" untied comparisons > maxN=$maxN — the exact O(n^2) tail " +
+        "fold melts its task; sample the comparisons or use the normal " +
+        "approximation at this size."))))
+    val nd = guardedN.cast("double")
+    val k = greatest(col("wins"), col("losses"))
+    // term_i = 2^-n * prod_{j=1..i}((n-i+j)/j), folded from the 1.0
+    // identity; tail = sum_{i=k..n} term_i folded from +0.0 — both
+    // fold shapes shared bitwise with the oracle's list_reduce
+    val tail = aggregate(sequence(k.cast("int"), n.cast("int")), lit(0.0),
+      (s, i) => s + pow(lit(0.5), nd) *
+        aggregate(sequence(lit(1), i), lit(1.0),
+          (acc, j) => acc * ((nd - i.cast("double") + j.cast("double")) /
+            j.cast("double"))))
+    stats.select(col(byCol), col("n"), col("wins"), col("losses"),
+      when(n > 0, round(least(lit(1.0), lit(2.0) * tail), 6))
+        .otherwise(lit(0.0)).as("p_two"),
+      (n > 0).as("defined"))
+  }
+
+  /**
+   * Stratified (confound-controlled) win rate — the practical
+   * length-controlled preference rate (the AlpacaEval-2 problem
+   * without the logistic fit): a raw win rate over pairs confounded
+   * by, e.g., response length rewards the verbose model; averaging
+   * the PER-STRATUM win rates with equal weights (direct
+   * standardization) asks "how often does A win WITHIN a length
+   * bucket" instead. Reported beside the raw rate — the gap between
+   * the two IS the confound's contribution.
+   *
+   * Exact contract: per-stratum (n_s, w_s) are exact longs; each
+   * stratum's rate is ONE division quantized to a 1e-9-grid long
+   * (the qCC axis) so the cross-stratum sum is an exact integer in
+   * any partition order, and the stratified rate is a fixed
+   * division chain (Σq/1e9/k). Rates ∈ [0, 1]: plain round. Empty
+   * strata cannot exist (a stratum exists only via its rows).
+   *
+   * Scale shape: two chained partial/final aggregates —
+   * (group, stratum) then group; nothing else.
+   *
+   * @return (byCol, n, n_strata, raw_rate rounded 6,
+   *         stratified_rate rounded 6)
+   */
+  def stratifiedWinRate(resp: DataFrame, byCol: String, strataCol: String,
+                        winCol: String): DataFrame = {
+    require(resp.schema(winCol).dataType ==
+        org.apache.spark.sql.types.BooleanType,
+      s"stratifiedWinRate: $winCol must be boolean (got " +
+        s"${resp.schema(winCol).dataType.simpleString})")
+    val per = resp.filter(col(byCol).isNotNull && col(strataCol).isNotNull &&
+        col(winCol).isNotNull)
+      .groupBy(col(byCol), col(strataCol))
+      .agg(count(lit(1)).as("__ns"),
+        sum(when(col(winCol), 1L).otherwise(0L)).as("__ws"))
+    val rateQ = floor(col("__ws").cast("double") /
+      col("__ns").cast("double") * lit(1e9) + lit(0.5)).cast("long")
+    per.select(col(byCol), col("__ns"), col("__ws"), rateQ.as("__rq"))
+      .groupBy(col(byCol))
+      .agg(sum(col("__ns")).as("n"), sum(col("__ws")).as("__w"),
+        count(lit(1)).as("n_strata"), sum(col("__rq")).as("__sq"))
+      .select(col(byCol), col("n"), col("n_strata"),
+        round(col("__w").cast("double") / col("n").cast("double"), 6)
+          .as("raw_rate"),
+        round(col("__sq").cast("double") / lit(1e9) /
+          col("n_strata").cast("double"), 6).as("stratified_rate"))
+  }
+
+  /**
    * Wald's sequential probability-ratio test monitor (Wald 1945) —
    * the "can I stop this eval yet" operator: an A/B model comparison
    * streaming win/loss verdicts can stop the moment the evidence

@@ -1835,6 +1835,30 @@ object Pipeline {
         .orderBy(col("grp"))
     }),
 
+    // exact binomial sign test (the paired A/B significance check):
+    // two-sided p under p=1/2 via the 2^-n ratio-product tail fold —
+    // every fold shape shared bitwise with the oracle's list_reduce
+    "qCX_sign_test" -> ((s, dir) => {
+      graft.operators.Preference.signTest(
+          T(s, dir)("documents").select(col("source"),
+            (col("doc_id") % 7 > 3).as("win")),
+          "source", "win")
+        .orderBy(col("source"))
+    }),
+
+    // stratified (confound-controlled) win rate: equal-weight average
+    // of per-length-bucket win rates beside the raw rate — the
+    // AlpacaEval-2 length control without the logistic fit; per-stratum
+    // rates quantize to the 1e-9 grid so the cross-stratum sum is exact
+    "qCY_stratified_winrate" -> ((s, dir) => {
+      graft.operators.Preference.stratifiedWinRate(
+          T(s, dir)("documents").select(col("source"),
+            expr("least(n_chars div 500, 3)").as("stratum"),
+            (col("doc_id") % 7 > 3).as("win")),
+          "source", "stratum", "win")
+        .orderBy(col("source"))
+    }),
+
     // interpolated Kneser-Ney bigram model table (Kneser & Ney 1995):
     // top-50 bigrams with the continuation-count backoff — every
     // count exact, D=0.75 a binary-exact literal, one shared dag;
@@ -4100,6 +4124,47 @@ object Pipeline {
                ELSE 0.0 END AS rho,
              (n > 1 AND vx > 0 AND vy > 0) AS defined
       FROM v ORDER BY grp""",
+
+    "qCX_sign_test" -> """
+      WITH r AS (SELECT source, doc_id % 7 > 3 AS w FROM documents),
+      st AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(CASE WHEN w THEN 1 ELSE 0 END) AS BIGINT)
+                 AS wins,
+               CAST(SUM(CASE WHEN NOT w THEN 1 ELSE 0 END) AS BIGINT)
+                 AS losses
+             FROM r GROUP BY 1),
+      v AS (SELECT *, greatest(wins, losses) AS k FROM st),
+      p AS (SELECT *, list_reduce(list_transform(range(k, n + 1),
+              i -> pow(0.5, CAST(n AS DOUBLE)) * list_reduce(
+                     list_transform(range(1, i + 1),
+                       j -> (CAST(n AS DOUBLE) - CAST(i AS DOUBLE)
+                             + CAST(j AS DOUBLE)) / CAST(j AS DOUBLE)),
+                     (a, b) -> a * b)),
+              (a, b) -> a + b) AS tail
+            FROM v)
+      SELECT source, n, wins, losses,
+             CASE WHEN n > 0 THEN round(least(1.0, 2.0 * tail), 6)
+               ELSE 0.0 END AS p_two,
+             n > 0 AS defined
+      FROM p ORDER BY source""",
+
+    "qCY_stratified_winrate" -> """
+      WITH r AS (SELECT source, least(n_chars // 500, 3) AS stratum,
+                   doc_id % 7 > 3 AS w FROM documents),
+      per AS (SELECT source, stratum, CAST(COUNT(*) AS BIGINT) AS ns,
+                CAST(SUM(CASE WHEN w THEN 1 ELSE 0 END) AS BIGINT) AS ws
+              FROM r GROUP BY 1, 2),
+      q AS (SELECT source, ns, ws,
+              CAST(floor(CAST(ws AS DOUBLE) / CAST(ns AS DOUBLE)
+                   * 1000000000 + 0.5) AS BIGINT) AS rq
+            FROM per)
+      SELECT source, CAST(SUM(ns) AS BIGINT) AS n,
+             CAST(COUNT(*) AS BIGINT) AS n_strata,
+             round(CAST(SUM(ws) AS DOUBLE) / CAST(SUM(ns) AS DOUBLE), 6)
+               AS raw_rate,
+             round(CAST(SUM(rq) AS DOUBLE) / 1000000000.0
+                   / CAST(COUNT(*) AS DOUBLE), 6) AS stratified_rate
+      FROM q GROUP BY 1 ORDER BY source""",
 
     "qCU_kneser_ney" -> """
       WITH tk AS (SELECT regexp_extract_all(text, '\S+') AS t

@@ -226,4 +226,51 @@ class Round16OpsSpec extends AnyFunSuite {
     assert(agree(perfect.filter(col("c") === "zz")) ==
       ((0L, 0L, 0L, 0.0, 0.0, 0.0, false)))
   }
+
+  test("signTest: exact binomial tails by hand") {
+    import graft.operators.Preference
+    val df = (Seq.fill(5)(("a", true)) ++
+      (Seq.fill(4)(("b", true)) ++ Seq.fill(1)(("b", false))) ++
+      (Seq.fill(3)(("c", true)) ++ Seq.fill(3)(("c", false))))
+      .toDF("src", "win")
+    val out = Preference.signTest(df, "src", "win")
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getDouble(4), r.getBoolean(5)))).toMap
+    // 5-0: p = 2 * C(5,5)/32 = 0.0625
+    assert(out("a") == ((5L, 5L, 0L, 0.0625, true)), out("a").toString)
+    // 4-1: p = 2 * (C(5,4)+C(5,5))/32 = 12/32 = 0.375
+    assert(out("b") == ((5L, 4L, 1L, 0.375, true)), out("b").toString)
+    // 3-3: 2 * 42/64 = 1.3125 clamps to 1.0
+    assert(out("c") == ((6L, 3L, 3L, 1.0, true)), out("c").toString)
+    // an oversize group refuses the O(n^2) fold loudly
+    intercept[Exception] {
+      Preference.signTest(df, "src", "win", maxN = 4).collect()
+    }
+    intercept[IllegalArgumentException] {
+      Preference.signTest(df, "src", "win", maxN = 2000)
+    }
+    intercept[IllegalArgumentException] {
+      Preference.signTest(Seq(("a", 1L)).toDF("src", "win"), "src", "win")
+    }
+  }
+
+  test("stratifiedWinRate: direct standardization by hand") {
+    import graft.operators.Preference
+    // stratum s1: 3/4 wins, s2: 0/1 -> raw 3/5 = 0.6 but the
+    // equal-weight stratified rate is (0.75 + 0)/2 = 0.375 — the gap
+    // IS the confound's contribution
+    val df = Seq(("A", 1L, true), ("A", 1L, true), ("A", 1L, true),
+      ("A", 1L, false), ("A", 2L, false),
+      ("B", 1L, true), ("B", 2L, true)
+    ).toDF("m", "stratum", "win")
+    val out = Preference.stratifiedWinRate(df, "m", "stratum", "win")
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getDouble(4)))).toMap
+    assert(out("A") == ((5L, 2L, 0.6, 0.375)), out("A").toString)
+    assert(out("B") == ((2L, 2L, 1.0, 1.0)), out("B").toString)
+    intercept[IllegalArgumentException] {
+      Preference.stratifiedWinRate(Seq(("a", 1L, 1L))
+        .toDF("m", "stratum", "win"), "m", "stratum", "win")
+    }
+  }
 }
