@@ -1,0 +1,206 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/**
+ * Binary-classifier evaluation — the audit loop for the quality /
+ * domain / contamination filters the pipeline trains
+ * ([[TextAnalysis]]'s NB classifier, curation filters, PII
+ * detectors): exact confusion-matrix metrics, the rank-sum AUC
+ * effect size, and the threshold sweep that picks a filter's
+ * operating point. The reference engine has no classifier operators
+ * (gigapi-querier is SQL passthrough, `querier/query.go:1`); this
+ * family exists for the training-data pipeline bar.
+ */
+object Classification {
+
+  /**
+   * Rank-sum AUC (Mann–Whitney U / the probabilistic index; Hanley &
+   * McNeil 1982) — P(score of a random positive > score of a random
+   * negative) + ½·P(tie): the threshold-free ranking quality of a
+   * scorer, and simultaneously the Mann–Whitney two-sample test
+   * statistic between the two score distributions. Computed WITHOUT
+   * the quadratic pair space: AUC = (R⁺ − n⁺(n⁺+1)/2)/(n⁺·n⁻) from
+   * the positives' rank sum — the [[Preference.spearmanRho]] doubled
+   * average-rank trick makes every intermediate an exact long
+   * (2U = ΣR2⁺ − n⁺(n⁺+1)), and AUC is ONE division of exact longs.
+   * Scores must be integral (quantize upstream). A single-class
+   * group emits 0 with defined = false.
+   *
+   * Scale shape: one hash exchange on the group key + one
+   * in-partition sort (rank + tie-count windows share it), one
+   * partial/final aggregate. Exactness bound: ΣR2⁺ < 2^53 → group
+   * size < 6.7e7, ENFORCED plan-side via `maxGroup` (the qCL
+   * convention).
+   *
+   * @return (byCol, n_pos, n_neg, u2 — the exact 2·U long,
+   *         auc rounded 6, defined)
+   */
+  def rankSumAuc(df: DataFrame, byCol: String, scoreCol: String,
+                 labelCol: String, maxGroup: Long = 10000000L): DataFrame = {
+    require(maxGroup > 0 && maxGroup <= 67000000L,
+      s"maxGroup must be in [1, 6.7e7], got $maxGroup — the doubled " +
+        "rank sum exceeds 2^53 past it")
+    require(org.apache.spark.sql.graftbridge.ColumnBridge
+        .isIntegral(df.schema(scoreCol).dataType),
+      s"rankSumAuc: $scoreCol must be integral (got " +
+        s"${df.schema(scoreCol).dataType.simpleString}) — exact rank " +
+        "ties need exact equality")
+    require(df.schema(labelCol).dataType ==
+        org.apache.spark.sql.types.BooleanType,
+      s"rankSumAuc: $labelCol must be boolean (got " +
+        s"${df.schema(labelCol).dataType.simpleString})")
+    val clean = df.filter(col(byCol).isNotNull && col(scoreCol).isNotNull &&
+        col(labelCol).isNotNull)
+      .select(col(byCol).as("__g"), col(scoreCol).cast("long").as("__s"),
+        col(labelCol).as("__y"))
+    val g = Window.partitionBy(col("__g"))
+    val r2 = lit(2L) * rank().over(g.orderBy(col("__s"))).cast("long") +
+      count(lit(1)).over(Window.partitionBy(col("__g"), col("__s"))) -
+      lit(1L)
+    val n = count(lit(1)).over(g)
+    val ranked = clean.select(col("__g"), col("__y"),
+      when(n <= maxGroup, r2).otherwise(raise_error(concat(
+        lit("rankSumAuc: group "), col("__g").cast("string"), lit(" has "),
+        n.cast("string"),
+        lit(s" items > maxGroup=$maxGroup -> the doubled rank sum " +
+          "exceeds 2^53 and the exact AUC contract breaks; sample the " +
+          "group.")))).as("__r2"))
+    val stats = ranked.groupBy(col("__g"))
+      .agg(sum(when(col("__y"), 1L).otherwise(0L)).as("n_pos"),
+        sum(when(!col("__y"), 1L).otherwise(0L)).as("n_neg"),
+        sum(when(col("__y"), col("__r2")).otherwise(0L)).as("__rp"))
+    val u2 = col("__rp") - col("n_pos") * (col("n_pos") + 1L)
+    val defined = col("n_pos") > 0 && col("n_neg") > 0
+    stats.select(col("__g").as(byCol), col("n_pos"), col("n_neg"),
+      when(defined, u2).otherwise(lit(0L)).as("u2"),
+      when(defined, round(u2.cast("double") /
+        (lit(2L) * col("n_pos") * col("n_neg")).cast("double"), 6))
+        .otherwise(lit(0.0)).as("auc"),
+      defined.as("defined"))
+  }
+
+  /**
+   * Confusion-matrix report per group — accuracy, precision, recall,
+   * F1, balanced accuracy and Matthews correlation from exact
+   * TP/FP/FN/TN longs: the standard per-slice filter scorecard (MCC
+   * is the one that stays honest under class imbalance — a 99%-
+   * negative slice scores 0.99 accuracy on the constant classifier
+   * but MCC 0). Every rate is ONE division of exact integers; F1
+   * uses the harmonic identity 2TP/(2TP+FP+FN); balanced accuracy
+   * and MCC are fixed per-group dags over the exact cells (no
+   * cross-row float folds anywhere), MCC gateRounded (signed) with
+   * any zero margin → 0/defined_mcc = false. 2^53 determinant bound:
+   * TP·TN < 2^53 holds to ~9.5e7 positives·negatives per group —
+   * document-scale slices; pre-aggregate past it.
+   *
+   * Scale shape: one partial/final aggregate to |groups| rows.
+   *
+   * @return (byCol, n, tp, fp, fn, tn, accuracy, precision, recall,
+   *         f1, balanced_accuracy, mcc — each rounded 6, defined_mcc)
+   */
+  def classifierReport(df: DataFrame, byCol: String, predCol: String,
+                       truthCol: String): DataFrame = {
+    Seq(predCol, truthCol).foreach { c =>
+      require(df.schema(c).dataType ==
+          org.apache.spark.sql.types.BooleanType,
+        s"classifierReport: $c must be boolean (got " +
+          s"${df.schema(c).dataType.simpleString}) — threshold upstream")
+    }
+    val p = col(predCol)
+    val t = col(truthCol)
+    val stats = df.filter(col(byCol).isNotNull && p.isNotNull && t.isNotNull)
+      .groupBy(col(byCol))
+      .agg(count(lit(1)).as("n"),
+        sum(when(p && t, 1L).otherwise(0L)).as("tp"),
+        sum(when(p && !t, 1L).otherwise(0L)).as("fp"),
+        sum(when(!p && t, 1L).otherwise(0L)).as("fn"),
+        sum(when(!p && !t, 1L).otherwise(0L)).as("tn"))
+    def d(c: Column) = c.cast("double")
+    def rate(num: Column, den: Column, name: String) =
+      when(den > 0, round(d(num) / d(den), 6)).otherwise(lit(0.0)).as(name)
+    val tp = col("tp"); val fp = col("fp")
+    val fn = col("fn"); val tn = col("tn")
+    val mccNum = tp * tn - fp * fn
+    val m1 = tp + fp; val m2 = tp + fn; val m3 = tn + fp; val m4 = tn + fn
+    val mccDef = m1 > 0 && m2 > 0 && m3 > 0 && m4 > 0
+    stats.select(col(byCol), col("n"), tp, fp, fn, tn,
+      rate(tp + tn, col("n"), "accuracy"),
+      rate(tp, tp + fp, "precision"),
+      rate(tp, tp + fn, "recall"),
+      rate(lit(2L) * tp, lit(2L) * tp + fp + fn, "f1"),
+      when(m2 > 0 && m3 > 0, round((d(tp) / d(m2) + d(tn) / d(m3)) /
+        lit(2.0), 6)).otherwise(lit(0.0)).as("balanced_accuracy"),
+      when(mccDef, graft.functions.GateRound(d(mccNum) /
+        sqrt(d(m1) * d(m2) * d(m3) * d(m4)), 6)).otherwise(lit(0.0))
+        .as("mcc"),
+      mccDef.as("defined_mcc"))
+  }
+
+  /**
+   * Threshold sweep (the PR/ROC curve's point table) per group over
+   * an integer-percent score: for every threshold t ∈ 0..100,
+   * "predict positive when score ≥ t" — exact TP/FP/FN/TN at each
+   * operating point and one-division precision/recall: the table a
+   * filter's operating point is CHOSEN from (precision floor →
+   * lowest t that clears it). The percent domain is ENFORCED (the
+   * qC8 raise_error convention).
+   *
+   * Scale shape: one corpus partial/final aggregate to ≤ 101
+   * distinct (group, score) rows per group, then a bounded
+   * 101×distinct-scores range join per group (≤ 101² rows) — the
+   * corpus is never range-joined, only its per-score summary. The
+   * densified spine keeps every threshold visible even where no
+   * score lands.
+   *
+   * @return 101 rows per group: (byCol, threshold, tp, fp, fn, tn,
+   *         precision, recall, defined — false where TP+FP = 0)
+   */
+  def thresholdSweep(df: DataFrame, byCol: String, scorePctCol: String,
+                     labelCol: String): DataFrame = {
+    require(org.apache.spark.sql.graftbridge.ColumnBridge
+        .isIntegral(df.schema(scorePctCol).dataType),
+      s"thresholdSweep: $scorePctCol must be integral percent (got " +
+        s"${df.schema(scorePctCol).dataType.simpleString})")
+    require(df.schema(labelCol).dataType ==
+        org.apache.spark.sql.types.BooleanType,
+      s"thresholdSweep: $labelCol must be boolean (got " +
+        s"${df.schema(labelCol).dataType.simpleString})")
+    val s = col(scorePctCol).cast("long")
+    val guarded = when(s >= 0L && s <= 100L, s)
+      .otherwise(raise_error(concat(
+        lit("thresholdSweep: score percent out of [0, 100]: "),
+        s.cast("string"))))
+    val perScore = df.filter(col(byCol).isNotNull &&
+        col(scorePctCol).isNotNull && col(labelCol).isNotNull)
+      .select(col(byCol).as("__g"), guarded.as("__s"), col(labelCol).as("__y"))
+      .groupBy(col("__g"), col("__s"))
+      .agg(sum(when(col("__y"), 1L).otherwise(0L)).as("__ps"),
+        sum(when(!col("__y"), 1L).otherwise(0L)).as("__ns"))
+      .localCheckpoint(true) // <= 101 rows per group, two consumers
+    val totals = perScore.groupBy(col("__g"))
+      .agg(sum(col("__ps")).as("__tpos"), sum(col("__ns")).as("__tneg"))
+    val spine = df.sparkSession.range(0, 101)
+      .select(col("id").as("threshold"))
+    val cum = totals.crossJoin(broadcast(spine))
+      .join(perScore.withColumnRenamed("__g", "__g2"),
+        col("__g") === col("__g2") && col("__s") >= col("threshold"),
+        "left")
+      .groupBy(col("__g"), col("threshold"), col("__tpos"), col("__tneg"))
+      .agg(coalesce(sum(col("__ps")), lit(0L)).as("tp"),
+        coalesce(sum(col("__ns")), lit(0L)).as("fp"))
+    val defined = (col("tp") + col("fp")) > 0
+    cum.select(col("__g").as(byCol), col("threshold"),
+      col("tp"), col("fp"),
+      (col("__tpos") - col("tp")).as("fn"),
+      (col("__tneg") - col("fp")).as("tn"),
+      when(defined, round(col("tp").cast("double") /
+        (col("tp") + col("fp")).cast("double"), 6)).otherwise(lit(0.0))
+        .as("precision"),
+      when(col("__tpos") > 0, round(col("tp").cast("double") /
+        col("__tpos").cast("double"), 6)).otherwise(lit(0.0)).as("recall"),
+      defined.as("defined"))
+  }
+}

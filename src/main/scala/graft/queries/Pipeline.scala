@@ -1835,6 +1835,44 @@ object Pipeline {
         .orderBy(col("grp"))
     }),
 
+    // rank-sum AUC / Mann-Whitney U (Hanley & McNeil 1982): the
+    // threshold-free scorer quality per source WITHOUT the quadratic
+    // pair space — doubled average ranks make 2U an exact long, AUC
+    // is one division
+    "qCZ_rank_auc" -> ((s, dir) => {
+      graft.operators.Classification.rankSumAuc(
+          T(s, dir)("documents").select(col("source"),
+            (col("doc_id") % 97).as("score"),
+            (col("doc_id") % 3 === 0).as("label")),
+          "source", "score", "label")
+        .orderBy(col("source"))
+    }),
+
+    // confusion-matrix scorecard per source: exact cells, harmonic
+    // F1, balanced accuracy, and the imbalance-honest MCC (signed,
+    // gateRounded)
+    "qD0_classifier_report" -> ((s, dir) => {
+      graft.operators.Classification.classifierReport(
+          T(s, dir)("documents").select(col("source"),
+            (col("doc_id") % 7 > 3).as("pred"),
+            (col("doc_id") % 3 === 0).as("truth")),
+          "source", "pred", "truth")
+        .orderBy(col("source"))
+    }),
+
+    // threshold sweep (the PR-curve point table) per language: exact
+    // TP/FP at every integer-percent operating point over a densified
+    // 0..100 spine — the corpus is never range-joined, only its
+    // <=101-row per-score summary
+    "qD1_threshold_sweep" -> ((s, dir) => {
+      graft.operators.Classification.thresholdSweep(
+          T(s, dir)("documents").select(col("lang"),
+            (col("doc_id") % 101).as("score"),
+            (col("doc_id") % 3 === 0).as("label")),
+          "lang", "score", "label")
+        .orderBy(col("lang"), col("threshold"))
+    }),
+
     // exact binomial sign test (the paired A/B significance check):
     // two-sided p under p=1/2 via the 2^-n ratio-product tail fold —
     // every fold shape shared bitwise with the oracle's list_reduce
@@ -4124,6 +4162,91 @@ object Pipeline {
                ELSE 0.0 END AS rho,
              (n > 1 AND vx > 0 AND vy > 0) AS defined
       FROM v ORDER BY grp""",
+
+    "qCZ_rank_auc" -> """
+      WITH r AS (SELECT source AS g, doc_id % 97 AS s, doc_id % 3 = 0 AS y
+                 FROM documents),
+      rk AS (SELECT g, y, 2 * rank() OVER (PARTITION BY g ORDER BY s)
+               + COUNT(*) OVER (PARTITION BY g, s) - 1 AS r2 FROM r),
+      st AS (SELECT g,
+               CAST(SUM(CASE WHEN y THEN 1 ELSE 0 END) AS BIGINT) AS np,
+               CAST(SUM(CASE WHEN NOT y THEN 1 ELSE 0 END) AS BIGINT)
+                 AS nn,
+               CAST(SUM(CASE WHEN y THEN r2 ELSE 0 END) AS BIGINT) AS rp
+             FROM rk GROUP BY 1),
+      v AS (SELECT *, rp - np * (np + 1) AS u2 FROM st)
+      SELECT g AS source, np AS n_pos, nn AS n_neg,
+             CASE WHEN np > 0 AND nn > 0 THEN u2 ELSE 0 END AS u2,
+             CASE WHEN np > 0 AND nn > 0
+               THEN round(CAST(u2 AS DOUBLE)
+                          / CAST(2 * np * nn AS DOUBLE), 6)
+               ELSE 0.0 END AS auc,
+             np > 0 AND nn > 0 AS defined
+      FROM v ORDER BY source""",
+
+    "qD0_classifier_report" -> """
+      WITH r AS (SELECT source, doc_id % 7 > 3 AS p, doc_id % 3 = 0 AS t
+                 FROM documents),
+      st AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(CASE WHEN p AND t THEN 1 ELSE 0 END) AS BIGINT)
+                 AS tp,
+               CAST(SUM(CASE WHEN p AND NOT t THEN 1 ELSE 0 END)
+                 AS BIGINT) AS fp,
+               CAST(SUM(CASE WHEN NOT p AND t THEN 1 ELSE 0 END)
+                 AS BIGINT) AS fn,
+               CAST(SUM(CASE WHEN NOT p AND NOT t THEN 1 ELSE 0 END)
+                 AS BIGINT) AS tn
+             FROM r GROUP BY 1)
+      SELECT source, n, tp, fp, fn, tn,
+        CASE WHEN n > 0 THEN round(CAST(tp + tn AS DOUBLE)
+             / CAST(n AS DOUBLE), 6) ELSE 0.0 END AS accuracy,
+        CASE WHEN tp + fp > 0 THEN round(CAST(tp AS DOUBLE)
+             / CAST(tp + fp AS DOUBLE), 6) ELSE 0.0 END AS precision,
+        CASE WHEN tp + fn > 0 THEN round(CAST(tp AS DOUBLE)
+             / CAST(tp + fn AS DOUBLE), 6) ELSE 0.0 END AS recall,
+        CASE WHEN 2 * tp + fp + fn > 0 THEN round(CAST(2 * tp AS DOUBLE)
+             / CAST(2 * tp + fp + fn AS DOUBLE), 6) ELSE 0.0 END AS f1,
+        CASE WHEN tp + fn > 0 AND tn + fp > 0
+          THEN round((CAST(tp AS DOUBLE) / CAST(tp + fn AS DOUBLE)
+                      + CAST(tn AS DOUBLE) / CAST(tn + fp AS DOUBLE))
+                     / 2.0, 6)
+          ELSE 0.0 END AS balanced_accuracy,
+        CASE WHEN tp + fp > 0 AND tp + fn > 0 AND tn + fp > 0
+              AND tn + fn > 0
+          THEN round(CAST(tp * tn - fp * fn AS DOUBLE)
+               / sqrt(CAST(tp + fp AS DOUBLE) * CAST(tp + fn AS DOUBLE)
+                      * CAST(tn + fp AS DOUBLE)
+                      * CAST(tn + fn AS DOUBLE)), 6) + 0
+          ELSE 0.0 END AS mcc,
+        tp + fp > 0 AND tp + fn > 0 AND tn + fp > 0 AND tn + fn > 0
+          AS defined_mcc
+      FROM st ORDER BY source""",
+
+    "qD1_threshold_sweep" -> """
+      WITH r AS (SELECT lang AS g, doc_id % 101 AS s, doc_id % 3 = 0 AS y
+                 FROM documents),
+      ps AS (SELECT g, s,
+               CAST(SUM(CASE WHEN y THEN 1 ELSE 0 END) AS BIGINT) AS pss,
+               CAST(SUM(CASE WHEN NOT y THEN 1 ELSE 0 END) AS BIGINT)
+                 AS nss
+             FROM r GROUP BY 1, 2),
+      tot AS (SELECT g, CAST(SUM(pss) AS BIGINT) AS tpos,
+                CAST(SUM(nss) AS BIGINT) AS tneg FROM ps GROUP BY 1),
+      sp AS (SELECT CAST(range AS BIGINT) AS threshold FROM range(0, 101)),
+      cum AS (SELECT tot.g, sp.threshold, tot.tpos, tot.tneg,
+                COALESCE(CAST(SUM(ps.pss) AS BIGINT), 0) AS tp,
+                COALESCE(CAST(SUM(ps.nss) AS BIGINT), 0) AS fp
+              FROM tot CROSS JOIN sp
+              LEFT JOIN ps ON ps.g = tot.g AND ps.s >= sp.threshold
+              GROUP BY 1, 2, 3, 4)
+      SELECT g AS lang, threshold, tp, fp, tpos - tp AS fn,
+             tneg - fp AS tn,
+             CASE WHEN tp + fp > 0 THEN round(CAST(tp AS DOUBLE)
+                  / CAST(tp + fp AS DOUBLE), 6) ELSE 0.0 END AS precision,
+             CASE WHEN tpos > 0 THEN round(CAST(tp AS DOUBLE)
+                  / CAST(tpos AS DOUBLE), 6) ELSE 0.0 END AS recall,
+             tp + fp > 0 AS defined
+      FROM cum ORDER BY lang, threshold""",
 
     "qCX_sign_test" -> """
       WITH r AS (SELECT source, doc_id % 7 > 3 AS w FROM documents),

@@ -1,0 +1,95 @@
+package graft
+
+import graft.operators.Classification
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class ClassificationSpec extends AnyFunSuite {
+  private lazy val spark = GraftTestSession.spark
+  import spark.implicits._
+
+  private def auc(df: org.apache.spark.sql.DataFrame,
+                  maxGroup: Long = 10000000L) =
+    Classification.rankSumAuc(df, "g", "s", "y", maxGroup)
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getDouble(4), r.getBoolean(5)))).toMap
+
+  test("rankSumAuc: exact doubled-rank U and AUC by hand") {
+    val df = Seq(
+      // perfect separation: pos {3,5} above neg {1,2} -> AUC 1
+      ("a", 3L, true), ("a", 5L, true), ("a", 1L, false), ("a", 2L, false),
+      // a single tied pair: AUC exactly 0.5 (the half-credit tie)
+      ("t", 2L, true), ("t", 2L, false),
+      // reversed: the positive scores below the negative -> AUC 0
+      ("r", 1L, true), ("r", 2L, false),
+      // single class: undefined, visible
+      ("o", 5L, true)
+    ).toDF("g", "s", "y")
+    val m = auc(df)
+    assert(m("a") == ((2L, 2L, 8L, 1.0, true)), m("a").toString)
+    assert(m("t") == ((1L, 1L, 1L, 0.5, true)), m("t").toString)
+    assert(m("r") == ((1L, 1L, 0L, 0.0, true)), m("r").toString)
+    assert(m("o") == ((1L, 0L, 0L, 0.0, false)), m("o").toString)
+  }
+
+  test("rankSumAuc: contract refusals") {
+    val df = Seq(("a", 1L, true), ("a", 2L, false), ("a", 3L, true))
+      .toDF("g", "s", "y")
+    intercept[Exception] { auc(df, maxGroup = 2L) }
+    intercept[IllegalArgumentException] {
+      Classification.rankSumAuc(Seq(("a", 1.5, true)).toDF("g", "s", "y"),
+        "g", "s", "y")
+    }
+    intercept[IllegalArgumentException] {
+      Classification.rankSumAuc(Seq(("a", 1L, 1L)).toDF("g", "s", "y"),
+        "g", "s", "y")
+    }
+  }
+
+  test("classifierReport: every rate from the exact cells by hand") {
+    val df = Seq(
+      ("w", true, true), ("w", true, true), ("w", true, false),
+      ("w", false, true), ("w", false, false), ("w", false, false),
+      // truth constant -> the tn+fp margin is 0: MCC undefined,
+      // the other rates still reported
+      ("k", true, true), ("k", false, true)
+    ).toDF("g", "p", "t")
+    val out = Classification.classifierReport(df, "g", "p", "t")
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5), r.getDouble(6),
+        r.getDouble(7), r.getDouble(8), r.getDouble(9), r.getDouble(10),
+        r.getDouble(11), r.getBoolean(12)))).toMap
+    // cells (2,1,1,2): every rate 2/3, MCC = 3/9 = 0.333333
+    assert(out("w") == ((6L, 2L, 1L, 1L, 2L, 0.666667, 0.666667,
+      0.666667, 0.666667, 0.666667, 0.333333, true)), out("w").toString)
+    val k = out("k")
+    assert(k._2 == 1L && k._4 == 1L && !k._12 && k._11 == 0.0,
+      k.toString)
+    intercept[IllegalArgumentException] {
+      Classification.classifierReport(Seq(("a", 1L, true))
+        .toDF("g", "p", "t"), "g", "p", "t")
+    }
+  }
+
+  test("thresholdSweep: operating points over the densified spine") {
+    val df = Seq(("g", 100L, true), ("g", 50L, true), ("g", 50L, false),
+      ("g", 0L, false)).toDF("g", "s", "y")
+    val rows = Classification.thresholdSweep(df, "g", "s", "y")
+      .collect().map(r => r.getLong(1) -> ((r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getDouble(6), r.getDouble(7))))
+      .toMap
+    assert(rows.size == 101, s"spine not densified: ${rows.size}")
+    // t=0 admits everything: (tp 2, fp 2), recall 1
+    assert(rows(0L) == ((2L, 2L, 0L, 0L, 0.5, 1.0)), rows(0L).toString)
+    // t=50 still admits both 50s
+    assert(rows(50L) == ((2L, 1L, 0L, 1L, 0.666667, 1.0)))
+    // t=51..100 keeps only the 100-scored positive
+    assert(rows(51L) == ((1L, 0L, 1L, 2L, 1.0, 0.5)))
+    assert(rows(100L) == ((1L, 0L, 1L, 2L, 1.0, 0.5)))
+    // out-of-domain score refuses mid-job
+    intercept[Exception] {
+      Classification.thresholdSweep(Seq(("g", 101L, true))
+        .toDF("g", "s", "y"), "g", "s", "y").collect()
+    }
+  }
+}
