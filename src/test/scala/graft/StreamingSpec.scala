@@ -1136,4 +1136,40 @@ class StreamingSpec extends AnyFunSuite {
       assert(streamed(g) == exp, s"group $g: ${streamed(g)} vs $exp")
     }
   }
+
+  test("StreamingClassifierReport: streamed scorecard equals batch") {
+    import graft.operators.Classification
+    import graft.streaming.StreamingClassifierReport
+    import spark.implicits._
+    val graded = Tables.load(spark, "/root/testdata/sf0.001", "documents")
+      .select(col("source"), (col("doc_id") % 7 > 3).as("pred"),
+        (col("doc_id") % 3 === 0).as("truth"))
+      .localCheckpoint(true)
+    val batch = Classification.classifierReport(graded, "source", "pred",
+        "truth")
+      .collect().map(r => r.getString(0) ->
+        r.toSeq.drop(1).toVector).toMap
+    val d = java.nio.file.Files.createTempDirectory(
+      new java.io.File("target").toPath.toAbsolutePath, "clsrep").toString
+    graded.repartition(4).write.mode("overwrite").parquet(d)
+    val latest = new java.util.concurrent.ConcurrentHashMap[
+      String, Vector[Any]]()
+    val stream = spark.readStream.schema(graded.schema)
+      .option("maxFilesPerTrigger", 1).parquet(d)
+    val q = StreamingClassifierReport.classifierReport(stream, "source",
+        "pred", "truth")
+      .writeStream.outputMode("update")
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        b.collect().foreach { r =>
+          latest.put(r.getString(0), r.toSeq.drop(1).toVector)
+        }
+      }.start()
+    try q.processAllAvailable() finally q.stop()
+    import scala.jdk.CollectionConverters._
+    val streamed = latest.asScala.toMap
+    assert(streamed.keySet == batch.keySet)
+    batch.foreach { case (g, exp) =>
+      assert(streamed(g) == exp, s"group $g: ${streamed(g)} vs $exp")
+    }
+  }
 }
