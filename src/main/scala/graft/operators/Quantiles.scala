@@ -196,4 +196,121 @@ object Quantiles {
         when(col("k") <= col("n"), col("__s")).as("qhat"),
         (col("k") <= col("n")).as("defined"))
   }
+
+  /**
+   * Trimmed and winsorized means per group (Tukey 1962 lineage) —
+   * the robust aggregation a reward/score pipeline wants when a few
+   * wild scores would drag a plain mean (one 10⁶-token response, one
+   * adversarial judge): trim drops the k lowest and k highest
+   * observations, winsorize CLAMPS them to the surviving boundary
+   * values — both reported, the gap between plain and trimmed mean
+   * is the tail's leverage.
+   *
+   * Exact contract: scores integral (quantize upstream); k =
+   * ⌊n·trimPct/100⌋ is pure integer arithmetic (IntegralDivide, the
+   * [[conformalQuantile]] convention); the trim boundary is
+   * RANK-based, and ties spanning the boundary are value-equal by
+   * definition, so WHICH tied copy is dropped cannot change any sum
+   * — the tie order is irrelevant, not just deterministic. Kept sum,
+   * boundary values (= min/max of the kept window) and counts are
+   * exact longs; each mean is ONE division. n − 2k ≤ 0 (the trim ate
+   * the group) → defined = false, visible.
+   *
+   * Scale shape: one hash exchange on the group key + one
+   * in-partition sort, one partial/final aggregate. No joins.
+   *
+   * @return (byCol, n, k, mean, trimmed_mean, winsorized_mean —
+   *         each rounded 6, defined)
+   */
+  def trimmedMean(df: DataFrame, byCol: String, scoreCol: String,
+                  trimPct: Int): DataFrame = {
+    require(trimPct >= 0 && trimPct < 50,
+      s"trimPct must be in [0, 50), got $trimPct")
+    require(org.apache.spark.sql.graftbridge.ColumnBridge
+        .isIntegral(df.schema(scoreCol).dataType),
+      s"trimmedMean: $scoreCol must be integral (got " +
+        s"${df.schema(scoreCol).dataType.simpleString}) — the exact-sum " +
+        "contract")
+    val clean = df.filter(col(byCol).isNotNull && col(scoreCol).isNotNull)
+      .select(col(byCol).as("__g"), col(scoreCol).cast("long").as("__s"))
+    val g = Window.partitionBy(col("__g"))
+    val rn = row_number().over(g.orderBy(col("__s")))
+    val n = count(lit(1)).over(g)
+    val k = call_function("div", n * lit(trimPct.toLong), lit(100L))
+    val kept = col("__rn") > col("__k") && col("__rn") <= col("n") - col("__k")
+    val stats = clean
+      .select(col("__g"), col("__s"), rn.as("__rn"), n.as("n"), k.as("__k"))
+      .groupBy(col("__g"))
+      .agg(max(col("n")).as("n"), max(col("__k")).as("k"),
+        sum(col("__s")).as("__all"),
+        sum(when(kept, col("__s")).otherwise(0L)).as("__sum"),
+        sum(when(kept, 1L).otherwise(0L)).as("__cnt"),
+        min(when(kept, col("__s"))).as("__lo"),
+        max(when(kept, col("__s"))).as("__hi"))
+    val defined = col("__cnt") > 0
+    stats.select(col("__g").as(byCol), col("n"), col("k"),
+      round(col("__all").cast("double") / col("n").cast("double"), 6)
+        .as("mean"),
+      when(defined, round(col("__sum").cast("double") /
+        col("__cnt").cast("double"), 6)).otherwise(lit(0.0))
+        .as("trimmed_mean"),
+      when(defined, round((col("__sum") + col("k") * col("__lo") +
+        col("k") * col("__hi")).cast("double") / col("n").cast("double"),
+        6)).otherwise(lit(0.0)).as("winsorized_mean"),
+      defined.as("defined"))
+  }
+
+  /**
+   * Exact median and median absolute deviation per group — the
+   * robust (location, scale) pair for score distributions (MAD is
+   * what the z-score outlier rule should actually normalize by when
+   * tails are heavy; `TextAnalysis`'s source z-scores use moments).
+   * ZERO transcendental arithmetic: scores are integral, the DOUBLED
+   * median m2 = x₍⌈n/2⌉₎ + x₍⌊n/2⌋₊₁₎ is an exact long (one row
+   * counted twice at odd n), each doubled deviation |2x − m2| is an
+   * exact long, and the QUADRUPLED MAD m4 applies the same two-rank
+   * selection to the deviations — median = m2/2 and mad = m4/4 are
+   * single exact divisions by binary powers (bit-exact, no rounding
+   * needed; rounded 6 anyway for the gate convention).
+   *
+   * Scale shape: two sort-windows on the group key (scores, then
+   * deviations) with a |groups|-row broadcast join carrying m2
+   * between them; one partial/final aggregate each. The deviation
+   * pass re-reads the cleaned input, not the corpus.
+   *
+   * @return (byCol, n, median rounded 6, mad rounded 6)
+   */
+  def medianMad(df: DataFrame, byCol: String, scoreCol: String): DataFrame = {
+    require(org.apache.spark.sql.graftbridge.ColumnBridge
+        .isIntegral(df.schema(scoreCol).dataType),
+      s"medianMad: $scoreCol must be integral (got " +
+        s"${df.schema(scoreCol).dataType.simpleString}) — the doubled " +
+        "exact-median contract")
+    val clean = df.filter(col(byCol).isNotNull && col(scoreCol).isNotNull)
+      .select(col(byCol).as("__g"), col(scoreCol).cast("long").as("__s"))
+      .localCheckpoint(true) // two sort passes read it
+    def doubled(in: DataFrame, valCol: String): DataFrame = {
+      val g = Window.partitionBy(col("__g"))
+      val rn = row_number().over(g.orderBy(col(valCol)))
+      val n = count(lit(1)).over(g)
+      val r1 = call_function("div", n + lit(1L), lit(2L))
+      val r2 = call_function("div", n + lit(2L), lit(2L))
+      in.select(col("__g"), col(valCol), rn.as("__rn"), n.as("__n"),
+          r1.as("__r1"), r2.as("__r2"))
+        .groupBy(col("__g"))
+        .agg(max(col("__n")).as("__n"),
+          sum(when(col("__rn") === col("__r1"), col(valCol)).otherwise(0L) +
+            when(col("__rn") === col("__r2"), col(valCol)).otherwise(0L))
+            .as("__m2"))
+    }
+    val med = doubled(clean, "__s")
+    val dev = clean.join(med.select(col("__g"), col("__m2")), Seq("__g"))
+      .select(col("__g"), abs(lit(2L) * col("__s") - col("__m2")).as("__d"))
+    val mad = doubled(dev, "__d")
+      .select(col("__g"), col("__m2").as("__m4"))
+    med.join(mad, Seq("__g"))
+      .select(col("__g").as(byCol), col("__n").as("n"),
+        round(col("__m2").cast("double") / lit(2.0), 6).as("median"),
+        round(col("__m4").cast("double") / lit(4.0), 6).as("mad"))
+  }
 }

@@ -1835,6 +1835,29 @@ object Pipeline {
         .orderBy(col("grp"))
     }),
 
+    // trimmed + winsorized means per source (robust reward
+    // aggregation): rank-based trim with integer k, exact kept sums
+    // and boundary clamps, one division each; the plain-vs-trimmed
+    // gap is the tail's leverage
+    "qD2_trimmed_mean" -> ((s, dir) => {
+      graft.operators.Quantiles.trimmedMean(
+          T(s, dir)("documents").select(col("source"),
+            (col("doc_id") % 997).as("score")),
+          "source", "score", trimPct = 10)
+        .orderBy(col("source"))
+    }),
+
+    // exact median + MAD per source: doubled/quadrupled order
+    // statistics keep every intermediate an exact long — zero
+    // transcendental arithmetic, divisions by binary powers only
+    "qD3_median_mad" -> ((s, dir) => {
+      graft.operators.Quantiles.medianMad(
+          T(s, dir)("documents").select(col("source"),
+            (col("doc_id") % 997).as("score")),
+          "source", "score")
+        .orderBy(col("source"))
+    }),
+
     // rank-sum AUC / Mann-Whitney U (Hanley & McNeil 1982): the
     // threshold-free scorer quality per source WITHOUT the quadratic
     // pair space — doubled average ranks make 2U an exact long, AUC
@@ -4162,6 +4185,60 @@ object Pipeline {
                ELSE 0.0 END AS rho,
              (n > 1 AND vx > 0 AND vy > 0) AS defined
       FROM v ORDER BY grp""",
+
+    "qD2_trimmed_mean" -> """
+      WITH r AS (SELECT source AS g, doc_id % 997 AS s FROM documents),
+      rk AS (SELECT g, s,
+               row_number() OVER (PARTITION BY g ORDER BY s) AS rn,
+               CAST(COUNT(*) OVER (PARTITION BY g) AS BIGINT) AS n
+             FROM r),
+      v AS (SELECT *, (n * 10) // 100 AS k FROM rk),
+      st AS (SELECT g, CAST(MAX(n) AS BIGINT) AS n,
+               CAST(MAX(k) AS BIGINT) AS k,
+               CAST(SUM(s) AS BIGINT) AS alls,
+               CAST(SUM(CASE WHEN rn > k AND rn <= n - k THEN s ELSE 0
+                 END) AS BIGINT) AS sm,
+               CAST(SUM(CASE WHEN rn > k AND rn <= n - k THEN 1 ELSE 0
+                 END) AS BIGINT) AS cnt,
+               MIN(CASE WHEN rn > k AND rn <= n - k THEN s END) AS lo,
+               MAX(CASE WHEN rn > k AND rn <= n - k THEN s END) AS hi
+             FROM v GROUP BY 1)
+      SELECT g AS source, n, k,
+             round(CAST(alls AS DOUBLE) / CAST(n AS DOUBLE), 6) AS mean,
+             CASE WHEN cnt > 0 THEN round(CAST(sm AS DOUBLE)
+                  / CAST(cnt AS DOUBLE), 6) ELSE 0.0 END AS trimmed_mean,
+             CASE WHEN cnt > 0 THEN round(CAST(sm + k * lo + k * hi
+                  AS DOUBLE) / CAST(n AS DOUBLE), 6) ELSE 0.0 END
+               AS winsorized_mean,
+             cnt > 0 AS defined
+      FROM st ORDER BY source""",
+
+    "qD3_median_mad" -> """
+      WITH r AS (SELECT source AS g, doc_id % 997 AS s FROM documents),
+      rk AS (SELECT g, s,
+               row_number() OVER (PARTITION BY g ORDER BY s) AS rn,
+               CAST(COUNT(*) OVER (PARTITION BY g) AS BIGINT) AS n
+             FROM r),
+      med AS (SELECT g, CAST(MAX(n) AS BIGINT) AS n,
+                CAST(SUM((CASE WHEN rn = (n + 1) // 2 THEN s ELSE 0 END)
+                     + (CASE WHEN rn = (n + 2) // 2 THEN s ELSE 0 END))
+                  AS BIGINT) AS m2
+              FROM rk GROUP BY 1),
+      dv AS (SELECT r.g, abs(2 * r.s - med.m2) AS d
+             FROM r JOIN med USING (g)),
+      dk AS (SELECT g, d,
+               row_number() OVER (PARTITION BY g ORDER BY d) AS rn,
+               CAST(COUNT(*) OVER (PARTITION BY g) AS BIGINT) AS n
+             FROM dv),
+      mad AS (SELECT g,
+                CAST(SUM((CASE WHEN rn = (n + 1) // 2 THEN d ELSE 0 END)
+                     + (CASE WHEN rn = (n + 2) // 2 THEN d ELSE 0 END))
+                  AS BIGINT) AS m4
+              FROM dk GROUP BY 1)
+      SELECT med.g AS source, med.n,
+             round(CAST(med.m2 AS DOUBLE) / 2.0, 6) AS median,
+             round(CAST(mad.m4 AS DOUBLE) / 4.0, 6) AS mad
+      FROM med JOIN mad USING (g) ORDER BY source""",
 
     "qCZ_rank_auc" -> """
       WITH r AS (SELECT source AS g, doc_id % 97 AS s, doc_id % 3 = 0 AS y

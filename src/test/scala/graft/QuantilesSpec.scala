@@ -132,4 +132,48 @@ class QuantilesSpec extends AnyFunSuite {
       Quantiles.conformalQuantile(flt, "g", "s", "i", 10)
     }
   }
+
+  test("trimmedMean: trim, winsorize, and the tail's leverage by hand") {
+    import spark.implicits._
+    // [1,2,3,4,100] at 20%: k=1, kept [2,3,4] -> trimmed 3.0; the
+    // winsorized mean clamps the tails to [2,4]: (9+2+4)/5 = 3.0;
+    // the plain mean 22.0 shows the outlier's leverage
+    val df = Seq(("a", 1L), ("a", 2L), ("a", 3L), ("a", 4L), ("a", 100L))
+      .toDF("g", "s")
+    val r = Quantiles.trimmedMean(df, "g", "s", trimPct = 20).head()
+    assert((r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4),
+      r.getDouble(5), r.getBoolean(6)) == ((5L, 1L, 22.0, 3.0, 3.0, true)),
+      r.toString)
+    // trimPct 0 degenerates to the plain mean on all three outputs
+    val r0 = Quantiles.trimmedMean(df, "g", "s", trimPct = 0).head()
+    assert(r0.getDouble(3) == 22.0 && r0.getDouble(4) == 22.0 &&
+      r0.getDouble(5) == 22.0)
+    intercept[IllegalArgumentException] {
+      Quantiles.trimmedMean(df, "g", "s", trimPct = 50)
+    }
+    intercept[IllegalArgumentException] {
+      Quantiles.trimmedMean(Seq(("a", 1.5)).toDF("g", "s"), "g", "s", 10)
+    }
+  }
+
+  test("medianMad: exact doubled order statistics by hand") {
+    import spark.implicits._
+    val df = Seq(
+      // odd: median 3, deviations [2,1,0,1,7] -> MAD 1
+      ("o", 1L), ("o", 2L), ("o", 3L), ("o", 4L), ("o", 10L),
+      // even: median 2.5, deviations [1.5,.5,.5,7.5] -> MAD 1.0
+      ("e", 1L), ("e", 2L), ("e", 3L), ("e", 10L),
+      // singleton: median = the value, MAD 0
+      ("s", 7L)
+    ).toDF("g", "s")
+    val m = Quantiles.medianMad(df, "g", "s")
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getDouble(2),
+        r.getDouble(3)))).toMap
+    assert(m("o") == ((5L, 3.0, 1.0)), m("o").toString)
+    assert(m("e") == ((4L, 2.5, 1.0)), m("e").toString)
+    assert(m("s") == ((1L, 7.0, 0.0)), m("s").toString)
+    intercept[IllegalArgumentException] {
+      Quantiles.medianMad(Seq(("a", 1.5)).toDF("g", "s"), "g", "s")
+    }
+  }
 }
