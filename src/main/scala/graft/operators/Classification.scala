@@ -140,6 +140,134 @@ object Classification {
   }
 
   /**
+   * Standardized mean difference (Cohen's d with the Hedges' g
+   * small-sample correction; Cohen 1988, Hedges 1981) — the effect
+   * SIZE companion to the significance tests ([[Preference.signTest]]
+   * says whether the difference is real; this says whether it
+   * MATTERS): per group, (mean_A − mean_B)/s_pooled between the two
+   * boolean-split samples of an integral score.
+   *
+   * Exact contract: all six moments (n, Σx, Σx² per side) are exact
+   * longs in any partition order; the pooled-variance identity
+   * (n_A−1)s_A² = (n_A·Σx_A² − (Σx_A)²)/n_A keeps each numerator an
+   * exact long, positivity of the pooled variance is decided by the
+   * EXACT integer v_A·n_B + v_B·n_A > 0 (never a float compare), and
+   * d / g are one shared dag over the exact longs, gateRounded
+   * (signed). n ≤ 1 on either side or zero pooled variance →
+   * defined = false. 2^53 bound: n·Σx² per side — document-scale
+   * scores; pre-scale past it (the qC4 rule).
+   *
+   * Scale shape: one partial/final aggregate to |groups| rows.
+   *
+   * @return (byCol, n_a, n_b, mean_a, mean_b, cohen_d, hedges_g —
+   *         rounded 6, defined)
+   */
+  def effectSize(df: DataFrame, byCol: String, inBCol: String,
+                 xCol: String): DataFrame = {
+    require(df.schema(inBCol).dataType ==
+        org.apache.spark.sql.types.BooleanType,
+      s"effectSize: $inBCol must be boolean (got " +
+        s"${df.schema(inBCol).dataType.simpleString})")
+    require(org.apache.spark.sql.graftbridge.ColumnBridge
+        .isIntegral(df.schema(xCol).dataType),
+      s"effectSize: $xCol must be integral (got " +
+        s"${df.schema(xCol).dataType.simpleString}) — the exact-moment " +
+        "contract")
+    val x = col(xCol).cast("long")
+    val b = col(inBCol)
+    val stats = df.filter(col(byCol).isNotNull && b.isNotNull &&
+        col(xCol).isNotNull)
+      .groupBy(col(byCol))
+      .agg(sum(when(!b, 1L).otherwise(0L)).as("n_a"),
+        sum(when(!b, x).otherwise(0L)).as("__sa"),
+        sum(when(!b, x * x).otherwise(0L)).as("__saa"),
+        sum(when(b, 1L).otherwise(0L)).as("n_b"),
+        sum(when(b, x).otherwise(0L)).as("__sb"),
+        sum(when(b, x * x).otherwise(0L)).as("__sbb"))
+    val va = col("n_a") * col("__saa") - col("__sa") * col("__sa")
+    val vb = col("n_b") * col("__sbb") - col("__sb") * col("__sb")
+    val defined = col("n_a") > 1 && col("n_b") > 1 &&
+      (va * col("n_b") + vb * col("n_a")) > 0
+    def d(c: Column) = c.cast("double")
+    val meanA = d(col("__sa")) / d(col("n_a"))
+    val meanB = d(col("__sb")) / d(col("n_b"))
+    val pooled = (d(va) / d(col("n_a")) + d(vb) / d(col("n_b"))) /
+      d(col("n_a") + col("n_b") - 2L)
+    val cohenD = (meanA - meanB) / sqrt(pooled)
+    val corr = lit(1.0) - lit(3.0) /
+      d(lit(4L) * (col("n_a") + col("n_b")) - 9L)
+    stats.select(col(byCol), col("n_a"), col("n_b"),
+      when(col("n_a") > 0, round(meanA, 6)).otherwise(lit(0.0))
+        .as("mean_a"),
+      when(col("n_b") > 0, round(meanB, 6)).otherwise(lit(0.0))
+        .as("mean_b"),
+      when(defined, graft.functions.GateRound(cohenD, 6))
+        .otherwise(lit(0.0)).as("cohen_d"),
+      when(defined, graft.functions.GateRound(cohenD * corr, 6))
+        .otherwise(lit(0.0)).as("hedges_g"),
+      defined.as("defined"))
+  }
+
+  /**
+   * Two-sample Kolmogorov–Smirnov statistic per group — the
+   * distribution-shape drift check between two score samples
+   * (means/variances miss a bimodal split; KS is the sup-norm gap
+   * between the empirical CDFs, sensitive to ANY shape difference):
+   * D = max_x |F_A(x) − F_B(x)|. Computed EXACTLY: the per-value
+   * cumulative counts give D's numerator as the exact long
+   * max |cum_A·n_B − cum_B·n_A| (the CDF difference over the common
+   * denominator n_A·n_B), maxed over exact integers — engine-
+   * independent by construction — and D is ONE final division.
+   * A single-sided group → defined = false.
+   *
+   * Scale shape: one (group, value) hash aggregate, one sort-window
+   * for the running cumulatives (shares the group exchange), one
+   * final aggregate. The window runs over DISTINCT values per group,
+   * not rows. 2^53 bound: n_A·n_B < 9e15 per group.
+   *
+   * @return (byCol, n_a, n_b, d_num — exact long, ks_d rounded 6,
+   *         defined)
+   */
+  def ksTest(df: DataFrame, byCol: String, inBCol: String,
+             xCol: String): DataFrame = {
+    require(df.schema(inBCol).dataType ==
+        org.apache.spark.sql.types.BooleanType,
+      s"ksTest: $inBCol must be boolean (got " +
+        s"${df.schema(inBCol).dataType.simpleString})")
+    require(org.apache.spark.sql.graftbridge.ColumnBridge
+        .isIntegral(df.schema(xCol).dataType),
+      s"ksTest: $xCol must be integral (got " +
+        s"${df.schema(xCol).dataType.simpleString}) — exact CDF steps " +
+        "need exact value equality")
+    val perVal = df.filter(col(byCol).isNotNull && col(inBCol).isNotNull &&
+        col(xCol).isNotNull)
+      .select(col(byCol).as("__g"), col(xCol).cast("long").as("__x"),
+        col(inBCol).as("__b"))
+      .groupBy(col("__g"), col("__x"))
+      .agg(sum(when(!col("__b"), 1L).otherwise(0L)).as("__ca"),
+        sum(when(col("__b"), 1L).otherwise(0L)).as("__cb"))
+    val w = Window.partitionBy(col("__g")).orderBy(col("__x"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val g = Window.partitionBy(col("__g"))
+    val cum = perVal.select(col("__g"),
+      sum(col("__ca")).over(w).as("__cuma"),
+      sum(col("__cb")).over(w).as("__cumb"),
+      sum(col("__ca")).over(g).as("n_a"),
+      sum(col("__cb")).over(g).as("n_b"))
+    val stats = cum.groupBy(col("__g"))
+      .agg(max(col("n_a")).as("n_a"), max(col("n_b")).as("n_b"),
+        max(abs(col("__cuma") * col("n_b") - col("__cumb") * col("n_a")))
+          .as("d_num"))
+    val defined = col("n_a") > 0 && col("n_b") > 0
+    stats.select(col("__g").as(byCol), col("n_a"), col("n_b"),
+      when(defined, col("d_num")).otherwise(lit(0L)).as("d_num"),
+      when(defined, round(col("d_num").cast("double") /
+        (col("n_a") * col("n_b")).cast("double"), 6)).otherwise(lit(0.0))
+        .as("ks_d"),
+      defined.as("defined"))
+  }
+
+  /**
    * Threshold sweep (the PR/ROC curve's point table) per group over
    * an integer-percent score: for every threshold t ∈ 0..100,
    * "predict positive when score ≥ t" — exact TP/FP/FN/TN at each

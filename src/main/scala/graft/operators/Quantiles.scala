@@ -313,4 +313,56 @@ object Quantiles {
         round(col("__m2").cast("double") / lit(2.0), 6).as("median"),
         round(col("__m4").cast("double") / lit(4.0), 6).as("mad"))
   }
+
+  /**
+   * Gini coefficient per group (Gini 1912; the rank formula of
+   * Sen 1973) — concentration of a non-negative weight: how unequal
+   * is the token-count / byte / document mass across sources, the
+   * "is 1% of the crawl 90% of the tokens" audit a mixture designer
+   * reads before weighting. G = Σᵢ(2i − n − 1)·x₍ᵢ₎ / (n·Σx) over
+   * the ascending sort.
+   *
+   * Exact contract: weights integral and REFUSED negative (Gini is
+   * undefined there — a silent pass would bend the [0, 1) range);
+   * the rank-weighted numerator and n·Σx are exact longs, and ties
+   * make the numerator RANK-ORDER-INVARIANT (swapping equal values
+   * swaps coefficients between equal values — the sum is unchanged),
+   * so row_number needs no tie-break; G is ONE division. All-zero
+   * mass → defined = false. 2^53 bound: n·Σx — pre-scale past ~9e15
+   * weight-rows product.
+   *
+   * Scale shape: one exchange + one in-partition sort (rank and the
+   * per-group totals share it), one partial/final aggregate.
+   *
+   * @return (byCol, n, total, gini rounded 6, defined)
+   */
+  def gini(df: DataFrame, byCol: String, weightCol: String): DataFrame = {
+    require(org.apache.spark.sql.graftbridge.ColumnBridge
+        .isIntegral(df.schema(weightCol).dataType),
+      s"gini: $weightCol must be integral (got " +
+        s"${df.schema(weightCol).dataType.simpleString}) — the exact " +
+        "rank-sum contract")
+    val wv = col(weightCol).cast("long")
+    val guarded = when(wv >= 0L, wv).otherwise(raise_error(concat(
+      lit("gini: negative weight "), wv.cast("string"),
+      lit(" — concentration is undefined over signed mass; filter or " +
+        "shift upstream"))))
+    val clean = df.filter(col(byCol).isNotNull && col(weightCol).isNotNull)
+      .select(col(byCol).as("__g"), guarded.as("__w"))
+    val g = Window.partitionBy(col("__g"))
+    val rn = row_number().over(g.orderBy(col("__w"))).cast("long")
+    val n = count(lit(1)).over(g)
+    val stats = clean
+      .select(col("__g"), col("__w"),
+        ((lit(2L) * rn - n - lit(1L)) * col("__w")).as("__t"), n.as("__n"))
+      .groupBy(col("__g"))
+      .agg(max(col("__n")).as("n"), sum(col("__w")).as("total"),
+        sum(col("__t")).as("__num"))
+    val defined = col("total") > 0
+    stats.select(col("__g").as(byCol), col("n"), col("total"),
+      when(defined, round(col("__num").cast("double") /
+        (col("n") * col("total")).cast("double"), 6)).otherwise(lit(0.0))
+        .as("gini"),
+      defined.as("defined"))
+  }
 }

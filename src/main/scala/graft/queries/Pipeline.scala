@@ -1835,6 +1835,40 @@ object Pipeline {
         .orderBy(col("grp"))
     }),
 
+    // standardized mean difference (Cohen's d + Hedges' g) between
+    // the even/odd score samples per source: exact six-moment
+    // contract, integer positivity decision, shared dag, gateRounded
+    "qD4_effect_size" -> ((s, dir) => {
+      graft.operators.Classification.effectSize(
+          T(s, dir)("documents").select(col("source"),
+            (col("doc_id") % 2 === 1).as("in_b"),
+            (col("doc_id") % 97).as("x")),
+          "source", "in_b", "x")
+        .orderBy(col("source"))
+    }),
+
+    // two-sample Kolmogorov-Smirnov statistic per source: the exact
+    // integer sup-norm numerator max|cumA*nB - cumB*nA| maxed over
+    // exact longs, one final division
+    "qD5_ks_test" -> ((s, dir) => {
+      graft.operators.Classification.ksTest(
+          T(s, dir)("documents").select(col("source"),
+            (col("doc_id") % 2 === 1).as("in_b"),
+            (col("doc_id") % 97).as("x")),
+          "source", "in_b", "x")
+        .orderBy(col("source"))
+    }),
+
+    // Gini concentration of character mass per source: the "is 1% of
+    // the crawl 90% of the tokens" audit — exact rank-weighted
+    // numerator (tie-order-invariant), one division
+    "qD6_gini" -> ((s, dir) => {
+      graft.operators.Quantiles.gini(
+          T(s, dir)("documents").select(col("source"), col("n_chars")),
+          "source", "n_chars")
+        .orderBy(col("source"))
+    }),
+
     // trimmed + winsorized means per source (robust reward
     // aggregation): rank-based trim with integer k, exact kept sums
     // and boundary clamps, one division each; the plain-vs-trimmed
@@ -4185,6 +4219,93 @@ object Pipeline {
                ELSE 0.0 END AS rho,
              (n > 1 AND vx > 0 AND vy > 0) AS defined
       FROM v ORDER BY grp""",
+
+    "qD4_effect_size" -> """
+      WITH r AS (SELECT source, doc_id % 2 = 1 AS b, doc_id % 97 AS x
+                 FROM documents),
+      st AS (SELECT source,
+               CAST(SUM(CASE WHEN NOT b THEN 1 ELSE 0 END) AS BIGINT)
+                 AS na,
+               CAST(SUM(CASE WHEN NOT b THEN x ELSE 0 END) AS BIGINT)
+                 AS sa,
+               CAST(SUM(CASE WHEN NOT b THEN x * x ELSE 0 END) AS BIGINT)
+                 AS saa,
+               CAST(SUM(CASE WHEN b THEN 1 ELSE 0 END) AS BIGINT) AS nb,
+               CAST(SUM(CASE WHEN b THEN x ELSE 0 END) AS BIGINT) AS sb,
+               CAST(SUM(CASE WHEN b THEN x * x ELSE 0 END) AS BIGINT)
+                 AS sbb
+             FROM r GROUP BY 1),
+      v AS (SELECT *, na * saa - sa * sa AS va, nb * sbb - sb * sb AS vb
+            FROM st),
+      w AS (SELECT *,
+              (na > 1 AND nb > 1 AND va * nb + vb * na > 0) AS def,
+              CAST(sa AS DOUBLE) / CAST(na AS DOUBLE) AS ma,
+              CAST(sb AS DOUBLE) / CAST(nb AS DOUBLE) AS mb,
+              (CAST(va AS DOUBLE) / CAST(na AS DOUBLE)
+               + CAST(vb AS DOUBLE) / CAST(nb AS DOUBLE))
+              / CAST(na + nb - 2 AS DOUBLE) AS pooled
+            FROM v)
+      SELECT source, na AS n_a, nb AS n_b,
+             CASE WHEN na > 0 THEN round(ma, 6) ELSE 0.0 END AS mean_a,
+             CASE WHEN nb > 0 THEN round(mb, 6) ELSE 0.0 END AS mean_b,
+             CASE WHEN def THEN round((ma - mb) / sqrt(pooled), 6) + 0
+               ELSE 0.0 END AS cohen_d,
+             CASE WHEN def THEN round((ma - mb) / sqrt(pooled)
+                  * (1.0 - 3.0 / CAST(4 * (na + nb) - 9 AS DOUBLE)), 6)
+                  + 0
+               ELSE 0.0 END AS hedges_g,
+             def AS defined
+      FROM w ORDER BY source""",
+
+    "qD5_ks_test" -> """
+      WITH r AS (SELECT source AS g, doc_id % 2 = 1 AS b, doc_id % 97 AS x
+                 FROM documents),
+      pv AS (SELECT g, x,
+               CAST(SUM(CASE WHEN NOT b THEN 1 ELSE 0 END) AS BIGINT)
+                 AS ca,
+               CAST(SUM(CASE WHEN b THEN 1 ELSE 0 END) AS BIGINT) AS cb
+             FROM r GROUP BY 1, 2),
+      cm AS (SELECT g,
+               SUM(ca) OVER (PARTITION BY g ORDER BY x
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                 AS cuma,
+               SUM(cb) OVER (PARTITION BY g ORDER BY x
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                 AS cumb,
+               SUM(ca) OVER (PARTITION BY g) AS na,
+               SUM(cb) OVER (PARTITION BY g) AS nb
+             FROM pv),
+      st AS (SELECT g, CAST(MAX(na) AS BIGINT) AS na,
+               CAST(MAX(nb) AS BIGINT) AS nb,
+               CAST(MAX(abs(cuma * nb - cumb * na)) AS BIGINT) AS dnum
+             FROM cm GROUP BY 1)
+      SELECT g AS source, na AS n_a, nb AS n_b,
+             CASE WHEN na > 0 AND nb > 0 THEN dnum ELSE 0 END AS d_num,
+             CASE WHEN na > 0 AND nb > 0
+               THEN round(CAST(dnum AS DOUBLE)
+                          / CAST(na * nb AS DOUBLE), 6)
+               ELSE 0.0 END AS ks_d,
+             na > 0 AND nb > 0 AS defined
+      FROM st ORDER BY source""",
+
+    "qD6_gini" -> """
+      WITH r AS (SELECT source AS g, n_chars AS w FROM documents),
+      rk AS (SELECT g, w,
+               CAST(row_number() OVER (PARTITION BY g ORDER BY w)
+                 AS BIGINT) AS rn,
+               CAST(COUNT(*) OVER (PARTITION BY g) AS BIGINT) AS n
+             FROM r),
+      st AS (SELECT g, CAST(MAX(n) AS BIGINT) AS n,
+               CAST(SUM(w) AS BIGINT) AS total,
+               CAST(SUM((2 * rn - n - 1) * w) AS BIGINT) AS num
+             FROM rk GROUP BY 1)
+      SELECT g AS source, n, total,
+             CASE WHEN total > 0
+               THEN round(CAST(num AS DOUBLE)
+                          / CAST(n * total AS DOUBLE), 6)
+               ELSE 0.0 END AS gini,
+             total > 0 AS defined
+      FROM st ORDER BY source""",
 
     "qD2_trimmed_mean" -> """
       WITH r AS (SELECT source AS g, doc_id % 997 AS s FROM documents),

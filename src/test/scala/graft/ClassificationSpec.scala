@@ -92,4 +92,48 @@ class ClassificationSpec extends AnyFunSuite {
         .toDF("g", "s", "y"), "g", "s", "y").collect()
     }
   }
+
+  test("effectSize: pooled d and Hedges' g by hand") {
+    // A=[0,2] mean 1 var 2, B=[4,6] mean 5 var 2: pooled 2,
+    // d = -4/sqrt(2) = -2.828427, g = d*(1 - 3/7) = -1.616244
+    val df = Seq(("g", false, 0L), ("g", false, 2L),
+      ("g", true, 4L), ("g", true, 6L),
+      // constant scores on both sides: zero pooled variance
+      ("z", false, 5L), ("z", false, 5L), ("z", true, 5L), ("z", true, 5L),
+      // single-sided group
+      ("o", false, 1L), ("o", false, 2L)
+    ).toDF("g", "b", "x")
+    val out = Classification.effectSize(df, "g", "b", "x")
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getDouble(4), r.getDouble(5), r.getDouble(6),
+        r.getBoolean(7)))).toMap
+    assert(out("g") == ((2L, 2L, 1.0, 5.0, -2.828427, -1.616244, true)),
+      out("g").toString)
+    assert(!out("z")._7 && out("z")._5 == 0.0, out("z").toString)
+    assert(!out("o")._7 && out("o")._3 == 1.5, out("o").toString)
+    intercept[IllegalArgumentException] {
+      Classification.effectSize(Seq(("g", 1L, 1L)).toDF("g", "b", "x"),
+        "g", "b", "x")
+    }
+  }
+
+  test("ksTest: exact sup-norm numerator by hand") {
+    val df = Seq(
+      // disjoint supports: D = 1
+      ("d", false, 1L), ("d", false, 2L), ("d", true, 3L), ("d", true, 4L),
+      // interleaved: max gap 2/4 = 0.5
+      ("i", false, 1L), ("i", false, 3L), ("i", true, 2L), ("i", true, 4L),
+      // identical samples: D = 0
+      ("s", false, 7L), ("s", true, 7L),
+      // single-sided
+      ("o", false, 1L)
+    ).toDF("g", "b", "x")
+    val out = Classification.ksTest(df, "g", "b", "x")
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getDouble(4), r.getBoolean(5)))).toMap
+    assert(out("d") == ((2L, 2L, 4L, 1.0, true)), out("d").toString)
+    assert(out("i") == ((2L, 2L, 2L, 0.5, true)), out("i").toString)
+    assert(out("s") == ((1L, 1L, 0L, 0.0, true)), out("s").toString)
+    assert(out("o") == ((1L, 0L, 0L, 0.0, false)), out("o").toString)
+  }
 }

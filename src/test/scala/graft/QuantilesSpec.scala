@@ -176,4 +176,28 @@ class QuantilesSpec extends AnyFunSuite {
       Quantiles.medianMad(Seq(("a", 1.5)).toDF("g", "s"), "g", "s")
     }
   }
+
+  test("gini: equality, max concentration, and refusals by hand") {
+    import spark.implicits._
+    val df = Seq(
+      // uniform mass -> G = 0 exactly
+      ("u", 1L), ("u", 1L), ("u", 1L), ("u", 1L),
+      // all mass on one row of four -> G = (n-1)/n = 0.75
+      ("c", 0L), ("c", 0L), ("c", 0L), ("c", 4L),
+      // zero total mass: undefined, visible
+      ("z", 0L), ("z", 0L)
+    ).toDF("g", "w")
+    val out = Quantiles.gini(df, "g", "w")
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getBoolean(4)))).toMap
+    assert(out("u") == ((4L, 4L, 0.0, true)), out("u").toString)
+    assert(out("c") == ((4L, 4L, 0.75, true)), out("c").toString)
+    assert(out("z") == ((2L, 0L, 0.0, false)), out("z").toString)
+    intercept[Exception] {
+      Quantiles.gini(Seq(("a", -1L)).toDF("g", "w"), "g", "w").collect()
+    }
+    intercept[IllegalArgumentException] {
+      Quantiles.gini(Seq(("a", 1.5)).toDF("g", "w"), "g", "w")
+    }
+  }
 }
