@@ -268,6 +268,86 @@ object Classification {
   }
 
   /**
+   * Population stability index per group (the credit-scoring drift
+   * standard; Siddiqi 2006 §8) — "has the score distribution my
+   * filter was tuned on shifted": PSI = Σ_b (p_A,b − p_B,b)·
+   * ln(p_A,b/p_B,b) over score bins between two snapshots, with the
+   * conventional read (< 0.1 stable, > 0.25 investigate). Laplace
+   * smoothing p = (c+1)/(T+bins) keeps every bin term finite — an
+   * empty bin is EVIDENCE of drift, not an error — and a densified
+   * bin spine (the qC9 convention) makes both engines see all bins.
+   *
+   * Exact contract: bin counts and totals are exact longs
+   * (integer-percent scores, the qC8 domain guard); each bin's term
+   * is one shared dag over those longs quantized to a 1e-9-grid long
+   * (the qCC axis) → the cross-bin sum is exact in any partition
+   * order; every term is ≥ 0 (same-sign difference and log), so the
+   * final one-division rescale takes a plain round. A snapshot with
+   * zero rows → defined = false.
+   *
+   * Scale shape: ONE corpus partial/final aggregate to ≤ bins rows
+   * per group (both snapshots meet in the same aggregate via
+   * conditional sums — the split never shuffles separately), then
+   * metadata-sized spine joins.
+   *
+   * @return per (group, bin): (byCol, bin, n_a, n_b, term rounded 6)
+   *         + (psi rounded 6, defined — constant across the group)
+   */
+  def psi(df: DataFrame, byCol: String, inBCol: String,
+          scorePctCol: String, bins: Int = 10): DataFrame = {
+    require(bins > 0, s"bins must be positive, got $bins")
+    require(df.schema(inBCol).dataType ==
+        org.apache.spark.sql.types.BooleanType,
+      s"psi: $inBCol must be boolean (got " +
+        s"${df.schema(inBCol).dataType.simpleString})")
+    require(org.apache.spark.sql.graftbridge.ColumnBridge
+        .isIntegral(df.schema(scorePctCol).dataType),
+      s"psi: $scorePctCol must be integral percent (got " +
+        s"${df.schema(scorePctCol).dataType.simpleString})")
+    val s = col(scorePctCol).cast("long")
+    val guarded = when(s >= 0L && s <= 100L, s)
+      .otherwise(raise_error(concat(
+        lit("psi: score percent out of [0, 100]: "), s.cast("string"))))
+    val perBin = df.filter(col(byCol).isNotNull && col(inBCol).isNotNull &&
+        col(scorePctCol).isNotNull)
+      .select(col(byCol).as("__g"),
+        least(floor(guarded * bins / lit(100)), lit(bins - 1))
+          .cast("int").as("__b"),
+        col(inBCol).as("__in"))
+      .groupBy(col("__g"), col("__b"))
+      .agg(sum(when(!col("__in"), 1L).otherwise(0L)).as("__ca"),
+        sum(when(col("__in"), 1L).otherwise(0L)).as("__cb"))
+      .localCheckpoint(true) // <= bins rows per group, two consumers
+    val totals = perBin.groupBy(col("__g"))
+      .agg(sum(col("__ca")).as("__ta"), sum(col("__cb")).as("__tb"))
+    val spine = df.sparkSession.range(0, bins)
+      .select(col("id").cast("int").as("bin"))
+    val dense = totals.crossJoin(broadcast(spine))
+      .join(perBin.withColumnRenamed("__g", "__g2"),
+        col("__g") === col("__g2") && col("__b") === col("bin"), "left")
+      .select(col("__g"), col("bin"), col("__ta"), col("__tb"),
+        coalesce(col("__ca"), lit(0L)).as("n_a"),
+        coalesce(col("__cb"), lit(0L)).as("n_b"))
+    val pa = (col("n_a") + lit(1L)).cast("double") /
+      (col("__ta") + lit(bins.toLong)).cast("double")
+    val pb = (col("n_b") + lit(1L)).cast("double") /
+      (col("__tb") + lit(bins.toLong)).cast("double")
+    val termQ = floor((pa - pb) * log(pa / pb) * lit(1e9) + lit(0.5))
+      .cast("long")
+    val terms = dense.select(col("__g"), col("bin"), col("n_a"),
+      col("n_b"), col("__ta"), col("__tb"), termQ.as("__tq"))
+    import org.apache.spark.sql.expressions.Window
+    val g = Window.partitionBy(col("__g"))
+    val defined = col("__ta") > 0 && col("__tb") > 0
+    terms.select(col("__g").as(byCol), col("bin"), col("n_a"), col("n_b"),
+      when(defined, round(col("__tq").cast("double") / lit(1e9), 6))
+        .otherwise(lit(0.0)).as("term"),
+      when(defined, round(sum(col("__tq")).over(g).cast("double") /
+        lit(1e9), 6)).otherwise(lit(0.0)).as("psi"),
+      defined.as("defined"))
+  }
+
+  /**
    * Threshold sweep (the PR/ROC curve's point table) per group over
    * an integer-percent score: for every threshold t ∈ 0..100,
    * "predict positive when score ≥ t" — exact TP/FP/FN/TN at each

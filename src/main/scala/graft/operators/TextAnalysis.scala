@@ -1781,6 +1781,96 @@ object TextAnalysis {
   }
 
   /**
+   * Lexical diversity profile per group (Herdan 1960; the
+   * type-token family) — the vocabulary-richness audit beside the
+   * quality battery: template-generated or looping text shows a
+   * collapsed type/token ratio and a starved hapax share long before
+   * a human notices. Herdan's C = ln(types)/ln(tokens) is the
+   * length-corrected variant (raw TTR decays with corpus size; C is
+   * comparable across differently-sized sources).
+   *
+   * Exact contract: token, type and hapax counts are exact longs
+   * (types and hapaxes via one (group, token) aggregate); TTR and
+   * hapax share are ONE division each; Herdan's C is one shared
+   * ln/ln dag over exact longs. tokens ≤ 1 leaves C undefined
+   * (ln 1 = 0 in the denominator) → defined = false, counts still
+   * reported. All outputs non-negative: plain round.
+   *
+   * Scale shape: one token explode → one (group, token) hash
+   * aggregate → one group aggregate; the token totals ride the same
+   * aggregates (no second corpus pass).
+   *
+   * @return (byCol, n_tokens, n_types, n_hapax, ttr, herdan_c,
+   *         hapax_share — each rounded 6, defined)
+   */
+  def lexicalDiversity(docs: DataFrame, byCol: String,
+                       textCol: String): DataFrame = {
+    val perTok = docs.filter(col(byCol).isNotNull)
+      .select(col(byCol).as("__g"),
+        explode(tokens(col(textCol))).as("__t"))
+      .groupBy(col("__g"), col("__t"))
+      .agg(count(lit(1)).as("__c"))
+    val stats = perTok.groupBy(col("__g"))
+      .agg(sum(col("__c")).as("n_tokens"),
+        count(lit(1)).as("n_types"),
+        sum(when(col("__c") === 1L, 1L).otherwise(0L)).as("n_hapax"))
+    val defined = col("n_tokens") > 1
+    def d(c: org.apache.spark.sql.Column) = c.cast("double")
+    stats.select(col("__g").as(byCol), col("n_tokens"), col("n_types"),
+      col("n_hapax"),
+      round(d(col("n_types")) / d(col("n_tokens")), 6).as("ttr"),
+      when(defined, round(log(d(col("n_types"))) /
+        log(d(col("n_tokens"))), 6)).otherwise(lit(0.0)).as("herdan_c"),
+      round(d(col("n_hapax")) / d(col("n_types")), 6).as("hapax_share"),
+      defined.as("defined"))
+  }
+
+  /**
+   * Duplicate n-gram rate (the memorization-risk scalar; Lee et al.
+   * 2022 "Deduplicating Training Data Makes Language Models Better"
+   * measure the same mass) — what fraction of the corpus's n-gram
+   * OCCURRENCES belong to n-grams seen more than once: the headline
+   * number a dedup pass is judged by, and the memorization exposure
+   * a model trained on this corpus inherits. Reported with the type
+   * counts so "few heavy duplicates" and "many light ones" read
+   * differently.
+   *
+   * Exact contract: occurrence and type counts are exact longs; the
+   * rate is ONE division. Empty corpus → defined = false, the one
+   * row stays visible.
+   *
+   * Scale shape: one gram explode → one (gram) hash aggregate → one
+   * global aggregate. Text never shuffles, only grams (the qC6
+   * economics).
+   *
+   * @return ONE row: (n_occurrences, n_types, n_dup_types,
+   *         n_dup_occurrences, dup_rate rounded 6, defined)
+   */
+  def dupGramRate(docs: DataFrame, textCol: String, n: Int): DataFrame = {
+    require(n >= 1, s"n must be >= 1, got $n")
+    val grams = docs
+      .select(explode(graft.functions.ShingleExprs
+        .token_grams(coalesce(col(textCol), lit("")), n,
+          overlapping = true)).as("__g"))
+      .groupBy(col("__g"))
+      .agg(count(lit(1)).as("__c"))
+    val agg = grams.agg(
+      coalesce(sum(col("__c")), lit(0L)).as("n_occurrences"),
+      count(lit(1)).as("n_types"),
+      coalesce(sum(when(col("__c") > 1L, 1L).otherwise(0L)), lit(0L))
+        .as("n_dup_types"),
+      coalesce(sum(when(col("__c") > 1L, col("__c")).otherwise(0L)),
+        lit(0L)).as("n_dup_occurrences"))
+    val defined = col("n_occurrences") > 0
+    agg.select(col("n_occurrences"), col("n_types"), col("n_dup_types"),
+      col("n_dup_occurrences"),
+      when(defined, round(col("n_dup_occurrences").cast("double") /
+        col("n_occurrences").cast("double"), 6)).otherwise(lit(0.0))
+        .as("dup_rate"),
+      defined.as("defined"))
+  }
+
+  /**
    * Interpolated Kneser–Ney bigram model table (Kneser & Ney 1995;
    * Chen & Goodman 1999 eq. 4.25, fixed discount) — the smoothing
    * that actually works for language data, and the reason "San

@@ -1835,6 +1835,35 @@ object Pipeline {
         .orderBy(col("grp"))
     }),
 
+    // population stability index per source (the credit-scoring drift
+    // standard): Laplace-smoothed bin shares between the even/odd
+    // score snapshots over a densified spine — per-bin terms quantize
+    // to the 1e-9 grid, PSI is their order-free sum
+    "qD7_psi" -> ((s, dir) => {
+      graft.operators.Classification.psi(
+          T(s, dir)("documents").select(col("source"),
+            (col("doc_id") % 2 === 1).as("in_b"),
+            (col("doc_id") % 101).as("score")),
+          "source", "in_b", "score", bins = 10)
+        .orderBy(col("source"), col("bin"))
+    }),
+
+    // lexical diversity per source: type/token ratio, Herdan's C and
+    // hapax share — the template-collapse audit; exact counts, one
+    // division or one ln/ln dag each
+    "qD8_lexical_diversity" -> ((s, dir) => {
+      TextAnalysis.lexicalDiversity(T(s, dir)("documents"), "source",
+          "text")
+        .orderBy(col("source"))
+    }),
+
+    // duplicate trigram rate (the memorization-risk scalar): what
+    // fraction of gram occurrences belong to grams seen twice+ —
+    // the number a dedup pass is judged by
+    "qD9_dup_gram_rate" -> ((s, dir) => {
+      TextAnalysis.dupGramRate(T(s, dir)("documents"), "text", n = 3)
+    }),
+
     // standardized mean difference (Cohen's d + Hedges' g) between
     // the even/odd score samples per source: exact six-moment
     // contract, integer positivity decision, shared dag, gateRounded
@@ -4219,6 +4248,85 @@ object Pipeline {
                ELSE 0.0 END AS rho,
              (n > 1 AND vx > 0 AND vy > 0) AS defined
       FROM v ORDER BY grp""",
+
+    "qD7_psi" -> """
+      WITH r AS (SELECT source AS g, doc_id % 2 = 1 AS inb,
+                   doc_id % 101 AS s FROM documents),
+      pb AS (SELECT g, CAST(least(floor(s * 10 / 100), 9) AS INT) AS b,
+               CAST(SUM(CASE WHEN NOT inb THEN 1 ELSE 0 END) AS BIGINT)
+                 AS ca,
+               CAST(SUM(CASE WHEN inb THEN 1 ELSE 0 END) AS BIGINT)
+                 AS cb
+             FROM r GROUP BY 1, 2),
+      tot AS (SELECT g, CAST(SUM(ca) AS BIGINT) AS ta,
+                CAST(SUM(cb) AS BIGINT) AS tb FROM pb GROUP BY 1),
+      sp AS (SELECT CAST(range AS INT) AS bin FROM range(0, 10)),
+      dense AS (SELECT tot.g, sp.bin, tot.ta, tot.tb,
+                  COALESCE(pb.ca, 0) AS na, COALESCE(pb.cb, 0) AS nb
+                FROM tot CROSS JOIN sp
+                LEFT JOIN pb ON pb.g = tot.g AND pb.b = sp.bin),
+      tq AS (SELECT *, CAST(floor(
+               (CAST(na + 1 AS DOUBLE) / CAST(ta + 10 AS DOUBLE)
+                - CAST(nb + 1 AS DOUBLE) / CAST(tb + 10 AS DOUBLE))
+               * ln((CAST(na + 1 AS DOUBLE) / CAST(ta + 10 AS DOUBLE))
+                    / (CAST(nb + 1 AS DOUBLE) / CAST(tb + 10 AS DOUBLE)))
+               * 1000000000 + 0.5) AS BIGINT) AS q
+             FROM dense)
+      SELECT g AS source, bin, na AS n_a, nb AS n_b,
+             CASE WHEN ta > 0 AND tb > 0
+               THEN round(CAST(q AS DOUBLE) / 1000000000.0, 6)
+               ELSE 0.0 END AS term,
+             CASE WHEN ta > 0 AND tb > 0
+               THEN round(CAST(SUM(q) OVER (PARTITION BY g) AS DOUBLE)
+                          / 1000000000.0, 6)
+               ELSE 0.0 END AS psi,
+             ta > 0 AND tb > 0 AS defined
+      FROM tq ORDER BY source, bin""",
+
+    "qD8_lexical_diversity" -> """
+      WITH tk AS (SELECT source AS g,
+                    unnest(regexp_extract_all(text, '\S+')) AS t
+                  FROM documents WHERE source IS NOT NULL),
+      pt AS (SELECT g, t, CAST(COUNT(*) AS BIGINT) AS c
+             FROM tk GROUP BY 1, 2),
+      st AS (SELECT g, CAST(SUM(c) AS BIGINT) AS n_tokens,
+               CAST(COUNT(*) AS BIGINT) AS n_types,
+               CAST(SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_hapax
+             FROM pt GROUP BY 1)
+      SELECT g AS source, n_tokens, n_types, n_hapax,
+             round(CAST(n_types AS DOUBLE) / CAST(n_tokens AS DOUBLE), 6)
+               AS ttr,
+             CASE WHEN n_tokens > 1
+               THEN round(ln(CAST(n_types AS DOUBLE))
+                          / ln(CAST(n_tokens AS DOUBLE)), 6)
+               ELSE 0.0 END AS herdan_c,
+             round(CAST(n_hapax AS DOUBLE) / CAST(n_types AS DOUBLE), 6)
+               AS hapax_share,
+             n_tokens > 1 AS defined
+      FROM st ORDER BY source""",
+
+    "qD9_dup_gram_rate" -> """
+      WITH tk AS (SELECT regexp_extract_all(COALESCE(text, ''), '\S+')
+                    AS t FROM documents),
+      g3 AS (SELECT unnest(list_transform(range(1, len(t) - 1),
+               i -> t[i] || ' ' || t[i + 1] || ' ' || t[i + 2])) AS g
+             FROM tk WHERE len(t) >= 3),
+      c AS (SELECT g, CAST(COUNT(*) AS BIGINT) AS c FROM g3 GROUP BY 1),
+      a AS (SELECT COALESCE(CAST(SUM(c) AS BIGINT), 0) AS n_occurrences,
+              CAST(COUNT(*) AS BIGINT) AS n_types,
+              COALESCE(CAST(SUM(CASE WHEN c > 1 THEN 1 ELSE 0 END)
+                AS BIGINT), 0) AS n_dup_types,
+              COALESCE(CAST(SUM(CASE WHEN c > 1 THEN c ELSE 0 END)
+                AS BIGINT), 0) AS n_dup_occurrences
+            FROM c)
+      SELECT n_occurrences, n_types, n_dup_types, n_dup_occurrences,
+             CASE WHEN n_occurrences > 0
+               THEN round(CAST(n_dup_occurrences AS DOUBLE)
+                          / CAST(n_occurrences AS DOUBLE), 6)
+               ELSE 0.0 END AS dup_rate,
+             n_occurrences > 0 AS defined
+      FROM a""",
 
     "qD4_effect_size" -> """
       WITH r AS (SELECT source, doc_id % 2 = 1 AS b, doc_id % 97 AS x

@@ -136,4 +136,29 @@ class ClassificationSpec extends AnyFunSuite {
     assert(out("s") == ((1L, 1L, 0L, 0.0, true)), out("s").toString)
     assert(out("o") == ((1L, 0L, 0L, 0.0, false)), out("o").toString)
   }
+
+  test("psi: smoothed bin terms and the densified spine by hand") {
+    // A = {5, 15} (bins 0,1), B = {5, 5} (bin 0 twice); smoothed
+    // shares over T+10=12: bin0 (2/12 vs 3/12) -> 0.033789, bin1
+    // (2/12 vs 1/12) -> 0.057762, empty bins contribute exactly 0
+    val df = Seq(("g", false, 5L), ("g", false, 15L),
+      ("g", true, 5L), ("g", true, 5L),
+      ("o", false, 50L)).toDF("g", "b", "s")
+    val rows = Classification.psi(df, "g", "b", "s")
+      .collect().map(r => (r.getString(0), r.getInt(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getDouble(4), r.getDouble(5),
+          r.getBoolean(6)))).toMap
+    assert(rows.count(_._1._1 == "g") == 10, "spine not densified")
+    assert(rows(("g", 0)) == ((1L, 2L, 0.033789, 0.091551, true)),
+      rows(("g", 0)).toString)
+    assert(rows(("g", 1)) == ((1L, 0L, 0.057762, 0.091551, true)),
+      rows(("g", 1)).toString)
+    assert(rows(("g", 5)) == ((0L, 0L, 0.0, 0.091551, true)))
+    // a missing snapshot is undefined, not silently zero-drift
+    assert(!rows(("o", 0))._5, rows(("o", 0)).toString)
+    intercept[Exception] {
+      Classification.psi(Seq(("g", false, 101L)).toDF("g", "b", "s"),
+        "g", "b", "s").collect()
+    }
+  }
 }

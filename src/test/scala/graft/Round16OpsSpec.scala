@@ -227,6 +227,39 @@ class Round16OpsSpec extends AnyFunSuite {
       ((0L, 0L, 0L, 0.0, 0.0, 0.0, false)))
   }
 
+  test("lexicalDiversity: type/token arithmetic by hand") {
+    val docs = Seq(("a", "x x y"), ("a", "z"), ("b", "w"))
+      .toDF("source", "text")
+    val m = TextAnalysis.lexicalDiversity(docs, "source", "text")
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getDouble(4), r.getDouble(5), r.getDouble(6),
+        r.getBoolean(7)))).toMap
+    // 4 tokens, 3 types, 2 hapaxes: ttr 0.75, C = ln3/ln4 = 0.792481
+    assert(m("a") == ((4L, 3L, 2L, 0.75, 0.792481, 0.666667, true)),
+      m("a").toString)
+    // a single token leaves Herdan's C undefined (ln 1 denominator)
+    assert(m("b") == ((1L, 1L, 1L, 1.0, 0.0, 1.0, false)),
+      m("b").toString)
+  }
+
+  test("dupGramRate: duplicate-mass accounting by hand") {
+    val uni = TextAnalysis.dupGramRate(
+      Seq("a b a", "c").toDF("text"), "text", n = 1).head()
+    // unigrams a:2 b:1 c:1 -> 2 of 4 occurrences are duplicate mass
+    assert((uni.getLong(0), uni.getLong(1), uni.getLong(2),
+      uni.getLong(3), uni.getDouble(4), uni.getBoolean(5)) ==
+      ((4L, 3L, 1L, 2L, 0.5, true)), uni.toString)
+    // bigrams of "a b a b": "a b" twice, "b a" once -> 0.666667
+    val bi = TextAnalysis.dupGramRate(
+      Seq("a b a b").toDF("text"), "text", n = 2).head()
+    assert(bi.getDouble(4) == 0.666667 && bi.getLong(0) == 3L,
+      bi.toString)
+    // empty corpus: the one visible undefined row
+    val e = TextAnalysis.dupGramRate(
+      Seq.empty[String].toDF("text"), "text", n = 3).head()
+    assert(e.getLong(0) == 0L && !e.getBoolean(5), e.toString)
+  }
+
   test("signTest: exact binomial tails by hand") {
     import graft.operators.Preference
     val df = (Seq.fill(5)(("a", true)) ++
