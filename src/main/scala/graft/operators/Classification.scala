@@ -268,6 +268,68 @@ object Classification {
   }
 
   /**
+   * Cramér's V association between two categorical columns per group
+   * (Cramér 1946) — the [0, 1]-normalized effect size the χ² family
+   * needs for COMPARABILITY ([[graft.operators.TextAnalysis
+   * .chiSquaredTerms]] ranks terms within one table; V says how
+   * strongly source predicts language ACROSS tables of different
+   * size): V = √(χ²/N / (min(r, c) − 1)), with χ²/N computed by the
+   * identity φ² = Σ_cells n_ab²/(n_a·n_b) − 1 — no expected-count
+   * subtraction per cell.
+   *
+   * Exact contract: the contingency and both marginals are exact
+   * longs in any partition order; each cell's term n_ab²/(n_a·n_b)
+   * is ONE division of exact longs quantized to the 1e-9 grid (the
+   * qCC axis) → the cross-cell sum is exact; φ², χ² and V are fixed
+   * dags over that sum. r and c are exact distinct counts; a
+   * single-row or single-column table (min(r,c) = 1) has no
+   * association to normalize → defined = false. Bound: n_ab² < 2^63
+   * → cells under ~3e9.
+   *
+   * Scale shape: one corpus aggregate to the (group, a, b)
+   * contingency (localCheckpointed — marginals and the scoring join
+   * re-read it), metadata-sized joins after.
+   *
+   * @return (byCol, n, n_rows, n_cols, chi2 rounded 6, cramers_v
+   *         rounded 6, defined)
+   */
+  def cramersV(df: DataFrame, byCol: String, aCol: String,
+               bCol: String): DataFrame = {
+    val cells = df.filter(col(byCol).isNotNull && col(aCol).isNotNull &&
+        col(bCol).isNotNull)
+      .groupBy(col(byCol).as("__g"), col(aCol).cast("string").as("__a"),
+        col(bCol).cast("string").as("__b"))
+      .agg(count(lit(1)).as("__nab"))
+      .localCheckpoint(true) // contingency-sized, three consumers
+    val ma = cells.groupBy(col("__g"), col("__a"))
+      .agg(sum(col("__nab")).as("__na"))
+    val mb = cells.groupBy(col("__g"), col("__b"))
+      .agg(sum(col("__nab")).as("__nb"))
+    val termQ = floor(col("__nab").cast("double") * col("__nab")
+      .cast("double") / (col("__na") * col("__nb")).cast("double") *
+      lit(1e9) + lit(0.5)).cast("long")
+    val stats = cells.join(ma, Seq("__g", "__a")).join(mb, Seq("__g", "__b"))
+      .select(col("__g"), col("__nab"), termQ.as("__tq"))
+      .groupBy(col("__g"))
+      .agg(sum(col("__nab")).as("n"), sum(col("__tq")).as("__sq"))
+    val dims = ma.groupBy(col("__g")).agg(count(lit(1)).as("n_rows"))
+      .join(mb.groupBy(col("__g")).agg(count(lit(1)).as("n_cols")),
+        Seq("__g"))
+    val joined = stats.join(dims, Seq("__g"))
+    val phi2 = col("__sq").cast("double") / lit(1e9) - lit(1.0)
+    val minDim = least(col("n_rows"), col("n_cols"))
+    val defined = col("n") > 0 && minDim > 1
+    joined.select(col("__g").as(byCol), col("n"), col("n_rows"),
+      col("n_cols"),
+      when(defined, graft.functions.GateRound(
+        col("n").cast("double") * phi2, 6)).otherwise(lit(0.0)).as("chi2"),
+      when(defined, graft.functions.GateRound(
+        sqrt(greatest(phi2, lit(0.0)) / (minDim - 1L).cast("double")), 6))
+        .otherwise(lit(0.0)).as("cramers_v"),
+      defined.as("defined"))
+  }
+
+  /**
    * Population stability index per group (the credit-scoring drift
    * standard; Siddiqi 2006 §8) — "has the score distribution my
    * filter was tuned on shifted": PSI = Σ_b (p_A,b − p_B,b)·

@@ -1826,6 +1826,56 @@ object TextAnalysis {
   }
 
   /**
+   * Vocabulary churn between two corpus snapshots — the
+   * type-level drift check beside [[jsDivergence]]'s mass-level one
+   * (mass can stay put while the long tail turns over completely —
+   * exactly the regime a tokenizer retrain decision cares about):
+   * type counts per side, shared types, type-set Jaccard, and the
+   * new-type rate (what fraction of the NEW snapshot's vocabulary
+   * the old one never saw).
+   *
+   * Exact contract: all five counts are exact longs from ONE (token)
+   * aggregate with two conditional sums (the split never shuffles
+   * separately); Jaccard and new-type rate are ONE division each. An
+   * empty side → defined = false, counts visible.
+   *
+   * Scale shape: one token explode → one (token) hash aggregate →
+   * one global aggregate.
+   *
+   * @return ONE row: (n_types_a, n_types_b, n_shared, jaccard,
+   *         new_type_rate — each rounded 6, defined)
+   */
+  def vocabChurn(docs: DataFrame, inBCol: String,
+                 textCol: String): DataFrame = {
+    require(docs.schema(inBCol).dataType ==
+        org.apache.spark.sql.types.BooleanType,
+      s"vocabChurn: $inBCol must be boolean (got " +
+        s"${docs.schema(inBCol).dataType.simpleString})")
+    val perTok = docs.filter(col(inBCol).isNotNull)
+      .select(col(inBCol).as("__in"),
+        explode(tokens(col(textCol))).as("__t"))
+      .groupBy(col("__t"))
+      .agg(sum(when(!col("__in"), 1L).otherwise(0L)).as("__ca"),
+        sum(when(col("__in"), 1L).otherwise(0L)).as("__cb"))
+    val agg = perTok.agg(
+      coalesce(sum(when(col("__ca") > 0, 1L).otherwise(0L)), lit(0L))
+        .as("n_types_a"),
+      coalesce(sum(when(col("__cb") > 0, 1L).otherwise(0L)), lit(0L))
+        .as("n_types_b"),
+      coalesce(sum(when(col("__ca") > 0 && col("__cb") > 0, 1L)
+        .otherwise(0L)), lit(0L)).as("n_shared"))
+    val defined = col("n_types_a") > 0 && col("n_types_b") > 0
+    val union = col("n_types_a") + col("n_types_b") - col("n_shared")
+    agg.select(col("n_types_a"), col("n_types_b"), col("n_shared"),
+      when(defined, round(col("n_shared").cast("double") /
+        union.cast("double"), 6)).otherwise(lit(0.0)).as("jaccard"),
+      when(defined, round((col("n_types_b") - col("n_shared"))
+        .cast("double") / col("n_types_b").cast("double"), 6))
+        .otherwise(lit(0.0)).as("new_type_rate"),
+      defined.as("defined"))
+  }
+
+  /**
    * Duplicate n-gram rate (the memorization-risk scalar; Lee et al.
    * 2022 "Deduplicating Training Data Makes Language Models Better"
    * measure the same mass) — what fraction of the corpus's n-gram

@@ -1835,6 +1835,29 @@ object Pipeline {
         .orderBy(col("grp"))
     }),
 
+    // Cramer's V between source and a synthetic category per 4-way
+    // shard: the normalized chi-square effect size — per-cell terms
+    // n_ab^2/(n_a*n_b) quantize to the 1e-9 grid, phi^2/chi2/V fixed
+    // dags, gateRounded
+    "qDA_cramers_v" -> ((s, dir) => {
+      graft.operators.Classification.cramersV(
+          T(s, dir)("documents").select(
+            (col("doc_id") % 4).as("shard"), col("source"),
+            (col("doc_id") % 5).as("cat")),
+          "shard", "source", "cat")
+        .orderBy(col("shard"))
+    }),
+
+    // vocabulary churn between the even/odd snapshots: type-set
+    // Jaccard + new-type rate — the tokenizer-retrain audit; one
+    // token aggregate with conditional sums, two divisions
+    "qDB_vocab_churn" -> ((s, dir) => {
+      TextAnalysis.vocabChurn(
+          T(s, dir)("documents").select(
+            (col("doc_id") % 2 === 1).as("in_b"), col("text")),
+          "in_b", "text")
+    }),
+
     // population stability index per source (the credit-scoring drift
     // standard): Laplace-smoothed bin shares between the even/odd
     // score snapshots over a densified spine — per-bin terms quantize
@@ -4248,6 +4271,71 @@ object Pipeline {
                ELSE 0.0 END AS rho,
              (n > 1 AND vx > 0 AND vy > 0) AS defined
       FROM v ORDER BY grp""",
+
+    "qDA_cramers_v" -> """
+      WITH r AS (SELECT doc_id % 4 AS g, source AS a,
+                   CAST(doc_id % 5 AS VARCHAR) AS b FROM documents),
+      cells AS (SELECT g, a, b, CAST(COUNT(*) AS BIGINT) AS nab
+                FROM r GROUP BY 1, 2, 3),
+      ma AS (SELECT g, a, CAST(SUM(nab) AS BIGINT) AS na
+             FROM cells GROUP BY 1, 2),
+      mb AS (SELECT g, b, CAST(SUM(nab) AS BIGINT) AS nb
+             FROM cells GROUP BY 1, 2),
+      st AS (SELECT cells.g, CAST(SUM(nab) AS BIGINT) AS n,
+               CAST(SUM(CAST(floor(CAST(nab AS DOUBLE)
+                    * CAST(nab AS DOUBLE)
+                    / CAST(na * nb AS DOUBLE) * 1000000000 + 0.5)
+                 AS BIGINT)) AS BIGINT) AS sq
+             FROM cells JOIN ma USING (g, a) JOIN mb USING (g, b)
+             GROUP BY 1),
+      dims AS (SELECT ra.g, ra.n_rows, rb.n_cols
+               FROM (SELECT g, CAST(COUNT(*) AS BIGINT) AS n_rows
+                     FROM ma GROUP BY 1) ra
+               JOIN (SELECT g, CAST(COUNT(*) AS BIGINT) AS n_cols
+                     FROM mb GROUP BY 1) rb USING (g)),
+      v AS (SELECT st.g, st.n, dims.n_rows, dims.n_cols,
+              CAST(sq AS DOUBLE) / 1000000000.0 - 1.0 AS phi2,
+              least(dims.n_rows, dims.n_cols) AS md
+            FROM st JOIN dims USING (g))
+      SELECT g AS shard, n, n_rows, n_cols,
+             CASE WHEN n > 0 AND md > 1
+               THEN round(CAST(n AS DOUBLE) * phi2, 6) + 0
+               ELSE 0.0 END AS chi2,
+             CASE WHEN n > 0 AND md > 1
+               THEN round(sqrt(greatest(phi2, 0.0)
+                          / CAST(md - 1 AS DOUBLE)), 6) + 0
+               ELSE 0.0 END AS cramers_v,
+             n > 0 AND md > 1 AS defined
+      FROM v ORDER BY shard""",
+
+    "qDB_vocab_churn" -> """
+      WITH tk AS (SELECT doc_id % 2 = 1 AS inb,
+                    unnest(regexp_extract_all(text, '\S+')) AS t
+                  FROM documents),
+      pt AS (SELECT t,
+               CAST(SUM(CASE WHEN NOT inb THEN 1 ELSE 0 END) AS BIGINT)
+                 AS ca,
+               CAST(SUM(CASE WHEN inb THEN 1 ELSE 0 END) AS BIGINT)
+                 AS cb
+             FROM tk GROUP BY 1),
+      a AS (SELECT COALESCE(CAST(SUM(CASE WHEN ca > 0 THEN 1 ELSE 0 END)
+              AS BIGINT), 0) AS n_types_a,
+              COALESCE(CAST(SUM(CASE WHEN cb > 0 THEN 1 ELSE 0 END)
+                AS BIGINT), 0) AS n_types_b,
+              COALESCE(CAST(SUM(CASE WHEN ca > 0 AND cb > 0 THEN 1
+                ELSE 0 END) AS BIGINT), 0) AS n_shared
+            FROM pt)
+      SELECT n_types_a, n_types_b, n_shared,
+             CASE WHEN n_types_a > 0 AND n_types_b > 0
+               THEN round(CAST(n_shared AS DOUBLE)
+                    / CAST(n_types_a + n_types_b - n_shared AS DOUBLE), 6)
+               ELSE 0.0 END AS jaccard,
+             CASE WHEN n_types_a > 0 AND n_types_b > 0
+               THEN round(CAST(n_types_b - n_shared AS DOUBLE)
+                    / CAST(n_types_b AS DOUBLE), 6)
+               ELSE 0.0 END AS new_type_rate,
+             n_types_a > 0 AND n_types_b > 0 AS defined
+      FROM a""",
 
     "qD7_psi" -> """
       WITH r AS (SELECT source AS g, doc_id % 2 = 1 AS inb,

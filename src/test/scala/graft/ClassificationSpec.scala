@@ -161,4 +161,22 @@ class ClassificationSpec extends AnyFunSuite {
         "g", "b", "s").collect()
     }
   }
+
+  test("cramersV: association extremes by hand") {
+    val df = Seq(
+      // perfect association: phi2 = 1, V = 1, chi2 = n = 4
+      ("p", "x", "u"), ("p", "x", "u"), ("p", "y", "v"), ("p", "y", "v"),
+      // independence: every cell uniform -> phi2 = 0, V = 0
+      ("i", "x", "u"), ("i", "x", "v"), ("i", "y", "u"), ("i", "y", "v"),
+      // a single-column table has nothing to normalize
+      ("o", "x", "u"), ("o", "y", "u")
+    ).toDF("g", "a", "b")
+    val out = Classification.cramersV(df, "g", "a", "b")
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getDouble(4), r.getDouble(5), r.getBoolean(6))))
+      .toMap
+    assert(out("p") == ((4L, 2L, 2L, 4.0, 1.0, true)), out("p").toString)
+    assert(out("i") == ((4L, 2L, 2L, 0.0, 0.0, true)), out("i").toString)
+    assert(out("o") == ((2L, 2L, 1L, 0.0, 0.0, false)), out("o").toString)
+  }
 }

@@ -260,6 +260,24 @@ class Round16OpsSpec extends AnyFunSuite {
     assert(e.getLong(0) == 0L && !e.getBoolean(5), e.toString)
   }
 
+  test("vocabChurn: type-set accounting by hand") {
+    // A = {x, y}, B = {y, z}: shared 1, jaccard 1/3, half of B is new
+    val df = Seq((false, "x y"), (true, "y z z")).toDF("in_b", "text")
+    val r = TextAnalysis.vocabChurn(df, "in_b", "text").head()
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3),
+      r.getDouble(4), r.getBoolean(5)) ==
+      ((2L, 2L, 1L, 0.333333, 0.5, true)), r.toString)
+    // an empty snapshot is undefined, counts visible
+    val half = Seq((false, "x y")).toDF("in_b", "text")
+    val h = TextAnalysis.vocabChurn(half, "in_b", "text").head()
+    assert(h.getLong(0) == 2L && h.getLong(1) == 0L && !h.getBoolean(5),
+      h.toString)
+    intercept[IllegalArgumentException] {
+      TextAnalysis.vocabChurn(Seq((1L, "x")).toDF("in_b", "text"),
+        "in_b", "text")
+    }
+  }
+
   test("signTest: exact binomial tails by hand") {
     import graft.operators.Preference
     val df = (Seq.fill(5)(("a", true)) ++
