@@ -44,10 +44,18 @@ object StreamingSprt {
         s"($alphaPct, $betaPct)")
     val spark = resp.sparkSession
     import spark.implicits._
-    val winLr = math.log(p1Pct.toDouble / p0Pct.toDouble)
-    val lossLr = math.log((100 - p1Pct).toDouble / (100 - p0Pct).toDouble)
-    val upper = math.log((100 - betaPct).toDouble / alphaPct.toDouble)
-    val lower = math.log(betaPct.toDouble / (100 - alphaPct).toDouble)
+    // StrictMath.log, NOT math.log: Catalyst's Log expression
+    // evaluates via StrictMath (fdlibm), while Math.log may take an
+    // x86 intrinsic that differs in the last bit on some inputs — a
+    // one-ulp llr disagreement at a Wald boundary would flip the
+    // streamed decision against batch
+    val winLr = StrictMath.log(p1Pct.toDouble / p0Pct.toDouble)
+    val lossLr = StrictMath.log(
+      (100 - p1Pct).toDouble / (100 - p0Pct).toDouble)
+    val upper = StrictMath.log(
+      (100 - betaPct).toDouble / alphaPct.toDouble)
+    val lower = StrictMath.log(
+      betaPct.toDouble / (100 - alphaPct).toDouble)
     def r6(x: Double): Double =
       BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
     resp.filter(col(byCol).isNotNull && col(winCol).isNotNull)
