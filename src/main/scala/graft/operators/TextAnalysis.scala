@@ -1643,7 +1643,10 @@ object TextAnalysis {
    * of per-label top-k); the candidate frame is |vocab|·|labels| rows
    * and the ranking window sorts per label. `minDf` prunes the
    * long-tail vocabulary BEFORE the window — at web scale the df ≥
-   * minDf filter is what keeps the sort bounded.
+   * minDf filter is what keeps the sort bounded. NOTE this operator
+   * is EAGER at construction (the [[klDriftMatrix]] census
+   * convention): the labeled corpus localCheckpoints and N is
+   * collected as a driver scalar — call it when you mean to run it.
    *
    * @return top-k rows per label: (labelCol, term, n11, n01, n10,
    *         n00, chi2 rounded 6, rank, defined)
@@ -2103,14 +2106,18 @@ object TextAnalysis {
              refCol: String, n: Int): DataFrame = {
     require(n >= 1, s"n must be >= 1, got $n")
     val base = pairs.filter(col(idCol).isNotNull)
-    def side(c: String, isCand: Boolean) = base
+    // ONE scan of the pairs frame (which is often itself a join):
+    // both sides' grams tag-and-concat into a single exploded array
+    // rather than two per-side scans unioned
+    def tagged(c: String, isCand: Boolean) =
+      transform(graft.functions.ShingleExprs
+          .token_grams(coalesce(col(c), lit("")), n, overlapping = true),
+        g => struct(g.as("g"), lit(isCand).as("c")))
+    val stats = base
       .select(col(idCol).as("__id"),
-        explode(graft.functions.ShingleExprs
-          .token_grams(coalesce(col(c), lit("")), n, overlapping = true))
-          .as("__g"),
-        lit(isCand).as("__c"))
-    val stats = side(candCol, isCand = true)
-      .unionByName(side(refCol, isCand = false))
+        explode(concat(tagged(candCol, isCand = true),
+          tagged(refCol, isCand = false))).as("__e"))
+      .select(col("__id"), col("__e.g").as("__g"), col("__e.c").as("__c"))
       .groupBy(col("__id"), col("__g"))
       .agg(sum(when(col("__c"), 1L).otherwise(0L)).as("__cc"),
         sum(when(!col("__c"), 1L).otherwise(0L)).as("__rc"))
