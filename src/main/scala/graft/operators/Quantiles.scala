@@ -365,4 +365,73 @@ object Quantiles {
         .as("gini"),
       defined.as("defined"))
   }
+
+  /**
+   * Top-k mass coverage per group — [[gini]]'s actionable companion:
+   * the smallest head size k whose rows hold ≥ P% of the total mass,
+   * for each requested percentage ("how many domains are 50 / 90 /
+   * 99% of the crawl" — the number a mixture designer or a crawl
+   * budget actually uses, where Gini is one abstract scalar).
+   *
+   * Exact contract: weights integral and non-negative (REFUSED
+   * signed, the gini guard); descending cumulative sums are exact
+   * longs and TIE-INVARIANT (tied rows carry equal values, so the
+   * cumulative at any rank is order-free); the threshold test
+   * 100·cum ≥ P·total is an INTEGER compare — no float boundary;
+   * k_P = min qualifying rank and its cumulative arrive via
+   * min/min_by over exact longs; only the reported share is a
+   * division (one per percentage). Zero total mass → defined =
+   * false, counts visible.
+   *
+   * Scale shape: one exchange + one in-partition DESC sort (rank,
+   * cumulative and the per-group total share it), one partial/final
+   * aggregate. No joins, no spine.
+   *
+   * @return (byCol, n, total, k_50, share_50, k_90, share_90, k_99,
+   *         share_99, defined) for the default (50, 90, 99) — one
+   *         (k, share) pair per requested percentage, in order
+   */
+  def massCoverage(df: DataFrame, byCol: String, weightCol: String,
+                   pcts: Seq[Int] = Seq(50, 90, 99)): DataFrame = {
+    require(pcts.nonEmpty && pcts.forall(p => p >= 1 && p <= 100),
+      s"pcts must be percentages in [1, 100], got $pcts")
+    require(org.apache.spark.sql.graftbridge.ColumnBridge
+        .isIntegral(df.schema(weightCol).dataType),
+      s"massCoverage: $weightCol must be integral (got " +
+        s"${df.schema(weightCol).dataType.simpleString}) — the exact " +
+        "cumulative contract")
+    val wv = col(weightCol).cast("long")
+    val guarded = when(wv >= 0L, wv).otherwise(raise_error(concat(
+      lit("massCoverage: negative weight "), wv.cast("string"),
+      lit(" — coverage is undefined over signed mass"))))
+    val clean = df.filter(col(byCol).isNotNull && col(weightCol).isNotNull)
+      .select(col(byCol).as("__g"), guarded.as("__w"))
+    val g = Window.partitionBy(col("__g"))
+    val ord = g.orderBy(col("__w").desc)
+    val rn = row_number().over(ord).cast("long")
+    val cum = sum(col("__w")).over(
+      ord.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    val tot = sum(col("__w")).over(g)
+    val annotated = clean.select(col("__g"), rn.as("__rn"),
+      cum.as("__cum"), tot.as("__tot"))
+    val aggs = pcts.flatMap { p =>
+      val hit = when(lit(100L) * col("__cum") >= lit(p.toLong) *
+        col("__tot"), col("__rn"))
+      Seq(min(hit).as(s"__k$p"),
+        min_by(col("__cum"), hit).as(s"__c$p"))
+    }
+    val stats = annotated.groupBy(col("__g"))
+      .agg(count(lit(1)).as("n"),
+        (max(col("__tot")).as("total") +: aggs): _*)
+    val defined = col("total") > 0
+    val outCols = pcts.flatMap { p =>
+      Seq(when(defined, col(s"__k$p")).otherwise(lit(null).cast("long"))
+          .as(s"k_$p"),
+        when(defined, round(col(s"__c$p").cast("double") /
+          col("total").cast("double"), 6)).otherwise(lit(0.0))
+          .as(s"share_$p"))
+    }
+    stats.select((col("__g").as(byCol) +: col("n") +: col("total") +:
+      outCols) :+ defined.as("defined"): _*)
+  }
 }

@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /**
@@ -179,5 +180,58 @@ object Retrieval {
           (goldPos * 1000000000L).cast("double"), 6))
         .otherwise(lit(0.0)).as("ap_at_k"),
       defined.as("defined"), lit(k).as("k"))
+  }
+
+  /**
+   * Ranking overlap@k between two scorers per group — the cheapest
+   * honest answer to "did the reranker / new embedding model change
+   * the HEAD" (full rank correlations weight the tail; retrieval
+   * consumers only ever see the top k): the two top-k sets' exact
+   * intersection over a TOTAL tie order (score DESC, id ASC — the
+   * [[graft.operators.TextAnalysis]] ranking convention), so both
+   * engines cut identical sets. Both scores must be integral.
+   *
+   * Exact contract: membership flags come from row_number over the
+   * total order, the intersection count is an exact long, and the
+   * overlap fraction is ONE division by min(k, n) (a group smaller
+   * than k compares its whole order — fraction 1 means "heads
+   * identical", never "group too small"). Groups of any size stay
+   * visible.
+   *
+   * Scale shape: one exchange on the group key + two in-partition
+   * sorts (the two rank windows share the exchange), one
+   * partial/final aggregate. No joins.
+   *
+   * @return (byCol, n, k, n_top, overlap, overlap_frac rounded 6)
+   */
+  def overlapAtK(df: DataFrame, byCol: String, idCol: String,
+                 scoreACol: String, scoreBCol: String, k: Int): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    Seq(idCol, scoreACol, scoreBCol).foreach { c =>
+      require(org.apache.spark.sql.graftbridge.ColumnBridge
+          .isIntegral(df.schema(c).dataType),
+        s"overlapAtK: $c must be integral (got " +
+          s"${df.schema(c).dataType.simpleString}) — the total tie " +
+          "order needs exact comparisons")
+    }
+    val clean = df.filter(col(byCol).isNotNull && col(idCol).isNotNull &&
+        col(scoreACol).isNotNull && col(scoreBCol).isNotNull)
+      .select(col(byCol).as("__g"), col(idCol).cast("long").as("__i"),
+        col(scoreACol).cast("long").as("__a"),
+        col(scoreBCol).cast("long").as("__b"))
+    val g = Window.partitionBy(col("__g"))
+    val rnA = row_number().over(g.orderBy(col("__a").desc, col("__i")))
+    val rnB = row_number().over(g.orderBy(col("__b").desc, col("__i")))
+    val stats = clean.select(col("__g"),
+        (rnA <= k).as("__ta"), (rnB <= k).as("__tb"))
+      .groupBy(col("__g"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("__ta") && col("__tb"), 1L).otherwise(0L))
+          .as("overlap"))
+    val nTop = least(lit(k.toLong), col("n"))
+    stats.select(col("__g").as(byCol), col("n"), lit(k).as("k"),
+      nTop.as("n_top"), col("overlap"),
+      round(col("overlap").cast("double") / nTop.cast("double"), 6)
+        .as("overlap_frac"))
   }
 }

@@ -1835,6 +1835,28 @@ object Pipeline {
         .orderBy(col("grp"))
     }),
 
+    // top-k mass coverage per source ("how many docs are 50/90/99% of
+    // the characters"): exact descending cumulatives, integer-compare
+    // thresholds, min/min_by selection — Gini's actionable companion
+    "qDC_mass_coverage" -> ((s, dir) => {
+      graft.operators.Quantiles.massCoverage(
+          T(s, dir)("documents").select(col("source"), col("n_chars")),
+          "source", "n_chars")
+        .orderBy(col("source"))
+    }),
+
+    // ranking overlap@10 between two scorers per source: did the
+    // reranker change the HEAD — exact top-k set intersection over a
+    // total (score desc, id) tie order
+    "qDD_overlap_at_k" -> ((s, dir) => {
+      graft.operators.Retrieval.overlapAtK(
+          T(s, dir)("documents").select(col("source"), col("doc_id"),
+            (col("doc_id") % 97).as("score_a"),
+            ((col("doc_id") * 7) % 97).as("score_b")),
+          "source", "doc_id", "score_a", "score_b", k = 10)
+        .orderBy(col("source"))
+    }),
+
     // Cramer's V between source and a synthetic category per 4-way
     // shard: the normalized chi-square effect size — per-cell terms
     // n_ab^2/(n_a*n_b) quantize to the 1e-9 grid, phi^2/chi2/V fixed
@@ -4271,6 +4293,60 @@ object Pipeline {
                ELSE 0.0 END AS rho,
              (n > 1 AND vx > 0 AND vy > 0) AS defined
       FROM v ORDER BY grp""",
+
+    "qDC_mass_coverage" -> """
+      WITH r AS (SELECT source AS g, n_chars AS w FROM documents),
+      rk AS (SELECT g, w,
+               CAST(row_number() OVER (PARTITION BY g ORDER BY w DESC)
+                 AS BIGINT) AS rn,
+               CAST(SUM(w) OVER (PARTITION BY g ORDER BY w DESC
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                 AS BIGINT) AS cum,
+               CAST(SUM(w) OVER (PARTITION BY g) AS BIGINT) AS tot
+             FROM r),
+      st AS (SELECT g, CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(MAX(tot) AS BIGINT) AS total,
+               MIN(CASE WHEN 100 * cum >= 50 * tot THEN rn END) AS k50,
+               arg_min(cum, CASE WHEN 100 * cum >= 50 * tot THEN rn END)
+                 AS c50,
+               MIN(CASE WHEN 100 * cum >= 90 * tot THEN rn END) AS k90,
+               arg_min(cum, CASE WHEN 100 * cum >= 90 * tot THEN rn END)
+                 AS c90,
+               MIN(CASE WHEN 100 * cum >= 99 * tot THEN rn END) AS k99,
+               arg_min(cum, CASE WHEN 100 * cum >= 99 * tot THEN rn END)
+                 AS c99
+             FROM rk GROUP BY 1)
+      SELECT g AS source, n, total,
+             CASE WHEN total > 0 THEN k50 END AS k_50,
+             CASE WHEN total > 0 THEN round(CAST(c50 AS DOUBLE)
+                  / CAST(total AS DOUBLE), 6) ELSE 0.0 END AS share_50,
+             CASE WHEN total > 0 THEN k90 END AS k_90,
+             CASE WHEN total > 0 THEN round(CAST(c90 AS DOUBLE)
+                  / CAST(total AS DOUBLE), 6) ELSE 0.0 END AS share_90,
+             CASE WHEN total > 0 THEN k99 END AS k_99,
+             CASE WHEN total > 0 THEN round(CAST(c99 AS DOUBLE)
+                  / CAST(total AS DOUBLE), 6) ELSE 0.0 END AS share_99,
+             total > 0 AS defined
+      FROM st ORDER BY source""",
+
+    "qDD_overlap_at_k" -> """
+      WITH r AS (SELECT source AS g, doc_id AS i, doc_id % 97 AS a,
+                   (doc_id * 7) % 97 AS b FROM documents),
+      rk AS (SELECT g,
+               row_number() OVER (PARTITION BY g ORDER BY a DESC, i)
+                 <= 10 AS ta,
+               row_number() OVER (PARTITION BY g ORDER BY b DESC, i)
+                 <= 10 AS tb
+             FROM r),
+      st AS (SELECT g, CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(CASE WHEN ta AND tb THEN 1 ELSE 0 END)
+                 AS BIGINT) AS overlap
+             FROM rk GROUP BY 1)
+      SELECT g AS source, n, CAST(10 AS INT) AS k,
+             least(10, n) AS n_top, overlap,
+             round(CAST(overlap AS DOUBLE)
+                   / CAST(least(10, n) AS DOUBLE), 6) AS overlap_frac
+      FROM st ORDER BY source""",
 
     "qDA_cramers_v" -> """
       WITH r AS (SELECT doc_id % 4 AS g, source AS a,

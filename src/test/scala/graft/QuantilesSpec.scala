@@ -200,4 +200,28 @@ class QuantilesSpec extends AnyFunSuite {
       Quantiles.gini(Seq(("a", 1.5)).toDF("g", "w"), "g", "w")
     }
   }
+
+  test("massCoverage: head sizes at integer thresholds by hand") {
+    import spark.implicits._
+    // weights desc [50, 30, 10, 10]: cum [50, 80, 90, 100] of 100 —
+    // k50 = 1 (50 >= 50 exactly, the integer-compare edge),
+    // k90 = 3, k99 = 4
+    val df = Seq(("a", 10L), ("a", 50L), ("a", 30L), ("a", 10L),
+      ("z", 0L), ("z", 0L)).toDF("g", "w")
+    val out = Quantiles.massCoverage(df, "g", "w")
+      .collect().map(r => r.getString(0) -> r.toSeq.drop(1).toVector)
+      .toMap
+    assert(out("a") == Vector(4L, 100L, 1L, 0.5, 3L, 0.9, 4L, 1.0, true),
+      out("a").toString)
+    // zero mass: ks null, shares 0, undefined — never a phantom head
+    assert(out("z") == Vector(2L, 0L, null, 0.0, null, 0.0, null, 0.0,
+      false), out("z").toString)
+    intercept[Exception] {
+      Quantiles.massCoverage(Seq(("a", -1L)).toDF("g", "w"), "g", "w")
+        .collect()
+    }
+    intercept[IllegalArgumentException] {
+      Quantiles.massCoverage(df, "g", "w", pcts = Seq(0))
+    }
+  }
 }

@@ -75,4 +75,33 @@ class RetrievalSpec extends AnyFunSuite {
     }
     assert(frac.getMessage.contains("integral"), frac.getMessage)
   }
+
+  test("overlapAtK: head intersection over the total tie order") {
+    import spark.implicits._
+    import graft.operators.Retrieval
+    // scorer A ranks ids desc by a, B reverses half the head:
+    // A top-2 = {1, 2}, B top-2 = {2, 3} -> overlap 1
+    val df = Seq(("g", 1L, 40L, 10L), ("g", 2L, 30L, 40L),
+      ("g", 3L, 20L, 30L), ("g", 4L, 10L, 20L),
+      // identical scorers: overlap = k
+      ("s", 1L, 9L, 9L), ("s", 2L, 8L, 8L), ("s", 3L, 7L, 7L),
+      // a group smaller than k compares its whole order
+      ("t", 1L, 5L, 1L)
+    ).toDF("g", "i", "a", "b")
+    val out = Retrieval.overlapAtK(df, "g", "i", "a", "b", k = 2)
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getInt(2),
+        r.getLong(3), r.getLong(4), r.getDouble(5)))).toMap
+    assert(out("g") == ((4L, 2, 2L, 1L, 0.5)), out("g").toString)
+    assert(out("s") == ((3L, 2, 2L, 2L, 1.0)), out("s").toString)
+    assert(out("t") == ((1L, 2, 1L, 1L, 1.0)), out("t").toString)
+    // tied scores cut identically on both sides (id-asc break)
+    val tied = Seq(("x", 1L, 5L, 5L), ("x", 2L, 5L, 5L),
+      ("x", 3L, 5L, 5L)).toDF("g", "i", "a", "b")
+    assert(Retrieval.overlapAtK(tied, "g", "i", "a", "b", k = 2)
+      .head().getLong(4) == 2L)
+    intercept[IllegalArgumentException] {
+      Retrieval.overlapAtK(Seq(("g", 1L, 1.5, 1L)).toDF("g", "i", "a", "b"),
+        "g", "i", "a", "b", k = 2)
+    }
+  }
 }
