@@ -15,8 +15,8 @@ object PlanAudit {
     val dir = if (args.length > 0) args(0) else "/root/testdata/sf0.001"
     val names =
       if (args.length > 1) args(1).split(",").toSeq
-      else Seq("qC0_best_of_n", "qC1_grpo_advantage", "qC2_pass_at_k",
-        "qC3_majority_vote")
+      else Seq("qCT_collocations", "qCU_kneser_ney", "qD1_threshold_sweep",
+        "qDC_mass_coverage")
     val spark = org.apache.spark.sql.SparkSession.builder()
       .master("local[4]").config("spark.sql.shuffle.partitions", "4")
       .config("spark.sql.session.timeZone", "UTC")
