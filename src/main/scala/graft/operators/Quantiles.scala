@@ -213,8 +213,11 @@ object Quantiles {
    * definition, so WHICH tied copy is dropped cannot change any sum
    * — the tie order is irrelevant, not just deterministic. Kept sum,
    * boundary values (= min/max of the kept window) and counts are
-   * exact longs; each mean is ONE division. n − 2k ≤ 0 (the trim ate
-   * the group) → defined = false, visible.
+   * exact longs; each mean is ONE division. The defined = false
+   * branch is DEFENSIVE only: trimPct < 50 forces k = ⌊n·trimPct/100⌋
+   * < n/2, so the kept count is ≥ 1 for every non-empty group and
+   * the branch is unreachable from this entry point — it guards the
+   * invariant, it is not a reachable output regime.
    *
    * Scale shape: one hash exchange on the group key + one
    * in-partition sort, one partial/final aggregate. No joins.
@@ -380,8 +383,12 @@ object Quantiles {
    * 100·cum ≥ P·total is an INTEGER compare — no float boundary;
    * k_P = min qualifying rank and its cumulative arrive via
    * min/min_by over exact longs; only the reported share is a
-   * division (one per percentage). Zero total mass → defined =
-   * false, counts visible.
+   * division (one per percentage). Bound: the compare multiplies the
+   * per-group total by 100, so total mass per group must stay below
+   * 2⁶³/100 ≈ 9.2·10¹⁶ (the [[gini]]/[[ksTest]]/[[rankSumAuc]]
+   * signed-64 bound convention) — ~92 quadrillion tokens per group;
+   * past it, pre-scale the weights (coverage is scale-invariant).
+   * Zero total mass → defined = false, counts visible.
    *
    * Scale shape: one exchange + one in-partition DESC sort (rank,
    * cumulative and the per-group total share it), one partial/final

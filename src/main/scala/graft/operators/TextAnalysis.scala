@@ -1725,13 +1725,16 @@ object TextAnalysis {
    * global sort).
    *
    * Scale shape: one token-pair explode → one (w1, w2) hash
-   * aggregate (localCheckpointed — THREE consumers: the two marginal
-   * re-aggregates and the scoring join would each replay the corpus
-   * explode, the klDriftMatrix lesson); marginals join back on their
-   * own keys (never corpus-sized shuffles), N is a broadcast
-   * single-row cross; `minCount` prunes the hapax tail BEFORE the
-   * joins — at web scale the prune is what keeps the candidate frame
-   * bounded.
+   * aggregate (localCheckpointed — TWO consumers: the windowed
+   * marginal pipeline and the N total would each replay the corpus
+   * explode, the klDriftMatrix lesson); marginals are in-partition
+   * WINDOW sums over the checkpointed bigram-type table (each window
+   * partition is one token's successor/predecessor vocabulary, never
+   * the corpus — the join formulation's two vocabulary-sized
+   * broadcast hash builds cost 12.6 s seq at sf0.1 vs ~3 s windowed);
+   * N is a broadcast single-row cross; `minCount` prunes the hapax
+   * tail before scoring — at web scale the prune is what keeps the
+   * candidate frame bounded.
    *
    * @return top-k rows: (w1, w2, c12, c1, c2, n_bigrams,
    *         g2 rounded 6)
@@ -1952,10 +1955,16 @@ object TextAnalysis {
    * exact integers. P ∈ (0, 1]: plain round.
    *
    * Scale shape: one token-pair explode → one (w1, w2) hash
-   * aggregate (localCheckpointed — FOUR consumers: three marginal
-   * re-aggregates and the scoring join); marginals join back on
-   * their own keys, the type total is a broadcast single-row cross.
-   * The model table is bigram-type-sized, never corpus-sized.
+   * aggregate (localCheckpointed — TWO consumers: the windowed
+   * marginal pipeline and the type total would each replay the
+   * corpus explode); all three marginals (c₁, N₁₊(w1·), N₁₊(·w2))
+   * are in-partition WINDOW sums/counts over the checkpointed
+   * bigram-type table (window partitions bounded by per-token
+   * successor/predecessor vocabularies — the collocations lesson,
+   * same file: the join formulation's vocabulary-sized broadcast
+   * builds cost 5.2 s seq at sf0.1); the type total is a broadcast
+   * single-row cross. The model table is bigram-type-sized, never
+   * corpus-sized.
    *
    * @return top-k rows: (w1, w2, c12, c1, n1f, n1b, n_types,
    *         p_kn rounded 6)
