@@ -1719,10 +1719,16 @@ object TextAnalysis {
    * k·ln(kN/(rs·cs)) terms in a fixed left-associated sum, ×2),
    * [[graft.functions.GateRound]]ed — analytically ≥ 0 but the
    * float sum of signed terms can land at −ε/−0.0. The top-k cut is
-   * a TOTAL order: G² quantized to the 1e-9 grid (the qCC axis),
-   * ties (w1, w2) ASC — Spark plans the limit as
-   * TakeOrderedAndProject (distributed per-partition top-k, never a
-   * global sort).
+   * a TOTAL order on a SPLIT key: (⌊G²⌋ as long DESC, fractional
+   * part quantized to the 1e-9 grid DESC, w1, w2 ASC) — the split
+   * keeps the rank overflow-proof to G² < 2⁶³ (G² ≤ 2N·ln N → ~10¹⁷
+   * bigram events), where the single-key floor(G²·10⁹) form
+   * overflows signed-64 past G² ≈ 9.2·10⁹ (~2·10⁸ events — reachable
+   * at corpus scale); both keys are the same floor/quantize ops on
+   * the identical shared-dag double, so the order is
+   * engine-independent, and lexicographic (int, frac) order IS
+   * 1e-9-grid order. Spark plans the limit as TakeOrderedAndProject
+   * (distributed per-partition top-k, never a global sort).
    *
    * Scale shape: one token-pair explode → one (w1, w2) hash
    * aggregate (localCheckpointed — TWO consumers: the windowed
@@ -1784,14 +1790,31 @@ object TextAnalysis {
     val s2 = col("__nn") - col("__c2")
     val g2 = lit(2.0) * (term(k11, r1, s1) + term(k12, r1, s2) +
       term(k21, r2, s1) + term(k22, r2, s2))
-    val g2q = floor(g2 * lit(1e9) + lit(0.5)).cast("long")
+    val Seq(g2i, g2f) = splitRankKeys(g2)
     scored.select(col("__w1").as("w1"), col("__w2").as("w2"),
         col("__c12").as("c12"), col("__c1").as("c1"),
         col("__c2").as("c2"), col("__nn").as("n_bigrams"),
-        graft.functions.GateRound(g2, 6).as("g2"), g2q.as("__g2q"))
-      .orderBy(col("__g2q").desc, col("w1"), col("w2"))
+        graft.functions.GateRound(g2, 6).as("g2"),
+        g2i.as("__g2i"), g2f.as("__g2f"))
+      .orderBy(col("__g2i").desc, col("__g2f").desc, col("w1"), col("w2"))
       .limit(topK)
-      .drop("__g2q")
+      .drop("__g2i", "__g2f")
+  }
+
+  /**
+   * Overflow-proof 1e-9-grid rank keys for a non-negative-ish score:
+   * (⌊x⌋ as long, ⌊(x − ⌊x⌋)·10⁹ + ½⌋ as long). Lexicographic order
+   * on the pair is monotone in x at 1e-9 resolution — including for
+   * the −ε a gated float dag can produce (⌊−ε⌋ = −1 sorts below
+   * every non-negative key) — while the integer part tolerates
+   * scores up to 2⁶³ where the single-key floor(x·10⁹) form
+   * overflows past ~9.2·10⁹. Both keys are plain floor ops on the
+   * SAME double, so any engine mirroring the dag ranks identically.
+   */
+  private[graft] def splitRankKeys(x: org.apache.spark.sql.Column)
+      : Seq[org.apache.spark.sql.Column] = {
+    val i = floor(x).cast("long")
+    Seq(i, floor((x - floor(x)) * lit(1e9) + lit(0.5)).cast("long"))
   }
 
   /**

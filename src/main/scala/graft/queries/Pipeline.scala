@@ -4927,7 +4927,9 @@ object Pipeline {
       SELECT w1, w2, c12, c1, c2, n AS n_bigrams,
              round(g2raw, 6) + 0 AS g2
       FROM g
-      ORDER BY CAST(floor(g2raw * 1000000000 + 0.5) AS BIGINT) DESC, w1, w2
+      ORDER BY CAST(floor(g2raw) AS BIGINT) DESC,
+               CAST(floor((g2raw - floor(g2raw)) * 1000000000 + 0.5)
+                 AS BIGINT) DESC, w1, w2
       LIMIT 30""",
 
     "qCN_chi2_terms" -> """
