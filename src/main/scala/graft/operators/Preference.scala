@@ -1750,4 +1750,197 @@ object Preference {
         6)).otherwise(lit(0.0)).as("mcnemar"),
       (bc > 0).as("defined"))
   }
+
+  /**
+   * Benjamini–Hochberg step-up FDR control (Benjamini & Hochberg
+   * 1995) — the multiple-comparisons layer the per-group significance
+   * operators ([[signTest]], [[mcnemar]], [[sprtMonitor]]) need the
+   * moment a real consumer runs dozens of A/B cells at once: testing
+   * m hypotheses at level α each lets the family-wise lie rate grow
+   * ~linearly in m; BH rejects the largest prefix of the p-value
+   * order statistics satisfying p₍ᵢ₎ ≤ q·i/m and bounds the expected
+   * FALSE-DISCOVERY fraction by q (valid under independence and PRDS
+   * positive dependence).
+   *
+   * Exact contract: p-values arrive on the 1e-9 grid (every emitting
+   * operator rounds to 6 decimals), so pq = ⌊p·10⁹ + ½⌋ recovers the
+   * grid long EXACTLY; the acceptance test pq·m·100 ≤ q%·i·10⁹ is an
+   * INTEGER compare (qPct an integer percent, the qC8 domain
+   * convention), and the step-up cutoff k = max accepted rank is a
+   * max over exact integers — no float enters the decision. Bound:
+   * the compare's left side tops out at 10¹¹·m, so m must stay below
+   * 2⁶³/10¹¹ ≈ 9.2·10⁷ tests per family — ENFORCED plan-side
+   * (raise_error), the [[signTest]] maxN convention. Rank ties
+   * (equal pq) break by test id ASC; which tied copy gets the lower
+   * rank cannot change the rejection SET (step-up accepts a prefix,
+   * and equal p's are accepted or rejected together since acceptance
+   * at the larger rank implies acceptance of every smaller rank).
+   * p outside [0, 1] is REFUSED (raise_error) — a clamp would
+   * silently launder a broken upstream test.
+   *
+   * Null p (test not run) rows are EXCLUDED from the family — m
+   * counts performed tests only (an all-null family vanishes; a null
+   * inside the order statistics would make every rank
+   * engine-dependent).
+   *
+   * Scale shape: one hash exchange on the family key + one
+   * in-partition sort (row_number, the family count and the step-up
+   * max share the exchange — the qCO/qCZ shape). No joins, no driver
+   * state; families of any cardinality sort distributed.
+   *
+   * @return one row per performed test: (familyCol, idCol, p, rank,
+   *         m, k — the step-up cutoff rank, 0 when nothing is
+   *         rejected — and reject)
+   */
+  def bhFdr(tests: DataFrame, familyCol: String, idCol: String,
+            pCol: String, qPct: Int): DataFrame = {
+    require(qPct >= 1 && qPct <= 99,
+      s"qPct must be an integer percent in [1, 99], got $qPct")
+    val pd = col(pCol).cast("double")
+    val pOk = when(pd >= 0.0 && pd <= 1.0, pd).otherwise(raise_error(concat(
+      lit("bhFdr: p-value "), pd.cast("string"), lit(" for test "),
+      col(idCol).cast("string"),
+      lit(" is outside [0, 1] — refusing to rank a broken test"))))
+    val clean = tests
+      .filter(col(familyCol).isNotNull && col(idCol).isNotNull &&
+        col(pCol).isNotNull)
+      .select(col(familyCol).as("__f"), col(idCol).as("__id"),
+        pOk.as("__p"),
+        floor(pOk * lit(1e9) + lit(0.5)).cast("long").as("__pq"))
+    import org.apache.spark.sql.expressions.Window
+    val fam = Window.partitionBy(col("__f"))
+    val rnk = row_number()
+      .over(fam.orderBy(col("__pq"), col("__id"))).cast("long")
+    val m = count(lit(1)).over(fam)
+    val mOk = when(m <= 92000000L, m).otherwise(raise_error(concat(
+      lit("bhFdr: family "), col("__f").cast("string"), lit(" has "),
+      m.cast("string"),
+      lit(" tests > 9.2e7 — the integer acceptance compare would " +
+        "overflow signed-64; split the family or pre-screen"))))
+    val ranked = clean.select(col("__f"), col("__id"), col("__p"),
+      col("__pq"), rnk.as("__rnk"), mOk.as("__m"))
+    val acc = when(col("__pq") * col("__m") * lit(100L) <=
+      lit(qPct.toLong) * col("__rnk") * lit(1000000000L), col("__rnk"))
+      .otherwise(lit(0L))
+    val cutoff = max(acc).over(Window.partitionBy(col("__f")))
+    ranked.select(col("__f").as(familyCol), col("__id").as(idCol),
+      col("__p").as("p"), col("__rnk").as("rank"), col("__m").as("m"),
+      cutoff.as("k"),
+      (col("__rnk") <= cutoff).as("reject"))
+  }
+
+  /** ⌊CDF_Poisson(1)(k)·2⁴⁰⌋ for k = 0..7 — the deterministic
+    * inverse-CDF table [[pairedBootstrapCi]] maps a 40-bit uniform
+    * draw through. Hardcoded (not computed via exp) so the SAME
+    * integer literals appear in the operator and in any oracle
+    * replica — no libm in the draw path. */
+  private[graft] val PoissonThresholds40: Seq[Long] = Seq(
+    404487723187L, 808975446375L, 1011219307969L, 1078633928500L,
+    1095487583633L, 1098858314660L, 1099420103164L, 1099500358665L)
+
+  /**
+   * Deterministic paired-bootstrap percentile confidence interval
+   * (Efron 1979; Poisson-bootstrap form per Chamandy et al. 2012,
+   * the form that distributes) — the NONPARAMETRIC companion to the
+   * Wilson interval: a CI for the mean paired difference (accuracy
+   * delta, mean reward delta) that assumes nothing about the delta's
+   * distribution. Resample r ∈ [0, B) draws row i with weight
+   * w(r, i) = Poisson(1)⁻¹CDF of the engine-independent 40-bit md5
+   * draw ([[Sampling.hash40]]'s convention: u = first 10 hex chars
+   * of md5("id r salt")) — so ANY engine replays the same resamples
+   * from (id, salt) alone; each resample's mean delta is a ratio of
+   * EXACT integer sums (Σw·d / Σw), and the CI is two order
+   * statistics of the B resample means (percentile method).
+   *
+   * Draw contract: u < [[PoissonThresholds40]](k) ⇒ w ≤ k, else
+   * w = 8 — the inverse CDF truncates at 8 (P(X ≥ 8) ≈ 1.0·10⁻⁵
+   * lands on 8; the mean-delta statistic is weight-normalized, so
+   * the truncation bias on the CI is nil to the 1e-9 grid). The
+   * POINT estimate rides the same plan as pseudo-resample r = −1
+   * with w ≡ 1 (never drawn, never ranked) — one corpus pass total.
+   *
+   * Order-statistic contract: resamples with Σw = 0 are dropped
+   * (b_eff reports the survivors; P ≈ e⁻ⁿ per resample — real only
+   * for toy groups); ranks lo = ⌈b_eff·α/200⌉ (integer ceil
+   * arithmetic) and hi = b_eff + 1 − lo over the resample means
+   * ordered by (1e-9-quantized mean, resample id) — a total order on
+   * exact longs and one IEEE division, identical in any engine.
+   * Signed outputs ([[graft.functions.GateRound]]ed): a mean delta
+   * can round to −0.0.
+   *
+   * Bound: Σ over rows of w·|d| must fit signed-64 — |d| ≤ 10¹⁵
+   * per row with w ≤ 8 leaves ~10³ headroom at a billion rows per
+   * group; quantize wider deltas upstream.
+   *
+   * Scale shape: one explode (×(B+1) — the B knob IS the cost dial)
+   * → one partial/final hash aggregate to (B+1)·|groups| rows
+   * (map-side combine collapses each partition to ≤ B+1 rows per
+   * group BEFORE the exchange) → per-group windows over ≤ B rows +
+   * one |groups|-row broadcast-joinable estimate frame. The corpus
+   * never sorts; only resample summaries do.
+   *
+   * @return one row per group: (byCol, n, b, b_eff, est, ci_lo,
+   *         ci_hi — each GateRounded 6, defined = b_eff > 0)
+   */
+  def pairedBootstrapCi(df: DataFrame, byCol: String, idCol: String,
+                        aCol: String, bCol: String, b: Int = 200,
+                        alphaPct: Int = 5, salt: String = "s0"): DataFrame = {
+    require(b >= 1 && b <= 10000, s"b must be in [1, 10000], got $b")
+    require(alphaPct >= 1 && alphaPct <= 99,
+      s"alphaPct must be an integer percent in [1, 99], got $alphaPct")
+    Seq(aCol, bCol).foreach { c =>
+      require(org.apache.spark.sql.graftbridge.ColumnBridge
+          .isIntegral(df.schema(c).dataType),
+        s"pairedBootstrapCi: $c must be integral (got " +
+          s"${df.schema(c).dataType.simpleString}) — quantize scores " +
+          "upstream; the exact-sum contract is the point")
+    }
+    val base = df.filter(col(byCol).isNotNull && col(idCol).isNotNull &&
+        col(aCol).isNotNull && col(bCol).isNotNull)
+      .select(col(byCol).as("__g"), col(idCol).as("__id"),
+        (col(aCol).cast("long") - col(bCol).cast("long")).as("__d"))
+    val u = Sampling.hash40(Seq(col("__id"), col("__r")), salt)
+    val w = PoissonThresholds40.zipWithIndex
+      .foldLeft(when(lit(false), lit(0L))) { case (acc, (t, k)) =>
+        acc.when(u < t, k.toLong)
+      }.otherwise(8L)
+    val drawn = base
+      .select(col("__g"), col("__id"), col("__d"),
+        explode(sequence(lit(-1), lit(b - 1))).as("__r"))
+      .select(col("__g"), col("__r"), col("__d"),
+        when(col("__r") === -1, lit(1L)).otherwise(w).as("__w"))
+      .groupBy(col("__g"), col("__r"))
+      .agg(sum(col("__w") * col("__d")).as("__num"),
+        sum(col("__w")).as("__den"))
+    val est = drawn.filter(col("__r") === -1)
+      .select(col("__g"), col("__den").as("n"),
+        graft.functions.GateRound(col("__num").cast("double") /
+          col("__den").cast("double"), 6).as("est"))
+    val stat = col("__num").cast("double") / col("__den").cast("double")
+    val sq = floor(stat * lit(1e9) + lit(0.5)).cast("long")
+    import org.apache.spark.sql.expressions.Window
+    val fam = Window.partitionBy(col("__g"))
+    val rs = drawn.filter(col("__r") >= 0 && col("__den") > 0)
+      .select(col("__g"), col("__r"), stat.as("__s"), sq.as("__sq"))
+      .select(col("__g"), col("__s"),
+        row_number().over(fam.orderBy(col("__sq"), col("__r")))
+          .cast("long").as("__rn"),
+        count(lit(1)).over(fam).as("__beff"))
+    val lo = call_function("div",
+      col("__beff") * lit(alphaPct.toLong) + lit(199L), lit(200L))
+    val hi = col("__beff") + lit(1L) - lo
+    val ci = rs.select(col("__g"), col("__s"), col("__rn"),
+        col("__beff"), lo.as("__lo"), hi.as("__hi"))
+      .filter(col("__rn") === col("__lo") || col("__rn") === col("__hi"))
+      .groupBy(col("__g"))
+      .agg(max(col("__beff")).as("b_eff"),
+        min(when(col("__rn") === col("__lo"), col("__s"))).as("__cl"),
+        min(when(col("__rn") === col("__hi"), col("__s"))).as("__ch"))
+    est.join(ci, Seq("__g"), "left")
+      .select(col("__g").as(byCol), col("n"), lit(b.toLong).as("b"),
+        coalesce(col("b_eff"), lit(0L)).as("b_eff"), col("est"),
+        graft.functions.GateRound(col("__cl"), 6).as("ci_lo"),
+        graft.functions.GateRound(col("__ch"), 6).as("ci_hi"),
+        col("b_eff").isNotNull.as("defined"))
+  }
 }

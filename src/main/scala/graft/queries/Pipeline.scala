@@ -1857,6 +1857,39 @@ object Pipeline {
         .orderBy(col("source"))
     }),
 
+    // Benjamini-Hochberg step-up FDR over a sign-test family (two win
+    // rules x sources — the many-simultaneous-A/B-cells reality the
+    // per-group significance operators create): integer acceptance
+    // compares over 1e-9-grid p longs, step-up cutoff as a window max
+    "qDE_bh_fdr" -> ((s, dir) => {
+      val d = T(s, dir)("documents")
+      def fam(name: String, win: org.apache.spark.sql.Column) =
+        graft.operators.Preference.signTest(
+            d.select(col("source"), win.as("win")), "source", "win")
+          .select(lit(name).as("family"), col("source").as("test_id"),
+            col("p_two"))
+      graft.operators.Preference.bhFdr(
+          fam("m7", col("doc_id") % 7 > 3)
+            .unionByName(fam("m5", col("doc_id") % 5 > 1)),
+          "family", "test_id", "p_two", qPct = 10)
+        .orderBy(col("family"), col("test_id"))
+    }),
+
+    // deterministic paired-bootstrap 95% CI for the mean score delta
+    // per source (two judges score every doc): Poisson(1) resample
+    // weights from the 40-bit md5 draw — any engine replays the same
+    // B=200 resamples — exact integer resample sums, percentile-rank
+    // selection over the resample means
+    "qDF_bootstrap_ci" -> ((s, dir) => {
+      graft.operators.Preference.pairedBootstrapCi(
+          T(s, dir)("documents").select(col("source"), col("doc_id"),
+            (col("doc_id") % 101).as("score_a"),
+            (col("doc_id") % 97).as("score_b")),
+          "source", "doc_id", "score_a", "score_b", b = 200,
+          alphaPct = 5)
+        .orderBy(col("source"))
+    }),
+
     // Cramer's V between source and a synthetic category per 4-way
     // shard: the normalized chi-square effect size — per-cell terms
     // n_ab^2/(n_a*n_b) quantize to the 1e-9 grid, phi^2/chi2/V fixed
@@ -4347,6 +4380,100 @@ object Pipeline {
              round(CAST(overlap AS DOUBLE)
                    / CAST(least(10, n) AS DOUBLE), 6) AS overlap_frac
       FROM st ORDER BY source""",
+
+    "qDE_bh_fdr" -> """
+      WITH r7 AS (SELECT source, doc_id % 7 > 3 AS w FROM documents),
+      r5 AS (SELECT source, doc_id % 5 > 1 AS w FROM documents),
+      st AS (SELECT 'm7' AS family, source AS test_id,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(CASE WHEN w THEN 1 ELSE 0 END) AS BIGINT)
+                 AS wins,
+               CAST(SUM(CASE WHEN NOT w THEN 1 ELSE 0 END) AS BIGINT)
+                 AS losses
+             FROM r7 GROUP BY 2
+             UNION ALL
+             SELECT 'm5', source, CAST(COUNT(*) AS BIGINT),
+               CAST(SUM(CASE WHEN w THEN 1 ELSE 0 END) AS BIGINT),
+               CAST(SUM(CASE WHEN NOT w THEN 1 ELSE 0 END) AS BIGINT)
+             FROM r5 GROUP BY 2),
+      v AS (SELECT *, greatest(wins, losses) AS kmax FROM st),
+      pv AS (SELECT family, test_id,
+               CASE WHEN n > 0 THEN round(least(1.0, 2.0 *
+                 list_reduce(list_transform(range(kmax, n + 1),
+                   i -> pow(0.5, CAST(n AS DOUBLE)) * list_reduce(
+                          list_transform(range(1, i + 1),
+                            j -> (CAST(n AS DOUBLE) - CAST(i AS DOUBLE)
+                                  + CAST(j AS DOUBLE))
+                                 / CAST(j AS DOUBLE)),
+                          (a, b) -> a * b)),
+                   (a, b) -> a + b)), 6) ELSE 0.0 END AS p
+             FROM v),
+      q AS (SELECT family, test_id, p,
+              CAST(floor(p * 1000000000 + 0.5) AS BIGINT) AS pq
+            FROM pv),
+      wn AS (SELECT *, CAST(row_number() OVER (PARTITION BY family
+               ORDER BY pq, test_id) AS BIGINT) AS rnk,
+              CAST(COUNT(*) OVER (PARTITION BY family) AS BIGINT) AS m
+             FROM q),
+      ac AS (SELECT *, CASE WHEN pq * m * 100 <= 10 * rnk * 1000000000
+               THEN rnk ELSE 0 END AS acc FROM wn),
+      kc AS (SELECT *, MAX(acc) OVER (PARTITION BY family) AS k FROM ac)
+      SELECT family, test_id, p, rnk AS rank, m, k, rnk <= k AS reject
+      FROM kc ORDER BY family, test_id""",
+
+    "qDF_bootstrap_ci" -> """
+      WITH base AS (SELECT source AS g, doc_id AS id,
+              CAST(doc_id % 101 AS BIGINT) - CAST(doc_id % 97 AS BIGINT)
+                AS d
+            FROM documents),
+      sp AS (SELECT g, id, d, unnest(range(-1, 200)) AS r FROM base),
+      uh AS (SELECT g, r, d, CAST(list_reduce(list_transform(
+               regexp_extract_all(substring(md5(CAST(id AS VARCHAR)
+                 || ' ' || CAST(r AS VARCHAR) || ' s0'), 1, 10), '.'),
+               c -> CAST(instr('0123456789abcdef', c) - 1 AS BIGINT)),
+               (a, b) -> a * 16 + b) AS BIGINT) AS u
+             FROM sp),
+      dr AS (SELECT g, r, d,
+               CASE WHEN r = -1 THEN 1
+                    WHEN u < 404487723187 THEN 0
+                    WHEN u < 808975446375 THEN 1
+                    WHEN u < 1011219307969 THEN 2
+                    WHEN u < 1078633928500 THEN 3
+                    WHEN u < 1095487583633 THEN 4
+                    WHEN u < 1098858314660 THEN 5
+                    WHEN u < 1099420103164 THEN 6
+                    WHEN u < 1099500358665 THEN 7
+                    ELSE 8 END AS w
+             FROM uh),
+      ag AS (SELECT g, r, CAST(SUM(w * d) AS BIGINT) AS num,
+               CAST(SUM(w) AS BIGINT) AS den FROM dr GROUP BY 1, 2),
+      es AS (SELECT g, den AS n, round(CAST(num AS DOUBLE)
+               / CAST(den AS DOUBLE), 6) + 0 AS est
+             FROM ag WHERE r = -1),
+      rs AS (SELECT g, r,
+               CAST(num AS DOUBLE) / CAST(den AS DOUBLE) AS s,
+               CAST(floor(CAST(num AS DOUBLE) / CAST(den AS DOUBLE)
+                 * 1000000000 + 0.5) AS BIGINT) AS sq
+             FROM ag WHERE r >= 0 AND den > 0),
+      rk AS (SELECT g, s,
+               CAST(row_number() OVER (PARTITION BY g ORDER BY sq, r)
+                 AS BIGINT) AS rn,
+               CAST(COUNT(*) OVER (PARTITION BY g) AS BIGINT) AS beff
+             FROM rs),
+      ci AS (SELECT g, MAX(beff) AS b_eff,
+               MIN(CASE WHEN rn = (beff * 5 + 199) // 200 THEN s END)
+                 AS cl,
+               MIN(CASE WHEN rn = beff + 1 - (beff * 5 + 199) // 200
+                 THEN s END) AS ch
+             FROM rk
+             WHERE rn = (beff * 5 + 199) // 200
+                OR rn = beff + 1 - (beff * 5 + 199) // 200
+             GROUP BY 1)
+      SELECT es.g AS source, es.n, CAST(200 AS BIGINT) AS b,
+             COALESCE(ci.b_eff, 0) AS b_eff, es.est,
+             round(ci.cl, 6) + 0 AS ci_lo, round(ci.ch, 6) + 0 AS ci_hi,
+             ci.b_eff IS NOT NULL AS defined
+      FROM es LEFT JOIN ci ON es.g = ci.g ORDER BY source""",
 
     "qDA_cramers_v" -> """
       WITH r AS (SELECT doc_id % 4 AS g, source AS a,

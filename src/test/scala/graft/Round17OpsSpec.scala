@@ -34,4 +34,95 @@ class Round17OpsSpec extends AnyFunSuite {
     val negKey = df.filter(col("x") < 0).select(ki).as[Long].head()
     assert(negKey == -1L)
   }
+
+  test("bhFdr: hand-computed step-up cutoff, ties, degenerates") {
+    import graft.operators.Preference
+    // q=10%, m=10: crit(i) = 0.01*i. rank-3 p=0.035 > 0.03 FAILS its
+    // own row but rank-5 p=0.05 <= 0.05 passes -> step-up k=5 rejects
+    // ranks 1..5 INCLUDING the rank-3 failure (the step-up point)
+    val ps = Seq(0.005, 0.013, 0.035, 0.038, 0.05, 0.11, 0.21, 0.35,
+      0.57, 0.92)
+    val f = ps.zipWithIndex.map { case (p, i) => ("f", s"t$i", p) }
+      .toDF("family", "test_id", "p")
+    val out = Preference.bhFdr(f, "family", "test_id", "p", qPct = 10)
+      .collect().map(r => r.getString(1) ->
+        ((r.getDouble(2), r.getLong(3), r.getLong(4), r.getLong(5),
+          r.getBoolean(6)))).toMap
+    assert(out("t2") == ((0.035, 3L, 10L, 5L, true)), out("t2").toString)
+    assert(out("t4") == ((0.05, 5L, 10L, 5L, true)))
+    assert(out("t5") == ((0.11, 6L, 10L, 5L, false)))
+    assert(out.values.count(_._5) == 5)
+    // single-test family: BH reduces to p <= q
+    val one = Seq(("a", "x", 0.04), ("b", "y", 0.06))
+      .toDF("family", "test_id", "p")
+    val o1 = Preference.bhFdr(one, "family", "test_id", "p", qPct = 5)
+      .collect().map(r => r.getString(0) -> r.getBoolean(6)).toMap
+    assert(o1 == Map("a" -> true, "b" -> false))
+    // all-null family vanishes; nulls inside a family shrink m
+    val withNull = Seq(("dead", "x", null), ("live", "a", "0.01"),
+        ("live", "b", null))
+      .toDF("family", "test_id", "p")
+      .select(col("family"), col("test_id"), col("p").cast("double"))
+    val o2 = Preference.bhFdr(withNull, "family", "test_id", "p", 5)
+      .collect()
+    assert(o2.length == 1 && o2.head.getString(0) == "live" &&
+      o2.head.getLong(4) == 1L)
+    // tied p's are accepted or rejected together
+    val tied = Seq(("f", "a", 0.05), ("f", "b", 0.05))
+      .toDF("family", "test_id", "p")
+    val o3 = Preference.bhFdr(tied, "family", "test_id", "p", 10)
+      .collect().map(_.getBoolean(6)).toSet
+    assert(o3.size == 1, "equal p must share the verdict")
+    // refusals: p outside [0,1] mid-plan, qPct at entry
+    intercept[Exception] {
+      Preference.bhFdr(Seq(("f", "x", 1.5)).toDF("family", "test_id",
+        "p"), "family", "test_id", "p", 10).collect()
+    }
+    intercept[IllegalArgumentException] {
+      Preference.bhFdr(one, "family", "test_id", "p", 0)
+    }
+  }
+
+  test("pairedBootstrapCi: planted shift bracketed, deterministic") {
+    import graft.operators.Preference
+    // planted shift ~100: d = 100 + (i%21) - ((13i)%21), n=400
+    val rows = (1 to 400).map(i =>
+      ("g", i.toLong, 100L + i % 21, (13L * i) % 21))
+    val df = rows.toDF("grp", "id", "a", "b")
+    val run1 = Preference.pairedBootstrapCi(df.repartition(13), "grp",
+      "id", "a", "b", b = 100, alphaPct = 5).collect()
+    assert(run1.length == 1)
+    val r = run1.head
+    val (n, b, beff, est, lo, hi, defined) = (r.getLong(1), r.getLong(2),
+      r.getLong(3), r.getDouble(4), r.getDouble(5), r.getDouble(6),
+      r.getBoolean(7))
+    assert(n == 400L && b == 100L && beff == 100L && defined)
+    // est is the exact full-data mean delta
+    val truth = rows.map(t => (t._3 - t._4).toDouble).sum / 400.0
+    assert(est == BigDecimal(truth).setScale(6,
+      BigDecimal.RoundingMode.HALF_UP).toDouble, s"$est vs $truth")
+    // the interval brackets the estimate and detects the shift
+    assert(lo <= est && est <= hi, s"[$lo, $hi] vs $est")
+    assert(lo > 50.0, s"planted shift must be detected: lo=$lo")
+    assert(hi - lo > 0.0 && hi - lo < 20.0, s"width ${hi - lo}")
+    // determinism across partitionings: same resamples, same CI
+    val run2 = Preference.pairedBootstrapCi(df.repartition(1), "grp",
+      "id", "a", "b", b = 100, alphaPct = 5).collect()
+    assert(run1.toSeq == run2.toSeq)
+    // zero-noise data: every resample mean is the constant
+    val const = (1 to 50).map(i => ("g", i.toLong, 7L, 2L))
+      .toDF("grp", "id", "a", "b")
+    val rc = Preference.pairedBootstrapCi(const, "grp", "id", "a", "b",
+      b = 20).head()
+    assert(rc.getDouble(4) == 5.0 && rc.getDouble(5) == 5.0 &&
+      rc.getDouble(6) == 5.0)
+    intercept[IllegalArgumentException] {
+      Preference.pairedBootstrapCi(const, "grp", "id", "a", "b", b = 0)
+    }
+    intercept[IllegalArgumentException] {
+      Preference.pairedBootstrapCi(
+        (1 to 3).map(i => ("g", i.toLong, 1.5, 2.0))
+          .toDF("grp", "id", "a", "b"), "grp", "id", "a", "b")
+    }
+  }
 }
