@@ -1796,9 +1796,31 @@ object Preference {
             pCol: String, qPct: Int): DataFrame = {
     require(qPct >= 1 && qPct <= 99,
       s"qPct must be an integer percent in [1, 99], got $qPct")
+    val ranked = rankedPvals(tests, familyCol, idCol, pCol, "bhFdr")
+    val acc = when(col("__pq") * col("__m") * lit(100L) <=
+      lit(qPct.toLong) * col("__rnk") * lit(1000000000L), col("__rnk"))
+      .otherwise(lit(0L))
+    import org.apache.spark.sql.expressions.Window
+    val cutoff = max(acc).over(Window.partitionBy(col("__f")))
+    ranked.select(col("__f").as(familyCol), col("__id").as(idCol),
+      col("__p").as("p"), col("__rnk").as("rank"), col("__m").as("m"),
+      cutoff.as("k"),
+      (col("__rnk") <= cutoff).as("reject"))
+  }
+
+  /** Shared p-value ranking frame for the multiple-comparisons family
+    * ([[bhFdr]]/[[holmBonferroni]]): filters null (family, id, p),
+    * REFUSES p outside [0, 1] and families past 9.2e7 tests (the
+    * integer acceptance compares' signed-64 bound), recovers the
+    * 1e-9-grid long from the round-6 p, and ranks by (pq, id) within
+    * the family — one exchange + one in-partition sort. Columns:
+    * (__f, __id, __p, __pq, __rnk, __m). */
+  private def rankedPvals(tests: DataFrame, familyCol: String,
+                          idCol: String, pCol: String,
+                          opName: String): DataFrame = {
     val pd = col(pCol).cast("double")
     val pOk = when(pd >= 0.0 && pd <= 1.0, pd).otherwise(raise_error(concat(
-      lit("bhFdr: p-value "), pd.cast("string"), lit(" for test "),
+      lit(s"$opName: p-value "), pd.cast("string"), lit(" for test "),
       col(idCol).cast("string"),
       lit(" is outside [0, 1] — refusing to rank a broken test"))))
     val clean = tests
@@ -1813,20 +1835,130 @@ object Preference {
       .over(fam.orderBy(col("__pq"), col("__id"))).cast("long")
     val m = count(lit(1)).over(fam)
     val mOk = when(m <= 92000000L, m).otherwise(raise_error(concat(
-      lit("bhFdr: family "), col("__f").cast("string"), lit(" has "),
+      lit(s"$opName: family "), col("__f").cast("string"), lit(" has "),
       m.cast("string"),
       lit(" tests > 9.2e7 — the integer acceptance compare would " +
         "overflow signed-64; split the family or pre-screen"))))
-    val ranked = clean.select(col("__f"), col("__id"), col("__p"),
+    clean.select(col("__f"), col("__id"), col("__p"),
       col("__pq"), rnk.as("__rnk"), mOk.as("__m"))
-    val acc = when(col("__pq") * col("__m") * lit(100L) <=
-      lit(qPct.toLong) * col("__rnk") * lit(1000000000L), col("__rnk"))
-      .otherwise(lit(0L))
-    val cutoff = max(acc).over(Window.partitionBy(col("__f")))
+  }
+
+  /**
+   * Holm–Bonferroni step-down FWER control (Holm 1979) — the STRICT
+   * sibling of [[bhFdr]] for the "any false positive is fatal"
+   * regime (shipping gate flips, safety evals): controls the
+   * FAMILY-WISE error rate at α with no dependence assumption at
+   * all, uniformly more powerful than plain Bonferroni. Step-DOWN:
+   * walk the p-value order statistics from the smallest and reject
+   * while p₍ᵢ₎ ≤ α/(m−i+1); the FIRST failure stops everything after
+   * it (where BH's step-up rescues earlier failures, Holm never
+   * does).
+   *
+   * Exact contract: the acceptance test pq·(m−i+1)·100 ≤ α%·10⁹ is
+   * an INTEGER compare over the same 1e-9-grid longs as [[bhFdr]]
+   * (same ranking frame, same 9.2e7-tests bound, same null/range
+   * refusals); the stop rank k = (first failing rank) − 1 — or m
+   * when nothing fails — is a min over exact integers. Tie order
+   * (pq, id) cannot change the rejection set: equal p's share the
+   * acceptance verdict at consecutive ranks, and a failure between
+   * tied copies is impossible (the compare is monotone in rank for
+   * fixed pq).
+   *
+   * Scale shape: identical to [[bhFdr]] — one exchange on the family
+   * key + one in-partition sort; no joins.
+   *
+   * @return one row per performed test: (familyCol, idCol, p, rank,
+   *         m, k — the step-down stop rank, 0 when the smallest p
+   *         already fails — and reject)
+   */
+  def holmBonferroni(tests: DataFrame, familyCol: String, idCol: String,
+                     pCol: String, alphaPct: Int): DataFrame = {
+    require(alphaPct >= 1 && alphaPct <= 99,
+      s"alphaPct must be an integer percent in [1, 99], got $alphaPct")
+    val ranked = rankedPvals(tests, familyCol, idCol, pCol,
+      "holmBonferroni")
+    val fail = when(col("__pq") * (col("__m") - col("__rnk") + lit(1L)) *
+      lit(100L) > lit(alphaPct.toLong) * lit(1000000000L), col("__rnk"))
+    import org.apache.spark.sql.expressions.Window
+    val firstFail = min(fail).over(Window.partitionBy(col("__f")))
+    val cutoff = coalesce(firstFail - lit(1L), col("__m"))
     ranked.select(col("__f").as(familyCol), col("__id").as(idCol),
       col("__p").as("p"), col("__rnk").as("rank"), col("__m").as("m"),
       cutoff.as("k"),
       (col("__rnk") <= cutoff).as("reject"))
+  }
+
+  /**
+   * Deterministic paired permutation (sign-flip) test (Fisher 1935;
+   * the randomization test) — the EXACT-ARITHMETIC companion to
+   * [[pairedBootstrapCi]] and the distribution-free alternative to
+   * [[signTest]] that uses the MAGNITUDES of the paired deltas, not
+   * just their signs: under H0 (no systematic difference) each
+   * paired delta d is symmetric around 0, so every sign assignment
+   * is equally likely; the p-value is the fraction of sign-flip
+   * permutations whose |Σ±d| reaches the observed |Σd|.
+   *
+   * Exact contract: EVERYTHING in the decision is integer — each
+   * permutation's statistic Σ±d is an exact long in any partition
+   * order, the extremeness compare |s_r| ≥ |Σd| is an integer
+   * compare, and the p-value (#extreme + 1)/(P + 1) (the add-one
+   * estimator — never exactly 0, the standard finite-P correction)
+   * is ONE division of exact integers. The flip for (row i,
+   * permutation r) is the PARITY of the 40-bit md5 draw
+   * ([[Sampling.hash40]], u(id, r, salt) mod 2) — any engine replays
+   * identical permutations from (id, salt) alone; the observed
+   * statistic rides the same plan as pseudo-permutation r = −1 with
+   * sign ≡ +1 (never counted). Bound: Σ|d| per group must fit
+   * signed-64.
+   *
+   * Scale shape: one explode (×(P+1)) → one partial/final hash
+   * aggregate to (P+1)·|groups| rows (map-side combine — the
+   * [[pairedBootstrapCi]] shape) → one window + one aggregate over
+   * permutation summaries. The corpus never sorts.
+   *
+   * @return one row per group: (byCol, n, sum_d, n_extreme, p
+   *         rounded 6, defined = n > 0)
+   */
+  def permutationTest(df: DataFrame, byCol: String, idCol: String,
+                      aCol: String, bCol: String, p: Int = 200,
+                      salt: String = "s0"): DataFrame = {
+    require(p >= 1 && p <= 10000, s"p must be in [1, 10000], got $p")
+    Seq(aCol, bCol).foreach { c =>
+      require(org.apache.spark.sql.graftbridge.ColumnBridge
+          .isIntegral(df.schema(c).dataType),
+        s"permutationTest: $c must be integral (got " +
+          s"${df.schema(c).dataType.simpleString}) — quantize scores " +
+          "upstream; the all-integer decision is the point")
+    }
+    val base = df.filter(col(byCol).isNotNull && col(idCol).isNotNull &&
+        col(aCol).isNotNull && col(bCol).isNotNull)
+      .select(col(byCol).as("__g"), col(idCol).as("__id"),
+        (col(aCol).cast("long") - col(bCol).cast("long")).as("__d"))
+    val u = Sampling.hash40(Seq(col("__id"), col("__r")), salt)
+    val sign = when(col("__r") === -1, lit(1L))
+      .otherwise(lit(1L) - lit(2L) * (u % 2))
+    val perms = base
+      .select(col("__g"), col("__id"), col("__d"),
+        explode(sequence(lit(-1), lit(p - 1))).as("__r"))
+      .select(col("__g"), col("__r"), (sign * col("__d")).as("__sd"))
+      .groupBy(col("__g"), col("__r"))
+      .agg(sum(col("__sd")).as("__s"), count(lit(1)).as("__n"))
+    import org.apache.spark.sql.expressions.Window
+    val fam = Window.partitionBy(col("__g"))
+    val obs = max(when(col("__r") === -1, col("__s"))).over(fam)
+    perms.select(col("__g"), col("__r"), col("__s"), col("__n"),
+        obs.as("__obs"))
+      .groupBy(col("__g"))
+      .agg(max(when(col("__r") === -1, col("__n"))).as("n"),
+        max(col("__obs")).as("sum_d"),
+        sum(when(col("__r") >= 0 &&
+          abs(col("__s")) >= abs(col("__obs")), 1L).otherwise(0L))
+          .as("n_extreme"))
+      .select(col("__g").as(byCol), col("n"), col("sum_d"),
+        col("n_extreme"),
+        round((col("n_extreme") + lit(1L)).cast("double") /
+          lit((p + 1).toDouble), 6).as("p_value"),
+        (col("n") > 0).as("defined"))
   }
 
   /** ⌊CDF_Poisson(1)(k)·2⁴⁰⌋ for k = 0..7 — the deterministic

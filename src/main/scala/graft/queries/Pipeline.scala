@@ -1890,6 +1890,37 @@ object Pipeline {
         .orderBy(col("source"))
     }),
 
+    // Holm-Bonferroni step-down FWER control over the same sign-test
+    // family as qDE: the strict any-false-positive-is-fatal sibling —
+    // integer acceptance compares, first-failure stop rank as a
+    // window min
+    "qDG_holm" -> ((s, dir) => {
+      val d = T(s, dir)("documents")
+      def fam(name: String, win: org.apache.spark.sql.Column) =
+        graft.operators.Preference.signTest(
+            d.select(col("source"), win.as("win")), "source", "win")
+          .select(lit(name).as("family"), col("source").as("test_id"),
+            col("p_two"))
+      graft.operators.Preference.holmBonferroni(
+          fam("m7", col("doc_id") % 7 > 3)
+            .unionByName(fam("m5", col("doc_id") % 5 > 1)),
+          "family", "test_id", "p_two", alphaPct = 5)
+        .orderBy(col("family"), col("test_id"))
+    }),
+
+    // deterministic paired permutation (sign-flip) test per source
+    // over the qDF judge-delta fixture: all-integer decision — exact
+    // long permutation sums, integer extremeness compares, one
+    // add-one division
+    "qDH_permutation_test" -> ((s, dir) => {
+      graft.operators.Preference.permutationTest(
+          T(s, dir)("documents").select(col("source"), col("doc_id"),
+            (col("doc_id") % 101).as("score_a"),
+            (col("doc_id") % 97).as("score_b")),
+          "source", "doc_id", "score_a", "score_b", p = 200)
+        .orderBy(col("source"))
+    }),
+
     // Cramer's V between source and a synthetic category per 4-way
     // shard: the normalized chi-square effect size — per-cell terms
     // n_ab^2/(n_a*n_b) quantize to the 1e-9 grid, phi^2/chi2/V fixed
@@ -4474,6 +4505,76 @@ object Pipeline {
              round(ci.cl, 6) + 0 AS ci_lo, round(ci.ch, 6) + 0 AS ci_hi,
              ci.b_eff IS NOT NULL AS defined
       FROM es LEFT JOIN ci ON es.g = ci.g ORDER BY source""",
+
+    "qDG_holm" -> """
+      WITH r7 AS (SELECT source, doc_id % 7 > 3 AS w FROM documents),
+      r5 AS (SELECT source, doc_id % 5 > 1 AS w FROM documents),
+      st AS (SELECT 'm7' AS family, source AS test_id,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(CASE WHEN w THEN 1 ELSE 0 END) AS BIGINT)
+                 AS wins,
+               CAST(SUM(CASE WHEN NOT w THEN 1 ELSE 0 END) AS BIGINT)
+                 AS losses
+             FROM r7 GROUP BY 2
+             UNION ALL
+             SELECT 'm5', source, CAST(COUNT(*) AS BIGINT),
+               CAST(SUM(CASE WHEN w THEN 1 ELSE 0 END) AS BIGINT),
+               CAST(SUM(CASE WHEN NOT w THEN 1 ELSE 0 END) AS BIGINT)
+             FROM r5 GROUP BY 2),
+      v AS (SELECT *, greatest(wins, losses) AS kmax FROM st),
+      pv AS (SELECT family, test_id,
+               CASE WHEN n > 0 THEN round(least(1.0, 2.0 *
+                 list_reduce(list_transform(range(kmax, n + 1),
+                   i -> pow(0.5, CAST(n AS DOUBLE)) * list_reduce(
+                          list_transform(range(1, i + 1),
+                            j -> (CAST(n AS DOUBLE) - CAST(i AS DOUBLE)
+                                  + CAST(j AS DOUBLE))
+                                 / CAST(j AS DOUBLE)),
+                          (a, b) -> a * b)),
+                   (a, b) -> a + b)), 6) ELSE 0.0 END AS p
+             FROM v),
+      q AS (SELECT family, test_id, p,
+              CAST(floor(p * 1000000000 + 0.5) AS BIGINT) AS pq
+            FROM pv),
+      wn AS (SELECT *, CAST(row_number() OVER (PARTITION BY family
+               ORDER BY pq, test_id) AS BIGINT) AS rnk,
+              CAST(COUNT(*) OVER (PARTITION BY family) AS BIGINT) AS m
+             FROM q),
+      ac AS (SELECT *, CASE WHEN pq * (m - rnk + 1) * 100
+               > CAST(5000000000 AS BIGINT) THEN rnk END AS fl
+             FROM wn),
+      kc AS (SELECT *, COALESCE(MIN(fl) OVER (PARTITION BY family) - 1,
+               m) AS k FROM ac)
+      SELECT family, test_id, p, rnk AS rank, m, k, rnk <= k AS reject
+      FROM kc ORDER BY family, test_id""",
+
+    "qDH_permutation_test" -> """
+      WITH base AS (SELECT source AS g, doc_id AS id,
+              CAST(doc_id % 101 AS BIGINT) - CAST(doc_id % 97 AS BIGINT)
+                AS d
+            FROM documents),
+      sp AS (SELECT g, id, d, unnest(range(-1, 200)) AS r FROM base),
+      uh AS (SELECT g, r, d, CAST(list_reduce(list_transform(
+               regexp_extract_all(substring(md5(CAST(id AS VARCHAR)
+                 || ' ' || CAST(r AS VARCHAR) || ' s0'), 1, 10), '.'),
+               c -> CAST(instr('0123456789abcdef', c) - 1 AS BIGINT)),
+               (a, b) -> a * 16 + b) AS BIGINT) AS u
+             FROM sp),
+      sg AS (SELECT g, r, CASE WHEN r = -1 THEN d
+               ELSE (1 - 2 * (u % 2)) * d END AS sd FROM uh),
+      ag AS (SELECT g, r, CAST(SUM(sd) AS BIGINT) AS s,
+               CAST(COUNT(*) AS BIGINT) AS n FROM sg GROUP BY 1, 2),
+      ob AS (SELECT *, MAX(CASE WHEN r = -1 THEN s END)
+               OVER (PARTITION BY g) AS obs FROM ag),
+      fin AS (SELECT g, MAX(CASE WHEN r = -1 THEN n END) AS n,
+                MAX(obs) AS sum_d,
+                CAST(SUM(CASE WHEN r >= 0 AND abs(s) >= abs(obs)
+                  THEN 1 ELSE 0 END) AS BIGINT) AS n_extreme
+              FROM ob GROUP BY 1)
+      SELECT g AS source, n, sum_d, n_extreme,
+             round(CAST(n_extreme + 1 AS DOUBLE) / 201.0, 6) AS p_value,
+             n > 0 AS defined
+      FROM fin ORDER BY source""",
 
     "qDA_cramers_v" -> """
       WITH r AS (SELECT doc_id % 4 AS g, source AS a,

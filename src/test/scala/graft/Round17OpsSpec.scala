@@ -125,4 +125,69 @@ class Round17OpsSpec extends AnyFunSuite {
           .toDF("grp", "id", "a", "b"), "grp", "id", "a", "b")
     }
   }
+
+  test("holmBonferroni: step-down stop blocks later passers") {
+    import graft.operators.Preference
+    // alpha=5%, m=5: crit(i) = 0.05/(m-i+1) = .01, .0125, .016667,
+    // .025, .05. Rank 3 (p=.02) is the ONLY failure — ranks 4 and 5
+    // pass their own rows (.022<=.025, .03<=.05) but step-down stops
+    // at the first failure -> k=2
+    val ps = Seq(0.008, 0.012, 0.02, 0.022, 0.03)
+    val f = ps.zipWithIndex.map { case (p, i) => ("f", s"t$i", p) }
+      .toDF("family", "test_id", "p")
+    val out = Preference.holmBonferroni(f, "family", "test_id", "p", 5)
+      .collect().map(r => r.getString(1) ->
+        ((r.getLong(3), r.getLong(5), r.getBoolean(6)))).toMap
+    assert(out("t1") == ((2L, 2L, true)), out("t1").toString)
+    assert(out("t3") == ((4L, 2L, false)), "rank 4 passes its row " +
+      "but must be blocked by the rank-3 failure")
+    assert(out.values.count(_._3) == 2)
+    // contrast: BH at the same 5% RESCUES everything (crit .01*i:
+    // rank-5 p=.03 <= .05 -> step-up k=5, all five rejected)
+    val bh = Preference.bhFdr(f, "family", "test_id", "p", 5)
+      .collect().map(r => r.getString(1) -> r.getBoolean(6)).toMap
+    assert(bh.values.forall(identity), bh.toString)
+    // all pass -> k=m; smallest-p failure -> k=0
+    val all = Preference.holmBonferroni(
+      Seq(("f", "a", 0.001), ("f", "b", 0.002))
+        .toDF("family", "test_id", "p"),
+      "family", "test_id", "p", 5).collect()
+    assert(all.forall(_.getBoolean(6)) && all.head.getLong(5) == 2L)
+    val none = Preference.holmBonferroni(
+      Seq(("f", "a", 0.9), ("f", "b", 0.95))
+        .toDF("family", "test_id", "p"),
+      "family", "test_id", "p", 5).collect()
+    assert(none.forall(!_.getBoolean(6)) && none.head.getLong(5) == 0L)
+  }
+
+  test("permutationTest: exact extremes, null p=1, deterministic") {
+    import graft.operators.Preference
+    // strong constant shift: every sign flip strictly shrinks |s|,
+    // so only the all-plus permutation ties the observed 500 ->
+    // n_extreme ~ 0 and p = 1/201
+    val shift = (1 to 50).map(i => ("g", i.toLong, 15L, 5L))
+      .toDF("grp", "id", "a", "b")
+    val rs = Preference.permutationTest(shift.repartition(7), "grp",
+      "id", "a", "b", p = 200).head()
+    assert(rs.getLong(1) == 50L && rs.getLong(2) == 500L)
+    assert(rs.getLong(3) == 0L && rs.getDouble(4) == 0.004975,
+      s"n_extreme=${rs.getLong(3)} p=${rs.getDouble(4)}")
+    // exact-zero observed sum: |s_r| >= 0 for every permutation -> p=1
+    val nul = (1 to 40).map(i =>
+      ("g", i.toLong, if (i % 2 == 0) 10L else 0L,
+        if (i % 2 == 0) 0L else 10L)).toDF("grp", "id", "a", "b")
+    val rn = Preference.permutationTest(nul, "grp", "id", "a", "b",
+      p = 50).head()
+    assert(rn.getLong(2) == 0L && rn.getLong(3) == 50L &&
+      rn.getDouble(4) == 1.0)
+    // determinism across partitionings
+    val a = Preference.permutationTest(shift.repartition(1), "grp",
+      "id", "a", "b", p = 100).collect().toSeq
+    val b = Preference.permutationTest(shift.repartition(31), "grp",
+      "id", "a", "b", p = 100).collect().toSeq
+    assert(a == b)
+    intercept[IllegalArgumentException] {
+      Preference.permutationTest(shift, "grp", "id", "a", "b", p = 0)
+    }
+  }
 }
