@@ -473,4 +473,85 @@ object Classification {
         col("__tpos").cast("double"), 6)).otherwise(lit(0.0)).as("recall"),
       defined.as("defined"))
   }
+
+  /**
+   * One-way ANOVA F statistic (Fisher 1925) — the k-GROUP
+   * generalization of [[effectSize]]'s two-sample comparison ("do
+   * the sources differ in mean length AT ALL" before pairwise tests
+   * ask which): per family, the between/within variance ratio F =
+   * (SSB/(k−1))/(SSW/(N−k)) over an integral score.
+   *
+   * Exact contract: every cell moment (n_g, Σx, Σx²) is an exact
+   * long in any partition order. The cross-cell sums Σ_g S_g²/n_g
+   * and the grand S²/N — where the textbook form goes float — are
+   * split EXACTLY by integer division: S_g²/n_g = (S_g² div n_g) +
+   * (S_g² mod n_g)/n_g, the div parts summing as exact longs and
+   * each fractional part (< 1) quantized to the 1e-9 grid, so SSB =
+   * Σ_g S_g²/n_g − S²/N and SSW = ΣQ_g − Σ_g S_g²/n_g are fixed
+   * dags over exact integers — order-free at ANY magnitude the
+   * squares permit. Bound: |S_g| and |S| ≤ 3037000499 keep the
+   * squares in signed-64 — ENFORCED plan-side (raise_error, the qCL
+   * convention); Σx² per cell must also fit (document-scale scores —
+   * pre-scale past it, the qC4 rule). SSB/SSW are analytically ≥ 0
+   * but the dag can land at −ε → gateRounded. defined = k ≥ 2 ∧
+   * N > k ∧ SSW > 0 (a zero within-variance family has an infinite
+   * F — refused visibly, not emitted).
+   *
+   * Scale shape: two chained partial/final aggregates — (family,
+   * group) then family; nothing else. The corpus never sorts.
+   *
+   * @return (familyCol, n, k_groups, ss_between, ss_within, f —
+   *         rounded 6, defined)
+   */
+  def oneWayAnova(df: DataFrame, familyCol: String, groupCol: String,
+                  xCol: String): DataFrame = {
+    require(org.apache.spark.sql.graftbridge.ColumnBridge
+        .isIntegral(df.schema(xCol).dataType),
+      s"oneWayAnova: $xCol must be integral (got " +
+        s"${df.schema(xCol).dataType.simpleString}) — the exact-moment " +
+        "contract")
+    val x = col(xCol).cast("long")
+    val cells = df.filter(col(familyCol).isNotNull &&
+        col(groupCol).isNotNull && col(xCol).isNotNull)
+      .groupBy(col(familyCol).as("__f"), col(groupCol).as("__g"))
+      .agg(count(lit(1)).as("__ng"), sum(x).as("__sg"),
+        sum(x * x).as("__qg"))
+    def guardedSq(s: Column, what: String) = {
+      val ok = when(abs(s) <= 3037000499L, s).otherwise(raise_error(concat(
+        lit(s"oneWayAnova: $what sum "), s.cast("string"),
+        lit(" exceeds 3037000499 — its square overflows signed-64; " +
+          "pre-scale the score"))))
+      ok * ok
+    }
+    val sq = guardedSq(col("__sg"), "cell")
+    val ti = call_function("div", sq, col("__ng"))
+    val tf = floor((sq % col("__ng")).cast("double") /
+      col("__ng").cast("double") * lit(1e9) + lit(0.5)).cast("long")
+    val fam = cells
+      .select(col("__f"), col("__ng"), col("__sg"), col("__qg"),
+        ti.as("__ti"), tf.as("__tf"))
+      .groupBy(col("__f"))
+      .agg(sum(col("__ng")).as("n"), count(lit(1)).as("k_groups"),
+        sum(col("__sg")).as("__s"), sum(col("__qg")).as("__q"),
+        sum(col("__ti")).as("__tisum"), sum(col("__tf")).as("__tfsum"))
+    val gsq = guardedSq(col("__s"), "grand")
+    val gi = call_function("div", gsq, col("n"))
+    val gf = floor((gsq % col("n")).cast("double") /
+      col("n").cast("double") * lit(1e9) + lit(0.5)).cast("long")
+    def d(c: Column) = c.cast("double")
+    val t = d(col("__tisum")) + d(col("__tfsum")) / lit(1e9)
+    val grand = d(gi) + d(gf) / lit(1e9)
+    val ssb = t - grand
+    val ssw = d(col("__q")) - t
+    val f = (ssb / d(col("k_groups") - 1L)) /
+      (ssw / d(col("n") - col("k_groups")))
+    val defined = col("k_groups") > 1 && col("n") > col("k_groups") &&
+      ssw > 0.0
+    fam.select(col("__f").as(familyCol), col("n"), col("k_groups"),
+      graft.functions.GateRound(ssb, 6).as("ss_between"),
+      graft.functions.GateRound(ssw, 6).as("ss_within"),
+      when(defined, graft.functions.GateRound(f, 6)).otherwise(lit(0.0))
+        .as("f"),
+      defined.as("defined"))
+  }
 }

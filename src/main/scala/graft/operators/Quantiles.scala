@@ -441,4 +441,88 @@ object Quantiles {
     stats.select((col("__g").as(byCol) +: col("n") +: col("total") +:
       outCols) :+ defined.as("defined"): _*)
   }
+
+  /**
+   * Jackknife standard error of a ratio estimator (Quenouille 1956,
+   * Tukey 1958) — the uncertainty attached to every "per-X" number a
+   * corpus report quotes (chars per token, tokens per document,
+   * cost per accepted sample): R = Σa/Σb is a RATIO of sums, its
+   * variance has no closed form, and the delete-one jackknife is the
+   * deterministic answer (no resampling draw at all — the
+   * [[Preference.pairedBootstrapCi]] companion for smooth
+   * statistics): each leave-one-out replicate R₍ᵢ₎ =
+   * (Σa − aᵢ)/(Σb − bᵢ) needs only the GROUP TOTALS beside each row,
+   * so the whole estimate is one window + one aggregate — no n-fold
+   * recomputation.
+   *
+   * Exact contract: Σa, Σb, n are exact longs (window sums); each
+   * R₍ᵢ₎ is ONE IEEE division of exact longs; R₍ᵢ₎ and R₍ᵢ₎² are
+   * quantized to the 1e-9 grid so both cross-row sums are exact in
+   * any partition order, and se² = (n−1)/n · (ΣR₍ᵢ₎²/n... via the
+   * computational identity Σ(R₍ᵢ₎ − R̄)² = ΣR₍ᵢ₎² − n·R̄²) is a
+   * fixed dag over those exact longs, clamped at 0 (the identity
+   * can land at −ε) before the sqrt. Bound: |R₍ᵢ₎| < 9.6·10⁴ keeps
+   * the squared quantization in signed-64 — ratios are O(1..10³) by
+   * nature; pre-scale wilder ones. Rows whose delete-one denominator
+   * Σb − bᵢ is 0 poison the replicate set → defined = false (their
+   * replicate is excluded rather than fed an infinity).
+   *
+   * Scale shape: one hash exchange on the group key (unordered
+   * window aggregates — no sort) + one partial/final aggregate to
+   * |groups| rows. No joins, one corpus pass.
+   *
+   * @return (byCol, n, sum_num, sum_den, ratio, se_jack — rounded 6,
+   *         ratio gateRounded (signed) — defined = n > 1 ∧ Σb ≠ 0 ∧
+   *         no zero delete-one denominator)
+   */
+  def jackknifeRatioSe(df: DataFrame, byCol: String, numCol: String,
+                       denCol: String): DataFrame = {
+    Seq(numCol, denCol).foreach { c =>
+      require(org.apache.spark.sql.graftbridge.ColumnBridge
+          .isIntegral(df.schema(c).dataType),
+        s"jackknifeRatioSe: $c must be integral (got " +
+          s"${df.schema(c).dataType.simpleString}) — the exact-total " +
+          "contract")
+    }
+    val clean = df.filter(col(byCol).isNotNull && col(numCol).isNotNull &&
+        col(denCol).isNotNull)
+      .select(col(byCol).as("__g"), col(numCol).cast("long").as("__a"),
+        col(denCol).cast("long").as("__b"))
+    val g = Window.partitionBy(col("__g"))
+    val sa = sum(col("__a")).over(g)
+    val sb = sum(col("__b")).over(g)
+    val n = count(lit(1)).over(g)
+    val looDen = col("__sb") - col("__b")
+    val bad = looDen === 0L
+    val loo = (col("__sa") - col("__a")).cast("double") /
+      looDen.cast("double")
+    val q = when(bad, lit(0L))
+      .otherwise(floor(loo * lit(1e9) + lit(0.5)).cast("long"))
+    val q2 = when(bad, lit(0L))
+      .otherwise(floor(loo * loo * lit(1e9) + lit(0.5)).cast("long"))
+    val stats = clean
+      .select(col("__g"), col("__a"), col("__b"), sa.as("__sa"),
+        sb.as("__sb"), n.as("__n"))
+      .select(col("__g"), col("__sa"), col("__sb"), col("__n"),
+        q.as("__q"), q2.as("__q2"),
+        when(bad, 1L).otherwise(0L).as("__bad"))
+      .groupBy(col("__g"))
+      .agg(max(col("__n")).as("n"), max(col("__sa")).as("sum_num"),
+        max(col("__sb")).as("sum_den"), sum(col("__q")).as("__sq"),
+        sum(col("__q2")).as("__sq2"), sum(col("__bad")).as("__nbad"))
+    val defined = col("n") > 1 && col("sum_den") =!= 0L &&
+      col("__nbad") === 0L
+    def d(c: Column) = c.cast("double")
+    val meanLoo = d(col("__sq")) / lit(1e9) / d(col("n"))
+    val ssq = d(col("__sq2")) / lit(1e9) - d(col("n")) * meanLoo * meanLoo
+    val se = sqrt(greatest(lit(0.0),
+      (d(col("n")) - lit(1.0)) / d(col("n")) * ssq))
+    stats.select(col("__g").as(byCol), col("n"), col("sum_num"),
+      col("sum_den"),
+      when(col("sum_den") =!= 0L, graft.functions.GateRound(
+        d(col("sum_num")) / d(col("sum_den")), 6)).otherwise(lit(0.0))
+        .as("ratio"),
+      when(defined, round(se, 6)).otherwise(lit(0.0)).as("se_jack"),
+      defined.as("defined"))
+  }
 }

@@ -1921,6 +1921,28 @@ object Pipeline {
         .orderBy(col("source"))
     }),
 
+    // jackknife SE of the chars-per-unit ratio per source: delete-one
+    // replicates from window totals (no resampling), 1e-9-grid
+    // quantized replicate sums, computational-identity variance
+    "qDI_jackknife_ratio" -> ((s, dir) => {
+      graft.operators.Quantiles.jackknifeRatioSe(
+          T(s, dir)("documents").select(col("source"), col("n_chars"),
+            (col("doc_id") % 7 + 1).as("unit")),
+          "source", "n_chars", "unit")
+        .orderBy(col("source"))
+    }),
+
+    // one-way ANOVA F per language over source mean lengths: exact
+    // cell moments, div/mod-split cross-cell sums (order-free at any
+    // magnitude the squares permit), fixed F dag
+    "qDJ_anova" -> ((s, dir) => {
+      graft.operators.Classification.oneWayAnova(
+          T(s, dir)("documents").select(col("lang"), col("source"),
+            col("n_chars")),
+          "lang", "source", "n_chars")
+        .orderBy(col("lang"))
+    }),
+
     // Cramer's V between source and a synthetic category per 4-way
     // shard: the normalized chi-square effect size — per-cell terms
     // n_ab^2/(n_a*n_b) quantize to the 1e-9 grid, phi^2/chi2/V fixed
@@ -4575,6 +4597,89 @@ object Pipeline {
              round(CAST(n_extreme + 1 AS DOUBLE) / 201.0, 6) AS p_value,
              n > 0 AS defined
       FROM fin ORDER BY source""",
+
+    "qDI_jackknife_ratio" -> """
+      WITH base AS (SELECT source AS g, CAST(n_chars AS BIGINT) AS a,
+              CAST(doc_id % 7 + 1 AS BIGINT) AS b FROM documents),
+      w AS (SELECT g, a, b,
+              CAST(SUM(a) OVER (PARTITION BY g) AS BIGINT) AS sa,
+              CAST(SUM(b) OVER (PARTITION BY g) AS BIGINT) AS sb,
+              CAST(COUNT(*) OVER (PARTITION BY g) AS BIGINT) AS n
+            FROM base),
+      r AS (SELECT g, sa, sb, n,
+              CASE WHEN sb - b = 0 THEN 0
+                ELSE CAST(floor(CAST(sa - a AS DOUBLE)
+                  / CAST(sb - b AS DOUBLE) * 1000000000 + 0.5)
+                  AS BIGINT) END AS q,
+              CASE WHEN sb - b = 0 THEN 0
+                ELSE CAST(floor((CAST(sa - a AS DOUBLE)
+                  / CAST(sb - b AS DOUBLE))
+                  * (CAST(sa - a AS DOUBLE) / CAST(sb - b AS DOUBLE))
+                  * 1000000000 + 0.5) AS BIGINT) END AS q2,
+              CASE WHEN sb - b = 0 THEN 1 ELSE 0 END AS bad
+            FROM w),
+      st AS (SELECT g, MAX(n) AS n, MAX(sa) AS sum_num,
+               MAX(sb) AS sum_den, CAST(SUM(q) AS BIGINT) AS sq,
+               CAST(SUM(q2) AS BIGINT) AS sq2,
+               CAST(SUM(bad) AS BIGINT) AS nbad
+             FROM r GROUP BY 1)
+      SELECT g AS source, n, sum_num, sum_den,
+             CASE WHEN sum_den <> 0
+               THEN round(CAST(sum_num AS DOUBLE)
+                 / CAST(sum_den AS DOUBLE), 6) + 0
+               ELSE 0.0 END AS ratio,
+             CASE WHEN n > 1 AND sum_den <> 0 AND nbad = 0
+               THEN round(sqrt(greatest(0.0,
+                 (CAST(n AS DOUBLE) - 1.0) / CAST(n AS DOUBLE)
+                 * (CAST(sq2 AS DOUBLE) / 1000000000.0
+                    - CAST(n AS DOUBLE)
+                      * (CAST(sq AS DOUBLE) / 1000000000.0
+                         / CAST(n AS DOUBLE))
+                      * (CAST(sq AS DOUBLE) / 1000000000.0
+                         / CAST(n AS DOUBLE))))), 6)
+               ELSE 0.0 END AS se_jack,
+             n > 1 AND sum_den <> 0 AND nbad = 0 AS defined
+      FROM st ORDER BY source""",
+
+    "qDJ_anova" -> """
+      WITH cells AS (SELECT lang AS fm, source AS g,
+               CAST(COUNT(*) AS BIGINT) AS ng,
+               CAST(SUM(n_chars) AS BIGINT) AS sg,
+               CAST(SUM(n_chars * n_chars) AS BIGINT) AS qg
+             FROM documents
+             WHERE lang IS NOT NULL AND source IS NOT NULL
+               AND n_chars IS NOT NULL
+             GROUP BY 1, 2),
+      t AS (SELECT fm, ng, sg, qg, (sg * sg) // ng AS ti,
+              CAST(floor(CAST((sg * sg) % ng AS DOUBLE)
+                / CAST(ng AS DOUBLE) * 1000000000 + 0.5) AS BIGINT)
+                AS tf
+            FROM cells),
+      fam AS (SELECT fm, CAST(SUM(ng) AS BIGINT) AS n,
+                CAST(COUNT(*) AS BIGINT) AS k_groups,
+                CAST(SUM(sg) AS BIGINT) AS s,
+                CAST(SUM(qg) AS BIGINT) AS q,
+                CAST(SUM(ti) AS BIGINT) AS tisum,
+                CAST(SUM(tf) AS BIGINT) AS tfsum
+              FROM t GROUP BY 1),
+      fin AS (SELECT fm, n, k_groups,
+                CAST(tisum AS DOUBLE)
+                  + CAST(tfsum AS DOUBLE) / 1000000000.0 AS tt,
+                CAST((s * s) // n AS DOUBLE)
+                  + CAST(CAST(floor(CAST((s * s) % n AS DOUBLE)
+                      / CAST(n AS DOUBLE) * 1000000000 + 0.5)
+                      AS BIGINT) AS DOUBLE) / 1000000000.0 AS gg,
+                CAST(q AS DOUBLE) AS qd
+              FROM fam)
+      SELECT fm AS lang, n, k_groups,
+             round(tt - gg, 6) + 0 AS ss_between,
+             round(qd - tt, 6) + 0 AS ss_within,
+             CASE WHEN k_groups > 1 AND n > k_groups AND qd - tt > 0
+               THEN round(((tt - gg) / CAST(k_groups - 1 AS DOUBLE))
+                 / ((qd - tt) / CAST(n - k_groups AS DOUBLE)), 6) + 0
+               ELSE 0.0 END AS f,
+             k_groups > 1 AND n > k_groups AND qd - tt > 0 AS defined
+      FROM fin ORDER BY lang""",
 
     "qDA_cramers_v" -> """
       WITH r AS (SELECT doc_id % 4 AS g, source AS a,

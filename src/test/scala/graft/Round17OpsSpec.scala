@@ -190,4 +190,71 @@ class Round17OpsSpec extends AnyFunSuite {
       Preference.permutationTest(shift, "grp", "id", "a", "b", p = 0)
     }
   }
+
+  test("jackknifeRatioSe: delete-one replicates by hand, poisons") {
+    import graft.operators.Quantiles
+    // Sa=60, Sb=10: loo = 50/8, 40/7, 30/5 -> se = 0.309524 (computed
+    // through the operator's own quantize-then-identity chain)
+    val df = Seq(("g", 10L, 2L), ("g", 20L, 3L), ("g", 30L, 5L))
+      .toDF("grp", "a", "b")
+    val r = Quantiles.jackknifeRatioSe(df, "grp", "a", "b").head()
+    assert((r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4),
+      r.getDouble(5), r.getBoolean(6)) ==
+      ((3L, 60L, 10L, 6.0, 0.309524, true)), r.toString)
+    // a zero delete-one denominator poisons the replicate set
+    val poison = Seq(("g", 10L, 10L), ("g", 20L, 0L))
+      .toDF("grp", "a", "b")
+    val rp = Quantiles.jackknifeRatioSe(poison, "grp", "a", "b").head()
+    assert(!rp.getBoolean(6) && rp.getDouble(5) == 0.0 &&
+      rp.getDouble(4) == 3.0, rp.toString)
+    // zero group total: ratio itself undefined
+    val zt = Quantiles.jackknifeRatioSe(
+      Seq(("g", 1L, 5L), ("g", 2L, -5L)).toDF("grp", "a", "b"),
+      "grp", "a", "b").head()
+    assert(!zt.getBoolean(6) && zt.getDouble(4) == 0.0)
+    // determinism across partitionings
+    val big = (1 to 200).map(i => ("g", (i % 13).toLong + 1L,
+      (i % 7).toLong + 1L)).toDF("grp", "a", "b")
+    assert(Quantiles.jackknifeRatioSe(big.repartition(17), "grp", "a",
+        "b").collect().toSeq ==
+      Quantiles.jackknifeRatioSe(big.repartition(1), "grp", "a", "b")
+        .collect().toSeq)
+    intercept[IllegalArgumentException] {
+      Quantiles.jackknifeRatioSe(Seq(("g", 1.5, 2.0))
+        .toDF("grp", "a", "b"), "grp", "a", "b")
+    }
+  }
+
+  test("oneWayAnova: SSB/SSW/F by hand, degenerates, overflow guard") {
+    import graft.operators.Classification
+    // g1=[1,2,3], g2=[5,7]: T=84, grand=64.8, SSB=19.2, SSW=4,
+    // F=(19.2/1)/(4/3)=14.4
+    val df = Seq(("f", "g1", 1L), ("f", "g1", 2L), ("f", "g1", 3L),
+      ("f", "g2", 5L), ("f", "g2", 7L)).toDF("fam", "grp", "x")
+    val r = Classification.oneWayAnova(df, "fam", "grp", "x").head()
+    assert((r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4),
+      r.getDouble(5), r.getBoolean(6)) ==
+      ((5L, 2L, 19.2, 4.0, 14.4, true)), r.toString)
+    // single group: k=1 undefined; zero within-variance: undefined
+    val one = Classification.oneWayAnova(
+      Seq(("f", "g1", 1L), ("f", "g1", 2L)).toDF("fam", "grp", "x"),
+      "fam", "grp", "x").head()
+    assert(!one.getBoolean(6) && one.getDouble(5) == 0.0)
+    val const = Classification.oneWayAnova(
+      Seq(("f", "g1", 2L), ("f", "g1", 2L), ("f", "g2", 4L),
+        ("f", "g2", 4L)).toDF("fam", "grp", "x"),
+      "fam", "grp", "x").head()
+    assert(!const.getBoolean(6) && const.getDouble(3) == 4.0,
+      const.toString)
+    // cell-sum overflow refused plan-side
+    intercept[Exception] {
+      Classification.oneWayAnova(
+        Seq(("f", "g1", 3037000500L), ("f", "g2", 1L))
+          .toDF("fam", "grp", "x"), "fam", "grp", "x").collect()
+    }
+    intercept[IllegalArgumentException] {
+      Classification.oneWayAnova(Seq(("f", "g", 1.5))
+        .toDF("fam", "grp", "x"), "fam", "grp", "x")
+    }
+  }
 }
