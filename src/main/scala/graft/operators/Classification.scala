@@ -554,4 +554,160 @@ object Classification {
         .as("f"),
       defined.as("defined"))
   }
+
+  /**
+   * Kruskal–Wallis H test (Kruskal & Wallis 1952) — the RANK-based
+   * sibling of [[oneWayAnova]] (the k-group [[rankSumAuc]]): when
+   * scores are ordinal or wild-tailed, the F test's variance ratio
+   * lies; H compares mean RANKS across k groups and is invariant to
+   * any monotone rescoring. With the tie correction C =
+   * 1 − Σ(t³−t)/(N³−N), H/C is the statistic tables expect.
+   *
+   * Exact contract: ties carry DOUBLED average ranks — r2 = 2·rank +
+   * ties − 1, the [[rankSumAuc]] convention — so every per-group
+   * rank sum R2_g is an exact long in any partition order; each
+   * group's H term 3·R2_g²/(n_g·N·(N+1)) (the doubling folds the
+   * classic 12 into 3) is a fixed float dag over exact longs
+   * quantized to the 1e-9 grid before the cross-group sum; the tie
+   * numerator Σ(t³−t) is summed EXACTLY as per-row integers (each
+   * row of a t-block contributes t²−1). Bound: that per-row form
+   * needs N³ < 2⁶³ → N ≤ 2.09·10⁶ rows per family — ENFORCED
+   * plan-side via `maxN`; sample larger families (ranks are
+   * sample-stable). H is analytically ≥ 0 but the dag can land at
+   * −ε → gateRounded. All-tied families (C = 0) → defined = false.
+   *
+   * Scale shape: ONE hash exchange on the family key + one
+   * in-partition sort (the rank, tie-count and family-count windows
+   * all share it — HashPartitioning(family) satisfies the
+   * (family, x) tie window, the spearman/AUC pattern), then two
+   * chained aggregates.
+   *
+   * @return (familyCol, n, k_groups, h, tie_c, h_corrected —
+   *         rounded 6, defined = k ≥ 2 ∧ N > 1 ∧ C > 0)
+   */
+  def kruskalWallis(df: DataFrame, familyCol: String, groupCol: String,
+                    xCol: String, maxN: Long = 2000000L): DataFrame = {
+    require(maxN > 0 && maxN <= 2090000L,
+      s"maxN must be in [1, 2.09e6], got $maxN — the exact per-row " +
+        "tie sum needs N^3 < 2^63")
+    require(org.apache.spark.sql.graftbridge.ColumnBridge
+        .isIntegral(df.schema(xCol).dataType),
+      s"kruskalWallis: $xCol must be integral (got " +
+        s"${df.schema(xCol).dataType.simpleString}) — exact rank ties " +
+        "need exact equality")
+    val clean = df.filter(col(familyCol).isNotNull &&
+        col(groupCol).isNotNull && col(xCol).isNotNull)
+      .select(col(familyCol).as("__f"), col(groupCol).as("__g"),
+        col(xCol).cast("long").as("__x"))
+    val fw = Window.partitionBy(col("__f"))
+    val r2 = lit(2L) * rank().over(fw.orderBy(col("__x"))).cast("long") +
+      count(lit(1)).over(Window.partitionBy(col("__f"), col("__x"))) -
+      lit(1L)
+    val t = count(lit(1)).over(Window.partitionBy(col("__f"), col("__x")))
+    val nn = count(lit(1)).over(fw)
+    val nnOk = when(nn <= maxN, nn).otherwise(raise_error(concat(
+      lit("kruskalWallis: family "), col("__f").cast("string"),
+      lit(" has "), nn.cast("string"),
+      lit(s" rows > maxN=$maxN — the exact tie sum needs N^3 < 2^63; " +
+        "sample the family"))))
+    val cells = clean
+      .select(col("__f"), col("__g"), r2.as("__r2"), t.as("__t"),
+        nnOk.as("__nn"))
+      .groupBy(col("__f"), col("__g"))
+      .agg(sum(col("__r2")).as("__rg"), count(lit(1)).as("__ng"),
+        max(col("__nn")).as("__nn"),
+        sum(col("__t") * col("__t") - lit(1L)).as("__tie"))
+    def d(c: Column) = c.cast("double")
+    val hTerm = lit(3.0) * d(col("__rg")) * d(col("__rg")) /
+      (d(col("__ng")) * d(col("__nn")) * d(col("__nn") + 1L))
+    val fam = cells
+      .select(col("__f"), col("__ng"), col("__tie"), col("__nn"),
+        floor(hTerm * lit(1e9) + lit(0.5)).cast("long").as("__hq"))
+      .groupBy(col("__f"))
+      .agg(sum(col("__ng")).as("n"), count(lit(1)).as("k_groups"),
+        max(col("__nn")).as("__nn"), sum(col("__hq")).as("__hqs"),
+        sum(col("__tie")).as("__ties"))
+    val h = d(col("__hqs")) / lit(1e9) - lit(3.0) * d(col("n") + 1L)
+    val c = when(col("n") > 1, lit(1.0) - d(col("__ties")) /
+      (d(col("n")) * d(col("n")) * d(col("n")) - d(col("n"))))
+      .otherwise(lit(0.0))
+    val defined = col("k_groups") > 1 && col("n") > 1 && c > 0.0
+    fam.select(col("__f").as(familyCol), col("n"), col("k_groups"),
+      graft.functions.GateRound(h, 6).as("h"),
+      graft.functions.GateRound(c, 6).as("tie_c"),
+      when(defined, graft.functions.GateRound(h / c, 6))
+        .otherwise(lit(0.0)).as("h_corrected"),
+      defined.as("defined"))
+  }
+
+  /**
+   * Cochran's Q test (Cochran 1950) — the k-TREATMENT extension of
+   * [[Preference.mcnemar]]: did ANY of k binary judges/classifiers/
+   * prompts differ in success rate over the same subjects ("does
+   * prompt variant matter at all" before pairwise McNemars ask
+   * which). Q = (k−1)·[k·ΣG_j² − T²] / [k·T − ΣL_i²] with G_j =
+   * per-treatment successes, L_i = per-subject successes, T = total
+   * successes — χ²(k−1) under H0.
+   *
+   * Exact contract: Q is ONE division of exact longs — every count,
+   * both the numerator k·ΣG_j² − T² (≥ 0 exactly, by
+   * Cauchy–Schwarz over integers — no −0 gate needed) and the
+   * denominator k·T − ΣL_i² are integer arithmetic in any partition
+   * order. A MISSING (subject, treatment) cell counts as failure
+   * (the formula's sums only see successes — incomplete blocks
+   * degrade gracefully and deterministically). Bound: T < 3.03·10⁹
+   * keeps T² in signed-64 (the [[oneWayAnova]] guard convention,
+   * enforced plan-side). Zero denominator (every subject constant
+   * across treatments) → defined = false.
+   *
+   * Scale shape: two partial/final aggregate chains over the
+   * projected (subject, treatment, success) frame — per-subject and
+   * per-treatment — each reduced before any join; the |groups|-row
+   * summaries broadcast-join. Project early: the frame is read
+   * twice.
+   *
+   * @return (byCol, n_subjects, k_treatments, t_success, q —
+   *         rounded 6, defined)
+   */
+  def cochranQ(df: DataFrame, byCol: String, subjectCol: String,
+               treatmentCol: String, successCol: String): DataFrame = {
+    require(df.schema(successCol).dataType ==
+        org.apache.spark.sql.types.BooleanType,
+      s"cochranQ: $successCol must be boolean (got " +
+        s"${df.schema(successCol).dataType.simpleString}) — threshold " +
+        "upstream")
+    val x = when(col(successCol), 1L).otherwise(0L)
+    val base = df.filter(col(byCol).isNotNull &&
+        col(subjectCol).isNotNull && col(treatmentCol).isNotNull &&
+        col(successCol).isNotNull)
+      .select(col(byCol).as("__b"), col(subjectCol).as("__s"),
+        col(treatmentCol).as("__t"), x.as("__x"))
+    val bySubj = base.groupBy(col("__b"), col("__s"))
+      .agg(sum(col("__x")).as("__li"))
+      .groupBy(col("__b"))
+      .agg(count(lit(1)).as("n_subjects"),
+        sum(col("__li") * col("__li")).as("__l2"))
+    val byTreat = base.groupBy(col("__b"), col("__t"))
+      .agg(sum(col("__x")).as("__gj"))
+      .groupBy(col("__b"))
+      .agg(count(lit(1)).as("k_treatments"),
+        sum(col("__gj")).as("__tt"),
+        sum(col("__gj") * col("__gj")).as("__g2"))
+    val joined = bySubj.join(byTreat, Seq("__b"))
+    val tOk = when(col("__tt") <= 3037000499L, col("__tt"))
+      .otherwise(raise_error(concat(
+        lit("cochranQ: group "), col("__b").cast("string"),
+        lit(" has "), col("__tt").cast("string"),
+        lit(" total successes > 3037000499 — T^2 overflows signed-64; " +
+          "shard the subjects"))))
+    val num = (col("k_treatments") - 1L) *
+      (col("k_treatments") * col("__g2") - tOk * tOk)
+    val den = col("k_treatments") * col("__tt") - col("__l2")
+    val defined = col("k_treatments") > 1 && den > 0L
+    joined.select(col("__b").as(byCol), col("n_subjects"),
+      col("k_treatments"), col("__tt").as("t_success"),
+      when(defined, round(num.cast("double") / den.cast("double"), 6))
+        .otherwise(lit(0.0)).as("q"),
+      defined.as("defined"))
+  }
 }

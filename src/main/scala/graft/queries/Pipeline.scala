@@ -1943,6 +1943,35 @@ object Pipeline {
         .orderBy(col("lang"))
     }),
 
+    // Kruskal-Wallis H per language across sources (the rank-based
+    // ANOVA): doubled average ranks, 1e-9-grid quantized per-group H
+    // terms, exact per-row tie sums, tie-corrected H
+    "qDK_kruskal_wallis" -> ((s, dir) => {
+      graft.operators.Classification.kruskalWallis(
+          T(s, dir)("documents").select(col("lang"), col("source"),
+            col("n_chars")),
+          "lang", "source", "n_chars")
+        .orderBy(col("lang"))
+    }),
+
+    // Cochran's Q per language over three synthetic binary judges on
+    // the same docs (the k-treatment McNemar): Q is ONE division of
+    // exact longs — integer numerator and denominator throughout
+    "qDL_cochran_q" -> ((s, dir) => {
+      val d = T(s, dir)("documents").select(col("lang"), col("doc_id"))
+      val long = d.select(col("lang"), col("doc_id"),
+        explode(array(
+          struct(lit("c1").as("t"), (col("doc_id") % 3 === 0).as("x")),
+          struct(lit("c2").as("t"), (col("doc_id") % 5 < 2).as("x")),
+          struct(lit("c3").as("t"), (col("doc_id") % 7 < 3).as("x"))))
+          .as("e"))
+        .select(col("lang"), col("doc_id"), col("e.t").as("treat"),
+          col("e.x").as("succ"))
+      graft.operators.Classification.cochranQ(long, "lang", "doc_id",
+          "treat", "succ")
+        .orderBy(col("lang"))
+    }),
+
     // Cramer's V between source and a synthetic category per 4-way
     // shard: the normalized chi-square effect size — per-cell terms
     // n_ab^2/(n_a*n_b) quantize to the 1e-9 grid, phi^2/chi2/V fixed
@@ -4680,6 +4709,76 @@ object Pipeline {
                ELSE 0.0 END AS f,
              k_groups > 1 AND n > k_groups AND qd - tt > 0 AS defined
       FROM fin ORDER BY lang""",
+
+    "qDK_kruskal_wallis" -> """
+      WITH base AS (SELECT lang AS fm, source AS g,
+              CAST(n_chars AS BIGINT) AS x
+            FROM documents
+            WHERE lang IS NOT NULL AND source IS NOT NULL
+              AND n_chars IS NOT NULL),
+      w AS (SELECT fm, g, x,
+              2 * CAST(rank() OVER (PARTITION BY fm ORDER BY x)
+                AS BIGINT)
+                + CAST(COUNT(*) OVER (PARTITION BY fm, x) AS BIGINT)
+                - 1 AS r2,
+              CAST(COUNT(*) OVER (PARTITION BY fm, x) AS BIGINT) AS t,
+              CAST(COUNT(*) OVER (PARTITION BY fm) AS BIGINT) AS nn
+            FROM base),
+      cell AS (SELECT fm, g, CAST(SUM(r2) AS BIGINT) AS rg,
+                CAST(COUNT(*) AS BIGINT) AS ng, MAX(nn) AS nn,
+                CAST(SUM(t * t - 1) AS BIGINT) AS tie
+              FROM w GROUP BY 1, 2),
+      fam AS (SELECT fm, CAST(SUM(ng) AS BIGINT) AS n,
+               CAST(COUNT(*) AS BIGINT) AS k_groups, MAX(nn) AS nn,
+               CAST(SUM(CAST(floor(3.0 * CAST(rg AS DOUBLE)
+                 * CAST(rg AS DOUBLE)
+                 / (CAST(ng AS DOUBLE) * CAST(nn AS DOUBLE)
+                    * CAST(nn + 1 AS DOUBLE))
+                 * 1000000000 + 0.5) AS BIGINT)) AS BIGINT) AS hqs,
+               CAST(SUM(tie) AS BIGINT) AS ties
+             FROM cell GROUP BY 1),
+      fin AS (SELECT fm, n, k_groups,
+               CAST(hqs AS DOUBLE) / 1000000000.0
+                 - 3.0 * CAST(n + 1 AS DOUBLE) AS h,
+               CASE WHEN n > 1 THEN 1.0 - CAST(ties AS DOUBLE)
+                 / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)
+                    * CAST(n AS DOUBLE) - CAST(n AS DOUBLE))
+                 ELSE 0.0 END AS c
+             FROM fam)
+      SELECT fm AS lang, n, k_groups, round(h, 6) + 0 AS h,
+             round(c, 6) + 0 AS tie_c,
+             CASE WHEN k_groups > 1 AND n > 1 AND c > 0
+               THEN round(h / c, 6) + 0 ELSE 0.0 END AS h_corrected,
+             k_groups > 1 AND n > 1 AND c > 0 AS defined
+      FROM fin ORDER BY lang""",
+
+    "qDL_cochran_q" -> """
+      WITH t AS (SELECT lang, doc_id, 'c1' AS treat,
+               doc_id % 3 = 0 AS succ FROM documents
+             UNION ALL SELECT lang, doc_id, 'c2', doc_id % 5 < 2
+             FROM documents
+             UNION ALL SELECT lang, doc_id, 'c3', doc_id % 7 < 3
+             FROM documents),
+      b AS (SELECT lang AS g, doc_id AS s, treat,
+              CASE WHEN succ THEN 1 ELSE 0 END AS x
+            FROM t WHERE lang IS NOT NULL),
+      subj AS (SELECT g, s, CAST(SUM(x) AS BIGINT) AS li
+               FROM b GROUP BY 1, 2),
+      sa AS (SELECT g, CAST(COUNT(*) AS BIGINT) AS n_subjects,
+               CAST(SUM(li * li) AS BIGINT) AS l2 FROM subj GROUP BY 1),
+      tr AS (SELECT g, treat, CAST(SUM(x) AS BIGINT) AS gj
+             FROM b GROUP BY 1, 2),
+      ta AS (SELECT g, CAST(COUNT(*) AS BIGINT) AS k_treatments,
+               CAST(SUM(gj) AS BIGINT) AS tt,
+               CAST(SUM(gj * gj) AS BIGINT) AS g2 FROM tr GROUP BY 1)
+      SELECT sa.g AS lang, n_subjects, k_treatments, tt AS t_success,
+             CASE WHEN k_treatments > 1 AND k_treatments * tt - l2 > 0
+               THEN round(CAST((k_treatments - 1)
+                 * (k_treatments * g2 - tt * tt) AS DOUBLE)
+                 / CAST(k_treatments * tt - l2 AS DOUBLE), 6)
+               ELSE 0.0 END AS q,
+             k_treatments > 1 AND k_treatments * tt - l2 > 0 AS defined
+      FROM sa JOIN ta ON sa.g = ta.g ORDER BY lang""",
 
     "qDA_cramers_v" -> """
       WITH r AS (SELECT doc_id % 4 AS g, source AS a,

@@ -257,4 +257,69 @@ class Round17OpsSpec extends AnyFunSuite {
         .toDF("fam", "grp", "x"), "fam", "grp", "x")
     }
   }
+
+  test("kruskalWallis: doubled ranks, tie correction by hand") {
+    import graft.operators.Classification
+    // no ties: g1=[1,2], g2=[3,4] -> H = 0.6*(9/2+49/2) - 15 = 2.4,
+    // C = 1, corrected = H
+    val clean = Seq(("f", "g1", 1L), ("f", "g1", 2L), ("f", "g2", 3L),
+      ("f", "g2", 4L)).toDF("fam", "grp", "x")
+    val r = Classification.kruskalWallis(clean, "fam", "grp", "x")
+      .head()
+    assert((r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4),
+      r.getDouble(5), r.getBoolean(6)) ==
+      ((4L, 2L, 2.4, 1.0, 2.4, true)), r.toString)
+    // ties: g1=[1,1], g2=[2] -> doubled avg ranks (3,3,6), H = 1.5,
+    // C = 1 - 6/24 = 0.75, corrected = 2.0
+    val tied = Seq(("f", "g1", 1L), ("f", "g1", 1L), ("f", "g2", 2L))
+      .toDF("fam", "grp", "x")
+    val rt = Classification.kruskalWallis(tied, "fam", "grp", "x")
+      .head()
+    assert((rt.getDouble(3), rt.getDouble(4), rt.getDouble(5),
+      rt.getBoolean(6)) == ((1.5, 0.75, 2.0, true)), rt.toString)
+    // all tied: C = 0 -> undefined
+    val allTied = Seq(("f", "g1", 5L), ("f", "g2", 5L))
+      .toDF("fam", "grp", "x")
+    val ra = Classification.kruskalWallis(allTied, "fam", "grp", "x")
+      .head()
+    assert(!ra.getBoolean(6) && ra.getDouble(4) == 0.0)
+    // family-size guard fires plan-side
+    intercept[Exception] {
+      Classification.kruskalWallis(clean, "fam", "grp", "x",
+        maxN = 3L).collect()
+    }
+    intercept[IllegalArgumentException] {
+      Classification.kruskalWallis(clean, "fam", "grp", "x",
+        maxN = 3000000L)
+    }
+  }
+
+  test("cochranQ: classic 4x3 contingency by hand, degenerate") {
+    import graft.operators.Classification
+    // G=(3,3,1), T=7, sumG2=19, L=(2,3,1,1), sumL2=15:
+    // Q = 2*(3*19-49)/(3*7-15) = 16/6 = 2.666667
+    val x = Seq(
+      ("s1", "a", true), ("s1", "b", true), ("s1", "c", false),
+      ("s2", "a", true), ("s2", "b", true), ("s2", "c", true),
+      ("s3", "a", false), ("s3", "b", true), ("s3", "c", false),
+      ("s4", "a", true), ("s4", "b", false), ("s4", "c", false))
+      .map { case (s, t, v) => ("g", s, t, v) }
+      .toDF("grp", "subj", "treat", "succ")
+    val r = Classification.cochranQ(x, "grp", "subj", "treat", "succ")
+      .head()
+    assert((r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4),
+      r.getBoolean(5)) == ((4L, 3L, 7L, 2.666667, true)), r.toString)
+    // every subject constant across treatments: denominator 0
+    val const = Seq(("g", "s1", "a", true), ("g", "s1", "b", true),
+      ("g", "s2", "a", false), ("g", "s2", "b", false))
+      .toDF("grp", "subj", "treat", "succ")
+    val rc = Classification.cochranQ(const, "grp", "subj", "treat",
+      "succ").head()
+    assert(!rc.getBoolean(5) && rc.getDouble(4) == 0.0)
+    intercept[IllegalArgumentException] {
+      Classification.cochranQ(
+        Seq(("g", "s", "t", 1L)).toDF("grp", "subj", "treat", "succ"),
+        "grp", "subj", "treat", "succ")
+    }
+  }
 }
