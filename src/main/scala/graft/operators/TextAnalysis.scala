@@ -2172,4 +2172,131 @@ object TextAnalysis {
         .as("rouge_f1"),
       defined.as("defined"))
   }
+
+  /**
+   * Chao1 species-richness estimate + Good–Turing coverage (Chao
+   * 1984; Good 1953) — "how much vocabulary HAVEN'T we crawled yet":
+   * [[lexicalDiversity]] profiles the types a corpus HAS; Chao1
+   * estimates the types it's still missing from the frequency-of-
+   * frequencies head (singletons f₁ and doubletons f₂ carry the
+   * signal — a crawl still finding many hapaxes is far from
+   * exhausting its domain), and the Good–Turing unseen mass f₁/N is
+   * the probability the NEXT token is a brand-new type — the
+   * principled "is more crawling worth it" number.
+   *
+   * Exact contract: N, S, f₁, f₂ come from ONE (group, token)
+   * aggregate + one group aggregate — exact longs in any partition
+   * order; the bias-corrected Chao1 = S + f₁(f₁−1)/(2(f₂+1))
+   * (defined even at f₂ = 0, unlike the classic f₁²/2f₂ form) is
+   * ONE division of exact longs (f₁ < 3·10⁹ keeps the square in
+   * signed-64 — a 3-billion-hapax group; document-scale), and the
+   * unseen mass and coverage are one division each. A group whose
+   * every text is null/empty VANISHES (nothing survives the explode)
+   * — the defined guard is defensive only.
+   *
+   * Scale shape: one token explode → one (group, token) hash
+   * aggregate → one group aggregate (the lexicalDiversity economics:
+   * text never shuffles, only tokens).
+   *
+   * @return (byCol, n_tokens, n_types, f1, f2, chao1, unseen_mass,
+   *         coverage — rounded 6, defined)
+   */
+  def chao1Richness(docs: DataFrame, byCol: String,
+                    textCol: String): DataFrame = {
+    val perTok = docs.filter(col(byCol).isNotNull)
+      .select(col(byCol).as("__g"),
+        explode(tokens(col(textCol))).as("__t"))
+      .groupBy(col("__g"), col("__t"))
+      .agg(count(lit(1)).as("__c"))
+    val stats = perTok.groupBy(col("__g"))
+      .agg(sum(col("__c")).as("n_tokens"),
+        count(lit(1)).as("n_types"),
+        sum(when(col("__c") === 1L, 1L).otherwise(0L)).as("f1"),
+        sum(when(col("__c") === 2L, 1L).otherwise(0L)).as("f2"))
+    val defined = col("n_tokens") > 0
+    def d(c: org.apache.spark.sql.Column) = c.cast("double")
+    val chao1 = d(col("n_types")) +
+      d(col("f1") * (col("f1") - 1L)) /
+      d(lit(2L) * (col("f2") + 1L))
+    val unseen = d(col("f1")) / d(col("n_tokens"))
+    stats.select(col("__g").as(byCol), col("n_tokens"), col("n_types"),
+      col("f1"), col("f2"),
+      when(defined, round(chao1, 6)).otherwise(lit(0.0)).as("chao1"),
+      when(defined, round(unseen, 6)).otherwise(lit(0.0))
+        .as("unseen_mass"),
+      when(defined, round(lit(1.0) - unseen, 6)).otherwise(lit(0.0))
+        .as("coverage"),
+      defined.as("defined"))
+  }
+
+  /**
+   * Zipf rank–frequency slope (Zipf 1949; the log–log OLS fit over
+   * the frequency head) — the one-number distribution-shape audit a
+   * corpus mix needs beside [[lexicalDiversity]]: natural language
+   * sits near slope −1; template/boilerplate-heavy corpora flatten
+   * the head (slope → 0 over the top ranks) and spam/generated text
+   * steepens it. Fit: OLS of ln(freq) on ln(rank) over the top-R
+   * types.
+   *
+   * Exact contract: frequencies are exact longs; the top-R cut is a
+   * TOTAL order (freq DESC, token ASC) planned as
+   * TakeOrderedAndProject — the corpus never globally sorts, only
+   * the R-row head does (rank assignment runs a window over that
+   * R-row frame in one task — R is a constant knob, not data-sized);
+   * per-rank x = ln(rank), y = ln(freq) and the products x·y, x²
+   * each quantize to the 1e-9 grid (|x·y| ≲ 300 at any corpus
+   * size — fits trivially) so all four regression sums are exact
+   * longs in any order, and slope/intercept are one fixed dag over
+   * them (slope signed → gateRounded; the ln calls ride the
+   * established libm-parity precedent). Fewer than 2 ranks or a
+   * degenerate denominator → defined = false.
+   *
+   * Scale shape: one token explode → one token hash aggregate → one
+   * distributed top-R (per-partition heaps) → constant-sized window
+   * + aggregate.
+   *
+   * @return ONE row: (n_types, r_used, slope, intercept — rounded 6,
+   *         defined)
+   */
+  def zipfSlope(docs: DataFrame, textCol: String,
+                topR: Int = 300): DataFrame = {
+    require(topR >= 2 && topR <= 100000,
+      s"topR must be in [2, 100000], got $topR")
+    val freqs = docs
+      .select(explode(tokens(coalesce(col(textCol), lit(""))))
+        .as("__t"))
+      .groupBy(col("__t"))
+      .agg(count(lit(1)).as("__c"))
+    val types = freqs.agg(count(lit(1)).as("__nt"))
+    val head = freqs.orderBy(col("__c").desc, col("__t")).limit(topR)
+    import org.apache.spark.sql.expressions.Window
+    val rnk = row_number()
+      .over(Window.orderBy(col("__c").desc, col("__t"))).cast("long")
+    val x = log(rnk.cast("double"))
+    val y = log(col("__c").cast("double"))
+    def q(c: org.apache.spark.sql.Column) =
+      floor(c * lit(1e9) + lit(0.5)).cast("long")
+    val sums = head
+      .select(q(x).as("__qx"), q(y).as("__qy"), q(x * y).as("__qxy"),
+        q(x * x).as("__qxx"))
+      .agg(count(lit(1)).as("r_used"), sum(col("__qx")).as("__sx"),
+        sum(col("__qy")).as("__sy"), sum(col("__qxy")).as("__sxy"),
+        sum(col("__qxx")).as("__sxx"))
+      .crossJoin(types)
+    def d(c: org.apache.spark.sql.Column) = c.cast("double")
+    val rr = d(col("r_used"))
+    val sx = d(col("__sx")) / lit(1e9)
+    val sy = d(col("__sy")) / lit(1e9)
+    val sxy = d(col("__sxy")) / lit(1e9)
+    val sxx = d(col("__sxx")) / lit(1e9)
+    val den = rr * sxx - sx * sx
+    val slope = (rr * sxy - sx * sy) / den
+    val defined = col("r_used") > 1 && den > 0.0
+    sums.select(col("__nt").as("n_types"), col("r_used"),
+      when(defined, graft.functions.GateRound(slope, 6))
+        .otherwise(lit(0.0)).as("slope"),
+      when(defined, graft.functions.GateRound(
+        (sy - slope * sx) / rr, 6)).otherwise(lit(0.0)).as("intercept"),
+      defined.as("defined"))
+  }
 }

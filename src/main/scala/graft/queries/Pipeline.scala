@@ -1972,6 +1972,22 @@ object Pipeline {
         .orderBy(col("lang"))
     }),
 
+    // Chao1 richness + Good-Turing unseen mass per source: "how much
+    // vocabulary haven't we crawled" from the f1/f2 head — exact
+    // frequency-of-frequency longs, three single divisions
+    "qDM_chao1_richness" -> ((s, dir) => {
+      TextAnalysis.chao1Richness(T(s, dir)("documents"), "source",
+          "text")
+        .orderBy(col("source"))
+    }),
+
+    // Zipf rank-frequency slope over the top-300 types: log-log OLS
+    // with 1e-9-grid quantized regression sums — the corpus never
+    // globally sorts, only the 300-row head does
+    "qDN_zipf_slope" -> ((s, dir) => {
+      TextAnalysis.zipfSlope(T(s, dir)("documents"), "text", topR = 300)
+    }),
+
     // Cramer's V between source and a synthetic category per 4-way
     // shard: the normalized chi-square effect size — per-cell terms
     // n_ab^2/(n_a*n_b) quantize to the 1e-9 grid, phi^2/chi2/V fixed
@@ -4779,6 +4795,74 @@ object Pipeline {
                ELSE 0.0 END AS q,
              k_treatments > 1 AND k_treatments * tt - l2 > 0 AS defined
       FROM sa JOIN ta ON sa.g = ta.g ORDER BY lang""",
+
+    "qDM_chao1_richness" -> """
+      WITH tk AS (SELECT source AS g,
+              unnest(regexp_extract_all(text, '\S+')) AS t
+            FROM documents WHERE source IS NOT NULL),
+      ct AS (SELECT g, t, CAST(COUNT(*) AS BIGINT) AS c
+             FROM tk GROUP BY 1, 2),
+      st AS (SELECT g, CAST(SUM(c) AS BIGINT) AS n_tokens,
+               CAST(COUNT(*) AS BIGINT) AS n_types,
+               CAST(SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT)
+                 AS f1,
+               CAST(SUM(CASE WHEN c = 2 THEN 1 ELSE 0 END) AS BIGINT)
+                 AS f2
+             FROM ct GROUP BY 1)
+      SELECT g AS source, n_tokens, n_types, f1, f2,
+             CASE WHEN n_tokens > 0 THEN round(CAST(n_types AS DOUBLE)
+               + CAST(f1 * (f1 - 1) AS DOUBLE)
+                 / CAST(2 * (f2 + 1) AS DOUBLE), 6)
+               ELSE 0.0 END AS chao1,
+             CASE WHEN n_tokens > 0 THEN round(CAST(f1 AS DOUBLE)
+               / CAST(n_tokens AS DOUBLE), 6) ELSE 0.0 END
+               AS unseen_mass,
+             CASE WHEN n_tokens > 0 THEN round(1.0 - CAST(f1 AS DOUBLE)
+               / CAST(n_tokens AS DOUBLE), 6) ELSE 0.0 END AS coverage,
+             n_tokens > 0 AS defined
+      FROM st ORDER BY source""",
+
+    "qDN_zipf_slope" -> """
+      WITH tk AS (SELECT unnest(regexp_extract_all(COALESCE(text, ''),
+               '\S+')) AS t FROM documents),
+      ct AS (SELECT t, CAST(COUNT(*) AS BIGINT) AS c
+             FROM tk GROUP BY 1),
+      nt AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_types FROM ct),
+      hd AS (SELECT t, c FROM ct ORDER BY c DESC, t LIMIT 300),
+      rk AS (SELECT c, CAST(row_number() OVER (ORDER BY c DESC, t)
+               AS BIGINT) AS r FROM hd),
+      qq AS (SELECT CAST(floor(ln(CAST(r AS DOUBLE)) * 1000000000
+                + 0.5) AS BIGINT) AS qx,
+              CAST(floor(ln(CAST(c AS DOUBLE)) * 1000000000 + 0.5)
+                AS BIGINT) AS qy,
+              CAST(floor(ln(CAST(r AS DOUBLE)) * ln(CAST(c AS DOUBLE))
+                * 1000000000 + 0.5) AS BIGINT) AS qxy,
+              CAST(floor(ln(CAST(r AS DOUBLE)) * ln(CAST(r AS DOUBLE))
+                * 1000000000 + 0.5) AS BIGINT) AS qxx
+             FROM rk),
+      sm AS (SELECT CAST(COUNT(*) AS BIGINT) AS r_used,
+               CAST(SUM(qx) AS BIGINT) AS sx,
+               CAST(SUM(qy) AS BIGINT) AS sy,
+               CAST(SUM(qxy) AS BIGINT) AS sxy,
+               CAST(SUM(qxx) AS BIGINT) AS sxx
+             FROM qq),
+      fin AS (SELECT n_types, r_used,
+               CAST(r_used AS DOUBLE) AS rr,
+               CAST(sx AS DOUBLE) / 1000000000.0 AS dx,
+               CAST(sy AS DOUBLE) / 1000000000.0 AS dy,
+               CAST(sxy AS DOUBLE) / 1000000000.0 AS dxy,
+               CAST(sxx AS DOUBLE) / 1000000000.0 AS dxx
+             FROM sm CROSS JOIN nt)
+      SELECT n_types, r_used,
+             CASE WHEN r_used > 1 AND rr * dxx - dx * dx > 0
+               THEN round((rr * dxy - dx * dy)
+                 / (rr * dxx - dx * dx), 6) + 0 ELSE 0.0 END AS slope,
+             CASE WHEN r_used > 1 AND rr * dxx - dx * dx > 0
+               THEN round((dy - (rr * dxy - dx * dy)
+                 / (rr * dxx - dx * dx) * dx) / rr, 6) + 0
+               ELSE 0.0 END AS intercept,
+             r_used > 1 AND rr * dxx - dx * dx > 0 AS defined
+      FROM fin""",
 
     "qDA_cramers_v" -> """
       WITH r AS (SELECT doc_id % 4 AS g, source AS a,

@@ -322,4 +322,41 @@ class Round17OpsSpec extends AnyFunSuite {
         "grp", "subj", "treat", "succ")
     }
   }
+
+  test("chao1Richness: f1/f2 head by hand, f2=0 corrected form") {
+    // tokens a:2 b:1 c:2 d:1 -> N=6 S=4 f1=2 f2=2,
+    // chao1 = 4 + 2*1/(2*3) = 4.333333, unseen = 2/6
+    val docs = Seq(("g", "a a b c"), ("g", "c d")).toDF("src", "text")
+    val r = TextAnalysis.chao1Richness(docs, "src", "text").head()
+    assert((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+      r.getDouble(5), r.getDouble(6), r.getDouble(7)) ==
+      ((6L, 4L, 2L, 2L, 4.333333, 0.333333, 0.666667)), r.toString)
+    // all-hapax with f2=0: the bias-corrected form stays finite
+    val hapax = Seq(("g", "a b")).toDF("src", "text")
+    val rh = TextAnalysis.chao1Richness(hapax, "src", "text").head()
+    assert(rh.getDouble(5) == 3.0 && rh.getDouble(6) == 1.0)
+    // all-null-text group vanishes
+    val nul = Seq(("g", null: String)).toDF("src", "text")
+    assert(TextAnalysis.chao1Richness(nul, "src", "text").count() == 0)
+  }
+
+  test("zipfSlope: exact power law recovers slope -2") {
+    // freq = 64/r^2 at ranks 1,2 -> OLS through the operator's own
+    // quantize chain gives slope -2.0, intercept ln(64) = 4.158883
+    val text = (Seq.fill(64)("a") ++ Seq.fill(16)("b")).mkString(" ")
+    val df = Seq(text).toDF("text")
+    val r = TextAnalysis.zipfSlope(df, "text").head()
+    assert((r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3),
+      r.getBoolean(4)) == ((2L, 2L, -2.0, 4.158883, true)), r.toString)
+    // topR caps the head; a single type is undefined
+    val rich = Seq("a a a b b c").toDF("text")
+    val rc = TextAnalysis.zipfSlope(rich, "text", topR = 2).head()
+    assert(rc.getLong(0) == 3L && rc.getLong(1) == 2L)
+    val one = TextAnalysis.zipfSlope(Seq("x x x").toDF("text"), "text")
+      .head()
+    assert(!one.getBoolean(4) && one.getDouble(2) == 0.0)
+    intercept[IllegalArgumentException] {
+      TextAnalysis.zipfSlope(df, "text", topR = 1)
+    }
+  }
 }
