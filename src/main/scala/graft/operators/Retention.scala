@@ -70,4 +70,83 @@ object Retention {
         col("v_min"), col("v_max"), lit("rollup").as("tier")): _*)
     raw.unionByName(rolled)
   }
+
+  /**
+   * Kaplan–Meier product-limit survival estimator (Kaplan & Meier
+   * 1958) — the censoring-correct lifetime curve (user retention,
+   * job/crawl completion times, label-queue latency): a plain "mean
+   * duration" over data where some subjects are still alive
+   * (censored) is biased low; KM multiplies per-event-time hazard
+   * complements S(t) = Π_{tᵢ ≤ t} (1 − dᵢ/nᵢ), counting censored
+   * subjects in the at-risk denominators until they drop out.
+   *
+   * Exact contract: per-time death/censor counts and the at-risk
+   * counts (a DESC cumulative over exact longs) are exact in any
+   * partition order; each hazard-complement log ln((n−d)/n) is ONE
+   * libm ln on ONE division of exact longs, quantized to the 1e-9
+   * grid (signed — the qCW convention), so the cumulative log-
+   * survival is an exact-long ASC cumulative over a deterministic
+   * (time) order; S = exp of the de-quantized total rides the
+   * established ln/exp libm-parity precedent under the final
+   * round-6. Extinction (a time where every at-risk subject dies,
+   * ln 0) is handled by an INTEGER flag cumulative — survival is
+   * exactly 0.0 from that time on, no infinity enters the dag.
+   *
+   * Scale shape: one (group, time) hash aggregate → ONE exchange on
+   * the group key with two in-partition sorts (the DESC at-risk
+   * cumulative and the ASC log cumulative share the exchange); rows
+   * emitted only at event times. The subject table never sorts —
+   * only the per-time summary does.
+   *
+   * @return one row per (group, event time): (byCol, t, n_risk,
+   *         n_events, n_censored, survival rounded 6)
+   */
+  def kaplanMeier(df: DataFrame, byCol: String, durationCol: String,
+                  observedCol: String): DataFrame = {
+    require(org.apache.spark.sql.graftbridge.ColumnBridge
+        .isIntegral(df.schema(durationCol).dataType),
+      s"kaplanMeier: $durationCol must be integral (got " +
+        s"${df.schema(durationCol).dataType.simpleString}) — quantize " +
+        "durations upstream; exact time ties are the point")
+    require(df.schema(observedCol).dataType ==
+        org.apache.spark.sql.types.BooleanType,
+      s"kaplanMeier: $observedCol must be boolean (got " +
+        s"${df.schema(observedCol).dataType.simpleString}) — censoring " +
+        "must be explicit")
+    val ct = df.filter(col(byCol).isNotNull && col(durationCol).isNotNull &&
+        col(observedCol).isNotNull)
+      .select(col(byCol).as("__g"),
+        col(durationCol).cast("long").as("__t"),
+        when(col(observedCol), 1L).otherwise(0L).as("__e"))
+      .groupBy(col("__g"), col("__t"))
+      .agg(sum(col("__e")).as("__d"),
+        sum(lit(1L) - col("__e")).as("__c"))
+    import org.apache.spark.sql.expressions.Window
+    val g = Window.partitionBy(col("__g"))
+    val atRisk = sum(col("__d") + col("__c")).over(
+      g.orderBy(col("__t").desc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    val withN = ct.select(col("__g"), col("__t"), col("__d"),
+      col("__c"), atRisk.as("__n"))
+    val lq = when(col("__d") > 0 && col("__n") > col("__d"),
+      floor(log((col("__n") - col("__d")).cast("double") /
+        col("__n").cast("double")) * lit(1e9) + lit(0.5)).cast("long"))
+      .otherwise(lit(0L))
+    val z = when(col("__d") > 0 && col("__n") === col("__d"), 1L)
+      .otherwise(0L)
+    val asc = g.orderBy(col("__t"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    withN.select(col("__g"), col("__t"), col("__d"), col("__c"),
+        col("__n"), lq.as("__lq"), z.as("__z"))
+      .select(col("__g"), col("__t"), col("__d"), col("__c"),
+        col("__n"), sum(col("__lq")).over(asc).as("__cl"),
+        sum(col("__z")).over(asc).as("__cz"))
+      .filter(col("__d") > 0)
+      .select(col("__g").as(byCol), col("__t").as("t"),
+        col("__n").as("n_risk"), col("__d").as("n_events"),
+        col("__c").as("n_censored"),
+        when(col("__cz") > 0, lit(0.0))
+          .otherwise(round(exp(col("__cl").cast("double") / lit(1e9)),
+            6)).as("survival"))
+  }
 }

@@ -1988,6 +1988,18 @@ object Pipeline {
       TextAnalysis.zipfSlope(T(s, dir)("documents"), "text", topR = 300)
     }),
 
+    // Kaplan-Meier survival per source over synthetic censored
+    // durations: exact at-risk DESC cumulatives, 1e-9-grid quantized
+    // hazard logs cumulated ASC, extinction via an integer flag
+    "qDO_kaplan_meier" -> ((s, dir) => {
+      graft.operators.Retention.kaplanMeier(
+          T(s, dir)("documents").select(col("source"),
+            (col("doc_id") % 50 + 1).as("dur"),
+            (col("doc_id") % 4 =!= 0).as("obs")),
+          "source", "dur", "obs")
+        .orderBy(col("source"), col("t"))
+    }),
+
     // Cramer's V between source and a synthetic category per 4-way
     // shard: the normalized chi-square effect size — per-cell terms
     // n_ab^2/(n_a*n_b) quantize to the 1e-9 grid, phi^2/chi2/V fixed
@@ -4863,6 +4875,40 @@ object Pipeline {
                ELSE 0.0 END AS intercept,
              r_used > 1 AND rr * dxx - dx * dx > 0 AS defined
       FROM fin""",
+
+    "qDO_kaplan_meier" -> """
+      WITH base AS (SELECT source AS g,
+              CAST(doc_id % 50 + 1 AS BIGINT) AS t,
+              CASE WHEN doc_id % 4 <> 0 THEN 1 ELSE 0 END AS e
+            FROM documents),
+      ct AS (SELECT g, t, CAST(SUM(e) AS BIGINT) AS d,
+               CAST(SUM(1 - e) AS BIGINT) AS c FROM base GROUP BY 1, 2),
+      rk AS (SELECT g, t, d, c,
+               CAST(SUM(d + c) OVER (PARTITION BY g ORDER BY t DESC
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                 AS BIGINT) AS n
+             FROM ct),
+      lnq AS (SELECT g, t, d, c, n,
+               CASE WHEN d > 0 AND n > d
+                 THEN CAST(floor(ln(CAST(n - d AS DOUBLE)
+                   / CAST(n AS DOUBLE)) * 1000000000 + 0.5) AS BIGINT)
+                 ELSE 0 END AS lq,
+               CASE WHEN d > 0 AND n = d THEN 1 ELSE 0 END AS z
+             FROM rk),
+      cm AS (SELECT g, t, d, c, n,
+               CAST(SUM(lq) OVER (PARTITION BY g ORDER BY t
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                 AS BIGINT) AS cl,
+               CAST(SUM(z) OVER (PARTITION BY g ORDER BY t
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                 AS BIGINT) AS cz
+             FROM lnq)
+      SELECT g AS source, t, n AS n_risk, d AS n_events,
+             c AS n_censored,
+             CASE WHEN cz > 0 THEN 0.0
+               ELSE round(exp(CAST(cl AS DOUBLE) / 1000000000.0), 6)
+               END AS survival
+      FROM cm WHERE d > 0 ORDER BY source, t""",
 
     "qDA_cramers_v" -> """
       WITH r AS (SELECT doc_id % 4 AS g, source AS a,

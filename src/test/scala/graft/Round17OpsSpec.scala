@@ -359,4 +359,38 @@ class Round17OpsSpec extends AnyFunSuite {
       TextAnalysis.zipfSlope(df, "text", topR = 1)
     }
   }
+
+  test("kaplanMeier: product-limit by hand, censoring, extinction") {
+    import graft.operators.Retention
+    // (1,obs),(2,cens),(3,obs),(3,obs),(4,cens): S(1)=4/5=0.8,
+    // S(3)=0.8*(1/3)=0.266667 with n_risk 3 (the censored t=2
+    // subject has left); censor-only times emit no row
+    val df = Seq(("g", 1L, true), ("g", 2L, false), ("g", 3L, true),
+      ("g", 3L, true), ("g", 4L, false)).toDF("grp", "dur", "obs")
+    val rows = Retention.kaplanMeier(df, "grp", "dur", "obs")
+      .orderBy(col("t")).collect()
+      .map(r => (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getDouble(5)))
+    assert(rows.toSeq == Seq((1L, 5L, 1L, 0L, 0.8),
+      (3L, 3L, 2L, 0L, 0.266667)), rows.mkString(";"))
+    // extinction: every at-risk subject dies -> survival exactly 0,
+    // no infinity in the dag
+    val ext = Seq(("g", 1L, true), ("g", 2L, true), ("g", 2L, true))
+      .toDF("grp", "dur", "obs")
+    val er = Retention.kaplanMeier(ext, "grp", "dur", "obs")
+      .orderBy(col("t")).collect()
+    assert(er.map(_.getDouble(5)).toSeq == Seq(0.666667, 0.0),
+      er.mkString(";"))
+    // determinism across partitionings
+    val big = (1 to 300).map(i =>
+      ("g", (i % 20 + 1).toLong, i % 3 != 0)).toDF("grp", "dur", "obs")
+    assert(Retention.kaplanMeier(big.repartition(11), "grp", "dur",
+        "obs").orderBy(col("t")).collect().toSeq ==
+      Retention.kaplanMeier(big.repartition(1), "grp", "dur", "obs")
+        .orderBy(col("t")).collect().toSeq)
+    intercept[IllegalArgumentException] {
+      Retention.kaplanMeier(Seq(("g", 1.5, true))
+        .toDF("grp", "dur", "obs"), "grp", "dur", "obs")
+    }
+  }
 }
