@@ -15,8 +15,9 @@ object PlanAudit {
     val dir = if (args.length > 0) args(0) else "/root/testdata/sf0.001"
     val names =
       if (args.length > 1) args(1).split(",").toSeq
-      else Seq("qCT_collocations", "qCU_kneser_ney", "qD1_threshold_sweep",
-        "qDC_mass_coverage")
+      else Seq("qDF_bootstrap_ci", "qDH_permutation_test",
+        "qDI_jackknife_ratio", "qDK_kruskal_wallis", "qDL_cochran_q",
+        "qDO_kaplan_meier")
     val spark = org.apache.spark.sql.SparkSession.builder()
       .master("local[4]").config("spark.sql.shuffle.partitions", "4")
       .config("spark.sql.session.timeZone", "UTC")

@@ -2007,8 +2007,10 @@ object Preference {
    * Scale shape: one explode (×(B+1) — the B knob IS the cost dial)
    * → one partial/final hash aggregate to (B+1)·|groups| rows
    * (map-side combine collapses each partition to ≤ B+1 rows per
-   * group BEFORE the exchange) → per-group windows over ≤ B rows +
-   * one |groups|-row broadcast-joinable estimate frame. The corpus
+   * group BEFORE the exchange), localCheckpointed — TWO consumers
+   * (the estimate row and the resample ranks) would otherwise each
+   * replay the corpus explode — then per-group windows over ≤ B rows
+   * + one |groups|-row broadcast-joinable estimate frame. The corpus
    * never sorts; only resample summaries do.
    *
    * @return one row per group: (byCol, n, b, b_eff, est, ci_lo,
@@ -2044,6 +2046,10 @@ object Preference {
       .groupBy(col("__g"), col("__r"))
       .agg(sum(col("__w") * col("__d")).as("__num"),
         sum(col("__w")).as("__den"))
+      // TWO consumers (estimate + resample ranks) — without this the
+      // corpus explode replays per consumer (the klDriftMatrix
+      // lesson, PlanAudit r17); the frame is (B+1)·|groups| rows
+      .localCheckpoint(true)
     val est = drawn.filter(col("__r") === -1)
       .select(col("__g"), col("__den").as("n"),
         graft.functions.GateRound(col("__num").cast("double") /
