@@ -1137,6 +1137,47 @@ class StreamingSpec extends AnyFunSuite {
     }
   }
 
+  test("StreamingPermutation: streamed randomization test equals batch") {
+    import graft.operators.Preference
+    import graft.streaming.StreamingPermutation
+    import spark.implicits._
+    // the qDH fixture from the real corpus at P=50; the final
+    // per-group row — integer sums, extremes AND the p-value — must
+    // equal batch (the md5-parity draw replays identically)
+    val pairs = Tables.load(spark, "/root/testdata/sf0.001", "documents")
+      .select(col("source"), col("doc_id"),
+        (col("doc_id") % 101).as("score_a"),
+        (col("doc_id") % 97).as("score_b"))
+      .localCheckpoint(true)
+    val batch = Preference.permutationTest(pairs, "source", "doc_id",
+        "score_a", "score_b", p = 50)
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getDouble(4), r.getBoolean(5)))).toMap
+    val d = java.nio.file.Files.createTempDirectory(
+      new java.io.File("target").toPath.toAbsolutePath, "perm").toString
+    pairs.repartition(4).write.mode("overwrite").parquet(d)
+    val latest = new java.util.concurrent.ConcurrentHashMap[
+      String, (Long, Long, Long, Double, Boolean)]()
+    val stream = spark.readStream.schema(pairs.schema)
+      .option("maxFilesPerTrigger", 1).parquet(d)
+    val q = StreamingPermutation.permutationTest(stream, "source",
+        "doc_id", "score_a", "score_b", p = 50)
+      .writeStream.outputMode("update")
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        b.collect().foreach { r =>
+          latest.put(r.getString(0), (r.getLong(1), r.getLong(2),
+            r.getLong(3), r.getDouble(4), r.getBoolean(5)))
+        }
+      }.start()
+    try q.processAllAvailable() finally q.stop()
+    import scala.jdk.CollectionConverters._
+    val streamed = latest.asScala.toMap
+    assert(streamed.keySet == batch.keySet)
+    batch.foreach { case (g, exp) =>
+      assert(streamed(g) == exp, s"group $g: ${streamed(g)} vs $exp")
+    }
+  }
+
   test("StreamingClassifierReport: streamed scorecard equals batch") {
     import graft.operators.Classification
     import graft.streaming.StreamingClassifierReport
