@@ -1802,6 +1802,109 @@ object TextAnalysis {
   }
 
   /**
+   * Held-out cross-entropy under an interpolated Kneser–Ney bigram
+   * model (Chen & Goodman 1999 §5 — the evaluation loop
+   * [[kneserNeyBigrams]] trains for): train the model on one corpus
+   * split, score another's bigrams, report coverage and the
+   * per-event cross-entropy/perplexity over COVERED events — the
+   * honest quality number for an n-gram scorer ("how surprised is
+   * the model by fresh text"), and the train/held-out gap is the
+   * overfitting audit.
+   *
+   * Coverage contract: a held-out bigram event is COVERED iff its
+   * context w1 was seen in training AND its w2 has continuation mass
+   * (N₁₊(·w2) > 0) — exactly the events where interpolated KN
+   * assigns p > 0 (an unseen-w2 event has zero mass under the model;
+   * emitting −∞ would be a lie, so the uncovered count is reported
+   * beside the entropy instead, never folded in).
+   *
+   * Exact contract: all counts exact longs; P_KN is the SAME shared
+   * dag as [[kneserNeyBigrams]] (max(c₁₂−D,0)/c₁ + D·N₁₊(w1·)/c₁ ·
+   * N₁₊(·w2)/N₁₊(··), with c₁₂ = 0 for unseen pairs); each covered
+   * bigram TYPE's ln p quantizes to the 1e-9 grid (signed, the qCW
+   * convention) and multiplies its exact held-out count — hc·|ln p|
+   * per type must stay under 9.2·10⁹·10⁹ (signed-64; pre-shard a
+   * corpus past it) — so the cross-entropy numerator is an exact-
+   * long sum in any partition order; ce = −Σ/10⁹/n_covered and ppl =
+   * exp(ce) ride the ln/exp parity precedent under round-6.
+   *
+   * Scale shape: two token-pair explodes (train + held-out) → two
+   * bigram-type hash aggregates; the train type table
+   * localCheckpoints (THREE consumers: the pair join and the two
+   * marginal re-aggregates — the qCT/qCU lesson); the held-out
+   * types join the pair/context/continuation tables each on their
+   * OWN keys (type-sized shuffles, never corpus-sized), the type
+   * total is a broadcast single-row cross.
+   *
+   * @return ONE row: (n_train_types, n_eval, n_covered, coverage,
+   *         cross_entropy, perplexity — rounded 6, defined =
+   *         n_covered > 0)
+   */
+  def kneserNeyCrossEntropy(train: DataFrame, heldout: DataFrame,
+                            textCol: String,
+                            discount: Double = 0.75): DataFrame = {
+    require(discount > 0.0 && discount < 1.0,
+      s"discount must be in (0, 1), got $discount")
+    def bigrams(docs: DataFrame): DataFrame = {
+      val toks = tokens(col(textCol))
+      val prs = when(col(textCol).isNotNull && size(toks) >= 2,
+        transform(sequence(lit(1), size(toks) - 1),
+          i => struct(element_at(toks, i).as("w1"),
+            element_at(toks, i + 1).as("w2"))))
+        .otherwise(array().cast("array<struct<w1:string,w2:string>>"))
+      docs.select(explode(prs).as("__pr"))
+        .select(col("__pr.w1").as("__w1"), col("__pr.w2").as("__w2"))
+        .groupBy(col("__w1"), col("__w2"))
+        .agg(count(lit(1)).as("__c"))
+    }
+    // three consumers of the train type table (pair join + both
+    // marginal re-aggregates) — the qCT/qCU replay lesson
+    val pairs = bigrams(train).localCheckpoint(true)
+    val ctx = pairs.groupBy(col("__w1"))
+      .agg(sum(col("__c")).as("__c1"), count(lit(1)).as("__n1f"))
+    val cont = pairs.groupBy(col("__w2"))
+      .agg(count(lit(1)).as("__n1b"))
+    val types = pairs.agg(count(lit(1)).as("__nt"))
+    val ho = bigrams(heldout)
+      .withColumnRenamed("__c", "__hc")
+    val joined = ho
+      .join(pairs.withColumnRenamed("__c", "__c12"), Seq("__w1", "__w2"),
+        "left")
+      .join(ctx, Seq("__w1"), "left")
+      .join(cont, Seq("__w2"), "left")
+      .crossJoin(broadcast(types))
+    val covered = col("__c1").isNotNull && col("__n1b").isNotNull
+    val d = lit(discount)
+    val pkn = greatest(coalesce(col("__c12"), lit(0L)).cast("double") - d,
+      lit(0.0)) / col("__c1").cast("double") +
+      (d * col("__n1f").cast("double") / col("__c1").cast("double")) *
+      (col("__n1b").cast("double") / col("__nt").cast("double"))
+    val qln = floor(log(pkn) * lit(1e9) + lit(0.5)).cast("long")
+    val stats = joined.select(col("__hc"),
+        when(covered, col("__hc")).otherwise(0L).as("__hcov"),
+        when(covered, col("__hc") * qln).otherwise(0L).as("__num"),
+        col("__nt"))
+      .agg(max(col("__nt")).as("n_train_types"),
+        coalesce(sum(col("__hc")), lit(0L)).as("n_eval"),
+        coalesce(sum(col("__hcov")), lit(0L)).as("n_covered"),
+        coalesce(sum(col("__num")), lit(0L)).as("__nums"))
+    val defined = col("n_covered") > 0
+    val ce = -(col("__nums").cast("double") / lit(1e9)) /
+      col("n_covered").cast("double")
+    stats.select(coalesce(col("n_train_types"), lit(0L))
+        .as("n_train_types"),
+      col("n_eval"), col("n_covered"),
+      when(col("n_eval") > 0, round(col("n_covered").cast("double") /
+        col("n_eval").cast("double"), 6)).otherwise(lit(0.0))
+        .as("coverage"),
+      when(defined, graft.functions.GateRound(ce, 6)).otherwise(lit(0.0))
+        .as("cross_entropy"),
+      when(defined, round(exp(ce), 6)).otherwise(lit(0.0))
+        .as("perplexity"),
+      defined.as("defined"))
+  }
+
+  /**
    * Overflow-proof 1e-9-grid rank keys for a non-negative-ish score:
    * (⌊x⌋ as long, ⌊(x − ⌊x⌋)·10⁹ + ½⌋ as long). Lexicographic order
    * on the pair is monotone in x at 1e-9 resolution — including for

@@ -1988,6 +1988,17 @@ object Pipeline {
       TextAnalysis.zipfSlope(T(s, dir)("documents"), "text", topR = 300)
     }),
 
+    // held-out Kneser-Ney cross-entropy (train even docs, score odd):
+    // coverage + per-event entropy over covered bigrams — the qCU
+    // model's evaluation loop, hc-weighted 1e-9-grid quantized ln p
+    "qDP_kn_cross_entropy" -> ((s, dir) => {
+      val d = T(s, dir)("documents")
+      TextAnalysis.kneserNeyCrossEntropy(
+        d.filter(col("doc_id") % 2 === 0).select(col("text")),
+        d.filter(col("doc_id") % 2 === 1).select(col("text")),
+        "text")
+    }),
+
     // Kaplan-Meier survival per source over synthetic censored
     // durations: exact at-risk DESC cumulatives, 1e-9-grid quantized
     // hazard logs cumulated ASC, extinction via an integer flag
@@ -4909,6 +4920,66 @@ object Pipeline {
                ELSE round(exp(CAST(cl AS DOUBLE) / 1000000000.0), 6)
                END AS survival
       FROM cm WHERE d > 0 ORDER BY source, t""",
+
+    "qDP_kn_cross_entropy" -> """
+      WITH tr AS (SELECT regexp_extract_all(text, '\S+') AS t
+                  FROM documents WHERE doc_id % 2 = 0),
+      trb AS (SELECT unnest(list_transform(range(1, len(t)),
+                i -> t[i])) AS w1,
+              unnest(list_transform(range(1, len(t)),
+                i -> t[i + 1])) AS w2
+              FROM tr WHERE len(t) >= 2),
+      c AS (SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS c12
+            FROM trb GROUP BY 1, 2),
+      ctx AS (SELECT w1, CAST(SUM(c12) AS BIGINT) AS c1,
+                CAST(COUNT(*) AS BIGINT) AS n1f FROM c GROUP BY 1),
+      cont AS (SELECT w2, CAST(COUNT(*) AS BIGINT) AS n1b
+               FROM c GROUP BY 1),
+      ty AS (SELECT CAST(COUNT(*) AS BIGINT) AS nt FROM c),
+      ho0 AS (SELECT regexp_extract_all(text, '\S+') AS t
+              FROM documents WHERE doc_id % 2 = 1),
+      hob AS (SELECT unnest(list_transform(range(1, len(t)),
+                i -> t[i])) AS w1,
+              unnest(list_transform(range(1, len(t)),
+                i -> t[i + 1])) AS w2
+              FROM ho0 WHERE len(t) >= 2),
+      ho AS (SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS hc
+             FROM hob GROUP BY 1, 2),
+      j AS (SELECT ho.w1, ho.w2, ho.hc, c.c12, ctx.c1, ctx.n1f,
+              cont.n1b, ty.nt
+            FROM ho LEFT JOIN c USING (w1, w2)
+            LEFT JOIN ctx USING (w1) LEFT JOIN cont USING (w2)
+            CROSS JOIN ty),
+      sc AS (SELECT hc,
+              CASE WHEN c1 IS NOT NULL AND n1b IS NOT NULL THEN hc
+                ELSE 0 END AS hcov,
+              CASE WHEN c1 IS NOT NULL AND n1b IS NOT NULL
+                THEN hc * CAST(floor(ln(
+                  greatest(CAST(COALESCE(c12, 0) AS DOUBLE) - 0.75,
+                    0.0) / CAST(c1 AS DOUBLE)
+                  + (0.75 * CAST(n1f AS DOUBLE) / CAST(c1 AS DOUBLE))
+                    * (CAST(n1b AS DOUBLE) / CAST(nt AS DOUBLE)))
+                  * 1000000000 + 0.5) AS BIGINT)
+                ELSE 0 END AS num,
+              nt FROM j),
+      ag AS (SELECT MAX(nt) AS n_train_types,
+               COALESCE(CAST(SUM(hc) AS BIGINT), 0) AS n_eval,
+               COALESCE(CAST(SUM(hcov) AS BIGINT), 0) AS n_covered,
+               COALESCE(CAST(SUM(num) AS BIGINT), 0) AS nums FROM sc)
+      SELECT COALESCE(n_train_types, 0) AS n_train_types, n_eval,
+             n_covered,
+             CASE WHEN n_eval > 0 THEN round(CAST(n_covered AS DOUBLE)
+               / CAST(n_eval AS DOUBLE), 6) ELSE 0.0 END AS coverage,
+             CASE WHEN n_covered > 0
+               THEN round(-(CAST(nums AS DOUBLE) / 1000000000.0)
+                 / CAST(n_covered AS DOUBLE), 6) + 0
+               ELSE 0.0 END AS cross_entropy,
+             CASE WHEN n_covered > 0
+               THEN round(exp(-(CAST(nums AS DOUBLE) / 1000000000.0)
+                 / CAST(n_covered AS DOUBLE)), 6)
+               ELSE 0.0 END AS perplexity,
+             n_covered > 0 AS defined
+      FROM ag""",
 
     "qDA_cramers_v" -> """
       WITH r AS (SELECT doc_id % 4 AS g, source AS a,

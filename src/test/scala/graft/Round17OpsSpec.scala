@@ -393,4 +393,30 @@ class Round17OpsSpec extends AnyFunSuite {
         .toDF("grp", "dur", "obs"), "grp", "dur", "obs")
     }
   }
+
+  test("kneserNeyCrossEntropy: coverage classes and entropy by hand") {
+    // train (a,b):2 (a,c):1 -> ctx a:(3,2), cont b:1 c:1, nt=2
+    // held-out (a,b) covered p=2/3; (a,d) d has no continuation
+    // mass; (e,b) e unseen context -> coverage 1/3, ce=0.405465,
+    // ppl = 1.5 (exp of the quantized ln recovers it exactly)
+    val train = Seq("a b", "a b", "a c").toDF("text")
+    val ho = Seq("a b", "a d", "e b").toDF("text")
+    val r = TextAnalysis.kneserNeyCrossEntropy(train, ho, "text").head()
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3),
+      r.getDouble(4), r.getDouble(5), r.getBoolean(6)) ==
+      ((2L, 3L, 1L, 0.333333, 0.405465, 1.5, true)), r.toString)
+    // nothing covered: entropy refused visibly, counts stay
+    val miss = TextAnalysis.kneserNeyCrossEntropy(train,
+      Seq("x y").toDF("text"), "text").head()
+    assert((miss.getLong(1), miss.getLong(2), miss.getBoolean(6)) ==
+      ((1L, 0L, false)), miss.toString)
+    // self-evaluation sanity: training text is fully covered
+    val self = TextAnalysis.kneserNeyCrossEntropy(train, train, "text")
+      .head()
+    assert(self.getDouble(3) == 1.0 && self.getDouble(4) > 0.0)
+    intercept[IllegalArgumentException] {
+      TextAnalysis.kneserNeyCrossEntropy(train, ho, "text",
+        discount = 1.0)
+    }
+  }
 }
