@@ -106,14 +106,16 @@ object BenchHeuristics {
 
   /** The committed clean norm for a full seq pass's JIT compilation
     * time on this suite (the census's jit_ms field). Re-recorded
-    * round 16 from the five round-15 census-clean records at the
-    * 202–210-query suite size — jit_seq 48.6/49.8/51.1/52.2/54.3 s,
-    * median ≈ 51 s (the old 25 s constant was the r12–r14 suite's
-    * norm; left stale it armed [[jitSickSeq]] on EVERY clean pass,
-    * permanently routing inflated readings through the weaker
-    * one-sided window acceptance — the r15 ADVICE item). Re-record
-    * when the suite grows enough to move the clean census. */
-  val SeqJitCleanNormMs = 51000L
+    * round 17 from three same-session census-clean seq-only passes
+    * at the 263-query suite — jit_ms 68.0/71.4/73.0 s (steal ≤
+    * 0.17%, other ≤ 0.06%, probe 57–65 ms), median ≈ 71 s. History:
+    * 25 s (r12–r14 suite) → 51 s (r15, 202–210 queries) → 71 s
+    * (r17, 263) — the constant tracks suite growth; left stale it
+    * either arms [[jitSickSeq]] on every clean pass (too low) or
+    * lets a genuinely sick census publish (too high, the drift the
+    * r16 VERDICT flagged). Re-record when the suite grows enough to
+    * move the clean census. */
+  val SeqJitCleanNormMs = 71000L
 
   /** A seq pass is JIT-SICK when its compilation-time census reads
     * over 2× the committed clean norm — the r14 gate pathology:

@@ -102,16 +102,16 @@ class BenchHeuristicsSpec extends AnyFunSuite {
   test("jitSickSeq: the r14 recorded pathology fires, clean censuses do not") {
     import BenchHeuristics.{jitSickSeq, jitReplayMembers}
     // the r14 gate record read jit_ms 62032 against ITS era's ~25 s
-    // norm — the analogous suite-wide sickness at the r15-re-recorded
-    // 51 s norm (clean records 48.6-54.3 s at 202-210 queries) is
-    // anything past 102 s
+    // norm — the analogous suite-wide sickness at the r17-re-recorded
+    // 71 s norm (clean records 68.0-73.0 s at 263 queries) is
+    // anything past 142 s
     assert(jitSickSeq(62032L, cleanNormMs = 25000L))
-    assert(jitSickSeq(130000L))
-    // clean r15 censuses read at the norm and MUST NOT arm (the r15
-    // ADVICE item: the stale 25 s constant fired on every clean pass)
-    assert(!jitSickSeq(48600L))
-    assert(!jitSickSeq(54300L))
-    assert(!jitSickSeq(102000L)) // at the 2x bar: not sick
+    assert(jitSickSeq(150000L))
+    // clean r17 censuses read at the norm and MUST NOT arm (the r15
+    // ADVICE item: a stale-low constant fires on every clean pass)
+    assert(!jitSickSeq(67988L))
+    assert(!jitSickSeq(73003L))
+    assert(!jitSickSeq(142000L)) // at the 2x bar: not sick
     // unsupported compilation timing (jit_ms = -1) never trips
     assert(!jitSickSeq(-1L))
     // member selection: the r14 signature — trivial plans 3-7x their
