@@ -1961,6 +1961,95 @@ object Preference {
         (col("n") > 0).as("defined"))
   }
 
+  /**
+   * Wilcoxon signed-rank test statistic (Wilcoxon 1945) — the
+   * middle rung of the paired-significance ladder: [[signTest]]
+   * uses only SIGNS, [[permutationTest]] resamples raw magnitudes;
+   * Wilcoxon uses magnitude RANKS — robust to wild outliers yet far
+   * more powerful than the sign test, and the classic default for
+   * paired score comparisons. Zero deltas are EXCLUDED (the
+   * Wilcoxon convention; their count is reported), |d| gets doubled
+   * average ranks, W⁺ sums the positive deltas' ranks, and z is the
+   * tie-corrected normal deviate.
+   *
+   * Exact contract: the doubled-rank trick ([[Classification
+   * .rankSumAuc]]) keeps W2⁺ = 2·W⁺ an exact long in any partition
+   * order; the numerator W⁺ − n(n+1)/4 = (2·W2⁺ − n(n+1))/4 has an
+   * EXACT integer top, and the variance n(n+1)(2n+1)/24 − Σ(t³−t)/48
+   * scales by 48 into the exact long 2n(n+1)(2n+1) − Σ(t³−t) (tie
+   * sums per-row as t²−1, the Kruskal–Wallis trick); z is one fixed
+   * dag over those two exact longs. Bound: 4n³ < 2⁶³ → n ≤ 1.31·10⁶
+   * nonzero deltas per group — ENFORCED plan-side via `maxN`;
+   * sample larger groups. All-zero or all-tied-at-one-value groups
+   * with zero variance → defined = false.
+   *
+   * Scale shape: one hash exchange on the group key + one
+   * in-partition sort over the NONZERO deltas (rank, tie and count
+   * windows share it), one partial/final aggregate; the zero-delta
+   * census is a second aggregate over the projected frame joined
+   * back at |groups| rows (the cochranQ two-pass convention —
+   * project early).
+   *
+   * @return (byCol, n_nonzero, n_zero, w2_plus — the exact doubled
+   *         rank sum, z gateRounded 6, defined)
+   */
+  def wilcoxonSignedRank(df: DataFrame, byCol: String, aCol: String,
+                         bCol: String, maxN: Long = 1300000L): DataFrame = {
+    require(maxN > 0 && maxN <= 1310000L,
+      s"maxN must be in [1, 1.31e6], got $maxN — the exact 48-scaled " +
+        "variance needs 4n^3 < 2^63")
+    Seq(aCol, bCol).foreach { c =>
+      require(org.apache.spark.sql.graftbridge.ColumnBridge
+          .isIntegral(df.schema(c).dataType),
+        s"wilcoxonSignedRank: $c must be integral (got " +
+          s"${df.schema(c).dataType.simpleString}) — exact rank ties " +
+          "need exact equality")
+    }
+    val d0 = df.filter(col(byCol).isNotNull && col(aCol).isNotNull &&
+        col(bCol).isNotNull)
+      .select(col(byCol).as("__g"),
+        (col(aCol).cast("long") - col(bCol).cast("long")).as("__d"))
+    val zeros = d0.groupBy(col("__g"))
+      .agg(sum(when(col("__d") === 0L, 1L).otherwise(0L)).as("n_zero"))
+    val nz = d0.filter(col("__d") =!= 0L)
+      .select(col("__g"), col("__d"), abs(col("__d")).as("__ad"))
+    import org.apache.spark.sql.expressions.Window
+    val gw = Window.partitionBy(col("__g"))
+    val r2 = lit(2L) * rank().over(gw.orderBy(col("__ad"))).cast("long") +
+      count(lit(1)).over(Window.partitionBy(col("__g"), col("__ad"))) -
+      lit(1L)
+    val t = count(lit(1)).over(Window.partitionBy(col("__g"), col("__ad")))
+    val n = count(lit(1)).over(gw)
+    val nOk = when(n <= maxN, n).otherwise(raise_error(concat(
+      lit("wilcoxonSignedRank: group "), col("__g").cast("string"),
+      lit(" has "), n.cast("string"),
+      lit(s" nonzero deltas > maxN=$maxN — the exact 48-scaled " +
+        "variance overflows signed-64; sample the group"))))
+    val stats = nz
+      .select(col("__g"), col("__d"), r2.as("__r2"), t.as("__t"),
+        nOk.as("__n"))
+      .groupBy(col("__g"))
+      .agg(max(col("__n")).as("n_nonzero"),
+        sum(when(col("__d") > 0, col("__r2")).otherwise(0L))
+          .as("w2_plus"),
+        sum(col("__t") * col("__t") - lit(1L)).as("__ties"))
+    val nn = col("n_nonzero")
+    val num = lit(2L) * col("w2_plus") - nn * (nn + 1L)
+    val v48 = lit(2L) * nn * (nn + 1L) * (lit(2L) * nn + 1L) -
+      col("__ties")
+    val defined = nn > 0 && v48 > 0L
+    val z = (num.cast("double") / lit(4.0)) /
+      sqrt(v48.cast("double") / lit(48.0))
+    zeros.join(stats, Seq("__g"), "left")
+      .select(col("__g").as(byCol),
+        coalesce(col("n_nonzero"), lit(0L)).as("n_nonzero"),
+        col("n_zero"),
+        coalesce(col("w2_plus"), lit(0L)).as("w2_plus"),
+        when(defined, graft.functions.GateRound(z, 6)).otherwise(lit(0.0))
+          .as("z"),
+        coalesce(defined, lit(false)).as("defined"))
+  }
+
   /** ⌊CDF_Poisson(1)(k)·2⁴⁰⌋ for k = 0..7 — the deterministic
     * inverse-CDF table [[pairedBootstrapCi]] maps a 40-bit uniform
     * draw through. Hardcoded (not computed via exp) so the SAME

@@ -98,8 +98,14 @@ object Retention {
    * emitted only at event times. The subject table never sorts —
    * only the per-time summary does.
    *
+   * The Nelson–Aalen cumulative hazard H(t) = Σ_{tᵢ ≤ t} dᵢ/nᵢ
+   * (Nelson 1972, Aalen 1978) rides the SAME ascending window on the
+   * same 1e-9 grid — the additive companion curve (exp(−H) is the
+   * Fleming–Harrington survival variant), finite even at extinction
+   * (d/n = 1 needs no log).
+   *
    * @return one row per (group, event time): (byCol, t, n_risk,
-   *         n_events, n_censored, survival rounded 6)
+   *         n_events, n_censored, survival, cum_hazard — rounded 6)
    */
   def kaplanMeier(df: DataFrame, byCol: String, durationCol: String,
                   observedCol: String): DataFrame = {
@@ -134,19 +140,28 @@ object Retention {
       .otherwise(lit(0L))
     val z = when(col("__d") > 0 && col("__n") === col("__d"), 1L)
       .otherwise(0L)
+    // Nelson-Aalen cumulative-hazard increment d/n on the same grid:
+    // H(t) rides the identical window as log-survival and stays
+    // finite even at extinction (d/n = 1, no log involved)
+    val hq = when(col("__d") > 0,
+      floor(col("__d").cast("double") / col("__n").cast("double") *
+        lit(1e9) + lit(0.5)).cast("long")).otherwise(lit(0L))
     val asc = g.orderBy(col("__t"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     withN.select(col("__g"), col("__t"), col("__d"), col("__c"),
-        col("__n"), lq.as("__lq"), z.as("__z"))
+        col("__n"), lq.as("__lq"), z.as("__z"), hq.as("__hq"))
       .select(col("__g"), col("__t"), col("__d"), col("__c"),
         col("__n"), sum(col("__lq")).over(asc).as("__cl"),
-        sum(col("__z")).over(asc).as("__cz"))
+        sum(col("__z")).over(asc).as("__cz"),
+        sum(col("__hq")).over(asc).as("__ch"))
       .filter(col("__d") > 0)
       .select(col("__g").as(byCol), col("__t").as("t"),
         col("__n").as("n_risk"), col("__d").as("n_events"),
         col("__c").as("n_censored"),
         when(col("__cz") > 0, lit(0.0))
           .otherwise(round(exp(col("__cl").cast("double") / lit(1e9)),
-            6)).as("survival"))
+            6)).as("survival"),
+        round(col("__ch").cast("double") / lit(1e9), 6)
+          .as("cum_hazard"))
   }
 }

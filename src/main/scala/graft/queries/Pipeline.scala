@@ -1988,6 +1988,19 @@ object Pipeline {
       TextAnalysis.zipfSlope(T(s, dir)("documents"), "text", topR = 300)
     }),
 
+    // Wilcoxon signed-rank z per source over the qDF judge deltas:
+    // the magnitude-rank rung between sign test and permutation test
+    // — doubled average ranks, exact integer numerator and 48-scaled
+    // tie-corrected variance, one fixed z dag
+    "qDQ_wilcoxon" -> ((s, dir) => {
+      graft.operators.Preference.wilcoxonSignedRank(
+          T(s, dir)("documents").select(col("source"),
+            (col("doc_id") % 101).as("score_a"),
+            (col("doc_id") % 97).as("score_b")),
+          "source", "score_a", "score_b")
+        .orderBy(col("source"))
+    }),
+
     // held-out Kneser-Ney cross-entropy (train even docs, score odd):
     // coverage + per-event entropy over covered bigrams — the qCU
     // model's evaluation loop, hc-weighted 1e-9-grid quantized ln p
@@ -4904,7 +4917,11 @@ object Pipeline {
                  THEN CAST(floor(ln(CAST(n - d AS DOUBLE)
                    / CAST(n AS DOUBLE)) * 1000000000 + 0.5) AS BIGINT)
                  ELSE 0 END AS lq,
-               CASE WHEN d > 0 AND n = d THEN 1 ELSE 0 END AS z
+               CASE WHEN d > 0 AND n = d THEN 1 ELSE 0 END AS z,
+               CASE WHEN d > 0
+                 THEN CAST(floor(CAST(d AS DOUBLE) / CAST(n AS DOUBLE)
+                   * 1000000000 + 0.5) AS BIGINT)
+                 ELSE 0 END AS hq
              FROM rk),
       cm AS (SELECT g, t, d, c, n,
                CAST(SUM(lq) OVER (PARTITION BY g ORDER BY t
@@ -4912,14 +4929,51 @@ object Pipeline {
                  AS BIGINT) AS cl,
                CAST(SUM(z) OVER (PARTITION BY g ORDER BY t
                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-                 AS BIGINT) AS cz
+                 AS BIGINT) AS cz,
+               CAST(SUM(hq) OVER (PARTITION BY g ORDER BY t
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                 AS BIGINT) AS ch
              FROM lnq)
       SELECT g AS source, t, n AS n_risk, d AS n_events,
              c AS n_censored,
              CASE WHEN cz > 0 THEN 0.0
                ELSE round(exp(CAST(cl AS DOUBLE) / 1000000000.0), 6)
-               END AS survival
+               END AS survival,
+             round(CAST(ch AS DOUBLE) / 1000000000.0, 6) AS cum_hazard
       FROM cm WHERE d > 0 ORDER BY source, t""",
+
+    "qDQ_wilcoxon" -> """
+      WITH base AS (SELECT source AS g,
+              CAST(doc_id % 101 AS BIGINT) - CAST(doc_id % 97 AS BIGINT)
+                AS d
+            FROM documents),
+      zc AS (SELECT g, CAST(SUM(CASE WHEN d = 0 THEN 1 ELSE 0 END)
+               AS BIGINT) AS n_zero FROM base GROUP BY 1),
+      nz AS (SELECT g, d, abs(d) AS ad FROM base WHERE d <> 0),
+      w AS (SELECT g, d,
+              2 * CAST(rank() OVER (PARTITION BY g ORDER BY ad)
+                AS BIGINT)
+                + CAST(COUNT(*) OVER (PARTITION BY g, ad) AS BIGINT)
+                - 1 AS r2,
+              CAST(COUNT(*) OVER (PARTITION BY g, ad) AS BIGINT) AS t
+            FROM nz),
+      st AS (SELECT g, CAST(COUNT(*) AS BIGINT) AS nn,
+               CAST(SUM(CASE WHEN d > 0 THEN r2 ELSE 0 END) AS BIGINT)
+                 AS w2p,
+               CAST(SUM(t * t - 1) AS BIGINT) AS ties
+             FROM w GROUP BY 1)
+      SELECT zc.g AS source, COALESCE(st.nn, 0) AS n_nonzero,
+             zc.n_zero, COALESCE(st.w2p, 0) AS w2_plus,
+             CASE WHEN st.nn > 0 AND 2 * st.nn * (st.nn + 1)
+                 * (2 * st.nn + 1) - st.ties > 0
+               THEN round((CAST(2 * st.w2p - st.nn * (st.nn + 1)
+                 AS DOUBLE) / 4.0)
+                 / sqrt(CAST(2 * st.nn * (st.nn + 1) * (2 * st.nn + 1)
+                   - st.ties AS DOUBLE) / 48.0), 6) + 0
+               ELSE 0.0 END AS z,
+             COALESCE(st.nn > 0 AND 2 * st.nn * (st.nn + 1)
+               * (2 * st.nn + 1) - st.ties > 0, FALSE) AS defined
+      FROM zc LEFT JOIN st ON zc.g = st.g ORDER BY source""",
 
     "qDP_kn_cross_entropy" -> """
       WITH tr AS (SELECT regexp_extract_all(text, '\S+') AS t

@@ -370,9 +370,10 @@ class Round17OpsSpec extends AnyFunSuite {
     val rows = Retention.kaplanMeier(df, "grp", "dur", "obs")
       .orderBy(col("t")).collect()
       .map(r => (r.getLong(1), r.getLong(2), r.getLong(3),
-        r.getLong(4), r.getDouble(5)))
-    assert(rows.toSeq == Seq((1L, 5L, 1L, 0L, 0.8),
-      (3L, 3L, 2L, 0L, 0.266667)), rows.mkString(";"))
+        r.getLong(4), r.getDouble(5), r.getDouble(6)))
+    // Nelson-Aalen: H(1) = 1/5 = 0.2, H(3) = 0.2 + 2/3 = 0.866667
+    assert(rows.toSeq == Seq((1L, 5L, 1L, 0L, 0.8, 0.2),
+      (3L, 3L, 2L, 0L, 0.266667, 0.866667)), rows.mkString(";"))
     // extinction: every at-risk subject dies -> survival exactly 0,
     // no infinity in the dag
     val ext = Seq(("g", 1L, true), ("g", 2L, true), ("g", 2L, true))
@@ -380,6 +381,9 @@ class Round17OpsSpec extends AnyFunSuite {
     val er = Retention.kaplanMeier(ext, "grp", "dur", "obs")
       .orderBy(col("t")).collect()
     assert(er.map(_.getDouble(5)).toSeq == Seq(0.666667, 0.0),
+      er.mkString(";"))
+    // the hazard stays FINITE at extinction: 1/3, then + 2/2
+    assert(er.map(_.getDouble(6)).toSeq == Seq(0.333333, 1.333333),
       er.mkString(";"))
     // determinism across partitionings
     val big = (1 to 300).map(i =>
@@ -391,6 +395,38 @@ class Round17OpsSpec extends AnyFunSuite {
     intercept[IllegalArgumentException] {
       Retention.kaplanMeier(Seq(("g", 1.5, true))
         .toDF("grp", "dur", "obs"), "grp", "dur", "obs")
+    }
+  }
+
+  test("wilcoxonSignedRank: ranks, ties, zeros by hand") {
+    import graft.operators.Preference
+    // d = +1,+2,+3,-4: ranks 1..4, W+ = 6, num = (2*12-20)/4 = 1,
+    // v = (2*4*5*9)/48 = 7.5 -> z = 1/sqrt(7.5) = 0.365148
+    val clean = Seq(("g", 2L, 1L), ("g", 3L, 1L), ("g", 4L, 1L),
+      ("g", 1L, 5L)).toDF("grp", "a", "b")
+    val r = Preference.wilcoxonSignedRank(clean, "grp", "a", "b")
+      .head()
+    assert((r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4),
+      r.getBoolean(5)) == ((4L, 0L, 12L, 0.365148, true)), r.toString)
+    // all |d| tied + one zero excluded: d = +1,-1,+1,0 -> doubled
+    // avg rank 4 each, W2+ = 8, num = (16-12)/4 = 1,
+    // v48 = 168 - 24 = 144 -> z = 1/sqrt(3) = 0.57735
+    val tied = Seq(("g", 2L, 1L), ("g", 1L, 2L), ("g", 3L, 2L),
+      ("g", 5L, 5L)).toDF("grp", "a", "b")
+    val rt = Preference.wilcoxonSignedRank(tied, "grp", "a", "b")
+      .head()
+    assert((rt.getLong(1), rt.getLong(2), rt.getLong(3),
+      rt.getDouble(4), rt.getBoolean(5)) ==
+      ((3L, 1L, 8L, 0.57735, true)), rt.toString)
+    // all-zero group stays visible, undefined
+    val zeros = Seq(("g", 7L, 7L), ("g", 3L, 3L)).toDF("grp", "a", "b")
+    val rz = Preference.wilcoxonSignedRank(zeros, "grp", "a", "b")
+      .head()
+    assert((rz.getLong(1), rz.getLong(2), rz.getBoolean(5)) ==
+      ((0L, 2L, false)), rz.toString)
+    intercept[IllegalArgumentException] {
+      Preference.wilcoxonSignedRank(
+        Seq(("g", 1.5, 2.0)).toDF("grp", "a", "b"), "grp", "a", "b")
     }
   }
 
