@@ -710,4 +710,172 @@ object Classification {
         .otherwise(lit(0.0)).as("q"),
       defined.as("defined"))
   }
+
+  /**
+   * Brown–Forsythe robust variance-homogeneity test (Brown &
+   * Forsythe 1974; the median-centered Levene) — [[oneWayAnova]]'s
+   * PRECONDITION check: the F test assumes equal within-group
+   * variances, and this IS an ANOVA — on the absolute deviations
+   * from each group's median ("do the groups differ in SPREAD"),
+   * median-centered so heavy tails don't fake a spread difference.
+   *
+   * Exact contract: the group median rides the DOUBLED-median trick
+   * ([[Quantiles.medianMad]]'s convention — m2 = the r1-th + r2-th
+   * order statistics, an exact long even at even n), so the
+   * deviation |2x − m2| is an exact INTEGER (twice the true
+   * deviation — a pure scale factor that cancels in F) and the
+   * whole [[oneWayAnova]] exact div/mod chain applies verbatim;
+   * the statistic, bounds and refusals are inherited from it.
+   *
+   * Scale shape: one (family, group) exchange + in-partition sort
+   * for the median ranks, a |cells|-row median join back (the
+   * medianMad two-pass shape — the projected frame localCheckpoints
+   * for its two consumers), then the ANOVA's two chained aggregates.
+   *
+   * @return the [[oneWayAnova]] schema over the doubled deviations:
+   *         (familyCol, n, k_groups, ss_between, ss_within, f —
+   *         rounded 6, defined)
+   */
+  def brownForsythe(df: DataFrame, familyCol: String, groupCol: String,
+                    xCol: String): DataFrame = {
+    require(org.apache.spark.sql.graftbridge.ColumnBridge
+        .isIntegral(df.schema(xCol).dataType),
+      s"brownForsythe: $xCol must be integral (got " +
+        s"${df.schema(xCol).dataType.simpleString}) — the doubled " +
+        "exact-median contract")
+    val clean = df.filter(col(familyCol).isNotNull &&
+        col(groupCol).isNotNull && col(xCol).isNotNull)
+      .select(col(familyCol).as("__f0"), col(groupCol).as("__g0"),
+        col(xCol).cast("long").as("__x0"))
+      .localCheckpoint(true) // median pass + deviation pass read it
+    val cw = Window.partitionBy(col("__f0"), col("__g0"))
+    val rn = row_number().over(cw.orderBy(col("__x0")))
+    val n = count(lit(1)).over(cw)
+    val r1 = call_function("div", n + lit(1L), lit(2L))
+    val r2 = call_function("div", n + lit(2L), lit(2L))
+    val med = clean
+      .select(col("__f0"), col("__g0"), col("__x0"), rn.as("__rn"),
+        r1.as("__r1"), r2.as("__r2"))
+      .groupBy(col("__f0"), col("__g0"))
+      .agg(sum(when(col("__rn") === col("__r1"), col("__x0"))
+          .otherwise(0L) +
+        when(col("__rn") === col("__r2"), col("__x0")).otherwise(0L))
+        .as("__m2"))
+    val dev = clean.join(med, Seq("__f0", "__g0"))
+      .select(col("__f0"), col("__g0"),
+        abs(lit(2L) * col("__x0") - col("__m2")).as("__z"))
+    oneWayAnova(dev, "__f0", "__g0", "__z")
+      .withColumnRenamed("__f0", familyCol)
+  }
+
+  /**
+   * Friedman rank test (Friedman 1937) — the matched-blocks
+   * companion to [[kruskalWallis]] and the k-level extension of
+   * [[Preference.wilcoxonSignedRank]]: n subjects (prompts, judges,
+   * eval slices) each rank the SAME k treatments, so between-subject
+   * level differences cancel by construction — "does prompt variant
+   * matter when every judge scores every variant". With Conover's
+   * tie correction C, χ²_F/C is the reported statistic.
+   *
+   * Block contract: duplicate (subject, treatment) cells are
+   * REFUSED (raise_error — a silent pick would make the ranks
+   * depend on aggregation order); subjects missing any treatment
+   * are DROPPED and censused (n_incomplete) — Friedman is defined
+   * over complete blocks only.
+   *
+   * Exact contract: within-block doubled average ranks (the
+   * [[rankSumAuc]] convention) keep every per-treatment rank sum
+   * R2_j an exact long; each treatment's term 3·R2_j²/(n·k·(k+1))
+   * (the doubling folds 12 into 3) quantizes to the 1e-9 grid
+   * before the cross-treatment sum (n·k ≲ 2.3·10⁹ bound); block tie
+   * sums ride the per-row t²−1 integers (t ≤ k — no family-size
+   * bound needed, unlike KW). χ²_F and C are fixed dags; all-tied
+   * (C = 0) or degenerate (k < 2, n < 2) families → defined = false.
+   *
+   * Scale shape: one (group, subject, treatment) hash aggregate →
+   * one exchange on (group, subject) with one in-partition sort
+   * (block windows — blocks are k-row, never data-sized) → one
+   * (group, treatment) aggregate → one group aggregate; the k-count
+   * frame broadcast-joins.
+   *
+   * @return (byCol, n_subjects, k_treatments, n_incomplete, chi2_f,
+   *         tie_c, chi2_corrected — rounded 6, defined)
+   */
+  def friedman(df: DataFrame, byCol: String, subjectCol: String,
+               treatmentCol: String, xCol: String): DataFrame = {
+    require(org.apache.spark.sql.graftbridge.ColumnBridge
+        .isIntegral(df.schema(xCol).dataType),
+      s"friedman: $xCol must be integral (got " +
+        s"${df.schema(xCol).dataType.simpleString}) — exact rank ties " +
+        "need exact equality")
+    val cells0 = df.filter(col(byCol).isNotNull &&
+        col(subjectCol).isNotNull && col(treatmentCol).isNotNull &&
+        col(xCol).isNotNull)
+      .groupBy(col(byCol).as("__b"), col(subjectCol).as("__s"),
+        col(treatmentCol).as("__t"))
+      .agg(count(lit(1)).as("__dup"), max(col(xCol).cast("long")).as("__x"))
+    val cells = cells0.select(col("__b"), col("__s"), col("__t"),
+      when(col("__dup") === 1L, col("__x")).otherwise(raise_error(concat(
+        lit("friedman: duplicate cell (subject "),
+        col("__s").cast("string"), lit(", treatment "),
+        col("__t").cast("string"),
+        lit(") — pre-aggregate scores upstream; a silent pick would " +
+          "bend the ranks")))).as("__x"))
+      // THREE consumers (k-frame, join side, and through it both the
+      // complete and incomplete branches) — without this the corpus
+      // aggregate replays per consumer (the klDriftMatrix lesson)
+      .localCheckpoint(true)
+    val kframe = cells.groupBy(col("__b"))
+      .agg(count_distinct(col("__t")).as("__k"))
+    val block = Window.partitionBy(col("__b"), col("__s"))
+    val withK = cells.join(broadcast(kframe), Seq("__b"))
+      .select(col("__b"), col("__s"), col("__t"), col("__x"), col("__k"),
+        count(lit(1)).over(block).as("__ns"))
+    val incomplete = withK.filter(col("__ns") =!= col("__k"))
+      .groupBy(col("__b"))
+      .agg(count_distinct(col("__s")).as("__ninc"))
+    val complete = withK.filter(col("__ns") === col("__k"))
+    val r2 = lit(2L) * rank().over(block.orderBy(col("__x"))).cast("long") +
+      count(lit(1)).over(
+        Window.partitionBy(col("__b"), col("__s"), col("__x"))) - lit(1L)
+    val t = count(lit(1)).over(
+      Window.partitionBy(col("__b"), col("__s"), col("__x")))
+    val perTreat = complete
+      .select(col("__b"), col("__t"), col("__k"), r2.as("__r2"),
+        (t * t - lit(1L)).as("__tie"))
+      .groupBy(col("__b"), col("__t"))
+      .agg(sum(col("__r2")).as("__rj"), count(lit(1)).as("__n"),
+        max(col("__k")).as("__k"), sum(col("__tie")).as("__ties"))
+    def d(c: Column) = c.cast("double")
+    val term = lit(3.0) * d(col("__rj")) * d(col("__rj")) /
+      (d(col("__n")) * d(col("__k")) * d(col("__k") + 1L))
+    val fam = perTreat
+      .select(col("__b"), col("__n"), col("__k"), col("__ties"),
+        floor(term * lit(1e9) + lit(0.5)).cast("long").as("__tq"))
+      .groupBy(col("__b"))
+      .agg(max(col("__n")).as("n_subjects"), max(col("__k")).as("__k"),
+        sum(col("__tq")).as("__tqs"), sum(col("__ties")).as("__tiesum"))
+    val nn = col("n_subjects")
+    val kk = col("__k")
+    val chi2 = d(col("__tqs")) / lit(1e9) -
+      lit(3.0) * d(nn) * d(kk + 1L)
+    val c = when(nn * kk > 0, lit(1.0) - d(col("__tiesum")) /
+      (d(nn) * d(kk) * (d(kk) * d(kk) - lit(1.0))))
+      .otherwise(lit(0.0))
+    val defined = kk > 1 && nn > 1 && c > 0.0
+    // full outer: a group whose EVERY subject is incomplete has no
+    // complete-block row but must stay visible (all-zero, undefined)
+    fam.join(incomplete, Seq("__b"), "full_outer")
+      .select(col("__b").as(byCol),
+        coalesce(col("n_subjects"), lit(0L)).as("n_subjects"),
+        coalesce(col("__k"), lit(0L)).as("k_treatments"),
+        coalesce(col("__ninc"), lit(0L)).as("n_incomplete"),
+        coalesce(graft.functions.GateRound(chi2, 6), lit(0.0))
+          .as("chi2_f"),
+        coalesce(graft.functions.GateRound(c, 6), lit(0.0))
+          .as("tie_c"),
+        coalesce(when(defined, graft.functions.GateRound(chi2 / c, 6))
+          .otherwise(lit(0.0)), lit(0.0)).as("chi2_corrected"),
+        coalesce(defined, lit(false)).as("defined"))
+  }
 }

@@ -1988,6 +1988,37 @@ object Pipeline {
       TextAnalysis.zipfSlope(T(s, dir)("documents"), "text", topR = 300)
     }),
 
+    // Brown-Forsythe robust spread test per language across sources:
+    // qDJ's variance-homogeneity precondition — doubled exact medians,
+    // integer deviations, the full ANOVA div/mod chain on top
+    "qDR_brown_forsythe" -> ((s, dir) => {
+      graft.operators.Classification.brownForsythe(
+          T(s, dir)("documents").select(col("lang"), col("source"),
+            col("n_chars")),
+          "lang", "source", "n_chars")
+        .orderBy(col("lang"))
+    }),
+
+    // Friedman matched-blocks rank test per language: every doc ranks
+    // three synthetic scorers — between-doc level differences cancel;
+    // doubled average ranks, 1e-9-grid treatment terms, Conover ties
+    "qDS_friedman" -> ((s, dir) => {
+      val d = T(s, dir)("documents").select(col("lang"), col("doc_id"))
+      val long = d.select(col("lang"), col("doc_id"),
+        explode(array(
+          struct(lit("a").as("t"),
+            ((col("doc_id") * 3) % 11).as("x")),
+          struct(lit("b").as("t"),
+            ((col("doc_id") * 5) % 11).as("x")),
+          struct(lit("c").as("t"),
+            ((col("doc_id") * 7) % 11).as("x")))).as("e"))
+        .select(col("lang"), col("doc_id"), col("e.t").as("treat"),
+          col("e.x").as("score"))
+      graft.operators.Classification.friedman(long, "lang", "doc_id",
+          "treat", "score")
+        .orderBy(col("lang"))
+    }),
+
     // Wilcoxon signed-rank z per source over the qDF judge deltas:
     // the magnitude-rank rung between sign test and permutation test
     // — doubled average ranks, exact integer numerator and 48-scaled
@@ -4941,6 +4972,119 @@ object Pipeline {
                END AS survival,
              round(CAST(ch AS DOUBLE) / 1000000000.0, 6) AS cum_hazard
       FROM cm WHERE d > 0 ORDER BY source, t""",
+
+    "qDR_brown_forsythe" -> """
+      WITH clean AS (SELECT lang AS fm, source AS g,
+              CAST(n_chars AS BIGINT) AS x
+            FROM documents
+            WHERE lang IS NOT NULL AND source IS NOT NULL
+              AND n_chars IS NOT NULL),
+      rk AS (SELECT fm, g, x,
+              CAST(row_number() OVER (PARTITION BY fm, g ORDER BY x)
+                AS BIGINT) AS rn,
+              CAST(COUNT(*) OVER (PARTITION BY fm, g) AS BIGINT) AS n
+            FROM clean),
+      med AS (SELECT fm, g,
+               CAST(SUM(CASE WHEN rn = (n + 1) // 2 THEN x ELSE 0 END
+                 + CASE WHEN rn = (n + 2) // 2 THEN x ELSE 0 END)
+                 AS BIGINT) AS m2
+              FROM rk GROUP BY 1, 2),
+      dev AS (SELECT clean.fm, clean.g,
+               abs(2 * clean.x - med.m2) AS z
+              FROM clean JOIN med ON clean.fm = med.fm
+                AND clean.g = med.g),
+      cells AS (SELECT fm, g, CAST(COUNT(*) AS BIGINT) AS ng,
+                 CAST(SUM(z) AS BIGINT) AS sg,
+                 CAST(SUM(z * z) AS BIGINT) AS qg
+               FROM dev GROUP BY 1, 2),
+      t AS (SELECT fm, ng, sg, qg, (sg * sg) // ng AS ti,
+              CAST(floor(CAST((sg * sg) % ng AS DOUBLE)
+                / CAST(ng AS DOUBLE) * 1000000000 + 0.5) AS BIGINT)
+                AS tf
+            FROM cells),
+      fam AS (SELECT fm, CAST(SUM(ng) AS BIGINT) AS n,
+                CAST(COUNT(*) AS BIGINT) AS k_groups,
+                CAST(SUM(sg) AS BIGINT) AS s,
+                CAST(SUM(qg) AS BIGINT) AS q,
+                CAST(SUM(ti) AS BIGINT) AS tisum,
+                CAST(SUM(tf) AS BIGINT) AS tfsum
+              FROM t GROUP BY 1),
+      fin AS (SELECT fm, n, k_groups,
+               CAST(tisum AS DOUBLE)
+                 + CAST(tfsum AS DOUBLE) / 1000000000.0 AS tt,
+               CAST((s * s) // n AS DOUBLE)
+                 + CAST(CAST(floor(CAST((s * s) % n AS DOUBLE)
+                     / CAST(n AS DOUBLE) * 1000000000 + 0.5)
+                     AS BIGINT) AS DOUBLE) / 1000000000.0 AS gg,
+               CAST(q AS DOUBLE) AS qd
+             FROM fam)
+      SELECT fm AS lang, n, k_groups,
+             round(tt - gg, 6) + 0 AS ss_between,
+             round(qd - tt, 6) + 0 AS ss_within,
+             CASE WHEN k_groups > 1 AND n > k_groups AND qd - tt > 0
+               THEN round(((tt - gg) / CAST(k_groups - 1 AS DOUBLE))
+                 / ((qd - tt) / CAST(n - k_groups AS DOUBLE)), 6) + 0
+               ELSE 0.0 END AS f,
+             k_groups > 1 AND n > k_groups AND qd - tt > 0 AS defined
+      FROM fin ORDER BY lang""",
+
+    "qDS_friedman" -> """
+      WITH t0 AS (SELECT lang, doc_id, 'a' AS treat,
+               CAST((doc_id * 3) % 11 AS BIGINT) AS x FROM documents
+             UNION ALL SELECT lang, doc_id, 'b',
+               CAST((doc_id * 5) % 11 AS BIGINT) FROM documents
+             UNION ALL SELECT lang, doc_id, 'c',
+               CAST((doc_id * 7) % 11 AS BIGINT) FROM documents),
+      cells AS (SELECT lang AS b, doc_id AS s, treat,
+                 CAST(MAX(x) AS BIGINT) AS x
+               FROM t0 WHERE lang IS NOT NULL GROUP BY 1, 2, 3),
+      kf AS (SELECT b, CAST(COUNT(DISTINCT treat) AS BIGINT) AS k
+             FROM cells GROUP BY 1),
+      wk AS (SELECT cells.b, cells.s, cells.treat, cells.x, kf.k,
+               CAST(COUNT(*) OVER (PARTITION BY cells.b, cells.s)
+                 AS BIGINT) AS ns
+             FROM cells JOIN kf USING (b)),
+      inc AS (SELECT b, CAST(COUNT(DISTINCT s) AS BIGINT) AS ninc
+              FROM wk WHERE ns <> k GROUP BY 1),
+      comp AS (SELECT * FROM wk WHERE ns = k),
+      rkd AS (SELECT b, treat, k,
+               2 * CAST(rank() OVER (PARTITION BY b, s ORDER BY x)
+                 AS BIGINT)
+                 + CAST(COUNT(*) OVER (PARTITION BY b, s, x) AS BIGINT)
+                 - 1 AS r2,
+               CAST(COUNT(*) OVER (PARTITION BY b, s, x) AS BIGINT)
+                 AS tt
+             FROM comp),
+      pt AS (SELECT b, treat, CAST(SUM(r2) AS BIGINT) AS rj,
+               CAST(COUNT(*) AS BIGINT) AS n, MAX(k) AS k,
+               CAST(SUM(tt * tt - 1) AS BIGINT) AS ties
+             FROM rkd GROUP BY 1, 2),
+      fm AS (SELECT b, MAX(n) AS n_subjects, MAX(k) AS k,
+               CAST(SUM(CAST(floor(3.0 * CAST(rj AS DOUBLE)
+                 * CAST(rj AS DOUBLE)
+                 / (CAST(n AS DOUBLE) * CAST(k AS DOUBLE)
+                    * CAST(k + 1 AS DOUBLE))
+                 * 1000000000 + 0.5) AS BIGINT)) AS BIGINT) AS tqs,
+               CAST(SUM(ties) AS BIGINT) AS tiesum
+             FROM pt GROUP BY 1),
+      fin AS (SELECT b, n_subjects, k,
+               CAST(tqs AS DOUBLE) / 1000000000.0
+                 - 3.0 * CAST(n_subjects AS DOUBLE)
+                   * CAST(k + 1 AS DOUBLE) AS chi2,
+               CASE WHEN n_subjects * k > 0
+                 THEN 1.0 - CAST(tiesum AS DOUBLE)
+                   / (CAST(n_subjects AS DOUBLE) * CAST(k AS DOUBLE)
+                      * (CAST(k AS DOUBLE) * CAST(k AS DOUBLE) - 1.0))
+                 ELSE 0.0 END AS c
+             FROM fm)
+      SELECT fin.b AS lang, n_subjects, k AS k_treatments,
+             COALESCE(inc.ninc, 0) AS n_incomplete,
+             round(chi2, 6) + 0 AS chi2_f, round(c, 6) + 0 AS tie_c,
+             CASE WHEN k > 1 AND n_subjects > 1 AND c > 0
+               THEN round(chi2 / c, 6) + 0 ELSE 0.0 END
+               AS chi2_corrected,
+             k > 1 AND n_subjects > 1 AND c > 0 AS defined
+      FROM fin LEFT JOIN inc ON fin.b = inc.b ORDER BY lang""",
 
     "qDQ_wilcoxon" -> """
       WITH base AS (SELECT source AS g,

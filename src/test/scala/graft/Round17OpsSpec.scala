@@ -398,6 +398,71 @@ class Round17OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("brownForsythe: doubled-median deviations feed the ANOVA") {
+    import graft.operators.Classification
+    // g1=[1,2,3,10] m2=5 -> z=(3,1,1,15); g2=[4,6] m2=10 -> z=(2,2)
+    // ANOVA on z: T=108, grand=96, SSB=12, SSW=136, F=0.352941
+    val df = Seq(("f", "g1", 1L), ("f", "g1", 2L), ("f", "g1", 3L),
+      ("f", "g1", 10L), ("f", "g2", 4L), ("f", "g2", 6L))
+      .toDF("fam", "grp", "x")
+    val r = Classification.brownForsythe(df, "fam", "grp", "x").head()
+    assert((r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4),
+      r.getDouble(5), r.getBoolean(6)) ==
+      ((6L, 2L, 12.0, 136.0, 0.352941, true)), r.toString)
+    // equal spreads around different centers: SSB 0, undefined-free
+    val shift = Seq(("f", "g1", 1L), ("f", "g1", 3L), ("f", "g2", 11L),
+      ("f", "g2", 13L)).toDF("fam", "grp", "x")
+    val rs = Classification.brownForsythe(shift, "fam", "grp", "x")
+      .head()
+    assert(rs.getDouble(3) == 0.0 && rs.getDouble(5) == 0.0,
+      rs.toString)
+  }
+
+  test("friedman: matched-block ranks, ties, incomplete blocks") {
+    import graft.operators.Classification
+    // classic 4x3, no ties: R=(5,10,9) -> chi2 = 51.5 - 48 = 3.5
+    val rows = Seq(
+      ("s1", "a", 1L), ("s1", "b", 2L), ("s1", "c", 3L),
+      ("s2", "a", 2L), ("s2", "b", 3L), ("s2", "c", 1L),
+      ("s3", "a", 1L), ("s3", "b", 3L), ("s3", "c", 2L),
+      ("s4", "a", 1L), ("s4", "b", 2L), ("s4", "c", 3L))
+      .map { case (s, t, x) => ("g", s, t, x) }
+      .toDF("grp", "subj", "treat", "x")
+    val r = Classification.friedman(rows, "grp", "subj", "treat", "x")
+      .head()
+    assert((r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4),
+      r.getDouble(5), r.getDouble(6), r.getBoolean(7)) ==
+      ((4L, 3L, 0L, 3.5, 1.0, 3.5, true)), r.toString)
+    // ties (doubled avg ranks) + one incomplete subject dropped:
+    // R2=(5,8,11), chi2=2.25, C=0.75, corrected=3.0
+    val tied = Seq(
+      ("s1", "a", 1L), ("s1", "b", 1L), ("s1", "c", 2L),
+      ("s2", "a", 1L), ("s2", "b", 2L), ("s2", "c", 2L),
+      ("s3", "a", 9L))
+      .map { case (s, t, x) => ("g", s, t, x) }
+      .toDF("grp", "subj", "treat", "x")
+    val rt = Classification.friedman(tied, "grp", "subj", "treat", "x")
+      .head()
+    assert((rt.getLong(1), rt.getLong(2), rt.getLong(3),
+      rt.getDouble(4), rt.getDouble(5), rt.getDouble(6),
+      rt.getBoolean(7)) == ((2L, 3L, 1L, 2.25, 0.75, 3.0, true)),
+      rt.toString)
+    // every subject incomplete: group stays visible, undefined
+    val allInc = Seq(("g", "s1", "a", 1L), ("g", "s2", "b", 2L))
+      .toDF("grp", "subj", "treat", "x")
+    val ri = Classification.friedman(allInc, "grp", "subj", "treat",
+      "x").head()
+    assert((ri.getLong(1), ri.getLong(3), ri.getBoolean(7)) ==
+      ((0L, 2L, false)), ri.toString)
+    // duplicate cell refused plan-side
+    intercept[Exception] {
+      Classification.friedman(
+        Seq(("g", "s1", "a", 1L), ("g", "s1", "a", 2L))
+          .toDF("grp", "subj", "treat", "x"),
+        "grp", "subj", "treat", "x").collect()
+    }
+  }
+
   test("wilcoxonSignedRank: ranks, ties, zeros by hand") {
     import graft.operators.Preference
     // d = +1,+2,+3,-4: ranks 1..4, W+ = 6, num = (2*12-20)/4 = 1,
