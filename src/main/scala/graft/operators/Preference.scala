@@ -1962,6 +1962,54 @@ object Preference {
   }
 
   /**
+   * Benjamini–Yekutieli FDR control (Benjamini & Yekutieli 2001) —
+   * [[bhFdr]] for ARBITRARY dependence: BH's q-guarantee needs
+   * independence or positive dependence; when the family's tests
+   * share data (overlapping slices, one model scored many ways), BY
+   * divides the budget by the harmonic number c(m) = Σ₁..m 1/i and
+   * holds the FDR under ANY dependence — the conservative default
+   * when the dependence structure is unknown.
+   *
+   * Exact contract: same ranked frame, grid recovery, bounds and
+   * refusals as [[bhFdr]]; c(m) accumulates per-rank 1/i terms on
+   * the 1e-9 grid (exact-long window sum over the family — order-
+   * free); the acceptance pq·m·100·c(m) ≤ q%·i·10⁹ multiplies the
+   * integer left side by the de-quantized c(m), so the boundary
+   * COMPARES run on identical doubles in any engine (the qCV
+   * decision precedent — the pure-integer form would need a 10¹⁸
+   * product headroom c(m) doesn't leave). Step-up cutoff = window
+   * max, as BH.
+   *
+   * Scale shape: identical to [[bhFdr]] plus one more unordered
+   * window aggregate on the same exchange.
+   *
+   * @return one row per performed test: (familyCol, idCol, p, rank,
+   *         m, c_m rounded 6, k, reject)
+   */
+  def byFdr(tests: DataFrame, familyCol: String, idCol: String,
+            pCol: String, qPct: Int): DataFrame = {
+    require(qPct >= 1 && qPct <= 99,
+      s"qPct must be an integer percent in [1, 99], got $qPct")
+    val ranked = rankedPvals(tests, familyCol, idCol, pCol, "byFdr")
+    import org.apache.spark.sql.expressions.Window
+    val fam = Window.partitionBy(col("__f"))
+    val hq = floor(lit(1.0) / col("__rnk").cast("double") * lit(1e9) +
+      lit(0.5)).cast("long")
+    val cmq = sum(hq).over(fam)
+    val withCm = ranked.select(col("__f"), col("__id"), col("__p"),
+      col("__pq"), col("__rnk"), col("__m"), cmq.as("__cmq"))
+    val cm = col("__cmq").cast("double") / lit(1e9)
+    val acc = when((col("__pq") * col("__m") * lit(100L)).cast("double") *
+      cm <= (lit(qPct.toLong) * col("__rnk")).cast("double") * lit(1e9),
+      col("__rnk")).otherwise(lit(0L))
+    val cutoff = max(acc).over(Window.partitionBy(col("__f")))
+    withCm.select(col("__f").as(familyCol), col("__id").as(idCol),
+      col("__p").as("p"), col("__rnk").as("rank"), col("__m").as("m"),
+      round(cm, 6).as("c_m"), cutoff.as("k"),
+      (col("__rnk") <= cutoff).as("reject"))
+  }
+
+  /**
    * Wilcoxon signed-rank test statistic (Wilcoxon 1945) — the
    * middle rung of the paired-significance ladder: [[signTest]]
    * uses only SIGNS, [[permutationTest]] resamples raw magnitudes;

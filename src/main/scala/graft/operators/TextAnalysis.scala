@@ -1905,6 +1905,74 @@ object TextAnalysis {
   }
 
   /**
+   * Term burstiness — variance-to-mean ratio of per-document term
+   * counts (Church & Gale 1995) — the "content word or function
+   * word" axis beside raw frequency: under a Poisson (non-bursty)
+   * process VMR ≈ 1; topical content words CLUMP (a document about
+   * kernels mentions "kernel" twenty times, most mention it never) →
+   * VMR ≫ 1, while function words sit near 1 at any frequency.
+   * Boilerplate/template detection and stopword induction both read
+   * this axis.
+   *
+   * Exact contract: per-(doc, term) counts, df, Σc and Σc² are exact
+   * longs (absent docs contribute exact zeros to every moment, so
+   * only present pairs are ever materialized); the mean-square term
+   * (Σc)²/n splits by integer div/mod (the [[Classification
+   * .oneWayAnova]] trick — exact at any magnitude the square
+   * permits, |Σc| ≤ 3.037·10⁹ ENFORCED plan-side); mean, variance
+   * and VMR are one fixed dag. The top-k cut is a TOTAL (total DESC,
+   * term ASC) order planned as TakeOrderedAndProject. n_docs ≤ 1 or
+   * zero-total terms → defined = false (can't happen past minDf ≥ 1
+   * — defensive).
+   *
+   * Scale shape: one token explode → one (doc, term) hash aggregate
+   * → one term aggregate → distributed top-k; the doc count is a
+   * one-row broadcast cross. The corpus never sorts.
+   *
+   * @return top-k rows: (term, df, total, mean, vmr — rounded 6,
+   *         defined), ordered (total DESC, term)
+   */
+  def termBurstiness(docs: DataFrame, idCol: String, textCol: String,
+                     topK: Int = 50, minDf: Long = 2L): DataFrame = {
+    require(topK > 0, s"topK must be positive, got $topK")
+    require(minDf >= 1L, s"minDf must be >= 1, got $minDf")
+    val base = docs.filter(col(idCol).isNotNull)
+    val nDocs = base.agg(count(lit(1)).as("__n"))
+    val perDoc = base
+      .select(col(idCol).as("__id"),
+        explode(tokens(coalesce(col(textCol), lit("")))).as("__t"))
+      .groupBy(col("__id"), col("__t"))
+      .agg(count(lit(1)).as("__c"))
+    val terms = perDoc.groupBy(col("__t"))
+      .agg(count(lit(1)).as("df"), sum(col("__c")).as("total"),
+        sum(col("__c") * col("__c")).as("__c2"))
+      .filter(col("df") >= minDf)
+      .crossJoin(broadcast(nDocs))
+    val totOk = when(col("total") <= 3037000499L, col("total"))
+      .otherwise(raise_error(concat(
+        lit("termBurstiness: term "), col("__t"),
+        lit(" has total "), col("total").cast("string"),
+        lit(" > 3037000499 — its square overflows signed-64; " +
+          "shard the corpus"))))
+    val sq = totOk * totOk
+    val ti = call_function("div", sq, col("__n"))
+    val tf = floor((sq % col("__n")).cast("double") /
+      col("__n").cast("double") * lit(1e9) + lit(0.5)).cast("long")
+    def d(c: org.apache.spark.sql.Column) = c.cast("double")
+    val meanSq = d(ti) + d(tf) / lit(1e9)
+    val mean = d(col("total")) / d(col("__n"))
+    val vmr = ((d(col("__c2")) - meanSq) / d(col("__n") - 1L)) / mean
+    val defined = col("__n") > 1 && col("total") > 0
+    terms.select(col("__t").as("term"), col("df"), col("total"),
+        round(mean, 6).as("mean"),
+        when(defined, graft.functions.GateRound(vmr, 6))
+          .otherwise(lit(0.0)).as("vmr"),
+        defined.as("defined"))
+      .orderBy(col("total").desc, col("term"))
+      .limit(topK)
+  }
+
+  /**
    * Overflow-proof 1e-9-grid rank keys for a non-negative-ish score:
    * (⌊x⌋ as long, ⌊(x − ⌊x⌋)·10⁹ + ½⌋ as long). Lexicographic order
    * on the pair is monotone in x at 1e-9 resolution — including for

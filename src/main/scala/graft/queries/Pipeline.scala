@@ -1988,6 +1988,31 @@ object Pipeline {
       TextAnalysis.zipfSlope(T(s, dir)("documents"), "text", topR = 300)
     }),
 
+    // term burstiness (Church-Gale VMR) over the top-40 terms: the
+    // content-vs-function-word axis — exact per-doc moments, div/mod
+    // mean-square split, TakeOrderedAndProject cut
+    "qDT_burstiness" -> ((s, dir) => {
+      TextAnalysis.termBurstiness(T(s, dir)("documents"), "doc_id",
+        "text", topK = 40, minDf = 2L)
+    }),
+
+    // Benjamini-Yekutieli FDR over the qDE family: BH for arbitrary
+    // dependence — the harmonic budget c(m) on the 1e-9 grid,
+    // boundary compares on identical doubles
+    "qDU_by_fdr" -> ((s, dir) => {
+      val d = T(s, dir)("documents")
+      def fam(name: String, win: org.apache.spark.sql.Column) =
+        graft.operators.Preference.signTest(
+            d.select(col("source"), win.as("win")), "source", "win")
+          .select(lit(name).as("family"), col("source").as("test_id"),
+            col("p_two"))
+      graft.operators.Preference.byFdr(
+          fam("m7", col("doc_id") % 7 > 3)
+            .unionByName(fam("m5", col("doc_id") % 5 > 1)),
+          "family", "test_id", "p_two", qPct = 10)
+        .orderBy(col("family"), col("test_id"))
+    }),
+
     // Brown-Forsythe robust spread test per language across sources:
     // qDJ's variance-homogeneity precondition — doubled exact medians,
     // integer deviations, the full ANOVA div/mod chain on top
@@ -4972,6 +4997,86 @@ object Pipeline {
                END AS survival,
              round(CAST(ch AS DOUBLE) / 1000000000.0, 6) AS cum_hazard
       FROM cm WHERE d > 0 ORDER BY source, t""",
+
+    "qDT_burstiness" -> """
+      WITH nd AS (SELECT CAST(COUNT(*) AS BIGINT) AS n
+                  FROM documents WHERE doc_id IS NOT NULL),
+      tk AS (SELECT doc_id,
+              unnest(regexp_extract_all(COALESCE(text, ''), '\S+'))
+                AS t
+            FROM documents WHERE doc_id IS NOT NULL),
+      pd AS (SELECT doc_id, t, CAST(COUNT(*) AS BIGINT) AS c
+             FROM tk GROUP BY 1, 2),
+      tm AS (SELECT t, CAST(COUNT(*) AS BIGINT) AS df,
+               CAST(SUM(c) AS BIGINT) AS total,
+               CAST(SUM(c * c) AS BIGINT) AS c2
+             FROM pd GROUP BY 1 HAVING COUNT(*) >= 2),
+      j AS (SELECT tm.*, nd.n, (total * total) // n AS ti,
+              CAST(floor(CAST((total * total) % n AS DOUBLE)
+                / CAST(n AS DOUBLE) * 1000000000 + 0.5) AS BIGINT)
+                AS tf
+            FROM tm CROSS JOIN nd)
+      SELECT t AS term, df, total,
+             round(CAST(total AS DOUBLE) / CAST(n AS DOUBLE), 6)
+               AS mean,
+             CASE WHEN n > 1 AND total > 0
+               THEN round(((CAST(c2 AS DOUBLE)
+                 - (CAST(ti AS DOUBLE)
+                    + CAST(tf AS DOUBLE) / 1000000000.0))
+                 / CAST(n - 1 AS DOUBLE))
+                 / (CAST(total AS DOUBLE) / CAST(n AS DOUBLE)), 6) + 0
+               ELSE 0.0 END AS vmr,
+             n > 1 AND total > 0 AS defined
+      FROM j ORDER BY total DESC, term LIMIT 40""",
+
+    "qDU_by_fdr" -> """
+      WITH r7 AS (SELECT source, doc_id % 7 > 3 AS w FROM documents),
+      r5 AS (SELECT source, doc_id % 5 > 1 AS w FROM documents),
+      st AS (SELECT 'm7' AS family, source AS test_id,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(CASE WHEN w THEN 1 ELSE 0 END) AS BIGINT)
+                 AS wins,
+               CAST(SUM(CASE WHEN NOT w THEN 1 ELSE 0 END) AS BIGINT)
+                 AS losses
+             FROM r7 GROUP BY 2
+             UNION ALL
+             SELECT 'm5', source, CAST(COUNT(*) AS BIGINT),
+               CAST(SUM(CASE WHEN w THEN 1 ELSE 0 END) AS BIGINT),
+               CAST(SUM(CASE WHEN NOT w THEN 1 ELSE 0 END) AS BIGINT)
+             FROM r5 GROUP BY 2),
+      v AS (SELECT *, greatest(wins, losses) AS kmax FROM st),
+      pv AS (SELECT family, test_id,
+               CASE WHEN n > 0 THEN round(least(1.0, 2.0 *
+                 list_reduce(list_transform(range(kmax, n + 1),
+                   i -> pow(0.5, CAST(n AS DOUBLE)) * list_reduce(
+                          list_transform(range(1, i + 1),
+                            j -> (CAST(n AS DOUBLE) - CAST(i AS DOUBLE)
+                                  + CAST(j AS DOUBLE))
+                                 / CAST(j AS DOUBLE)),
+                          (a, b) -> a * b)),
+                   (a, b) -> a + b)), 6) ELSE 0.0 END AS p
+             FROM v),
+      q AS (SELECT family, test_id, p,
+              CAST(floor(p * 1000000000 + 0.5) AS BIGINT) AS pq
+            FROM pv),
+      wn AS (SELECT *, CAST(row_number() OVER (PARTITION BY family
+               ORDER BY pq, test_id) AS BIGINT) AS rnk,
+              CAST(COUNT(*) OVER (PARTITION BY family) AS BIGINT) AS m
+             FROM q),
+      hm AS (SELECT *, CAST(SUM(CAST(floor(1.0 / CAST(rnk AS DOUBLE)
+               * 1000000000 + 0.5) AS BIGINT))
+               OVER (PARTITION BY family) AS BIGINT) AS cmq
+             FROM wn),
+      ac AS (SELECT *, CASE WHEN CAST(pq * m * 100 AS DOUBLE)
+               * (CAST(cmq AS DOUBLE) / 1000000000.0)
+               <= CAST(10 * rnk AS DOUBLE) * 1000000000.0
+               THEN rnk ELSE 0 END AS acc FROM hm),
+      kc AS (SELECT *, MAX(acc) OVER (PARTITION BY family) AS k
+             FROM ac)
+      SELECT family, test_id, p, rnk AS rank, m,
+             round(CAST(cmq AS DOUBLE) / 1000000000.0, 6) AS c_m,
+             k, rnk <= k AS reject
+      FROM kc ORDER BY family, test_id""",
 
     "qDR_brown_forsythe" -> """
       WITH clean AS (SELECT lang AS fm, source AS g,

@@ -398,6 +398,52 @@ class Round17OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("termBurstiness: VMR separates clumped from spread terms") {
+    // docs "x x x"/"y"/"y z": x clumps (vmr 3), y spreads (0.5),
+    // z is Poisson-like (1.0) — through the div/mod mean-square path
+    val docs = Seq((1L, "x x x"), (2L, "y"), (3L, "y z"))
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.termBurstiness(docs, "doc_id", "text",
+        topK = 10, minDf = 1L)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getDouble(4)))
+    assert(out.toSeq == Seq(("x", 1L, 3L, 1.0, 3.0),
+      ("y", 2L, 2L, 0.666667, 0.5), ("z", 1L, 1L, 0.333333, 1.0)),
+      out.mkString(";"))
+    // minDf prunes the hapax tail
+    val pruned = TextAnalysis.termBurstiness(docs, "doc_id", "text",
+      topK = 10, minDf = 2L).collect().map(_.getString(0))
+    assert(pruned.toSeq == Seq("y"))
+    intercept[IllegalArgumentException] {
+      TextAnalysis.termBurstiness(docs, "doc_id", "text", topK = 0)
+    }
+  }
+
+  test("byFdr: harmonic budget is stricter than BH on the same family") {
+    import graft.operators.Preference
+    // q=10%, m=5, c(5)=2.283333 (quantized): BH crit .02i accepts
+    // rank 3 (p=.03 <= .06) -> k=3; BY crit .02i/c rejects it
+    // (.03 > .026277) -> k=2
+    val ps = Seq(0.001, 0.002, 0.03, 0.5, 0.9)
+    val f = ps.zipWithIndex.map { case (p, i) => ("f", s"t$i", p) }
+      .toDF("family", "test_id", "p")
+    val by = Preference.byFdr(f, "family", "test_id", "p", 10)
+      .collect().map(r => r.getString(1) ->
+        ((r.getLong(3), r.getDouble(5), r.getLong(6),
+          r.getBoolean(7)))).toMap
+    assert(by("t2") == ((3L, 2.283333, 2L, false)), by("t2").toString)
+    assert(by("t1")._4 && !by("t2")._4 && by.values.count(_._4) == 2)
+    val bh = Preference.bhFdr(f, "family", "test_id", "p", 10)
+      .collect().map(r => r.getString(1) -> r.getBoolean(6)).toMap
+    assert(bh("t2") && bh.values.count(identity(_)) == 3,
+      "BH must accept rank 3 where BY refuses")
+    // single test: c(1) = 1, BY == BH == plain q
+    val one = Preference.byFdr(Seq(("a", "x", 0.04))
+        .toDF("family", "test_id", "p"), "family", "test_id", "p", 5)
+      .head()
+    assert(one.getDouble(5) == 1.0 && one.getBoolean(7))
+  }
+
   test("brownForsythe: doubled-median deviations feed the ANOVA") {
     import graft.operators.Classification
     // g1=[1,2,3,10] m2=5 -> z=(3,1,1,15); g2=[4,6] m2=10 -> z=(2,2)
