@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /**
@@ -2007,6 +2007,69 @@ object Preference {
       col("__p").as("p"), col("__rnk").as("rank"), col("__m").as("m"),
       round(cm, 6).as("c_m"), cutoff.as("k"),
       (col("__rnk") <= cutoff).as("reject"))
+  }
+
+  /**
+   * Mantel–Haenszel pooled odds ratio (Mantel & Haenszel 1959) —
+   * the stratified 2×2 pooling [[stratifiedWinRate]]'s rate view
+   * can't give: K strata each contribute a (exposed×success) table,
+   * and OR_MH = Σ aᵢdᵢ/nᵢ / Σ bᵢcᵢ/nᵢ estimates the COMMON odds
+   * ratio free of the confound that defined the strata (Simpson's
+   * paradox insurance: pooling the raw tables can reverse the
+   * effect; MH cannot). The meta-analysis primitive for "does the
+   * filter help, controlling for source".
+   *
+   * Exact contract: the four cells per stratum are exact longs; each
+   * stratum's aᵢdᵢ/nᵢ and bᵢcᵢ/nᵢ is a fixed float dag over them
+   * quantized to the 1e-9 grid (terms ≤ nᵢ/4 — signed-64 holds to
+   * ~3.7·10¹⁰-row strata), so both cross-stratum sums are exact in
+   * any partition order; OR is ONE division of the de-quantized
+   * sums and ln OR one further libm call (the parity precedent).
+   * Zero denominator (no stratum has a discordant pair) → defined =
+   * false.
+   *
+   * Scale shape: two chained partial/final aggregates — (group,
+   * stratum) then group; nothing else (the stratifiedWinRate shape).
+   *
+   * @return (byCol, n, n_strata, or_mh, ln_or — rounded 6
+   *         (ln gateRounded), defined)
+   */
+  def mantelHaenszel(df: DataFrame, byCol: String, stratumCol: String,
+                     exposedCol: String, successCol: String): DataFrame = {
+    Seq(exposedCol, successCol).foreach { c =>
+      require(df.schema(c).dataType ==
+          org.apache.spark.sql.types.BooleanType,
+        s"mantelHaenszel: $c must be boolean (got " +
+          s"${df.schema(c).dataType.simpleString})")
+    }
+    val e = col(exposedCol)
+    val s = col(successCol)
+    val per = df.filter(col(byCol).isNotNull && col(stratumCol).isNotNull &&
+        e.isNotNull && s.isNotNull)
+      .groupBy(col(byCol).as("__g"), col(stratumCol).as("__s"))
+      .agg(count(lit(1)).as("__n"),
+        sum(when(e && s, 1L).otherwise(0L)).as("__a"),
+        sum(when(e && !s, 1L).otherwise(0L)).as("__b"),
+        sum(when(!e && s, 1L).otherwise(0L)).as("__c"),
+        sum(when(!e && !s, 1L).otherwise(0L)).as("__d"))
+    def d(c: Column) = c.cast("double")
+    val qNum = floor(d(col("__a")) * d(col("__d")) / d(col("__n")) *
+      lit(1e9) + lit(0.5)).cast("long")
+    val qDen = floor(d(col("__b")) * d(col("__c")) / d(col("__n")) *
+      lit(1e9) + lit(0.5)).cast("long")
+    val stats = per
+      .select(col("__g"), col("__n"), qNum.as("__qn"), qDen.as("__qd"))
+      .groupBy(col("__g"))
+      .agg(sum(col("__n")).as("n"), count(lit(1)).as("n_strata"),
+        sum(col("__qn")).as("__sn"), sum(col("__qd")).as("__sd"))
+    val orMh = d(col("__sn")) / d(col("__sd"))
+    val defined = col("__sd") > 0L
+    stats.select(col("__g").as(byCol), col("n"), col("n_strata"),
+      when(defined, round(orMh, 6)).otherwise(lit(0.0)).as("or_mh"),
+      when(defined && col("__sn") > 0L,
+        graft.functions.GateRound(log(orMh), 6)).otherwise(lit(0.0))
+        .as("ln_or"),
+      defined.as("defined"))
   }
 
   /**

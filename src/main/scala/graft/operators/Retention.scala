@@ -164,4 +164,166 @@ object Retention {
         round(col("__ch").cast("double") / lit(1e9), 6)
           .as("cum_hazard"))
   }
+
+  /**
+   * Two-sample log-rank test (Mantel 1966, Peto & Peto 1972) — "are
+   * these two survival curves the same curve": [[kaplanMeier]] draws
+   * each arm's curve; the log-rank z says whether the gap is real,
+   * weighting every event time by its at-risk population — the
+   * standard A/B read-out for retention and completion-time
+   * experiments under censoring.
+   *
+   * Exact contract: per-(family, time) death/at-risk counts for the
+   * total AND the treatment arm ride ONE frame (conditional sums +
+   * two DESC cumulative windows on the same exchange) — all exact
+   * longs; each event time's observed-minus-expected d₁ − d·n₁/n
+   * and hypergeometric variance d·(n₁/n)(1−n₁/n)(n−d)/(n−1) are
+   * fixed float dags over those longs, quantized to the 1e-9 grid
+   * (signed, the qCW convention) so both cross-time sums are exact
+   * in any partition order; z = ΣOE/√ΣV is one fixed dag,
+   * gateRounded, and χ² = z² beside it. Zero total variance (no
+   * event time mixes the arms) → defined = false.
+   *
+   * Scale shape: one (family, time) hash aggregate → ONE exchange on
+   * the family key + one in-partition DESC sort (both at-risk
+   * cumulatives share it) → one family aggregate. The subject table
+   * never sorts.
+   *
+   * @return one row per family: (byCol, n, n_arm, n_events, o_minus_e,
+   *         var_sum, z, chi2 — rounded 6, defined)
+   */
+  def logRank(df: DataFrame, byCol: String, armCol: String,
+              durationCol: String, observedCol: String): DataFrame = {
+    require(org.apache.spark.sql.graftbridge.ColumnBridge
+        .isIntegral(df.schema(durationCol).dataType),
+      s"logRank: $durationCol must be integral (got " +
+        s"${df.schema(durationCol).dataType.simpleString}) — exact time " +
+        "ties are the point")
+    Seq(armCol, observedCol).foreach { c =>
+      require(df.schema(c).dataType ==
+          org.apache.spark.sql.types.BooleanType,
+        s"logRank: $c must be boolean (got " +
+          s"${df.schema(c).dataType.simpleString})")
+    }
+    val ct = df.filter(col(byCol).isNotNull && col(armCol).isNotNull &&
+        col(durationCol).isNotNull && col(observedCol).isNotNull)
+      .select(col(byCol).as("__g"),
+        col(durationCol).cast("long").as("__t"),
+        when(col(observedCol), 1L).otherwise(0L).as("__e"),
+        when(col(armCol), 1L).otherwise(0L).as("__a"))
+      .groupBy(col("__g"), col("__t"))
+      .agg(sum(col("__e")).as("__d"),
+        sum(col("__e") * col("__a")).as("__d1"),
+        count(lit(1)).as("__tot"), sum(col("__a")).as("__tot1"))
+    import org.apache.spark.sql.expressions.Window
+    val desc = Window.partitionBy(col("__g")).orderBy(col("__t").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val withN = ct.select(col("__g"), col("__t"), col("__d"),
+      col("__d1"), col("__tot"), col("__tot1"),
+      sum(col("__tot")).over(desc).as("__n"),
+      sum(col("__tot1")).over(desc).as("__n1"))
+    def d(c: org.apache.spark.sql.Column) = c.cast("double")
+    val p1 = d(col("__n1")) / d(col("__n"))
+    val oe = d(col("__d1")) - d(col("__d")) * p1
+    val v = when(col("__n") > 1, d(col("__d")) * p1 * (lit(1.0) - p1) *
+      (d(col("__n") - col("__d")) / d(col("__n") - 1L)))
+      .otherwise(lit(0.0))
+    val qoe = when(col("__d") > 0,
+      floor(oe * lit(1e9) + lit(0.5)).cast("long")).otherwise(lit(0L))
+    val qv = when(col("__d") > 0,
+      floor(v * lit(1e9) + lit(0.5)).cast("long")).otherwise(lit(0L))
+    val stats = withN
+      .select(col("__g"), col("__tot"), col("__tot1"), col("__d"),
+        qoe.as("__qoe"), qv.as("__qv"))
+      .groupBy(col("__g"))
+      .agg(sum(col("__tot")).as("n"), sum(col("__tot1")).as("n_arm"),
+        sum(col("__d")).as("n_events"), sum(col("__qoe")).as("__soe"),
+        sum(col("__qv")).as("__sv"))
+    val soe = d(col("__soe")) / lit(1e9)
+    val sv = d(col("__sv")) / lit(1e9)
+    val defined = col("__sv") > 0L
+    stats.select(col("__g").as(byCol), col("n"), col("n_arm"),
+      col("n_events"),
+      graft.functions.GateRound(soe, 6).as("o_minus_e"),
+      round(sv, 6).as("var_sum"),
+      when(defined, graft.functions.GateRound(soe / sqrt(sv), 6))
+        .otherwise(lit(0.0)).as("z"),
+      when(defined, graft.functions.GateRound(soe / sqrt(sv) *
+        (soe / sqrt(sv)), 6)).otherwise(lit(0.0)).as("chi2"),
+      defined.as("defined"))
+  }
+
+  /**
+   * One-sided upper CUSUM change detector (Page 1954) — the
+   * sequential "did this metric drift up" monitor for a per-group
+   * ordered series (error rates per batch, latency per window, queue
+   * depth per tick): the Page recursion Sᵢ = max(0, Sᵢ₋₁ + xᵢ − k)
+   * accumulates evidence of a level shift past the reference k and
+   * alarms when S crosses h — far faster to detect small sustained
+   * shifts than any fixed-window mean compare.
+   *
+   * Exact contract: 100% INTEGER. The recursion is NOT a window
+   * primitive, but its closed form is — Sᵢ = Cᵢ − min_{j≤i} Cⱼ with
+   * Cᵢ the plain cumulative of yᵢ = xᵢ − k (including the C₀ = 0
+   * virtual start: the running min is clamped at 0) — so one
+   * cumulative-sum window and one running-min window over the SAME
+   * (group, seq) sort give the exact S series; the alarm compare
+   * S > h, the alarm census and the argmin-style first-alarm are
+   * all integer. Duplicate seq values are REFUSED (raise_error —
+   * CUSUM over an ambiguous order is a different series per run).
+   *
+   * Scale shape: one exchange on the group key + ONE in-partition
+   * sort (cumsum, running-min, and the duplicate-seq check share
+   * it), one partial/final aggregate to |groups| rows.
+   *
+   * @return (byCol, n, max_s — the peak statistic, n_alarms,
+   *         first_alarm_seq — null when never — threshold h echoed,
+   *         alarmed)
+   */
+  def cusum(df: DataFrame, byCol: String, seqCol: String, xCol: String,
+            target: Long, threshold: Long): DataFrame = {
+    require(threshold > 0, s"threshold must be positive, got $threshold")
+    Seq(seqCol, xCol).foreach { c =>
+      require(org.apache.spark.sql.graftbridge.ColumnBridge
+          .isIntegral(df.schema(c).dataType),
+        s"cusum: $c must be integral (got " +
+          s"${df.schema(c).dataType.simpleString}) — the all-integer " +
+          "detection contract")
+    }
+    val clean = df.filter(col(byCol).isNotNull && col(seqCol).isNotNull &&
+        col(xCol).isNotNull)
+      .select(col(byCol).as("__g"), col(seqCol).cast("long").as("__i"),
+        (col(xCol).cast("long") - lit(target)).as("__y"))
+    import org.apache.spark.sql.expressions.Window
+    val ord = Window.partitionBy(col("__g")).orderBy(col("__i"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val guarded = clean
+      .select(col("__g"), col("__i"), col("__y"),
+        count(lit(1)).over(Window.partitionBy(col("__g"), col("__i")))
+          .as("__dup"))
+      .select(col("__g"), col("__i"),
+        when(col("__dup") === 1L, col("__y")).otherwise(raise_error(
+          concat(lit("cusum: duplicate sequence value "),
+            col("__i").cast("string"), lit(" in group "),
+            col("__g").cast("string"),
+            lit(" — the detection order is ambiguous; dedupe " +
+              "upstream")))).as("__y"))
+    // S_i = C_i - min(0, min_{j<=i} C_j): the virtual C_0 = 0 start
+    // clamps the running min at zero
+    val withCum = guarded.select(col("__g"), col("__i"),
+      sum(col("__y")).over(ord).as("__c"))
+    val s = col("__c") - least(lit(0L), min(col("__c")).over(ord))
+    val rows = withCum
+      .select(col("__g"), col("__i"), s.as("__s"))
+      .select(col("__g"), col("__i"), col("__s"),
+        (col("__s") > threshold).as("__al"))
+    rows.groupBy(col("__g"))
+      .agg(count(lit(1)).as("n"), max(col("__s")).as("max_s"),
+        sum(when(col("__al"), 1L).otherwise(0L)).as("n_alarms"),
+        min(when(col("__al"), col("__i"))).as("first_alarm_seq"))
+      .select(col("__g").as(byCol), col("n"), col("max_s"),
+        col("n_alarms"), col("first_alarm_seq"),
+        lit(threshold).as("h"),
+        (col("n_alarms") > 0L).as("alarmed"))
+  }
 }

@@ -1988,6 +1988,42 @@ object Pipeline {
       TextAnalysis.zipfSlope(T(s, dir)("documents"), "text", topR = 300)
     }),
 
+    // two-sample log-rank per language (even vs odd docs as arms over
+    // the qDO durations): are the two survival curves the same —
+    // exact at-risk cumulatives, 1e-9-grid O-E and variance terms
+    "qDV_log_rank" -> ((s, dir) => {
+      graft.operators.Retention.logRank(
+          T(s, dir)("documents").select(col("lang"),
+            (col("doc_id") % 2 === 0).as("arm"),
+            (col("doc_id") % 50 + 1).as("dur"),
+            (col("doc_id") % 4 =!= 0).as("obs")),
+          "lang", "arm", "dur", "obs")
+        .orderBy(col("lang"))
+    }),
+
+    // Mantel-Haenszel pooled odds ratio per language, stratified by
+    // source (Simpson's-paradox-proof pooling): 1e-9-grid stratum
+    // terms, one division of de-quantized sums
+    "qDW_mantel_haenszel" -> ((s, dir) => {
+      graft.operators.Preference.mantelHaenszel(
+          T(s, dir)("documents").select(col("lang"), col("source"),
+            (col("doc_id") % 2 === 0).as("exp"),
+            (col("doc_id") % 3 === 0).as("succ")),
+          "lang", "source", "exp", "succ")
+        .orderBy(col("lang"))
+    }),
+
+    // Page's CUSUM drift monitor per source over a doc_id-ordered
+    // synthetic metric: the recursion as cumsum minus clamped running
+    // min — 100% integer detection path
+    "qDX_cusum" -> ((s, dir) => {
+      graft.operators.Retention.cusum(
+          T(s, dir)("documents").select(col("source"), col("doc_id"),
+            (col("doc_id") % 13).as("x")),
+          "source", "doc_id", "x", target = 6L, threshold = 50L)
+        .orderBy(col("source"))
+    }),
+
     // term burstiness (Church-Gale VMR) over the top-40 terms: the
     // content-vs-function-word axis — exact per-doc moments, div/mod
     // mean-square split, TakeOrderedAndProject cut
@@ -4997,6 +5033,111 @@ object Pipeline {
                END AS survival,
              round(CAST(ch AS DOUBLE) / 1000000000.0, 6) AS cum_hazard
       FROM cm WHERE d > 0 ORDER BY source, t""",
+
+    "qDV_log_rank" -> """
+      WITH base AS (SELECT lang AS g,
+              CAST(doc_id % 50 + 1 AS BIGINT) AS t,
+              CASE WHEN doc_id % 4 <> 0 THEN 1 ELSE 0 END AS e,
+              CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END AS a
+            FROM documents WHERE lang IS NOT NULL),
+      ct AS (SELECT g, t, CAST(SUM(e) AS BIGINT) AS d,
+               CAST(SUM(e * a) AS BIGINT) AS d1,
+               CAST(COUNT(*) AS BIGINT) AS tot,
+               CAST(SUM(a) AS BIGINT) AS tot1
+             FROM base GROUP BY 1, 2),
+      rk AS (SELECT *, CAST(SUM(tot) OVER (PARTITION BY g
+               ORDER BY t DESC ROWS BETWEEN UNBOUNDED PRECEDING AND
+               CURRENT ROW) AS BIGINT) AS n,
+              CAST(SUM(tot1) OVER (PARTITION BY g ORDER BY t DESC
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                AS BIGINT) AS n1
+             FROM ct),
+      q AS (SELECT g, tot, tot1, d,
+              CASE WHEN d > 0 THEN CAST(floor((CAST(d1 AS DOUBLE)
+                - CAST(d AS DOUBLE)
+                  * (CAST(n1 AS DOUBLE) / CAST(n AS DOUBLE)))
+                * 1000000000 + 0.5) AS BIGINT) ELSE 0 END AS qoe,
+              CASE WHEN d > 0 THEN CAST(floor((CASE WHEN n > 1
+                THEN CAST(d AS DOUBLE)
+                  * (CAST(n1 AS DOUBLE) / CAST(n AS DOUBLE))
+                  * (1.0 - CAST(n1 AS DOUBLE) / CAST(n AS DOUBLE))
+                  * (CAST(n - d AS DOUBLE) / CAST(n - 1 AS DOUBLE))
+                ELSE 0.0 END) * 1000000000 + 0.5) AS BIGINT)
+                ELSE 0 END AS qv
+            FROM rk),
+      st AS (SELECT g, CAST(SUM(tot) AS BIGINT) AS n,
+               CAST(SUM(tot1) AS BIGINT) AS n_arm,
+               CAST(SUM(d) AS BIGINT) AS n_events,
+               CAST(SUM(qoe) AS BIGINT) AS soe,
+               CAST(SUM(qv) AS BIGINT) AS sv
+             FROM q GROUP BY 1)
+      SELECT g AS lang, n, n_arm, n_events,
+             round(CAST(soe AS DOUBLE) / 1000000000.0, 6) + 0
+               AS o_minus_e,
+             round(CAST(sv AS DOUBLE) / 1000000000.0, 6) AS var_sum,
+             CASE WHEN sv > 0 THEN round(CAST(soe AS DOUBLE)
+               / 1000000000.0 / sqrt(CAST(sv AS DOUBLE)
+               / 1000000000.0), 6) + 0 ELSE 0.0 END AS z,
+             CASE WHEN sv > 0 THEN round(CAST(soe AS DOUBLE)
+               / 1000000000.0 / sqrt(CAST(sv AS DOUBLE) / 1000000000.0)
+               * (CAST(soe AS DOUBLE) / 1000000000.0
+                  / sqrt(CAST(sv AS DOUBLE) / 1000000000.0)), 6) + 0
+               ELSE 0.0 END AS chi2,
+             sv > 0 AS defined
+      FROM st ORDER BY lang""",
+
+    "qDW_mantel_haenszel" -> """
+      WITH per AS (SELECT lang AS g, source AS st,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(CASE WHEN doc_id % 2 = 0 AND doc_id % 3 = 0
+                 THEN 1 ELSE 0 END) AS BIGINT) AS a,
+               CAST(SUM(CASE WHEN doc_id % 2 = 0 AND doc_id % 3 <> 0
+                 THEN 1 ELSE 0 END) AS BIGINT) AS b,
+               CAST(SUM(CASE WHEN doc_id % 2 <> 0 AND doc_id % 3 = 0
+                 THEN 1 ELSE 0 END) AS BIGINT) AS c,
+               CAST(SUM(CASE WHEN doc_id % 2 <> 0 AND doc_id % 3 <> 0
+                 THEN 1 ELSE 0 END) AS BIGINT) AS dd
+             FROM documents
+             WHERE lang IS NOT NULL AND source IS NOT NULL
+             GROUP BY 1, 2),
+      q AS (SELECT g, n,
+              CAST(floor(CAST(a AS DOUBLE) * CAST(dd AS DOUBLE)
+                / CAST(n AS DOUBLE) * 1000000000 + 0.5) AS BIGINT)
+                AS qn,
+              CAST(floor(CAST(b AS DOUBLE) * CAST(c AS DOUBLE)
+                / CAST(n AS DOUBLE) * 1000000000 + 0.5) AS BIGINT)
+                AS qd
+            FROM per),
+      st2 AS (SELECT g, CAST(SUM(n) AS BIGINT) AS n,
+                CAST(COUNT(*) AS BIGINT) AS n_strata,
+                CAST(SUM(qn) AS BIGINT) AS sn,
+                CAST(SUM(qd) AS BIGINT) AS sd FROM q GROUP BY 1)
+      SELECT g AS lang, n, n_strata,
+             CASE WHEN sd > 0 THEN round(CAST(sn AS DOUBLE)
+               / CAST(sd AS DOUBLE), 6) ELSE 0.0 END AS or_mh,
+             CASE WHEN sd > 0 AND sn > 0
+               THEN round(ln(CAST(sn AS DOUBLE) / CAST(sd AS DOUBLE)),
+                 6) + 0 ELSE 0.0 END AS ln_or,
+             sd > 0 AS defined
+      FROM st2 ORDER BY lang""",
+
+    "qDX_cusum" -> """
+      WITH base AS (SELECT source AS g, doc_id AS i,
+              CAST(doc_id % 13 AS BIGINT) - 6 AS y FROM documents),
+      c AS (SELECT g, i, CAST(SUM(y) OVER (PARTITION BY g ORDER BY i
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+              AS BIGINT) AS cum FROM base),
+      s AS (SELECT g, i, cum - least(0, CAST(MIN(cum) OVER (
+              PARTITION BY g ORDER BY i ROWS BETWEEN UNBOUNDED
+              PRECEDING AND CURRENT ROW) AS BIGINT)) AS sv FROM c)
+      SELECT g AS source, CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(MAX(sv) AS BIGINT) AS max_s,
+             CAST(SUM(CASE WHEN sv > 50 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_alarms,
+             MIN(CASE WHEN sv > 50 THEN i END) AS first_alarm_seq,
+             CAST(50 AS BIGINT) AS h,
+             SUM(CASE WHEN sv > 50 THEN 1 ELSE 0 END) > 0 AS alarmed
+      FROM s GROUP BY 1 ORDER BY source""",
 
     "qDT_burstiness" -> """
       WITH nd AS (SELECT CAST(COUNT(*) AS BIGINT) AS n

@@ -398,6 +398,82 @@ class Round17OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("logRank: hypergeometric O-E/V by hand, null case exact zero") {
+    import graft.operators.Retention
+    // A: (1,obs),(3,cens); B: (2,obs),(3,obs) -> OE = .5 - 1/3 - .5,
+    // V = .25 + 2/9 + .25 -> z = -0.392232, chi2 = 0.153846
+    val df = Seq(("g", true, 1L, true), ("g", true, 3L, false),
+      ("g", false, 2L, true), ("g", false, 3L, true))
+      .toDF("grp", "arm", "dur", "obs")
+    val r = Retention.logRank(df, "grp", "arm", "dur", "obs").head()
+    assert((r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4),
+      r.getDouble(5), r.getDouble(6), r.getDouble(7),
+      r.getBoolean(8)) ==
+      ((4L, 2L, 3L, -0.333333, 0.722222, -0.392232, 0.153846, true)),
+      r.toString)
+    // identical arms: every O-E term is exactly 0 -> z = 0, defined
+    val same = Seq(("g", true, 1L, true), ("g", true, 2L, true),
+      ("g", false, 1L, true), ("g", false, 2L, true))
+      .toDF("grp", "arm", "dur", "obs")
+    val rs = Retention.logRank(same, "grp", "arm", "dur", "obs").head()
+    assert(rs.getDouble(4) == 0.0 && rs.getDouble(6) == 0.0 &&
+      rs.getBoolean(8), rs.toString)
+    // single-arm group: variance 0 -> undefined
+    val solo = Seq(("g", true, 1L, true), ("g", true, 2L, true))
+      .toDF("grp", "arm", "dur", "obs")
+    val ro = Retention.logRank(solo, "grp", "arm", "dur", "obs").head()
+    assert(!ro.getBoolean(8))
+  }
+
+  test("mantelHaenszel: pooled odds ratio by hand") {
+    import graft.operators.Preference
+    // s1 cells (4,1,2,3): ad/n=1.2, bc/n=0.2; s2 (1,2,3,4): 0.4, 0.6
+    // -> OR = 1.6/0.8 = 2, ln = 0.693147
+    def rows(st: String, a: Int, b: Int, c: Int, d: Int) =
+      Seq.fill(a)((st, true, true)) ++ Seq.fill(b)((st, true, false)) ++
+        Seq.fill(c)((st, false, true)) ++ Seq.fill(d)((st, false, false))
+    val df = (rows("s1", 4, 1, 2, 3) ++ rows("s2", 1, 2, 3, 4))
+      .map { case (st, e, s) => ("g", st, e, s) }
+      .toDF("grp", "stratum", "exp", "succ")
+    val r = Preference.mantelHaenszel(df, "grp", "stratum", "exp",
+      "succ").head()
+    assert((r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4),
+      r.getBoolean(5)) == ((20L, 2L, 2.0, 0.693147, true)), r.toString)
+    // no discordant pairs anywhere: denominator 0 -> undefined
+    val conc = Seq(("g", "s1", true, true), ("g", "s1", false, false))
+      .toDF("grp", "stratum", "exp", "succ")
+    val rc = Preference.mantelHaenszel(conc, "grp", "stratum", "exp",
+      "succ").head()
+    assert(!rc.getBoolean(5) && rc.getDouble(3) == 0.0)
+  }
+
+  test("cusum: Page recursion via clamped running min, all integer") {
+    import graft.operators.Retention
+    // y = x: cum = 1,3,-2,1,5,4,14; clamped min = 0,0,-2,-2,-2,-2,-2
+    // -> S = 1,3,0,3,7,6,16; alarms past 5 at seq 5,6,7
+    val xs = Seq(1L, 2L, -5L, 3L, 4L, -1L, 10L)
+    val df = xs.zipWithIndex.map { case (x, i) =>
+      ("g", (i + 1).toLong, x) }.toDF("grp", "seq", "x")
+    val r = Retention.cusum(df, "grp", "seq", "x", target = 0L,
+      threshold = 5L).head()
+    assert((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+      r.getLong(5), r.getBoolean(6)) ==
+      ((7L, 16L, 3L, 5L, 5L, true)), r.toString)
+    // a quiet series never alarms; first_alarm_seq stays null
+    val quiet = (1 to 10).map(i => ("g", i.toLong, 0L))
+      .toDF("grp", "seq", "x")
+    val rq = Retention.cusum(quiet, "grp", "seq", "x", 0L, 5L).head()
+    assert(rq.getLong(2) == 0L && rq.isNullAt(4) && !rq.getBoolean(6))
+    // duplicate seq refused plan-side
+    intercept[Exception] {
+      Retention.cusum(Seq(("g", 1L, 1L), ("g", 1L, 2L))
+        .toDF("grp", "seq", "x"), "grp", "seq", "x", 0L, 5L).collect()
+    }
+    intercept[IllegalArgumentException] {
+      Retention.cusum(df, "grp", "seq", "x", 0L, 0L)
+    }
+  }
+
   test("termBurstiness: VMR separates clumped from spread terms") {
     // docs "x x x"/"y"/"y z": x clumps (vmr 3), y spreads (0.5),
     // z is Poisson-like (1.0) — through the div/mod mean-square path
