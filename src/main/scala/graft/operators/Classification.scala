@@ -799,7 +799,8 @@ object Classification {
    * frame broadcast-joins.
    *
    * @return (byCol, n_subjects, k_treatments, n_incomplete, chi2_f,
-   *         tie_c, chi2_corrected — rounded 6, defined)
+   *         tie_c, chi2_corrected, kendall_w — the [0,1] concordance
+   *         W = χ²_F/(n(k−1)), Kendall 1939 — rounded 6, defined)
    */
   def friedman(df: DataFrame, byCol: String, subjectCol: String,
                treatmentCol: String, xCol: String): DataFrame = {
@@ -876,6 +877,13 @@ object Classification {
           .as("tie_c"),
         coalesce(when(defined, graft.functions.GateRound(chi2 / c, 6))
           .otherwise(lit(0.0)), lit(0.0)).as("chi2_corrected"),
+        // Kendall's W (1939): the [0,1] concordance normalization of
+        // the SAME chi2 — W = chi2 / (n(k-1)); 1 = every block ranks
+        // identically, 0 = no agreement — the effect size beside the
+        // significance number
+        coalesce(when(defined, graft.functions.GateRound(
+          chi2 / (d(nn) * d(kk - 1L)), 6)).otherwise(lit(0.0)),
+          lit(0.0)).as("kendall_w"),
         coalesce(defined, lit(false)).as("defined"))
   }
 }

@@ -995,4 +995,61 @@ object Dedup {
         count(lit(1)).as("n_members"),
         max(col("q")).as("best_q"))
   }
+
+  /**
+   * Capture–recapture population estimate (Lincoln–Petersen;
+   * Chapman 1951 bias-corrected form) — "how many duplicates did we
+   * MISS": run two independent detectors (exact-hash and MinHash,
+   * say) over the same corpus; each catches a sample of the true
+   * duplicate population, and the overlap between the catches
+   * estimates the whole — N̂ = (n₁+1)(n₂+1)/(m+1) − 1, finite even
+   * at zero overlap. The honest answer to "is the residual dup rate
+   * low enough to stop", which neither detector's own count can
+   * give.
+   *
+   * Independence caveat (documented, not solved): positively
+   * correlated detectors (both keyed on the same shingles) bias N̂
+   * LOW — pick detectors with different failure modes.
+   *
+   * Exact contract: n₁, n₂, m are exact longs; Chapman's N̂ and its
+   * standard error se² = (n₁+1)(n₂+1)(n₁−m)(n₂−m)/((m+1)²(m+2)) are
+   * fixed float dags over them (products as doubles — exact to 2⁵³;
+   * the catches are sample-sized). Both-empty catches → defined =
+   * false.
+   *
+   * Scale shape: one partial/final aggregate to |groups| rows.
+   *
+   * @return (byCol, n_a, n_b, n_both, n_hat, se — rounded 6,
+   *         defined = n_a > 0 ∧ n_b > 0)
+   */
+  def captureRecapture(df: DataFrame, byCol: String, inACol: String,
+                       inBCol: String): DataFrame = {
+    Seq(inACol, inBCol).foreach { c =>
+      require(df.schema(c).dataType ==
+          org.apache.spark.sql.types.BooleanType,
+        s"captureRecapture: $c must be boolean (got " +
+          s"${df.schema(c).dataType.simpleString}) — a catch is a " +
+          "verdict, not a score")
+    }
+    val a = col(inACol)
+    val b = col(inBCol)
+    val stats = df.filter(col(byCol).isNotNull && a.isNotNull &&
+        b.isNotNull)
+      .groupBy(col(byCol))
+      .agg(sum(when(a, 1L).otherwise(0L)).as("n_a"),
+        sum(when(b, 1L).otherwise(0L)).as("n_b"),
+        sum(when(a && b, 1L).otherwise(0L)).as("n_both"))
+    def d(c: Column) = c.cast("double")
+    val n1 = d(col("n_a") + 1L)
+    val n2 = d(col("n_b") + 1L)
+    val m1 = d(col("n_both") + 1L)
+    val nHat = n1 * n2 / m1 - lit(1.0)
+    val se = sqrt(n1 * n2 * d(col("n_a") - col("n_both")) *
+      d(col("n_b") - col("n_both")) / (m1 * m1 * (m1 + lit(1.0))))
+    val defined = col("n_a") > 0 && col("n_b") > 0
+    stats.select(col(byCol), col("n_a"), col("n_b"), col("n_both"),
+      when(defined, round(nHat, 6)).otherwise(lit(0.0)).as("n_hat"),
+      when(defined, round(se, 6)).otherwise(lit(0.0)).as("se"),
+      defined.as("defined"))
+  }
 }

@@ -2010,6 +2010,74 @@ object Preference {
   }
 
   /**
+   * Newcombe hybrid-Wilson confidence interval for a difference of
+   * proportions (Newcombe 1998 method 10; the interval
+   * Brown–Cai–DasGupta-style robustness carries to DELTAS) — the
+   * closed-form companion to [[pairedBootstrapCi]] for the
+   * unpaired two-arm accuracy gap: the naive Wald interval on
+   * p̂₁ − p̂₂ collapses at extreme rates and small n (exactly the
+   * eval regime); Newcombe squares the per-arm WILSON bounds into
+   * the delta — lo = Δ̂ − √((p̂₁−l₁)² + (u₂−p̂₂)²),
+   * hi = Δ̂ + √((u₁−p̂₁)² + (l₂−p̂₂)²).
+   *
+   * Float contract: every input (w, n per arm) is an exact long;
+   * both Wilson bounds reuse the [[winRateConfidence]] fixed dag at
+   * z = 1.96 VERBATIM, and the hybrid combination is a further
+   * fixed dag — no float accumulation anywhere (the per-group
+   * shape). Δ̂ and both bounds are signed → gateRounded. An empty
+   * arm → defined = false.
+   *
+   * Scale shape: one partial/final aggregate to |groups| rows.
+   *
+   * @return (byCol, n_a, n_b, wins_a, wins_b, diff, ci_lo, ci_hi —
+   *         rounded 6, defined)
+   */
+  def newcombeDiffCi(df: DataFrame, byCol: String, armCol: String,
+                     successCol: String): DataFrame = {
+    Seq(armCol, successCol).foreach { c =>
+      require(df.schema(c).dataType ==
+          org.apache.spark.sql.types.BooleanType,
+        s"newcombeDiffCi: $c must be boolean (got " +
+          s"${df.schema(c).dataType.simpleString})")
+    }
+    val arm = col(armCol)
+    val s = col(successCol)
+    val stats = df.filter(col(byCol).isNotNull && arm.isNotNull &&
+        s.isNotNull)
+      .groupBy(col(byCol))
+      .agg(sum(when(arm, 1L).otherwise(0L)).as("n_a"),
+        sum(when(arm && s, 1L).otherwise(0L)).as("wins_a"),
+        sum(when(!arm, 1L).otherwise(0L)).as("n_b"),
+        sum(when(!arm && s, 1L).otherwise(0L)).as("wins_b"))
+    val z = lit(1.96)
+    val z2 = z * z
+    def wilson(w: Column, n: Column): (Column, Column, Column) = {
+      val nD = n.cast("double")
+      val p = w.cast("double") / nD
+      val center = p + z2 / (lit(2.0) * nD)
+      val margin = z * sqrt(p * (lit(1.0) - p) / nD +
+        z2 / (lit(4.0) * nD * nD))
+      val den = lit(1.0) + z2 / nD
+      (p, (center - margin) / den, (center + margin) / den)
+    }
+    val (p1, l1, u1) = wilson(col("wins_a"), col("n_a"))
+    val (p2, l2, u2) = wilson(col("wins_b"), col("n_b"))
+    val diff = p1 - p2
+    val lo = diff - sqrt((p1 - l1) * (p1 - l1) + (u2 - p2) * (u2 - p2))
+    val hi = diff + sqrt((u1 - p1) * (u1 - p1) + (l2 - p2) * (l2 - p2))
+    val defined = col("n_a") > 0 && col("n_b") > 0
+    stats.select(col(byCol), col("n_a"), col("n_b"), col("wins_a"),
+      col("wins_b"),
+      when(defined, graft.functions.GateRound(diff, 6))
+        .otherwise(lit(0.0)).as("diff"),
+      when(defined, graft.functions.GateRound(lo, 6))
+        .otherwise(lit(0.0)).as("ci_lo"),
+      when(defined, graft.functions.GateRound(hi, 6))
+        .otherwise(lit(0.0)).as("ci_hi"),
+      defined.as("defined"))
+  }
+
+  /**
    * Mantel–Haenszel pooled odds ratio (Mantel & Haenszel 1959) —
    * the stratified 2×2 pooling [[stratifiedWinRate]]'s rate view
    * can't give: K strata each contribute a (exposed×success) table,

@@ -1988,6 +1988,30 @@ object Pipeline {
       TextAnalysis.zipfSlope(T(s, dir)("documents"), "text", topR = 300)
     }),
 
+    // capture-recapture residual-duplicate estimate per source: two
+    // synthetic detectors' catches -> Chapman N-hat + SE, the honest
+    // "how many dups did we miss" number
+    "qDY_capture_recapture" -> ((s, dir) => {
+      graft.operators.Dedup.captureRecapture(
+          T(s, dir)("documents").select(col("source"),
+            (col("doc_id") % 7 < 2).as("in_a"),
+            (col("doc_id") % 5 < 2).as("in_b")),
+          "source", "in_a", "in_b")
+        .orderBy(col("source"))
+    }),
+
+    // Newcombe hybrid-Wilson CI on the two-arm success-rate delta per
+    // language: the closed-form companion to the qDF bootstrap —
+    // per-arm Wilson bounds squared into the difference
+    "qDZ_newcombe_ci" -> ((s, dir) => {
+      graft.operators.Preference.newcombeDiffCi(
+          T(s, dir)("documents").select(col("lang"),
+            (col("doc_id") % 2 === 0).as("arm"),
+            (col("doc_id") % 3 === 0).as("succ")),
+          "lang", "arm", "succ")
+        .orderBy(col("lang"))
+    }),
+
     // two-sample log-rank per language (even vs odd docs as arms over
     // the qDO durations): are the two survival curves the same —
     // exact at-risk cumulatives, 1e-9-grid O-E and variance terms
@@ -5034,6 +5058,81 @@ object Pipeline {
              round(CAST(ch AS DOUBLE) / 1000000000.0, 6) AS cum_hazard
       FROM cm WHERE d > 0 ORDER BY source, t""",
 
+    "qDY_capture_recapture" -> """
+      WITH st AS (SELECT source,
+               CAST(SUM(CASE WHEN doc_id % 7 < 2 THEN 1 ELSE 0 END)
+                 AS BIGINT) AS n_a,
+               CAST(SUM(CASE WHEN doc_id % 5 < 2 THEN 1 ELSE 0 END)
+                 AS BIGINT) AS n_b,
+               CAST(SUM(CASE WHEN doc_id % 7 < 2 AND doc_id % 5 < 2
+                 THEN 1 ELSE 0 END) AS BIGINT) AS n_both
+             FROM documents WHERE source IS NOT NULL GROUP BY 1)
+      SELECT source, n_a, n_b, n_both,
+             CASE WHEN n_a > 0 AND n_b > 0
+               THEN round(CAST(n_a + 1 AS DOUBLE)
+                 * CAST(n_b + 1 AS DOUBLE)
+                 / CAST(n_both + 1 AS DOUBLE) - 1.0, 6)
+               ELSE 0.0 END AS n_hat,
+             CASE WHEN n_a > 0 AND n_b > 0
+               THEN round(sqrt(CAST(n_a + 1 AS DOUBLE)
+                 * CAST(n_b + 1 AS DOUBLE)
+                 * CAST(n_a - n_both AS DOUBLE)
+                 * CAST(n_b - n_both AS DOUBLE)
+                 / (CAST(n_both + 1 AS DOUBLE)
+                    * CAST(n_both + 1 AS DOUBLE)
+                    * (CAST(n_both + 1 AS DOUBLE) + 1.0))), 6)
+               ELSE 0.0 END AS se,
+             n_a > 0 AND n_b > 0 AS defined
+      FROM st ORDER BY source""",
+
+    "qDZ_newcombe_ci" -> """
+      WITH st AS (SELECT lang,
+               CAST(SUM(CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END)
+                 AS BIGINT) AS n_a,
+               CAST(SUM(CASE WHEN doc_id % 2 = 0 AND doc_id % 3 = 0
+                 THEN 1 ELSE 0 END) AS BIGINT) AS wins_a,
+               CAST(SUM(CASE WHEN doc_id % 2 <> 0 THEN 1 ELSE 0 END)
+                 AS BIGINT) AS n_b,
+               CAST(SUM(CASE WHEN doc_id % 2 <> 0 AND doc_id % 3 = 0
+                 THEN 1 ELSE 0 END) AS BIGINT) AS wins_b
+             FROM documents WHERE lang IS NOT NULL GROUP BY 1),
+      w AS (SELECT *,
+              CAST(wins_a AS DOUBLE) / CAST(n_a AS DOUBLE) AS p1,
+              CAST(wins_b AS DOUBLE) / CAST(n_b AS DOUBLE) AS p2,
+              CAST(n_a AS DOUBLE) AS na, CAST(n_b AS DOUBLE) AS nb
+            FROM st),
+      bnd AS (SELECT *,
+               (p1 + 1.96 * 1.96 / (2.0 * na)
+                 - 1.96 * sqrt(p1 * (1.0 - p1) / na
+                   + 1.96 * 1.96 / (4.0 * na * na)))
+                 / (1.0 + 1.96 * 1.96 / na) AS l1,
+               (p1 + 1.96 * 1.96 / (2.0 * na)
+                 + 1.96 * sqrt(p1 * (1.0 - p1) / na
+                   + 1.96 * 1.96 / (4.0 * na * na)))
+                 / (1.0 + 1.96 * 1.96 / na) AS u1,
+               (p2 + 1.96 * 1.96 / (2.0 * nb)
+                 - 1.96 * sqrt(p2 * (1.0 - p2) / nb
+                   + 1.96 * 1.96 / (4.0 * nb * nb)))
+                 / (1.0 + 1.96 * 1.96 / nb) AS l2,
+               (p2 + 1.96 * 1.96 / (2.0 * nb)
+                 + 1.96 * sqrt(p2 * (1.0 - p2) / nb
+                   + 1.96 * 1.96 / (4.0 * nb * nb)))
+                 / (1.0 + 1.96 * 1.96 / nb) AS u2
+             FROM w)
+      SELECT lang, n_a, n_b, wins_a, wins_b,
+             CASE WHEN n_a > 0 AND n_b > 0
+               THEN round(p1 - p2, 6) + 0 ELSE 0.0 END AS diff,
+             CASE WHEN n_a > 0 AND n_b > 0
+               THEN round(p1 - p2 - sqrt((p1 - l1) * (p1 - l1)
+                 + (u2 - p2) * (u2 - p2)), 6) + 0
+               ELSE 0.0 END AS ci_lo,
+             CASE WHEN n_a > 0 AND n_b > 0
+               THEN round(p1 - p2 + sqrt((u1 - p1) * (u1 - p1)
+                 + (l2 - p2) * (l2 - p2)), 6) + 0
+               ELSE 0.0 END AS ci_hi,
+             n_a > 0 AND n_b > 0 AS defined
+      FROM bnd ORDER BY lang""",
+
     "qDV_log_rank" -> """
       WITH base AS (SELECT lang AS g,
               CAST(doc_id % 50 + 1 AS BIGINT) AS t,
@@ -5329,6 +5428,10 @@ object Pipeline {
              CASE WHEN k > 1 AND n_subjects > 1 AND c > 0
                THEN round(chi2 / c, 6) + 0 ELSE 0.0 END
                AS chi2_corrected,
+             CASE WHEN k > 1 AND n_subjects > 1 AND c > 0
+               THEN round(chi2 / (CAST(n_subjects AS DOUBLE)
+                 * CAST(k - 1 AS DOUBLE)), 6) + 0 ELSE 0.0 END
+               AS kendall_w,
              k > 1 AND n_subjects > 1 AND c > 0 AS defined
       FROM fin LEFT JOIN inc ON fin.b = inc.b ORDER BY lang""",
 

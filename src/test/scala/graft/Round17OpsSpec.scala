@@ -398,6 +398,54 @@ class Round17OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("captureRecapture: Chapman estimate by hand") {
+    import graft.operators.Dedup
+    // n_a=5, n_b=4, m=2: N-hat = 6*5/3 - 1 = 9, se = sqrt(5)
+    val rows = Seq.fill(2)((true, true)) ++ Seq.fill(3)((true, false)) ++
+      Seq.fill(2)((false, true)) ++ Seq.fill(4)((false, false))
+    val df = rows.map { case (a, b) => ("g", a, b) }
+      .toDF("grp", "in_a", "in_b")
+    val r = Dedup.captureRecapture(df, "grp", "in_a", "in_b").head()
+    assert((r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4),
+      r.getDouble(5), r.getBoolean(6)) ==
+      ((5L, 4L, 2L, 9.0, 2.236068, true)), r.toString)
+    // one detector caught nothing: undefined (no overlap evidence)
+    val empty = Seq(("g", true, false), ("g", true, false))
+      .toDF("grp", "in_a", "in_b")
+    val re = Dedup.captureRecapture(empty, "grp", "in_a", "in_b")
+      .head()
+    assert(!re.getBoolean(6) && re.getDouble(4) == 0.0)
+    // perfect-overlap detectors: N-hat collapses to the catch size
+    val full = Seq.fill(5)(("g", true, true)).toDF("grp", "in_a",
+      "in_b")
+    val rf = Dedup.captureRecapture(full, "grp", "in_a", "in_b").head()
+    assert(rf.getDouble(4) == 5.0 && rf.getDouble(5) == 0.0)
+  }
+
+  test("newcombeDiffCi: hybrid Wilson delta interval by hand") {
+    import graft.operators.Preference
+    // 8/10 vs 2/10: diff 0.6, CI [0.161816, 0.802684] through the
+    // exact z=1.96 Wilson dag
+    val rows = Seq.fill(8)((true, true)) ++ Seq.fill(2)((true, false)) ++
+      Seq.fill(2)((false, true)) ++ Seq.fill(8)((false, false))
+    val df = rows.map { case (a, s) => ("g", a, s) }
+      .toDF("grp", "arm", "succ")
+    val r = Preference.newcombeDiffCi(df, "grp", "arm", "succ").head()
+    assert((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+      r.getDouble(5), r.getDouble(6), r.getDouble(7),
+      r.getBoolean(8)) ==
+      ((10L, 10L, 8L, 2L, 0.6, 0.161816, 0.802684, true)), r.toString)
+    // the interval brackets the delta and excludes zero here
+    assert(r.getDouble(6) > 0.0 && r.getDouble(6) < 0.6 &&
+      r.getDouble(7) > 0.6)
+    // an empty arm: undefined, visible
+    val solo = Seq(("g", true, true), ("g", true, false))
+      .toDF("grp", "arm", "succ")
+    val rs = Preference.newcombeDiffCi(solo, "grp", "arm", "succ")
+      .head()
+    assert(!rs.getBoolean(8) && rs.getDouble(5) == 0.0)
+  }
+
   test("logRank: hypergeometric O-E/V by hand, null case exact zero") {
     import graft.operators.Retention
     // A: (1,obs),(3,cens); B: (2,obs),(3,obs) -> OE = .5 - 1/3 - .5,
@@ -552,9 +600,11 @@ class Round17OpsSpec extends AnyFunSuite {
       .toDF("grp", "subj", "treat", "x")
     val r = Classification.friedman(rows, "grp", "subj", "treat", "x")
       .head()
+    // Kendall's W = 3.5/(4*2) = 0.4375
     assert((r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4),
-      r.getDouble(5), r.getDouble(6), r.getBoolean(7)) ==
-      ((4L, 3L, 0L, 3.5, 1.0, 3.5, true)), r.toString)
+      r.getDouble(5), r.getDouble(6), r.getDouble(7),
+      r.getBoolean(8)) ==
+      ((4L, 3L, 0L, 3.5, 1.0, 3.5, 0.4375, true)), r.toString)
     // ties (doubled avg ranks) + one incomplete subject dropped:
     // R2=(5,8,11), chi2=2.25, C=0.75, corrected=3.0
     val tied = Seq(
@@ -567,14 +617,14 @@ class Round17OpsSpec extends AnyFunSuite {
       .head()
     assert((rt.getLong(1), rt.getLong(2), rt.getLong(3),
       rt.getDouble(4), rt.getDouble(5), rt.getDouble(6),
-      rt.getBoolean(7)) == ((2L, 3L, 1L, 2.25, 0.75, 3.0, true)),
-      rt.toString)
+      rt.getDouble(7), rt.getBoolean(8)) ==
+      ((2L, 3L, 1L, 2.25, 0.75, 3.0, 0.5625, true)), rt.toString)
     // every subject incomplete: group stays visible, undefined
     val allInc = Seq(("g", "s1", "a", 1L), ("g", "s2", "b", 2L))
       .toDF("grp", "subj", "treat", "x")
     val ri = Classification.friedman(allInc, "grp", "subj", "treat",
       "x").head()
-    assert((ri.getLong(1), ri.getLong(3), ri.getBoolean(7)) ==
+    assert((ri.getLong(1), ri.getLong(3), ri.getBoolean(8)) ==
       ((0L, 2L, false)), ri.toString)
     // duplicate cell refused plan-side
     intercept[Exception] {
