@@ -1731,35 +1731,69 @@ object TextAnalysis {
    * (distributed per-partition top-k, never a global sort).
    *
    * Scale shape: one token-pair explode → one (w1, w2) hash
-   * aggregate (localCheckpointed — TWO consumers: the windowed
-   * marginal pipeline and the N total would each replay the corpus
-   * explode, the klDriftMatrix lesson); marginals are in-partition
-   * WINDOW sums over the checkpointed bigram-type table (each window
-   * partition is one token's successor/predecessor vocabulary, never
-   * the corpus — the join formulation's two vocabulary-sized
-   * broadcast hash builds cost 12.6 s seq at sf0.1 vs ~3 s windowed);
-   * N is a broadcast single-row cross; `minCount` prunes the hapax
-   * tail before scoring — at web scale the prune is what keeps the
-   * candidate frame bounded.
+   * aggregate — served from the durable bigram artifact when
+   * `cacheKey` names a lake (the [[bigramTypeTableCached]] protocol:
+   * build once per lake generation, every later pass reads parquet;
+   * in-memory corpora localCheckpoint instead — TWO consumers, the
+   * klDriftMatrix lesson); marginals are in-partition WINDOW sums
+   * over the bigram-type table (each window partition is one token's
+   * successor/predecessor vocabulary, never the corpus — the join
+   * formulation's two vocabulary-sized broadcast hash builds cost
+   * 12.6 s seq at sf0.1 vs ~3 s windowed); N is a broadcast
+   * single-row cross; `minCount` prunes the hapax tail before
+   * scoring — at web scale the prune is what keeps the candidate
+   * frame bounded.
    *
    * @return top-k rows: (w1, w2, c12, c1, c2, n_bigrams,
    *         g2 rounded 6)
    */
-  def collocations(docs: DataFrame, textCol: String, topK: Int,
-                   minCount: Long = 2L): DataFrame = {
-    require(topK > 0, s"topK must be positive, got $topK")
-    require(minCount >= 1L, s"minCount must be >= 1, got $minCount")
+  /** The (w1, w2, count) bigram TYPE table — the shared statistic the
+    * whole n-gram family ([[collocations]], [[kneserNeyBigrams]],
+    * [[kneserNeyCrossEntropy]]) reduces the corpus to: one token-pair
+    * explode → one hash aggregate, text never shuffles. */
+  private def bigramTypeTable(docs: DataFrame, textCol: String): DataFrame = {
     val toks = tokens(col(textCol))
-    val pairs = when(col(textCol).isNotNull && size(toks) >= 2,
+    val prs = when(col(textCol).isNotNull && size(toks) >= 2,
       transform(sequence(lit(1), size(toks) - 1),
         i => struct(element_at(toks, i).as("w1"),
           element_at(toks, i + 1).as("w2"))))
       .otherwise(array().cast("array<struct<w1:string,w2:string>>"))
-    val counts = docs.select(explode(pairs).as("__pr"))
+    docs.select(explode(prs).as("__pr"))
       .select(col("__pr.w1").as("__w1"), col("__pr.w2").as("__w2"))
       .groupBy(col("__w1"), col("__w2"))
       .agg(count(lit(1)).as("__c12"))
-      .localCheckpoint(true) // two consumers of the bigram table
+  }
+
+  /** [[bigramTypeTable]] behind the durable warm-artifact protocol
+    * (the [[Bpe.learnMergesCached]]/IvfIndex precedent): a bigram
+    * census is ingest-time corpus work — a deployment computes it
+    * ONCE per lake generation and every later process (including the
+    * two sibling consumers in one suite run) reads the stored
+    * parquet instead of re-exploding the corpus. The artifact name
+    * folds the text column AND the input plan's semanticHash, so two
+    * different SLICES of one lake (the qDP train/held-out splits)
+    * can never serve each other's generations; the ArtifactStore
+    * fingerprint handles lake regeneration. In-memory frames (unit
+    * tests, ad-hoc corpora) skip the store and localCheckpoint for
+    * their multi-consumer reads — the established uncached shape. */
+  private[graft] def bigramTypeTableCached(docs: DataFrame,
+      textCol: String, cacheKey: Option[String]): DataFrame =
+    cacheKey match {
+      case Some(lake) if docs.inputFiles.nonEmpty =>
+        ArtifactStore.readOrBuild(docs.sparkSession, lake,
+          "bigrams-" + ArtifactStore.md5(textCol + "|" +
+            docs.queryExecution.analyzed.semanticHash()).take(12),
+          Seq(docs))(bigramTypeTable(docs, textCol))
+      case _ => bigramTypeTable(docs, textCol)
+        .localCheckpoint(true) // two consumers of the bigram table
+    }
+
+  def collocations(docs: DataFrame, textCol: String, topK: Int,
+                   minCount: Long = 2L,
+                   cacheKey: Option[String] = None): DataFrame = {
+    require(topK > 0, s"topK must be positive, got $topK")
+    require(minCount >= 1L, s"minCount must be >= 1, got $minCount")
+    val counts = bigramTypeTableCached(docs, textCol, cacheKey)
     // marginals as WINDOW sums over the checkpointed type table, not
     // re-aggregate-and-join: a vocabulary-sized marginal would build
     // a vocabulary-sized broadcast hash relation per side (measured
@@ -1829,44 +1863,36 @@ object TextAnalysis {
    * exp(ce) ride the ln/exp parity precedent under round-6.
    *
    * Scale shape: two token-pair explodes (train + held-out) → two
-   * bigram-type hash aggregates; the train type table
-   * localCheckpoints (THREE consumers: the pair join and the two
-   * marginal re-aggregates — the qCT/qCU lesson); the held-out
-   * types join the pair/context/continuation tables each on their
-   * OWN keys (type-sized shuffles, never corpus-sized), the type
-   * total is a broadcast single-row cross.
+   * bigram-type hash aggregates — each served from its own durable
+   * bigram artifact when `cacheKey` names a lake (the artifact name
+   * folds the split's plan hash, so the two slices never collide;
+   * in-memory corpora localCheckpoint against the train table's
+   * THREE consumers — the qCT/qCU lesson); the held-out types join
+   * the pair/context/continuation tables each on their OWN keys
+   * (type-sized shuffles, never corpus-sized), the type total is a
+   * broadcast single-row cross.
    *
    * @return ONE row: (n_train_types, n_eval, n_covered, coverage,
    *         cross_entropy, perplexity — rounded 6, defined =
    *         n_covered > 0)
    */
   def kneserNeyCrossEntropy(train: DataFrame, heldout: DataFrame,
-                            textCol: String,
-                            discount: Double = 0.75): DataFrame = {
+                            textCol: String, discount: Double = 0.75,
+                            cacheKey: Option[String] = None): DataFrame = {
     require(discount > 0.0 && discount < 1.0,
       s"discount must be in (0, 1), got $discount")
-    def bigrams(docs: DataFrame): DataFrame = {
-      val toks = tokens(col(textCol))
-      val prs = when(col(textCol).isNotNull && size(toks) >= 2,
-        transform(sequence(lit(1), size(toks) - 1),
-          i => struct(element_at(toks, i).as("w1"),
-            element_at(toks, i + 1).as("w2"))))
-        .otherwise(array().cast("array<struct<w1:string,w2:string>>"))
-      docs.select(explode(prs).as("__pr"))
-        .select(col("__pr.w1").as("__w1"), col("__pr.w2").as("__w2"))
-        .groupBy(col("__w1"), col("__w2"))
-        .agg(count(lit(1)).as("__c"))
-    }
-    // three consumers of the train type table (pair join + both
-    // marginal re-aggregates) — the qCT/qCU replay lesson
-    val pairs = bigrams(train).localCheckpoint(true)
+    // the cached path reads parquet per consumer; the in-memory path
+    // localCheckpoints against the three-consumer replay (pair join +
+    // both marginal re-aggregates) — the qCT/qCU lesson
+    val pairs = bigramTypeTableCached(train, textCol, cacheKey)
+      .withColumnRenamed("__c12", "__c")
     val ctx = pairs.groupBy(col("__w1"))
       .agg(sum(col("__c")).as("__c1"), count(lit(1)).as("__n1f"))
     val cont = pairs.groupBy(col("__w2"))
       .agg(count(lit(1)).as("__n1b"))
     val types = pairs.agg(count(lit(1)).as("__nt"))
-    val ho = bigrams(heldout)
-      .withColumnRenamed("__c", "__hc")
+    val ho = bigramTypeTableCached(heldout, textCol, cacheKey)
+      .withColumnRenamed("__c12", "__hc")
     val joined = ho
       .join(pairs.withColumnRenamed("__c", "__c12"), Seq("__w1", "__w2"),
         "left")
@@ -2149,36 +2175,27 @@ object TextAnalysis {
    * exact integers. P ∈ (0, 1]: plain round.
    *
    * Scale shape: one token-pair explode → one (w1, w2) hash
-   * aggregate (localCheckpointed — TWO consumers: the windowed
-   * marginal pipeline and the type total would each replay the
-   * corpus explode); all three marginals (c₁, N₁₊(w1·), N₁₊(·w2))
-   * are in-partition WINDOW sums/counts over the checkpointed
-   * bigram-type table (window partitions bounded by per-token
-   * successor/predecessor vocabularies — the collocations lesson,
-   * same file: the join formulation's vocabulary-sized broadcast
-   * builds cost 5.2 s seq at sf0.1); the type total is a broadcast
-   * single-row cross. The model table is bigram-type-sized, never
-   * corpus-sized.
+   * aggregate — served from the durable bigram artifact when
+   * `cacheKey` names a lake ([[bigramTypeTableCached]]; in-memory
+   * corpora localCheckpoint against the two-consumer replay); all
+   * three marginals (c₁, N₁₊(w1·), N₁₊(·w2)) are in-partition
+   * WINDOW sums/counts over the bigram-type table (window
+   * partitions bounded by per-token successor/predecessor
+   * vocabularies — the collocations lesson, same file: the join
+   * formulation's vocabulary-sized broadcast builds cost 5.2 s seq
+   * at sf0.1); the type total is a broadcast single-row cross. The
+   * model table is bigram-type-sized, never corpus-sized.
    *
    * @return top-k rows: (w1, w2, c12, c1, n1f, n1b, n_types,
    *         p_kn rounded 6)
    */
   def kneserNeyBigrams(docs: DataFrame, textCol: String, topK: Int,
-                       discount: Double = 0.75): DataFrame = {
+                       discount: Double = 0.75,
+                       cacheKey: Option[String] = None): DataFrame = {
     require(topK > 0, s"topK must be positive, got $topK")
     require(discount > 0.0 && discount < 1.0,
       s"discount must be in (0, 1), got $discount")
-    val toks = tokens(col(textCol))
-    val prs = when(col(textCol).isNotNull && size(toks) >= 2,
-      transform(sequence(lit(1), size(toks) - 1),
-        i => struct(element_at(toks, i).as("w1"),
-          element_at(toks, i + 1).as("w2"))))
-      .otherwise(array().cast("array<struct<w1:string,w2:string>>"))
-    val counts = docs.select(explode(prs).as("__pr"))
-      .select(col("__pr.w1").as("__w1"), col("__pr.w2").as("__w2"))
-      .groupBy(col("__w1"), col("__w2"))
-      .agg(count(lit(1)).as("__c12"))
-      .localCheckpoint(true) // two consumers of the bigram table
+    val counts = bigramTypeTableCached(docs, textCol, cacheKey)
     // marginals as WINDOW sums (the collocations lesson, same file):
     // vocabulary-sized re-aggregate-and-broadcast-join marginals cost
     // 5.2 s seq at sf0.1; two in-partition sorts over the checkpoint

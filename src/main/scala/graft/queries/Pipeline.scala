@@ -2125,7 +2125,7 @@ object Pipeline {
       TextAnalysis.kneserNeyCrossEntropy(
         d.filter(col("doc_id") % 2 === 0).select(col("text")),
         d.filter(col("doc_id") % 2 === 1).select(col("text")),
-        "text")
+        "text", cacheKey = Some(dir))
     }),
 
     // Kaplan-Meier survival per source over synthetic censored
@@ -2317,7 +2317,7 @@ object Pipeline {
     // the cut needs no quantization (c12 desc is an integer order)
     "qCU_kneser_ney" -> ((s, dir) => {
       TextAnalysis.kneserNeyBigrams(T(s, dir)("documents"), "text",
-          topK = 50)
+          topK = 50, cacheKey = Some(dir))
         .orderBy(col("w1"), col("w2"))
     }),
 
@@ -2362,7 +2362,7 @@ object Pipeline {
     // lexicographic ties) planned as TakeOrderedAndProject
     "qCT_collocations" -> ((s, dir) => {
       TextAnalysis.collocations(T(s, dir)("documents"), "text",
-          topK = 30, minCount = 2)
+          topK = 30, minCount = 2, cacheKey = Some(dir))
         .orderBy(col("w1"), col("w2"))
     }),
 
