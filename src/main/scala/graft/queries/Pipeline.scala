@@ -5422,18 +5422,22 @@ object Pipeline {
                       * (CAST(k AS DOUBLE) * CAST(k AS DOUBLE) - 1.0))
                  ELSE 0.0 END AS c
              FROM fm)
-      SELECT fin.b AS lang, n_subjects, k AS k_treatments,
+      SELECT COALESCE(fin.b, inc.b) AS lang,
+             COALESCE(n_subjects, 0) AS n_subjects,
+             COALESCE(k, 0) AS k_treatments,
              COALESCE(inc.ninc, 0) AS n_incomplete,
-             round(chi2, 6) + 0 AS chi2_f, round(c, 6) + 0 AS tie_c,
-             CASE WHEN k > 1 AND n_subjects > 1 AND c > 0
-               THEN round(chi2 / c, 6) + 0 ELSE 0.0 END
+             COALESCE(round(chi2, 6) + 0, 0.0) AS chi2_f,
+             COALESCE(round(c, 6) + 0, 0.0) AS tie_c,
+             COALESCE(CASE WHEN k > 1 AND n_subjects > 1 AND c > 0
+               THEN round(chi2 / c, 6) + 0 ELSE 0.0 END, 0.0)
                AS chi2_corrected,
-             CASE WHEN k > 1 AND n_subjects > 1 AND c > 0
+             COALESCE(CASE WHEN k > 1 AND n_subjects > 1 AND c > 0
                THEN round(chi2 / (CAST(n_subjects AS DOUBLE)
-                 * CAST(k - 1 AS DOUBLE)), 6) + 0 ELSE 0.0 END
+                 * CAST(k - 1 AS DOUBLE)), 6) + 0 ELSE 0.0 END, 0.0)
                AS kendall_w,
-             k > 1 AND n_subjects > 1 AND c > 0 AS defined
-      FROM fin LEFT JOIN inc ON fin.b = inc.b ORDER BY lang""",
+             COALESCE(k > 1 AND n_subjects > 1 AND c > 0, FALSE)
+               AS defined
+      FROM fin FULL OUTER JOIN inc ON fin.b = inc.b ORDER BY lang""",
 
     "qDQ_wilcoxon" -> """
       WITH base AS (SELECT source AS g,

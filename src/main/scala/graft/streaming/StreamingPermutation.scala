@@ -92,6 +92,6 @@ object StreamingPermutation {
           (g, n, obs, extreme,
             r6((extreme + 1).toDouble / (p + 1).toDouble), n > 0)
       }
-      .toDF("g", "n", "sum_d", "n_extreme", "p_value", "defined")
+      .toDF(byCol, "n", "sum_d", "n_extreme", "p_value", "defined")
   }
 }

@@ -1160,8 +1160,13 @@ class StreamingSpec extends AnyFunSuite {
       String, (Long, Long, Long, Double, Boolean)]()
     val stream = spark.readStream.schema(pairs.schema)
       .option("maxFilesPerTrigger", 1).parquet(d)
-    val q = StreamingPermutation.permutationTest(stream, "source",
-        "doc_id", "score_a", "score_b", p = 50)
+    val sdf = StreamingPermutation.permutationTest(stream, "source",
+      "doc_id", "score_a", "score_b", p = 50)
+    // r18 ADVICE: the key column is named byCol, same as batch —
+    // not a hardcoded "g"
+    assert(sdf.columns.toSeq ==
+      Seq("source", "n", "sum_d", "n_extreme", "p_value", "defined"))
+    val q = sdf
       .writeStream.outputMode("update")
       .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
         b.collect().foreach { r =>
