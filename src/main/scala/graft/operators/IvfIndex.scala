@@ -224,4 +224,160 @@ object IvfIndex {
 
   private def cosine(a: Column, b: Column): Column =
     array_dot(a, b) / (sqrt(array_dot(a, a)) * sqrt(array_dot(b, b)))
+
+  // ---------------------------------------------------------------
+  // Exact fixed-point Lloyd path — the FULL-hash-oracle twin of
+  // `train`. Float k-means is rows-only under a byte-hash oracle
+  // (iteration order flips nothing semantically but everything
+  // bitwise); THIS path quantizes coordinates ONCE to the 1e-6 grid
+  // (the Pca.powerIteration / qCC axis) and keeps every Lloyd
+  // quantity an exact integer: squared distances are exact-long
+  // sums, assignment ties break (min distance, then min centroid
+  // index), and each new centroid coordinate is one TRUNCATING
+  // BigInt division of exact sums (Scala BigInt `/` ≡ DuckDB `//`
+  // — both truncate toward zero, probed by the qCJ oracle). k
+  // iterations replay in SQL as k chained CTEs, so the centroids —
+  // and everything downstream of them — are hash-oracle-able.
+  // ---------------------------------------------------------------
+
+  /** 1e-6 fixed-point quantization with the qCC/powerIteration guard:
+    * null, NaN, or |x| ≥ 10 coordinates are refused loudly (a silent
+    * clamp would bend cell geometry). ≤ 1e7 per coordinate keeps the
+    * per-pair squared distance under 4e14·dim — exact in signed-64
+    * for any dim ≤ 2·10⁴. */
+  private[operators] def quantizeFp(vecCol: Column): Column =
+    transform(vecCol, x =>
+      when(abs(x.cast("double")) < lit(10.0),
+        floor(x.cast("double") * lit(1e6) + lit(0.5)).cast("long"))
+        .otherwise(raise_error(concat(
+          lit("trainExact: coordinate is null, NaN, or >= 10 in " +
+            "magnitude - breaks the 1e-6 fixed-point contract: "),
+          coalesce(x.cast("string"), lit("null"))))))
+
+  private def sqDistExact(v: Column, c: Seq[Long]): Column =
+    aggregate(zip_with(v, typedLit(c), (a, b) => (a - b) * (a - b)),
+      lit(0L), (acc, x) => acc + x)
+
+  /** argmin over exact-long distances: array_position of array_min
+    * returns the FIRST minimal index — the (min dist, min cell)
+    * tie-break the oracle replays as `ORDER BY dist, cell LIMIT 1`. */
+  private[operators] def nearestCentroidExact(
+      v: Column, centroids: Seq[Seq[Long]]): Column = {
+    val dArr = array(centroids.map(sqDistExact(v, _)): _*)
+    (array_position(dArr, array_min(dArr)) - 1).cast("int")
+  }
+
+  /**
+   * Deterministic EXACT Lloyd iterations over 1e-6 fixed-point
+   * coordinates; returns the quantized centroids (longs on the 1e-6
+   * grid). Seeding, iteration count and empty-cell retention mirror
+   * [[train]]; unlike it, the result is bit-identical in ANY
+   * execution order and SQL-replayable.
+   *
+   * Exact contract: per-row assignment distances are exact-long sums
+   * (bound above); per-cell per-coordinate sums ride DECIMAL(38,0)
+   * (no corpus-size bound); the new coordinate is BigInt-truncating
+   * `sum / n`. Uniform dimension is REQUIRED (a ragged corpus would
+   * zip_with-null the distance — refused loudly, the powerIteration
+   * convention).
+   *
+   * Scale shape: per iteration, one corpus assign pass (nlist
+   * exact-distance kernels, codegen'd HOFs) + one posexplode →
+   * (cell, dim) partial/final aggregate collecting nlist×dim rows
+   * (metadata). The projected corpus caches across iterations.
+   */
+  def trainExact(emb: DataFrame, idCol: String, vecCol: String,
+                 nlist: Int, iters: Int = 2): Seq[Seq[Long]] = {
+    require(nlist >= 1 && iters >= 1, "nlist and iters must be >= 1")
+    val dv = emb.filter(col(vecCol).isNotNull)
+      .select(col(idCol).as("id"), quantizeFp(col(vecCol)).as("qv"))
+      .cache()
+    try {
+      val dims = dv.select(size(col("qv")).as("d")).distinct()
+        .collect().map(_.getInt(0))
+      if (dims.isEmpty) return Seq.empty
+      require(dims.length == 1,
+        s"trainExact: mixed dimensions ${dims.sorted.mkString(",")} — " +
+          "a ragged corpus breaks the exact zip_with distance")
+      var centroids: Seq[Seq[Long]] = dv.orderBy(col("id")).limit(nlist)
+        .collect().map(_.getSeq[Long](1).toSeq).toSeq
+      for (_ <- 0 until iters) {
+        val sums = dv
+          .withColumn("cell", nearestCentroidExact(col("qv"), centroids))
+          .select(col("cell"), posexplode(col("qv")).as(Seq("i", "x")))
+          .groupBy(col("cell"), col("i"))
+          .agg(sum(col("x").cast("decimal(38,0)")).as("s"),
+            count(lit(1)).as("n"))
+          .collect()
+        val byCell = sums.groupBy(_.getInt(0))
+        centroids = centroids.indices.map { c =>
+          byCell.get(c) match {
+            case Some(rows) =>
+              val n = BigInt(rows.head.getLong(3))
+              rows.sortBy(_.getInt(1))
+                .map(r => (BigInt(r.getDecimal(2).toBigInteger) / n).toLong)
+                .toSeq
+            case None => centroids(c) // empty cell keeps its centroid
+          }
+        }
+      }
+      centroids
+    } finally dv.unpersist()
+  }
+
+  /** Memoized [[trainExact]] — the [[trainCached]] shape: in-JVM memo
+    * always; for lake-backed corpora the centroids also persist as an
+    * [[ArtifactStore]] generation so a fresh JVM loads, not retrains. */
+  def trainExactCached(emb: DataFrame, idCol: String, vecCol: String,
+                       nlist: Int, iters: Int,
+                       cacheKey: String): Seq[Seq[Long]] =
+    exactCache.computeIfAbsent(s"$cacheKey|$nlist|$iters", _ =>
+      if (emb.inputFiles.isEmpty) trainExact(emb, idCol, vecCol, nlist, iters)
+      else {
+        val spark = emb.sparkSession
+        import spark.implicits._
+        ArtifactStore.readOrBuild(spark, cacheKey,
+          "ivfexactcent-" + ArtifactStore.md5(
+            s"$idCol|$vecCol|$nlist|$iters").take(12), Seq(emb)) {
+          trainExact(emb, idCol, vecCol, nlist, iters)
+            .zipWithIndex.map { case (v, i) => (i, v) }.toDF("cell", "vec")
+        }.orderBy(col("cell")).collect()
+          .map(_.getSeq[Long](1).toIndexedSeq).toIndexedSeq
+      })
+
+  private val exactCache =
+    new java.util.concurrent.ConcurrentHashMap[String, Seq[Seq[Long]]]()
+
+  /** Corpus with its exact-cell assignment attached — [[assign]]'s
+    * twin over [[trainExact]] centroids (quantize, then exact-long
+    * argmin). */
+  def assignExact(emb: DataFrame, idCol: String, vecCol: String,
+                  centroids: Seq[Seq[Long]]): DataFrame =
+    emb.withColumn("ivf_cell",
+      nearestCentroidExact(quantizeFp(col(vecCol)), centroids))
+
+  /** [[probeCells]]' exact twin: the nprobe nearest cells by EXACT
+    * integer squared distance, ties → lowest cell index — pure
+    * driver math over nlist × dim longs. */
+  def probeCellsExact(query: Seq[Long], centroids: Seq[Seq[Long]],
+                      nprobe: Int): Seq[Int] = {
+    def sq(a: Seq[Long], b: Seq[Long]): BigInt = {
+      var s = BigInt(0); var i = 0
+      while (i < a.length) {
+        val d = BigInt(a(i)) - BigInt(b(i)); s += d * d; i += 1
+      }
+      s
+    }
+    centroids.zipWithIndex
+      .map { case (c, i) => (sq(query, c), i) }
+      .sortBy(identity).take(nprobe).map(_._2)
+  }
+
+  /** Driver-side 1e-6 quantization of one query vector — the same
+    * floor(x·1e6 + 0.5) IEEE dag [[quantizeFp]] evaluates per row. */
+  def quantizeFpDriver(v: Seq[Double]): Seq[Long] = {
+    v.foreach(x => require(!x.isNaN && math.abs(x) < 10.0,
+      s"quantizeFpDriver: coordinate $x is NaN or >= 10 in magnitude"))
+    v.map(x => math.floor(x * 1e6 + 0.5).toLong)
+  }
 }

@@ -869,6 +869,106 @@ object Similarity {
   }
 
   /**
+   * [[knnJoin]]'s FULL-hash-oracle twin over [[IvfIndex.trainExact]]
+   * centroids: the same cell-bounded candidate shape (corpus ×
+   * probeCells/nlist pairs, LINEAR in the corpus; bounded-heap top-k,
+   * never a corpus window), but every index decision — quantization,
+   * Lloyd iterations, cell assignment, probe-cell choice — is exact
+   * integer arithmetic, so a SQL oracle replays the index
+   * bit-for-bit and the result hashes green (the qBS/qCA/qCJ
+   * fixed-point precedent crossed onto k-means). Final scores are
+   * GateRound(cosine, 4) over the ORIGINAL float vectors (the
+   * q54/q55 margin-bound convention).
+   */
+  def knnJoinExact(emb: DataFrame, idCol: String, vecCol: String, k: Int,
+                   nlist: Int = 8, probeCells: Int = 4,
+                   iters: Int = 2,
+                   cacheKey: Option[String] = None): DataFrame = {
+    require(org.apache.spark.sql.graftbridge.ColumnBridge
+        .isIntegral(emb.schema(idCol).dataType),
+      s"knnJoinExact: $idCol must be an integral id column " +
+        s"(got ${emb.schema(idCol).dataType.simpleString})")
+    val centroids = cacheKey match {
+      case Some(key) =>
+        IvfIndex.trainExactCached(emb, idCol, vecCol, nlist, iters, key)
+      case None => IvfIndex.trainExact(emb, idCol, vecCol, nlist, iters)
+    }
+    // assign ONCE into a checkpoint before the self-join — the
+    // knnJoin lesson: without it the nlist-wide argmin re-inlines
+    // into filter AND project on both join sides
+    val assigned = IvfIndex.assignExact(emb, idCol, vecCol, centroids)
+      .select(col(idCol).cast("long").as("id"), col(vecCol).as("v"),
+        norm(col(vecCol)).as("nv"), col("ivf_cell").as("cell"))
+      .filter(finiteNorm(col("nv")))
+      .localCheckpoint(true)
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val pairs = centroids.indices.flatMap { a =>
+      IvfIndex.probeCellsExact(centroids(a), centroids,
+          math.min(probeCells, centroids.size))
+        .map(b => (a, b))
+    }.toDF("cell_a", "cell_b")
+    val cand = assigned.as("x")
+      .join(broadcast(pairs), col("x.cell") === col("cell_a"))
+      .join(assigned.as("y"),
+        col("cell_b") === col("y.cell") && col("x.id") =!= col("y.id"))
+      .select(col("x.id").as("id"),
+        graft.functions.GateRound(
+          dot(col("x.v"), col("y.v")) / (col("x.nv") * col("y.nv")), 4)
+          .as("__score"),
+        col("y.id").as("__nid"))
+    val topk = org.apache.spark.sql.functions.udaf(
+      new graft.functions.TopKByScore(k))
+    cand.groupBy(col("id"))
+      .agg(topk(col("__score"), col("__nid"), lit(0L)).as("top"))
+      .select(col("id"), posexplode(col("top")).as(Seq("__pos", "n")))
+      .select(col("id"), col("n.id").as("nn_id"),
+        col("n.score").as("cos_sim"),
+        (col("__pos") + 1).cast("int").as("rank"))
+  }
+
+  /**
+   * [[semanticDedup]]'s FULL-hash-oracle twin over
+   * [[IvfIndex.trainExact]] centroids: identical cell-bounded edge
+   * search (nlist × O((n/nlist)²) candidates — never all-pairs) and
+   * min-label canonicalization, with the k-means index exact-integer
+   * and therefore SQL-replayable. The cosine threshold compare is
+   * UNROUNDED, the q9G margin-bound convention.
+   */
+  def semanticDedupExact(emb: DataFrame, idCol: String, vecCol: String,
+                         minCos: Double, nlist: Int, iters: Int = 2,
+                         cacheKey: Option[String] = None,
+                         maxCellSize: Option[Int] = None): DataFrame = {
+    require(Seq("int", "bigint", "smallint", "tinyint")
+        .contains(emb.schema(idCol).dataType.simpleString),
+      s"semanticDedupExact: $idCol must be an integral id column " +
+        "(ConnectedComponents casts endpoints to long)")
+    val centroids = cacheKey match {
+      case Some(key) =>
+        IvfIndex.trainExactCached(emb, idCol, vecCol, nlist, iters, key)
+      case None => IvfIndex.trainExact(emb, idCol, vecCol, nlist, iters)
+    }
+    val assigned = Dedup.capBuckets(
+      IvfIndex.assignExact(emb, idCol, vecCol, centroids)
+        .select(col(idCol).as("id"), col(vecCol).as("v"),
+          norm(col(vecCol)).as("nv"), col("ivf_cell").as("cell"))
+        .filter(finiteNorm(col("nv"))),
+      Seq("cell"), maxCellSize, "semanticDedupExact")
+      .localCheckpoint(true)
+    val edges = assigned.as("a").join(assigned.as("b"),
+        col("a.cell") === col("b.cell") && col("a.id") < col("b.id"))
+      .filter(dot(col("a.v"), col("b.v")) / (col("a.nv") * col("b.nv"))
+        >= minCos)
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+    val cc = ConnectedComponents.run(edges, "id_a", "id_b")
+    emb.select(col(idCol))
+      .join(cc.withColumnRenamed("id", idCol), Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("component"), col(idCol)).as("canonical_id"))
+      .withColumn("is_canonical", col(idCol) === col("canonical_id"))
+  }
+
+  /**
    * Approximate near-duplicate pairs: only pairs sharing a bucket in
    * at least one of `tables` independent signature tables are scored.
    * Returns (id_a, id_b, cos_sim) — a recall-bounded subset of

@@ -2575,6 +2575,53 @@ object Pipeline {
         }
       Multimodal.sceneCuts(frames, maxHamming = 8)
         .orderBy(col("doc_id"))
+    }),
+
+    // EXACT fixed-point IVF search — q72's FULL-hash-oracle twin
+    // (the qBS/qCA/qCJ precedent crossed onto k-means): integer
+    // Lloyd centroids + exact-integer probe selection replay in
+    // DuckDB as chained CTEs; only the final cosine score is float,
+    // under the q54/q55 round-4 margin-bound convention
+    "qE0_ivf_search_exact" -> ((s, dir) => {
+      val ivf = graft.operators.IvfIndex
+      val emb = T(s, dir)("embeddings")
+      val cents = ivf.trainExactCached(emb, "vec_id", "embedding",
+        nlist = 16, iters = 2, cacheKey = dir)
+      val assigned = ivf.assignExact(emb, "vec_id", "embedding", cents)
+        .localCheckpoint(true)
+      val qv = emb.filter(col("vec_id") === 0)
+        .select(col("embedding").cast("array<double>"))
+        .head().getSeq[Double](0).toSeq
+      val cells = ivf.probeCellsExact(ivf.quantizeFpDriver(qv), cents, 4)
+      assigned
+        .filter(col("ivf_cell").isin(cells: _*) && col("vec_id") =!= 0)
+        .select(col("vec_id"), graft.functions.GateRound(
+          Similarity.cosine(col("embedding").cast("array<double>"),
+            typedLit(qv)), 4).as("cos_sim"),
+          col("ivf_cell"))
+        .orderBy(col("cos_sim").desc, col("vec_id"))
+        .limit(10)
+    }),
+
+    // EXACT fixed-point kNN self-join — q9B's FULL-hash-oracle twin:
+    // same linear cell-bounded candidate shape + bounded-heap top-k,
+    // index decisions all exact-integer and SQL-replayed
+    "qE1_knn_join_exact" -> ((s, dir) => {
+      Similarity.knnJoinExact(
+          T(s, dir)("embeddings").filter(col("vec_id") < 100),
+          "vec_id", "embedding", k = 3, nlist = 8, probeCells = 4,
+          cacheKey = Some(s"$dir|knn100"))
+        .orderBy(col("id"), col("rank"))
+    }),
+
+    // EXACT fixed-point SemDeDup — q9X's FULL-hash-oracle twin: the
+    // same cell-bounded edge search + min-label components, over
+    // exact-integer k-means cells the oracle replays bit-for-bit
+    "qE2_semantic_dedup_exact" -> ((s, dir) => {
+      Similarity.semanticDedupExact(T(s, dir)("embeddings"), "vec_id",
+          "embedding", minCos = 0.40, nlist = 4,
+          cacheKey = Some(s"semdedupx|$dir"))
+        .orderBy(col("vec_id"))
     })
   )
 
@@ -2902,7 +2949,106 @@ object Pipeline {
       FROM f, m ORDER BY vec_id, dim"""
   }
 
+  /** Chained exact-Lloyd CTEs — the DuckDB replica of
+    * [[graft.operators.IvfIndex.trainExact]]: 1e-6 quantization,
+    * lowest-id seeds, exact-integer distances with (min dist, min
+    * cell) ties, truncating `//` centroid means (≡ BigInt `/` — the
+    * qCJ-probed parity), empty cells retained via LEFT JOIN +
+    * COALESCE. Emits CTEs `q` (quantized corpus: vec_id, fv, qv),
+    * `c<iters>` (final centroids) and `a<iters+1>` (final
+    * assignment); interpolate inside WITH [RECURSIVE]. */
+  private def exactLloydCtes(source: String, nlist: Int, iters: Int,
+                             dim: Int = 64): String = {
+    def assignSql(prev: Int, cur: Int): String = s"""
+      d$cur AS (SELECT q.vec_id, q.qv, c.cell,
+             list_sum(list_transform(range(1, ${dim + 1}),
+               i -> (q.qv[i] - c.cv[i]) * (q.qv[i] - c.cv[i]))) AS dist
+           FROM q, c$prev c),
+      a$cur AS (SELECT vec_id, qv, cell FROM
+             (SELECT vec_id, qv, cell, row_number() OVER
+                (PARTITION BY vec_id ORDER BY dist, cell) AS rn
+              FROM d$cur) WHERE rn = 1)"""
+    def meanSql(cur: Int): String = s"""
+      s$cur AS (SELECT cell, i, SUM(qv[i]) AS s, COUNT(*) AS n
+           FROM a$cur, range(1, ${dim + 1}) t(i) GROUP BY cell, i),
+      c$cur AS (SELECT c${cur - 1}.cell, COALESCE(nc.cv, c${cur - 1}.cv) AS cv
+           FROM c${cur - 1} LEFT JOIN
+             (SELECT cell, list(CAST(s // n AS BIGINT) ORDER BY i) AS cv
+              FROM s$cur GROUP BY cell) nc USING (cell))"""
+    val iterations = (1 to iters)
+      .map(c => assignSql(c - 1, c) + "," + meanSql(c)).mkString(",")
+    s"""
+      q AS MATERIALIZED (
+        SELECT src.vec_id, CAST(src.embedding AS DOUBLE[]) AS fv,
+               list_transform(src.embedding, x ->
+                 CAST(floor(CAST(x AS DOUBLE) * 1000000 + 0.5) AS BIGINT))
+                 AS qv
+        FROM $source src WHERE src.embedding IS NOT NULL),
+      c0 AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell,
+                    qv AS cv
+             FROM q ORDER BY vec_id LIMIT $nlist),
+      $iterations,
+      ${assignSql(iters, iters + 1)}"""
+  }
+
+  private def qE0Sql: String = s"""
+      WITH ${exactLloydCtes("embeddings", nlist = 16, iters = 2)},
+      q0 AS (SELECT qv AS q0v, fv AS q0f FROM q WHERE vec_id = 0),
+      pc AS (SELECT cell FROM (
+              SELECT c.cell, list_sum(list_transform(range(1, 65),
+                i -> (q0.q0v[i] - c.cv[i]) * (q0.q0v[i] - c.cv[i])))
+                AS dist
+              FROM c2 c, q0) ORDER BY dist, cell LIMIT 4)
+      SELECT a3.vec_id,
+             round(list_cosine_similarity(q.fv, q0.q0f), 4) + 0 AS cos_sim,
+             CAST(a3.cell AS INT) AS ivf_cell
+      FROM a3 JOIN q USING (vec_id), q0
+      WHERE a3.cell IN (SELECT cell FROM pc) AND a3.vec_id <> 0
+      ORDER BY cos_sim DESC, vec_id LIMIT 10"""
+
+  private def qE1Sql: String = s"""
+      WITH ${exactLloydCtes("(SELECT * FROM embeddings WHERE vec_id < 100)",
+        nlist = 8, iters = 2)},
+      cp AS (SELECT cell_a, cell_b FROM (
+              SELECT a.cell AS cell_a, b.cell AS cell_b,
+                     row_number() OVER (PARTITION BY a.cell ORDER BY
+                       list_sum(list_transform(range(1, 65),
+                         i -> (a.cv[i] - b.cv[i]) * (a.cv[i] - b.cv[i]))),
+                       b.cell) AS rn
+              FROM c2 a, c2 b) WHERE rn <= 4),
+      cand AS (SELECT x.vec_id AS id, y.vec_id AS nid,
+                 round(list_cosine_similarity(xq.fv, yq.fv), 4) + 0 AS score
+               FROM a3 x JOIN cp ON x.cell = cp.cell_a
+                 JOIN a3 y ON y.cell = cp.cell_b AND x.vec_id <> y.vec_id
+                 JOIN q xq ON xq.vec_id = x.vec_id
+                 JOIN q yq ON yq.vec_id = y.vec_id)
+      SELECT CAST(id AS BIGINT) AS id, CAST(nid AS BIGINT) AS nn_id,
+             score AS cos_sim, CAST(rn AS INT) AS rank
+      FROM (SELECT id, nid, score, row_number() OVER
+              (PARTITION BY id ORDER BY score DESC, nid) AS rn FROM cand)
+      WHERE rn <= 3 ORDER BY id, rank"""
+
+  private def qE2Sql: String = s"""
+      WITH RECURSIVE ${exactLloydCtes("embeddings", nlist = 4, iters = 2)},
+      p AS (SELECT x.vec_id AS id_a, y.vec_id AS id_b
+            FROM a3 x JOIN a3 y ON x.cell = y.cell AND x.vec_id < y.vec_id
+              JOIN q xq ON xq.vec_id = x.vec_id
+              JOIN q yq ON yq.vec_id = y.vec_id
+            WHERE list_cosine_similarity(xq.fv, yq.fv) >= 0.40),
+      edges AS (SELECT id_a AS a, id_b AS b FROM p
+                UNION ALL SELECT id_b, id_a FROM p),
+      reach(id, r) AS (SELECT vec_id, vec_id FROM embeddings
+                       UNION
+                       SELECT e.b, reach.r
+                       FROM reach JOIN edges e ON e.a = reach.id)
+      SELECT id AS vec_id, min(r) AS canonical_id,
+             (min(r) = id) AS is_canonical
+      FROM reach GROUP BY id ORDER BY vec_id"""
+
   val oracleSql: Map[String, String] = Map(
+    "qE0_ivf_search_exact" -> qE0Sql,
+    "qE1_knn_join_exact" -> qE1Sql,
+    "qE2_semantic_dedup_exact" -> qE2Sql,
     // hash-dependent MinHash/SimHash queries, replayed exactly in
     // DuckDB via the XxhOracle xxhash64(seed=42) + murmur3 replicas
     "q9M_source_overlap_minhash" -> XxhOracle.q9mSql,

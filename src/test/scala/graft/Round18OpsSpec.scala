@@ -1,0 +1,142 @@
+package graft
+
+import graft.operators.{IvfIndex, Similarity}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class Round18OpsSpec extends AnyFunSuite {
+  private lazy val spark = GraftTestSession.spark
+  import spark.implicits._
+
+  private def emb = Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
+
+  /** Pure-driver BigInt replica of the exact Lloyd contract — the
+    * same math the DuckDB oracle replays as chained CTEs. */
+  private def lloydReplica(vecs: Seq[(Long, Seq[Double])], nlist: Int,
+                           iters: Int): Seq[Seq[Long]] = {
+    val qv = vecs.sortBy(_._1).map { case (id, v) =>
+      id -> v.map(x => math.floor(x * 1e6 + 0.5).toLong)
+    }
+    var cents: Seq[Seq[Long]] = qv.take(nlist).map(_._2)
+    def sqd(a: Seq[Long], b: Seq[Long]): BigInt =
+      a.zip(b).foldLeft(BigInt(0)) { case (s, (x, y)) =>
+        s + BigInt(x - y) * BigInt(x - y)
+      }
+    for (_ <- 0 until iters) {
+      val assign = qv.map { case (_, v) =>
+        (cents.zipWithIndex.map { case (c, j) => (sqd(v, c), j) }.min._2, v)
+      }
+      cents = cents.indices.map { c =>
+        val members = assign.filter(_._1 == c).map(_._2)
+        if (members.isEmpty) cents(c)
+        else {
+          val n = BigInt(members.size)
+          (0 until cents(c).size).map { i =>
+            (members.foldLeft(BigInt(0))((s, m) => s + BigInt(m(i))) / n)
+              .toLong
+          }
+        }
+      }
+    }
+    cents
+  }
+
+  test("trainExact: matches the BigInt replica, partition-invariant") {
+    val vecs = emb.select(col("vec_id").cast("long"),
+        col("embedding").cast("array<double>"))
+      .as[(Long, Seq[Double])].collect().toSeq
+    val expect = lloydReplica(vecs, nlist = 4, iters = 2)
+    val got1 = IvfIndex.trainExact(emb.repartition(1), "vec_id",
+      "embedding", nlist = 4, iters = 2)
+    val got17 = IvfIndex.trainExact(emb.repartition(17), "vec_id",
+      "embedding", nlist = 4, iters = 2)
+    assert(got1 == expect, "trainExact != driver BigInt replica")
+    assert(got17 == expect, "trainExact is partition-order dependent")
+  }
+
+  test("trainExact: refusals and empty-cell retention") {
+    // |x| >= 10 refused loudly
+    val bad = Seq((1L, Seq(0.5, 11.0))).toDF("id", "v")
+    val e = intercept[Exception] {
+      IvfIndex.trainExact(bad, "id", "v", nlist = 1, iters = 1)
+    }
+    assert(e.getMessage.contains("fixed-point"), e.getMessage)
+    // mixed dims refused
+    val ragged = Seq((1L, Seq(0.1, 0.2)), (2L, Seq(0.3))).toDF("id", "v")
+    val e2 = intercept[IllegalArgumentException] {
+      IvfIndex.trainExact(ragged, "id", "v", nlist = 1, iters = 1)
+    }
+    assert(e2.getMessage.contains("mixed dimensions"))
+    // duplicate seed vectors: every point ties to the LOWEST cell
+    // index, so cell 1 goes empty and must keep its seed centroid
+    val dup = Seq((1L, Seq(0.0, 0.0)), (2L, Seq(0.0, 0.0)),
+      (3L, Seq(0.001, 0.0))).toDF("id", "v")
+    val cents = IvfIndex.trainExact(dup, "id", "v", nlist = 2, iters = 1)
+    assert(cents(1) == Seq(0L, 0L), s"empty cell must keep its seed: $cents")
+    assert(cents(0) == Seq(333L, 0L), // (0 + 0 + 1000) / 3 truncating
+      s"cell 0 mean of all three members: $cents")
+  }
+
+  test("assignExact + probeCellsExact: min-dist then min-index ties") {
+    val cents = Seq(Seq(0L, 0L), Seq(1000000L, 0L), Seq(0L, 0L))
+    val df = Seq((1L, Seq(0.0, 0.0)), (2L, Seq(1.0, 0.0)),
+      (3L, Seq(0.5, 0.0))).toDF("id", "v")
+    val cells = IvfIndex.assignExact(df, "id", "v", cents)
+      .select(col("id"), col("ivf_cell")).as[(Long, Int)].collect().toMap
+    assert(cells(1L) == 0) // exact tie between cells 0 and 2 -> 0
+    assert(cells(2L) == 1)
+    assert(cells(3L) == 0) // equidistant 0/1/2 -> lowest index
+    assert(IvfIndex.probeCellsExact(Seq(0L, 0L), cents, 2) == Seq(0, 2))
+  }
+
+  test("semanticDedupExact: nlist=1 equals the exact all-pairs path") {
+    // one cell = no candidate pruning: components must equal q9G's
+    // exact allPairsAbove + CC semantics (the q9X precedent pin)
+    val viaCells = Similarity.semanticDedupExact(emb, "vec_id",
+        "embedding", minCos = 0.40, nlist = 1)
+      .orderBy(col("vec_id")).collect().toSeq
+    val pairs = Similarity.allPairsAbove(emb, "vec_id", "embedding", 0.40)
+    val cc = graft.operators.ConnectedComponents.run(pairs, "id_a", "id_b")
+    val exact = emb.select(col("vec_id"))
+      .join(cc.withColumnRenamed("id", "vec_id"), Seq("vec_id"), "left")
+      .select(col("vec_id"),
+        coalesce(col("component"), col("vec_id")).as("canonical_id"))
+      .withColumn("is_canonical", col("vec_id") === col("canonical_id"))
+      .orderBy(col("vec_id")).collect().toSeq
+    assert(viaCells == exact)
+  }
+
+  test("knnJoinExact: self excluded, ordering contract, recall vs brute") {
+    val sub = emb.filter(col("vec_id") < 100)
+    val got = Similarity.knnJoinExact(sub, "vec_id", "embedding", k = 3,
+      nlist = 8, probeCells = 4)
+    val rows = got.orderBy(col("id"), col("rank")).collect()
+    assert(rows.nonEmpty)
+    rows.groupBy(_.getLong(0)).foreach { case (id, rs) =>
+      assert(rs.forall(_.getLong(1) != id), s"self-match for $id")
+      val scores = rs.sortBy(_.getInt(3)).map(_.getDouble(2)).toSeq
+      assert(scores == scores.sorted.reverse, s"rank order broke for $id")
+    }
+    // recall vs brute-force top-1 (cells bound recall; at 8 cells /
+    // probe 4 over 100 vectors it should stay high)
+    val brute = sub.as("a").join(sub.as("b"),
+        col("a.vec_id") =!= col("b.vec_id"))
+      .select(col("a.vec_id").as("id"),
+        (Similarity.dot(col("a.embedding"), col("b.embedding")) /
+          (Similarity.norm(col("a.embedding")) *
+            Similarity.norm(col("b.embedding")))).as("cos"),
+        col("b.vec_id").cast("long").as("nn"))
+      .withColumn("rn", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("id"))
+          .orderBy(col("cos").desc, col("nn"))))
+      .filter(col("rn") === 1)
+      .select(col("id").cast("long"), col("nn")).as[(Long, Long)]
+      .collect().toMap
+    val gotTop1 = rows.filter(_.getInt(3) == 1)
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val recall = brute.count { case (id, nn) =>
+      gotTop1.get(id).contains(nn)
+    }.toDouble / brute.size
+    assert(recall >= 0.5, s"top-1 recall $recall collapsed")
+  }
+}
