@@ -1183,6 +1183,104 @@ class StreamingSpec extends AnyFunSuite {
     }
   }
 
+  test("StreamingCusum: streamed drift monitor equals batch; replays absorbed") {
+    import graft.operators.Retention
+    import graft.streaming.StreamingCusum
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    // the qDX fixture: per-source doc_id-ordered series, Page
+    // recursion at target 6 / threshold 50 — the final per-group row
+    // must equal batch EXACTLY, including the first-alarm seq
+    val obs = Tables.load(spark, "/root/testdata/sf0.001", "documents")
+      .select(col("source"), col("doc_id"), (col("doc_id") % 13).as("x"))
+      .orderBy(col("doc_id"))
+      .as[(String, Long, Long)].collect().toSeq
+    val batch = Retention.cusum(obs.toDF("source", "doc_id", "x"),
+        "source", "doc_id", "x", target = 6L, threshold = 50L)
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2),
+        r.getLong(3), if (r.isNullAt(4)) None else Some(r.getLong(4)),
+        r.getLong(5), r.getBoolean(6)))).toMap
+    val mem = MemoryStream[(String, Long, Long)]
+    val sdf = StreamingCusum.cusum(mem.toDF()
+        .toDF("source", "doc_id", "x"),
+      "source", "doc_id", "x", target = 6L, threshold = 50L)
+    assert(sdf.columns.toSeq == Seq("source", "n", "max_s", "n_alarms",
+      "first_alarm_seq", "h", "alarmed", "n_late"))
+    val latest = new java.util.concurrent.ConcurrentHashMap[
+      String, (Long, Long, Long, Option[Long], Long, Boolean, Long)]()
+    val q = sdf.writeStream.outputMode("update")
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        b.collect().foreach { r =>
+          latest.put(r.getString(0), (r.getLong(1), r.getLong(2),
+            r.getLong(3), if (r.isNullAt(4)) None else Some(r.getLong(4)),
+            r.getLong(5), r.getBoolean(6), r.getLong(7)))
+        }
+      }.start()
+    try {
+      // three in-order micro-batches (doc_id thirds)
+      val chunks = obs.grouped((obs.size + 2) / 3).toSeq
+      chunks.foreach { ch => mem.addData(ch); q.processAllAvailable() }
+      import scala.jdk.CollectionConverters._
+      val mid = latest.asScala.toMap
+      assert(mid.keySet == batch.keySet)
+      batch.foreach { case (g, (n, maxS, nA, fa, h, al)) =>
+        assert(mid(g) == ((n, maxS, nA, fa, h, al, 0L)),
+          s"group $g: streamed ${mid(g)} vs batch $batch")
+      }
+      // at-least-once: replaying the middle chunk lands in n_late and
+      // must not move the statistic, census, or first-alarm seq
+      val replay = chunks(1)
+      val lateBy = replay.groupBy(_._1).view.mapValues(_.size.toLong).toMap
+      mem.addData(replay)
+      q.processAllAvailable()
+      val after = latest.asScala.toMap
+      batch.foreach { case (g, (n, maxS, nA, fa, h, al)) =>
+        assert(after(g) == ((n, maxS, nA, fa, h, al,
+          lateBy.getOrElse(g, 0L))),
+          s"group $g replay broke the recursion: ${after(g)}")
+      }
+    } finally q.stop()
+  }
+
+  test("StreamingCusum: planted drift alarms with the batch first-alarm seq") {
+    import graft.operators.Retention
+    import graft.streaming.StreamingCusum
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    // group "drift": x = 10 vs target 6 -> S = 4i, crosses h = 20 at
+    // seq 6; group "flat": x = 6 -> S = 0 forever (null first alarm)
+    val obs = (1L to 20L).map(i => ("drift", i, 10L)) ++
+      (1L to 20L).map(i => ("flat", i, 6L))
+    val batch = Retention.cusum(obs.toDF("g", "seq", "x"), "g", "seq",
+        "x", target = 6L, threshold = 20L)
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2),
+        r.getLong(3), if (r.isNullAt(4)) None else Some(r.getLong(4)),
+        r.getBoolean(6)))).toMap
+    assert(batch("drift") == ((20L, 80L, 15L, Some(6L), true)))
+    assert(batch("flat") == ((20L, 0L, 0L, None, false)))
+    val mem = MemoryStream[(String, Long, Long)]
+    val latest = new java.util.concurrent.ConcurrentHashMap[
+      String, (Long, Long, Long, Option[Long], Boolean)]()
+    val q = StreamingCusum.cusum(mem.toDF().toDF("g", "seq", "x"),
+        "g", "seq", "x", target = 6L, threshold = 20L)
+      .writeStream.outputMode("update")
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        b.collect().foreach { r =>
+          latest.put(r.getString(0), (r.getLong(1), r.getLong(2),
+            r.getLong(3), if (r.isNullAt(4)) None else Some(r.getLong(4)),
+            r.getBoolean(6)))
+        }
+      }.start()
+    try {
+      obs.grouped(10).foreach { ch => mem.addData(ch) }
+      q.processAllAvailable()
+      import scala.jdk.CollectionConverters._
+      assert(latest.asScala.toMap == batch)
+    } finally q.stop()
+  }
+
   test("StreamingClassifierReport: streamed scorecard equals batch") {
     import graft.operators.Classification
     import graft.streaming.StreamingClassifierReport
