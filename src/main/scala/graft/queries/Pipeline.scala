@@ -2614,6 +2614,42 @@ object Pipeline {
         .orderBy(col("id"), col("rank"))
     }),
 
+    // eval-significance CAPSTONE — the significance family COMPOSED
+    // end-to-end the way qB2/qAD/q89 compose the curation stages:
+    // paired A/B scores -> tie exclusion -> per-source sign-test
+    // p-values (exact O(n^2) tail fold) -> ONE BH family at q=10% ->
+    // rejected-set scorecard. The planted win ladder (w_s by source
+    // index) makes BOTH the rejected set and a genuinely RESCUED
+    // rank non-empty at the gate SF: rank 4 (p=.022656 > crit .02)
+    // fails its own step-up criterion but rank 5 accepts, so the
+    // step-up cutoff k=5 rescues it — the property that separates
+    // BH from Holm, exercised in data
+    "qE3_significance_capstone" -> ((s, dir) => {
+      val P = graft.operators.Preference
+      val d = T(s, dir)("documents")
+      val sIdx = col("doc_id") % 20
+      val r = expr("(doc_id div 20) % 25")
+      val w = when(sIdx === 0, 21L)
+        .when(sIdx.isin(1, 2), 19L)
+        .when(sIdx.isin(3, 4), 18L)
+        .when(sIdx.between(5, 12), 14L)
+        .otherwise(13L)
+      val a = when(r < w, 2L).otherwise(0L)
+      val pairs = d.select(col("source"), a.as("score_a"),
+          when(r === 24, a).otherwise(1L).as("score_b"))
+        .filter(col("score_a") =!= col("score_b")) // sign test: drop ties
+      val st = P.signTest(pairs.select(col("source"),
+        (col("score_a") > col("score_b")).as("win")), "source", "win")
+      val verdicts = P.bhFdr(st.select(lit("ab").as("family"),
+          col("source").as("test_id"), col("p_two")),
+        "family", "test_id", "p_two", qPct = 10)
+      st.join(verdicts.select(col("test_id").as("source"), col("rank"),
+          col("m"), col("k"), col("reject")), Seq("source"))
+        .select(col("source"), col("n"), col("wins"), col("losses"),
+          col("p_two"), col("rank"), col("m"), col("k"), col("reject"))
+        .orderBy(col("source"))
+    }),
+
     // EXACT fixed-point SemDeDup — q9X's FULL-hash-oracle twin: the
     // same cell-bounded edge search + min-label components, over
     // exact-integer k-means cells the oracle replays bit-for-bit
@@ -3045,7 +3081,53 @@ object Pipeline {
              (min(r) = id) AS is_canonical
       FROM reach GROUP BY id ORDER BY vec_id"""
 
+  private def qE3Sql: String = """
+      WITH base AS (SELECT source, doc_id % 20 AS s,
+                      (doc_id // 20) % 25 AS r FROM documents),
+      sc AS (SELECT source, r,
+               CASE WHEN r < (CASE WHEN s = 0 THEN 21
+                                   WHEN s IN (1, 2) THEN 19
+                                   WHEN s IN (3, 4) THEN 18
+                                   WHEN s BETWEEN 5 AND 12 THEN 14
+                                   ELSE 13 END)
+                 THEN 2 ELSE 0 END AS a0
+             FROM base),
+      pr AS (SELECT source, a0 AS score_a,
+               CASE WHEN r = 24 THEN a0 ELSE 1 END AS score_b FROM sc),
+      r2 AS (SELECT source, score_a > score_b AS w FROM pr
+             WHERE score_a <> score_b),
+      st AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(CASE WHEN w THEN 1 ELSE 0 END) AS BIGINT)
+                 AS wins,
+               CAST(SUM(CASE WHEN NOT w THEN 1 ELSE 0 END) AS BIGINT)
+                 AS losses
+             FROM r2 GROUP BY 1),
+      v AS (SELECT *, greatest(wins, losses) AS kmax FROM st),
+      pv AS (SELECT source, n, wins, losses,
+               CASE WHEN n > 0 THEN round(least(1.0, 2.0 *
+                 list_reduce(list_transform(range(kmax, n + 1),
+                   i -> pow(0.5, CAST(n AS DOUBLE)) * list_reduce(
+                          list_transform(range(1, i + 1),
+                            j -> (CAST(n AS DOUBLE) - CAST(i AS DOUBLE)
+                                  + CAST(j AS DOUBLE))
+                                 / CAST(j AS DOUBLE)),
+                          (a, b) -> a * b)),
+                   (a, b) -> a + b)), 6) ELSE 0.0 END AS p_two
+             FROM v),
+      q AS (SELECT *, CAST(floor(p_two * 1000000000 + 0.5) AS BIGINT)
+              AS pq FROM pv),
+      wn AS (SELECT *, CAST(row_number() OVER (ORDER BY pq, source)
+               AS BIGINT) AS rnk,
+               CAST(COUNT(*) OVER () AS BIGINT) AS m FROM q),
+      acc AS (SELECT *, CASE WHEN pq * m * 100 <= 10 * rnk * 1000000000
+                THEN rnk ELSE 0 END AS a FROM wn),
+      kk AS (SELECT MAX(a) AS k FROM acc)
+      SELECT source, n, wins, losses, p_two, rnk AS rank, m, k,
+             rnk <= k AS reject
+      FROM acc, kk ORDER BY source"""
+
   val oracleSql: Map[String, String] = Map(
+    "qE3_significance_capstone" -> qE3Sql,
     "qE0_ivf_search_exact" -> qE0Sql,
     "qE1_knn_join_exact" -> qE1Sql,
     "qE2_semantic_dedup_exact" -> qE2Sql,

@@ -106,6 +106,26 @@ class Round18OpsSpec extends AnyFunSuite {
     assert(viaCells == exact)
   }
 
+  test("qE3 capstone: rejected set AND a rescued rank are both non-empty") {
+    // the step-up property in data: a rank failing its OWN criterion
+    // p(i) <= q*i/m is rejected anyway because a later rank accepts
+    val rows = graft.queries.Pipeline.queries("qE3_significance_capstone")(
+      spark, "/root/testdata/sf0.001").collect()
+    assert(rows.length == 20)
+    val k = rows.head.getLong(7)
+    assert(k == 5L, s"step-up cutoff moved: $k")
+    val rejected = rows.filter(_.getBoolean(8))
+    assert(rejected.length == 5)
+    val rescued = rejected.filter { r =>
+      // fails its own criterion: pq * m * 100 > q% * rank * 1e9
+      math.round(r.getDouble(4) * 1e9) * r.getLong(6) * 100L >
+        10L * r.getLong(5) * 1000000000L
+    }
+    assert(rescued.map(_.getLong(5)).toSeq == Seq(4L),
+      s"exactly rank 4 must be rescued: ${rescued.mkString(",")}")
+    assert(rows.count(!_.getBoolean(8)) == 15)
+  }
+
   test("knnJoinExact: self excluded, ordering contract, recall vs brute") {
     val sub = emb.filter(col("vec_id") < 100)
     val got = Similarity.knnJoinExact(sub, "vec_id", "embedding", k = 3,
