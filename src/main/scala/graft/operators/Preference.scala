@@ -1916,6 +1916,17 @@ object Preference {
    * [[pairedBootstrapCi]] shape) → one window + one aggregate over
    * permutation summaries. The corpus never sorts.
    *
+   * Compute amplification (the 100 TB budget — SCALE.md "Resampling
+   * amplification"): the shuffle carries only permutation summaries,
+   * but the scan pays ×(P+1) — every row evaluates P md5 parity
+   * draws and P+1 aggregate updates of pure CPU before anything
+   * combines. At P = 10⁴ that is 10⁴ draws/row. P bounds the
+   * p-value's resolution at 1/(P+1), and the test's POWER saturates
+   * long before the corpus does — permute a deterministic sample
+   * ([[Sampling.stratifiedSample]] per group) when n per group
+   * exceeds ~10⁶; past that the p-value is pinned at the add-one
+   * floor for any real effect anyway.
+   *
    * @return one row per group: (byCol, n, sum_d, n_extreme, p
    *         rounded 6, defined = n > 0)
    */
@@ -2280,6 +2291,18 @@ object Preference {
    * replay the corpus explode — then per-group windows over ≤ B rows
    * + one |groups|-row broadcast-joinable estimate frame. The corpus
    * never sorts; only resample summaries do.
+   *
+   * Compute amplification (the 100 TB budget — SCALE.md "Resampling
+   * amplification"): the SHUFFLE is bounded (≤ B+1 rows per group
+   * per partition), but the SCAN is not free — the explode
+   * multiplies the row stream ×(B+1) before the map-side combine,
+   * so every input row pays B+1 md5 draws and B+1 aggregate
+   * updates of pure CPU. At B = 10⁴ that is 10⁴ draws/row —
+   * 10 trillion kernel evaluations over a 10⁹-row corpus. The CI
+   * of a MEAN needs nothing like the full corpus: bootstrap a
+   * deterministic sample ([[Sampling.stratifiedSample]] per group —
+   * se scales as 1/√n, so 10⁶ rows already resolve a 1e-3 se) and
+   * keep B as the precision dial, not the corpus.
    *
    * @return one row per group: (byCol, n, b, b_eff, est, ci_lo,
    *         ci_hi — each GateRounded 6, defined = b_eff > 0)
