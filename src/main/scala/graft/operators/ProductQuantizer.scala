@@ -132,4 +132,126 @@ object ProductQuantizer {
       .orderBy(col("cos_sim").desc, col(idCol))
       .limit(k)
   }
+
+  // ---------------------------------------------------------------
+  // Exact fixed-point PQ — the FULL-hash-oracle twin of the float
+  // path (the IvfIndex.trainExact precedent crossed onto per-subspace
+  // codebooks): every index decision — sub-vector quantization, m
+  // Lloyd runs, code assignment, the ADC table and the shortlist
+  // order — is exact integer arithmetic, SQL-replayable with
+  // subspace as a PARTITION column (one CTE chain covers all m
+  // codebooks). Only the final re-rank cosine is float, under the
+  // q54/q55 round-4 margin-bound convention.
+  // ---------------------------------------------------------------
+
+  /** [subspace][centroid][component] codebooks on the 1e-6 grid. */
+  case class CodebooksFp(m: Int, dsub: Int, ksub: Int,
+                         tables: Seq[Seq[Seq[Long]]])
+
+  /** Train exact per-subspace codebooks — m [[IvfIndex.trainExact]]
+    * runs over the sliced sub-vectors. */
+  def trainExact(emb: DataFrame, idCol: String, vecCol: String,
+                 m: Int, ksub: Int = 16, iters: Int = 2): CodebooksFp = {
+    val dim = emb.select(size(col(vecCol))).head().getInt(0)
+    require(dim % m == 0, s"m=$m must divide dim=$dim")
+    val dsub = dim / m
+    val tables = (0 until m).map { i =>
+      val sub = emb.select(col(idCol).as("id"),
+        subVec(col(vecCol), i, dsub).as("v"))
+      IvfIndex.trainExact(sub, "id", "v", ksub, iters)
+    }
+    CodebooksFp(m, dsub, ksub, tables)
+  }
+
+  private val exactCache =
+    new java.util.concurrent.ConcurrentHashMap[String, CodebooksFp]()
+
+  /** Memoized [[trainExact]] — the [[trainCached]] shape; for
+    * lake-backed corpora the codebooks also persist as an
+    * [[ArtifactStore]] generation (one row per (subspace, centroid),
+    * long components). */
+  def trainExactCached(emb: DataFrame, idCol: String, vecCol: String,
+                       m: Int, ksub: Int, cacheKey: String): CodebooksFp =
+    exactCache.computeIfAbsent(s"$cacheKey|$m|$ksub", _ =>
+      if (emb.inputFiles.isEmpty) trainExact(emb, idCol, vecCol, m, ksub)
+      else {
+        val spark = emb.sparkSession
+        import spark.implicits._
+        val rows = ArtifactStore.readOrBuild(spark, cacheKey,
+          "pqexactcb-" + ArtifactStore.md5(
+            s"$idCol|$vecCol|$m|$ksub").take(12), Seq(emb)) {
+          val cb = trainExact(emb, idCol, vecCol, m, ksub)
+          (for { i <- 0 until cb.m; c <- cb.tables(i).indices }
+            yield (i, c, cb.tables(i)(c)))
+            .toDF("subspace", "centroid", "components")
+        }.select("subspace", "centroid", "components").collect()
+          .map(r => (r.getInt(0), r.getInt(1),
+            r.getSeq[Long](2).toIndexedSeq))
+        val tables = rows.groupBy(_._1).toSeq.sortBy(_._1)
+          .map { case (_, cs) => cs.sortBy(_._2).map(_._3).toIndexedSeq }
+          .toIndexedSeq
+        CodebooksFp(tables.size, tables.head.head.size,
+          tables.map(_.size).max, tables)
+      })
+
+  /** Attach `pq_codes` via the exact-integer argmin per subspace. */
+  def encodeExact(emb: DataFrame, vecCol: String,
+                  cb: CodebooksFp): DataFrame =
+    emb.withColumn("pq_codes", array((0 until cb.m).map(i =>
+      IvfIndex.nearestCentroidExact(
+        IvfIndex.quantizeFp(subVec(col(vecCol), i, cb.dsub)),
+        cb.tables(i))): _*))
+
+  /** EXACT-long ADC distance: the m×ksub lookup table holds exact
+    * integer squared distances of the 1e-6-quantized query
+    * sub-vectors to each codebook centroid; a candidate's distance
+    * is m element_at lookups + an exact-long sum — bit-identical in
+    * any engine. Per-entry bound dsub·(2·10⁷)² ≈ 4·10¹⁴·dsub and the
+    * m-term sum both sit far inside signed-64 for any dim ≤ 2·10⁴. */
+  def adcDistanceExact(cb: CodebooksFp, queryFp: Seq[Long]): Column = {
+    require(queryFp.size == cb.m * cb.dsub,
+      s"query dim ${queryFp.size} != ${cb.m * cb.dsub}")
+    def sq(a: Seq[Long], b: Seq[Long]): Long = {
+      var s = BigInt(0); var i = 0
+      while (i < a.length) {
+        val d = BigInt(a(i)) - BigInt(b(i)); s += d * d; i += 1
+      }
+      require(s.isValidLong, s"ADC entry overflows signed-64: $s")
+      s.toLong
+    }
+    val flat: Seq[Long] = for {
+      i <- 0 until cb.m
+      j <- 0 until cb.ksub
+    } yield
+      if (j < cb.tables(i).size)
+        sq(queryFp.slice(i * cb.dsub, (i + 1) * cb.dsub), cb.tables(i)(j))
+      else Long.MaxValue // ragged table: never assigned, never looked up
+    val t = typedLit(flat)
+    (0 until cb.m).map(i =>
+      element_at(t, element_at(col("pq_codes"), i + 1) + i * cb.ksub + 1))
+      .reduce(_ + _)
+  }
+
+  /** [[searchRerank]]'s FULL-hash-oracle twin: exact-integer ADC
+    * shortlist (ascending approx_dist, id ties), float re-rank under
+    * GateRound-4. Returns (idCol, approx_dist — the exact long — and
+    * cos_sim), top k by exact cosine. */
+  def searchRerankExact(encoded: DataFrame, idCol: String, vecCol: String,
+                        cb: CodebooksFp, queryId: Long, k: Int,
+                        shortlist: Int = 50): DataFrame = {
+    val query: Seq[Double] = encoded.filter(col(idCol) === queryId)
+      .select(col(vecCol).cast("array<double>")).head()
+      .getSeq[Double](0).toSeq
+    val qfp = IvfIndex.quantizeFpDriver(query)
+    val cands = encoded.filter(col(idCol) =!= queryId)
+      .select(col(idCol), col(vecCol),
+        adcDistanceExact(cb, qfp).as("approx_dist"))
+      .orderBy(col("approx_dist"), col(idCol)) // TakeOrderedAndProject
+      .limit(shortlist)
+    cands
+      .select(col(idCol), col("approx_dist"), graft.functions.GateRound(
+        Similarity.cosine(col(vecCol), typedLit(query)), 4).as("cos_sim"))
+      .orderBy(col("cos_sim").desc, col(idCol))
+      .limit(k)
+  }
 }

@@ -2650,6 +2650,22 @@ object Pipeline {
         .orderBy(col("source"))
     }),
 
+    // EXACT fixed-point IVF-PQ search — q9A's FULL-hash-oracle twin:
+    // per-subspace integer Lloyd codebooks, exact-long ADC lookup
+    // table and shortlist order, all replayed in DuckDB with
+    // subspace as a PARTITION column (one CTE chain covers all 16
+    // codebooks); only the re-rank cosine is float (round-4
+    // margin-bound convention)
+    "qE4_pq_search_exact" -> ((s, dir) => {
+      val pq = graft.operators.ProductQuantizer
+      val emb = T(s, dir)("embeddings")
+      val cb = pq.trainExactCached(emb, "vec_id", "embedding",
+        m = 16, ksub = 16, cacheKey = dir)
+      val enc = pq.encodeExact(emb, "embedding", cb)
+      pq.searchRerankExact(enc, "vec_id", "embedding", cb,
+        queryId = 0L, k = 10, shortlist = 50)
+    }),
+
     // EXACT fixed-point SemDeDup — q9X's FULL-hash-oracle twin: the
     // same cell-bounded edge search + min-label components, over
     // exact-integer k-means cells the oracle replays bit-for-bit
@@ -3126,8 +3142,68 @@ object Pipeline {
              rnk <= k AS reject
       FROM acc, kk ORDER BY source"""
 
+  /** [[qE0Sql]]'s subspace-partitioned sibling: the exact per-subspace
+    * Lloyd chain for qE4 — subspace `s` rides every CTE as a
+    * partition column, so ONE chain replays all m codebooks. */
+  private def qE4Sql: String = {
+    def assignSql(prev: Int, cur: Int): String = s"""
+      d$cur AS (SELECT b.vec_id, b.s, b.sv, c.cell,
+             list_sum(list_transform(range(1, 5),
+               i -> (b.sv[i] - c.cv[i]) * (b.sv[i] - c.cv[i]))) AS dist
+           FROM sub b JOIN c$prev c ON c.s = b.s),
+      a$cur AS (SELECT vec_id, s, sv, cell FROM
+             (SELECT vec_id, s, sv, cell, row_number() OVER
+                (PARTITION BY vec_id, s ORDER BY dist, cell) AS rn
+              FROM d$cur) WHERE rn = 1)"""
+    def meanSql(cur: Int): String = s"""
+      s$cur AS (SELECT s, cell, i, SUM(sv[i]) AS t, COUNT(*) AS n
+           FROM a$cur, range(1, 5) r(i) GROUP BY 1, 2, 3),
+      c$cur AS (SELECT c${cur - 1}.s, c${cur - 1}.cell,
+                  COALESCE(nc.cv, c${cur - 1}.cv) AS cv
+           FROM c${cur - 1} LEFT JOIN
+             (SELECT s, cell, list(CAST(t // n AS BIGINT) ORDER BY i)
+                AS cv
+              FROM s$cur GROUP BY 1, 2) nc USING (s, cell))"""
+    s"""
+      WITH q AS MATERIALIZED (
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS fv,
+               list_transform(embedding, x ->
+                 CAST(floor(CAST(x AS DOUBLE) * 1000000 + 0.5) AS BIGINT))
+                 AS qv
+        FROM embeddings WHERE embedding IS NOT NULL),
+      sub AS MATERIALIZED (
+        SELECT vec_id, s, list_slice(qv, s * 4 + 1, s * 4 + 4) AS sv
+        FROM q, range(0, 16) t(s)),
+      c0 AS (SELECT s, cell, sv AS cv FROM (
+              SELECT s, sv, row_number() OVER
+                (PARTITION BY s ORDER BY vec_id) - 1 AS cell
+              FROM sub) WHERE cell < 16),
+      ${assignSql(0, 1)},${meanSql(1)},
+      ${assignSql(1, 2)},${meanSql(2)},
+      ${assignSql(2, 3)},
+      q0 AS (SELECT qv AS q0v, fv AS q0f FROM q WHERE vec_id = 0),
+      q0s AS (SELECT s, list_slice(q0v, s * 4 + 1, s * 4 + 4) AS qsv
+              FROM q0, range(0, 16) t(s)),
+      dt AS (SELECT c.s, c.cell,
+               list_sum(list_transform(range(1, 5),
+                 i -> (q0s.qsv[i] - c.cv[i]) * (q0s.qsv[i] - c.cv[i])))
+                 AS dist
+             FROM c2 c JOIN q0s ON q0s.s = c.s),
+      ad AS (SELECT a3.vec_id, CAST(SUM(dt.dist) AS BIGINT)
+               AS approx_dist
+             FROM a3 JOIN dt ON dt.s = a3.s AND dt.cell = a3.cell
+             WHERE a3.vec_id <> 0 GROUP BY 1),
+      sl AS (SELECT vec_id, approx_dist FROM ad
+             ORDER BY approx_dist, vec_id LIMIT 50)
+      SELECT sl.vec_id, sl.approx_dist,
+             round(list_cosine_similarity(q.fv, q0.q0f), 4) + 0 AS cos_sim
+      FROM sl JOIN q USING (vec_id), q0
+      ORDER BY cos_sim DESC, vec_id LIMIT 10"""
+  }
+
   val oracleSql: Map[String, String] = Map(
     "qE3_significance_capstone" -> qE3Sql,
+    "qE4_pq_search_exact" -> qE4Sql,
     "qE0_ivf_search_exact" -> qE0Sql,
     "qE1_knn_join_exact" -> qE1Sql,
     "qE2_semantic_dedup_exact" -> qE2Sql,

@@ -126,6 +126,40 @@ class Round18OpsSpec extends AnyFunSuite {
     assert(rows.count(!_.getBoolean(8)) == 15)
   }
 
+  test("PQ exact: codes partition-invariant, ADC sums match a BigInt replica") {
+    import graft.operators.{IvfIndex, ProductQuantizer => PQ}
+    val cb = PQ.trainExact(emb, "vec_id", "embedding", m = 16, ksub = 8)
+    assert(cb.dsub == 4 && cb.tables.size == 16)
+    def codes(df: org.apache.spark.sql.DataFrame) =
+      PQ.encodeExact(df, "embedding", cb)
+        .select(col("vec_id").cast("long"), col("pq_codes"))
+        .as[(Long, Seq[Int])].collect().toMap
+    val c1 = codes(emb.repartition(1))
+    val c13 = codes(emb.repartition(13))
+    assert(c1 == c13, "exact PQ codes are partition-order dependent")
+    // ADC replica: engine approx_dist == driver BigInt sum of
+    // per-subspace squared distances to the CODED centroid
+    val q = emb.filter(col("vec_id") === 0)
+      .select(col("embedding").cast("array<double>"))
+      .head().getSeq[Double](0).toSeq
+    val qfp = IvfIndex.quantizeFpDriver(q)
+    val got = PQ.encodeExact(emb, "embedding", cb)
+      .filter(col("vec_id") =!= 0)
+      .select(col("vec_id").cast("long"),
+        PQ.adcDistanceExact(cb, qfp).as("d"))
+      .as[(Long, Long)].collect().toMap
+    got.foreach { case (id, d) =>
+      val expect = (0 until 16).map { s =>
+        // distance of the QUERY sub-vector to the CODED centroid
+        val qv = qfp.slice(s * 4, s * 4 + 4)
+        cb.tables(s)(c1(id)(s)).zip(qv).foldLeft(BigInt(0)) {
+          case (acc, (cc, qq)) => acc + BigInt(qq - cc) * BigInt(qq - cc)
+        }
+      }.sum
+      assert(BigInt(d) == expect, s"ADC mismatch for $id: $d vs $expect")
+    }
+  }
+
   test("knnJoinExact: self excluded, ordering contract, recall vs brute") {
     val sub = emb.filter(col("vec_id") < 100)
     val got = Similarity.knnJoinExact(sub, "vec_id", "embedding", k = 3,
