@@ -232,23 +232,46 @@ object ProductQuantizer {
       .reduce(_ + _)
   }
 
+  /** Memoized EXACT encode — the codes are the index's second
+    * offline artifact beside the codebooks (a real IVF-PQ deployment
+    * writes codes once per corpus, queries read them): for
+    * lake-backed corpora the (id, pq_codes) frame persists via
+    * [[ArtifactStore]], so a query pays ADC lookups only — the
+    * interpreted zip_with argmin (the exact path's per-row encode
+    * kernel is a HOF, not codegen'd like the float ArrayDot) runs
+    * once per lake generation, not once per query. In-memory
+    * corpora fall back to a localCheckpointed live encode. */
+  def encodeExactCached(emb: DataFrame, idCol: String, vecCol: String,
+                        cb: CodebooksFp, cacheKey: String): DataFrame =
+    if (emb.inputFiles.isEmpty)
+      encodeExact(emb, vecCol, cb).select(col(idCol), col("pq_codes"))
+        .localCheckpoint(true)
+    else
+      ArtifactStore.readOrBuild(emb.sparkSession, cacheKey,
+        "pqexactcodes-" + ArtifactStore.md5(
+          s"$idCol|$vecCol|${cb.m}|${cb.ksub}").take(12), Seq(emb)) {
+        encodeExact(emb, vecCol, cb).select(col(idCol), col("pq_codes"))
+      }
+
   /** [[searchRerank]]'s FULL-hash-oracle twin: exact-integer ADC
-    * shortlist (ascending approx_dist, id ties), float re-rank under
-    * GateRound-4. Returns (idCol, approx_dist — the exact long — and
-    * cos_sim), top k by exact cosine. */
-  def searchRerankExact(encoded: DataFrame, idCol: String, vecCol: String,
-                        cb: CodebooksFp, queryId: Long, k: Int,
-                        shortlist: Int = 50): DataFrame = {
-    val query: Seq[Double] = encoded.filter(col(idCol) === queryId)
+    * shortlist (ascending approx_dist, id ties) over the CODES frame
+    * only — vectors never enter the compressed-domain sort — then a
+    * float re-rank under GateRound-4 joining the source vectors for
+    * just the `shortlist` survivors. Returns (idCol, approx_dist —
+    * the exact long — and cos_sim), top k by exact cosine. */
+  def searchRerankExact(codes: DataFrame, emb: DataFrame, idCol: String,
+                        vecCol: String, cb: CodebooksFp, queryId: Long,
+                        k: Int, shortlist: Int = 50): DataFrame = {
+    val query: Seq[Double] = emb.filter(col(idCol) === queryId)
       .select(col(vecCol).cast("array<double>")).head()
       .getSeq[Double](0).toSeq
     val qfp = IvfIndex.quantizeFpDriver(query)
-    val cands = encoded.filter(col(idCol) =!= queryId)
-      .select(col(idCol), col(vecCol),
-        adcDistanceExact(cb, qfp).as("approx_dist"))
+    val cands = codes.filter(col(idCol) =!= queryId)
+      .select(col(idCol), adcDistanceExact(cb, qfp).as("approx_dist"))
       .orderBy(col("approx_dist"), col(idCol)) // TakeOrderedAndProject
       .limit(shortlist)
     cands
+      .join(emb.select(col(idCol), col(vecCol)), Seq(idCol))
       .select(col(idCol), col("approx_dist"), graft.functions.GateRound(
         Similarity.cosine(col(vecCol), typedLit(query)), 4).as("cos_sim"))
       .orderBy(col("cos_sim").desc, col(idCol))

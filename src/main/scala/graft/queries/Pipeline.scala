@@ -2661,8 +2661,9 @@ object Pipeline {
       val emb = T(s, dir)("embeddings")
       val cb = pq.trainExactCached(emb, "vec_id", "embedding",
         m = 16, ksub = 16, cacheKey = dir)
-      val enc = pq.encodeExact(emb, "embedding", cb)
-      pq.searchRerankExact(enc, "vec_id", "embedding", cb,
+      val codes = pq.encodeExactCached(emb, "vec_id", "embedding", cb,
+        cacheKey = dir)
+      pq.searchRerankExact(codes, emb, "vec_id", "embedding", cb,
         queryId = 0L, k = 10, shortlist = 50)
     }),
 
