@@ -106,16 +106,18 @@ object BenchHeuristics {
 
   /** The committed clean norm for a full seq pass's JIT compilation
     * time on this suite (the census's jit_ms field). Re-recorded
-    * round 17 from three same-session census-clean seq-only passes
-    * at the 263-query suite — jit_ms 68.0/71.4/73.0 s (steal ≤
-    * 0.17%, other ≤ 0.06%, probe 57–65 ms), median ≈ 71 s. History:
-    * 25 s (r12–r14 suite) → 51 s (r15, 202–210 queries) → 71 s
-    * (r17, 263) — the constant tracks suite growth; left stale it
-    * either arms [[jitSickSeq]] on every clean pass (too low) or
-    * lets a genuinely sick census publish (too high, the drift the
-    * r16 VERDICT flagged). Re-record when the suite grows enough to
+    * round 18 from three census-clean seq passes at the 278-query
+    * suite — jit_ms 62.2/61.2/65.5 s (steal ≤ 0.13%, other ≤ 0.02%,
+    * probe 57–58 ms), median ≈ 62 s. History: 25 s (r12–r14 suite)
+    * → 51 s (r15, 202–210 queries) → 71 s (r17, 263) → 62 s (r18,
+    * 278 — DOWN despite suite growth: the r17 readings came from a
+    * hotter host window, which is why the norm is a median of clean
+    * censuses, not a single sample) — left stale the constant either
+    * arms [[jitSickSeq]] on every clean pass (too low) or lets a
+    * genuinely sick census publish (too high, the drift the r16
+    * VERDICT flagged). Re-record when the suite grows enough to
     * move the clean census. */
-  val SeqJitCleanNormMs = 71000L
+  val SeqJitCleanNormMs = 62000L
 
   /** A seq pass is JIT-SICK when its compilation-time census reads
     * over 2× the committed clean norm — the r14 gate pathology:

@@ -102,16 +102,19 @@ class BenchHeuristicsSpec extends AnyFunSuite {
   test("jitSickSeq: the r14 recorded pathology fires, clean censuses do not") {
     import BenchHeuristics.{jitSickSeq, jitReplayMembers}
     // the r14 gate record read jit_ms 62032 against ITS era's ~25 s
-    // norm — the analogous suite-wide sickness at the r17-re-recorded
-    // 71 s norm (clean records 68.0-73.0 s at 263 queries) is
-    // anything past 142 s
+    // norm — the analogous suite-wide sickness at the r18-re-recorded
+    // 62 s norm (clean records 61.2-65.5 s at 278 queries) is
+    // anything past 124 s
     assert(jitSickSeq(62032L, cleanNormMs = 25000L))
     assert(jitSickSeq(150000L))
-    // clean r17 censuses read at the norm and MUST NOT arm (the r15
+    assert(jitSickSeq(125000L))
+    // clean r18 censuses read at the norm and MUST NOT arm (the r15
     // ADVICE item: a stale-low constant fires on every clean pass)
-    assert(!jitSickSeq(67988L))
+    assert(!jitSickSeq(61241L))
+    assert(!jitSickSeq(65535L))
+    // r17's hotter-window clean readings stay unarmed too
     assert(!jitSickSeq(73003L))
-    assert(!jitSickSeq(142000L)) // at the 2x bar: not sick
+    assert(!jitSickSeq(124000L)) // at the 2x bar: not sick
     // unsupported compilation timing (jit_ms = -1) never trips
     assert(!jitSickSeq(-1L))
     // member selection: the r14 signature — trivial plans 3-7x their
