@@ -356,6 +356,28 @@ object IvfIndex {
     emb.withColumn("ivf_cell",
       nearestCentroidExact(quantizeFp(col(vecCol)), centroids))
 
+  /** Memoized exact ASSIGNMENT sidecar — (idCol, ivf_cell) only, the
+    * durable twin of [[writeIndex]]'s cell layout for the exact
+    * path: the per-row exact argmin is an interpreted zip_with HOF
+    * (not codegen'd like the float ArrayDot), so a lake-backed
+    * corpus pays it once per generation and queries join the narrow
+    * sidecar back by id (the [[Index.idToCell]] shape). In-memory
+    * corpora fall back to a localCheckpointed live assignment. */
+  def assignExactCached(emb: DataFrame, idCol: String, vecCol: String,
+                        centroids: Seq[Seq[Long]],
+                        cacheKey: String): DataFrame =
+    if (emb.inputFiles.isEmpty)
+      assignExact(emb, idCol, vecCol, centroids)
+        .select(col(idCol), col("ivf_cell")).localCheckpoint(true)
+    else
+      ArtifactStore.readOrBuild(emb.sparkSession, cacheKey,
+        "ivfexactassign-" + ArtifactStore.md5(
+          s"$idCol|$vecCol|${centroids.size}|" +
+            centroids.map(_.hashCode).mkString(",")).take(12), Seq(emb)) {
+        assignExact(emb, idCol, vecCol, centroids)
+          .select(col(idCol), col("ivf_cell"))
+      }
+
   /** [[probeCells]]' exact twin: the nprobe nearest cells by EXACT
     * integer squared distance, ties → lowest cell index — pure
     * driver math over nlist × dim longs. */

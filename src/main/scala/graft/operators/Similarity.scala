@@ -893,10 +893,18 @@ object Similarity {
         IvfIndex.trainExactCached(emb, idCol, vecCol, nlist, iters, key)
       case None => IvfIndex.trainExact(emb, idCol, vecCol, nlist, iters)
     }
-    // assign ONCE into a checkpoint before the self-join — the
-    // knnJoin lesson: without it the nlist-wide argmin re-inlines
-    // into filter AND project on both join sides
-    val assigned = IvfIndex.assignExact(emb, idCol, vecCol, centroids)
+    // assignment rides the durable (id, cell) sidecar when a lake is
+    // named (the interpreted exact argmin runs once per generation),
+    // and in any case lands in ONE checkpoint before the self-join —
+    // the knnJoin lesson: otherwise the argmin re-inlines into
+    // filter AND project on both join sides
+    val cellFrame = cacheKey match {
+      case Some(key) =>
+        IvfIndex.assignExactCached(emb, idCol, vecCol, centroids, key)
+      case None => IvfIndex.assignExact(emb, idCol, vecCol, centroids)
+        .select(col(idCol), col("ivf_cell"))
+    }
+    val assigned = emb.join(cellFrame, Seq(idCol))
       .select(col(idCol).cast("long").as("id"), col(vecCol).as("v"),
         norm(col(vecCol)).as("nv"), col("ivf_cell").as("cell"))
       .filter(finiteNorm(col("nv")))
@@ -948,8 +956,14 @@ object Similarity {
         IvfIndex.trainExactCached(emb, idCol, vecCol, nlist, iters, key)
       case None => IvfIndex.trainExact(emb, idCol, vecCol, nlist, iters)
     }
+    val cellFrame = cacheKey match {
+      case Some(key) =>
+        IvfIndex.assignExactCached(emb, idCol, vecCol, centroids, key)
+      case None => IvfIndex.assignExact(emb, idCol, vecCol, centroids)
+        .select(col(idCol), col("ivf_cell"))
+    }
     val assigned = Dedup.capBuckets(
-      IvfIndex.assignExact(emb, idCol, vecCol, centroids)
+      emb.join(cellFrame, Seq(idCol))
         .select(col(idCol).as("id"), col(vecCol).as("v"),
           norm(col(vecCol)).as("nv"), col("ivf_cell").as("cell"))
         .filter(finiteNorm(col("nv"))),

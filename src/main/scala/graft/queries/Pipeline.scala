@@ -2587,8 +2587,8 @@ object Pipeline {
       val emb = T(s, dir)("embeddings")
       val cents = ivf.trainExactCached(emb, "vec_id", "embedding",
         nlist = 16, iters = 2, cacheKey = dir)
-      val assigned = ivf.assignExact(emb, "vec_id", "embedding", cents)
-        .localCheckpoint(true)
+      val assigned = emb.join(ivf.assignExactCached(emb, "vec_id",
+        "embedding", cents, cacheKey = dir), Seq("vec_id"))
       val qv = emb.filter(col("vec_id") === 0)
         .select(col("embedding").cast("array<double>"))
         .head().getSeq[Double](0).toSeq
