@@ -326,4 +326,167 @@ object Retention {
         lit(threshold).as("h"),
         (col("n_alarms") > 0L).as("alarmed"))
   }
+
+  /**
+   * Single mean-shift changepoint locator (the CUSUM-of-deviations /
+   * binary-segmentation first split, Page 1955; Scott & Knott 1974)
+   * — [[cusum]]'s companion question: the monitor says a per-group
+   * ordered series DRIFTED; this says WHERE — the split k maximizing
+   * the between-segment contrast. The statistic is the scaled
+   * deviation g_k = |n·C_k − k·C_n| (C = prefix sums): maximizing it
+   * is exactly maximizing |mean_before − mean_after| weighted by
+   * k(n−k), with every quantity an exact integer.
+   *
+   * Exact contract: 100% INTEGER decision — C_k and C_n are exact
+   * window sums, g_k one multiply-subtract per row (bound: max|C| ≤
+   * (2⁶³−1)/n ENFORCED plan-side via an overflow-free
+   * integer-division compare, the cochranQ convention), the argmax a
+   * struct-max over (g, −k) so ties break to the SMALLEST k in any
+   * partition order. Only the two segment means divide (one IEEE
+   * division each, GateRounded 6). Duplicate seq values are REFUSED
+   * (the [[cusum]] rule — an ambiguous order is a different split
+   * per run). Interior splits only (k < n); n = 1 groups emit
+   * (nulls, 0.0 means, defined = false).
+   *
+   * Scale shape: one exchange on the group key + ONE in-partition
+   * sort (prefix sum, row position, group totals and the duplicate
+   * check share it), then one partial/final aggregate to |groups|
+   * rows — the corpus never sorts globally, no joins except the
+   * |groups|-row stats frame.
+   *
+   * @return (byCol, n, split_seq — the seq value AT the split (last
+   *         row of the left segment), split_pos — its 1-based rank,
+   *         g_stat — the exact integer max, mean_before, mean_after
+   *         — GateRounded 6 — defined = n ≥ 2)
+   */
+  def changepointMean(df: DataFrame, byCol: String, seqCol: String,
+                      xCol: String): DataFrame = {
+    Seq(seqCol, xCol).foreach { c =>
+      require(org.apache.spark.sql.graftbridge.ColumnBridge
+          .isIntegral(df.schema(c).dataType),
+        s"changepointMean: $c must be integral (got " +
+          s"${df.schema(c).dataType.simpleString}) — the all-integer " +
+          "contrast contract")
+    }
+    val clean = df.filter(col(byCol).isNotNull && col(seqCol).isNotNull &&
+        col(xCol).isNotNull)
+      .select(col(byCol).as("__g"), col(seqCol).cast("long").as("__i"),
+        col(xCol).cast("long").as("__x"))
+    import org.apache.spark.sql.expressions.Window
+    val grp = Window.partitionBy(col("__g"))
+    val ord = grp.orderBy(col("__i"))
+    val cum = ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val guarded = clean
+      .select(col("__g"), col("__i"), col("__x"),
+        count(lit(1)).over(Window.partitionBy(col("__g"), col("__i")))
+          .as("__dup"))
+      .select(col("__g"), col("__i"),
+        when(col("__dup") === 1L, col("__x")).otherwise(raise_error(
+          concat(lit("changepointMean: duplicate sequence value "),
+            col("__i").cast("string"), lit(" in group "),
+            col("__g").cast("string"),
+            lit(" — the split position is ambiguous; dedupe upstream"))))
+          .as("__x"))
+    val rows = guarded.select(col("__g"), col("__i"),
+      sum(col("__x")).over(cum).as("__c"),
+      row_number().over(ord).cast("long").as("__k"),
+      count(lit(1)).over(grp).as("__n"),
+      sum(col("__x")).over(grp).as("__s"))
+    // |C| <= (2^63-1)/n keeps n*C_k and k*C_n exact; the compare
+    // itself rides an integer division so it cannot overflow
+    val cBound = call_function("div", lit(Long.MaxValue),
+      greatest(col("__n"), lit(1L)))
+    val cOk = when(abs(col("__c")) <= cBound, col("__c"))
+      .otherwise(raise_error(concat(
+        lit("changepointMean: group "), col("__g").cast("string"),
+        lit(" prefix sum "), col("__c").cast("string"),
+        lit(" exceeds (2^63-1)/n — the n*C contrast overflows " +
+          "signed-64; rescale x or shard the series"))))
+    val interior = rows
+      .select(col("__g"), col("__i"), col("__k"), col("__n"), col("__s"),
+        cOk.as("__c"))
+      .filter(col("__k") < col("__n"))
+      .select(col("__g"),
+        struct(
+          abs(col("__n") * col("__c") - col("__k") * col("__s"))
+            .as("g"),
+          (-col("__k")).as("negk"), col("__i").as("i"),
+          col("__c").as("c")).as("__cand"))
+      .groupBy(col("__g"))
+      .agg(max(col("__cand")).as("best"))
+    val stats = clean.groupBy(col("__g"))
+      .agg(count(lit(1)).as("n"), sum(col("__x")).as("__sall"))
+    def d(c: org.apache.spark.sql.Column) = c.cast("double")
+    val k = -col("best.negk")
+    val joined = stats.join(interior, Seq("__g"), "left")
+    val defined = col("n") >= 2L
+    joined.select(col("__g").as(byCol), col("n"),
+      when(defined, col("best.i")).otherwise(lit(null).cast("long"))
+        .as("split_seq"),
+      when(defined, k).otherwise(lit(null).cast("long")).as("split_pos"),
+      when(defined, col("best.g")).otherwise(lit(null).cast("long"))
+        .as("g_stat"),
+      coalesce(when(defined, graft.functions.GateRound(
+        d(col("best.c")) / d(k), 6)).otherwise(lit(0.0)), lit(0.0))
+        .as("mean_before"),
+      coalesce(when(defined, graft.functions.GateRound(
+        d(col("__sall") - col("best.c")) / d(col("n") - k), 6))
+        .otherwise(lit(0.0)), lit(0.0)).as("mean_after"),
+      defined.as("defined"))
+  }
+
+  /**
+   * Ordered k-step event funnel (the product-analytics staple:
+   * view → click → purchase within a user's event stream) — for each
+   * user, the EARLIEST strictly-increasing chain of step timestamps:
+   * t₁ = min ts of step 1, tᵢ = min ts of step i with ts > tᵢ₋₁ (the
+   * greedy chain, which is optimal: an earlier tᵢ₋₁ can only admit
+   * more step-i candidates). `depth` = how far the user converted.
+   *
+   * Exact contract: timestamps are exact longs (µs-aligned ns — the
+   * TimeSeries convention), every step is a min over exact values
+   * with a STRICT > compare (a same-instant next step does not
+   * convert — documented, deterministic), and null tᵢ₋₁ cascades
+   * (when(ts > null) is null, so min stays null) — depth is the
+   * count of non-null steps with no extra state.
+   *
+   * Scale shape: one (user) hash aggregate per step over the
+   * step-filtered event stream, LEFT-joined back to the previous
+   * step's |users|-row frame (user frames are aggregate-sized, never
+   * event-sized; the events projection localCheckpoints against its
+   * k consumers — the qCT lesson). No windows, no event-stream sort.
+   *
+   * @return one row per user with ≥ 1 event: (userCol, t1..tk —
+   *         nullable step timestamps — depth)
+   */
+  def funnel(events: DataFrame, userCol: String, typeCol: String,
+             tsCol: String, steps: Seq[String]): DataFrame = {
+    require(steps.nonEmpty && steps.size <= 8,
+      s"steps must be 1..8, got ${steps.size}")
+    require(steps.distinct.size == steps.size,
+      s"steps must be distinct, got $steps")
+    val base = events.filter(col(userCol).isNotNull &&
+        col(typeCol).isNotNull && col(tsCol).isNotNull)
+      .select(col(userCol).as("__u"), col(typeCol).as("__t"),
+        col(tsCol).cast("long").as("__ts"))
+      .localCheckpoint(true) // k + 1 consumers: one per step + users
+    var cur = base.filter(col("__t") === steps.head)
+      .groupBy(col("__u")).agg(min(col("__ts")).as("t1"))
+    for (i <- 2 to steps.size) {
+      val carry = col("__u") +: (1 until i).map(j => col(s"t$j"))
+      cur = cur
+        .join(base.filter(col("__t") === steps(i - 1)), Seq("__u"), "left")
+        .groupBy(carry: _*)
+        .agg(min(when(col("__ts") > col(s"t${i - 1}"), col("__ts")))
+          .as(s"t$i"))
+    }
+    val users = base.select(col("__u")).distinct()
+    val depth = steps.indices
+      .map(i => when(col(s"t${i + 1}").isNotNull, 1L).otherwise(0L))
+      .reduce(_ + _)
+    users.join(cur, Seq("__u"), "left")
+      .select((col("__u").as(userCol) +:
+        steps.indices.map(i => col(s"t${i + 1}"))) :+
+        depth.as("depth"): _*)
+  }
 }

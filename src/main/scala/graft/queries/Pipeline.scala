@@ -2667,6 +2667,32 @@ object Pipeline {
         queryId = 0L, k = 10, shortlist = 50)
     }),
 
+    // single mean-shift changepoint per source over a PLANTED shift
+    // (x jumps +5 at the 13th row of each source's doc_id order):
+    // all-integer contrast g_k = |n*C_k - k*C_n|, struct-max argmax
+    // with min-k ties — "WHERE did it drift", qDX's companion
+    "qE5_changepoint" -> ((s, dir) => {
+      graft.operators.Retention.changepointMean(
+          T(s, dir)("documents").select(col("source"), col("doc_id"),
+            (col("doc_id") % 7 +
+              when(expr("doc_id div 20") % 25 >= 12, 5L).otherwise(0L))
+              .as("x")),
+          "source", "doc_id", "x")
+        .orderBy(col("source"))
+    }),
+
+    // ordered 3-step event funnel per user (view -> click ->
+    // purchase, strictly increasing timestamps): the earliest
+    // greedy chain — per-step hash aggregates + user-frame joins,
+    // no windows, the event stream never sorts
+    "qE6_event_funnel" -> ((s, dir) => {
+      val ev = T(s, dir)("events")
+        .withColumn("ts", col("ts") - pmod(col("ts"), lit(1000L)))
+      graft.operators.Retention.funnel(ev, "user_id", "event_type",
+          "ts", Seq("view", "click", "purchase"))
+        .orderBy(col("user_id"))
+    }),
+
     // EXACT fixed-point SemDeDup — q9X's FULL-hash-oracle twin: the
     // same cell-bounded edge search + min-label components, over
     // exact-integer k-means cells the oracle replays bit-for-bit
@@ -3202,9 +3228,69 @@ object Pipeline {
       ORDER BY cos_sim DESC, vec_id LIMIT 10"""
   }
 
+  private def qE5Sql: String = """
+      WITH base AS (SELECT source AS g, doc_id AS i,
+              CAST(doc_id % 7 + CASE WHEN ((doc_id // 20) % 25) >= 12
+                THEN 5 ELSE 0 END AS BIGINT) AS x
+            FROM documents),
+      o AS (SELECT g, i,
+              CAST(SUM(x) OVER (PARTITION BY g ORDER BY i
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                AS BIGINT) AS c,
+              CAST(row_number() OVER (PARTITION BY g ORDER BY i)
+                AS BIGINT) AS k,
+              CAST(COUNT(*) OVER (PARTITION BY g) AS BIGINT) AS n,
+              CAST(SUM(x) OVER (PARTITION BY g) AS BIGINT) AS s
+            FROM base),
+      gk AS (SELECT *, abs(n * c - k * s) AS gval FROM o WHERE k < n),
+      best AS (SELECT * FROM (SELECT g, i, k, c, gval,
+                 row_number() OVER (PARTITION BY g
+                   ORDER BY gval DESC, k) AS rn FROM gk)
+               WHERE rn = 1),
+      st AS (SELECT g, CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(x) AS BIGINT) AS sall FROM base GROUP BY 1)
+      SELECT st.g AS source, st.n,
+             CASE WHEN st.n >= 2 THEN best.i END AS split_seq,
+             CASE WHEN st.n >= 2 THEN best.k END AS split_pos,
+             CASE WHEN st.n >= 2 THEN CAST(best.gval AS BIGINT) END
+               AS g_stat,
+             COALESCE(CASE WHEN st.n >= 2 THEN
+               round(CAST(best.c AS DOUBLE) / CAST(best.k AS DOUBLE), 6)
+                 + 0 END, 0.0) AS mean_before,
+             COALESCE(CASE WHEN st.n >= 2 THEN
+               round(CAST(st.sall - best.c AS DOUBLE)
+                 / CAST(st.n - best.k AS DOUBLE), 6) + 0 END, 0.0)
+               AS mean_after,
+             st.n >= 2 AS defined
+      FROM st LEFT JOIN best ON st.g = best.g ORDER BY source"""
+
+  private def qE6Sql: String = """
+      WITH e AS (SELECT user_id AS u, event_type AS t, ts FROM events
+                 WHERE user_id IS NOT NULL AND event_type IS NOT NULL
+                   AND ts IS NOT NULL),
+      s1 AS (SELECT u, MIN(ts) AS t1 FROM e WHERE t = 'view' GROUP BY 1),
+      s2 AS (SELECT s1.u, s1.t1,
+               MIN(CASE WHEN e2.ts > s1.t1 THEN e2.ts END) AS t2
+             FROM s1 LEFT JOIN e e2 ON e2.u = s1.u AND e2.t = 'click'
+             GROUP BY 1, 2),
+      s3 AS (SELECT s2.u, s2.t1, s2.t2,
+               MIN(CASE WHEN e3.ts > s2.t2 THEN e3.ts END) AS t3
+             FROM s2 LEFT JOIN e e3 ON e3.u = s2.u AND e3.t = 'purchase'
+             GROUP BY 1, 2, 3),
+      users AS (SELECT DISTINCT u FROM e)
+      SELECT users.u AS user_id, epoch_ns(s3.t1) AS t1,
+             epoch_ns(s3.t2) AS t2, epoch_ns(s3.t3) AS t3,
+             CAST(CASE WHEN s3.t1 IS NOT NULL THEN 1 ELSE 0 END
+                + CASE WHEN s3.t2 IS NOT NULL THEN 1 ELSE 0 END
+                + CASE WHEN s3.t3 IS NOT NULL THEN 1 ELSE 0 END
+                AS BIGINT) AS depth
+      FROM users LEFT JOIN s3 ON users.u = s3.u ORDER BY user_id"""
+
   val oracleSql: Map[String, String] = Map(
     "qE3_significance_capstone" -> qE3Sql,
     "qE4_pq_search_exact" -> qE4Sql,
+    "qE5_changepoint" -> qE5Sql,
+    "qE6_event_funnel" -> qE6Sql,
     "qE0_ivf_search_exact" -> qE0Sql,
     "qE1_knn_join_exact" -> qE1Sql,
     "qE2_semantic_dedup_exact" -> qE2Sql,

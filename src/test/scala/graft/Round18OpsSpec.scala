@@ -160,6 +160,70 @@ class Round18OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("changepointMean: hand split, constant-series tie, degenerates") {
+    import graft.operators.Retention
+    // planted shift 0,0,0 -> 10,10,10: g_k = |6*C_k - k*30| peaks at
+    // k=3 (g=90); means 0 / 10 exactly
+    val shift = (1L to 6L).map(i => ("a", i, if (i <= 3) 0L else 10L))
+    val r = Retention.changepointMean(shift.toDF("g", "seq", "x"),
+      "g", "seq", "x").collect().head
+    assert((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+      r.getDouble(5), r.getDouble(6), r.getBoolean(7)) ==
+      ((6L, 3L, 3L, 90L, 0.0, 10.0, true)))
+    // constant series: every g = 0, tie -> smallest k = 1
+    val const = (1L to 3L).map(i => ("c", i, 5L))
+    val rc = Retention.changepointMean(const.toDF("g", "seq", "x"),
+      "g", "seq", "x").collect().head
+    assert((rc.getLong(2), rc.getLong(3), rc.getLong(4),
+      rc.getDouble(5), rc.getDouble(6)) == ((1L, 1L, 0L, 5.0, 5.0)))
+    // n = 1: nulls, defined = false
+    val r1 = Retention.changepointMean(Seq(("s", 1L, 7L))
+      .toDF("g", "seq", "x"), "g", "seq", "x").collect().head
+    assert(r1.isNullAt(2) && r1.isNullAt(3) && r1.isNullAt(4) &&
+      !r1.getBoolean(7))
+    // duplicate seq refused
+    val dup = Seq(("d", 1L, 1L), ("d", 1L, 2L)).toDF("g", "seq", "x")
+    val e = intercept[Exception] {
+      Retention.changepointMean(dup, "g", "seq", "x").collect()
+    }
+    assert(e.getMessage.contains("duplicate sequence"), e.getMessage)
+    // prefix-sum overflow refused (|C| > (2^63-1)/n)
+    val big = Seq(("o", 1L, 4000000000000000000L), ("o", 2L, 1L),
+      ("o", 3L, 1L)).toDF("g", "seq", "x")
+    val e2 = intercept[Exception] {
+      Retention.changepointMean(big, "g", "seq", "x").collect()
+    }
+    assert(e2.getMessage.contains("overflows signed-64"), e2.getMessage)
+  }
+
+  test("funnel: greedy chain, strict compares, cascades, depth-0 users") {
+    import graft.operators.Retention
+    val ev = Seq(
+      (1L, "view", 10L), (1L, "click", 5L), (1L, "purchase", 20L),
+      (2L, "view", 1L), (2L, "click", 2L), (2L, "purchase", 2L),
+      (3L, "view", 1L), (3L, "click", 2L), (3L, "purchase", 3L),
+      (4L, "click", 7L),
+      (5L, "view", 9L), (5L, "view", 1L), (5L, "click", 4L),
+      (5L, "purchase", 6L)
+    ).toDF("u", "t", "ts")
+    val out = Retention.funnel(ev, "u", "t", "ts",
+        Seq("view", "click", "purchase"))
+      .orderBy(col("u")).collect()
+      .map(r => r.getLong(0) -> ((Option(r.get(1)), Option(r.get(2)),
+        Option(r.get(3)), r.getLong(4)))).toMap
+    // user 1: click precedes view -> no chainable click -> depth 1
+    assert(out(1L) == ((Some(10L), None, None, 1L)))
+    // user 2: purchase ties click's ts -> STRICT > drops it -> depth 2
+    assert(out(2L) == ((Some(1L), Some(2L), None, 2L)))
+    // user 3: full conversion
+    assert(out(3L) == ((Some(1L), Some(2L), Some(3L), 3L)))
+    // user 4: no step-1 event, still visible at depth 0
+    assert(out(4L) == ((None, None, None, 0L)))
+    // user 5: the GREEDY chain (earliest view at 1) admits click@4 and
+    // purchase@6 — a latest-view strategy would convert nothing
+    assert(out(5L) == ((Some(1L), Some(4L), Some(6L), 3L)))
+  }
+
   test("knnJoinExact: self excluded, ordering contract, recall vs brute") {
     val sub = emb.filter(col("vec_id") < 100)
     val got = Similarity.knnJoinExact(sub, "vec_id", "embedding", k = 3,

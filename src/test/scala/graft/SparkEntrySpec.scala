@@ -31,7 +31,7 @@ class SparkEntrySpec extends AnyFunSuite {
     val total = families.map(_.size).sum
     assert(total == families.reduce(_ ++ _).size,
       "duplicate query name across families (Map ++ silently shadows)")
-    assert(names.size >= 278, s"query registry shrank: ${names.size}")
+    assert(names.size >= 280, s"query registry shrank: ${names.size}")
   }
 
   test("rows-only queries are the documented set, nothing drifts in silently") {
