@@ -1281,6 +1281,65 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("StreamingFunnel: streamed conversion equals batch; replays absorbed") {
+    import graft.operators.Retention
+    import graft.streaming.StreamingFunnel
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val steps = Seq("view", "click", "purchase")
+    val ev = Tables.load(spark, "/root/testdata/sf0.001", "events")
+      .withColumn("ts", col("ts") - pmod(col("ts"), lit(1000L)))
+      .select(col("user_id"), col("event_type"), col("ts").cast("long"))
+      .orderBy(col("ts"))
+      .as[(Long, String, Long)].collect().toSeq
+    val batch = Retention.funnel(
+        ev.toDF("user_id", "event_type", "ts"),
+        "user_id", "event_type", "ts", steps)
+      .collect().map(r => r.getLong(0) -> ((Option(r.get(1)),
+        Option(r.get(2)), Option(r.get(3)), r.getLong(4)))).toMap
+    val mem = MemoryStream[(Long, String, Long)]
+    val sdf = StreamingFunnel.funnel(mem.toDF()
+        .toDF("user_id", "event_type", "ts"),
+      "user_id", "event_type", "ts", steps)
+    assert(sdf.columns.toSeq ==
+      Seq("user_id", "t1", "t2", "t3", "depth", "n_late"))
+    val latest = new java.util.concurrent.ConcurrentHashMap[
+      Long, (Option[Any], Option[Any], Option[Any], Long, Long)]()
+    val q = sdf.writeStream.outputMode("update")
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        b.collect().foreach { r =>
+          latest.put(r.getLong(0), (Option(r.get(1)), Option(r.get(2)),
+            Option(r.get(3)), r.getLong(4), r.getLong(5)))
+        }
+      }.start()
+    try {
+      val chunks = ev.grouped((ev.size + 2) / 3).toSeq
+      chunks.foreach { ch => mem.addData(ch); q.processAllAvailable() }
+      import scala.jdk.CollectionConverters._
+      val mid = latest.asScala.toMap
+      assert(mid.keySet == batch.keySet)
+      batch.foreach { case (u, (t1, t2, t3, d)) =>
+        assert(mid(u) == ((t1, t2, t3, d, 0L)),
+          s"user $u: streamed ${mid(u)} vs batch ${(t1, t2, t3, d)}")
+      }
+      // at-least-once: replay the middle chunk — every replayed row
+      // sits strictly below its user's high-water ts (the user's last
+      // overall event), so it lands in n_late; the chain is untouched
+      val hi = ev.groupBy(_._1).view.mapValues(_.map(_._3).max).toMap
+      val lateBy = chunks(1).groupBy(_._1).view
+        .mapValues(rs => rs.count { case (u, _, ts) => ts < hi(u) }.toLong)
+        .toMap
+      mem.addData(chunks(1))
+      q.processAllAvailable()
+      val after = latest.asScala.toMap
+      batch.foreach { case (u, (t1, t2, t3, d)) =>
+        assert(after(u) == ((t1, t2, t3, d, lateBy.getOrElse(u, 0L))),
+          s"user $u replay broke the chain: ${after(u)}")
+      }
+    } finally q.stop()
+  }
+
   test("StreamingClassifierReport: streamed scorecard equals batch") {
     import graft.operators.Classification
     import graft.streaming.StreamingClassifierReport
