@@ -15,9 +15,9 @@ object PlanAudit {
     val dir = if (args.length > 0) args(0) else "/root/testdata/sf0.001"
     val names =
       if (args.length > 1) args(1).split(",").toSeq
-      else Seq("qDF_bootstrap_ci", "qDH_permutation_test",
-        "qDI_jackknife_ratio", "qDK_kruskal_wallis", "qDL_cochran_q",
-        "qDO_kaplan_meier")
+      else Seq("qE0_ivf_search_exact", "qE1_knn_join_exact",
+        "qE2_semantic_dedup_exact", "qE3_significance_capstone",
+        "qE4_pq_search_exact", "qE5_changepoint", "qE6_event_funnel")
     val spark = org.apache.spark.sql.SparkSession.builder()
       .master("local[4]").config("spark.sql.shuffle.partitions", "4")
       .config("spark.sql.session.timeZone", "UTC")

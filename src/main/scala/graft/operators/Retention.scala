@@ -297,22 +297,26 @@ object Retention {
     import org.apache.spark.sql.expressions.Window
     val ord = Window.partitionBy(col("__g")).orderBy(col("__i"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val guarded = clean
-      .select(col("__g"), col("__i"), col("__y"),
-        count(lit(1)).over(Window.partitionBy(col("__g"), col("__i")))
-          .as("__dup"))
-      .select(col("__g"), col("__i"),
-        when(col("__dup") === 1L, col("__y")).otherwise(raise_error(
-          concat(lit("cusum: duplicate sequence value "),
-            col("__i").cast("string"), lit(" in group "),
-            col("__g").cast("string"),
-            lit(" — the detection order is ambiguous; dedupe " +
-              "upstream")))).as("__y"))
+    // the duplicate census window partitions by (g, i) but rides the
+    // SAME g-exchange as the ordered windows (hash(g) satisfies the
+    // (g, i) clustering and the (g, i) sort is already required) —
+    // placing it after them keeps the plan at ONE data exchange; the
+    // refusal folds into the published S dag, so duplicates still
+    // abort before any row is emitted (r18 plan-audit fix: the
+    // pre-window guard cost a second hash(g, i) exchange)
+    val withCum = clean.select(col("__g"), col("__i"),
+      sum(col("__y")).over(ord).as("__c"),
+      count(lit(1)).over(Window.partitionBy(col("__g"), col("__i")))
+        .as("__dup"))
+    val cGuard = when(col("__dup") === 1L, col("__c"))
+      .otherwise(raise_error(
+        concat(lit("cusum: duplicate sequence value "),
+          col("__i").cast("string"), lit(" in group "),
+          col("__g").cast("string"),
+          lit(" — the detection order is ambiguous; dedupe upstream"))))
     // S_i = C_i - min(0, min_{j<=i} C_j): the virtual C_0 = 0 start
     // clamps the running min at zero
-    val withCum = guarded.select(col("__g"), col("__i"),
-      sum(col("__y")).over(ord).as("__c"))
-    val s = col("__c") - least(lit(0L), min(col("__c")).over(ord))
+    val s = cGuard - least(lit(0L), min(col("__c")).over(ord))
     val rows = withCum
       .select(col("__g"), col("__i"), s.as("__s"))
       .select(col("__g"), col("__i"), col("__s"),
@@ -376,27 +380,27 @@ object Retention {
     val grp = Window.partitionBy(col("__g"))
     val ord = grp.orderBy(col("__i"))
     val cum = ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val guarded = clean
-      .select(col("__g"), col("__i"), col("__x"),
-        count(lit(1)).over(Window.partitionBy(col("__g"), col("__i")))
-          .as("__dup"))
-      .select(col("__g"), col("__i"),
-        when(col("__dup") === 1L, col("__x")).otherwise(raise_error(
-          concat(lit("changepointMean: duplicate sequence value "),
-            col("__i").cast("string"), lit(" in group "),
-            col("__g").cast("string"),
-            lit(" — the split position is ambiguous; dedupe upstream"))))
-          .as("__x"))
-    val rows = guarded.select(col("__g"), col("__i"),
+    // the duplicate census rides the SAME g-exchange as the ordered
+    // windows (the cusum convention — hash(g) satisfies the (g, i)
+    // clustering, the (g, i) sort is shared): ONE data exchange
+    val rows = clean.select(col("__g"), col("__i"),
       sum(col("__x")).over(cum).as("__c"),
       row_number().over(ord).cast("long").as("__k"),
       count(lit(1)).over(grp).as("__n"),
-      sum(col("__x")).over(grp).as("__s"))
+      sum(col("__x")).over(grp).as("__s"),
+      count(lit(1)).over(Window.partitionBy(col("__g"), col("__i")))
+        .as("__dup"))
     // |C| <= (2^63-1)/n keeps n*C_k and k*C_n exact; the compare
     // itself rides an integer division so it cannot overflow
     val cBound = call_function("div", lit(Long.MaxValue),
       greatest(col("__n"), lit(1L)))
-    val cOk = when(abs(col("__c")) <= cBound, col("__c"))
+    val cOk = when(col("__dup") =!= 1L, raise_error(
+        concat(lit("changepointMean: duplicate sequence value "),
+          col("__i").cast("string"), lit(" in group "),
+          col("__g").cast("string"),
+          lit(" — the split position is ambiguous; dedupe upstream"))
+      ).cast("long"))
+      .when(abs(col("__c")) <= cBound, col("__c"))
       .otherwise(raise_error(concat(
         lit("changepointMean: group "), col("__g").cast("string"),
         lit(" prefix sum "), col("__c").cast("string"),
