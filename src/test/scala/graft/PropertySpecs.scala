@@ -753,4 +753,48 @@ class PropertySpecs extends AnyFunSuite {
       }
     }
   }
+
+  test("trainExact equals the BigInt Lloyd replica on random corpora") {
+    val spark = GraftTestSession.spark
+    import spark.implicits._
+    // random small corpora, coordinates inside the |x| < 10 guard —
+    // the distributed exact Lloyd must match a sequential BigInt
+    // replica coordinate-for-coordinate at every (n, dim, nlist)
+    val caseGen = for {
+      n <- Gen.choose(3, 40)
+      dim <- Gen.choose(1, 6)
+      nlist <- Gen.choose(1, 5)
+      coords <- Gen.listOfN(n * dim, Gen.choose(-9.5, 9.5))
+    } yield (n, dim, nlist, coords)
+    samples(caseGen, 15).foreach { case (n, dim, nlist, coords) =>
+      val vecs = (0 until n).map(i =>
+        (i.toLong, coords.slice(i * dim, (i + 1) * dim)))
+      val df = vecs.toDF("id", "v")
+      val got = graft.operators.IvfIndex.trainExact(
+        df.repartition(5), "id", "v", nlist, iters = 2)
+      // sequential replica: same quantization, seeds, ties, means
+      val qv = vecs.map { case (_, v) =>
+        v.map(x => math.floor(x * 1e6 + 0.5).toLong)
+      }
+      var cents: Seq[Seq[Long]] = qv.take(nlist)
+      def sqd(a: Seq[Long], b: Seq[Long]): BigInt =
+        a.zip(b).foldLeft(BigInt(0)) { case (s, (x, y)) =>
+          s + BigInt(x - y) * BigInt(x - y)
+        }
+      for (_ <- 0 until 2) {
+        val assign = qv.map(v =>
+          (cents.zipWithIndex.map { case (c, j) => (sqd(v, c), j) }
+            .min._2, v))
+        cents = cents.indices.map { c =>
+          val ms = assign.filter(_._1 == c).map(_._2)
+          if (ms.isEmpty) cents(c)
+          else (0 until dim).map { i =>
+            (ms.foldLeft(BigInt(0))((s, m) => s + BigInt(m(i))) /
+              BigInt(ms.size)).toLong
+          }
+        }
+      }
+      assert(got == cents, s"n=$n dim=$dim nlist=$nlist")
+    }
+  }
 }
