@@ -74,11 +74,16 @@ object ProductQuantizer {
       tables.map(_.size).max, tables)
   }
 
-  /** Attach the `pq_codes` column (array of m centroid indices). */
+  /** Attach the `pq_codes` column (array of m centroid indices).
+    * Null vectors are DROPPED, not encoded: a null vector would get
+    * null codes and therefore a null ADC distance, which ascending
+    * sort places FIRST — one null row would displace a real
+    * candidate from every shortlist it touches. */
   def encode(emb: DataFrame, vecCol: String, cb: Codebooks): DataFrame =
-    emb.withColumn("pq_codes", array((0 until cb.m).map(i =>
-      IvfIndex.nearestCentroid(subVec(col(vecCol), i, cb.dsub),
-        cb.tables(i))): _*))
+    emb.filter(col(vecCol).isNotNull)
+      .withColumn("pq_codes", array((0 until cb.m).map(i =>
+        IvfIndex.nearestCentroid(subVec(col(vecCol), i, cb.dsub),
+          cb.tables(i))): _*))
 
   /** Approximate distance of every encoded row to `query` via the ADC
     * lookup table; ascending = most similar first (squared L2). */
@@ -121,7 +126,10 @@ object ProductQuantizer {
                    shortlist: Int = 50): DataFrame = {
     val query: Seq[Double] = encoded.filter(col(idCol) === queryId)
       .select(col(vecCol).cast("array<double>")).head().getSeq[Double](0).toSeq
-    val cands = encoded.filter(col(idCol) =!= queryId)
+    // null-coded rows sort FIRST under ascending approx_dist and
+    // would displace real candidates from the shortlist
+    val cands = encoded
+      .filter(col(idCol) =!= queryId && col("pq_codes").isNotNull)
       .select(col(idCol), col(vecCol),
         adcDistance(cb, query).as("approx_dist"))
       .orderBy(col("approx_dist"), col(idCol)) // TakeOrderedAndProject
@@ -194,13 +202,20 @@ object ProductQuantizer {
           tables.map(_.size).max, tables)
       })
 
-  /** Attach `pq_codes` via the exact-integer argmin per subspace. */
+  /** Attach `pq_codes` via the exact-integer argmin per subspace.
+    * Null vectors are DROPPED (the [[encode]] rule, and the qE4
+    * oracle's `q` CTE parity: `WHERE embedding IS NOT NULL`): null
+    * codes would yield a null ADC distance, which Spark's ascending
+    * sort places FIRST, displacing real shortlist candidates.
+    * NaN/Inf components need no extra filter here — they are refused
+    * loudly by [[IvfIndex.quantizeFp]]'s 1e-6 fixed-point bound. */
   def encodeExact(emb: DataFrame, vecCol: String,
                   cb: CodebooksFp): DataFrame =
-    emb.withColumn("pq_codes", array((0 until cb.m).map(i =>
-      IvfIndex.nearestCentroidExact(
-        IvfIndex.quantizeFp(subVec(col(vecCol), i, cb.dsub)),
-        cb.tables(i))): _*))
+    emb.filter(col(vecCol).isNotNull)
+      .withColumn("pq_codes", array((0 until cb.m).map(i =>
+        IvfIndex.nearestCentroidExact(
+          IvfIndex.quantizeFp(subVec(col(vecCol), i, cb.dsub)),
+          cb.tables(i))): _*))
 
   /** EXACT-long ADC distance: the m×ksub lookup table holds exact
     * integer squared distances of the 1e-6-quantized query
@@ -266,7 +281,11 @@ object ProductQuantizer {
       .select(col(vecCol).cast("array<double>")).head()
       .getSeq[Double](0).toSeq
     val qfp = IvfIndex.quantizeFpDriver(query)
-    val cands = codes.filter(col(idCol) =!= queryId)
+    // null-coded rows (possible only in an externally-supplied codes
+    // frame — encodeExact drops null vectors) would sort FIRST under
+    // ascending approx_dist and displace real candidates
+    val cands = codes
+      .filter(col(idCol) =!= queryId && col("pq_codes").isNotNull)
       .select(col(idCol), adcDistanceExact(cb, qfp).as("approx_dist"))
       .orderBy(col("approx_dist"), col(idCol)) // TakeOrderedAndProject
       .limit(shortlist)

@@ -343,8 +343,10 @@ object Retention {
    *
    * Exact contract: 100% INTEGER decision — C_k and C_n are exact
    * window sums, g_k one multiply-subtract per row (bound: max|C| ≤
-   * (2⁶³−1)/n ENFORCED plan-side via an overflow-free
-   * integer-division compare, the cochranQ convention), the argmax a
+   * (2⁶³−1)/(2n) ENFORCED plan-side via an overflow-free
+   * integer-division compare, the cochranQ convention — the halved
+   * bound caps each product n·C_k, k·C_n at (2⁶³−1)/2 so their
+   * DIFFERENCE also stays in signed-64), the argmax a
    * struct-max over (g, −k) so ties break to the SMALLEST k in any
    * partition order. Only the two segment means divide (one IEEE
    * division each, GateRounded 6). Duplicate seq values are REFUSED
@@ -390,9 +392,15 @@ object Retention {
       sum(col("__x")).over(grp).as("__s"),
       count(lit(1)).over(Window.partitionBy(col("__g"), col("__i")))
         .as("__dup"))
-    // |C| <= (2^63-1)/n keeps n*C_k and k*C_n exact; the compare
-    // itself rides an integer division so it cannot overflow
-    val cBound = call_function("div", lit(Long.MaxValue),
+    // |C| <= (2^63-1)/(2n) keeps not just the products n*C_k and
+    // k*C_n exact but their DIFFERENCE: each product is bounded by
+    // (2^63-1)/2, so |n*C_k - k*C_n| <= 2^63-1. (The former /n bound
+    // covered only the two products — their contrast can reach 2x it
+    // and die as an uncurated ANSI overflow.) floor(floor(M/2)/n) ==
+    // floor(M/(2n)) for positive n, so the halved literal composes
+    // with the integer division and the compare itself cannot
+    // overflow.
+    val cBound = call_function("div", lit(Long.MaxValue / 2),
       greatest(col("__n"), lit(1L)))
     val cOk = when(col("__dup") =!= 1L, raise_error(
         concat(lit("changepointMean: duplicate sequence value "),
@@ -404,8 +412,8 @@ object Retention {
       .otherwise(raise_error(concat(
         lit("changepointMean: group "), col("__g").cast("string"),
         lit(" prefix sum "), col("__c").cast("string"),
-        lit(" exceeds (2^63-1)/n — the n*C contrast overflows " +
-          "signed-64; rescale x or shard the series"))))
+        lit(" exceeds (2^63-1)/(2n) — the n*C_k - k*C_n contrast " +
+          "overflows signed-64; rescale x or shard the series"))))
     val interior = rows
       .select(col("__g"), col("__i"), col("__k"), col("__n"), col("__s"),
         cOk.as("__c"))

@@ -3088,6 +3088,10 @@ object Pipeline {
   private def qE1Sql: String = s"""
       WITH ${exactLloydCtes("(SELECT * FROM embeddings WHERE vec_id < 100)",
         nlist = 8, iters = 2)},
+      qn AS (SELECT vec_id, fv FROM q
+             WHERE sqrt(list_sum(list_transform(fv, x -> x * x))) > 0
+               AND sqrt(list_sum(list_transform(fv, x -> x * x)))
+                   <= 1.7976931348623157e308),
       cp AS (SELECT cell_a, cell_b FROM (
               SELECT a.cell AS cell_a, b.cell AS cell_b,
                      row_number() OVER (PARTITION BY a.cell ORDER BY
@@ -3099,8 +3103,8 @@ object Pipeline {
                  round(list_cosine_similarity(xq.fv, yq.fv), 4) + 0 AS score
                FROM a3 x JOIN cp ON x.cell = cp.cell_a
                  JOIN a3 y ON y.cell = cp.cell_b AND x.vec_id <> y.vec_id
-                 JOIN q xq ON xq.vec_id = x.vec_id
-                 JOIN q yq ON yq.vec_id = y.vec_id)
+                 JOIN qn xq ON xq.vec_id = x.vec_id
+                 JOIN qn yq ON yq.vec_id = y.vec_id)
       SELECT CAST(id AS BIGINT) AS id, CAST(nid AS BIGINT) AS nn_id,
              score AS cos_sim, CAST(rn AS INT) AS rank
       FROM (SELECT id, nid, score, row_number() OVER
@@ -3109,10 +3113,14 @@ object Pipeline {
 
   private def qE2Sql: String = s"""
       WITH RECURSIVE ${exactLloydCtes("embeddings", nlist = 4, iters = 2)},
+      qn AS (SELECT vec_id, fv FROM q
+             WHERE sqrt(list_sum(list_transform(fv, x -> x * x))) > 0
+               AND sqrt(list_sum(list_transform(fv, x -> x * x)))
+                   <= 1.7976931348623157e308),
       p AS (SELECT x.vec_id AS id_a, y.vec_id AS id_b
             FROM a3 x JOIN a3 y ON x.cell = y.cell AND x.vec_id < y.vec_id
-              JOIN q xq ON xq.vec_id = x.vec_id
-              JOIN q yq ON yq.vec_id = y.vec_id
+              JOIN qn xq ON xq.vec_id = x.vec_id
+              JOIN qn yq ON yq.vec_id = y.vec_id
             WHERE list_cosine_similarity(xq.fv, yq.fv) >= 0.40),
       edges AS (SELECT id_a AS a, id_b AS b FROM p
                 UNION ALL SELECT id_b, id_a FROM p),
