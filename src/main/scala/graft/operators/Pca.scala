@@ -170,6 +170,181 @@ object Pca {
         col("lambda"), col("n_vectors"), col("iters"))
   }
 
+  /**
+   * EXACT fixed-point top-k eigensystem — [[powerIteration]]'s single
+   * dominant direction generalized to k components via Hotelling
+   * deflation, every decision an exact integer so the whole model is
+   * SQL-replayable and [[whitenExact]] gets a FULL hash oracle (the
+   * r18 verdict's #1 ask: retire qBO's eigen-iteration rows-only
+   * excuse the way qE0–qE4 retired the k-means family's).
+   *
+   * Contract, in order (each step bit-identical in any engine):
+   * 1. quantize coordinates ONCE to 1e-6 longs (null/NaN/|x| ≥ 10
+   *    refused — the powerIteration guard);
+   * 2. CENTERED integer scatter A_ij = n·Σq_iq_j − S_iS_j (per-dim
+   *    sums S exact longs, the gram accumulated in DECIMAL(38,0) so
+   *    no row-count ceiling short of ~1e12 rows; A ≡ n(n−1)·10¹²·Ĉov);
+   * 3. rescale B₁ = A // max(1, max|A| // 10¹²) — truncating BigInt
+   *    `/` ≡ DuckDB `//`, the probed parity — so every later product
+   *    stays inside int128 for the oracle;
+   * 4. per component c: `iters` power steps v ← (B_c·v · 10⁵) //
+   *    max|B_c·v| (degenerate all-zero ⇒ v = 0), sign canonicalized
+   *    at the largest-|v| entry (ties → lowest index);
+   * 5. whitening Rayleigh vs B₁: num_c = v_cᵀB₁v_c, den_c = v_cᵀv_c
+   *    (exact BigInts, driver metadata);
+   * 6. deflate for the next component with the Rayleigh vs the
+   *    CURRENT matrix: M = den_c²·B_c − (v_cᵀB_cv_c)·v_cv_cᵀ, then
+   *    B_{c+1} = M // max(1, max|M| // 10¹²). The den²/num scaling
+   *    keeps M integer (same eigenvectors, eigenvalues scaled);
+   *    bounds: den ≤ 64·10¹⁰, den² ≤ 4.1e23, ·|B| ≤ 2e12 → ≤ 8.2e35,
+   *    and num·v_iv_j ≤ 8.2e35 — both inside int128 with 100× head-
+   *    room, which is WHY the iterate scale is 10⁵ (10⁶ would put
+   *    den²·B at 8.2e39 and overflow a HUGEINT oracle).
+   *
+   * Scale shape: ONE distributed gram pass (per-row dim² products,
+   * map-side partial aggregation to ≤ dim² rows per task, dim capped
+   * loudly) + one light sums/count pass; everything after is
+   * O(k·iters·dim²) BigInt on dim×dim DRIVER METADATA. The model is
+   * a fit artifact — exactly [[fit]]'s shape with the float Jacobi
+   * swapped for replayable integer deflation.
+   */
+  case class ExactModel(n: Long, d: Int, d1: BigInt, sq: Array[Long],
+                        comps: Array[Array[BigInt]],
+                        nums: Array[BigInt], dens: Array[BigInt])
+
+  private def quantizeGuard(x: org.apache.spark.sql.Column) =
+    when(abs(x.cast("double")) < lit(10.0),
+      floor(x.cast("double") * lit(1e6) + lit(0.5)))
+      .otherwise(raise_error(concat(
+        lit("eigenExact: coordinate is null, NaN, or >= 10 in " +
+          "magnitude - breaks the 1e-6 fixed-point scatter contract: "),
+        coalesce(x.cast("string"), lit("null")))))
+
+  private val SCALE_M = BigInt("1000000000000") // 1e12 matrix rescale
+  private val SCALE_V = BigInt(100000)          // 1e5 iterate scale
+
+  def eigenExact(emb: DataFrame, vecCol: String, k: Int,
+                 iters: Int = 12, maxDim: Int = 128): ExactModel = {
+    require(k >= 1 && k <= 16, s"k must be in [1, 16], got $k")
+    require(iters >= 1 && iters <= 100,
+      s"iters must be in [1, 100], got $iters")
+    val base = emb.filter(col(vecCol).isNotNull)
+      .select(transform(col(vecCol), quantizeGuard(_)).as("__qv"))
+    val dims = base.select(size(col("__qv")).as("d")).distinct()
+      .collect().map(_.getInt(0))
+    require(dims.length == 1,
+      s"eigenExact: mixed dimensions ${dims.sorted.mkString(",")} — " +
+        "a ragged corpus would silently skew the scatter matrix")
+    val d = dims.head
+    require(d >= 1 && d <= maxDim,
+      s"eigenExact: dim $d outside [1, $maxDim] — the gram pass " +
+        "explodes dim^2 per row; project first (JL/PCA) or raise maxDim")
+    // light pass: per-dim sums + count (exact longs: |q| ≤ 1e7 holds
+    // sums inside signed-64 to ~9e11 rows)
+    val sumRows = base.select(posexplode(col("__qv")).as(Seq("i", "a")))
+      .groupBy(col("i")).agg(sum(col("a")).as("s"), count(lit(1)).as("c"))
+      .collect()
+    val n = sumRows.head.getLong(2)
+    require(n >= 2, s"eigenExact needs >= 2 usable vectors, got $n")
+    val sq = Array.ofDim[Long](d)
+    sumRows.foreach(r => sq(r.getInt(0)) = r.getLong(1))
+    // gram pass in DECIMAL(38,0): per-product ≤ 1e14 (long-safe), the
+    // cross-row sum decimal so no ~9e6-row ceiling like powerIteration
+    val gRows = base
+      .select(posexplode(col("__qv")).as(Seq("i", "a")), col("__qv"))
+      .select(col("i"), col("a"),
+        posexplode(col("__qv")).as(Seq("j", "b")))
+      .groupBy(col("i"), col("j"))
+      .agg(sum((col("a") * col("b")).cast("decimal(38,0)")).as("g"))
+      .collect()
+    val a = Array.ofDim[BigInt](d, d)
+    gRows.foreach { r =>
+      val g = new BigInt(r.getDecimal(2).toBigInteger)
+      a(r.getInt(0))(r.getInt(1)) =
+        BigInt(n) * g - BigInt(sq(r.getInt(0))) * BigInt(sq(r.getInt(1)))
+    }
+    val d1 = (BigInt(1)).max(a.flatten.map(_.abs).max / SCALE_M)
+    val b1 = a.map(_.map(_ / d1))
+    var b = b1
+    val comps = Array.ofDim[Array[BigInt]](k)
+    val nums = Array.ofDim[BigInt](k)
+    val dens = Array.ofDim[BigInt](k)
+    (0 until k).foreach { c =>
+      var v = Array.fill(d)(SCALE_V)
+      var degenerate = false
+      (1 to iters).foreach { _ =>
+        if (!degenerate) {
+          val w = Array.tabulate(d)(i =>
+            (0 until d).foldLeft(BigInt(0))((acc, j) => acc + b(i)(j) * v(j)))
+          val m = w.map(_.abs).max
+          if (m == 0) degenerate = true
+          else v = w.map(wi => (wi * SCALE_V) / m) // truncating ≡ //
+        }
+      }
+      if (degenerate) v = Array.fill(d)(BigInt(0))
+      val lead = v.zipWithIndex.maxBy { case (x, i) => (x.abs, BigInt(-i)) }._1
+      if (lead < 0) v = v.map(x => -x)
+      def quad(m: Array[Array[BigInt]]): BigInt =
+        (0 until d).foldLeft(BigInt(0))((acc, i) =>
+          acc + (0 until d).foldLeft(BigInt(0))((a2, j) =>
+            a2 + v(i) * m(i)(j) * v(j)))
+      comps(c) = v
+      nums(c) = quad(b1)
+      dens(c) = v.foldLeft(BigInt(0))((acc, x) => acc + x * x)
+      if (c < k - 1) {
+        val numB = quad(b)
+        val den2 = dens(c) * dens(c)
+        val m = Array.tabulate(d, d)((i, j) =>
+          den2 * b(i)(j) - numB * v(i) * v(j))
+        val dm = (BigInt(1)).max(m.flatten.map(_.abs).max / SCALE_M)
+        b = m.map(_.map(_ / dm))
+      }
+    }
+    ExactModel(n, d, d1, sq, comps, nums, dens)
+  }
+
+  /**
+   * [[project]]'s FULL-hash-oracle twin over an [[eigenExact]] model:
+   * per-row CENTERED projection as ONE exact integer per component —
+   * cscore_c = n·(qv·v_c) − K_c with K_c = Σ_d S_d·v_cd precomputed
+   * exact — then whitening as a single IEEE division by the
+   * driver-constant √(num_c·D₁·n/(n−1)) and GateRound 6 (the qCJ
+   * λ convention: exact ints → one correctly-rounded double op,
+   * bit-identical in any engine). Derivation: (x−μ̂)·û_c/√λ̂_c with
+   * û = v/‖v‖ and λ̂ = (num/den)·D₁/(10¹²·n(n−1)) collapses to
+   * cscore/√(num·D₁·n/(n−1)) — den cancels. num_c ≤ 0 (spectrum
+   * exhausted / degenerate) ⇒ z_c = 0.0.
+   *
+   * Scale shape: zero shuffle — the model rides the plan as literals
+   * and each row pays k codegen'd 64-term dots (exact in doubles:
+   * every product ≤ 1e12 and every partial sum ≤ 6.4e13, far below
+   * 2⁵³, so the float dot IS integer arithmetic). Null vectors are
+   * dropped (the [[project]] rule — the model never saw them).
+   */
+  def whitenExact(emb: DataFrame, idCol: String, vecCol: String,
+                  model: ExactModel): DataFrame = {
+    val nD = model.n.toDouble
+    val zCols = (0 until model.comps.length).map { c =>
+      val v = model.comps(c)
+      val kC = (0 until model.d).foldLeft(BigInt(0))((acc, i) =>
+        acc + BigInt(model.sq(i)) * v(i))
+      val denom = math.sqrt(
+        model.nums(c).toDouble * model.d1.toDouble * nD / (nD - 1.0))
+      val dot = Similarity.dot(col("__qv").cast("array<double>"),
+        typedLit(v.map(_.toDouble).toSeq))
+      val cscore = (lit(model.n).cast("decimal(38,0)") *
+        dot.cast("decimal(38,0)") -
+        lit(new java.math.BigDecimal(kC.bigInteger)))
+      if (model.nums(c).signum <= 0) lit(0.0).as(s"z${c + 1}")
+      else graft.functions.GateRound(
+        cscore.cast("double") / lit(denom), 6).as(s"z${c + 1}")
+    }
+    emb.filter(col(vecCol).isNotNull)
+      .select(col(idCol) +: transform(col(vecCol), quantizeGuard(_))
+        .as("__qv") +: Nil: _*)
+      .select(col(idCol) +: zCols: _*)
+  }
+
   /** Project (and optionally whiten) onto the model's components:
     * per-row map over one broadcast row, zero shuffle. Output
     * (idCol, pc) where pc is the length-k score array, each entry

@@ -144,6 +144,20 @@ object PipelineExact {
           "embedding", minCos = 0.40, nlist = 4,
           cacheKey = Some(s"semdedupx|$dir"))
         .orderBy(col("vec_id"))
+    }),
+
+    // EXACT fixed-point PCA whitening — qBO's FULL-hash-oracle twin
+    // and the r18 verdict's #1 ask: top-4 eigensystem via integer
+    // power iteration + Hotelling deflation on the centered scatter
+    // matrix (the qCJ single-direction precedent generalized), then
+    // per-row whitened scores as ONE exact integer + one IEEE divide
+    // each — 48 chained HUGEINT CTEs replay the whole model
+    "qE7_pca_whiten_exact" -> ((s, dir) => {
+      val emb = T(s, dir)("embeddings")
+      val model = graft.operators.Pca.eigenExact(emb, "embedding",
+        k = 4, iters = 12)
+      graft.operators.Pca.whitenExact(emb, "vec_id", "embedding", model)
+        .orderBy(col("vec_id"))
     })
   )
 
@@ -415,6 +429,102 @@ object PipelineExact {
       FROM users LEFT JOIN s3 ON users.u = s3.u ORDER BY user_id"""
 
 
+  /** The qE7 oracle: the FULL [[graft.operators.Pca.eigenExact]] /
+    * [[graft.operators.Pca.whitenExact]] chain in HUGEINT — centered
+    * integer scatter, `// 1e12` truncating matrix rescale, `iters`
+    * chained power CTEs per component at iterate scale 1e5, Hotelling
+    * deflation den²·B − num·vvᵀ between components (all bounds inside
+    * int128 — Pca.eigenExact's docstring carries the arithmetic), and
+    * one IEEE divide + round(6) per (row, component) with the same
+    * left-associated denominator ((num·D₁)·n)/(n−1) the engine uses. */
+  private def qE7Sql(k: Int, iters: Int): String = {
+    def power(c: Int, mat: String): String = {
+      val steps = (1 to iters).map { t =>
+        val prev = s"p${c}_${t - 1}"
+        s"""w${c}_$t AS MATERIALIZED (SELECT b.i,
+               CAST(SUM(b.b * p.p) AS HUGEINT) AS w
+             FROM $mat b JOIN $prev p ON p.i = b.j GROUP BY 1),
+        m${c}_$t AS (SELECT MAX(ABS(w)) AS m FROM w${c}_$t),
+        p${c}_$t AS MATERIALIZED (SELECT w${c}_$t.i,
+               CASE WHEN m${c}_$t.m = 0 THEN CAST(0 AS HUGEINT)
+                    ELSE (w${c}_$t.w * 100000) // m${c}_$t.m END AS p
+             FROM w${c}_$t CROSS JOIN m${c}_$t)"""
+      }.mkString(",\n        ")
+      s"""p${c}_0 AS (SELECT range AS i, CAST(100000 AS HUGEINT) AS p
+             FROM range(0, 64)),
+        $steps,
+        pk$c AS (SELECT p FROM p${c}_$iters
+                 ORDER BY ABS(p) DESC, i ASC LIMIT 1),
+        f$c AS MATERIALIZED (SELECT i,
+               CASE WHEN (SELECT p FROM pk$c) < 0 THEN -p ELSE p END AS p
+             FROM p${c}_$iters),
+        r$c AS (SELECT
+               (SELECT CAST(SUM(a.p * b.b * c.p) AS HUGEINT)
+                FROM b1 b JOIN f$c a ON a.i = b.i
+                  JOIN f$c c ON c.i = b.j) AS num,
+               (SELECT CAST(SUM(a.p * b.b * c.p) AS HUGEINT)
+                FROM $mat b JOIN f$c a ON a.i = b.i
+                  JOIN f$c c ON c.i = b.j) AS numb,
+               (SELECT CAST(SUM(p * p) AS HUGEINT) FROM f$c) AS den),
+        fl$c AS (SELECT list(p ORDER BY i) AS v FROM f$c)"""
+    }
+    def deflate(c: Int, mat: String): String = s"""
+        mm${c + 1} AS MATERIALIZED (SELECT b.i, b.j,
+               r$c.den * r$c.den * b.b - r$c.numb * a.p * c.p AS a
+             FROM $mat b JOIN f$c a ON a.i = b.i
+               JOIN f$c c ON c.i = b.j CROSS JOIN r$c),
+        d${c + 1} AS (SELECT greatest(CAST(1 AS HUGEINT),
+               (SELECT MAX(ABS(a)) FROM mm${c + 1}) // 1000000000000)
+               AS d),
+        b${c + 1} AS MATERIALIZED (SELECT i, j, a // d${c + 1}.d AS b
+             FROM mm${c + 1}, d${c + 1})"""
+    val chain = (1 to k).map { c =>
+      val mat = if (c == 1) "b1" else s"b$c"
+      power(c, mat) + (if (c < k) "," + deflate(c, mat) else "")
+    }.mkString(",\n        ")
+    def z(c: Int): String = s"""
+             CASE WHEN r$c.num <= 0 THEN 0.0
+                  ELSE round(CAST(nv.n * CAST(list_sum(list_transform(
+                         range(1, 65), ii -> q.qv[ii] * fl$c.v[ii]))
+                         AS HUGEINT) - kc.k$c AS DOUBLE)
+                       / sqrt(CAST(r$c.num AS DOUBLE)
+                              * CAST(d1.d AS DOUBLE)
+                              * CAST(nv.n AS DOUBLE)
+                              / (CAST(nv.n AS DOUBLE) - 1.0)), 6) + 0
+             END AS z$c"""
+    val kcs = (1 to k).map(c =>
+      s"""(SELECT CAST(SUM(sq.s * f$c.p) AS HUGEINT)
+          FROM sq JOIN f$c ON f$c.i = sq.i) AS k$c""").mkString(",\n        ")
+    val joins = (1 to k).map(c => s"CROSS JOIN r$c CROSS JOIN fl$c")
+      .mkString(" ")
+    s"""
+      WITH q AS MATERIALIZED (
+        SELECT vec_id, list_transform(CAST(embedding AS DOUBLE[]),
+               x -> CAST(floor(x * 1000000 + 0.5) AS BIGINT)) AS qv
+        FROM embeddings WHERE embedding IS NOT NULL),
+      nv AS (SELECT CAST(COUNT(*) AS HUGEINT) AS n FROM q),
+      sq AS MATERIALIZED (SELECT t1.range AS i,
+             CAST(SUM(qv[CAST(t1.range AS INT) + 1]) AS HUGEINT) AS s
+           FROM q, range(0, 64) t1 GROUP BY 1),
+      gg AS MATERIALIZED (SELECT t1.range AS i, t2.range AS j,
+             CAST(SUM(qv[CAST(t1.range AS INT) + 1]
+                    * qv[CAST(t2.range AS INT) + 1]) AS HUGEINT) AS g
+           FROM q, range(0, 64) t1, range(0, 64) t2 GROUP BY 1, 2),
+      am AS MATERIALIZED (SELECT gg.i, gg.j,
+             nv.n * gg.g - si.s * sj.s AS a
+           FROM gg JOIN sq si ON si.i = gg.i
+             JOIN sq sj ON sj.i = gg.j CROSS JOIN nv),
+      d1 AS (SELECT greatest(CAST(1 AS HUGEINT),
+             (SELECT MAX(ABS(a)) FROM am) // 1000000000000) AS d),
+      b1 AS MATERIALIZED (SELECT i, j, a // d1.d AS b FROM am, d1),
+      $chain,
+      kc AS (SELECT
+        $kcs)
+      SELECT q.vec_id,${(1 to k).map(z).mkString(",")}
+      FROM q CROSS JOIN nv CROSS JOIN d1 CROSS JOIN kc $joins
+      ORDER BY vec_id"""
+  }
+
   val oracleSql: Map[String, String] = Map(
     "qE3_significance_capstone" -> qE3Sql,
     "qE4_pq_search_exact" -> qE4Sql,
@@ -422,6 +532,7 @@ object PipelineExact {
     "qE6_event_funnel" -> qE6Sql,
     "qE0_ivf_search_exact" -> qE0Sql,
     "qE1_knn_join_exact" -> qE1Sql,
-    "qE2_semantic_dedup_exact" -> qE2Sql
+    "qE2_semantic_dedup_exact" -> qE2Sql,
+    "qE7_pca_whiten_exact" -> qE7Sql(k = 4, iters = 12)
   ).map { case (k, v) => k -> v.trim.replaceAll("\\s+", " ") }
 }

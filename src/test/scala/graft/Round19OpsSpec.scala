@@ -1,6 +1,6 @@
 package graft
 
-import graft.operators.{ProductQuantizer, Retention}
+import graft.operators.{Pca, ProductQuantizer, Retention}
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
@@ -68,5 +68,91 @@ class Round19OpsSpec extends AnyFunSuite {
     assert(topx.map(r => (r.getLong(0), r.getLong(1))).toSeq ==
       topClean.map(r => (r.getLong(0), r.getLong(1))).toSeq,
       "a null row must not perturb the exact shortlist")
+  }
+
+  /** Planted 3-axis fixture: exactly orthogonal zero-mean Rademacher
+    * patterns (bits of i) along dims 0/1/2 at well-separated
+    * amplitudes, so the true covariance is diag(.25, .04, .0025, 0…)
+    * and 20 power iterations converge hard. */
+  private def planted(n: Int = 64, d: Int = 8) = {
+    (0 until n).map { i =>
+      def s(b: Int) = if ((i & b) != 0) 1.0 else -1.0
+      val v = Array.fill(d)(0.0)
+      v(0) = 0.5 * s(1); v(1) = 0.2 * s(2); v(2) = 0.05 * s(4)
+      (i.toLong, v.toSeq)
+    }.toDF("id", "v")
+  }
+
+  test("eigenExact: planted-axis recovery, orthogonality, partition " +
+      "invariance, float-path agreement") {
+    val df = planted()
+    val m = Pca.eigenExact(df, "v", k = 3, iters = 20)
+    assert(m.n == 64 && m.d == 8)
+    def unit(v: Array[BigInt]): Array[Double] = {
+      val dv = v.map(_.toDouble)
+      val nrm = math.sqrt(dv.map(x => x * x).sum)
+      dv.map(_ / nrm)
+    }
+    val us = m.comps.map(unit)
+    // each recovered component is its planted axis (up to 1e-5-scale
+    // fixed-point truncation)
+    (0 until 3).foreach(c =>
+      assert(math.abs(us(c)(c)) > 0.999,
+        s"component $c not on planted axis: ${us(c).toSeq}"))
+    // pairwise near-orthogonality (deflation + truncation)
+    for (a <- 0 until 3; b <- (a + 1) until 3) {
+      val cos = us(a).zip(us(b)).map { case (x, y) => x * y }.sum
+      assert(math.abs(cos) < 0.01, s"components $a,$b not orthogonal: $cos")
+    }
+    // exact model is partition-order invariant
+    val m17 = Pca.eigenExact(df.repartition(17), "v", k = 3, iters = 20)
+    assert(m17.comps.map(_.toSeq).toSeq == m.comps.map(_.toSeq).toSeq &&
+      m17.nums.toSeq == m.nums.toSeq && m17.d1 == m.d1,
+      "eigenExact is partition-order dependent")
+    // the float Jacobi path spans the same directions
+    val fm = Pca.fit(df, "v", dim = 8, k = 3)
+    (0 until 3).foreach { c =>
+      val cos = us(c).zip(fm.components(c)).map { case (x, y) => x * y }.sum
+      assert(math.abs(cos) > 0.999, s"float/exact disagree on $c: $cos")
+    }
+  }
+
+  test("whitenExact: unit variance per component, zero mean, " +
+      "null-vector drop, degenerate spectrum -> 0.0") {
+    val df = planted()
+    val m = Pca.eigenExact(df, "v", k = 3, iters = 20)
+    val z = Pca.whitenExact(df, "id", "v", m).collect()
+    assert(z.length == 64)
+    (1 to 3).foreach { c =>
+      val xs = z.map(_.getDouble(c))
+      val mean = xs.sum / xs.length
+      val varS = xs.map(x => (x - mean) * (x - mean)).sum / (xs.length - 1)
+      assert(math.abs(mean) < 1e-4, s"z$c mean $mean")
+      assert(math.abs(varS - 1.0) < 0.01, s"z$c sample variance $varS")
+    }
+    // null vectors are dropped, and the model ignores them upstream
+    val withNull = df.unionByName(
+      Seq((999L, null.asInstanceOf[Seq[Double]])).toDF("id", "v")
+        .select(col("id"), col("v").cast(df.schema("v").dataType)))
+    val z2 = Pca.whitenExact(withNull, "id", "v", m).collect()
+    assert(z2.length == 64 && !z2.map(_.getLong(0)).contains(999L))
+    // constant corpus: zero scatter, degenerate spectrum, all z = 0.0
+    val const = (0 until 8).map(i => (i.toLong, Seq(1.0, 2.0, 3.0)))
+      .toDF("id", "v")
+    val mc = Pca.eigenExact(const, "v", k = 2, iters = 5)
+    assert(mc.comps.forall(_.forall(_ == 0)))
+    val zc = Pca.whitenExact(const, "id", "v", mc).collect()
+    assert(zc.forall(r => r.getDouble(1) == 0.0 && r.getDouble(2) == 0.0))
+    // refusals: |x| >= 10, ragged dims, n < 2
+    val big = Seq((1L, Seq(0.1, 11.0)), (2L, Seq(0.2, 0.3)))
+      .toDF("id", "v")
+    val e1 = intercept[Exception] { Pca.eigenExact(big, "v", k = 1) }
+    assert(e1.getMessage.contains("fixed-point"), e1.getMessage)
+    val ragged = Seq((1L, Seq(0.1)), (2L, Seq(0.2, 0.3))).toDF("id", "v")
+    val e2 = intercept[Exception] { Pca.eigenExact(ragged, "v", k = 1) }
+    assert(e2.getMessage.contains("mixed dimensions"), e2.getMessage)
+    val single = Seq((1L, Seq(0.1, 0.2))).toDF("id", "v")
+    val e3 = intercept[Exception] { Pca.eigenExact(single, "v", k = 1) }
+    assert(e3.getMessage.contains(">= 2 usable vectors"), e3.getMessage)
   }
 }
