@@ -462,17 +462,39 @@ object Retention {
    * (when(ts > null) is null, so min stays null) — depth is the
    * count of non-null steps with no extra state.
    *
+   * `maxSpan` (r19) bounds the WHOLE funnel to a conversion window
+   * anchored at the first touch: step i ≥ 2 additionally requires
+   * tᵢ ≤ t₁ + maxSpan ("purchase within X of the first view" — the
+   * product-analytics conversion window, first-touch attribution).
+   * Greedy stays OPTIMAL under this bound: given the anchor t₁, every
+   * step window is (tᵢ₋₁, t₁ + maxSpan] — the upper end is FIXED by
+   * the anchor, so choosing the EARLIEST valid tᵢ only ever widens
+   * the next step's window (an earlier tᵢ admits a superset of
+   * step-(i+1) candidates); by induction the greedy chain reaches the
+   * maximal depth achievable from t₁. A per-step maxGap bound
+   * (tᵢ ≤ tᵢ₋₁ + gap) deliberately does NOT exist here: its window
+   * end moves WITH the greedy choice, and greedy is then wrong —
+   * step-2 events at {1, 5}, a step-3 event at 14, gap 10: greedy
+   * t₂ = 1 dead-ends (window (1, 11]) where t₂ = 5 converts — so a
+   * gap-bounded funnel is a different (search, not fold) operator
+   * and a silently-greedy one would under-report conversions.
+   * The anchor itself is the global earliest step-1 event (first
+   * touch, the attribution convention — documented, not searched).
+   *
    * Scale shape: one (user) hash aggregate per step over the
    * step-filtered event stream, LEFT-joined back to the previous
    * step's |users|-row frame (user frames are aggregate-sized, never
    * event-sized; the events projection localCheckpoints against its
-   * k consumers — the qCT lesson). No windows, no event-stream sort.
+   * k consumers — the qCT lesson). No windows, no event-stream sort;
+   * the span bound is one extra codegen'd compare per candidate.
    *
    * @return one row per user with ≥ 1 event: (userCol, t1..tk —
    *         nullable step timestamps — depth)
    */
   def funnel(events: DataFrame, userCol: String, typeCol: String,
-             tsCol: String, steps: Seq[String]): DataFrame = {
+             tsCol: String, steps: Seq[String],
+             maxSpan: Option[Long] = None): DataFrame = {
+    maxSpan.foreach(s => require(s > 0, s"maxSpan must be positive, got $s"))
     require(steps.nonEmpty && steps.size <= 8,
       s"steps must be 1..8, got ${steps.size}")
     require(steps.distinct.size == steps.size,
@@ -486,11 +508,15 @@ object Retention {
       .groupBy(col("__u")).agg(min(col("__ts")).as("t1"))
     for (i <- 2 to steps.size) {
       val carry = col("__u") +: (1 until i).map(j => col(s"t$j"))
+      val inWindow = maxSpan match {
+        case Some(s) => col("__ts") > col(s"t${i - 1}") &&
+          col("__ts") <= col("t1") + lit(s)
+        case None => col("__ts") > col(s"t${i - 1}")
+      }
       cur = cur
         .join(base.filter(col("__t") === steps(i - 1)), Seq("__u"), "left")
         .groupBy(carry: _*)
-        .agg(min(when(col("__ts") > col(s"t${i - 1}"), col("__ts")))
-          .as(s"t$i"))
+        .agg(min(when(inWindow, col("__ts"))).as(s"t$i"))
     }
     val users = base.select(col("__u")).distinct()
     val depth = steps.indices

@@ -146,6 +146,22 @@ object PipelineExact {
         .orderBy(col("vec_id"))
     }),
 
+    // WINDOWED event funnel — qE6 with the product-analytics
+    // conversion window: steps 2..k must land within maxSpan of the
+    // first-touch anchor t1 ("purchase within ~2.3 days of the first
+    // view", chosen to bisect the corpus's span distribution so the
+    // bound genuinely bites); greedy stays optimal because the
+    // window end is FIXED by the anchor (Retention.funnel docstring
+    // carries the proof and the maxGap counterexample)
+    "qE8_windowed_funnel" -> ((s, dir) => {
+      val ev = T(s, dir)("events")
+        .withColumn("ts", col("ts") - pmod(col("ts"), lit(1000L)))
+      graft.operators.Retention.funnel(ev, "user_id", "event_type",
+          "ts", Seq("view", "click", "purchase"),
+          maxSpan = Some(QE8_SPAN_NS))
+        .orderBy(col("user_id"))
+    }),
+
     // EXACT fixed-point PCA whitening — qBO's FULL-hash-oracle twin
     // and the r18 verdict's #1 ask: top-4 eigensystem via integer
     // power iteration + Hotelling deflation on the centered scatter
@@ -429,6 +445,36 @@ object PipelineExact {
       FROM users LEFT JOIN s3 ON users.u = s3.u ORDER BY user_id"""
 
 
+  /** qE8's conversion window (ns) — ONE definition feeding the query
+    * lambda and the oracle SQL (the qBS shared-definition rule). */
+  private val QE8_SPAN_NS = 200000L * 1000000000L
+
+  private def qE8Sql: String = s"""
+      WITH e AS (SELECT user_id AS u, event_type AS t, epoch_ns(ts) AS ts
+                 FROM events
+                 WHERE user_id IS NOT NULL AND event_type IS NOT NULL
+                   AND ts IS NOT NULL),
+      s1 AS (SELECT u, MIN(ts) AS t1 FROM e WHERE t = 'view' GROUP BY 1),
+      s2 AS (SELECT s1.u, s1.t1,
+               MIN(CASE WHEN e2.ts > s1.t1
+                     AND e2.ts <= s1.t1 + $QE8_SPAN_NS
+                   THEN e2.ts END) AS t2
+             FROM s1 LEFT JOIN e e2 ON e2.u = s1.u AND e2.t = 'click'
+             GROUP BY 1, 2),
+      s3 AS (SELECT s2.u, s2.t1, s2.t2,
+               MIN(CASE WHEN e3.ts > s2.t2
+                     AND e3.ts <= s2.t1 + $QE8_SPAN_NS
+                   THEN e3.ts END) AS t3
+             FROM s2 LEFT JOIN e e3 ON e3.u = s2.u AND e3.t = 'purchase'
+             GROUP BY 1, 2, 3),
+      users AS (SELECT DISTINCT u FROM e)
+      SELECT users.u AS user_id, s3.t1, s3.t2, s3.t3,
+             CAST(CASE WHEN s3.t1 IS NOT NULL THEN 1 ELSE 0 END
+                + CASE WHEN s3.t2 IS NOT NULL THEN 1 ELSE 0 END
+                + CASE WHEN s3.t3 IS NOT NULL THEN 1 ELSE 0 END
+                AS BIGINT) AS depth
+      FROM users LEFT JOIN s3 ON users.u = s3.u ORDER BY user_id"""
+
   /** The qE7 oracle: the FULL [[graft.operators.Pca.eigenExact]] /
     * [[graft.operators.Pca.whitenExact]] chain in HUGEINT — centered
     * integer scatter, `// 1e12` truncating matrix rescale, `iters`
@@ -533,6 +579,7 @@ object PipelineExact {
     "qE0_ivf_search_exact" -> qE0Sql,
     "qE1_knn_join_exact" -> qE1Sql,
     "qE2_semantic_dedup_exact" -> qE2Sql,
-    "qE7_pca_whiten_exact" -> qE7Sql(k = 4, iters = 12)
+    "qE7_pca_whiten_exact" -> qE7Sql(k = 4, iters = 12),
+    "qE8_windowed_funnel" -> qE8Sql
   ).map { case (k, v) => k -> v.trim.replaceAll("\\s+", " ") }
 }

@@ -35,13 +35,20 @@ object StreamingFunnel {
   /** @return Update-mode stream of (userCol, t1..tk — nullable step
     *         timestamps — depth, n_late): the batch
     *         [[graft.operators.Retention.funnel]] schema plus the
-    *         late census. The LAST emission per user is current. */
+    *         late census. The LAST emission per user is current.
+    *         `maxSpan` is the batch operator's first-touch-anchored
+    *         conversion window — incrementally maintainable because
+    *         the window end t₁ + maxSpan is FIXED the moment the
+    *         anchor sets (set-if-unset), so each later event faces
+    *         the same admission test the batch fold applies. */
   def funnel(events: DataFrame, userCol: String, typeCol: String,
-             tsCol: String, steps: Seq[String]): DataFrame = {
+             tsCol: String, steps: Seq[String],
+             maxSpan: Option[Long] = None): DataFrame = {
     require(steps.nonEmpty && steps.size <= 8,
       s"steps must be 1..8, got ${steps.size}")
     require(steps.distinct.size == steps.size,
       s"steps must be distinct, got $steps")
+    maxSpan.foreach(s => require(s > 0, s"maxSpan must be positive, got $s"))
     val k = steps.size
     val stepIdx = steps.zipWithIndex.toMap
     val spark = events.sparkSession
@@ -71,7 +78,8 @@ object StreamingFunnel {
                 hi = ts
                 if (s == 0 && t(0) < 0L) t(0) = ts
                 else if (s > 0 && t(s) < 0L && t(s - 1) >= 0L &&
-                  ts > t(s - 1)) t(s) = ts
+                  ts > t(s - 1) &&
+                  maxSpan.forall(sp => ts <= t(0) + sp)) t(s) = ts
               }
             }
           state.update((t.toSeq, hi, late))

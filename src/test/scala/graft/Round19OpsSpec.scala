@@ -70,6 +70,42 @@ class Round19OpsSpec extends AnyFunSuite {
       "a null row must not perturb the exact shortlist")
   }
 
+  test("funnel maxSpan: anchored window bites, boundary inclusive, " +
+      "step-1 unaffected") {
+    import graft.operators.Retention
+    val ev = Seq(
+      // u1: full chain inside the window (span 10 from t1=100)
+      (1L, "view", 100L), (1L, "click", 105L), (1L, "purchase", 110L),
+      // u2: click beyond t1+span -> depth 1 even though a later
+      // purchase exists (cascade)
+      (2L, "view", 100L), (2L, "click", 115L), (2L, "purchase", 116L),
+      // u3: click at the exact boundary t1+span converts (<=), the
+      // purchase after it does not
+      (3L, "view", 100L), (3L, "click", 110L), (3L, "purchase", 111L),
+      // u4: anchor is the FIRST view (first-touch) — the later view
+      // at 200 would admit the click, but attribution anchors at 100
+      (4L, "view", 100L), (4L, "view", 200L), (4L, "click", 205L))
+      .toDF("u", "t", "ts")
+    val r = Retention.funnel(ev, "u", "t", "ts",
+        Seq("view", "click", "purchase"), maxSpan = Some(10L))
+      .collect().map(x => x.getLong(0) ->
+        ((Option(x.get(1)), Option(x.get(2)), Option(x.get(3)),
+          x.getLong(4)))).toMap
+    assert(r(1L) == ((Some(100L), Some(105L), Some(110L), 3L)))
+    assert(r(2L) == ((Some(100L), None, None, 1L)))
+    assert(r(3L) == ((Some(100L), Some(110L), None, 2L)))
+    assert(r(4L) == ((Some(100L), None, None, 1L)))
+    // span absent reproduces the unbounded chain (u2 converts fully)
+    val r0 = Retention.funnel(ev, "u", "t", "ts",
+        Seq("view", "click", "purchase")).collect()
+      .map(x => x.getLong(0) -> x.getLong(4)).toMap
+    assert(r0(2L) == 3L)
+    val e = intercept[IllegalArgumentException] {
+      Retention.funnel(ev, "u", "t", "ts", Seq("view"), Some(0L))
+    }
+    assert(e.getMessage.contains("maxSpan"), e.getMessage)
+  }
+
   /** Planted 3-axis fixture: exactly orthogonal zero-mean Rademacher
     * patterns (bits of i) along dims 0/1/2 at well-separated
     * amplitudes, so the true covariance is diag(.25, .04, .0025, 0…)

@@ -1340,6 +1340,59 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("StreamingFunnel: windowed (maxSpan) streamed equals batch") {
+    // the qE8 conversion window threaded through the set-if-unset
+    // state: the window end t1 + maxSpan is FIXED once the anchor
+    // sets, so every later event faces the batch admission test
+    import graft.operators.Retention
+    import graft.streaming.StreamingFunnel
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val steps = Seq("view", "click", "purchase")
+    val span = 200000L * 1000000000L
+    val ev = Tables.load(spark, "/root/testdata/sf0.001", "events")
+      .withColumn("ts", col("ts") - pmod(col("ts"), lit(1000L)))
+      .select(col("user_id"), col("event_type"), col("ts").cast("long"))
+      .orderBy(col("ts"))
+      .as[(Long, String, Long)].collect().toSeq
+    val batch = Retention.funnel(
+        ev.toDF("user_id", "event_type", "ts"),
+        "user_id", "event_type", "ts", steps, maxSpan = Some(span))
+      .collect().map(r => r.getLong(0) -> ((Option(r.get(1)),
+        Option(r.get(2)), Option(r.get(3)), r.getLong(4)))).toMap
+    // the window must actually bite at this SF or the pin is vacuous
+    val unb = Retention.funnel(ev.toDF("user_id", "event_type", "ts"),
+        "user_id", "event_type", "ts", steps)
+      .collect().map(r => r.getLong(0) -> r.getLong(4)).toMap
+    assert(batch.exists { case (u, (_, _, _, d)) => d < unb(u) },
+      "maxSpan never bit — pick a tighter window for the pin")
+    val mem = MemoryStream[(Long, String, Long)]
+    val sdf = StreamingFunnel.funnel(mem.toDF()
+        .toDF("user_id", "event_type", "ts"),
+      "user_id", "event_type", "ts", steps, maxSpan = Some(span))
+    val latest = new java.util.concurrent.ConcurrentHashMap[
+      Long, (Option[Any], Option[Any], Option[Any], Long)]()
+    val q = sdf.writeStream.outputMode("update")
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        b.collect().foreach { r =>
+          latest.put(r.getLong(0), (Option(r.get(1)), Option(r.get(2)),
+            Option(r.get(3)), r.getLong(4)))
+        }
+      }.start()
+    try {
+      ev.grouped((ev.size + 2) / 3)
+        .foreach { ch => mem.addData(ch); q.processAllAvailable() }
+      import scala.jdk.CollectionConverters._
+      val got = latest.asScala.toMap
+      assert(got.keySet == batch.keySet)
+      batch.foreach { case (u, exp) =>
+        assert(got(u) == exp,
+          s"user $u: streamed ${got(u)} vs windowed batch $exp")
+      }
+    } finally q.stop()
+  }
+
   test("StreamingClassifierReport: streamed scorecard equals batch") {
     import graft.operators.Classification
     import graft.streaming.StreamingClassifierReport
