@@ -2230,6 +2230,230 @@ object TextAnalysis {
       .limit(topK)
   }
 
+  /** The (w1, w2, w3, count) trigram TYPE table — the
+    * [[bigramTypeTable]] shape one order up: one token-triple explode
+    * → one hash aggregate, text never shuffles. */
+  private def trigramTypeTable(docs: DataFrame, textCol: String): DataFrame = {
+    val toks = tokens(col(textCol))
+    val trs = when(col(textCol).isNotNull && size(toks) >= 3,
+      transform(sequence(lit(1), size(toks) - 2),
+        i => struct(element_at(toks, i).as("w1"),
+          element_at(toks, i + 1).as("w2"),
+          element_at(toks, i + 2).as("w3"))))
+      .otherwise(array().cast(
+        "array<struct<w1:string,w2:string,w3:string>>"))
+    docs.select(explode(trs).as("__tr"))
+      .select(col("__tr.w1").as("__w1"), col("__tr.w2").as("__w2"),
+        col("__tr.w3").as("__w3"))
+      .groupBy(col("__w1"), col("__w2"), col("__w3"))
+      .agg(count(lit(1)).as("__c123"))
+  }
+
+  /** [[trigramTypeTable]] behind the same durable warm-artifact
+    * protocol as [[bigramTypeTableCached]] (per-lake, per-slice
+    * generation; in-memory frames localCheckpoint for their
+    * multi-consumer reads). */
+  private[graft] def trigramTypeTableCached(docs: DataFrame,
+      textCol: String, cacheKey: Option[String]): DataFrame =
+    cacheKey match {
+      case Some(lake) if docs.inputFiles.nonEmpty =>
+        ArtifactStore.readOrBuild(docs.sparkSession, lake,
+          "trigrams-" + ArtifactStore.md5(textCol + "|" +
+            docs.queryExecution.analyzed.semanticHash()).take(12),
+          Seq(docs))(trigramTypeTable(docs, textCol))
+      case _ => trigramTypeTable(docs, textCol)
+        .localCheckpoint(true)
+    }
+
+  /** The distinct-(w2, w3) mid-order frame with every lower-order KN
+    * marginal attached as an in-partition WINDOW (the collocations
+    * lesson — no vocabulary-sized broadcast builds): nc23 =
+    * N₁₊(·w2w3), ncmid2 = N₁₊(·w2·), n1fmid2 = N₁₊(w2·) (distinct
+    * successors of w2 among trigram types), n1b3 = N₁₊(·w3) over the
+    * projected (w2, w3) pairs. localCheckpointed: the join and the
+    * type total both consume it. */
+  private def knMidOrderFrame(tri: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    tri.groupBy(col("__w2"), col("__w3"))
+      .agg(count(lit(1)).as("__nc23"))
+      .withColumn("__ncmid2", sum(col("__nc23")).over(
+        Window.partitionBy(col("__w2"))))
+      .withColumn("__n1fmid2", count(lit(1)).over(
+        Window.partitionBy(col("__w2"))))
+      .withColumn("__n1b3", count(lit(1)).over(
+        Window.partitionBy(col("__w3"))))
+      .localCheckpoint(true)
+  }
+
+  /** The shared trigram-KN probability dag — ONE definition feeding
+    * [[kneserNeyTrigrams]] and [[kneserNeyTrigramCrossEntropy]], and
+    * mirrored verbatim in the qE9/qEA oracles (a drift would only
+    * surface as an opaque hash mismatch). c123 is coalesced so the
+    * same dag scores unseen held-out trigrams (c123 = 0, nc23 = 0). */
+  private def pknTrigram(d: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    val pcont = col("__n1b3").cast("double") / col("__ntm").cast("double")
+    val pmid = greatest(coalesce(col("__nc23"), lit(0L)).cast("double") - d,
+      lit(0.0)) / col("__ncmid2").cast("double") +
+      (d * col("__n1fmid2").cast("double") /
+        col("__ncmid2").cast("double")) * pcont
+    greatest(coalesce(col("__c123"), lit(0L)).cast("double") - d,
+      lit(0.0)) / col("__c12").cast("double") +
+      (d * col("__n1f12").cast("double") /
+        col("__c12").cast("double")) * pmid
+  }
+
+  /**
+   * Interpolated Kneser–Ney TRIGRAM model table with continuation
+   * backoff (Chen & Goodman 1999 §4.1.6 — [[kneserNeyBigrams]] one
+   * order up, the order real LM-data tooling actually scores with):
+   * P_KN(w3|w1w2) = max(c₁₂₃ − D, 0)/c₁₂ + λ(w1w2)·P_KN(w3|w2),
+   * λ(w1w2) = D·N₁₊(w1w2·)/c₁₂, and the BACKOFF distribution uses
+   * CONTINUATION counts, not raw counts: P_KN(w3|w2) =
+   * max(N₁₊(·w2w3) − D, 0)/N₁₊(·w2·) + D·N₁₊(w2·)/N₁₊(·w2·) ·
+   * N₁₊(·w3)/N₁₊(··).
+   *
+   * Convention: every lower-order statistic derives from the ONE
+   * trigram type census (N₁₊(w2·) = distinct successors among
+   * trigram types, N₁₊(·w3)/N₁₊(··) over the projected (w2, w3)
+   * pairs) — the standard highest-order-counts-only formulation, so
+   * document-initial bigrams contribute no lower-order mass;
+   * documented, deterministic, and what makes per-context masses sum
+   * to EXACTLY 1 over the continuation vocabulary (Round19OpsSpec
+   * pins it against a sequential replica).
+   *
+   * Exact contract: every count is an exact long in any partition
+   * order; D = 0.75 is a literal (exact in binary); P_KN is the ONE
+   * shared [[pknTrigram]] dag mirrored verbatim in the oracle; the
+   * top-k cut is the total order (c₁₂₃ DESC, w1, w2, w3) on exact
+   * integers — no quantization anywhere. P ∈ (0, 1]: plain round.
+   *
+   * Scale shape: one token-triple explode → one hash aggregate
+   * (served from the durable trigram artifact when `cacheKey` names
+   * a lake), one type-sized (w2, w3) re-aggregate; ALL marginals are
+   * in-partition window sums/counts over those two frames (the
+   * collocations lesson — the join formulation builds
+   * vocabulary-sized broadcast hashes); the mid-type total is a
+   * broadcast single-row cross; the model table is
+   * trigram-type-sized, never corpus-sized.
+   *
+   * @return top-k rows: (w1, w2, w3, c123, c12, n1f12, nc23, ncmid2,
+   *         n1fmid2, n1b3, n_mid_types, p_kn rounded 6)
+   */
+  def kneserNeyTrigrams(docs: DataFrame, textCol: String, topK: Int,
+                        discount: Double = 0.75,
+                        cacheKey: Option[String] = None): DataFrame = {
+    require(topK > 0, s"topK must be positive, got $topK")
+    require(discount > 0.0 && discount < 1.0,
+      s"discount must be in (0, 1), got $discount")
+    import org.apache.spark.sql.expressions.Window
+    val tri = trigramTypeTableCached(docs, textCol, cacheKey)
+    val mid = knMidOrderFrame(tri)
+    val types = mid.select(col("__w2"), col("__w3"))
+      .agg(count(lit(1)).as("__ntm"))
+    val withM = tri
+      .withColumn("__c12", sum(col("__c123")).over(
+        Window.partitionBy(col("__w1"), col("__w2"))))
+      .withColumn("__n1f12", count(lit(1)).over(
+        Window.partitionBy(col("__w1"), col("__w2"))))
+    val scored = withM.join(mid, Seq("__w2", "__w3"))
+      .crossJoin(broadcast(types))
+    scored.select(col("__w1").as("w1"), col("__w2").as("w2"),
+        col("__w3").as("w3"), col("__c123").as("c123"),
+        col("__c12").as("c12"), col("__n1f12").as("n1f12"),
+        col("__nc23").as("nc23"), col("__ncmid2").as("ncmid2"),
+        col("__n1fmid2").as("n1fmid2"), col("__n1b3").as("n1b3"),
+        col("__ntm").as("n_mid_types"),
+        round(pknTrigram(lit(discount)), 6).as("p_kn"))
+      .orderBy(col("c123").desc, col("w1"), col("w2"), col("w3"))
+      .limit(topK)
+  }
+
+  /**
+   * Held-out cross-entropy under the interpolated KN TRIGRAM model —
+   * [[kneserNeyCrossEntropy]] one order up, same coverage honesty: a
+   * held-out trigram event is COVERED iff its context (w1, w2) was
+   * seen in training AND w3 has continuation mass (N₁₊(·w3) > 0) —
+   * exactly the events where the model assigns p > 0 (a seen context
+   * guarantees the mid-order marginals exist, because the trigram
+   * that created the context also created a (w2, ·) mid type;
+   * uncovered counts are reported beside the entropy, never folded
+   * in as −∞).
+   *
+   * Exact contract: the [[kneserNeyCrossEntropy]] grid rules
+   * verbatim — per-type ln p quantizes to the signed 1e-9 grid, the
+   * per-type product hc·qln is signed-64 by the documented bound,
+   * the CROSS-TYPE sum rides DECIMAL(38,0) (the r17 wrap lesson);
+   * ce/ppl/coverage are the same final dag.
+   *
+   * @return ONE row: (n_train_types, n_eval, n_covered, coverage,
+   *         cross_entropy, perplexity — rounded 6, defined)
+   */
+  def kneserNeyTrigramCrossEntropy(train: DataFrame, heldout: DataFrame,
+                                   textCol: String,
+                                   discount: Double = 0.75,
+                                   cacheKey: Option[String] = None): DataFrame = {
+    require(discount > 0.0 && discount < 1.0,
+      s"discount must be in (0, 1), got $discount")
+    import org.apache.spark.sql.expressions.Window
+    val tri = trigramTypeTableCached(train, textCol, cacheKey)
+    val mid = knMidOrderFrame(tri)
+    val types = mid.select(col("__w2"), col("__w3"))
+      .agg(count(lit(1)).as("__ntm"))
+    val ctx = tri.groupBy(col("__w1"), col("__w2"))
+      .agg(sum(col("__c123")).as("__c12"), count(lit(1)).as("__n1f12"))
+    val triTypes = tri.agg(count(lit(1)).as("__nt"))
+    val cont = mid.groupBy(col("__w3"))
+      .agg(max(col("__n1b3")).as("__n1b3g"))
+    val ho = trigramTypeTableCached(heldout, textCol, cacheKey)
+      .withColumnRenamed("__c123", "__hc")
+    val joined = ho
+      .join(tri, Seq("__w1", "__w2", "__w3"), "left")
+      .join(ctx, Seq("__w1", "__w2"), "left")
+      .join(mid.select(col("__w2"), col("__w3"), col("__nc23"),
+        col("__ncmid2"), col("__n1fmid2")), Seq("__w2", "__w3"), "left")
+      .join(mid.select(col("__w2"), col("__ncmid2").as("__ncmid2b"),
+          col("__n1fmid2").as("__n1fmid2b"))
+        .groupBy(col("__w2")).agg(max(col("__ncmid2b")).as("__ncmid2b"),
+          max(col("__n1fmid2b")).as("__n1fmid2b")), Seq("__w2"), "left")
+      .join(cont.withColumnRenamed("__w3", "__w3j")
+        .withColumnRenamed("__n1b3g", "__n1b3j"),
+        col("__w3") === col("__w3j"), "left")
+      .crossJoin(broadcast(types))
+      .crossJoin(broadcast(triTypes))
+      // an unseen (w2, w3) leaves the mid-frame columns null; the
+      // w2-level marginals then come from the w2 re-aggregate
+      .withColumn("__ncmid2", coalesce(col("__ncmid2"), col("__ncmid2b")))
+      .withColumn("__n1fmid2",
+        coalesce(col("__n1fmid2"), col("__n1fmid2b")))
+      .withColumn("__n1b3", col("__n1b3j"))
+    val covered = col("__c12").isNotNull && col("__n1b3").isNotNull
+    val qln = floor(log(pknTrigram(lit(discount))) * lit(1e9) + lit(0.5))
+      .cast("long")
+    val stats = joined.select(col("__hc"),
+        when(covered, col("__hc")).otherwise(0L).as("__hcov"),
+        when(covered, col("__hc") * qln).otherwise(0L).as("__num"),
+        col("__nt"))
+      .agg(max(col("__nt")).as("n_train_types"),
+        coalesce(sum(col("__hc")), lit(0L)).as("n_eval"),
+        coalesce(sum(col("__hcov")), lit(0L)).as("n_covered"),
+        coalesce(sum(col("__num").cast("decimal(38,0)")),
+          lit(0L).cast("decimal(38,0)")).as("__nums"))
+    val defined = col("n_covered") > 0
+    val ce = -(col("__nums").cast("double") / lit(1e9)) /
+      col("n_covered").cast("double")
+    stats.select(coalesce(col("n_train_types"), lit(0L))
+        .as("n_train_types"),
+      col("n_eval"), col("n_covered"),
+      when(col("n_eval") > 0, round(col("n_covered").cast("double") /
+        col("n_eval").cast("double"), 6)).otherwise(lit(0.0))
+        .as("coverage"),
+      when(defined, graft.functions.GateRound(ce, 6)).otherwise(lit(0.0))
+        .as("cross_entropy"),
+      when(defined, round(exp(ce), 6)).otherwise(lit(0.0))
+        .as("perplexity"),
+      defined.as("defined"))
+  }
+
   /**
    * Jensen–Shannon divergence between two corpus halves' unigram
    * token distributions (Lin 1991) — the SYMMETRIC, always-finite

@@ -4,7 +4,7 @@ import graft.Tables
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
-import graft.operators.Similarity
+import graft.operators.{Similarity, TextAnalysis}
 
 /**
  * Exact fixed-point twin + capstone query family (split from
@@ -144,6 +144,29 @@ object PipelineExact {
           "embedding", minCos = 0.40, nlist = 4,
           cacheKey = Some(s"semdedupx|$dir"))
         .orderBy(col("vec_id"))
+    }),
+
+    // interpolated Kneser-Ney TRIGRAM model with continuation
+    // backoff — qCU one order up (the order LM-data tooling actually
+    // scores with): all lower-order stats derive from the ONE
+    // trigram census, every count an exact long, one shared float
+    // dag, the top-k cut a total integer order
+    "qE9_kn_trigram" -> ((s, dir) => {
+      TextAnalysis.kneserNeyTrigrams(T(s, dir)("documents"), "text",
+          topK = 50, cacheKey = Some(dir))
+        .orderBy(col("w1"), col("w2"), col("w3"))
+    }),
+
+    // held-out TRIGRAM cross-entropy — qDP one order up: train on
+    // the even docs, score the odd docs' trigram events, coverage
+    // reported honestly beside the entropy (unseen-w3 events never
+    // fold in as -inf); decimal(38,0) cross-type sum
+    "qEA_kn_trigram_ce" -> ((s, dir) => {
+      val d = T(s, dir)("documents")
+      TextAnalysis.kneserNeyTrigramCrossEntropy(
+        d.filter(col("doc_id") % 2 === 0).select(col("text")),
+        d.filter(col("doc_id") % 2 === 1).select(col("text")),
+        "text", cacheKey = Some(dir))
     }),
 
     // WINDOWED event funnel — qE6 with the product-analytics
@@ -445,6 +468,106 @@ object PipelineExact {
       FROM users LEFT JOIN s3 ON users.u = s3.u ORDER BY user_id"""
 
 
+  /** The shared trigram spine of the qE9/qEA oracles: tokenize,
+    * unnest token triples, the trigram type census and every
+    * lower-order KN marginal — verbatim
+    * [[graft.operators.TextAnalysis.kneserNeyTrigrams]]' statistics
+    * (nc23 = continuation count of (w2,w3), ncmid2/n1fmid2 the
+    * mid-order denominator/type count, n1b3/ntm the unigram
+    * continuation distribution). */
+  private def knTriCtes(source: String): String = s"""
+      tk AS (SELECT regexp_extract_all(text, '\\S+') AS t FROM $source),
+      tg AS (SELECT unnest(list_transform(range(1, len(t) - 1),
+               i -> t[i])) AS w1,
+             unnest(list_transform(range(1, len(t) - 1),
+               i -> t[i + 1])) AS w2,
+             unnest(list_transform(range(1, len(t) - 1),
+               i -> t[i + 2])) AS w3
+             FROM tk WHERE len(t) >= 3),
+      c AS (SELECT w1, w2, w3, CAST(COUNT(*) AS BIGINT) AS c123
+            FROM tg GROUP BY 1, 2, 3),
+      ctx AS (SELECT w1, w2, CAST(SUM(c123) AS BIGINT) AS c12,
+                CAST(COUNT(*) AS BIGINT) AS n1f12 FROM c GROUP BY 1, 2),
+      m AS (SELECT w2, w3, CAST(COUNT(*) AS BIGINT) AS nc23
+            FROM c GROUP BY 1, 2),
+      m2 AS (SELECT w2, CAST(SUM(nc23) AS BIGINT) AS ncmid2,
+               CAST(COUNT(*) AS BIGINT) AS n1fmid2 FROM m GROUP BY 1),
+      m3 AS (SELECT w3, CAST(COUNT(*) AS BIGINT) AS n1b3
+             FROM m GROUP BY 1),
+      nt AS (SELECT CAST(COUNT(*) AS BIGINT) AS ntm FROM m)"""
+
+  /** The shared trigram-KN probability dag of the qE9/qEA oracles —
+    * the verbatim SQL mirror of TextAnalysis.pknTrigram. */
+  private val PKN_TRI_SQL = """
+      greatest(CAST(COALESCE(c123, 0) AS DOUBLE) - 0.75, 0.0)
+          / CAST(c12 AS DOUBLE)
+        + (0.75 * CAST(n1f12 AS DOUBLE) / CAST(c12 AS DOUBLE))
+          * (greatest(CAST(COALESCE(nc23, 0) AS DOUBLE) - 0.75, 0.0)
+                / CAST(ncmid2 AS DOUBLE)
+             + (0.75 * CAST(n1fmid2 AS DOUBLE)
+                 / CAST(ncmid2 AS DOUBLE))
+               * (CAST(n1b3 AS DOUBLE) / CAST(ntm AS DOUBLE)))"""
+
+  private def qE9Sql: String = s"""
+      WITH ${knTriCtes("documents")},
+      top AS (SELECT c.w1, c.w2, c.w3, c.c123, ctx.c12, ctx.n1f12,
+                m.nc23, m2.ncmid2, m2.n1fmid2, m3.n1b3,
+                nt.ntm AS n_mid_types,
+                round($PKN_TRI_SQL, 6) + 0 AS p_kn
+              FROM c JOIN ctx USING (w1, w2) JOIN m USING (w2, w3)
+                JOIN m2 USING (w2) JOIN m3 USING (w3) CROSS JOIN nt
+              ORDER BY c123 DESC, w1, w2, w3 LIMIT 50)
+      SELECT * FROM top ORDER BY w1, w2, w3"""
+
+  private def qEASql: String = s"""
+      WITH ${knTriCtes("documents WHERE doc_id % 2 = 0")},
+      tt AS (SELECT CAST(COUNT(*) AS BIGINT) AS nt3 FROM c),
+      hk AS (SELECT regexp_extract_all(text, '\\S+') AS t
+             FROM documents WHERE doc_id % 2 = 1),
+      hg AS (SELECT unnest(list_transform(range(1, len(t) - 1),
+               i -> t[i])) AS w1,
+             unnest(list_transform(range(1, len(t) - 1),
+               i -> t[i + 1])) AS w2,
+             unnest(list_transform(range(1, len(t) - 1),
+               i -> t[i + 2])) AS w3
+             FROM hk WHERE len(t) >= 3),
+      ho AS (SELECT w1, w2, w3, CAST(COUNT(*) AS BIGINT) AS hc
+             FROM hg GROUP BY 1, 2, 3),
+      j AS (SELECT ho.hc, c.c123, ctx.c12, ctx.n1f12, m.nc23,
+              m2.ncmid2, m2.n1fmid2, m3.n1b3, nt.ntm, tt.nt3
+            FROM ho LEFT JOIN c USING (w1, w2, w3)
+              LEFT JOIN ctx USING (w1, w2)
+              LEFT JOIN m USING (w2, w3)
+              LEFT JOIN m2 USING (w2)
+              LEFT JOIN m3 USING (w3)
+              CROSS JOIN nt CROSS JOIN tt),
+      sc AS (SELECT hc,
+              CASE WHEN c12 IS NOT NULL AND n1b3 IS NOT NULL THEN hc
+                ELSE 0 END AS hcov,
+              CASE WHEN c12 IS NOT NULL AND n1b3 IS NOT NULL
+                THEN hc * CAST(floor(ln($PKN_TRI_SQL)
+                  * 1000000000 + 0.5) AS BIGINT)
+                ELSE 0 END AS num,
+              nt3 FROM j),
+      ag AS (SELECT MAX(nt3) AS n_train_types,
+               COALESCE(CAST(SUM(hc) AS BIGINT), 0) AS n_eval,
+               COALESCE(CAST(SUM(hcov) AS BIGINT), 0) AS n_covered,
+               COALESCE(CAST(SUM(num) AS BIGINT), 0) AS nums FROM sc)
+      SELECT COALESCE(n_train_types, 0) AS n_train_types, n_eval,
+             n_covered,
+             CASE WHEN n_eval > 0 THEN round(CAST(n_covered AS DOUBLE)
+               / CAST(n_eval AS DOUBLE), 6) ELSE 0.0 END AS coverage,
+             CASE WHEN n_covered > 0
+               THEN round(-(CAST(nums AS DOUBLE) / 1000000000.0)
+                 / CAST(n_covered AS DOUBLE), 6) + 0
+               ELSE 0.0 END AS cross_entropy,
+             CASE WHEN n_covered > 0
+               THEN round(exp(-(CAST(nums AS DOUBLE) / 1000000000.0)
+                 / CAST(n_covered AS DOUBLE)), 6)
+               ELSE 0.0 END AS perplexity,
+             n_covered > 0 AS defined
+      FROM ag"""
+
   /** qE8's conversion window (ns) — ONE definition feeding the query
     * lambda and the oracle SQL (the qBS shared-definition rule). */
   private val QE8_SPAN_NS = 200000L * 1000000000L
@@ -580,6 +703,8 @@ object PipelineExact {
     "qE1_knn_join_exact" -> qE1Sql,
     "qE2_semantic_dedup_exact" -> qE2Sql,
     "qE7_pca_whiten_exact" -> qE7Sql(k = 4, iters = 12),
-    "qE8_windowed_funnel" -> qE8Sql
+    "qE8_windowed_funnel" -> qE8Sql,
+    "qE9_kn_trigram" -> qE9Sql,
+    "qEA_kn_trigram_ce" -> qEASql
   ).map { case (k, v) => k -> v.trim.replaceAll("\\s+", " ") }
 }

@@ -106,6 +106,104 @@ class Round19OpsSpec extends AnyFunSuite {
     assert(e.getMessage.contains("maxSpan"), e.getMessage)
   }
 
+  /** Sequential trigram-KN replica — the same statistics and dag
+    * [[graft.operators.TextAnalysis.kneserNeyTrigrams]] distributes
+    * (all lower-order stats from the one trigram census). */
+  private class KnTriReplica(docs: Seq[String], D: Double) {
+    val tris: Seq[(String, String, String)] = docs.flatMap(t =>
+      t.split("\\s+").filter(_.nonEmpty).sliding(3)
+        .filter(_.size == 3).map(a => (a(0), a(1), a(2))).toSeq)
+    val c123 = tris.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val c12 = c123.toSeq.groupBy { case ((a, b, _), _) => (a, b) }
+      .view.mapValues(_.map(_._2).sum).toMap
+    val n1f12 = c123.keys.toSeq.groupBy(k => (k._1, k._2))
+      .view.mapValues(_.size.toLong).toMap
+    val mids = c123.keys.map(k => (k._2, k._3)).toSet
+    val nc23 = c123.keys.toSeq.groupBy(k => (k._2, k._3))
+      .view.mapValues(_.map(_._1).toSet.size.toLong).toMap
+    val ncmid2 = mids.toSeq.groupBy(_._1)
+      .view.mapValues(_.map(nc23).sum).toMap
+    val n1fmid2 = mids.toSeq.groupBy(_._1)
+      .view.mapValues(_.size.toLong).toMap
+    val n1b3 = mids.toSeq.groupBy(_._2)
+      .view.mapValues(_.size.toLong).toMap
+    val ntm = mids.size.toLong
+    def p(w1: String, w2: String, w3: String): Double = {
+      val ctx = c12((w1, w2))
+      val pc = n1b3.getOrElse(w3, 0L).toDouble / ntm
+      val pm = math.max(nc23.getOrElse((w2, w3), 0L) - D, 0.0) /
+        ncmid2(w2) + D * n1fmid2(w2) / ncmid2(w2) * pc
+      math.max(c123.getOrElse((w1, w2, w3), 0L) - D, 0.0) / ctx +
+        D * n1f12((w1, w2)) / ctx * pm
+    }
+  }
+
+  test("kneserNeyTrigrams: sequential replica equality + per-context " +
+      "probability mass sums to exactly 1") {
+    import graft.operators.TextAnalysis
+    val docs = Seq("a b c a b d a b c", "b c a b c x", "x y z x y w",
+      "c a b", "a b")
+    val rep = new KnTriReplica(docs, 0.75)
+    val df = docs.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.kneserNeyTrigrams(df, "text", topK = 1000)
+      .collect()
+    assert(got.length == rep.c123.size, "one model row per trigram type")
+    got.foreach { r =>
+      val (w1, w2, w3) = (r.getString(0), r.getString(1), r.getString(2))
+      assert(r.getLong(3) == rep.c123((w1, w2, w3)))
+      assert(r.getLong(4) == rep.c12((w1, w2)))
+      assert(r.getLong(6) == rep.nc23((w2, w3)))
+      assert(r.getLong(10) == rep.ntm)
+      val exp = BigDecimal(rep.p(w1, w2, w3))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(math.abs(r.getDouble(11) - exp) < 2e-6,
+        s"($w1,$w2,$w3): got ${r.getDouble(11)} want $exp")
+    }
+    // the KN telescoping identity: for every SEEN context, the model
+    // distributes exactly unit mass over the continuation vocabulary
+    val vocab = rep.n1b3.keys.toSeq
+    rep.c12.keys.foreach { case (w1, w2) =>
+      val mass = vocab.map(w3 => rep.p(w1, w2, w3)).sum
+      assert(math.abs(mass - 1.0) < 1e-12,
+        s"context ($w1,$w2) mass $mass != 1")
+    }
+  }
+
+  test("kneserNeyTrigramCrossEntropy: coverage + entropy vs replica") {
+    import graft.operators.TextAnalysis
+    val train = Seq("a b c a b d a b c", "b c a b c", "c a b x")
+    val ho = Seq("a b c x", "a b d", "q q q")
+    val rep = new KnTriReplica(train, 0.75)
+    val hoTris = new KnTriReplica(ho, 0.75).tris
+    val hoTypes = hoTris.groupBy(identity).view.mapValues(_.size.toLong)
+    var nEval = 0L; var nCov = 0L; var num = BigInt(0)
+    hoTypes.foreach { case ((w1, w2, w3), hc) =>
+      nEval += hc
+      if (rep.c12.contains((w1, w2)) && rep.n1b3.contains(w3)) {
+        nCov += hc
+        val qln = math.floor(math.log(rep.p(w1, w2, w3)) * 1e9 + 0.5).toLong
+        num += BigInt(hc * qln)
+      }
+    }
+    val ceExp = BigDecimal(-(num.toDouble / 1e9) / nCov)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val r = TextAnalysis.kneserNeyTrigramCrossEntropy(
+      train.toDF("text"), ho.toDF("text"), "text").collect().head
+    assert(r.getLong(0) == rep.c123.size)
+    assert(r.getLong(1) == nEval && r.getLong(2) == nCov)
+    assert(nCov < nEval, "fixture must exercise uncovered events")
+    assert(math.abs(r.getDouble(4) - ceExp) < 2e-6,
+      s"ce ${r.getDouble(4)} vs replica $ceExp")
+    assert(r.getBoolean(6))
+    // a fully-unseen held-out corpus: defined = false, zero coverage
+    val r0 = TextAnalysis.kneserNeyTrigramCrossEntropy(
+      train.toDF("text"), Seq("p q r s").toDF("text"), "text")
+      .collect().head
+    assert(r0.getLong(2) == 0L && !r0.getBoolean(6) &&
+      r0.getDouble(4) == 0.0)
+  }
+
   /** Planted 3-axis fixture: exactly orthogonal zero-mean Rademacher
     * patterns (bits of i) along dims 0/1/2 at well-separated
     * amplitudes, so the true covariance is diag(.25, .04, .0025, 0…)
