@@ -50,6 +50,7 @@ object StreamingBestOfN {
   def bestOfN(resp: DataFrame, promptCol: String, respIdCol: String,
               scoreCol: String, n: Int): DataFrame = {
     require(n > 0, s"n must be positive, got $n")
+    StreamingKeys.requireIntegral("StreamingBestOfN", resp, respIdCol)
     val spark = resp.sparkSession
     import spark.implicits._
     val heap = new graft.functions.TopKByScore(n)

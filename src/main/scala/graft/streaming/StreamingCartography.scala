@@ -40,6 +40,7 @@ object StreamingCartography {
     *         schema. */
   def cartography(trace: DataFrame, exampleCol: String, probPctCol: String,
                   correctCol: String): DataFrame = {
+    StreamingKeys.requireIntegral("StreamingCartography", trace, exampleCol)
     val spark = trace.sparkSession
     import spark.implicits._
     val p = col(probPctCol).cast("long")

@@ -38,6 +38,7 @@ object StreamingDedup {
                         minEstJaccard: Double = 0.0,
                         maxPerBucket: Option[Int] = None): DataFrame = {
     require(k % bands == 0, "bands must divide k")
+    StreamingKeys.requireIntegral("StreamingDedup", docs, idCol)
     val spark = docs.sparkSession
     import spark.implicits._
     val r = k / bands

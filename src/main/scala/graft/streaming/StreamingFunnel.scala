@@ -49,6 +49,7 @@ object StreamingFunnel {
     require(steps.distinct.size == steps.size,
       s"steps must be distinct, got $steps")
     maxSpan.foreach(s => require(s > 0, s"maxSpan must be positive, got $s"))
+    StreamingKeys.requireIntegral("StreamingFunnel", events, userCol)
     val k = steps.size
     val stepIdx = steps.zipWithIndex.toMap
     val spark = events.sparkSession

@@ -34,6 +34,7 @@ object StreamingWinnow {
   def candidates(docs: DataFrame, idCol: String, textCol: String,
                  k: Int = 3, w: Int = 4,
                  maxPerFp: Option[Int] = None): DataFrame = {
+    StreamingKeys.requireIntegral("StreamingWinnow", docs, idCol)
     val spark = docs.sparkSession
     import spark.implicits._
     // stateless stage: per-row kernel -> distinct fingerprint VALUES

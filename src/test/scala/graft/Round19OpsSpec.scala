@@ -106,6 +106,39 @@ class Round19OpsSpec extends AnyFunSuite {
     assert(e.getMessage.contains("maxSpan"), e.getMessage)
   }
 
+  test("streaming twins refuse non-integral state keys loudly") {
+    // the r19 key-type parity contract: the twins key state on a
+    // long cast, so a string id would cast to null and silently
+    // merge keys — refused up front instead
+    val evS = Seq(("u1", "view", 1L)).toDF("user_id", "event_type", "ts")
+    val e1 = intercept[IllegalArgumentException] {
+      graft.streaming.StreamingFunnel.funnel(evS, "user_id",
+        "event_type", "ts", Seq("view"))
+    }
+    assert(e1.getMessage.contains("must be integral"), e1.getMessage)
+    val docsS = Seq(("d1", "some text here")).toDF("doc_id", "text")
+    val e2 = intercept[IllegalArgumentException] {
+      graft.streaming.StreamingDedup.nearDupCandidates(docsS,
+        "doc_id", "text")
+    }
+    assert(e2.getMessage.contains("must be integral"), e2.getMessage)
+    val e3 = intercept[IllegalArgumentException] {
+      graft.streaming.StreamingWinnow.candidates(docsS, "doc_id", "text")
+    }
+    assert(e3.getMessage.contains("must be integral"), e3.getMessage)
+    val trS = Seq(("ex1", 50L, true)).toDF("ex", "p", "c")
+    val e4 = intercept[IllegalArgumentException] {
+      graft.streaming.StreamingCartography.cartography(trS, "ex", "p", "c")
+    }
+    assert(e4.getMessage.contains("must be integral"), e4.getMessage)
+    val rsS = Seq(("p", "r1", 3L)).toDF("prompt", "resp", "score")
+    val e5 = intercept[IllegalArgumentException] {
+      graft.streaming.StreamingBestOfN.bestOfN(rsS, "prompt", "resp",
+        "score", 2)
+    }
+    assert(e5.getMessage.contains("must be integral"), e5.getMessage)
+  }
+
   /** Sequential trigram-KN replica — the same statistics and dag
     * [[graft.operators.TextAnalysis.kneserNeyTrigrams]] distributes
     * (all lower-order stats from the one trigram census). */
