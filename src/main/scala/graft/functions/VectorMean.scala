@@ -56,18 +56,22 @@ class LongVectorSum(dim: Int)
 
   override def zero: Buf = Buf(new Array[Long](dim))
 
+  // addExact, not +: a web-scale bucket of unit-scale 1e-9-grid
+  // coordinates wraps a raw long sum near 9.2e9 rows — the r19 audit
+  // rule is that every cross-entity grid sum either carries a proved
+  // bound or fails LOUDLY, never wraps (SCALE.md "Grid-sum audit")
   override def reduce(b: Buf, v: Seq[Long]): Buf = {
     if (v != null) {
       var i = 0
       val n = math.min(dim, v.size)
-      while (i < n) { b.sums(i) += v(i); i += 1 }
+      while (i < n) { b.sums(i) = Math.addExact(b.sums(i), v(i)); i += 1 }
     }
     b
   }
 
   override def merge(a: Buf, b: Buf): Buf = {
     var i = 0
-    while (i < dim) { a.sums(i) += b.sums(i); i += 1 }
+    while (i < dim) { a.sums(i) = Math.addExact(a.sums(i), b.sums(i)); i += 1 }
     a
   }
 

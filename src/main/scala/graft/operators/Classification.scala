@@ -492,7 +492,12 @@ object Classification {
    * squares permit. Bound: |S_g| and |S| ≤ 3037000499 keep the
    * squares in signed-64 — ENFORCED plan-side (raise_error, the qCL
    * convention); Σx² per cell must also fit (document-scale scores —
-   * pre-scale past it, the qC4 rule). SSB/SSW are analytically ≥ 0
+   * pre-scale past it, the qC4 rule) — and that ONE caller bound
+   * covers the whole dag: by Cauchy–Schwarz S_g² ≤ n_g·Q_g, so every
+   * div part S_g²/n_g ≤ Q_g and their cross-cell sum ≤ ΣQ = Σx²
+   * (r19 grid-sum audit: the fractional parts are < 1 each, ≤
+   * k·1e9 total — k is the group-key cardinality, metadata-sized).
+   * SSB/SSW are analytically ≥ 0
    * but the dag can land at −ε → gateRounded. defined = k ≥ 2 ∧
    * N > k ∧ SSW > 0 (a zero within-variance family has an infinite
    * F — refused visibly, not emitted).
@@ -866,7 +871,11 @@ object Classification {
         floor(term * lit(1e9) + lit(0.5)).cast("long").as("__tq"))
       .groupBy(col("__b"))
       .agg(max(col("__n")).as("n_subjects"), max(col("__k")).as("__k"),
-        sum(col("__tq")).as("__tqs"), sum(col("__ties")).as("__tiesum"))
+        // decimal(38,0): per-treatment terms ≤ ~12n·1e9 on the grid,
+        // so the cross-treatment LONG sum wraps near n·k ≈ 7.7e8 —
+        // reachable for a billion-subject family (r19 grid-sum audit)
+        sum(col("__tq").cast("decimal(38,0)")).as("__tqs"),
+        sum(col("__ties")).as("__tiesum"))
     val nn = col("n_subjects")
     val kk = col("__k")
     val chi2 = d(col("__tqs")) / lit(1e9) -

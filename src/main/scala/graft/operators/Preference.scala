@@ -740,7 +740,14 @@ object Preference {
   def embeddingDiversity(resp: DataFrame, promptCol: String,
                          respIdCol: String, vecCol: String,
                          maxFanOut: Int = 10000): DataFrame = {
-    require(maxFanOut > 0, s"maxFanOut must be positive, got $maxFanOut")
+    // the fan-out guard doubles as the grid-sum bound (r19 audit):
+    // pairs per prompt ≤ maxFanOut²/2 and each 1e-9-grid cosine is
+    // ≤ 1e9, so Σ ≤ maxFanOut²/2·1e9 — at the 1e5 cap that is
+    // 5e18 < 2⁶³−1; an unbounded maxFanOut would let the pair sum
+    // wrap a signed-64 before the quadratic melt even hurts
+    require(maxFanOut > 0 && maxFanOut <= 100000,
+      s"maxFanOut must be in [1, 100000], got $maxFanOut — past 1e5 " +
+        "the per-prompt 1e-9-grid cosine sum can overflow signed-64")
     require(org.apache.spark.sql.graftbridge.ColumnBridge
         .isIntegral(resp.schema(respIdCol).dataType),
       s"embeddingDiversity: $respIdCol must be integral (got " +
@@ -1061,7 +1068,16 @@ object Preference {
       .groupBy(col(byCol))
       .agg(sum(col("__cj") * col("__cj")).as("__c2"))
     val joined = perGroup.join(marg, Seq(byCol))
-    val m = col("n_values")
+    // ONE plan-side magnitude guard covers every square in the dag:
+    // with m ≤ 3037000499, m² ≤ 2⁶³−1 exactly, every n_ij² and c_j²
+    // (both ≤ m²) stays exact, and the item grid sum Σq_i ≤
+    // (m + n_items)·1e9 ≤ 6.1e18 < 2⁶³ (r19 grid-sum audit)
+    val m = when(col("n_values") <= 3037000499L, col("n_values"))
+      .otherwise(raise_error(concat(
+        lit("krippendorffAlpha: group "), col(byCol).cast("string"),
+        lit(" has "), col("n_values").cast("string"),
+        lit(" values > 3037000499 — m² overflows signed-64; " +
+          "shard the group"))))
     val deNum = m * m - col("__c2")
     val doo = col("__sq").cast("double") /
       (m * lit(1000000000L)).cast("double")
@@ -1385,7 +1401,11 @@ object Preference {
     per.select(col(byCol), col("__ns"), col("__ws"), rateQ.as("__rq"))
       .groupBy(col(byCol))
       .agg(sum(col("__ns")).as("n"), sum(col("__ws")).as("__w"),
-        count(lit(1)).as("n_strata"), sum(col("__rq")).as("__sq"))
+        count(lit(1)).as("n_strata"),
+        // decimal(38,0): per-stratum rates ≤ 1e9 on the grid, but the
+        // cross-stratum sum is bounded only by n_strata·1e9 — nothing
+        // caps strata counts (r19 grid-sum audit)
+        sum(col("__rq").cast("decimal(38,0)")).as("__sq"))
       .select(col(byCol), col("n"), col("n_strata"),
         round(col("__w").cast("double") / col("n").cast("double"), 6)
           .as("raw_rate"),
@@ -2140,9 +2160,14 @@ object Preference {
       .select(col("__g"), col("__n"), qNum.as("__qn"), qDen.as("__qd"))
       .groupBy(col("__g"))
       .agg(sum(col("__n")).as("n"), count(lit(1)).as("n_strata"),
-        sum(col("__qn")).as("__sn"), sum(col("__qd")).as("__sd"))
+        // decimal(38,0): per-stratum a·d/n, b·c/n ≤ n_s·1e9/4 on the
+        // grid, but the cross-stratum sums are bounded only by
+        // n_total·1e9/4 — a ~3.7e10-row group wraps a LONG sum (r19
+        // grid-sum audit)
+        sum(col("__qn").cast("decimal(38,0)")).as("__sn"),
+        sum(col("__qd").cast("decimal(38,0)")).as("__sd"))
     val orMh = d(col("__sn")) / d(col("__sd"))
-    val defined = col("__sd") > 0L
+    val defined = col("__sd") > lit(0L).cast("decimal(38,0)")
     stats.select(col("__g").as(byCol), col("n"), col("n_strata"),
       when(defined, round(orMh, 6)).otherwise(lit(0.0)).as("or_mh"),
       when(defined && col("__sn") > 0L,

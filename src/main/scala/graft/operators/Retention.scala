@@ -237,11 +237,15 @@ object Retention {
         qoe.as("__qoe"), qv.as("__qv"))
       .groupBy(col("__g"))
       .agg(sum(col("__tot")).as("n"), sum(col("__tot1")).as("n_arm"),
-        sum(col("__d")).as("n_events"), sum(col("__qoe")).as("__soe"),
-        sum(col("__qv")).as("__sv"))
+        sum(col("__d")).as("n_events"),
+        // decimal(38,0): per-time |qoe|, qv ≤ d·1e9 are signed-64,
+        // but the cross-time sums are bounded only by n_events·1e9 —
+        // a ~9e9-event group wraps a LONG sum (r19 grid-sum audit)
+        sum(col("__qoe").cast("decimal(38,0)")).as("__soe"),
+        sum(col("__qv").cast("decimal(38,0)")).as("__sv"))
     val soe = d(col("__soe")) / lit(1e9)
     val sv = d(col("__sv")) / lit(1e9)
-    val defined = col("__sv") > 0L
+    val defined = col("__sv") > lit(0L).cast("decimal(38,0)")
     stats.select(col("__g").as(byCol), col("n"), col("n_arm"),
       col("n_events"),
       graft.functions.GateRound(soe, 6).as("o_minus_e"),

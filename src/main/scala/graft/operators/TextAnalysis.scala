@@ -1689,11 +1689,17 @@ object TextAnalysis {
       n11.as("n11"), n01.as("n01"), n10.as("n10"), n00.as("n00"),
       when(defined, chi2).otherwise(lit(0.0)).as("__chi2"),
       defined.as("defined"))
-    val chi2q = floor(col("__chi2") * lit(1e9) + lit(0.5)).cast("long")
+    // SPLIT rank keys (the collocations convention): chi2 ≤ N, so
+    // the single-key floor(chi2·1e9) form wraps signed-64 past
+    // chi2 ≈ 9.2e9 — i.e. a ~9e9-document corpus could rank wrongly
+    // in silence; the (⌊chi2⌋, 1e-9-grid fraction) pair is monotone
+    // at the same resolution and overflow-proof to 2⁶³ (r19
+    // grid-sum audit)
+    val Seq(chi2i, chi2f) = splitRankKeys(col("__chi2"))
     import org.apache.spark.sql.expressions.Window
     scored
       .withColumn("rank", row_number().over(Window.partitionBy(col("__l"))
-        .orderBy(chi2q.desc, col("__t"))))
+        .orderBy(chi2i.desc, chi2f.desc, col("__t"))))
       .filter(col("rank") <= topK)
       .select(col("__l").as(labelCol), col("__t").as("term"),
         col("n11"), col("n01"), col("n10"), col("n00"),

@@ -3059,8 +3059,9 @@ object PipelineEval {
                  ELSE 0.0 END AS chi2
              FROM cells),
       rk AS (SELECT *, row_number() OVER (PARTITION BY l
-               ORDER BY CAST(floor(chi2 * 1000000000 + 0.5) AS BIGINT)
-                 DESC, t) AS rank
+               ORDER BY CAST(floor(chi2) AS BIGINT) DESC,
+                 CAST(floor((chi2 - floor(chi2)) * 1000000000 + 0.5)
+                   AS BIGINT) DESC, t) AS rank
              FROM sc)
       SELECT l AS lang, t AS term, n11, n01, n10, n00,
              round(chi2, 6) AS chi2, rank, defined

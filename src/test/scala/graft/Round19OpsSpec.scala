@@ -106,6 +106,41 @@ class Round19OpsSpec extends AnyFunSuite {
     assert(e.getMessage.contains("maxSpan"), e.getMessage)
   }
 
+  test("grid-sum audit: centroid sums overflow LOUDLY; pair-sum " +
+      "fan-out knob is capped") {
+    import graft.operators.{Preference, Similarity}
+    // two coordinates near the fixedPoint guard's 9e9 ceiling pass
+    // the per-value check but their 1e-9-grid longs sum past 2^63 —
+    // pre-fix LongVectorSum wrapped silently; now Math.addExact
+    // fails the job loudly (SCALE.md "Grid-sum audit")
+    val big = Seq((1L, "g", Seq(8.9e9)), (2L, "g", Seq(8.9e9)),
+      (3L, "g", Seq(8.9e9))).toDF("id", "grp", "v")
+    val e = intercept[Exception] {
+      Similarity.robustCentroids(big, "id", "grp", "v", dim = 1,
+        shards = 1).collect()
+    }
+    def causes(t: Throwable): Seq[Throwable] =
+      Iterator.iterate(t)(_.getCause).takeWhile(_ != null).toSeq
+    assert(causes(e).exists(c => c.isInstanceOf[ArithmeticException] ||
+      c.getMessage != null && c.getMessage.contains("overflow")),
+      s"expected a loud overflow, got: $e")
+    // normal-scale sums are untouched by the addExact switch
+    val ok = Seq((1L, "g", Seq(1.0, 2.0)), (2L, "g", Seq(3.0, 4.0)))
+      .toDF("id", "grp", "v")
+    val r = Similarity.robustCentroids(ok, "id", "grp", "v", dim = 2,
+      shards = 1).collect()
+    assert(r.map(x => x.getInt(1) -> x.getDouble(2)).toMap ==
+      Map(1 -> 2.0, 2 -> 3.0))
+    // embeddingDiversity: the fan-out knob now doubles as the
+    // pair-grid-sum bound — values past 1e5 are refused
+    val emb = Seq(("p", 1L, Seq(1.0, 0.0))).toDF("p", "id", "v")
+    val e2 = intercept[IllegalArgumentException] {
+      Preference.embeddingDiversity(emb, "p", "id", "v",
+        maxFanOut = 200000)
+    }
+    assert(e2.getMessage.contains("100000"), e2.getMessage)
+  }
+
   test("streaming twins refuse non-integral state keys loudly") {
     // the r19 key-type parity contract: the twins key state on a
     // long cast, so a string id would cast to null and silently
