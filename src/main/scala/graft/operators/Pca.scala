@@ -303,6 +303,52 @@ object Pca {
     ExactModel(n, d, d1, sq, comps, nums, dens)
   }
 
+  private val exactCache =
+    new java.util.concurrent.ConcurrentHashMap[String, ExactModel]()
+
+  /** Memoized [[eigenExact]] behind the durable warm-artifact protocol
+    * (the [[IvfIndex.trainExactCached]] shape): the eigensystem is a
+    * FIT — a deployment computes it once per lake generation and every
+    * query pays only the broadcast projection. BigInts (num can reach
+    * ~8e25) persist as strings in one tiny (kind, i, j, v) frame. */
+  def eigenExactCached(emb: DataFrame, vecCol: String, k: Int,
+                       iters: Int, cacheKey: String): ExactModel =
+    exactCache.computeIfAbsent(s"$cacheKey|$vecCol|$k|$iters", _ =>
+      if (emb.inputFiles.isEmpty) eigenExact(emb, vecCol, k, iters)
+      else {
+        val spark = emb.sparkSession
+        import spark.implicits._
+        val rows = ArtifactStore.readOrBuild(spark, cacheKey,
+          "pcaexact-" + ArtifactStore.md5(
+            s"$vecCol|$k|$iters").take(12), Seq(emb)) {
+          val m = eigenExact(emb, vecCol, k, iters)
+          val scalars = Seq(("n", 0, 0, m.n.toString),
+            ("d", 0, 0, m.d.toString), ("d1", 0, 0, m.d1.toString))
+          val sq = m.sq.zipWithIndex.map { case (v, i) =>
+            ("sq", 0, i, v.toString) }
+          val comps = for {
+            c <- m.comps.indices; i <- 0 until m.d
+          } yield ("comp", c, i, m.comps(c)(i).toString)
+          val rays = m.nums.indices.flatMap(c => Seq(
+            ("num", c, 0, m.nums(c).toString),
+            ("den", c, 0, m.dens(c).toString)))
+          (scalars ++ sq ++ comps ++ rays)
+            .toDF("kind", "i", "j", "v")
+        }.collect().map(r => (r.getString(0), r.getInt(1), r.getInt(2),
+          r.getString(3)))
+        def one(kind: String) = rows.find(_._1 == kind).get._4
+        val d = one("d").toInt
+        val kk = rows.filter(_._1 == "comp").map(_._2).distinct.length
+        ExactModel(one("n").toLong, d, BigInt(one("d1")),
+          rows.filter(_._1 == "sq").sortBy(_._3).map(_._4.toLong),
+          Array.tabulate(kk, d)((c, i) => BigInt(rows.find(r =>
+            r._1 == "comp" && r._2 == c && r._3 == i).get._4)),
+          Array.tabulate(kk)(c => BigInt(rows.find(r =>
+            r._1 == "num" && r._2 == c).get._4)),
+          Array.tabulate(kk)(c => BigInt(rows.find(r =>
+            r._1 == "den" && r._2 == c).get._4)))
+      })
+
   /**
    * [[project]]'s FULL-hash-oracle twin over an [[eigenExact]] model:
    * per-row CENTERED projection as ONE exact integer per component —

@@ -193,8 +193,8 @@ object PipelineExact {
     // each — 48 chained HUGEINT CTEs replay the whole model
     "qE7_pca_whiten_exact" -> ((s, dir) => {
       val emb = T(s, dir)("embeddings")
-      val model = graft.operators.Pca.eigenExact(emb, "embedding",
-        k = 4, iters = 12)
+      val model = graft.operators.Pca.eigenExactCached(emb, "embedding",
+        k = 4, iters = 12, cacheKey = dir)
       graft.operators.Pca.whitenExact(emb, "vec_id", "embedding", model)
         .orderBy(col("vec_id"))
     })

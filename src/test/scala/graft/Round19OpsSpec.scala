@@ -319,6 +319,19 @@ class Round19OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("eigenExactCached: durable artifact round-trips the model " +
+      "bit-for-bit") {
+    val e = emb
+    val live = Pca.eigenExact(e, "embedding", k = 3, iters = 8)
+    val cached = Pca.eigenExactCached(e, "embedding", k = 3, iters = 8,
+      cacheKey = "/root/testdata/sf0.001")
+    assert(cached.n == live.n && cached.d == live.d &&
+      cached.d1 == live.d1 && cached.sq.toSeq == live.sq.toSeq)
+    assert(cached.comps.map(_.toSeq).toSeq == live.comps.map(_.toSeq).toSeq)
+    assert(cached.nums.toSeq == live.nums.toSeq &&
+      cached.dens.toSeq == live.dens.toSeq)
+  }
+
   test("whitenExact: unit variance per component, zero mean, " +
       "null-vector drop, degenerate spectrum -> 0.0") {
     val df = planted()
