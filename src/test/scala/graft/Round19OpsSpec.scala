@@ -319,6 +319,95 @@ class Round19OpsSpec extends AnyFunSuite {
     }
   }
 
+  /** Pure-driver BigInt replica of the eigenExact contract — the
+    * same math the DuckDB oracle replays as chained HUGEINT CTEs. */
+  private def eigenReplica(vecs: Seq[Seq[Double]], k: Int, iters: Int)
+      : (Long, BigInt, Seq[Seq[BigInt]], Seq[BigInt]) = {
+    val q = vecs.map(_.map(x => BigInt(math.floor(x * 1e6 + 0.5).toLong)))
+    val d = q.head.size
+    val n = BigInt(q.size)
+    val sq = (0 until d).map(i => q.map(_(i)).sum)
+    val a = Array.tabulate(d, d)((i, j) =>
+      n * q.map(v => v(i) * v(j)).sum - sq(i) * sq(j))
+    val sm = BigInt("1000000000000"); val sv = BigInt(100000)
+    val d1 = BigInt(1).max(a.flatten.map(_.abs).max / sm)
+    val b1 = a.map(_.map(_ / d1))
+    var b = b1
+    val comps = Array.ofDim[Seq[BigInt]](k)
+    val nums = Array.ofDim[BigInt](k)
+    (0 until k).foreach { c =>
+      var v: Seq[BigInt] = Seq.fill(d)(sv)
+      var dead = false
+      (1 to iters).foreach { _ =>
+        if (!dead) {
+          val w = (0 until d).map(i =>
+            (0 until d).map(j => b(i)(j) * v(j)).sum)
+          val m = w.map(_.abs).max
+          if (m == 0) dead = true else v = w.map(_ * sv / m)
+        }
+      }
+      if (dead) v = Seq.fill(d)(BigInt(0))
+      val lead = v.zipWithIndex.maxBy { case (x, i) => (x.abs, BigInt(-i)) }._1
+      if (lead < 0) v = v.map(-_)
+      def quad(m: Array[Array[BigInt]]) = (for {
+        i <- 0 until d; j <- 0 until d } yield v(i) * m(i)(j) * v(j)).sum
+      comps(c) = v; nums(c) = quad(b1)
+      if (c < k - 1) {
+        val den = v.map(x => x * x).sum
+        val numB = quad(b)
+        val m = Array.tabulate(d, d)((i, j) =>
+          den * den * b(i)(j) - numB * v(i) * v(j))
+        val dm = BigInt(1).max(m.flatten.map(_.abs).max / sm)
+        b = m.map(_.map(_ / dm))
+      }
+    }
+    (q.size.toLong, d1, comps.toSeq, nums.toSeq)
+  }
+
+  test("eigenExact + whitenExact: property — seeded random corpora " +
+      "match the sequential BigInt replica at every output value") {
+    (0 until 3).foreach { seed =>
+      val rnd = new scala.util.Random(7919 * (seed + 1))
+      val n = 24 + rnd.nextInt(20); val d = 5 + rnd.nextInt(4)
+      val vecs = Seq.fill(n)(Seq.fill(d)(
+        BigDecimal((rnd.nextDouble() - 0.5) * 4)
+          .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble))
+      val df = vecs.zipWithIndex.map { case (v, i) => (i.toLong, v) }
+        .toDF("id", "v")
+      val m = Pca.eigenExact(df, "v", k = 3, iters = 10)
+      val (rn, rd1, rcomps, rnums) = eigenReplica(vecs, 3, 10)
+      assert(m.n == rn && m.d1 == rd1, s"seed $seed scalars")
+      assert(m.comps.map(_.toSeq).toSeq == rcomps, s"seed $seed comps")
+      assert(m.nums.toSeq == rnums, s"seed $seed rayleighs")
+      // whitened scores: replica computes the identical float chain
+      val nD = rn.toDouble
+      val sq = (0 until d).map(i => vecs.map(v =>
+        math.floor(v(i) * 1e6 + 0.5).toLong).map(BigInt(_)).sum)
+      val got = Pca.whitenExact(df, "id", "v", m).collect()
+        .map(r => r.getLong(0) -> (1 to 3).map(r.getDouble)).toMap
+      vecs.zipWithIndex.foreach { case (v, id) =>
+        val qv = v.map(x => BigInt(math.floor(x * 1e6 + 0.5).toLong))
+        val zs = (0 until 3).map { c =>
+          if (rnums(c).signum <= 0) 0.0
+          else {
+            val kC = (0 until d).map(i => sq(i) * rcomps(c)(i)).sum
+            val cs = BigInt(rn) * (0 until d).map(i =>
+              qv(i) * rcomps(c)(i)).sum - kC
+            val denom = math.sqrt(
+              rnums(c).toDouble * rd1.toDouble * nD / (nD - 1.0))
+            val z = cs.toDouble / denom
+            BigDecimal(z).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+              .toDouble
+          }
+        }
+        zs.zip(got(id.toLong)).zipWithIndex.foreach { case ((e, g), c) =>
+          assert(math.abs(e - g) < 2e-6,
+            s"seed $seed id $id z${c + 1}: replica $e vs operator $g")
+        }
+      }
+    }
+  }
+
   test("eigenExactCached: durable artifact round-trips the model " +
       "bit-for-bit") {
     val e = emb
