@@ -1,6 +1,6 @@
 package graft.operators
 
-import graft.functions.SecondMoments
+import graft.functions.{ExactMoments, SecondMoments}
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
@@ -79,9 +79,10 @@ object Pca {
    *
    * Contract: coordinates quantize ONCE to 1e-6 longs (null/NaN/
    * |x| ≥ 10 refused — the qCC guard); the Gram G_ij = Σ_d q_di·q_dj
-   * is an exact long sum (bound: n·(10⁶·max|x|)² < 9.2e18 — ~9e6
-   * unit-scale vectors; this is a FIT on an embedding sample, like
-   * [[fit]]); each iteration is w = G·v in BigInt, then v =
+   * is an exact int128 sum (per-row products are long-exact at the
+   * 1e-6 grid; the accumulator holds ~1e24 rows — this is a FIT on
+   * an embedding sample, like [[fit]]); each iteration is w = G·v in
+   * BigInt, then v =
    * (w·S) / max|w| with TRUNCATING division (Scala BigInt `/` ≡
    * DuckDB `//` — probed, both truncate toward zero); the final
    * sign is canonicalized so the largest-|v| component (ties → the
@@ -89,11 +90,14 @@ object Pca {
    * λ = vᵀGv/vᵀv divides two exact BigInts cast to double
    * (round-to-nearest-even in both engines — probed).
    *
-   * Scale shape: ONE distributed pass builds G — per-row dim²
-   * products partial-aggregated map-side to ≤ dim² rows per task
-   * (the gram shape; dim capped loudly) — then the dim²-long matrix
-   * collects (metadata) and the driver iterates BigInt. Uniform
-   * dimension is enforced (a ragged corpus would silently skew G).
+   * Scale shape: ONE fused corpus pass builds n AND G — the
+   * [[graft.functions.ExactMoments]] aggregator pays one buffer
+   * update per row (exact int128 cells, so the old ~9e6-row long-sum
+   * ceiling is gone) and only O(dim²) longs per task cross the wire;
+   * no row explosion, the vectors never shuffle — then the dim²
+   * matrix collects (metadata) and the driver iterates BigInt.
+   * Uniform dimension is enforced in the same pass (a ragged corpus
+   * would silently skew G).
    *
    * @return one row per dimension: (dim_idx 0-based, v_fp exact
    *         1e-6 fixed-point, v rounded 6 — signed, gateRounded,
@@ -114,29 +118,19 @@ object Pca {
           coalesce(x.cast("string"), lit("null")))))
     val base = emb.filter(col(vecCol).isNotNull)
       .select(transform(col(vecCol), qx).as("__qv"))
-    val dims = base.select(size(col("__qv")).as("d")).distinct()
-      .collect().map(_.getInt(0))
-    if (dims.isEmpty) {
+    val agg = udaf(new ExactMoments("powerIteration", maxDim),
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[Long]]())
+    val m = unwrapRefusal {
+      base.agg(agg(col("__qv")).as("m"))
+        .select(col("m.n"), col("m.dim"), col("m.gram")).head()
+    }
+    if (m.getInt(1) == -1) {
       return Seq.empty[(Int, Long, Double, Double, Long, Int)]
         .toDF("dim_idx", "v_fp", "v", "lambda", "n_vectors", "iters")
     }
-    require(dims.length == 1,
-      s"powerIteration: mixed dimensions ${dims.sorted.mkString(",")} — " +
-        "a ragged corpus would silently skew the gram matrix")
-    val d = dims.head
-    require(d >= 1 && d <= maxDim,
-      s"powerIteration: dim $d outside [1, $maxDim] — the gram pass " +
-        "explodes dim^2 per row; project first (JL/PCA) or raise maxDim")
-    val nVec = base.count()
-    val gRows = base
-      .select(posexplode(col("__qv")).as(Seq("i", "a")), col("__qv"))
-      .select(col("i"), col("a"),
-        posexplode(col("__qv")).as(Seq("j", "b")))
-      .groupBy(col("i"), col("j"))
-      .agg(sum(col("a") * col("b")).as("g"))
-      .collect()
-    val g = Array.ofDim[BigInt](d, d)
-    gRows.foreach(r => g(r.getInt(0))(r.getInt(1)) = BigInt(r.getLong(2)))
+    val d = m.getInt(1)
+    val nVec = m.getLong(0)
+    val g = unpackTriangle(d, m.getSeq[String](2))
     val S = BigInt(1000000)
     var v = Array.fill(d)(S)
     var degenerate = false
@@ -182,8 +176,8 @@ object Pca {
    * 1. quantize coordinates ONCE to 1e-6 longs (null/NaN/|x| ≥ 10
    *    refused — the powerIteration guard);
    * 2. CENTERED integer scatter A_ij = n·Σq_iq_j − S_iS_j (per-dim
-   *    sums S exact longs, the gram accumulated in DECIMAL(38,0) so
-   *    no row-count ceiling short of ~1e12 rows; A ≡ n(n−1)·10¹²·Ĉov);
+   *    sums S exact longs, the gram accumulated in exact int128 so
+   *    no row-count ceiling short of ~1e24 rows; A ≡ n(n−1)·10¹²·Ĉov);
    * 3. rescale B₁ = A // max(1, max|A| // 10¹²) — truncating BigInt
    *    `/` ≡ DuckDB `//`, the probed parity — so every later product
    *    stays inside int128 for the oracle;
@@ -201,12 +195,14 @@ object Pca {
    *    room, which is WHY the iterate scale is 10⁵ (10⁶ would put
    *    den²·B at 8.2e39 and overflow a HUGEINT oracle).
    *
-   * Scale shape: ONE distributed gram pass (per-row dim² products,
-   * map-side partial aggregation to ≤ dim² rows per task, dim capped
-   * loudly) + one light sums/count pass; everything after is
-   * O(k·iters·dim²) BigInt on dim×dim DRIVER METADATA. The model is
-   * a fit artifact — exactly [[fit]]'s shape with the float Jacobi
-   * swapped for replayable integer deflation.
+   * Scale shape: ONE fused corpus pass ([[graft.functions
+   * .ExactMoments]]: count + per-dim sums + the packed gram triangle
+   * in exact int128, one buffer update per row — no posexplode row
+   * amplification, only O(dim²) longs per task cross the wire, dim
+   * capped loudly); everything after is O(k·iters·dim²) BigInt on
+   * dim×dim DRIVER METADATA. The model is a fit artifact — exactly
+   * [[fit]]'s shape with the float Jacobi swapped for replayable
+   * integer deflation.
    */
   case class ExactModel(n: Long, d: Int, d1: BigInt, sq: Array[Long],
                         comps: Array[Array[BigInt]],
@@ -223,6 +219,44 @@ object Pca {
   private val SCALE_M = BigInt("1000000000000") // 1e12 matrix rescale
   private val SCALE_V = BigInt(100000)          // 1e5 iterate scale
 
+  /** The [[graft.functions.ExactMoments]] refusals (mixed dims, dim
+    * cap) throw inside tasks; surface them driver-side as the
+    * IllegalArgumentException the callers' refusal contract pins. */
+  private def unwrapRefusal[T](body: => T): T =
+    try body catch {
+      case e: Throwable =>
+        var c: Throwable = e
+        while (c != null) {
+          c match {
+            case ia: IllegalArgumentException if ia.getMessage != null &&
+                (ia.getMessage.contains("mixed dimensions") ||
+                  ia.getMessage.contains("outside [1,")) =>
+              throw new IllegalArgumentException(ia.getMessage)
+            case _ =>
+          }
+          c = c.getCause
+        }
+        throw e
+    }
+
+  /** Unpack [[graft.functions.ExactMoments]]'s row-major upper
+    * triangle (decimal strings) into the full symmetric matrix. */
+  private def unpackTriangle(d: Int, tri: Seq[String]): Array[Array[BigInt]] = {
+    val g = Array.ofDim[BigInt](d, d)
+    var idx = 0
+    var i = 0
+    while (i < d) {
+      var j = i
+      while (j < d) {
+        val v = BigInt(tri(idx))
+        g(i)(j) = v; g(j)(i) = v
+        j += 1; idx += 1
+      }
+      i += 1
+    }
+    g
+  }
+
   def eigenExact(emb: DataFrame, vecCol: String, k: Int,
                  iters: Int = 12, maxDim: Int = 128): ExactModel = {
     require(k >= 1 && k <= 16, s"k must be in [1, 16], got $k")
@@ -230,39 +264,30 @@ object Pca {
       s"iters must be in [1, 100], got $iters")
     val base = emb.filter(col(vecCol).isNotNull)
       .select(transform(col(vecCol), quantizeGuard(_)).as("__qv"))
-    val dims = base.select(size(col("__qv")).as("d")).distinct()
-      .collect().map(_.getInt(0))
-    require(dims.length == 1,
-      s"eigenExact: mixed dimensions ${dims.sorted.mkString(",")} — " +
-        "a ragged corpus would silently skew the scatter matrix")
-    val d = dims.head
-    require(d >= 1 && d <= maxDim,
-      s"eigenExact: dim $d outside [1, $maxDim] — the gram pass " +
-        "explodes dim^2 per row; project first (JL/PCA) or raise maxDim")
-    // light pass: per-dim sums + count (exact longs: |q| ≤ 1e7 holds
-    // sums inside signed-64 to ~9e11 rows)
-    val sumRows = base.select(posexplode(col("__qv")).as(Seq("i", "a")))
-      .groupBy(col("i")).agg(sum(col("a")).as("s"), count(lit(1)).as("c"))
-      .collect()
-    val n = sumRows.head.getLong(2)
-    require(n >= 2, s"eigenExact needs >= 2 usable vectors, got $n")
-    val sq = Array.ofDim[Long](d)
-    sumRows.foreach(r => sq(r.getInt(0)) = r.getLong(1))
-    // gram pass in DECIMAL(38,0): per-product ≤ 1e14 (long-safe), the
-    // cross-row sum decimal so no ~9e6-row ceiling like powerIteration
-    val gRows = base
-      .select(posexplode(col("__qv")).as(Seq("i", "a")), col("__qv"))
-      .select(col("i"), col("a"),
-        posexplode(col("__qv")).as(Seq("j", "b")))
-      .groupBy(col("i"), col("j"))
-      .agg(sum((col("a") * col("b")).cast("decimal(38,0)")).as("g"))
-      .collect()
-    val a = Array.ofDim[BigInt](d, d)
-    gRows.foreach { r =>
-      val g = new BigInt(r.getDecimal(2).toBigInteger)
-      a(r.getInt(0))(r.getInt(1)) =
-        BigInt(n) * g - BigInt(sq(r.getInt(0))) * BigInt(sq(r.getInt(1)))
+    val agg = udaf(new ExactMoments("eigenExact", maxDim),
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[Long]]())
+    val m = unwrapRefusal {
+      base.agg(agg(col("__qv")).as("m"))
+        .select(col("m.n"), col("m.dim"), col("m.sums"), col("m.gram"))
+        .head()
     }
+    val n = m.getLong(0)
+    require(n >= 2, s"eigenExact needs >= 2 usable vectors, got $n")
+    val d = m.getInt(1)
+    // per-dim sums stay exact longs downstream (|q| ≤ 1e7 holds them
+    // signed-64 to ~9e11 rows; the int128 accumulator refuses loudly
+    // beyond, instead of the old ANSI sum overflow)
+    val sq = m.getSeq[String](2).map { s =>
+      val b = BigInt(s)
+      require(b.isValidLong, s"eigenExact: per-dim sum $b exceeds " +
+        "signed-64 — the whitening constant K would overflow the " +
+        "oracle's HUGEINT products; subsample the fit corpus")
+      b.toLong
+    }.toArray
+    // centered integer scatter from the raw int128 gram
+    val gram = unpackTriangle(d, m.getSeq[String](3))
+    val a = Array.tabulate(d, d)((i, j) =>
+      BigInt(n) * gram(i)(j) - BigInt(sq(i)) * BigInt(sq(j)))
     val d1 = (BigInt(1)).max(a.flatten.map(_.abs).max / SCALE_M)
     val b1 = a.map(_.map(_ / d1))
     var b = b1
