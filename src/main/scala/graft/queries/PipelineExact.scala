@@ -197,6 +197,27 @@ object PipelineExact {
         k = 4, iters = 12, cacheKey = dir)
       graft.operators.Pca.whitenExact(emb, "vec_id", "embedding", model)
         .orderBy(col("vec_id"))
+    }),
+
+    // EXACT-replayable HyperLogLog — q09's FULL-hash-oracle twin
+    // (the exact-twin program crossed onto sketches): per-source
+    // distinct WORD-TRIGRAM cardinality (the shingle space dedup
+    // reasons over — ~10k distinct per source at sf0.1, so the raw
+    // harmonic regime is exercised, not just linear counting) from
+    // md5-driven registers, exact integer register maxima and
+    // harmonic numerator, one IEEE division; DuckDB rebuilds the
+    // identical sketch
+    "qEB_hll_exact" -> ((s, dir) => {
+      val toks = TextAnalysis.tokens(col("text"))
+      val tris = when(col("text").isNotNull && size(toks) >= 3,
+        transform(sequence(lit(1), size(toks) - 2),
+          i => concat_ws(" ", element_at(toks, i),
+            element_at(toks, i + 1), element_at(toks, i + 2))))
+        .otherwise(array().cast("array<string>"))
+      val sh = T(s, dir)("documents")
+        .select(col("source"), explode(tris).as("shingle"))
+      graft.operators.Sketches.hllExact(sh, "source", "shingle", p = 12)
+        .orderBy(col("source"))
     })
   )
 
@@ -694,6 +715,65 @@ object PipelineExact {
       ORDER BY vec_id"""
   }
 
+  /** The qEB oracle: the FULL [[graft.operators.Sketches.hllExact]]
+    * draw + estimate chain — the identical md5 hex slices (register
+    * index from the first p/4 chars, the string-wise leading-zero ρ
+    * from the next 10), exact-long register maxima and harmonic
+    * numerator S41, the same α·m²·2⁴¹ double literal divided once,
+    * and the 1e-9-grid-quantized linear-counting branch. */
+  private def qEBSql(p: Int, salt: String): String = {
+    val m = 1 << p
+    val hexChars = p / 4
+    val a2 = graft.operators.Sketches.alphaM2(m).toString
+    val two41 = 2199023255552L
+    s"""
+      WITH tk AS (SELECT source AS g,
+             regexp_extract_all(text, '\\S+') AS ts
+           FROM documents WHERE text IS NOT NULL),
+      tok AS (SELECT g, unnest(list_transform(
+               range(1, len(ts) - 1),
+               i -> ts[i] || ' ' || ts[i + 1] || ' ' || ts[i + 2])) AS v
+             FROM tk),
+      hx AS (SELECT g, md5(v || ' $salt') AS h
+             FROM tok WHERE v IS NOT NULL),
+      jr AS (SELECT g,
+               CAST(list_reduce(list_transform(
+                 regexp_extract_all(substring(h, 1, $hexChars), '.'),
+                 c -> CAST(instr('0123456789abcdef', c) - 1 AS BIGINT)),
+                 (a, b) -> a * 16 + b) AS BIGINT) AS j,
+               ltrim(substring(h, ${hexChars + 1}, 10), '0') AS st
+             FROM hx),
+      rr AS (SELECT g, j, CASE WHEN st = '' THEN 41
+               ELSE 4 * (10 - length(st)) +
+                 CASE WHEN instr('0123456789abcdef',
+                        substring(st, 1, 1)) - 1 >= 8 THEN 0
+                      WHEN instr('0123456789abcdef',
+                        substring(st, 1, 1)) - 1 >= 4 THEN 1
+                      WHEN instr('0123456789abcdef',
+                        substring(st, 1, 1)) - 1 >= 2 THEN 2
+                      ELSE 3 END + 1 END AS rho
+             FROM jr),
+      reg AS (SELECT g, j, MAX(rho) AS mj FROM rr GROUP BY 1, 2),
+      ag AS (SELECT g, CAST(COUNT(*) AS BIGINT) AS n_hit,
+               CAST(SUM(1::BIGINT << (41 - mj)) AS BIGINT) AS sp
+             FROM reg GROUP BY 1),
+      fin AS (SELECT g, n_hit, $m - n_hit AS v_empty,
+               sp + ($m - n_hit) * $two41 AS s41,
+               $a2 / CAST(sp + ($m - n_hit) * $two41 AS DOUBLE) AS er
+             FROM ag)
+      SELECT g AS source, CAST($m AS BIGINT) AS m_registers, n_hit,
+             CAST(v_empty AS BIGINT) AS v_empty,
+             CAST(s41 AS BIGINT) AS s41,
+             round(er, 6) + 0 AS est_raw,
+             round(CASE WHEN er <= ${2.5 * m} AND v_empty > 0
+               THEN CAST($m * CAST(floor(ln(CAST($m AS DOUBLE)
+                      / CAST(v_empty AS DOUBLE)) * 1000000000 + 0.5)
+                    AS BIGINT) AS DOUBLE) / 1000000000.0
+               ELSE er END, 6) + 0 AS estimate,
+             (er <= ${2.5 * m} AND v_empty > 0) AS small_range
+      FROM fin ORDER BY source"""
+  }
+
   val oracleSql: Map[String, String] = Map(
     "qE3_significance_capstone" -> qE3Sql,
     "qE4_pq_search_exact" -> qE4Sql,
@@ -705,6 +785,7 @@ object PipelineExact {
     "qE7_pca_whiten_exact" -> qE7Sql(k = 4, iters = 12),
     "qE8_windowed_funnel" -> qE8Sql,
     "qE9_kn_trigram" -> qE9Sql,
-    "qEA_kn_trigram_ce" -> qEASql
+    "qEA_kn_trigram_ce" -> qEASql,
+    "qEB_hll_exact" -> qEBSql(p = 12, salt = "s0")
   ).map { case (k, v) => k -> v.trim.replaceAll("\\s+", " ") }
 }

@@ -1,0 +1,107 @@
+package graft
+
+import graft.operators.Sketches
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Sketches.hllExact — the engine-replayable HyperLogLog: sequential
+  * md5 replica equality, accuracy on known cardinalities, duplicate /
+  * partition invariance, branch coverage, refusals. */
+class HllSpec extends AnyFunSuite {
+  private lazy val spark = GraftTestSession.spark
+  import spark.implicits._
+
+  /** Pure-Scala replica of the draw + estimate contract (the same
+    * math the DuckDB oracle replays). */
+  private def replica(values: Seq[String], p: Int, salt: String)
+      : (Long, Long, Long, Double, Double, Boolean) = {
+    val m = 1 << p
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val reg = new Array[Int](m)
+    values.foreach { v =>
+      val hex = md.digest(s"$v $salt".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+      val j = Integer.parseInt(hex.substring(0, p / 4), 16)
+      val st = hex.substring(p / 4, p / 4 + 10).dropWhile(_ == '0')
+      val rho =
+        if (st.isEmpty) 41
+        else {
+          val v1 = Integer.parseInt(st.substring(0, 1), 16)
+          val cz = if (v1 >= 8) 0 else if (v1 >= 4) 1 else if (v1 >= 2) 2 else 3
+          4 * (10 - st.length) + cz + 1
+        }
+      if (rho > reg(j)) reg(j) = rho
+    }
+    val nHit = reg.count(_ > 0).toLong
+    val vEmpty = m - nHit
+    val s41 = reg.filter(_ > 0).map(r => 1L << (41 - r)).sum +
+      vEmpty * 2199023255552L
+    val estRaw = Sketches.alphaM2(m) / s41.toDouble
+    val small = estRaw <= 2.5 * m && vEmpty > 0
+    val est =
+      if (small) {
+        val qln = math.floor(
+          math.log(m.toDouble / vEmpty.toDouble) * 1e9 + 0.5).toLong
+        (m * qln).toDouble / 1e9
+      } else estRaw
+    def r6(x: Double) = BigDecimal(x)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    (nHit, vEmpty, s41, r6(estRaw), r6(est), small)
+  }
+
+  test("hllExact equals the sequential md5 replica at every column") {
+    val vals = (0 until 3000).map(i => s"tok$i") ++
+      (0 until 500).map(i => s"tok$i") // duplicates
+    val df = vals.map(("g1", _)).toDF("g", "v")
+    Seq(8, 12).foreach { p =>
+      val r = Sketches.hllExact(df, "g", "v", p = p).collect()
+      assert(r.length == 1)
+      val row = r.head
+      val (nHit, vEmpty, s41, estRaw, est, small) =
+        replica(vals.map(identity), p, "s0")
+      assert(row.getLong(1) == (1L << p).toLong, "m_registers")
+      assert(row.getLong(2) == nHit, s"p=$p n_hit")
+      assert(row.getLong(3) == vEmpty, s"p=$p v_empty")
+      assert(row.getLong(4) == s41, s"p=$p s41")
+      assert(row.getDouble(5) == estRaw, s"p=$p est_raw")
+      assert(row.getDouble(6) == est, s"p=$p estimate")
+      assert(row.getBoolean(7) == small, s"p=$p small_range")
+    }
+  }
+
+  test("accuracy: 20k distinct within 5%; duplicates and partitioning " +
+      "cannot move the sketch") {
+    val df = (0 until 20000).map(i => ("g", s"v$i")).toDF("g", "v")
+    val r = Sketches.hllExact(df, "g", "v", p = 12).collect().head
+    val est = r.getDouble(6)
+    assert(math.abs(est - 20000.0) / 20000.0 < 0.05, s"estimate $est")
+    // duplicate-blind: the corpus unioned with itself is the same sketch
+    val dup = Sketches.hllExact(df.union(df), "g", "v", p = 12)
+      .collect().head
+    assert(dup.toSeq == r.toSeq, "duplicates moved the sketch")
+    // partition-order invariant (register maxima are order-free)
+    val rep = Sketches.hllExact(df.repartition(17), "g", "v", p = 12)
+      .collect().head
+    assert(rep.toSeq == r.toSeq, "partitioning moved the sketch")
+  }
+
+  test("small-range branch: 100 distinct uses linear counting") {
+    val df = (0 until 100).map(i => ("g", s"v$i")).toDF("g", "v")
+    val r = Sketches.hllExact(df, "g", "v", p = 12).collect().head
+    assert(r.getBoolean(7), "expected the small-range regime")
+    assert(math.abs(r.getDouble(6) - 100.0) / 100.0 < 0.05,
+      s"linear-counting estimate ${r.getDouble(6)}")
+  }
+
+  test("null groups and values are dropped; p is validated") {
+    val df = Seq(("g", "a"), ("g", null), (null, "b"))
+      .toDF("g", "v")
+    val r = Sketches.hllExact(df, "g", "v", p = 4).collect()
+    assert(r.length == 1 && r.head.getLong(2) == 1L,
+      "exactly one register hit from the one usable row")
+    val e = intercept[IllegalArgumentException] {
+      Sketches.hllExact(df, "g", "v", p = 10)
+    }
+    assert(e.getMessage.contains("hex-char-aligned"), e.getMessage)
+  }
+}

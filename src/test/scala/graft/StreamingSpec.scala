@@ -1428,4 +1428,58 @@ class StreamingSpec extends AnyFunSuite {
       assert(streamed(g) == exp, s"group $g: ${streamed(g)} vs $exp")
     }
   }
+
+  test("StreamingHll: streamed sketch equals batch at every column; " +
+      "replays are algebraically absorbed") {
+    import graft.operators.Sketches
+    import graft.streaming.StreamingHll
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    // the qEB fixture one level down: distinct token cardinality per
+    // source; registers max-merge, so the final per-group row must
+    // equal batch bit-for-bit REGARDLESS of chunking — and replaying
+    // a whole chunk must be a no-op (max idempotence), the one twin
+    // that needs no late-row census at all
+    val obs = Tables.load(spark, "/root/testdata/sf0.001", "documents")
+      .select(col("source"),
+        explode(graft.operators.TextAnalysis.tokens(col("text")))
+          .as("tok"))
+      .as[(String, String)].collect().toSeq
+    val batch = Sketches.hllExact(obs.toDF("source", "tok"),
+        "source", "tok", p = 8)
+      .collect().map(r => r.getString(0) -> r.toSeq.drop(1).toVector)
+      .toMap
+    val mem = MemoryStream[(String, String)]
+    val sdf = StreamingHll.hll(mem.toDF().toDF("source", "tok"),
+      "source", "tok", p = 8)
+    assert(sdf.columns.toSeq == Seq("source", "m_registers", "n_hit",
+      "v_empty", "s41", "est_raw", "estimate", "small_range"))
+    val latest = new java.util.concurrent.ConcurrentHashMap[
+      String, Vector[Any]]()
+    val q = sdf.writeStream.outputMode("update")
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        b.collect().foreach { r =>
+          latest.put(r.getString(0), r.toSeq.drop(1).toVector)
+        }
+      }.start()
+    try {
+      val chunks = obs.grouped((obs.size + 2) / 3).toSeq
+      chunks.foreach { ch => mem.addData(ch); q.processAllAvailable() }
+      import scala.jdk.CollectionConverters._
+      val mid = latest.asScala.toMap
+      assert(mid.keySet == batch.keySet)
+      batch.foreach { case (g, exp) =>
+        assert(mid(g) == exp, s"group $g: streamed ${mid(g)} vs $exp")
+      }
+      // at-least-once redelivery: replay a full chunk — the sketch
+      // must not move (no n_late needed; max is idempotent)
+      mem.addData(chunks(1))
+      q.processAllAvailable()
+      val after = latest.asScala.toMap
+      batch.foreach { case (g, exp) =>
+        assert(after(g) == exp, s"group $g replay moved the sketch")
+      }
+    } finally q.stop()
+  }
 }
