@@ -126,4 +126,87 @@ object Sketches {
         sum(expr("shiftleft(1L, 41 - __mj)")).as("__sp"))
       .select(col("__g").as(byCol) +: estimateCols(m): _*)
   }
+
+  /**
+   * HDR-histogram quantile sketch (the log-bucketed deterministic
+   * percentile tool of latency engineering) — q87's scale-path twin
+   * the way [[hllExact]] is q09's: Spark's `approx_percentile` (KLL)
+   * is randomized-compaction engine-internal, so q87 is a rows-only
+   * pin; THIS sketch is 100% integer, so the whole answer is hash-
+   * oracle-able and NO float exists anywhere in the operator.
+   *
+   * Bucket contract (HDR shape, `subBits` = k mantissa bits, 2^k
+   * sub-buckets per octave → relative error ≤ 2⁻ᵏ): a non-negative
+   * long v maps to
+   *   id = v                                   when v < 2^k (exact)
+   *   id = (e−k+1)·2^k + (v >> (e−k)) − 2^k    otherwise,
+   * with e = bitlength(v) − 1 = length(bin(v)) − 1 — bin() emits the
+   * identical minimal binary string in Spark and DuckDB (probed), so
+   * the bucket function replays anywhere. ids are monotone in v; a
+   * bucket's representative is its exact-integer LOWER bound
+   * (id < 2^k ⇒ id; else (2^k + id mod 2^k) << (id div 2^k − 1)), so
+   * the reported quantile q̂ satisfies q̂ ≤ x₍ᵣ₎ < q̂·(1 + 2⁻ᵏ) —
+   * the one-sided bound is the documented semantics. Negative values
+   * are REFUSED loudly (the HDR domain is durations/sizes/counts;
+   * silently bucketing them would corrupt the order).
+   *
+   * Rank contract: for permille p over n rows, rank = ⌈n·p/1000⌉ via
+   * integer arithmetic ((n·p + 999) div 1000), and the answer is the
+   * first bucket whose cumulative count reaches it — min(rep) over
+   * cum ≥ rank, a pure integer argmin.
+   *
+   * Scale shape: one scan → codegen'd bucket kernel → partial/final
+   * hash aggregate to ≤ (64−k+1)·2^k bucket rows per group per
+   * partition (≈ 1.9k at k = 5 — the shuffle carries BUCKETS, never
+   * values) → per-group windows over the bucket-bounded frame.
+   * Bucket counts ADD, so sketches merge across shards/days by
+   * summation — the mergeability KLL promises, without its RNG.
+   *
+   * @param permilles requested quantiles ×1000 (e.g. 500, 900, 990,
+   *                  999), each in [1, 1000]
+   * @return one row per (group, permille): (byCol, permille, n, est)
+   *         — est the exact-long bucket lower bound
+   */
+  def hdrQuantiles(df: DataFrame, byCol: String, valueCol: String,
+                   permilles: Seq[Int], subBits: Int = 5): DataFrame = {
+    require(subBits >= 1 && subBits <= 16,
+      s"subBits must be in [1, 16], got $subBits")
+    require(permilles.nonEmpty && permilles.forall(p => p >= 1 && p <= 1000)
+        && permilles.distinct.size == permilles.size,
+      s"permilles must be distinct values in [1, 1000], got $permilles")
+    val m = 1 << subBits
+    import org.apache.spark.sql.expressions.Window
+    val v = col(valueCol).cast("long")
+    val guarded = when(v >= 0, v).otherwise(raise_error(concat(
+      lit("hdrQuantiles: negative value breaks the log-bucket domain " +
+        "(durations/sizes/counts): "), v.cast("string"))))
+    val ids = df.filter(col(byCol).isNotNull && col(valueCol).isNotNull)
+      .select(col(byCol).as("__g"), guarded.as("__v"))
+      .withColumn("__e", (length(bin(col("__v"))) - lit(1)).cast("int"))
+      .select(col("__g"), when(col("__v") < m, col("__v"))
+        .otherwise((col("__e") - lit(subBits) + lit(1)).cast("long") *
+          lit(m.toLong) +
+          expr(s"shiftright(__v, __e - $subBits)") - lit(m.toLong))
+        .as("__id"))
+    val rep = when(col("__id") < m, col("__id"))
+      .otherwise(expr(
+        s"shiftleft(cast($m + (__id % $m) as bigint), " +
+          s"cast(__id div $m as int) - 1)"))
+    val counts = ids.groupBy(col("__g"), col("__id"))
+      .agg(count(lit(1)).as("__cnt"))
+      .withColumn("__cum",
+        sum(col("__cnt")).over(Window.partitionBy(col("__g"))
+          .orderBy(col("__id"))))
+      .withColumn("__n",
+        sum(col("__cnt")).over(Window.partitionBy(col("__g"))))
+      .withColumn("__rep", rep.cast("long"))
+    counts
+      .withColumn("__p", explode(typedLit(permilles)))
+      .filter(col("__cum") >=
+        expr("(__n * __p + 999) div 1000"))
+      .groupBy(col("__g"), col("__p"))
+      .agg(max(col("__n")).as("n"), min(col("__rep")).as("est"))
+      .select(col("__g").as(byCol), col("__p").as("permille"),
+        col("n"), col("est"))
+  }
 }

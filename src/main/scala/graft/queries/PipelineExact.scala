@@ -218,6 +218,17 @@ object PipelineExact {
         .select(col("source"), explode(tris).as("shingle"))
       graft.operators.Sketches.hllExact(sh, "source", "shingle", p = 12)
         .orderBy(col("source"))
+    }),
+
+    // HDR-histogram quantile sketch — q87's deterministic scale-path
+    // twin (KLL's randomized compaction is engine-internal; this
+    // log-bucket sketch is 100% integer): per-source document-length
+    // percentiles as exact bucket lower bounds, no float anywhere
+    "qEC_hdr_quantiles" -> ((s, dir) => {
+      graft.operators.Sketches.hdrQuantiles(
+          T(s, dir)("documents"), "source", "n_chars",
+          permilles = Seq(500, 900, 990, 999), subBits = 5)
+        .orderBy(col("source"), col("permille"))
     })
   )
 
@@ -774,6 +785,39 @@ object PipelineExact {
       FROM fin ORDER BY source"""
   }
 
+  /** The qEC oracle: the FULL [[graft.operators.Sketches
+    * .hdrQuantiles]] chain — the identical bin()-derived log buckets
+    * (bin() emits the same minimal binary string in both engines,
+    * probed), integer cumulative walk, ⌈n·p/1000⌉ integer rank, and
+    * min-representative answer. No float anywhere on either side. */
+  private def qECSql(permilles: Seq[Int], k: Int): String = {
+    val m = 1 << k
+    val plist = permilles.mkString(", ")
+    s"""
+      WITH v AS (SELECT source AS g, CAST(n_chars AS BIGINT) AS v
+           FROM documents
+           WHERE source IS NOT NULL AND n_chars IS NOT NULL),
+      b AS (SELECT g, CASE WHEN v < $m THEN v
+               ELSE (length(bin(v)) - $k) * $m + (v >> (length(bin(v))
+                 - 1 - $k)) - $m END AS id
+             FROM v),
+      c AS (SELECT g, id, CAST(COUNT(*) AS BIGINT) AS cnt
+             FROM b GROUP BY 1, 2),
+      w AS (SELECT g, id, cnt,
+               SUM(cnt) OVER (PARTITION BY g ORDER BY id) AS cum,
+               SUM(cnt) OVER (PARTITION BY g) AS n FROM c),
+      p AS (SELECT unnest([$plist]) AS p),
+      r AS (SELECT w.g, w.id, w.cum, w.n, p.p,
+               (w.n * p.p + 999) // 1000 AS rk FROM w, p)
+      SELECT g AS source, CAST(p AS INT) AS permille,
+             CAST(MAX(n) AS BIGINT) AS n,
+             CAST(MIN(CASE WHEN id < $m THEN id
+               ELSE ($m + (id % $m)) << (CAST(id // $m AS INT) - 1)
+               END) AS BIGINT) AS est
+      FROM r WHERE cum >= rk GROUP BY 1, 2
+      ORDER BY source, permille"""
+  }
+
   val oracleSql: Map[String, String] = Map(
     "qE3_significance_capstone" -> qE3Sql,
     "qE4_pq_search_exact" -> qE4Sql,
@@ -786,6 +830,7 @@ object PipelineExact {
     "qE8_windowed_funnel" -> qE8Sql,
     "qE9_kn_trigram" -> qE9Sql,
     "qEA_kn_trigram_ce" -> qEASql,
-    "qEB_hll_exact" -> qEBSql(p = 12, salt = "s0")
+    "qEB_hll_exact" -> qEBSql(p = 12, salt = "s0"),
+    "qEC_hdr_quantiles" -> qECSql(Seq(500, 900, 990, 999), k = 5)
   ).map { case (k, v) => k -> v.trim.replaceAll("\\s+", " ") }
 }

@@ -104,4 +104,77 @@ class HllSpec extends AnyFunSuite {
     }
     assert(e.getMessage.contains("hex-char-aligned"), e.getMessage)
   }
+
+  // ---- hdrQuantiles ----
+
+  /** Pure-Scala replica of the bucket + rank walk. */
+  private def hdrReplica(vals: Seq[Long], permilles: Seq[Int], k: Int)
+      : Map[Int, (Long, Long)] = {
+    val m = 1L << k
+    def id(v: Long): Long =
+      if (v < m) v
+      else {
+        val e = 63 - java.lang.Long.numberOfLeadingZeros(v)
+        (e - k + 1).toLong * m + (v >> (e - k)) - m
+      }
+    def rep(i: Long): Long =
+      if (i < m) i else (m + (i % m)) << ((i / m).toInt - 1)
+    val counts = vals.groupBy(id).view.mapValues(_.size.toLong)
+      .toSeq.sortBy(_._1)
+    val n = vals.size.toLong
+    val cum = counts.scanLeft(0L)(_ + _._2).drop(1)
+    permilles.map { p =>
+      val rank = (n * p + 999) / 1000
+      val idx = cum.indexWhere(_ >= rank)
+      p -> ((n, rep(counts(idx)._1)))
+    }.toMap
+  }
+
+  test("hdrQuantiles equals the sequential replica; one-sided bucket " +
+      "bound holds against the true order statistic") {
+    val rnd = new scala.util.Random(7)
+    // mixed regimes: identity region, mid-range, heavy tail
+    val vals = Seq.fill(3000)(rnd.nextInt(20).toLong) ++
+      Seq.fill(3000)((100 + rnd.nextInt(100000)).toLong) ++
+      Seq.fill(100)((1000000L + rnd.nextInt(1000000)).toLong)
+    val ps = Seq(500, 900, 990, 999)
+    val df = vals.map(("g", _)).toDF("g", "v")
+    val got = Sketches.hdrQuantiles(df, "g", "v", ps, subBits = 5)
+      .collect().map(r => r.getInt(1) -> ((r.getLong(2), r.getLong(3))))
+      .toMap
+    val exp = hdrReplica(vals, ps, 5)
+    assert(got == exp, s"replica mismatch: $got vs $exp")
+    val sorted = vals.sorted
+    ps.foreach { p =>
+      val rank = (vals.size.toLong * p + 999) / 1000
+      val truth = sorted((rank - 1).toInt)
+      val est = got(p)._2
+      assert(est <= truth, s"p=$p est $est above truth $truth")
+      assert(truth < math.max(est + 1, est + (est >> 5) + 1),
+        s"p=$p truth $truth escapes est $est bucket")
+    }
+    // partition invariance (counts are order-free)
+    val rep17 = Sketches.hdrQuantiles(df.repartition(17), "g", "v", ps)
+      .collect().map(r => r.getInt(1) -> ((r.getLong(2), r.getLong(3))))
+      .toMap
+    assert(rep17 == got, "partitioning moved the sketch")
+  }
+
+  test("hdrQuantiles: identity region is exact; p=1000 is the max " +
+      "bucket; refusals") {
+    val df = (1L to 31L).map(("g", _)).toDF("g", "v")
+    val r = Sketches.hdrQuantiles(df, "g", "v", Seq(500, 1000))
+      .collect().map(x => x.getInt(1) -> x.getLong(3)).toMap
+    assert(r(500) == 16L, s"exact median of 1..31 in identity region: $r")
+    assert(r(1000) == 31L, s"max: $r")
+    val neg = Seq(("g", -1L)).toDF("g", "v")
+    val e = intercept[Exception] {
+      Sketches.hdrQuantiles(neg, "g", "v", Seq(500)).collect()
+    }
+    assert(e.getMessage.contains("log-bucket domain"), e.getMessage)
+    val e2 = intercept[IllegalArgumentException] {
+      Sketches.hdrQuantiles(df, "g", "v", Seq(0))
+    }
+    assert(e2.getMessage.contains("permilles"), e2.getMessage)
+  }
 }
