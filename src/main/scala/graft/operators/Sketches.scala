@@ -80,10 +80,9 @@ object Sketches {
     (j, rho.cast("int"))
   }
 
-  /** The estimate columns over (n_hit, __sp) — shared by the batch
-    * aggregate and the streaming twin's post-state select so both
-    * run the IDENTICAL float dag (one division each, GateRounded). */
-  private[graft] def estimateCols(m: Int): Seq[Column] = {
+  /** The final estimate over (n_hit, __sp) — raw-vs-linear-counting
+    * branch, GateRounded 6. The single dag every consumer replays. */
+  private[graft] def estimateCol(m: Int): Column = {
     val vEmpty = lit(m.toLong) - col("n_hit")
     val s41 = col("__sp") + vEmpty * lit(2199023255552L)
     val estRaw = lit(alphaM2(m)) / s41.cast("double")
@@ -91,12 +90,37 @@ object Sketches {
       lit(1e9) + lit(0.5)).cast("long")
     val lc = (lit(m.toLong) * qln).cast("double") / lit(1e9)
     val small = estRaw <= lit(2.5 * m) && vEmpty > 0
+    graft.functions.GateRound(when(small, lc).otherwise(estRaw), 6)
+  }
+
+  /** The estimate columns over (n_hit, __sp) — shared by the batch
+    * aggregate and the streaming twin's post-state select so both
+    * run the IDENTICAL float dag (one division each, GateRounded). */
+  private[graft] def estimateCols(m: Int): Seq[Column] = {
+    val vEmpty = lit(m.toLong) - col("n_hit")
+    val s41 = col("__sp") + vEmpty * lit(2199023255552L)
+    val estRaw = lit(alphaM2(m)) / s41.cast("double")
+    val small = estRaw <= lit(2.5 * m) && vEmpty > 0
     Seq(lit(m.toLong).as("m_registers"), col("n_hit"),
       vEmpty.as("v_empty"), s41.as("s41"),
       graft.functions.GateRound(estRaw, 6).as("est_raw"),
-      graft.functions.GateRound(when(small, lc).otherwise(estRaw), 6)
-        .as("estimate"),
+      estimateCol(m).as("estimate"),
       small.as("small_range"))
+  }
+
+  /** The sparse register table (__g, __j, __mj) — [[hllExact]]'s
+    * first aggregate, exposed because registers are the MERGEABLE
+    * artifact: max over any union of register sets IS the sketch of
+    * the unioned values. */
+  private[graft] def registers(df: DataFrame, byCol: String,
+                               valueCol: String, p: Int,
+                               salt: String): DataFrame = {
+    val (j, rho) = registerCols(col("__v"), p, salt)
+    df.filter(col(byCol).isNotNull && col(valueCol).isNotNull)
+      .select(col(byCol).as("__g"), col(valueCol).as("__v"))
+      .select(col("__g"), j.as("__j"), rho.as("__rho"))
+      .groupBy(col("__g"), col("__j"))
+      .agg(max(col("__rho")).as("__mj"))
   }
 
   /**
@@ -115,16 +139,84 @@ object Sketches {
     require(Set(4, 8, 12, 16).contains(p),
       s"p must be one of 4, 8, 12, 16 (hex-char-aligned registers), got $p")
     val m = 1 << p
-    val (j, rho) = registerCols(col("__v"), p, salt)
-    df.filter(col(byCol).isNotNull && col(valueCol).isNotNull)
-      .select(col(byCol).as("__g"), col(valueCol).as("__v"))
-      .select(col("__g"), j.as("__j"), rho.as("__rho"))
-      .groupBy(col("__g"), col("__j"))
-      .agg(max(col("__rho")).as("__mj"))
+    registers(df, byCol, valueCol, p, salt)
       .groupBy(col("__g"))
       .agg(count(lit(1)).as("n_hit"),
         sum(expr("shiftleft(1L, 41 - __mj)")).as("__sp"))
       .select(col("__g").as(byCol) +: estimateCols(m): _*)
+  }
+
+  /**
+   * Cross-group distinct-overlap matrix from MERGED HLL registers —
+   * the dedup-planning question ("how much vocabulary do crawl A and
+   * crawl B share?") answered WITHOUT ever joining values: for each
+   * unordered group pair (a < b), the union sketch is the register-
+   * wise max of the two register sets (merge-of-sketches ≡ sketch-
+   * of-the-unioned-values — pinned algebraically in HllSpec), the
+   * intersection is inclusion–exclusion est_a + est_b − est_union
+   * (can go slightly negative on near-disjoint pairs — reported raw,
+   * clamped only inside the Jaccard ratio), and every float step is
+   * the one shared [[estimateCol]] dag plus two more deterministic
+   * IEEE ops — fully hash-oracle-able.
+   *
+   * Accuracy note: inclusion–exclusion inherits BOTH sketches'
+   * errors, so small intersections need a fine sketch — default
+   * p = 16 (65536 registers; the deep linear-counting regime for
+   * vocabularies ≪ m, where the estimate is near-exact).
+   *
+   * Scale shape: ONE corpus scan builds the sparse register table
+   * (localCheckpointed — three consumers); everything after is
+   * register-table algebra: the pair expansion carries
+   * O(S·distinct-per-group) register rows (S = number of groups — a
+   * catalog DIMENSION, so S² pairs is bounded; refuse upstream if a
+   * high-cardinality key is passed by mistake: > 64 groups throws).
+   *
+   * @return one row per pair, a < b: (byCol_a, byCol_b, est_a,
+   *         est_b, est_union, est_intersect, jaccard_est — all
+   *         GateRounded 6)
+   */
+  def hllOverlap(df: DataFrame, byCol: String, valueCol: String,
+                 p: Int = 16, salt: String = "s0",
+                 maxGroups: Int = 64): DataFrame = {
+    require(Set(4, 8, 12, 16).contains(p),
+      s"p must be one of 4, 8, 12, 16 (hex-char-aligned registers), got $p")
+    val m = 1 << p
+    val reg = registers(df, byCol, valueCol, p, salt)
+      .localCheckpoint(true)
+    val nGroups = reg.select(col("__g")).distinct().count()
+    require(nGroups <= maxGroups,
+      s"hllOverlap: $nGroups groups exceed maxGroups=$maxGroups — the " +
+        "pair matrix is quadratic; this operator is for catalog " +
+        "dimensions (sources, days), not high-cardinality keys")
+    def sketch(keys: Seq[Column]): DataFrame => DataFrame = d =>
+      d.groupBy(keys: _*)
+        .agg(count(lit(1)).as("n_hit"),
+          sum(expr("shiftleft(1L, 41 - __mj)")).as("__sp"))
+    val perSrc = sketch(Seq(col("__g")))(reg)
+      .select(col("__g"), estimateCol(m).as("__est"))
+    val gs = reg.select(col("__g")).distinct()
+    val pairs = gs.select(col("__g").as("__ga"))
+      .crossJoin(gs.select(col("__g").as("__gb")))
+      .filter(col("__ga") < col("__gb"))
+    val expanded = pairs.join(reg, col("__ga") === col("__g"))
+      .select(col("__ga"), col("__gb"), col("__j"), col("__mj"))
+      .unionByName(pairs.join(reg, col("__gb") === col("__g"))
+        .select(col("__ga"), col("__gb"), col("__j"), col("__mj")))
+    val uni = sketch(Seq(col("__ga"), col("__gb")))(
+        expanded.groupBy(col("__ga"), col("__gb"), col("__j"))
+          .agg(max(col("__mj")).as("__mj")))
+      .select(col("__ga"), col("__gb"), estimateCol(m).as("__estu"))
+    val inter = col("__esta") + col("__estb") - col("__estu")
+    uni
+      .join(perSrc.toDF("__g1", "__esta"), col("__ga") === col("__g1"))
+      .join(perSrc.toDF("__g2", "__estb"), col("__gb") === col("__g2"))
+      .select(col("__ga").as(s"${byCol}_a"),
+        col("__gb").as(s"${byCol}_b"),
+        col("__esta").as("est_a"), col("__estb").as("est_b"),
+        col("__estu").as("est_union"),
+        graft.functions.GateRound(inter, 6).as("est_intersect"),
+        graft.functions.GateRound(
+          greatest(inter, lit(0.0)) / col("__estu"), 6).as("jaccard_est"))
   }
 
   /**

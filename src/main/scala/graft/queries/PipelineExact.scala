@@ -229,6 +229,26 @@ object PipelineExact {
           T(s, dir)("documents"), "source", "n_chars",
           permilles = Seq(500, 900, 990, 999), subBits = 5)
         .orderBy(col("source"), col("permille"))
+    }),
+
+    // Cross-source vocabulary overlap from MERGED HLL registers —
+    // the dedup-planning matrix ("how much shingle space do two
+    // crawls share?") without ever joining values: union = register
+    // max, intersection = inclusion-exclusion, p=16 so the ~1.4k
+    // vocabularies sit in the near-exact linear-counting regime
+    "qED_hll_overlap" -> ((s, dir) => {
+      val toks = TextAnalysis.tokens(col("text"))
+      val tris = when(col("text").isNotNull && size(toks) >= 3,
+        transform(sequence(lit(1), size(toks) - 2),
+          i => concat_ws(" ", element_at(toks, i),
+            element_at(toks, i + 1), element_at(toks, i + 2))))
+        .otherwise(array().cast("array<string>"))
+      val sh = T(s, dir)("documents")
+        .filter(col("source").isin("src0", "src1", "src2", "src3"))
+        .select(col("source"), explode(tris).as("shingle"))
+      graft.operators.Sketches.hllOverlap(sh, "source", "shingle",
+          p = 16)
+        .orderBy(col("source_a"), col("source_b"))
     })
   )
 
@@ -818,6 +838,81 @@ object PipelineExact {
       ORDER BY source, permille"""
   }
 
+  /** The qED oracle: [[graft.operators.Sketches.hllOverlap]] replayed
+    * end-to-end — the qEB register CTEs at p = 16, per-source and
+    * register-max union sketches through the IDENTICAL estimate CASE,
+    * then inclusion–exclusion and the clamped Jaccard ratio. */
+  private def qEDSql(p: Int, salt: String): String = {
+    val m = 1 << p
+    val hexChars = p / 4
+    val a2 = graft.operators.Sketches.alphaM2(m).toString
+    val two41 = 2199023255552L
+    def est(nh: String, sp: String): String = {
+      val er = s"$a2 / CAST($sp + ($m - $nh) * $two41 AS DOUBLE)"
+      s"""round(CASE WHEN $er <= ${2.5 * m} AND $m - $nh > 0
+           THEN CAST($m * CAST(floor(ln(CAST($m AS DOUBLE)
+                  / CAST($m - $nh AS DOUBLE)) * 1000000000 + 0.5)
+                AS BIGINT) AS DOUBLE) / 1000000000.0
+           ELSE $er END, 6) + 0"""
+    }
+    s"""
+      WITH tk AS (SELECT source AS g,
+             regexp_extract_all(text, '\\S+') AS ts
+           FROM documents
+           WHERE text IS NOT NULL
+             AND source IN ('src0', 'src1', 'src2', 'src3')),
+      tok AS (SELECT g, unnest(list_transform(
+               range(1, len(ts) - 1),
+               i -> ts[i] || ' ' || ts[i + 1] || ' ' || ts[i + 2])) AS v
+             FROM tk),
+      hx AS (SELECT g, md5(v || ' $salt') AS h
+             FROM tok WHERE v IS NOT NULL),
+      jr AS (SELECT g,
+               CAST(list_reduce(list_transform(
+                 regexp_extract_all(substring(h, 1, $hexChars), '.'),
+                 c -> CAST(instr('0123456789abcdef', c) - 1 AS BIGINT)),
+                 (a, b) -> a * 16 + b) AS BIGINT) AS j,
+               ltrim(substring(h, ${hexChars + 1}, 10), '0') AS st
+             FROM hx),
+      rr AS (SELECT g, j, CASE WHEN st = '' THEN 41
+               ELSE 4 * (10 - length(st)) +
+                 CASE WHEN instr('0123456789abcdef',
+                        substring(st, 1, 1)) - 1 >= 8 THEN 0
+                      WHEN instr('0123456789abcdef',
+                        substring(st, 1, 1)) - 1 >= 4 THEN 1
+                      WHEN instr('0123456789abcdef',
+                        substring(st, 1, 1)) - 1 >= 2 THEN 2
+                      ELSE 3 END + 1 END AS rho
+             FROM jr),
+      reg AS (SELECT g, j, MAX(rho) AS mj FROM rr GROUP BY 1, 2),
+      per AS (SELECT g, CAST(COUNT(*) AS BIGINT) AS nh,
+               CAST(SUM(1::BIGINT << (41 - mj)) AS BIGINT) AS sp
+             FROM reg GROUP BY 1),
+      pere AS (SELECT g, ${est("nh", "sp")} AS e FROM per),
+      gs AS (SELECT DISTINCT g FROM reg),
+      pairs AS (SELECT a.g AS ga, b.g AS gb FROM gs a, gs b
+                WHERE a.g < b.g),
+      ur AS (SELECT ga, gb, j, MAX(mj) AS mj FROM (
+               SELECT p.ga, p.gb, r.j, r.mj
+               FROM pairs p JOIN reg r ON r.g = p.ga
+               UNION ALL
+               SELECT p.ga, p.gb, r.j, r.mj
+               FROM pairs p JOIN reg r ON r.g = p.gb)
+             GROUP BY 1, 2, 3),
+      ua AS (SELECT ga, gb, CAST(COUNT(*) AS BIGINT) AS nh,
+               CAST(SUM(1::BIGINT << (41 - mj)) AS BIGINT) AS sp
+             FROM ur GROUP BY 1, 2),
+      ue AS (SELECT ga, gb, ${est("nh", "sp")} AS eu FROM ua)
+      SELECT ga AS source_a, gb AS source_b,
+             ea.e AS est_a, eb.e AS est_b, eu AS est_union,
+             round(ea.e + eb.e - eu, 6) + 0 AS est_intersect,
+             round(greatest(ea.e + eb.e - eu, 0.0) / eu, 6) + 0
+               AS jaccard_est
+      FROM ue JOIN pere ea ON ea.g = ue.ga
+        JOIN pere eb ON eb.g = ue.gb
+      ORDER BY source_a, source_b"""
+  }
+
   val oracleSql: Map[String, String] = Map(
     "qE3_significance_capstone" -> qE3Sql,
     "qE4_pq_search_exact" -> qE4Sql,
@@ -831,6 +926,7 @@ object PipelineExact {
     "qE9_kn_trigram" -> qE9Sql,
     "qEA_kn_trigram_ce" -> qEASql,
     "qEB_hll_exact" -> qEBSql(p = 12, salt = "s0"),
-    "qEC_hdr_quantiles" -> qECSql(Seq(500, 900, 990, 999), k = 5)
+    "qEC_hdr_quantiles" -> qECSql(Seq(500, 900, 990, 999), k = 5),
+    "qED_hll_overlap" -> qEDSql(p = 16, salt = "s0")
   ).map { case (k, v) => k -> v.trim.replaceAll("\\s+", " ") }
 }

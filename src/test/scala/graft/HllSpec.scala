@@ -160,6 +160,51 @@ class HllSpec extends AnyFunSuite {
     assert(rep17 == got, "partitioning moved the sketch")
   }
 
+  test("hllOverlap: merged registers ARE the union sketch; planted " +
+      "overlap recovered; identical groups at jaccard 1.0") {
+    val a = (0 until 1000).map(i => ("A", s"v$i"))
+    val b = (500 until 1500).map(i => ("B", s"v$i"))
+    val df = (a ++ b).toDF("g", "v")
+    val r = Sketches.hllOverlap(df, "g", "v", p = 16).collect()
+    assert(r.length == 1)
+    val row = r.head
+    assert(row.getString(0) == "A" && row.getString(1) == "B")
+    // ALGEBRAIC pin: the pair's union estimate equals hllExact over
+    // the values relabeled into one group — merge-of-sketches is
+    // sketch-of-the-union, exactly
+    val unionEst = Sketches.hllExact(
+        (a ++ b).map { case (_, v) => ("U", v) }.toDF("g", "v"),
+        "g", "v", p = 16).collect().head.getDouble(6)
+    assert(row.getDouble(4) == unionEst,
+      s"union sketch ${row.getDouble(4)} != relabeled corpus $unionEst")
+    // planted truth: |A|=1000, |B|=1000, inter=500, union=1500 — the
+    // p=16 linear-counting regime is near-exact (sd ~ a few)
+    assert(math.abs(row.getDouble(2) - 1000.0) < 25, s"est_a $row")
+    assert(math.abs(row.getDouble(5) - 500.0) < 40, s"est_intersect $row")
+    assert(math.abs(row.getDouble(6) - 0.3333) < 0.03, s"jaccard $row")
+    // identical groups: registers equal, so union == each side and
+    // jaccard is EXACTLY 1.0 (no tolerance needed)
+    val same = ((0 until 200).map(i => ("X", s"w$i")) ++
+      (0 until 200).map(i => ("Y", s"w$i"))).toDF("g", "v")
+    val s1 = Sketches.hllOverlap(same, "g", "v", p = 16).collect().head
+    assert(s1.getDouble(2) == s1.getDouble(4) &&
+      s1.getDouble(5) == s1.getDouble(2) && s1.getDouble(6) == 1.0,
+      s"identical groups: $s1")
+    // near-disjoint groups: jaccard pinned at >= 0 by the clamp
+    val disj = ((0 until 300).map(i => ("P", s"p$i")) ++
+      (0 until 300).map(i => ("Q", s"q$i"))).toDF("g", "v")
+    val d1 = Sketches.hllOverlap(disj, "g", "v", p = 16).collect().head
+    assert(d1.getDouble(6) >= 0.0 && d1.getDouble(6) < 0.02,
+      s"disjoint jaccard: $d1")
+    // quadratic-guard refusal
+    val many = (0 until 5).flatMap(g => Seq((s"g$g", "x")))
+      .toDF("g", "v")
+    val e = intercept[IllegalArgumentException] {
+      Sketches.hllOverlap(many, "g", "v", p = 4, maxGroups = 4)
+    }
+    assert(e.getMessage.contains("quadratic"), e.getMessage)
+  }
+
   test("hdrQuantiles: identity region is exact; p=1000 is the max " +
       "bucket; refusals") {
     val df = (1L to 31L).map(("g", _)).toDF("g", "v")
