@@ -65,19 +65,31 @@ object Sketches {
     alpha * m.toDouble * m.toDouble * 2199023255552.0 // 2^41
   }
 
-  /** (register index, rho) columns for one value — the shared draw
-    * kernel (batch and streaming twin build from the SAME columns). */
-  private[graft] def registerCols(value: Column, p: Int,
-                                  salt: String): (Column, Column) = {
-    val hx = Sampling.rankKey(Seq(value), salt)
-    val j = conv(substring(hx, 1, p / 4), 16, 10).cast("long")
-    val st = ltrim(substring(hx, p / 4 + 1, 10), "0")
-    val v1 = conv(substring(st, 1, 1), 16, 10).cast("int")
+  /** (__g, __v) → (__g, __j, __rho) — the shared draw kernel (batch
+    * and streaming twin run the SAME columns). STAGED through three
+    * explicit projections so the md5 digest and the stripped rank
+    * window each evaluate ONCE per row: inlined into every consumer
+    * they re-evaluate several times each (CaseWhen branches defeat
+    * codegen subexpression elimination), which priced the register
+    * pass ~4× — and CollapseProject deliberately refuses to re-inline
+    * a non-cheap alias referenced more than once, so the staging
+    * survives optimization. */
+  private[graft] def drawFrame(gv: DataFrame, p: Int,
+                               salt: String): DataFrame = {
+    val v1 = conv(substring(col("__st"), 1, 1), 16, 10).cast("int")
     val czeros = when(v1 >= 8, lit(0)).when(v1 >= 4, lit(1))
       .when(v1 >= 2, lit(2)).otherwise(lit(3))
-    val rho = when(length(st) === 0, lit(41))
-      .otherwise(lit(4) * (lit(10) - length(st)) + czeros + lit(1))
-    (j, rho.cast("int"))
+    gv.select(col("__g"),
+        Sampling.rankKey(Seq(col("__v")), salt).as("__hx"))
+      .select(col("__g"),
+        conv(substring(col("__hx"), 1, p / 4), 16, 10).cast("long")
+          .as("__j"),
+        ltrim(substring(col("__hx"), p / 4 + 1, 10), "0").as("__st"))
+      .select(col("__g"), col("__j"),
+        when(length(col("__st")) === 0, lit(41))
+          .otherwise(lit(4) * (lit(10) - length(col("__st"))) +
+            czeros + lit(1))
+          .cast("int").as("__rho"))
   }
 
   /** The final estimate over (n_hit, __sp) — raw-vs-linear-counting
@@ -114,14 +126,11 @@ object Sketches {
     * the unioned values. */
   private[graft] def registers(df: DataFrame, byCol: String,
                                valueCol: String, p: Int,
-                               salt: String): DataFrame = {
-    val (j, rho) = registerCols(col("__v"), p, salt)
-    df.filter(col(byCol).isNotNull && col(valueCol).isNotNull)
-      .select(col(byCol).as("__g"), col(valueCol).as("__v"))
-      .select(col("__g"), j.as("__j"), rho.as("__rho"))
+                               salt: String): DataFrame =
+    drawFrame(df.filter(col(byCol).isNotNull && col(valueCol).isNotNull)
+        .select(col(byCol).as("__g"), col(valueCol).as("__v")), p, salt)
       .groupBy(col("__g"), col("__j"))
       .agg(max(col("__rho")).as("__mj"))
-  }
 
   /**
    * Per-group HyperLogLog distinct estimate with a FULL hash-oracle

@@ -208,14 +208,7 @@ object PipelineExact {
     // harmonic numerator, one IEEE division; DuckDB rebuilds the
     // identical sketch
     "qEB_hll_exact" -> ((s, dir) => {
-      val toks = TextAnalysis.tokens(col("text"))
-      val tris = when(col("text").isNotNull && size(toks) >= 3,
-        transform(sequence(lit(1), size(toks) - 2),
-          i => concat_ws(" ", element_at(toks, i),
-            element_at(toks, i + 1), element_at(toks, i + 2))))
-        .otherwise(array().cast("array<string>"))
-      val sh = T(s, dir)("documents")
-        .select(col("source"), explode(tris).as("shingle"))
+      val sh = qEDShingles(T(s, dir)("documents"))
       graft.operators.Sketches.hllExact(sh, "source", "shingle", p = 12)
         .orderBy(col("source"))
     }),
@@ -237,20 +230,32 @@ object PipelineExact {
     // max, intersection = inclusion-exclusion, p=16 so the ~1.4k
     // vocabularies sit in the near-exact linear-counting regime
     "qED_hll_overlap" -> ((s, dir) => {
-      val toks = TextAnalysis.tokens(col("text"))
-      val tris = when(col("text").isNotNull && size(toks) >= 3,
-        transform(sequence(lit(1), size(toks) - 2),
-          i => concat_ws(" ", element_at(toks, i),
-            element_at(toks, i + 1), element_at(toks, i + 2))))
-        .otherwise(array().cast("array<string>"))
-      val sh = T(s, dir)("documents")
-        .filter(col("source").isin("src0", "src1", "src2", "src3"))
-        .select(col("source"), explode(tris).as("shingle"))
+      val sh = qEDShingles(T(s, dir)("documents")
+        .filter(col("source").isin("src0", "src1", "src2", "src3")))
       graft.operators.Sketches.hllOverlap(sh, "source", "shingle",
           p = 16)
         .orderBy(col("source_a"), col("source_b"))
     })
   )
+
+  /** (source, shingle) word-trigram stream for qEB/qED. The token
+    * array is MATERIALIZED in its own projection before the trigram
+    * lambda: an inlined `tokens(text)` re-runs the regexp inside
+    * every `element_at` call — three full-text regex scans per
+    * trigram, which priced the qEB scan ~10× (CollapseProject keeps
+    * the staging because the alias is non-cheap and multiply
+    * referenced). */
+  private def qEDShingles(docs: DataFrame): DataFrame = {
+    val n = size(col("__toks"))
+    docs
+      .select(col("source"), TextAnalysis.tokens(col("text")).as("__toks"))
+      .select(col("source"), explode(when(n >= 3,
+        transform(sequence(lit(1), n - 2),
+          i => concat_ws(" ", element_at(col("__toks"), i),
+            element_at(col("__toks"), i + 1),
+            element_at(col("__toks"), i + 2))))
+        .otherwise(array().cast("array<string>"))).as("shingle"))
+  }
 
 
   /** Chained exact-Lloyd CTEs — the DuckDB replica of

@@ -23,7 +23,7 @@ import org.apache.spark.sql.streaming.GroupStateTimeout
  * one-division float path. No ordering contract is needed at all.
  *
  * Scale shape: the (j, ρ) draw runs in the stateless select (the
- * SHARED [[Sketches.registerCols]] kernel — codegen'd md5 + string
+ * SHARED [[Sketches.drawFrame]] kernel — codegen'd md5 + string
  * slicing, values never reach the state store); the stateful
  * exchange carries (group, j, ρ) ints and state is a fixed 2^p
  * bytes per group — no payload, no row list, no single-task funnel.
@@ -40,11 +40,10 @@ object StreamingHll {
     val m = 1 << p
     val spark = df.sparkSession
     import spark.implicits._
-    val (j, rho) = Sketches.registerCols(col("__v"), p, salt)
-    df.filter(col(byCol).isNotNull && col(valueCol).isNotNull)
-      .select(col(byCol).cast("string").as("__g"),
-        col(valueCol).as("__v"))
-      .select(col("__g"), j.as("__j"), rho.as("__rho"))
+    Sketches.drawFrame(
+        df.filter(col(byCol).isNotNull && col(valueCol).isNotNull)
+          .select(col(byCol).cast("string").as("__g"),
+            col(valueCol).as("__v")), p, salt)
       .as[(String, Long, Int)]
       .groupByKey(_._1)
       .mapGroupsWithState[Array[Byte], (String, Long, Long)](
