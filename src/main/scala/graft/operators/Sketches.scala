@@ -92,16 +92,24 @@ object Sketches {
           .cast("int").as("__rho"))
   }
 
-  /** The final estimate over (n_hit, __sp) — raw-vs-linear-counting
-    * branch, GateRounded 6. The single dag every consumer replays. */
-  private[graft] def estimateCol(m: Int): Column = {
+  /** The defining sub-dag over (n_hit, __sp): (v_empty, s41,
+    * est_raw, small-range?) — ONE definition so the threshold and
+    * the S41 formula cannot desynchronize between consumers. */
+  private def estParts(m: Int): (Column, Column, Column, Column) = {
     val vEmpty = lit(m.toLong) - col("n_hit")
     val s41 = col("__sp") + vEmpty * lit(2199023255552L)
     val estRaw = lit(alphaM2(m)) / s41.cast("double")
+    val small = estRaw <= lit(2.5 * m) && vEmpty > 0
+    (vEmpty, s41, estRaw, small)
+  }
+
+  /** The final estimate over (n_hit, __sp) — raw-vs-linear-counting
+    * branch, GateRounded 6. The single dag every consumer replays. */
+  private[graft] def estimateCol(m: Int): Column = {
+    val (vEmpty, _, estRaw, small) = estParts(m)
     val qln = floor(log(lit(m.toDouble) / vEmpty.cast("double")) *
       lit(1e9) + lit(0.5)).cast("long")
     val lc = (lit(m.toLong) * qln).cast("double") / lit(1e9)
-    val small = estRaw <= lit(2.5 * m) && vEmpty > 0
     graft.functions.GateRound(when(small, lc).otherwise(estRaw), 6)
   }
 
@@ -109,10 +117,7 @@ object Sketches {
     * aggregate and the streaming twin's post-state select so both
     * run the IDENTICAL float dag (one division each, GateRounded). */
   private[graft] def estimateCols(m: Int): Seq[Column] = {
-    val vEmpty = lit(m.toLong) - col("n_hit")
-    val s41 = col("__sp") + vEmpty * lit(2199023255552L)
-    val estRaw = lit(alphaM2(m)) / s41.cast("double")
-    val small = estRaw <= lit(2.5 * m) && vEmpty > 0
+    val (vEmpty, s41, estRaw, small) = estParts(m)
     Seq(lit(m.toLong).as("m_registers"), col("n_hit"),
       vEmpty.as("v_empty"), s41.as("s41"),
       graft.functions.GateRound(estRaw, 6).as("est_raw"),
@@ -192,7 +197,10 @@ object Sketches {
     val m = 1 << p
     val reg = registers(df, byCol, valueCol, p, salt)
       .localCheckpoint(true)
-    val nGroups = reg.select(col("__g")).distinct().count()
+    // ONE distinct job serves both the quadratic guard and the pair
+    // matrix (the checkpointed frame is group-count-sized)
+    val gs = reg.select(col("__g")).distinct().localCheckpoint(true)
+    val nGroups = gs.count()
     require(nGroups <= maxGroups,
       s"hllOverlap: $nGroups groups exceed maxGroups=$maxGroups — the " +
         "pair matrix is quadratic; this operator is for catalog " +
@@ -203,7 +211,6 @@ object Sketches {
           sum(expr("shiftleft(1L, 41 - __mj)")).as("__sp"))
     val perSrc = sketch(Seq(col("__g")))(reg)
       .select(col("__g"), estimateCol(m).as("__est"))
-    val gs = reg.select(col("__g")).distinct()
     val pairs = gs.select(col("__g").as("__ga"))
       .crossJoin(gs.select(col("__g").as("__gb")))
       .filter(col("__ga") < col("__gb"))

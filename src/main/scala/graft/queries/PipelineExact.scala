@@ -751,21 +751,19 @@ object PipelineExact {
       ORDER BY vec_id"""
   }
 
-  /** The qEB oracle: the FULL [[graft.operators.Sketches.hllExact]]
-    * draw + estimate chain — the identical md5 hex slices (register
-    * index from the first p/4 chars, the string-wise leading-zero ρ
-    * from the next 10), exact-long register maxima and harmonic
-    * numerator S41, the same α·m²·2⁴¹ double literal divided once,
-    * and the 1e-9-grid-quantized linear-counting branch. */
-  private def qEBSql(p: Int, salt: String): String = {
-    val m = 1 << p
+  /** The shared word-trigram → HLL-register CTE spine (tk/tok/hx/jr/
+    * rr/reg), mirrored from [[graft.operators.Sketches.drawFrame]] —
+    * ONE definition feeding the qEB and qED oracles (the knTriCtes /
+    * exactLloydCtes convention: a drift between twin oracles would
+    * only surface as an opaque hash mismatch). The `source IS NOT
+    * NULL` filter replays hllExact's null-group drop. */
+  private def hllRegisterCtes(p: Int, salt: String,
+                              srcFilter: String): String = {
     val hexChars = p / 4
-    val a2 = graft.operators.Sketches.alphaM2(m).toString
-    val two41 = 2199023255552L
-    s"""
-      WITH tk AS (SELECT source AS g,
+    s"""tk AS (SELECT source AS g,
              regexp_extract_all(text, '\\S+') AS ts
-           FROM documents WHERE text IS NOT NULL),
+           FROM documents
+           WHERE text IS NOT NULL AND source IS NOT NULL$srcFilter),
       tok AS (SELECT g, unnest(list_transform(
                range(1, len(ts) - 1),
                i -> ts[i] || ' ' || ts[i + 1] || ' ' || ts[i + 2])) AS v
@@ -789,7 +787,21 @@ object PipelineExact {
                         substring(st, 1, 1)) - 1 >= 2 THEN 2
                       ELSE 3 END + 1 END AS rho
              FROM jr),
-      reg AS (SELECT g, j, MAX(rho) AS mj FROM rr GROUP BY 1, 2),
+      reg AS (SELECT g, j, MAX(rho) AS mj FROM rr GROUP BY 1, 2)"""
+  }
+
+  /** The qEB oracle: the FULL [[graft.operators.Sketches.hllExact]]
+    * draw + estimate chain — the identical md5 hex slices (register
+    * index from the first p/4 chars, the string-wise leading-zero ρ
+    * from the next 10), exact-long register maxima and harmonic
+    * numerator S41, the same α·m²·2⁴¹ double literal divided once,
+    * and the 1e-9-grid-quantized linear-counting branch. */
+  private def qEBSql(p: Int, salt: String): String = {
+    val m = 1 << p
+    val a2 = graft.operators.Sketches.alphaM2(m).toString
+    val two41 = 2199023255552L
+    s"""
+      WITH ${hllRegisterCtes(p, salt, "")},
       ag AS (SELECT g, CAST(COUNT(*) AS BIGINT) AS n_hit,
                CAST(SUM(1::BIGINT << (41 - mj)) AS BIGINT) AS sp
              FROM reg GROUP BY 1),
@@ -849,7 +861,6 @@ object PipelineExact {
     * then inclusion–exclusion and the clamped Jaccard ratio. */
   private def qEDSql(p: Int, salt: String): String = {
     val m = 1 << p
-    val hexChars = p / 4
     val a2 = graft.operators.Sketches.alphaM2(m).toString
     val two41 = 2199023255552L
     def est(nh: String, sp: String): String = {
@@ -861,35 +872,8 @@ object PipelineExact {
            ELSE $er END, 6) + 0"""
     }
     s"""
-      WITH tk AS (SELECT source AS g,
-             regexp_extract_all(text, '\\S+') AS ts
-           FROM documents
-           WHERE text IS NOT NULL
-             AND source IN ('src0', 'src1', 'src2', 'src3')),
-      tok AS (SELECT g, unnest(list_transform(
-               range(1, len(ts) - 1),
-               i -> ts[i] || ' ' || ts[i + 1] || ' ' || ts[i + 2])) AS v
-             FROM tk),
-      hx AS (SELECT g, md5(v || ' $salt') AS h
-             FROM tok WHERE v IS NOT NULL),
-      jr AS (SELECT g,
-               CAST(list_reduce(list_transform(
-                 regexp_extract_all(substring(h, 1, $hexChars), '.'),
-                 c -> CAST(instr('0123456789abcdef', c) - 1 AS BIGINT)),
-                 (a, b) -> a * 16 + b) AS BIGINT) AS j,
-               ltrim(substring(h, ${hexChars + 1}, 10), '0') AS st
-             FROM hx),
-      rr AS (SELECT g, j, CASE WHEN st = '' THEN 41
-               ELSE 4 * (10 - length(st)) +
-                 CASE WHEN instr('0123456789abcdef',
-                        substring(st, 1, 1)) - 1 >= 8 THEN 0
-                      WHEN instr('0123456789abcdef',
-                        substring(st, 1, 1)) - 1 >= 4 THEN 1
-                      WHEN instr('0123456789abcdef',
-                        substring(st, 1, 1)) - 1 >= 2 THEN 2
-                      ELSE 3 END + 1 END AS rho
-             FROM jr),
-      reg AS (SELECT g, j, MAX(rho) AS mj FROM rr GROUP BY 1, 2),
+      WITH ${hllRegisterCtes(p, salt,
+        " AND source IN ('src0', 'src1', 'src2', 'src3')")},
       per AS (SELECT g, CAST(COUNT(*) AS BIGINT) AS nh,
                CAST(SUM(1::BIGINT << (41 - mj)) AS BIGINT) AS sp
              FROM reg GROUP BY 1),

@@ -30,9 +30,14 @@ import org.apache.spark.sql.streaming.GroupStateTimeout
  */
 object StreamingHll {
 
-  /** @return Update-mode stream mirroring the batch schema: (byCol,
+  /** @return Update-mode stream mirroring the batch columns: (byCol,
     *         m_registers, n_hit, v_empty, s41, est_raw, estimate,
-    *         small_range). The LAST emission per group is current. */
+    *         small_range). The LAST emission per group is current.
+    *         Key-type contract (the [[StreamingCusum]] group-key
+    *         convention): byCol is emitted as STRING — the state key
+    *         is the group's string rendering, so a non-string batch
+    *         group column compares equal only through the same cast;
+    *         join the batch sketch on `cast(byCol as string)`. */
   def hll(df: DataFrame, byCol: String, valueCol: String,
           p: Int = 12, salt: String = "s0"): DataFrame = {
     require(Set(4, 8, 12, 16).contains(p),
