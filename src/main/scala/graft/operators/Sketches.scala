@@ -275,31 +275,59 @@ object Sketches {
    * @return one row per (group, permille): (byCol, permille, n, est)
    *         — est the exact-long bucket lower bound
    */
-  def hdrQuantiles(df: DataFrame, byCol: String, valueCol: String,
-                   permilles: Seq[Int], subBits: Int = 5): DataFrame = {
+  private[graft] def validateHdr(permilles: Seq[Int], subBits: Int): Unit = {
     require(subBits >= 1 && subBits <= 16,
       s"subBits must be in [1, 16], got $subBits")
     require(permilles.nonEmpty && permilles.forall(p => p >= 1 && p <= 1000)
         && permilles.distinct.size == permilles.size,
       s"permilles must be distinct values in [1, 1000], got $permilles")
+  }
+
+  /** Adds the HDR bucket id of `__v` as `__id` (negative values
+    * refused loudly), preserving the frame's other columns — the
+    * shared kernel behind [[hdrQuantiles]] and the streaming twin. */
+  private[graft] def withBucketId(df: DataFrame, subBits: Int): DataFrame = {
     val m = 1 << subBits
-    import org.apache.spark.sql.expressions.Window
-    val v = col(valueCol).cast("long")
+    val v = col("__v").cast("long")
     val guarded = when(v >= 0, v).otherwise(raise_error(concat(
       lit("hdrQuantiles: negative value breaks the log-bucket domain " +
         "(durations/sizes/counts): "), v.cast("string"))))
-    val ids = df.filter(col(byCol).isNotNull && col(valueCol).isNotNull)
-      .select(col(byCol).as("__g"), guarded.as("__v"))
-      .withColumn("__e", (length(bin(col("__v"))) - lit(1)).cast("int"))
-      .select(col("__g"), when(col("__v") < m, col("__v"))
+    df.withColumn("__vg", guarded)
+      .withColumn("__e", (length(bin(col("__vg"))) - lit(1)).cast("int"))
+      .withColumn("__id", when(col("__vg") < m, col("__vg"))
         .otherwise((col("__e") - lit(subBits) + lit(1)).cast("long") *
           lit(m.toLong) +
-          expr(s"shiftright(__v, __e - $subBits)") - lit(m.toLong))
-        .as("__id"))
-    val rep = when(col("__id") < m, col("__id"))
+          expr(s"shiftright(__vg, __e - $subBits)") - lit(m.toLong)))
+      .drop("__vg", "__e", "__v")
+  }
+
+  /** A bucket id's exact-long representative (its lower bound) — the
+    * per-row column form; [[bucketRep]] is the same formula in Scala
+    * for the streaming twin's state walk. */
+  private[graft] def repCol(subBits: Int): Column = {
+    val m = 1 << subBits
+    when(col("__id") < m, col("__id"))
       .otherwise(expr(
         s"shiftleft(cast($m + (__id % $m) as bigint), " +
           s"cast(__id div $m as int) - 1)"))
+  }
+
+  /** [[repCol]] in driver/executor Scala (the streaming twin and the
+    * spec replica share it): id < 2^k ⇒ id, else
+    * (2^k + id mod 2^k) << (id div 2^k − 1). */
+  private[graft] def bucketRep(id: Long, subBits: Int): Long = {
+    val m = 1L << subBits
+    if (id < m) id else (m + (id % m)) << ((id / m).toInt - 1)
+  }
+
+  def hdrQuantiles(df: DataFrame, byCol: String, valueCol: String,
+                   permilles: Seq[Int], subBits: Int = 5): DataFrame = {
+    validateHdr(permilles, subBits)
+    import org.apache.spark.sql.expressions.Window
+    val ids = withBucketId(
+      df.filter(col(byCol).isNotNull && col(valueCol).isNotNull)
+        .select(col(byCol).as("__g"), col(valueCol).as("__v")), subBits)
+    val rep = repCol(subBits)
     val counts = ids.groupBy(col("__g"), col("__id"))
       .agg(count(lit(1)).as("__cnt"))
       .withColumn("__cum",

@@ -64,6 +64,24 @@ class ExactMomentsSpec extends AnyFunSuite {
     }
   }
 
+  test("sustained carries: 200 near-max products across 64 partitions " +
+      "exercise reduce AND merge carry paths against BigInt") {
+    // every row's diagonal product is 9e18 (just under Long.Max), so
+    // the low limb wraps roughly every other row inside partitions
+    // AND during partial-buffer merges; signs alternate so borrows
+    // (negative carries) run too
+    val vecs = (0 until 200).map { i =>
+      val s = if (i % 3 == 0) -1L else 1L
+      Seq(3000000000L * s, -3000000000L)
+    }
+    val (es, eg) = reference(vecs)
+    val r = run(vecs, parts = 64)
+    assert(r.getLong(0) == 200 && r.getSeq[String](2) == es &&
+      r.getSeq[String](3) == eg, "carry chain diverged from BigInt")
+    assert(BigInt(r.getSeq[String](3).head).abs > BigInt(Long.MaxValue) * 90,
+      "fixture failed to push the accumulator far past signed-64")
+  }
+
   test("empty corpus finishes dim = -1; nulls are skipped") {
     val r = run(Seq.empty[Seq[Long]], parts = 0)
     assert(r.getLong(0) == 0L && r.getInt(1) == -1)

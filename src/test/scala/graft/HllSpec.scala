@@ -50,8 +50,11 @@ class HllSpec extends AnyFunSuite {
   }
 
   test("hllExact equals the sequential md5 replica at every column") {
+    // non-ASCII values pin the UTF-8 digest contract (Spark md5 and
+    // DuckDB md5 both hash the UTF-8 bytes; so does the replica)
     val vals = (0 until 3000).map(i => s"tok$i") ++
-      (0 until 500).map(i => s"tok$i") // duplicates
+      (0 until 500).map(i => s"tok$i") ++ // duplicates
+      Seq("héllo wörld", "世界 你好", "données 🚀", "ёжик")
     val df = vals.map(("g1", _)).toDF("g", "v")
     Seq(8, 12).foreach { p =>
       val r = Sketches.hllExact(df, "g", "v", p = p).collect()

@@ -1482,4 +1482,59 @@ class StreamingSpec extends AnyFunSuite {
       }
     } finally q.stop()
   }
+
+  test("StreamingHdr: streamed percentiles equal batch; replays land " +
+      "in n_late and cannot move the counts") {
+    import graft.operators.Sketches
+    import graft.streaming.StreamingHdr
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val ps = Seq(500, 900, 990)
+    // the qEC fixture with doc_id as the ordering seq: per-source
+    // document-length percentiles, final rows must equal batch exactly
+    val obs = Tables.load(spark, "/root/testdata/sf0.001", "documents")
+      .select(col("source"), col("doc_id"), col("n_chars"))
+      .orderBy(col("doc_id"))
+      .as[(String, Long, Long)].collect().toSeq
+    val batch = Sketches.hdrQuantiles(obs.toDF("source", "doc_id", "v")
+        .drop("doc_id").toDF("source", "v"), "source", "v", ps)
+      .collect().map(r => (r.getString(0), r.getInt(1)) ->
+        ((r.getLong(2), r.getLong(3)))).toMap
+    val mem = MemoryStream[(String, Long, Long)]
+    val sdf = StreamingHdr.hdr(mem.toDF().toDF("source", "doc_id", "v"),
+      "source", "doc_id", "v", ps)
+    assert(sdf.columns.toSeq ==
+      Seq("source", "permille", "n", "est", "n_late"))
+    val latest = new java.util.concurrent.ConcurrentHashMap[
+      (String, Int), (Long, Long, Long)]()
+    val q = sdf.writeStream.outputMode("update")
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        b.collect().foreach { r =>
+          latest.put((r.getString(0), r.getInt(1)),
+            (r.getLong(2), r.getLong(3), r.getLong(4)))
+        }
+      }.start()
+    try {
+      val chunks = obs.grouped((obs.size + 2) / 3).toSeq
+      chunks.foreach { ch => mem.addData(ch); q.processAllAvailable() }
+      import scala.jdk.CollectionConverters._
+      val mid = latest.asScala.toMap
+      assert(mid.keySet == batch.keySet)
+      batch.foreach { case (key, (n, est)) =>
+        assert(mid(key) == ((n, est, 0L)),
+          s"$key: streamed ${mid(key)} vs batch ($n, $est)")
+      }
+      // replaying a whole chunk lands in n_late, counts unmoved
+      val replay = chunks(1)
+      val lateBy = replay.groupBy(_._1).view.mapValues(_.size.toLong).toMap
+      mem.addData(replay)
+      q.processAllAvailable()
+      val after = latest.asScala.toMap
+      batch.foreach { case (key @ (g, _), (n, est)) =>
+        assert(after(key) == ((n, est, lateBy.getOrElse(g, 0L))),
+          s"$key replay moved the sketch: ${after(key)}")
+      }
+    } finally q.stop()
+  }
 }
