@@ -76,6 +76,33 @@ object ArrayDot {
   def array_dot(a: Column, b: Column): Column =
     ColumnBridge.column(ArrayDot(ColumnBridge.expression(a), ColumnBridge.expression(b)))
 
+  /** Column entry point for [[QuantizedDot]]: Σ floor(x·1e6+0.5)·wᵢ
+    * in one codegen'd pass, refusing null/NaN/|x| ≥ 10 loudly. */
+  def quantized_dot(v: Column, weights: Seq[Double]): Column =
+    ColumnBridge.column(QuantizedDot(ColumnBridge.expression(v), weights))
+
+  /** Kernel behind [[QuantizedDot]] — the per-element guard matches
+    * the Pca quantize contract verbatim. */
+  def quantizedDot(a: ArrayData, w: Array[Double], floatIn: Boolean): Double = {
+    val n = math.min(a.numElements(), w.length)
+    var s = 0.0
+    var i = 0
+    while (i < n) {
+      if (a.isNullAt(i))
+        throw new IllegalArgumentException(
+          "quantized_dot: coordinate is null, NaN, or >= 10 in " +
+            "magnitude - breaks the 1e-6 fixed-point scatter contract: null")
+      val x = if (floatIn) a.getFloat(i).toDouble else a.getDouble(i)
+      if (!(math.abs(x) < 10.0))
+        throw new IllegalArgumentException(
+          "quantized_dot: coordinate is null, NaN, or >= 10 in " +
+            "magnitude - breaks the 1e-6 fixed-point scatter contract: " + x)
+      s += math.floor(x * 1e6 + 0.5) * w(i)
+      i += 1
+    }
+    s
+  }
+
   /** Column entry point: all `tables` LSH sign-bit signatures of one
     * vector in a single kernel call (see [[LshSignatures]]). `planes`
     * is laid out `[table * bits + bit]`. */
@@ -172,4 +199,46 @@ case class LshSignatures(child: Expression, planes: Seq[Seq[Double]],
   override protected def withNewChildInternal(c: Expression): LshSignatures =
     copy(child = c)
   override def prettyName: String = "lsh_signatures"
+}
+
+/**
+ * Fused 1e-6 quantize + dot against a broadcast weight vector — the
+ * codegen'd form of `transform(v, x -> floor(x*1e6 + 0.5))` followed
+ * by [[ArrayDot]] (the interpreted per-row HOF was
+ * [[graft.operators.Pca.whitenExact]]'s only non-codegen step — the
+ * r19 ADVICE item). Exactness contract unchanged: every quantized
+ * coordinate is an integer-valued double ≤ 1e7, every product ≤
+ * 1e12 and every partial sum ≤ 6.4e13 at dim 64 — far below 2⁵³, so
+ * the double accumulation IS integer arithmetic and the value is
+ * bit-identical to the HOF formulation. Null/NaN/|x| ≥ 10
+ * coordinates are refused loudly (the eigenExact fixed-point guard,
+ * thrown from the kernel with the same `fixed-point` message).
+ */
+case class QuantizedDot(child: Expression, weights: Seq[Double])
+    extends UnaryExpression
+    with org.apache.spark.sql.catalyst.expressions.ImplicitCastInputTypes {
+
+  override def inputTypes: Seq[ColumnBridge.SqlAbstractDataType] =
+    Seq(ColumnBridge.typeCollection(
+      ArrayType(DoubleType), ArrayType(FloatType)))
+
+  @transient private lazy val wArr: Array[Double] = weights.toArray
+
+  private def floatIn: Boolean =
+    child.dataType.asInstanceOf[ArrayType].elementType == FloatType
+
+  override def dataType: DataType = DoubleType
+
+  override def nullSafeEval(v: Any): Any =
+    ArrayDot.quantizedDot(v.asInstanceOf[ArrayData], wArr, floatIn)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("qdw", wArr, "double[]")
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.ArrayDot.quantizedDot($c, $ref, $floatIn)")
+  }
+
+  override protected def withNewChildInternal(c: Expression): QuantizedDot =
+    copy(child = c)
+  override def prettyName: String = "quantized_dot"
 }

@@ -386,11 +386,14 @@ object Pca {
    * cscore/√(num·D₁·n/(n−1)) — den cancels. num_c ≤ 0 (spectrum
    * exhausted / degenerate) ⇒ z_c = 0.0.
    *
-   * Scale shape: zero shuffle — the model rides the plan as literals
-   * and each row pays k codegen'd 64-term dots (exact in doubles:
-   * every product ≤ 1e12 and every partial sum ≤ 6.4e13, far below
-   * 2⁵³, so the float dot IS integer arithmetic). Null vectors are
-   * dropped (the [[project]] rule — the model never saw them).
+   * Scale shape: zero shuffle, FULLY codegen'd — the model rides the
+   * plan as literals and each row pays k fused
+   * [[graft.functions.QuantizedDot]] kernels (the quantize + dot in
+   * one codegen'd pass — the per-row `transform` HOF Spark would
+   * interpret, the r19 ADVICE item, is gone; exact in doubles: every
+   * product ≤ 1e12 and every partial sum ≤ 6.4e13, far below 2⁵³, so
+   * the float dot IS integer arithmetic). Null vectors are dropped
+   * (the [[project]] rule — the model never saw them).
    */
   def whitenExact(emb: DataFrame, idCol: String, vecCol: String,
                   model: ExactModel): DataFrame = {
@@ -401,8 +404,8 @@ object Pca {
         acc + BigInt(model.sq(i)) * v(i))
       val denom = math.sqrt(
         model.nums(c).toDouble * model.d1.toDouble * nD / (nD - 1.0))
-      val dot = Similarity.dot(col("__qv").cast("array<double>"),
-        typedLit(v.map(_.toDouble).toSeq))
+      val dot = graft.functions.ArrayDot.quantized_dot(col(vecCol),
+        v.map(_.toDouble).toSeq)
       val cscore = (lit(model.n).cast("decimal(38,0)") *
         dot.cast("decimal(38,0)") -
         lit(new java.math.BigDecimal(kC.bigInteger)))
@@ -411,8 +414,6 @@ object Pca {
         cscore.cast("double") / lit(denom), 6).as(s"z${c + 1}")
     }
     emb.filter(col(vecCol).isNotNull)
-      .select(col(idCol) +: transform(col(vecCol), quantizeGuard(_))
-        .as("__qv") +: Nil: _*)
       .select(col(idCol) +: zCols: _*)
   }
 

@@ -408,6 +408,38 @@ class Round19OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("QuantizedDot kernel: equals the HOF quantize+dot formulation " +
+      "on double AND float arrays; wild coordinates refused") {
+    val w = Seq(100000.0, -25000.0, 3.0)
+    val rnd = new scala.util.Random(31)
+    val vecs = Seq.fill(50)(Seq.fill(3)((rnd.nextDouble() - 0.5) * 19))
+    val dDf = vecs.zipWithIndex.map { case (v, i) => (i.toLong, v) }
+      .toDF("id", "v")
+    val fDf = vecs.zipWithIndex.map { case (v, i) =>
+      (i.toLong, v.map(_.toFloat)) }.toDF("id", "v")
+    def hof = org.apache.spark.sql.functions.transform(col("v"),
+      x => floor(x.cast("double") * lit(1e6) + lit(0.5)))
+    Seq(dDf, fDf).foreach { df =>
+      val got = df.select(col("id"), graft.functions.ArrayDot
+          .quantized_dot(col("v"), w).as("d"))
+        .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+      // float inputs promote per element BEFORE quantizing — the
+      // kernel must match the HOF chain on the same column exactly
+      val exp = df.select(col("id"), graft.operators.Similarity.dot(
+          hof.cast("array<double>"), typedLit(w)).as("d"))
+        .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+      exp.foreach { case (id, e) =>
+        assert(got(id) == e, s"id $id: kernel ${got(id)} vs HOF $e")
+      }
+    }
+    val wild = Seq((1L, Seq(0.1, 11.0, 0.2))).toDF("id", "v")
+    val e = intercept[Exception] {
+      wild.select(graft.functions.ArrayDot.quantized_dot(col("v"), w))
+        .collect()
+    }
+    assert(e.getMessage.contains("fixed-point"), e.getMessage)
+  }
+
   test("eigenExactCached: durable artifact round-trips the model " +
       "bit-for-bit") {
     val e = emb
