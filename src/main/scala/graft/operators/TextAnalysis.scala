@@ -2412,25 +2412,25 @@ object TextAnalysis {
       .agg(max(col("__n1b3")).as("__n1b3g"))
     val ho = trigramTypeTableCached(heldout, textCol, cacheKey)
       .withColumnRenamed("__c123", "__hc")
+    // each marginal key has exactly ONE consumer (the r19 ADVICE
+    // item): the (w2, w3) join carries only nc23, and the w2-level
+    // marginals come solely from the one per-w2 frame — for a SEEN
+    // pair both sources carry the identical window value, so the old
+    // coalesce fallback was a second, redundant type-sized shuffle
+    val w2m = mid.select(col("__w2"), col("__ncmid2"), col("__n1fmid2"))
+      .groupBy(col("__w2")).agg(max(col("__ncmid2")).as("__ncmid2"),
+        max(col("__n1fmid2")).as("__n1fmid2"))
     val joined = ho
       .join(tri, Seq("__w1", "__w2", "__w3"), "left")
       .join(ctx, Seq("__w1", "__w2"), "left")
-      .join(mid.select(col("__w2"), col("__w3"), col("__nc23"),
-        col("__ncmid2"), col("__n1fmid2")), Seq("__w2", "__w3"), "left")
-      .join(mid.select(col("__w2"), col("__ncmid2").as("__ncmid2b"),
-          col("__n1fmid2").as("__n1fmid2b"))
-        .groupBy(col("__w2")).agg(max(col("__ncmid2b")).as("__ncmid2b"),
-          max(col("__n1fmid2b")).as("__n1fmid2b")), Seq("__w2"), "left")
+      .join(mid.select(col("__w2"), col("__w3"), col("__nc23")),
+        Seq("__w2", "__w3"), "left")
+      .join(w2m, Seq("__w2"), "left")
       .join(cont.withColumnRenamed("__w3", "__w3j")
         .withColumnRenamed("__n1b3g", "__n1b3j"),
         col("__w3") === col("__w3j"), "left")
       .crossJoin(broadcast(types))
       .crossJoin(broadcast(triTypes))
-      // an unseen (w2, w3) leaves the mid-frame columns null; the
-      // w2-level marginals then come from the w2 re-aggregate
-      .withColumn("__ncmid2", coalesce(col("__ncmid2"), col("__ncmid2b")))
-      .withColumn("__n1fmid2",
-        coalesce(col("__n1fmid2"), col("__n1fmid2b")))
       .withColumn("__n1b3", col("__n1b3j"))
     val covered = col("__c12").isNotNull && col("__n1b3").isNotNull
     val qln = floor(log(pknTrigram(lit(discount))) * lit(1e9) + lit(0.5))
