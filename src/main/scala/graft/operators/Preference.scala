@@ -683,12 +683,15 @@ object Preference {
     val base = resp.filter(col(promptCol).isNotNull)
     val nResp = base.groupBy(col(promptCol))
       .agg(count(lit(1)).as("n_resp"))
-    val toks = TextAnalysis.tokens(col(textCol))
-    val grams = when(col(textCol).isNotNull && size(toks) >= n,
-      transform(sequence(lit(1), size(toks) - lit(n - 1)),
-        i => array_join(slice(toks, i, lit(n)), " ")))
-      .otherwise(array().cast("array<string>"))
-    val stats = base.select(col(promptCol), explode(grams).as("__g"))
+    // codegen'd one-pass gram kernel — the `transform(sequence,
+    // slice)` HOF it replaces re-ran the tokenizer per gram position
+    // (the ShingleExprs.computeGrams note); output strings identical
+    // (shared \S+ tokenization, space join, no grams when len < n;
+    // null text → null array, which explode drops like the old
+    // empty-array branch)
+    val stats = base.select(col(promptCol),
+        explode(graft.functions.ShingleExprs.token_grams(
+          col(textCol), n, overlapping = true)).as("__g"))
       .groupBy(col(promptCol), col("__g"))
       .agg(count(lit(1)).as("__c"))
       .groupBy(col(promptCol))
@@ -1965,13 +1968,17 @@ object Preference {
         col(aCol).isNotNull && col(bCol).isNotNull)
       .select(col(byCol).as("__g"), col(idCol).as("__id"),
         (col(aCol).cast("long") - col(bCol).cast("long")).as("__d"))
-    val u = Sampling.hash40(Seq(col("__id"), col("__r")), salt)
-    val sign = when(col("__r") === -1, lit(1L))
-      .otherwise(lit(1L) - lit(2L) * (u % 2))
+    // one fused kernel call emits all P+1 (r, parity) draws per row
+    // (the qDF poisson_resamples shape; bit-equality with the
+    // explode+hash40 chain pinned in HashExprsSpec)
     val perms = base
-      .select(col("__g"), col("__id"), col("__d"),
-        explode(sequence(lit(-1), lit(p - 1))).as("__r"))
-      .select(col("__g"), col("__r"), (sign * col("__d")).as("__sd"))
+      .select(col("__g"), col("__d"),
+        explode(graft.functions.HashExprs.sign_resamples(
+          col("__id").cast("string"), salt, p)).as("__rs"))
+      .select(col("__g"),
+        (shiftright(col("__rs"), 1) - lit(2L)).as("__r"),
+        ((lit(1L) - lit(2L) * col("__rs").bitwiseAND(lit(1L))) *
+          col("__d")).as("__sd"))
       .groupBy(col("__g"), col("__r"))
       .agg(sum(col("__sd")).as("__s"), count(lit(1)).as("__n"))
     import org.apache.spark.sql.expressions.Window
@@ -2349,16 +2356,18 @@ object Preference {
         col(aCol).isNotNull && col(bCol).isNotNull)
       .select(col(byCol).as("__g"), col(idCol).as("__id"),
         (col(aCol).cast("long") - col(bCol).cast("long")).as("__d"))
-    val u = Sampling.hash40(Seq(col("__id"), col("__r")), salt)
-    val w = PoissonThresholds40.zipWithIndex
-      .foldLeft(when(lit(false), lit(0L))) { case (acc, (t, k)) =>
-        acc.when(u < t, k.toLong)
-      }.otherwise(8L)
+    // one fused kernel call emits all B+1 (r, w) draws per row — the
+    // id's digits render once, no per-draw concat/hex/conv (the
+    // composable explode+hash40 chain is pinned bit-identical in
+    // HashExprsSpec; the oracle keeps replaying the hex spelling)
     val drawn = base
-      .select(col("__g"), col("__id"), col("__d"),
-        explode(sequence(lit(-1), lit(b - 1))).as("__r"))
-      .select(col("__g"), col("__r"), col("__d"),
-        when(col("__r") === -1, lit(1L)).otherwise(w).as("__w"))
+      .select(col("__g"), col("__d"),
+        explode(graft.functions.HashExprs.poisson_resamples(
+          col("__id").cast("string"), salt, b,
+          PoissonThresholds40)).as("__rw"))
+      .select(col("__g"),
+        (shiftright(col("__rw"), 4) - lit(2L)).as("__r"),
+        col("__d"), col("__rw").bitwiseAND(lit(15L)).as("__w"))
       .groupBy(col("__g"), col("__r"))
       .agg(sum(col("__w") * col("__d")).as("__num"),
         sum(col("__w")).as("__den"))

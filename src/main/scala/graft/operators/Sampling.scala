@@ -26,9 +26,15 @@ object Sampling {
     * marker so they rank deterministically too (concat_ws would
     * silently skip them, making every null collide with empty). */
   def rankKey(keyCols: Seq[Column], salt: String): Column =
-    md5(concat_ws(" ",
+    md5(rankInput(keyCols, salt))
+
+  /** The pre-digest draw string [[rankKey]] hashes — shared so the
+    * fused 40-bit kernel ([[graft.functions.HashExprs.md5Prefix40]])
+    * digests byte-identical input. */
+  private[graft] def rankInput(keyCols: Seq[Column], salt: String): Column =
+    concat_ws(" ",
       (keyCols.map(c => coalesce(c.cast("string"), lit("null")))
-        :+ lit(salt)): _*))
+        :+ lit(salt)): _*)
 
   /**
    * Exactly `n` rows per stratum (fewer when a stratum is smaller),
@@ -54,9 +60,12 @@ object Sampling {
     * 128 — so every double derived from it (`u/w`, thresholds) stays a
     * single correctly-rounded IEEE op on exactly-representable
     * integers, reproducible bit-for-bit in ANY engine, and the hex
-    * prefix is decodable in plain SQL for oracle checks. */
+    * prefix is decodable in plain SQL for oracle checks. Computed by
+    * the fused kernel (one digest, no hex string/`conv` parse —
+    * bit-equality with the composable chain pinned in
+    * HashExprsSpec); oracles keep replaying the hex spelling. */
   def hash40(keyCols: Seq[Column], salt: String): Column =
-    conv(substring(rankKey(keyCols, salt), 1, 10), 16, 10).cast("long")
+    graft.functions.HashExprs.md5_prefix40(rankInput(keyCols, salt))
 
   /**
    * Deterministic weighted sample of `k` rows — priority sampling

@@ -66,31 +66,24 @@ object Sketches {
   }
 
   /** (__g, __v) → (__g, __j, __rho) — the shared draw kernel (batch
-    * and streaming twin run the SAME columns). STAGED through three
-    * explicit projections so the md5 digest and the stripped rank
-    * window each evaluate ONCE per row: inlined into every consumer
-    * they re-evaluate several times each (CaseWhen branches defeat
-    * codegen subexpression elimination), which priced the register
-    * pass ~4× — and CollapseProject deliberately refuses to re-inline
-    * a non-cheap alias referenced more than once, so the staging
-    * survives optimization. */
+    * and streaming twin run the SAME columns). ONE fused codegen'd
+    * digest per row ([[graft.functions.HashExprs.hllJRhoPacked]] —
+    * bit-equality with the hex-string chain pinned in HashExprsSpec;
+    * the oracles keep replaying the hex spelling), STAGED through an
+    * explicit packed projection so the digest evaluates ONCE for both
+    * consumers: CollapseProject deliberately refuses to re-inline a
+    * non-cheap alias referenced more than once, so the staging
+    * survives optimization (the r19 staging lesson — inlined, the
+    * draw re-evaluated per consumer and priced the register pass
+    * ~4×). */
   private[graft] def drawFrame(gv: DataFrame, p: Int,
-                               salt: String): DataFrame = {
-    val v1 = conv(substring(col("__st"), 1, 1), 16, 10).cast("int")
-    val czeros = when(v1 >= 8, lit(0)).when(v1 >= 4, lit(1))
-      .when(v1 >= 2, lit(2)).otherwise(lit(3))
+                               salt: String): DataFrame =
     gv.select(col("__g"),
-        Sampling.rankKey(Seq(col("__v")), salt).as("__hx"))
+        graft.functions.HashExprs.hll_jrho_packed(
+          Sampling.rankInput(Seq(col("__v")), salt), p).as("__pk"))
       .select(col("__g"),
-        conv(substring(col("__hx"), 1, p / 4), 16, 10).cast("long")
-          .as("__j"),
-        ltrim(substring(col("__hx"), p / 4 + 1, 10), "0").as("__st"))
-      .select(col("__g"), col("__j"),
-        when(length(col("__st")) === 0, lit(41))
-          .otherwise(lit(4) * (lit(10) - length(col("__st"))) +
-            czeros + lit(1))
-          .cast("int").as("__rho"))
-  }
+        shiftright(col("__pk"), 6).as("__j"),
+        col("__pk").bitwiseAND(lit(63L)).cast("int").as("__rho"))
 
   /** The defining sub-dag over (n_hit, __sp): (v_empty, s41,
     * est_raw, small-range?) — ONE definition so the threshold and

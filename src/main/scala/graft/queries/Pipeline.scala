@@ -542,11 +542,18 @@ object Pipeline {
         when(pmod(col("doc_id"), lit(2)) === 0,
           lit("?utm_source=x&b=2&a=1")).otherwise(lit("?z=9&utm_campaign=c&fbclid=f")),
         when(pmod(col("doc_id"), lit(5)) === 0, lit("#frag")).otherwise(lit("")))
-      val norm = T(s, dir)("documents")
+      // window, not self-join: the join spelling evaluated the whole
+      // normalizeUrl regex chain FOUR times per row (both scan
+      // branches, each with the pushed-down isnotnull(join key)
+      // duplicating the projection — r19 plan audit); the window
+      // computes it once and shuffles (doc_id, url_norm) alone.
+      // Identical rows: url_norm is never null here (doc_id is the
+      // parquet key), so inner-join-on-key ≡ unordered window count
+      T(s, dir)("documents")
         .select(col("doc_id"), TextAnalysis.normalizeUrl(url).as("url_norm"))
-      norm.join(norm.groupBy(col("url_norm")).agg(count(lit(1)).as("n_dups")),
-          "url_norm")
-        .select(col("doc_id"), col("url_norm"), col("n_dups"))
+        .select(col("doc_id"), col("url_norm"),
+          count(lit(1)).over(Window.partitionBy(col("url_norm")))
+            .as("n_dups"))
         .orderBy(col("doc_id"))
     }),
 

@@ -238,24 +238,20 @@ object PipelineExact {
     })
   )
 
-  /** (source, shingle) word-trigram stream for qEB/qED. The token
-    * array is MATERIALIZED in its own projection before the trigram
-    * lambda: an inlined `tokens(text)` re-runs the regexp inside
-    * every `element_at` call — three full-text regex scans per
-    * trigram, which priced the qEB scan ~10× (CollapseProject keeps
-    * the staging because the alias is non-cheap and multiply
-    * referenced). */
-  private def qEDShingles(docs: DataFrame): DataFrame = {
-    val n = size(col("__toks"))
-    docs
-      .select(col("source"), TextAnalysis.tokens(col("text")).as("__toks"))
-      .select(col("source"), explode(when(n >= 3,
-        transform(sequence(lit(1), n - 2),
-          i => concat_ws(" ", element_at(col("__toks"), i),
-            element_at(col("__toks"), i + 1),
-            element_at(col("__toks"), i + 2))))
-        .otherwise(array().cast("array<string>"))).as("shingle"))
-  }
+  /** (source, shingle) word-trigram stream for qEB/qED, via the
+    * codegen'd TokenGrams kernel (one tokenizer pass per doc; the
+    * earlier staged-toks HOF needed explicit materialization to stop
+    * `element_at` re-running the regexp per gram — the kernel
+    * obsoletes the staging entirely). */
+  private def qEDShingles(docs: DataFrame): DataFrame =
+    // codegen'd one-pass trigram kernel: same \S+ tokens, same space
+    // join, no grams when len < 3 (null text → null array, which
+    // explode drops like the old empty-array branch) — replaces the
+    // staged-toks transform/element_at lambda, which boxed three
+    // ArrayData reads per gram
+    docs.select(col("source"),
+      explode(graft.functions.ShingleExprs.token_grams(
+        col("text"), 3, overlapping = true)).as("shingle"))
 
 
   /** Chained exact-Lloyd CTEs — the DuckDB replica of
