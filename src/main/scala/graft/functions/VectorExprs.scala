@@ -103,6 +103,52 @@ object ArrayDot {
     s
   }
 
+  /** Column entry point for [[ProjectDots]]: the whole PCA/JL
+    * projection of one vector in a single kernel call. */
+  def project_dots(v: Column, mean: Seq[Double], comps: Seq[Seq[Double]],
+                   scales: Seq[Double], scale: Int): Column =
+    ColumnBridge.column(ProjectDots(ColumnBridge.expression(v),
+      mean, comps, scales, scale))
+
+  /** Kernel behind [[ProjectDots]] — replicates the composable
+    * `zip_with(slice(v, 1, dim), mean, a−b)` → per-component
+    * [[ArrayDot]] → `GateRound(s·scale, n)` chain op for op:
+    * left-to-right double accumulation, a null coordinate reading
+    * 0.0 after the subtraction (the ArrayData.getDouble null-slot
+    * value the HOF chain produced), and Spark's BigDecimal HALF_UP
+    * round with the NaN/Inf passthrough, `+ 0.0` sign-gated. */
+  def projectDots(v: ArrayData, mean: Array[Double],
+                  comps: Array[Array[Double]], scales: Array[Double],
+                  scale: Int, floatIn: Boolean): ArrayData = {
+    val dim = mean.length
+    val c = new Array[Double](dim)
+    var i = 0
+    while (i < dim) {
+      c(i) =
+        if (v.isNullAt(i)) 0.0
+        else (if (floatIn) v.getFloat(i).toDouble else v.getDouble(i)) - mean(i)
+      i += 1
+    }
+    val out = new Array[Double](comps.length)
+    var j = 0
+    while (j < comps.length) {
+      val comp = comps(j)
+      val n = math.min(dim, comp.length)
+      var s = 0.0
+      var k = 0
+      while (k < n) { s += c(k) * comp(k); k += 1 }
+      val x = s * scales(j)
+      val r =
+        if (java.lang.Double.isNaN(x) || java.lang.Double.isInfinite(x)) x
+        else java.math.BigDecimal.valueOf(x)
+          .setScale(scale, java.math.RoundingMode.HALF_UP).doubleValue()
+      out(j) = r + 0.0
+      j += 1
+    }
+    org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+      .fromPrimitiveArray(out)
+  }
+
   /** Column entry point: all `tables` LSH sign-bit signatures of one
     * vector in a single kernel call (see [[LshSignatures]]). `planes`
     * is laid out `[table * bits + bit]`. */
@@ -138,6 +184,58 @@ object ArrayDot {
     }
     new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
   }
+}
+
+/**
+ * The whole PCA/JL projection of one vector in ONE codegen'd kernel
+ * call — the fused form of [[graft.operators.Pca.project]]'s
+ * composable chain (broadcast model crossJoin → `zip_with` centering
+ * → `transform` of per-component [[ArrayDot]]s → `zip_with`
+ * scale+[[GateRound]]), whose three higher-order functions were
+ * interpreted per element and whose model rode a broadcast-joined
+ * row. Here the model is ONE reference object (the [[LshSignatures]]
+ * layout), the plan keeps no join, and the arithmetic replicates the
+ * chain op for op (see [[ArrayDot.projectDots]]) — bit-identical
+ * outputs, pinned in Round19OptSpec. `mean`/`comps`/`scales` are
+ * Seqs for case-class VALUE equality (the CSE note on
+ * [[LshSignatures]]).
+ */
+case class ProjectDots(child: Expression, mean: Seq[Double],
+                       comps: Seq[Seq[Double]], scales: Seq[Double],
+                       scale: Int) extends UnaryExpression
+    with org.apache.spark.sql.catalyst.expressions.ImplicitCastInputTypes {
+  require(comps.length == scales.length,
+    s"need one scale per component, got ${comps.length} vs ${scales.length}")
+
+  override def inputTypes: Seq[ColumnBridge.SqlAbstractDataType] =
+    Seq(ColumnBridge.typeCollection(
+      ArrayType(DoubleType), ArrayType(FloatType)))
+
+  @transient private lazy val meanArr: Array[Double] = mean.toArray
+  @transient private lazy val compsArr: Array[Array[Double]] =
+    comps.map(_.toArray).toArray
+  @transient private lazy val scalesArr: Array[Double] = scales.toArray
+
+  private def floatIn: Boolean =
+    child.dataType.asInstanceOf[ArrayType].elementType == FloatType
+
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+
+  override def nullSafeEval(v: Any): Any =
+    ArrayDot.projectDots(v.asInstanceOf[ArrayData], meanArr, compsArr,
+      scalesArr, scale, floatIn)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val meanRef = ctx.addReferenceObj("pdMean", meanArr, "double[]")
+    val compsRef = ctx.addReferenceObj("pdComps", compsArr, "double[][]")
+    val scalesRef = ctx.addReferenceObj("pdScales", scalesArr, "double[]")
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.ArrayDot.projectDots($c, $meanRef, $compsRef, $scalesRef, $scale, $floatIn)")
+  }
+
+  override protected def withNewChildInternal(c: Expression): ProjectDots =
+    copy(child = c)
+  override def prettyName: String = "project_dots"
 }
 
 /**

@@ -430,30 +430,22 @@ object Pca {
   def project(emb: DataFrame, idCol: String, vecCol: String, model: Model,
               whiten: Boolean = false, eps: Double = 1e-9,
               scale: Int = 6): DataFrame = {
-    val spark = emb.sparkSession
-    import spark.implicits._
     val scales =
       if (whiten) model.eigenvalues.map(l => 1.0 / math.sqrt(math.max(l, 0.0) + eps))
       else model.eigenvalues.map(_ => 1.0)
-    val modelDf = Seq((model.mean.toSeq,
-        model.components.map(_.toSeq).toSeq, scales.toSeq))
-      .toDF("__mean", "__comps", "__scales")
+    // fused codegen kernel: the model rides ONE reference object
+    // instead of a broadcast-crossJoined row, and the three
+    // interpreted HOFs (centering zip_with, per-component dot
+    // transform, scale+GateRound zip_with) collapse into one pass —
+    // arithmetic replicated op for op (slice-to-dim first: fit's
+    // aggregator used the first dim coords of longer vectors), so
+    // scores are bit-identical (Round19OptSpec pins kernel ≡ chain)
     emb.filter(col(vecCol).isNotNull &&
         size(col(vecCol)) >= lit(model.mean.length))
-      .crossJoin(broadcast(modelDf))
       .select(col(idCol),
-        // slice to the model's dim FIRST: fit's aggregator used the
-        // first dim coords of longer vectors, and an unsliced
-        // zip_with would pad to the LONGER side with nulls
-        zip_with(slice(col(vecCol).cast("array<double>"), 1,
-            model.mean.length), col("__mean"),
-          (a, b) => a - b).as("__c"),
-        col("__comps"), col("__scales"))
-      .select(col(idCol),
-        zip_with(
-          transform(col("__comps"), c => Similarity.dot(col("__c"), c)),
-          col("__scales"),
-          (s, sc) => graft.functions.GateRound(s * sc, scale)).as("pc"))
+        graft.functions.ArrayDot.project_dots(col(vecCol),
+          model.mean.toSeq, model.components.map(_.toSeq).toSeq,
+          scales.toSeq, scale).as("pc"))
   }
 
   /** Cyclic Jacobi eigendecomposition of a symmetric matrix —
