@@ -182,6 +182,60 @@ object ShingleExprs {
   def token_grams(text: Column, w: Int, overlapping: Boolean): Column =
     ColumnBridge.column(TokenGrams(ColumnBridge.expression(text), w, overlapping))
 
+  /** Distinct character n-grams in first-occurrence order —
+    * `array_distinct(transform(sequence(1, len−n+1), i → substr(i, n)))`
+    * parity, including `Dedup.charShingles`' degenerate branches:
+    * `< n` chars ⇒ `[whole string]`, null input ⇒ `[null]` (the
+    * `otherwise(array(c))` arm fires for null because the `when`
+    * predicate is null). The relational spelling re-evaluates the
+    * interpreted lambda per gram position, materializes every
+    * (overlapping, duplicated) gram, and then re-hashes the whole
+    * array inside array_distinct; this is one pass with one hash
+    * probe per position. */
+  def distinctCharGrams(text: UTF8String, n: Int): ArrayData = {
+    if (text == null) return new GenericArrayData(Array[Any](null))
+    val len = text.numChars()
+    if (len < n) return new GenericArrayData(Array[Any](text))
+    val seen = new java.util.LinkedHashSet[UTF8String]
+    val last = len - n + 1
+    var i = 1
+    while (i <= last) {
+      seen.add(text.substringSQL(i, n))
+      i += 1
+    }
+    val out = new Array[Any](seen.size)
+    val it = seen.iterator()
+    i = 0
+    while (it.hasNext) { out(i) = it.next(); i += 1 }
+    new GenericArrayData(out)
+  }
+
+  def distinct_char_grams(text: Column, n: Int): Column =
+    ColumnBridge.column(DistinctCharGrams(ColumnBridge.expression(text), n))
+
+  /** Agreeing-position count of two signature arrays —
+    * `size(filter(zip_with(a, b, _ === _), z => z))` parity: zip_with
+    * pads the shorter side with nulls and `null === x` is null, which
+    * `filter` drops, so only positions below min(len) where both
+    * elements are non-null and equal count. One merge loop instead of
+    * three interpreted HOFs and two intermediate arrays per candidate
+    * pair. */
+  def sigAgreeCount(a: ArrayData, b: ArrayData): Int = {
+    val n = math.min(a.numElements(), b.numElements())
+    var i = 0
+    var c = 0
+    while (i < n) {
+      if (!a.isNullAt(i) && !b.isNullAt(i) && a.getLong(i) == b.getLong(i))
+        c += 1
+      i += 1
+    }
+    c
+  }
+
+  def sig_agree_count(a: Column, b: Column): Column =
+    ColumnBridge.column(SigAgreeCount(
+      ColumnBridge.expression(a), ColumnBridge.expression(b)))
+
   /** Space-join of `arr`'s elements whose index is NOT in `drop` —
     * one bitset pass, O(n + d); the `filter(arr, array_contains(...))`
     * formulation is O(n·d) per row, quadratic for a heavily
@@ -361,6 +415,58 @@ case class TokenGrams(child: Expression, w: Int, overlapping: Boolean)
   override protected def withNewChildInternal(c: Expression): TokenGrams =
     copy(child = c)
   override def prettyName: String = "token_grams"
+}
+
+/** Distinct char n-grams with charShingles' degenerate branches; never
+  * null (a null input yields `[null]`, matching `array(c)`). */
+case class DistinctCharGrams(child: Expression, n: Int)
+    extends UnaryExpression with ExpectsInputTypes {
+
+  require(n >= 1, s"distinct_char_grams width must be >= 1, got $n")
+
+  override def inputTypes: Seq[ColumnBridge.SqlAbstractDataType] = Seq(StringType)
+  override def dataType: DataType = ArrayType(StringType, containsNull = true)
+  override def nullable: Boolean = false
+
+  override def eval(input: InternalRow): Any =
+    ShingleExprs.distinctCharGrams(
+      child.eval(input).asInstanceOf[UTF8String], n)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val c = child.genCode(ctx)
+    ev.copy(code =
+      code"""
+        ${c.code}
+        boolean ${ev.isNull} = false;
+        org.apache.spark.sql.catalyst.util.ArrayData ${ev.value} =
+          graft.functions.ShingleExprs.distinctCharGrams(
+            ${c.isNull} ? null : ${c.value}, $n);
+      """)
+  }
+
+  override protected def withNewChildInternal(c: Expression): DistinctCharGrams =
+    copy(child = c)
+  override def prettyName: String = "distinct_char_grams"
+}
+
+/** Agreeing-position count of two signature arrays (null-intolerant —
+  * a null side yields null, exactly like the zip_with chain). */
+case class SigAgreeCount(left: Expression, right: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+
+  override def dataType: DataType = IntegerType
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    ShingleExprs.sigAgreeCount(
+      a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) =>
+      s"graft.functions.ShingleExprs.sigAgreeCount($a, $b)")
+
+  override protected def withNewChildrenInternal(
+      l: Expression, r: Expression): SigAgreeCount = copy(left = l, right = r)
+  override def prettyName: String = "sig_agree_count"
 }
 
 /** 64-bit SimHash over a token array; null for empty input. */

@@ -204,6 +204,32 @@ object TextExprs {
   def dsir_score(text: Column, lr: Seq[Double]): Column =
     ColumnBridge.column(DsirScore(ColumnBridge.expression(text), lr))
 
+  private val DOT = java.util.regex.Pattern.compile("\\.")
+
+  /** Every label-aligned dot-suffix of a host in one right-to-left
+    * pass — `transform(sequence(1, size(labels)), i →
+    * array_join(slice(labels, i, size(labels)), "."))` parity over
+    * `split(host, "\\.")`, including the empty labels java's split
+    * with limit −1 (the SQL split contract) keeps for consecutive or
+    * trailing dots. The relational spelling re-splits/re-slices per
+    * suffix position (O(labels²) interpreted lambda evaluations). */
+  def hostSuffixes(host: UTF8String): ArrayData = {
+    val labels = DOT.split(host.toString, -1)
+    val m = labels.length
+    val out = new Array[Any](m)
+    var s: String = null
+    var i = m - 1
+    while (i >= 0) {
+      s = if (i == m - 1) labels(i) else labels(i) + "." + s
+      out(i) = UTF8String.fromString(s)
+      i -= 1
+    }
+    new GenericArrayData(out)
+  }
+
+  def host_suffixes(host: Column): Column =
+    ColumnBridge.column(HostSuffixes(ColumnBridge.expression(host)))
+
   /** First-4-digest-bytes unsigned big-endian value mod `n` — the ONE
     * definition of the bucket fold, shared by every md5-bucket kernel
     * (a convention tweak applied anywhere else would silently
@@ -718,4 +744,24 @@ case class DsirScore(child: Expression, lr: Seq[Double])
   override protected def withNewChildInternal(c: Expression): DsirScore =
     copy(child = c)
   override def prettyName: String = "dsir_score"
+}
+
+/** Label-aligned dot-suffix array of a host (blocklist equi-join key
+  * fan-out); null in, null out. */
+case class HostSuffixes(child: Expression)
+    extends UnaryExpression with ExpectsInputTypes {
+
+  override def inputTypes: Seq[ColumnBridge.SqlAbstractDataType] = Seq(StringType)
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+
+  override def nullSafeEval(v: Any): Any =
+    TextExprs.hostSuffixes(v.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.TextExprs.hostSuffixes($c)")
+
+  override protected def withNewChildInternal(c: Expression): HostSuffixes =
+    copy(child = c)
+  override def prettyName: String = "host_suffixes"
 }
