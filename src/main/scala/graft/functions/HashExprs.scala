@@ -184,6 +184,19 @@ object HashExprs {
     UnsafeArrayData.fromPrimitiveArray(out)
   }
 
+  /** ≡ `unhex(md5(s))` — the raw 16 digest bytes, skipping the
+    * hex render + re-parse. BinaryType's unsigned byte-wise order is
+    * EXACTLY the lexicographic order of the lowercase-hex rendering
+    * (each hex char '0'…'9','a'…'f' is ASCII-monotone in its nibble
+    * value, and both compare position by position), so sorting or
+    * range-partitioning by this column is order-identical to sorting
+    * by [[graft.operators.Sampling.rankKey]]'s hex string at half
+    * the key bytes — pinned in ShingleParitySpec. */
+  def md5DigestBytes(s: UTF8String): Array[Byte] = md5Bytes(s)
+
+  def md5_bytes(c: Column): Column =
+    ColumnBridge.column(Md5Bytes(ColumnBridge.expression(c)))
+
   def md5_prefix40(c: Column): Column =
     ColumnBridge.column(Md5Prefix40(ColumnBridge.expression(c)))
 
@@ -197,6 +210,20 @@ object HashExprs {
 
   def sign_resamples(id: Column, salt: String, p: Int): Column =
     ColumnBridge.column(SignResamples(ColumnBridge.expression(id), salt, p))
+}
+
+/** See [[HashExprs.md5DigestBytes]]. */
+case class Md5Bytes(child: Expression) extends UnaryExpression
+    with org.apache.spark.sql.catalyst.expressions.ImplicitCastInputTypes {
+  override def inputTypes: Seq[ColumnBridge.SqlAbstractDataType] = Seq(StringType)
+  override def dataType: DataType = BinaryType
+  override def nullSafeEval(v: Any): Any =
+    HashExprs.md5DigestBytes(v.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.HashExprs.md5DigestBytes($c)")
+  override protected def withNewChildInternal(c: Expression): Md5Bytes =
+    copy(child = c)
+  override def prettyName: String = "md5_bytes"
 }
 
 /** See [[HashExprs.md5Prefix40]]. */

@@ -450,10 +450,15 @@ case class DistinctCharGrams(child: Expression, n: Int)
 }
 
 /** Agreeing-position count of two signature arrays (null-intolerant —
-  * a null side yields null, exactly like the zip_with chain). */
+  * a null side yields null, exactly like the zip_with chain). Long
+  * arrays only: the merge loop reads getLong, so binding anything
+  * else must fail at analysis, not return garbage at runtime. */
 case class SigAgreeCount(left: Expression, right: Expression)
-    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression
+    with ExpectsInputTypes {
 
+  override def inputTypes: Seq[ColumnBridge.SqlAbstractDataType] =
+    Seq(ArrayType(LongType), ArrayType(LongType))
   override def dataType: DataType = IntegerType
 
   override def nullSafeEval(a: Any, b: Any): Any =

@@ -59,6 +59,37 @@ object ContextLayout {
                    aCol: String, bCol: String, wCol: String,
                    maxComponent: Int = 1 << 16, maxDegree: Int = 64,
                    salt: String = "s0", partitions: Int = 32): DataFrame = {
+    val walked = walkedFrame(nodes, idCol, edges, aCol, bCol, wCol,
+      maxComponent, maxDegree, salt)
+    // global ordinal: two-phase prefix sum with unit weights over the
+    // (component key, component, position, id) order — `ord` = number
+    // of docs laid out before this one, computed distributed. The
+    // four fields ride as plain long key columns (all guarded
+    // non-negative in walkedFrame, so field-by-field numeric order ≡
+    // the old 79-char zero-padded string) — 32 key bytes through the
+    // range shuffle instead of a string whose shared zero-padding
+    // defeated short-circuit comparison (§2.3)
+    val ord = Packing.prefixByKey(
+      walked.withColumn("__one", lit(1L)),
+      Seq(col("comp_key"), col("comp"), col("third"), col("id")),
+      "id", "__one", partitions)
+    // the layout is the natural input to BOTH a packing pass and an
+    // audit/join-back (see inContextLayout) — materialize the n×4
+    // scalar result so consumers never re-run the assembly join
+    walked.join(ord, Seq("id"))
+      .select(col("id"), col("comp").as("component"),
+        col("cum_before").as("ord"), col("walked"))
+      .localCheckpoint(true)
+  }
+
+  /** CC + size census + per-component greedy walk: the checkpointed
+    * (id, comp, comp_key, third, walked) frame whose (comp_key, comp,
+    * third, id) order IS the layout — shared by [[contextOrder]] and
+    * the fused [[orderAndPackSequences]]. */
+  private def walkedFrame(nodes: DataFrame, idCol: String, edges: DataFrame,
+                          aCol: String, bCol: String, wCol: String,
+                          maxComponent: Int, maxDegree: Int,
+                          salt: String): DataFrame = {
     require(maxComponent > 0 && maxDegree > 0,
       s"maxComponent/maxDegree must be positive, got $maxComponent/$maxDegree")
     require(org.apache.spark.sql.graftbridge.ColumnBridge
@@ -146,21 +177,51 @@ object ContextLayout {
       // executes twice; the frame is 5 scalars per node (the
       // packShards materialization class)
       .localCheckpoint(true)
-    // global ordinal: two-phase prefix sum with unit weights over the
-    // (component key, component, position, id) order — `ord` = number
-    // of docs laid out before this one, computed distributed
-    val ord = Packing.prefixByKey(
-      walked.withColumn("__one", lit(1L)),
-      format_string("%019d|%019d|%019d|%019d", col("comp_key"),
-        col("comp"), col("third"), col("id")),
-      "id", "__one", partitions)
-    // the layout is the natural input to BOTH a packing pass and an
-    // audit/join-back (see inContextLayout) — materialize the n×4
-    // scalar result so consumers never re-run the assembly join
-    walked.join(ord, Seq("id"))
-      .select(col("id"), col("comp").as("component"),
-        col("cum_before").as("ord"), col("walked"))
-      .localCheckpoint(true)
+    walked
+  }
+
+  /**
+   * [[contextOrder]] fused with [[Packing.packSequencesBy]] — the
+   * qBW/qBZ shape: the layout ordinal (a unit-weight prefix sum) and
+   * the token prefix sum run over the SAME (comp_key, comp, third,
+   * id) order, so composing contextOrder → packSequencesBy paid a
+   * second full range shuffle + persist + driver round-trip +
+   * checkpoint to re-derive an order the first pass already had in
+   * hand (§2). One [[Packing.prefixByKey2]] pass computes both
+   * cumulative sums; rows are exactly the composition's (pinned in
+   * ContextLayoutSpec).
+   *
+   * `docs` must cover every node id (the [[inContextLayout]]
+   * contract — ids match); rows are inner-joined, so the ordinal
+   * counts exactly the docs being packed.
+   *
+   * @return (id, component, ord, walked, seq_id, tok_start, tok_end)
+   *         — one row per (doc, sequence) overlap, zero-weight docs
+   *         dropped (the packSequences contract).
+   */
+  def orderAndPackSequences(nodes: DataFrame, idCol: String, edges: DataFrame,
+                            aCol: String, bCol: String, wCol: String,
+                            docs: DataFrame, weightCol: String, seqLen: Long,
+                            maxComponent: Int = 1 << 16, maxDegree: Int = 64,
+                            salt: String = "s0",
+                            partitions: Int = 32): DataFrame = {
+    val walked = walkedFrame(nodes, idCol, edges, aCol, bCol, wCol,
+      maxComponent, maxDegree, salt)
+    val withW = walked.join(
+      docs.select(col(idCol).cast("long").as("id"),
+        col(weightCol).cast("long").as("__w")), Seq("id"))
+    val pre = Packing.prefixByKey2(withW.withColumn("__one", lit(1L)),
+      Seq(col("comp_key"), col("comp"), col("third"), col("id")),
+      "id", "__one", "__w", partitions)
+    val cut = Packing.cutSequences(
+      pre.select(col("id"), col("__w"),
+        col("cum_before_2").as("cum_before")),
+      "id", "__w", seqLen)
+    walked.select(col("id"), col("comp").as("component"), col("walked"))
+      .join(pre.select(col("id"), col("cum_before_1").as("ord")), Seq("id"))
+      .join(cut, Seq("id"))
+      .select(col("id"), col("component"), col("ord"), col("walked"),
+        col("seq_id"), col("tok_start"), col("tok_end"))
   }
 
   /** The per-component greedy walk — driver-free, component-bounded
@@ -263,14 +324,10 @@ object ContextLayout {
       .select(least(col("id"), col("nn_id")).as("a"),
         greatest(col("id"), col("nn_id")).as("b"), col("cos_sim").as("w"))
       .groupBy("a", "b").agg(max("w").as("w"))
-    val ord = contextOrder(docs.select(col(idCol)), idCol, und,
-      "a", "b", "w", maxComponent, salt = salt)
-    val packed = Packing.packSequencesBy(
-      docs.select(col(idCol).cast("long").as("id"), col(weightCol))
-        .join(ord.select(col("id"), col("ord")), Seq("id")),
-      "id", weightCol, "ord", seqLen)
-    ord.join(packed, Seq("id"))
-      .select(col("id"), col("component"), col("ord"), col("walked"),
-        col("seq_id"), col("tok_start"), col("tok_end"))
+    // ONE fused prefix pass for ordinal + token cumsum (see
+    // orderAndPackSequences — the contextOrder → packSequencesBy
+    // composition paid a second range shuffle for the same order)
+    orderAndPackSequences(docs.select(col(idCol)), idCol, und,
+      "a", "b", "w", docs, weightCol, seqLen, maxComponent, salt = salt)
   }
 }

@@ -63,12 +63,17 @@ object Dedup {
     df.groupBy(keyCols.map(col): _*)
       .agg(min(col(idCol)).as(idCol), count(lit(1)).as("n_copies"))
 
-  /** Distinct character n-gram shingles of a string column. */
+  /** Distinct character n-gram shingles of a string column — one
+    * codegen'd pass ([[graft.functions.DistinctCharGrams]], pinned in
+    * ShingleParitySpec bit-identical to the relational spelling
+    * `when(length(c) >= n, array_distinct(transform(sequence(1,
+    * length(c)−(n−1)), i → substr(i, n)))).otherwise(array(c))`,
+    * degenerate branches included: < n chars ⇒ [whole string], null ⇒
+    * [null]). The relational chain re-evaluated the interpreted
+    * lambda per gram position and re-hashed the materialized array
+    * inside array_distinct. */
   def charShingles(c: Column, n: Int): Column =
-    when(length(c) >= n,
-      array_distinct(transform(sequence(lit(1), length(c) - (n - 1)),
-        i => c.substr(i, lit(n)))))
-      .otherwise(array(c))
+    graft.functions.ShingleExprs.distinct_char_grams(c, n)
 
   /**
    * Distinct w-word shingles of a string column (classic w-shingling).
@@ -209,9 +214,13 @@ object Dedup {
           lit(MINHASH_P)))))
   }
 
-  /** Estimated Jaccard from two equal-length minhash signatures. */
+  /** Estimated Jaccard from two equal-length minhash signatures —
+    * one codegen'd merge loop ([[graft.functions.SigAgreeCount]],
+    * pinned in ShingleParitySpec ≡ `size(filter(zip_with(a, b,
+    * _ === _), z => z))` incl. unequal lengths and null slots) over
+    * three interpreted HOFs and two intermediate arrays per pair. */
   def estJaccard(sigA: Column, sigB: Column, k: Int): Column =
-    size(filter(zip_with(sigA, sigB, (x, y) => x === y), z => z)) / lit(k.toDouble)
+    graft.functions.ShingleExprs.sig_agree_count(sigA, sigB) / lit(k.toDouble)
 
   /**
    * MinHash+LSH near-duplicate detection.

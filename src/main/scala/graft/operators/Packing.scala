@@ -39,19 +39,28 @@ object Packing {
                  budget: Long, partitions: Int = 32): DataFrame = {
     require(budget > 0, "budget must be positive")
     val b = budget
-    prefixByKey(df, md5(col(idCol).cast("string")), idCol, weightCol,
-        partitions)
+    prefixByKey(df,
+        Seq(graft.functions.HashExprs.md5_bytes(col(idCol).cast("string"))),
+        idCol, weightCol, partitions)
       .withColumn("shard_id", expr(s"cum_before div $b"))
   }
 
   /** The distributed two-phase prefix sum shared by [[packShards]],
-    * [[packSequences]] and [[packSequencesBy]]: range-partition +
-    * sort by `keyCol` (the ONE necessary shuffle), per-partition
-    * totals → driver offsets, then a map-side pass adds the offset to
-    * the within-partition running sum. `keyCol` must be a STRING
-    * expression whose lexicographic order IS the intended layout
-    * order. @return (idCol, weightCol, cum_before). */
-  private[operators] def prefixByKey(df: DataFrame, keyCol: Column,
+    * [[packSequences]], [[packSequencesBy]] and
+    * [[ContextLayout.contextOrder]]: range-partition + sort by
+    * `keys` (the ONE necessary shuffle), per-partition totals →
+    * driver offsets, then a map-side pass adds the offset to the
+    * within-partition running sum. `keys` must be orderable
+    * expressions whose lexicographic (field-by-field) order IS the
+    * intended layout order; the md5 callers pass the 16 raw digest
+    * bytes (order-identical to the hex string — Sampling.rankKeyBytes
+    * doc) and the ordinal callers pass plain longs, so the range
+    * shuffle carries narrow keys and never a zero-padded string
+    * (§2.3). The keys exist only to order the stream: they are
+    * projected away after the within-partition sort, so the persisted
+    * frame and both typed passes carry (id, w) alone.
+    * @return (idCol, weightCol, cum_before). */
+  private[graft] def prefixByKey(df: DataFrame, keys: Seq[Column],
                                      idCol: String, weightCol: String,
                                      partitions: Int): DataFrame = {
     // ids ride through the typed two-pass pipeline as longs — refuse
@@ -62,18 +71,20 @@ object Packing {
     val spark = df.sparkSession
     import spark.implicits._
 
+    val keyNames = keys.indices.map(i => col(s"__k$i"))
     val keyed = df
-      .select(keyCol.cast("string").as("__key"),
-        col(idCol).cast("long").as("__id"),
-        col(weightCol).cast("long").as("__w"))
-      .repartitionByRange(partitions, col("__key"))
-      .sortWithinPartitions("__key")
+      .select(keys.zipWithIndex.map { case (k, i) => k.as(s"__k$i") } ++
+        Seq(col(idCol).cast("long").as("__id"),
+          col(weightCol).cast("long").as("__w")): _*)
+      .repartitionByRange(partitions, keyNames: _*)
+      .sortWithinPartitions(keyNames: _*)
+      .select(col("__id"), col("__w"))
       .persist()
-    val ds = keyed.as[(String, Long, Long)]
+    val ds = keyed.as[(Long, Long)]
 
     val partSums = ds.mapPartitions { it =>
       var s = 0L
-      it.foreach(s += _._3)
+      it.foreach(s += _._2)
       Iterator((TaskContext.getPartitionId(), s))
     }.collect().toMap
     // offsets(p) = total weight of partitions before p
@@ -83,7 +94,7 @@ object Packing {
 
     val out = ds.mapPartitions { it =>
       var run = bOffsets.value(TaskContext.getPartitionId())
-      it.map { case (_, id, w) =>
+      it.map { case (id, w) =>
         val before = run
         run += w
         (id, w, before)
@@ -93,6 +104,65 @@ object Packing {
       // (3 scalar columns) and once it exists the big range-partitioned
       // intermediate can be released instead of leaking in the cache
       // for the session lifetime
+      .localCheckpoint(true)
+    keyed.unpersist(false)
+    out
+  }
+
+  /** [[prefixByKey]] for TWO weight columns in ONE pass over ONE
+    * range shuffle — the in-context layout fusion (§2): the layout
+    * ordinal (unit weights) and the token prefix sum share the same
+    * key order, so running them as separate prefix phases paid a
+    * second full range shuffle + persist + driver round-trip +
+    * materialization for algebra one pass already had in hand.
+    * Semantics are exactly two [[prefixByKey]] calls over the same
+    * `keys` (pinned in Round20OptSpec).
+    * @return (idCol, w1Col, w2Col, cum_before_1, cum_before_2). */
+  private[graft] def prefixByKey2(df: DataFrame, keys: Seq[Column],
+                                  idCol: String, w1Col: String, w2Col: String,
+                                  partitions: Int): DataFrame = {
+    val idType = df.schema(idCol).dataType
+    require(Seq("byte", "short", "integer", "long").contains(idType.typeName),
+      s"prefix packing needs an integral id column; $idCol is $idType")
+    val spark = df.sparkSession
+    import spark.implicits._
+
+    val keyNames = keys.indices.map(i => col(s"__k$i"))
+    val keyed = df
+      .select(keys.zipWithIndex.map { case (k, i) => k.as(s"__k$i") } ++
+        Seq(col(idCol).cast("long").as("__id"),
+          col(w1Col).cast("long").as("__w1"),
+          col(w2Col).cast("long").as("__w2")): _*)
+      .repartitionByRange(partitions, keyNames: _*)
+      .sortWithinPartitions(keyNames: _*)
+      .select(col("__id"), col("__w1"), col("__w2"))
+      .persist()
+    val ds = keyed.as[(Long, Long, Long)]
+
+    val partSums = ds.mapPartitions { it =>
+      var s1 = 0L
+      var s2 = 0L
+      it.foreach { r => s1 += r._2; s2 += r._3 }
+      Iterator((TaskContext.getPartitionId(), s1, s2))
+    }.collect().map(t => t._1 -> ((t._2, t._3))).toMap
+    def offsets(pick: ((Long, Long)) => Long): Array[Long] = (0 until partitions)
+      .map(p => partSums.get(p).map(pick).getOrElse(0L))
+      .scanLeft(0L)(_ + _).toArray
+    val b1 = spark.sparkContext.broadcast(offsets(_._1))
+    val b2 = spark.sparkContext.broadcast(offsets(_._2))
+
+    val out = ds.mapPartitions { it =>
+      val p = TaskContext.getPartitionId()
+      var r1 = b1.value(p)
+      var r2 = b2.value(p)
+      it.map { case (id, w1, w2) =>
+        val o1 = r1
+        val o2 = r2
+        r1 += w1
+        r2 += w2
+        (id, w1, w2, o1, o2)
+      }
+    }.toDF(idCol, w1Col, w2Col, "cum_before_1", "cum_before_2")
       .localCheckpoint(true)
     keyed.unpersist(false)
     out
@@ -117,8 +187,9 @@ object Packing {
   def packSequences(df: DataFrame, idCol: String, weightCol: String,
                     seqLen: Long, partitions: Int = 32): DataFrame =
     cutSequences(
-      prefixByKey(df, md5(col(idCol).cast("string")), idCol, weightCol,
-        partitions),
+      prefixByKey(df,
+        Seq(graft.functions.HashExprs.md5_bytes(col(idCol).cast("string"))),
+        idCol, weightCol, partitions),
       idCol, weightCol, seqLen)
 
   /**
@@ -129,7 +200,7 @@ object Packing {
    * token stream, so the order is the similarity walk's ordinal, not
    * a pseudo-random key. `orderCol` must be a non-negative long,
    * unique per row (ties would make the layout partitioning-
-   * dependent); it rides as a zero-padded string through the same
+   * dependent); it rides as a plain long key through the same
    * two-phase distributed prefix sum — never a single-task window.
    */
   def packSequencesBy(df: DataFrame, idCol: String, weightCol: String,
@@ -140,12 +211,14 @@ object Packing {
     val ordType = df.schema(orderCol).dataType
     require(Seq("byte", "short", "integer", "long").contains(ordType.typeName),
       s"packSequencesBy needs an integral order column; $orderCol is $ordType")
-    val key = when(col(orderCol) >= 0,
-        format_string("%019d", col(orderCol).cast("long")))
+    // the long itself is the key now (numeric order ≡ the old
+    // zero-padded string order for the guarded non-negative domain) —
+    // 8 key bytes through the range shuffle instead of 19 chars
+    val key = when(col(orderCol) >= 0, col(orderCol).cast("long"))
       .otherwise(raise_error(concat(
         lit(s"packSequencesBy: negative $orderCol breaks the " +
-          "zero-padded key order: "), col(orderCol).cast("string"))))
-    cutSequences(prefixByKey(df, key, idCol, weightCol, partitions),
+          "ordinal key order: "), col(orderCol).cast("string"))))
+    cutSequences(prefixByKey(df, Seq(key), idCol, weightCol, partitions),
       idCol, weightCol, seqLen)
   }
 
@@ -204,8 +277,8 @@ object Packing {
     * [[packSequencesBy]]: cut the global token stream at multiples of
     * `seqLen`, emit one row per (doc, sequence) overlap. Integer
     * `div` keeps boundary math in exact longs. */
-  private def cutSequences(base: DataFrame, idCol: String,
-                           weightCol: String, seqLen: Long): DataFrame = {
+  private[graft] def cutSequences(base: DataFrame, idCol: String,
+                                  weightCol: String, seqLen: Long): DataFrame = {
     require(seqLen > 0, "seqLen must be positive")
     val L = lit(seqLen)
     val first = expr(s"cum_before div $seqLen")

@@ -36,6 +36,16 @@ object Sampling {
       (keyCols.map(c => coalesce(c.cast("string"), lit("null")))
         :+ lit(salt)): _*)
 
+  /** [[rankKey]] as the raw 16 digest bytes — the SAME total order as
+    * the 32-char hex string (lowercase hex is ASCII-monotone in the
+    * nibble value, position by position; pinned in ShingleParitySpec)
+    * at half the sort-key bytes, with no hex render at all. Use for
+    * ORDERING; keep [[rankKey]] where the hex string itself is the
+    * contract (value comparisons against hex literals, emitted
+    * columns). */
+  private[graft] def rankKeyBytes(keyCols: Seq[Column], salt: String): Column =
+    graft.functions.HashExprs.md5_bytes(rankInput(keyCols, salt))
+
   /**
    * Exactly `n` rows per stratum (fewer when a stratum is smaller),
    * chosen by deterministic md5 order of `keyCol` + `salt`.
@@ -48,8 +58,11 @@ object Sampling {
   def stratifiedSample(df: DataFrame, strataCols: Seq[String], keyCol: String,
                        n: Int, salt: String = "s0"): DataFrame = {
     require(n > 0 && strataCols.nonEmpty)
+    // binary-digest sort key: identical order to the hex rankKey
+    // (rankKeyBytes doc) at 16 bytes instead of 32 chars through the
+    // strata shuffle and the window sort (§2.3)
     val w = Window.partitionBy(strataCols.map(col): _*)
-      .orderBy(rankKey(Seq(col(keyCol)), salt), col(keyCol))
+      .orderBy(rankKeyBytes(Seq(col(keyCol)), salt), col(keyCol))
     df.withColumn("__rk", row_number().over(w))
       .filter(col("__rk") <= n)
       .drop("__rk")
@@ -128,17 +141,23 @@ object Sampling {
 
     val keyed = df
       .select(col(srcCol).cast("string").as("__src"),
-        rankKey(Seq(col(idCol)), salt).as("__key"),
+        // binary digest: identical order to the hex rankKey at half
+        // the shuffle/sort key bytes (rankKeyBytes doc, §2.3)
+        rankKeyBytes(Seq(col(idCol)), salt).as("__key"),
         col(idCol).cast("long").as("__id"),
         col(weightCol).cast("long").as("__w"))
       .repartitionByRange(partitions, col("__src"), col("__key"))
       .sortWithinPartitions("__src", "__key")
+      // the key exists only to order the stream — project it away so
+      // the persisted frame and the deserialized tuples below carry
+      // (src, id, w), not the 16-byte digest
+      .select(col("__src"), col("__id"), col("__w"))
       .persist()
-    val ds = keyed.as[(String, String, Long, Long)]
+    val ds = keyed.as[(String, Long, Long)]
 
     val partSums: Map[(Int, String), Long] = ds.mapPartitions { it =>
       val sums = scala.collection.mutable.LinkedHashMap.empty[String, Long]
-      it.foreach { case (s, _, _, w) => sums(s) = sums.getOrElse(s, 0L) + w }
+      it.foreach { case (s, _, w) => sums(s) = sums.getOrElse(s, 0L) + w }
       val p = TaskContext.getPartitionId()
       sums.iterator.map { case (s, w) => (p, s, w) }
     }.collect().map { case (p, s, w) => (p, s) -> w }.toMap
@@ -156,7 +175,7 @@ object Sampling {
     val out = ds.mapPartitions { it =>
       val p = TaskContext.getPartitionId()
       val run = scala.collection.mutable.HashMap.empty[String, Long]
-      it.flatMap { case (s, _, id, w) =>
+      it.flatMap { case (s, id, w) =>
         val cum = run.getOrElse(s, bOff.value.getOrElse((p, s), 0L)) + w
         run(s) = cum
         if (cum <= bgt) Some((id, s, w, cum)) else None

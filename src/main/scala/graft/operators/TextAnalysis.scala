@@ -296,11 +296,14 @@ object TextAnalysis {
     * broadcastable EQUI-join, and keeps matching label-aligned
     * ('notexample.com' never matches a blocked 'example.com' the way
     * a raw endswith would). */
-  def hostSuffixes(host: Column): Column = {
-    val labels = split(host, "\\.")
-    transform(sequence(lit(1), size(labels)), i =>
-      array_join(slice(labels, i, size(labels)), "."))
-  }
+  def hostSuffixes(host: Column): Column =
+    // one right-to-left codegen'd pass ([[graft.functions.HostSuffixes]],
+    // pinned in ShingleParitySpec ≡ transform(sequence(1, size(labels)),
+    // i → array_join(slice(labels, i, size(labels)), ".")) over
+    // split(host, "\\."), empty labels from consecutive/trailing dots
+    // included); the relational chain re-split/re-sliced per suffix
+    // position — O(labels²) interpreted lambda evaluations
+    graft.functions.TextExprs.host_suffixes(host)
 
   /**
    * Crawl-hygiene domain filter: drop every document whose canonical

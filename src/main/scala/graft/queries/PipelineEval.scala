@@ -1028,15 +1028,14 @@ object PipelineEval {
         col("x.g") === col("y.g") && col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"),
         lit(1.0).as("w"))
-    val ord = graft.operators.ContextLayout.contextOrder(
-      d.select("doc_id"), "doc_id", edges, "a", "b", "w")
-    val packed = graft.operators.Packing.packSequencesBy(
-      d.join(ord.select(col("id").as("doc_id"), col("ord")), Seq("doc_id")),
-      "doc_id", "n_tokens", "ord", seqLen = 64)
-    ord.select(col("id").as("doc_id"), col("component"), col("ord"))
-      .join(packed, Seq("doc_id"))
-      .select(col("doc_id"), col("component"), col("ord"), col("seq_id"),
-        col("tok_start"), col("tok_end"))
+    // fused ordinal + token prefix sums: ONE range shuffle where the
+    // contextOrder → packSequencesBy composition paid two (the
+    // orderAndPackSequences doc; rows identical — oracle unchanged)
+    graft.operators.ContextLayout.orderAndPackSequences(
+        d.select("doc_id"), "doc_id", edges, "a", "b", "w",
+        d, "n_tokens", seqLen = 64)
+      .select(col("id").as("doc_id"), col("component"), col("ord"),
+        col("seq_id"), col("tok_start"), col("tok_end"))
   }
 
   /** qBX/qBY's fixture: documents as a (prompt, response) table —

@@ -208,6 +208,66 @@ class HllSpec extends AnyFunSuite {
     assert(e.getMessage.contains("quadratic"), e.getMessage)
   }
 
+  test("hllOverlap inclusion-exclusion == the expanded per-pair union " +
+      "spelling, bit-for-bit, disjoint pairs included") {
+    import org.apache.spark.sql.functions._
+    // 4 groups: heavy overlap (A,B), identical (A,C on a subset),
+    // fully disjoint (D vs everyone) — the left-join coalesce-0 arm
+    val df = ((0 until 400).map(i => ("A", s"v$i")) ++
+      (200 until 600).map(i => ("B", s"v$i")) ++
+      (0 until 150).map(i => ("C", s"v$i")) ++
+      (10000 until 10300).map(i => ("D", s"v$i"))).toDF("g", "v")
+    val got = Sketches.hllOverlap(df, "g", "v", p = 16).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        (r.getDouble(2), r.getDouble(3), r.getDouble(4), r.getDouble(5),
+          r.getDouble(6))).toMap
+    // the pre-round-20 spelling: expand each pair's registers, take
+    // register-wise max, aggregate the union sketch per pair
+    val reg = Sketches.registers(df, "g", "v", 16, "s0")
+    val m = 1 << 16
+    val gs = reg.select(col("__g")).distinct()
+    val perSrc = reg.groupBy(col("__g"))
+      .agg(count(lit(1)).as("n_hit"),
+        sum(expr("shiftleft(1L, 41 - __mj)")).as("__sp"))
+      .select(col("__g"), Sketches.estimateCol(m).as("__est"))
+    val pairs = gs.select(col("__g").as("__ga"))
+      .crossJoin(gs.select(col("__g").as("__gb")))
+      .filter(col("__ga") < col("__gb"))
+    val expanded = pairs.join(reg, col("__ga") === col("__g"))
+      .select(col("__ga"), col("__gb"), col("__j"), col("__mj"))
+      .unionByName(pairs.join(reg, col("__gb") === col("__g"))
+        .select(col("__ga"), col("__gb"), col("__j"), col("__mj")))
+    val uni = expanded.groupBy(col("__ga"), col("__gb"), col("__j"))
+      .agg(max(col("__mj")).as("__mj"))
+      .groupBy(col("__ga"), col("__gb"))
+      .agg(count(lit(1)).as("n_hit"),
+        sum(expr("shiftleft(1L, 41 - __mj)")).as("__sp"))
+      .select(col("__ga"), col("__gb"), Sketches.estimateCol(m).as("__estu"))
+    val interC = col("__esta") + col("__estb") - col("__estu")
+    val exp = uni
+      .join(perSrc.toDF("__g1", "__esta"), col("__ga") === col("__g1"))
+      .join(perSrc.toDF("__g2", "__estb"), col("__gb") === col("__g2"))
+      .select(col("__ga"), col("__gb"), col("__esta"), col("__estb"),
+        col("__estu"),
+        graft.functions.GateRound(interC, 6).as("i"),
+        graft.functions.GateRound(
+          greatest(interC, lit(0.0)) / col("__estu"), 6).as("j"))
+      .collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        (r.getDouble(2), r.getDouble(3), r.getDouble(4), r.getDouble(5),
+          r.getDouble(6))).toMap
+    assert(got.keySet == exp.keySet,
+      s"pair sets differ: ${got.keySet} vs ${exp.keySet}")
+    assert(got.size == 6) // all 4-choose-2 pairs, disjoint ones included
+    got.foreach { case (k, g) =>
+      val e = exp(k)
+      def bits(d: Double) = java.lang.Double.doubleToRawLongBits(d)
+      assert(bits(g._1) == bits(e._1) && bits(g._2) == bits(e._2) &&
+        bits(g._3) == bits(e._3) && bits(g._4) == bits(e._4) &&
+        bits(g._5) == bits(e._5), s"pair $k: $g vs $e")
+    }
+  }
+
   test("hdrQuantiles: identity region is exact; p=1000 is the max " +
       "bucket; refusals") {
     val df = (1L to 31L).map(("g", _)).toDF("g", "v")
